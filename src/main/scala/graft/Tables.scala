@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Typed loaders for the driver-generated star schema (TESTDATA.md).
+  *
+  * Mapping onto the reference (muccg/bpaotu) data model: `lineitem`
+  * plays the `sample_otu` abundance fact, `part` the OTU/taxonomy
+  * dimension, and `orders`/`customer`/`nation`/`region` the
+  * sample-context dimensions. `documents`/`embeddings`/`events` back
+  * the LLM-pipeline and streaming extensions.
+  *
+  * Scale note: only the fact tables (`lineitem`, `orders`, `events`)
+  * grow with SF; every other table is a bounded dimension that should
+  * be broadcast in joins.
+  */
+object Tables {
+  val factTables = Set("lineitem", "orders", "events")
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by
+    * default. Read nanos as long and truncate to microseconds — the
+    * same truncation DuckDB applies on CAST(ts AS TIMESTAMP), keeping
+    * the oracle comparable. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    else raw
+  }
+
+  /** Dimension load with a broadcast hint: at 100 TB the fact side is
+    * huge but these stay small, so every dim join must be a broadcast
+    * hash join (no shuffle of the fact). */
+  def dim(spark: SparkSession, dir: String, name: String): DataFrame =
+    broadcast(load(spark, dir, name))
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Exact-arithmetic helpers.
+  *
+  * All money/abundance aggregates go through DECIMAL(18,2): decimal
+  * addition is associative+commutative, so the result is independent
+  * of partitioning/shuffle order — the same bits on local[32] and on
+  * a 1000-executor cluster, and bit-identical to the DuckDB oracle.
+  * Double sums would drift with parallelism.
+  */
+object Dec {
+  val D2 = DecimalType(18, 2)
+  def dec(c: Column): Column = c.cast(D2)
+  /** Order-independent exact sum, surfaced as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Exact decimal mean, surfaced as double. */
+  def davg(c: Column): Column =
+    (sum(dec(c)).cast("double") / count(lit(1)))
+}

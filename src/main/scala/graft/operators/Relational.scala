@@ -1,0 +1,333 @@
+package graft.operators
+
+import graft.{Dec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational query layer — the Spark-first re-expression of the
+  * reference's (muccg/bpaotu) query surface: contextual filtering,
+  * taxonomy rollups (krona), abundance matrices (BIOM), paginated
+  * joined result lists, diversity metrics.
+  *
+  * Conventions (required by the DuckDB oracle gate):
+  *  - every aggregate/computed column is aliased identically to the
+  *    oracle SQL in [[graft.SparkEntry.oracleSql]];
+  *  - money/abundance sums use [[graft.Dec]] (exact, order-free);
+  *  - every query ends in a total deterministic ORDER BY.
+  *
+  * Scale notes: dimension sides of joins are loaded with
+  * [[Tables.dim]] (broadcast); only the fact table streams. Filters
+  * are plain column predicates on the scan so Catalyst pushes them
+  * into the parquet reader.
+  */
+object Relational {
+  import Dec._
+
+  /** Grouped abundance summary (TPC-H Q1 shape) — bpaotu's
+    * "abundance summary per taxonomy flag" rollup. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D2) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Typed predicate filter + narrow projection — bpaotu contextual
+    * search. The range/equality predicates and the 4-column projection
+    * must reach the parquet scan (asserted in PlanSpec). */
+  def q2FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(
+        lit("1997-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Filter–join–aggregate–sort–limit (TPC-H Q3 shape) — bpaotu's
+    * paginated sample result list with contextual + taxonomy filters. */
+  def q3TopnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val c = Tables.dim(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = Tables.load(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D2) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** 5-way dim/fact join + rollup (TPC-H Q5 shape) — sample search
+    * joining the full contextual dimension chain. All dims broadcast. */
+  def q4MultijoinRollup(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.dim(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.dim(spark, dir, "nation")
+    val c = Tables.dim(spark, dir, "customer")
+    val s = Tables.dim(spark, dir, "supplier")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.load(spark, dir, "lineitem")
+    r.join(n, col("r_regionkey") === col("n_regionkey"))
+      .join(c, col("n_nationkey") === col("c_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(D2) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Two-level taxonomy rollup — bpaotu's krona plot aggregation
+    * (type ≈ phylum, brand ≈ genus; abundance summed per level pair). */
+  def q5TaxonomyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.dim(spark, dir, "part")
+    val l = Tables.load(spark, dir, "lineitem")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "p_brand")
+      .agg(dsum(col("l_quantity")).as("abundance"),
+        count(lit(1)).as("n_obs"))
+      .orderBy("p_type", "p_brand")
+  }
+
+  /** Field × field contingency table — bpaotu's interactive-graph
+    * cross-tabulation endpoint. Pivot keys are bounded dimension
+    * vocabularies (never fact cardinality), so this is scale-safe. */
+  def q6Contingency(spark: SparkSession, dir: String): DataFrame = {
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.dim(spark, dir, "nation")
+    val r = Tables.dim(spark, dir, "region")
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("c_mktsegment")
+      .pivot("r_name", regions)
+      .agg(count(lit(1)))
+      .na.fill(0L, regions)
+      .orderBy("c_mktsegment")
+  }
+
+  /** Sample × taxon abundance matrix — the BIOM-export shape: rows are
+    * context groups (nation), columns the bounded taxon vocabulary. */
+  def q7AbundanceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.dim(spark, dir, "customer")
+    val n = Tables.dim(spark, dir, "nation")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("p_type", types)
+      .agg(dsum(col("l_quantity")))
+      .orderBy("n_name")
+  }
+
+  /** Per-group top-k via window rank — "top taxa per environment". */
+  def q8WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    val s = Tables.dim(spark, dir, "supplier")
+    val n = Tables.dim(spark, dir, "nation")
+    val r = Tables.dim(spark, dir, "region")
+    val rev = l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "p_brand")
+      .agg(dsum(col("l_extendedprice")).as("revenue"))
+    val w = Window.partitionBy("r_name")
+      .orderBy(col("revenue").desc, col("p_brand"))
+    rev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("r_name", "p_brand", "revenue", "rnk")
+      .orderBy("r_name", "rnk")
+  }
+
+  /** Left-semi join — bpaotu's "samples containing taxon X" EXISTS
+    * filter. The semi side is broadcast. */
+  def q9Semijoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join — "samples lacking taxon X" (NOT EXISTS). */
+  def q10Antijoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders").select(col("o_custkey"))
+    c.join(broadcast(o), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-outer join with null-aware count — samples with zero
+    * abundance still appear (count(o_orderkey) skips nulls, matching
+    * SQL COUNT(col) semantics). */
+  def q11OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** Distinct + union — controlled-vocabulary listing across fields. */
+  def q12DistinctUnion(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "part").select(col("p_type").as("v"))
+    val o = Tables.load(spark, dir, "orders").select(col("o_orderpriority").as("v"))
+    p.union(o).distinct().orderBy("v")
+  }
+
+  /** Richness + Shannon diversity per context group — bpaotu's
+    * comparison/diversity module. Shares are exact decimal ratios; the
+    * entropy sum is over the bounded taxon vocabulary (6 values) and
+    * rounded to 6 dp to absorb double-summation order. */
+  def q13Diversity(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.dim(spark, dir, "customer")
+    val byType = l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "p_type")
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    val w = Window.partitionBy("c_mktsegment")
+    // Shares divide two exact decimals surfaced as doubles, so the
+    // ratio is bit-identical across engines and parallelism.
+    val withShare = byType.withColumn("p",
+      col("qty").cast("double") / sum(col("qty")).over(w).cast("double"))
+    withShare.groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("richness"),
+        round(-sum(col("p") * log(col("p"))), 6).as("shannon"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Share-of-total (relative abundance) per taxon within its parent
+    * level, via a window over the bounded taxonomy. */
+  def q14RelativeAbundance(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    val perBrand = l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "p_brand")
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    perBrand
+      .withColumn("rel_abundance",
+        round(col("qty").cast("double") /
+          sum(col("qty")).over(Window.partitionBy("p_type")).cast("double"), 6))
+      .select(col("p_type"), col("p_brand"),
+        col("qty").cast("double").as("abundance"), col("rel_abundance"))
+      .orderBy("p_type", "p_brand")
+  }
+
+  /** Group filter (HAVING) — minimum-abundance threshold. */
+  def q15Having(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(dsum(col("l_quantity")).as("total_qty"),
+        count(lit(1)).as("n_obs"))
+      .filter(col("total_qty") > 50000.0)
+      .orderBy("p_brand")
+  }
+
+  /** Conditional aggregation — CASE-WHEN sums per group (bpaotu's
+    * per-flag abundance breakdowns in one scan). */
+  def q16ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.groupBy("l_linestatus")
+      .agg(
+        sum(when(col("l_returnflag") === "R", dec(col("l_quantity")))).cast("double")
+          .as("returned_qty"),
+        sum(when(col("l_returnflag") === "N", dec(col("l_quantity")))).cast("double")
+          .as("kept_qty"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"),
+        count(lit(1)).as("n_total"))
+      .orderBy("l_linestatus")
+  }
+
+  /** IN-subquery dimension filter, planned as a broadcast semi-join. */
+  def q17InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.load(spark, dir, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val l = Tables.load(spark, dir, "lineitem")
+    l.join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_extendedprice")).as("promo_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Same engine via the SQL API over registered temp views — the
+    * reference exposes raw-SQL-ish access; here Catalyst parses and
+    * plans the identical logical plan. */
+  def q18SqlApi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql("""
+      SELECT n_name,
+             CAST(year(o_orderdate) AS INT) AS oyear,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY n_name, year(o_orderdate)
+      ORDER BY n_name, oyear
+    """)
+  }
+
+  /** Rollup with subtotal rows (grouping sets) — krona's "all levels
+    * at once" aggregation; NULL subtotal keys mapped to 'ALL' so both
+    * engines order identically. */
+  def q19GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("p_brand"), col("l_quantity"))
+      .createOrReplaceTempView("graft_q19_base")
+    spark.sql("""
+      SELECT coalesce(p_type, 'ALL') AS lvl_type,
+             coalesce(p_brand, 'ALL') AS lvl_brand,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance
+      FROM graft_q19_base
+      GROUP BY ROLLUP(p_type, p_brand)
+      ORDER BY lvl_type, lvl_brand""")
+  }
+
+  /** Exact interpolated percentiles of a contextual metric per group
+    * (matches DuckDB quantile_cont). */
+  def q20Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+}
