@@ -32,6 +32,20 @@ object SparkEntry {
     "q18_sql_api" -> (Relational.q18SqlApi _),
     "q19_grouping_sets" -> (Relational.q19GroupingSets _),
     "q20_percentiles" -> (Relational.q20Percentiles _),
+    "t1_lang_id" -> (TextOps.langId _),
+    "t2_quality_score" -> (TextOps.qualityScore _),
+    "t3_token_count" -> (TextOps.tokenCount _),
+    "t4_fingerprint" -> (TextOps.fingerprint _),
+    "d1_dedup_exact" -> (Dedup.exact _),
+    "d2_dedup_minhash" -> (Dedup.minhashLsh _),
+    "d3_dedup_simhash" -> (Dedup.simhash _),
+    "d4_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "d5_embed_neardup" -> (Dedup.embedNeardup _),
+    "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
+    "s2_ann_lsh" -> (Similarity.annLsh _),
+    "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
+    "e1_event_windows" -> (Events.eventWindows _),
+    "e2_sessionize" -> (Events.sessionize _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -232,5 +246,131 @@ object SparkEntry {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    "t1_lang_id" -> """
+      WITH scored AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','or','and','of'))) AS BIGINT) AS s_en,
+          CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und','nicht'))) AS BIGINT) AS s_de,
+          CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el','la','los','que','de'))) AS BIGINT) AS s_es,
+          CAST(len(list_filter(string_split(text, ' '), x -> x IN ('le','les','des','et','une'))) AS BIGINT) AS s_fr,
+          CAST(len(list_filter(string_split(text, ' '), x -> x IN ('shi','bu','wo','ni','ta'))) AS BIGINT) AS s_zh
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN s_en>=s_de AND s_en>=s_es AND s_en>=s_fr AND s_en>=s_zh THEN 'en'
+             WHEN s_de>=s_en AND s_de>=s_es AND s_de>=s_fr AND s_de>=s_zh THEN 'de'
+             WHEN s_es>=s_en AND s_es>=s_de AND s_es>=s_fr AND s_es>=s_zh THEN 'es'
+             WHEN s_fr>=s_en AND s_fr>=s_de AND s_fr>=s_es AND s_fr>=s_zh THEN 'fr'
+             ELSE 'zh' END AS pred_lang,
+        greatest(s_en, s_de, s_es, s_fr, s_zh) AS n_markers
+      FROM scored ORDER BY doc_id""",
+    "t2_quality_score" -> """
+      WITH m AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+          CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','or','and','of','in','is'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+          (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0)) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+        FROM documents)
+      SELECT doc_id, n_words, distinct_ratio, stop_ratio, mean_word_len,
+        round(0.5 * distinct_ratio + 0.3 * (1.0 - stop_ratio) + 0.2 * least(1.0, CAST(n_words AS DOUBLE) / 200.0), 6) AS quality
+      FROM m ORDER BY doc_id""",
+    "t3_token_count" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS BIGINT) AS n_long_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpe_pieces
+      FROM documents ORDER BY doc_id""",
+    "t4_fingerprint" -> """
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ' '), w -> CAST(length(w)*131 + ascii(w) AS BIGINT))),
+          (acc, c) -> (acc * 1000003 + c) % 2147483647) AS fp
+      FROM documents ORDER BY doc_id""",
+    "d1_dedup_exact" -> """
+      SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY kept_doc_id""",
+    "d4_ngram_jaccard" -> """
+      WITH tri AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, length(text)-2), i -> substr(text, i, 3))) AS tg
+        FROM documents)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_filter(a.tg, x -> list_contains(b.tg, x))) AS BIGINT) AS n_inter,
+        CAST(len(a.tg) + len(b.tg) - len(list_filter(a.tg, x -> list_contains(b.tg, x))) AS BIGINT) AS n_union,
+        round(CAST(len(list_filter(a.tg, x -> list_contains(b.tg, x))) AS DOUBLE) /
+              CAST(len(a.tg) + len(b.tg) - len(list_filter(a.tg, x -> list_contains(b.tg, x))) AS DOUBLE), 6) AS jaccard
+      FROM tri a JOIN tri b ON b.doc_id = a.doc_id + 1
+      ORDER BY a_id""",
+    "d5_embed_neardup" -> """
+      WITH norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+      dots AS (
+        SELECT a_id, b_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT a_id, b_id, unnest(ea) AS x, unnest(eb) AS y FROM pairs) GROUP BY a_id, b_id)
+      SELECT d.a_id, d.b_id,
+        round(d.dt / (na.nrm * nb.nrm), 6) AS cos_sim,
+        round(d.dt / (na.nrm * nb.nrm), 6) > 0.95 AS is_near
+      FROM dots d JOIN norms na ON na.vec_id = d.a_id JOIN norms nb ON nb.vec_id = d.b_id
+      ORDER BY d.a_id""",
+    "s1_ann_bruteforce" -> """
+      WITH norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.embedding AS qv, c.embedding AS cv
+        FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs) GROUP BY q_id, c_id),
+      scored AS (
+        SELECT d.q_id, d.c_id, d.dt / (nq.nrm * nc.nrm) AS cos
+        FROM dots d JOIN norms nq ON nq.vec_id = d.q_id JOIN norms nc ON nc.vec_id = d.c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
+        FROM scored)
+      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""",
+    "m1_multimodal_meta" -> """
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
+        CAST(length(text) AS BIGINT) AS byte_len,
+        CAST(floor(CAST(length(text) AS DOUBLE) / 256.0) AS BIGINT) + 1 AS n_frames,
+        CAST(doc_id % 512 + 64 AS BIGINT) AS width,
+        CAST(doc_id % 256 + 64 AS BIGINT) AS height
+      FROM documents ORDER BY doc_id""",
+    "e1_event_windows" -> """
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+        event_type, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type""",
+    "e2_sessionize" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM ev),
+      sess AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        CAST(max(us) - min(us) AS DOUBLE) / 1000000.0 AS duration_s
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
   )
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{Dec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch equivalents of the streaming pipeline over `events` (the
+  * streaming forms live in [[graft.streaming.StreamingOps]] and share
+  * the same column logic — one definition, two execution modes).
+  * Window starts are emitted as formatted strings so the DuckDB
+  * oracle's type matches exactly.
+  */
+object Events {
+  import Dec._
+
+  /** Event-time tumbling 1-hour window aggregation per event type. */
+  def eventWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity gap) via window
+    * functions: flag session starts with lag(), number sessions with a
+    * running sum, aggregate per session. Partitioned by user — at
+    * scale one shuffle on user_id, each user's timeline processed
+    * independently (the same state layout the streaming
+    * flatMapGroupsWithState version keeps per key). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        ((max(col("us")) - min(col("us"))).cast("double") / lit(1000000.0))
+          .as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+}

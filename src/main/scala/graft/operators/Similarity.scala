@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over the `embeddings` table.
+  *
+  * Scale design: the query side is tiny and broadcast; norms are
+  * computed once per row *before* the join fans out. The brute-force
+  * path is the exactness baseline (a single corpus scan per batch of
+  * queries); the SRP-LSH path buckets the corpus so each probe touches
+  * only matching buckets — candidate count scales with bucket density,
+  * not corpus size.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: exact baseline. Queries = vec_id < 5,
+    * k = 10. One broadcast-nested-loop over a single corpus scan. */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn")))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        round(col("cos"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** SRP-LSH ANN: 4 hash tables × 8 signed-random-projection bits.
+    * Corpus is bucketed once (at scale: write bucketed/partitioned by
+    * (table_id, bucket)); probes equi-join on bucket keys and rank
+    * candidates by exact cosine. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nTables = 4
+    val bitsPerTable = 8
+    val planes = hyperplanes(nTables * bitsPerTable, 64)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+
+    def withBuckets(df: DataFrame): DataFrame = {
+      val buckets = (0 until nTables).map { t =>
+        val tablePlanes = planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
+        struct(lit(t).as("table_id"), srpBucket(tablePlanes, col("embedding")).as("bucket"))
+      }
+      df.select(col("*"), explode(array(buckets: _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    }
+
+    val corpus = withBuckets(e)
+    val queries = broadcast(withBuckets(e.filter(col("vec_id") < 5))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("table_id"), col("bucket")))
+    val candsDistinct = queries.join(corpus, Seq("table_id", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("qv"),
+        col("embedding").as("cv"), col("qn"), col("nrm").as("cn"))
+      .dropDuplicates("q_id", "c_id")
+    val scored = candsDistinct.select(col("q_id"), col("c_id"),
+      (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * LLM-training-pipeline extension (language ID, quality scoring,
+  * token counting, fingerprinting). Everything is a per-row
+  * projection: embarrassingly parallel, no shuffle, whole-stage
+  * codegen (higher-order functions, no UDFs) — the shape that scales
+  * linearly to 100 TB.
+  */
+object TextOps {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "or", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "de"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "ta"))
+
+  /** Stopword-profile language ID: score each language by marker-word
+    * hits, predict the argmax (ties resolved in fixed language order). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = words(col("text"))
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(w, t => t.isInCollection(markers))).cast("long")
+    }
+    val scored = docs.select(
+      (col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") }): _*)
+    val best = scores.map(_._1).map(l => col(s"s_$l"))
+    // argmax with first-wins tie-break, expressed as a CASE chain that
+    // the oracle mirrors literally.
+    val caseChain = langMarkers.map(_._1).reverse
+      .foldLeft(lit(null: String)) { case (els, lang) =>
+        val c = col(s"s_$lang")
+        val isMax = langMarkers.map(_._1).filter(_ != lang)
+          .map(o => c >= col(s"s_$o")).reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(els)
+      }
+    scored.select(col("doc_id"),
+      caseChain.as("pred_lang"),
+      greatest(best: _*).as("n_markers"))
+      .orderBy("doc_id")
+  }
+
+  /** Document quality scoring from lexical statistics: vocabulary
+    * diversity, stopword density, mean word length, length credit. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = words(col("text"))
+    val stop = Seq("the", "a", "or", "and", "of", "in", "is")
+    docs.select(col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        size(filter(w, t => t.isInCollection(stop))).cast("long").as("n_stop"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_distinct").cast("double") / col("n_words").cast("double"))
+          .as("distinct_ratio"),
+        (col("n_stop").cast("double") / col("n_words").cast("double"))
+          .as("stop_ratio"),
+        ((col("n_chars_m").cast("double") - (col("n_words").cast("double") - lit(1.0))) /
+          col("n_words").cast("double")).as("mean_word_len"))
+      .withColumn("quality",
+        round(lit(0.5) * col("distinct_ratio") +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.2) * least(lit(1.0), col("n_words").cast("double") / lit(200.0)), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, long tokens, and a BPE-ish
+    * greedy ≤4-char alpha piece count via regexp. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = words(col("text"))
+    docs.select(col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(filter(w, t => length(t) > 4)).cast("long").as("n_long_tokens"),
+        regexp_count(col("text"), lit("[a-z]{1,4}")).cast("long").as("n_bpe_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling polynomial hash fingerprint over the word stream
+    * (mod 2^31-1 so the fold never overflows in either engine). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"),
+        expr("""aggregate(
+                  transform(split(text, ' '), w -> CAST(length(w)*131 + ascii(w) AS BIGINT)),
+                  CAST(0 AS BIGINT),
+                  (acc, c) -> (acc * 1000003 + c) % 2147483647)""").as("fp"))
+      .orderBy("doc_id")
+  }
+}
