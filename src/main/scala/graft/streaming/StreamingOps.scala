@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.Dec
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event pipeline: the same logical
+  * transforms as [[graft.operators.Events]] but over an unbounded
+  * source (`readStream` → transform → `writeStream`).
+  *
+  * Scale design: watermarking bounds state; the windowed aggregate
+  * keeps one row of state per (window, type); sessionization keeps one
+  * [[SessionState]] per active user key, evicted by event-time timeout
+  * — state size tracks *active* keys, not history.
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,
+    nEvents: Long, totalValue: Double)
+
+  case class SessionOut(user_id: Long, session_id: Long, start_us: Long,
+    n_events: Long, total_value: Double)
+
+  /** Tumbling event-time window aggregation with a watermark — the
+    * streaming equivalent of [[graft.operators.Events.eventWindows]].
+    * Works on both streaming and batch DataFrames. */
+  def windowedEventCounts(events: DataFrame,
+      watermark: String = "2 hours", windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Dec.dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with explicit per-key state — the
+    * streaming form of [[graft.operators.Events.sessionize]]. Emits a
+    * session when a new event arrives past the gap, or when the
+    * event-time watermark times the key out. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
+      (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
+
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionId, s.startUs, s.nEvents, s.totalValue))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var cur = state.getOption
+            var out = List.empty[SessionOut]
+            var nextId = cur.map(_.sessionId + 1).getOrElse(0L)
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = t, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  out ::= SessionOut(userId, s.sessionId, s.startUs, s.nEvents, s.totalValue)
+                  cur = Some(SessionState(nextId, t, t, 1L, e.value))
+                  nextId += 1
+                case None =>
+                  cur = Some(SessionState(nextId, t, t, 1L, e.value))
+                  nextId += 1
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes.toLong * 60 * 1000)
+            }
+            out.reverse.iterator
+          }
+      }
+  }
+}

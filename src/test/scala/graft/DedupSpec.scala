@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Plants near-duplicates in a synthetic documents table and asserts
+  * the signature-based dedup operators find them (the real corpus has
+  * none, so the verify gate only proves they run clean there). */
+class DedupSpec extends SparkSpec {
+
+  private lazy val dupDir: String = {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    import spark.implicits._
+    val texts = base.select("doc_id", "text").as[(Long, String)].collect()
+    // 3 exact copies + 2 near copies (one word appended / one dropped)
+    val planted = texts.take(3).map { case (id, t) => (1000L + id, t) } ++
+      texts.slice(3, 5).map { case (id, t) =>
+        (2000L + id, if (id % 2 == 0) t + " extra" else t.split(" ").dropRight(1).mkString(" "))
+      }
+    val extra = planted.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("dup"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    base.select("doc_id", "text", "lang", "source", "n_chars").union(extra)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup finds planted exact copies") {
+    val res = Dedup.exact(spark, dupDir)
+    val dups = res.filter(col("n_copies") > 1).count()
+    assert(dups == 3, s"expected 3 duplicate groups, got $dups")
+  }
+
+  test("minhash LSH flags exact and near duplicates as candidates") {
+    val res = Dedup.minhashLsh(spark, dupDir)
+    val flagged = res.filter(col("n_dup_candidates") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted copy and its original must be flagged
+    assert(Set(0L, 1L, 2L, 1000L, 1001L, 1002L).subsetOf(flagged),
+      s"exact-copy pairs missing from $flagged")
+    assert(flagged.exists(_ >= 2000L), s"near-dup copies not flagged: $flagged")
+  }
+
+  test("simhash flags near duplicates within hamming distance") {
+    val res = Dedup.simhash(spark, dupDir)
+    val flagged = res.filter(col("n_near") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L, 1000L, 1001L, 1002L).subsetOf(flagged),
+      s"exact-copy pairs missing from $flagged")
+  }
+
+  test("trigram jaccard is 1.0 only for identical neighbours") {
+    val res = Dedup.ngramJaccard(spark, sfDir)
+    val j = res.agg(max(col("jaccard")), min(col("jaccard"))).head()
+    assert(j.getDouble(0) <= 1.0 && j.getDouble(1) >= 0.0)
+    assert(res.count() > 0)
+  }
+
+  test("embedding near-dup emits one row per consecutive pair") {
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(Dedup.embedNeardup(spark, sfDir).count() == n - 1)
+  }
+}

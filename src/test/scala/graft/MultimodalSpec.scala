@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("decode pipeline produces features through mapPartitions") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val feats = Multimodal.decodePipeline(spark, docs)
+    val n = docs.count()
+    assert(feats.count() == n)
+    val r = feats.filter(_.doc_id == 0).head()
+    assert(Set("png", "jpg", "wav").contains(r.fmt))
+    assert(r.byte_len > 0 && r.n_frames == r.byte_len / 256 + 1)
+    assert(r.checksum >= 0 && r.checksum < 1000003)
+  }
+
+  test("media metadata is deterministic and schema-typed") {
+    val m = Multimodal.mediaMeta(spark, sfDir)
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("doc_id", "fmt", "byte_len", "n_frames", "width", "height"))
+    val again = Multimodal.mediaMeta(spark, sfDir)
+    assert(m.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("binary payload round-trips the text bytes") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(5)
+    val back = Multimodal.withMediaColumns(docs)
+      .select(col("doc_id"), decode(col("payload"), "UTF-8").as("text2"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("text") =!= col("text2"))
+    assert(back.count() == 0)
+  }
+}

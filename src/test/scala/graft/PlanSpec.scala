@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Relational
+
+/** Asserts the physical plans have the shape that survives 100 TB:
+  * filters/projections pushed into the parquet scan, dimension joins
+  * broadcast, whole-stage codegen present. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q2: predicates and projection reach the parquet scan") {
+    val p = plan(Relational.q2FilterPushdown(spark, sfDir))
+    assert(p.contains("PushedFilters:"), "no pushed filters section")
+    assert(p.contains("IsNotNull(l_quantity)") || p.contains("GreaterThan(l_quantity"),
+      s"quantity filter not pushed:\n${p.take(2000)}")
+    // projection pruning: the scan must not read all 16 lineitem columns
+    assert(!p.contains("l_tax"), "scan reads columns the query never uses")
+  }
+
+  test("q3/q4: dimension joins are broadcast, not shuffled") {
+    val p3 = plan(Relational.q3TopnJoin(spark, sfDir))
+    assert(p3.contains("BroadcastHashJoin"), s"q3 lost its broadcast join")
+    val p4 = plan(Relational.q4MultijoinRollup(spark, sfDir))
+    assert(p4.contains("BroadcastHashJoin"), s"q4 lost its broadcast join")
+  }
+
+  test("q1: whole-stage codegen covers the aggregation") {
+    val df = Relational.q1PricingSummary(spark, sfDir)
+    assert(plan(df).contains("partial_sum"),
+      "no partial (map-side) aggregation before the shuffle")
+    df.collect() // finalize the adaptive plan, materializing codegen stages
+    val executed = df.queryExecution.executedPlan.toString()
+    // codegen stages print as "*(n) HashAggregate" in the final AQE plan
+    assert(executed.contains("*(1) HashAggregate") || executed.contains("WholeStageCodegen"),
+      s"aggregation fell out of codegen:\n${executed.take(1500)}")
+  }
+}

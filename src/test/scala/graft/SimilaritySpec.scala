@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Similarity
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force ANN returns k ranked neighbours per query") {
+    val res = Similarity.annBruteforce(spark, sfDir).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).toSeq.sorted == (1 to 10))
+      val scores = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"scores not descending: ${scores.mkString(",")}")
+    }
+  }
+
+  test("LSH ANN candidates overlap brute-force top-10 (recall sanity)") {
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // top-1 by construction has the highest cosine; with 4 tables of 8
+    // bits the nearest neighbour should usually share a bucket. Demand
+    // non-trivial overlap rather than a fixed recall on tiny data.
+    val overlap = bf.intersect(lsh).size
+    assert(overlap > 0, s"LSH found none of the true top-10 pairs")
+  }
+
+  test("dot/cosine fold matches an independently computed value") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val d = df.select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(d == 32.0)
+    val c = df.select(VectorFunctions.cosine(col("a"), col("a"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

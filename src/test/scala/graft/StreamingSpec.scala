@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Drives the streaming pipeline with MemoryStream sources:
+  * readStream-equivalent input → watermark/window/state transforms →
+  * memory sink, with watermark advancement triggering emission. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+  private def tsH(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("windowed aggregation over a stream emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.windowedEventCounts(input.toDF(),
+        watermark = "10 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, tsH(0, 5), 1, "click", 1.0),
+        Event(2, tsH(0, 40), 1, "click", 2.0),
+        Event(3, tsH(0, 50), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark past hour 0
+      input.addData(Event(4, tsH(2, 0), 1, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)), s"got $rows")
+      assert(rows.contains(("2024-01-01 00:00:00.0", "view", 1L, 3.0)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits sessions split by the gap") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart (one session), then 40-min gap
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(45), 1, "click", 3.0))
+      q.processAllAvailable()
+      // push watermark far forward so all sessions time out
+      input.addData(Event(9, tsH(6, 0), 2, "view", 0.5))
+      q.processAllAvailable()
+      input.addData(Event(10, tsH(12, 0), 2, "view", 0.5))
+      q.processAllAvailable()
+      val sess = spark.table("sessions").as[SessionOut].collect()
+        .filter(_.user_id == 1).sortBy(_.session_id)
+      assert(sess.length == 2, s"expected 2 sessions, got ${sess.toSeq}")
+      assert(sess(0).n_events == 2 && sess(0).total_value == 3.0)
+      assert(sess(1).n_events == 1 && sess(1).total_value == 3.0)
+    } finally q.stop()
+  }
+
+  test("batch and derived windowed aggregation agree on events table") {
+    val batch = graft.operators.Events.eventWindows(spark, sfDir)
+    val viaStreamingLogic = StreamingOps.windowedEventCounts(
+      Tables.load(spark, sfDir, "events"))
+    assert(viaStreamingLogic.count() == batch.count())
+  }
+}
