@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: trigger file listing, codegen, and JIT once so the
+    // first timed query doesn't pay session start-up costs.
+    try SparkEntry.queries.get("q1_pricing_summary")
+      .foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

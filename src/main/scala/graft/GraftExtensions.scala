@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.expressions.CosineSimilarity
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Session extension registering graft's native Catalyst expressions.
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`; operators also call
+  * [[GraftFunctions.ensureRegistered]] so they work on any session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+
+  /** Idempotently register the native functions on a live session
+    * (covers sessions built without the extensions conf). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, info, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
+    }
+  }
+
+  /** Column API for the native cosine similarity. */
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("cosine_sim", a, b)
+  }
+}

@@ -32,6 +32,7 @@ object SparkEntry {
     "q18_sql_api" -> (Relational.q18SqlApi _),
     "q19_grouping_sets" -> (Relational.q19GroupingSets _),
     "q20_percentiles" -> (Relational.q20Percentiles _),
+    "q21_rarefaction" -> (Relational.q21Rarefaction _),
     "t1_lang_id" -> (TextOps.langId _),
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_token_count" -> (TextOps.tokenCount _),
@@ -246,6 +247,19 @@ object SparkEntry {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    "q21_rarefaction" -> """
+      WITH keyed AS (
+        SELECT p_type, p_brand,
+          (l_orderkey * 2654435761 + l_linenumber) % 100 AS bucket
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+      SELECT p_type,
+        count(DISTINCT p_brand) AS richness_full,
+        count(DISTINCT CASE WHEN bucket < 20 THEN p_brand END) AS richness_sub,
+        count(CASE WHEN bucket < 20 THEN 1 END) AS n_sub,
+        count(*) AS n_full
+      FROM keyed
+      GROUP BY p_type
+      ORDER BY p_type""",
     "t1_lang_id" -> """
       WITH scored AS (
         SELECT doc_id,

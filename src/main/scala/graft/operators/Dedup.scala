@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -132,13 +131,11 @@ object Dedup {
     * oracle's index-ordered sum matches bit-for-bit. */
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        VectorFunctions.norm(col("embedding")).as("nrm"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("b_id") === col("a_id") + 1)
       .select(col("a_id"), col("b_id"),
-        round(VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+        round(graft.GraftFunctions.cosineSim(spark, col("ea"), col("eb")), 6)
           .as("cos_sim"))
       .withColumn("is_near", col("cos_sim") > 0.95)
       .orderBy("a_id")

@@ -319,6 +319,27 @@ object Relational {
       ORDER BY lvl_type, lvl_brand""")
   }
 
+  /** Rarefaction: richness before vs. after a deterministic ~20%
+    * subsample of observations — bpaotu's comparison-module
+    * rarefaction, with hash-based (Knuth multiplicative) sampling so
+    * the subsample is reproducible at any parallelism and in the
+    * oracle. */
+  def q21Rarefaction(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    val keyed = l.join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("p_brand"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket",
+        pmod(col("l_orderkey") * lit(2654435761L) + col("l_linenumber"), lit(100)))
+    keyed.groupBy("p_type")
+      .agg(
+        countDistinct(col("p_brand")).as("richness_full"),
+        countDistinct(when(col("bucket") < 20, col("p_brand"))).as("richness_sub"),
+        count(when(col("bucket") < 20, lit(1))).as("n_sub"),
+        count(lit(1)).as("n_full"))
+      .orderBy("p_type")
+  }
+
   /** Exact interpolated percentiles of a contextual metric per group
     * (matches DuckDB quantile_cont). */
   def q20Percentiles(spark: SparkSession, dir: String): DataFrame = {

@@ -17,16 +17,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Brute-force cosine top-k: exact baseline. Queries = vec_id < 5,
-    * k = 10. One broadcast-nested-loop over a single corpus scan. */
+    * k = 10. One broadcast-nested-loop over a single corpus scan, with
+    * the fused native [[graft.functions.expressions.CosineSimilarity]]
+    * expression in the hot loop. */
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val q = broadcast(e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn")))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
     val scored = q.join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -45,7 +46,6 @@ object Similarity {
     val bitsPerTable = 8
     val planes = hyperplanes(nTables * bitsPerTable, 64)
     val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
 
     def withBuckets(df: DataFrame): DataFrame = {
       val buckets = (0 until nTables).map { t =>
@@ -53,21 +53,21 @@ object Similarity {
         struct(lit(t).as("table_id"), srpBucket(tablePlanes, col("embedding")).as("bucket"))
       }
       df.select(col("*"), explode(array(buckets: _*)).as("tb"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
+        .select(col("vec_id"), col("embedding"),
           col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
     }
 
     val corpus = withBuckets(e)
     val queries = broadcast(withBuckets(e.filter(col("vec_id") < 5))
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"), col("table_id"), col("bucket")))
+        col("table_id"), col("bucket")))
     val candsDistinct = queries.join(corpus, Seq("table_id", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("c_id"), col("qv"),
-        col("embedding").as("cv"), col("qn"), col("nrm").as("cn"))
+        col("embedding").as("cv"))
       .dropDuplicates("q_id", "c_id")
     val scored = candsDistinct.select(col("q_id"), col("c_id"),
-      (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))

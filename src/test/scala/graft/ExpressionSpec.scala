@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** The native Catalyst cosine expression must agree bit-for-bit with
+  * the composable HOF fold (both are index-ordered double math), in
+  * both codegen and interpreted paths. */
+class ExpressionSpec extends SparkSpec {
+
+  test("native cosine_sim == HOF fold cosine, bit for bit") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("b_id") === col("a_id") + 1)
+    val diff = pairs.select(
+        GraftFunctions.cosineSim(spark, col("ea"), col("eb")).as("native"),
+        VectorFunctions.cosine(col("ea"), col("eb")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0, "native and HOF cosine disagree")
+  }
+
+  test("cosine_sim is registered and callable from SQL") {
+    GraftFunctions.ensureRegistered(spark)
+    Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_t LIMIT 5").collect()
+    assert(r.forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("registration is per-session and idempotent") {
+    val s2 = spark.newSession()
+    GraftFunctions.ensureRegistered(s2)
+    GraftFunctions.ensureRegistered(s2)
+    assert(s2.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+  }
+}
