@@ -42,6 +42,7 @@ object SparkEntry {
     "d3_dedup_simhash" -> (Dedup.simhash _),
     "d4_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d5_embed_neardup" -> (Dedup.embedNeardup _),
+    "b1_sequence_search" -> ((s: SparkSession, d: String) => Dedup.sequenceSearch(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
@@ -331,6 +332,25 @@ object SparkEntry {
         round(d.dt / (na.nrm * nb.nrm), 6) > 0.95 AS is_near
       FROM dots d JOIN norms na ON na.vec_id = d.a_id JOIN norms nb ON nb.vec_id = d.b_id
       ORDER BY d.a_id""",
+    "b1_sequence_search" -> """
+      WITH tri AS (
+        SELECT doc_id,
+          list_distinct(list_transform(generate_series(1, length(text)-2), i -> substr(text, i, 3))) AS tg
+        FROM documents),
+      q AS (
+        SELECT list_distinct(list_transform(
+          generate_series(1, length('the fast key order sort table scan merge')-2),
+          i -> substr('the fast key order sort table scan merge', i, 3))) AS qg),
+      scored AS (
+        SELECT doc_id,
+          CAST(len(list_filter(tg, x -> list_contains(qg, x))) AS BIGINT) AS n_inter,
+          CAST(len(tg) + len(qg) - len(list_filter(tg, x -> list_contains(qg, x))) AS BIGINT) AS n_union
+        FROM tri, q)
+      SELECT doc_id, n_inter, n_union,
+        round(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6) AS score
+      FROM scored
+      ORDER BY score DESC, doc_id
+      LIMIT 10""",
     "s1_ann_bruteforce" -> """
       WITH norms AS (
         SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm

@@ -126,6 +126,29 @@ object Dedup {
       .orderBy("a_id")
   }
 
+  /** Blast-like sequence search (bpaotu's BLAST endpoint re-expressed):
+    * rank all documents by character-trigram Jaccard against a fixed
+    * query string. The query's trigram set is a literal (broadcast by
+    * constant folding); scoring is a per-row projection over one scan,
+    * then a global top-k. */
+  def sequenceSearch(spark: SparkSession, dir: String,
+      query: String = "the fast key order sort table scan merge"): DataFrame = {
+    val qGrams = (1 to query.length - 2).map(i => query.substring(i - 1, i + 2)).distinct
+    val qLit = array(qGrams.map(lit): _*)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")
+          .as("tg"))
+      .select(col("doc_id"),
+        size(array_intersect(col("tg"), qLit)).cast("long").as("n_inter"),
+        (size(col("tg")) + lit(qGrams.size) -
+          size(array_intersect(col("tg"), qLit))).cast("long").as("n_union"))
+      .withColumn("score",
+        round(col("n_inter").cast("double") / col("n_union").cast("double"), 6))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Embedding-cosine near-duplicate detection over sorted-neighbor
     * pairs; cosine folded sequentially in double precision so the
     * oracle's index-ordered sum matches bit-for-bit. */

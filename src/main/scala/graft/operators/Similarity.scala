@@ -59,15 +59,21 @@ object Similarity {
 
     val corpus = withBuckets(e)
     val queries = broadcast(withBuckets(e.filter(col("vec_id") < 5))
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-        col("table_id"), col("bucket")))
-    val candsDistinct = queries.join(corpus, Seq("table_id", "bucket"))
+      .select(col("vec_id").as("q_id"), col("table_id"), col("bucket")))
+    // Dedup candidate IDs *before* re-attaching 256-byte vectors: the
+    // distinct shuffles 16-byte id pairs instead of embedding payloads.
+    val candIds = queries.join(corpus.select(col("vec_id"), col("table_id"), col("bucket")),
+        Seq("table_id", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("c_id"), col("qv"),
-        col("embedding").as("cv"))
-      .dropDuplicates("q_id", "c_id")
-    val scored = candsDistinct.select(col("q_id"), col("c_id"),
-      graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
+      .select(col("q_id"), col("vec_id").as("c_id"))
+      .distinct()
+    val qVecs = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val scored = candIds
+      .join(qVecs, Seq("q_id"))
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("cv")), Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))
