@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions.call_function
   * [[GraftFunctions.ensureRegistered]] so they work on any session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+  }
 }
 
 object GraftFunctions {
@@ -26,8 +28,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
 
-  /** Idempotently register the native functions on a live session
-    * (covers sessions built without the extensions conf). */
+  /** Idempotently register the native functions and planner strategy
+    * on a live session (covers sessions built without the extensions
+    * conf). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, info, builder) =>
@@ -35,6 +38,9 @@ object GraftFunctions {
       if (!registry.functionExists(id))
         registry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
   }
 
   /** Column API for the native cosine similarity. */

@@ -33,6 +33,7 @@ object SparkEntry {
     "q19_grouping_sets" -> (Relational.q19GroupingSets _),
     "q20_percentiles" -> (Relational.q20Percentiles _),
     "q21_rarefaction" -> (Relational.q21Rarefaction _),
+    "q22_topk_native" -> (Relational.q22TopkNative _),
     "t1_lang_id" -> (TextOps.langId _),
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_token_count" -> (TextOps.tokenCount _),
@@ -248,6 +249,22 @@ object SparkEntry {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    "q22_topk_native" -> """
+      WITH rev AS (
+        SELECT r_name, p_brand,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, p_brand)
+      SELECT r_name, p_brand, revenue, rnk FROM (
+        SELECT r_name, p_brand, revenue,
+          CAST(row_number() OVER (PARTITION BY r_name ORDER BY revenue DESC, p_brand) AS INT) AS rnk
+        FROM rev) t
+      WHERE rnk <= 3
+      ORDER BY r_name, rnk""",
     "q21_rarefaction" -> """
       WITH keyed AS (
         SELECT p_type, p_brand,

@@ -319,6 +319,28 @@ object Relational {
       ORDER BY lvl_type, lvl_brand""")
   }
 
+  /** q8's semantics through the custom whole-operator plan
+    * ([[graft.plans.TopKPerGroupPlan]]): top-3 brands per region with
+    * map-side heap pruning instead of a full window sort. Shares q8's
+    * oracle — the two must agree exactly. */
+  def q22TopkNative(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    val s = Tables.dim(spark, dir, "supplier")
+    val n = Tables.dim(spark, dir, "nation")
+    val r = Tables.dim(spark, dir, "region")
+    val rev = l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "p_brand")
+      .agg(dsum(col("l_extendedprice")).as("revenue"))
+    graft.plans.TopK.perGroup(rev, Seq("r_name"),
+        Seq(("revenue", false), ("p_brand", true)), k = 3)
+      .select("r_name", "p_brand", "revenue", "rnk")
+      .orderBy("r_name", "rnk")
+  }
+
   /** Rarefaction: richness before vs. after a deterministic ~20%
     * subsample of observations — bpaotu's comparison-module
     * rarefaction, with hash-based (Knuth multiplicative) sampling so
