@@ -49,6 +49,7 @@ object SparkEntry {
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
+    "e3_props_json" -> (Events.propsJson _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -402,6 +403,14 @@ object SparkEntry {
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start, event_type""",
+    "e3_props_json" -> """
+      SELECT event_type,
+        count(*) AS n_events,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
     "e2_sessionize" -> """
       WITH ev AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -24,6 +24,18 @@ object Events {
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy("window_start", "event_type")
 
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` payload and aggregate it — per-row JSON path evaluation
+    * is a codegen'd projection (no UDF), so it scales as a scan. */
+  def propsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** Gap-based sessionization (30-min inactivity gap) via window
     * functions: flag session starts with lag(), number sessions with a
     * running sum, aggregate per session. Partitioned by user — at
