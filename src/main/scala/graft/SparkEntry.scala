@@ -323,6 +323,76 @@ object SparkEntry {
     "d1_dedup_exact" -> """
       SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY kept_doc_id""",
+    "d2_dedup_minhash" -> """
+      WITH hs AS (
+        SELECT doc_id, list_transform(
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))),
+          s -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(s)), ci -> CAST(ascii(substr(s, ci, 1)) AS BIGINT))),
+                 (acc, ch) -> (acc * 131 + ch) % 2147483647)) AS hl
+        FROM documents),
+      sigs AS (
+        SELECT doc_id, list_transform(generate_series(0, 63), j ->
+          list_min(list_transform(hl, h -> ((j*2+1) * h + j*12345 + 7) % 2147483647))) AS sig
+        FROM hs),
+      bands AS (
+        SELECT doc_id, b['band_idx'] AS band_idx, b['band_key'] AS band_key FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(0, 15), bi ->
+            {'band_idx': bi,
+             'band_key': list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_slice(sig, bi*4 + 1, bi*4 + 4)),
+               (a, m) -> (a * 1000003 + m) % 2147483647)})) AS b
+          FROM sigs) t),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+      counts AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT a_id AS doc_id FROM cands UNION ALL SELECT b_id AS doc_id FROM cands) u
+        GROUP BY doc_id)
+      SELECT s.doc_id, s.sig[1] AS mh0, s.sig[2] AS mh1,
+        coalesce(c.n, CAST(0 AS BIGINT)) AS n_dup_candidates
+      FROM sigs s LEFT JOIN counts c ON c.doc_id = s.doc_id
+      ORDER BY s.doc_id""",
+    "d3_dedup_simhash" -> """
+      WITH hw AS (
+        SELECT doc_id, list_transform(string_split(text, ' '), w ->
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, length(w)), ci -> CAST(ascii(substr(w, ci, 1)) AS BIGINT))),
+            (acc, ch) -> (acc * 131 + ch) % 2147483647)) AS hl
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(0, 31), i ->
+              CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(hl, h -> CAST(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END AS BIGINT))),
+                     (a, b) -> a + b) >= 0
+                   THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
+            (a, b) -> a + b) AS simhash
+        FROM hw),
+      bands AS (
+        SELECT doc_id, simhash, b['band_idx'] AS band_idx, b['band_key'] AS band_key FROM (
+          SELECT doc_id, simhash, unnest(list_transform(generate_series(0, 3), bi ->
+            {'band_idx': bi, 'band_key': (simhash >> (bi*8)) & 255})) AS b
+          FROM sh) t),
+      near AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+      counts AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT a_id AS doc_id FROM near UNION ALL SELECT b_id AS doc_id FROM near) u
+        GROUP BY doc_id)
+      SELECT s.doc_id, s.simhash, coalesce(c.n, CAST(0 AS BIGINT)) AS n_near
+      FROM sh s LEFT JOIN counts c ON c.doc_id = s.doc_id
+      ORDER BY s.doc_id""",
     "d4_ngram_jaccard" -> """
       WITH tri AS (
         SELECT doc_id,

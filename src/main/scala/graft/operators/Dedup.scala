@@ -24,34 +24,40 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy("kept_doc_id")
 
-  /** Word-level shingles (3-grams) of a text column. */
-  private def shingles(text: Column, n: Int = 3): Column = {
-    val w = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(n)))))
-  }
-
   private val HashPrime = 2147483647L // 2^31 - 1
 
-  /** 64-permutation MinHash signature via universal hashing of
-    * xxhash64(shingle) folded to 31 bits: h_j(x) = (a_j*x + b_j) mod p
-    * with a_j ≤ 127, so products stay < 2^38 (no ANSI overflow). */
-  private def minhashSignature(text: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(shingles(text), s =>
-        pmod(pmod(xxhash64(s), lit(HashPrime)) * (j * 2 + 1) + j * 12345 + 7,
-          lit(HashPrime)))))
+  /** 31-bit polynomial rolling hash of each distinct word-3-gram
+    * shingle — chosen over xxhash64 because the identical fold is
+    * expressible in the DuckDB oracle (list_reduce), making the whole
+    * MinHash pipeline hash-matchable. Products stay < 2^39, safe under
+    * ANSI overflow checking in both engines. */
+  private def hashedShingles(text: String): String =
+    s"""transform(
+          array_distinct(transform(
+            sequence(1, greatest(size(split($text, ' ')) - 2, 1)),
+            i -> concat_ws(' ', slice(split($text, ' '), i, 3)))),
+          s -> aggregate(
+                 transform(sequence(1, length(s)), ci -> CAST(ascii(substring(s, ci, 1)) AS BIGINT)),
+                 CAST(0 AS BIGINT),
+                 (acc, ch) -> (acc * 131 + ch) % $HashPrime))"""
+
+  /** 64-permutation MinHash signature: h_j(x) = ((2j+1)*x + b_j) mod p
+    * over the pre-hashed shingle list (each shingle hashed once). */
+  private def minhashSignature(textCol: String, k: Int = 64): Column =
+    expr(s"""transform(sequence(0, ${k - 1}), j ->
+               array_min(transform(${hashedShingles(textCol)},
+                 h -> ((j*2+1) * h + j*12345 + 7) % $HashPrime)))""")
 
   /** MinHash + LSH banding: 16 bands × 4 rows. Emits one row per doc
     * with its signature head and the number of near-dup candidates
     * found through band-bucket joins (the dedup decision table). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .select(col("doc_id"), minhashSignature("text").as("sig"))
     val bands = docs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(15)), b =>
-          xxhash64(slice(col("sig"), b * lit(4) + lit(1), lit(4))))))
+        posexplode(expr(s"""transform(sequence(0, 15), b ->
+          aggregate(slice(sig, b*4 + 1, 4), CAST(0 AS BIGINT),
+            (a, m) -> (a * 1000003 + m) % $HashPrime))""")))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
     val candidates = bands.as("x").join(bands.as("y"),
@@ -71,20 +77,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash from word-level xxhash64; near-dups found by
-    * 4×16-bit band join + popcount(xor) ≤ 8 verification. */
+  /** 32-bit SimHash over per-word polynomial hashes (words hashed
+    * once, then one pass per bit); near-dups found by 4×8-bit band
+    * join + popcount(xor) ≤ 8 verification. Polynomial word hashes
+    * keep the whole pipeline reproducible in the DuckDB oracle. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val sh = docs.select(col("doc_id"),
-      expr("""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
-                acc + CASE WHEN aggregate(split(text, ' '), CAST(0 AS BIGINT),
-                  (s, w) -> s + CASE WHEN (shiftright(xxhash64(w), i) & 1) = 1
-                                 THEN 1 ELSE -1 END) >= 0
-                      THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""")
-        .as("simhash"))
+    val sh = docs
+      .withColumn("hw", expr(
+        s"""transform(split(text, ' '), w ->
+              aggregate(transform(sequence(1, length(w)), ci -> CAST(ascii(substring(w, ci, 1)) AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, ch) -> (acc * 131 + ch) % $HashPrime))"""))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
+                  acc + CASE WHEN aggregate(hw, CAST(0 AS BIGINT),
+                    (s, h) -> s + CASE WHEN (shiftright(h, i) & 1) = 1
+                                   THEN 1 ELSE -1 END) >= 0
+                        THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""")
+          .as("simhash"))
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band_idx"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_key")))
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)).as("band_key")))
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
