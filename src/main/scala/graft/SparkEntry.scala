@@ -46,6 +46,7 @@ object SparkEntry {
     "b1_sequence_search" -> ((s: SparkSession, d: String) => Dedup.sequenceSearch(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
+    "s3_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),

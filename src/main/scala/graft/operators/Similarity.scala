@@ -37,6 +37,52 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF (inverted-file) ANN: K-Means centroids partition the corpus;
+    * each query probes only the `nProbe` nearest cells. At scale the
+    * corpus is written partitioned by centroid id, so a probe reads
+    * `nProbe/k` of the data — the classic IVF trade of recall for scan
+    * fraction. Centroid training uses the DataFrame ML API with a
+    * fixed seed; assignment and probing are plain joins.
+    * Rows-only oracle (iterative training isn't SQL); recall is
+    * spec-asserted against the brute-force baseline. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.load(spark, dir, "embeddings")
+    val feat = e.withColumn("fv", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val fitted = model.fit(feat)
+    val corpus = fitted.transform(feat)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("cell"))
+    // centroids as a tiny literal table; queries rank cells by cosine
+    val centers = fitted.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.toSeq)
+    }
+    import spark.implicits._
+    val centersDf = broadcast(centers.toSeq.toDF("cell", "centroid"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cell_sim").desc, col("cell"))
+    val probes = queries.crossJoin(centersDf)
+      .withColumn("cell_sim",
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("centroid")))
+      .withColumn("cell_rnk", row_number().over(wCell))
+      .filter(col("cell_rnk") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cell"))
+    val scored = broadcast(probes).join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** SRP-LSH ANN: 4 hash tables × 8 signed-random-projection bits.
     * Corpus is bucketed once (at scale: write bucketed/partitioned by
     * (table_id, bucket)); probes equi-join on bucket keys and rank

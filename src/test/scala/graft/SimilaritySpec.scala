@@ -30,6 +30,21 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap > 0, s"LSH found none of the true top-10 pairs")
   }
 
+  test("IVF ANN recalls a substantial share of brute-force top-10") {
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall >= 0.2, f"IVF recall $recall%.2f below floor")
+    // every IVF hit must carry a correctly ranked score run
+    Similarity.annIvf(spark, sfDir).collect().groupBy(_.getLong(0)).foreach {
+      case (_, rows) =>
+        val ranks = rows.map(_.getInt(2)).toSeq.sorted
+        assert(ranks == (1 to ranks.size), s"non-contiguous ranks $ranks")
+    }
+  }
+
   test("dot/cosine fold matches an independently computed value") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
