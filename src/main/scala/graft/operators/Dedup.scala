@@ -18,7 +18,10 @@ object Dedup {
   /** Exact dedup: hash-groupBy on the full text, keep-first policy.
     * At 100 TB this is one shuffle on a 128-bit digest. */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    exact(Tables.load(spark, dir, "documents"))
+
+  def exact(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("kept_doc_id"),
         count(lit(1)).as("n_copies"))
@@ -51,8 +54,11 @@ object Dedup {
   /** MinHash + LSH banding: 16 bands × 4 rows. Emits one row per doc
     * with its signature head and the number of near-dup candidates
     * found through band-bucket joins (the dedup decision table). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(Tables.load(spark, dir, "documents"))
+
+  def minhashLsh(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), minhashSignature("text").as("sig"))
     val bands = docs.select(col("doc_id"),
         posexplode(expr(s"""transform(sequence(0, 15), b ->
@@ -81,8 +87,10 @@ object Dedup {
     * once, then one pass per bit); near-dups found by 4×8-bit band
     * join + popcount(xor) ≤ 8 verification. Polynomial word hashes
     * keep the whole pipeline reproducible in the DuckDB oracle. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(Tables.load(spark, dir, "documents"))
+
+  def simhash(docs: DataFrame): DataFrame = {
     val sh = docs
       .withColumn("hw", expr(
         s"""transform(split(text, ' '), w ->
@@ -123,8 +131,11 @@ object Dedup {
     * (doc_id, doc_id+1) — the verification metric applied to candidate
     * pairs (here a deterministic linear pairing so the oracle can
     * reproduce it). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val tri = Tables.load(spark, dir, "documents").select(col("doc_id"),
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.load(spark, dir, "documents"))
+
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val tri = docs.select(col("doc_id"),
       expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")
         .as("tg"))
     val a = tri.select(col("doc_id").as("a_id"), col("tg").as("ta"))
@@ -145,10 +156,13 @@ object Dedup {
     * constant folding); scoring is a per-row projection over one scan,
     * then a global top-k. */
   def sequenceSearch(spark: SparkSession, dir: String,
-      query: String = "the fast key order sort table scan merge"): DataFrame = {
+      query: String = "the fast key order sort table scan merge"): DataFrame =
+    sequenceSearch(Tables.load(spark, dir, "documents"), query)
+
+  def sequenceSearch(docs: DataFrame, query: String): DataFrame = {
     val qGrams = (1 to query.length - 2).map(i => query.substring(i - 1, i + 2)).distinct
     val qLit = array(qGrams.map(lit): _*)
-    Tables.load(spark, dir, "documents")
+    docs
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")
           .as("tg"))
@@ -165,8 +179,10 @@ object Dedup {
   /** Embedding-cosine near-duplicate detection over sorted-neighbor
     * pairs; cosine folded sequentially in double precision so the
     * oracle's index-ordered sum matches bit-for-bit. */
-  def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
+  def embedNeardup(spark: SparkSession, dir: String): DataFrame =
+    embedNeardup(spark, Tables.load(spark, dir, "embeddings"))
+
+  def embedNeardup(spark: SparkSession, e: DataFrame): DataFrame = {
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("b_id") === col("a_id") + 1)

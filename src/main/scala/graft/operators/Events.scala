@@ -16,7 +16,10 @@ object Events {
 
   /** Event-time tumbling 1-hour window aggregation per event type. */
   def eventWindows(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    eventWindows(Tables.load(spark, dir, "events"))
+
+  def eventWindows(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         dsum(col("value")).as("total_value"))
@@ -28,7 +31,10 @@ object Events {
     * `props` payload and aggregate it — per-row JSON path evaluation
     * is a codegen'd projection (no UDF), so it scales as a scan. */
   def propsJson(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    propsJson(Tables.load(spark, dir, "events"))
+
+  def propsJson(events: DataFrame): DataFrame =
+    events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -42,10 +48,13 @@ object Events {
     * scale one shuffle on user_id, each user's timeline processed
     * independently (the same state layout the streaming
     * flatMapGroupsWithState version keeps per key). */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.load(spark, dir, "events"))
+
+  def sessionize(events: DataFrame): DataFrame = {
     val gapUs = 30L * 60 * 1000 * 1000
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.load(spark, dir, "events")
+    events
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("new_session",

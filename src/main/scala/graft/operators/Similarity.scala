@@ -20,8 +20,11 @@ object Similarity {
     * k = 10. One broadcast-nested-loop over a single corpus scan, with
     * the fused native [[graft.functions.expressions.CosineSimilarity]]
     * expression in the hot loop. */
-  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame =
+    annBruteforce(Tables.load(spark, dir, "embeddings"))
+
+  def annBruteforce(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     val q = broadcast(e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
@@ -45,10 +48,13 @@ object Similarity {
     * fixed seed; assignment and probing are plain joins.
     * Rows-only oracle (iterative training isn't SQL); recall is
     * spec-asserted against the brute-force baseline. */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 16, nProbe: Int = 4): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, k: Int = 16, nProbe: Int = 4): DataFrame =
+    annIvf(Tables.load(spark, dir, "embeddings"), k, nProbe)
+
+  def annIvf(e: DataFrame, k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = Tables.load(spark, dir, "embeddings")
+    val spark = e.sparkSession
     val feat = e.withColumn("fv", array_to_vector(col("embedding")))
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell")
@@ -87,11 +93,14 @@ object Similarity {
     * Corpus is bucketed once (at scale: write bucketed/partitioned by
     * (table_id, bucket)); probes equi-join on bucket keys and rank
     * candidates by exact cosine. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(Tables.load(spark, dir, "embeddings"))
+
+  def annLsh(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     val nTables = 4
     val bitsPerTable = 8
     val planes = hyperplanes(nTables * bitsPerTable, 64)
-    val e = Tables.load(spark, dir, "embeddings")
 
     def withBuckets(df: DataFrame): DataFrame = {
       val buckets = (0 until nTables).map { t =>

@@ -24,8 +24,10 @@ object TextOps {
 
   /** Stopword-profile language ID: score each language by marker-word
     * hits, predict the argmax (ties resolved in fixed language order). */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.load(spark, dir, "documents"))
+
+  def langId(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val scores = langMarkers.map { case (lang, markers) =>
       lang -> size(filter(w, t => t.isInCollection(markers))).cast("long")
@@ -50,8 +52,10 @@ object TextOps {
 
   /** Document quality scoring from lexical statistics: vocabulary
     * diversity, stopword density, mean word length, length credit. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.load(spark, dir, "documents"))
+
+  def qualityScore(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val stop = Seq("the", "a", "or", "and", "of", "in", "is")
     docs.select(col("doc_id"),
@@ -75,8 +79,10 @@ object TextOps {
 
   /** Token counting: whitespace tokens, long tokens, and a BPE-ish
     * greedy ≤4-char alpha piece count via regexp. */
-  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    tokenCount(Tables.load(spark, dir, "documents"))
+
+  def tokenCount(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     docs.select(col("doc_id"),
         size(w).cast("long").as("n_tokens"),
@@ -87,8 +93,10 @@ object TextOps {
 
   /** Rolling polynomial hash fingerprint over the word stream
     * (mod 2^31-1 so the fold never overflows in either engine). */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(Tables.load(spark, dir, "documents"))
+
+  def fingerprint(docs: DataFrame): DataFrame = {
     docs.select(col("doc_id"),
         expr("""aggregate(
                   transform(split(text, ' '), w -> CAST(length(w)*131 + ascii(w) AS BIGINT)),
