@@ -43,6 +43,16 @@ object Tables {
   def dim(spark: SparkSession, dir: String, name: String): DataFrame =
     broadcast(load(spark, dir, name))
 
+  /** Ensure CPU-heavy per-row work can use the whole cluster: a small
+    * table written as one parquet row group yields ONE input split, so
+    * a signature/trigram/cosine scan would run on a single core. If the
+    * scan has fewer splits than the default parallelism, fan it out;
+    * at real scale inputs arrive as many files and this is a no-op. */
+  def parallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -55,7 +55,7 @@ object Dedup {
     * with its signature head and the number of near-dup candidates
     * found through band-bucket joins (the dedup decision table). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashLsh(Tables.load(spark, dir, "documents"))
+    minhashLsh(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def minhashLsh(documents: DataFrame): DataFrame = {
     val docs = documents
@@ -88,7 +88,7 @@ object Dedup {
     * join + popcount(xor) ≤ 8 verification. Polynomial word hashes
     * keep the whole pipeline reproducible in the DuckDB oracle. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhash(Tables.load(spark, dir, "documents"))
+    simhash(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def simhash(docs: DataFrame): DataFrame = {
     val sh = docs
@@ -132,7 +132,7 @@ object Dedup {
     * pairs (here a deterministic linear pairing so the oracle can
     * reproduce it). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccard(Tables.load(spark, dir, "documents"))
+    ngramJaccard(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def ngramJaccard(docs: DataFrame): DataFrame = {
     val tri = docs.select(col("doc_id"),
@@ -157,19 +157,21 @@ object Dedup {
     * then a global top-k. */
   def sequenceSearch(spark: SparkSession, dir: String,
       query: String = "the fast key order sort table scan merge"): DataFrame =
-    sequenceSearch(Tables.load(spark, dir, "documents"), query)
+    sequenceSearch(Tables.parallel(Tables.load(spark, dir, "documents")), query)
 
   def sequenceSearch(docs: DataFrame, query: String): DataFrame = {
     val qGrams = (1 to query.length - 2).map(i => query.substring(i - 1, i + 2)).distinct
-    val qLit = array(qGrams.map(lit): _*)
     docs
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")
           .as("tg"))
+      // membership via isin compiles to a hashed InSet — O(1) per
+      // trigram instead of array_intersect's pairwise scan
       .select(col("doc_id"),
-        size(array_intersect(col("tg"), qLit)).cast("long").as("n_inter"),
-        (size(col("tg")) + lit(qGrams.size) -
-          size(array_intersect(col("tg"), qLit))).cast("long").as("n_union"))
+        size(filter(col("tg"), t => t.isin(qGrams: _*))).cast("long").as("n_inter"),
+        size(col("tg")).cast("long").as("n_tg"))
+      .select(col("doc_id"), col("n_inter"),
+        (col("n_tg") + lit(qGrams.size.toLong) - col("n_inter")).as("n_union"))
       .withColumn("score",
         round(col("n_inter").cast("double") / col("n_union").cast("double"), 6))
       .orderBy(col("score").desc, col("doc_id"))
@@ -180,7 +182,7 @@ object Dedup {
     * pairs; cosine folded sequentially in double precision so the
     * oracle's index-ordered sum matches bit-for-bit. */
   def embedNeardup(spark: SparkSession, dir: String): DataFrame =
-    embedNeardup(spark, Tables.load(spark, dir, "embeddings"))
+    embedNeardup(spark, Tables.parallel(Tables.load(spark, dir, "embeddings")))
 
   def embedNeardup(spark: SparkSession, e: DataFrame): DataFrame = {
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))

@@ -21,7 +21,7 @@ object Similarity {
     * the fused native [[graft.functions.expressions.CosineSimilarity]]
     * expression in the hot loop. */
   def annBruteforce(spark: SparkSession, dir: String): DataFrame =
-    annBruteforce(Tables.load(spark, dir, "embeddings"))
+    annBruteforce(Tables.parallel(Tables.load(spark, dir, "embeddings")))
 
   def annBruteforce(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
@@ -49,14 +49,14 @@ object Similarity {
     * Rows-only oracle (iterative training isn't SQL); recall is
     * spec-asserted against the brute-force baseline. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 16, nProbe: Int = 4): DataFrame =
-    annIvf(Tables.load(spark, dir, "embeddings"), k, nProbe)
+    annIvf(Tables.parallel(Tables.load(spark, dir, "embeddings")), k, nProbe)
 
   def annIvf(e: DataFrame, k: Int, nProbe: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = e.sparkSession
     val feat = e.withColumn("fv", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(3)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val fitted = model.fit(feat)
     val corpus = fitted.transform(feat)
@@ -94,7 +94,7 @@ object Similarity {
     * (table_id, bucket)); probes equi-join on bucket keys and rank
     * candidates by exact cosine. */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
-    annLsh(Tables.load(spark, dir, "embeddings"))
+    annLsh(Tables.parallel(Tables.load(spark, dir, "embeddings")))
 
   def annLsh(e: DataFrame): DataFrame = {
     val spark = e.sparkSession

@@ -25,7 +25,7 @@ object TextOps {
   /** Stopword-profile language ID: score each language by marker-word
     * hits, predict the argmax (ties resolved in fixed language order). */
   def langId(spark: SparkSession, dir: String): DataFrame =
-    langId(Tables.load(spark, dir, "documents"))
+    langId(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def langId(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
@@ -53,7 +53,7 @@ object TextOps {
   /** Document quality scoring from lexical statistics: vocabulary
     * diversity, stopword density, mean word length, length credit. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    qualityScore(Tables.load(spark, dir, "documents"))
+    qualityScore(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def qualityScore(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
@@ -80,7 +80,7 @@ object TextOps {
   /** Token counting: whitespace tokens, long tokens, and a BPE-ish
     * greedy ≤4-char alpha piece count via regexp. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    tokenCount(Tables.load(spark, dir, "documents"))
+    tokenCount(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def tokenCount(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
@@ -94,7 +94,7 @@ object TextOps {
   /** Rolling polynomial hash fingerprint over the word stream
     * (mod 2^31-1 so the fold never overflows in either engine). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    fingerprint(Tables.load(spark, dir, "documents"))
+    fingerprint(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def fingerprint(docs: DataFrame): DataFrame = {
     docs.select(col("doc_id"),
