@@ -186,7 +186,8 @@ object SparkEntry {
           CAST(qty AS DOUBLE) / CAST(sum(qty) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS p
         FROM by_type)
       SELECT c_mktsegment, count(*) AS richness,
-        round(-sum(p * ln(p)), 6) AS shannon
+        round(-sum(p * ln(p)), 6) AS shannon,
+        round(1.0 - sum(p * p), 6) AS simpson
       FROM shares
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",

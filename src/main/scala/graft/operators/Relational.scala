@@ -222,7 +222,8 @@ object Relational {
     withShare.groupBy("c_mktsegment")
       .agg(
         count(lit(1)).as("richness"),
-        round(-sum(col("p") * log(col("p"))), 6).as("shannon"))
+        round(-sum(col("p") * log(col("p"))), 6).as("shannon"),
+        round(lit(1.0) - sum(col("p") * col("p")), 6).as("simpson"))
       .orderBy("c_mktsegment")
   }
 

@@ -38,6 +38,20 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: attribute each purchase to the
+    * clicks by the same user in the preceding window. Watermarks on
+    * both sides bound the join state retention. */
+  def attributeConversions(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame =
+    clicks.withWatermark("ts", s"$windowMinutes minutes").as("c")
+      .join(purchases.withWatermark("ts", s"$windowMinutes minutes").as("p"),
+        expr(s"""c.user_id = p.user_id AND
+                 p.ts >= c.ts AND p.ts <= c.ts + interval $windowMinutes minutes"""))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("p.value").as("purchase_value"))
+
   /** Gap-based sessionization with explicit per-key state — the
     * streaming form of [[graft.operators.Events.sessionize]]. Emits a
     * session when a new event arrives past the gap, or when the

@@ -69,6 +69,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamingOps.attributeConversions(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Event(1, ts(0), 1, "click", 0.0), Event(2, ts(10), 2, "click", 0.0))
+      purchases.addData(
+        Event(100, ts(20), 1, "purchase", 9.99),  // within 30min of click 1
+        Event(101, ts(50), 2, "purchase", 5.0))   // 40min after click 2: out of window
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 100L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup within the watermark drops replays") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
