@@ -34,6 +34,8 @@ object SparkEntry {
     "q20_percentiles" -> (Relational.q20Percentiles _),
     "q21_rarefaction" -> (Relational.q21Rarefaction _),
     "q22_topk_native" -> (Relational.q22TopkNative _),
+    "q23_string_predicates" -> (Relational.q23StringPredicates _),
+    "q24_setops" -> (Relational.q24SetOps _),
     "t1_lang_id" -> (TextOps.langId _),
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_token_count" -> (TextOps.tokenCount _),
@@ -252,6 +254,22 @@ object SparkEntry {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    "q23_string_predicates" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE c_name LIKE '%5' AND c_mktsegment LIKE 'BUIL%' AND c_name LIKE '%0%'
+      ORDER BY c_custkey""",
+    "q24_setops" -> """
+      SELECT 'both' AS tag, o_orderpriority FROM (
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P') a
+      UNION ALL
+      SELECT 'f_only' AS tag, o_orderpriority FROM (
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P') b
+      ORDER BY tag, o_orderpriority""",
     "q22_topk_native" -> """
       WITH rev AS (
         SELECT r_name, p_brand,

@@ -320,6 +320,29 @@ object Relational {
       ORDER BY lvl_type, lvl_brand""")
   }
 
+  /** String predicates (prefix/suffix/contains) — bpaotu's text
+    * contextual filters; all three push to the parquet scan as
+    * StringStartsWith/EndsWith/Contains. */
+  def q23StringPredicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_name").endsWith("5") &&
+        col("c_mktsegment").startsWith("BUIL") &&
+        col("c_name").contains("0"))
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Set operations — vocabulary comparison between two contextual
+    * slices (INTERSECT / EXCEPT with distinct semantics). */
+  def q24SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select("o_orderpriority")
+    val p = o.filter(col("o_orderstatus") === "P").select("o_orderpriority")
+    f.intersect(p).withColumn("tag", lit("both"))
+      .union(f.except(p).withColumn("tag", lit("f_only")))
+      .select("tag", "o_orderpriority")
+      .orderBy("tag", "o_orderpriority")
+  }
+
   /** q8's semantics through the custom whole-operator plan
     * ([[graft.plans.TopKPerGroupPlan]]): top-3 brands per region with
     * map-side heap pruning instead of a full window sort. Shares q8's

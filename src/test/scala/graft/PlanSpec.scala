@@ -20,6 +20,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_tax"), "scan reads columns the query never uses")
   }
 
+  test("q23: string predicates push to the parquet scan") {
+    val p = plan(Relational.q23StringPredicates(spark, sfDir))
+    assert(p.contains("StringEndsWith(c_name,5)"), s"suffix not pushed:\n${p.take(1500)}")
+    assert(p.contains("StringStartsWith(c_mktsegment,BUIL)"), "prefix not pushed")
+    assert(p.contains("StringContains(c_name,0)"), "contains not pushed")
+  }
+
   test("q3/q4: dimension joins are broadcast, not shuffled") {
     val p3 = plan(Relational.q3TopnJoin(spark, sfDir))
     assert(p3.contains("BroadcastHashJoin"), s"q3 lost its broadcast join")
