@@ -36,6 +36,7 @@ object SparkEntry {
     "q22_topk_native" -> (Relational.q22TopkNative _),
     "q23_string_predicates" -> (Relational.q23StringPredicates _),
     "q24_setops" -> (Relational.q24SetOps _),
+    "q25_filter_dsl" -> (ContextualFilter.q25FilterDsl _),
     "t1_lang_id" -> (TextOps.langId _),
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_token_count" -> (TextOps.tokenCount _),
@@ -254,6 +255,18 @@ object SparkEntry {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+    "q25_filter_dsl" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE (o_orderstatus = 'F'
+             AND o_totalprice BETWEEN 100000.0 AND 400000.0
+             AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         OR (c_name LIKE '%00%'
+             AND o_totalprice > 450000.0
+             AND NOT (c_mktsegment = 'MACHINERY'))
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
     "q23_string_predicates" -> """
       SELECT c_custkey, c_name, c_mktsegment
       FROM customer
