@@ -47,6 +47,8 @@ object SparkEntry {
     "d4_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d5_embed_neardup" -> (Dedup.embedNeardup _),
     "b1_sequence_search" -> ((s: SparkSession, d: String) => Dedup.sequenceSearch(s, d)),
+    "d6_decontaminate" -> (Dedup.decontaminate _),
+    "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
     "s3_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
@@ -426,6 +428,37 @@ object SparkEntry {
       SELECT s.doc_id, s.simhash, coalesce(c.n, CAST(0 AS BIGINT)) AS n_near
       FROM sh s LEFT JOIN counts c ON c.doc_id = s.doc_id
       ORDER BY s.doc_id""",
+    "d6_decontaminate" -> """
+      WITH sh AS (
+        SELECT doc_id, source,
+          unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS s
+        FROM documents),
+      bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+      hits AS (
+        SELECT t.doc_id, CAST(count(DISTINCT t.s) AS BIGINT) AS n_hits
+        FROM sh t JOIN bench b ON t.s = b.s
+        WHERE t.source <> 'src0'
+        GROUP BY t.doc_id)
+      SELECT d.doc_id, coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.source <> 'src0'
+      ORDER BY d.doc_id""",
+    "t5_shard_assign" -> """
+      WITH fp AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(text, ' '), w -> CAST(length(w)*131 + ascii(w) AS BIGINT))),
+            (acc, c) -> (acc * 1000003 + c) % 2147483647) AS fp,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT fp % 128 AS shard, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM fp
+      GROUP BY fp % 128
+      ORDER BY shard""",
     "d4_ngram_jaccard" -> """
       WITH tri AS (
         SELECT doc_id,

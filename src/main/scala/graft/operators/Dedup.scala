@@ -178,6 +178,33 @@ object Dedup {
       .limit(10)
   }
 
+  /** Benchmark decontamination — the training-pipeline op that flags
+    * training documents sharing word n-grams with a held-out benchmark
+    * set (here: source='src0' plays the benchmark). The benchmark's
+    * distinct shingles are broadcast; contamination is an equi-join on
+    * the shingle string, so cost scales with corpus size × hit rate,
+    * not corpus². */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.parallel(Tables.load(spark, dir, "documents")), "src0")
+
+  def decontaminate(docs: DataFrame, benchmarkSource: String): DataFrame = {
+    val shingled = docs.select(col("doc_id"), col("source"),
+      explode(expr(
+        """array_distinct(transform(
+             sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+             i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""")).as("sh"))
+    val bench = broadcast(shingled.filter(col("source") === benchmarkSource)
+      .select("sh").distinct())
+    val train = shingled.filter(col("source") =!= benchmarkSource)
+    val hits = train.join(bench, "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_hits"))
+    docs.filter(col("source") =!= benchmarkSource).select("doc_id")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-duplicate detection over sorted-neighbor
     * pairs; cosine folded sequentially in double precision so the
     * oracle's index-ordered sum matches bit-for-bit. */

@@ -104,4 +104,20 @@ object TextOps {
                   (acc, c) -> (acc * 1000003 + c) % 2147483647)""").as("fp"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic shard assignment for training-data layout: docs
+    * land in `nShards` shards by fingerprint hash (reproducible at any
+    * parallelism), with per-shard doc and token budgets — the write
+    * side would be `partitionBy("shard")`. */
+  def shardAssign(spark: SparkSession, dir: String, nShards: Int = 128): DataFrame =
+    shardAssign(Tables.parallel(Tables.load(spark, dir, "documents")), nShards)
+
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame =
+    fingerprint(docs)
+      .join(docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("shard")
 }
