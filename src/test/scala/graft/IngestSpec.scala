@@ -1,0 +1,50 @@
+package graft
+
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+class IngestSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-ingest").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("env", StringType),
+    StructField("ph", DoubleType)))
+
+  test("permissive csv ingest quarantines malformed rows") {
+    val csv = s"$tmp/samples.csv"
+    Files.writeString(Paths.get(csv),
+      """id,env,ph
+        |1,soil,6.5
+        |2,marine,8.1
+        |oops,not-a-long,xyz
+        |3,soil,5.9
+        |""".stripMargin)
+    val (good, bad) = Ingest.readCsv(spark, csv, schema)
+    assert(good.count() == 3)
+    assert(bad.count() == 1)
+    assert(bad.head().getString(0).startsWith("oops"))
+  }
+
+  test("re-ingesting an overlapping batch is idempotent") {
+    import spark.implicits._
+    val batch1 = Seq((1L, "soil", 6.5), (2L, "marine", 8.1)).toDF("id", "env", "ph")
+    val batch2 = Seq((2L, "marine", 8.1), (3L, "soil", 5.9)).toDF("id", "env", "ph")
+    val merged = Ingest.dedupOnKey(batch1.union(batch2), "id")
+    assert(merged.count() == 3)
+    assert(Ingest.dedupOnKey(merged.union(batch2), "id").count() == 3)
+  }
+
+  test("landing write partitions by column and prunes on read") {
+    import spark.implicits._
+    val df = Seq((1L, "soil", 6.5), (2L, "marine", 8.1), (3L, "soil", 5.9))
+      .toDF("id", "env", "ph")
+    Ingest.land(df, s"$tmp/landed", "env")
+    val back = spark.read.parquet(s"$tmp/landed").filter(col("env") === "soil")
+    assert(back.count() == 2)
+    assert(Files.exists(Paths.get(s"$tmp/landed/env=soil")))
+  }
+}
