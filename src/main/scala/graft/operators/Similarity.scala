@@ -55,7 +55,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = e.sparkSession
-    val feat = e.withColumn("fv", array_to_vector(col("embedding")))
+    // cache: KMeans makes one pass per iteration; without this each
+    // pass re-reads parquet and re-projects the vectors
+    val feat = e.withColumn("fv", array_to_vector(col("embedding"))).cache()
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(3)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val fitted = model.fit(feat)
