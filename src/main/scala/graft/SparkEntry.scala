@@ -56,6 +56,7 @@ object SparkEntry {
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e3_props_json" -> (Events.propsJson _),
+    "e4_rolling_avg" -> (Events.rollingAvg _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -547,6 +548,13 @@ object SparkEntry {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+    "e4_rolling_avg" -> """
+      SELECT user_id, event_id, value,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w, 6) AS rolling_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
     "e2_sessionize" -> """
       WITH ev AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -42,6 +42,23 @@ object Events {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Rolling window frame: 3-event moving average of `value` per user
+    * in event-time order (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) —
+    * the exact-decimal sum keeps the frame average engine-identical. */
+  def rollingAvg(spark: SparkSession, dir: String): DataFrame =
+    rollingAvg(Tables.load(spark, dir, "events"))
+
+  def rollingAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    events
+      .withColumn("rolling_avg",
+        round(sum(dec(col("value"))).over(w).cast("double") /
+          count(lit(1)).over(w), 6))
+      .select("user_id", "event_id", "value", "rolling_avg")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) via window
     * functions: flag session starts with lag(), number sessions with a
     * running sum, aggregate per session. Partitioned by user — at
