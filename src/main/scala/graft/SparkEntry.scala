@@ -305,7 +305,7 @@ object SparkEntry {
     "q21_rarefaction" -> """
       WITH keyed AS (
         SELECT p_type, p_brand,
-          (l_orderkey * 2654435761 + l_linenumber) % 100 AS bucket
+          ((l_orderkey % 1000000000) * 2654435761 + l_linenumber) % 100 AS bucket
         FROM lineitem JOIN part ON l_partkey = p_partkey)
       SELECT p_type,
         count(DISTINCT p_brand) AS richness_full,
@@ -463,7 +463,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> """
       WITH tri AS (
         SELECT doc_id,
-          list_distinct(list_transform(generate_series(1, length(text)-2), i -> substr(text, i, 3))) AS tg
+          list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)), i -> substr(text, i, 3))) AS tg
         FROM documents)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         CAST(len(list_filter(a.tg, x -> list_contains(b.tg, x))) AS BIGINT) AS n_inter,
@@ -490,7 +490,7 @@ object SparkEntry {
     "b1_sequence_search" -> """
       WITH tri AS (
         SELECT doc_id,
-          list_distinct(list_transform(generate_series(1, length(text)-2), i -> substr(text, i, 3))) AS tg
+          list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)), i -> substr(text, i, 3))) AS tg
         FROM documents),
       q AS (
         SELECT list_distinct(list_transform(
@@ -528,8 +528,8 @@ object SparkEntry {
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
-        CAST(length(text) AS BIGINT) AS byte_len,
-        CAST(floor(CAST(length(text) AS DOUBLE) / 256.0) AS BIGINT) + 1 AS n_frames,
+        CAST(strlen(text) AS BIGINT) AS byte_len,
+        CAST(floor(CAST(strlen(text) AS DOUBLE) / 256.0) AS BIGINT) + 1 AS n_frames,
         CAST(doc_id % 512 + 64 AS BIGINT) AS width,
         CAST(doc_id % 256 + 64 AS BIGINT) AS height
       FROM documents ORDER BY doc_id""",

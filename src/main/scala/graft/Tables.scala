@@ -50,11 +50,22 @@ object Tables {
     * at real scale inputs arrive as many files and this is a no-op. */
   def parallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // File count is a cheap upper-bound proxy for scan splits (the
+    // listing is already cached in the FileIndex); the old
+    // df.rdd.getNumPartitions probe instantiated an RDD lineage per
+    // call. At real scale inputs arrive as many files → no-op.
+    val files = df.inputFiles.length
+    val splits = if (files > 0) files else df.rdd.getNumPartitions
+    if (splits < target) df.repartition(target) else df
   }
 
+  /** Register only the named tables as temp views (a full registerAll
+    * re-reads every table's parquet footer on each call). */
+  def register(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, all: _*)
 }
 
 /** Exact-arithmetic helpers.

@@ -135,8 +135,11 @@ object Dedup {
     ngramJaccard(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def ngramJaccard(docs: DataFrame): DataFrame = {
+    // greatest(...,1) guards texts shorter than 3 chars: sequence(1, stop)
+    // with stop<1 would generate a DESCENDING sequence while the oracle's
+    // generate_series returns empty — same guard as hashedShingles.
     val tri = docs.select(col("doc_id"),
-      expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")
+      expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))")
         .as("tg"))
     val a = tri.select(col("doc_id").as("a_id"), col("tg").as("ta"))
     val b = tri.select(col("doc_id").as("b_id"), col("tg").as("tb"))
@@ -163,7 +166,7 @@ object Dedup {
     val qGrams = (1 to query.length - 2).map(i => query.substring(i - 1, i + 2)).distinct
     docs
       .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")
+        expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))")
           .as("tg"))
       // membership via isin compiles to a hashed InSet — O(1) per
       // trigram instead of array_intersect's pairwise scan

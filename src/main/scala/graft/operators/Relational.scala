@@ -160,22 +160,26 @@ object Relational {
   }
 
   /** Left-semi join — bpaotu's "samples containing taxon X" EXISTS
-    * filter. The semi side is broadcast. */
+    * filter. The semi side derives from the `orders` FACT table, so no
+    * broadcast hint: at 100 TB it outgrows the driver, and AQE picks
+    * broadcast anyway whenever the filtered side is actually small. */
   def q9Semijoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "customer")
     val urgent = Tables.load(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_custkey"))
-    c.join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("o_custkey")).distinct()
+    c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
   }
 
-  /** Left-anti join — "samples lacking taxon X" (NOT EXISTS). */
+  /** Left-anti join — "samples lacking taxon X" (NOT EXISTS). The anti
+    * side is fact-derived: distinct first, no broadcast hint (AQE
+    * decides from the post-distinct size). */
   def q10Antijoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(spark, dir, "customer")
-    val o = Tables.load(spark, dir, "orders").select(col("o_custkey"))
-    c.join(broadcast(o), col("c_custkey") === col("o_custkey"), "left_anti")
+    val o = Tables.load(spark, dir, "orders").select(col("o_custkey")).distinct()
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
       .orderBy("c_custkey")
   }
@@ -287,7 +291,9 @@ object Relational {
     * reference exposes raw-SQL-ish access; here Catalyst parses and
     * plans the identical logical plan. */
   def q18SqlApi(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    // register only the three referenced tables — registerAll re-reads
+    // every table's footer per call (~4 s of pure overhead in bench)
+    Tables.register(spark, dir, "orders", "customer", "nation")
     spark.sql("""
       SELECT n_name,
              CAST(year(o_orderdate) AS INT) AS oyear,
@@ -375,8 +381,11 @@ object Relational {
     val p = Tables.dim(spark, dir, "part")
     val keyed = l.join(p, col("l_partkey") === col("p_partkey"))
       .select(col("p_type"), col("p_brand"), col("l_orderkey"), col("l_linenumber"))
+      // reduce the key BEFORE the Knuth multiply: orderkey ≳ 3.5e9 would
+      // overflow Long in the product (silent wrap here, error in DuckDB)
       .withColumn("bucket",
-        pmod(col("l_orderkey") * lit(2654435761L) + col("l_linenumber"), lit(100)))
+        pmod(pmod(col("l_orderkey"), lit(1000000000L)) * lit(2654435761L)
+          + col("l_linenumber"), lit(100)))
     keyed.groupBy("p_type")
       .agg(
         countDistinct(col("p_brand")).as("richness_full"),

@@ -25,7 +25,10 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .csv(path)
-      .cache() // PERMISSIVE corrupt-column semantics require materializing once
+      // PERMISSIVE corrupt-column semantics require materializing once;
+      // DISK_ONLY (not MEMORY) so a 100 TB backfill spills instead of
+      // thrashing executor memory — the trade is one extra local read.
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
     val bad = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))

@@ -61,7 +61,11 @@ object StreamingOps {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60 * 1000 * 1000
 
-    def us(t: java.sql.Timestamp): Long = t.getTime * 1000
+    // Full-precision microseconds (getTime alone is millisecond-
+    // truncated, which made sub-millisecond-spaced events order and
+    // gap differently from the batch unix_micros path).
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")
@@ -77,7 +81,9 @@ object StreamingOps {
             val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
             var cur = state.getOption
             var out = List.empty[SessionOut]
-            var nextId = cur.map(_.sessionId + 1).getOrElse(0L)
+            // Session id := session start micros — stable and unique for
+            // a user's whole lifetime (a per-key counter would restart
+            // at 0 after the timeout removes the state).
             sorted.foreach { e =>
               val t = us(e.ts)
               cur match {
@@ -86,11 +92,9 @@ object StreamingOps {
                     totalValue = s.totalValue + e.value))
                 case Some(s) =>
                   out ::= SessionOut(userId, s.sessionId, s.startUs, s.nEvents, s.totalValue)
-                  cur = Some(SessionState(nextId, t, t, 1L, e.value))
-                  nextId += 1
+                  cur = Some(SessionState(t, t, t, 1L, e.value))
                 case None =>
-                  cur = Some(SessionState(nextId, t, t, 1L, e.value))
-                  nextId += 1
+                  cur = Some(SessionState(t, t, t, 1L, e.value))
               }
             }
             cur.foreach { s =>

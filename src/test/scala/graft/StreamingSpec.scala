@@ -110,6 +110,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch and streaming sessionize agree on sub-millisecond gaps") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Second event lands 30 min + 400 µs after the first: over the gap
+    // at full micro precision, but exactly AT the gap if timestamps are
+    // truncated to milliseconds — the old getTime*1000 path merged them.
+    val e1 = Event(1, Timestamp.valueOf("2024-01-01 00:00:00.000500"), 1, "click", 1.0)
+    val e2 = Event(2, Timestamp.valueOf("2024-01-01 00:30:00.000900"), 1, "click", 2.0)
+
+    val batch = graft.operators.Events.sessionize(Seq(e1, e2).toDF())
+      .filter($"user_id" === 1).collect()
+    assert(batch.length == 2, s"batch merged the sessions: ${batch.toSeq}")
+
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("parity_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(e1, e2)
+      q.processAllAvailable()
+      input.addData(Event(9, tsH(6, 0), 2, "view", 0.5)) // push watermark
+      q.processAllAvailable()
+      input.addData(Event(10, tsH(12, 0), 2, "view", 0.5))
+      q.processAllAvailable()
+      val sess = spark.table("parity_sessions").as[SessionOut].collect()
+        .filter(_.user_id == 1).sortBy(_.session_id)
+      assert(sess.length == 2, s"streaming merged the sessions: ${sess.toSeq}")
+      assert(sess.map(_.n_events).toSeq == Seq(1L, 1L))
+      // ids are start-micros: stable, unique, chronologically ordered
+      assert(sess.map(_.session_id).toSeq == sess.map(_.start_us).toSeq)
+      assert(sess(0).start_us == 500L + // 2024-01-01 00:00:00.000500 UTC
+        Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L)
+    } finally q.stop()
+  }
+
   test("batch and derived windowed aggregation agree on events table") {
     val batch = graft.operators.Events.eventWindows(spark, sfDir)
     val viaStreamingLogic = StreamingOps.windowedEventCounts(
