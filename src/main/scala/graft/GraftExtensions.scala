@@ -48,4 +48,14 @@ object GraftFunctions {
     ensureRegistered(spark)
     call_function("cosine_sim", a, b)
   }
+
+  /** Column API for the fused SRP-LSH bucket expression (bypasses the
+    * registry: the plane matrix is a constructor parameter, not a
+    * child expression). */
+  def srpBuckets(v: Column, planes: Seq[Seq[Double]],
+      nTables: Int, bitsPerTable: Int): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.expressions.SrpBuckets(
+        org.apache.spark.sql.graftshim.GraftShim.expression(v),
+        planes.map(_.toArray).toArray, nTables, bitsPerTable))
 }

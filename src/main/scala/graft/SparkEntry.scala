@@ -506,6 +506,7 @@ object SparkEntry {
       FROM scored
       ORDER BY score DESC, doc_id
       LIMIT 10""",
+    "s2_ann_lsh" -> Similarity.s2OracleSql,
     "s1_ann_bruteforce" -> """
       WITH norms AS (
         SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm

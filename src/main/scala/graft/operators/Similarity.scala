@@ -91,36 +91,48 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** SRP-LSH parameters, shared between the Spark pipeline and the
+    * DuckDB oracle builder so both compute the exact same buckets. */
+  final val LshTables = 4
+  final val LshBits = 8
+  /** Fixed-seed hyperplanes (32 × 64) — known at build time, embedded
+    * as literal arrays in the oracle SQL. */
+  lazy val lshPlanes: Seq[Seq[Double]] = hyperplanes(LshTables * LshBits, 64)
+  /** Multi-probe masks: the home bucket plus every 1-bit flip. A query
+    * whose home buckets are underfilled still reaches k candidates via
+    * the Hamming-1 neighbour buckets (the classic multi-probe LSH
+    * trade: ×9 probe keys, zero extra corpus passes). */
+  lazy val lshProbeMasks: Seq[Long] = 0L +: (0 until LshBits).map(1L << _)
+
   /** SRP-LSH ANN: 4 hash tables × 8 signed-random-projection bits.
     * Corpus is bucketed once (at scale: write bucketed/partitioned by
     * (table_id, bucket)); probes equi-join on bucket keys and rank
-    * candidates by exact cosine. */
+    * candidates by exact cosine. Bucket ids come from the fused
+    * [[graft.functions.expressions.SrpBuckets]] native expression (one
+    * pass over the vector for all 32 planes, whole-stage codegen). */
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     annLsh(Tables.parallel(Tables.load(spark, dir, "embeddings")))
 
   def annLsh(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
-    val nTables = 4
-    val bitsPerTable = 8
-    val planes = hyperplanes(nTables * bitsPerTable, 64)
 
-    def withBuckets(df: DataFrame): DataFrame = {
-      val buckets = (0 until nTables).map { t =>
-        val tablePlanes = planes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)
-        struct(lit(t).as("table_id"), srpBucket(tablePlanes, col("embedding")).as("bucket"))
-      }
-      df.select(col("*"), explode(array(buckets: _*)).as("tb"))
-        .select(col("vec_id"), col("embedding"),
-          col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
-    }
+    def withBuckets(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+          posexplode(graft.GraftFunctions.srpBuckets(
+            col("embedding"), lshPlanes, LshTables, LshBits)))
+        .withColumnRenamed("pos", "table_id")
+        .withColumnRenamed("col", "bucket")
 
     val corpus = withBuckets(e)
+    // Query side: tiny → broadcast; multi-probe expands each home
+    // bucket to its 1-bit-flip neighbourhood BEFORE the equi-join.
+    val masks = array(lshProbeMasks.map(lit): _*)
     val queries = broadcast(withBuckets(e.filter(col("vec_id") < 5))
-      .select(col("vec_id").as("q_id"), col("table_id"), col("bucket")))
+      .select(col("vec_id").as("q_id"), col("table_id"),
+        explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket")))
     // Dedup candidate IDs *before* re-attaching 256-byte vectors: the
     // distinct shuffles 16-byte id pairs instead of embedding payloads.
-    val candIds = queries.join(corpus.select(col("vec_id"), col("table_id"), col("bucket")),
-        Seq("table_id", "bucket"))
+    val candIds = queries.join(corpus, Seq("table_id", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("c_id"))
       .distinct()
@@ -137,5 +149,58 @@ object Similarity {
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[annLsh]]: the fixed-seed hyperplanes and the
+    * multi-probe masks embedded as literals, every dot product written
+    * as a sequential `list_reduce` fold over per-index products — the
+    * same index-order double accumulation [[SrpBuckets]] performs, so
+    * the bucket signs (and therefore the candidate sets) are
+    * bit-identical between engines. Scoring mirrors s1's proven
+    * norms/dots CTE shape. */
+  def s2OracleSql: String = {
+    val planesLit = lshPlanes.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+    val masksLit = lshProbeMasks.mkString("[", ", ", "]")
+    s"""
+      WITH planes AS (SELECT $planesLit AS pl),
+      emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      sigs AS (
+        SELECT vec_id, tt.t AS table_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(0, ${LshBits - 1}), b ->
+              CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(generate_series(1, len(v)), i -> pl[tt.t*$LshBits + b + 1][i] * v[i])),
+                     (a, x) -> a + x) > 0.0
+                   THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+            (a, x) -> a + x) AS bucket
+        FROM emb, planes, (SELECT unnest(generate_series(0, ${LshTables - 1})) AS t) tt),
+      probes AS (
+        SELECT s.vec_id AS q_id, s.table_id, xor(s.bucket, mm.m) AS bucket
+        FROM sigs s, (SELECT unnest($masksLit) AS m) mm
+        WHERE s.vec_id < 5),
+      cand AS (
+        SELECT DISTINCT p.q_id, s.vec_id AS c_id
+        FROM probes p JOIN sigs s ON s.table_id = p.table_id AND s.bucket = p.bucket
+        WHERE s.vec_id <> p.q_id),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      pairs AS (
+        SELECT c.q_id, c.c_id, eq.embedding AS qv, ec.embedding AS cv
+        FROM cand c JOIN embeddings eq ON eq.vec_id = c.q_id
+                    JOIN embeddings ec ON ec.vec_id = c.c_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs) GROUP BY q_id, c_id),
+      scored AS (
+        SELECT d.q_id, d.c_id, d.dt / (nq.nrm * nc.nrm) AS cos
+        FROM dots d JOIN norms nq ON nq.vec_id = d.q_id JOIN norms nc ON nc.vec_id = d.c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
+        FROM scored)
+      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk"""
   }
 }

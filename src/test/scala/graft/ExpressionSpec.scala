@@ -20,6 +20,41 @@ class ExpressionSpec extends SparkSpec {
     assert(diff.count() == 0, "native and HOF cosine disagree")
   }
 
+  test("native srp_buckets == composed HOF srpBucket, bit for bit") {
+    import graft.operators.Similarity._
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val native = e.select(col("vec_id"),
+      GraftFunctions.srpBuckets(col("embedding"), lshPlanes, LshTables, LshBits)
+        .as("b"))
+    val hofCols = (0 until LshTables).map { t =>
+      VectorFunctions.srpBucket(
+        lshPlanes.slice(t * LshBits, (t + 1) * LshBits), col("embedding"))
+    }
+    val hof = e.select(col("vec_id"), array(hofCols: _*).as("b"))
+    val joined = native.as("n").join(hof.as("h"), Seq("vec_id"))
+      .filter(col("n.b") =!= col("h.b"))
+    assert(joined.count() == 0, "fused and composed SRP buckets disagree")
+  }
+
+  test("srp_buckets survives the interpreted (non-codegen) path") {
+    import graft.operators.Similarity._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // interpreted eval on a literal vector vs the codegen'd DataFrame path
+    import spark.implicits._
+    val vec = Array.tabulate(64)(i => (math.sin(i + 1)).toFloat)
+    val fromDf = Seq(Tuple1(vec)).toDF("v")
+      .select(GraftFunctions.srpBuckets(col("v"), lshPlanes, LshTables, LshBits))
+      .head().getSeq[Long](0)
+    val expr = graft.functions.expressions.SrpBuckets(
+      Literal.create(vec, ArrayType(FloatType)),
+      lshPlanes.map(_.toArray).toArray, LshTables, LshBits)
+    val interp = expr.eval(null)
+      .asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(fromDf == interp, s"codegen $fromDf != interpreted $interp")
+  }
+
   test("cosine_sim is registered and callable from SQL") {
     GraftFunctions.ensureRegistered(spark)
     Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb_t")

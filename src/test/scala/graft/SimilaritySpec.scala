@@ -18,14 +18,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("LSH ANN candidates overlap brute-force top-10 (recall sanity)") {
+  test("LSH ANN returns exactly k rows per query and overlaps brute force") {
     val bf = Similarity.annBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.annLsh(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // top-1 by construction has the highest cosine; with 4 tables of 8
-    // bits the nearest neighbour should usually share a bucket. Demand
-    // non-trivial overlap rather than a fixed recall on tiny data.
+    val lshRows = Similarity.annLsh(spark, sfDir).collect()
+    // the k-guarantee: multi-probe must surface ≥ k candidates per query
+    val byQuery = lshRows.groupBy(_.getLong(0))
+    assert(byQuery.size == 5 && byQuery.values.forall(_.length == 10),
+      s"expected 5×10 rows, got ${byQuery.view.mapValues(_.length).toMap}")
+    val lsh = lshRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val overlap = bf.intersect(lsh).size
     assert(overlap > 0, s"LSH found none of the true top-10 pairs")
   }
