@@ -51,7 +51,7 @@ object SparkEntry {
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
-    "s3_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "s3_ann_ivf" -> (Similarity.annIvfDet _),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
@@ -507,6 +507,7 @@ object SparkEntry {
       ORDER BY score DESC, doc_id
       LIMIT 10""",
     "s2_ann_lsh" -> Similarity.s2OracleSql,
+    "s3_ann_ivf" -> Similarity.s3OracleSql,
     "s1_ann_bruteforce" -> """
       WITH norms AS (
         SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm

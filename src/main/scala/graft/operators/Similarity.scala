@@ -55,12 +55,17 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = e.sparkSession
-    // cache: KMeans makes one pass per iteration; without this each
-    // pass re-reads parquet and re-projects the vectors
-    val feat = e.withColumn("fv", array_to_vector(col("embedding"))).cache()
+    val feat = e.withColumn("fv", array_to_vector(col("embedding")))
+    // Train on a deterministic ~25% hash-sample, not the full corpus:
+    // at 100 TB centroid quality saturates long before the sample does,
+    // and only the (small) sample is cached across KMeans iterations.
+    // Assignment below is a single pass over the full corpus.
+    val sample = feat.filter(
+      pmod(pmod(col("vec_id"), lit(1000000000L)) * lit(2654435761L), lit(100)) < 25)
+      .cache()
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(3)
       .setFeaturesCol("fv").setPredictionCol("cell")
-    val fitted = model.fit(feat)
+    val fitted = model.fit(sample)
     val corpus = fitted.transform(feat)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("cell"))
     // centroids as a tiny literal table; queries rank cells by cosine
@@ -90,6 +95,133 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
       .orderBy("q_id", "rnk")
   }
+
+  /** IVF with DETERMINISTIC centroids — the oracle-checkable variant:
+    * centroids are the `k` corpus vectors with the smallest Knuth-hash
+    * of their id (a fixed, engine-independent choice), so the whole
+    * cell-assign → probe → score pipeline is reproducible in SQL. The
+    * KMeans-trained [[annIvf]] keeps the better cell geometry and stays
+    * spec-verified (recall floor); the join topology of the two is
+    * identical.
+    *
+    * Scale shape: centroid selection is a global top-k over a hash (a
+    * TakeOrdered, no full sort); assignment is a broadcast ×k fan-out
+    * reduced by a map-side `max_by` partial aggregate (the shuffle
+    * carries one row per corpus vector, not k); probing equi-joins on
+    * the cell id. */
+  def annIvfDet(spark: SparkSession, dir: String): DataFrame =
+    annIvfDet(Tables.parallel(Tables.load(spark, dir, "embeddings")), 16, 4)
+
+  def annIvfDet(e: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = e.sparkSession
+    val hashed = e.select(col("vec_id"), col("embedding"),
+      pmod(pmod(col("vec_id"), lit(1000000000L)) * lit(2654435761L),
+        lit(2147483647L)).as("hsh"))
+    // global top-k by hash → TakeOrderedAndProject; the row_number
+    // window then runs over only k rows (bounded, not a corpus sort)
+    val sel = hashed.orderBy("hsh", "vec_id").limit(k)
+    val wCell = org.apache.spark.sql.expressions.Window
+      .orderBy("hsh", "vec_id")
+    val centroids = broadcast(sel.withColumn("cell", row_number().over(wCell))
+      .select(col("cell"), col("embedding").as("centv")))
+
+    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    // argmax cell per vector via max_by: partial-aggregates map-side so
+    // the shuffle carries n rows, not n×k (a window would shuffle n×k)
+    val assigned = corpus.crossJoin(centroids)
+      .withColumn("csim",
+        graft.GraftFunctions.cosineSim(spark, col("cv"), col("centv")))
+      .groupBy("c_id")
+      .agg(
+        max_by(col("cell"), struct(col("csim"), (-col("cell")).as("nc"))).as("cell"),
+        first(col("cv")).as("cv"))
+
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("csim").desc, col("cell"))
+    val probes = queries.crossJoin(centroids)
+      .withColumn("csim",
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("centv")))
+      .withColumn("crnk", row_number().over(wProbe))
+      .filter(col("crnk") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cell"))
+
+    val scored = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[annIvfDet]]: same hash-selected centroids,
+    * same argmax assignment (expressed as a ranked window — the result,
+    * not the plan, must match), same probe/score/rank pipeline. */
+  def s3OracleSql: String = """
+      WITH sel AS (
+        SELECT vec_id, embedding,
+          ((vec_id % 1000000000) * 2654435761) % 2147483647 AS hsh
+        FROM embeddings),
+      cent AS (
+        SELECT cell, centv FROM (
+          SELECT row_number() OVER (ORDER BY hsh, vec_id) AS cell,
+                 embedding AS centv
+          FROM sel) t
+        WHERE cell <= 16),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      cnorm AS (
+        SELECT cell, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT cell, unnest(centv) AS x FROM cent) GROUP BY cell),
+      adots AS (
+        SELECT c_id, cell, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT e.vec_id AS c_id, c.cell, unnest(e.embedding) AS x, unnest(c.centv) AS y
+              FROM embeddings e, cent c) GROUP BY c_id, cell),
+      assign AS (
+        SELECT c_id, cell FROM (
+          SELECT a.c_id, a.cell,
+            row_number() OVER (PARTITION BY a.c_id
+              ORDER BY a.dt / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+          FROM adots a
+          JOIN norms n ON n.vec_id = a.c_id
+          JOIN cnorm cn ON cn.cell = a.cell) t
+        WHERE rn = 1),
+      probes AS (
+        SELECT q_id, cell FROM (
+          SELECT a.c_id AS q_id, a.cell,
+            row_number() OVER (PARTITION BY a.c_id
+              ORDER BY a.dt / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+          FROM adots a
+          JOIN norms n ON n.vec_id = a.c_id
+          JOIN cnorm cn ON cn.cell = a.cell
+          WHERE a.c_id < 5) t
+        WHERE rn <= 4),
+      cand AS (
+        SELECT p.q_id, s.c_id
+        FROM probes p JOIN assign s ON s.cell = p.cell
+        WHERE s.c_id <> p.q_id),
+      pairs AS (
+        SELECT c.q_id, c.c_id, eq.embedding AS qv, ec.embedding AS cv
+        FROM cand c JOIN embeddings eq ON eq.vec_id = c.q_id
+                    JOIN embeddings ec ON ec.vec_id = c.c_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs) GROUP BY q_id, c_id),
+      scored AS (
+        SELECT d.q_id, d.c_id, d.dt / (nq.nrm * nc.nrm) AS cos
+        FROM dots d JOIN norms nq ON nq.vec_id = d.q_id JOIN norms nc ON nc.vec_id = d.c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
+        FROM scored)
+      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk"""
 
   /** SRP-LSH parameters, shared between the Spark pipeline and the
     * DuckDB oracle builder so both compute the exact same buckets. */

@@ -31,6 +31,23 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap > 0, s"LSH found none of the true top-10 pairs")
   }
 
+  test("deterministic-centroid IVF returns ranked rows per query") {
+    val res = Similarity.annIvfDet(spark, sfDir).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(2)).toSeq.sorted
+      assert(ranks == (1 to ranks.size), s"non-contiguous ranks $ranks")
+      assert(ranks.size <= 10)
+    }
+    // both IVF variants share the join topology; the deterministic one
+    // must also overlap the exact top-10 (cells carry near neighbours)
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val det = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.intersect(det).nonEmpty)
+  }
+
   test("IVF ANN recalls a substantial share of brute-force top-10") {
     val bf = Similarity.annBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
