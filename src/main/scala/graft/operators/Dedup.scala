@@ -181,6 +181,80 @@ object Dedup {
       .limit(10)
   }
 
+  /** End-to-end dedup DECISION operator — the piece the individual
+    * signature ops feed: MinHash-LSH candidate pairs (d2's banding) →
+    * shingle-Jaccard verification → transitive duplicate clusters →
+    * a keep-first/drop row per document.
+    *
+    * Clustering is iterative min-label propagation over the verified
+    * edge list, restricted to documents that appear in at least one
+    * verified pair (duplicate clusters are a small fraction of a real
+    * corpus, so the loop never touches the full dataset). Each
+    * iteration is one equi-join + partial-agg min — the label set
+    * converges to the component minimum, which is deterministic and
+    * reproducible in SQL (the oracle uses a recursive CTE). Iterations
+    * are bounded by the largest cluster's diameter, capped at 25.
+    */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    dedupPipeline(Tables.parallel(Tables.load(spark, dir, "documents")), 0.5)
+
+  def dedupPipeline(documents: DataFrame, threshold: Double,
+      maxIter: Int = 25): DataFrame = {
+    // 1. signatures → bands → candidate pairs (same maths as d2)
+    val sh = documents.select(col("doc_id"),
+      expr(s"array_distinct(${hashedShingles("text")})").as("hl"))
+    val docs = documents.select(col("doc_id"), minhashSignature("text").as("sig"))
+    val bands = docs.select(col("doc_id"),
+        posexplode(expr(s"""transform(sequence(0, 15), b ->
+          aggregate(slice(sig, b*4 + 1, 4), CAST(0 AS BIGINT),
+            (a, m) -> (a * 1000003 + m) % $HashPrime))""")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // 2. verify candidates with exact shingle-set Jaccard
+    val a = sh.select(col("doc_id").as("a_id"), col("hl").as("ha"))
+    val b = sh.select(col("doc_id").as("b_id"), col("hl").as("hb"))
+    val verified = candidates.join(a, "a_id").join(b, "b_id")
+      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jac", col("n_inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("n_inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    // 3. transitive clusters: min-label propagation to convergence
+    val edges = verified.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(verified.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNbr = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.select("node", "label").union(viaNbr)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    // 4. decision row per document (singletons form their own cluster)
+    documents.select("doc_id")
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination — the training-pipeline op that flags
     * training documents sharing word n-grams with a held-out benchmark
     * set (here: source='src0' plays the benchmark). The benchmark's

@@ -51,6 +51,26 @@ class DedupSpec extends SparkSpec {
       s"exact-copy pairs missing from $flagged")
   }
 
+  test("dedup pipeline assigns transitive chains to one cluster, keep-first") {
+    import spark.implicits._
+    // A~B and B~C are near-identical (1 word changed each, at opposite
+    // ends), A~C two words apart — the cluster must form via the chain
+    // even if A–C were never a direct candidate pair.
+    val words = (1 to 40).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val b = (words.dropRight(1) :+ "changedend").mkString(" ")
+    val c = ("changedstart" +: words.drop(1).dropRight(1) :+ "changedend").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((10L, a), (11L, b), (12L, c), (13L, unrelated))
+      .toDF("doc_id", "text")
+    val res = Dedup.dedupPipeline(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(res(10L) == (10L, true), s"got $res")
+    assert(res(11L) == (10L, false), s"chain member 11 not clustered: $res")
+    assert(res(12L) == (10L, false), s"transitive member 12 not clustered: $res")
+    assert(res(13L) == (13L, true), s"unrelated doc pulled into cluster: $res")
+  }
+
   test("trigram jaccard is 1.0 only for identical neighbours") {
     val res = Dedup.ngramJaccard(spark, sfDir)
     val j = res.agg(max(col("jaccard")), min(col("jaccard"))).head()
