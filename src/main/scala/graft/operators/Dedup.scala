@@ -51,27 +51,57 @@ object Dedup {
                array_min(transform(${hashedShingles(textCol)},
                  h -> ((j*2+1) * h + j*12345 + 7) % $HashPrime)))""")
 
+  /** Banded signatures → distinct candidate pairs, with HOT-BUCKET
+    * protection: buckets up to `maxBucket` members pair all-vs-all
+    * (clique, the exact LSH semantics); larger buckets — e.g. millions
+    * of identical boilerplate docs sharing one band key — would go
+    * quadratic, so they emit a STAR instead (every member paired with
+    * the bucket's min doc_id). A star keeps every oversized-bucket
+    * member connected to the same representative, which is all a
+    * downstream transitive-clustering pass needs, at linear cost.
+    * Bucket sizing is a window over the same (band_idx, band_key)
+    * hash partitioning the join needs — no extra shuffle pattern. */
+  private[operators] def bandCandidates(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_key")
+    val sized = bands
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+    val small = sized.filter(col("bsz") <= maxBucket)
+      .select("doc_id", "band_idx", "band_key")
+    val clique = small.as("x").join(small.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val star = sized
+      .filter(col("bsz") > maxBucket && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
+    clique.union(star).distinct()
+  }
+
+  /** Band keys from an already-computed (doc_id, sig) frame — taking
+    * the signature frame (not raw documents) avoids computing the
+    * 64-permutation signature twice when the caller also outputs it. */
+  private def minhashBands(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("doc_id"),
+        posexplode(expr(s"""transform(sequence(0, 15), b ->
+          aggregate(slice(sig, b*4 + 1, 4), CAST(0 AS BIGINT),
+            (a, m) -> (a * 1000003 + m) % $HashPrime))""")))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+
   /** MinHash + LSH banding: 16 bands × 4 rows. Emits one row per doc
     * with its signature head and the number of near-dup candidates
     * found through band-bucket joins (the dedup decision table). */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(Tables.parallel(Tables.load(spark, dir, "documents")))
 
-  def minhashLsh(documents: DataFrame): DataFrame = {
+  def minhashLsh(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val docs = documents
       .select(col("doc_id"), minhashSignature("text").as("sig"))
-    val bands = docs.select(col("doc_id"),
-        posexplode(expr(s"""transform(sequence(0, 15), b ->
-          aggregate(slice(sig, b*4 + 1, 4), CAST(0 AS BIGINT),
-            (a, m) -> (a * 1000003 + m) % $HashPrime))""")))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
-    val candidates = bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val candidates = bandCandidates(minhashBands(docs), maxBucket)
     val candCount = candidates.select(col("a_id").as("doc_id"))
       .union(candidates.select(col("b_id").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
@@ -90,7 +120,7 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.parallel(Tables.load(spark, dir, "documents")))
 
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val sh = docs
       .withColumn("hw", expr(
         s"""transform(split(text, ' '), w ->
@@ -106,17 +136,16 @@ object Dedup {
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band_idx"),
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)).as("band_key")))
-    val bands = sh.select(col("doc_id"), col("simhash"),
+    val bands = sh.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"),
         col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
-    val near = bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-      .distinct()
+    // candidate pairs via the capped band join; re-attach the 64-bit
+    // hashes afterwards for the hamming verification (ids shuffle, not
+    // payloads — same trick as the LSH candidate distinct)
+    val near = bandCandidates(bands, maxBucket)
+      .join(sh.select(col("doc_id").as("a_id"), col("simhash").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("simhash").as("sb")), "b_id")
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 8)
     val nearCount = near.select(col("a_id").as("doc_id"))
       .union(near.select(col("b_id").as("doc_id")))
@@ -199,23 +228,15 @@ object Dedup {
     dedupPipeline(Tables.parallel(Tables.load(spark, dir, "documents")), 0.5)
 
   def dedupPipeline(documents: DataFrame, threshold: Double,
-      maxIter: Int = 25): DataFrame = {
-    // 1. signatures → bands → candidate pairs (same maths as d2)
+      maxIter: Int = 25, maxBucket: Int = 1000): DataFrame = {
+    // 1. signatures → bands → candidate pairs (same maths as d2,
+    //    including the hot-bucket star fallback — star edges keep
+    //    oversized buckets connected for the clustering step below)
     val sh = documents.select(col("doc_id"),
       expr(s"array_distinct(${hashedShingles("text")})").as("hl"))
-    val docs = documents.select(col("doc_id"), minhashSignature("text").as("sig"))
-    val bands = docs.select(col("doc_id"),
-        posexplode(expr(s"""transform(sequence(0, 15), b ->
-          aggregate(slice(sig, b*4 + 1, 4), CAST(0 AS BIGINT),
-            (a, m) -> (a * 1000003 + m) % $HashPrime))""")))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
-    val candidates = bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val candidates = bandCandidates(
+      minhashBands(documents.select(col("doc_id"), minhashSignature("text").as("sig"))),
+      maxBucket)
     // 2. verify candidates with exact shingle-set Jaccard
     val a = sh.select(col("doc_id").as("a_id"), col("hl").as("ha"))
     val b = sh.select(col("doc_id").as("b_id"), col("hl").as("hb"))

@@ -21,6 +21,38 @@ class ScaleSpec extends SparkSpec {
     assert(plain == salted, "salting changed join cardinalities")
   }
 
+  test("hot-band cap keeps an all-identical corpus linear, invariant elsewhere") {
+    import spark.implicits._
+    // 2000 identical docs share every band bucket: uncapped that is
+    // 16 bands × 2000²/2 = 32M clique pairs; capped it is a star of
+    // 1999 edges per band. The run must finish fast AND still flag
+    // every document as a duplicate candidate.
+    val identical = (0L until 2000L).map(i => (i, "same text repeated for every single document here"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val res = graft.operators.Dedup.minhashLsh(identical, maxBucket = 100)
+      .agg(count(when(col("n_dup_candidates") > 0, 1)).as("flagged"),
+        max("n_dup_candidates").as("mx"))
+      .head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(res.getLong(0) == 2000L, s"not all docs flagged: $res")
+    // star topology: the representative pairs with everyone, members with 1
+    assert(res.getLong(1) == 1999L, s"expected star rep degree 1999, got $res")
+    assert(secs < 60, f"capped pathological run took $secs%.1f s")
+    // the capped pipeline still clusters the whole bucket transitively
+    val clusters = graft.operators.Dedup.dedupPipeline(identical, 0.5, maxBucket = 100)
+      .agg(countDistinct("cluster_id").as("n"), count(when(col("keep"), 1)).as("kept"))
+      .head()
+    assert(clusters.getLong(0) == 1L && clusters.getLong(1) == 1L,
+      s"star edges failed to form one cluster: $clusters")
+    // and at the production default the cap must not change results on
+    // normal data (its buckets sit far below the threshold)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = graft.operators.Dedup.minhashLsh(docs).collect()
+    val b = graft.operators.Dedup.minhashLsh(docs, maxBucket = 1000000).collect()
+    assert(a.sameElements(b), "bucket cap changed results on normal data")
+  }
+
   test("bucketed tables join with no exchange on the join key") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.contains("graft"), s"unexpected warehouse dir $wh")
