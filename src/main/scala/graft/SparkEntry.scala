@@ -54,6 +54,8 @@ object SparkEntry {
     "s2_ann_lsh" -> (Similarity.annLsh _),
     "s3_ann_ivf" -> (Similarity.annIvfDet _),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
+    "x1_export_csv" -> ((s: SparkSession, d: String) => graft.sources.Export.contextualCsv(s, d)),
+    "x2_export_biom" -> ((s: SparkSession, d: String) => graft.sources.Export.biomMatrix(s, d)),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e3_props_json" -> (Events.propsJson _),
@@ -585,6 +587,28 @@ object SparkEntry {
         CAST(doc_id % 512 + 64 AS BIGINT) AS width,
         CAST(doc_id % 256 + 64 AS BIGINT) AS height
       FROM documents ORDER BY doc_id""",
+    "x1_export_csv" -> """
+      SELECT c_custkey, c_name, c_mktsegment, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderstatus = 'F'
+      ORDER BY o_orderkey""",
+    "x2_export_biom" -> """
+      SELECT n_name,
+        CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "ECONOMY",
+        CAST(sum(CASE WHEN p_type = 'LARGE' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "LARGE",
+        CAST(sum(CASE WHEN p_type = 'MEDIUM' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "MEDIUM",
+        CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "PROMO",
+        CAST(sum(CASE WHEN p_type = 'SMALL' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "SMALL",
+        CAST(sum(CASE WHEN p_type = 'STANDARD' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "STANDARD"
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
     "e1_event_windows" -> """
       SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
         event_type, count(*) AS n_events,
