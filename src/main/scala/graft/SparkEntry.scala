@@ -37,6 +37,8 @@ object SparkEntry {
     "q23_string_predicates" -> (Relational.q23StringPredicates _),
     "q24_setops" -> (Relational.q24SetOps _),
     "q25_filter_dsl" -> (ContextualFilter.q25FilterDsl _),
+    "q26_pagination" -> ((s: SparkSession, d: String) => Relational.q26Pagination(s, d)),
+    "q27_deep_rollup" -> (Relational.q27DeepRollup _),
     "t1_lang_id" -> (TextOps.langId _),
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_token_count" -> (TextOps.tokenCount _),
@@ -318,6 +320,23 @@ object SparkEntry {
       FROM keyed
       GROUP BY p_type
       ORDER BY p_type""",
+    "q26_pagination" -> """
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        o_totalprice, CAST(rn AS INT) AS page_rn
+      FROM (SELECT o_orderkey, o_orderdate, o_totalprice,
+              row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders) t
+      WHERE rn > 100 AND rn <= 150
+      ORDER BY page_rn""",
+    "q27_deep_rollup" -> """
+      SELECT coalesce(p_type, 'ALL') AS lvl_type,
+        coalesce(p_brand, 'ALL') AS lvl_brand,
+        coalesce(CAST(p_size AS VARCHAR), 'ALL') AS lvl_size,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance,
+        count(*) AS n_obs
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY ROLLUP(p_type, p_brand, p_size)
+      ORDER BY lvl_type, lvl_brand, lvl_size""",
     "t1_lang_id" -> """
       WITH scored AS (
         SELECT doc_id,

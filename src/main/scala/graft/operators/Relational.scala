@@ -395,6 +395,50 @@ object Relational {
       .orderBy("p_type")
   }
 
+  /** Offset pagination — bpaotu's paginated result lists (page N of a
+    * sorted order listing). The sort+limit plans as
+    * TakeOrderedAndProject (a bounded heap per partition + merge of
+    * `offset+limit` rows — no global sort), and the ranking window then
+    * runs over only those `offset+limit` rows, so cost is bounded by
+    * the page horizon, not the table. Deep pagination at 100 TB should
+    * switch to keyset (WHERE key > last_seen) — this operator is the
+    * offset form the reference exposes. */
+  def q26Pagination(spark: SparkSession, dir: String,
+      offset: Int = 100, limit: Int = 50): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val w = Window.orderBy("o_orderdate", "o_orderkey")
+    o.select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy("o_orderdate", "o_orderkey")
+      .limit(offset + limit)
+      .withColumn("page_rn", row_number().over(w))
+      .filter(col("page_rn") > offset)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("page_rn"))
+      .orderBy("page_rn")
+  }
+
+  /** Deep taxonomy rollup — the krona "all hierarchy levels at once"
+    * shape over a 3-level type → brand → size hierarchy (bounded by
+    * the synthetic schema; the real reference runs 7 taxonomy ranks,
+    * which is the same plan with more rollup columns). */
+  def q27DeepRollup(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("p_brand"), col("p_size"), col("l_quantity"))
+      .createOrReplaceTempView("graft_q27_base")
+    spark.sql("""
+      SELECT coalesce(p_type, 'ALL') AS lvl_type,
+             coalesce(p_brand, 'ALL') AS lvl_brand,
+             coalesce(CAST(p_size AS STRING), 'ALL') AS lvl_size,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance,
+             count(*) AS n_obs
+      FROM graft_q27_base
+      GROUP BY ROLLUP(p_type, p_brand, p_size)
+      ORDER BY lvl_type, lvl_brand, lvl_size""")
+  }
+
   /** Exact interpolated percentiles of a contextual metric per group
     * (matches DuckDB quantile_cont). */
   def q20Percentiles(spark: SparkSession, dir: String): DataFrame = {

@@ -51,6 +51,15 @@ class DedupSpec extends SparkSpec {
       s"exact-copy pairs missing from $flagged")
   }
 
+  test("aggregated minhash signatures equal the nested-HOF form bit-for-bit") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val agg = Dedup.minhashSigs(docs)
+    val hof = docs.select(col("doc_id"), Dedup.minhashSignature("text").as("sig"))
+    val diff = agg.as("a").join(hof.as("h"), Seq("doc_id"))
+      .filter(col("a.sig") =!= col("h.sig"))
+    assert(diff.count() == 0, "explode+agg signatures diverge from HOF fold")
+  }
+
   test("dedup pipeline assigns transitive chains to one cluster, keep-first") {
     import spark.implicits._
     // A~B and B~C are near-identical (1 word changed each, at opposite
