@@ -34,6 +34,29 @@ class PlanSpec extends SparkSpec {
     assert(p4.contains("BroadcastHashJoin"), s"q4 lost its broadcast join")
   }
 
+  test("s2: the fused SRP bucket projection stays in whole-stage codegen") {
+    import graft.operators.Similarity._
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val df = e.select(col("vec_id"),
+      posexplode(GraftFunctions.srpBuckets(col("embedding"), lshPlanes, LshTables, LshBits)))
+    df.collect() // finalize the plan, materializing codegen stages
+    val executed = df.queryExecution.executedPlan.toString()
+    assert(executed.contains("WholeStageCodegen") || executed.contains("*(1)"),
+      s"srp_buckets projection fell out of codegen:\n${executed.take(1500)}")
+    // and the expression itself must not be a per-row fallback: the plan
+    // should carry a single srp_buckets call, not 32 aggregate() folds
+    assert(executed.contains("srp_buckets"), s"fused expression missing:\n${executed.take(1500)}")
+    assert(!executed.contains("aggregate(zip_with"),
+      "plan regressed to the composed HOF bucket form")
+  }
+
+  test("q26: pagination plans as TakeOrdered, not a global sort") {
+    val p = plan(Relational.q26Pagination(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sort+limit did not collapse to TakeOrderedAndProject:\n${p.take(1500)}")
+  }
+
   test("q1: whole-stage codegen covers the aggregation") {
     val df = Relational.q1PricingSummary(spark, sfDir)
     assert(plan(df).contains("partial_sum"),
