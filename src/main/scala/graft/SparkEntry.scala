@@ -39,6 +39,10 @@ object SparkEntry {
     "q25_filter_dsl" -> (ContextualFilter.q25FilterDsl _),
     "q26_pagination" -> ((s: SparkSession, d: String) => Relational.q26Pagination(s, d)),
     "q27_deep_rollup" -> (Relational.q27DeepRollup _),
+    "q28_keyset" -> ((s: SparkSession, d: String) => Relational.q28Keyset(s, d)),
+    "t6_repetition" -> (TextOps.repetition _),
+    "m2_frame_sample" -> (Multimodal.frameSample _),
+    "e5_interval_join" -> (Events.intervalJoin _),
     "t1_lang_id" -> (TextOps.langId _),
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_token_count" -> (TextOps.tokenCount _),
@@ -337,6 +341,54 @@ object SparkEntry {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY ROLLUP(p_type, p_brand, p_size)
       ORDER BY lvl_type, lvl_brand, lvl_size""",
+    "q28_keyset" -> """
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice
+      FROM orders
+      WHERE o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+         OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey > 0)
+      ORDER BY o_orderdate, o_orderkey
+      LIMIT 50""",
+    "t6_repetition" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+          list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')) AS bg
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(bg) AS BIGINT) AS n_bigrams,
+          round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE), 6) AS dup_bigram_frac,
+          round(CAST(list_max(list_transform(list_distinct(ws), t -> len(list_filter(ws, x -> x = t)))) AS DOUBLE)
+                / CAST(len(ws) AS DOUBLE), 6) AS top_token_frac
+        FROM t)
+      SELECT doc_id, n_bigrams, dup_bigram_frac, top_token_frac,
+        (dup_bigram_frac > 0.2 OR top_token_frac > 0.2) AS is_repetitive
+      FROM m ORDER BY doc_id""",
+    "m2_frame_sample" -> """
+      WITH f AS (
+        SELECT doc_id, text,
+          CAST((length(text) - 1) // 256 + 1 AS BIGINT) AS n_frames
+        FROM documents),
+      fr AS (
+        SELECT doc_id, n_frames, text,
+          unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        FROM f)
+      SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+        CAST(least(frame_idx*256 + 256, length(text)) - frame_idx*256 AS BIGINT) AS frame_len,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(frame_idx*256 + 1, least(frame_idx*256 + 256, length(text))),
+            ci -> CAST(ascii(substr(text, ci, 1)) AS BIGINT))),
+          (acc, ch) -> (acc * 131 + ch) % 2147483647) AS frame_hash
+      FROM fr
+      ORDER BY doc_id, frame_idx""",
+    "e5_interval_join" -> """
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        p.value AS purchase_value
+      FROM events c JOIN events p ON c.user_id = p.user_id
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      ORDER BY c.user_id, click_id, purchase_id""",
     "t1_lang_id" -> """
       WITH scored AS (
         SELECT doc_id,

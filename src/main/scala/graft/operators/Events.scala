@@ -59,6 +59,28 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** Batch form of the stream-stream interval join
+    * ([[graft.streaming.StreamingOps.attributeConversions]]): attribute
+    * each purchase to the same user's clicks in the preceding window.
+    * One shuffle on user_id with a range predicate inside the join —
+    * exactly the state layout the streaming form keeps per key. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoin(Tables.load(spark, dir, "events"), 30)
+
+  def intervalJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"interval $windowMinutes minutes"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) via window
     * functions: flag session starts with lag(), number sessions with a
     * running sum, aggregate per session. Partitioned by user — at

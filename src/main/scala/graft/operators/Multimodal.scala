@@ -52,6 +52,34 @@ object Multimodal {
       .mapPartitions(MediaDecoder.decodeStub)
   }
 
+  /** Frame sampling over the (fake) media payload: one row per
+    * 256-char frame with a deterministic content hash — the Spark-side
+    * plumbing of a video/audio frame-sample stage (the real decoder
+    * would replace the rolling hash with a codec call; the explode /
+    * per-frame-row shape and partitioning are what scale). Frames are
+    * char-addressed; ceil-division keeps the last frame non-empty, so
+    * the per-frame fold never sees an empty range. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    frameSample(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def frameSample(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        (floor((length(col("text")) - 1) / lit(256)) + lit(1)).cast("int").as("n_frames"))
+      .select(col("doc_id"), col("text"),
+        col("n_frames").cast("long").as("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (least(col("frame_idx") * 256 + 256, length(col("text"))) -
+          col("frame_idx") * 256).cast("long").as("frame_len"),
+        expr("""aggregate(
+                  transform(sequence(frame_idx*256 + 1, least(frame_idx*256 + 256, length(text))),
+                    ci -> CAST(ascii(substring(text, ci, 1)) AS BIGINT)),
+                  CAST(0 AS BIGINT),
+                  (acc, ch) -> (acc * 131 + ch) % 2147483647)""").as("frame_hash"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Oracle-checkable metadata projection (the decode-independent
     * part: format routing, payload sizing, frame estimation). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {

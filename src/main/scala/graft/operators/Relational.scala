@@ -418,6 +418,25 @@ object Relational {
       .orderBy("page_rn")
   }
 
+  /** Keyset (cursor) pagination — the form that stays O(page) at any
+    * depth: the cursor predicate pushes into the scan and sort+limit
+    * plans as TakeOrdered, so cost never grows with page number
+    * (unlike [[q26Pagination]]'s offset form, kept for reference
+    * parity). */
+  def q28Keyset(spark: SparkSession, dir: String,
+      afterDate: String = "1997-06-01", afterKey: Long = 0L,
+      limit: Int = 50): DataFrame = {
+    val cursor = lit(afterDate).cast("timestamp")
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") > cursor ||
+        (col("o_orderdate") === cursor && col("o_orderkey") > afterKey))
+      .orderBy("o_orderdate", "o_orderkey")
+      .limit(limit)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+  }
+
   /** Deep taxonomy rollup — the krona "all hierarchy levels at once"
     * shape over a 3-level type → brand → size hierarchy (bounded by
     * the synthetic schema; the real reference runs 7 taxonomy ranks,

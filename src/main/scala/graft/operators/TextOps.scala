@@ -105,6 +105,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repetition-based quality signals (the Gopher/C4-style filters):
+    * duplicate word-bigram fraction and the most-frequent-token share.
+    * Pure per-row projection; the mode count is O(distinct × n) per
+    * document, bounded by document length, not corpus size. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def repetition(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = expr(
+      """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
+           i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""")
+    docs.select(col("doc_id"), w.as("ws"), bigrams.as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+          size(col("bg")).cast("double"), 6).as("dup_bigram_frac"),
+        round(expr("array_max(transform(array_distinct(ws), t -> size(filter(ws, x -> x = t))))")
+          .cast("double") / size(col("ws")).cast("double"), 6).as("top_token_frac"))
+      .withColumn("is_repetitive",
+        col("dup_bigram_frac") > 0.2 || col("top_token_frac") > 0.2)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic shard assignment for training-data layout: docs
     * land in `nShards` shards by fingerprint hash (reproducible at any
     * parallelism), with per-shard doc and token budgets — the write

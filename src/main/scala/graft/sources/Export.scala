@@ -48,7 +48,11 @@ object Export {
   def biomMatrix(spark: SparkSession, dir: String,
       outPath: String = "/tmp/graft_export/x2_biom_matrix"): DataFrame = {
     val types = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+    // the matrix is aggregate-bounded (samples × taxa), so collapse to
+    // one task before the partitioned write — otherwise every shuffle
+    // partition opens a file per row-key directory
     graft.operators.Relational.q7AbundanceMatrix(spark, dir)
+      .coalesce(1)
       .write.mode("overwrite").partitionBy("n_name").parquet(outPath)
     spark.read.parquet(outPath)
       .select(col("n_name") +: types.map(col): _*)

@@ -24,6 +24,20 @@ class MultimodalSpec extends SparkSpec {
     assert(m.collect().toSeq == again.collect().toSeq)
   }
 
+  test("frame sampling covers every char exactly once per document") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val frames = Multimodal.frameSample(spark, sfDir)
+    // per doc: frame count = ceil(len/256), frame lengths sum to len
+    val byDoc = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("nf"), max("n_frames").as("declared"),
+        sum("frame_len").as("covered"))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+    assert(byDoc.filter(col("nf") =!= col("declared")).count() == 0)
+    assert(byDoc.filter(col("covered") =!= col("len")).count() == 0,
+      "frame lengths do not cover the payload exactly")
+    assert(frames.filter(col("frame_len") <= 0).count() == 0, "empty frame emitted")
+  }
+
   test("binary payload round-trips the text bytes") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
     val back = Multimodal.withMediaColumns(docs)

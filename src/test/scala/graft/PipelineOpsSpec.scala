@@ -28,6 +28,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.collect().toSeq == b.collect().toSeq, "sharding depends on partitioning")
   }
 
+  test("repetition scoring flags a degenerate document, passes a diverse one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "every word in this sentence differs from all others"))
+      .toDF("doc_id", "text")
+    val res = TextOps.repetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(res(1L)._3, s"degenerate doc not flagged: $res")
+    assert(res(1L)._1 > 0.8 && res(1L)._2 == 1.0)
+    assert(!res(2L)._3, s"diverse doc flagged: $res")
+  }
+
+  test("batch interval join attributes purchases within the window only") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 0.0),
+      (2L, ts(20), 1L, "purchase", 9.99), // within 30 min of click 1
+      (3L, ts(10), 2L, "click", 0.0),
+      (4L, ts(50), 2L, "purchase", 5.0))  // 40 min later: out of window
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = graft.operators.Events.intervalJoin(ev, 30).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 2L)), s"got $rows")
+  }
+
   test("rolling average window frame is correct on a known sequence") {
     import spark.implicits._
     val ev = Seq(
