@@ -112,8 +112,10 @@ object Similarity {
   def annIvfDet(spark: SparkSession, dir: String): DataFrame =
     annIvfDet(Tables.parallel(Tables.load(spark, dir, "embeddings")), 16, 4)
 
-  def annIvfDet(e: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val spark = e.sparkSession
+  /** Deterministic hash-selected centroids for [[annIvfDet]]:
+    * the `k` corpus vectors with the smallest Knuth-hash of their id,
+    * numbered 1..k. Broadcast (bounded by k). */
+  def ivfCentroids(e: DataFrame, k: Int): DataFrame = {
     val hashed = e.select(col("vec_id"), col("embedding"),
       pmod(pmod(col("vec_id"), lit(1000000000L)) * lit(2654435761L),
         lit(2147483647L)).as("hsh"))
@@ -122,19 +124,31 @@ object Similarity {
     val sel = hashed.orderBy("hsh", "vec_id").limit(k)
     val wCell = org.apache.spark.sql.expressions.Window
       .orderBy("hsh", "vec_id")
-    val centroids = broadcast(sel.withColumn("cell", row_number().over(wCell))
+    broadcast(sel.withColumn("cell", row_number().over(wCell))
       .select(col("cell"), col("embedding").as("centv")))
+  }
 
-    val corpus = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
-    // argmax cell per vector via max_by: partial-aggregates map-side so
-    // the shuffle carries n rows, not n×k (a window would shuffle n×k)
-    val assigned = corpus.crossJoin(centroids)
+  /** Cell assignment (c_id, cell, cv) — the frame that at scale is
+    * WRITTEN partitioned by `cell`, so probes read `nProbe/k` of the
+    * data (spec-asserted via partition pruning in SimilaritySpec).
+    * argmax via max_by partial-aggregates map-side, so the shuffle
+    * carries n rows, not n×k (a window would shuffle n×k). */
+  def ivfAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .crossJoin(centroids)
       .withColumn("csim",
         graft.GraftFunctions.cosineSim(spark, col("cv"), col("centv")))
       .groupBy("c_id")
       .agg(
         max_by(col("cell"), struct(col("csim"), (-col("cell")).as("nc"))).as("cell"),
         first(col("cv")).as("cv"))
+  }
+
+  def annIvfDet(e: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = e.sparkSession
+    val centroids = ivfCentroids(e, k)
+    val assigned = ivfAssign(e, centroids)
 
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))

@@ -63,6 +63,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF corpus written partitioned by cell prunes to the probed cells") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/corpus"
+    Similarity.ivfAssign(e, Similarity.ivfCentroids(e, 16))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    val stored = spark.read.parquet(out)
+    val probed = stored.filter(col("cell").isin(1, 2))
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    assert(scan.metrics("numFiles").value < stored.inputFiles.length,
+      s"probe read ${scan.metrics("numFiles").value} of ${stored.inputFiles.length} files")
+  }
+
   test("dot/cosine fold matches an independently computed value") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
