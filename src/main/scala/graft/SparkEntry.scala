@@ -40,6 +40,7 @@ object SparkEntry {
     "q26_pagination" -> ((s: SparkSession, d: String) => Relational.q26Pagination(s, d)),
     "q27_deep_rollup" -> (Relational.q27DeepRollup _),
     "q28_keyset" -> ((s: SparkSession, d: String) => Relational.q28Keyset(s, d)),
+    "q29_scalar_subquery" -> (Relational.q29ScalarSubquery _),
     "t6_repetition" -> (TextOps.repetition _),
     "m2_frame_sample" -> (Multimodal.frameSample _),
     "e5_interval_join" -> (Events.intervalJoin _),
@@ -341,6 +342,15 @@ object SparkEntry {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY ROLLUP(p_type, p_brand, p_size)
       ORDER BY lvl_type, lvl_brand, lvl_size""",
+    "q29_scalar_subquery" -> """
+      SELECT o_orderpriority, count(*) AS n_above,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+      FROM orders o
+      WHERE o_totalprice > (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                            FROM orders i
+                            WHERE i.o_orderpriority = o.o_orderpriority)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
     "q28_keyset" -> """
       SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice
       FROM orders

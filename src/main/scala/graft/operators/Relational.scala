@@ -458,6 +458,25 @@ object Relational {
       ORDER BY lvl_type, lvl_brand, lvl_size""")
   }
 
+  /** Correlated scalar subquery — "orders above their priority class's
+    * average" (bpaotu's above-average contextual filters). Catalyst
+    * decorrelates to an aggregate + join. The threshold is an exact
+    * decimal sum divided as double so the comparison is bit-identical
+    * across engines and parallelism (a plain double avg would drift
+    * with shuffle order). */
+  def q29ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.register(spark, dir, "orders")
+    spark.sql("""
+      SELECT o_orderpriority, count(*) AS n_above,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+      FROM orders o
+      WHERE o_totalprice > (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                            FROM orders i
+                            WHERE i.o_orderpriority = o.o_orderpriority)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   /** Exact interpolated percentiles of a contextual metric per group
     * (matches DuckDB quantile_cont). */
   def q20Percentiles(spark: SparkSession, dir: String): DataFrame = {
