@@ -57,6 +57,14 @@ class PlanSpec extends SparkSpec {
       s"sort+limit did not collapse to TakeOrderedAndProject:\n${p.take(1500)}")
   }
 
+  test("e5: interval join is an equi-join on user_id, never a nested loop") {
+    val p = plan(graft.operators.Events.intervalJoin(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a product:\n${p.take(1500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no hash/merge equi-join:\n${p.take(1500)}")
+  }
+
   test("q1: whole-stage codegen covers the aggregation") {
     val df = Relational.q1PricingSummary(spark, sfDir)
     assert(plan(df).contains("partial_sum"),
