@@ -83,9 +83,13 @@ object Dedup {
   private[operators] def bandCandidates(bands: DataFrame, maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band_idx", "band_key")
+    // cached: referenced three times below (both clique sides + star);
+    // without it each reference re-runs the window AND its upstream
+    // signature pipeline. Small: 16 rows of 4 longs per document.
     val sized = bands
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("rep", min(col("doc_id")).over(w))
+      .cache()
     val small = sized.filter(col("bsz") <= maxBucket)
       .select("doc_id", "band_idx", "band_key")
     val clique = small.as("x").join(small.as("y"),
