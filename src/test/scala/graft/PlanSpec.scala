@@ -65,6 +65,25 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no hash/merge equi-join:\n${p.take(1500)}")
   }
 
+  test("keyset page 2 equals the offset slice it replaces") {
+    import org.apache.spark.sql.functions._
+    // page 1 = first 50 orders in (o_orderdate, o_orderkey) order; the
+    // keyset cursor at its last row must reproduce offset rows 51-100
+    val ordered = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .orderBy("o_orderdate", "o_orderkey")
+      .limit(100).collect()
+    val cursor = ordered(49)
+    val page2 = Relational.q28Keyset(spark, sfDir,
+        afterDate = cursor.getString(1), afterKey = cursor.getLong(0), limit = 50)
+      .collect()
+    assert(page2.map(_.getLong(0)).toSeq ==
+      ordered.slice(50, 100).map(_.getLong(0)).toSeq,
+      "keyset page diverges from the offset slice")
+  }
+
   test("q1: whole-stage codegen covers the aggregation") {
     val df = Relational.q1PricingSummary(spark, sfDir)
     assert(plan(df).contains("partial_sum"),
