@@ -1,9 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main. Emits ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},...}`.
+  *
+  * Two timings per query:
+  *  - `queries` / `value` (primary): NOOP-MATERIALIZED — every result
+  *    row is produced and handed to the noop datasource-v2 sink.
+  *    `count()` alone lets Catalyst join-eliminate and column-prune
+  *    work that doesn't feed the count (it hid a 15× HOF re-evaluation
+  *    for a full round), so regressions are judged on these numbers.
+  *  - `queries_count` / `value_count`: the legacy count() timing, kept
+  *    for round-over-round continuity.
+  * Set GRAFT_BENCH_MATERIALIZE=0 to skip the noop pass (quick runs).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val materialize = !sys.env.get("GRAFT_BENCH_MATERIALIZE").contains("0")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,15 +30,31 @@ object Bench {
     try SparkEntry.queries.get("q1_pricing_summary")
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def noopWrite(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val countTimes = names.map { name =>
+      name -> time(SparkEntry.queries(name)(spark, sfDir).count())
+    }
+    val matTimes = if (materialize) names.map { name =>
+      name -> time(noopWrite(SparkEntry.queries(name)(spark, sfDir)))
+    } else countTimes
+
+    def jmap(ts: Seq[(String, Double)]): String =
+      ts.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = matTimes.map(_._2).sum
+    val totalCount = countTimes.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":${jmap(matTimes)},""" +
+      s""""value_count":$totalCount,"queries_count":${jmap(countTimes)},""" +
+      s""""materialized":$materialize,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

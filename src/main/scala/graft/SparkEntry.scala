@@ -377,7 +377,7 @@ object SparkEntry {
     "m2_frame_sample" -> """
       WITH f AS (
         SELECT doc_id, text,
-          CAST((length(text) - 1) // 256 + 1 AS BIGINT) AS n_frames
+          greatest(CAST((length(text) - 1) // 256 + 1 AS BIGINT), 1) AS n_frames
         FROM documents),
       fr AS (
         SELECT doc_id, n_frames, text,

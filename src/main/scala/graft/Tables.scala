@@ -49,13 +49,20 @@ object Tables {
     * scan has fewer splits than the default parallelism, fan it out;
     * at real scale inputs arrive as many files and this is a no-op. */
   def parallel(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // File count is a cheap upper-bound proxy for scan splits (the
-    // listing is already cached in the FileIndex); the old
-    // df.rdd.getNumPartitions probe instantiated an RDD lineage per
-    // call. At real scale inputs arrive as many files → no-op.
-    val files = df.inputFiles.length
-    val splits = if (files > 0) files else df.rdd.getNumPartitions
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Estimate scan splits from BYTES, not file count: Spark bin-packs
+    // many small files into few partitions (maxPartitionBytes /
+    // openCostInBytes), so "many files" can still mean few splits —
+    // and one huge file is split into many. sizeInBytes comes from the
+    // already-cached FileIndex listing (no data read, no RDD probe).
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val splits =
+      if (bytes > 0 && maxPart > 0)
+        ((bytes + maxPart - 1) / maxPart).toLong
+      else df.rdd.getNumPartitions.toLong
     if (splits < target) df.repartition(target) else df
   }
 

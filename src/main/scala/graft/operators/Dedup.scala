@@ -78,18 +78,30 @@ object Dedup {
     * the bucket's min doc_id). A star keeps every oversized-bucket
     * member connected to the same representative, which is all a
     * downstream transitive-clustering pass needs, at linear cost.
-    * Bucket sizing is a window over the same (band_idx, band_key)
-    * hash partitioning the join needs — no extra shuffle pattern. */
+    *
+    * Bucket sizing is an AGGREGATE (partial-agg shuffle on the band
+    * key) rejoined to the band frame — not a window: window evaluation
+    * sorts every partition even for an unbounded frame, and the round-2
+    * double window (count + min) was the d2/d3 bench regression. The
+    * rejoin hashes on the same (band_idx, band_key) the clique join
+    * needs, so no new shuffle pattern appears.
+    *
+    * Returns an EAGERLY materialized, lineage-truncated pair list
+    * ([[graft.Ckpt]]) — callers reference it freely without re-running
+    * the banding; the sized intermediate is cached only for the three
+    * consumers below and unpersisted before returning (safe because
+    * the checkpoint cut the result's lineage).
+    *
+    * ORACLE CAVEAT: the DuckDB oracles (d2/d3/d7) express uncapped
+    * clique semantics — at test scale no bucket approaches `maxBucket`,
+    * so the gate compares like-for-like. The cap is a production-scale
+    * knob; a star can split a cluster the clique would join when only
+    * the member↔representative Jaccard fails, which is the accepted
+    * trade for linear hot-bucket cost (spec-pinned in ScaleSpec). */
   private[operators] def bandCandidates(bands: DataFrame, maxBucket: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band_idx", "band_key")
-    // cached: referenced three times below (both clique sides + star);
-    // without it each reference re-runs the window AND its upstream
-    // signature pipeline. Small: 16 rows of 4 longs per document.
-    val sized = bands
-      .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("rep", min(col("doc_id")).over(w))
-      .cache()
+    val stats = bands.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("rep"))
+    val sized = bands.join(stats, Seq("band_idx", "band_key")).cache()
     val small = sized.filter(col("bsz") <= maxBucket)
       .select("doc_id", "band_idx", "band_key")
     val clique = small.as("x").join(small.as("y"),
@@ -100,7 +112,9 @@ object Dedup {
     val star = sized
       .filter(col("bsz") > maxBucket && col("doc_id") =!= col("rep"))
       .select(col("rep").as("a_id"), col("doc_id").as("b_id"))
-    clique.union(star).distinct()
+    val out = graft.Ckpt(clique.union(star).distinct())
+    sized.unpersist()
+    out
   }
 
   /** Band keys from an already-computed (doc_id, sig) frame — taking
@@ -122,10 +136,12 @@ object Dedup {
     minhashLsh(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def minhashLsh(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    // cached: referenced by the band self-join (×3) AND the output
-    // projection — without it every reference re-hashes all shingles.
-    // cache() is MEMORY_AND_DISK, ~512 B/doc (64 longs).
-    val docs = minhashSigs(documents).cache()
+    // checkpointed (not cached): referenced by the banding AND the
+    // output projection — without materialization every reference
+    // re-hashes all shingles; with cache() the entry outlived the
+    // query (CacheManager never auto-releases). ~512 B/doc (64 longs),
+    // freed by the ContextCleaner once the result frame is dropped.
+    val docs = graft.Ckpt(minhashSigs(documents))
     val candidates = bandCandidates(minhashBands(docs), maxBucket)
     val candCount = candidates.select(col("a_id").as("doc_id"))
       .union(candidates.select(col("b_id").as("doc_id")))
@@ -156,11 +172,16 @@ object Dedup {
     val bitSums = (0 until 32).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$i"))
-    val sh = hw.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map(i =>
-          when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    // checkpointed: referenced by the banding, both verification
+    // re-attach joins, and the final projection — each reference would
+    // otherwise re-run the word-hash explode + 32 partial aggregates.
+    // One long per doc; freed by the ContextCleaner with the result.
+    val sh = graft.Ckpt(
+      hw.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 32).map(i =>
+            when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash")))
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band_idx"),
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)).as("band_key")))
@@ -259,13 +280,15 @@ object Dedup {
       maxIter: Int = 25, maxBucket: Int = 1000): DataFrame = {
     // 1. signatures → bands → candidate pairs (same maths as d2,
     //    including the hot-bucket star fallback — star edges keep
-    //    oversized buckets connected for the clustering step below)
-    // signatures are cached: the band self-join references the frame
-    // three times (clique ×2, star) and would re-hash every shingle
-    // each time. Candidates are tiny (pair ids) — cached so the
-    // verification and the loop below don't re-run the banding.
+    //    oversized buckets connected for the clustering step below).
+    // Signatures are cached only for the duration of the banding (the
+    // band frame references them through stats + rejoin + clique) and
+    // released as soon as bandCandidates returns its checkpointed,
+    // lineage-truncated pair list — nothing from this step outlives
+    // the call.
     val sigs = minhashSigs(documents).cache()
-    val candidates = bandCandidates(minhashBands(sigs), maxBucket).cache()
+    val candidates = bandCandidates(minhashBands(sigs), maxBucket)
+    sigs.unpersist()
     // 2. verify candidates with exact shingle-set Jaccard — shingle
     //    lists are computed ONLY for documents that appear in a
     //    candidate pair (a small fraction of a real corpus)
@@ -286,48 +309,54 @@ object Dedup {
     //    The label-compression join (label(x) := label(label(x)))
     //    doubles the effective propagation distance each round, so
     //    convergence is O(log diameter). Each round's result is
-    //    localCheckpoint'ed (eager): without lineage truncation the
-    //    logical plan QUADRUPLES per round (the halving join embeds
-    //    the previous plan twice) and driver-side planning, not the
-    //    data, becomes the cost — the standard checkpoint discipline
-    //    for iterative graph algorithms. On a real cluster swap
-    //    localCheckpoint for checkpoint() on reliable storage.
-    val edgesSym = verified.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(verified.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    sigs.unpersist()
-    candidates.unpersist()
+    //    checkpointed eagerly ([[graft.Ckpt]]): without lineage
+    //    truncation the logical plan QUADRUPLES per round (the halving
+    //    join embeds the previous plan twice) and driver-side planning,
+    //    not the data, becomes the cost — the standard checkpoint
+    //    discipline for iterative graph algorithms. Set
+    //    spark.graft.checkpointDir to run the loop on reliable storage
+    //    (required on a real cluster: executor loss has no lineage to
+    //    recompute from).
+    val edgesSym = graft.Ckpt(
+      verified.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(verified.select(col("b_id").as("src"), col("a_id").as("dst"))))
     // Self-loops fold each node's own label into the neighbourhood
     // minimum, so one join+groupBy per round suffices (a per-round
     // union of "self ∪ neighbours" trips Union constraint rewriting
     // when both children descend from the same checkpointed frame).
-    val selfLoops = edgesSym.select(col("src")).distinct()
-      .select(col("src"), col("src").as("dst")).localCheckpoint()
-    val edges = edgesSym.union(selfLoops).localCheckpoint()
-    var labels = selfLoops.select(col("src").as("node"))
-      .withColumn("label", col("node")).localCheckpoint()
+    val selfLoops = graft.Ckpt(edgesSym.select(col("src")).distinct()
+      .select(col("src"), col("src").as("dst")))
+    val edges = graft.Ckpt(edgesSym.union(selfLoops))
+    var labels = graft.Ckpt(selfLoops.select(col("src").as("node"))
+      .withColumn("label", col("node")))
+    var prev = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val tIter = System.nanoTime()
-      val prop = edges.join(labels, col("src") === col("node"))
+      val prop = graft.Ckpt(edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min("label").as("label"))
-        .select(col("dst").as("node"), col("label"))
-        .localCheckpoint()
+        .select(col("dst").as("node"), col("label")))
       // path halving: every label is itself an edge node, so chase one
       // more hop through the freshly propagated mapping
-      val next = prop.as("p")
+      val next = graft.Ckpt(prop.as("p")
         .join(prop.toDF("lnode", "llabel"),
           col("p.label") === col("lnode"), "left_outer")
         .select(col("p.node").as("node"),
-          coalesce(col("llabel"), col("p.label")).as("label"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count() == 0L
+          coalesce(col("llabel"), col("p.label")).as("label")))
+      prev = labels
       labels = next
       iter += 1
+      // Convergence is a driver-side barrier (one count per check), so
+      // probe only every second round: labels are monotone
+      // non-increasing, so "round k == round k-1" still certifies the
+      // fixpoint whenever it is observed — at worst one redundant
+      // round of joins, for half the driver round-trips.
+      if (iter % 2 == 0 || iter == maxIter)
+        converged = labels.as("n")
+          .join(prev.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label"))
+          .count() == 0L
       if (sys.env.contains("GRAFT_DEBUG_CC"))
         System.err.println(f"[cc] iter=$iter converged=$converged " +
           f"took=${(System.nanoTime() - tIter) / 1e9}%.2f s")
@@ -340,6 +369,16 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** Cluster-size histogram over the [[dedupPipeline]] decision table —
+    * the "how much duplication does this corpus carry" summary a
+    * pipeline operator reads before committing to a drop rate
+    * (cluster_size 1 = unique docs; a heavy tail = boilerplate). Two
+    * bounded aggregations over the decision frame. */
+  def clusterHistogram(decision: DataFrame): DataFrame =
+    decision.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
 
   /** Benchmark decontamination — the training-pipeline op that flags
     * training documents sharing word n-grams with a held-out benchmark

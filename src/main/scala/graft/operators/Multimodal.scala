@@ -65,7 +65,14 @@ object Multimodal {
   def frameSample(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"),
-        (floor((length(col("text")) - 1) / lit(256)) + lit(1)).cast("int").as("n_frames"))
+        // greatest(...,1): an EMPTY text would yield n_frames = 0 and
+        // sequence(0, -1) defaults to step -1, emitting two bogus
+        // frames (0 and -1) where the oracle's generate_series emits
+        // none. Empty docs instead get one zero-length frame (hash 0)
+        // on both engines.
+        greatest(
+          (floor((length(col("text")) - 1) / lit(256)) + lit(1)).cast("int"),
+          lit(1)).as("n_frames"))
       .select(col("doc_id"), col("text"),
         col("n_frames").cast("long").as("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))

@@ -66,6 +66,9 @@ object Similarity {
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(3)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val fitted = model.fit(sample)
+    // fit() is eager — the sample cache has served its purpose (KMeans
+    // iterations) and must not outlive this call in a shared session
+    sample.unpersist()
     val corpus = fitted.transform(feat)
       .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("cell"))
     // centroids as a tiny literal table; queries rank cells by cosine
