@@ -49,6 +49,15 @@ object GraftFunctions {
     call_function("cosine_sim", a, b)
   }
 
+  /** Column API for the native polynomial rolling hash (bypasses the
+    * registry: mult/mod are constructor parameters). Defaults are the
+    * 31-bit-safe parameters every signature pipeline shares. */
+  def polyHash(c: Column, mult: Long = 131L,
+      mod: Long = 2147483647L): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.expressions.PolyHash(
+        org.apache.spark.sql.graftshim.GraftShim.expression(c), mult, mod))
+
   /** Column API for the fused SRP-LSH bucket expression (bypasses the
     * registry: the plane matrix is a constructor parameter, not a
     * child expression). */

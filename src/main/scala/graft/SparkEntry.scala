@@ -489,9 +489,9 @@ object SparkEntry {
       sh AS (
         SELECT doc_id,
           list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(generate_series(0, 31), i ->
+            list_transform(generate_series(0, 59), i ->
               CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     list_transform(hl, h -> CAST(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END AS BIGINT))),
+                     list_transform(hl, h -> CAST(CASE WHEN ((2*i+1)*h + i*12345 + 7) % 2147483647 >= 1073741824 THEN 1 ELSE -1 END AS BIGINT))),
                      (a, b) -> a + b) >= 0
                    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)),
             (a, b) -> a + b) AS simhash
@@ -499,13 +499,13 @@ object SparkEntry {
       bands AS (
         SELECT doc_id, simhash, b['band_idx'] AS band_idx, b['band_key'] AS band_key FROM (
           SELECT doc_id, simhash, unnest(list_transform(generate_series(0, 3), bi ->
-            {'band_idx': bi, 'band_key': (simhash >> (bi*8)) & 255})) AS b
+            {'band_idx': bi, 'band_key': (simhash >> (bi*15)) & 32767})) AS b
           FROM sh) t),
       near AS (
         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         FROM bands x JOIN bands y
           ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-        WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
       counts AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
           SELECT a_id AS doc_id FROM near UNION ALL SELECT b_id AS doc_id FROM near) u

@@ -55,6 +55,24 @@ object Dedup {
                array_min(transform(${hashedShingles(textCol)},
                  h -> ((j*2+1) * h + j*12345 + 7) % $HashPrime)))""")
 
+  /** Distinct word-3-gram shingle strings of a text column (Column
+    * form of [[hashedShingles]]' inner shingling, shared by the
+    * signature and verification paths). */
+  private def shingleStrings(text: Column): Column = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - 2, lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(3)))))
+  }
+
+  /** Shingle strings → 31-bit polynomial hashes via the native
+    * [[graft.functions.expressions.PolyHash]] — one linear pass per
+    * shingle; the composed `ascii(substring(...))` fold it replaces is
+    * O(len²) per shingle and allocates an intermediate array. Same
+    * arithmetic, so the DuckDB oracles are untouched. */
+  private def hashedShingleCol(text: Column): Column =
+    transform(shingleStrings(text), s => graft.GraftFunctions.polyHash(s))
+
   /** (doc_id, sig) frame: shingles hashed ONCE per document (explode),
     * then the 64 permutation minima as map-side partial aggregates —
     * the whole path stays in whole-stage codegen and the shuffle
@@ -62,7 +80,7 @@ object Dedup {
     * nested-HOF form at sf0.1 and the shape that survives 100 TB. */
   private[graft] def minhashSigs(documents: DataFrame, k: Int = 64): DataFrame = {
     val hashed = documents.select(col("doc_id"),
-      explode(expr(hashedShingles("text"))).as("h"))
+      explode(hashedShingleCol(col("text"))).as("h"))
     val mins = (0 until k).map(j =>
       min(expr(s"(($j*2+1) * h + $j*12345 + 7) % $HashPrime")).as(s"m$j"))
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -154,48 +172,66 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** 32-bit SimHash over per-word polynomial hashes (words hashed
-    * once, then one pass per bit); near-dups found by 4×8-bit band
-    * join + popcount(xor) ≤ 8 verification. Polynomial word hashes
-    * keep the whole pipeline reproducible in the DuckDB oracle. */
+  /** SimHash near-duplicate detection, Manku–Jain–Sarma style: a
+    * 60-BIT SimHash split into 4 × 15-bit bands, so any pair within
+    * Hamming distance 3 shares at least one full band (pigeonhole over
+    * 4 bands) — candidate recall at the verification threshold is
+    * STRUCTURAL, not probabilistic. 15-bit band keys give 32k buckets
+    * per band; the previous 8-bit bands capped the bucket space at 256
+    * for ANY corpus size, which went quadratic already at sf0.1 (2.2M
+    * candidate pairs from 5k docs) and would be fatal at 100 TB. Band
+    * width is the scale knob: a larger corpus wants a wider simhash
+    * cut into wider bands (e.g. 64-bit, 4×16), plus the hot-bucket
+    * star cap as the backstop.
+    *
+    * Bit i of the simhash is the sign of the vote sum of
+    * `((2i+1)·h + i·12345 + 7) mod p ≥ 2^30` over per-word polynomial
+    * hashes h — 31-bit-safe arithmetic, reproducible fold-for-fold in
+    * the DuckDB oracle. */
+  final val SimhashBits = 60
+  final val SimhashBandBits = 15
+  final val SimhashHamming = 3
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def simhash(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    // explode per-word hashes once, then 32 conditional-sum partial
+    val Half = 1073741824L // 2^30 = ceil(p/2): sign threshold
+    // explode per-word hashes once, then 60 conditional-sum partial
     // aggregates — the nested-fold form re-evaluated the word hashing
-    // once per bit (32× per document) after projection collapse
-    val hw = docs.select(col("doc_id"), explode(expr(
-      s"""transform(split(text, ' '), w ->
-            aggregate(transform(sequence(1, length(w)), ci -> CAST(ascii(substring(w, ci, 1)) AS BIGINT)),
-              CAST(0 AS BIGINT), (acc, ch) -> (acc * 131 + ch) % $HashPrime))""")).as("h"))
-    val bitSums = (0 until 32).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+    // once per bit after projection collapse; the native PolyHash
+    // replaces the O(len²) per-char fold
+    val hw = docs.select(col("doc_id"),
+      explode(transform(split(col("text"), " "),
+        w => graft.GraftFunctions.polyHash(w))).as("h"))
+    val bitSums = (0 until SimhashBits).map(i =>
+      sum(when((lit(2L * i + 1) * col("h") + lit(i * 12345L + 7L)) % HashPrime >= Half, 1L)
         .otherwise(-1L)).as(s"b$i"))
     // checkpointed: referenced by the banding, both verification
     // re-attach joins, and the final projection — each reference would
-    // otherwise re-run the word-hash explode + 32 partial aggregates.
+    // otherwise re-run the word-hash explode + 60 partial aggregates.
     // One long per doc; freed by the ContextCleaner with the result.
     val sh = graft.Ckpt(
       hw.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"),
-          (0 until 32).map(i =>
+          (0 until SimhashBits).map(i =>
             when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
             .reduce(_ + _).as("simhash")))
-    val bandStructs = (0 until 4).map(b =>
+    val bandStructs = (0 until SimhashBits / SimhashBandBits).map(b =>
       struct(lit(b).as("band_idx"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL)).as("band_key")))
+        shiftright(col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("band_key")))
     val bands = sh.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"),
         col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
-    // candidate pairs via the capped band join; re-attach the 64-bit
-    // hashes afterwards for the hamming verification (ids shuffle, not
+    // candidate pairs via the capped band join; re-attach the hashes
+    // afterwards for the hamming verification (ids shuffle, not
     // payloads — same trick as the LSH candidate distinct)
     val near = bandCandidates(bands, maxBucket)
       .join(sh.select(col("doc_id").as("a_id"), col("simhash").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("simhash").as("sb")), "b_id")
-      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 8)
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= SimhashHamming)
     val nearCount = near.select(col("a_id").as("doc_id"))
       .union(near.select(col("b_id").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -296,7 +332,7 @@ object Dedup {
       .union(candidates.select(col("b_id").as("doc_id"))).distinct()
     val sh = documents.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        expr(s"array_distinct(${hashedShingles("text")})").as("hl"))
+        array_distinct(hashedShingleCol(col("text"))).as("hl"))
     val a = sh.select(col("doc_id").as("a_id"), col("hl").as("ha"))
     val b = sh.select(col("doc_id").as("b_id"), col("hl").as("hb"))
     val verified = candidates.join(a, "a_id").join(b, "b_id")

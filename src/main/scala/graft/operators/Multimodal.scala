@@ -80,11 +80,13 @@ object Multimodal {
         col("frame_idx").cast("long").as("frame_idx"),
         (least(col("frame_idx") * 256 + 256, length(col("text"))) -
           col("frame_idx") * 256).cast("long").as("frame_len"),
-        expr("""aggregate(
-                  transform(sequence(frame_idx*256 + 1, least(frame_idx*256 + 256, length(text))),
-                    ci -> CAST(ascii(substring(text, ci, 1)) AS BIGINT)),
-                  CAST(0 AS BIGINT),
-                  (acc, ch) -> (acc * 131 + ch) % 2147483647)""").as("frame_hash"))
+        // native PolyHash over the frame's substring — one linear pass
+        // (the per-char ascii(substring) fold was O(frame²)); an
+        // out-of-range substr yields "" → hash 0, matching the
+        // oracle's empty generate_series fold
+        graft.GraftFunctions.polyHash(
+          col("text").substr(col("frame_idx") * 256 + 1, lit(256)))
+          .as("frame_hash"))
       .orderBy("doc_id", "frame_idx")
 
   /** Oracle-checkable metadata projection (the decode-independent
