@@ -63,6 +63,8 @@ object SparkEntry {
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "x1_export_csv" -> ((s: SparkSession, d: String) => graft.sources.Export.contextualCsv(s, d)),
     "x2_export_biom" -> ((s: SparkSession, d: String) => graft.sources.Export.biomMatrix(s, d)),
+    "x3_export_biom_json" -> ((s: SparkSession, d: String) => graft.sources.Export.biomJson(s, d)),
+    "x4_export_krona" -> ((s: SparkSession, d: String) => graft.sources.Export.kronaTsv(s, d)),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e3_props_json" -> (Events.propsJson _),
@@ -690,6 +692,34 @@ object SparkEntry {
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name
       ORDER BY n_name""",
+    "x3_export_biom_json" -> """
+      SELECT n_name, p_type,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, p_type
+      ORDER BY n_name, p_type""",
+    "x4_export_krona" -> """
+      WITH leaves AS (
+        SELECT 'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) % 5 AS VARCHAR) AS p_mfgr,
+          p_type, p_brand,
+          string_split(p_name, ' ')[1] AS p_genus,
+          CAST(p_size AS VARCHAR) AS p_size,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS abundance
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3, 4, 5)
+      SELECT coalesce(p_mfgr, 'ALL') AS lvl_mfgr,
+        coalesce(p_type, 'ALL') AS lvl_type,
+        coalesce(p_brand, 'ALL') AS lvl_brand,
+        coalesce(p_genus, 'ALL') AS lvl_genus,
+        coalesce(p_size, 'ALL') AS lvl_size,
+        CAST(sum(abundance) AS DOUBLE) AS abundance
+      FROM leaves
+      GROUP BY ROLLUP(p_mfgr, p_type, p_brand, p_genus, p_size)
+      ORDER BY lvl_mfgr, lvl_type, lvl_brand, lvl_genus, lvl_size""",
     "e1_event_windows" -> """
       SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
         event_type, count(*) AS n_events,

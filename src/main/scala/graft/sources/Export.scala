@@ -1,7 +1,7 @@
 package graft.sources
 
-import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Dec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** First-class export endpoints — the reference's (muccg/bpaotu)
@@ -57,5 +57,127 @@ object Export {
     spark.read.parquet(outPath)
       .select(col("n_name") +: types.map(col): _*)
       .orderBy("n_name")
+  }
+
+  /** Sample × taxon abundance in sparse triple form (row label, column
+    * label, exact-decimal total) — the matrix both BIOM exports
+    * serialize. One aggregation; all joins are dim broadcasts. */
+  private def abundanceTriples(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(Dec.dec(col("l_quantity"))).as("qty"))
+  }
+
+  /** BIOM v1 (JSON, biom-format 1.0) abundance export — the
+    * interchange artifact QIIME-style consumers ingest (the parquet
+    * [[biomMatrix]] is the lake-native layout; this is the wire
+    * format). The document is assembled DISTRIBUTED-then-bounded: the
+    * triples aggregation is the only corpus-scale work, and the JSON
+    * concatenation runs over the aggregate-bounded matrix (samples ×
+    * taxa), so no driver-side loop touches data. Values are serialized
+    * from DECIMAL(18,2) (fixed-point text, no double formatting
+    * drift). Returns the matrix RE-READ from the written JSON —
+    * the correctness gate covers serialize + parse, and the structural
+    * spec in ExportSpec covers BIOM conformance (required keys, shape
+    * bounds, dense index range). */
+  def biomJson(spark: SparkSession, dir: String,
+      outPath: String = "/tmp/graft_export/x3_biom_json"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def esc(c: Column): Column =
+      regexp_replace(c, "([\\\\\"])", "\\\\$1")
+    val triples = abundanceTriples(spark, dir)
+      // dense 0-based indices by sorted label; the windows run over the
+      // aggregate-bounded matrix (WindowExec's single-partition warning
+      // is expected and harmless at 25×6 rows)
+      .withColumn("row_i", dense_rank().over(Window.orderBy("n_name")) - 1)
+      .withColumn("col_i", dense_rank().over(Window.orderBy("p_type")) - 1)
+    val doc = triples.agg(
+      (max(col("row_i")) + 1).as("n_rows"),
+      (max(col("col_i")) + 1).as("n_cols"),
+      array_join(transform(
+        array_sort(collect_set(struct(col("row_i"), col("n_name")))),
+        s => format_string("""{"id":"%s","metadata":null}""", esc(s("n_name")))), ",")
+        .as("rows_json"),
+      array_join(transform(
+        array_sort(collect_set(struct(col("col_i"), col("p_type")))),
+        s => format_string("""{"id":"%s","metadata":null}""", esc(s("p_type")))), ",")
+        .as("cols_json"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("row_i"), col("col_i"), col("qty")))),
+        s => format_string("[%d,%d,%s]",
+          s("row_i"), s("col_i"), s("qty").cast("string"))), ",")
+        .as("data_json"))
+    doc.select(concat(
+        lit("""{"id":"graft:abundance","format":"Biological Observation Matrix 1.0.0",""" +
+          """"format_url":"http://biom-format.org","type":"OTU table",""" +
+          """"generated_by":"graft","date":"2026-01-01T00:00:00",""" +
+          """"matrix_type":"sparse","matrix_element_type":"float","shape":["""),
+        col("n_rows"), lit(","), col("n_cols"),
+        lit("""],"rows":["""), col("rows_json"),
+        lit("""],"columns":["""), col("cols_json"),
+        lit("""],"data":["""), col("data_json"), lit("]}"))
+        .as("value"))
+      .write.mode("overwrite").text(outPath)
+    // parse-back: indices → labels through the rows/columns arrays
+    val j = spark.read.option("multiLine", "true")
+      .schema("rows ARRAY<STRUCT<id: STRING>>, columns ARRAY<STRUCT<id: STRING>>, " +
+        "shape ARRAY<LONG>, data ARRAY<ARRAY<DOUBLE>>")
+      .json(outPath)
+    j.select(col("rows"), col("columns"), explode(col("data")).as("t"))
+      .select(
+        element_at(col("rows"), element_at(col("t"), 1).cast("int") + 1)
+          .getField("id").as("n_name"),
+        element_at(col("columns"), element_at(col("t"), 2).cast("int") + 1)
+          .getField("id").as("p_type"),
+        element_at(col("t"), 3).as("abundance"))
+      .orderBy("n_name", "p_type")
+  }
+
+  /** Krona lineage export: the text-list artifact Krona renders into
+    * its interactive hierarchy chart — one LEAF row per distinct
+    * 5-level taxonomy path (mfgr → type → brand → container → size),
+    * `abundance<TAB>level1..level5` (Krona aggregates interior nodes
+    * itself). The TSV write stays distributed; abundances are
+    * DECIMAL(18,2) text. Returns the full 5-level ROLLUP recomputed
+    * from the RE-READ artifact (exact decimal re-aggregation), so the
+    * gate proves the exported leaves carry the entire hierarchy. */
+  def kronaTsv(spark: SparkSession, dir: String,
+      outPath: String = "/tmp/graft_export/x4_krona_tsv"): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    l.join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      // the schema has no mfgr/container columns, so the 5 levels are
+      // mfgr (TPC-H-style: derived from the brand number, each brand
+      // nests under exactly one mfgr) → type → brand → genus (head
+      // word of p_name) → size
+      .withColumn("p_mfgr", concat(lit("MFGR#"),
+        (element_at(split(col("p_brand"), "#"), 2).cast("int") % 5).cast("string")))
+      .withColumn("p_genus", element_at(split(col("p_name"), " "), 1))
+      .groupBy(col("p_mfgr"), col("p_type"), col("p_brand"),
+        col("p_genus"), col("p_size"))
+      .agg(sum(Dec.dec(col("l_quantity"))).cast("string").as("abundance"))
+      .select(col("abundance"), col("p_mfgr"), col("p_type"), col("p_brand"),
+        col("p_genus"), col("p_size").cast("string"))
+      .write.mode("overwrite").option("delimiter", "\t").csv(outPath)
+    spark.read
+      .schema("abundance DECIMAL(18,2), p_mfgr STRING, p_type STRING, " +
+        "p_brand STRING, p_genus STRING, p_size STRING")
+      .option("delimiter", "\t").csv(outPath)
+      .createOrReplaceTempView("graft_krona_leaves")
+    // ROLLUP through SQL (grouping-sets + coalesce trips the DataFrame
+    // API's ambiguous-self-join check — same route as q27)
+    spark.sql("""
+      SELECT coalesce(p_mfgr, 'ALL') AS lvl_mfgr,
+             coalesce(p_type, 'ALL') AS lvl_type,
+             coalesce(p_brand, 'ALL') AS lvl_brand,
+             coalesce(p_genus, 'ALL') AS lvl_genus,
+             coalesce(p_size, 'ALL') AS lvl_size,
+             CAST(sum(abundance) AS DOUBLE) AS abundance
+      FROM graft_krona_leaves
+      GROUP BY ROLLUP(p_mfgr, p_type, p_brand, p_genus, p_size)
+      ORDER BY lvl_mfgr, lvl_type, lvl_brand, lvl_genus, lvl_size""")
   }
 }

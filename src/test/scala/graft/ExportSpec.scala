@@ -23,6 +23,54 @@ class ExportSpec extends SparkSpec {
     assert(a == b, s"CSV round-trip drifted totals: $a vs $b")
   }
 
+  test("BIOM v1 JSON is format-conformant and matches the parquet matrix") {
+    val out = Files.createTempDirectory("graft-x3").toString + "/biom.json"
+    val rt = Export.biomJson(spark, sfDir, out)
+    // structural conformance: required BIOM v1 keys, dense index space
+    val raw = spark.read.option("multiLine", "true").json(out).head()
+    assert(raw.getAs[String]("format") == "Biological Observation Matrix 1.0.0")
+    assert(raw.getAs[String]("matrix_type") == "sparse")
+    assert(raw.getAs[String]("type") == "OTU table")
+    val shape = raw.getSeq[Long](raw.fieldIndex("shape"))
+    val rows = raw.getSeq[Any](raw.fieldIndex("rows"))
+    val cols = raw.getSeq[Any](raw.fieldIndex("columns"))
+    assert(shape.toSeq == Seq(rows.length.toLong, cols.length.toLong),
+      s"shape $shape != rows×cols ${rows.length}×${cols.length}")
+    val data = raw.getSeq[scala.collection.Seq[Double]](raw.fieldIndex("data"))
+    assert(data.nonEmpty && data.forall(t => t.length == 3 &&
+      t(0) >= 0 && t(0) < shape(0) && t(1) >= 0 && t(1) < shape(1)),
+      "data triples out of shape bounds")
+    // the parsed-back matrix must equal the q7 pivot cell-for-cell
+    val pivot = graft.operators.Relational.q7AbundanceMatrix(spark, sfDir)
+    val cells = pivot.collect().flatMap { r =>
+      pivot.columns.zipWithIndex.drop(1).flatMap { case (c, i) =>
+        Option(r.get(i)).map(v => (r.getString(0), c, v.asInstanceOf[Double]))
+      }
+    }.toSet
+    val got = rt.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == cells, s"JSON round-trip matrix diverges from q7: " +
+      s"missing=${(cells -- got).take(3)} extra=${(got -- cells).take(3)}")
+  }
+
+  test("Krona TSV leaves carry the full 5-level rollup") {
+    val out = Files.createTempDirectory("graft-x4").toString + "/krona"
+    val rollup = Export.kronaTsv(spark, sfDir, out)
+    // leaf lines: abundance + 5 tab-separated levels
+    val lines = spark.read.text(out)
+    assert(lines.count() > 0)
+    assert(lines.filter(not(col("value").rlike(
+      "^\\d+(\\.\\d+)?\t[^\t]+\t[^\t]+\t[^\t]+\t[^\t]+\t[^\t]+$"))).count() == 0,
+      "malformed Krona leaf line")
+    // the grand-total row must equal the exact lineitem quantity total
+    val total = rollup.filter(col("lvl_mfgr") === "ALL").collect()
+    assert(total.length == 1, s"expected one grand-total row, got ${total.length}")
+    val direct = Tables.load(spark, sfDir, "lineitem")
+      .agg(sum(graft.Dec.dec(col("l_quantity"))).cast("double")).head().getDouble(0)
+    assert(total.head.getAs[Double]("abundance") == direct,
+      "rollup grand total drifted from the fact table")
+  }
+
   test("BIOM matrix export partition-prunes on the row key") {
     val out = Files.createTempDirectory("graft-x2").toString + "/biom"
     val full = Export.biomMatrix(spark, sfDir, out)
