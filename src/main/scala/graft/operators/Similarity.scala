@@ -281,13 +281,33 @@ object Similarity {
         explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket")))
     // Dedup candidate IDs *before* re-attaching 256-byte vectors: the
     // distinct shuffles 16-byte id pairs instead of embedding payloads.
-    val candIds = queries.join(corpus, Seq("table_id", "bucket"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("c_id"))
-      .distinct()
+    // Checkpointed: referenced by both the deficit probe and the union.
+    val candIds = graft.Ckpt(
+      queries.join(corpus, Seq("table_id", "bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"))
+        .distinct())
+    // STRUCTURAL k-GUARANTEE: multi-probe empirically saturates k, but
+    // an adversarial distribution can leave every probed bucket
+    // underfilled (e.g. all corpus buckets ≥2 bit-flips from every
+    // probe key). Detect the per-query candidate deficit and union a
+    // brute-force candidate set for JUST those queries — the result
+    // then always carries min(k, corpus−1) rows per query, at a cost
+    // bounded by (#deficient queries × corpus scan), zero extra in the
+    // common case. The query side stays broadcast-small throughout.
+    val deficient = broadcast(
+      e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))
+        .join(candIds.groupBy("q_id").agg(count(lit(1)).as("nc")),
+          Seq("q_id"), "left_outer")
+        .filter(coalesce(col("nc"), lit(0L)) < 10)
+        .select("q_id"))
+    val fallback = deficient
+      .crossJoin(e.select(col("vec_id").as("c_id")))
+      .filter(col("q_id") =!= col("c_id"))
+    val allCands = candIds.union(fallback).distinct()
     val qVecs = broadcast(e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
-    val scored = candIds
+    val scored = allCands
       .join(qVecs, Seq("q_id"))
       .join(e.select(col("vec_id").as("c_id"), col("embedding").as("cv")), Seq("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -332,13 +352,23 @@ object Similarity {
         SELECT DISTINCT p.q_id, s.vec_id AS c_id
         FROM probes p JOIN sigs s ON s.table_id = p.table_id AND s.bucket = p.bucket
         WHERE s.vec_id <> p.q_id),
+      ccount AS (SELECT q_id, count(*) AS nc FROM cand GROUP BY q_id),
+      deficient AS (
+        SELECT q.vec_id AS q_id FROM embeddings q
+        LEFT JOIN ccount c ON c.q_id = q.vec_id
+        WHERE q.vec_id < 5 AND coalesce(c.nc, 0) < 10),
+      cand2 AS (
+        SELECT q_id, c_id FROM cand
+        UNION
+        SELECT d.q_id, e.vec_id AS c_id FROM deficient d, embeddings e
+        WHERE e.vec_id <> d.q_id),
       norms AS (
         SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
         FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
       pairs AS (
         SELECT c.q_id, c.c_id, eq.embedding AS qv, ec.embedding AS cv
-        FROM cand c JOIN embeddings eq ON eq.vec_id = c.q_id
-                    JOIN embeddings ec ON ec.vec_id = c.c_id),
+        FROM cand2 c JOIN embeddings eq ON eq.vec_id = c.q_id
+                     JOIN embeddings ec ON ec.vec_id = c.c_id),
       dots AS (
         SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
         FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs) GROUP BY q_id, c_id),

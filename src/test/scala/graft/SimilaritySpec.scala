@@ -31,6 +31,49 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap > 0, s"LSH found none of the true top-10 pairs")
   }
 
+  test("LSH ANN k-guarantee survives an adversarial bucket distribution") {
+    import spark.implicits._
+    // Build a corpus whose SRP buckets are pairwise ≥2 bit-flips apart
+    // in EVERY hash table: then no probe key (home ∪ 1-bit flips) ever
+    // lands in another vector's home bucket, so pure LSH yields ZERO
+    // candidates and only the deficit-triggered brute-force fallback
+    // can satisfy k. Greedily select such vectors from the real
+    // embeddings via their actual bucket signatures.
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val buckets = e.select(col("vec_id"),
+        graft.GraftFunctions.srpBuckets(col("embedding"),
+          Similarity.lshPlanes, Similarity.LshTables, Similarity.LshBits).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    def farApart(a: Seq[Long], b: Seq[Long]): Boolean =
+      a.zip(b).forall { case (x, y) => java.lang.Long.bitCount(x ^ y) >= 2 }
+    val kept = buckets.foldLeft(Vector.empty[(Long, Seq[Long])]) {
+      case (acc, (id, bs)) =>
+        if (acc.size < 12 && acc.forall(k => farApart(k._2, bs))) acc :+ ((id, bs))
+        else acc
+    }.map(_._1)
+    assert(kept.size == 12, s"could not assemble adversarial corpus: ${kept.size}")
+    // relabel 0..11 so vec_id < 5 selects 5 queries
+    val idMap = kept.zipWithIndex.toMap
+    val adv = e.filter(col("vec_id").isin(kept: _*))
+      .collect().map(r => (idMap(r.getLong(0)).toLong, r.getSeq[Float](1)))
+      .toSeq.toDF("vec_id", "embedding")
+    val res = Similarity.annLsh(adv).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until 5L).toSet,
+      s"missing queries: ${byQuery.keySet}")
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 10, s"query $q returned ${rows.length} rows, not k=10")
+      assert(rows.map(_.getInt(2)).toSeq.sorted == (1 to 10))
+    }
+    // the fallback path must reproduce exact brute-force ranking
+    val bf = Similarity.annBruteforce(adv).collect()
+      .filter(_.getInt(2) <= 10).map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    res.foreach { r =>
+      assert(bf((r.getLong(0), r.getInt(2))) == r.getLong(1),
+        s"fallback ranking diverges from brute force at ${(r.getLong(0), r.getInt(2))}")
+    }
+  }
+
   test("deterministic-centroid IVF returns ranked rows per query") {
     val res = Similarity.annIvfDet(spark, sfDir).collect()
     val byQuery = res.groupBy(_.getLong(0))
