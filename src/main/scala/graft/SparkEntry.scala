@@ -54,6 +54,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d5_embed_neardup" -> (Dedup.embedNeardup _),
     "b1_sequence_search" -> ((s: SparkSession, d: String) => Dedup.sequenceSearch(s, d)),
+    "b2_sequence_align" -> ((s: SparkSession, d: String) => Dedup.sequenceAlign(s, d)),
     "d7_dedup_pipeline" -> (Dedup.dedupPipeline _),
     "d6_decontaminate" -> (Dedup.decontaminate _),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
@@ -640,6 +641,31 @@ object SparkEntry {
         round(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6) AS score
       FROM scored
       ORDER BY score DESC, doc_id
+      LIMIT 10""",
+    "b2_sequence_align" -> """
+      WITH tri AS (
+        SELECT doc_id, text,
+          list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)), i -> substr(text, i, 3))) AS tg
+        FROM documents),
+      q AS (
+        SELECT list_distinct(list_transform(
+          generate_series(1, length('the fast key order sort table scan merge')-2),
+          i -> substr('the fast key order sort table scan merge', i, 3))) AS qg),
+      scored AS (
+        SELECT doc_id, text,
+          CAST(len(list_filter(tg, x -> list_contains(qg, x))) AS BIGINT) AS n_inter,
+          CAST(len(tg) + len(qg) - len(list_filter(tg, x -> list_contains(qg, x))) AS BIGINT) AS n_union
+        FROM tri, q),
+      top20 AS (
+        SELECT doc_id, text,
+          round(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6) AS trigram_score
+        FROM scored
+        ORDER BY trigram_score DESC, doc_id
+        LIMIT 20)
+      SELECT doc_id, trigram_score,
+        CAST(levenshtein(text, 'the fast key order sort table scan merge') AS BIGINT) AS edit_dist
+      FROM top20
+      ORDER BY edit_dist, trigram_score DESC, doc_id
       LIMIT 10""",
     "s2_ann_lsh" -> Similarity.s2OracleSql,
     "s3_ann_ivf" -> Similarity.s3OracleSql,

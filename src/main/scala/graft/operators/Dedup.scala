@@ -295,6 +295,41 @@ object Dedup {
       .limit(10)
   }
 
+  /** Alignment-grade sequence search — the second half of the BLAST
+    * shape [[sequenceSearch]] only seeds: trigram Jaccard generates
+    * the top-20 candidates (one corpus scan + TakeOrdered, exactly
+    * b1's plan), then a FULL edit-distance alignment re-scores only
+    * those 20 — bounded per-query work (top-k × |text| × |query| DP),
+    * so the expensive alignment never touches the corpus at large.
+    * Final ranking: ascending edit distance, trigram score as the
+    * tie-break. Both stages are oracle-expressible (DuckDB
+    * `levenshtein` is the same classic DP). */
+  def sequenceAlign(spark: SparkSession, dir: String,
+      query: String = "the fast key order sort table scan merge"): DataFrame =
+    sequenceAlign(Tables.parallel(Tables.load(spark, dir, "documents")), query)
+
+  def sequenceAlign(docs: DataFrame, query: String): DataFrame = {
+    val qGrams = (1 to query.length - 2).map(i => query.substring(i - 1, i + 2)).distinct
+    val cands = docs
+      .select(col("doc_id"), col("text"),
+        expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))")
+          .as("tg"))
+      .select(col("doc_id"), col("text"),
+        size(filter(col("tg"), t => t.isin(qGrams: _*))).cast("long").as("n_inter"),
+        size(col("tg")).cast("long").as("n_tg"))
+      .select(col("doc_id"), col("text"),
+        round(col("n_inter").cast("double") /
+          (col("n_tg") + lit(qGrams.size.toLong) - col("n_inter")).cast("double"), 6)
+          .as("trigram_score"))
+      .orderBy(col("trigram_score").desc, col("doc_id"))
+      .limit(20)
+    cands
+      .withColumn("edit_dist", levenshtein(col("text"), lit(query)).cast("long"))
+      .select(col("doc_id"), col("trigram_score"), col("edit_dist"))
+      .orderBy(col("edit_dist"), col("trigram_score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** End-to-end dedup DECISION operator — the piece the individual
     * signature ops feed: MinHash-LSH candidate pairs (d2's banding) →
     * shingle-Jaccard verification → transitive duplicate clusters →

@@ -60,6 +60,21 @@ class DedupSpec extends SparkSpec {
     assert(diff.count() == 0, "explode+agg signatures diverge from HOF fold")
   }
 
+  test("sequence alignment ranks an exact query match first") {
+    import spark.implicits._
+    val q = "the fast key order sort table scan merge"
+    val docs = Seq(
+      (1L, q),
+      (2L, q + " extra tail"),
+      (3L, "completely unrelated words about nothing at all"),
+      (4L, "the fast key order sort merge")).toDF("doc_id", "text")
+    val res = Dedup.sequenceAlign(docs, q).collect()
+    assert(res.head.getLong(0) == 1L && res.head.getLong(2) == 0L,
+      s"exact match not first with distance 0: ${res.head}")
+    val dists = res.map(_.getLong(2)).toSeq
+    assert(dists == dists.sorted, s"not sorted by edit distance: $dists")
+  }
+
   test("dedup pipeline assigns transitive chains to one cluster, keep-first") {
     import spark.implicits._
     // A~B and B~C are near-identical (1 word changed each, at opposite
