@@ -56,6 +56,8 @@ object SparkEntry {
     "b1_sequence_search" -> ((s: SparkSession, d: String) => Dedup.sequenceSearch(s, d)),
     "b2_sequence_align" -> ((s: SparkSession, d: String) => Dedup.sequenceAlign(s, d)),
     "d7_dedup_pipeline" -> (Dedup.dedupPipeline _),
+    "d8_cluster_histogram" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterHistogram(Dedup.dedupPipeline(s, d))),
     "d6_decontaminate" -> (Dedup.decontaminate _),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
@@ -75,6 +77,54 @@ object SparkEntry {
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
     * registered under their bare table names). Aliases match the Spark
     * output columns exactly — the driver's compare requires it. */
+  /** Shared recursive-CTE prefix of the d7/d8 oracles: MinHash-LSH
+    * candidates → shingle-Jaccard verify → transitive closure (`cc` =
+    * node → component-min cluster label). */
+  private val DedupCte = """
+      WITH RECURSIVE hs AS (
+        SELECT doc_id, list_transform(
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))),
+          s -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(s)), ci -> CAST(ascii(substr(s, ci, 1)) AS BIGINT))),
+                 (acc, ch) -> (acc * 131 + ch) % 2147483647)) AS hl
+        FROM documents),
+      hsd AS (SELECT doc_id, list_distinct(hl) AS hl FROM hs),
+      sigs AS (
+        SELECT doc_id, list_transform(generate_series(0, 63), j ->
+          list_min(list_transform(hl, h -> ((j*2+1) * h + j*12345 + 7) % 2147483647))) AS sig
+        FROM hs),
+      bands AS (
+        SELECT doc_id, b['band_idx'] AS band_idx, b['band_key'] AS band_key FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(0, 15), bi ->
+            {'band_idx': bi,
+             'band_key': list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_slice(sig, bi*4 + 1, bi*4 + 4)),
+               (a, m) -> (a * 1000003 + m) % 2147483647)})) AS b
+          FROM sigs) t),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+      verified AS (
+        SELECT c.a_id, c.b_id
+        FROM cands c JOIN hsd a ON a.doc_id = c.a_id JOIN hsd b ON b.doc_id = c.b_id
+        WHERE CAST(len(list_filter(a.hl, x -> list_contains(b.hl, x))) AS DOUBLE)
+              / CAST(len(a.hl) + len(b.hl) - len(list_filter(a.hl, x -> list_contains(b.hl, x))) AS DOUBLE)
+              >= 0.5),
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM verified
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM verified),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
@@ -516,55 +566,21 @@ object SparkEntry {
       SELECT s.doc_id, s.simhash, coalesce(c.n, CAST(0 AS BIGINT)) AS n_near
       FROM sh s LEFT JOIN counts c ON c.doc_id = s.doc_id
       ORDER BY s.doc_id""",
-    "d7_dedup_pipeline" -> """
-      WITH RECURSIVE hs AS (
-        SELECT doc_id, list_transform(
-          list_distinct(list_transform(
-            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))),
-          s -> list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(generate_series(1, length(s)), ci -> CAST(ascii(substr(s, ci, 1)) AS BIGINT))),
-                 (acc, ch) -> (acc * 131 + ch) % 2147483647)) AS hl
-        FROM documents),
-      hsd AS (SELECT doc_id, list_distinct(hl) AS hl FROM hs),
-      sigs AS (
-        SELECT doc_id, list_transform(generate_series(0, 63), j ->
-          list_min(list_transform(hl, h -> ((j*2+1) * h + j*12345 + 7) % 2147483647))) AS sig
-        FROM hs),
-      bands AS (
-        SELECT doc_id, b['band_idx'] AS band_idx, b['band_key'] AS band_key FROM (
-          SELECT doc_id, unnest(list_transform(generate_series(0, 15), bi ->
-            {'band_idx': bi,
-             'band_key': list_reduce(
-               list_prepend(CAST(0 AS BIGINT), list_slice(sig, bi*4 + 1, bi*4 + 4)),
-               (a, m) -> (a * 1000003 + m) % 2147483647)})) AS b
-          FROM sigs) t),
-      cands AS (
-        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        FROM bands x JOIN bands y
-          ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-      verified AS (
-        SELECT c.a_id, c.b_id
-        FROM cands c JOIN hsd a ON a.doc_id = c.a_id JOIN hsd b ON b.doc_id = c.b_id
-        WHERE CAST(len(list_filter(a.hl, x -> list_contains(b.hl, x))) AS DOUBLE)
-              / CAST(len(a.hl) + len(b.hl) - len(list_filter(a.hl, x -> list_contains(b.hl, x))) AS DOUBLE)
-              >= 0.5),
-      edges AS (
-        SELECT a_id AS src, b_id AS dst FROM verified
-        UNION ALL
-        SELECT b_id AS src, a_id AS dst FROM verified),
-      nodes AS (SELECT DISTINCT src AS node FROM edges),
-      reach(node, lbl) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
-      cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)
+    "d7_dedup_pipeline" -> (DedupCte + """
       SELECT d.doc_id,
         coalesce(c.cluster, d.doc_id) AS cluster_id,
         d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
       FROM documents d LEFT JOIN cc c ON c.node = d.doc_id
-      ORDER BY d.doc_id""",
+      ORDER BY d.doc_id"""),
+    "d8_cluster_histogram" -> (DedupCte + """
+      , decision AS (
+        SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc c ON c.node = d.doc_id)
+      SELECT cluster_size, count(*) AS n_clusters FROM (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM decision GROUP BY cluster_id) t
+      GROUP BY cluster_size
+      ORDER BY cluster_size"""),
     "d6_decontaminate" -> """
       WITH sh AS (
         SELECT doc_id, source,

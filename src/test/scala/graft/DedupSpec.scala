@@ -60,6 +60,40 @@ class DedupSpec extends SparkSpec {
     assert(diff.count() == 0, "explode+agg signatures diverge from HOF fold")
   }
 
+  test("dedup pipeline is identical under reliable checkpointing") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val b = (words.dropRight(1) :+ "changedend").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((20L, a), (21L, b), (22L, unrelated)).toDF("doc_id", "text")
+    val local = Dedup.dedupPipeline(docs, 0.5).collect().map(_.toSeq).toSeq
+    val ckptDir = Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckptDir)
+    try {
+      val reliable = Dedup.dedupPipeline(docs, 0.5).collect().map(_.toSeq).toSeq
+      assert(reliable == local,
+        s"reliable-checkpoint run diverges: $reliable vs $local")
+      // prove the reliable path actually ran: checkpoint files on disk
+      val written = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, "no checkpoint files written to the reliable dir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
+  test("cluster-size histogram counts singletons and planted clusters") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"tok$i")
+    val a = words.mkString(" ")
+    val b = (words.dropRight(1) :+ "changedend").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((30L, a), (31L, b), (32L, unrelated)).toDF("doc_id", "text")
+    val hist = Dedup.clusterHistogram(Dedup.dedupPipeline(docs, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one 2-cluster (a~b) and one singleton
+    assert(hist == Map(1L -> 1L, 2L -> 1L), s"unexpected histogram $hist")
+  }
+
   test("sequence alignment ranks an exact query match first") {
     import spark.implicits._
     val q = "the fast key order sort table scan merge"
