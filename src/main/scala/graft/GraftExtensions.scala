@@ -66,5 +66,5 @@ object GraftFunctions {
     org.apache.spark.sql.graftshim.GraftShim.column(
       graft.functions.expressions.SrpBuckets(
         org.apache.spark.sql.graftshim.GraftShim.expression(v),
-        planes.map(_.toArray).toArray, nTables, bitsPerTable))
+        planes, nTables, bitsPerTable))
 }

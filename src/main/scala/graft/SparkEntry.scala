@@ -496,6 +496,13 @@ object SparkEntry {
     "d1_dedup_exact" -> """
       SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY kept_doc_id""",
+    // NOTE on the LSH oracles (d2/d3/d7/d8): the SQL expresses UNCAPPED
+    // clique banding. The Spark operators additionally cap hot buckets
+    // (> maxBucket members emit star edges instead of a quadratic
+    // clique) — a production-scale knob that never triggers at oracle
+    // scale (largest sf0.01 bucket ≪ 1000), so the gate compares
+    // like-for-like; the cap's topology is pinned separately by
+    // ScaleSpec's 2000-identical-doc corpus.
     "d2_dedup_minhash" -> """
       WITH hs AS (
         SELECT doc_id, list_transform(

@@ -22,12 +22,19 @@ import org.apache.spark.sql.types._
   * to a DuckDB `list_reduce` over the per-index products, which is what
   * lets the whole LSH pipeline be oracle-checked.
   */
-case class SrpBuckets(child: Expression, planes: Array[Array[Double]],
+case class SrpBuckets(child: Expression, planes: Seq[Seq[Double]],
     nTables: Int, bitsPerTable: Int) extends UnaryExpression {
 
   require(planes.length == nTables * bitsPerTable,
     s"need ${nTables * bitsPerTable} planes, got ${planes.length}")
   require(bitsPerTable <= 63, "bucket bits must fit a Long")
+
+  // planes stay a Seq so the case-class equals/hashCode compare
+  // CONTENTS (Array fields fall back to reference identity, which
+  // defeats Catalyst canonicalization — semanticEquals, subexpression
+  // elimination, exchange reuse); eval/codegen use this flat copy
+  @transient private lazy val planesArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -51,8 +58,8 @@ case class SrpBuckets(child: Expression, planes: Array[Array[Double]],
     val get = elemGetter
     val buckets = new Array[Long](nTables)
     var pi = 0
-    while (pi < planes.length) {
-      val p = planes(pi)
+    while (pi < planesArr.length) {
+      val p = planesArr(pi)
       val n = math.min(p.length, v.numElements())
       var dot = 0.0
       var j = 0
@@ -64,7 +71,7 @@ case class SrpBuckets(child: Expression, planes: Array[Array[Double]],
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("srpPlanes", planes, "double[][]")
+    val planesRef = ctx.addReferenceObj("srpPlanes", planesArr, "double[][]")
     def getter(arr: String, i: String): String =
       child.dataType.asInstanceOf[ArrayType].elementType match {
         case FloatType => s"(double) $arr.getFloat($i)"

@@ -63,7 +63,7 @@ object Similarity {
     val sample = feat.filter(
       pmod(pmod(col("vec_id"), lit(1000000000L)) * lit(2654435761L), lit(100)) < 25)
       .cache()
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(3)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell")
     val fitted = model.fit(sample)
     // fit() is eager — the sample cache has served its purpose (KMeans

@@ -20,6 +20,27 @@ class ExpressionSpec extends SparkSpec {
     assert(diff.count() == 0, "native and HOF cosine disagree")
   }
 
+  test("independently built SrpBuckets/PolyHash canonicalize as equal") {
+    import graft.operators.Similarity._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    // content-based equals/hashCode is what lets Catalyst reuse
+    // subexpressions and exchanges across separately constructed plans
+    // (an Array-typed field compares by reference and defeats both);
+    // literal children isolate the plane/param comparison
+    val vec = Literal.create(Array.fill(64)(0.5f), ArrayType(FloatType))
+    def srp = graft.functions.expressions.SrpBuckets(
+      vec, lshPlanes.map(_.map(identity)), LshTables, LshBits)
+    val (s1, s2) = (srp, srp)
+    assert(s1 == s2 && s1.hashCode == s2.hashCode,
+      "structurally identical SrpBuckets compare unequal")
+    assert(s1.semanticEquals(s2), "semanticEquals failed on equal SrpBuckets")
+    def ph = graft.functions.expressions.PolyHash(
+      Literal.create("abc", StringType), 131L, 2147483647L)
+    val (p1, p2) = (ph, ph)
+    assert(p1 == p2 && p1.semanticEquals(p2))
+  }
+
   test("native srp_buckets == composed HOF srpBucket, bit for bit") {
     import graft.operators.Similarity._
     val e = Tables.load(spark, sfDir, "embeddings")
@@ -49,7 +70,7 @@ class ExpressionSpec extends SparkSpec {
       .head().getSeq[Long](0)
     val expr = graft.functions.expressions.SrpBuckets(
       Literal.create(vec, ArrayType(FloatType)),
-      lshPlanes.map(_.toArray).toArray, LshTables, LshBits)
+      lshPlanes, LshTables, LshBits)
     val interp = expr.eval(null)
       .asInstanceOf[ArrayData].toLongArray().toSeq
     assert(fromDf == interp, s"codegen $fromDf != interpreted $interp")
