@@ -58,6 +58,27 @@ object GraftFunctions {
       graft.functions.expressions.PolyHash(
         org.apache.spark.sql.graftshim.GraftShim.expression(c), mult, mod))
 
+  /** Column API for the fused word-shingle hasher (text → distinct
+    * word-n-gram hashes, one linear pass, no shingle strings). */
+  def wordShingleHashes(text: Column, n: Int = 3, mult: Long = 131L,
+      mod: Long = 2147483647L): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.expressions.WordShingleHashes(
+        org.apache.spark.sql.graftshim.GraftShim.expression(text), n, mult, mod))
+
+  /** Column API for the one-pass MinHash signature (k permutation
+    * minima of a feature-hash array; zero-shuffle projection). */
+  def minhashSig(hashes: Column, k: Int): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.expressions.MinHashSig(
+        org.apache.spark.sql.graftshim.GraftShim.expression(hashes), k))
+
+  /** Column API for the one-pass SimHash fingerprint. */
+  def simhashBits(hashes: Column, bits: Int): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.expressions.SimHashBits(
+        org.apache.spark.sql.graftshim.GraftShim.expression(hashes), bits))
+
   /** Column API for the fused SRP-LSH bucket expression (bypasses the
     * registry: the plane matrix is a constructor parameter, not a
     * child expression). */

@@ -65,28 +65,33 @@ object Dedup {
       i => concat_ws(" ", slice(words, i, lit(3)))))
   }
 
-  /** Shingle strings → 31-bit polynomial hashes via the native
-    * [[graft.functions.expressions.PolyHash]] — one linear pass per
-    * shingle; the composed `ascii(substring(...))` fold it replaces is
-    * O(len²) per shingle and allocates an intermediate array. Same
-    * arithmetic, so the DuckDB oracles are untouched. */
+  /** Distinct word-3-gram hashes via the fused native
+    * [[graft.functions.expressions.WordShingleHashes]]: one linear
+    * pass over the text, no shingle strings, no per-shingle
+    * re-evaluation of `split` (the composed form re-ran the split
+    * once per shingle after CollapseProject — O(words²) per doc).
+    * Value set identical to hashing [[shingleStrings]] with
+    * [[graft.functions.expressions.PolyHash]] (spec-pinned), so the
+    * DuckDB oracles are untouched. */
   private def hashedShingleCol(text: Column): Column =
+    graft.GraftFunctions.wordShingleHashes(text, 3)
+
+  /** The composed shingle-hash form [[hashedShingleCol]] fuses —
+    * kept for the bit-parity spec. */
+  private[graft] def composedShingleHashes(text: Column): Column =
     transform(shingleStrings(text), s => graft.GraftFunctions.polyHash(s))
 
-  /** (doc_id, sig) frame: shingles hashed ONCE per document (explode),
-    * then the 64 permutation minima as map-side partial aggregates —
-    * the whole path stays in whole-stage codegen and the shuffle
-    * carries one 64-long array per document. ~15× faster than the
-    * nested-HOF form at sf0.1 and the shape that survives 100 TB. */
-  private[graft] def minhashSigs(documents: DataFrame, k: Int = 64): DataFrame = {
-    val hashed = documents.select(col("doc_id"),
-      explode(hashedShingleCol(col("text"))).as("h"))
-    val mins = (0 until k).map(j =>
-      min(expr(s"(($j*2+1) * h + $j*12345 + 7) % $HashPrime")).as(s"m$j"))
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
-  }
+  /** (doc_id, sig) frame: shingles hashed once per document, then all
+    * 64 permutation minima in ONE projection pass via the native
+    * [[graft.functions.expressions.MinHashSig]] — signature
+    * computation is a pure per-document function, so no explode, no
+    * groupBy, ZERO shuffle (the r2 explode + 64-partial-agg form
+    * shuffled docs × shingles rows; at 100 TB that shuffle dwarfs the
+    * band join this pipeline exists to feed). Bit-identical to the
+    * nested-HOF fold (spec-pinned) and the DuckDB oracle. */
+  private[graft] def minhashSigs(documents: DataFrame, k: Int = 64): DataFrame =
+    documents.select(col("doc_id"),
+      graft.GraftFunctions.minhashSig(hashedShingleCol(col("text")), k).as("sig"))
 
   /** Banded signatures → distinct candidate pairs, with HOT-BUCKET
     * protection: buckets up to `maxBucket` members pair all-vs-all
@@ -196,27 +201,18 @@ object Dedup {
     simhash(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def simhash(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    val Half = 1073741824L // 2^30 = ceil(p/2): sign threshold
-    // explode per-word hashes once, then 60 conditional-sum partial
-    // aggregates — the nested-fold form re-evaluated the word hashing
-    // once per bit after projection collapse; the native PolyHash
-    // replaces the O(len²) per-char fold
-    val hw = docs.select(col("doc_id"),
-      explode(transform(split(col("text"), " "),
-        w => graft.GraftFunctions.polyHash(w))).as("h"))
-    val bitSums = (0 until SimhashBits).map(i =>
-      sum(when((lit(2L * i + 1) * col("h") + lit(i * 12345L + 7L)) % HashPrime >= Half, 1L)
-        .otherwise(-1L)).as(s"b$i"))
-    // checkpointed: referenced by the banding, both verification
-    // re-attach joins, and the final projection — each reference would
-    // otherwise re-run the word-hash explode + 60 partial aggregates.
-    // One long per doc; freed by the ContextCleaner with the result.
+    // word hashes (native PolyHash) → fingerprint in ONE projection
+    // pass (native SimHashBits: every word votes ±1 per bit, bit set
+    // on non-negative sum) — no explode, no 60-way aggregate, zero
+    // shuffle. Checkpointed because the banding, both verification
+    // re-attach joins, and the final projection all reference it; one
+    // long per doc, freed by the ContextCleaner with the result.
     val sh = graft.Ckpt(
-      hw.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until SimhashBits).map(i =>
-            when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash")))
+      docs.select(col("doc_id"),
+        graft.GraftFunctions.simhashBits(
+          transform(split(col("text"), " "),
+            w => graft.GraftFunctions.polyHash(w)),
+          SimhashBits).as("simhash")))
     val bandStructs = (0 until SimhashBits / SimhashBandBits).map(b =>
       struct(lit(b).as("band_idx"),
         shiftright(col("simhash"), b * SimhashBandBits)

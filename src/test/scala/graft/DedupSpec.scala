@@ -51,6 +51,24 @@ class DedupSpec extends SparkSpec {
       s"exact-copy pairs missing from $flagged")
   }
 
+  test("fused shingle hashes equal the composed split/concat/hash form") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val edges = Seq((9001L, ""), (9002L, "one"), (9003L, "one two"),
+      (9004L, "a  b   c"), (9005L, "trailing space "), (9006L, " leading"),
+      (9007L, (1 to 50).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = corpus.union(edges)
+    val diff = docs.select(col("doc_id"),
+        array_sort(graft.GraftFunctions.wordShingleHashes(col("text"), 3)).as("fused"),
+        array_sort(array_distinct(
+          graft.operators.Dedup.composedShingleHashes(col("text")))).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(diff.count() == 0,
+      s"fused/composed shingle hashes diverge: ${diff.take(3).mkString(";")}")
+  }
+
   test("aggregated minhash signatures equal the nested-HOF form bit-for-bit") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val agg = Dedup.minhashSigs(docs)
