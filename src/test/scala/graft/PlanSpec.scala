@@ -34,6 +34,30 @@ class PlanSpec extends SparkSpec {
     assert(p4.contains("BroadcastHashJoin"), s"q4 lost its broadcast join")
   }
 
+  test("d2/d3: signature computation is a zero-shuffle projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    // the signature frame must contain NO exchange — minhash/simhash
+    // signatures are per-document projections; the LSH band join is
+    // the pipelines' only legitimate shuffle
+    val sigs = graft.operators.Dedup.minhashSigs(docs)
+    val sigShuffles = sigs.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(sigShuffles.isEmpty,
+      s"minhash signature plan shuffles:\n${sigs.queryExecution.executedPlan}")
+    val sh = docs.select(col("doc_id"),
+      graft.GraftFunctions.simhashBits(
+        transform(split(col("text"), " "),
+          w => graft.GraftFunctions.polyHash(w)),
+        graft.operators.Dedup.SimhashBits).as("simhash"))
+    val shShuffles = sh.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shShuffles.isEmpty, "simhash fingerprint plan shuffles")
+  }
+
   test("s2: the fused SRP bucket projection stays in whole-stage codegen") {
     import graft.operators.Similarity._
     import org.apache.spark.sql.functions._
