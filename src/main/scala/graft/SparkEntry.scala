@@ -41,6 +41,7 @@ object SparkEntry {
     "q27_deep_rollup" -> (Relational.q27DeepRollup _),
     "q28_keyset" -> ((s: SparkSession, d: String) => Relational.q28Keyset(s, d)),
     "q29_scalar_subquery" -> (Relational.q29ScalarSubquery _),
+    "q30_bray_curtis" -> (Relational.q30BrayCurtis _),
     "t6_repetition" -> (TextOps.repetition _),
     "m2_frame_sample" -> (Multimodal.frameSample _),
     "e5_interval_join" -> (Events.intervalJoin _),
@@ -411,6 +412,27 @@ object SparkEntry {
          OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey > 0)
       ORDER BY o_orderdate, o_orderkey
       LIMIT 50""",
+    "q30_bray_curtis" -> """
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY n_name),
+      cm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS c
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2)
+      SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+        round(1.0 - 2.0 * CAST(coalesce(cm.c, 0) AS DOUBLE)
+          / (CAST(ta.s AS DOUBLE) + CAST(tb.s AS DOUBLE)), 6) AS bray_curtis
+      FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+      LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name
+      ORDER BY sample_a, sample_b""",
     "t6_repetition" -> """
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS ws,

@@ -477,6 +477,46 @@ object Relational {
       ORDER BY o_orderpriority""")
   }
 
+  /** Pairwise quantitative Bray–Curtis dissimilarity between samples
+    * (the reference's sample-comparison layer): BC(a,b) =
+    * 1 − 2·Σ_t min(a_t, b_t) / (S_a + S_b) — the min-sum identity
+    * avoids any full-outer taxon alignment (absent taxa contribute 0
+    * to the min-sum and their abundance is already inside S).
+    *
+    * Scale shape: the per-(sample, taxon) abundance aggregation is the
+    * only fact-scale work (one shuffle, exact DECIMAL sums); the pair
+    * join runs on the aggregate-bounded matrix (samples × taxa) and
+    * the pair universe is a bounded dim×dim cross, so the quadratic
+    * piece never touches the fact table. */
+  def q30BrayCurtis(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val abundance = l
+      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    val totals = abundance.groupBy(col("n_name"))
+      .agg(sum(col("qty")).as("s"))
+    val commonMin = abundance.as("a")
+      .join(abundance.as("b"),
+        col("a.p_type") === col("b.p_type") &&
+        col("a.n_name") < col("b.n_name"))
+      .groupBy(col("a.n_name").as("sample_a"), col("b.n_name").as("sample_b"))
+      .agg(sum(least(col("a.qty"), col("b.qty"))).as("c"))
+    totals.as("ta").join(totals.as("tb"), col("ta.n_name") < col("tb.n_name"))
+      .select(col("ta.n_name").as("sample_a"), col("tb.n_name").as("sample_b"),
+        col("ta.s").as("sa"), col("tb.s").as("sb"))
+      .join(commonMin, Seq("sample_a", "sample_b"), "left_outer")
+      .select(col("sample_a"), col("sample_b"),
+        round(lit(1.0) -
+          lit(2.0) * coalesce(col("c"), lit(0).cast(D2)).cast("double") /
+            (col("sa").cast("double") + col("sb").cast("double")), 6)
+          .as("bray_curtis"))
+      .orderBy("sample_a", "sample_b")
+  }
+
   /** Exact interpolated percentiles of a contextual metric per group
     * (matches DuckDB quantile_cont). */
   def q20Percentiles(spark: SparkSession, dir: String): DataFrame = {

@@ -41,6 +41,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!res(2L)._3, s"diverse doc flagged: $res")
   }
 
+  test("Bray-Curtis covers every sample pair with values in [0,1]") {
+    val res = graft.operators.Relational.q30BrayCurtis(spark, sfDir).collect()
+    val samples = (res.map(_.getString(0)) ++ res.map(_.getString(1))).distinct.length
+    assert(res.length == samples * (samples - 1) / 2,
+      s"expected all ${samples * (samples - 1) / 2} pairs, got ${res.length}")
+    assert(res.forall { r =>
+      val v = r.getDouble(2); v >= 0.0 && v <= 1.0
+    }, "Bray-Curtis outside [0,1]")
+    // pairs are canonically ordered, no self-pairs
+    assert(res.forall(r => r.getString(0) < r.getString(1)))
+  }
+
   test("batch interval join attributes purchases within the window only") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
