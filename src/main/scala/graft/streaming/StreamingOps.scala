@@ -52,6 +52,22 @@ object StreamingOps {
         col("p.event_id").as("purchase_id"),
         col("p.value").as("purchase_value"))
 
+  /** Streaming near-duplicate suppression: the batch MinHash signature
+    * ([[graft.operators.Dedup.minhashSigs]]' native zero-shuffle
+    * expressions) applied to an unbounded document stream, with
+    * `dropDuplicatesWithinWatermark` keying on the full signature —
+    * exact re-posts and near-dups that collide on all 64 minima are
+    * suppressed while the watermark bounds the signature state (an
+    * unbounded exact-dedup key set is the classic streaming-dedup
+    * OOM). Docs carry an event-time `ts` column. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"),
+        graft.GraftFunctions.minhashSig(
+          graft.GraftFunctions.wordShingleHashes(col("text"), 3), 64).as("sig"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig")
+
   /** Gap-based sessionization with explicit per-key state — the
     * streaming form of [[graft.operators.Events.sessionize]]. Emits a
     * session when a new event arrives past the gap, or when the

@@ -110,6 +110,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash dedup suppresses exact and near re-posts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingOps.dedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("minhash_dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, ts(0), base),
+        (2L, ts(1), base), // exact re-post → same signature
+        (3L, ts(2), (1 to 40).map(i => s"other$i").mkString(" ")))
+      q.processAllAvailable()
+      input.addData((4L, ts(3), base)) // late re-post, still in watermark
+      q.processAllAvailable()
+      val kept = spark.table("minhash_dedup_stream")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L), s"expected {1,3}, got $kept")
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionize agree on sub-millisecond gaps") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
