@@ -42,6 +42,7 @@ object SparkEntry {
     "q28_keyset" -> ((s: SparkSession, d: String) => Relational.q28Keyset(s, d)),
     "q29_scalar_subquery" -> (Relational.q29ScalarSubquery _),
     "q30_bray_curtis" -> (Relational.q30BrayCurtis _),
+    "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "t6_repetition" -> (TextOps.repetition _),
     "m2_frame_sample" -> (Multimodal.frameSample _),
     "e5_interval_join" -> (Events.intervalJoin _),
@@ -433,6 +434,7 @@ object SparkEntry {
       FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
       LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name
       ORDER BY sample_a, sample_b""",
+    "q31_pcoa" -> Ordination.q31OracleSql(),
     "t6_repetition" -> """
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS ws,

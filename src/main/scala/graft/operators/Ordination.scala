@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordination over the sample-dissimilarity matrix — the analysis the
+  * reference's comparison layer feeds into its sample-plot views:
+  * classical PCoA (metric MDS) reduced to its first principal axis.
+  *
+  * Numerical design: eigensolvers are library- and order-dependent, so
+  * this uses FIXED-COUNT POWER ITERATION over the double-centered Gram
+  * matrix where every reduction is a SEQUENTIAL index-order fold over
+  * arrays — the same deterministic-fold discipline as the cosine /
+  * SRP oracles — making all 20 iterations bit-reproducible in a DuckDB
+  * recursive CTE (full oracle, no rows-only concession).
+  *
+  * Scale shape: the only fact-scale work is the abundance aggregation
+  * inside [[Relational.q30BrayCurtis]]. Everything after runs on the
+  * aggregate-bounded sample×sample matrix, carried as ONE row of
+  * array<array<double>> (samples are a dimension: 25 here, thousands
+  * at most — megabytes, not fact-scale). Each power-iteration step is
+  * a tiny checkpointed job; lineage is truncated per step
+  * ([[graft.Ckpt]]) exactly like d7's label-propagation loop.
+  */
+object Ordination {
+
+  /** Fold helpers mirrored 1:1 by the oracle's list_reduce calls. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  private def foldMaxAbs(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+
+  def q31Pcoa(spark: SparkSession, dir: String, iters: Int = 20): DataFrame = {
+    val bc = Relational.q30BrayCurtis(spark, dir)
+    // symmetric D² matrix rows, canonically ordered by sample name both
+    // ways (sort_array on (name, value) structs pins fold order)
+    val names = bc.select(col("sample_a").as("si"))
+      .union(bc.select(col("sample_b"))).distinct()
+    val sym = bc.select(col("sample_a").as("si"), col("sample_b").as("sj"),
+        (col("bray_curtis") * col("bray_curtis")).as("d2"))
+      .union(bc.select(col("sample_b"), col("sample_a"),
+        (col("bray_curtis") * col("bray_curtis"))))
+      .union(names.select(col("si"), col("si").as("sj"), lit(0.0).as("d2")))
+    val rows = sym.groupBy("si")
+      .agg(transform(sort_array(collect_list(struct(col("sj"), col("d2")))),
+        s => s("d2")).as("row"))
+    // the whole matrix as one array<array<double>> row + the sample
+    // list that indexes it
+    val mat = rows
+      .agg(transform(sort_array(collect_list(struct(col("si"), col("row")))),
+        s => s("row")).as("d2m"),
+        sort_array(collect_list(col("si"))).as("samples"))
+      .select(col("d2m"), col("samples"), size(col("samples")).as("n"))
+    // double centering: B = −½ (D² − rowmean_i − rowmean_j + grandmean)
+    val centered = mat
+      .withColumn("rm", transform(col("d2m"), r => foldSum(r) / col("n")))
+      .withColumn("gmean", foldSum(col("rm")) / col("n"))
+      .select(col("samples"), col("n"),
+        transform(sequence(lit(1), col("n")), i =>
+          transform(sequence(lit(1), col("n")), j =>
+            lit(-0.5) * (element_at(element_at(col("d2m"), i), j)
+              - element_at(col("rm"), i) - element_at(col("rm"), j)
+              + col("gmean")))).as("gm"))
+    // power iteration from e₁ (the all-ones start lies in the centered
+    // matrix's null space), max-abs normalized each step; every step a
+    // tiny 1-row job, checkpointed so the plan stays linear
+    var state = graft.Ckpt(centered.withColumn("v",
+      transform(sequence(lit(1), col("n")),
+        i => when(i === 1, lit(1.0)).otherwise(lit(0.0)))))
+    for (_ <- 1 to iters) {
+      val stepped = state.withColumn("vv",
+        transform(sequence(lit(1), col("n")), i =>
+          foldSum(zip_with(element_at(col("gm"), i), col("v"), (a, b) => a * b))))
+      state = graft.Ckpt(stepped
+        .withColumn("m", foldMaxAbs(col("vv")))
+        .withColumn("v", transform(col("vv"), x => x / col("m")))
+        .drop("vv", "m"))
+    }
+    // sign convention: first component non-negative
+    state
+      .withColumn("sgn",
+        when(element_at(col("v"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
+      .select(posexplode(zip_with(col("samples"),
+        transform(col("v"), x => round(x * col("sgn"), 6)),
+        (s, x) => struct(s.as("sample"), x.as("axis1")))))
+      .select(col("col.sample").as("sample"), col("col.axis1").as("axis1"))
+      .orderBy("sample")
+  }
+
+  /** DuckDB oracle: identical folds through a recursive CTE. */
+  def q31OracleSql(iters: Int = 20): String = s"""
+      WITH RECURSIVE ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY n_name),
+      cm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS c
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      bc AS (
+        SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+          round(1.0 - 2.0 * CAST(coalesce(cm.c, 0) AS DOUBLE)
+            / (CAST(ta.s AS DOUBLE) + CAST(tb.s AS DOUBLE)), 6) AS d
+        FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+        LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name),
+      sym AS (
+        SELECT sample_a AS si, sample_b AS sj, d*d AS d2 FROM bc
+        UNION ALL SELECT sample_b, sample_a, d*d FROM bc
+        UNION ALL SELECT n_name, n_name, CAST(0.0 AS DOUBLE) FROM tot),
+      rows_ AS (
+        SELECT si, list_transform(
+          list_sort(list(struct_pack(sj := sj, d2 := d2))), s -> s['d2']) AS r
+        FROM sym GROUP BY si),
+      mat AS (
+        SELECT list_transform(list_sort(list(struct_pack(si := si, r := r))),
+                 s -> s['r']) AS d2m,
+               list_sort(list(si)) AS samples,
+               count(*) AS n
+        FROM rows_),
+      cent AS (
+        SELECT samples, n,
+          list_transform(generate_series(1, CAST(n AS INT)), i ->
+            list_transform(generate_series(1, CAST(n AS INT)), j ->
+              -0.5 * (d2m[i][j] - rm[i] - rm[j] + gmean))) AS gm
+        FROM (
+          SELECT samples, n, d2m, rm,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rm), (a, x) -> a + x) / n AS gmean
+          FROM (
+            SELECT samples, n, d2m,
+              list_transform(d2m, r ->
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), r), (a, x) -> a + x) / n) AS rm
+            FROM mat) t1) t2),
+      it AS (
+        SELECT 0 AS k,
+          list_transform(generate_series(1, CAST(n AS INT)),
+            i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v
+        FROM cent
+        UNION ALL
+        SELECT k + 1,
+          list_transform(vv, x -> x /
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(vv, y -> abs(y))), (a, x2) -> greatest(a, x2)))
+        FROM (
+          SELECT it.k,
+            list_transform(generate_series(1, CAST(cent.n AS INT)), i ->
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, CAST(cent.n AS INT)),
+                  j -> cent.gm[i][j] * it.v[j])), (a, x) -> a + x)) AS vv
+          FROM it, cent WHERE it.k < $iters) t),
+      fin AS (
+        SELECT v, CASE WHEN v[1] >= 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+        FROM it WHERE k = $iters),
+      idx AS (
+        SELECT unnest(generate_series(1, CAST(n AS INT))) AS i, samples
+        FROM cent)
+      SELECT idx.samples[idx.i] AS sample,
+        round(fin.v[idx.i] * fin.sgn, 6) AS axis1
+      FROM idx, fin
+      ORDER BY sample"""
+}

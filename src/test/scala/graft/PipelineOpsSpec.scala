@@ -53,6 +53,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res.forall(r => r.getString(0) < r.getString(1)))
   }
 
+  test("PCoA axis is max-normalized and separates the most dissimilar pair") {
+    val axis = graft.operators.Ordination.q31Pcoa(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(axis.values.forall(v => v >= -1.0 && v <= 1.0))
+    assert(math.abs(axis.values.map(math.abs).max - 1.0) < 1e-9,
+      "power iteration result not max-normalized")
+    // the two samples furthest apart on the axis must be far in BC too:
+    // their Bray-Curtis distance is above the median pairwise distance
+    val bc = graft.operators.Relational.q30BrayCurtis(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val hi = axis.maxBy(_._2)._1
+    val lo = axis.minBy(_._2)._1
+    val d = bc.collectFirst {
+      case (a, b, v) if Set(a, b) == Set(hi, lo) => v
+    }.get
+    val median = bc.map(_._3).sorted.apply(bc.length / 2)
+    assert(d >= median,
+      f"axis extremes ($hi,$lo) BC=$d%.3f below median $median%.3f")
+  }
+
   test("batch interval join attributes purchases within the window only") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
