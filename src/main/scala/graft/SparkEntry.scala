@@ -43,6 +43,7 @@ object SparkEntry {
     "q29_scalar_subquery" -> (Relational.q29ScalarSubquery _),
     "q30_bray_curtis" -> (Relational.q30BrayCurtis _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
+    "q32_taxonomy_browse" -> ((s: SparkSession, d: String) => Relational.q32TaxonomyBrowse(s, d)),
     "t6_repetition" -> (TextOps.repetition _),
     "m2_frame_sample" -> (Multimodal.frameSample _),
     "e5_interval_join" -> (Events.intervalJoin _),
@@ -435,6 +436,20 @@ object SparkEntry {
       LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name
       ORDER BY sample_a, sample_b""",
     "q31_pcoa" -> Ordination.q31OracleSql(),
+    "q32_taxonomy_browse" -> """
+      SELECT p_brand,
+        CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_taxa,
+        CAST(count(DISTINCT n_name) AS BIGINT) AS n_samples,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE 'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) % 5 AS VARCHAR) = 'MFGR#0'
+        AND p_type = 'ECONOMY'
+      GROUP BY p_brand
+      ORDER BY p_brand""",
     "t6_repetition" -> """
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS ws,

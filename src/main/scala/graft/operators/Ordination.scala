@@ -65,26 +65,51 @@ object Ordination {
     // power iteration from e₁ (the all-ones start lies in the centered
     // matrix's null space), max-abs normalized each step; every step a
     // tiny 1-row job, checkpointed so the plan stays linear
-    var state = graft.Ckpt(centered.withColumn("v",
-      transform(sequence(lit(1), col("n")),
-        i => when(i === 1, lit(1.0)).otherwise(lit(0.0)))))
-    for (_ <- 1 to iters) {
-      val stepped = state.withColumn("vv",
-        transform(sequence(lit(1), col("n")), i =>
-          foldSum(zip_with(element_at(col("gm"), i), col("v"), (a, b) => a * b))))
-      state = graft.Ckpt(stepped
-        .withColumn("m", foldMaxAbs(col("vv")))
-        .withColumn("v", transform(col("vv"), x => x / col("m")))
-        .drop("vv", "m"))
+    def e1(n: Column): Column =
+      transform(sequence(lit(1), n),
+        i => when(i === 1, lit(1.0)).otherwise(lit(0.0)))
+    def iterate(init: DataFrame, gmCol: String, vCol: String): DataFrame = {
+      var st = graft.Ckpt(init)
+      for (_ <- 1 to iters) {
+        val stepped = st.withColumn("vv",
+          transform(sequence(lit(1), col("n")), i =>
+            foldSum(zip_with(element_at(col(gmCol), i), col(vCol), (a, b) => a * b))))
+        st = graft.Ckpt(stepped
+          .withColumn("m", foldMaxAbs(col("vv")))
+          .withColumn(vCol, transform(col("vv"), x => x / col("m")))
+          .drop("vv", "m"))
+      }
+      st
     }
-    // sign convention: first component non-negative
-    state
-      .withColumn("sgn",
+    val s1 = iterate(centered.withColumn("v", e1(col("n"))), "gm", "v")
+    // Hotelling deflation for the SECOND axis (the ordination plot is
+    // 2-D): B₂ = B − λ₁·v₁v₁ᵀ/(v₁ᵀv₁), λ₁ the Rayleigh quotient — all
+    // sequential folds, mirrored op-for-op in the oracle.
+    val deflated = s1
+      .withColumn("bv", transform(sequence(lit(1), col("n")), i =>
+        foldSum(zip_with(element_at(col("gm"), i), col("v"), (a, b) => a * b))))
+      .withColumn("lam_num", foldSum(zip_with(col("v"), col("bv"), (a, b) => a * b)))
+      .withColumn("lam_den", foldSum(transform(col("v"), x => x * x)))
+      .withColumn("lam", col("lam_num") / col("lam_den"))
+      .withColumn("gm2", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), col("n")), j =>
+          element_at(element_at(col("gm"), i), j)
+            - col("lam") * element_at(col("v"), i) * element_at(col("v"), j)
+              / col("lam_den"))))
+      .drop("bv", "lam_num", "lam")
+    val s2 = iterate(deflated.withColumn("v2", e1(col("n"))), "gm2", "v2")
+    // sign convention: first component of each axis non-negative
+    s2
+      .withColumn("sgn1",
         when(element_at(col("v"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
-      .select(posexplode(zip_with(col("samples"),
-        transform(col("v"), x => round(x * col("sgn"), 6)),
-        (s, x) => struct(s.as("sample"), x.as("axis1")))))
-      .select(col("col.sample").as("sample"), col("col.axis1").as("axis1"))
+      .withColumn("sgn2",
+        when(element_at(col("v2"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
+      .select(posexplode(transform(sequence(lit(1), col("n")), i =>
+        struct(element_at(col("samples"), i).as("sample"),
+          round(element_at(col("v"), i) * col("sgn1"), 6).as("axis1"),
+          round(element_at(col("v2"), i) * col("sgn2"), 6).as("axis2")))))
+      .select(col("col.sample").as("sample"),
+        col("col.axis1").as("axis1"), col("col.axis2").as("axis2"))
       .orderBy("sample")
   }
 
@@ -157,11 +182,49 @@ object Ordination {
       fin AS (
         SELECT v, CASE WHEN v[1] >= 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
         FROM it WHERE k = $iters),
+      defl AS (
+        SELECT n, gm2 FROM (
+          SELECT n,
+            list_transform(generate_series(1, CAST(n AS INT)), i ->
+              list_transform(generate_series(1, CAST(n AS INT)), j ->
+                gm[i][j] - (lam_num / lam_den) * v[i] * v[j] / lam_den)) AS gm2
+          FROM (
+            SELECT cent.n, cent.gm, fin.v,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, CAST(cent.n AS INT)), i ->
+                  fin.v[i] * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(generate_series(1, CAST(cent.n AS INT)),
+                      j -> cent.gm[i][j] * fin.v[j])), (a, x) -> a + x))),
+                (a, x) -> a + x) AS lam_num,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(fin.v, x -> x * x)), (a, x) -> a + x) AS lam_den
+            FROM cent, fin) t0) t1),
+      it2 AS (
+        SELECT 0 AS k,
+          list_transform(generate_series(1, CAST(n AS INT)),
+            i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v
+        FROM defl
+        UNION ALL
+        SELECT k + 1,
+          list_transform(vv, x -> x /
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(vv, y -> abs(y))), (a, x2) -> greatest(a, x2)))
+        FROM (
+          SELECT it2.k,
+            list_transform(generate_series(1, CAST(defl.n AS INT)), i ->
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, CAST(defl.n AS INT)),
+                  j -> defl.gm2[i][j] * it2.v[j])), (a, x) -> a + x)) AS vv
+          FROM it2, defl WHERE it2.k < $iters) t),
+      fin2 AS (
+        SELECT v AS v2, CASE WHEN v[1] >= 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn2
+        FROM it2 WHERE k = $iters),
       idx AS (
         SELECT unnest(generate_series(1, CAST(n AS INT))) AS i, samples
         FROM cent)
       SELECT idx.samples[idx.i] AS sample,
-        round(fin.v[idx.i] * fin.sgn, 6) AS axis1
-      FROM idx, fin
+        round(fin.v[idx.i] * fin.sgn, 6) AS axis1,
+        round(fin2.v2[idx.i] * fin2.sgn2, 6) AS axis2
+      FROM idx, fin, fin2
       ORDER BY sample"""
 }

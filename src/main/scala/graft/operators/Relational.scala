@@ -517,6 +517,35 @@ object Relational {
       .orderBy("sample_a", "sample_b")
   }
 
+  /** Taxonomy browse — the cascading-dropdown endpoint: with the upper
+    * levels of the hierarchy fixed (here mfgr + type), list the
+    * DISTINCT next-level values (brand) with the number of taxa, the
+    * number of distinct samples observed, and total abundance under
+    * each. One broadcast dim filter + one fact aggregation; the
+    * distinct-sample count is an exact count_distinct over the bounded
+    * sample key space. */
+  def q32TaxonomyBrowse(spark: SparkSession, dir: String,
+      mfgrDigit: Int = 0, ptype: String = "ECONOMY"): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+      .withColumn("p_mfgr", concat(lit("MFGR#"),
+        (element_at(split(col("p_brand"), "#"), 2).cast("int") % 5).cast("string")))
+      .filter(col("p_mfgr") === s"MFGR#$mfgrDigit" && col("p_type") === ptype)
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.dim(spark, dir, "customer")
+    val n = Tables.dim(spark, dir, "nation")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        countDistinct(col("p_partkey")).as("n_taxa"),
+        countDistinct(col("n_name")).as("n_samples"),
+        sum(dec(col("l_quantity"))).cast("double").as("abundance"))
+      .orderBy("p_brand")
+  }
+
   /** Exact interpolated percentiles of a contextual metric per group
     * (matches DuckDB quantile_cont). */
   def q20Percentiles(spark: SparkSession, dir: String): DataFrame = {
