@@ -32,7 +32,10 @@ object Ordination {
     aggregate(arr, lit(0.0), (acc, x) => greatest(acc, abs(x)))
 
   def q31Pcoa(spark: SparkSession, dir: String, iters: Int = 20): DataFrame = {
-    val bc = Relational.q30BrayCurtis(spark, dir)
+    // checkpointed: the symmetric-matrix assembly references the pair
+    // frame four ways; materializing the bounded 300-row result keeps
+    // the fact-scale aggregation inside q30 from re-running per branch
+    val bc = graft.Ckpt(Relational.q30BrayCurtis(spark, dir))
     // symmetric D² matrix rows, canonically ordered by sample name both
     // ways (sort_array on (name, value) structs pins fold order)
     val names = bc.select(col("sample_a").as("si"))

@@ -490,13 +490,19 @@ object Relational {
     * piece never touches the fact table. */
   def q30BrayCurtis(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
-    val abundance = l
+    // checkpointed: referenced by totals, both sides of the pair join,
+    // and (via q31) the ordination — without materialization each
+    // reference re-runs the fact-scale join+aggregation and only
+    // runtime ReuseExchange MIGHT dedupe the scans. The frame is
+    // aggregate-bounded (samples × taxa), so this pins "fact touched
+    // once" structurally instead of hoping.
+    val abundance = graft.Ckpt(l
       .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("p_type"))
-      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .agg(sum(dec(col("l_quantity"))).as("qty")))
     val totals = abundance.groupBy(col("n_name"))
       .agg(sum(col("qty")).as("s"))
     val commonMin = abundance.as("a")
