@@ -66,6 +66,13 @@ object GraftFunctions {
       graft.functions.expressions.WordShingleHashes(
         org.apache.spark.sql.graftshim.GraftShim.expression(text), n, mult, mod))
 
+  /** Column API for the fused word-shingle STRING builder (each
+    * shingle is a contiguous slice of the text — no string assembly). */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.expressions.WordShingles(
+        org.apache.spark.sql.graftshim.GraftShim.expression(text), n))
+
   /** Column API for the one-pass MinHash signature (k permutation
     * minima of a feature-hash array; zero-shuffle projection). */
   def minhashSig(hashes: Column, k: Int): Column =

@@ -457,11 +457,12 @@ object Dedup {
     decontaminate(Tables.parallel(Tables.load(spark, dir, "documents")), "src0")
 
   def decontaminate(docs: DataFrame, benchmarkSource: String): DataFrame = {
+    // native WordShingles: one linear pass, each shingle a contiguous
+    // slice of the text (the composed split/slice/concat_ws form
+    // re-evaluated the split once per shingle — O(words²) per doc).
+    // Strings, not hashes: the contamination join must be exact.
     val shingled = docs.select(col("doc_id"), col("source"),
-      explode(expr(
-        """array_distinct(transform(
-             sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
-             i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""")).as("sh"))
+      explode(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
     val bench = broadcast(shingled.filter(col("source") === benchmarkSource)
       .select("sh").distinct())
     val train = shingled.filter(col("source") =!= benchmarkSource)

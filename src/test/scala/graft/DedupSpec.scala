@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
       .filter(col("fused") =!= col("composed"))
     assert(diff.count() == 0,
       s"fused/composed shingle hashes diverge: ${diff.take(3).mkString(";")}")
+    // and the string-valued sibling against the composed string form
+    val sdiff = docs.select(col("doc_id"),
+        array_sort(graft.GraftFunctions.wordShingles(col("text"), 3)).as("fused"),
+        array_sort(expr(
+          """array_distinct(transform(
+               sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+               i -> concat_ws(' ', slice(split(text, ' '), i, 3))))""")).as("composed"))
+      .filter(col("fused") =!= col("composed"))
+    assert(sdiff.count() == 0,
+      s"fused/composed shingle strings diverge: ${sdiff.take(3).mkString(";")}")
   }
 
   test("aggregated minhash signatures equal the nested-HOF form bit-for-bit") {
