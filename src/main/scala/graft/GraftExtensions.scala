@@ -68,10 +68,10 @@ object GraftFunctions {
 
   /** Column API for the fused word-shingle STRING builder (each
     * shingle is a contiguous slice of the text — no string assembly). */
-  def wordShingles(text: Column, n: Int = 3): Column =
+  def wordShingles(text: Column, n: Int = 3, dedup: Boolean = true): Column =
     org.apache.spark.sql.graftshim.GraftShim.column(
       graft.functions.expressions.WordShingles(
-        org.apache.spark.sql.graftshim.GraftShim.expression(text), n))
+        org.apache.spark.sql.graftshim.GraftShim.expression(text), n, dedup))
 
   /** Column API for the one-pass MinHash signature (k permutation
     * minima of a feature-hash array; zero-shuffle projection). */

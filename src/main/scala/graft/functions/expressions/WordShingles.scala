@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * document. Each shingle here is one UTF8String slice of the
   * original text (words are consecutive, so a shingle is a contiguous
   * substring — no per-shingle string building at all). */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, dedup: Boolean = true)
     extends UnaryExpression {
 
   require(n >= 1 && n <= 16, "shingle width out of range")
@@ -50,14 +50,17 @@ case class WordShingles(child: Expression, n: Int)
     def wordEnd(w: Int): Int =
       if (w + 1 < nWords) starts(w + 1) - 1 else bytes.length
     val nShingles = math.max(nWords - n + 1, 1)
-    val seen = new java.util.HashSet[UTF8String]()
+    // dedup=false keeps every shingle INSTANCE (duplicate-fraction
+    // metrics need the multiset, mirroring the composed form without
+    // its array_distinct)
+    val seen = if (dedup) new java.util.HashSet[UTF8String]() else null
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String](nShingles)
     var w = 0
     while (w < nShingles) {
       val last = math.min(w + n, nWords) - 1
       val s = UTF8String.fromBytes(
         java.util.Arrays.copyOfRange(bytes, starts(w), wordEnd(last)))
-      if (seen.add(s)) out += s
+      if (seen == null || seen.add(s)) out += s
       w += 1
     }
     new GenericArrayData(out.toArray[Any])

@@ -114,9 +114,9 @@ object TextOps {
 
   def repetition(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
-    val bigrams = expr(
-      """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),
-           i -> concat_ws(' ', slice(split(text, ' '), i, 2)))""")
+    // native shingler, duplicates kept (the dup-fraction needs the
+    // multiset); the composed transform re-ran split once per bigram
+    val bigrams = graft.GraftFunctions.wordShingles(col("text"), 2, dedup = false)
     docs.select(col("doc_id"), w.as("ws"), bigrams.as("bg"))
       .select(col("doc_id"),
         size(col("bg")).cast("long").as("n_bigrams"),
