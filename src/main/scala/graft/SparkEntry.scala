@@ -536,12 +536,12 @@ object SparkEntry {
       SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY kept_doc_id""",
     // NOTE on the LSH oracles (d2/d3/d7/d8): the SQL expresses UNCAPPED
-    // clique banding. The Spark operators additionally cap hot buckets
-    // (> maxBucket members emit star edges instead of a quadratic
-    // clique) — a production-scale knob that never triggers at oracle
-    // scale (largest sf0.01 bucket ≪ 1000), so the gate compares
-    // like-for-like; the cap's topology is pinned separately by
-    // ScaleSpec's 2000-identical-doc corpus.
+    // clique banding. The d2/d3 count diagnostics therefore default to
+    // uncapped (exact parity verified through sf0.1, where simhash
+    // buckets already exceed 1000 members); only the d7/d8 decision
+    // pipeline caps hot buckets by default (star edges preserve the
+    // connectivity its clustering needs; its buckets stay below the
+    // cap at oracle scale). Star topology pinned by ScaleSpec.
     "d2_dedup_minhash" -> """
       WITH hs AS (
         SELECT doc_id, list_transform(

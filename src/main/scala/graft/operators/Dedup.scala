@@ -115,12 +115,17 @@ object Dedup {
     * consumers below and unpersisted before returning (safe because
     * the checkpoint cut the result's lineage).
     *
-    * ORACLE CAVEAT: the DuckDB oracles (d2/d3/d7) express uncapped
-    * clique semantics — at test scale no bucket approaches `maxBucket`,
-    * so the gate compares like-for-like. The cap is a production-scale
-    * knob; a star can split a cluster the clique would join when only
-    * the member↔representative Jaccard fails, which is the accepted
-    * trade for linear hot-bucket cost (spec-pinned in ScaleSpec). */
+    * CAP POLICY: the d2/d3 COUNT DIAGNOSTICS default to UNCAPPED
+    * (Int.MaxValue) — a cap silently changes their per-doc counts, and
+    * their DuckDB oracles express exact clique semantics (verified
+    * like-for-like through sf0.1, where simhash buckets already exceed
+    * 1000 members). The dedup DECISION pipeline (d7) defaults to a
+    * 1000-member cap: star edges preserve exactly the connectivity its
+    * transitive clustering needs at linear cost, and at oracle scale
+    * its buckets stay below the cap. A star can split a cluster the
+    * clique would join when only the member↔representative Jaccard
+    * fails — the accepted trade for hot-bucket safety (spec-pinned in
+    * ScaleSpec). */
   private[operators] def bandCandidates(bands: DataFrame, maxBucket: Int): DataFrame = {
     val stats = bands.groupBy("band_idx", "band_key")
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("rep"))
@@ -158,7 +163,8 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(Tables.parallel(Tables.load(spark, dir, "documents")))
 
-  def minhashLsh(documents: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  def minhashLsh(documents: DataFrame,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // checkpointed (not cached): referenced by the banding AND the
     // output projection — without materialization every reference
     // re-hashes all shingles; with cache() the entry outlived the
@@ -200,7 +206,7 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.parallel(Tables.load(spark, dir, "documents")))
 
-  def simhash(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  def simhash(docs: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
     // word hashes (native PolyHash) → fingerprint in ONE projection
     // pass (native SimHashBits: every word votes ±1 per bit, bit set
     // on non-negative sum) — no explode, no 60-way aggregate, zero
