@@ -45,11 +45,13 @@ class ScaleSpec extends SparkSpec {
       .head()
     assert(clusters.getLong(0) == 1L && clusters.getLong(1) == 1L,
       s"star edges failed to form one cluster: $clusters")
-    // and at the production default the cap must not change results on
-    // normal data (its buckets sit far below the threshold)
+    // and a 1000-member cap (the decision-pipeline default) must not
+    // change results on normal data, whose buckets sit far below it —
+    // i.e. the capped and exact/uncapped (diagnostic default) forms
+    // agree whenever the cap doesn't trigger
     val docs = Tables.load(spark, sfDir, "documents")
     val a = graft.operators.Dedup.minhashLsh(docs).collect()
-    val b = graft.operators.Dedup.minhashLsh(docs, maxBucket = 1000000).collect()
+    val b = graft.operators.Dedup.minhashLsh(docs, maxBucket = 1000).collect()
     assert(a.sameElements(b), "bucket cap changed results on normal data")
   }
 
