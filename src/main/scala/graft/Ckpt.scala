@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Eager materialization + lineage truncation for operator-internal
   * reuse points and iterative loops.
@@ -11,9 +12,9 @@ import org.apache.spark.sql.DataFrame
   * a long-lived session (a 55-query bench in one SparkSession
   * accumulated every LSH band frame ever cached, evicting working
   * memory — the round-2 "Asked to cache already cached data" churn).
-  * A checkpointed frame's blocks are instead released by the
+  * A locally-checkpointed frame's blocks are instead released by the
   * ContextCleaner as soon as the frame is no longer referenced — no
-  * lifecycle to thread through callers, nothing outlives its query.
+  * lifecycle to thread through callers.
   *
   * Local vs reliable: by default this is `localCheckpoint()` (blocks
   * on the executors — lost on executor failure, which is fine
@@ -21,15 +22,34 @@ import org.apache.spark.sql.DataFrame
   * switches every call site to reliable `checkpoint()` on shared
   * storage, which is REQUIRED at cluster scale for iterative loops
   * (d7's label propagation): a lost executor otherwise has no lineage
-  * to recompute from.
+  * to recompute from. The conf takes effect even if some other code
+  * already set a SparkContext checkpoint dir. In reliable mode the
+  * frame is persisted across the checkpoint write (otherwise Spark
+  * recomputes the plan a second time for the file write) and released
+  * right after; set `spark.cleaner.referenceTracking.cleanCheckpoints=
+  * true` on the cluster session so checkpoint FILES are also removed
+  * when frames are dropped — otherwise a long-lived session must
+  * periodically clear the checkpoint dir itself.
   */
 object Ckpt {
+  // last dir applied from the graft conf — lets the conf win over an
+  // externally-set checkpoint dir without re-calling setCheckpointDir
+  // (which mints a fresh UUID subdirectory) on every invocation
+  private var configured: Option[String] = None
+
   def apply(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint()
+        synchronized {
+          if (!configured.contains(dir) || sc.getCheckpointDir.isEmpty) {
+            sc.setCheckpointDir(dir)
+            configured = Some(dir)
+          }
+        }
+        val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try persisted.checkpoint()
+        finally persisted.unpersist()
       case None => df.localCheckpoint()
     }
 }

@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
   *
   * Scale design: signature computation (minhash/simhash/shingles) is a
-  * per-row projection; candidate generation is always an equi-join on
-  * small band keys (explode bands → shuffle on band key → group), so
-  * work scales with true-duplicate density, never O(n²). No collect(),
-  * no cross joins.
+  * per-row projection; candidate generation is an equi-join on band
+  * keys, so work scales with near-duplicate density. Within one band
+  * bucket candidates ARE quadratic by LSH's definition — the
+  * `maxBucket` star cap bounds that: the DECISION pipeline (d7) caps
+  * by default, the d2/d3 COUNT diagnostics are exact/uncapped by
+  * default to match their oracles (see [[bandCandidates]] CAP POLICY)
+  * and take an explicit cap when a corpus carries boilerplate floods.
+  * No collect(), no cross joins.
   */
 object Dedup {
 
@@ -369,7 +373,7 @@ object Dedup {
       .union(candidates.select(col("b_id").as("doc_id"))).distinct()
     val sh = documents.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        array_distinct(hashedShingleCol(col("text"))).as("hl"))
+        hashedShingleCol(col("text")).as("hl")) // already hash-distinct
     val a = sh.select(col("doc_id").as("a_id"), col("hl").as("ha"))
     val b = sh.select(col("doc_id").as("b_id"), col("hl").as("hb"))
     val verified = candidates.join(a, "a_id").join(b, "b_id")

@@ -55,6 +55,11 @@ object Ordination {
         s => s("row")).as("d2m"),
         sort_array(collect_list(col("si"))).as("samples"))
       .select(col("d2m"), col("samples"), size(col("samples")).as("n"))
+      // ordination needs ≥2 samples; on a degenerate corpus the global
+      // agg still emits one row with n=0 and sequence(1, 0) would run
+      // DESCENDING into out-of-bounds element_at — emit nothing, like
+      // the oracle's empty recursion
+      .filter(col("n") >= 2)
     // double centering: B = −½ (D² − rowmean_i − rowmean_j + grandmean)
     val centered = mat
       .withColumn("rm", transform(col("d2m"), r => foldSum(r) / col("n")))
@@ -164,7 +169,8 @@ object Ordination {
             SELECT samples, n, d2m,
               list_transform(d2m, r ->
                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), r), (a, x) -> a + x) / n) AS rm
-            FROM mat) t1) t2),
+            FROM mat) t1) t2
+        WHERE n >= 2),
       it AS (
         SELECT 0 AS k,
           list_transform(generate_series(1, CAST(n AS INT)),

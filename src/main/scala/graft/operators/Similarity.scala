@@ -240,6 +240,11 @@ object Similarity {
       SELECT q_id, c_id, rnk, round(cos, 6) AS score
       FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk"""
 
+  /** Result size k shared by the ANN operators, their deficit-detected
+    * fallback threshold, and the oracle SQL — one constant so the
+    * structural k-guarantee can never drift from the output size. */
+  final val AnnK = 10
+
   /** SRP-LSH parameters, shared between the Spark pipeline and the
     * DuckDB oracle builder so both compute the exact same buckets. */
   final val LshTables = 4
@@ -299,7 +304,7 @@ object Similarity {
       e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"))
         .join(candIds.groupBy("q_id").agg(count(lit(1)).as("nc")),
           Seq("q_id"), "left_outer")
-        .filter(coalesce(col("nc"), lit(0L)) < 10)
+        .filter(coalesce(col("nc"), lit(0L)) < AnnK)
         .select("q_id"))
     val fallback = deficient
       .crossJoin(e.select(col("vec_id").as("c_id")))
@@ -315,7 +320,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= AnnK)
       .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
       .orderBy("q_id", "rnk")
   }
@@ -356,7 +361,7 @@ object Similarity {
       deficient AS (
         SELECT q.vec_id AS q_id FROM embeddings q
         LEFT JOIN ccount c ON c.q_id = q.vec_id
-        WHERE q.vec_id < 5 AND coalesce(c.nc, 0) < 10),
+        WHERE q.vec_id < 5 AND coalesce(c.nc, 0) < $AnnK),
       cand2 AS (
         SELECT q_id, c_id FROM cand
         UNION
@@ -380,6 +385,6 @@ object Similarity {
           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
         FROM scored)
       SELECT q_id, c_id, rnk, round(cos, 6) AS score
-      FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk"""
+      FROM ranked WHERE rnk <= $AnnK ORDER BY q_id, rnk"""
   }
 }

@@ -60,13 +60,19 @@ object StreamingOps {
     * suppressed while the watermark bounds the signature state (an
     * unbounded exact-dedup key set is the classic streaming-dedup
     * OOM). Docs carry an event-time `ts` column. */
-  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
-    docs
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val sigged = docs
       .select(col("doc_id"), col("ts"),
         graft.GraftFunctions.minhashSig(
           graft.GraftFunctions.wordShingleHashes(col("text"), 3), 64).as("sig"))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("sig")
+    // null-text docs have a null signature; dropDuplicates would treat
+    // null as one shared key and silently discard all but the first —
+    // the batch pipelines pass unsigned docs through unpaired, so the
+    // stream does too
+    sigged.filter(col("sig").isNotNull).dropDuplicatesWithinWatermark("sig")
+      .union(sigged.filter(col("sig").isNull))
+  }
 
   /** Gap-based sessionization with explicit per-key state — the
     * streaming form of [[graft.operators.Events.sessionize]]. Emits a
