@@ -176,8 +176,10 @@ object Dedup {
     // freed by the ContextCleaner once the result frame is dropped.
     val docs = graft.Ckpt(minhashSigs(documents))
     val candidates = bandCandidates(minhashBands(docs), maxBucket)
-    val candCount = candidates.select(col("a_id").as("doc_id"))
-      .union(candidates.select(col("b_id").as("doc_id")))
+    // one pass over the pair list: explode both endpoints (a two-branch
+    // union evaluates the upstream twice)
+    val candCount = candidates
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
     docs.join(candCount, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -238,8 +240,10 @@ object Dedup {
       .join(sh.select(col("doc_id").as("a_id"), col("simhash").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("simhash").as("sb")), "b_id")
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= SimhashHamming)
-    val nearCount = near.select(col("a_id").as("doc_id"))
-      .union(near.select(col("b_id").as("doc_id")))
+    // explode both endpoints in one pass — a two-branch union would
+    // run the verification joins twice
+    val nearCount = near
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.join(nearCount, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("simhash"),
