@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * bucket candidates ARE quadratic by LSH's definition — the
   * `maxBucket` star cap bounds that: the DECISION pipeline (d7) caps
   * by default, the d2/d3 COUNT diagnostics are exact/uncapped by
-  * default to match their oracles (see [[bandCandidates]] CAP POLICY)
-  * and take an explicit cap when a corpus carries boilerplate floods.
-  * No collect(), no cross joins.
+  * default to match their oracles (see [[bandCandidates]] CAP POLICY).
+  * d3 is flood-safe even uncapped — it bands DISTINCT fingerprints
+  * with multiplicities ([[simhash]]), so identical-document floods
+  * cost one row; d2 takes an explicit cap when a corpus carries
+  * near-identical boilerplate floods. No collect(), no cross joins.
   */
 object Dedup {
 
@@ -121,9 +123,10 @@ object Dedup {
     *
     * CAP POLICY: the d2/d3 COUNT DIAGNOSTICS default to UNCAPPED
     * (Int.MaxValue) — a cap silently changes their per-doc counts, and
-    * their DuckDB oracles express exact clique semantics (verified
-    * like-for-like through sf0.1, where simhash buckets already exceed
-    * 1000 members). The dedup DECISION pipeline (d7) defaults to a
+    * their DuckDB oracles express exact clique semantics. For d3 the
+    * uncapped default is flood-safe anyway: its buckets hold DISTINCT
+    * fingerprints, not documents ([[simhash]]'s multiplicity
+    * compression). The dedup DECISION pipeline (d7) defaults to a
     * 1000-member cap: star edges preserve exactly the connectivity its
     * transitive clustering needs at linear cost, and at oracle scale
     * its buckets stay below the cap. A star can split a cluster the
@@ -216,39 +219,66 @@ object Dedup {
     // word hashes (native PolyHash) → fingerprint in ONE projection
     // pass (native SimHashBits: every word votes ±1 per bit, bit set
     // on non-negative sum) — no explode, no 60-way aggregate, zero
-    // shuffle. Checkpointed because the banding, both verification
-    // re-attach joins, and the final projection all reference it; one
-    // long per doc, freed by the ContextCleaner with the result.
+    // shuffle. Checkpointed because the fingerprint rollup and the
+    // final per-doc projection both reference it; one long per doc,
+    // freed by the ContextCleaner with the result.
     val sh = graft.Ckpt(
       docs.select(col("doc_id"),
         graft.GraftFunctions.simhashBits(
           transform(split(col("text"), " "),
             w => graft.GraftFunctions.polyHash(w)),
           SimhashBits).as("simhash")))
+    // FINGERPRINT COMPRESSION: documents sharing a 60-bit simhash are
+    // Hamming-0 near-duplicates BY DEFINITION, so collapse them to
+    // (simhash, multiplicity) before banding. Banding, the pair join,
+    // and the Hamming verification then run over DISTINCT fingerprints
+    // only — a boilerplate flood of n identical docs costs ONE
+    // fingerprint row instead of an O(n²) in-bucket clique (the r3
+    // uncapped default let one 1300-member bucket emit ~845k pairs).
+    // Bucket cost is quadratic in distinct fingerprint VALUES, which
+    // band width bounds at 2^15, not in corpus size.
+    val fp = graft.Ckpt(sh.groupBy("simhash").agg(count(lit(1)).as("m")))
+    val near = simhashFpPairs(fp, maxBucket)
+    // EXACT per-doc count recovery, combinatorially:
+    //   n_near(doc with fingerprint f) =
+    //     (m_f − 1)                    … its Hamming-0 twins
+    //   + Σ m_g over distinct g ≠ f    … every member of each verified
+    //     verified against f             partner fingerprint
+    // — identical arithmetic to the uncapped per-doc clique the DuckDB
+    // oracle expresses, at compressed cost. Both pair endpoints are
+    // exploded in one pass (a two-branch union would run the pair join
+    // twice).
+    val cross = near
+      .select(explode(array(
+        struct(col("a_id").as("f"), col("mb").as("pm")),
+        struct(col("b_id").as("f"), col("ma").as("pm")))).as("e"))
+      .groupBy(col("e.f").as("simhash")).agg(sum(col("e.pm")).as("n_cross"))
+    sh.join(fp, "simhash")
+      .join(cross, Seq("simhash"), "left_outer")
+      .select(col("doc_id"), col("simhash"),
+        (col("m") - 1 + coalesce(col("n_cross"), lit(0L))).as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  /** Verified near-pairs over DISTINCT simhash fingerprints: band the
+    * (simhash, m) rollup, equi-join band keys, keep pairs within
+    * [[SimhashHamming]] — the fingerprints ARE the band payload, so
+    * verification needs no re-attach join at all. Returns
+    * (a_id, b_id, ma, mb) where a_id/b_id are fingerprint values and
+    * ma/mb their document multiplicities. Exposed for the flood spec. */
+  private[graft] def simhashFpPairs(fp: DataFrame, maxBucket: Int): DataFrame = {
     val bandStructs = (0 until SimhashBits / SimhashBandBits).map(b =>
       struct(lit(b).as("band_idx"),
         shiftright(col("simhash"), b * SimhashBandBits)
           .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("band_key")))
-    val bands = sh.select(col("doc_id"),
+    val bands = fp.select(col("simhash").as("doc_id"),
         explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"),
         col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
-    // candidate pairs via the capped band join; re-attach the hashes
-    // afterwards for the hamming verification (ids shuffle, not
-    // payloads — same trick as the LSH candidate distinct)
-    val near = bandCandidates(bands, maxBucket)
-      .join(sh.select(col("doc_id").as("a_id"), col("simhash").as("sa")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("simhash").as("sb")), "b_id")
-      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= SimhashHamming)
-    // explode both endpoints in one pass — a two-branch union would
-    // run the verification joins twice
-    val nearCount = near
-      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    sh.join(nearCount, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("simhash"),
-        coalesce(col("n"), lit(0L)).as("n_near"))
-      .orderBy("doc_id")
+    bandCandidates(bands, maxBucket)
+      .filter(bit_count(col("a_id").bitwiseXOR(col("b_id"))) <= SimhashHamming)
+      .join(fp.select(col("simhash").as("a_id"), col("m").as("ma")), "a_id")
+      .join(fp.select(col("simhash").as("b_id"), col("m").as("mb")), "b_id")
   }
 
   /** Character-trigram Jaccard similarity over sorted-neighbor pairs

@@ -55,6 +55,35 @@ class ScaleSpec extends SparkSpec {
     assert(a.sameElements(b), "bucket cap changed results on normal data")
   }
 
+  test("simhash fingerprint compression keeps an identical-doc flood linear") {
+    import spark.implicits._
+    // 2000 identical docs share ONE 60-bit fingerprint. Pre-compression
+    // that bucket emitted 2000²/2 ≈ 2M clique pairs (the r3 16 s
+    // regression at sf0.1 was exactly this shape); compressed, the
+    // flood is a single (simhash, m=2000) row, the fingerprint-level
+    // pair list stays tiny, and every doc still gets its EXACT
+    // uncapped-clique count of 1999 Hamming-0 twins.
+    val flood = (0L until 2000L).map(i => (i, "same text repeated for every single document here")) ++
+      (2000L until 2005L).map(i => (i, s"unique filler document number $i with distinct words"))
+    val docs = flood.toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      graft.GraftFunctions.simhashBits(
+        transform(split(col("text"), " "),
+          w => graft.GraftFunctions.polyHash(w)), 60).as("simhash"))
+    val fp = sh.groupBy("simhash").agg(count(lit(1)).as("m"))
+    val nFp = fp.count()
+    assert(nFp <= 6L, s"expected ≤6 distinct fingerprints, got $nFp")
+    // pair cost is bounded by distinct-fingerprint pairs, not doc pairs
+    val fpPairs = graft.operators.Dedup.simhashFpPairs(fp, Int.MaxValue).count()
+    assert(fpPairs <= nFp * (nFp - 1) / 2,
+      s"fingerprint pair list not compressed: $fpPairs pairs from $nFp fingerprints")
+    val res = graft.operators.Dedup.simhash(docs)
+    val floodCounts = res.filter(col("doc_id") < 2000).select("n_near")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(floodCounts == Seq(1999L),
+      s"flood docs must each count exactly their 1999 twins: $floodCounts")
+  }
+
   test("bucketed tables join with no exchange on the join key") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     assert(wh.contains("graft"), s"unexpected warehouse dir $wh")
