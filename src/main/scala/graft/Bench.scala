@@ -1,24 +1,28 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Benchmark main. Emits ONE JSON line:
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},...}`.
+/** Benchmark main. Emits ONE JSON line whose LAST fields are the
+  * primary numbers: `...,"value":N,"queries":{...}}`.
   *
-  * Two timings per query:
-  *  - `queries` / `value` (primary): NOOP-MATERIALIZED — every result
-  *    row is produced and handed to the noop datasource-v2 sink.
-  *    `count()` alone lets Catalyst join-eliminate and column-prune
-  *    work that doesn't feed the count (it hid a 15× HOF re-evaluation
-  *    for a full round), so regressions are judged on these numbers.
-  *  - `queries_count` / `value_count`: the legacy count() timing, kept
-  *    for round-over-round continuity.
-  * Set GRAFT_BENCH_MATERIALIZE=0 to skip the noop pass (quick runs).
+  * The primary timing is NOOP-MATERIALIZED — every result row is
+  * produced and handed to the noop datasource-v2 sink. `count()` alone
+  * lets Catalyst join-eliminate and column-prune work that doesn't
+  * feed the count (it hid a 15× HOF re-evaluation for a full round).
+  *
+  * Field ORDER is part of the contract with the harness: the driver
+  * captures only a bounded TAIL of the line (the round-3 artifact kept
+  * just the legacy count map and lost the materialized numbers), so
+  * `value`/`queries` go last and per-query seconds are rounded to 3
+  * decimals to keep the whole primary section inside a ~2 KB window.
+  *
+  * The legacy count() pass is opt-in (GRAFT_BENCH_COUNTMODE=1) — it
+  * doubled wall time and measured less.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val materialize = !sys.env.get("GRAFT_BENCH_MATERIALIZE").contains("0")
+    val countMode = sys.env.get("GRAFT_BENCH_COUNTMODE").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,21 +44,23 @@ object Bench {
       df.write.mode("overwrite").format("noop").save()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val countTimes = names.map { name =>
+    val countTimes = if (countMode) names.map { name =>
       name -> time(SparkEntry.queries(name)(spark, sfDir).count())
-    }
-    val matTimes = if (materialize) names.map { name =>
+    } else Nil
+    val matTimes = names.map { name =>
       name -> time(noopWrite(SparkEntry.queries(name)(spark, sfDir)))
-    } else countTimes
+    }
 
+    def r3(v: Double): String = f"$v%.3f"
     def jmap(ts: Seq[(String, Double)]): String =
-      ts.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      ts.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = matTimes.map(_._2).sum
-    val totalCount = countTimes.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jmap(matTimes)},""" +
-      s""""value_count":$totalCount,"queries_count":${jmap(countTimes)},""" +
-      s""""materialized":$materialize,"sf":"$sfDir"}""")
+    val legacy = if (countMode)
+      s""""value_count":${r3(countTimes.map(_._2).sum)},"queries_count":${jmap(countTimes)},"""
+    else ""
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""materialized":true,$legacy""" +
+      s""""value":${r3(total)},"queries":${jmap(matTimes)}}""")
     spark.stop()
   }
 }
