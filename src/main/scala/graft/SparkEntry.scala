@@ -64,6 +64,7 @@ object SparkEntry {
     "q30_bray_curtis" -> (Relational.q30BrayCurtis _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q32_taxonomy_browse" -> ((s: SparkSession, d: String) => Relational.q32TaxonomyBrowse(s, d)),
+    "q33_geo_filter" -> (Geo.q33GeoFilter _),
     "t6_repetition" -> (TextOps.repetition _),
     "m2_frame_sample" -> (Multimodal.frameSample _),
     "e5_interval_join" -> (Events.intervalJoin _),
@@ -455,6 +456,7 @@ object SparkEntry {
       LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name
       ORDER BY sample_a, sample_b""",
     "q31_pcoa" -> Ordination.q31OracleSql(),
+    "q33_geo_filter" -> Geo.q33OracleSql,
     "q32_taxonomy_browse" -> """
       SELECT p_brand,
         CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_taxa,

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geospatial sample filtering — the reference product's primary
+  * contextual search is a map: bounding-box and radius predicates over
+  * the sample-context dimension.
+  *
+  * Scale design: a bbox is two range predicates on plain double
+  * columns — on STORED coordinates they push down to the parquet scan,
+  * where row-group min/max pruning makes a map-viewport query touch
+  * only matching row groups (PlanSpec asserts PushedFilters). The
+  * haversine radius predicate is trig and never pushable, so the
+  * operator applies the radius' circumscribing bbox FIRST (pushable,
+  * cheap) and the exact spherical distance only to the survivors —
+  * the standard geo-filter shape at any scale.
+  *
+  * The testdata customer dim carries no coordinates, so [[synthCoords]]
+  * derives them deterministically from `c_custkey` with pure integer
+  * arithmetic — bit-reproducible in the DuckDB oracle.
+  */
+object Geo {
+
+  final val CenterLat = 15.0
+  final val CenterLon = 45.0
+  final val RadiusKm = 3000.0
+  // the test bbox is deliberately LARGER than the radius circle on two
+  // sides, so the haversine predicate does real work after the bbox
+  final val LatMin = -10.0
+  final val LatMax = 40.0
+  final val LonMin = 0.0
+  final val LonMax = 90.0
+
+  /** Deterministic synthetic coordinates: lat ∈ [-60, 60),
+    * lon ∈ [-180, 180), both on a 0.01° grid. Integer multiply + mod,
+    * then one divide — the oracle evaluates the identical sequence. */
+  def synthCoords(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+      (((col("c_custkey") * 7919L) % 12000L).cast("double") / 100.0 - 60.0).as("lat"),
+      (((col("c_custkey") * 104729L) % 36000L).cast("double") / 100.0 - 180.0).as("lon"))
+
+  /** Inclusive bounding box over `lat`/`lon` columns. On stored
+    * coordinate columns these four predicates reach the parquet scan
+    * as PushedFilters. */
+  def bbox(df: DataFrame, latMin: Double, latMax: Double,
+      lonMin: Double, lonMax: Double): DataFrame =
+    df.filter(col("lat") >= latMin && col("lat") <= latMax &&
+      col("lon") >= lonMin && col("lon") <= lonMax)
+
+  /** Great-circle distance (km) from a fixed center, classic haversine
+    * on a 6371 km sphere. Written as explicit `x·π/180` and `sin·sin`
+    * (no radians()/pow() builtins) so the oracle can mirror the exact
+    * double-op sequence; residual libm ulp drift is absorbed by the
+    * rounded comparison/output. */
+  def haversineKm(lat: Column, lon: Column, lat0: Double, lon0: Double): Column = {
+    def rad(c: Column): Column = c * math.Pi / 180.0
+    val halfLat = rad(lat - lat0) / 2.0
+    val halfLon = rad(lon - lon0) / 2.0
+    val h = sin(halfLat) * sin(halfLat) +
+      cos(rad(lit(lat0))) * cos(rad(lat)) * sin(halfLon) * sin(halfLon)
+    lit(12742.0) * asin(sqrt(h)) // 2 · 6371
+  }
+
+  /** Map search: pushable bbox prefilter, exact haversine radius on
+    * the survivors. The radius compare runs on a 6-dp rounding so the
+    * boundary is engine-stable; output distance at 4 dp. */
+  def q33GeoFilter(spark: SparkSession, dir: String): DataFrame = {
+    val boxed = bbox(synthCoords(Tables.load(spark, dir, "customer")),
+      LatMin, LatMax, LonMin, LonMax)
+    boxed
+      .withColumn("dist_km", haversineKm(col("lat"), col("lon"), CenterLat, CenterLon))
+      .filter(round(col("dist_km"), 6) <= RadiusKm)
+      .select(col("c_custkey"), col("lat"), col("lon"),
+        round(col("dist_km"), 4).as("dist_km"))
+      .orderBy("c_custkey")
+  }
+
+  /** DuckDB oracle — identical constants via interpolation, identical
+    * arithmetic shape (integer coord derivation, x·π/180, sin·sin). */
+  def q33OracleSql: String = s"""
+      WITH geo AS (
+        SELECT c_custkey,
+          CAST((c_custkey * 7919) % 12000 AS DOUBLE) / 100.0 - 60.0 AS lat,
+          CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+        FROM customer),
+      boxed AS (
+        SELECT * FROM geo
+        WHERE lat >= $LatMin AND lat <= $LatMax
+          AND lon >= $LonMin AND lon <= $LonMax),
+      d AS (
+        SELECT c_custkey, lat, lon,
+          12742.0 * asin(sqrt(
+            sin((lat - $CenterLat) * pi() / 180.0 / 2.0)
+              * sin((lat - $CenterLat) * pi() / 180.0 / 2.0)
+            + cos($CenterLat * pi() / 180.0) * cos(lat * pi() / 180.0)
+              * sin((lon - $CenterLon) * pi() / 180.0 / 2.0)
+              * sin((lon - $CenterLon) * pi() / 180.0 / 2.0))) AS dist_km
+        FROM boxed)
+      SELECT c_custkey, lat, lon, round(dist_km, 4) AS dist_km
+      FROM d WHERE round(dist_km, 6) <= $RadiusKm
+      ORDER BY c_custkey"""
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Geo
+import org.apache.spark.sql.functions._
+
+/** Geospatial filter semantics: haversine properties on known points,
+  * bbox-then-radius composition, synthetic-coordinate ranges. */
+class GeoSpec extends SparkSpec {
+
+  test("haversine: zero at the center, symmetric, matches a known distance") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Geo.CenterLat, Geo.CenterLon), // the center itself
+      (2L, Geo.CenterLat + 1.0, Geo.CenterLon), // 1° of latitude ≈ 111.19 km
+      (3L, -Geo.CenterLat, -Geo.CenterLon))
+      .toDF("id", "lat", "lon")
+    val d = pts.select(col("id"),
+        Geo.haversineKm(col("lat"), col("lon"), Geo.CenterLat, Geo.CenterLon).as("km"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(1L) == 0.0, s"distance at the center must be exactly 0: ${d(1L)}")
+    // 1° meridian arc on the 6371 km sphere: 6371·π/180 = 111.1949 km
+    assert(math.abs(d(2L) - 111.1949) < 0.001, s"1° latitude distance off: ${d(2L)}")
+    // swapping the roles of point and center must give the same distance
+    val back = pts.filter(col("id") === 3)
+      .select(Geo.haversineKm(lit(Geo.CenterLat), lit(Geo.CenterLon),
+        -Geo.CenterLat, -Geo.CenterLon).as("km"))
+      .head().getDouble(0)
+    assert(math.abs(d(3L) - back) < 1e-9, s"haversine asymmetric: ${d(3L)} vs $back")
+  }
+
+  test("q33: every result is inside both the bbox and the radius") {
+    val res = Geo.q33GeoFilter(spark, sfDir)
+    val rows = res.collect()
+    assert(rows.nonEmpty, "geo filter returned no rows")
+    rows.foreach { r =>
+      val (lat, lon, km) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(lat >= Geo.LatMin && lat <= Geo.LatMax &&
+        lon >= Geo.LonMin && lon <= Geo.LonMax, s"row outside bbox: $r")
+      assert(km <= Geo.RadiusKm, s"row outside radius: $r")
+    }
+    // the bbox is wider than the circle on two sides, so the radius
+    // predicate must actually reject some bbox survivors
+    val boxedOnly = Geo.bbox(
+      Geo.synthCoords(Tables.load(spark, sfDir, "customer")),
+      Geo.LatMin, Geo.LatMax, Geo.LonMin, Geo.LonMax).count()
+    assert(boxedOnly > rows.length,
+      s"radius predicate rejected nothing: bbox=$boxedOnly radius=${rows.length}")
+  }
+
+  test("synthetic coordinates stay in range and are deterministic") {
+    val g = Geo.synthCoords(Tables.load(spark, sfDir, "customer"))
+    val mm = g.agg(min("lat"), max("lat"), min("lon"), max("lon")).head()
+    assert(mm.getDouble(0) >= -60.0 && mm.getDouble(1) < 60.0, s"lat range: $mm")
+    assert(mm.getDouble(2) >= -180.0 && mm.getDouble(3) < 180.0, s"lon range: $mm")
+  }
+}

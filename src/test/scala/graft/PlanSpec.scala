@@ -27,6 +27,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("StringContains(c_name,0)"), "contains not pushed")
   }
 
+  test("geo bbox on stored coordinates pushes all four range predicates") {
+    import graft.operators.Geo
+    // q33 derives coordinates on the fly (testdata has none), but the
+    // production shape is lat/lon STORED on the sample dim — write the
+    // derived coords once and assert the viewport predicates reach the
+    // parquet scan, where row-group min/max pruning takes over.
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo").toString
+    Geo.synthCoords(Tables.load(spark, sfDir, "customer"))
+      .write.mode("overwrite").parquet(s"$dir/geo.parquet")
+    val stored = spark.read.parquet(s"$dir/geo.parquet")
+    val p = plan(Geo.bbox(stored, Geo.LatMin, Geo.LatMax, Geo.LonMin, Geo.LonMax))
+    assert(p.contains("PushedFilters:"), "no pushed filters section")
+    assert(p.contains(s"GreaterThanOrEqual(lat,${Geo.LatMin})") &&
+      p.contains(s"LessThanOrEqual(lat,${Geo.LatMax})"),
+      s"lat range not pushed:\n${p.take(2000)}")
+    assert(p.contains(s"GreaterThanOrEqual(lon,${Geo.LonMin})") &&
+      p.contains(s"LessThanOrEqual(lon,${Geo.LonMax})"),
+      s"lon range not pushed:\n${p.take(2000)}")
+  }
+
   test("q3/q4: dimension joins are broadcast, not shuffled") {
     val p3 = plan(Relational.q3TopnJoin(spark, sfDir))
     assert(p3.contains("BroadcastHashJoin"), s"q3 lost its broadcast join")
