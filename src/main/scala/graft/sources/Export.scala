@@ -18,12 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Export {
 
+  /** Run-scoped default export root: `spark.graft.exportDir` when set,
+    * else `/tmp/graft_export/<applicationId>` — two concurrent sessions
+    * write disjoint trees instead of clobbering each other's artifacts.
+    * Explicit `outPath` arguments always win. */
+  private def resolve(spark: SparkSession, outPath: String, leaf: String): String =
+    Option(outPath).getOrElse {
+      val root = spark.conf.getOption("spark.graft.exportDir")
+        .getOrElse(s"/tmp/graft_export/${spark.sparkContext.applicationId}")
+      s"$root/$leaf"
+    }
+
   /** Contextual CSV export: joined order+customer context rows →
     * header CSV → re-read under an explicit schema. Timestamps are
     * formatted to dates on the way out so the artifact is
     * engine-neutral text. */
   def contextualCsv(spark: SparkSession, dir: String,
-      outPath: String = "/tmp/graft_export/x1_contextual_csv"): DataFrame = {
+      outPath: String = null): DataFrame = {
+    val path = resolve(spark, outPath, "x1_contextual_csv")
     val o = Tables.load(spark, dir, "orders")
       .filter(col("o_orderstatus") === "F")
     val c = Tables.dim(spark, dir, "customer")
@@ -32,12 +44,12 @@ object Export {
         col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"))
-      .write.mode("overwrite").option("header", "true").csv(outPath)
+      .write.mode("overwrite").option("header", "true").csv(path)
     spark.read
       .option("header", "true")
       .schema("c_custkey LONG, c_name STRING, c_mktsegment STRING, " +
         "o_orderkey LONG, o_orderdate STRING, o_totalprice DOUBLE")
-      .csv(outPath)
+      .csv(path)
       .orderBy("o_orderkey")
   }
 
@@ -46,29 +58,34 @@ object Export {
     * read back. The partitioned layout is the point: a consumer
     * fetching one sample's row reads one directory. */
   def biomMatrix(spark: SparkSession, dir: String,
-      outPath: String = "/tmp/graft_export/x2_biom_matrix"): DataFrame = {
+      outPath: String = null): DataFrame = {
+    val path = resolve(spark, outPath, "x2_biom_matrix")
     val types = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
     // the matrix is aggregate-bounded (samples × taxa), so collapse to
     // one task before the partitioned write — otherwise every shuffle
     // partition opens a file per row-key directory
     graft.operators.Relational.q7AbundanceMatrix(spark, dir)
       .coalesce(1)
-      .write.mode("overwrite").partitionBy("n_name").parquet(outPath)
-    spark.read.parquet(outPath)
+      .write.mode("overwrite").partitionBy("n_name").parquet(path)
+    spark.read.parquet(path)
       .select(col("n_name") +: types.map(col): _*)
       .orderBy("n_name")
   }
 
-  /** Sample × taxon abundance in sparse triple form (row label, column
-    * label, exact-decimal total) — the matrix both BIOM exports
-    * serialize. One aggregation; all joins are dim broadcasts. */
+  /** Sample × taxon abundance in sparse triple form (row label + its
+    * contextual region, column label, exact-decimal total) — the
+    * matrix both BIOM exports serialize. The region rides along as the
+    * sample's contextual metadata (functionally dependent on the
+    * sample, so the group cardinality is unchanged). One aggregation;
+    * all joins are dim broadcasts. */
   private def abundanceTriples(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
     l.join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("p_type"))
+      .join(Tables.dim(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"), col("r_name"), col("p_type"))
       .agg(sum(Dec.dec(col("l_quantity"))).as("qty"))
   }
 
@@ -85,7 +102,8 @@ object Export {
     * spec in ExportSpec covers BIOM conformance (required keys, shape
     * bounds, dense index range). */
   def biomJson(spark: SparkSession, dir: String,
-      outPath: String = "/tmp/graft_export/x3_biom_json"): DataFrame = {
+      outPath: String = null): DataFrame = {
+    val path = resolve(spark, outPath, "x3_biom_json")
     import org.apache.spark.sql.expressions.Window
     def esc(c: Column): Column =
       regexp_replace(c, "([\\\\\"])", "\\\\$1")
@@ -98,9 +116,14 @@ object Export {
     val doc = triples.agg(
       (max(col("row_i")) + 1).as("n_rows"),
       (max(col("col_i")) + 1).as("n_cols"),
+      // rows carry the sample's CONTEXTUAL metadata (its region) the
+      // way the reference's export attaches contextual columns to each
+      // BIOM row — parse-back below reads it through, so the oracle
+      // gate covers the metadata field, not just the ids
       array_join(transform(
-        array_sort(collect_set(struct(col("row_i"), col("n_name")))),
-        s => format_string("""{"id":"%s","metadata":null}""", esc(s("n_name")))), ",")
+        array_sort(collect_set(struct(col("row_i"), col("n_name"), col("r_name")))),
+        s => format_string("""{"id":"%s","metadata":{"region":"%s"}}""",
+          esc(s("n_name")), esc(s("r_name")))), ",")
         .as("rows_json"),
       array_join(transform(
         array_sort(collect_set(struct(col("col_i"), col("p_type")))),
@@ -121,16 +144,20 @@ object Export {
         lit("""],"columns":["""), col("cols_json"),
         lit("""],"data":["""), col("data_json"), lit("]}"))
         .as("value"))
-      .write.mode("overwrite").text(outPath)
-    // parse-back: indices → labels through the rows/columns arrays
+      .write.mode("overwrite").text(path)
+    // parse-back: indices → labels through the rows/columns arrays,
+    // and the row METADATA field read through alongside the id
     val j = spark.read.option("multiLine", "true")
-      .schema("rows ARRAY<STRUCT<id: STRING>>, columns ARRAY<STRUCT<id: STRING>>, " +
+      .schema("rows ARRAY<STRUCT<id: STRING, metadata: STRUCT<region: STRING>>>, " +
+        "columns ARRAY<STRUCT<id: STRING>>, " +
         "shape ARRAY<LONG>, data ARRAY<ARRAY<DOUBLE>>")
-      .json(outPath)
+      .json(path)
     j.select(col("rows"), col("columns"), explode(col("data")).as("t"))
+      .withColumn("r",
+        element_at(col("rows"), element_at(col("t"), 1).cast("int") + 1))
       .select(
-        element_at(col("rows"), element_at(col("t"), 1).cast("int") + 1)
-          .getField("id").as("n_name"),
+        col("r").getField("id").as("n_name"),
+        col("r").getField("metadata").getField("region").as("region"),
         element_at(col("columns"), element_at(col("t"), 2).cast("int") + 1)
           .getField("id").as("p_type"),
         element_at(col("t"), 3).as("abundance"))
@@ -146,7 +173,8 @@ object Export {
     * from the RE-READ artifact (exact decimal re-aggregation), so the
     * gate proves the exported leaves carry the entire hierarchy. */
   def kronaTsv(spark: SparkSession, dir: String,
-      outPath: String = "/tmp/graft_export/x4_krona_tsv"): DataFrame = {
+      outPath: String = null): DataFrame = {
+    val path = resolve(spark, outPath, "x4_krona_tsv")
     val l = Tables.load(spark, dir, "lineitem")
     l.join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       // the schema has no mfgr/container columns, so the 5 levels are
@@ -161,11 +189,11 @@ object Export {
       .agg(sum(Dec.dec(col("l_quantity"))).cast("string").as("abundance"))
       .select(col("abundance"), col("p_mfgr"), col("p_type"), col("p_brand"),
         col("p_genus"), col("p_size").cast("string"))
-      .write.mode("overwrite").option("delimiter", "\t").csv(outPath)
+      .write.mode("overwrite").option("delimiter", "\t").csv(path)
     spark.read
       .schema("abundance DECIMAL(18,2), p_mfgr STRING, p_type STRING, " +
         "p_brand STRING, p_genus STRING, p_size STRING")
-      .option("delimiter", "\t").csv(outPath)
+      .option("delimiter", "\t").csv(path)
       .createOrReplaceTempView("graft_krona_leaves")
     // ROLLUP through SQL (grouping-sets + coalesce trips the DataFrame
     // API's ambiguous-self-join check — same route as q27)
