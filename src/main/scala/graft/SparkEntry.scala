@@ -18,17 +18,19 @@ object SparkEntry {
     * cheap re-join through d7's checkpointed cluster labels). Safe to
     * reuse across entries: the expensive stages sit behind eager
     * checkpoints inside dedupPipeline, and results are deterministic. */
-  private val d7Memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]
+  private val d7Memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]])
+  private def d7MemoFor(s: SparkSession) = d7Memo.computeIfAbsent(
+    s, _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame])
   private def d7Decision(s: SparkSession, d: String): DataFrame = {
     val res = Dedup.dedupPipeline(s, d)
-    d7Memo.put((System.identityHashCode(s), d), res)
+    d7MemoFor(s).put(d, res)
     res
   }
   private def d8Histogram(s: SparkSession, d: String): DataFrame =
     Dedup.clusterHistogram(
-      Option(d7Memo.get((System.identityHashCode(s), d)))
-        .getOrElse(d7Decision(s, d)))
+      Option(d7MemoFor(s).get(d)).getOrElse(d7Decision(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -802,14 +804,15 @@ object SparkEntry {
       GROUP BY n_name
       ORDER BY n_name""",
     "x3_export_biom_json" -> """
-      SELECT n_name, p_type,
+      SELECT n_name, r_name AS region, p_type,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
-      GROUP BY n_name, p_type
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name, r_name, p_type
       ORDER BY n_name, p_type""",
     "x4_export_krona" -> """
       WITH leaves AS (

@@ -47,10 +47,22 @@ class ExportSpec extends SparkSpec {
         Option(r.get(i)).map(v => (r.getString(0), c, v.asInstanceOf[Double]))
       }
     }.toSet
-    val got = rt.collect().map(r =>
-      (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // columns read by NAME — position shifted when region metadata landed
+    val parsed = rt.collect().map(r => (
+      r.getAs[String]("n_name"), r.getAs[String]("region"),
+      r.getAs[String]("p_type"), r.getAs[Double]("abundance")))
+    val got = parsed.map { case (n, _, p, v) => (n, p, v) }.toSet
     assert(got == cells, s"JSON round-trip matrix diverges from q7: " +
       s"missing=${(cells -- got).take(3)} extra=${(got -- cells).take(3)}")
+    // the row METADATA field must carry each nation's true region
+    val regionOf = Tables.dim(spark, sfDir, "nation")
+      .join(Tables.dim(spark, sfDir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name", "r_name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val badRegion = parsed.filter { case (n, reg, _, _) => regionOf(n) != reg }
+    assert(badRegion.isEmpty,
+      s"BIOM row metadata region wrong for: ${badRegion.take(3).mkString(", ")}")
   }
 
   test("Krona TSV leaves carry the full 5-level rollup") {
