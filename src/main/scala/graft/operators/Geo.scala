@@ -65,7 +65,16 @@ object Geo {
 
   /** Map search: pushable bbox prefilter, exact haversine radius on
     * the survivors. The radius compare runs on a 6-dp rounding so the
-    * boundary is engine-stable; output distance at 4 dp. */
+    * boundary is engine-stable; output distance at 4 dp.
+    *
+    * Known residual risk (accepted): a row whose true distance sits
+    * within ~1 ulp of a 0.5e-6 rounding midpoint AND whose rounded
+    * value straddles RadiusKm can still flip inclusion between Spark
+    * and DuckDB libm. No fixed threshold removes this for continuous
+    * data — any comparison has an ulp-wide flip window somewhere; the
+    * 6-dp rounding just pins it to known grid points. Both engines
+    * share the same formula shape, so only libm drift (≤1 ulp in
+    * sin/cos/asin/sqrt) can reach the window. */
   def q33GeoFilter(spark: SparkSession, dir: String): DataFrame = {
     val boxed = bbox(synthCoords(Tables.load(spark, dir, "customer")),
       LatMin, LatMax, LonMin, LonMax)

@@ -406,7 +406,13 @@ object Relational {
   def q26Pagination(spark: SparkSession, dir: String,
       offset: Int = 100, limit: Int = 50): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
-    val w = Window.orderBy("o_orderdate", "o_orderkey")
+    // input is capped at offset+limit rows by the preceding .limit; the
+    // constant partition key only silences WindowExec's global-window
+    // warning so that warning stays a true scale signal elsewhere
+    // (non-foldable `col*0` because EliminateWindowPartitions strips
+    // foldable keys like lit(1))
+    val w = Window.partitionBy(col("o_orderkey") * 0)
+      .orderBy("o_orderdate", "o_orderkey")
     o.select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .orderBy("o_orderdate", "o_orderkey")
       .limit(offset + limit)

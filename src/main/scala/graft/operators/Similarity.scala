@@ -123,10 +123,13 @@ object Similarity {
       pmod(pmod(col("vec_id"), lit(1000000000L)) * lit(2654435761L),
         lit(2147483647L)).as("hsh"))
     // global top-k by hash → TakeOrderedAndProject; the row_number
-    // window then runs over only k rows (bounded, not a corpus sort)
+    // window then runs over only k rows (bounded, not a corpus sort).
+    // Non-foldable constant partition key (col*0) silences WindowExec's
+    // global-window warning — EliminateWindowPartitions strips lit(1) —
+    // so a surviving warning always means a real unbounded window.
     val sel = hashed.orderBy("hsh", "vec_id").limit(k)
     val wCell = org.apache.spark.sql.expressions.Window
-      .orderBy("hsh", "vec_id")
+      .partitionBy(col("hsh") * 0).orderBy("hsh", "vec_id")
     broadcast(sel.withColumn("cell", row_number().over(wCell))
       .select(col("cell"), col("embedding").as("centv")))
   }

@@ -108,11 +108,17 @@ object Export {
     def esc(c: Column): Column =
       regexp_replace(c, "([\\\\\"])", "\\\\$1")
     val triples = abundanceTriples(spark, dir)
-      // dense 0-based indices by sorted label; the windows run over the
-      // aggregate-bounded matrix (WindowExec's single-partition warning
-      // is expected and harmless at 25×6 rows)
-      .withColumn("row_i", dense_rank().over(Window.orderBy("n_name")) - 1)
-      .withColumn("col_i", dense_rank().over(Window.orderBy("p_type")) - 1)
+      // dense 0-based indices by sorted label. Input is the
+      // aggregate-bounded matrix (25 nations × 6 types), so a single
+      // partition is fine; the constant partition key exists ONLY to
+      // keep WindowExec's "no partition" warning out of the logs, so a
+      // surviving warning always flags a real unbounded global window.
+      // (`length(col)*0`, not `lit(1)`: Spark 4's
+      // EliminateWindowPartitions strips foldable partition keys.)
+      .withColumn("row_i", dense_rank().over(
+        Window.partitionBy(length(col("n_name")) * 0).orderBy("n_name")) - 1)
+      .withColumn("col_i", dense_rank().over(
+        Window.partitionBy(length(col("p_type")) * 0).orderBy("p_type")) - 1)
     val doc = triples.agg(
       (max(col("row_i")) + 1).as("n_rows"),
       (max(col("col_i")) + 1).as("n_cols"),
