@@ -65,6 +65,8 @@ object SparkEntry {
     "q29_scalar_subquery" -> (Relational.q29ScalarSubquery _),
     "q30_bray_curtis" -> (Relational.q30BrayCurtis _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
+    "q31b_pcoa_blocked" ->
+      ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
     "q32_taxonomy_browse" -> ((s: SparkSession, d: String) => Relational.q32TaxonomyBrowse(s, d)),
     "q33_geo_filter" -> (Geo.q33GeoFilter _),
     "t6_repetition" -> (TextOps.repetition _),
@@ -458,6 +460,9 @@ object SparkEntry {
       LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name
       ORDER BY sample_a, sample_b""",
     "q31_pcoa" -> Ordination.q31OracleSql(),
+    // the blocked form is bit-identical to the single-row form by
+    // construction (index-order folds), so it shares the same oracle
+    "q31b_pcoa_blocked" -> Ordination.q31OracleSql(),
     "q33_geo_filter" -> Geo.q33OracleSql,
     "q32_taxonomy_browse" -> """
       SELECT p_brand,

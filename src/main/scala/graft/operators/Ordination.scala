@@ -121,6 +121,151 @@ object Ordination {
       .orderBy("sample")
   }
 
+  /** BLOCK-PARTITIONED PCoA — the 100 TB-scale form of [[q31Pcoa]].
+    *
+    * [[q31Pcoa]] carries the whole Gram matrix in ONE row of
+    * array<array<double>>: a single-task O(n²·iters) computation that
+    * is fine while samples are a small dimension (n² doubles ≈ 32 MB
+    * at n = 2 000) but dead at a real reference deployment's 10⁴–10⁵
+    * samples. This variant distributes the SAME arithmetic:
+    *
+    *   - the D²/Gram matrix is (i, j, v) TRIPLES spread across the
+    *     cluster (n² rows — at n = 10⁵ that's 10¹⁰ rows ≈ 240 GB,
+    *     shuffle-partitionable, never resident in one task);
+    *   - a power-iteration step is broadcast-join + aggregate: the
+    *     n-entry vector broadcasts to the triples, products group by
+    *     row index i;
+    *   - every dimension-bounded side (ids, vector, scalars) is an
+    *     explicit `broadcast`, so the only shuffle per step is the
+    *     n²-row group-by — the minimum a distributed mat-vec needs.
+    *
+    * BIT-IDENTICAL to the single-row form (and so shares its DuckDB
+    * oracle): double addition is order-sensitive, so per-row sums are
+    * NOT `sum()` aggregates (shuffle-order-dependent) but
+    * collect_list → sort_array → sequential fold in index order — the
+    * exact add sequence of the single-row form's array folds. The
+    * per-group collected list is one matrix ROW (n doubles, ~800 KB at
+    * n = 10⁵) — bounded by the sample dimension, not the corpus.
+    * max-abs normalization uses a plain max (order-independent).
+    *
+    * Lineage: the triples matrix is checkpointed once and reused by
+    * all 2×iters steps; the iterated vector is checkpointed every
+    * `ckptEvery` steps (plan depth stays bounded, jobs stay tiny). */
+  def q31PcoaBlocked(spark: SparkSession, dir: String, iters: Int = 20,
+      ckptEvery: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sequential index-order fold over collected (idx, x) pairs — the
+    // blocked mirror of the single-row form's foldSum over an array
+    def idxFold(pairs: Column): Column =
+      aggregate(transform(sort_array(pairs), s => s("x")),
+        lit(0.0), (acc, x) => acc + x)
+    // per-row sorted fold back into a single-row array in index order
+    def toRow(grouped: DataFrame, out: String): DataFrame =
+      grouped.agg(transform(
+        sort_array(collect_list(struct(col("i"), col("x")))),
+        s => s("x")).as(out))
+
+    val bc = graft.Ckpt(Relational.q30BrayCurtis(spark, dir))
+    // dense 1-based ids in sample-name order, so index order == the
+    // single-row form's name-sorted array order. The ranking window is
+    // bounded by the sample DIMENSION (10⁴–10⁵ rows, megabytes in one
+    // partition); constant non-foldable key per the repo's
+    // WindowExec-warning discipline.
+    val ids = graft.Ckpt(
+      bc.select(col("sample_a").as("sample"))
+        .union(bc.select(col("sample_b"))).distinct()
+        .withColumn("i", row_number().over(
+          Window.partitionBy(length(col("sample")) * 0).orderBy("sample"))))
+    val nf = broadcast(ids.agg(max(col("i")).as("n")).filter(col("n") >= 2))
+    // symmetric D² triples: both orientations of each pair + zero diagonal
+    val half = bc
+      .join(broadcast(ids.select(col("sample").as("sample_a"), col("i").as("ti"))), "sample_a")
+      .join(broadcast(ids.select(col("sample").as("sample_b"), col("i").as("tj"))), "sample_b")
+      .select(col("ti"), col("tj"),
+        (col("bray_curtis") * col("bray_curtis")).as("d2"))
+    val trip = half.select(col("ti").as("i"), col("tj").as("j"), col("d2"))
+      .union(half.select(col("tj").as("i"), col("ti").as("j"), col("d2")))
+      .union(ids.select(col("i"), col("i").as("j"), lit(0.0).as("d2")))
+    // double centering as joins: rm_i (row means), grand mean, then
+    // b_ij = −½ (d2 − rm_i − rm_j + gmean) — operand-for-operand the
+    // single-row expression
+    val rm = trip.groupBy("i")
+      .agg(idxFold(collect_list(struct(col("j"), col("d2").as("x")))).as("rs"))
+      .crossJoin(nf)
+      .select(col("i"), (col("rs") / col("n")).as("rm"))
+    val gmean = rm
+      .agg(idxFold(collect_list(struct(col("i"), col("rm").as("x")))).as("gs"))
+      .crossJoin(nf).select((col("gs") / col("n")).as("gmean"))
+    val b = graft.Ckpt(trip
+      .join(broadcast(rm.select(col("i"), col("rm").as("rmi"))), "i")
+      .join(broadcast(rm.select(col("i").as("j"), col("rm").as("rmj"))), "j")
+      .crossJoin(broadcast(gmean))
+      .select(col("i"), col("j"), (lit(-0.5) *
+        (col("d2") - col("rmi") - col("rmj") + col("gmean"))).as("b")))
+
+    // One mat-vec: the dimension-bounded VECTOR rides as a single-row
+    // array broadcast into the distributed triples (10⁵ doubles ≈
+    // 800 KB — always broadcastable); products group by row index with
+    // the index-order fold, then collect back to a single-row array.
+    // Only the matrix is ever corpus-of-pairs-scale.
+    def matVec(m: DataFrame, vrow: DataFrame, vExpr: Column => Column,
+        out: String): DataFrame =
+      toRow(m.crossJoin(broadcast(vrow))
+        .select(col("i"), col("j"),
+          (col("b") * vExpr(col("j"))).as("x"))
+        .groupBy("i")
+        .agg(idxFold(collect_list(struct(col("j"), col("x")))).as("x")), out)
+    // power iteration carrying (varr = unnormalized B·v, mdiv = its
+    // max-abs); the division is applied at each USE (x/m per product),
+    // which is the same double as the single-row form's pre-divided
+    // vector element
+    def iterate(m: DataFrame, v0: DataFrame): DataFrame = {
+      var v = v0
+      for (k <- 1 to iters) {
+        val next = matVec(m, v,
+            j => element_at(col("varr"), j) / col("mdiv"), "varr")
+          .select(col("varr"), foldMaxAbs(col("varr")).as("mdiv"))
+        v = if (k % ckptEvery == 0 || k == iters) graft.Ckpt(next) else next
+      }
+      v.select(transform(col("varr"), x => x / col("mdiv")).as("varr"))
+    }
+    // e₁ start, gated on n ≥ 2 like the single-row form's filter
+    val v0 = nf.select(transform(sequence(lit(1), col("n")),
+      i => when(i === 1, lit(1.0)).otherwise(lit(0.0))).as("varr"),
+      lit(1.0).as("mdiv"))
+    val v1 = iterate(b, v0)
+    // Hotelling deflation: B·v₁ via one distributed mat-vec, the
+    // Rayleigh scalars as the single-row form's zip_with/fold shapes
+    val bv = matVec(b, v1, j => element_at(col("varr"), j), "bvarr")
+    val scal = broadcast(v1.crossJoin(bv).select(col("varr"),
+      foldSum(zip_with(col("varr"), col("bvarr"), (a, c) => a * c))
+        .as("lam_num"),
+      foldSum(transform(col("varr"), x => x * x)).as("lam_den")))
+    val b2 = graft.Ckpt(b.crossJoin(scal)
+      .select(col("i"), col("j"), (col("b") -
+        (col("lam_num") / col("lam_den"))
+          * element_at(col("varr"), col("i"))
+          * element_at(col("varr"), col("j")) / col("lam_den")).as("b")))
+    val v2 = iterate(b2, v0)
+    // sign convention + explode back to (sample, axis1, axis2) rows —
+    // the same tail as the single-row form
+    v1.crossJoin(v2.select(col("varr").as("v2arr")))
+      .crossJoin(broadcast(nf))
+      .crossJoin(broadcast(ids.agg(
+        sort_array(collect_list(col("sample"))).as("samples"))))
+      .withColumn("sgn1",
+        when(element_at(col("varr"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
+      .withColumn("sgn2",
+        when(element_at(col("v2arr"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
+      .select(posexplode(transform(sequence(lit(1), col("n")), i =>
+        struct(element_at(col("samples"), i).as("sample"),
+          round(element_at(col("varr"), i) * col("sgn1"), 6).as("axis1"),
+          round(element_at(col("v2arr"), i) * col("sgn2"), 6).as("axis2")))))
+      .select(col("col.sample").as("sample"),
+        col("col.axis1").as("axis1"), col("col.axis2").as("axis2"))
+      .orderBy("sample")
+  }
+
   /** DuckDB oracle: identical folds through a recursive CTE. */
   def q31OracleSql(iters: Int = 20): String = s"""
       WITH RECURSIVE ab AS (

@@ -73,6 +73,21 @@ class PipelineOpsSpec extends SparkSpec {
       f"axis extremes ($hi,$lo) BC=$d%.3f below median $median%.3f")
   }
 
+  test("blocked PCoA equals the single-row form bit-for-bit") {
+    // the (i,j,v)-triples variant must reproduce the single-row form
+    // EXACTLY (same index-order folds ⇒ same doubles), so both can
+    // share one DuckDB oracle — this is the gate on that claim
+    val single = graft.operators.Ordination.q31Pcoa(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val blocked = graft.operators.Ordination.q31PcoaBlocked(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(single.nonEmpty)
+    assert(blocked.toSeq == single.toSeq,
+      s"blocked PCoA diverges from single-row form: " +
+        s"${blocked.toSeq.diff(single.toSeq).take(3)} vs " +
+        s"${single.toSeq.diff(blocked.toSeq).take(3)}")
+  }
+
   test("batch interval join attributes purchases within the window only") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
