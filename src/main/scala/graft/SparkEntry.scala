@@ -91,6 +91,8 @@ object SparkEntry {
     "s2_ann_lsh" -> (Similarity.annLsh _),
     "s3_ann_ivf" -> (Similarity.annIvfDet _),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
+    "m3_image_decode" ->
+      ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
     "x1_export_csv" -> ((s: SparkSession, d: String) => graft.sources.Export.contextualCsv(s, d)),
     "x2_export_biom" -> ((s: SparkSession, d: String) => graft.sources.Export.biomMatrix(s, d)),
     "x3_export_biom_json" -> ((s: SparkSession, d: String) => graft.sources.Export.biomJson(s, d)),
@@ -786,6 +788,7 @@ object SparkEntry {
         CAST(doc_id % 512 + 64 AS BIGINT) AS width,
         CAST(doc_id % 256 + 64 AS BIGINT) AS height
       FROM documents ORDER BY doc_id""",
+    "m3_image_decode" -> graft.operators.Multimodal.imageDecodeOracleSql,
     "x1_export_csv" -> """
       SELECT c_custkey, c_name, c_mktsegment, o_orderkey,
         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

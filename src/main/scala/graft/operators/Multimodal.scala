@@ -5,12 +5,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads travel as opaque
-  * `binary` columns with a typed metadata struct alongside. The
-  * decode/feature-extract step is STUBBED (no image/audio libs in
-  * this container) behind [[MediaDecoder.decodeStub]], but the
-  * Spark-side shape is real: schema, per-partition batched iteration
-  * (the Scala analogue of mapInPandas' batch contract), and the
-  * projection pipeline are all exercised and tested.
+  * `binary` columns with a typed metadata struct alongside.
+  *
+  * IMAGE decode is REAL (r5): payloads are genuine PNG bytes encoded
+  * executor-side, and [[ImageDecoder.decodeImageIO]] decodes them with
+  * the JDK's `javax.imageio` — no external deps — extracting
+  * width/height/channel stats and an exact row-major pixel hash.
+  * Because PNG truecolor is lossless and the synthetic pixels are pure
+  * arithmetic in (doc_id, x, y), a DuckDB oracle recomputes the same
+  * stats analytically, gating the full encode→decode loop.
+  *
+  * AUDIO/VIDEO decode remains a declared stub behind
+  * [[MediaDecoder.decodeStub]] (no codec libs in this container); the
+  * per-partition batched iterator shape — the Scala analogue of
+  * mapInPandas' batch contract — is identical to the real image path,
+  * so swapping a codec in changes the batch body only, not the plan.
   */
 object Multimodal {
 
@@ -88,6 +97,140 @@ object Multimodal {
           col("text").substr(col("frame_idx") * 256 + 1, lit(256)))
           .as("frame_hash"))
       .orderBy("doc_id", "frame_idx")
+
+  case class ImageRow(doc_id: Long, payload: Array[Byte])
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+    channels: Int, sum_r: Long, sum_g: Long, sum_b: Long, pixel_hash: Long)
+
+  /** Deterministic synthetic image: pixel (x, y) of doc `id` has
+    * channels r/g/b = small linear forms in (id, x, y) mod 256 —
+    * arithmetic a SQL oracle can replay exactly. Encoded as a REAL
+    * PNG via the JDK encoder; truecolor PNG is lossless, so the decode
+    * side must recover these exact values. */
+  def pngPayload(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image dims derived from doc_id — shared by the payload generator
+    * and the oracle SQL (4–19 × 4–11 px keeps the corpus cheap while
+    * exercising non-square, varying shapes). */
+  final val DimWMod = 16; final val DimWBase = 4
+  final val DimHMod = 8; final val DimHBase = 4
+
+  /** doc_id → real PNG payload, generated executor-side (a stand-in
+    * for reading stored image blobs; the generation is distributed,
+    * never a driver loop). */
+  def withImagePayload(spark: SparkSession, docs: DataFrame): Dataset[ImageRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map { id =>
+        ImageRow(id, pngPayload(id,
+          (id % DimWMod + DimWBase).toInt, (id % DimHMod + DimHBase).toInt))
+      }
+    }
+  }
+
+  /** REAL image decode — JDK `javax.imageio`, no external libs:
+    * bytes → BufferedImage → width/height/channel-count, exact integer
+    * channel sums, and a row-major modular pixel hash (order-pinned,
+    * so the oracle's sequential fold reproduces it bit-for-bit). */
+  object ImageDecoder {
+    def decodeImageIO(rows: Iterator[ImageRow]): Iterator[ImageFeatures] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb, hash) = (0L, 0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            val (r, g, b) = ((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+            sr += r; sg += g; sb += b
+            hash = (hash * 31 + (px & 0xffffff)) % 1000003
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(row.doc_id, w, h,
+          img.getColorModel.getNumComponents, sr, sg, sb, hash)
+      }
+    }
+  }
+
+  /** End-to-end image pipeline: doc → PNG payload → ImageIO decode →
+    * features. The decoder is a swappable iterator transform (same
+    * contract as [[MediaDecoder.decodeStub]]); pass a codec-backed
+    * implementation to replace the JDK one without touching the plan. */
+  def imageDecode(spark: SparkSession, dir: String,
+      decoder: Iterator[ImageRow] => Iterator[ImageFeatures] =
+        ImageDecoder.decodeImageIO): DataFrame = {
+    import spark.implicits._
+    withImagePayload(spark, Tables.parallel(Tables.load(spark, dir, "documents")))
+      .mapPartitions(decoder)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[imageDecode]]: replays the synthetic pixel
+    * arithmetic analytically — exact integer sums via an unnested
+    * pixel grid, the hash via an ordered list_reduce over row-major
+    * pixel indices (p % w = x, p // w = y). A decode bug (wrong
+    * dimensions, channel order, pixel order, or lossy round-trip)
+    * breaks the hash; wrong stats break the sums. */
+  def imageDecodeOracleSql: String = s"""
+      WITH dims AS (
+        SELECT doc_id,
+          CAST(doc_id % $DimWMod + $DimWBase AS BIGINT) AS w,
+          CAST(doc_id % $DimHMod + $DimHBase AS BIGINT) AS h
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h,
+          unnest(generate_series(0, CAST(w * h - 1 AS INT))) AS p
+        FROM dims),
+      vals AS (
+        SELECT doc_id, w, h,
+          (doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256 AS r,
+          (doc_id * 17 + (p % w) * 11 + (p // w) * 3) % 256 AS g,
+          (doc_id * 23 + (p % w) * 5 + (p // w) * 19) % 256 AS b
+        FROM px),
+      sums AS (
+        SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+          CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+          CAST(sum(b) AS BIGINT) AS sum_b
+        FROM vals GROUP BY doc_id),
+      hashes AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(0, CAST(w * h - 1 AS INT)), p ->
+              ((doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256) * 65536
+              + ((doc_id * 17 + (p % w) * 11 + (p // w) * 3) % 256) * 256
+              + ((doc_id * 23 + (p % w) * 5 + (p // w) * 19) % 256))),
+            (a, v) -> (a * 31 + v) % 1000003) AS pixel_hash
+        FROM dims)
+      SELECT s.doc_id, CAST(s.w AS INT) AS width, CAST(s.h AS INT) AS height,
+        3 AS channels, s.sum_r, s.sum_g, s.sum_b, hs.pixel_hash
+      FROM sums s JOIN hashes hs ON hs.doc_id = s.doc_id
+      ORDER BY s.doc_id"""
 
   /** Oracle-checkable metadata projection (the decode-independent
     * part: format routing, payload sizing, frame estimation). */
