@@ -70,6 +70,9 @@ object SparkEntry {
     "q32_taxonomy_browse" -> ((s: SparkSession, d: String) => Relational.q32TaxonomyBrowse(s, d)),
     "q33_geo_filter" -> (Geo.q33GeoFilter _),
     "t6_repetition" -> (TextOps.repetition _),
+    "t7_pii_redact" -> (TextOps.piiRedact _),
+    "t8_sequence_pack" ->
+      ((s: SparkSession, d: String) => TextOps.sequencePack(s, d)),
     "m2_frame_sample" -> (Multimodal.frameSample _),
     "e5_interval_join" -> (Events.intervalJoin _),
     "t1_lang_id" -> (TextOps.langId _),
@@ -496,6 +499,8 @@ object SparkEntry {
       SELECT doc_id, n_bigrams, dup_bigram_frac, top_token_frac,
         (dup_bigram_frac > 0.2 OR top_token_frac > 0.2) AS is_repetitive
       FROM m ORDER BY doc_id""",
+    "t7_pii_redact" -> TextOps.piiOracleSql,
+    "t8_sequence_pack" -> TextOps.packOracleSql(),
     "m2_frame_sample" -> """
       WITH f AS (
         SELECT doc_id, text,

@@ -144,4 +144,140 @@ object TextOps {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy("shard")
+
+  /** PII redaction — the scrub pass every public-web training corpus
+    * runs before tokenization. The synthetic corpus carries no natural
+    * PII, so deterministic PII (email/URL/phone derived from doc_id)
+    * is INJECTED first and the redactor must find exactly that — the
+    * oracle replays injection + redaction, so a pattern that over- or
+    * under-matches breaks the gate. Patterns stay in the
+    * Java-regex ∩ RE2 common subset (char classes + bounded
+    * quantifiers, no lookaround) so both engines mean the same thing.
+    * Pure per-row projection: codegen'd regexps, zero shuffle. */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val UrlRe = "https?://[A-Za-z0-9./_-]+"
+  final val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedact(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" see https://site"), col("doc_id"), lit(".example/page")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"), (pmod(col("doc_id"), lit(900)) + 100),
+          lit("-"), (pmod(col("doc_id"), lit(9000)) + 1000)))
+        .otherwise(lit("")))
+    docs.select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(UrlRe)).cast("long").as("n_urls"),
+        regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          EmailRe, "<EMAIL>"), UrlRe, "<URL>"), PhoneRe, "<PHONE>")
+          .as("clean"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[piiRedact]] — same injection arithmetic, same
+    * patterns, 'g'-flagged replaces (Spark replaces globally by
+    * default; DuckDB needs the flag). */
+  def piiOracleSql: String = s"""
+      WITH inj AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 3 = 0
+               THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+          || CASE WHEN doc_id % 4 = 0
+               THEN ' see https://site' || doc_id || '.example/page' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+               THEN ' call 555-' || (doc_id % 900 + 100)
+                 || '-' || (doc_id % 9000 + 1000) ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '$UrlRe')) AS BIGINT) AS n_urls,
+        CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g') AS clean
+      FROM inj ORDER BY doc_id"""
+
+  /** Greedy sequence packing — grouping documents into fixed-token-
+    * budget training sequences. The packing recurrence (pack fill
+    * carries doc-to-doc) is inherently sequential WITHIN a shard and
+    * embarrassingly parallel ACROSS shards, so the scale shape is:
+    * hash-shard (reproducible fingerprint shards, same as
+    * [[shardAssign]]), repartition by shard, sort within, one linear
+    * mapPartitions scan per shard — the sanctioned per-partition-
+    * imperative case. At 100 TB, nShards ≫ executor count keeps every
+    * core busy and no shard's doc list exceeds one task. A doc larger
+    * than the budget occupies a pack alone (the standard rule). */
+  case class PackIn(shard: Long, doc_id: Long, n_tokens: Long)
+  case class PackOut(doc_id: Long, shard: Long, pack_id: Long, n_tokens: Long)
+
+  def sequencePack(spark: SparkSession, dir: String, nShards: Int = 16,
+      budget: Long = 128L): DataFrame =
+    sequencePack(spark, Tables.parallel(Tables.load(spark, dir, "documents")),
+      nShards, budget)
+
+  def sequencePack(spark: SparkSession, docs: DataFrame, nShards: Int,
+      budget: Long): DataFrame = {
+    import spark.implicits._
+    val base = fingerprint(docs)
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("doc_id"))
+      .select(pmod(col("fp"), lit(nShards.toLong)).as("shard"),
+        col("doc_id"), col("n_tokens"))
+    base.repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[PackIn]
+      .mapPartitions { it =>
+        // a partition holds whole shards (hash-partitioned on shard),
+        // sorted (shard, doc_id): reset the greedy state on shard change
+        var shard = -1L; var pack = 0L; var fill = 0L
+        it.map { r =>
+          if (r.shard != shard) { shard = r.shard; pack = 0L; fill = r.n_tokens }
+          else if (fill + r.n_tokens <= budget) fill += r.n_tokens
+          else { pack += 1L; fill = r.n_tokens }
+          PackOut(r.doc_id, r.shard, pack, r.n_tokens)
+        }
+      }
+      .toDF()
+      .orderBy("shard", "doc_id")
+  }
+
+  /** DuckDB oracle for [[sequencePack]]: the same greedy recurrence as
+    * a recursive CTE stepping all shards in lock-step by within-shard
+    * rank (recursion depth = max docs per shard, not corpus size). */
+  def packOracleSql(nShards: Int = 16, budget: Long = 128L): String = s"""
+      WITH RECURSIVE fp AS (
+        SELECT doc_id, list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(text, ' '),
+                w -> CAST(length(w)*131 + ascii(w) AS BIGINT))),
+            (acc, c) -> (acc * 1000003 + c) % 2147483647) AS f,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      base AS (
+        SELECT f % $nShards AS shard, doc_id, n_tokens,
+          row_number() OVER (PARTITION BY f % $nShards ORDER BY doc_id) AS rn
+        FROM fp),
+      rec AS (
+        SELECT shard, doc_id, n_tokens, rn,
+          CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.shard, b.doc_id, b.n_tokens, b.rn,
+          CASE WHEN r.fill + b.n_tokens <= $budget
+               THEN r.pack_id ELSE r.pack_id + 1 END,
+          CASE WHEN r.fill + b.n_tokens <= $budget
+               THEN r.fill + b.n_tokens ELSE b.n_tokens END
+        FROM rec r JOIN base b ON b.shard = r.shard AND b.rn = r.rn + 1)
+      SELECT doc_id, shard, pack_id, n_tokens
+      FROM rec ORDER BY shard, doc_id"""
 }

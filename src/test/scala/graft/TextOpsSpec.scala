@@ -46,4 +46,52 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(2) == 2) // 'hello' and 'world' are > 4 chars
     assert(r.getLong(3) == 5) // hell|o|worl|d|x
   }
+
+  test("PII redaction finds exactly the injected PII and scrubs it") {
+    val res = TextOps.piiRedact(spark, tinyDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: 0%3==0 email, 0%4==0 url, 0%5==0 phone — all three
+    assert(res(0L).getLong(1) == 1 && res(0L).getLong(2) == 1 &&
+      res(0L).getLong(3) == 1)
+    val clean0 = res(0L).getString(4)
+    assert(clean0.contains("<EMAIL>") && clean0.contains("<URL>") &&
+      clean0.contains("<PHONE>"))
+    assert(!clean0.contains("@") && !clean0.contains("http"),
+      s"PII survived redaction: $clean0")
+    // doc 1 and 2: no injected PII, text unchanged
+    assert(res(1L).getLong(1) == 0 && res(1L).getLong(2) == 0 &&
+      res(1L).getLong(3) == 0)
+    assert(res(2L).getString(4) == "the the the a of and or")
+  }
+
+  test("sequence packing respects the budget and never splits a shard's order") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val packed = TextOps.sequencePack(spark, docs, nShards = 16, budget = 128L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.length == docs.count())
+    // per (shard, pack): fill ≤ budget unless the pack is one oversized doc
+    packed.groupBy(p => (p._2, p._3)).foreach { case ((s, p), rows) =>
+      val fill = rows.map(_._4).sum
+      assert(fill <= 128L || rows.length == 1,
+        s"pack ($s,$p) over budget with ${rows.length} docs: $fill")
+    }
+    // pack ids are contiguous from 0 within each shard, in doc_id order
+    packed.groupBy(_._2).foreach { case (s, rows) =>
+      val inOrder = rows.sortBy(_._1).map(_._3)
+      assert(inOrder.head == 0L, s"shard $s starts at pack ${inOrder.head}")
+      assert(inOrder.zip(inOrder.tail).forall { case (a, b) => b == a || b == a + 1 },
+        s"shard $s pack ids not contiguous: ${inOrder.toSeq}")
+    }
+    // greedy replay: recompute pack ids sequentially per shard and
+    // compare — a doc opens a new pack ONLY if it would not have fit
+    packed.groupBy(_._2).foreach { case (s, rows) =>
+      var fill = 0L; var pack = 0L; var first = true
+      rows.sortBy(_._1).foreach { case (id, _, p, t) =>
+        if (first) { first = false; fill = t }
+        else if (fill + t <= 128L) fill += t
+        else { pack += 1; fill = t }
+        assert(p == pack, s"shard $s doc $id: pack $p, greedy replay says $pack")
+      }
+    }
+  }
 }
