@@ -75,6 +75,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.sequencePack(s, d)),
     "m2_frame_sample" -> (Multimodal.frameSample _),
     "e5_interval_join" -> (Events.intervalJoin _),
+    "e6_asof_join" -> (Events.asofJoin _),
     "t1_lang_id" -> (TextOps.langId _),
     "t2_quality_score" -> (TextOps.qualityScore _),
     "t3_token_count" -> (TextOps.tokenCount _),
@@ -526,6 +527,7 @@ object SparkEntry {
         AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       ORDER BY c.user_id, click_id, purchase_id""",
+    "e6_asof_join" -> graft.operators.Events.asofOracleSql,
     "t1_lang_id" -> """
       WITH scored AS (
         SELECT doc_id,

@@ -110,4 +110,68 @@ object Events {
           .as("duration_s"))
       .orderBy("user_id", "session_id")
   }
+
+  /** AS-OF join: attach to each purchase the same user's most recent
+    * click at or before it (last-touch attribution). Spark has no
+    * native as-of operator; the scalable composition is the
+    * union-marker form — interleave both sides on (ts, side) per user
+    * and carry the last click forward with a running
+    * `last(..., ignoreNulls)` window. ONE shuffle on user_id, linear
+    * state per user timeline — never the quadratic
+    * every-purchase×every-click range join (the naive form), and
+    * exactly the per-key ordered-state layout a streaming as-of keeps.
+    *
+    * Determinism: clicks are pre-reduced per (user, ts) — max
+    * event_id wins, its value via max_by — so an as-of tie can't pick
+    * different rows between engines (DuckDB's ASOF JOIN leaves the
+    * equal-timestamp choice unspecified). Click-at-purchase-ts counts
+    * as "before" (side ordering: click 0 < purchase 1), matching
+    * ASOF's `p.ts >= c.ts`. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoin(Tables.load(spark, dir, "events"))
+
+  def asofJoin(events: DataFrame): DataFrame = {
+    val c = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val u = c.select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("click_id"), col("click_value"),
+        lit(null).cast("long").as("purchase_id"))
+      .unionByName(p.select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("double").as("click_value"), col("purchase_id")))
+    val w = Window.partitionBy("user_id").orderBy("ts", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("lastc", last(
+        when(col("side") === 0,
+          struct(col("ts").as("cts"), col("click_id").as("cid"),
+            col("click_value").as("cval"))),
+        ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("purchase_id"),
+        col("lastc.cid").as("click_id"),
+        col("lastc.cval").as("click_value"),
+        (unix_micros(col("ts")) - unix_micros(col("lastc.cts")))
+          .cast("long").as("gap_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** DuckDB oracle for [[asofJoin]] — the engine's native ASOF LEFT
+    * JOIN over the identically tie-reduced click side. */
+  def asofOracleSql: String = """
+      WITH c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          max(event_id) AS click_id,
+          max_by(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.purchase_id, c.click_id, c.click_value,
+        CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY p.user_id, p.purchase_id"""
 }

@@ -102,6 +102,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows == Set((1L, 2L)), s"got $rows")
   }
 
+  test("as-of join picks the latest click at or before each purchase") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(5), 1L, "purchase", 0.0),  // → click 1
+      (3L, ts(10), 1L, "click", 2.0),
+      (4L, ts(10), 1L, "purchase", 0.0), // equal ts counts → click 3
+      (5L, ts(20), 1L, "purchase", 0.0), // → still click 3 (latest ≤)
+      (6L, ts(7), 2L, "purchase", 0.0),  // user 2 has no clicks → null
+      (7L, ts(30), 1L, "click", 9.0),    // later click never attributed
+      // same-ts click tie on user 3: max event_id (9) must win
+      (8L, ts(0), 3L, "click", 5.0),
+      (9L, ts(0), 3L, "click", 7.0),
+      (10L, ts(1), 3L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.asofJoin(ev).collect().map { r =>
+      (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4))
+    }.toSet
+    assert(got == Set(
+      (2L, 1L, 5L * 60_000_000L),
+      (4L, 3L, 0L),
+      (5L, 3L, 10L * 60_000_000L),
+      (6L, -1L, -1L),
+      (10L, 9L, 60_000_000L)), s"got $got")
+    // the tie-reduced click value rides along
+    val v10 = Events.asofJoin(ev).collect()
+      .find(_.getLong(1) == 10L).get.getDouble(3)
+    assert(v10 == 7.0, s"tie not reduced to max event_id's value: $v10")
+  }
+
   test("rolling average window frame is correct on a known sequence") {
     import spark.implicits._
     val ev = Seq(
