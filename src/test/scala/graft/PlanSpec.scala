@@ -109,6 +109,44 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no hash/merge equi-join:\n${p.take(1500)}")
   }
 
+  test("t7: PII redaction is a zero-shuffle pruned projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.operators.TextOps.piiRedact(
+      Tables.load(spark, sfDir, "documents"))
+    // drop the presentation orderBy — the operator body is the product
+    val body = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    // one exchange allowed: the final orderBy's range partitioning
+    assert(body.size <= 1,
+      s"redaction shuffles beyond the output sort:\n${df.queryExecution.executedPlan}")
+    val p = plan(df)
+    // column pruning: the scan must not read lang/source/n_chars
+    assert(!p.contains("n_chars"), "scan reads columns t7 never uses")
+  }
+
+  test("e6: as-of join is one user_id shuffle, never a range join product") {
+    val df = graft.operators.Events.asofJoin(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of degenerated to a product:\n${p.take(1500)}")
+    // the union-marker form has no join at all — a Window over the
+    // interleaved sides; ensure the window partitions by user_id
+    assert(p.contains("Window"), "as-of lost its window form")
+    assert(!p.contains("SortMergeJoin"),
+      "as-of regressed to a per-pair join; the union-window form shuffles once")
+  }
+
+  test("q31b: the triples matrix is distributed, the vector broadcast") {
+    val df = graft.operators.Ordination.q31PcoaBlocked(spark, sfDir, iters = 2)
+    val p = plan(df)
+    // every per-step vector/scalar ride-along must be a broadcast —
+    // a SortMergeJoin here would mean the matrix is being co-shuffled
+    // with the (tiny) vector each step
+    assert(!p.contains("SortMergeJoin"),
+      s"blocked PCoA shuffles the vector side:\n${p.take(2000)}")
+  }
+
   test("keyset page 2 equals the offset slice it replaces") {
     import org.apache.spark.sql.functions._
     // page 1 = first 50 orders in (o_orderdate, o_orderkey) order; the
