@@ -74,6 +74,52 @@ object StreamingOps {
       .union(sigged.filter(col("sig").isNull))
   }
 
+  case class AsofState(cts: Long, clickId: Long, clickValue: Double)
+  case class AsofOut(user_id: Long, purchase_id: Long,
+    click_id: Option[Long], click_value: Option[Double], gap_us: Option[Long])
+
+  /** Streaming AS-OF attribution — the stream form of
+    * [[graft.operators.Events.asofJoin]]: per user, remember only the
+    * LATEST click (constant state per key — the whole point of as-of
+    * vs interval join, whose state holds every click in the window)
+    * and attribute each purchase to it on arrival.
+    *
+    * Within a micro-batch, events process in (ts, side, event_id)
+    * order — clicks before purchases at equal ts, later same-ts click
+    * id wins — matching the batch operator's tie rules exactly, so a
+    * single-batch replay reproduces the batch output (spec-gated).
+    * Across batches the usual streaming caveat applies: a click
+    * arriving after its purchase's batch cannot retro-attribute. */
+  def asofAttribute(events: Dataset[Event])
+      (implicit spark: SparkSession): Dataset[AsofOut] = {
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def side(e: Event): Int = if (e.event_type == "click") 0 else 1
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, it, state: GroupState[AsofState]) =>
+          val sorted = it.toSeq.sortBy(e => (us(e.ts), side(e), e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[AsofOut]
+          sorted.foreach { e =>
+            if (e.event_type == "click")
+              cur = Some(AsofState(us(e.ts), e.event_id, e.value))
+            else out += (cur match {
+              case Some(s) => AsofOut(userId, e.event_id, Some(s.clickId),
+                Some(s.clickValue), Some(us(e.ts) - s.cts))
+              case None => AsofOut(userId, e.event_id, None, None, None)
+            })
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization with explicit per-key state — the
     * streaming form of [[graft.operators.Events.sessionize]]. Emits a
     * session when a new event arrives past the gap, or when the

@@ -69,6 +69,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of replays the batch attribution on one batch") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "purchase", 0.0),
+      Event(3, ts(10), 1, "click", 2.0),
+      Event(4, ts(10), 1, "purchase", 0.0), // equal ts → click 3
+      Event(5, ts(20), 1, "purchase", 0.0),
+      Event(6, ts(7), 2, "purchase", 0.0),  // no clicks → None
+      Event(7, ts(30), 1, "click", 9.0),
+      Event(8, ts(0), 3, "click", 5.0),     // same-ts tie: id 9 wins
+      Event(9, ts(0), 3, "click", 7.0),
+      Event(10, ts(1), 3, "purchase", 0.0),
+      Event(11, ts(2), 3, "view", 4.0))     // non-click/purchase: ignored
+    val input = MemoryStream[Event]
+    val q = StreamingOps.asofAttribute(input.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev: _*)
+      q.processAllAvailable()
+      val got = spark.table("asof").as[StreamingOps.AsofOut].collect()
+        .map(o => (o.purchase_id, o.click_id, o.gap_us)).toSet
+      // the batch operator on the same events is the oracle
+      val want = graft.operators.Events.asofJoin(
+          ev.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map { r =>
+          (r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)))
+        }.toSet
+      assert(got == want, s"stream $got != batch $want")
+      assert(want.contains((10L, Some(9L), Some(60000000L))),
+        s"tie rule drifted: $want")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to clicks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
