@@ -31,11 +31,16 @@ object Ordination {
   private def foldMaxAbs(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => greatest(acc, abs(x)))
 
-  def q31Pcoa(spark: SparkSession, dir: String, iters: Int = 20): DataFrame = {
+  def q31Pcoa(spark: SparkSession, dir: String, iters: Int = 20): DataFrame =
+    pcoa(Relational.q30BrayCurtis(spark, dir), iters)
+
+  /** Single-row PCoA over any pairwise-dissimilarity frame
+    * (sample_a, sample_b, bray_curtis — upper triangle). */
+  def pcoa(bc0: DataFrame, iters: Int = 20): DataFrame = {
     // checkpointed: the symmetric-matrix assembly references the pair
     // frame four ways; materializing the bounded 300-row result keeps
     // the fact-scale aggregation inside q30 from re-running per branch
-    val bc = graft.Ckpt(Relational.q30BrayCurtis(spark, dir))
+    val bc = graft.Ckpt(bc0)
     // symmetric D² matrix rows, canonically ordered by sample name both
     // ways (sort_array on (name, value) structs pins fold order)
     val names = bc.select(col("sample_a").as("si"))
@@ -152,6 +157,12 @@ object Ordination {
     * all 2×iters steps; the iterated vector is checkpointed every
     * `ckptEvery` steps (plan depth stays bounded, jobs stay tiny). */
   def q31PcoaBlocked(spark: SparkSession, dir: String, iters: Int = 20,
+      ckptEvery: Int = 2): DataFrame =
+    pcoaBlocked(Relational.q30BrayCurtis(spark, dir), iters, ckptEvery)
+
+  /** Blocked PCoA over any pairwise-dissimilarity frame — same input
+    * contract as [[pcoa]]; bit-identical output by construction. */
+  def pcoaBlocked(bc0: DataFrame, iters: Int = 20,
       ckptEvery: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // sequential index-order fold over collected (idx, x) pairs — the
@@ -165,7 +176,7 @@ object Ordination {
         sort_array(collect_list(struct(col("i"), col("x")))),
         s => s("x")).as(out))
 
-    val bc = graft.Ckpt(Relational.q30BrayCurtis(spark, dir))
+    val bc = graft.Ckpt(bc0)
     // dense 1-based ids in sample-name order, so index order == the
     // single-row form's name-sorted array order. The ranking window is
     // bounded by the sample DIMENSION (10⁴–10⁵ rows, megabytes in one

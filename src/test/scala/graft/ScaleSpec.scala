@@ -103,4 +103,69 @@ class ScaleSpec extends SparkSpec {
         s"bucketed join still shuffles the fact side:\n${plan.take(1500)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("blocked PCoA equals single-row at n=60 synthetic samples") {
+    // beyond the 25-nation corpus: 60 samples placed deterministically
+    // on a 2-D grid, euclidean dissimilarity scaled into [0,1] — the
+    // two forms must stay bit-identical at a size where the matrix is
+    // 3600 triples (ids, rm, vector still broadcast-bounded)
+    import spark.implicits._
+    val n = 60
+    val pts = (0 until n).map { i =>
+      (f"s$i%03d", (i * 37 % n).toDouble, (i * 53 % n).toDouble)
+    }
+    val pairs = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts if a < b
+    } yield {
+      val d = math.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+      (a, b, d / (n * math.sqrt(2.0)))
+    }).toDF("sample_a", "sample_b", "bray_curtis")
+    val single = graft.operators.Ordination.pcoa(pairs, iters = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val blocked = graft.operators.Ordination.pcoaBlocked(pairs, iters = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(single.length == n)
+    assert(blocked.toSeq == single.toSeq,
+      s"forms diverge at n=$n: ${blocked.toSeq.diff(single.toSeq).take(3)}")
+  }
+
+  test("as-of join stays linear on a single hot user") {
+    // one user emitting every event: the union-window form processes
+    // the timeline in ONE sorted pass — output must still be exact
+    import spark.implicits._
+    val n = 20000
+    val ev = (0 until n).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        1L, if (i % 2 == 0) "click" else "purchase", i.toDouble)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Events.asofJoin(ev).collect()
+    assert(out.length == n / 2)
+    // every purchase i attributes to click i-1 (1 second earlier)
+    assert(out.forall { r =>
+      r.getLong(2) == r.getLong(1) - 1 && r.getLong(4) == 1000000L
+    }, "hot-user attribution drifted")
+  }
+
+  test("sequence packing handles a giant single shard exactly") {
+    // force ALL docs into one shard (nShards=1): the per-shard linear
+    // scan must still pack the full corpus correctly — this is the
+    // worst-case skew (shard >> others), bounded by one task's docs
+    import spark.implicits._
+    val docs = (0 until 5000).map { i =>
+      (i.toLong, Seq.fill(i % 50 + 1)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val packed = graft.operators.TextOps.sequencePack(
+      spark, docs, nShards = 1, budget = 128L).collect()
+    assert(packed.length == 5000)
+    // greedy replay over the whole corpus in doc order
+    var fill = 0L; var pack = 0L; var first = true
+    packed.sortBy(_.getLong(0)).foreach { r =>
+      val t = r.getLong(3)
+      if (first) { first = false; fill = t }
+      else if (fill + t <= 128L) fill += t
+      else { pack += 1; fill = t }
+      assert(r.getLong(2) == pack,
+        s"doc ${r.getLong(0)}: pack ${r.getLong(2)} != replay $pack")
+    }
+  }
 }
