@@ -96,14 +96,17 @@ object TextOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprint(Tables.parallel(Tables.load(spark, dir, "documents")))
 
-  def fingerprint(docs: DataFrame): DataFrame = {
-    docs.select(col("doc_id"),
-        expr("""aggregate(
-                  transform(split(text, ' '), w -> CAST(length(w)*131 + ascii(w) AS BIGINT)),
-                  CAST(0 AS BIGINT),
-                  (acc, c) -> (acc * 1000003 + c) % 2147483647)""").as("fp"))
-      .orderBy("doc_id")
-  }
+  /** The rolling-hash fingerprint as a reusable column so consumers
+    * (shardAssign, sequencePack) compute it inside their own single
+    * scan instead of joining a second corpus-scale projection. */
+  private def fpCol: Column =
+    expr("""aggregate(
+              transform(split(text, ' '), w -> CAST(length(w)*131 + ascii(w) AS BIGINT)),
+              CAST(0 AS BIGINT),
+              (acc, c) -> (acc * 1000003 + c) % 2147483647)""")
+
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fpCol.as("fp")).orderBy("doc_id")
 
   /** Repetition-based quality signals (the Gopher/C4-style filters):
     * duplicate word-bigram fraction and the most-frequent-token share.
@@ -137,10 +140,11 @@ object TextOps {
     shardAssign(Tables.parallel(Tables.load(spark, dir, "documents")), nShards)
 
   def shardAssign(docs: DataFrame, nShards: Int): DataFrame =
-    fingerprint(docs)
-      .join(docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")),
-        Seq("doc_id"))
-      .withColumn("shard", pmod(col("fp"), lit(nShards.toLong)))
+    // ONE scan: fingerprint + token count in the same projection (the
+    // former fingerprint ⋈ tokens form read the corpus twice and paid
+    // a doc_id shuffle before the aggregation)
+    docs.select(pmod(fpCol, lit(nShards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy("shard")
@@ -228,11 +232,9 @@ object TextOps {
   def sequencePack(spark: SparkSession, docs: DataFrame, nShards: Int,
       budget: Long): DataFrame = {
     import spark.implicits._
-    val base = fingerprint(docs)
-      .join(docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")), Seq("doc_id"))
-      .select(pmod(col("fp"), lit(nShards.toLong)).as("shard"),
-        col("doc_id"), col("n_tokens"))
+    // ONE scan: shard key + token count in the same projection
+    val base = docs.select(pmod(fpCol, lit(nShards.toLong)).as("shard"),
+      col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
     base.repartition(col("shard"))
       .sortWithinPartitions("shard", "doc_id")
       .as[PackIn]
