@@ -1,0 +1,31 @@
+package graft
+
+/** Guards the driver contract itself — the gap that broke r4 (a query
+  * changed shape after the last gate run). Every entry in
+  * SparkEntry.queries must execute end-to-end, and every query must
+  * carry an oracle, so `sbt test` alone catches a broken or orphaned
+  * entry before the driver's DuckDB gate ever runs. */
+class ContractSpec extends SparkSpec {
+
+  private val tinySf = "/root/testdata/sf0.001"
+
+  test("every query has an oracle entry and vice versa") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val noQuery = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(noOracle.isEmpty, s"queries without oracle SQL: $noOracle")
+    assert(noQuery.isEmpty, s"oracle SQL without a query: $noQuery")
+  }
+
+  test("every registered query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, tinySf).write.mode("overwrite").format("noop").save(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
+    }
+    assert(failures.isEmpty, s"queries failed:\n${failures.mkString("\n")}")
+  }
+
+  test("the flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
