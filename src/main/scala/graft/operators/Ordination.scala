@@ -194,8 +194,14 @@ object Ordination {
       .join(broadcast(ids.select(col("sample").as("sample_b"), col("i").as("tj"))), "sample_b")
       .select(col("ti"), col("tj"),
         (col("bray_curtis") * col("bray_curtis")).as("d2"))
-    val trip = half.select(col("ti").as("i"), col("tj").as("j"), col("d2"))
-      .union(half.select(col("tj").as("i"), col("ti").as("j"), col("d2")))
+    // both orientations in ONE pass over the pair frame (a two-branch
+    // union evaluates its upstream twice — an extra full read of the
+    // n²/2-row frame at scale); the zero diagonal unions from the
+    // dimension-bounded ids
+    val trip = half.select(explode(array(
+        struct(col("ti").as("i"), col("tj").as("j"), col("d2")),
+        struct(col("tj").as("i"), col("ti").as("j"), col("d2")))).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.d2").as("d2"))
       .union(ids.select(col("i"), col("i").as("j"), lit(0.0).as("d2")))
     // double centering as joins: rm_i (row means), grand mean, then
     // b_ij = −½ (d2 − rm_i − rm_j + gmean) — operand-for-operand the
