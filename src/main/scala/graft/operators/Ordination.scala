@@ -43,8 +43,9 @@ object Ordination {
     val bc = graft.Ckpt(bc0)
     // symmetric D² matrix rows, canonically ordered by sample name both
     // ways (sort_array on (name, value) structs pins fold order)
-    val names = bc.select(col("sample_a").as("si"))
-      .union(bc.select(col("sample_b"))).distinct()
+    // endpoint set in one pass (a two-branch union reads bc twice)
+    val names = bc.select(explode(array(col("sample_a"), col("sample_b")))
+      .as("si")).distinct()
     val sym = bc.select(col("sample_a").as("si"), col("sample_b").as("sj"),
         (col("bray_curtis") * col("bray_curtis")).as("d2"))
       .union(bc.select(col("sample_b"), col("sample_a"),
@@ -183,8 +184,8 @@ object Ordination {
     // partition); constant non-foldable key per the repo's
     // WindowExec-warning discipline.
     val ids = graft.Ckpt(
-      bc.select(col("sample_a").as("sample"))
-        .union(bc.select(col("sample_b"))).distinct()
+      bc.select(explode(array(col("sample_a"), col("sample_b")))
+          .as("sample")).distinct()
         .withColumn("i", row_number().over(
           Window.partitionBy(length(col("sample")) * 0).orderBy("sample"))))
     val nf = broadcast(ids.agg(max(col("i")).as("n")).filter(col("n") >= 2))
