@@ -505,17 +505,22 @@ object Dedup {
     // slice of the text (the composed split/slice/concat_ws form
     // re-evaluated the split once per shingle — O(words²) per doc).
     // Strings, not hashes: the contamination join must be exact.
-    val shingled = docs.select(col("doc_id"), col("source"),
-      explode(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
-    val bench = broadcast(shingled.filter(col("source") === benchmarkSource)
-      .select("sh").distinct())
-    val train = shingled.filter(col("source") =!= benchmarkSource)
-    val hits = train.join(bench, "sh")
+    //
+    // ONE corpus pass: explode_outer keeps shingle-less docs as a null
+    // row, and the broadcast LEFT join + conditional countDistinct
+    // yields n_hits = 0 for them directly — the former inner-join form
+    // needed a third doc_id-only corpus scan and a corpus-scale
+    // doc_id shuffle join just to restore the zero-hit docs.
+    val bench = broadcast(docs.filter(col("source") === benchmarkSource)
+      .select(explode(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
+      .distinct()
+      .withColumn("hit", lit(1)))
+    docs.filter(col("source") =!= benchmarkSource)
+      .select(col("doc_id"),
+        explode_outer(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
+      .join(bench, Seq("sh"), "left_outer")
       .groupBy("doc_id")
-      .agg(countDistinct(col("sh")).as("n_hits"))
-    docs.filter(col("source") =!= benchmarkSource).select("doc_id")
-      .join(hits, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .agg(countDistinct(when(col("hit").isNotNull, col("sh"))).as("n_hits"))
       .orderBy("doc_id")
   }
 
