@@ -42,6 +42,27 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || expected == pruned.count())
   }
 
+  test("orc round-trip preserves exact decimals and pushes predicates") {
+    // ORC is the other columnar interchange format upstream pipelines
+    // deliver; Spark's reader/writer is built in (orc-core on the
+    // classpath, no extra deps)
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.write.mode("overwrite").orc(s"$tmp/orders_orc")
+    val back = spark.read.orc(s"$tmp/orders_orc")
+    assert(back.count() == orders.count())
+    // exact-decimal totals survive the round trip
+    val a = back.agg(sum(Dec.dec(col("o_totalprice")))).head().getDecimal(0)
+    val b = orders.agg(sum(Dec.dec(col("o_totalprice")))).head().getDecimal(0)
+    assert(a == b, s"ORC round-trip drifted totals: $a vs $b")
+    // predicate pushdown reaches the ORC scan like parquet
+    val filtered = back.filter(col("o_orderstatus") === "F")
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(o_orderstatus,F)"),
+      s"status filter not pushed to ORC scan:\n${plan.take(1500)}")
+  }
+
   test("BIOM-shaped wide matrix writes and reads back") {
     val m = graft.operators.Relational.q7AbundanceMatrix(spark, sfDir)
     m.write.mode("overwrite").parquet(s"$tmp/biom")
