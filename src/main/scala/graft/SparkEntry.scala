@@ -105,6 +105,13 @@ object SparkEntry {
     "e2_sessionize" -> (Events.sessionize _),
     "e3_props_json" -> (Events.propsJson _),
     "e4_rolling_avg" -> (Events.rollingAvg _),
+    "e7_retention" -> (Events.retention _),
+    "e8_funnel" -> (Events.funnel _),
+    "q34_unpivot" -> (Relational.q34Unpivot _),
+    "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
+    "q36_cooccurrence" -> (Relational.q36Cooccurrence _),
+    "t9_split" -> (TextOps.split3 _),
+    "t10_term_freq" -> ((s: SparkSession, d: String) => TextOps.termFreq(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -528,6 +535,42 @@ object SparkEntry {
         AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
       ORDER BY c.user_id, click_id, purchase_id""",
     "e6_asof_join" -> graft.operators.Events.asofOracleSql,
+    "e7_retention" -> graft.operators.Events.retentionOracleSql,
+    "e8_funnel" -> graft.operators.Events.funnelOracleSql,
+    "t9_split" -> TextOps.split3OracleSql,
+    "t10_term_freq" -> TextOps.termFreqOracleSql(),
+    "q34_unpivot" -> """
+      SELECT n_name, p_type,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, p_type
+      ORDER BY n_name, p_type""",
+    "q35_histogram" -> """
+      SELECT floor(o_totalprice / 25000.0) * 25000.0 AS bin_start,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY bin_start""",
+    "q36_cooccurrence" -> """
+      WITH ob AS (
+        SELECT DISTINCT l_orderkey AS sample, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      df AS (SELECT brand, count(*) AS df FROM ob GROUP BY brand),
+      pr AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_shared
+        FROM ob a JOIN ob b ON a.sample = b.sample AND a.brand < b.brand
+        GROUP BY 1, 2)
+      SELECT brand_a, brand_b, n_shared,
+        round(CAST(n_shared AS DOUBLE) / (da.df + db.df - n_shared), 6) AS jaccard
+      FROM pr
+      JOIN df da ON da.brand = brand_a
+      JOIN df db ON db.brand = brand_b
+      ORDER BY brand_a, brand_b""",
     "t1_lang_id" -> """
       WITH scored AS (
         SELECT doc_id,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Dec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -174,4 +174,112 @@ object Events {
         CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT) AS gap_us
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY p.user_id, p.purchase_id"""
+
+  /** Cohort retention: cohort = a user's first active day; one output
+    * row per (cohort day, day offset) with the distinct users still
+    * active at that offset. The product-analytics staple over the
+    * telemetry stream.
+    *
+    * Scale shape: events collapse to (user, day) FIRST (map-side
+    * partial agg does most of the work before any shuffle), the cohort
+    * lookup is a whole-partition window min over user_id on the
+    * collapsed frame — never a self-join of the raw fact — and because
+    * (user, day) rows are distinct, `n_users` is a plain count, not a
+    * count-distinct shuffle. */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    retention(Tables.load(spark, dir, "events"))
+
+  def retention(events: DataFrame): DataFrame = {
+    val perDay = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"))
+    perDay
+      .withColumn("cohort_day", min(col("day")).over(Window.partitionBy("user_id")))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  def retentionOracleSql: String = """
+      WITH per_day AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      coh AS (
+        SELECT user_id, day, n_events,
+          min(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM per_day)
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        count(*) AS n_users,
+        CAST(sum(n_events) AS BIGINT) AS n_events
+      FROM coh GROUP BY 1, 2
+      ORDER BY cohort_day, day_offset"""
+
+  /** Ordered funnel (signup → view → click → purchase) in ONE pass:
+    * per user, chained running-min windows over (ts, event_id) — stage
+    * k's candidate timestamps only count once stage k-1's running min
+    * is set, so `s4` is the first purchase completing the full ordered
+    * funnel. One shuffle+sort on user_id with four window passes over
+    * the same ordering — never the 4-way self-join of per-step min
+    * CTEs (which scans the fact four times and shuffles each). The
+    * per-user output (stage count + signup→purchase latency) is the
+    * strongest hashable gate; the 4-row summary is a trivial rollup of
+    * it. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.load(spark, dir, "events"))
+
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def stage(tpe: String, prev: Option[String]): Column = {
+      val qualifies = prev.fold(col("event_type") === tpe)(p =>
+        col("event_type") === tpe && col(p).isNotNull)
+      min(when(qualifies, col("us"))).over(w)
+    }
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("s1", stage("signup", None))
+      .withColumn("s2", stage("view", Some("s1")))
+      .withColumn("s3", stage("click", Some("s2")))
+      .withColumn("s4", stage("purchase", Some("s3")))
+      .groupBy("user_id")
+      .agg(
+        (max(col("s1").isNotNull.cast("long")) +
+          max(col("s2").isNotNull.cast("long")) +
+          max(col("s3").isNotNull.cast("long")) +
+          max(col("s4").isNotNull.cast("long"))).as("n_stages"),
+        (min(col("s4")) - min(col("s1"))).as("convert_us"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[funnel]] — the same chained running-min
+    * windows, layered as subqueries (a window alias can't be referenced
+    * inside another window in the same SELECT). */
+  def funnelOracleSql: String = """
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS s1 FROM e),
+      w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND s1 IS NOT NULL THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS s2 FROM w1),
+      w3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND s2 IS NOT NULL THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS s3 FROM w2),
+      w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND s3 IS NOT NULL THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS s4 FROM w3)
+      SELECT user_id,
+        CAST(max(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END)
+           + max(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END)
+           + max(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END)
+           + max(CASE WHEN s4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stages,
+        min(s4) - min(s1) AS convert_us
+      FROM w4 GROUP BY user_id
+      ORDER BY user_id"""
 }

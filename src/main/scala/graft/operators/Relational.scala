@@ -569,4 +569,68 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
   }
+
+  /** Matrix melt (unpivot) — the inverse of the BIOM pivot: the wide
+    * sample × taxon abundance matrix ([[q7AbundanceMatrix]]) back to
+    * sparse (sample, taxon, abundance) triples, dropping absent cells.
+    * Spark's native `unpivot` is a per-row projection over the already
+    * dim-bounded matrix — no shuffle beyond q7's own aggregation. The
+    * sparse long form is what the BIOM JSON writer and every
+    * downstream join wants. */
+  def q34Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+    q7AbundanceMatrix(spark, dir)
+      .unpivot(Array(col("n_name")), types.map(col).toArray, "p_type", "abundance")
+      .filter(col("abundance").isNotNull)
+      .orderBy("n_name", "p_type")
+  }
+
+  /** Numeric contextual-field histogram — bpaotu's interactive-graph
+    * distribution endpoint (e.g. depth/pH histograms). Fixed-width
+    * binning is a pure projection (bin = floor(x / width) · width), so
+    * the whole query is scan → map-side partial agg → tiny shuffle;
+    * bin cardinality is bounded by the value range, never row count. */
+  def q35Histogram(spark: SparkSession, dir: String,
+      width: Double = 25000.0): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.select((floor(col("o_totalprice") / width) * width).as("bin_start"),
+        col("o_totalprice"))
+      .groupBy("bin_start")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("bin_start")
+  }
+
+  /** Taxa co-occurrence network — which taxon pairs appear in the same
+    * sample, with pairwise Jaccard over sample sets (bpaotu's
+    * comparison/network analysis). The fact collapses to DISTINCT
+    * (sample, taxon) presence rows first; the pair join is keyed on
+    * the sample id, so per-sample work is bounded by the taxon
+    * vocabulary (≤ dim cardinality squared per sample), never fact
+    * rows². Per-taxon sample counts are a bounded frame, broadcast
+    * onto the pair aggregate for the Jaccard denominator. */
+  def q36Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    // checkpointed: both sides of the pair join + the df counts read
+    // this presence frame; it is aggregate-bounded (samples × taxa)
+    val ob = graft.Ckpt(
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("sample"), col("p_brand").as("brand"))
+        .distinct())
+    val df = ob.groupBy("brand").agg(count(lit(1)).as("df"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"),
+        col("a.sample") === col("b.sample") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(df.select(col("brand").as("brand_a"), col("df").as("df_a"))), "brand_a")
+      .join(broadcast(df.select(col("brand").as("brand_b"), col("df").as("df_b"))), "brand_b")
+      .select(col("brand_a"), col("brand_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("df_a") + col("df_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("brand_a", "brand_b")
+  }
 }

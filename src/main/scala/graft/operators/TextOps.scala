@@ -211,6 +211,73 @@ object TextOps {
           '$PhoneRe', '<PHONE>', 'g') AS clean
       FROM inj ORDER BY doc_id"""
 
+  /** Deterministic train/val/test split — the reproducible corpus
+    * split every training pipeline needs. The split key is the first
+    * hex nibble of md5(doc_id): content-independent, stable across
+    * engines/runs/parallelism, and uniform, giving a 12/2/2 nibble
+    * split (75% train, 12.5% val, 12.5% test). Comparing on the hex
+    * CHARACTER avoids any hex→int conversion mismatch between engines.
+    * Pure zero-shuffle projection; at 100 TB the assignment rides
+    * along any scan for free (the write side is
+    * `partitionBy("split")`). */
+  def split3(spark: SparkSession, dir: String): DataFrame =
+    split3(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def split3(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        when(col("h") < "c", "train")
+          .when(col("h") < "e", "val")
+          .otherwise("test").as("split"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+
+  def split3OracleSql: String = """
+      SELECT doc_id,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+             ELSE 'test' END AS split,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id"""
+
+  /** Corpus term statistics — term frequency, document frequency, and
+    * IDF for the top terms (the vocabulary/stopword-profiling pass a
+    * corpus pipeline runs before filtering). Explode → partial-agg:
+    * the shuffle moves one row per DISTINCT term per partition (map-
+    * side combine), the top-k is a TakeOrdered (no global sort
+    * materialization), and the corpus size for IDF is a broadcast
+    * single-row aggregate — never a driver-side collect. */
+  def termFreq(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    termFreq(Tables.parallel(Tables.load(spark, dir, "documents")), k)
+
+  def termFreq(docs: DataFrame, k: Int): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("tf"), col("df"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("idf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+  }
+
+  def termFreqOracleSql(k: Int = 100): String = s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      ag AS (
+        SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT term, tf, df,
+        round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS idf
+      FROM ag, n
+      ORDER BY tf DESC, term
+      LIMIT $k"""
+
   /** Greedy sequence packing — grouping documents into fixed-token-
     * budget training sequences. The packing recurrence (pack fill
     * carries doc-to-doc) is inherently sequential WITHIN a shard and

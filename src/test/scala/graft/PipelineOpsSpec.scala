@@ -146,4 +146,142 @@ class PipelineOpsSpec extends SparkSpec {
     val avgs = Events.rollingAvg(ev).collect().map(_.getDouble(3)).toSeq
     assert(avgs == Seq(3.0, 4.5, 6.0, 9.0), s"got $avgs")
   }
+
+  test("retention cohorts: day-0 row carries the full cohort, offsets are exact") {
+    import spark.implicits._
+    val ts = (d: Int, h: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1: cohort Jan 1, active on day 0 (twice) and day 2
+      (1L, ts(1, 9), 1L, "view", 0.0),
+      (2L, ts(1, 17), 1L, "click", 0.0),
+      (3L, ts(3, 9), 1L, "view", 0.0),
+      // user 2: cohort Jan 1, active day 0 only
+      (4L, ts(1, 23), 2L, "view", 0.0),
+      // user 3: cohort Jan 2, active day 0 and day 1
+      (5L, ts(2, 1), 3L, "view", 0.0),
+      (6L, ts(3, 1), 3L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.retention(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> (2L, 3L),   // users 1+2, 3 events
+      ("2024-01-01", 2) -> (1L, 1L),   // user 1 returns on day 2
+      ("2024-01-02", 0) -> (1L, 1L),
+      ("2024-01-02", 1) -> (1L, 1L)), s"got $got")
+    // invariant on real data: no cohort's later offset exceeds its day 0
+    val sf = Events.retention(Tables.load(spark, sfDir, "events")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val day0 = sf.collect { case (c, 0, n) => c -> n }.toMap
+    assert(sf.forall { case (c, _, n) => n <= day0(c) },
+      "an offset row exceeds its cohort's day-0 user count")
+  }
+
+  test("funnel requires stage order and reports signup→purchase latency") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: full ordered funnel, converts in 30 min
+      (1L, ts(0), 1L, "signup", 0.0),
+      (2L, ts(10), 1L, "view", 0.0),
+      (3L, ts(20), 1L, "click", 0.0),
+      (4L, ts(30), 1L, "purchase", 1.0),
+      // user 2: view BEFORE signup doesn't count; funnel stops at signup
+      (5L, ts(0), 2L, "view", 0.0),
+      (6L, ts(10), 2L, "signup", 0.0),
+      // user 3: purchase without a preceding ordered click never counts
+      (7L, ts(0), 3L, "signup", 0.0),
+      (8L, ts(5), 3L, "view", 0.0),
+      (9L, ts(10), 3L, "purchase", 1.0),
+      // user 4: no signup at all
+      (10L, ts(0), 4L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.funnel(ev).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (4L, 30L * 60_000_000L),
+      2L -> (1L, -1L),
+      3L -> (2L, -1L),
+      4L -> (0L, -1L)), s"got $got")
+  }
+
+  test("unpivot melts the abundance matrix losslessly (re-pivot round trip)") {
+    val types = Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+    val wide = operators.Relational.q7AbundanceMatrix(spark, sfDir).collect()
+      .flatMap { r =>
+        types.zipWithIndex.collect {
+          case (t, i) if !r.isNullAt(i + 1) =>
+            (r.getString(0), t) -> r.getDouble(i + 1)
+        }
+      }.toMap
+    val long = operators.Relational.q34Unpivot(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(long == wide, "melted triples diverge from the wide matrix")
+  }
+
+  test("histogram conserves totals and bins on exact width multiples") {
+    val width = 25000.0
+    val rows = operators.Relational.q35Histogram(spark, sfDir, width).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    val orders = Tables.load(spark, sfDir, "orders")
+    assert(rows.map(_._2).sum == orders.count(), "orders lost in binning")
+    assert(rows.forall { case (b, _, _) => b % width == 0.0 },
+      "bin start not a width multiple")
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate bins")
+  }
+
+  test("co-occurrence matches a brute-force recomputation at sf0.001") {
+    val tiny = "/root/testdata/sf0.001"
+    val presence = Tables.load(spark, tiny, "lineitem")
+      .join(Tables.load(spark, tiny, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySample = presence.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val df = presence.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expected = bySample.values.flatMap { brands =>
+      brands.toSeq.sorted.combinations(2).map(p => (p(0), p(1)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = operators.Relational.q36Cooccurrence(spark, tiny).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet, "pair universe differs from brute force")
+    got.foreach { case ((a, b), (n, j)) =>
+      assert(n == expected((a, b)), s"count mismatch for ($a,$b)")
+      val expJ = BigDecimal(n.toDouble / (df(a) + df(b) - n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(j == expJ, s"jaccard mismatch for ($a,$b): $j vs $expJ")
+    }
+  }
+
+  test("split is deterministic, covering, and near the 75/12.5/12.5 design") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = TextOps.split3(docs).collect().map(r => r.getLong(0) -> r.getString(1))
+    val b = TextOps.split3(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(a.toSeq == b.toSeq, "split depends on partitioning")
+    assert(a.length == docs.count(), "docs lost in split")
+    val frac = a.groupBy(_._2).view.mapValues(_.length.toDouble / a.length).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(frac("train") > 0.65 && frac("train") < 0.85, s"train frac: $frac")
+    assert(frac("val") > 0.05 && frac("test") > 0.05, s"tail fracs: $frac")
+  }
+
+  test("term frequency matches a brute-force recount on synthetic docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b b d"),
+      (3L, "a e")).toDF("doc_id", "text")
+    val got = TextOps.termFreq(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Seq(
+      ("a", 4L, 3L, 0.0),
+      ("b", 3L, 2L, r6(math.log(1.5))),
+      ("c", 1L, 1L, r6(math.log(3.0))),
+      ("d", 1L, 1L, r6(math.log(3.0))),
+      ("e", 1L, 1L, r6(math.log(3.0))))
+    assert(got.toSeq == exp, s"got ${got.toSeq}")
+  }
 }
