@@ -166,6 +166,67 @@ class PlanSpec extends SparkSpec {
       "keyset page diverges from the offset slice")
   }
 
+  test("e7/e8: retention and funnel never join; funnel shuffles once on user_id") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ret = graft.operators.Events.retention(spark, sfDir)
+    val pr = plan(ret)
+    assert(!pr.contains("Join"), s"retention grew a join:\n${pr.take(1500)}")
+    assert(pr.contains("partial_count") || pr.contains("partial_sum"),
+      "retention lost its map-side partial aggregation")
+    val fun = graft.operators.Events.funnel(spark, sfDir)
+    val pf = plan(fun)
+    assert(!pf.contains("Join"),
+      s"funnel regressed to the per-step self-join form:\n${pf.take(1500)}")
+    // one hash exchange on user_id (window + reused by the groupBy) and
+    // one range exchange for the output sort — nothing else
+    val shuffles = fun.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.size <= 2,
+      s"funnel shuffles ${shuffles.size}× (expected ≤ 2: user_id + output sort)")
+  }
+
+  test("t9: split assignment is a zero-shuffle pruned projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.operators.TextOps.split3(
+      Tables.load(spark, sfDir, "documents"))
+    val body = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    // one exchange allowed: the final orderBy's range partitioning
+    assert(body.size <= 1,
+      s"split shuffles beyond the output sort:\n${df.queryExecution.executedPlan}")
+    assert(!plan(df).contains("n_chars"), "scan reads columns t9 never uses")
+  }
+
+  test("t10: term stats partial-aggregate and top-k as TakeOrdered") {
+    val df = graft.operators.TextOps.termFreq(
+      Tables.load(spark, sfDir, "documents"), 100)
+    val p = plan(df)
+    assert(p.contains("partial_count"),
+      "term counting lost its map-side partial aggregation")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k did not collapse to TakeOrderedAndProject:\n${p.take(1500)}")
+  }
+
+  test("q35: histogram reads only the binned column and partial-aggregates") {
+    val df = Relational.q35Histogram(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("o_orderdate") && !p.contains("o_comment"),
+      "histogram scan reads columns it never uses")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "histogram lost its map-side partial aggregation")
+  }
+
+  test("q36: df denominators ride on broadcast joins, never a product") {
+    val df = Relational.q36Cooccurrence(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"co-occurrence degenerated to a product:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-taxon sample counts are not broadcast onto the pair aggregate")
+  }
+
   test("q1: whole-stage codegen covers the aggregation") {
     val df = Relational.q1PricingSummary(spark, sfDir)
     assert(plan(df).contains("partial_sum"),
