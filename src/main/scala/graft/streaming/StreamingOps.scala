@@ -120,6 +120,58 @@ object StreamingOps {
       }
   }
 
+  case class FunnelState(s1: Long, s2: Long, s3: Long, s4: Long)
+  case class FunnelOut(user_id: Long, stage: Int, at_us: Long,
+    convert_us: Option[Long])
+
+  /** Streaming ordered funnel — the stream form of
+    * [[graft.operators.Events.funnel]]: per user, remember the first
+    * timestamp of each COMPLETED stage (signup → view → click →
+    * purchase, each only counting once the previous stage is set).
+    * State is four longs per user — constant per key, never a buffer
+    * of events — and an output row is emitted exactly when a user
+    * progresses a stage (stage 4 carries the signup→purchase latency).
+    *
+    * Within a micro-batch events process in (ts, event_id) order, the
+    * batch operator's window order, so a single-batch replay's final
+    * stage per user reproduces the batch `n_stages`/`convert_us`
+    * (spec-gated). Stages never regress, so late events can only add
+    * progressions — append-mode safe. */
+  def funnelStream(events: Dataset[Event])
+      (implicit spark: SparkSession): Dataset[FunnelOut] = {
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val stages = Map("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
+    events
+      .filter(e => stages.contains(e.event_type))
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, it, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            stages(e.event_type) match {
+              case 1 if s.s1 < 0 =>
+                s = s.copy(s1 = t); out += FunnelOut(userId, 1, t, None)
+              case 2 if s.s1 >= 0 && s.s2 < 0 =>
+                s = s.copy(s2 = t); out += FunnelOut(userId, 2, t, None)
+              case 3 if s.s2 >= 0 && s.s3 < 0 =>
+                s = s.copy(s3 = t); out += FunnelOut(userId, 3, t, None)
+              case 4 if s.s3 >= 0 && s.s4 < 0 =>
+                s = s.copy(s4 = t)
+                out += FunnelOut(userId, 4, t, Some(t - s.s1))
+              case _ => ()
+            }
+          }
+          if (s.s1 >= 0) state.update(s)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization with explicit per-key state — the
     * streaming form of [[graft.operators.Events.sessionize]]. Emits a
     * session when a new event arrives past the gap, or when the

@@ -214,4 +214,52 @@ class StreamingSpec extends SparkSpec {
       Tables.load(spark, sfDir, "events"))
     assert(viaStreamingLogic.count() == batch.count())
   }
+
+  test("streaming funnel replays the batch operator's stages and latency") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Seq(
+      Event(1, ts(0), 1, "signup", 0.0),   // user 1: full ordered funnel
+      Event(2, ts(10), 1, "view", 0.0),
+      Event(3, ts(20), 1, "click", 0.0),
+      Event(4, ts(30), 1, "purchase", 1.0),
+      Event(5, ts(0), 2, "view", 0.0),     // view before signup: no credit
+      Event(6, ts(10), 2, "signup", 0.0),
+      Event(7, ts(0), 3, "signup", 0.0),   // purchase without ordered click
+      Event(8, ts(5), 3, "view", 0.0),
+      Event(9, ts(10), 3, "purchase", 1.0),
+      Event(10, ts(0), 4, "click", 0.0),   // never signed up
+      Event(11, ts(40), 1, "purchase", 2.0)) // second conversion: no re-emit
+    val input = MemoryStream[Event]
+    val q = StreamingOps.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream").as[StreamingOps.FunnelOut]
+        .collect()
+      val byUser = got.groupBy(_.user_id)
+      val stageMax = byUser.view.mapValues(_.map(_.stage).max).toMap
+      val convert = byUser.view.mapValues(
+        _.flatMap(_.convert_us).headOption).toMap
+      // the batch operator on the same events is the oracle
+      val want = graft.operators.Events.funnel(
+          ev.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+            .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map { r =>
+          r.getLong(0) -> (r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))
+        }.toMap
+      want.foreach { case (user, (nStages, cv)) =>
+        assert(stageMax.getOrElse(user, 0).toLong == nStages,
+          s"user $user: stream stage ${stageMax.get(user)} != batch $nStages")
+        assert(convert.getOrElse(user, None) == cv,
+          s"user $user: stream latency ${convert.get(user)} != batch $cv")
+      }
+      // exactly one emission per stage progression, none for repeats
+      assert(got.count(_.user_id == 1) == 4, s"re-emission: ${got.toSeq}")
+    } finally q.stop()
+  }
 }
