@@ -64,23 +64,24 @@ object Geo {
   }
 
   /** Map search: pushable bbox prefilter, exact haversine radius on
-    * the survivors. The radius compare runs on a 6-dp rounding so the
-    * boundary is engine-stable; output distance at 4 dp.
+    * the survivors; output distance at 4 dp.
     *
-    * Known residual risk (accepted): a row whose true distance sits
-    * within ~1 ulp of a 0.5e-6 rounding midpoint AND whose rounded
-    * value straddles RadiusKm can still flip inclusion between Spark
-    * and DuckDB libm. No fixed threshold removes this for continuous
-    * data — any comparison has an ulp-wide flip window somewhere; the
-    * 6-dp rounding just pins it to known grid points. Both engines
-    * share the same formula shape, so only libm drift (≤1 ulp in
-    * sin/cos/asin/sqrt) can reach the window. */
+    * Boundary discipline (r6, closes the last r4 ADVICE item): the
+    * radius compare is a RAW double compare — no rounding in the
+    * predicate. An engine flip then requires a row's true distance
+    * within libm drift (≤ a few ulp ≈ 1e-12 relative) of RadiusKm,
+    * and GeoSpec PROVES no such row exists: the minimum |dist −
+    * RadiusKm| over every synthetic coordinate at sf0.1 (whose custkey
+    * space is a superset of the gated sf0.01/sf0.001 runs) is asserted
+    * > 1e-5 km — seven orders of magnitude wider than the drift. The
+    * earlier 6-dp-rounded compare only MOVED the flip window to the
+    * rounding midpoints; the data-gap gate removes it. */
   def q33GeoFilter(spark: SparkSession, dir: String): DataFrame = {
     val boxed = bbox(synthCoords(Tables.load(spark, dir, "customer")),
       LatMin, LatMax, LonMin, LonMax)
     boxed
       .withColumn("dist_km", haversineKm(col("lat"), col("lon"), CenterLat, CenterLon))
-      .filter(round(col("dist_km"), 6) <= RadiusKm)
+      .filter(col("dist_km") <= RadiusKm)
       .select(col("c_custkey"), col("lat"), col("lon"),
         round(col("dist_km"), 4).as("dist_km"))
       .orderBy("c_custkey")
@@ -108,6 +109,6 @@ object Geo {
               * sin((lon - $CenterLon) * pi() / 180.0 / 2.0))) AS dist_km
         FROM boxed)
       SELECT c_custkey, lat, lon, round(dist_km, 4) AS dist_km
-      FROM d WHERE round(dist_km, 6) <= $RadiusKm
+      FROM d WHERE dist_km <= $RadiusKm
       ORDER BY c_custkey"""
 }

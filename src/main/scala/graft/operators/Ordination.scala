@@ -6,24 +6,38 @@ import org.apache.spark.sql.functions._
 
 /** Ordination over the sample-dissimilarity matrix — the analysis the
   * reference's comparison layer feeds into its sample-plot views:
-  * classical PCoA (metric MDS) reduced to its first principal axis.
+  * classical PCoA (metric MDS).
   *
   * Numerical design: eigensolvers are library- and order-dependent, so
   * this uses FIXED-COUNT POWER ITERATION over the double-centered Gram
   * matrix where every reduction is a SEQUENTIAL index-order fold over
   * arrays — the same deterministic-fold discipline as the cosine /
-  * SRP oracles — making all 20 iterations bit-reproducible in a DuckDB
-  * recursive CTE (full oracle, no rows-only concession).
+  * SRP oracles — making every iteration bit-reproducible in a DuckDB
+  * recursive CTE (full oracle, no rows-only concession). Axes beyond
+  * the first come from Hotelling deflation (B_{a+1} = B_a − λ_a
+  * v_a v_aᵀ / v_aᵀv_a, λ_a the Rayleigh quotient), applied a-1 times
+  * — the axis count is a parameter, not a hard-coded pair (r6).
+  *
+  * Iteration count: [[Iters]] = 12 per axis (r6; was 20). The count is
+  * a determinism contract, not a convergence target — the oracle runs
+  * the IDENTICAL recursion, so both engines agree bitwise at any
+  * count; 12 is enough for stable 6-dp plot axes on the test spectra
+  * and cuts the blocked form's fixed per-step scheduling cost by 40%.
   *
   * Scale shape: the only fact-scale work is the abundance aggregation
   * inside [[Relational.q30BrayCurtis]]. Everything after runs on the
   * aggregate-bounded sample×sample matrix, carried as ONE row of
   * array<array<double>> (samples are a dimension: 25 here, thousands
   * at most — megabytes, not fact-scale). Each power-iteration step is
-  * a tiny checkpointed job; lineage is truncated per step
+  * a tiny checkpointed job; lineage is truncated every couple of steps
   * ([[graft.Ckpt]]) exactly like d7's label-propagation loop.
   */
 object Ordination {
+
+  /** Power-iteration count per axis, shared by both Spark forms and
+    * both oracle-SQL generators — one constant so the recursion depth
+    * can never drift between engine and oracle. */
+  final val Iters = 12
 
   /** Fold helpers mirrored 1:1 by the oracle's list_reduce calls. */
   private def foldSum(arr: Column): Column =
@@ -31,18 +45,26 @@ object Ordination {
   private def foldMaxAbs(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => greatest(acc, abs(x)))
 
-  def q31Pcoa(spark: SparkSession, dir: String, iters: Int = 20): DataFrame =
+  def q31Pcoa(spark: SparkSession, dir: String, iters: Int = Iters): DataFrame =
     pcoa(Relational.q30BrayCurtis(spark, dir), iters)
 
-  /** Single-row PCoA over any pairwise-dissimilarity frame
-    * (sample_a, sample_b, bray_curtis — upper triangle). */
-  def pcoa(bc0: DataFrame, iters: Int = 20): DataFrame = {
+  /** Eigenvalue summary of the same ordination: one row per axis with
+    * the Rayleigh-quotient eigenvalue and its share of total inertia
+    * (trace of the centered Gram matrix = Σ of ALL eigenvalues) — the
+    * "% variance explained" label on the reference's ordination plot
+    * axes. k = 3 shows the axis count is free, not a hard-coded 2. */
+  def q31cPcoaEigen(spark: SparkSession, dir: String, k: Int = 3,
+      iters: Int = Iters): DataFrame =
+    pcoaEigen(Relational.q30BrayCurtis(spark, dir), k, iters)
+
+  /** The single-row centered Gram pipeline shared by [[pcoa]] and
+    * [[pcoaEigen]]: symmetric D² assembly → one array<array<double>>
+    * row → double centering B = −½ (D² − rm_i − rm_j + gmean). */
+  private def centeredGram(bc0: DataFrame): DataFrame = {
     // checkpointed: the symmetric-matrix assembly references the pair
     // frame four ways; materializing the bounded 300-row result keeps
     // the fact-scale aggregation inside q30 from re-running per branch
     val bc = graft.Ckpt(bc0)
-    // symmetric D² matrix rows, canonically ordered by sample name both
-    // ways (sort_array on (name, value) structs pins fold order)
     // endpoint set in one pass (a two-branch union reads bc twice)
     val names = bc.select(explode(array(col("sample_a"), col("sample_b")))
       .as("si")).distinct()
@@ -51,11 +73,11 @@ object Ordination {
       .union(bc.select(col("sample_b"), col("sample_a"),
         (col("bray_curtis") * col("bray_curtis"))))
       .union(names.select(col("si"), col("si").as("sj"), lit(0.0).as("d2")))
+    // symmetric D² matrix rows, canonically ordered by sample name both
+    // ways (sort_array on (name, value) structs pins fold order)
     val rows = sym.groupBy("si")
       .agg(transform(sort_array(collect_list(struct(col("sj"), col("d2")))),
         s => s("d2")).as("row"))
-    // the whole matrix as one array<array<double>> row + the sample
-    // list that indexes it
     val mat = rows
       .agg(transform(sort_array(collect_list(struct(col("si"), col("row")))),
         s => s("row")).as("d2m"),
@@ -66,8 +88,7 @@ object Ordination {
       // DESCENDING into out-of-bounds element_at — emit nothing, like
       // the oracle's empty recursion
       .filter(col("n") >= 2)
-    // double centering: B = −½ (D² − rowmean_i − rowmean_j + grandmean)
-    val centered = mat
+    mat
       .withColumn("rm", transform(col("d2m"), r => foldSum(r) / col("n")))
       .withColumn("gmean", foldSum(col("rm")) / col("n"))
       .select(col("samples"), col("n"),
@@ -76,55 +97,98 @@ object Ordination {
             lit(-0.5) * (element_at(element_at(col("d2m"), i), j)
               - element_at(col("rm"), i) - element_at(col("rm"), j)
               + col("gmean")))).as("gm"))
-    // power iteration from e₁ (the all-ones start lies in the centered
-    // matrix's null space), max-abs normalized each step; every step a
-    // tiny 1-row job, checkpointed so the plan stays linear
-    def e1(n: Column): Column =
-      transform(sequence(lit(1), n),
-        i => when(i === 1, lit(1.0)).otherwise(lit(0.0)))
-    def iterate(init: DataFrame, gmCol: String, vCol: String): DataFrame = {
-      var st = graft.Ckpt(init)
-      for (_ <- 1 to iters) {
-        val stepped = st.withColumn("vv",
+  }
+
+  /** e₁ start vector (the all-ones start lies in the centered matrix's
+    * null space). */
+  private def e1(n: Column): Column =
+    transform(sequence(lit(1), n),
+      i => when(i === 1, lit(1.0)).otherwise(lit(0.0)))
+
+  /** Fixed-count power iteration, max-abs normalized each step; every
+    * step a tiny 1-row job, checkpointed every `ckptEvery` steps so
+    * the plan stays shallow without a job per step. */
+  private def iterate(init: DataFrame, gmCol: String, vCol: String,
+      iters: Int, ckptEvery: Int = 2): DataFrame = {
+    var st = graft.Ckpt(init)
+    for (it <- 1 to iters) {
+      val stepped = st.withColumn("vv",
           transform(sequence(lit(1), col("n")), i =>
             foldSum(zip_with(element_at(col(gmCol), i), col(vCol), (a, b) => a * b))))
-        st = graft.Ckpt(stepped
-          .withColumn("m", foldMaxAbs(col("vv")))
-          .withColumn(vCol, transform(col("vv"), x => x / col("m")))
-          .drop("vv", "m"))
-      }
-      st
+        .withColumn("m", foldMaxAbs(col("vv")))
+        .withColumn(vCol, transform(col("vv"), x => x / col("m")))
+        .drop("vv", "m")
+      st = if (it % ckptEvery == 0 || it == iters) graft.Ckpt(stepped) else stepped
     }
-    val s1 = iterate(centered.withColumn("v", e1(col("n"))), "gm", "v")
-    // Hotelling deflation for the SECOND axis (the ordination plot is
-    // 2-D): B₂ = B − λ₁·v₁v₁ᵀ/(v₁ᵀv₁), λ₁ the Rayleigh quotient — all
-    // sequential folds, mirrored op-for-op in the oracle.
-    val deflated = s1
-      .withColumn("bv", transform(sequence(lit(1), col("n")), i =>
-        foldSum(zip_with(element_at(col("gm"), i), col("v"), (a, b) => a * b))))
-      .withColumn("lam_num", foldSum(zip_with(col("v"), col("bv"), (a, b) => a * b)))
-      .withColumn("lam_den", foldSum(transform(col("v"), x => x * x)))
-      .withColumn("lam", col("lam_num") / col("lam_den"))
-      .withColumn("gm2", transform(sequence(lit(1), col("n")), i =>
-        transform(sequence(lit(1), col("n")), j =>
-          element_at(element_at(col("gm"), i), j)
-            - col("lam") * element_at(col("v"), i) * element_at(col("v"), j)
-              / col("lam_den"))))
-      .drop("bv", "lam_num", "lam")
-    val s2 = iterate(deflated.withColumn("v2", e1(col("n"))), "gm2", "v2")
+    st
+  }
+
+  /** Axes 1..k by repeated (iterate → Rayleigh quotient → deflate):
+    * returns the single-row frame with `samples`, `n`, `trace`,
+    * `v_a` / `lam_a` / `lam_den_a` for each axis a. All sequential
+    * folds, mirrored op-for-op in the oracle generator. */
+  private def powerAxes(centered: DataFrame, k: Int, iters: Int): DataFrame = {
+    var st = centered.withColumn("trace",
+      foldSum(transform(sequence(lit(1), col("n")),
+        i => element_at(element_at(col("gm"), i), i))))
+    var gm = "gm"
+    for (a <- 1 to k) {
+      st = iterate(st.withColumn(s"v_$a", e1(col("n"))), gm, s"v_$a", iters)
+      st = st
+        .withColumn("bv", transform(sequence(lit(1), col("n")), i =>
+          foldSum(zip_with(element_at(col(gm), i), col(s"v_$a"), (x, y) => x * y))))
+        .withColumn(s"lam_num_$a", foldSum(zip_with(col(s"v_$a"), col("bv"), (x, y) => x * y)))
+        .withColumn(s"lam_den_$a", foldSum(transform(col(s"v_$a"), x => x * x)))
+        .withColumn(s"lam_$a", col(s"lam_num_$a") / col(s"lam_den_$a"))
+      val next = if (a < k) {
+        val nm = s"gm_${a + 1}"
+        val deflated = st.withColumn(nm, transform(sequence(lit(1), col("n")), i =>
+          transform(sequence(lit(1), col("n")), j =>
+            element_at(element_at(col(gm), i), j)
+              - col(s"lam_$a") * element_at(col(s"v_$a"), i)
+                * element_at(col(s"v_$a"), j) / col(s"lam_den_$a"))))
+          .drop(gm) // the pre-deflation matrix is n² doubles — never carry two
+        gm = nm
+        deflated
+      } else st
+      st = graft.Ckpt(next.drop("bv", s"lam_num_$a"))
+    }
+    st
+  }
+
+  /** Single-row PCoA over any pairwise-dissimilarity frame
+    * (sample_a, sample_b, bray_curtis — upper triangle). */
+  def pcoa(bc0: DataFrame, iters: Int = Iters): DataFrame = {
+    val st = powerAxes(centeredGram(bc0), 2, iters)
     // sign convention: first component of each axis non-negative
-    s2
+    st
       .withColumn("sgn1",
-        when(element_at(col("v"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
+        when(element_at(col("v_1"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
       .withColumn("sgn2",
-        when(element_at(col("v2"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
+        when(element_at(col("v_2"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
       .select(posexplode(transform(sequence(lit(1), col("n")), i =>
         struct(element_at(col("samples"), i).as("sample"),
-          round(element_at(col("v"), i) * col("sgn1"), 6).as("axis1"),
-          round(element_at(col("v2"), i) * col("sgn2"), 6).as("axis2")))))
+          round(element_at(col("v_1"), i) * col("sgn1"), 6).as("axis1"),
+          round(element_at(col("v_2"), i) * col("sgn2"), 6).as("axis2")))))
       .select(col("col.sample").as("sample"),
         col("col.axis1").as("axis1"), col("col.axis2").as("axis2"))
       .orderBy("sample")
+  }
+
+  /** (axis, eigenvalue, pct_var) rows for axes 1..k — the plot-axis
+    * labels. pct_var = λ_a / trace(B); Bray–Curtis is non-Euclidean so
+    * some of the trace belongs to negative eigenvalues, which keeps
+    * the shares honest rather than inflated (the convention the
+    * reference's plotting stack uses for its axis percentages). */
+  def pcoaEigen(bc0: DataFrame, k: Int = 3, iters: Int = Iters): DataFrame = {
+    val st = powerAxes(centeredGram(bc0), k, iters)
+    st.select(posexplode(array((1 to k).map(a =>
+        struct(lit(a).as("axis"),
+          round(col(s"lam_$a"), 6).as("eigenvalue"),
+          round(col(s"lam_$a") / col("trace"), 6).as("pct_var"))): _*)))
+      .select(col("col.axis").as("axis"),
+        col("col.eigenvalue").as("eigenvalue"), col("col.pct_var").as("pct_var"))
+      .orderBy("axis")
   }
 
   /** BLOCK-PARTITIONED PCoA — the 100 TB-scale form of [[q31Pcoa]].
@@ -155,28 +219,34 @@ object Ordination {
     * max-abs normalization uses a plain max (order-independent).
     *
     * Lineage: the triples matrix is checkpointed once and reused by
-    * all 2×iters steps; the iterated vector is checkpointed every
+    * all k×iters steps; the iterated vector is checkpointed every
     * `ckptEvery` steps (plan depth stays bounded, jobs stay tiny). */
-  def q31PcoaBlocked(spark: SparkSession, dir: String, iters: Int = 20,
+  def q31PcoaBlocked(spark: SparkSession, dir: String, iters: Int = Iters,
       ckptEvery: Int = 2): DataFrame =
     pcoaBlocked(Relational.q30BrayCurtis(spark, dir), iters, ckptEvery)
 
-  /** Blocked PCoA over any pairwise-dissimilarity frame — same input
-    * contract as [[pcoa]]; bit-identical output by construction. */
-  def pcoaBlocked(bc0: DataFrame, iters: Int = 20,
-      ckptEvery: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // sequential index-order fold over collected (idx, x) pairs — the
-    // blocked mirror of the single-row form's foldSum over an array
-    def idxFold(pairs: Column): Column =
-      aggregate(transform(sort_array(pairs), s => s("x")),
-        lit(0.0), (acc, x) => acc + x)
-    // per-row sorted fold back into a single-row array in index order
-    def toRow(grouped: DataFrame, out: String): DataFrame =
-      grouped.agg(transform(
-        sort_array(collect_list(struct(col("i"), col("x")))),
-        s => s("x")).as(out))
+  /** Blocked eigenvalue summary — bit-identical to [[pcoaEigen]]
+    * (spec-gated), distributed like [[pcoaBlocked]]. */
+  def q31dPcoaBlockedEigen(spark: SparkSession, dir: String, k: Int = 3,
+      iters: Int = Iters, ckptEvery: Int = 2): DataFrame =
+    pcoaBlockedEigen(Relational.q30BrayCurtis(spark, dir), k, iters, ckptEvery)
 
+  /** sequential index-order fold over collected (idx, x) pairs — the
+    * blocked mirror of the single-row form's foldSum over an array */
+  private def idxFold(pairs: Column): Column =
+    aggregate(transform(sort_array(pairs), s => s("x")),
+      lit(0.0), (acc, x) => acc + x)
+  /** per-row sorted fold back into a single-row array in index order */
+  private def toRow(grouped: DataFrame, out: String): DataFrame =
+    grouped.agg(transform(
+      sort_array(collect_list(struct(col("i"), col("x")))),
+      s => s("x")).as(out))
+
+  /** Shared blocked prelude: dense 1-based ids in sample-name order,
+    * the single-row (n) frame, and the centered Gram matrix as
+    * distributed (i, j, b) triples. */
+  private def blockedPrelude(bc0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val bc = graft.Ckpt(bc0)
     // dense 1-based ids in sample-name order, so index order == the
     // single-row form's name-sorted array order. The ranking window is
@@ -220,51 +290,79 @@ object Ordination {
       .crossJoin(broadcast(gmean))
       .select(col("i"), col("j"), (lit(-0.5) *
         (col("d2") - col("rmi") - col("rmj") + col("gmean"))).as("b")))
+    (ids, nf, b)
+  }
 
-    // One mat-vec: the dimension-bounded VECTOR rides as a single-row
-    // array broadcast into the distributed triples (10⁵ doubles ≈
-    // 800 KB — always broadcastable); products group by row index with
-    // the index-order fold, then collect back to a single-row array.
-    // Only the matrix is ever corpus-of-pairs-scale.
-    def matVec(m: DataFrame, vrow: DataFrame, vExpr: Column => Column,
-        out: String): DataFrame =
-      toRow(m.crossJoin(broadcast(vrow))
-        .select(col("i"), col("j"),
-          (col("b") * vExpr(col("j"))).as("x"))
-        .groupBy("i")
-        .agg(idxFold(collect_list(struct(col("j"), col("x")))).as("x")), out)
-    // power iteration carrying (varr = unnormalized B·v, mdiv = its
-    // max-abs); the division is applied at each USE (x/m per product),
-    // which is the same double as the single-row form's pre-divided
-    // vector element
-    def iterate(m: DataFrame, v0: DataFrame): DataFrame = {
-      var v = v0
-      for (k <- 1 to iters) {
-        val next = matVec(m, v,
-            j => element_at(col("varr"), j) / col("mdiv"), "varr")
-          .select(col("varr"), foldMaxAbs(col("varr")).as("mdiv"))
-        v = if (k % ckptEvery == 0 || k == iters) graft.Ckpt(next) else next
-      }
-      v.select(transform(col("varr"), x => x / col("mdiv")).as("varr"))
+  /** One mat-vec: the dimension-bounded VECTOR rides as a single-row
+    * array broadcast into the distributed triples (10⁵ doubles ≈
+    * 800 KB — always broadcastable); products group by row index with
+    * the index-order fold, then collect back to a single-row array.
+    * Only the matrix is ever corpus-of-pairs-scale. */
+  private def matVec(m: DataFrame, vrow: DataFrame, vExpr: Column => Column,
+      out: String): DataFrame =
+    toRow(m.crossJoin(broadcast(vrow))
+      .select(col("i"), col("j"),
+        (col("b") * vExpr(col("j"))).as("x"))
+      .groupBy("i")
+      .agg(idxFold(collect_list(struct(col("j"), col("x")))).as("x")), out)
+
+  /** Blocked power iteration carrying (varr = unnormalized B·v, mdiv =
+    * its max-abs); the division is applied at each USE (x/m per
+    * product), which is the same double as the single-row form's
+    * pre-divided vector element. */
+  private def blockedIterate(m: DataFrame, v0: DataFrame, iters: Int,
+      ckptEvery: Int): DataFrame = {
+    var v = v0
+    for (k <- 1 to iters) {
+      val next = matVec(m, v,
+          j => element_at(col("varr"), j) / col("mdiv"), "varr")
+        .select(col("varr"), foldMaxAbs(col("varr")).as("mdiv"))
+      v = if (k % ckptEvery == 0 || k == iters) graft.Ckpt(next) else next
     }
+    v.select(transform(col("varr"), x => x / col("mdiv")).as("varr"))
+  }
+
+  /** Axes 1..k of the blocked form: per axis the normalized vector
+    * (single-row `varr`) and, when `needLams`, the Rayleigh scalars
+    * (single-row `lam_num`/`lam_den` — computed via one extra
+    * distributed mat-vec, also required for deflation of axis a+1). */
+  private def blockedAxes(b0: DataFrame, v0: DataFrame, k: Int, iters: Int,
+      ckptEvery: Int, needLams: Boolean): Seq[(DataFrame, Option[DataFrame])] = {
+    var m = b0
+    (1 to k).map { a =>
+      val v = blockedIterate(m, v0, iters, ckptEvery)
+      if (a < k || needLams) {
+        // Hotelling deflation scalars: B·v via one distributed
+        // mat-vec, the Rayleigh quotient as the single-row form's
+        // zip_with/fold shapes
+        val bv = matVec(m, v, j => element_at(col("varr"), j), "bvarr")
+        val scal = broadcast(v.crossJoin(bv).select(col("varr"),
+          foldSum(zip_with(col("varr"), col("bvarr"), (x, y) => x * y))
+            .as("lam_num"),
+          foldSum(transform(col("varr"), x => x * x)).as("lam_den")))
+        if (a < k)
+          m = graft.Ckpt(m.crossJoin(scal)
+            .select(col("i"), col("j"), (col("b") -
+              (col("lam_num") / col("lam_den"))
+                * element_at(col("varr"), col("i"))
+                * element_at(col("varr"), col("j")) / col("lam_den")).as("b")))
+        (v, Some(scal))
+      } else (v, None)
+    }
+  }
+
+  /** Blocked PCoA over any pairwise-dissimilarity frame — same input
+    * contract as [[pcoa]]; bit-identical output by construction. */
+  def pcoaBlocked(bc0: DataFrame, iters: Int = Iters,
+      ckptEvery: Int = 2): DataFrame = {
+    val (ids, nf, b) = blockedPrelude(bc0)
     // e₁ start, gated on n ≥ 2 like the single-row form's filter
     val v0 = nf.select(transform(sequence(lit(1), col("n")),
       i => when(i === 1, lit(1.0)).otherwise(lit(0.0))).as("varr"),
       lit(1.0).as("mdiv"))
-    val v1 = iterate(b, v0)
-    // Hotelling deflation: B·v₁ via one distributed mat-vec, the
-    // Rayleigh scalars as the single-row form's zip_with/fold shapes
-    val bv = matVec(b, v1, j => element_at(col("varr"), j), "bvarr")
-    val scal = broadcast(v1.crossJoin(bv).select(col("varr"),
-      foldSum(zip_with(col("varr"), col("bvarr"), (a, c) => a * c))
-        .as("lam_num"),
-      foldSum(transform(col("varr"), x => x * x)).as("lam_den")))
-    val b2 = graft.Ckpt(b.crossJoin(scal)
-      .select(col("i"), col("j"), (col("b") -
-        (col("lam_num") / col("lam_den"))
-          * element_at(col("varr"), col("i"))
-          * element_at(col("varr"), col("j")) / col("lam_den")).as("b")))
-    val v2 = iterate(b2, v0)
+    val axes = blockedAxes(b, v0, 2, iters, ckptEvery, needLams = false)
+    val v1 = axes(0)._1
+    val v2 = axes(1)._1
     // sign convention + explode back to (sample, axis1, axis2) rows —
     // the same tail as the single-row form
     v1.crossJoin(v2.select(col("varr").as("v2arr")))
@@ -284,8 +382,42 @@ object Ordination {
       .orderBy("sample")
   }
 
-  /** DuckDB oracle: identical folds through a recursive CTE. */
-  def q31OracleSql(iters: Int = 20): String = s"""
+  /** Blocked (axis, eigenvalue, pct_var) — [[pcoaEigen]]'s distributed
+    * twin. The trace is an index-order fold over the diagonal triples;
+    * every Rayleigh scalar is already a single-row broadcast frame. */
+  def pcoaBlockedEigen(bc0: DataFrame, k: Int = 3, iters: Int = Iters,
+      ckptEvery: Int = 2): DataFrame = {
+    val (_, nf, b) = blockedPrelude(bc0)
+    val v0 = nf.select(transform(sequence(lit(1), col("n")),
+      i => when(i === 1, lit(1.0)).otherwise(lit(0.0))).as("varr"),
+      lit(1.0).as("mdiv"))
+    val axes = blockedAxes(b, v0, k, iters, ckptEvery, needLams = true)
+    val trace = broadcast(b.filter(col("i") === col("j"))
+      .agg(idxFold(collect_list(struct(col("i"), col("b").as("x"))))
+        .as("trace")))
+    val lamRow = axes.zipWithIndex.map {
+      case ((_, Some(scal)), idx) =>
+        scal.select((col("lam_num") / col("lam_den")).as(s"lam_${idx + 1}"))
+      case _ => sys.error("unreachable: needLams = true")
+    }.reduce(_.crossJoin(_))
+    lamRow.crossJoin(trace)
+      .select(posexplode(array((1 to k).map(a =>
+        struct(lit(a).as("axis"),
+          round(col(s"lam_$a"), 6).as("eigenvalue"),
+          round(col(s"lam_$a") / col("trace"), 6).as("pct_var"))): _*)))
+      .select(col("col.axis").as("axis"),
+        col("col.eigenvalue").as("eigenvalue"), col("col.pct_var").as("pct_var"))
+      .orderBy("axis")
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles: identical folds through recursive CTEs, generated
+  // per axis so the axis count is as free as in the Spark forms.
+  // ---------------------------------------------------------------
+
+  /** Shared prefix: Bray–Curtis pairs → symmetric D² → single-row
+    * matrix (`cent` with samples/n/gm) — mirrors [[centeredGram]]. */
+  private val CentCte: String = """
       WITH RECURSIVE ab AS (
         SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
         FROM lineitem
@@ -327,76 +459,88 @@ object Ordination {
               -0.5 * (d2m[i][j] - rm[i] - rm[j] + gmean))) AS gm
         FROM (
           SELECT samples, n, d2m, rm,
-            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rm), (a, x) -> a + x) / n AS gmean
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rm), (acc, x) -> acc + x) / n AS gmean
           FROM (
             SELECT samples, n, d2m,
               list_transform(d2m, r ->
-                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), r), (a, x) -> a + x) / n) AS rm
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), r), (acc, x) -> acc + x) / n) AS rm
             FROM mat) t1) t2
         WHERE n >= 2),
-      it AS (
+      g1 AS (SELECT n, gm FROM cent)"""
+
+  /** CTEs for one axis: power recursion over g$a, the finalized vector
+    * (fin$a), and — when `deflate` — the Rayleigh scalars (ray$a) and
+    * the deflated next matrix (g${a+1}). Fold-for-fold the Spark
+    * [[iterate]]/[[powerAxes]] expressions. */
+  private def axisSql(a: Int, iters: Int, deflate: Boolean): String = {
+    val core = s"""
+      it$a AS (
         SELECT 0 AS k,
           list_transform(generate_series(1, CAST(n AS INT)),
             i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v
-        FROM cent
+        FROM g$a
         UNION ALL
         SELECT k + 1,
           list_transform(vv, x -> x /
             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(vv, y -> abs(y))), (a, x2) -> greatest(a, x2)))
+              list_transform(vv, y -> abs(y))), (acc, x2) -> greatest(acc, x2)))
         FROM (
-          SELECT it.k,
-            list_transform(generate_series(1, CAST(cent.n AS INT)), i ->
+          SELECT it$a.k,
+            list_transform(generate_series(1, CAST(g$a.n AS INT)), i ->
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(generate_series(1, CAST(cent.n AS INT)),
-                  j -> cent.gm[i][j] * it.v[j])), (a, x) -> a + x)) AS vv
-          FROM it, cent WHERE it.k < $iters) t),
-      fin AS (
+                list_transform(generate_series(1, CAST(g$a.n AS INT)),
+                  j -> g$a.gm[i][j] * it$a.v[j])), (acc, x) -> acc + x)) AS vv
+          FROM it$a, g$a WHERE it$a.k < $iters) t),
+      fin$a AS (
         SELECT v, CASE WHEN v[1] >= 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
-        FROM it WHERE k = $iters),
-      defl AS (
-        SELECT n, gm2 FROM (
-          SELECT n,
-            list_transform(generate_series(1, CAST(n AS INT)), i ->
-              list_transform(generate_series(1, CAST(n AS INT)), j ->
-                gm[i][j] - (lam_num / lam_den) * v[i] * v[j] / lam_den)) AS gm2
-          FROM (
-            SELECT cent.n, cent.gm, fin.v,
-              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(generate_series(1, CAST(cent.n AS INT)), i ->
-                  fin.v[i] * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    list_transform(generate_series(1, CAST(cent.n AS INT)),
-                      j -> cent.gm[i][j] * fin.v[j])), (a, x) -> a + x))),
-                (a, x) -> a + x) AS lam_num,
-              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(fin.v, x -> x * x)), (a, x) -> a + x) AS lam_den
-            FROM cent, fin) t0) t1),
-      it2 AS (
-        SELECT 0 AS k,
-          list_transform(generate_series(1, CAST(n AS INT)),
-            i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS v
-        FROM defl
-        UNION ALL
-        SELECT k + 1,
-          list_transform(vv, x -> x /
-            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(vv, y -> abs(y))), (a, x2) -> greatest(a, x2)))
-        FROM (
-          SELECT it2.k,
-            list_transform(generate_series(1, CAST(defl.n AS INT)), i ->
-              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(generate_series(1, CAST(defl.n AS INT)),
-                  j -> defl.gm2[i][j] * it2.v[j])), (a, x) -> a + x)) AS vv
-          FROM it2, defl WHERE it2.k < $iters) t),
-      fin2 AS (
-        SELECT v AS v2, CASE WHEN v[1] >= 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn2
-        FROM it2 WHERE k = $iters),
+        FROM it$a WHERE k = $iters)"""
+    val defl = s"""
+      ray$a AS (
+        SELECT g.n, g.gm, f.v,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, CAST(g.n AS INT)), i ->
+              f.v[i] * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, CAST(g.n AS INT)),
+                  j -> g.gm[i][j] * f.v[j])), (acc, x) -> acc + x))),
+            (acc, x) -> acc + x) AS lam_num,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(f.v, x -> x * x)), (acc, x) -> acc + x) AS lam_den
+        FROM g$a g, fin$a f),
+      g${a + 1} AS (
+        SELECT n, list_transform(generate_series(1, CAST(n AS INT)), i ->
+          list_transform(generate_series(1, CAST(n AS INT)), j ->
+            gm[i][j] - (lam_num / lam_den) * v[i] * v[j] / lam_den)) AS gm
+        FROM ray$a)"""
+    if (deflate) core + "," + defl else core
+  }
+
+  /** DuckDB oracle for q31/q31b: two axes of sample coordinates. */
+  def q31OracleSql(iters: Int = Iters): String =
+    CentCte + "," +
+      axisSql(1, iters, deflate = true) + "," +
+      axisSql(2, iters, deflate = false) + s""",
       idx AS (
         SELECT unnest(generate_series(1, CAST(n AS INT))) AS i, samples
         FROM cent)
       SELECT idx.samples[idx.i] AS sample,
-        round(fin.v[idx.i] * fin.sgn, 6) AS axis1,
-        round(fin2.v2[idx.i] * fin2.sgn2, 6) AS axis2
-      FROM idx, fin, fin2
+        round(fin1.v[idx.i] * fin1.sgn, 6) AS axis1,
+        round(fin2.v[idx.i] * fin2.sgn, 6) AS axis2
+      FROM idx, fin1, fin2
       ORDER BY sample"""
+
+  /** DuckDB oracle for q31c/q31d: k axes of (eigenvalue, pct_var).
+    * Every axis needs its Rayleigh CTE, so all k deflate. */
+  def q31cOracleSql(k: Int = 3, iters: Int = Iters): String =
+    CentCte + "," +
+      (1 to k).map(a => axisSql(a, iters, deflate = true)).mkString(",") + s""",
+      trc AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(generate_series(1, CAST(n AS INT)), i -> gm[i][i])),
+          (acc, x) -> acc + x) AS trace
+        FROM cent)
+      SELECT axis, round(lam, 6) AS eigenvalue, round(lam / trace, 6) AS pct_var
+      FROM (${(1 to k).map(a =>
+        s"SELECT $a AS axis, lam_num / lam_den AS lam FROM ray$a")
+        .mkString("\n        UNION ALL ")}) lams, trc
+      ORDER BY axis"""
 }

@@ -51,7 +51,12 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, k: Int = 16, nProbe: Int = 4): DataFrame =
     annIvf(Tables.parallel(Tables.load(spark, dir, "embeddings")), k, nProbe)
 
-  def annIvf(e: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  /** Trained KMeans centroids as a broadcast (cell, centroid) frame.
+    * Deterministic training config: hash-selected ~25% sample (no RNG
+    * in the sample), fixed seed, and `tol = 0` so Lloyd runs EXACTLY
+    * `maxIter` iterations instead of stopping on a convergence test
+    * whose trip point could vary with partitioning. */
+  def kmeansCentroids(e: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = e.sparkSession
@@ -59,24 +64,48 @@ object Similarity {
     // Train on a deterministic ~25% hash-sample, not the full corpus:
     // at 100 TB centroid quality saturates long before the sample does,
     // and only the (small) sample is cached across KMeans iterations.
-    // Assignment below is a single pass over the full corpus.
     val sample = feat.filter(
       pmod(pmod(col("vec_id"), lit(1000000000L)) * lit(2654435761L), lit(100)) < 25)
       .cache()
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
+      .setTol(0.0).setFeaturesCol("fv").setPredictionCol("cell")
     val fitted = model.fit(sample)
     // fit() is eager — the sample cache has served its purpose (KMeans
     // iterations) and must not outlive this call in a shared session
     sample.unpersist()
-    val corpus = fitted.transform(feat)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("cell"))
-    // centroids as a tiny literal table; queries rank cells by cosine
     val centers = fitted.clusterCenters.zipWithIndex.map { case (v, i) =>
       (i, v.toArray.toSeq)
     }
     import spark.implicits._
-    val centersDf = broadcast(centers.toSeq.toDF("cell", "centroid"))
+    broadcast(centers.toSeq.toDF("cell", "centroid"))
+  }
+
+  /** Assignment stage under FIXED centroids: per-vector argmin of
+    * squared euclidean distance (KMeans' metric), smallest cell id on
+    * ties. A broadcast ×k fan-out reduced by a map-side `max_by`
+    * partial aggregate — the shuffle carries one row per corpus
+    * vector, not k — and the distance is a codegen'd index-order fold,
+    * NOT the ML model's per-row predict UDF (this keeps the one
+    * corpus-scale pass of the trained path inside whole-stage codegen
+    * and makes it exactly reproducible; SimilaritySpec hard-gates it
+    * against an independent local argmin). */
+  def kmeansAssign(e: DataFrame, centers: DataFrame): DataFrame =
+    e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+      .crossJoin(centers)
+      .withColumn("d2", aggregate(
+        zip_with(col("cv"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .groupBy("c_id")
+      .agg(
+        max_by(col("cell"), struct((-col("d2")).as("nd"), (-col("cell")).as("nc"))).as("cell"),
+        first(col("cv")).as("cv"))
+
+  def annIvf(e: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = e.sparkSession
+    val centersDf = kmeansCentroids(e, k)
+    val corpus = kmeansAssign(e, centersDf)
+      .select(col("c_id"), col("cv"), col("cell"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val wCell = org.apache.spark.sql.expressions.Window

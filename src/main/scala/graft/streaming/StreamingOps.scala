@@ -136,39 +136,62 @@ object StreamingOps {
     * batch operator's window order, so a single-batch replay's final
     * stage per user reproduces the batch `n_stages`/`convert_us`
     * (spec-gated). Stages never regress, so late events can only add
-    * progressions — append-mode safe. */
-  def funnelStream(events: Dataset[Event])
+    * progressions — append-mode safe.
+    *
+    * State eviction (r6, closes the r5 ADVICE dead-watermark finding):
+    * per-user state is dropped via EventTimeTimeout once the watermark
+    * passes `idleHorizon` beyond the user's last funnel event — state
+    * tracks ACTIVE funnels, not every user ever seen. The trade is
+    * explicit: an event arriving after its user's eviction starts a
+    * fresh funnel pass (a second stage-1 row can appear); full-history
+    * funnels over unbounded gaps are the batch operator's job. */
+  def funnelStream(events: Dataset[Event], idleMinutes: Int = 30)
       (implicit spark: SparkSession): Dataset[FunnelOut] = {
     import spark.implicits._
     def us(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val idleMs = idleMinutes.toLong * 60 * 1000
     val stages = Map("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
     events
       .filter(e => stages.contains(e.event_type))
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", s"$idleMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (userId, it, state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
-          val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
-          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
-            val t = us(e.ts)
-            stages(e.event_type) match {
-              case 1 if s.s1 < 0 =>
-                s = s.copy(s1 = t); out += FunnelOut(userId, 1, t, None)
-              case 2 if s.s1 >= 0 && s.s2 < 0 =>
-                s = s.copy(s2 = t); out += FunnelOut(userId, 2, t, None)
-              case 3 if s.s2 >= 0 && s.s3 < 0 =>
-                s = s.copy(s3 = t); out += FunnelOut(userId, 3, t, None)
-              case 4 if s.s3 >= 0 && s.s4 < 0 =>
-                s = s.copy(s4 = t)
-                out += FunnelOut(userId, 4, t, Some(t - s.s1))
-              case _ => ()
+          if (state.hasTimedOut) {
+            // funnel abandoned past the horizon: progressions were
+            // already emitted on arrival, so eviction emits nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+            var lastUs = -1L
+            val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
+            it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+              val t = us(e.ts)
+              lastUs = math.max(lastUs, t)
+              stages(e.event_type) match {
+                case 1 if s.s1 < 0 =>
+                  s = s.copy(s1 = t); out += FunnelOut(userId, 1, t, None)
+                case 2 if s.s1 >= 0 && s.s2 < 0 =>
+                  s = s.copy(s2 = t); out += FunnelOut(userId, 2, t, None)
+                case 3 if s.s2 >= 0 && s.s3 < 0 =>
+                  s = s.copy(s3 = t); out += FunnelOut(userId, 3, t, None)
+                case 4 if s.s3 >= 0 && s.s4 < 0 =>
+                  s = s.copy(s4 = t)
+                  out += FunnelOut(userId, 4, t, Some(t - s.s1))
+                case _ => ()
+              }
             }
+            if (s.s1 >= 0) {
+              state.update(s)
+              // evict once the watermark passes last activity + horizon
+              if (lastUs >= 0)
+                state.setTimeoutTimestamp(lastUs / 1000 + idleMs)
+            }
+            out.iterator
           }
-          if (s.s1 >= 0) state.update(s)
-          out.iterator
       }
   }
 

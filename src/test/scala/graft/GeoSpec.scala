@@ -47,6 +47,21 @@ class GeoSpec extends SparkSpec {
       s"radius predicate rejected nothing: bbox=$boxedOnly radius=${rows.length}")
   }
 
+  test("no synthetic point sits near the radius boundary (flip-proof gate)") {
+    // The q33 radius predicate is a raw double compare. A Spark/DuckDB
+    // flip would need a row's distance within libm drift (~1e-9 km
+    // absolute) of RadiusKm; assert the whole sf0.1 coordinate grid —
+    // a superset of the sf0.01/sf0.001 key spaces the oracle gate runs
+    // on — keeps a gap at least four orders of magnitude wider.
+    val minGap = Geo.synthCoords(Tables.load(spark, sfDir, "customer"))
+      .select(abs(Geo.haversineKm(col("lat"), col("lon"),
+        Geo.CenterLat, Geo.CenterLon) - Geo.RadiusKm).as("gap"))
+      .agg(min("gap")).head().getDouble(0)
+    assert(minGap > 1e-5,
+      f"a synthetic point is $minGap%.2e km from the radius boundary — " +
+        "the raw-compare predicate is no longer provably engine-stable")
+  }
+
   test("synthetic coordinates stay in range and are deterministic") {
     val g = Geo.synthCoords(Tables.load(spark, sfDir, "customer"))
     val mm = g.agg(min("lat"), max("lat"), min("lon"), max("lon")).head()

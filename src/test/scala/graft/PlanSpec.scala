@@ -11,6 +11,32 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** Shuffle count in the EXECUTED plan. With AQE on (Spark 4
+    * default) `queryExecution.executedPlan` is an AdaptiveSparkPlanExec
+    * whose children are hidden behind query-stage leaves, so a plain
+    * `collect { case s: ShuffleExchangeExec => }` on the unexecuted
+    * plan always returns 0 and any count assertion passes vacuously
+    * (r5 ADVICE). This runs the query, then walks the finalized
+    * adaptive plan through AdaptiveSparkPlanExec/QueryStageExec
+    * boundaries. ReusedExchange counts 0 — reuse is not a new shuffle. */
+  private def executedShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    df.write.mode("overwrite").format("noop").save()
+    def walk(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: ReusedExchangeExec => Seq.empty
+        case other => other.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("q2: predicates and projection reach the parquet scan") {
     val p = plan(Relational.q2FilterPushdown(spark, sfDir))
     assert(p.contains("PushedFilters:"), "no pushed filters section")
@@ -55,27 +81,20 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d2/d3: signature computation is a zero-shuffle projection") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sfDir, "documents")
     // the signature frame must contain NO exchange — minhash/simhash
     // signatures are per-document projections; the LSH band join is
     // the pipelines' only legitimate shuffle
     val sigs = graft.operators.Dedup.minhashSigs(docs)
-    val sigShuffles = sigs.queryExecution.executedPlan.collect {
-      case s: ShuffleExchangeExec => s
-    }
-    assert(sigShuffles.isEmpty,
+    assert(executedShuffles(sigs) == 0,
       s"minhash signature plan shuffles:\n${sigs.queryExecution.executedPlan}")
     val sh = docs.select(col("doc_id"),
       graft.GraftFunctions.simhashBits(
         transform(split(col("text"), " "),
           w => graft.GraftFunctions.polyHash(w)),
         graft.operators.Dedup.SimhashBits).as("simhash"))
-    val shShuffles = sh.queryExecution.executedPlan.collect {
-      case s: ShuffleExchangeExec => s
-    }
-    assert(shShuffles.isEmpty, "simhash fingerprint plan shuffles")
+    assert(executedShuffles(sh) == 0, "simhash fingerprint plan shuffles")
   }
 
   test("s2: the fused SRP bucket projection stays in whole-stage codegen") {
@@ -110,15 +129,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("t7: PII redaction is a zero-shuffle pruned projection") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.operators.TextOps.piiRedact(
       Tables.load(spark, sfDir, "documents"))
-    // drop the presentation orderBy — the operator body is the product
-    val body = df.queryExecution.executedPlan.collect {
-      case s: ShuffleExchangeExec => s
-    }
     // one exchange allowed: the final orderBy's range partitioning
-    assert(body.size <= 1,
+    assert(executedShuffles(df) <= 1,
       s"redaction shuffles beyond the output sort:\n${df.queryExecution.executedPlan}")
     val p = plan(df)
     // column pruning: the scan must not read lang/source/n_chars
@@ -167,7 +181,6 @@ class PlanSpec extends SparkSpec {
   }
 
   test("e7/e8: retention and funnel never join; funnel shuffles once on user_id") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val ret = graft.operators.Events.retention(spark, sfDir)
     val pr = plan(ret)
     assert(!pr.contains("Join"), s"retention grew a join:\n${pr.take(1500)}")
@@ -179,22 +192,16 @@ class PlanSpec extends SparkSpec {
       s"funnel regressed to the per-step self-join form:\n${pf.take(1500)}")
     // one hash exchange on user_id (window + reused by the groupBy) and
     // one range exchange for the output sort — nothing else
-    val shuffles = fun.queryExecution.executedPlan.collect {
-      case s: ShuffleExchangeExec => s
-    }
-    assert(shuffles.size <= 2,
-      s"funnel shuffles ${shuffles.size}× (expected ≤ 2: user_id + output sort)")
+    val n = executedShuffles(fun)
+    assert(n <= 2,
+      s"funnel shuffles $n× (expected ≤ 2: user_id + output sort)")
   }
 
   test("t9: split assignment is a zero-shuffle pruned projection") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val df = graft.operators.TextOps.split3(
       Tables.load(spark, sfDir, "documents"))
-    val body = df.queryExecution.executedPlan.collect {
-      case s: ShuffleExchangeExec => s
-    }
     // one exchange allowed: the final orderBy's range partitioning
-    assert(body.size <= 1,
+    assert(executedShuffles(df) <= 1,
       s"split shuffles beyond the output sort:\n${df.queryExecution.executedPlan}")
     assert(!plan(df).contains("n_chars"), "scan reads columns t9 never uses")
   }
@@ -225,6 +232,39 @@ class PlanSpec extends SparkSpec {
       s"co-occurrence degenerated to a product:\n${p.take(1500)}")
     assert(p.contains("BroadcastHashJoin"),
       "per-taxon sample counts are not broadcast onto the pair aggregate")
+  }
+
+  test("e9/e10: transitions join-free; anomaly stats ride a broadcast join") {
+    val tr = graft.operators.Events.transitions(spark, sfDir)
+    val pt = plan(tr)
+    // one lead() window = one user_id shuffle; the pair aggregate and
+    // its probability window run on the vocab²-bounded frame — a join
+    // here would mean a second fact pass
+    assert(!pt.contains("Join"), s"transitions grew a join:\n${pt.take(1500)}")
+    val an = graft.operators.Events.anomaly(spark, sfDir)
+    val pa = plan(an)
+    assert(pa.contains("BroadcastHashJoin"),
+      s"anomaly's per-type moments are not broadcast:\n${pa.take(1500)}")
+    assert(!pa.contains("SortMergeJoin"),
+      "anomaly shuffles the daily frame against the tiny stats side")
+    assert(pa.contains("partial_count") || pa.contains("partial_sum"),
+      "anomaly lost its map-side partial aggregation")
+  }
+
+  test("d9: quality is computed in the scan projection, not joined back") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val decision = docs.select(col("doc_id"),
+      (col("doc_id") % 10L).as("cluster_id"))
+    val df = graft.operators.Dedup.keepBest(decision, docs)
+    val p = plan(df)
+    // exactly the two intended joins: doc_id (quality onto decision)
+    // and cluster_id (reps back) — a third would be a re-scan join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"keep-best degenerated to a product:\n${p.take(1500)}")
+    assert(p.contains("partial_max_by") || p.contains("max_by"),
+      "representatives lost the map-side max_by partial aggregate")
   }
 
   test("q1: whole-stage codegen covers the aggregation") {

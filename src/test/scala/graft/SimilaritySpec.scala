@@ -90,6 +90,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"IVF recall@10 $recall%.2f below 0.7 at sf0.1")
   }
 
+  test("KMeans assignment stage is exact under the trained centroids") {
+    // The hard gate on the trained path (r6): whatever centroids Lloyd
+    // produced, the distributed assignment must equal an independent
+    // local argmin computed from the collected centroids + corpus —
+    // same index-order double fold, so equality is exact, not recall.
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val centers = Similarity.kmeansCentroids(e, 16)
+    val centerArr = centers.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    assert(centerArr.length == 16)
+    val got = Similarity.kmeansAssign(e, centers).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val corpus = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(got.size == corpus.length)
+    corpus.foreach { case (id, v) =>
+      val want = centerArr.map { case (cell, c) =>
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) {
+          val d = v(i).toDouble - c(i); acc += d * d; i += 1
+        }
+        (cell, acc)
+      }.minBy { case (cell, d2) => (d2, cell) }._1
+      assert(got(id) == want,
+        s"vector $id assigned to cell ${got(id)}, exact argmin is $want")
+    }
+  }
+
   test("deterministic-centroid IVF returns ranked rows per query") {
     val res = Similarity.annIvfDet(spark, sfDir).collect()
     val byQuery = res.groupBy(_.getLong(0))

@@ -262,4 +262,35 @@ class StreamingSpec extends SparkSpec {
       assert(got.count(_.user_id == 1) == 4, s"re-emission: ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming funnel evicts idle state past the event-time horizon") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.funnelStream(input.toDS(), idleMinutes = 30)
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 9 signs up at t=0 → stage-1 row, state created
+      input.addData(Event(1, ts(0), 9, "signup", 0.0))
+      q.processAllAvailable()
+      // batch 2: unrelated activity at t=90 advances the watermark to
+      // t=60 — past user 9's timeout (t=0 + 30 min)
+      input.addData(Event(2, tsH(1, 30), 8, "signup", 0.0))
+      q.processAllAvailable()
+      // batch 3: user 9 absent from input → the timeout fires and the
+      // state is removed (emitting nothing)
+      input.addData(Event(3, tsH(1, 35), 8, "view", 0.0))
+      q.processAllAvailable()
+      // batch 4: user 9 signs up again — with the old state evicted
+      // this starts a FRESH funnel and re-emits stage 1; under the
+      // pre-r6 NoTimeout behavior the original state would suppress it
+      input.addData(Event(4, tsH(1, 40), 9, "signup", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_evict").as[StreamingOps.FunnelOut].collect()
+      assert(got.count(u => u.user_id == 9 && u.stage == 1) == 2,
+        s"evicted user's return did not restart the funnel: ${got.toSeq}")
+    } finally q.stop()
+  }
 }
