@@ -31,6 +31,10 @@ object SparkEntry {
   private def d8Histogram(s: SparkSession, d: String): DataFrame =
     Dedup.clusterHistogram(
       Option(d7MemoFor(s).get(d)).getOrElse(d7Decision(s, d)))
+  private def d9KeepBest(s: SparkSession, d: String): DataFrame =
+    Dedup.keepBest(
+      Option(d7MemoFor(s).get(d)).getOrElse(d7Decision(s, d)),
+      Tables.parallel(Tables.load(s, d, "documents")))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -67,6 +71,8 @@ object SparkEntry {
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
+    "q31c_pcoa_eigen" ->
+      ((s: SparkSession, d: String) => Ordination.q31cPcoaEigen(s, d)),
     "q32_taxonomy_browse" -> ((s: SparkSession, d: String) => Relational.q32TaxonomyBrowse(s, d)),
     "q33_geo_filter" -> (Geo.q33GeoFilter _),
     "t6_repetition" -> (TextOps.repetition _),
@@ -89,6 +95,7 @@ object SparkEntry {
     "b2_sequence_align" -> ((s: SparkSession, d: String) => Dedup.sequenceAlign(s, d)),
     "d7_dedup_pipeline" -> (d7Decision _),
     "d8_cluster_histogram" -> (d8Histogram _),
+    "d9_keep_best" -> (d9KeepBest _),
     "d6_decontaminate" -> (Dedup.decontaminate _),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
@@ -107,6 +114,8 @@ object SparkEntry {
     "e4_rolling_avg" -> (Events.rollingAvg _),
     "e7_retention" -> (Events.retention _),
     "e8_funnel" -> (Events.funnel _),
+    "e9_transitions" -> (Events.transitions _),
+    "e10_anomaly" -> (Events.anomaly _),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
     "q36_cooccurrence" -> (Relational.q36Cooccurrence _),
@@ -476,6 +485,9 @@ object SparkEntry {
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle
     "q31b_pcoa_blocked" -> Ordination.q31OracleSql(),
+    // eigenvalue/pct-variance labels; the blocked eigen twin is gated
+    // by bit-identity spec against this oracle-checked form
+    "q31c_pcoa_eigen" -> Ordination.q31cOracleSql(),
     "q33_geo_filter" -> Geo.q33OracleSql,
     "q32_taxonomy_browse" -> """
       SELECT p_brand,
@@ -537,6 +549,8 @@ object SparkEntry {
     "e6_asof_join" -> graft.operators.Events.asofOracleSql,
     "e7_retention" -> graft.operators.Events.retentionOracleSql,
     "e8_funnel" -> graft.operators.Events.funnelOracleSql,
+    "e9_transitions" -> graft.operators.Events.transitionsOracleSql,
+    "e10_anomaly" -> graft.operators.Events.anomalyOracleSql(),
     "t9_split" -> TextOps.split3OracleSql,
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
     "q34_unpivot" -> """
@@ -707,6 +721,29 @@ object SparkEntry {
         FROM decision GROUP BY cluster_id) t
       GROUP BY cluster_size
       ORDER BY cluster_size"""),
+    // d9: shared cluster CTE + t2's quality formula; representative =
+    // max (quality, -doc_id) per cluster, mirrored as a ranked window
+    "d9_keep_best" -> (DedupCte + """
+      , decision AS (
+        SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc c ON c.node = d.doc_id),
+      q AS (
+        SELECT doc_id,
+          round(0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+            + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','or','and','of','in','is'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+            + 0.2 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 200.0), 6) AS quality
+        FROM documents),
+      reps AS (
+        SELECT cluster_id, doc_id AS rep_id FROM (
+          SELECT de.cluster_id, de.doc_id,
+            row_number() OVER (PARTITION BY de.cluster_id
+              ORDER BY q.quality DESC, de.doc_id) AS rn
+          FROM decision de JOIN q USING (doc_id)) t
+        WHERE rn = 1)
+      SELECT de.doc_id, de.cluster_id, q.quality,
+        de.doc_id = r.rep_id AS keep_best
+      FROM decision de JOIN q USING (doc_id) JOIN reps r USING (cluster_id)
+      ORDER BY de.doc_id"""),
     "d6_decontaminate" -> """
       WITH sh AS (
         SELECT doc_id, source,

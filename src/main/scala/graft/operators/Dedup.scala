@@ -481,6 +481,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Canonical-document selection over the [[dedupPipeline]] decision:
+    * per duplicate cluster keep the HIGHEST-quality member by
+    * [[TextOps.qualityScored]]'s metric (smallest doc_id on ties —
+    * exact duplicates score identically), not d7's arbitrary min-id
+    * representative. The real-pipeline refinement: when boilerplate
+    * clusters mix truncated and complete variants, the kept copy
+    * should be the best one.
+    *
+    * Scale shape: quality is computed IN the corpus scan's projection
+    * (never a second scan joined back — the r5 single-scan rule);
+    * representatives come from a max_by aggregate keyed on cluster_id
+    * (map-side partial, shuffle carries one row per doc) and re-attach
+    * by a cluster-keyed equi-join — clusters scale with the corpus, so
+    * neither side is broadcast. */
+  def keepBest(decision: DataFrame, docs: DataFrame): DataFrame = {
+    val scored = decision.select("doc_id", "cluster_id")
+      .join(TextOps.qualityScored(docs).select("doc_id", "quality"), "doc_id")
+    val reps = scored.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), (-col("doc_id")).as("nid"))).as("rep_id"))
+    scored.join(reps, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("doc_id") === col("rep_id")).as("keep_best"))
+      .orderBy("doc_id")
+  }
+
   /** Cluster-size histogram over the [[dedupPipeline]] decision table —
     * the "how much duplication does this corpus carry" summary a
     * pipeline operator reads before committing to a drop rate

@@ -254,6 +254,100 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Event-type transition matrix (the Markov/user-path view product
+    * analytics draws as a Sankey): each user's next event in
+    * (ts, event_id) order via ONE lead() window — a single shuffle on
+    * user_id — then transition counts grouped on the (from, to) pair.
+    * The pair frame is bounded by type-vocab² (25 rows here), so the
+    * per-source probability is a window over a dimension-bounded
+    * aggregate, never a second fact-scale pass. */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    transitions(Tables.load(spark, dir, "events"))
+
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  def transitionsOracleSql: String = """
+      WITH e AS (
+        SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS to_type
+        FROM events),
+      pairs AS (
+        SELECT event_type AS from_type, to_type, count(*) AS n
+        FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      FROM pairs ORDER BY from_type, to_type"""
+
+  /** Daily-volume anomaly detection per event type: z-score of each
+    * (type, day) count against that type's own daily distribution,
+    * flagging |z| > 2 — the telemetry health check over the ingest
+    * stream.
+    *
+    * Determinism + scale: the moments are EXACT integer sums carried
+    * as DECIMAL(38,0) (order-independent at any parallelism, no
+    * overflow at 100 TB daily volumes where c·n_days ~ 10¹⁴ and
+    * Σc² ~ 10²³ blow past BIGINT); the z-score is one double
+    * expression over those exact integers — z = (c·n − s) /
+    * √(n·ss − s²), algebraically (c−μ)/σ without ever forming the
+    * non-associative double mean. Everything after the (type, day)
+    * collapse (map-side partial agg) is dimension-bounded; the
+    * per-type moments broadcast back onto it. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame =
+    anomaly(Tables.load(spark, dir, "events"))
+
+  def anomaly(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(d38)
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(d(col("n_events"))).as("s"),
+        sum(d(col("n_events")) * d(col("n_events"))).as("ss"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("num", (d(col("n_events")) * d(col("n_days")) - col("s")).cast("double"))
+      .withColumn("den", sqrt((d(col("n_days")) * col("ss") - col("s") * col("s")).cast("double")))
+      .filter(col("den") > 0.0 && abs(col("num")) > lit(zThreshold) * col("den"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), round(col("num") / col("den"), 6).as("z"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB oracle for [[anomaly]]: HUGEINT carries the same exact
+    * integer moments DECIMAL(38,0) carries on the Spark side — both
+    * are exact, so the doubles they cast to are identical. */
+  def anomalyOracleSql(zThreshold: Double = 2.0): String = s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, count(*) AS n_days,
+          sum(CAST(n_events AS HUGEINT)) AS s,
+          sum(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)) AS ss
+        FROM daily GROUP BY 1),
+      j AS (
+        SELECT d.event_type, d.day, d.n_events,
+          CAST(CAST(d.n_events AS HUGEINT) * CAST(t.n_days AS HUGEINT) - t.s AS DOUBLE) AS num,
+          sqrt(CAST(CAST(t.n_days AS HUGEINT) * t.ss - t.s * t.s AS DOUBLE)) AS den
+        FROM daily d JOIN stats t USING (event_type))
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+        round(num / den, 6) AS z
+      FROM j WHERE den > 0.0 AND abs(num) > $zThreshold * den
+      ORDER BY event_type, day"""
+
   /** DuckDB oracle for [[funnel]] — the same chained running-min
     * windows, layered as subqueries (a window alias can't be referenced
     * inside another window in the same SELECT). */

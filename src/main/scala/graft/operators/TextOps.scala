@@ -55,7 +55,13 @@ object TextOps {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScore(Tables.parallel(Tables.load(spark, dir, "documents")))
 
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityScored(docs).orderBy("doc_id")
+
+  /** [[qualityScore]] without the presentation sort — the form other
+    * operators (d9 canonical-doc selection) compose with, so no Sort
+    * node sits in the middle of their plans. */
+  def qualityScored(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     val stop = Seq("the", "a", "or", "and", "of", "in", "is")
     docs.select(col("doc_id"),
@@ -74,7 +80,6 @@ object TextOps {
         round(lit(0.5) * col("distinct_ratio") +
           lit(0.3) * (lit(1.0) - col("stop_ratio")) +
           lit(0.2) * least(lit(1.0), col("n_words").cast("double") / lit(200.0)), 6))
-      .orderBy("doc_id")
   }
 
   /** Token counting: whitespace tokens, long tokens, and a BPE-ish

@@ -88,6 +88,74 @@ class PipelineOpsSpec extends SparkSpec {
         s"${single.toSeq.diff(blocked.toSeq).take(3)}")
   }
 
+  test("blocked eigen summary equals the single-row form bit-for-bit") {
+    // transfers q31c's oracle guarantee to the distributed eigen twin,
+    // same as the axis-coordinate gate above
+    val single = graft.operators.Ordination.q31cPcoaEigen(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val blocked = graft.operators.Ordination.q31dPcoaBlockedEigen(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(single.length == 3, s"expected 3 axes: ${single.toSeq}")
+    assert(blocked.toSeq == single.toSeq,
+      s"blocked eigen diverges: ${blocked.toSeq} vs ${single.toSeq}")
+    // the deflation order means non-increasing eigenvalues once the
+    // iteration has converged to 6 dp, and axis 1 must carry real mass
+    assert(single.map(_._2).sliding(2).forall(p => p(0) >= p(1) - 1e-6),
+      s"eigenvalues not non-increasing: ${single.toSeq}")
+    assert(single.head._3 > 0.0, "axis 1 explains no variance")
+  }
+
+  test("transition matrix counts per-user bigrams with row-stochastic p") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 0.0), (2L, ts(1), 1L, "b", 0.0),
+      (3L, ts(2), 1L, "a", 0.0), // user 1: a→b, b→a
+      (4L, ts(0), 2L, "a", 0.0), (5L, ts(1), 2L, "b", 0.0)) // user 2: a→b
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Events.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(("a", "b") -> ((2L, 1.0)), ("b", "a") -> ((1L, 1.0))),
+      s"unexpected transitions: $got")
+  }
+
+  test("anomaly flags exactly the spiking day, constant series flag nothing") {
+    import spark.implicits._
+    // type x: 11 quiet days of 10 events + one 30-event spike (z≈3.3);
+    // type y: constant → zero variance → filtered by den > 0
+    val rows = (1 to 12).flatMap { d =>
+      val n = if (d == 7) 30 else 10
+      (1 to n).map(i => (d * 1000L + i, java.sql.Timestamp.valueOf(
+        f"2024-01-$d%02d 10:00:00"), 1L, "x", 0.0))
+    } ++ (1 to 12).flatMap { d =>
+      (1 to 5).map(i => (90000L + d * 100 + i, java.sql.Timestamp.valueOf(
+        f"2024-01-$d%02d 11:00:00"), 2L, "y", 0.0))
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Events.anomaly(ev).collect()
+    assert(got.length == 1, s"expected one flagged day: ${got.toSeq}")
+    assert(got(0).getString(0) == "x" && got(0).getString(1) == "2024-01-07" &&
+      got(0).getLong(2) == 30L && got(0).getDouble(3) > 2.0,
+      s"wrong flag: ${got(0)}")
+  }
+
+  test("keep-best picks the highest-quality cluster member, min id on ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the"),          // cluster 10: all stopwords → low
+      (2L, "alpha beta gamma delta"),   // cluster 10: distinct, no stop → high
+      (3L, "solo document"),            // singleton cluster
+      (4L, "same text twice"), (5L, "same text twice")) // tie → min id
+      .toDF("doc_id", "text")
+    val decision = Seq((1L, 10L), (2L, 10L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = graft.operators.Dedup.keepBest(decision, docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true, 5L -> false),
+      s"wrong representatives: $got")
+  }
+
   test("batch interval join attributes purchases within the window only") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
