@@ -86,6 +86,13 @@ object GraftFunctions {
       graft.functions.expressions.SimHashBits(
         org.apache.spark.sql.graftshim.GraftShim.expression(hashes), bits))
 
+  /** Column API for the fused nearest-centroid assignment (bypasses
+    * the registry: the centroid matrix is a constructor parameter). */
+  def euclidArgmin(v: Column, centers: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.expressions.EuclidArgmin(
+        org.apache.spark.sql.graftshim.GraftShim.expression(v), centers))
+
   /** Column API for the fused SRP-LSH bucket expression (bypasses the
     * registry: the plane matrix is a constructor parameter, not a
     * child expression). */

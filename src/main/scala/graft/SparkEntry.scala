@@ -75,6 +75,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Ordination.q31cPcoaEigen(s, d)),
     "q32_taxonomy_browse" -> ((s: SparkSession, d: String) => Relational.q32TaxonomyBrowse(s, d)),
     "q33_geo_filter" -> (Geo.q33GeoFilter _),
+    "q37_vocab" -> (Relational.q37Vocab _),
+    "q38_geo_cluster" -> ((s: SparkSession, d: String) => Geo.q38GeoCluster(s, d)),
     "t6_repetition" -> (TextOps.repetition _),
     "t7_pii_redact" -> (TextOps.piiRedact _),
     "t8_sequence_pack" ->
@@ -121,6 +123,7 @@ object SparkEntry {
     "q36_cooccurrence" -> (Relational.q36Cooccurrence _),
     "t9_split" -> (TextOps.split3 _),
     "t10_term_freq" -> ((s: SparkSession, d: String) => TextOps.termFreq(s, d)),
+    "t11_sample_weights" -> (TextOps.sampleWeights _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -489,6 +492,16 @@ object SparkEntry {
     // by bit-identity spec against this oracle-checked form
     "q31c_pcoa_eigen" -> Ordination.q31cOracleSql(),
     "q33_geo_filter" -> Geo.q33OracleSql,
+    "q38_geo_cluster" -> Geo.q38OracleSql(),
+    // one UNION ALL pass per field is fine for the oracle; the Spark
+    // side reads the table once and explodes the field pairs
+    "q37_vocab" -> """
+      SELECT field, value, count(*) AS n FROM (
+        SELECT 'o_orderstatus' AS field, o_orderstatus AS value FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders) u
+      GROUP BY field, value
+      ORDER BY field, value""",
     "q32_taxonomy_browse" -> """
       SELECT p_brand,
         CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_taxa,
@@ -553,6 +566,7 @@ object SparkEntry {
     "e10_anomaly" -> graft.operators.Events.anomalyOracleSql(),
     "t9_split" -> TextOps.split3OracleSql,
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
+    "t11_sample_weights" -> TextOps.t11OracleSql,
     "q34_unpivot" -> """
       SELECT n_name, p_type,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance

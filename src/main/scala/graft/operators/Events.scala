@@ -310,9 +310,13 @@ object Events {
   def anomaly(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def d(c: Column): Column = c.cast(d38)
-    val daily = events
+    // checkpointed: both the per-type moments and the flag join read
+    // this frame — without materialization the fact scan runs twice
+    // (ScanAudit caught the double read). The frame is (type × day)
+    // bounded, so the checkpoint is tiny.
+    val daily = graft.Ckpt(events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
     val stats = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         sum(d(col("n_events"))).as("s"),

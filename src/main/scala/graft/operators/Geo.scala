@@ -87,6 +87,52 @@ object Geo {
       .orderBy("c_custkey")
   }
 
+  /** Map marker clustering — the server-side aggregation behind the
+    * reference product's map view at low zoom: samples inside the
+    * viewport binned to a fixed-degree grid, one (count, centroid)
+    * marker per cell. Pure groupBy with map-side partial aggregation
+    * over the bbox-filtered scan (the bbox predicates push down on
+    * stored coordinates), so it scales as a scan at any zoom.
+    *
+    * Determinism: cell ids are floor() of identical IEEE double ops on
+    * identical inputs in both engines; centroids are exact DECIMAL
+    * sums of the 0.01°-grid coordinates (2 dp — exactly captured by
+    * DECIMAL(10,2), order-independent) divided in double. */
+  def q38GeoCluster(spark: SparkSession, dir: String,
+      cellDeg: Double = 5.0): DataFrame = {
+    val d102 = org.apache.spark.sql.types.DecimalType(10, 2)
+    val boxed = bbox(synthCoords(Tables.load(spark, dir, "customer")),
+      LatMin, LatMax, LonMin, LonMax)
+    boxed
+      .withColumn("cell_lat", floor((col("lat") + 90.0) / cellDeg).cast("long"))
+      .withColumn("cell_lon", floor((col("lon") + 180.0) / cellDeg).cast("long"))
+      .groupBy("cell_lat", "cell_lon")
+      .agg(count(lit(1)).as("n_samples"),
+        round(sum(col("lat").cast(d102)).cast("double") / count(lit(1)), 6)
+          .as("centroid_lat"),
+        round(sum(col("lon").cast(d102)).cast("double") / count(lit(1)), 6)
+          .as("centroid_lon"))
+      .orderBy("cell_lat", "cell_lon")
+  }
+
+  def q38OracleSql(cellDeg: Double = 5.0): String = s"""
+      WITH geo AS (
+        SELECT c_custkey,
+          CAST((c_custkey * 7919) % 12000 AS DOUBLE) / 100.0 - 60.0 AS lat,
+          CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+        FROM customer),
+      boxed AS (
+        SELECT * FROM geo
+        WHERE lat >= $LatMin AND lat <= $LatMax
+          AND lon >= $LonMin AND lon <= $LonMax)
+      SELECT CAST(floor((lat + 90.0) / $cellDeg) AS BIGINT) AS cell_lat,
+        CAST(floor((lon + 180.0) / $cellDeg) AS BIGINT) AS cell_lon,
+        count(*) AS n_samples,
+        round(CAST(sum(CAST(lat AS DECIMAL(10,2))) AS DOUBLE) / count(*), 6) AS centroid_lat,
+        round(CAST(sum(CAST(lon AS DECIMAL(10,2))) AS DOUBLE) / count(*), 6) AS centroid_lon
+      FROM boxed GROUP BY 1, 2
+      ORDER BY cell_lat, cell_lon"""
+
   /** DuckDB oracle — identical constants via interpolation, identical
     * arithmetic shape (integer coord derivation, x·π/180, sin·sin). */
   def q33OracleSql: String = s"""

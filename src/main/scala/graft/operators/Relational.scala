@@ -633,4 +633,21 @@ object Relational {
           .as("jaccard"))
       .orderBy("brand_a", "brand_b")
   }
+
+  /** Vocabulary endpoint — the reference UI's filter dropdowns: every
+    * distinct value of each vocabulary-controlled contextual field
+    * with its frequency, in ONE scan of the fact-scale table (the
+    * fields ride a 2-way explode of the same row, not one scan per
+    * field) followed by a map-side-combined count. */
+  def q37Vocab(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.select(explode(array(
+        struct(lit("o_orderstatus").as("field"), col("o_orderstatus").as("value")),
+        struct(lit("o_orderpriority").as("field"), col("o_orderpriority").as("value"))))
+        .as("fv"))
+      .select(col("fv.field").as("field"), col("fv.value").as("value"))
+      .groupBy("field", "value")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("field", "value")
+  }
 }

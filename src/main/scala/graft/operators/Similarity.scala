@@ -51,15 +51,16 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, k: Int = 16, nProbe: Int = 4): DataFrame =
     annIvf(Tables.parallel(Tables.load(spark, dir, "embeddings")), k, nProbe)
 
-  /** Trained KMeans centroids as a broadcast (cell, centroid) frame.
+  /** Trained KMeans centroid MATRIX (cell order 0..k-1).
     * Deterministic training config: hash-selected ~25% sample (no RNG
     * in the sample), fixed seed, and `tol = 0` so Lloyd runs EXACTLY
     * `maxIter` iterations instead of stopping on a convergence test
-    * whose trip point could vary with partitioning. */
-  def kmeansCentroids(e: DataFrame, k: Int, maxIter: Int = 10): DataFrame = {
+    * whose trip point could vary with partitioning. The matrix is
+    * driver-side because `fit()` materializes it there by nature —
+    * no operator-side collect(). */
+  def kmeansCenterArrays(e: DataFrame, k: Int, maxIter: Int = 10): Seq[Seq[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = e.sparkSession
     val feat = e.withColumn("fv", array_to_vector(col("embedding")))
     // Train on a deterministic ~25% hash-sample, not the full corpus:
     // at 100 TB centroid quality saturates long before the sample does,
@@ -73,23 +74,37 @@ object Similarity {
     // fit() is eager — the sample cache has served its purpose (KMeans
     // iterations) and must not outlive this call in a shared session
     sample.unpersist()
-    val centers = fitted.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.toSeq)
-    }
-    import spark.implicits._
-    broadcast(centers.toSeq.toDF("cell", "centroid"))
+    fitted.clusterCenters.map(_.toArray.toSeq).toSeq
   }
 
-  /** Assignment stage under FIXED centroids: per-vector argmin of
-    * squared euclidean distance (KMeans' metric), smallest cell id on
-    * ties. A broadcast ×k fan-out reduced by a map-side `max_by`
-    * partial aggregate — the shuffle carries one row per corpus
-    * vector, not k — and the distance is a codegen'd index-order fold,
-    * NOT the ML model's per-row predict UDF (this keeps the one
-    * corpus-scale pass of the trained path inside whole-stage codegen
-    * and makes it exactly reproducible; SimilaritySpec hard-gates it
-    * against an independent local argmin). */
-  def kmeansAssign(e: DataFrame, centers: DataFrame): DataFrame =
+  /** The centroid matrix as a broadcast (cell, centroid) frame — the
+    * form the probe ranking joins against. */
+  def centroidsDf(spark: SparkSession, centers: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    broadcast(centers.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid"))
+  }
+
+  def kmeansCentroids(e: DataFrame, k: Int, maxIter: Int = 10): DataFrame =
+    centroidsDf(e.sparkSession, kmeansCenterArrays(e, k, maxIter))
+
+  /** Assignment stage under FIXED centroids — the native form: one
+    * [[graft.functions.expressions.EuclidArgmin]] projection (centroid
+    * matrix as a codegen reference object), so the corpus-scale pass
+    * is a ZERO-SHUFFLE whole-stage-codegen scan. No ×k crossJoin
+    * fan-out, no argmin reduction shuffle, no ML predict UDF.
+    * SimilaritySpec hard-gates it against an independent local argmin
+    * and against the join form below. */
+  def kmeansAssign(e: DataFrame, centers: Seq[Seq[Double]]): DataFrame =
+    e.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      graft.GraftFunctions.euclidArgmin(col("embedding"), centers).as("cell"))
+
+  /** Join-form assignment for centroids that exist only as DATA (no
+    * driver-side matrix): broadcast ×k fan-out, per-pair index-order
+    * distance fold, map-side max_by argmin (the shuffle carries one
+    * row per corpus vector, not k). Bit-identical to [[kmeansAssign]]
+    * — same fold order, same smallest-cell tie-break (spec-gated). */
+  def kmeansAssignJoin(e: DataFrame, centers: DataFrame): DataFrame =
     e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       .crossJoin(centers)
       .withColumn("d2", aggregate(
@@ -103,8 +118,9 @@ object Similarity {
 
   def annIvf(e: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val spark = e.sparkSession
-    val centersDf = kmeansCentroids(e, k)
-    val corpus = kmeansAssign(e, centersDf)
+    val centers = kmeansCenterArrays(e, k)
+    val centersDf = this.centroidsDf(spark, centers)
+    val corpus = kmeansAssign(e, centers)
       .select(col("c_id"), col("cv"), col("cell"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))

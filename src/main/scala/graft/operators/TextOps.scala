@@ -354,4 +354,74 @@ object TextOps {
         FROM rec r JOIN base b ON b.shard = r.shard AND b.rn = r.rn + 1)
       SELECT doc_id, shard, pack_id, n_tokens
       FROM rec ORDER BY shard, doc_id"""
+
+  /** Training-mix sampling weights per source (the domain-mixing knob
+    * every large-corpus training pipeline sets): token share per
+    * source, temperature-flattened with α = 0.5 and renormalized —
+    * w_s = √(tokens_s/total) / Σ_s √(tokens_s/total). √ is α = 0.5
+    * temperature sampling chosen deliberately: IEEE sqrt is correctly
+    * rounded, so the weights are bit-identical across engines (a pow()
+    * α would not be).
+    *
+    * Scale shape: one corpus scan → per-source counts (map-side
+    * partial agg); everything after runs on the source DIMENSION
+    * (dozens of rows) collected into a single sorted row, where the
+    * Σ√ normalizer is an index-order fold — the same discipline as
+    * the ordination folds. Token totals are exact integer sums
+    * (order-independent at any parallelism). */
+  def sampleWeights(spark: SparkSession, dir: String): DataFrame =
+    sampleWeights(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def sampleWeights(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col("text"))).cast("long")).as("n_tokens"))
+    val asm = per.agg(
+      sort_array(collect_list(struct(col("source"), col("n_docs"),
+        col("n_tokens")))).as("ps"),
+      sum(col("n_tokens")).as("t"))
+    asm
+      .withColumn("wsum", aggregate(
+        transform(col("ps"),
+          s => sqrt(s("n_tokens").cast("double") / col("t").cast("double"))),
+        lit(0.0), (a, x) => a + x))
+      .select(posexplode(transform(col("ps"), s =>
+        struct(s("source").as("source"),
+          s("n_docs").as("n_docs"),
+          s("n_tokens").as("n_tokens"),
+          round(s("n_tokens").cast("double") / col("t").cast("double"), 6)
+            .as("share"),
+          round(sqrt(s("n_tokens").cast("double") / col("t").cast("double"))
+            / col("wsum"), 6).as("weight")))))
+      .select(col("col.source").as("source"), col("col.n_docs").as("n_docs"),
+        col("col.n_tokens").as("n_tokens"), col("col.share").as("share"),
+        col("col.weight").as("weight"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[sampleWeights]]: same sorted single-row
+    * assembly, same index-order Σ√ fold. */
+  def t11OracleSql: String = """
+      WITH per AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      asm AS (
+        SELECT list_sort(list(struct_pack(source := source, n_docs := n_docs,
+                 n_tokens := n_tokens))) AS ps,
+          CAST(sum(n_tokens) AS BIGINT) AS t
+        FROM per),
+      w AS (
+        SELECT ps, t,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ps, s -> sqrt(CAST(s['n_tokens'] AS DOUBLE) / CAST(t AS DOUBLE)))),
+            (a, x) -> a + x) AS wsum
+        FROM asm),
+      u AS (SELECT unnest(ps) AS s, t, wsum FROM w)
+      SELECT s['source'] AS source,
+        s['n_docs'] AS n_docs,
+        s['n_tokens'] AS n_tokens,
+        round(CAST(s['n_tokens'] AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+        round(sqrt(CAST(s['n_tokens'] AS DOUBLE) / CAST(t AS DOUBLE)) / wsum, 6) AS weight
+      FROM u ORDER BY source"""
 }

@@ -195,6 +195,53 @@ object StreamingOps {
       }
   }
 
+  case class TransState(lastUs: Long, lastId: Long, lastType: String)
+  case class TransOut(user_id: Long, from_type: String, to_type: String,
+    at_us: Long)
+
+  /** Streaming twin of [[graft.operators.Events.transitions]]: per
+    * user remember only the LAST event (constant state per key); each
+    * arriving event emits one (from, to) transition edge. The
+    * transition-matrix aggregation is a downstream windowed count over
+    * these edges — the unbounded piece is here, and its state is one
+    * small record per active user, evicted by EventTimeTimeout past
+    * the idle horizon (same discipline as the funnel stream).
+    *
+    * Within a micro-batch events process in (ts, event_id) order —
+    * the batch operator's lead() order — so a single-batch replay's
+    * edge multiset reproduces the batch pair counts (spec-gated). */
+  def transitionsStream(events: Dataset[Event], idleMinutes: Int = 30)
+      (implicit spark: SparkSession): Dataset[TransOut] = {
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val idleMs = idleMinutes.toLong * 60 * 1000
+    events
+      .withWatermark("ts", s"$idleMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption
+            val out = scala.collection.mutable.ListBuffer.empty[TransOut]
+            it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+              val t = us(e.ts)
+              cur.foreach(s => out += TransOut(userId, s.lastType, e.event_type, t))
+              cur = Some(TransState(t, e.event_id, e.event_type))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + idleMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with explicit per-key state — the
     * streaming form of [[graft.operators.Events.sessionize]]. Emits a
     * session when a new event arrives past the gap, or when the

@@ -62,6 +62,23 @@ class GeoSpec extends SparkSpec {
         "the raw-compare predicate is no longer provably engine-stable")
   }
 
+  test("geo clusters partition the viewport and centroids stay in-cell") {
+    val boxed = Geo.bbox(
+      Geo.synthCoords(Tables.load(spark, sfDir, "customer")),
+      Geo.LatMin, Geo.LatMax, Geo.LonMin, Geo.LonMax).count()
+    val cells = Geo.q38GeoCluster(spark, sfDir).collect()
+    assert(cells.map(_.getLong(2)).sum == boxed,
+      "cluster counts do not partition the boxed points")
+    cells.foreach { r =>
+      val (cla, clo) = (r.getLong(0), r.getLong(1))
+      val (lat, lon) = (r.getDouble(3), r.getDouble(4))
+      assert(lat >= cla * 5.0 - 90.0 && lat < (cla + 1) * 5.0 - 90.0,
+        s"centroid lat outside its cell: $r")
+      assert(lon >= clo * 5.0 - 180.0 && lon < (clo + 1) * 5.0 - 180.0,
+        s"centroid lon outside its cell: $r")
+    }
+  }
+
   test("synthetic coordinates stay in range and are deterministic") {
     val g = Geo.synthCoords(Tables.load(spark, sfDir, "customer"))
     val mm = g.agg(min("lat"), max("lat"), min("lon"), max("lon")).head()

@@ -267,6 +267,22 @@ class PlanSpec extends SparkSpec {
       "representatives lost the map-side max_by partial aggregate")
   }
 
+  test("kmeans assignment is a zero-shuffle codegen projection") {
+    import org.apache.spark.sql.functions._
+    // fixed literal centroids — the plan shape is independent of what
+    // Lloyd produced, so no training run is needed here
+    val centers = Seq.tabulate(4)(i => Seq.tabulate(64)(j => (i + j) * 0.01))
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val df = graft.operators.Similarity.kmeansAssign(e, centers)
+    assert(executedShuffles(df) == 0,
+      s"assignment shuffles:\n${df.queryExecution.executedPlan}")
+    val executed = df.queryExecution.executedPlan.toString()
+    assert(executed.contains("euclid_argmin"),
+      s"native expression missing:\n${executed.take(1200)}")
+    assert(executed.contains("WholeStageCodegen") || executed.contains("*(1)"),
+      s"assignment fell out of codegen:\n${executed.take(1200)}")
+  }
+
   test("q1: whole-stage codegen covers the aggregation") {
     val df = Relational.q1PricingSummary(spark, sfDir)
     assert(plan(df).contains("partial_sum"),

@@ -93,19 +93,23 @@ class SimilaritySpec extends SparkSpec {
   test("KMeans assignment stage is exact under the trained centroids") {
     // The hard gate on the trained path (r6): whatever centroids Lloyd
     // produced, the distributed assignment must equal an independent
-    // local argmin computed from the collected centroids + corpus —
-    // same index-order double fold, so equality is exact, not recall.
+    // local argmin over the same centroid matrix — same index-order
+    // double fold, so equality is exact, not recall. Gates BOTH the
+    // native EuclidArgmin projection and the join-form fallback.
     val e = Tables.load(spark, sfDir, "embeddings")
-    val centers = Similarity.kmeansCentroids(e, 16)
-    val centerArr = centers.collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val centers = Similarity.kmeansCenterArrays(e, 16)
+    val centerArr = centers.map(_.toArray).toArray
     assert(centerArr.length == 16)
     val got = Similarity.kmeansAssign(e, centers).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val viaJoin = Similarity.kmeansAssignJoin(
+        e, Similarity.centroidsDf(spark, centers)).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == viaJoin, "native argmin diverges from the join form")
     val corpus = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
     assert(got.size == corpus.length)
     corpus.foreach { case (id, v) =>
-      val want = centerArr.map { case (cell, c) =>
+      val want = centerArr.zipWithIndex.map { case (c, cell) =>
         var acc = 0.0
         var i = 0
         while (i < v.length) {

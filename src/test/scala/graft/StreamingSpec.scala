@@ -263,6 +263,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions replay the batch pair counts") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Seq(
+      Event(1, ts(0), 1, "a", 0.0), Event(2, ts(1), 1, "b", 0.0),
+      Event(3, ts(2), 1, "a", 0.0), // user 1: a→b, b→a
+      Event(4, ts(0), 2, "a", 0.0), Event(5, ts(1), 2, "b", 0.0),
+      Event(6, ts(3), 1, "c", 0.0)) // user 1: a→c
+    val input = MemoryStream[Event]
+    val q = StreamingOps.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev: _*)
+      q.processAllAvailable()
+      val got = spark.table("trans_stream").as[StreamingOps.TransOut]
+        .collect().groupBy(t => (t.from_type, t.to_type))
+        .view.mapValues(_.length.toLong).toMap
+      val want = graft.operators.Events.transitions(
+          ev.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+            .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got == want, s"stream edges $got != batch counts $want")
+    } finally q.stop()
+  }
+
   test("streaming funnel evicts idle state past the event-time horizon") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

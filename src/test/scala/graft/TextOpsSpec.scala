@@ -94,4 +94,21 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("sample weights: stochastic, order-preserving, temperature-flattened") {
+    val rows = graft.operators.TextOps.sampleWeights(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length > 1)
+    // weights and shares are both distributions
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "shares do not sum to 1")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "weights do not sum to 1")
+    // α = 0.5 preserves source ordering but compresses the ratios
+    val byTokens = rows.sortBy(_._2)
+    assert(byTokens.map(_._4).zip(byTokens.tail.map(_._4))
+      .forall { case (a, b) => a <= b + 1e-9 }, "weights not monotone in tokens")
+    val shareRatio = byTokens.last._3 / byTokens.head._3
+    val weightRatio = byTokens.last._4 / byTokens.head._4
+    assert(weightRatio <= shareRatio + 1e-9,
+      f"temperature did not flatten: weight ratio $weightRatio%.3f vs share $shareRatio%.3f")
+  }
 }
