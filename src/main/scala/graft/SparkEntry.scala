@@ -124,6 +124,7 @@ object SparkEntry {
     "t9_split" -> (TextOps.split3 _),
     "t10_term_freq" -> ((s: SparkSession, d: String) => TextOps.termFreq(s, d)),
     "t11_sample_weights" -> (TextOps.sampleWeights _),
+    "t12_boilerplate" -> (TextOps.boilerplate _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -567,6 +568,7 @@ object SparkEntry {
     "t9_split" -> TextOps.split3OracleSql,
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
     "t11_sample_weights" -> TextOps.t11OracleSql,
+    "t12_boilerplate" -> TextOps.t12OracleSql,
     "q34_unpivot" -> """
       SELECT n_name, p_type,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance

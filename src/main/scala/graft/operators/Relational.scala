@@ -339,13 +339,24 @@ object Relational {
 
   /** Set operations — vocabulary comparison between two contextual
     * slices (INTERSECT / EXCEPT with distinct semantics). */
+  /** INTERSECT/EXCEPT vocabulary comparison, rewritten (r6) as ONE
+    * fact scan: the literal `intersect`/`except`/`union` pipeline read
+    * the orders table four times (two branches × two set ops —
+    * ScanAudit caught it); presence flags from a single conditional
+    * aggregation give the same distinct sets with one pushed-down
+    * scan and a map-side partial agg. The oracle keeps the literal
+    * set-op SQL, so the rewrite is equivalence-gated, not assumed. */
   def q24SetOps(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders")
-    val f = o.filter(col("o_orderstatus") === "F").select("o_orderpriority")
-    val p = o.filter(col("o_orderstatus") === "P").select("o_orderpriority")
-    f.intersect(p).withColumn("tag", lit("both"))
-      .union(f.except(p).withColumn("tag", lit("f_only")))
-      .select("tag", "o_orderpriority")
+    o.filter(col("o_orderstatus").isin("F", "P"))
+      .groupBy("o_orderpriority")
+      .agg(
+        max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("in_f"),
+        max(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("in_p"))
+      .filter(col("in_f") === 1)
+      .select(
+        when(col("in_p") === 1, lit("both")).otherwise(lit("f_only")).as("tag"),
+        col("o_orderpriority"))
       .orderBy("tag", "o_orderpriority")
   }
 

@@ -216,6 +216,61 @@ object TextOps {
           '$PhoneRe', '<PHONE>', 'g') AS clean
       FROM inj ORDER BY doc_id"""
 
+  /** Boilerplate stripping — the crawl-cleaning stage before any
+    * dedup/quality pass: drop markup tags, collapse runs of
+    * whitespace, trim. Deterministic markup is INJECTED from doc_id
+    * (the corpus has none), so the oracle verifies exact tag counts
+    * and the md5 of the cleaned text — the t7 injected-PII pattern.
+    * Patterns stay in the Java-regex ∩ RE2 common subset; pure
+    * zero-shuffle projection. */
+  final val TagRe = "<[^>]*>"
+
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def boilerplate(docs: DataFrame): DataFrame = {
+    val injected = concat(
+      when(col("doc_id") % 2 === 0,
+        lit("<div class=nav>Home | About</div> ")).otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" <b>ad"), col("doc_id"), lit("</b>  <i>click</i>")))
+        .otherwise(lit("")),
+      lit("  "))
+    docs.select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(TagRe)).cast("long").as("n_tags"),
+        trim(regexp_replace(regexp_replace(col("t"), TagRe, " "), " {2,}", " "))
+          .as("clean"))
+      .select(col("doc_id"), col("n_tags"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[boilerplate]] — same injection arithmetic,
+    * same patterns, 'g'-flagged replaces. */
+  def t12OracleSql: String = s"""
+      WITH inj AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0
+            THEN '<div class=nav>Home | About</div> ' ELSE '' END
+          || text
+          || CASE WHEN doc_id % 3 = 0
+            THEN ' <b>ad' || doc_id || '</b>  <i>click</i>' ELSE '' END
+          || '  ' AS t
+        FROM documents),
+      cl AS (
+        SELECT doc_id, t,
+          trim(regexp_replace(regexp_replace(t, '$TagRe', ' ', 'g'),
+            ' {2,}', ' ', 'g')) AS clean
+        FROM inj)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '$TagRe')) AS BIGINT) AS n_tags,
+        CAST(length(clean) AS BIGINT) AS clean_len,
+        md5(clean) AS clean_hash
+      FROM cl ORDER BY doc_id"""
+
   /** Deterministic train/val/test split — the reproducible corpus
     * split every training pipeline needs. The split key is the first
     * hex nibble of md5(doc_id): content-independent, stable across
