@@ -118,6 +118,8 @@ object SparkEntry {
     "e8_funnel" -> (Events.funnel _),
     "e9_transitions" -> (Events.transitions _),
     "e10_anomaly" -> (Events.anomaly _),
+    "q39_gapfill" -> (Events.gapFill _),
+    "e12_rolling_rate" -> (Events.rollingRate _),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
     "q36_cooccurrence" -> (Relational.q36Cooccurrence _),
@@ -565,6 +567,8 @@ object SparkEntry {
     "e8_funnel" -> graft.operators.Events.funnelOracleSql,
     "e9_transitions" -> graft.operators.Events.transitionsOracleSql,
     "e10_anomaly" -> graft.operators.Events.anomalyOracleSql(),
+    "q39_gapfill" -> graft.operators.Events.gapFillOracleSql,
+    "e12_rolling_rate" -> graft.operators.Events.rollingRateOracleSql,
     "t9_split" -> TextOps.split3OracleSql,
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
     "t11_sample_weights" -> TextOps.t11OracleSql,

@@ -352,6 +352,99 @@ object Events {
       FROM j WHERE den > 0.0 AND abs(num) > $zThreshold * den
       ORDER BY event_type, day"""
 
+  /** Calendar gap-fill — the resample step dashboards need before any
+    * day-over-day math: per event type, daily counts with MISSING days
+    * emitted as explicit zeros between that type's first and last
+    * active day.
+    *
+    * Scale shape: the fact collapses to (type, day) with map-side
+    * partial agg (one scan); the calendar skeleton explodes a
+    * `sequence()` of days per type — rows bounded by type-vocab ×
+    * span-days, a dimension — and the left join back to the collapsed
+    * counts is dimension × dimension. Nothing after the first
+    * aggregation touches fact-scale data. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFill(Tables.load(spark, dir, "events"))
+
+  /** The filled (event_type, day, n_events) frame with `day` as DATE —
+    * shared by [[gapFill]]'s presentation form and [[rollingRate]]. */
+  private def filledDaily(events: DataFrame): DataFrame = {
+    val daily = graft.Ckpt(events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events")))
+    val skeleton = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    skeleton.join(daily, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  def gapFill(events: DataFrame): DataFrame =
+    filledDaily(events)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_events"))
+      .orderBy("event_type", "day")
+
+  def gapFillOracleSql: String = """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+      skel AS (
+        SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds)
+      SELECT s.event_type AS event_type, strftime(s.day, '%Y-%m-%d') AS day,
+        coalesce(d.n_events, 0) AS n_events
+      FROM skel s LEFT JOIN daily d
+        ON d.event_type = s.event_type AND d.day = s.day
+      ORDER BY s.event_type, day"""
+
+  /** 7-day rolling event rate over the GAP-FILLED series (a RANGE
+    * frame over raw data silently shrinks across missing days; filling
+    * first makes the window truly 7 calendar days). The window
+    * partitions by type and orders by day number — it runs on the
+    * dimension-bounded filled frame, not the fact. */
+  def rollingRate(spark: SparkSession, dir: String): DataFrame =
+    rollingRate(Tables.load(spark, dir, "events"))
+
+  def rollingRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("day_num")).rangeBetween(-6, Window.currentRow)
+    filledDaily(events)
+      .withColumn("day_num", datediff(col("day"), lit("2024-01-01")))
+      .withColumn("n_7d", sum(col("n_events")).over(w))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("n_7d"))
+      .orderBy("event_type", "day")
+  }
+
+  def rollingRateOracleSql: String = """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+      skel AS (
+        SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds),
+      filled AS (
+        SELECT s.event_type, s.day, coalesce(d.n_events, 0) AS n_events,
+          date_diff('day', DATE '2024-01-01', s.day) AS day_num
+        FROM skel s LEFT JOIN daily d
+          ON d.event_type = s.event_type AND d.day = s.day)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+        CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day_num
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+      FROM filled
+      ORDER BY event_type, day"""
+
   /** DuckDB oracle for [[funnel]] — the same chained running-min
     * windows, layered as subqueries (a window alias can't be referenced
     * inside another window in the same SELECT). */

@@ -140,6 +140,26 @@ class PipelineOpsSpec extends SparkSpec {
       s"wrong flag: ${got(0)}")
   }
 
+  test("gap-fill emits explicit zeros and the rolling window spans them") {
+    import spark.implicits._
+    // type x active on Jan 1 and Jan 4 only — the sf0.01 corpus has no
+    // calendar gaps, so the zero-fill path needs a synthetic exercise
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "x", 0.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "x", 0.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-04 10:00:00"), 1L, "x", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val filled = graft.operators.Events.gapFill(ev).collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+    assert(filled.toSeq == Seq("2024-01-01" -> 2L, "2024-01-02" -> 0L,
+      "2024-01-03" -> 0L, "2024-01-04" -> 1L), s"bad fill: ${filled.toSeq}")
+    val rr = graft.operators.Events.rollingRate(ev).collect()
+      .map(r => r.getString(1) -> r.getLong(3))
+    // 7-day trailing sums over the filled series: 2,2,2,3
+    assert(rr.toSeq == Seq("2024-01-01" -> 2L, "2024-01-02" -> 2L,
+      "2024-01-03" -> 2L, "2024-01-04" -> 3L), s"bad rolling: ${rr.toSeq}")
+  }
+
   test("keep-best picks the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val docs = Seq(
