@@ -103,6 +103,7 @@ object SparkEntry {
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
     "s3_ann_ivf" -> (Similarity.annIvfDet _),
+    "s5_ann_filtered" -> (Similarity.annFiltered _),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m3_image_decode" ->
       ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
@@ -868,6 +869,7 @@ object SparkEntry {
       LIMIT 10""",
     "s2_ann_lsh" -> Similarity.s2OracleSql,
     "s3_ann_ivf" -> Similarity.s3OracleSql,
+    "s5_ann_filtered" -> Similarity.s5OracleSql(),
     "s1_ann_bruteforce" -> """
       WITH norms AS (
         SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm

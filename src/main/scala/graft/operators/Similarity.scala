@@ -40,6 +40,66 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Filtered ANN — vector search under a metadata predicate, the
+    * retrieval-stack staple ("nearest among docs where source = X").
+    * PRE-FILTER strategy: the predicate applies BEFORE scoring via a
+    * left-semi join of the embedding corpus against the pushed-down
+    * metadata scan. Pre-filtering is the correct side of the classic
+    * trade whenever the filter is selective — post-filtering a
+    * fixed-k ANN result under-fills k (a query whose neighbourhood is
+    * mostly filtered-out docs returns < k rows); here k is always
+    * satisfied when the filtered corpus has ≥ k members. Queries stay
+    * broadcast; the filter predicate reaches the documents parquet
+    * scan as a PushedFilter. */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame =
+    annFiltered(Tables.parallel(Tables.load(spark, dir, "embeddings")),
+      Tables.load(spark, dir, "documents"), "src3")
+
+  def annFiltered(e: DataFrame, docs: DataFrame, source: String): DataFrame = {
+    val spark = e.sparkSession
+    val allowed = docs.filter(col("source") === source)
+      .select(col("doc_id"))
+    val corpus = e.join(allowed, col("vec_id") === col("doc_id"), "left_semi")
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val scored = q.join(corpus, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= AnnK)
+      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[annFiltered]] — s1's proven norms/dots CTE
+    * shape with the corpus restricted by the metadata join. */
+  def s5OracleSql(source: String = "src3"): String = s"""
+      WITH cand AS (
+        SELECT e.vec_id, e.embedding
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        WHERE d.source = '$source'),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.embedding AS qv, c.embedding AS cv
+        FROM embeddings q, cand c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs) GROUP BY q_id, c_id),
+      scored AS (
+        SELECT d.q_id, d.c_id, d.dt / (nq.nrm * nc.nrm) AS cos
+        FROM dots d JOIN norms nq ON nq.vec_id = d.q_id JOIN norms nc ON nc.vec_id = d.c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
+        FROM scored)
+      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      FROM ranked WHERE rnk <= $AnnK ORDER BY q_id, rnk"""
+
   /** IVF (inverted-file) ANN: K-Means centroids partition the corpus;
     * each query probes only the `nProbe` nearest cells. At scale the
     * corpus is written partitioned by centroid id, so a probe reads

@@ -74,6 +74,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN returns only allowed docs, k rows per query") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sfDir, "documents")
+    val allowed = docs.filter(col("source") === "src3")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(allowed.size >= Similarity.AnnK, "filter leaves fewer than k docs")
+    val res = Similarity.annFiltered(
+      Tables.load(spark, sfDir, "embeddings"), docs, "src3").collect()
+    assert(res.forall(r => allowed.contains(r.getLong(1))),
+      "a result escaped the metadata filter")
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.size == 5 && byQuery.values.forall(_.length == Similarity.AnnK),
+      s"expected 5×${Similarity.AnnK} rows: ${byQuery.view.mapValues(_.length).toMap}")
+  }
+
   test("KMeans IVF recall@10 holds the 0.7 floor at sf0.1") {
     // nProbe=8 of 16 cells: the synthetic embeddings are near-isotropic
     // (no real cluster structure), so IVF recall tracks the probed
