@@ -111,6 +111,7 @@ object SparkEntry {
     "x2_export_biom" -> ((s: SparkSession, d: String) => graft.sources.Export.biomMatrix(s, d)),
     "x3_export_biom_json" -> ((s: SparkSession, d: String) => graft.sources.Export.biomJson(s, d)),
     "x4_export_krona" -> ((s: SparkSession, d: String) => graft.sources.Export.kronaTsv(s, d)),
+    "x5_scd2_merge" -> (graft.sources.Ingest.x5Scd2 _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e3_props_json" -> (Events.propsJson _),
@@ -931,6 +932,7 @@ object SparkEntry {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY n_name, r_name, p_type
       ORDER BY n_name, p_type""",
+    "x5_scd2_merge" -> graft.sources.Ingest.x5OracleSql,
     "x4_export_krona" -> """
       WITH leaves AS (
         SELECT 'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) % 5 AS VARCHAR) AS p_mfgr,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -45,4 +45,98 @@ object Ingest {
     * layout every downstream query partition-prunes against. */
   def land(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** SCD-2 merge — the metadata-refresh path as a HISTORY-PRESERVING
+    * upsert (the reference periodically re-imports its contextual
+    * metadata; a plain overwrite loses what changed). Compares an
+    * incoming snapshot against the current dimension on the key:
+    *
+    *   - unchanged keys keep their current row (version 1, current);
+    *   - changed keys close the old row (`is_current` false) and
+    *     append version 2;
+    *   - keys new to the snapshot appear as version 1, current;
+    *   - keys missing from the snapshot are closed.
+    *
+    * Scale shape: ONE full-outer equi-join on the key (bucketable /
+    * co-partitionable at warehouse scale), and the 3-way row fan-out
+    * is a per-row `explode` of conditionally-built structs over that
+    * single joined pass — NOT a 5-branch union, which would re-run
+    * the join per branch (ScanAudit discipline). Null-safe `<=>`
+    * comparisons, so NULL attribute flips count as changes. */
+  def scd2Merge(current: DataFrame, incoming: DataFrame, key: String,
+      attrs: Seq[String]): DataFrame = {
+    val cur = current.select(
+      (col(key) +: attrs.map(col)) :+ lit(1).as("in_cur"): _*)
+    val inc = incoming.select(
+      (col(key) +: attrs.map(a => col(a).as(s"new_$a"))) :+ lit(1).as("in_new"): _*)
+    val j = cur.join(inc, Seq(key), "full_outer")
+    val changed = attrs.map(a => !(col(a) <=> col(s"new_$a"))).reduce(_ || _)
+    val both = col("in_cur") === 1 && col("in_new") === 1
+    def row(from: String => Column, version: Int, isCurrent: Boolean) =
+      struct((attrs.map(a => from(a).as(a)) :+
+        lit(version).as("version")) :+ lit(isCurrent).as("is_current"): _*)
+    val oldAttr = (a: String) => col(a)
+    val newAttr = (a: String) => col(s"new_$a")
+    j.select(col(key), explode(filter(array(
+        when(both && !changed, row(oldAttr, 1, isCurrent = true)),
+        when(both && changed, row(oldAttr, 1, isCurrent = false)),
+        when(both && changed, row(newAttr, 2, isCurrent = true)),
+        when(col("in_new") === 1 && col("in_cur").isNull,
+          row(newAttr, 1, isCurrent = true)),
+        when(col("in_cur") === 1 && col("in_new").isNull,
+          row(oldAttr, 1, isCurrent = false))),
+        s => s.isNotNull)).as("r"))
+      .select(col(key) +: (attrs :+ "version" :+ "is_current")
+        .map(f => col(s"r.$f").as(f)): _*)
+      .orderBy(key, "version")
+  }
+
+  /** x5 driver entry: SCD-2 over the customer dim against a
+    * deterministic mutated snapshot — balance bumped for key%7,
+    * segment moved for key%11, keys %13 dropped (exercises the close
+    * path), cloned +1,000,000 keys for key%17 (exercises the add
+    * path). All four merge outcomes appear in the gated result. */
+  def x5Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.Tables.load(spark, dir, "customer")
+    val incoming = c.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 11 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .union(c.filter(col("c_custkey") % 17 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment")))
+    scd2Merge(c, incoming, "c_custkey", Seq("c_acctbal", "c_mktsegment"))
+  }
+
+  def x5OracleSql: String = """
+      WITH cur AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      inc AS (
+        SELECT c_custkey,
+          CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+          CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 17 = 0),
+      j AS (
+        SELECT coalesce(c.c_custkey, i.c_custkey) AS k,
+          c.c_acctbal AS o_bal, c.c_mktsegment AS o_seg,
+          i.c_acctbal AS n_bal, i.c_mktsegment AS n_seg,
+          c.c_custkey IS NOT NULL AS in_cur,
+          i.c_custkey IS NOT NULL AS in_new
+        FROM cur c FULL OUTER JOIN inc i ON c.c_custkey = i.c_custkey),
+      ch AS (
+        SELECT *, in_cur AND in_new AND
+          (o_bal IS DISTINCT FROM n_bal OR o_seg IS DISTINCT FROM n_seg) AS changed
+        FROM j)
+      SELECT k AS c_custkey, o_bal AS c_acctbal, o_seg AS c_mktsegment,
+        1 AS version, true AS is_current
+      FROM ch WHERE in_cur AND in_new AND NOT changed
+      UNION ALL SELECT k, o_bal, o_seg, 1, false FROM ch WHERE changed
+      UNION ALL SELECT k, n_bal, n_seg, 2, true FROM ch WHERE changed
+      UNION ALL SELECT k, n_bal, n_seg, 1, true FROM ch WHERE in_new AND NOT in_cur
+      UNION ALL SELECT k, o_bal, o_seg, 1, false FROM ch WHERE in_cur AND NOT in_new
+      ORDER BY c_custkey, version"""
 }

@@ -38,6 +38,24 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.dedupOnKey(merged.union(batch2), "id").count() == 3)
   }
 
+  test("scd2 merge produces all four outcomes with correct versioning") {
+    import spark.implicits._
+    val cur = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "seg", "bal")
+    val inc = Seq((1L, "a", 10.0),  // unchanged
+      (2L, "b", 25.0),              // changed → close v1, add v2
+      (4L, "d", 40.0))              // added; id 3 missing → closed
+      .toDF("id", "seg", "bal")
+    val got = Ingest.scd2Merge(cur, inc, "id", Seq("seg", "bal")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10.0, 1, true),
+      (2L, "b", 20.0, 1, false), (2L, "b", 25.0, 2, true),
+      (3L, "c", 30.0, 1, false),
+      (4L, "d", 40.0, 1, true)), s"bad merge: ${got.toSeq}")
+  }
+
   test("landing write partitions by column and prunes on read") {
     import spark.implicits._
     val df = Seq((1L, "soil", 6.5), (2L, "marine", 8.1), (3L, "soil", 5.9))
