@@ -307,6 +307,21 @@ object Events {
   def anomaly(spark: SparkSession, dir: String): DataFrame =
     anomaly(Tables.load(spark, dir, "events"))
 
+  /** Per-type daily-volume moments (exact integer sums) — the OFFLINE
+    * half consumed by the online scorer
+    * [[graft.streaming.StreamingOps.anomalyStream]]. */
+  def anomalyStats(events: DataFrame): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(d38)
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(d(col("n_events"))).as("s"),
+        sum(d(col("n_events")) * d(col("n_events"))).as("ss"))
+  }
+
   def anomaly(events: DataFrame, zThreshold: Double = 2.0): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def d(c: Column): Column = c.cast(d38)

@@ -242,6 +242,36 @@ object StreamingOps {
       }
   }
 
+  /** Streaming anomaly scoring — the online half of the classic
+    * offline-train / online-score split: the BATCH job computes each
+    * event type's daily-volume moments ([[graft.operators.Events
+    * .anomaly]]'s exact-integer stats); the STREAM windows incoming
+    * events per (type, day) with a watermark and joins the tiny static
+    * moments frame (stream-static join — broadcast, no stream state
+    * beyond the windowed counts) to flag |z| > threshold as each day's
+    * window finalizes. The same z expression as the batch operator, so
+    * a full-history replay reproduces the batch flags (spec-gated).
+    *
+    * `stats` columns: event_type, n_days, s, ss (DECIMAL(38,0)). */
+  def anomalyStream(events: DataFrame, stats: DataFrame,
+      zThreshold: Double = 2.0): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(d38)
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(stats, Seq("event_type"))
+      .withColumn("num",
+        (d(col("n_events")) * d(col("n_days")) - col("s")).cast("double"))
+      .withColumn("den",
+        sqrt((d(col("n_days")) * col("ss") - col("s") * col("s")).cast("double")))
+      .filter(col("den") > 0.0 && abs(col("num")) > lit(zThreshold) * col("den"))
+      .select(col("event_type"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("n_events"), round(col("num") / col("den"), 6).as("z"))
+  }
+
   /** Gap-based sessionization with explicit per-key state — the
     * streaming form of [[graft.operators.Events.sessionize]]. Emits a
     * session when a new event arrives past the gap, or when the

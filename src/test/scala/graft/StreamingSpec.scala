@@ -263,6 +263,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly scorer reproduces the batch flags on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the e10 spike scenario: type x quiet at 10/day, one 30-event day
+    val rows = (1 to 12).flatMap { d =>
+      val n = if (d == 7) 30 else 10
+      (1 to n).map(i => StreamingOps.Event(d * 1000L + i,
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"), 1L, "x", 0.0))
+    }
+    val batchDf = rows.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val stats = graft.operators.Events.anomalyStats(batchDf)
+    val wantFlags = graft.operators.Events.anomaly(batchDf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val input = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.anomalyStream(input.toDS().toDF(), stats)
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // a far-future event for a type absent from stats pushes the
+      // watermark past every real window so they all finalize
+      input.addData(StreamingOps.Event(99999L,
+        Timestamp.valueOf("2024-03-01 00:00:00"), 1L, "zz", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("anomaly_stream").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.sorted.toSeq == wantFlags.sorted.toSeq,
+        s"stream flags ${got.toSeq} != batch ${wantFlags.toSeq}")
+      assert(got.nonEmpty, "no anomaly emitted")
+    } finally q.stop()
+  }
+
   test("streaming transitions replay the batch pair counts") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
