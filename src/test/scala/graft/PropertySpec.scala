@@ -116,4 +116,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("scd2 merge invariants hold on random snapshot pairs") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rng = new scala.util.Random(seed)
+      // random current table and an incoming snapshot that mutates,
+      // drops, and adds keys independently
+      val cur = (1 to 60).map(i => (i.toLong, s"v${rng.nextInt(4)}"))
+      val inc = (1 to 80).flatMap { i =>
+        if (i <= 60 && rng.nextDouble() < 0.2) None // dropped key
+        else Some((i.toLong, s"v${rng.nextInt(4)}"))
+      }
+      val curDf = cur.toDF("id", "attr")
+      val incDf = inc.toDF("id", "attr")
+      val got = graft.sources.Ingest.scd2Merge(curDf, incDf, "id", Seq("attr"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+      val curM = cur.toMap
+      val incM = inc.toMap
+      // every key from either side appears; per-key shape follows the
+      // (present-in, changed) outcome table; at most one current row
+      (curM.keySet ++ incM.keySet).foreach { k =>
+        val rows = got.filter(_._1 == k).toSeq
+        assert(rows.count(_._4) <= 1, s"seed $seed key $k: multiple current rows")
+        (curM.get(k), incM.get(k)) match {
+          case (Some(o), Some(n)) if o == n =>
+            assert(rows == Seq((k, o, 1, true)), s"seed $seed unchanged $k: $rows")
+          case (Some(o), Some(n)) =>
+            assert(rows.toSet == Set((k, o, 1, false), (k, n, 2, true)),
+              s"seed $seed changed $k: $rows")
+          case (Some(o), None) =>
+            assert(rows == Seq((k, o, 1, false)), s"seed $seed removed $k: $rows")
+          case (None, Some(n)) =>
+            assert(rows == Seq((k, n, 1, true)), s"seed $seed added $k: $rows")
+          case (None, None) => ()
+        }
+      }
+    }
+  }
 }
