@@ -122,6 +122,7 @@ object SparkEntry {
     "e10_anomaly" -> (Events.anomaly _),
     "q39_gapfill" -> (Events.gapFill _),
     "e12_rolling_rate" -> (Events.rollingRate _),
+    "e13_dau_wau" -> (Events.dauWau _),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
     "q36_cooccurrence" -> (Relational.q36Cooccurrence _),
@@ -571,6 +572,7 @@ object SparkEntry {
     "e10_anomaly" -> graft.operators.Events.anomalyOracleSql(),
     "q39_gapfill" -> graft.operators.Events.gapFillOracleSql,
     "e12_rolling_rate" -> graft.operators.Events.rollingRateOracleSql,
+    "e13_dau_wau" -> graft.operators.Events.dauWauOracleSql,
     "t9_split" -> TextOps.split3OracleSql,
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
     "t11_sample_weights" -> TextOps.t11OracleSql,

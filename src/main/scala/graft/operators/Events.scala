@@ -460,6 +460,49 @@ object Events {
       FROM filled
       ORDER BY event_type, day"""
 
+  /** DAU / trailing-7-day WAU — the activity metrics every telemetry
+    * dashboard leads with, computed EXACTLY (no HLL sketch, so the
+    * result is oracle-checkable and engine-stable).
+    *
+    * Scale shape: the fact collapses to DISTINCT (user, day) presence
+    * first — the only fact-scale pass. DAU is then a plain count (rows
+    * already distinct — no count-distinct shuffle). WAU uses the
+    * contribution-window trick: each presence row contributes to days
+    * d..d+6, so a 7-way explode + distinct + count replaces a per-day
+    * 7-day self-join; shuffle volume is 7× the collapsed presence
+    * frame (users × active days), never the raw fact. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame =
+    dauWau(Tables.load(spark, dir, "events"))
+
+  def dauWau(events: DataFrame): DataFrame = {
+    val presence = graft.Ckpt(events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+    val dau = presence.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = presence
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), 6), expr("interval 1 day"))).as("day2"))
+      .distinct()
+      .groupBy("day2").agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("day") === wau("day2"))
+      .select(date_format(dau("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  def dauWauOracleSql: String = """
+      WITH presence AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM presence GROUP BY day),
+      contrib AS (
+        SELECT DISTINCT user_id, day2 FROM (
+          SELECT user_id,
+            unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS day2
+          FROM presence) t),
+      wau AS (SELECT day2, count(*) AS wau FROM contrib GROUP BY day2)
+      SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau
+      FROM dau d JOIN wau w ON w.day2 = d.day
+      ORDER BY day"""
+
   /** DuckDB oracle for [[funnel]] — the same chained running-min
     * windows, layered as subqueries (a window alias can't be referenced
     * inside another window in the same SELECT). */

@@ -160,6 +160,23 @@ class PipelineOpsSpec extends SparkSpec {
       "2024-01-03" -> 2L, "2024-01-04" -> 3L), s"bad rolling: ${rr.toSeq}")
   }
 
+  test("WAU window: a user counts for 7 trailing days, then drops out") {
+    import spark.implicits._
+    // user 1 active on Jan 1 only; user 2 active Jan 1 and Jan 8
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "a", 0.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-08 10:00:00"), 2L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Events.dauWau(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // output days = observed activity days only (joined to DAU)
+    assert(got.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-08", 1L, 1L)),
+      s"bad dau/wau: ${got.toSeq}")
+    // user 1's Jan-1 activity must NOT reach the Jan-8 window (7-day
+    // horizon is days 1..7), which is exactly what wau=1 on Jan 8 shows
+  }
+
   test("keep-best picks the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val docs = Seq(
