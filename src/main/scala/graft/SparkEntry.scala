@@ -76,6 +76,7 @@ object SparkEntry {
     "q32_taxonomy_browse" -> ((s: SparkSession, d: String) => Relational.q32TaxonomyBrowse(s, d)),
     "q33_geo_filter" -> (Geo.q33GeoFilter _),
     "q37_vocab" -> (Relational.q37Vocab _),
+    "q40_ntile_bands" -> (Relational.q40NtileBands _),
     "q38_geo_cluster" -> ((s: SparkSession, d: String) => Geo.q38GeoCluster(s, d)),
     "t6_repetition" -> (TextOps.repetition _),
     "t7_pii_redact" -> (TextOps.piiRedact _),
@@ -935,6 +936,18 @@ object SparkEntry {
       GROUP BY n_name, r_name, p_type
       ORDER BY n_name, p_type""",
     "x5_scd2_merge" -> graft.sources.Ingest.x5OracleSql,
+    "q40_ntile_bands" -> """
+      WITH banded AS (
+        SELECT c_mktsegment, c_acctbal,
+          ntile(4) OVER (PARTITION BY c_mktsegment
+            ORDER BY c_acctbal, c_custkey) AS band
+        FROM customer)
+      SELECT c_mktsegment, CAST(band AS INT) AS band, count(*) AS n,
+        round(min(c_acctbal), 2) AS lo,
+        round(max(c_acctbal), 2) AS hi,
+        round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_bal
+      FROM banded GROUP BY c_mktsegment, band
+      ORDER BY c_mktsegment, band""",
     "x4_export_krona" -> """
       WITH leaves AS (
         SELECT 'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) % 5 AS VARCHAR) AS p_mfgr,

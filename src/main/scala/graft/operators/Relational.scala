@@ -645,6 +645,26 @@ object Relational {
       .orderBy("brand_a", "brand_b")
   }
 
+  /** Quantile banding — the contextual-stats view that splits samples
+    * into equal-count bands of a numeric field (here: account-balance
+    * quartiles per market segment) and summarizes each band. `ntile`
+    * over (value, key) is fully deterministic — the key tiebreak pins
+    * band boundaries between engines — and the window partitions by
+    * segment, so each partition is a bounded per-segment slice. Band
+    * summaries are exact DECIMAL sums. */
+  def q40NtileBands(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.load(spark, dir, "customer")
+      .withColumn("band", ntile(4).over(w))
+      .groupBy("c_mktsegment", "band")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("lo"),
+        round(max(col("c_acctbal")), 2).as("hi"),
+        round(dsum(col("c_acctbal")) / count(lit(1)), 6).as("avg_bal"))
+      .orderBy("c_mktsegment", "band")
+  }
+
   /** Vocabulary endpoint — the reference UI's filter dropdowns: every
     * distinct value of each vocabulary-controlled contextual field
     * with its frequency, in ONE scan of the fact-scale table (the
