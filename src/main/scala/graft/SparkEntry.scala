@@ -77,6 +77,7 @@ object SparkEntry {
     "q33_geo_filter" -> (Geo.q33GeoFilter _),
     "q37_vocab" -> (Relational.q37Vocab _),
     "q40_ntile_bands" -> (Relational.q40NtileBands _),
+    "q41_mom_growth" -> (Relational.q41MomGrowth _),
     "q38_geo_cluster" -> ((s: SparkSession, d: String) => Geo.q38GeoCluster(s, d)),
     "t6_repetition" -> (TextOps.repetition _),
     "t7_pii_redact" -> (TextOps.piiRedact _),
@@ -948,6 +949,16 @@ object SparkEntry {
         round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_bal
       FROM banded GROUP BY c_mktsegment, band
       ORDER BY c_mktsegment, band""",
+    "q41_mom_growth" -> """
+      WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          count(*) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT month, revenue, n_orders,
+        round((revenue - lag(revenue) OVER (ORDER BY month))
+          / lag(revenue) OVER (ORDER BY month) * 100.0, 6) AS mom_pct
+      FROM m ORDER BY month""",
     "x4_export_krona" -> """
       WITH leaves AS (
         SELECT 'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) % 5 AS VARCHAR) AS p_mfgr,

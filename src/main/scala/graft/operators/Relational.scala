@@ -665,6 +665,26 @@ object Relational {
       .orderBy("c_mktsegment", "band")
   }
 
+  /** Month-over-month growth — the trend view over ingest volume:
+    * monthly order totals (exact DECIMAL sums) with the previous
+    * month's revenue and the percent delta via one lag() window. The
+    * window runs on the MONTH-bounded aggregate (dozens of rows), with
+    * the repo's constant non-foldable partition key so the bounded
+    * global window never trips the WindowExec warning discipline. */
+  def q41MomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.load(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(length(col("month")) * 0).orderBy("month")
+    monthly
+      .withColumn("prev", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_pct",
+        round((col("revenue") - col("prev")) / col("prev") * 100.0, 6))
+      .select(col("month"), col("revenue"), col("n_orders"), col("mom_pct"))
+      .orderBy("month")
+  }
+
   /** Vocabulary endpoint — the reference UI's filter dropdowns: every
     * distinct value of each vocabulary-controlled contextual field
     * with its frequency, in ONE scan of the fact-scale table (the
