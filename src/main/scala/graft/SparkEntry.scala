@@ -97,6 +97,7 @@ object SparkEntry {
     "d5_embed_neardup" -> (Dedup.embedNeardup _),
     "b1_sequence_search" -> ((s: SparkSession, d: String) => Dedup.sequenceSearch(s, d)),
     "b2_sequence_align" -> ((s: SparkSession, d: String) => Dedup.sequenceAlign(s, d)),
+    "b3_kmer_profile" -> (Dedup.kmerProfile _),
     "d7_dedup_pipeline" -> (d7Decision _),
     "d8_cluster_histogram" -> (d8Histogram _),
     "d9_keep_best" -> (d9KeepBest _),
@@ -109,6 +110,8 @@ object SparkEntry {
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m3_image_decode" ->
       ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
+    "m4_batch_shape" ->
+      ((s: SparkSession, d: String) => Multimodal.batchShape(s, d)),
     "x1_export_csv" -> ((s: SparkSession, d: String) => graft.sources.Export.contextualCsv(s, d)),
     "x2_export_biom" -> ((s: SparkSession, d: String) => graft.sources.Export.biomMatrix(s, d)),
     "x3_export_biom_json" -> ((s: SparkSession, d: String) => graft.sources.Export.biomJson(s, d)),
@@ -894,6 +897,8 @@ object SparkEntry {
         FROM scored)
       SELECT q_id, c_id, rnk, round(cos, 6) AS score
       FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""",
+    "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
+    "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

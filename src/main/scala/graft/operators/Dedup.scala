@@ -370,6 +370,50 @@ object Dedup {
       .limit(10)
   }
 
+  /** k-mer composition profile — the sequence-analysis staple
+    * (tetranucleotide-style spectra in the reference's domain): the
+    * top character k-mers per document with counts, smallest k-mer on
+    * count ties. Fact-scale work is one in-row k-mer explode (len−k+1
+    * rows per doc) + a map-side-combined count per (doc, kmer); the
+    * top-k cut is a per-doc ranking window over the counted frame.
+    * Docs shorter than k emit nothing (the guard also keeps Spark's
+    * `sequence` from running DESCENDING on a negative span — the same
+    * edge the ordination matrix guards). */
+  def kmerProfile(spark: SparkSession, dir: String): DataFrame =
+    kmerProfile(Tables.parallel(Tables.load(spark, dir, "documents")), 3, 3)
+
+  def kmerProfile(docs: DataFrame, k: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kmers = docs
+      .select(col("doc_id"),
+        explode(when(length(col("text")) >= k,
+          transform(sequence(lit(1), length(col("text")) - (k - 1)),
+            i => col("text").substr(i, lit(k))))
+          .otherwise(array())).as("kmer"))
+    val counted = kmers.groupBy("doc_id", "kmer").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("kmer"))
+    counted.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[kmerProfile]]. */
+  def b3OracleSql(k: Int = 3, topK: Int = 3): String = s"""
+      WITH km AS (
+        SELECT doc_id, substr(text, i, $k) AS kmer FROM (
+          SELECT doc_id, text,
+            unnest(generate_series(1, length(text) - ${k - 1})) AS i
+          FROM documents WHERE length(text) >= $k) t),
+      counted AS (
+        SELECT doc_id, kmer, count(*) AS n FROM km GROUP BY 1, 2),
+      ranked AS (
+        SELECT doc_id, kmer, n,
+          CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY n DESC, kmer) AS INT) AS rnk
+        FROM counted)
+      SELECT doc_id, kmer, n, rnk FROM ranked
+      WHERE rnk <= $topK ORDER BY doc_id, rnk"""
+
   /** End-to-end dedup DECISION operator — the piece the individual
     * signature ops feed: MinHash-LSH candidate pairs (d2's banding) →
     * shingle-Jaccard verification → transitive duplicate clusters →

@@ -232,6 +232,44 @@ object Multimodal {
       FROM sums s JOIN hashes hs ON hs.doc_id = s.doc_id
       ORDER BY s.doc_id"""
 
+  /** Inference batch shaping — the step between decode and a model
+    * server: media rows grouped into fixed-size GPU batches with a
+    * tensor slot per row. Deterministic Knuth-hash sharding spreads
+    * batches across the cluster (t5/t8's discipline — parallelism =
+    * shard count, each ranking window bounded by one shard); within a
+    * shard, batch and slot fall out of ONE row_number window in
+    * doc_id order, so the batch layout is reproducible run-to-run —
+    * what makes inference results cacheable/resumable by batch id. */
+  def batchShape(spark: SparkSession, dir: String, nShards: Int = 8,
+      batchSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("byte_len"))
+      .withColumn("shard", pmod(
+        pmod(col("doc_id"), lit(1000000000L)) * lit(2654435761L), lit(nShards)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("shard").orderBy("doc_id")))
+      .select(col("doc_id"), col("shard"),
+        floor((col("rn") - 1) / lit(batchSize)).cast("long").as("batch_id"),
+        pmod(col("rn") - 1, lit(batchSize)).cast("int").as("slot"),
+        col("byte_len"))
+      .orderBy("doc_id")
+  }
+
+  def m4OracleSql(nShards: Int = 8, batchSize: Int = 16): String = s"""
+      WITH b AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+          ((doc_id % 1000000000) * 2654435761) % $nShards AS shard
+        FROM documents),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM b)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        CAST((rn - 1) // $batchSize AS BIGINT) AS batch_id,
+        CAST((rn - 1) % $batchSize AS INT) AS slot,
+        byte_len
+      FROM r ORDER BY doc_id"""
+
   /** Oracle-checkable metadata projection (the decode-independent
     * part: format routing, payload sizing, frame estimation). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
