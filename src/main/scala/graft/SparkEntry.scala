@@ -135,6 +135,7 @@ object SparkEntry {
     "t10_term_freq" -> ((s: SparkSession, d: String) => TextOps.termFreq(s, d)),
     "t11_sample_weights" -> (TextOps.sampleWeights _),
     "t12_boilerplate" -> (TextOps.boilerplate _),
+    "t13_chunking" -> (TextOps.chunking _),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -582,6 +583,7 @@ object SparkEntry {
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
     "t11_sample_weights" -> TextOps.t11OracleSql,
     "t12_boilerplate" -> TextOps.t12OracleSql,
+    "t13_chunking" -> TextOps.t13OracleSql(),
     "q34_unpivot" -> """
       SELECT n_name, p_type,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance

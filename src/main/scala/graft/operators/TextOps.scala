@@ -410,6 +410,69 @@ object TextOps {
       SELECT doc_id, shard, pack_id, n_tokens
       FROM rec ORDER BY shard, doc_id"""
 
+  /** Content-defined chunking — the RAG/embedding-prep stage: split
+    * each document into chunks whose boundaries come from a rolling
+    * hash of the CONTENT (a position is a boundary when the hash of
+    * the trailing word-trigram ≡ 0 mod 16), not fixed offsets — so an
+    * insertion early in a document only reshuffles chunks up to the
+    * next content boundary, which is what makes chunk-level caches and
+    * near-dup detection survive edits.
+    *
+    * Everything is per-row HOF arithmetic over the word array (the
+    * native polyHash expression inside the lambda — same char fold as
+    * the d2 shingle hash, so the oracle reuses that exact formula):
+    * boundary flags per position, chunk id as an in-row prefix sum,
+    * then one explode + map-side-combined count per (doc, chunk). The
+    * prefix-sum transform is O(words²) per doc — bounded by document
+    * length, never corpus-scale. */
+  def chunking(spark: SparkSession, dir: String): DataFrame =
+    chunking(Tables.parallel(Tables.load(spark, dir, "documents")), 16)
+
+  def chunking(docs: DataFrame, boundaryMod: Int): DataFrame = {
+    val w = words(col("text"))
+    val shingleAt = (i: Column) => concat_ws(" ", slice(w, i - 2, lit(3)))
+    val bounds = transform(sequence(lit(1), size(w)), i =>
+      when(i >= 3 &&
+        pmod(graft.GraftFunctions.polyHash(shingleAt(i)), lit(boundaryMod)) === 0,
+        lit(1L)).otherwise(lit(0L)))
+    docs
+      .select(col("doc_id"), bounds.as("bs"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("bs"))), i =>
+          aggregate(slice(col("bs"), lit(1), i), lit(0L), (a, x) => a + x))))
+      .groupBy(col("doc_id"), col("col").as("chunk_id"))
+      .agg(count(lit(1)).as("n_words"),
+        (min(col("pos")) + 1).cast("long").as("start_idx"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** DuckDB oracle for [[chunking]] — the DedupCte char-fold hash,
+    * inclusive list_slice mirroring Spark's (start, length) slice. */
+  def t13OracleSql(boundaryMod: Int = 16): String = s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      b AS (
+        SELECT doc_id, list_transform(generate_series(1, len(ws)), i ->
+          CASE WHEN i >= 3 AND list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1,
+                  length(array_to_string(list_slice(ws, i - 2, i), ' '))), ci ->
+                CAST(ascii(substr(array_to_string(list_slice(ws, i - 2, i), ' '), ci, 1)) AS BIGINT))),
+              (acc, ch) -> (acc * 131 + ch) % 2147483647) % $boundaryMod = 0
+          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bs
+        FROM w),
+      c AS (
+        SELECT doc_id, list_transform(generate_series(1, len(bs)), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(bs, 1, i)),
+            (a, x) -> a + x)) AS cid
+        FROM b),
+      e AS (
+        SELECT doc_id, unnest(cid) AS chunk_id,
+          unnest(generate_series(1, len(cid))) AS pos
+        FROM c)
+      SELECT doc_id, chunk_id, count(*) AS n_words,
+        CAST(min(pos) AS BIGINT) AS start_idx
+      FROM e GROUP BY doc_id, chunk_id
+      ORDER BY doc_id, chunk_id"""
+
   /** Training-mix sampling weights per source (the domain-mixing knob
     * every large-corpus training pipeline sets): token share per
     * source, temperature-flattened with α = 0.5 and renormalized —

@@ -95,6 +95,29 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunking is content-defined: early edits leave the tail chunks intact") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def sizes(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      graft.operators.TextOps.chunking(df, 16).collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    val base = sizes(docs)
+    // prepend two words: fixed-offset chunking would shift EVERY
+    // boundary; content-defined boundaries re-align at the first
+    // surviving boundary, so the chunk-size suffix is preserved
+    val edited = sizes(docs.withColumn("text",
+      concat(lit("zz qq "), col("text"))))
+    val multi = base.filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "no multi-chunk docs to exercise")
+    multi.foreach { case (id, b) =>
+      val e = edited(id)
+      val tail = b.tail // everything after the first original boundary
+      assert(e.takeRight(tail.length) == tail,
+        s"doc $id tail reshuffled: base=$b edited=$e")
+    }
+  }
+
   test("sample weights: stochastic, order-preserving, temperature-flattened") {
     val rows = graft.operators.TextOps.sampleWeights(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
