@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -418,13 +419,16 @@ object TextOps {
     * next content boundary, which is what makes chunk-level caches and
     * near-dup detection survive edits.
     *
-    * Everything is per-row HOF arithmetic over the word array (the
-    * native polyHash expression inside the lambda — same char fold as
-    * the d2 shingle hash, so the oracle reuses that exact formula):
-    * boundary flags per position, chunk id as an in-row prefix sum,
-    * then one explode + map-side-combined count per (doc, chunk). The
-    * prefix-sum transform is O(words²) per doc — bounded by document
-    * length, never corpus-scale. */
+    * Boundary flags are per-row HOF arithmetic over the word array
+    * (the native polyHash expression inside the lambda — same char
+    * fold as the d2 shingle hash, so the oracle reuses that exact
+    * formula). Chunk ids are then a LINEAR running sum: posexplode
+    * the flags and take `sum(flag) over (partition by doc_id order by
+    * pos)` — one doc_id shuffle, O(words) per doc, so a book-length
+    * 10⁵-word document costs 10⁵ window steps, not the 10¹⁰ adds an
+    * in-row prefix-sum transform would pay inside ONE task. The
+    * running sum is over integer flags, so it is exact and
+    * order-independent given the (doc_id, pos) sort. */
   def chunking(spark: SparkSession, dir: String): DataFrame =
     chunking(Tables.parallel(Tables.load(spark, dir, "documents")), 16)
 
@@ -435,19 +439,20 @@ object TextOps {
       when(i >= 3 &&
         pmod(graft.GraftFunctions.polyHash(shingleAt(i)), lit(boundaryMod)) === 0,
         lit(1L)).otherwise(lit(0L)))
+    val run = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(col("doc_id"), bounds.as("bs"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("bs"))), i =>
-          aggregate(slice(col("bs"), lit(1), i), lit(0L), (a, x) => a + x))))
-      .groupBy(col("doc_id"), col("col").as("chunk_id"))
+      .select(col("doc_id"), posexplode(bounds))
+      .withColumn("chunk_id", sum(col("col")).over(run))
+      .groupBy(col("doc_id"), col("chunk_id"))
       .agg(count(lit(1)).as("n_words"),
         (min(col("pos")) + 1).cast("long").as("start_idx"))
       .orderBy("doc_id", "chunk_id")
   }
 
   /** DuckDB oracle for [[chunking]] — the DedupCte char-fold hash,
-    * inclusive list_slice mirroring Spark's (start, length) slice. */
+    * inclusive list_slice mirroring Spark's (start, length) slice;
+    * chunk ids mirror the engine's linear running window sum. */
   def t13OracleSql(boundaryMod: Int = 16): String = s"""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       b AS (
@@ -459,18 +464,18 @@ object TextOps {
               (acc, ch) -> (acc * 131 + ch) % 2147483647) % $boundaryMod = 0
           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bs
         FROM w),
-      c AS (
-        SELECT doc_id, list_transform(generate_series(1, len(bs)), i ->
-          list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(bs, 1, i)),
-            (a, x) -> a + x)) AS cid
-        FROM b),
       e AS (
-        SELECT doc_id, unnest(cid) AS chunk_id,
-          unnest(generate_series(1, len(cid))) AS pos
-        FROM c)
+        SELECT doc_id, unnest(bs) AS flag,
+          unnest(generate_series(1, len(bs))) AS pos
+        FROM b),
+      c AS (
+        SELECT doc_id, pos,
+          CAST(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
+        FROM e)
       SELECT doc_id, chunk_id, count(*) AS n_words,
         CAST(min(pos) AS BIGINT) AS start_idx
-      FROM e GROUP BY doc_id, chunk_id
+      FROM c GROUP BY doc_id, chunk_id
       ORDER BY doc_id, chunk_id"""
 
   /** Training-mix sampling weights per source (the domain-mixing knob

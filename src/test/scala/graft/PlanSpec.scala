@@ -283,6 +283,23 @@ class PlanSpec extends SparkSpec {
       s"assignment fell out of codegen:\n${executed.take(1200)}")
   }
 
+  test("t13: chunk ids are a linear running window, never an in-row prefix sum") {
+    val df = graft.operators.TextOps.chunking(
+      Tables.load(spark, sfDir, "documents"), 16)
+    val p = plan(df)
+    // the r6 form computed chunk ids as aggregate(slice(bs, 1, i), ...)
+    // inside one row — O(words²) per document, a task-stall on
+    // book-length docs that AQE cannot split. The linear form is a
+    // running sum window over the exploded flags.
+    assert(p.contains("Window"), s"chunking lost its running-sum window:\n${p.take(1500)}")
+    assert(!p.contains("slice(bs"),
+      "chunking regressed to the quadratic in-row prefix sum")
+    // exactly: doc_id window shuffle, (doc, chunk) aggregate shuffle,
+    // output-sort range shuffle
+    val n = executedShuffles(df)
+    assert(n <= 3, s"chunking shuffles $n× (expected ≤ 3)")
+  }
+
   test("q1: whole-stage codegen covers the aggregation") {
     val df = Relational.q1PricingSummary(spark, sfDir)
     assert(plan(df).contains("partial_sum"),
