@@ -110,6 +110,8 @@ object SparkEntry {
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m3_image_decode" ->
       ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
+    "m5_audio_decode" ->
+      ((s: SparkSession, d: String) => Multimodal.audioDecode(s, d)),
     "m4_batch_shape" ->
       ((s: SparkSession, d: String) => Multimodal.batchShape(s, d)),
     "x1_export_csv" -> ((s: SparkSession, d: String) => graft.sources.Export.contextualCsv(s, d)),
@@ -910,6 +912,7 @@ object SparkEntry {
         CAST(doc_id % 256 + 64 AS BIGINT) AS height
       FROM documents ORDER BY doc_id""",
     "m3_image_decode" -> graft.operators.Multimodal.imageDecodeOracleSql,
+    "m5_audio_decode" -> graft.operators.Multimodal.audioDecodeOracleSql,
     "x1_export_csv" -> """
       SELECT c_custkey, c_name, c_mktsegment, o_orderkey,
         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -15,11 +15,22 @@ import org.apache.spark.sql.functions._
   * arithmetic in (doc_id, x, y), a DuckDB oracle recomputes the same
   * stats analytically, gating the full encode→decode loop.
   *
-  * AUDIO/VIDEO decode remains a declared stub behind
-  * [[MediaDecoder.decodeStub]] (no codec libs in this container); the
-  * per-partition batched iterator shape — the Scala analogue of
-  * mapInPandas' batch contract — is identical to the real image path,
-  * so swapping a codec in changes the batch body only, not the plan.
+  * AUDIO decode is REAL too (r7): `javax.sound.sampled` ships in the
+  * JDK — WAV/PCM needs no external codec jar — so payloads are genuine
+  * RIFF/WAVE files encoded executor-side and
+  * [[AudioDecoder.decodeWav]] decodes them with `AudioSystem`,
+  * extracting sample rate / channel count / frame count, exact
+  * per-channel sample sums, and an interleave-order sample hash.
+  * 16-bit PCM is lossless and the synthetic samples are pure
+  * arithmetic in (doc_id, channel, frame), so a DuckDB oracle replays
+  * the stats analytically — the same full encode→decode gate as m3.
+  *
+  * Only VIDEO decode remains a declared stub behind
+  * [[MediaDecoder.decodeStub]] (no video codec exists in the JDK or
+  * this container); the per-partition batched iterator shape — the
+  * Scala analogue of mapInPandas' batch contract — is identical to the
+  * real image/audio paths, so swapping a codec in changes the batch
+  * body only, not the plan.
   */
 object Multimodal {
 
@@ -38,9 +49,11 @@ object Multimodal {
       (col("doc_id") % 512 + 64).cast("int").as("width"),
       (col("doc_id") % 256 + 64).cast("int").as("height"))
 
-  /** Stubbed decoder: consumes payload bytes per partition in batches
-    * — real pipelines swap the body for an image/audio library call;
-    * the iterator/batch shape (and therefore the plan) is unchanged. */
+  /** Stubbed decoder (VIDEO only, since image and audio are real —
+    * [[ImageDecoder]]/[[AudioDecoder]]): consumes payload bytes per
+    * partition in batches — a real pipeline swaps the body for a video
+    * codec call; the iterator/batch shape (and therefore the plan) is
+    * unchanged. */
   object MediaDecoder {
     def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
       rows.grouped(64).flatMap { batch => // batch like an Arrow chunk
@@ -231,6 +244,157 @@ object Multimodal {
         3 AS channels, s.sum_r, s.sum_g, s.sum_b, hs.pixel_hash
       FROM sums s JOIN hashes hs ON hs.doc_id = s.doc_id
       ORDER BY s.doc_id"""
+
+  case class AudioRow(doc_id: Long, payload: Array[Byte])
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+    n_samples: Long, sum_ch0: Long, sum_ch1: Long, sample_hash: Long)
+
+  /** Audio shape parameters derived from doc_id — shared by the WAV
+    * generator and the oracle SQL. Rates 8/16/24 kHz, mono or stereo,
+    * 32–127 frames per channel: small enough to keep the corpus cheap,
+    * varied enough to exercise every format branch. */
+  final val AudRateBase = 8000; final val AudRateMod = 3
+  final val AudChMod = 2
+  final val AudLenMod = 96; final val AudLenBase = 32
+
+  /** Deterministic synthetic sample: the UNSIGNED 16-bit image of
+    * frame `i`, channel `ch` of doc `id` — a linear form mod 65536.
+    * The signed PCM value is its two's-complement reading (u − 65536
+    * when u ≥ 32768), which 16-bit PCM stores losslessly. */
+  def sampleU16(id: Long, ch: Int, i: Int): Int =
+    ((id * 31 + ch * 7 + i.toLong * 13) % 65536).toInt
+
+  /** doc_id → a real RIFF/WAVE payload (16-bit signed little-endian
+    * PCM) via the JDK's `javax.sound.sampled` writer — no external
+    * codec libs, same zero-dependency discipline as the PNG path. */
+  def wavPayload(id: Long): Array[Byte] = {
+    val rate = AudRateBase * (id % AudRateMod + 1).toInt
+    val channels = (id % AudChMod + 1).toInt
+    val frames = (id % AudLenMod + AudLenBase).toInt
+    val raw = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames) {
+      var ch = 0
+      while (ch < channels) {
+        val u = sampleU16(id, ch, i)
+        val off = (i * channels + ch) * 2
+        raw(off) = (u & 0xff).toByte
+        raw(off + 1) = ((u >> 8) & 0xff).toByte
+        ch += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** doc_id → WAV payload, generated executor-side (stands in for
+    * reading stored audio blobs; distributed, never a driver loop). */
+  def withAudioPayload(spark: SparkSession, docs: DataFrame): Dataset[AudioRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map(id => AudioRow(id, wavPayload(id)))
+    }
+  }
+
+  /** REAL audio decode — JDK `javax.sound.sampled`, no external libs:
+    * bytes → AudioInputStream → (sample_rate, channels, n_samples),
+    * exact per-channel signed sums, and an interleave-order modular
+    * hash over the unsigned 16-bit samples (order-pinned, so the
+    * oracle's sequential fold reproduces it bit-for-bit). Mono
+    * payloads leave sum_ch1 at 0 on both engines. */
+  object AudioDecoder {
+    def decodeWav(rows: Iterator[AudioRow]): Iterator[AudioFeatures] =
+      rows.map { row =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        val fmt = ais.getFormat
+        val channels = fmt.getChannels
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val frames = bytes.length / fmt.getFrameSize
+        var (s0, s1, hash) = (0L, 0L, 0L)
+        var p = 0
+        val total = frames * channels
+        while (p < total) {
+          val off = p * 2
+          val u = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+          val v = if (u >= 32768) u - 65536 else u
+          if (p % channels == 0) s0 += v else s1 += v
+          hash = (hash * 31 + u) % 1000003
+          p += 1
+        }
+        AudioFeatures(row.doc_id, fmt.getSampleRate.toInt, channels,
+          frames.toLong, s0, s1, hash)
+      }
+  }
+
+  /** End-to-end audio pipeline: doc → WAV payload → AudioSystem decode
+    * → features. The decoder is a swappable iterator transform (same
+    * contract as [[ImageDecoder.decodeImageIO]]); pass a codec-backed
+    * implementation (MP3/FLAC/...) to replace the JDK one without
+    * touching the plan. */
+  def audioDecode(spark: SparkSession, dir: String,
+      decoder: Iterator[AudioRow] => Iterator[AudioFeatures] =
+        AudioDecoder.decodeWav): DataFrame = {
+    import spark.implicits._
+    withAudioPayload(spark, Tables.parallel(Tables.load(spark, dir, "documents")))
+      .mapPartitions(decoder)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[audioDecode]]: replays the synthetic sample
+    * arithmetic analytically — per-channel signed sums over the
+    * interleaved index grid (p % channels = channel, p // channels =
+    * frame), the hash via an ordered list_reduce over the unsigned
+    * samples. A decode bug (wrong endianness, channel interleave,
+    * frame count, or a lossy round trip) breaks the hash; wrong sums
+    * break the per-channel totals. */
+  def audioDecodeOracleSql: String = s"""
+      WITH dims AS (
+        SELECT doc_id,
+          CAST($AudRateBase * (doc_id % $AudRateMod + 1) AS INT) AS sample_rate,
+          CAST(doc_id % $AudChMod + 1 AS BIGINT) AS channels,
+          CAST(doc_id % $AudLenMod + $AudLenBase AS BIGINT) AS n_samples
+        FROM documents),
+      u AS (
+        SELECT doc_id, channels,
+          unnest(generate_series(0, CAST(n_samples * channels - 1 AS INT))) AS p
+        FROM dims),
+      vals AS (
+        SELECT doc_id,
+          p % channels AS ch,
+          (doc_id * 31 + (p % channels) * 7 + (p // channels) * 13) % 65536 AS u16
+        FROM u),
+      sums AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN ch = 0 THEN
+            CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END
+            ELSE 0 END) AS BIGINT) AS sum_ch0,
+          CAST(sum(CASE WHEN ch = 1 THEN
+            CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END
+            ELSE 0 END) AS BIGINT) AS sum_ch1
+        FROM vals GROUP BY doc_id),
+      hashes AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(0, CAST(n_samples * channels - 1 AS INT)), p ->
+              (doc_id * 31 + (p % channels) * 7 + (p // channels) * 13) % 65536)),
+            (a, v) -> (a * 31 + v) % 1000003) AS sample_hash
+        FROM dims)
+      SELECT d.doc_id, d.sample_rate, CAST(d.channels AS INT) AS channels,
+        d.n_samples, s.sum_ch0, s.sum_ch1, h.sample_hash
+      FROM dims d
+      JOIN sums s ON s.doc_id = d.doc_id
+      JOIN hashes h ON h.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
 
   /** Inference batch shaping — the step between decode and a model
     * server: media rows grouped into fixed-size GPU batches with a
