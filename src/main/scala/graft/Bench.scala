@@ -64,7 +64,11 @@ object Bench {
       name -> Seq.fill(reps)(
         time(noopWrite(SparkEntry.queries(name)(spark, sfDir))))
     }
-    val matTimes = rawTimes.map { case (n, ts) => n -> ts.drop(1).min }
+    // GRAFT_BENCH_REPS=1 must not crash: with a single rep there is no
+    // cold rep to discard, so the lone time IS the reported time.
+    val matTimes = rawTimes.map { case (n, ts) =>
+      n -> (if (ts.size > 1) ts.drop(1) else ts).min
+    }
 
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -78,10 +82,30 @@ object Bench {
     val legacy = if (countMode)
       s""""value_count":${r3(countTimes.map(_._2).sum)},"queries_count":${jmap(countTimes)},"""
     else ""
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""materialized":true,"runs":$reps,"protocol":"drop-first-min-rest",""" +
       s""""raw":${jraw(rawTimes)},$legacy""" +
-      s""""value":${r3(total)},"queries":${jmap(matTimes)}}""")
+      s""""value":${r3(total)},"queries":${jmap(matTimes)}}"""
+    println(line)
+    // The driver's artifact is a BOUNDED TAIL of stdout: the r6
+    // BENCH_r6.json lost its "raw" arrays and the first 11 per-query
+    // entries to front-truncation. Persist the FULL line to a repo
+    // file per round so the committed evidence never depends on the
+    // capture window. Round = max existing BENCH_r<k>.json + 1 (the
+    // driver writes its file after this main runs).
+    try {
+      val cwd = java.nio.file.Paths.get(".")
+      val pat = java.util.regex.Pattern.compile("BENCH_r0*([0-9]+)\\.json")
+      val it = java.nio.file.Files.list(cwd).iterator()
+      var maxR = 0
+      while (it.hasNext) {
+        val m = pat.matcher(it.next().getFileName.toString)
+        if (m.matches()) maxR = math.max(maxR, m.group(1).toInt)
+      }
+      java.nio.file.Files.write(
+        cwd.resolve(s"BENCH_LOCAL_r${maxR + 1}.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // bench must still report on a read-only cwd
     spark.stop()
   }
 }
