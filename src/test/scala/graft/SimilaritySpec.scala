@@ -170,16 +170,36 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("IVF corpus written partitioned by cell prunes to the probed cells") {
+    // SURVEY §3's scale claim for IVF: the corpus is WRITTEN
+    // partitioned by centroid id, so a probe of nProbe cells reads
+    // nProbe/k of the data. Prove it end-to-end: write the kmeansAssign
+    // output partitioned by `cell`, probe 4 cells, and assert the scan
+    // touched EXACTLY those 4 partitions — metadata-level pruning
+    // (a PartitionFilter), not a post-scan filter over all files.
     val e = Tables.load(spark, sfDir, "embeddings")
+    // fixed literal centroids: the claim is about the write/probe
+    // layout, which is independent of what Lloyd produced
+    val centers = Seq.tabulate(16)(i =>
+      Seq.tabulate(64)(j => ((i * 7 + j * 3) % 13 - 6) * 0.05))
     val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/corpus"
-    Similarity.ivfAssign(e, Similarity.ivfCentroids(e, 16))
+    Similarity.kmeansAssign(e, centers)
       .write.mode("overwrite").partitionBy("cell").parquet(out)
     val stored = spark.read.parquet(out)
-    val probed = stored.filter(col("cell").isin(1, 2))
+    val cells = stored.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted
+    assert(cells.length > 4, s"corpus collapsed into ${cells.length} cells")
+    val probe = cells.take(4)
+    val probed = stored.filter(col("cell").isin(probe.map(Integer.valueOf): _*))
     probed.collect()
     val scan = probed.queryExecution.executedPlan.collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.getOrElse(fail("no file scan"))
+    assert(scan.metrics("numPartitions").value == probe.length,
+      s"probe of ${probe.length} cells read " +
+        s"${scan.metrics("numPartitions").value} partitions")
+    assert(scan.toString.contains("PartitionFilters"),
+      "cell predicate did not become a partition filter")
+    // and strictly fewer files than the full corpus layout
     assert(scan.metrics("numFiles").value < stored.inputFiles.length,
       s"probe read ${scan.metrics("numFiles").value} of ${stored.inputFiles.length} files")
   }
