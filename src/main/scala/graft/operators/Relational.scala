@@ -649,9 +649,23 @@ object Relational {
     * into equal-count bands of a numeric field (here: account-balance
     * quartiles per market segment) and summarizes each band. `ntile`
     * over (value, key) is fully deterministic — the key tiebreak pins
-    * band boundaries between engines — and the window partitions by
-    * segment, so each partition is a bounded per-segment slice. Band
-    * summaries are exact DECIMAL sums. */
+    * band boundaries between engines. Band summaries are exact
+    * DECIMAL sums.
+    *
+    * PARTITION BOUND (stated, spec-asserted): the window partitions by
+    * market segment, so parallelism equals the segment count and each
+    * task totally sorts one segment's rows. That is acceptable here
+    * BY THE INPUT'S NATURE, not by accident: the window runs over the
+    * contextual SAMPLE DIMENSION (customer), never the fact — at
+    * bpaotu scale ≲10⁶ samples per segment, tens of MB per task —
+    * and PlanSpec gates that no fact table enters this plan. Exact
+    * equal-count ntile inherently needs the per-segment total order
+    * (band edges are order statistics of the full segment), so the
+    * only scale-out past a dimension-sized partition is a distributed
+    * selection of the 3 edge rows per segment, then a broadcast-edge
+    * projection — the documented escape hatch if the sample dim ever
+    * outgrows a task, deliberately not paid while the input is
+    * dimension-bounded. */
   def q40NtileBands(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("c_acctbal"), col("c_custkey"))

@@ -283,6 +283,21 @@ class PlanSpec extends SparkSpec {
       s"assignment fell out of codegen:\n${executed.take(1200)}")
   }
 
+  test("q40: the ntile window sorts only the customer dimension, never a fact") {
+    val df = Relational.q40NtileBands(spark, sfDir)
+    val p = plan(df)
+    // the per-segment total sort is bounded BECAUSE the window input is
+    // the contextual sample dimension — a fact table here would make
+    // the segment sort corpus-scale
+    assert(p.contains("customer"), "q40 lost its dimension input")
+    assert(!p.contains("lineitem") && !p.contains("orders"),
+      s"q40's window ingests a fact-scale table:\n${p.take(1500)}")
+    assert(p.contains("ntile"), "q40 lost its ntile window")
+    // segment window + band groupBy + output sort — nothing else
+    val n = executedShuffles(df)
+    assert(n <= 3, s"q40 shuffles $n× (expected ≤ 3)")
+  }
+
   test("t13: chunk ids are a linear running window, never an in-row prefix sum") {
     val df = graft.operators.TextOps.chunking(
       Tables.load(spark, sfDir, "documents"), 16)
