@@ -29,6 +29,11 @@ case class EuclidArgmin(child: Expression, centers: Seq[Seq[Double]])
     extends UnaryExpression {
 
   require(centers.nonEmpty, "euclid_argmin needs at least one centroid")
+  require(centers.forall(_.length == centers.head.length),
+    "euclid_argmin centroids must share one dimension")
+
+  // all centroids share this dimension; input vectors must match it
+  private val dim: Int = centers.head.length
 
   // Seq (not Array) so case-class equality compares contents —
   // Catalyst canonicalization/subexpression-elimination depends on it
@@ -55,16 +60,22 @@ case class EuclidArgmin(child: Expression, centers: Seq[Seq[Double]])
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // fail loudly on dimension mismatch rather than silently truncate —
+    // the join form nulls out on ragged zip_with, which is just as
+    // silent; a malformed embedding column is corrupt input, not a row
+    // to misassign (ADVICE r6)
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"euclid_argmin: vector dimension ${v.numElements()} != centroid dimension $dim")
     val get = elemGetter
     var best = Double.PositiveInfinity
     var bestIdx = 0
     var ci = 0
     while (ci < centersArr.length) {
       val c = centersArr(ci)
-      val n = math.min(c.length, v.numElements())
       var d2 = 0.0
       var j = 0
-      while (j < n) {
+      while (j < dim) {
         val d = get(v, j) - c(j); d2 += d * d; j += 1
       }
       if (d2 < best) { best = d2; bestIdx = ci }
@@ -87,18 +98,21 @@ case class EuclidArgmin(child: Expression, centers: Seq[Seq[Double]])
       val bestIdx = ctx.freshName("bestIdx")
       val ci = ctx.freshName("ci")
       val c = ctx.freshName("c")
-      val n = ctx.freshName("n")
       val d2 = ctx.freshName("d2")
       val d = ctx.freshName("d")
       val j = ctx.freshName("j")
       s"""
+        if ($v.numElements() != $dim) {
+          throw new IllegalArgumentException(
+            "euclid_argmin: vector dimension " + $v.numElements() +
+            " != centroid dimension " + $dim);
+        }
         double $best = Double.POSITIVE_INFINITY;
         int $bestIdx = 0;
         for (int $ci = 0; $ci < ${centers.length}; $ci++) {
           double[] $c = $centersRef[$ci];
-          int $n = java.lang.Math.min($c.length, $v.numElements());
           double $d2 = 0.0;
-          for (int $j = 0; $j < $n; $j++) {
+          for (int $j = 0; $j < $dim; $j++) {
             double $d = ${getter(v, j)} - $c[$j];
             $d2 += $d * $d;
           }

@@ -167,10 +167,17 @@ object Similarity {
   def kmeansAssignJoin(e: DataFrame, centers: DataFrame): DataFrame =
     e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
       .crossJoin(centers)
-      .withColumn("d2", aggregate(
-        zip_with(col("cv"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, v) => acc + v))
+      // a ragged vector would zip_with-pad to null and silently win or
+      // lose the argmin; fail loudly instead, mirroring the native
+      // expression's dimension check (ADVICE r6)
+      .withColumn("d2", when(size(col("cv")) === size(col("centroid")),
+        aggregate(
+          zip_with(col("cv"), col("centroid"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (acc, v) => acc + v))
+        .otherwise(raise_error(format_string(
+          "kmeans assign: vector dimension %d != centroid dimension %d",
+          size(col("cv")), size(col("centroid"))))))
       .groupBy("c_id")
       .agg(
         max_by(col("cell"), struct((-col("d2")).as("nd"), (-col("cell")).as("nc"))).as("cell"),

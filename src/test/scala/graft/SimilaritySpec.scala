@@ -137,6 +137,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("both assignment forms fail loudly on a vector/centroid dimension mismatch") {
+    // ADVICE r6: the native expression used to truncate to the shorter
+    // length while the join form nulled out — the two "bit-identical"
+    // paths diverged on malformed input. Both must now throw.
+    import spark.implicits._
+    val ragged = Seq((1L, Array(0.1f, 0.2f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val centers = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))
+    val eNative = intercept[Exception] {
+      Similarity.kmeansAssign(ragged, centers).collect()
+    }
+    assert(eNative.getMessage.contains("euclid_argmin")
+      || Option(eNative.getCause).exists(_.getMessage.contains("euclid_argmin")))
+    val eJoin = intercept[Exception] {
+      Similarity.kmeansAssignJoin(
+        ragged, Similarity.centroidsDf(spark, centers)).collect()
+    }
+    assert(eJoin.getMessage.contains("dimension")
+      || Option(eJoin.getCause).exists(_.getMessage.contains("dimension")))
+  }
+
   test("deterministic-centroid IVF returns ranked rows per query") {
     val res = Similarity.annIvfDet(spark, sfDir).collect()
     val byQuery = res.groupBy(_.getLong(0))
