@@ -144,17 +144,26 @@ object StreamingOps {
     * tracks ACTIVE funnels, not every user ever seen. The trade is
     * explicit: an event arriving after its user's eviction starts a
     * fresh funnel pass (a second stage-1 row can appear); full-history
-    * funnels over unbounded gaps are the batch operator's job. */
-  def funnelStream(events: Dataset[Event], idleMinutes: Int = 30)
+    * funnels over unbounded gaps are the batch operator's job.
+    *
+    * `latenessMinutes` (the watermark delay — how out-of-order events
+    * may arrive) and `idleMinutes` (the state-eviction horizon — how
+    * long an inactive funnel is kept) are SEPARATE knobs (ADVICE r6):
+    * tightening eviction to bound state no longer silently shrinks
+    * late-event tolerance. Lateness defaults to the idle horizon,
+    * preserving the old single-knob behavior. */
+  def funnelStream(events: Dataset[Event], idleMinutes: Int = 30,
+      latenessMinutes: Option[Int] = None)
       (implicit spark: SparkSession): Dataset[FunnelOut] = {
     import spark.implicits._
     def us(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     val idleMs = idleMinutes.toLong * 60 * 1000
+    val lateness = latenessMinutes.getOrElse(idleMinutes)
     val stages = Map("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
     events
       .filter(e => stages.contains(e.event_type))
-      .withWatermark("ts", s"$idleMinutes minutes")
+      .withWatermark("ts", s"$lateness minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -186,9 +195,13 @@ object StreamingOps {
             }
             if (s.s1 >= 0) {
               state.update(s)
-              // evict once the watermark passes last activity + horizon
+              // evict once the watermark passes last activity + horizon;
+              // with lateness > idle a late event's horizon can already
+              // be behind the watermark — clamp forward (Spark rejects
+              // a timeout at/before the watermark), evicting next batch
               if (lastUs >= 0)
-                state.setTimeoutTimestamp(lastUs / 1000 + idleMs)
+                state.setTimeoutTimestamp(math.max(
+                  lastUs / 1000 + idleMs, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
@@ -209,15 +222,19 @@ object StreamingOps {
     *
     * Within a micro-batch events process in (ts, event_id) order —
     * the batch operator's lead() order — so a single-batch replay's
-    * edge multiset reproduces the batch pair counts (spec-gated). */
-  def transitionsStream(events: Dataset[Event], idleMinutes: Int = 30)
+    * edge multiset reproduces the batch pair counts (spec-gated).
+    *
+    * `latenessMinutes` / `idleMinutes` are separate knobs, same
+    * contract as [[funnelStream]] (ADVICE r6). */
+  def transitionsStream(events: Dataset[Event], idleMinutes: Int = 30,
+      latenessMinutes: Option[Int] = None)
       (implicit spark: SparkSession): Dataset[TransOut] = {
     import spark.implicits._
     def us(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     val idleMs = idleMinutes.toLong * 60 * 1000
     events
-      .withWatermark("ts", s"$idleMinutes minutes")
+      .withWatermark("ts", s"${latenessMinutes.getOrElse(idleMinutes)} minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, TransOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -235,7 +252,10 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastUs / 1000 + idleMs)
+              // clamp as in funnelStream: a late event's idle horizon
+              // may already trail the watermark
+              state.setTimeoutTimestamp(math.max(
+                s.lastUs / 1000 + idleMs, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

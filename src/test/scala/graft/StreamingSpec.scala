@@ -355,4 +355,38 @@ class StreamingSpec extends SparkSpec {
         s"evicted user's return did not restart the funnel: ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("lateness and idle horizon are independent funnel knobs") {
+    // ADVICE r6: idleMinutes used to set BOTH the watermark delay and
+    // the eviction horizon, so bounding state also dropped late events.
+    // Run the same late-arrival scenario under each knob setting: an
+    // event 100 min out-of-order survives a 120-min lateness even with
+    // a 30-min idle horizon, and is watermark-dropped when lateness
+    // defaults to the same 30 min.
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def run(name: String, lateness: Option[Int]): Int = {
+      val input = MemoryStream[Event]
+      val q = StreamingOps.funnelStream(input.toDS(), idleMinutes = 30,
+          latenessMinutes = lateness)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // watermark driver: user 8 active at t=5h
+        input.addData(Event(1, tsH(5, 0), 8, "signup", 0.0))
+        q.processAllAvailable()
+        // late event: user 9 signs up at t=3h20m — 100 min behind the
+        // max event time. watermark = 5h − lateness.
+        input.addData(Event(2, tsH(3, 20), 9, "signup", 0.0))
+        q.processAllAvailable()
+        spark.table(name).as[StreamingOps.FunnelOut].collect()
+          .count(_.user_id == 9)
+      } finally q.stop()
+    }
+    assert(run("funnel_knob_wide", Some(120)) == 1,
+      "late event within the 120-min lateness was dropped")
+    assert(run("funnel_knob_tight", None) == 0,
+      "event older than the 30-min watermark should be dropped")
+  }
 }
