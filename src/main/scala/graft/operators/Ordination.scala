@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   * v_a v_aᵀ / v_aᵀv_a, λ_a the Rayleigh quotient), applied a-1 times
   * — the axis count is a parameter, not a hard-coded pair (r6).
   *
-  * Iteration count: [[Iters]] = 12 per axis (r6; was 20). The count is
-  * a determinism contract, not a convergence target — the oracle runs
-  * the IDENTICAL recursion, so both engines agree bitwise at any
-  * count; 12 is enough for stable 6-dp plot axes on the test spectra
-  * and cuts the blocked form's fixed per-step scheduling cost by 40%.
+  * Iteration count: [[Iters]] = 40 per axis (r7; was 12). The count is
+  * a determinism contract — the oracle runs the IDENTICAL recursion,
+  * so both engines agree bitwise at any count — but it must ALSO be a
+  * convergence guarantee: r7's spectral audit showed the r6 count of
+  * 12 left axis-2/3 residuals ‖Bv − λv‖∞/λ₁ at 10⁻³ (the test
+  * spectra's trailing eigengaps are as close as λ₄/λ₃ ≈ 0.9), i.e.
+  * plot axes wrong in the 2nd decimal. 40 iterations puts every
+  * residual under 10⁻⁶ on all three test corpora with orders of
+  * margin, and ScaleSpec now gates convergence INDEPENDENTLY — a
+  * local 200-iteration eigensolve over the same matrix, not the
+  * engine recursion agreeing with itself.
   *
   * Scale shape: the only fact-scale work is the abundance aggregation
   * inside [[Relational.q30BrayCurtis]]. Everything after runs on the
@@ -36,8 +42,9 @@ object Ordination {
 
   /** Power-iteration count per axis, shared by both Spark forms and
     * both oracle-SQL generators — one constant so the recursion depth
-    * can never drift between engine and oracle. */
-  final val Iters = 12
+    * can never drift between engine and oracle. 40 is convergence-
+    * gated (see class doc), not tuned for the bench. */
+  final val Iters = 40
 
   /** Fold helpers mirrored 1:1 by the oracle's list_reduce calls. */
   private def foldSum(arr: Column): Column =
@@ -231,6 +238,42 @@ object Ordination {
       iters: Int = Iters, ckptEvery: Int = 2): DataFrame =
     pcoaBlockedEigen(Relational.q30BrayCurtis(spark, dir), k, iters, ckptEvery)
 
+  /** Sample-count bound for the single-row form: n² doubles in ONE
+    * task row — ~32 MB at n = 2 000, the documented comfort edge.
+    * Past it the blocked (i, j, v)-triples form is the only shape
+    * that survives (SURVEY §4). */
+  final val SingleRowMaxSamples = 2000
+
+  /** The form decision, exposed for spec-gating. */
+  def useSingleRow(n: Long, maxSingleRow: Int = SingleRowMaxSamples): Boolean =
+    n <= maxSingleRow
+
+  /** Samples present in the dissimilarity frame — the dimension that
+    * picks the form. One count over an aggregate-bounded frame (n²
+    * rows max), a planning-time action like AQE's stats collection. */
+  private def sampleCount(bc0: DataFrame): Long =
+    bc0.select(explode(array(col("sample_a"), col("sample_b"))).as("s"))
+      .agg(countDistinct(col("s"))).head().getLong(0)
+
+  /** AUTO-SELECTING PCoA (r6 verdict ask #6): counts the sample
+    * dimension and picks [[pcoa]] (single-row, cheapest while the
+    * matrix fits one task) or [[pcoaBlocked]] (distributed triples)
+    * against [[SingleRowMaxSamples]] — a caller can no longer run the
+    * single-row form off a cliff at 10⁴ samples. The two forms are
+    * bit-identical (ScaleSpec), so the switch never changes results,
+    * only the physical shape. */
+  def pcoaAuto(bc0: DataFrame, iters: Int = Iters, ckptEvery: Int = 2,
+      maxSingleRow: Int = SingleRowMaxSamples): DataFrame =
+    if (useSingleRow(sampleCount(bc0), maxSingleRow)) pcoa(bc0, iters)
+    else pcoaBlocked(bc0, iters, ckptEvery)
+
+  /** Auto-selecting eigenvalue summary — same switch as [[pcoaAuto]]. */
+  def pcoaEigenAuto(bc0: DataFrame, k: Int = 3, iters: Int = Iters,
+      ckptEvery: Int = 2,
+      maxSingleRow: Int = SingleRowMaxSamples): DataFrame =
+    if (useSingleRow(sampleCount(bc0), maxSingleRow)) pcoaEigen(bc0, k, iters)
+    else pcoaBlockedEigen(bc0, k, iters, ckptEvery)
+
   /** sequential index-order fold over collected (idx, x) pairs — the
     * blocked mirror of the single-row form's foldSum over an array */
   private def idxFold(pairs: Column): Column =
@@ -413,6 +456,13 @@ object Ordination {
   // ---------------------------------------------------------------
   // DuckDB oracles: identical folds through recursive CTEs, generated
   // per axis so the axis count is as free as in the Spark forms.
+  //
+  // The per-axis CTEs (cent/g$a/fin$a/ray$a) are AS MATERIALIZED:
+  // DuckDB inlines plain CTEs, so the recursive it${a+1} would
+  // re-evaluate g${a+1} — and with it the ENTIRE previous axis's
+  // recursion — on every one of its `iters` steps: ~iters× work per
+  // deflation level (iters² for axis 3; 49 s at Iters = 40 vs 0.5 s
+  // materialized, measured r7). Semantics unchanged, evaluation once.
   // ---------------------------------------------------------------
 
   /** Shared prefix: Bray–Curtis pairs → symmetric D² → single-row
@@ -452,7 +502,7 @@ object Ordination {
                list_sort(list(si)) AS samples,
                count(*) AS n
         FROM rows_),
-      cent AS (
+      cent AS MATERIALIZED (
         SELECT samples, n,
           list_transform(generate_series(1, CAST(n AS INT)), i ->
             list_transform(generate_series(1, CAST(n AS INT)), j ->
@@ -466,7 +516,7 @@ object Ordination {
                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), r), (acc, x) -> acc + x) / n) AS rm
             FROM mat) t1) t2
         WHERE n >= 2),
-      g1 AS (SELECT n, gm FROM cent)"""
+      g1 AS MATERIALIZED (SELECT n, gm FROM cent)"""
 
   /** CTEs for one axis: power recursion over g$a, the finalized vector
     * (fin$a), and — when `deflate` — the Rayleigh scalars (ray$a) and
@@ -491,11 +541,11 @@ object Ordination {
                 list_transform(generate_series(1, CAST(g$a.n AS INT)),
                   j -> g$a.gm[i][j] * it$a.v[j])), (acc, x) -> acc + x)) AS vv
           FROM it$a, g$a WHERE it$a.k < $iters) t),
-      fin$a AS (
+      fin$a AS MATERIALIZED (
         SELECT v, CASE WHEN v[1] >= 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
         FROM it$a WHERE k = $iters)"""
     val defl = s"""
-      ray$a AS (
+      ray$a AS MATERIALIZED (
         SELECT g.n, g.gm, f.v,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(generate_series(1, CAST(g.n AS INT)), i ->
@@ -506,7 +556,7 @@ object Ordination {
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(f.v, x -> x * x)), (acc, x) -> acc + x) AS lam_den
         FROM g$a g, fin$a f),
-      g${a + 1} AS (
+      g${a + 1} AS MATERIALIZED (
         SELECT n, list_transform(generate_series(1, CAST(n AS INT)), i ->
           list_transform(generate_series(1, CAST(n AS INT)), j ->
             gm[i][j] - (lam_num / lam_den) * v[i] * v[j] / lam_den)) AS gm

@@ -129,6 +129,115 @@ class ScaleSpec extends SparkSpec {
       s"forms diverge at n=$n: ${blocked.toSeq.diff(single.toSeq).take(3)}")
   }
 
+  test("pcoaAuto picks the form by sample count and stays exact on both sides") {
+    // r6 verdict ask #6: one entry point, threshold-switched. 60
+    // synthetic samples: under the default 2000-sample bound the
+    // single-row form runs; forcing the bound to 10 must route to the
+    // blocked form — visibly (distributed mat-vec ⇒ strictly more
+    // exchanges in the plan) and bit-identically.
+    import spark.implicits._
+    val n = 60
+    val pts = (0 until n).map { i =>
+      (f"s$i%03d", (i * 37 % n).toDouble, (i * 53 % n).toDouble)
+    }
+    val pairs = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts if a < b
+    } yield {
+      val d = math.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+      (a, b, d / (n * math.sqrt(2.0)))
+    }).toDF("sample_a", "sample_b", "bray_curtis")
+    assert(graft.operators.Ordination.useSingleRow(60))
+    assert(!graft.operators.Ordination.useSingleRow(60, maxSingleRow = 10))
+    assert(!graft.operators.Ordination.useSingleRow(2001))
+    val viaSingle = graft.operators.Ordination.pcoaAuto(pairs, iters = 5)
+    val viaBlocked = graft.operators.Ordination.pcoaAuto(pairs, iters = 5,
+      maxSingleRow = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val a = rows(viaSingle)
+    val b = rows(viaBlocked)
+    assert(a.length == n && a == b, "auto forms diverge")
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString()).size
+    assert(exchanges(viaBlocked) > exchanges(viaSingle),
+      "threshold=10 did not route to the distributed form")
+  }
+
+  test("PCoA convergence is gated by an independent local eigensolve, not self-agreement") {
+    // ADVICE r6: the iteration count was a determinism contract with
+    // the oracle, but convergence was assumed, not gated — and the r7
+    // audit showed Iters=12 left residuals at 1e-3 (axes wrong in the
+    // 2nd decimal). Gate it INDEPENDENTLY: rebuild the centered Gram
+    // matrix locally in plain Scala from the same dissimilarity frame,
+    // run the identical max-abs power recursion, and require
+    //   (a) per-axis residual ‖B_a v − λ v‖∞ / λ₁ < 1e-5 at Iters,
+    //   (b) the engine's published axes within 1e-4 of a 200-iteration
+    //       reference solve (effectively exact for these spectra),
+    //   (c) the negative control: 12 iterations FAILS the residual bar
+    //       — proving the gate can reject an unconverged count.
+    val ord = graft.operators.Ordination
+    val k = 3
+    val pairs = graft.operators.Relational.q30BrayCurtis(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val samples = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = samples.length
+    val idx = samples.zipWithIndex.toMap
+    val d2 = Array.fill(n, n)(0.0)
+    pairs.foreach { case (a, b, d) =>
+      d2(idx(a))(idx(b)) = d * d; d2(idx(b))(idx(a)) = d * d
+    }
+    val rm = d2.map(row => row.sum / n)
+    val gmean = rm.sum / n
+    val b0 = Array.tabulate(n, n)((i, j) =>
+      -0.5 * (d2(i)(j) - rm(i) - rm(j) + gmean))
+    // (axes, eigenvalues, worst relative residual across axes)
+    def solve(iters: Int): (Seq[Array[Double]], Seq[Double], Double) = {
+      val bm = b0.map(_.clone())
+      var worst = 0.0
+      var lam1 = 0.0
+      val axes = Seq.newBuilder[Array[Double]]
+      val lams = Seq.newBuilder[Double]
+      for (a <- 1 to k) {
+        var v = Array.tabulate(n)(i => if (i == 0) 1.0 else 0.0)
+        for (_ <- 1 to iters) {
+          val bv = bm.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+          val m = bv.map(math.abs).max
+          v = bv.map(_ / m)
+        }
+        val bv = bm.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+        val den = v.map(x => x * x).sum
+        val lam = v.zip(bv).map { case (x, y) => x * y }.sum / den
+        if (a == 1) lam1 = lam
+        val res = v.indices.map(i => math.abs(bv(i) - lam * v(i))).max / lam1
+        worst = math.max(worst, res)
+        axes += v; lams += lam
+        for (i <- 0 until n; j <- 0 until n)
+          bm(i)(j) -= lam * v(i) * v(j) / den
+      }
+      (axes.result(), lams.result(), worst)
+    }
+    val (_, _, resAtIters) = solve(ord.Iters)
+    assert(resAtIters < 1e-5,
+      f"Iters=${ord.Iters} not converged: worst residual $resAtIters%.2e")
+    val (_, _, resAt12) = solve(12)
+    assert(resAt12 > 1e-4,
+      f"negative control: 12 iters should fail the bar, got $resAt12%.2e")
+    val (refAxes, refLams, _) = solve(200)
+    def signFix(v: Array[Double]) = if (v(0) >= 0) v else v.map(-_)
+    val ref1 = signFix(refAxes(0)); val ref2 = signFix(refAxes(1))
+    val eng = ord.q31Pcoa(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(eng.map(_._1).toSeq == samples.toSeq, "sample order mismatch")
+    val axErr = eng.zipWithIndex.map { case ((_, a1, a2), i) =>
+      math.max(math.abs(a1 - ref1(i)), math.abs(a2 - ref2(i)))
+    }.max
+    assert(axErr < 1e-4, f"published axes off the reference solve by $axErr%.2e")
+    val engEig = ord.q31cPcoaEigen(spark, sfDir).collect()
+      .map(r => r.getDouble(1))
+    val eigErr = engEig.zip(refLams).map { case (e, r) => math.abs(e - r) }.max
+    assert(eigErr < 1e-5, f"eigenvalues off the reference solve by $eigErr%.2e")
+  }
+
   test("as-of join stays linear on a single hot user") {
     // one user emitting every event: the union-window form processes
     // the timeline in ONE sorted pass — output must still be exact
