@@ -93,6 +93,19 @@ object GraftFunctions {
       graft.functions.expressions.EuclidArgmin(
         org.apache.spark.sql.graftshim.GraftShim.expression(v), centers))
 
+  /** Column API for the banded affine-gap Smith–Waterman score
+    * (bypasses the registry: query string, band half-width and the
+    * integer scoring scheme are constructor parameters). Penalties are
+    * positive magnitudes; a gap of length L costs open + (L−1)·ext. */
+  def bandedSw(text: Column, dstar: Column, query: String, w: Int = 8,
+      matchScore: Int = 2, mismatchScore: Int = -1,
+      gapOpen: Int = 2, gapExt: Int = 1): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.expressions.BandedSW(
+        org.apache.spark.sql.graftshim.GraftShim.expression(text),
+        org.apache.spark.sql.graftshim.GraftShim.expression(dstar),
+        query, w, matchScore, mismatchScore, gapOpen, gapExt))
+
   /** Column API for the fused SRP-LSH bucket expression (bypasses the
     * registry: the plane matrix is a constructor parameter, not a
     * child expression). */

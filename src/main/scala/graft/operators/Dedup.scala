@@ -348,9 +348,11 @@ object Dedup {
       query: String = "the fast key order sort table scan merge"): DataFrame =
     sequenceAlign(Tables.parallel(Tables.load(spark, dir, "documents")), query)
 
-  def sequenceAlign(docs: DataFrame, query: String): DataFrame = {
+  /** Shared seed stage for b2/b4: trigram-Jaccard top-20 candidates
+    * (doc_id, text, trigram_score) — one corpus scan + TakeOrdered. */
+  private def trigramCands(docs: DataFrame, query: String): DataFrame = {
     val qGrams = (1 to query.length - 2).map(i => query.substring(i - 1, i + 2)).distinct
-    val cands = docs
+    docs
       .select(col("doc_id"), col("text"),
         expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3)))")
           .as("tg"))
@@ -363,11 +365,177 @@ object Dedup {
           .as("trigram_score"))
       .orderBy(col("trigram_score").desc, col("doc_id"))
       .limit(20)
-    cands
+  }
+
+  def sequenceAlign(docs: DataFrame, query: String): DataFrame = {
+    trigramCands(docs, query)
       .withColumn("edit_dist", levenshtein(col("text"), lit(query)).cast("long"))
       .select(col("doc_id"), col("trigram_score"), col("edit_dist"))
       .orderBy(col("edit_dist"), col("trigram_score").desc, col("doc_id"))
       .limit(10)
+  }
+
+  /** Banded affine-gap Smith–Waterman search (b4) — the blast-shaped
+    * upgrade of [[sequenceAlign]]: blast-like means LOCAL alignment,
+    * so the Levenshtein re-score (a global edit distance that punishes
+    * a short query against a long document) is replaced by a
+    * seed-and-extend Gotoh alignment:
+    *
+    *  1. seed — [[trigramCands]]' top-20 candidates (b1's plan: one
+    *     corpus scan + TakeOrdered, the ONLY fact-scale stage);
+    *  2. seed diagonal — every (text position, query position) pair
+    *     sharing a trigram votes for diagonal d = p − qp; the most-hit
+    *     diagonal (smallest on ties) anchors the band. Work is
+    *     |candidate text| × avg trigram multiplicity, 20 rows;
+    *  3. extend — [[graft.functions.expressions.BandedSW]] scores a
+    *     ±w diagonal band around d* in one whole-stage-codegen
+    *     projection: O(|query|·w) ints per candidate, never O(m·n).
+    *
+    * The DP is all-integer, so the DuckDB recursive-CTE oracle
+    * ([[b4OracleSql]] — the same recurrence in the same band
+    * coordinates, the t8 discipline) matches exactly. */
+  def bandedAlign(spark: SparkSession, dir: String,
+      query: String = "the fast key order sort table scan merge",
+      w: Int = 8): DataFrame =
+    bandedAlign(Tables.parallel(Tables.load(spark, dir, "documents")), query, w)
+
+  def bandedAlign(docs: DataFrame, query: String, w: Int): DataFrame = {
+    val cands = trigramCands(docs, query)
+    // query trigram occurrence list — duplicates kept: a trigram
+    // appearing twice in the query votes for two diagonals per hit
+    val qpos: Map[String, Seq[Int]] = (1 to query.length - 2)
+      .map(i => (query.substring(i - 1, i + 2), i))
+      .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2) }
+    val qmap = typedLit(qpos)
+    val diag = cands
+      .select(col("doc_id"),
+        explode(when(length(col("text")) >= 3,
+          transform(sequence(lit(1), length(col("text")) - 2),
+            p => struct(p.as("p"), col("text").substr(p, lit(3)).as("g"))))
+          .otherwise(array())).as("pg"))
+      // element_at misses → null → explode drops the row
+      .select(col("doc_id"), col("pg.p").as("p"),
+        explode(element_at(qmap, col("pg.g"))).as("qp"))
+      .groupBy(col("doc_id"), (col("p") - col("qp")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val bd = diag.groupBy("doc_id")
+      .agg(max_by(col("d"), struct(col("cnt"), -col("d"))).as("dstar"))
+    cands.join(bd, Seq("doc_id"), "left")
+      .withColumn("dstar", coalesce(col("dstar"), lit(0)).cast("int"))
+      .withColumn("sw_score",
+        graft.GraftFunctions.bandedSw(col("text"), col("dstar"), query, w)
+          .cast("long"))
+      .select(col("doc_id"), col("trigram_score"), col("sw_score"))
+      .orderBy(col("sw_score").desc, col("trigram_score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** DuckDB oracle for [[bandedAlign]]: the IDENTICAL all-integer
+    * banded Gotoh recurrence as a recursive CTE over query rows, the
+    * per-row left-to-right band pass as a list_reduce fold (state =
+    * the new H/F band lists + the running E lane + the running best).
+    * Band coordinates, boundary encoding (j = 0 stores 0, outside
+    * [0, n] stores Neg) and tie rules mirror BandedSW.compute line by
+    * line. Per-axis state CTEs are MATERIALIZED like the ordination
+    * oracles' — DuckDB would otherwise re-inline cand2 per recursion
+    * step. */
+  def b4OracleSql(query: String = "the fast key order sort table scan merge",
+      w: Int = 8, matchS: Int = 2, mismatchS: Int = -1,
+      gapOpen: Int = 2, gapExt: Int = 1): String = {
+    val q = query.replace("'", "''")
+    val m = query.length
+    val b = 2 * w + 1
+    val neg = graft.functions.expressions.BandedSW.Neg
+    val qt = (1 to m - 2)
+      .map(p => s"('${query.substring(p - 1, p + 2).replace("'", "''")}', $p)")
+      .mkString(", ")
+    // Fold state is ONE flat BIGINT list — [newH(1..B), newF(1..B),
+    // e, best] — because DuckDB 1.0's list_reduce silently fails to
+    // thread LIST-valued struct fields through the accumulator (the
+    // list field arrives empty on every step; scalars and plain list
+    // accumulators thread fine — probed r7). x = [k], the band slot.
+    val eSlot = 2 * b + 1
+    val bSlot = 2 * b + 2
+    val jj = s"(dstar + i + 1 + x[1] - $w)"
+    val hup = s"(CASE WHEN x[1] + 2 <= $b THEN h[x[1] + 2] ELSE $neg END)"
+    val fup = s"(CASE WHEN x[1] + 2 <= $b THEN f[x[1] + 2] ELSE $neg END)"
+    val fv = s"greatest($hup - $gapOpen, $fup - $gapExt)"
+    val hleft = s"(CASE WHEN x[1] = 0 THEN (CASE WHEN $jj = 1 THEN 0 ELSE $neg END) ELSE acc[CAST(x[1] AS INT)] END)"
+    val eleft = s"(CASE WHEN x[1] = 0 THEN $neg ELSE acc[$eSlot] END)"
+    val ev = s"greatest($hleft - $gapOpen, $eleft - $gapExt)"
+    val sc = s"(CASE WHEN substr(text, CAST($jj AS INT), 1) = substr('$q', CAST(i + 1 AS INT), 1) THEN $matchS ELSE $mismatchS END)"
+    val hdiag = s"h[x[1] + 1]"
+    val hv = s"""(CASE WHEN $jj < 0 OR $jj > n THEN $neg
+                       WHEN $jj = 0 THEN 0
+                       ELSE greatest(0, CASE WHEN $hdiag = $neg THEN $neg ELSE $hdiag + $sc END, $ev, $fv) END)"""
+    val fstore = s"(CASE WHEN $jj < 1 OR $jj > n THEN $neg ELSE $fv END)"
+    val ecarry = s"(CASE WHEN $jj < 1 OR $jj > n THEN $neg ELSE $ev END)"
+    val bnew = s"greatest(acc[$bSlot], CASE WHEN $jj >= 1 AND $jj <= n THEN $hv ELSE 0 END)"
+    s"""
+      WITH RECURSIVE tri AS (
+        SELECT doc_id, text,
+          list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)), i -> substr(text, i, 3))) AS tg
+        FROM documents),
+      qg AS (
+        SELECT list_distinct(list_transform(
+          generate_series(1, length('$q')-2), i -> substr('$q', i, 3))) AS g)
+      ,
+      cand AS MATERIALIZED (
+        SELECT doc_id, text,
+          round(CAST(len(list_filter(tg, x -> list_contains(g, x))) AS DOUBLE)
+            / CAST(len(tg) + len(g) - len(list_filter(tg, x -> list_contains(g, x))) AS DOUBLE), 6) AS trigram_score
+        FROM tri, qg
+        ORDER BY trigram_score DESC, doc_id
+        LIMIT 20),
+      qt(g, qp) AS (VALUES $qt),
+      tp AS (
+        SELECT doc_id, p, substr(text, CAST(p AS INT), 3) AS g
+        FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS p
+              FROM cand WHERE length(text) >= 3) u),
+      dg AS (
+        SELECT tp.doc_id, tp.p - qt.qp AS d, count(*) AS cnt
+        FROM tp JOIN qt ON tp.g = qt.g GROUP BY 1, 2),
+      bd AS (
+        SELECT doc_id, d AS dstar FROM (
+          SELECT doc_id, d,
+            row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, d) AS rn
+          FROM dg) r WHERE rn = 1),
+      cand2 AS MATERIALIZED (
+        SELECT c.doc_id, c.text, c.trigram_score,
+          CAST(coalesce(b.dstar, 0) AS BIGINT) AS dstar
+        FROM cand c LEFT JOIN bd b ON b.doc_id = c.doc_id),
+      dpsw AS (
+        SELECT doc_id, text, trigram_score, dstar,
+          CAST(length(text) AS BIGINT) AS n, 0 AS i,
+          list_transform(generate_series(0, ${b - 1}), k ->
+            CASE WHEN dstar + k - $w BETWEEN 0 AND length(text)
+                 THEN CAST(0 AS BIGINT) ELSE CAST($neg AS BIGINT) END) AS h,
+          list_transform(generate_series(0, ${b - 1}), k -> CAST($neg AS BIGINT)) AS f,
+          CAST(0 AS BIGINT) AS best
+        FROM cand2
+        UNION ALL
+        SELECT doc_id, text, trigram_score, dstar, n, i + 1,
+          st[1:$b] AS h, st[${b + 1}:${2 * b}] AS f, st[$bSlot] AS best
+        FROM (
+          SELECT doc_id, text, trigram_score, dstar, n, i,
+            list_reduce(
+              list_prepend(
+                list_transform(generate_series(1, $bSlot), ii ->
+                  CASE WHEN ii = $bSlot THEN best
+                       WHEN ii = $eSlot THEN CAST($neg AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END),
+                list_transform(generate_series(0, ${b - 1}), kk -> [kk])),
+              (acc, x) -> list_transform(generate_series(1, $bSlot), ii -> CASE
+                WHEN ii = x[1] + 1 THEN CAST($hv AS BIGINT)
+                WHEN ii = x[1] + 1 + $b THEN CAST($fstore AS BIGINT)
+                WHEN ii = $eSlot THEN CAST($ecarry AS BIGINT)
+                WHEN ii = $bSlot THEN CAST($bnew AS BIGINT)
+                ELSE acc[CAST(ii AS INT)] END)) AS st
+          FROM dpsw WHERE i < $m) t)
+      SELECT doc_id, trigram_score, best AS sw_score
+      FROM dpsw WHERE i = $m
+      ORDER BY sw_score DESC, trigram_score DESC, doc_id
+      LIMIT 10"""
   }
 
   /** k-mer composition profile — the sequence-analysis staple

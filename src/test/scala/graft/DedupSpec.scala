@@ -137,6 +137,74 @@ class DedupSpec extends SparkSpec {
     assert(dists == dists.sorted, s"not sorted by edit distance: $dists")
   }
 
+  test("banded SW is blast-like: an embedded query aligns at full score") {
+    import spark.implicits._
+    val q = "the fast key order sort table scan merge"
+    // doc 2 CONTAINS the query inside a long unrelated text — local
+    // alignment gives it the perfect score 2·|q| that a global edit
+    // distance (b2) would bury under the flanking text's deletions
+    val docs = Seq(
+      (1L, q),
+      (2L, "aaaa bbbb cccc dddd eeee " + q + " ffff gggg hhhh iiii jjjj"),
+      (3L, "completely unrelated words about nothing at all"),
+      (4L, "the fast key order sort merge")).toDF("doc_id", "text")
+    val res = Dedup.bandedAlign(docs, q, 8).collect()
+    val byId = res.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(1L) == 2L * q.length, s"exact doc not full score: ${byId(1L)}")
+    assert(byId(2L) == 2L * q.length,
+      s"embedded query not full score (seed diagonal / band failed): ${byId(2L)}")
+    assert(byId(2L) > byId(4L) && byId(4L) > byId(3L),
+      s"ranking not by local alignment quality: $byId")
+  }
+
+  test("banded SW with a covering band equals a full unbanded Gotoh reference") {
+    import spark.implicits._
+    // reference: classic full-matrix affine-gap local alignment
+    def fullSW(t: String, q: String, ms: Int, mm: Int, go: Int, ge: Int): Int = {
+      val inf = Int.MinValue / 4
+      val n = t.length; val m = q.length
+      val H = Array.fill(m + 1, n + 1)(0)
+      val E = Array.fill(m + 1, n + 1)(inf)
+      val F = Array.fill(m + 1, n + 1)(inf)
+      var best = 0
+      for (i <- 1 to m; j <- 1 to n) {
+        E(i)(j) = math.max(H(i)(j - 1) - go, E(i)(j - 1) - ge)
+        F(i)(j) = math.max(H(i - 1)(j) - go, F(i - 1)(j) - ge)
+        val s = if (t.charAt(j - 1) == q.charAt(i - 1)) ms else mm
+        H(i)(j) = math.max(math.max(0, H(i - 1)(j - 1) + s),
+          math.max(E(i)(j), F(i)(j)))
+        best = math.max(best, H(i)(j))
+      }
+      best
+    }
+    val q = "key order sort"
+    val texts = Seq(
+      "key order sort",          // exact: 28
+      "key ordXr sort",          // one mismatch mid-run
+      "key orrder sort",         // one inserted char (gap open)
+      "key ordddder sort",       // longer gap (open + extends)
+      "sort order key",          // scrambled
+      "xx key order sort yy",    // embedded
+      "zzzzzzzz")                // nothing
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .withColumn("dstar", org.apache.spark.sql.functions.lit(0))
+    // w covers every diagonal of every pair (max len 20), so banded ≡ full
+    val w = 24
+    val got = df.withColumn("sw",
+        graft.GraftFunctions.bandedSw(col("text"), col("dstar"), q, w))
+      .select("doc_id", "sw")
+      .collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = fullSW(t, q, 2, -1, 2, 1)
+      assert(got(i) == want, s"doc $i '$t': banded=${got(i)} full=$want")
+    }
+    // spot-check the affine accounting itself
+    assert(got(0) == 28)
+    assert(got(2) == 28 - 2, "single insertion should cost gapOpen")
+    assert(got(3) == 28 - 2 - 2, "3-char gap should cost open + 2·ext")
+  }
+
   test("dedup pipeline assigns transitive chains to one cluster, keep-first") {
     import spark.implicits._
     // A~B and B~C are near-identical (1 word changed each, at opposite
