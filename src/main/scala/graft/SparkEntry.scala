@@ -98,6 +98,7 @@ object SparkEntry {
     "b1_sequence_search" -> ((s: SparkSession, d: String) => Dedup.sequenceSearch(s, d)),
     "b2_sequence_align" -> ((s: SparkSession, d: String) => Dedup.sequenceAlign(s, d)),
     "b3_kmer_profile" -> (Dedup.kmerProfile _),
+    "b4_banded_align" -> ((s: SparkSession, d: String) => Dedup.bandedAlign(s, d)),
     "d7_dedup_pipeline" -> (d7Decision _),
     "d8_cluster_histogram" -> (d8Histogram _),
     "d9_keep_best" -> (d9KeepBest _),
@@ -138,6 +139,8 @@ object SparkEntry {
     "t11_sample_weights" -> (TextOps.sampleWeights _),
     "t12_boilerplate" -> (TextOps.boilerplate _),
     "t13_chunking" -> (TextOps.chunking _),
+    "t14_tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
+    "t15_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -586,6 +589,8 @@ object SparkEntry {
     "t11_sample_weights" -> TextOps.t11OracleSql,
     "t12_boilerplate" -> TextOps.t12OracleSql,
     "t13_chunking" -> TextOps.t13OracleSql(),
+    "t14_tfidf" -> TextOps.t14OracleSql(),
+    "t15_stratified_sample" -> TextOps.t15OracleSql(),
     "q34_unpivot" -> """
       SELECT n_name, p_type,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance
@@ -903,6 +908,7 @@ object SparkEntry {
       FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""",
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
     "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),
+    "b4_banded_align" -> graft.operators.Dedup.b4OracleSql(),
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

@@ -339,6 +339,93 @@ object TextOps {
       ORDER BY tf DESC, term
       LIMIT $k"""
 
+  /** TF-IDF top terms per document (t14) — the per-doc keyword view
+    * that [[termFreq]]'s corpus-level stats feed: score = tf ·
+    * ln(N/df), top-k terms per document.
+    *
+    * Scale shape: one token explode + (doc, term) partial agg (the
+    * fact-scale stage, map-side combined), a term-keyed agg for df
+    * (bounded by vocabulary), N as a single-row broadcast, and a
+    * per-document ranking window (partition = doc_id, bounded by
+    * per-doc vocab — never a global sort). Ranking compares the
+    * ROUNDED score (6 dp, term tie-break) so the order is identical
+    * in both engines even if ln() differs in the last ulp. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfidfTopTerms(Tables.parallel(Tables.load(spark, dir, "documents")), k)
+
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfTerm, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("rnk"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  def t14OracleSql(k: Int = 3): String = s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (
+        SELECT doc_id, term, tf,
+          round(CAST(tf AS DOUBLE)
+            * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+        FROM tf JOIN dfq USING (term), n),
+      rk AS (
+        SELECT doc_id, term, tf, score,
+          CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS INT) AS rnk
+        FROM sc)
+      SELECT doc_id, term, tf, rnk, score FROM rk
+      WHERE rnk <= $k ORDER BY doc_id, rnk"""
+
+  /** Deterministic stratified sample (t15) — k documents per language
+    * stratum, selected by Knuth-multiplicative hash of doc_id (the
+    * repo-wide reproducible-sampling idiom: same rows at any
+    * parallelism, any engine, any day — what a training-data pipeline
+    * needs from a "sample" far more than statistical novelty).
+    *
+    * Scale shape: the rank-within-stratum runs through the native
+    * [[graft.plans.TopKPerGroupPlan]] (map-side per-stratum heaps,
+    * shuffle carries ≤ k·strata rows) — NOT a window, which would
+    * total-sort every stratum; with ~dozens of language strata over
+    * billions of rows the heap path is the only shape that holds. */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    stratifiedSample(Tables.parallel(Tables.load(spark, dir, "documents")), k)
+
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    val hashed = docs.select(col("lang"), col("doc_id"),
+      pmod(pmod(col("doc_id"), lit(1000000000L)) * lit(2654435761L),
+        lit(2147483647L)).as("hsh"))
+    graft.plans.TopK.perGroup(hashed, Seq("lang"),
+        Seq(("hsh", true), ("doc_id", true)), k)
+      .select(col("lang"), col("doc_id"), col("hsh"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  def t15OracleSql(k: Int = 5): String = s"""
+      WITH h AS (
+        SELECT lang, doc_id,
+          ((doc_id % 1000000000) * 2654435761) % 2147483647 AS hsh
+        FROM documents),
+      rk AS (
+        SELECT lang, doc_id, hsh,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY hsh, doc_id) AS INT) AS rnk
+        FROM h)
+      SELECT lang, doc_id, hsh, rnk FROM rk
+      WHERE rnk <= $k ORDER BY lang, rnk"""
+
   /** Greedy sequence packing — grouping documents into fixed-token-
     * budget training sequences. The packing recurrence (pack fill
     * carries doc-to-doc) is inherently sequential WITHIN a shard and

@@ -216,6 +216,50 @@ class PlanSpec extends SparkSpec {
       s"top-k did not collapse to TakeOrderedAndProject:\n${p.take(1500)}")
   }
 
+  test("t14: tf-idf aggs are partial; ranking window partitions by doc_id only") {
+    val df = graft.operators.TextOps.tfidfTopTerms(
+      Tables.load(spark, sfDir, "documents"), 3)
+    val p = plan(df)
+    assert(p.contains("partial_count"),
+      "tf counting lost its map-side partial aggregation")
+    // the ONLY window partition is doc_id (per-doc vocab bounded) —
+    // never a stratum/global sort over the corpus; walk the finalized
+    // adaptive plan (a plain collect on the lazy plan is vacuous)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.write.mode("overwrite").format("noop").save()
+    def windows(pl: SparkPlan): Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+      val self = pl match {
+        case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+        case _ => Seq.empty
+      }
+      val kids: Seq[SparkPlan] = pl match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(windows)
+    }
+    val wins = windows(df.queryExecution.executedPlan)
+    assert(wins.nonEmpty, s"ranking window disappeared:\n${p.take(1200)}")
+    wins.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+      assert(parts == Seq("doc_id"),
+        s"ranking window partitions on $parts, not doc_id alone")
+    }
+  }
+
+  test("t15: stratified sample ranks via the native TopK plan, not a window sort") {
+    val df = graft.operators.TextOps.stratifiedSample(
+      Tables.load(spark, sfDir, "documents"), 5)
+    val p = plan(df)
+    assert(p.contains("TopKPerGroup"),
+      s"sample did not route through the native per-group heap plan:\n${p.take(1200)}")
+    assert(!p.contains("WindowExec"),
+      "stratified sample fell back to a window total-sort")
+    assert(!p.contains("text"), "sample scan reads the text column it never uses")
+  }
+
   test("q35: histogram reads only the binned column and partial-aggregates") {
     val df = Relational.q35Histogram(spark, sfDir)
     val p = plan(df)
