@@ -107,6 +107,7 @@ object SparkEntry {
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
     "s3_ann_ivf" -> (Similarity.annIvfDet _),
+    "s4_ann_pq" -> (Similarity.annPq _),
     "s5_ann_filtered" -> (Similarity.annFiltered _),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m3_image_decode" ->
@@ -886,6 +887,7 @@ object SparkEntry {
       LIMIT 10""",
     "s2_ann_lsh" -> Similarity.s2OracleSql,
     "s3_ann_ivf" -> Similarity.s3OracleSql,
+    "s4_ann_pq" -> Similarity.s4OracleSql(),
     "s5_ann_filtered" -> Similarity.s5OracleSql(),
     "s1_ann_bruteforce" -> """
       WITH norms AS (

@@ -502,4 +502,142 @@ object Similarity {
       SELECT q_id, c_id, rnk, round(cos, 6) AS score
       FROM ranked WHERE rnk <= $AnnK ORDER BY q_id, rnk"""
   }
+
+  /** Product-quantization ANN (s4) — the memory-compression path the
+    * 100 TB corpus actually needs: each vector is stored as `nSub`
+    * small codes (here 4 bytes) instead of `dim` floats (256 bytes),
+    * a 64× shrink that lets a scored corpus live in RAM at scales
+    * where raw embeddings cannot.
+    *
+    *  - codebook: the `ks` corpus vectors with the smallest Knuth
+    *    hash of their id (the deterministic-selection idiom shared
+    *    with [[ivfCentroids]]), sliced per subspace. Driver-side only
+    *    as a bounded ks-row literal — the same materialization
+    *    `fit()` performs for KMeans.
+    *  - encode: per subspace one [[graft.functions.expressions.EuclidArgmin]]
+    *    over the sliced embedding — the corpus-scale pass is a
+    *    ZERO-SHUFFLE whole-stage-codegen projection (spec-gated like
+    *    the IVF assignment).
+    *  - score (ADC): each query precomputes its nSub×ks distance
+    *    table ONCE (subspace-major array), then every candidate costs
+    *    nSub table lookups — O(nSub) per pair instead of O(dim),
+    *    independent of the original dimensionality.
+    *
+    * Sub-distances accumulate (x−c)² in index order in double
+    * precision and the ADC sum folds subspaces in index order, so the
+    * DuckDB oracle ([[s4OracleSql]]) reproduces every double bit-
+    * for-bit. Exact ADC arithmetic is additionally spec-gated against
+    * a local recomputation; recall floor vs brute force is
+    * spec-asserted (PQ is lossy by design — the oracle checks the
+    * pipeline, the spec checks the geometry). */
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPq(Tables.parallel(Tables.load(spark, dir, "embeddings")), 4, 16, AnnK)
+
+  /** Deterministic PQ codebook: full-dimension rows of the `ks`
+    * smallest-Knuth-hash corpus vectors, in (hash, id) order. */
+  def pqCodebook(e: DataFrame, ks: Int): Seq[Seq[Double]] =
+    e.select(col("vec_id"), col("embedding"),
+        pmod(pmod(col("vec_id"), lit(1000000000L)) * lit(2654435761L),
+          lit(2147483647L)).as("hsh"))
+      .orderBy("hsh", "vec_id").limit(ks)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+
+  /** PQ encoding under a fixed codebook: (c_id, codes) where
+    * codes(s) = argmin over the subspace-s codewords — one native
+    * argmin per subspace, all inside one codegen projection. */
+  def pqEncode(e: DataFrame, cbFull: Seq[Seq[Double]], nSub: Int): DataFrame = {
+    val dim = cbFull.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val sub = dim / nSub
+    def cb(s: Int): Seq[Seq[Double]] =
+      cbFull.map(v => v.slice(s * sub, (s + 1) * sub))
+    val codes = (0 until nSub).map(s =>
+      graft.GraftFunctions.euclidArgmin(
+        slice(col("embedding"), s * sub + 1, sub), cb(s)))
+    e.select(col("vec_id").as("c_id"), array(codes: _*).as("codes"))
+  }
+
+  def annPq(e: DataFrame, nSub: Int, ks: Int, k: Int): DataFrame = {
+    val cbFull = pqCodebook(e, ks)
+    val dim = cbFull.head.length
+    val sub = dim / nSub
+    def cb(s: Int): Seq[Seq[Double]] =
+      cbFull.map(v => v.slice(s * sub, (s + 1) * sub))
+    val encoded = pqEncode(e, cbFull, nSub)
+    // per-query ADC table, subspace-major: entry s·ks + c holds
+    // ‖q_sub(s) − codeword(s,c)‖² (index-order fold, bit-stable)
+    val tableEntries: Seq[org.apache.spark.sql.Column] =
+      for (s <- 0 until nSub; c <- 0 until ks) yield
+        aggregate(
+          zip_with(slice(col("embedding"), s * sub + 1, sub), typedLit(cb(s)(c)),
+            (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
+          lit(0.0), (acc, v) => acc + v)
+    val queries = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), array(tableEntries: _*).as("tbl")))
+    val scored = queries.join(encoded, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0),
+          (acc, s) => acc + element_at(col("tbl"),
+            (s * ks + element_at(col("codes"), s + 1) + 1).cast("int")))
+          .as("approx_d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("approx_d2"), col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        round(col("approx_d2"), 6).as("approx_d2"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[annPq]]: same Knuth-hash codebook, same
+    * per-(vector, subspace) index-order d² folds, same smallest-code
+    * argmin tie-break, ADC sum folded in subspace order via the
+    * sorted-struct idiom the ordination oracles use. */
+  def s4OracleSql(nSub: Int = 4, ks: Int = 16, k: Int = AnnK,
+      dim: Int = 64): String = {
+    val sub = dim / nSub
+    s"""
+      WITH sel AS (
+        SELECT vec_id, embedding,
+          ((vec_id % 1000000000) * 2654435761) % 2147483647 AS hsh
+        FROM embeddings ORDER BY hsh, vec_id LIMIT $ks),
+      cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY hsh, vec_id) AS INT) - 1 AS code,
+          embedding
+        FROM sel),
+      cd AS (
+        SELECT e.vec_id AS c_id, s.s, cb.code,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, $sub), ii ->
+              (CAST(e.embedding[CAST(s.s * $sub + ii AS INT)] AS DOUBLE)
+                 - CAST(cb.embedding[CAST(s.s * $sub + ii AS INT)] AS DOUBLE))
+              * (CAST(e.embedding[CAST(s.s * $sub + ii AS INT)] AS DOUBLE)
+                 - CAST(cb.embedding[CAST(s.s * $sub + ii AS INT)] AS DOUBLE)))),
+            (acc, x) -> acc + x) AS d2
+        FROM embeddings e, generate_series(0, ${nSub - 1}) AS s(s), cb),
+      codes AS (
+        SELECT c_id, s, code FROM (
+          SELECT c_id, s, code,
+            row_number() OVER (PARTITION BY c_id, s ORDER BY d2, code) AS rn
+          FROM cd) t
+        WHERE rn = 1),
+      qd AS (SELECT c_id AS q_id, s, code, d2 FROM cd WHERE c_id < 5),
+      scored AS (
+        SELECT q.q_id, c.c_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(s := q.s, d := q.d2))),
+              y -> y['d'])),
+            (acc, x) -> acc + x) AS approx_d2
+        FROM qd q JOIN codes c ON c.s = q.s AND c.code = q.code
+        WHERE c.c_id <> q.q_id
+        GROUP BY q.q_id, c.c_id),
+      ranked AS (
+        SELECT q_id, c_id, approx_d2,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY approx_d2, c_id) AS INT) AS rnk
+        FROM scored)
+      SELECT q_id, c_id, rnk, round(approx_d2, 6) AS approx_d2
+      FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+  }
 }

@@ -225,6 +225,77 @@ class SimilaritySpec extends SparkSpec {
       s"probe read ${scan.metrics("numFiles").value} of ${stored.inputFiles.length} files")
   }
 
+  test("PQ ADC arithmetic is exact and recall holds a floor") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val nSub = 4; val ks = 16
+    val res = Similarity.annPq(e, nSub, ks, 10).collect()
+    // shape: 10 contiguous ranks per query
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 10), s"ranks broken for q$q")
+    }
+    // ADC exactness: recompute approx_d2 locally for every output row
+    // from the raw embeddings + the same codebook — codes by local
+    // argmin, table by local subtract-square sums
+    val cbFull = Similarity.pqCodebook(e, ks)
+    val dim = cbFull.head.length; val sub = dim / nSub
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def subD2(v: Array[Double], s: Int, code: Int): Double = {
+      var d2 = 0.0; var i = 0
+      while (i < sub) {
+        val d = v(s * sub + i) - cbFull(code)(s * sub + i); d2 += d * d; i += 1
+      }
+      d2
+    }
+    def codesOf(v: Array[Double]): Seq[Int] = (0 until nSub).map { s =>
+      (0 until ks).minBy(c => subD2(v, s, c))
+    }
+    res.foreach { r =>
+      val (q, c, got) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val want = codesOf(vecs(c)).zipWithIndex
+        .map { case (code, s) => subD2(vecs(q), s, code) }.sum
+      // HALF_UP mirrors Spark's round(), unlike math.rint's HALF_EVEN
+      val wantR = BigDecimal(want)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got - wantR) < 1e-12,
+        s"ADC mismatch q$q c$c: engine $got local $want")
+    }
+    // recall floor vs exact brute force (PQ is lossy; the floor gates
+    // that the geometry is sane, the oracle gates the arithmetic)
+    val bf = Similarity.annBruteforce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    assert(recall >= 0.15, f"PQ recall $recall%.2f below floor")
+  }
+
+  test("PQ encoding is a zero-shuffle projection and codes stay in range") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val enc = Similarity.pqEncode(e, Similarity.pqCodebook(e, 16), 4)
+    enc.write.mode("overwrite").format("noop").save()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(shuffles).sum
+    }
+    assert(shuffles(enc.queryExecution.executedPlan) == 0,
+      "PQ encoding pass shuffles — it must be a pure scan projection")
+    val rows = enc.collect()
+    assert(rows.length == e.count())
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 16),
+        s"codes out of range: $cs")
+    }
+  }
+
   test("dot/cosine fold matches an independently computed value") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
