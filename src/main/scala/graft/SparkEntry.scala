@@ -103,6 +103,7 @@ object SparkEntry {
     "d8_cluster_histogram" -> (d8Histogram _),
     "d9_keep_best" -> (d9KeepBest _),
     "d6_decontaminate" -> (Dedup.decontaminate _),
+    "d10_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -911,6 +912,7 @@ object SparkEntry {
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
     "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),
     "b4_banded_align" -> graft.operators.Dedup.b4OracleSql(),
+    "d10_source_overlap" -> graft.operators.Dedup.d10OracleSql,
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

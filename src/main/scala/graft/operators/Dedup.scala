@@ -762,6 +762,68 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source contamination matrix (d10) — [[decontaminate]]
+    * answers "which training docs leak MY benchmark"; this answers the
+    * corpus-curation question one level up: how much does every pair
+    * of ingest sources overlap? Shingle-set Jaccard per unordered
+    * source pair — the number a data-mixing decision (drop a source,
+    * down-weight a crawl snapshot) actually needs.
+    *
+    * Scale shape: the corpus-scale stage is ONE scan → native
+    * word-shingle projection → distinct (source, shingle), which
+    * bounds everything after by vocabulary × sources, not rows. The
+    * shingle self-join's fan-out per shingle is (sources sharing
+    * it)² ≤ |sources|² — never corpus-quadratic; per-source set sizes
+    * ride in on a broadcast. Pairs with zero shared shingles don't
+    * appear (inner-join semantics, mirrored by the oracle). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("source"),
+        explode(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("source").as("source_a"), col("sh"))
+      .join(sh.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB oracle for [[sourceOverlap]] — d6's shingle CTE, distinct
+    * per source, self-joined. */
+  def d10OracleSql: String = """
+      WITH sh AS (
+        SELECT DISTINCT source, s FROM (
+          SELECT source,
+            unnest(list_distinct(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+              i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS s
+          FROM documents) t),
+      sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT i.source_a, i.source_b, i.n_inter,
+        round(CAST(i.n_inter AS DOUBLE)
+          / CAST(sa.n + sb.n - i.n_inter AS DOUBLE), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.source_a
+      JOIN sizes sb ON sb.source = i.source_b
+      ORDER BY source_a, source_b"""
+
   /** Embedding-cosine near-duplicate detection over sorted-neighbor
     * pairs; cosine folded sequentially in double precision so the
     * oracle's index-ordered sum matches bit-for-bit. */

@@ -137,6 +137,21 @@ class DedupSpec extends SparkSpec {
     assert(dists == dists.sorted, s"not sorted by edit distance: $dists")
   }
 
+  test("source overlap matrix computes planted pairwise shingle jaccard") {
+    import spark.implicits._
+    // A: two docs, 4 distinct shingles; B: one doc equal to A's first
+    // (2 shingles, all shared); C: disjoint → no row at all
+    val docs = Seq(
+      (1L, "a b c d", "srcA"),
+      (2L, "x y z w", "srcA"),
+      (3L, "a b c d", "srcB"),
+      (4L, "q r s t", "srcC")).toDF("doc_id", "text", "source")
+    val rows = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(("srcA", "srcB", 2L, 0.5)),
+      s"unexpected overlap matrix: ${rows.toSeq}")
+  }
+
   test("banded SW is blast-like: an embedded query aligns at full score") {
     import spark.implicits._
     val q = "the fast key order sort table scan merge"
