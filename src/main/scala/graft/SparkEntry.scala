@@ -122,6 +122,7 @@ object SparkEntry {
     "x3_export_biom_json" -> ((s: SparkSession, d: String) => graft.sources.Export.biomJson(s, d)),
     "x4_export_krona" -> ((s: SparkSession, d: String) => graft.sources.Export.kronaTsv(s, d)),
     "x5_scd2_merge" -> (graft.sources.Ingest.x5Scd2 _),
+    "x6_export_jsonl" -> ((s: SparkSession, d: String) => graft.sources.Export.jsonlShards(s, d)),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e3_props_json" -> (Events.propsJson _),
@@ -957,6 +958,7 @@ object SparkEntry {
       GROUP BY n_name, r_name, p_type
       ORDER BY n_name, p_type""",
     "x5_scd2_merge" -> graft.sources.Ingest.x5OracleSql,
+    "x6_export_jsonl" -> graft.sources.Export.x6OracleSql(),
     "q40_ntile_bands" -> """
       WITH banded AS (
         SELECT c_mktsegment, c_acctbal,

@@ -214,4 +214,50 @@ object Export {
       GROUP BY ROLLUP(p_mfgr, p_type, p_brand, p_genus, p_size)
       ORDER BY lvl_mfgr, lvl_type, lvl_brand, lvl_genus, lvl_size""")
   }
+
+  /** Sharded JSONL training-data export (x6) — the LLM-pipeline wire
+    * format: documents as JSON lines, one directory per shard
+    * (`shard=K/part-*.json`), shard = Knuth hash of doc_id mod
+    * nShards, so the layout is reproducible at any parallelism and a
+    * downstream trainer can fetch shard K alone (partition pruning,
+    * spec-asserted).
+    *
+    * Round-trip gate: the returned frame is the per-shard MANIFEST
+    * (n_docs, total_chars, doc id range) recomputed from the RE-READ
+    * JSON — the oracle computes the same manifest straight from the
+    * source table, so a write-side loss (escaping, truncation, a
+    * dropped row) breaks the match. The write stays distributed
+    * (many part files per shard is fine for a trainer; a download
+    * endpoint would stream-concatenate). */
+  def jsonlShards(spark: SparkSession, dir: String, nShards: Int = 8,
+      outPath: String = null): DataFrame = {
+    val path = resolve(spark, outPath, "x6_jsonl")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        (pmod(pmod(col("doc_id"), lit(1000000000L)) * lit(2654435761L),
+          lit(2147483647L)) % nShards).as("shard"))
+      .write.mode("overwrite").partitionBy("shard").json(path)
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+      .json(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+
+  /** DuckDB oracle for [[jsonlShards]]: the manifest recomputed from
+    * the source table — matching it proves the written shards parse
+    * back to exactly the source rows. */
+  def x6OracleSql(nShards: Int = 8): String = s"""
+      SELECT shard, count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM (
+        SELECT doc_id, text,
+          ((doc_id % 1000000000) * 2654435761) % 2147483647 % $nShards AS shard
+        FROM documents) t
+      GROUP BY shard ORDER BY shard"""
 }

@@ -99,4 +99,34 @@ class ExportSpec extends SparkSpec {
     assert(scan.toString.contains("PartitionFilters"),
       s"scan lacks partition filters:\n${scan.toString.take(800)}")
   }
+
+  test("JSONL shard export covers the corpus and prunes to one shard") {
+    val out = Files.createTempDirectory("graft-x6").toString + "/jsonl"
+    val manifest = Export.jsonlShards(spark, sfDir, 8, out).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(manifest.map(_.getLong(1)).sum == docs.count(),
+      "manifest doc counts do not cover the corpus")
+    assert(manifest.map(_.getLong(0)).forall(s => s >= 0 && s < 8))
+    // layout: hive-style shard directories a trainer can fetch singly
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("shard=")).sorted
+    assert(dirs.length == manifest.length, s"shard dirs $dirs vs manifest")
+    // fetching one shard reads only that directory's files
+    val one = spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+      .json(out).filter(col("shard") === manifest.head.getLong(0))
+    assert(one.count() == manifest.head.getLong(1))
+    val scan = one.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    assert(scan.toString.contains("PartitionFilters"),
+      s"shard predicate not a partition filter:\n${scan.toString.take(800)}")
+    // text survives the JSON round trip byte-exactly
+    val back = spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+      .json(out).select("doc_id", "text")
+    val diff = back.join(docs.select(col("doc_id"), col("text").as("t0")), "doc_id")
+      .filter(col("text") =!= col("t0")).count()
+    assert(diff == 0, s"$diff docs mutated in the JSON round trip")
+  }
 }
