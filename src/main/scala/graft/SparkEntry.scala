@@ -115,6 +115,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
     "m5_audio_decode" ->
       ((s: SparkSession, d: String) => Multimodal.audioDecode(s, d)),
+    "m6_video_frames" ->
+      ((s: SparkSession, d: String) => Multimodal.videoDecode(s, d)),
     "m4_batch_shape" ->
       ((s: SparkSession, d: String) => Multimodal.batchShape(s, d)),
     "x1_export_csv" -> ((s: SparkSession, d: String) => graft.sources.Export.contextualCsv(s, d)),
@@ -924,6 +926,7 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
     "m3_image_decode" -> graft.operators.Multimodal.imageDecodeOracleSql,
     "m5_audio_decode" -> graft.operators.Multimodal.audioDecodeOracleSql,
+    "m6_video_frames" -> graft.operators.Multimodal.videoDecodeOracleSql,
     "x1_export_csv" -> """
       SELECT c_custkey, c_name, c_mktsegment, o_orderkey,
         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -25,12 +25,16 @@ import org.apache.spark.sql.functions._
   * arithmetic in (doc_id, channel, frame), so a DuckDB oracle replays
   * the stats analytically — the same full encode→decode gate as m3.
   *
-  * Only VIDEO decode remains a declared stub behind
-  * [[MediaDecoder.decodeStub]] (no video codec exists in the JDK or
-  * this container); the per-partition batched iterator shape — the
-  * Scala analogue of mapInPandas' batch contract — is identical to the
-  * real image/audio paths, so swapping a codec in changes the batch
-  * body only, not the plan.
+  * Video is now real at the CONTAINER level too (m6,
+  * [[VideoDecoder.decodeGif]]): multi-frame demux + per-frame LZW
+  * raster decode of animated GIFs via the JDK reader, with a full
+  * analytic oracle. The only remaining stub surface is codec-grade
+  * inter-frame video (H.264/VP9 — genuinely impossible in this
+  * container, no JDK decoder), kept behind [[MediaDecoder.decodeStub]];
+  * the per-partition batched iterator shape — the Scala analogue of
+  * mapInPandas' batch contract — is identical to the real
+  * image/audio/GIF paths, so swapping such a codec in changes the
+  * batch body only, not the plan.
   */
 object Multimodal {
 
@@ -433,6 +437,162 @@ object Multimodal {
         CAST((rn - 1) % $batchSize AS INT) AS slot,
         byte_len
       FROM r ORDER BY doc_id"""
+
+  // ---------------------------------------------------------------
+  // m6: REAL multi-frame container decode — animated GIF via the
+  // JDK's ImageIO (which both writes and reads multi-image GIF
+  // streams). This closes the "video" half of m1's stub at the
+  // CONTAINER level: frame demux + per-frame codec (LZW-compressed
+  // indexed raster) decode are real; codec-grade inter-frame video
+  // (H.264 etc.) remains genuinely impossible in this container and
+  // stays documented at decodeStub.
+  // ---------------------------------------------------------------
+
+  final val VidWMod = 12; final val VidWBase = 6
+  final val VidHMod = 8; final val VidHBase = 6
+  final val VidFMod = 3; final val VidFBase = 2
+  // The JDK GIF writer interlaces by default and its interlace path
+  // corrupts frames SHORTER THAN 5 ROWS (probed r7: h=2..4 lose rows,
+  // h>=5 round-trips losslessly; forcing interlaceFlag=FALSE through
+  // default image metadata instead drops the exact-gray local palette).
+  // All synthesized frame heights therefore sit at >= 5 rows — any
+  // real video frame is far taller.
+  require(VidHBase >= 5, "GIF frames must be >= 5 rows (JDK interlace quirk)")
+
+  case class VideoRow(doc_id: Long, payload: Array[Byte])
+  case class VideoFeatures(doc_id: Long, n_frames: Long, width: Long,
+    height: Long, sum_gray: Long, frame_hash: Long)
+
+  /** Synthesize a REAL animated GIF per doc: `f` full frames of
+    * indexed 256-level gray pixels v = (id·31 + f·7 + x·5 + y·3) mod
+    * 256. The raster is indexed with an exact gray palette, so the
+    * GIF write is LOSSLESS (no quantization) and every read-back
+    * pixel is analytically known to the oracle. */
+  def withVideoPayload(spark: SparkSession, docs: DataFrame): Dataset[VideoRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val gray = Array.tabulate(256)(i => i.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      it.map { id =>
+        val w = (id % VidWMod + VidWBase).toInt
+        val h = (id % VidHMod + VidHBase).toInt
+        val n = (id % VidFMod + VidFBase).toInt
+        val baos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                ((id * 31 + f * 7 + x * 5 + y * 3) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        VideoRow(id, baos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL frame-demux decode: GIF bytes → per-frame BufferedImage via
+    * the JDK reader; exact gray sum over all frames and an
+    * (f, y, x)-ordered modular pixel hash, so the oracle's sequential
+    * fold reproduces it bit-for-bit. A demux bug (missed frame, wrong
+    * frame order, palette drift) breaks the hash. */
+  object VideoDecoder {
+    def decodeGif(rows: Iterator[VideoRow]): Iterator[VideoFeatures] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(row.payload)))
+        val n = reader.getNumImages(true)
+        var (sum, hash) = (0L, 0L)
+        var (w, h) = (0L, 0L)
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          w = img.getWidth.toLong; h = img.getHeight.toLong
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (img.getRGB(x, y) & 0xff).toLong
+              sum += v
+              hash = (hash * 31 + v) % 1000003
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        reader.dispose()
+        VideoFeatures(row.doc_id, n.toLong, w, h, sum, hash)
+      }
+    }
+  }
+
+  /** End-to-end video-container pipeline (m6): doc → animated-GIF
+    * payload → frame demux + decode → features. Same swappable
+    * iterator contract as m3/m5. */
+  def videoDecode(spark: SparkSession, dir: String,
+      decoder: Iterator[VideoRow] => Iterator[VideoFeatures] =
+        VideoDecoder.decodeGif): DataFrame = {
+    import spark.implicits._
+    withVideoPayload(spark, Tables.parallel(Tables.load(spark, dir, "documents")))
+      .mapPartitions(decoder)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[videoDecode]]: replays the synthetic frame
+    * arithmetic analytically over p = f·w·h + y·w + x. */
+  def videoDecodeOracleSql: String = s"""
+      WITH dims AS (
+        SELECT doc_id,
+          CAST(doc_id % $VidWMod + $VidWBase AS BIGINT) AS w,
+          CAST(doc_id % $VidHMod + $VidHBase AS BIGINT) AS h,
+          CAST(doc_id % $VidFMod + $VidFBase AS BIGINT) AS n
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h, n,
+          unnest(generate_series(0, CAST(n * w * h - 1 AS INT))) AS p
+        FROM dims),
+      sums AS (
+        SELECT doc_id, any_value(n) AS n_frames, any_value(w) AS width,
+          any_value(h) AS height,
+          CAST(sum((doc_id * 31 + (p // (w * h)) * 7 + (p % w) * 5
+            + ((p % (w * h)) // w) * 3) % 256) AS BIGINT) AS sum_gray
+        FROM px GROUP BY doc_id),
+      hashes AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(0, CAST(n * w * h - 1 AS INT)), p ->
+              (doc_id * 31 + (p // (w * h)) * 7 + (p % w) * 5
+                + ((p % (w * h)) // w) * 3) % 256)),
+            (a, v) -> (a * 31 + v) % 1000003) AS frame_hash
+        FROM dims)
+      SELECT s.doc_id, s.n_frames, s.width, s.height, s.sum_gray, h.frame_hash
+      FROM sums s JOIN hashes h ON h.doc_id = s.doc_id
+      ORDER BY s.doc_id"""
 
   /** Oracle-checkable metadata projection (the decode-independent
     * part: format routing, payload sizing, frame estimation). */

@@ -132,6 +132,39 @@ class MultimodalSpec extends SparkSpec {
     assert(ch == (1 % Multimodal.AudChMod + 1))
   }
 
+  test("GIF demux recovers frame count, order, and exact pixels") {
+    // hand-built 2-frame 3×5 animated GIF (≥ 5 rows — below that the
+    // JDK writer's default interlace path corrupts rows, see the
+    // Multimodal VidHBase note): frame f pixel (x, y) holds gray
+    // 10 + f*100 + x*7 + y*3 — decode must see both frames in write
+    // order with exact values
+    val gray = Array.tabulate(256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    wr.setOutput(ios); wr.prepareWriteSequence(null)
+    val vals = for (f <- 0 until 2) yield {
+      val img = new java.awt.image.BufferedImage(3, 5,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until 5; x <- 0 until 3)
+        img.getRaster.setSample(x, y, 0, 10 + f * 100 + x * 7 + y * 3)
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      for (y <- 0 until 5; x <- 0 until 3) yield 10L + f * 100 + x * 7 + y * 3
+    }
+    wr.endWriteSequence(); wr.dispose(); ios.close()
+    val feats = Multimodal.VideoDecoder.decodeGif(
+      Iterator(Multimodal.VideoRow(3L, baos.toByteArray))).toSeq
+    assert(feats.size == 1)
+    val f = feats.head
+    assert(f.n_frames == 2 && f.width == 3 && f.height == 5,
+      s"demux shape wrong: $f")
+    val flat = vals.flatten
+    assert(f.sum_gray == flat.sum, s"pixel sum drifted: $f")
+    assert(f.frame_hash == flat.foldLeft(0L)((a, v) => (a * 31 + v) % 1000003),
+      "frame/pixel order hash mismatch")
+  }
+
   test("binary payload round-trips the text bytes") {
     val docs = Tables.load(spark, sfDir, "documents").limit(5)
     val back = Multimodal.withMediaColumns(docs)
