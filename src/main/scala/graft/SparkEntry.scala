@@ -127,6 +127,7 @@ object SparkEntry {
     "x6_export_jsonl" -> ((s: SparkSession, d: String) => graft.sources.Export.jsonlShards(s, d)),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
+    "e11_event_gaps" -> (Events.interEventGaps _),
     "e3_props_json" -> (Events.propsJson _),
     "e4_rolling_avg" -> (Events.rollingAvg _),
     "e7_retention" -> (Events.retention _),
@@ -1024,6 +1025,7 @@ object SparkEntry {
       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
+    "e11_event_gaps" -> Events.e11OracleSql,
     "e2_sessionize" -> """
       WITH ev AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,

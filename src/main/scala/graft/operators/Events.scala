@@ -531,4 +531,48 @@ object Events {
         min(s4) - min(s1) AS convert_us
       FROM w4 GROUP BY user_id
       ORDER BY user_id"""
+
+  /** Inter-event-gap distribution (e11) — the cadence profile behind
+    * session-gap and watermark tuning: for each event type, the
+    * distribution of the time since the SAME user's previous event
+    * (any type). One user_id window (per-user timelines bounded),
+    * then a type-keyed aggregate over exact µs integer gaps; the
+    * percentile interpolation runs on those exact ints, so both
+    * engines interpolate identical doubles (q20's discipline), and
+    * seconds conversion happens once at the end. */
+  def interEventGaps(spark: SparkSession, dir: String): DataFrame =
+    interEventGaps(graft.Tables.load(spark, dir, "events"))
+
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)") / 1000000.0, 4).as("median_gap_s"),
+        round(expr("percentile(gap_us, 0.9)") / 1000000.0, 4).as("p90_gap_s"),
+        (max(col("gap_us")).cast("double") / 1000000.0).as("max_gap_s"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[interEventGaps]]. */
+  def e11OracleSql: String = """
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          CAST(ts AS TIMESTAMP) AS tss
+        FROM events),
+      gaps AS (
+        SELECT event_type,
+          us - lag(us) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS gap_us
+        FROM ev)
+      SELECT event_type, count(*) AS n_gaps,
+        round(quantile_cont(gap_us, 0.5) / 1000000.0, 4) AS median_gap_s,
+        round(quantile_cont(gap_us, 0.9) / 1000000.0, 4) AS p90_gap_s,
+        CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY event_type ORDER BY event_type"""
 }
