@@ -78,6 +78,7 @@ object SparkEntry {
     "q37_vocab" -> (Relational.q37Vocab _),
     "q40_ntile_bands" -> (Relational.q40NtileBands _),
     "q41_mom_growth" -> (Relational.q41MomGrowth _),
+    "q42_mad_outliers" -> (Relational.q42MadOutliers _),
     "q38_geo_cluster" -> ((s: SparkSession, d: String) => Geo.q38GeoCluster(s, d)),
     "t6_repetition" -> (TextOps.repetition _),
     "t7_pii_redact" -> (TextOps.piiRedact _),
@@ -975,6 +976,7 @@ object SparkEntry {
         round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_bal
       FROM banded GROUP BY c_mktsegment, band
       ORDER BY c_mktsegment, band""",
+    "q42_mad_outliers" -> Relational.q42OracleSql,
     "q41_mom_growth" -> """
       WITH m AS (
         SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -715,4 +715,58 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("field", "value")
   }
+
+  /** Robust outlier summary via MAD (q42) — the screening bpaotu's
+    * contextual QA needs on numeric fields where mean/stddev are
+    * themselves dragged by the outliers: per group, median, the median
+    * absolute deviation, and how many rows sit beyond
+    * median ± 3 · 1.4826 · MAD (the normal-consistent robust z-score).
+    *
+    * Shape: grouped exact-percentile aggregate (q20's cross-engine
+    * interpolation discipline) → 5-row medians BROADCAST back onto the
+    * scan for |x − med| → second grouped percentile for the MAD →
+    * broadcast again for the threshold count. Three passes over one
+    * pushed-down column, every join a broadcast of a dimension-bounded
+    * frame — no fact-side shuffle beyond the group aggregates. */
+  def q42MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val med = o.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val mad = o.join(broadcast(med), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(abs(o_totalprice - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    o.join(broadcast(mad), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(first(col("med")), 4).as("median_price"),
+        round(first(col("mad")), 4).as("mad_price"),
+        sum(when(abs(col("o_totalprice") - col("med")) >
+          lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** DuckDB oracle for [[q42MadOutliers]]. */
+  def q42OracleSql: String = """
+      WITH med AS (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY o_orderpriority),
+      mad AS (
+        SELECT o.o_orderpriority,
+          quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad,
+          any_value(m.med) AS med
+        FROM orders o JOIN med m USING (o_orderpriority)
+        GROUP BY o.o_orderpriority)
+      SELECT o.o_orderpriority,
+        round(any_value(m.med), 4) AS median_price,
+        round(any_value(m.mad), 4) AS mad_price,
+        CAST(sum(CASE WHEN abs(o.o_totalprice - m.med)
+          > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        count(*) AS n_orders
+      FROM orders o JOIN mad m USING (o_orderpriority)
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority"""
 }
