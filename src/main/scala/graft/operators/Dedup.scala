@@ -407,21 +407,38 @@ object Dedup {
       .map(i => (query.substring(i - 1, i + 2), i))
       .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2) }
     val qmap = typedLit(qpos)
-    val diag = cands
-      .select(col("doc_id"),
-        explode(when(length(col("text")) >= 3,
-          transform(sequence(lit(1), length(col("text")) - 2),
-            p => struct(p.as("p"), col("text").substr(p, lit(3)).as("g"))))
-          .otherwise(array())).as("pg"))
-      // element_at misses → null → explode drops the row
-      .select(col("doc_id"), col("pg.p").as("p"),
-        explode(element_at(qmap, col("pg.g"))).as("qp"))
-      .groupBy(col("doc_id"), (col("p") - col("qp")).as("d"))
-      .agg(count(lit(1)).as("cnt"))
-    val bd = diag.groupBy("doc_id")
-      .agg(max_by(col("d"), struct(col("cnt"), -col("d"))).as("dstar"))
-    cands.join(bd, Seq("doc_id"), "left")
-      .withColumn("dstar", coalesce(col("dstar"), lit(0)).cast("int"))
+    // Seed diagonal ENTIRELY IN-ROW (r7 rewrite): the first form
+    // derived the diagonal votes from `cands` through an explode +
+    // two aggregations + a join back onto `cands` — consuming the
+    // candidate subtree twice, i.e. TWO corpus scans, since a
+    // TakeOrdered subtree is not exchange-reused. Here each candidate
+    // row builds its own diagonal vote list (per-position map lookup,
+    // misses → empty), sorts it, and takes the mode with an O(n)
+    // scalar fold (strictly-greater keeps the SMALLEST diagonal on
+    // ties because the list is ascending — the same rule the join
+    // form's max_by(cnt, −d) enforced). One corpus scan, no join,
+    // whole-stage codegen throughout.
+    val diags = array_sort(flatten(transform(
+      sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+      p => transform(
+        coalesce(element_at(qmap, col("text").substr(p, lit(3))),
+          typedLit(Seq.empty[Int])),
+        qp => p - qp))))
+    val modeInit = struct(lit(Int.MinValue).as("cur"), lit(0).as("curN"),
+      lit(0).as("best"), lit(0).as("bestN"))
+    val dstar = aggregate(diags, modeInit,
+      (acc, d) => {
+        val curN = when(d === acc.getField("cur"), acc.getField("curN") + 1)
+          .otherwise(lit(1))
+        struct(d.as("cur"), curN.as("curN"),
+          when(curN > acc.getField("bestN"), d)
+            .otherwise(acc.getField("best")).as("best"),
+          when(curN > acc.getField("bestN"), curN)
+            .otherwise(acc.getField("bestN")).as("bestN"))
+      },
+      acc => acc.getField("best"))
+    cands
+      .withColumn("dstar", dstar)
       .withColumn("sw_score",
         graft.GraftFunctions.bandedSw(col("text"), col("dstar"), query, w)
           .cast("long"))
@@ -446,6 +463,15 @@ object Dedup {
     val m = query.length
     val b = 2 * w + 1
     val neg = graft.functions.expressions.BandedSW.Neg
+    // Query trigram occurrence VALUES list for the seed-diagonal CTEs.
+    // The oracle keeps the RELATIONAL form of the diagonal vote (unnest
+    // → count → row_number over MATERIALIZED cand — same max-count /
+    // smallest-d rule as the engine's in-row mode fold) rather than
+    // mirroring the fold itself: DuckDB 1.0's list_reduce mis-threads
+    // struct accumulators whose lambda repeats subexpressions (a run
+    // of 3 counts 4 — probed r7), so a fold-for-fold mirror is exactly
+    // what an oracle must not be built on. An oracle may re-scan; only
+    // the ENGINE's plan is held to the one-scan shape (PlanSpec).
     val qt = (1 to m - 2)
       .map(p => s"('${query.substring(p - 1, p + 2).replace("'", "''")}', $p)")
       .mkString(", ")

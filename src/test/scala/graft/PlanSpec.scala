@@ -216,6 +216,31 @@ class PlanSpec extends SparkSpec {
       s"top-k did not collapse to TakeOrderedAndProject:\n${p.take(1500)}")
   }
 
+  test("b4: banded alignment reads the corpus exactly once") {
+    // the first form consumed the TakeOrdered candidate subtree twice
+    // (seed-diagonal derivation + final join) — two corpus scans; the
+    // in-row seed-diagonal mode fold must leave exactly one
+    val df = graft.operators.Dedup.bandedAlign(
+      Tables.load(spark, sfDir, "documents"), "the fast key order sort", 8)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(pl: SparkPlan): Int = {
+      val self = pl match {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+        case _ => 0
+      }
+      val kids: Seq[SparkPlan] = pl match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(scans).sum
+    }
+    val n = scans(df.queryExecution.executedPlan)
+    assert(n == 1, s"b4 scans the corpus $n times (expected 1)")
+  }
+
   test("t14: tf-idf aggs are partial; ranking window partitions by doc_id only") {
     val df = graft.operators.TextOps.tfidfTopTerms(
       Tables.load(spark, sfDir, "documents"), 3)
