@@ -148,6 +148,7 @@ object SparkEntry {
     "t13_chunking" -> (TextOps.chunking _),
     "t14_tfidf" -> ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
     "t15_stratified_sample" -> ((s: SparkSession, d: String) => TextOps.stratifiedSample(s, d)),
+    "t16_normalize" -> ((s: SparkSession, d: String) => TextOps.normalize(s, d)),
   )
 
   /** DuckDB-equivalent ANSI SQL per query key (same parquet tables,
@@ -598,6 +599,7 @@ object SparkEntry {
     "t13_chunking" -> TextOps.t13OracleSql(),
     "t14_tfidf" -> TextOps.t14OracleSql(),
     "t15_stratified_sample" -> TextOps.t15OracleSql(),
+    "t16_normalize" -> TextOps.t16OracleSql,
     "q34_unpivot" -> """
       SELECT n_name, p_type,
         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS abundance

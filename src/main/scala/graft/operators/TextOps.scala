@@ -426,6 +426,48 @@ object TextOps {
       SELECT lang, doc_id, hsh, rnk FROM rk
       WHERE rnk <= $k ORDER BY lang, rnk"""
 
+  /** Canonical text normalization + duplicate-key annotation (t16) —
+    * the canonicalization pass exact dedup should run AFTER (d1 on raw
+    * bytes misses case/punctuation/whitespace variants of the same
+    * document): keep [a-zA-Z0-9 ], collapse runs of spaces, trim,
+    * lowercase — deliberately ASCII-scoped so Java and DuckDB regex
+    * semantics coincide exactly — then annotate each doc with its
+    * canonical-form md5 and how many docs share it.
+    *
+    * Shape: the normalization is a zero-shuffle projection; the only
+    * shuffle is the md5-keyed count (map-side combined), joined back
+    * as a group count — candidate volume scales with duplicate
+    * density, same argument as d1. */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    normalize(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = lower(trim(regexp_replace(
+      regexp_replace(col("text"), "[^a-zA-Z0-9 ]", " "), " +", " ")))
+    val keyed = docs.select(col("doc_id"), md5(norm).as("norm_md5"),
+      length(norm).cast("long").as("n_chars_norm"))
+    val groups = keyed.groupBy("norm_md5").agg(count(lit(1)).as("canon_dups"))
+    keyed.join(groups, "norm_md5")
+      .select(col("doc_id"), col("norm_md5"), col("n_chars_norm"),
+        col("canon_dups"))
+      .orderBy("doc_id")
+  }
+
+  def t16OracleSql: String = """
+      WITH norm AS (
+        SELECT doc_id,
+          lower(trim(regexp_replace(
+            regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nt
+        FROM documents),
+      keyed AS (
+        SELECT doc_id, md5(nt) AS norm_md5, length(nt) AS n_chars_norm
+        FROM norm),
+      groups AS (
+        SELECT norm_md5, count(*) AS canon_dups FROM keyed GROUP BY 1)
+      SELECT k.doc_id, k.norm_md5, k.n_chars_norm, g.canon_dups
+      FROM keyed k JOIN groups g USING (norm_md5)
+      ORDER BY k.doc_id"""
+
   /** Greedy sequence packing — grouping documents into fixed-token-
     * budget training sequences. The packing recurrence (pack fill
     * carries doc-to-doc) is inherently sequential WITHIN a shard and
