@@ -117,6 +117,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("banded SW equals the full Gotoh reference on random strings") {
+    // covering band (w >= len sum) ⇒ banded must EQUAL the unbanded
+    // classic; narrow band ⇒ banded is a lower bound (it only removes
+    // alignment paths) and exact whenever the optimum stays in-band
+    def fullSW(t: String, q: String): Int = {
+      val inf = Int.MinValue / 4
+      val n = t.length; val m = q.length
+      val H = Array.fill(m + 1, n + 1)(0)
+      val E = Array.fill(m + 1, n + 1)(inf)
+      val F = Array.fill(m + 1, n + 1)(inf)
+      var best = 0
+      for (i <- 1 to m; j <- 1 to n) {
+        E(i)(j) = math.max(H(i)(j - 1) - 2, E(i)(j - 1) - 1)
+        F(i)(j) = math.max(H(i - 1)(j) - 2, F(i - 1)(j) - 1)
+        val s = if (t.charAt(j - 1) == q.charAt(i - 1)) 2 else -1
+        H(i)(j) = math.max(math.max(0, H(i - 1)(j - 1) + s),
+          math.max(E(i)(j), F(i)(j)))
+        best = math.max(best, H(i)(j))
+      }
+      best
+    }
+    val rng = new scala.util.Random(42L)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+    import spark.implicits._
+    val cases = (1 to 60).map { i =>
+      (i.toLong, randStr(3 + rng.nextInt(25)), randStr(3 + rng.nextInt(12)))
+    }
+    // group by query (the expression binds one query per column)
+    cases.groupBy(_._3).foreach { case (q, rows) =>
+      val w = 40 // covers every diagonal of every pair
+      val df = rows.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+        .withColumn("dstar", lit(0))
+      val got = df.withColumn("sw",
+          graft.GraftFunctions.bandedSw(col("text"), col("dstar"), q, w))
+        .select("doc_id", "sw").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      rows.foreach { case (id, t, _) =>
+        assert(got(id) == fullSW(t, q),
+          s"covering band diverged from reference: q='$q' t='$t'")
+      }
+      // narrow band never exceeds the unbanded optimum
+      val narrow = df.withColumn("sw",
+          graft.GraftFunctions.bandedSw(col("text"), col("dstar"), q, 2))
+        .select("doc_id", "sw").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      rows.foreach { case (id, t, _) =>
+        assert(narrow(id) <= fullSW(t, q),
+          s"narrow band exceeded the optimum: q='$q' t='$t'")
+      }
+    }
+  }
+
   test("scd2 merge invariants hold on random snapshot pairs") {
     import spark.implicits._
     for (seed <- Seq(11L, 12L, 13L)) {
