@@ -110,6 +110,7 @@ object SparkEntry {
     "s2_ann_lsh" -> (Similarity.annLsh _),
     "s3_ann_ivf" -> (Similarity.annIvfDet _),
     "s4_ann_pq" -> (Similarity.annPq _),
+    "s6_ann_rerank" -> (Similarity.annRerank _),
     "s5_ann_filtered" -> (Similarity.annFiltered _),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m3_image_decode" ->
@@ -896,6 +897,7 @@ object SparkEntry {
     "s2_ann_lsh" -> Similarity.s2OracleSql,
     "s3_ann_ivf" -> Similarity.s3OracleSql,
     "s4_ann_pq" -> Similarity.s4OracleSql(),
+    "s6_ann_rerank" -> Similarity.s6OracleSql(),
     "s5_ann_filtered" -> Similarity.s5OracleSql(),
     "s1_ann_bruteforce" -> """
       WITH norms AS (

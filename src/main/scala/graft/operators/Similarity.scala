@@ -590,6 +590,78 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Two-stage retrieve-then-rerank ANN (s6) — the production serving
+    * shape: stage 1 recalls a WIDE candidate set cheaply from the
+    * compressed PQ codes (nSub table lookups per candidate, the s4
+    * machinery), stage 2 re-scores ONLY those candidates against the
+    * raw vectors with exact cosine and emits the final top-k. The
+    * expensive exact arithmetic touches `wide` rows per query instead
+    * of the corpus — the recall/cost dial every vector-serving stack
+    * exposes. Fully oracle-checkable because both stages are
+    * deterministic: PQ approx distances are bit-exact (s4's folds) and
+    * the re-rank is s1's exact cosine discipline. */
+  def annRerank(spark: SparkSession, dir: String): DataFrame =
+    annRerank(Tables.parallel(Tables.load(spark, dir, "embeddings")),
+      4, 16, 50, AnnK)
+
+  def annRerank(e: DataFrame, nSub: Int, ks: Int, wide: Int, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    // stage 1: PQ-approximate top-`wide` per query (cheap, compressed)
+    val cand = annPq(e, nSub, ks, wide)
+      .select(col("q_id"), col("c_id"))
+    // stage 2: exact cosine on the candidate set only
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val queries = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val rescored = cand
+      .join(vecs, col("c_id") === col("vec_id"))
+      .select(col("q_id"), col("c_id"), col("embedding").as("cv"))
+      .join(queries, "q_id")
+      .select(col("q_id"), col("c_id"),
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    rescored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[annRerank]]: the s4 pipeline cut at `wide`,
+    * re-scored with s1's norms/dots CTEs. */
+  def s6OracleSql(nSub: Int = 4, ks: Int = 16, wide: Int = 50,
+      k: Int = AnnK, dim: Int = 64): String = {
+    val pq = s4OracleSql(nSub, ks, wide, dim)
+    // reuse the s4 SQL as the candidate CTE by stripping its trailing
+    // ORDER BY/SELECT and renaming — simpler: inline it as a subquery
+    s"""
+      WITH cand AS (
+        SELECT q_id, c_id FROM ($pq) pqtop),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      pairs AS (
+        SELECT c.q_id, c.c_id, eq.embedding AS qv, ec.embedding AS cv
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.q_id
+        JOIN embeddings ec ON ec.vec_id = c.c_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs)
+        GROUP BY q_id, c_id),
+      scored AS (
+        SELECT d.q_id, d.c_id, d.dt / (nq.nrm * nc.nrm) AS cos
+        FROM dots d JOIN norms nq ON nq.vec_id = d.q_id
+        JOIN norms nc ON nc.vec_id = d.c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, c_id) AS INT) AS rnk
+        FROM scored)
+      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+  }
+
   /** DuckDB oracle for [[annPq]]: same Knuth-hash codebook, same
     * per-(vector, subspace) index-order d² folds, same smallest-code
     * argmin tie-break, ADC sum folded in subspace order via the

@@ -296,6 +296,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rerank recall dominates pure-PQ recall and keeps exact scores") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val bf = Similarity.annBruteforce(e).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val rr = Similarity.annRerank(e, 4, 16, 50, 10).collect()
+    rr.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 10), s"ranks broken for q$q")
+    }
+    // exact stage: every reranked pair that brute force also ranked
+    // must carry the IDENTICAL rounded cosine
+    rr.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(s == r.getDouble(3),
+          s"rerank score drifted from exact: ${r.getLong(0)}→${r.getLong(1)}")
+      }
+    }
+    // recall@10: reranking the wide-50 set with the exact metric can
+    // only match or beat the pure-PQ top-10 (true top vectors present
+    // in the candidate set always win an exact re-rank)
+    val pq = Similarity.annPq(e, 4, 16, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrSet = rr.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfSet = bf.keySet
+    val recallPq = bfSet.intersect(pq).size.toDouble / bfSet.size
+    val recallRr = bfSet.intersect(rrSet).size.toDouble / bfSet.size
+    assert(recallRr >= recallPq,
+      f"rerank recall $recallRr%.2f below pure PQ $recallPq%.2f")
+  }
+
   test("dot/cosine fold matches an independently computed value") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
