@@ -806,19 +806,41 @@ object Dedup {
     sourceOverlap(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("source"),
+    // ONE corpus chain: distinct (source, shingle) → sources-per-
+    // shingle list → a single in-row explode emitting BOTH the
+    // ordered source pairs (set-intersection counters) and singleton
+    // (a, null) rows (set-size counters), counted in one tiny
+    // aggregate (≤ sources² + sources rows). The first form
+    // self-joined the distinct frame and consumed it three times —
+    // three corpus scans and 8 shuffles; this is one scan and the
+    // pair fan-out is in-row, bounded by sources² per shingle.
+    val perSh = docs
+      .select(col("source"),
         explode(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
       .distinct()
-    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("source").as("source_a"), col("sh"))
-      .join(sh.select(col("source").as("source_b"), col("sh")), Seq("sh"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(broadcast(sizes.select(col("source").as("source_a"),
+      .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs"))
+    val combined = concat(
+      transform(col("srcs"),
+        s => struct(s.as("a"), lit(null).cast("string").as("b"))),
+      flatten(transform(col("srcs"), (s, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+          t => struct(s.as("a"), t.as("b"))))))
+    // the aggregate is bounded (≤ sources² + sources rows) and
+    // consumed three times below (pairs + two size lookups); a
+    // checkpoint pins it so the corpus chain runs ONCE — alias-renamed
+    // consumers defeat exchange reuse otherwise (measured: 7 shuffles
+    // and three corpus scans without it)
+    val agg = graft.Ckpt(perSh.select(explode(combined).as("e"))
+      .groupBy(col("e.a").as("sa"), col("e.b").as("sb"))
+      .agg(count(lit(1)).as("cnt")))
+    val sizes = agg.filter(col("sb").isNull)
+      .select(col("sa").as("s"), col("cnt").as("n"))
+    agg.filter(col("sb").isNotNull)
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("cnt").as("n_inter"))
+      .join(broadcast(sizes.select(col("s").as("source_a"),
         col("n").as("n_a"))), Seq("source_a"))
-      .join(broadcast(sizes.select(col("source").as("source_b"),
+      .join(broadcast(sizes.select(col("s").as("source_b"),
         col("n").as("n_b"))), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_inter"),
         round(col("n_inter").cast("double") /

@@ -216,6 +216,30 @@ class PlanSpec extends SparkSpec {
       s"top-k did not collapse to TakeOrderedAndProject:\n${p.take(1500)}")
   }
 
+  test("r7 operators: shuffle budgets hold and no plan degenerates to a cartesian") {
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
+      // (name, frame, max shuffles in the finalized adaptive plan)
+      ("t16", graft.operators.TextOps.normalize(
+        Tables.load(spark, sfDir, "documents")), 3),
+      ("e11", graft.operators.Events.interEventGaps(spark, sfDir), 3),
+      ("q42", Relational.q42MadOutliers(spark, sfDir), 4),
+      ("d10", graft.operators.Dedup.sourceOverlap(
+        Tables.load(spark, sfDir, "documents")), 5))
+    cases.foreach { case (name, df, maxSh) =>
+      val n = executedShuffles(df)
+      assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+    // q42's median/MAD frames must ride broadcast joins — the fact
+    // side is never shuffled for a 5-row dimension
+    val q42p = Relational.q42MadOutliers(spark, sfDir)
+    q42p.collect()
+    assert(q42p.queryExecution.executedPlan.toString().contains("BroadcastHashJoin"),
+      "q42 medians not broadcast")
+  }
+
   test("b4: banded alignment reads the corpus exactly once") {
     // the first form consumed the TakeOrdered candidate subtree twice
     // (seed-diagonal derivation + final join) — two corpus scans; the
