@@ -872,6 +872,101 @@ object Dedup {
       JOIN sizes sb ON sb.source = i.source_b
       ORDER BY source_a, source_b"""
 
+  /** d11: winnowing fingerprint dedup (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm) — the substring-granularity complement to d2's
+    * word-shingle MinHash. Every char `k`-gram is hashed (md5 hex, so
+    * the DuckDB oracle computes the identical value); each sliding
+    * window of `w` consecutive gram hashes selects its minimum, which
+    * guarantees any shared substring of length >= k + w - 1 chars
+    * shares at least one fingerprint, position-independently. Docs
+    * sharing >= 2 fingerprints are emitted with a containment score.
+    *
+    * Scale shape: gram hashing AND window-min selection are one in-row
+    * projection (O(len * w) char work, zero shuffle, ~len/w selected
+    * fps per doc — an 8x row reduction vs exploding raw grams); the
+    * only corpus shuffle is the fingerprint groupBy. The docs-per-fp
+    * lists then follow d10's one-chain trick: a single in-row explode
+    * emits ordered doc pairs AND (doc, null) singletons, so one tiny
+    * aggregate yields both shared-fp counts and per-doc fp totals —
+    * no second corpus scan. Fingerprints claiming more than `cap`
+    * docs (shared boilerplate) are dropped before the quadratic
+    * in-row pair fan-out, bounding it at cap^2 per fingerprint. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprint(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def winnowFingerprint(docs: DataFrame, k: Int = 24, w: Int = 8,
+                        cap: Int = 32): DataFrame = {
+    val perFp = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
+           |          i -> md5(substring(text, i, $k)))""".stripMargin).as("g"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, greatest(size(g) - ${w - 1}, 1)),
+           |  j -> array_min(slice(g, j, $w))))""".stripMargin)).as("fp"))
+      .groupBy("fp")
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) <= cap)
+    val combined = concat(
+      transform(col("docs"),
+        a => struct(a.as("a"), lit(null).cast("long").as("b"))),
+      flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))),
+          b => struct(a.as("a"), b.as("b"))))))
+    // tiny (<= cap^2 * |fps|) aggregate consumed twice below; checkpoint
+    // pins it so the corpus chain runs once (d10's lesson)
+    val agg = graft.Ckpt(perFp.select(explode(combined).as("e"))
+      .groupBy(col("e.a").as("da"), col("e.b").as("db"))
+      .agg(count(lit(1)).as("cnt")))
+    val sizes = agg.filter(col("db").isNull)
+      .select(col("da").as("d"), col("cnt").as("nfp"))
+    agg.filter(col("db").isNotNull && col("cnt") >= 2)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("cnt").as("n_shared"))
+      .join(broadcast(sizes.select(col("d").as("doc_a"),
+        col("nfp").as("n_a"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("d").as("doc_b"),
+        col("nfp").as("n_b"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[winnowFingerprint]] — identical k-gram md5s,
+    * identical window-min selection (lexicographic min over lowercase
+    * hex agrees across engines), relational pair form (an oracle may
+    * re-scan; only the engine is held to the one-chain shape). */
+  def d11OracleSql: String = """
+      WITH grams AS MATERIALIZED (
+        SELECT doc_id, list_transform(
+            generate_series(1, greatest(len(text) - 23, 1)),
+            i -> md5(substr(text, i, 24))) AS g
+        FROM documents WHERE len(text) >= 24),
+      fps AS MATERIALIZED (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(g) - 7, 1)),
+          j -> list_min(list_slice(g, j, j + 7))))) AS fp
+        FROM grams),
+      grp AS (SELECT fp, count(*) AS ndocs FROM fps GROUP BY fp),
+      kept AS MATERIALIZED (
+        SELECT fps.doc_id, fps.fp FROM fps
+        JOIN grp USING (fp) WHERE grp.ndocs <= 32),
+      sizes AS (SELECT doc_id, count(*) AS nfp FROM kept GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT p.doc_a, p.doc_b, p.n_shared,
+        round(CAST(p.n_shared AS DOUBLE)
+          / CAST(least(sa.nfp, sb.nfp) AS DOUBLE), 6) AS containment
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE p.n_shared >= 2
+      ORDER BY doc_a, doc_b"""
+
   /** Embedding-cosine near-duplicate detection over sorted-neighbor
     * pairs; cosine folded sequentially in double precision so the
     * oracle's index-ordered sum matches bit-for-bit. */

@@ -251,4 +251,46 @@ class DedupSpec extends SparkSpec {
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     assert(Dedup.embedNeardup(spark, sfDir).count() == n - 1)
   }
+
+  test("winnowing guarantee: a shared substring of length >= k+w-1 " +
+       "always yields a shared fingerprint, regardless of position") {
+    import spark.implicits._
+    // the shared block is k+w-1 = 31 chars, embedded at DIFFERENT
+    // offsets inside otherwise-unrelated padding; winnowing's window
+    // min is position-independent, so the pair must surface
+    val shared = "the quick brown fox jumps today" // 31 chars
+    val pad1 = "a" * 40 + "completely different lead-in text here"
+    val pad2 = "unrelated opening that shares nothing at all " + "z" * 40
+    val docs = Seq(
+      (1L, pad1 + shared + "trailing one"),
+      (2L, pad2 + shared + " other tail"),
+      (3L, "this document shares no thirty-one character block with any " +
+        "other and is long enough to fingerprint on its own")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowFingerprint(docs).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"planted pair not found: ${pairs.mkString(",")}")
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L),
+      s"unrelated doc matched: ${pairs.mkString(",")}")
+  }
+
+  test("winnowing hot-fingerprint cap drops corpus-wide boilerplate " +
+       "before the quadratic pair fan-out") {
+    import spark.implicits._
+    val boiler = "standard footer all documents carry verbatim every time"
+    // 40 docs sharing ONLY boilerplate: with cap below 40 the shared
+    // fingerprints are dropped, so no pair may surface
+    // leads must share no 31-char block with EACH OTHER (an earlier
+    // draft used an "x"*i run — its common suffix was itself a shared
+    // substring among subsets of docs, a correct match, not a cap leak)
+    val docs = (1L to 40L).map(i =>
+      (i, s"lead ${i * 7919} mark ${i * 104729} v${i * 13} " + boiler))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowFingerprint(docs, cap = 10).collect()
+    assert(capped.isEmpty,
+      s"boilerplate-only pairs survived the cap: ${capped.length}")
+    // and with the cap relaxed the same corpus explodes into pairs —
+    // the cap, not selectivity, is what bounded it
+    assert(Dedup.winnowFingerprint(docs, cap = 64).count() > 100)
+  }
 }
