@@ -107,6 +107,7 @@ object SparkEntry {
     "d10_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     "d11_winnow_fingerprint" ->
       ((s: SparkSession, d: String) => Dedup.winnowFingerprint(s, d)),
+    "g1_pagerank" -> ((s: SparkSession, d: String) => Graph.g1Pagerank(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -925,6 +926,7 @@ object SparkEntry {
     "b4_banded_align" -> graft.operators.Dedup.b4OracleSql(),
     "d10_source_overlap" -> graft.operators.Dedup.d10OracleSql,
     "d11_winnow_fingerprint" -> graft.operators.Dedup.d11OracleSql,
+    "g1_pagerank" -> graft.operators.Graph.g1OracleSql(),
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
