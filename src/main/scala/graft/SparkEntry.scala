@@ -115,6 +115,8 @@ object SparkEntry {
     "s4_ann_pq" -> (Similarity.annPq _),
     "s6_ann_rerank" -> (Similarity.annRerank _),
     "s5_ann_filtered" -> (Similarity.annFiltered _),
+    "s7_range_search" -> (Similarity.rangeSearch _),
+    "s8_maxsim" -> (Similarity.maxSim _),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m3_image_decode" ->
       ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
@@ -927,6 +929,8 @@ object SparkEntry {
     "d10_source_overlap" -> graft.operators.Dedup.d10OracleSql,
     "d11_winnow_fingerprint" -> graft.operators.Dedup.d11OracleSql,
     "g1_pagerank" -> graft.operators.Graph.g1OracleSql(),
+    "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
+    "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

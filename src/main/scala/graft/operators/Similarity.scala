@@ -712,4 +712,132 @@ object Similarity {
       SELECT q_id, c_id, rnk, round(approx_d2, 6) AS approx_d2
       FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
+
+  /** s7: range (radius) search — every corpus vector within a cosine
+    * threshold of each query. The retrieval primitive for "find ALL
+    * sufficiently-similar items" (dedup candidate recall, cluster
+    * seeding), where top-k's fixed budget either truncates dense
+    * neighbourhoods or pads sparse ones with junk. Scale shape: a
+    * broadcast of the query set, ONE scored corpus scan, and the
+    * threshold applied right in the scan projection — no per-query
+    * total order exists, so unlike s1 there is no window and no
+    * corpus-scale shuffle at all (only the tiny result sort). */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame =
+    rangeSearch(Tables.parallel(Tables.load(spark, dir, "embeddings")), 0.3)
+
+  def rangeSearch(e: DataFrame, tau: Double): DataFrame = {
+    val spark = e.sparkSession
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("score"))
+      .orderBy("q_id", "c_id")
+  }
+
+  /** DuckDB oracle for [[rangeSearch]] — s1's norms/dots CTEs with the
+    * threshold in place of the rank cut. */
+  def s7OracleSql(tau: Double = 0.3): String = s"""
+      WITH norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.embedding AS qv, c.embedding AS cv
+        FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs)
+        GROUP BY q_id, c_id),
+      scored AS (
+        SELECT d.q_id, d.c_id, d.dt / (nq.nrm * nc.nrm) AS cos
+        FROM dots d JOIN norms nq ON nq.vec_id = d.q_id
+        JOIN norms nc ON nc.vec_id = d.c_id)
+      SELECT q_id, c_id, round(cos, 6) AS score
+      FROM scored WHERE cos >= $tau ORDER BY q_id, c_id"""
+
+  /** s8: multi-vector late-interaction scoring (ColBERT's MaxSim) —
+    * each vector is treated as [[MsTok]] token sub-vectors of
+    * [[MsDim]] dims; score(q, d) = Σ_i max_j cos(q_i, d_j). The
+    * ranking primitive of every late-interaction retrieval stack,
+    * where per-token matching beats single-vector cosine on partial
+    * overlap. Here the token vectors are contiguous slices of the
+    * stored embedding (the corpus has one vector per doc); a corpus
+    * with a real token-matrix column plugs into the same expression.
+    *
+    * Scale shape: the whole MaxSim (token norms + MsTok² sub-cosines +
+    * max/Σ folds) is ONE in-row projection over a broadcast query set
+    * — no explode, no shuffle — followed by the native TopKPerGroup
+    * plan (map-side per-query heaps, ≤ k·queries rows shuffled, no
+    * WindowExec total sort). Every fold runs in index order from the
+    * same initial value, so the DuckDB oracle reproduces the score
+    * bit-for-bit. */
+  val MsTok = 8
+  val MsDim = 8
+
+  def maxSim(spark: SparkSession, dir: String): DataFrame =
+    maxSim(Tables.parallel(Tables.load(spark, dir, "embeddings")), AnnK)
+
+  def maxSim(e: DataFrame, k: Int): DataFrame = {
+    val (nT, d) = (MsTok, MsDim)
+    // per-token norms, computed once per side in the same projection
+    def norms(v: String) = s"""transform(sequence(0, ${nT - 1}), i ->
+      sqrt(aggregate(sequence(1, $d), cast(0.0 as double),
+        (a, t) -> a + element_at($v, i * $d + t) * element_at($v, i * $d + t))))"""
+    val vecs = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), expr(norms("v")).as("nm"))
+    val q = broadcast(vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qd"), col("nm").as("qn")))
+    val c = vecs.select(col("vec_id").as("c_id"), col("v").as("cd"),
+      col("nm").as("cn"))
+    val ms = s"""aggregate(sequence(0, ${nT - 1}), cast(0.0 as double),
+      (acc, i) -> acc + array_max(transform(sequence(0, ${nT - 1}), j ->
+        aggregate(sequence(1, $d), cast(0.0 as double),
+          (a, t) -> a + element_at(qd, i * $d + t) * element_at(cd, j * $d + t))
+        / (element_at(qn, i + 1) * element_at(cn, j + 1)))))"""
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), expr(ms).as("ms"))
+    graft.plans.TopK.perGroup(scored, Seq("q_id"),
+        Seq(("ms", false), ("c_id", true)), k)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        round(col("ms"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[maxSim]] — identical index-ordered folds over
+    * the flat vectors (list_reduce with the same initial value, same
+    * element order), list_max for the per-token max. */
+  def s8OracleSql(k: Int = AnnK): String = {
+    val (nT, d) = (MsTok, MsDim)
+    s"""
+      WITH vecs AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      withn AS MATERIALIZED (
+        SELECT vec_id, v, list_transform(generate_series(0, ${nT - 1}), i ->
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, $d),
+              t -> v[i * $d + t] * v[i * $d + t])), (a, x) -> a + x))) AS nm
+        FROM vecs),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(0, ${nT - 1}), i ->
+              list_max(list_transform(generate_series(0, ${nT - 1}), j ->
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, $d),
+                    t -> q.v[i * $d + t] * c.v[j * $d + t])), (a, x) -> a + x)
+                / (q.nm[i + 1] * c.nm[j + 1]))))), (acc, x) -> acc + x) AS ms
+        FROM withn q, withn c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      ranked AS (
+        SELECT q_id, c_id, ms,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY ms DESC, c_id) AS INT) AS rnk
+        FROM scored)
+      SELECT q_id, c_id, rnk, round(ms, 6) AS score
+      FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+  }
 }

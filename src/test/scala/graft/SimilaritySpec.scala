@@ -334,4 +334,55 @@ class SimilaritySpec extends SparkSpec {
     val c = df.select(VectorFunctions.cosine(col("a"), col("a"))).head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("range search returns exactly the above-threshold subset of " +
+       "brute-force scores") {
+    val all = Similarity.rangeSearch(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(all.nonEmpty)
+    assert(all.values.forall(_ >= 0.3), "a below-threshold pair leaked")
+    // cross-check against the independently-ranked s1 result: every
+    // brute-force top-10 hit for queries 0..4 scoring >= tau must be
+    // in the range result with the same score
+    Similarity.annBruteforce(spark, sfDir).collect()
+      .filter(r => r.getDouble(3) >= 0.3)
+      .foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        assert(all.get(key).contains(r.getDouble(3)),
+          s"s1 hit $key missing or score drifted in range result")
+      }
+  }
+
+  test("maxsim is invariant to token permutation where full-vector " +
+       "cosine is not — the late-interaction property") {
+    import spark.implicits._
+    val a = (1 to 64).map(i => (i % 13 + 1).toFloat).toArray
+    // b = a with its 8 token blocks rotated by one position
+    val b = (a.slice(8, 64) ++ a.slice(0, 8))
+    val e = Seq((0L, a), (1L, b), (2L, a.map(x => (x * 0.5f + 3f))))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.maxSim(e, 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // every token of a exists verbatim in b => maxsim(a, b) is the
+    // perfect 8.0 even though the vectors differ elementwise
+    assert(res((0L, 1L)) == 8.0, s"permuted twin scored ${res((0L, 1L))}")
+    val cosAB = e.filter(col("vec_id") === 1).select(
+      graft.GraftFunctions.cosineSim(spark, lit(a).cast("array<float>"),
+        col("embedding"))).head().getDouble(0)
+    assert(cosAB < 0.999, s"full-vector cosine should break under permutation, got $cosAB")
+  }
+
+  test("maxsim ranks k per query through the native top-k plan") {
+    val res = Similarity.maxSim(spark, sfDir).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).toSeq.sorted == (1 to 10))
+      val scores = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+    val plan = Similarity.maxSim(spark, sfDir).queryExecution.executedPlan
+    assert(!plan.toString.contains("Window"),
+      "maxsim must rank through TopKPerGroup, not a window total sort")
+  }
 }
