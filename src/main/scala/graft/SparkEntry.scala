@@ -135,6 +135,8 @@ object SparkEntry {
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e11_event_gaps" -> (Events.interEventGaps _),
+    "e14_path_topk" -> (Events.pathTopk _),
+    "e15_cohort_value" -> (Events.cohortValue _),
     "e3_props_json" -> (Events.propsJson _),
     "e4_rolling_avg" -> (Events.rollingAvg _),
     "e7_retention" -> (Events.retention _),
@@ -1041,6 +1043,8 @@ object SparkEntry {
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
     "e11_event_gaps" -> Events.e11OracleSql,
+    "e14_path_topk" -> Events.e14OracleSql(),
+    "e15_cohort_value" -> Events.e15OracleSql,
     "e2_sessionize" -> """
       WITH ev AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,

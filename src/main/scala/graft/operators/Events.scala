@@ -575,4 +575,114 @@ object Events {
         CAST(max(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
       FROM gaps WHERE gap_us IS NOT NULL
       GROUP BY event_type ORDER BY event_type"""
+
+  /** e14: top-k behavioural paths — the most frequent event-type
+    * trigrams WITHIN a session (e2's 30-minute-gap sessions). The
+    * sequence-mining query product teams run to find dominant flows
+    * and funnel candidates. Scale shape: session labelling and the
+    * two leads share ONE user_id shuffle (the trigram window is a
+    * refinement of the session window's partitioning); the trigram
+    * aggregate is bounded by |event_types|³, and the final top-k
+    * sorts only that tiny frame. Counts are integers — exact. */
+  def pathTopk(spark: SparkSession, dir: String): DataFrame =
+    pathTopk(Tables.load(spark, dir, "events"), 20)
+
+  def pathTopk(events: DataFrame, k: Int): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val bySess = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("e2", lead(col("event_type"), 1).over(bySess))
+      .withColumn("e3", lead(col("event_type"), 2).over(bySess))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[pathTopk]]. */
+  def e14OracleSql(k: Int = 20): String = s"""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          CAST(ts AS TIMESTAMP) AS tss
+        FROM events),
+      lagged AS (
+        SELECT *, us - lag(us) OVER (PARTITION BY user_id
+          ORDER BY tss, event_id) AS gap
+        FROM ev),
+      sess AS (
+        SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800000000
+            THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY tss, event_id) AS session_id
+        FROM lagged),
+      tri AS (
+        SELECT event_type AS e1,
+          lead(event_type, 1) OVER w AS e2,
+          lead(event_type, 2) OVER w AS e3
+        FROM sess
+        WINDOW w AS (PARTITION BY user_id, session_id ORDER BY tss, event_id))
+      SELECT e1, e2, e3, count(*) AS n
+      FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+      ORDER BY n DESC, e1, e2, e3 LIMIT $k"""
+
+  /** e15: cohort value matrix — users cohorted by first-seen WEEK
+    * (both engines truncate weeks to Monday; the corpus spans ~a
+    * month, so month cohorts would collapse to one cell), value
+    * accumulated per (cohort, weeks-since) cell. The retention-revenue
+    * triangle every growth team reads. Age is integer day arithmetic
+    * on week-aligned dates (exactly divisible by 7 — no fractional
+    * cross-engine semantics); value sums go through DECIMAL
+    * (order-independent, oracle-exact). Scale shape: one user_id
+    * shuffle to pin each user's cohort (first event), then the cell
+    * aggregate over (cohort, age) — dimension-bounded output, no
+    * fact-side join. */
+  def cohortValue(spark: SparkSession, dir: String): DataFrame =
+    cohortValue(Tables.load(spark, dir, "events"))
+
+  def cohortValue(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("first_ts", first(col("ts")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cw", date_trunc("week", col("first_ts")).cast("date"))
+      .withColumn("ew", date_trunc("week", col("ts")).cast("date"))
+      .withColumn("cohort_week", date_format(col("cw"), "yyyy-MM-dd"))
+      .withColumn("age_weeks",
+        (datediff(col("ew"), col("cw")) / 7).cast("long"))
+      .groupBy("cohort_week", "age_weeks")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Dec.dsum(col("value")).as("total_value"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
+  /** DuckDB oracle for [[cohortValue]]. */
+  def e15OracleSql: String = """
+      WITH ev AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS tss
+        FROM events),
+      cohorted AS (
+        SELECT *, first_value(tss) OVER (PARTITION BY user_id
+          ORDER BY tss, event_id) AS first_ts
+        FROM ev)
+      SELECT strftime(CAST(date_trunc('week', first_ts) AS DATE),
+          '%Y-%m-%d') AS cohort_week,
+        CAST(date_diff('day', CAST(date_trunc('week', first_ts) AS DATE),
+          CAST(date_trunc('week', tss) AS DATE)) // 7 AS BIGINT) AS age_weeks,
+        count(*) AS n_events,
+        count(DISTINCT user_id) AS n_users,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM cohorted
+      GROUP BY 1, 2 ORDER BY 1, 2"""
 }

@@ -389,4 +389,41 @@ class PipelineOpsSpec extends SparkSpec {
       ("e", 1L, 1L, r6(math.log(3.0))))
     assert(got.toSeq == exp, s"got ${got.toSeq}")
   }
+
+  test("path trigrams respect session boundaries: a 30-min gap cuts the path") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // one user, four events; the >30-min gap after event 2 must forbid
+    // any trigram spanning it — so only (a,b,c) from the second session
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (2L, t("2024-01-01 10:05:00"), 1L, "b", 0.0),
+      (3L, t("2024-01-01 11:00:00"), 1L, "a", 0.0),
+      (4L, t("2024-01-01 11:01:00"), 1L, "b", 0.0),
+      (5L, t("2024-01-01 11:02:00"), 1L, "c", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Events.pathTopk(ev, 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "b", "c", 1L)),
+      s"trigram crossed a session boundary: ${got.toSeq}")
+  }
+
+  test("cohort triangle: a user's value lands in their first-seen week's row") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 first seen Mon Jan 1 (week 2024-01-01), active again 2
+    // weeks later; user 2 first seen the following week
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "a", 10.0),
+      (2L, t("2024-01-15 10:00:00"), 1L, "a", 5.0),
+      (3L, t("2024-01-10 10:00:00"), 2L, "a", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Events.cohortValue(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 1L, 1L, 10.0),
+      ("2024-01-01", 2L, 1L, 1L, 5.0),
+      ("2024-01-08", 0L, 1L, 1L, 7.0)), s"bad triangle: ${got.toSeq}")
+  }
 }
