@@ -132,6 +132,8 @@ object SparkEntry {
     "x4_export_krona" -> ((s: SparkSession, d: String) => graft.sources.Export.kronaTsv(s, d)),
     "x5_scd2_merge" -> (graft.sources.Ingest.x5Scd2 _),
     "x6_export_jsonl" -> ((s: SparkSession, d: String) => graft.sources.Export.jsonlShards(s, d)),
+    "x7_compaction" -> ((s: SparkSession, d: String) => graft.sources.Export.compact(s, d)),
+    "t17_surprisal" -> (TextOps.surprisal _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e11_event_gaps" -> (Events.interEventGaps _),
@@ -933,6 +935,8 @@ object SparkEntry {
     "g1_pagerank" -> graft.operators.Graph.g1OracleSql(),
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
     "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),
+    "x7_compaction" -> graft.sources.Export.x7OracleSql,
+    "t17_surprisal" -> graft.operators.TextOps.t17OracleSql,
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

@@ -676,4 +676,68 @@ object TextOps {
         round(CAST(s['n_tokens'] AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
         round(sqrt(CAST(s['n_tokens'] AS DOUBLE) / CAST(t AS DOUBLE)) / wsum, 6) AS weight
       FROM u ORDER BY source"""
+
+  /** t17: unigram surprisal scoring — each doc's mean -ln p(token)
+    * under the corpus unigram model. The cheap statistical proxy for
+    * "model perplexity" quality filters (CCNet-style): very LOW
+    * surprisal means the doc is built from the corpus's most common
+    * tokens (boilerplate, repetition); very high means out-of-
+    * distribution noise. Scale shape: token counts are the t10/t14
+    * aggregates (term-key shuffles bounded by vocabulary); the
+    * per-doc sum folds the (term, contribution) list in term order —
+    * the repo's index-order-fold discipline — so engine and oracle
+    * execute the same IEEE sequence up to ln()'s libm ulp, absorbed
+    * by t14's round-before-compare rule. The low_info flag compares
+    * the ROUNDED score so the cut is boundary-stable cross-engine (3.4 sits at this corpus 25th pctile, so the flag genuinely splits). */
+  def surprisal(spark: SparkSession, dir: String): DataFrame =
+    surprisal(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def surprisal(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val tot = cf.agg(sum(col("cnt")).as("t_tokens"))
+    tf.join(cf, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib", col("tf").cast("double") *
+        -log(col("cnt").cast("double") / col("t_tokens").cast("double")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib"))))
+          .as("cs"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("contrib"))
+          / col("n_tokens").cast("double"), 6).as("surprisal"))
+      .withColumn("low_info", col("surprisal") < 3.4)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[surprisal]] — identical term-ordered fold. */
+  def t17OracleSql: String = """
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      cf AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+      tot AS (SELECT sum(cnt) AS t_tokens FROM cf),
+      contribs AS (
+        SELECT doc_id, term,
+          CAST(tf AS DOUBLE)
+            * -ln(CAST(cnt AS DOUBLE) / CAST(t_tokens AS DOUBLE)) AS contrib,
+          tf
+        FROM tf JOIN cf USING (term), tot),
+      perdoc AS (
+        SELECT doc_id,
+          list_transform(list_sort(list(struct_pack(term := term,
+            contrib := contrib))), s -> s['contrib']) AS cs,
+          CAST(sum(tf) AS BIGINT) AS n_tokens
+        FROM contribs GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
+            (acc, x) -> acc + x)
+          / CAST(n_tokens AS DOUBLE), 6) AS surprisal,
+        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
+            (acc, x) -> acc + x)
+          / CAST(n_tokens AS DOUBLE), 6) < 3.4 AS low_info
+      FROM perdoc ORDER BY doc_id"""
 }

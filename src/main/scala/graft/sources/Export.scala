@@ -260,4 +260,59 @@ object Export {
           ((doc_id % 1000000000) * 2654435761) % 2147483647 % $nShards AS shard
         FROM documents) t
       GROUP BY shard ORDER BY shard"""
+
+  /** x7: small-file compaction — THE lakehouse maintenance op for any
+    * streaming- or micro-batch-ingested table (thousands of KB-sized
+    * files rot scan throughput: per-file open cost, starved row-group
+    * pruning, NameNode/listing pressure). Stage 1 deliberately writes
+    * the table fragmented ([[FragFiles]] files); stage 2 compacts by
+    * re-reading and writing ceil(rows / [[RowsPerFile]]) files via
+    * coalesce() — a NARROW dependency, no shuffle (repartition would
+    * pay one; compaction wants pure fan-in; the skew a coalesce can
+    * inherit is bounded here because the fragments are round-robin).
+    * Real deployments size by bytes; rows keep the file count
+    * oracle-derivable. The correctness gate is x6's discipline: the
+    * manifest (counts, char totals, a doc_id×n_chars content
+    * signature) is recomputed from the RE-READ compacted output and
+    * must equal the oracle's manifest from the source table — plus
+    * both physical file counts, which the oracle derives arithmetically. */
+  val FragFiles = 64
+  val RowsPerFile = 128
+
+  def compact(spark: SparkSession, dir: String,
+      outPath: String = null): DataFrame = {
+    val frag = resolve(spark, outPath, "x7_frag")
+    val comp = resolve(spark, outPath, "x7_compact") + "_out"
+    def countFiles(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(path).count(_.getPath.getName.startsWith("part-")).toLong
+    }
+    Tables.load(spark, dir, "documents")
+      .repartition(FragFiles)
+      .write.mode("overwrite").parquet(frag)
+    val before = countFiles(frag)
+    val reread = spark.read.parquet(frag)
+    val n = reread.count()
+    val nAfter = math.max(1L, (n + RowsPerFile - 1) / RowsPerFile).toInt
+    reread.coalesce(nAfter).write.mode("overwrite").parquet(comp)
+    val after = countFiles(comp)
+    spark.read.parquet(comp)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        sum(col("doc_id") * col("n_chars")).as("content_sig"))
+      .select(lit(before).as("n_files_before"), lit(after).as("n_files_after"),
+        col("n_docs"), col("total_chars"), col("content_sig"))
+  }
+
+  /** DuckDB oracle for [[compact]]: the manifest from the source table
+    * plus the arithmetically-derived file counts. */
+  def x7OracleSql: String = s"""
+      SELECT CAST($FragFiles AS BIGINT) AS n_files_before,
+        CAST(greatest(1, (count(*) + ${RowsPerFile - 1}) // $RowsPerFile)
+          AS BIGINT) AS n_files_after,
+        count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        CAST(sum(doc_id * n_chars) AS BIGINT) AS content_sig
+      FROM documents"""
 }

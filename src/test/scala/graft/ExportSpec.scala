@@ -129,4 +129,23 @@ class ExportSpec extends SparkSpec {
       .filter(col("text") =!= col("t0")).count()
     assert(diff == 0, s"$diff docs mutated in the JSON round trip")
   }
+
+  test("compaction collapses the fragmented table without losing a row") {
+    val m = graft.sources.Export.compact(spark, sfDir).head()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    assert(m.getLong(0) == graft.sources.Export.FragFiles,
+      s"fragment stage wrote ${m.getLong(0)} files")
+    val expAfter = math.max(1L,
+      (n + graft.sources.Export.RowsPerFile - 1) / graft.sources.Export.RowsPerFile)
+    assert(m.getLong(1) == expAfter,
+      s"compacted to ${m.getLong(1)} files, want $expAfter")
+    assert(m.getLong(1) < m.getLong(0), "compaction did not reduce file count")
+    // manifest equals a direct source-side computation (nothing lost
+    // or duplicated through the write→read→write→read chain)
+    val src = docs.agg(count(lit(1)), sum(length(col("text"))),
+      sum(col("doc_id") * col("n_chars"))).head()
+    assert(m.getLong(2) == src.getLong(0) && m.getLong(3) == src.getLong(1)
+      && m.getLong(4) == src.getLong(2), s"manifest drifted: $m vs $src")
+  }
 }

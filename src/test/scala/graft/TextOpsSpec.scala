@@ -134,4 +134,20 @@ class TextOpsSpec extends SparkSpec {
     assert(weightRatio <= shareRatio + 1e-9,
       f"temperature did not flatten: weight ratio $weightRatio%.3f vs share $shareRatio%.3f")
   }
+
+  test("surprisal orders common-token docs below rare-token docs") {
+    import spark.implicits._
+    // 10 docs of a dominant token, one doc of hapaxes: the boilerplate
+    // doc must score strictly lower (its tokens are corpus-common)
+    val docs = ((1L to 10L).map(i => (i, "common common common common")) :+
+      (99L, "zephyr quixotic ineffable brouhaha")).toDF("doc_id", "text")
+    val res = graft.operators.TextOps.surprisal(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(res(1L) < res(99L),
+      s"common-token doc ${res(1L)} not below rare-token doc ${res(99L)}")
+    // mean -ln p of the all-common doc: p = 40/44, surprisal = ln(44/40)
+    val exp = BigDecimal(math.log(44.0 / 40.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res(1L) == exp, s"got ${res(1L)}, want $exp")
+  }
 }
