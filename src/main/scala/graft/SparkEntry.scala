@@ -108,6 +108,7 @@ object SparkEntry {
     "d11_winnow_fingerprint" ->
       ((s: SparkSession, d: String) => Dedup.winnowFingerprint(s, d)),
     "g1_pagerank" -> ((s: SparkSession, d: String) => Graph.g1Pagerank(s, d)),
+    "g2_components" -> ((s: SparkSession, d: String) => Graph.g2Components(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -933,6 +934,7 @@ object SparkEntry {
     "d10_source_overlap" -> graft.operators.Dedup.d10OracleSql,
     "d11_winnow_fingerprint" -> graft.operators.Dedup.d11OracleSql,
     "g1_pagerank" -> graft.operators.Graph.g1OracleSql(),
+    "g2_components" -> graft.operators.Graph.g2OracleSql(),
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
     "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),
     "x7_compaction" -> graft.sources.Export.x7OracleSql,

@@ -145,4 +145,111 @@ object Graph {
       FROM (SELECT r FROM pr WHERE k = $iters) f,
         inm, (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t
       ORDER BY doc_id"""
+
+  /** g2: connected components over the same derived link graph,
+    * undirected — min-label propagation, the standard massive-graph
+    * CC algorithm (HashToMin family): every step each node takes the
+    * min of its own label and its neighbours'. All-integer state ⇒
+    * EXACT, no float discipline needed at all.
+    *
+    * Scale shape: the undirected adjacency is materialized once,
+    * partitioned by src, and pinned; each step is one join + one
+    * min-aggregate shuffle; labels checkpoint on the g1 cadence. The
+    * step count is FIXED at [[CcIters]] (both engines run exactly
+    * that many, so the oracle agrees by construction even mid-
+    * convergence) and the engine additionally asserts a fixpoint was
+    * reached — min-label needs ≤ diameter steps, and this 3-regular
+    * random digraph's undirected diameter is O(log n), far under the
+    * budget. A graph that genuinely needed more steps fails loudly
+    * rather than returning unconverged labels. */
+  val CcIters = 24
+
+  def g2Components(spark: SparkSession, dir: String,
+                   iters: Int = CcIters): DataFrame =
+    g2Components(Tables.load(spark, dir, "documents"), iters)
+
+  def g2Components(docs0: DataFrame, iters: Int): DataFrame = {
+    val docs = docs0.select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g2 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    val fwd = docs
+      .select(col("doc_id").as("src"),
+        explode(expr(s"sequence(1, $OutDeg)")).as("j"))
+      .withColumn("dst0", pmod(
+        pmod(col("src") * 7 + col("j"), lit(1000000000L)) * lit(2654435761L),
+        lit(2147483647L)) % n)
+      .withColumn("dst", when(col("dst0") === col("src"),
+        pmod(col("dst0") + 1, lit(n))).otherwise(col("dst0")))
+      .select(col("src"), col("dst"))
+    val und = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      // a self-edge per node keeps every node in the propagation
+      // aggregate (the sentinel idiom) and carries its own label
+      .unionByName(docs.select(col("doc_id").as("src"),
+        col("doc_id").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("label"))
+    for (t <- 1 to iters) {
+      val next = und
+        .join(labels, col("src") === col("v"))
+        .groupBy(col("dst"))
+        .agg(min(col("label")).as("label"))
+        .select(col("dst").as("v"), col("label"))
+      labels = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+    }
+    // convergence gate: one more step must change nothing
+    val again = und.join(labels, col("src") === col("v"))
+      .groupBy(col("dst")).agg(min(col("label")).as("l2"))
+      .join(labels, col("dst") === col("v"))
+      .filter(col("l2") =!= col("label")).count()
+    require(again == 0L,
+      s"min-label propagation not converged after $iters steps")
+    labels.groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"),
+        max(col("v")).as("max_doc"))
+      .orderBy("component")
+  }
+
+  /** DuckDB oracle for [[g2Components]] — the same fixed-step min-
+    * label propagation over a single list-valued row. */
+  def g2OracleSql(iters: Int = CcIters): String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      und AS MATERIALIZED (
+        SELECT src, dst FROM fwd
+        UNION ALL SELECT dst, src FROM fwd
+        UNION ALL SELECT doc_id, doc_id FROM documents),
+      adj AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(dst := dst, ns := ns))),
+          s -> s['ns']) AS m
+        FROM (SELECT dst, list(DISTINCT src) AS ns FROM und GROUP BY dst) g),
+      cc AS (
+        SELECT 0 AS k,
+          list_transform(generate_series(1, ni), i -> i - 1) AS lab
+        FROM nn
+        UNION ALL
+        SELECT k + 1,
+          list_transform(generate_series(1, ni), v ->
+            list_reduce(list_transform(adj.m[v], u ->
+              cc.lab[CAST(u AS INT) + 1]), (a, b) -> least(a, b)))
+        FROM cc, nn, adj WHERE k < $iters)
+      SELECT label AS component, count(*) AS n_members,
+        min(v) AS min_doc, max(v) AS max_doc
+      FROM (
+        SELECT i - 1 AS v, f.lab[i] AS label
+        FROM (SELECT lab FROM cc WHERE k = $iters) f,
+          (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
+      GROUP BY component ORDER BY component"""
 }

@@ -63,4 +63,42 @@ class GraphSpec extends SparkSpec {
       Graph.g1Pagerank(sparse, 2).collect()
     }
   }
+
+  /** Union-find over the derived edges — an independent CC algorithm
+    * (not label propagation) to pin the engine against. */
+  private def referenceComponents(n: Int): Map[Long, Seq[Long]] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    def union(a: Int, b: Int): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (src <- 0 until n; j <- 1 to Graph.OutDeg) {
+      val dst0 = ((((src.toLong * 7 + j) % 1000000000L) * 2654435761L)
+        % 2147483647L % n).toInt
+      union(src, if (dst0 == src) (dst0 + 1) % n else dst0)
+    }
+    (0 until n).groupBy(v => find(v).toLong)
+      .map { case (c, vs) => c -> vs.map(_.toLong).sorted.toSeq }
+  }
+
+  test("components match an independent union-find on small graphs") {
+    import spark.implicits._
+    for (n <- Seq(4, 11, 23)) {
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val got = Graph.g2Components(docs, Graph.CcIters).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val want = referenceComponents(n).toSeq.sortBy(_._1)
+        .map { case (c, vs) => (c, vs.size.toLong, vs.min, vs.max) }
+      assert(got.toSeq == want, s"n=$n: got ${got.toSeq}, want $want")
+    }
+  }
+
+  test("component propagation fails loudly when the step budget is too small") {
+    import spark.implicits._
+    // 1 step cannot close a graph whose diameter exceeds 1
+    val docs = (0L until 64L).toDF("doc_id")
+    assertThrows[IllegalArgumentException] {
+      Graph.g2Components(docs, 1).collect()
+    }
+  }
 }
