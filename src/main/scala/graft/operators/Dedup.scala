@@ -894,9 +894,11 @@ object Dedup {
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprint(Tables.parallel(Tables.load(spark, dir, "documents")))
 
-  def winnowFingerprint(docs: DataFrame, k: Int = 24, w: Int = 8,
-                        cap: Int = 32): DataFrame = {
-    val perFp = docs
+  /** The winnow selection stage alone — gram hashing and window-min
+    * selection in one in-row projection, fingerprints exploded at the
+    * end (PlanSpec gates the zero-shuffle claim on this frame). */
+  private[graft] def winnowFps(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs
       .filter(length(col("text")) >= k)
       .select(col("doc_id"), expr(
         s"""transform(sequence(1, greatest(length(text) - ${k - 1}, 1)),
@@ -905,6 +907,10 @@ object Dedup {
         s"""array_distinct(transform(
            |  sequence(1, greatest(size(g) - ${w - 1}, 1)),
            |  j -> array_min(slice(g, j, $w))))""".stripMargin)).as("fp"))
+
+  def winnowFingerprint(docs: DataFrame, k: Int = 24, w: Int = 8,
+                        cap: Int = 32): DataFrame = {
+    val perFp = winnowFps(docs, k, w)
       .groupBy("fp")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) <= cap)

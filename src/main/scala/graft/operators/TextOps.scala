@@ -693,8 +693,14 @@ object TextOps {
     surprisal(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def surprisal(docs: DataFrame): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // the per-doc term profile feeds BOTH the corpus model (cf/tot)
+    // and the scoring join; checkpoint it so the corpus scan and the
+    // (doc, term) aggregation run once, not once per consumer (the
+    // alias-renamed consumers would defeat exchange reuse — d10's
+    // lesson; one materialization beats two corpus aggregations)
+    val tf = graft.Ckpt(
+      docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val cf = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
     val tot = cf.agg(sum(col("cnt")).as("t_tokens"))
     tf.join(cf, "term")

@@ -240,6 +240,62 @@ class PlanSpec extends SparkSpec {
       "q42 medians not broadcast")
   }
 
+  test("late-r7 operators: shuffle budgets hold, no cartesians, " +
+       "windows and heavy folds stay in-row") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
+      // d11: fingerprint groupBy + pair aggregate (+ output sort);
+      // winnow selection itself must be in-row (asserted below)
+      ("d11", graft.operators.Dedup.winnowFingerprint(docs), 4),
+      // s7: broadcast queries + threshold in the scan — the result
+      // sort plus the two Tables.parallel small-table fan-outs (one
+      // per subtree; a no-op at real scale where the scan has splits)
+      ("s7", graft.operators.Similarity.rangeSearch(spark, sfDir), 3),
+      // s8: native top-k heap exchange + result sort + the two
+      // small-table fan-outs (see s7)
+      ("s8", graft.operators.Similarity.maxSim(spark, sfDir), 4),
+      // e14: user window + session window refine + trigram aggregate
+      ("e14", graft.operators.Events.pathTopk(spark, sfDir), 4),
+      // e15: user window + cell aggregate (+ distinct expand + sort)
+      ("e15", graft.operators.Events.cohortValue(spark, sfDir), 5),
+      // t17: tf/cf aggregates + term join + per-doc fold + sort
+      ("t17", graft.operators.TextOps.surprisal(docs), 6))
+    cases.foreach { case (name, df, maxSh) =>
+      val n = executedShuffles(df)
+      assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+    // s7 must NOT rank: no window, no TopK — the threshold is the cut
+    val s7p = graft.operators.Similarity.rangeSearch(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!s7p.contains("Window") && !s7p.contains("TopKPerGroup"),
+      "range search grew a ranking stage it does not need")
+    // d11's winnow selection is in-row: the fingerprint-extraction
+    // stage is a zero-shuffle projection ending in one explode (the
+    // full operator's plan hides it behind the pair-aggregate ckpt)
+    val fps = graft.operators.Dedup.winnowFps(docs, 24, 8)
+    assert(executedShuffles(fps) == 0,
+      "winnow selection shuffled before the fingerprint explode")
+    val d11p = fps.queryExecution.executedPlan.toString()
+    assert(d11p.contains("Generate"), "winnow fingerprints should explode in-row")
+  }
+
+  test("g1/g2: iterative graph plans stay checkpoint-bounded") {
+    // the visible plan hangs off the LAST checkpoint, so lineage (and
+    // shuffle count) must be bounded by the ckpt cadence, not by the
+    // total iteration count
+    val g1 = graft.operators.Graph.g1Pagerank(spark, sfDir)
+    val n1 = executedShuffles(g1)
+    assert(n1 <= 3 * graft.operators.Graph.CkptEvery + 2,
+      s"g1 lineage grew past the checkpoint cadence: $n1 shuffles")
+    val g2 = graft.operators.Graph.g2Components(spark, sfDir)
+    val n2 = executedShuffles(g2)
+    assert(n2 <= 3 * graft.operators.Graph.CkptEvery + 3,
+      s"g2 lineage grew past the checkpoint cadence: $n2 shuffles")
+  }
+
   test("b4: banded alignment reads the corpus exactly once") {
     // the first form consumed the TakeOrdered candidate subtree twice
     // (seed-diagonal derivation + final join) — two corpus scans; the
