@@ -123,6 +123,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
     "m5_audio_decode" ->
       ((s: SparkSession, d: String) => Multimodal.audioDecode(s, d)),
+    "m7_audio_features" ->
+      ((s: SparkSession, d: String) => Multimodal.audioFeatures(s, d)),
     "m6_video_frames" ->
       ((s: SparkSession, d: String) => Multimodal.videoDecode(s, d)),
     "m4_batch_shape" ->
@@ -939,6 +941,7 @@ object SparkEntry {
     "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),
     "x7_compaction" -> graft.sources.Export.x7OracleSql,
     "t17_surprisal" -> graft.operators.TextOps.t17OracleSql,
+    "m7_audio_features" -> graft.operators.Multimodal.m7OracleSql,
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

@@ -337,6 +337,102 @@ object Multimodal {
         AudioFeatures(row.doc_id, fmt.getSampleRate.toInt, channels,
           frames.toLong, s0, s1, hash)
       }
+
+    /** Goertzel energies over the decoded ch0 stream — integer
+      * recurrence, coefficient per [[GoertzelCoefs]]; see
+      * [[audioFeatures]]. */
+    def decodeGoertzel(rows: Iterator[AudioRow]): Iterator[AudioGoertzel] =
+      rows.map { row =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        val fmt = ais.getFormat
+        val channels = fmt.getChannels
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val frames = bytes.length / fmt.getFrameSize
+        val es = GoertzelCoefs.values.map { case (_, c) =>
+          var (s1, s2) = (0L, 0L)
+          var i = 0
+          while (i < frames) {
+            val off = i * channels * 2 // ch0 sample of frame i
+            val u = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+            val v = if (u >= 32768) u - 65536 else u
+            val s0 = v + c * s1 - s2
+            s2 = s1; s1 = s0
+            i += 1
+          }
+          s1 * s1 + s2 * s2 - c * s1 * s2
+        }
+        val dominant =
+          if (es(0) >= es(1) && es(0) >= es(2)) 0
+          else if (es(1) >= es(2)) 1 else 2
+        AudioGoertzel(row.doc_id, frames.toLong, es(0), es(1), es(2), dominant)
+      }
+  }
+
+  case class AudioGoertzel(doc_id: Long, n_samples: Long, e_res: Long,
+    e_quad: Long, e_anti: Long, dominant: Int)
+
+  /** m7: audio feature extraction — Goertzel tone energy at three
+    * fixed normalized frequencies over the REAL decoded ch0 PCM
+    * stream (the DSP stage between decode and an audio model:
+    * tone/voicing detection, DTMF-style band energy).
+    *
+    * The three bins are chosen so the Goertzel coefficient
+    * 2·cos(ω) ∈ {1, 0, −1} EXACTLY (ω = π/3, π/2, 2π/3): the
+    * recurrence s[i] = x[i] + c·s[i−1] − s[i−2] stays ALL-INTEGER —
+    * no cos() call, no libm ulp, no float discipline; |roots| = 1 so
+    * state grows at most linearly (≤ n·65535 ≈ 2²³ here), and the
+    * energy s₁² + s₂² − c·s₁·s₂ fits a BIGINT with room to spare. The
+    * oracle regenerates the samples analytically (m5's discipline)
+    * and replays the identical fold, so a decode bug OR a recurrence
+    * bug breaks the exact match. Scale shape: mapPartitions over the
+    * payload rows (the m3/m5/m6 sanctioned decode site), zero
+    * shuffle, O(n) per doc per bin. */
+  object GoertzelCoefs { val values: Seq[(String, Long)] =
+    Seq(("e_res", 1L), ("e_quad", 0L), ("e_anti", -1L)) }
+
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withAudioPayload(spark, Tables.parallel(Tables.load(spark, dir, "documents")))
+      .mapPartitions(AudioDecoder.decodeGoertzel)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[audioFeatures]] — the identical integer
+    * recurrence folded over the analytically-regenerated ch0 samples.
+    * The fold state rides a FLAT BIGINT list [s1, s2] (DuckDB 1.0's
+    * list_reduce drops LIST-valued STRUCT fields — the b4 finding —
+    * but plain list accumulators thread fine); elements arrive as
+    * 1-element lists so accumulator and element share a type. */
+  def m7OracleSql: String = {
+    def fold(c: Long) = s"""
+      list_reduce(list_prepend(CAST([0, 0] AS BIGINT[]),
+        list_transform(generate_series(0, CAST(n_samples - 1 AS INT)), i ->
+          CAST([CASE WHEN (doc_id * 31 + i * 13) % 65536 >= 32768
+                THEN (doc_id * 31 + i * 13) % 65536 - 65536
+                ELSE (doc_id * 31 + i * 13) % 65536 END] AS BIGINT[]))),
+        (acc, x) -> [x[1] + ($c) * acc[1] - acc[2], acc[1]])"""
+    val es = GoertzelCoefs.values.map { case (name, c) =>
+      s"""      ${name}s AS (
+        SELECT doc_id, s[1] * s[1] + s[2] * s[2] - ($c) * s[1] * s[2] AS $name
+        FROM (SELECT doc_id, ${fold(c)} AS s FROM dims) t)"""
+    }
+    s"""
+      WITH dims AS MATERIALIZED (
+        SELECT doc_id,
+          CAST(doc_id % $AudLenMod + $AudLenBase AS BIGINT) AS n_samples
+        FROM documents),
+${es.mkString(",\n")}
+      SELECT d.doc_id, d.n_samples, r.e_res, q.e_quad, a.e_anti,
+        CASE WHEN r.e_res >= q.e_quad AND r.e_res >= a.e_anti THEN 0
+             WHEN q.e_quad >= a.e_anti THEN 1 ELSE 2 END AS dominant
+      FROM dims d
+      JOIN e_ress r ON r.doc_id = d.doc_id
+      JOIN e_quads q ON q.doc_id = d.doc_id
+      JOIN e_antis a ON a.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
   }
 
   /** End-to-end audio pipeline: doc → WAV payload → AudioSystem decode

@@ -173,4 +173,34 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("text") =!= col("text2"))
     assert(back.count() == 0)
   }
+
+  test("goertzel energies equal an independent complex-DFT evaluation") {
+    import graft.operators.Multimodal
+    // Goertzel power at ω must equal |Σ x·e^{-jωi}|² — check the
+    // integer recurrence against direct complex arithmetic (an
+    // INDEPENDENT formulation, not the recurrence replayed) for the
+    // three ω with 2cos(ω) = 1, 0, -1
+    val res = Multimodal.audioFeatures(spark, sfDir)
+      .filter(col("doc_id") < 8).collect()
+    assert(res.length == 8)
+    res.foreach { r =>
+      val id = r.getLong(0); val n = r.getLong(1).toInt
+      val omegas = Seq(math.Pi / 3, math.Pi / 2, 2 * math.Pi / 3)
+      val expected = omegas.map { w =>
+        var (re, im) = (0.0, 0.0)
+        (0 until n).foreach { i =>
+          val u = Multimodal.sampleU16(id, 0, i)
+          val v = (if (u >= 32768) u - 65536 else u).toDouble
+          re += v * math.cos(w * i); im -= v * math.sin(w * i)
+        }
+        re * re + im * im
+      }
+      Seq(r.getLong(2), r.getLong(3), r.getLong(4)).zip(expected)
+        .zipWithIndex.foreach { case ((got, exp), k) =>
+          val rel = math.abs(got - exp) / math.max(1.0, math.abs(exp))
+          assert(rel < 1e-6,
+            s"doc $id bin $k: goertzel $got vs DFT $exp (rel $rel)")
+        }
+    }
+  }
 }
