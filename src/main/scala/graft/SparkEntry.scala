@@ -118,6 +118,7 @@ object SparkEntry {
     "s5_ann_filtered" -> (Similarity.annFiltered _),
     "s7_range_search" -> (Similarity.rangeSearch _),
     "s8_maxsim" -> (Similarity.maxSim _),
+    "d12_semdedup" -> (Similarity.semDedup _),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m3_image_decode" ->
       ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
@@ -942,6 +943,7 @@ object SparkEntry {
     "x7_compaction" -> graft.sources.Export.x7OracleSql,
     "t17_surprisal" -> graft.operators.TextOps.t17OracleSql,
     "m7_audio_features" -> graft.operators.Multimodal.m7OracleSql,
+    "d12_semdedup" -> graft.operators.Similarity.d12OracleSql(),
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

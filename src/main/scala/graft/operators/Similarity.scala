@@ -713,6 +713,106 @@ object Similarity {
       FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
 
+  /** d12: semantic dedup (SemDeDup, Abbas et al. 2023) — embedding
+    * near-duplicate removal made tractable by clustering FIRST: assign
+    * every vector to its nearest deterministic centroid (s3's
+    * zero-shuffle assignment), then compare pairs only WITHIN a cell
+    * and drop any doc with a lower-id near-twin at cosine ≥ τ. The
+    * quadratic pair work is bounded by cell size, not corpus size —
+    * the whole point of the algorithm; cross-cell near-twins are the
+    * accepted recall loss of that bound (the paper's trade).
+    * τ = 0.4 is corpus-calibrated (this synthetic embedding space
+    * tops out at 0.51 pairwise).
+    *
+    * Scale shape: the assignment frame is checkpointed (two self-join
+    * consumers would otherwise re-run the corpus × k argmin; at real
+    * scale it is WRITTEN partitioned by cell — s3's proven layout —
+    * making the self-join co-located), pairs shuffle on cell only,
+    * and the drop decision is a per-(cell, higher-id) aggregate. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.parallel(Tables.load(spark, dir, "embeddings")), 16, 0.4)
+
+  def semDedup(e: DataFrame, k: Int, tau: Double): DataFrame = {
+    val spark = e.sparkSession
+    val assigned = graft.Ckpt(ivfAssign(e, ivfCentroids(e, k)))
+    val a = assigned.select(col("cell"), col("c_id").as("a_id"),
+      col("cv").as("av"))
+    val b = assigned.select(col("cell"), col("c_id").as("b_id"),
+      col("cv").as("bv"))
+    val dups = a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        graft.GraftFunctions.cosineSim(spark, col("av"), col("bv")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("cell"), col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), max(col("cos")).as("max_cos"))
+    assigned.select(col("c_id").as("vec_id"), col("cell"))
+      .join(dups.select(col("b_id").as("vec_id"), col("dup_of"),
+        col("max_cos")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("keep"),
+        col("dup_of"), round(col("max_cos"), 6).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[semDedup]] — s3's assignment CTEs, the
+    * within-cell pair join, the same min/max drop aggregate. */
+  def d12OracleSql(k: Int = 16, tau: Double = 0.4): String = s"""
+      WITH sel AS (
+        SELECT vec_id, embedding,
+          ((vec_id % 1000000000) * 2654435761) % 2147483647 AS hsh
+        FROM embeddings),
+      cent AS (
+        SELECT cell, centv FROM (
+          SELECT row_number() OVER (ORDER BY hsh, vec_id) AS cell,
+                 embedding AS centv
+          FROM sel) t
+        WHERE cell <= $k),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      cnorm AS (
+        SELECT cell, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT cell, unnest(centv) AS x FROM cent) GROUP BY cell),
+      adots AS (
+        SELECT c_id, cell, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT e.vec_id AS c_id, c.cell, unnest(e.embedding) AS x, unnest(c.centv) AS y
+              FROM embeddings e, cent c) GROUP BY c_id, cell),
+      assign AS MATERIALIZED (
+        SELECT c_id, cell FROM (
+          SELECT a.c_id, a.cell,
+            row_number() OVER (PARTITION BY a.c_id
+              ORDER BY a.dt / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+          FROM adots a
+          JOIN norms n ON n.vec_id = a.c_id
+          JOIN cnorm cn ON cn.cell = a.cell) t
+        WHERE rn = 1),
+      prs AS (
+        SELECT s1.cell, s1.c_id AS a_id, s2.c_id AS b_id,
+          ea.embedding AS av, eb.embedding AS bv
+        FROM assign s1 JOIN assign s2
+          ON s1.cell = s2.cell AND s1.c_id < s2.c_id
+        JOIN embeddings ea ON ea.vec_id = s1.c_id
+        JOIN embeddings eb ON eb.vec_id = s2.c_id),
+      pdots AS (
+        SELECT cell, a_id, b_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT cell, a_id, b_id, unnest(av) AS x, unnest(bv) AS y FROM prs)
+        GROUP BY 1, 2, 3),
+      dups AS (
+        SELECT cell, b_id, min(a_id) AS dup_of, max(cos) AS max_cos
+        FROM (
+          SELECT d.cell, d.a_id, d.b_id,
+            d.dt / (na.nrm * nb.nrm) AS cos
+          FROM pdots d
+          JOIN norms na ON na.vec_id = d.a_id
+          JOIN norms nb ON nb.vec_id = d.b_id) t
+        WHERE cos >= $tau GROUP BY 1, 2)
+      SELECT s.c_id AS vec_id, s.cell,
+        d.dup_of IS NULL AS keep, d.dup_of,
+        round(d.max_cos, 6) AS max_cos
+      FROM assign s
+      LEFT JOIN dups d ON d.b_id = s.c_id AND d.cell = s.cell
+      ORDER BY vec_id"""
+
   /** s7: range (radius) search — every corpus vector within a cosine
     * threshold of each query. The retrieval primitive for "find ALL
     * sufficiently-similar items" (dedup candidate recall, cluster

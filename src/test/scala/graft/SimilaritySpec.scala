@@ -372,6 +372,34 @@ class SimilaritySpec extends SparkSpec {
     assert(cosAB < 0.999, s"full-vector cosine should break under permutation, got $cosAB")
   }
 
+  test("semdedup drops planted twins within a cell and never a cell's " +
+       "lowest id") {
+    import spark.implicits._
+    // 20 base vectors + an exact twin of id 3 planted at id 100:
+    // identical vectors assign to the same cell, so the twin MUST drop
+    // with dup_of <= 3 and max_cos = 1.0
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => ((seed * 31 + i * 13) % 97 - 48).toFloat)
+    val e = ((0L until 20L).map(i => (i, vec(i))) :+ (100L, vec(3L)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.semDedup(e, 4, 0.9999).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!res(100L).getBoolean(2), "planted twin not dropped")
+    assert(res(100L).getLong(3) <= 3L, "twin attributed to a later doc")
+    assert(res(100L).getDouble(4) == 1.0, "twin cosine below 1.0")
+    // invariant: the lowest id in every cell is always kept
+    val byCell = res.values.groupBy(_.getInt(1))
+    byCell.foreach { case (cell, rows) =>
+      val minId = rows.map(_.getLong(0)).min
+      assert(rows.find(_.getLong(0) == minId).get.getBoolean(2),
+        s"cell $cell dropped its lowest id $minId")
+    }
+    // and on the real corpus the decision covers every vector exactly once
+    val full = Similarity.semDedup(spark, sfDir)
+    assert(full.count() ==
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+  }
+
   test("maxsim ranks k per query through the native top-k plan") {
     val res = Similarity.maxSim(spark, sfDir).collect()
     val byQ = res.groupBy(_.getLong(0))
