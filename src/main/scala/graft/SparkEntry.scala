@@ -138,6 +138,7 @@ object SparkEntry {
     "x6_export_jsonl" -> ((s: SparkSession, d: String) => graft.sources.Export.jsonlShards(s, d)),
     "x7_compaction" -> ((s: SparkSession, d: String) => graft.sources.Export.compact(s, d)),
     "t17_surprisal" -> (TextOps.surprisal _),
+    "t18_bpe_merges" -> (TextOps.bpeMerges _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e11_event_gaps" -> (Events.interEventGaps _),
@@ -944,6 +945,7 @@ object SparkEntry {
     "t17_surprisal" -> graft.operators.TextOps.t17OracleSql,
     "m7_audio_features" -> graft.operators.Multimodal.m7OracleSql,
     "d12_semdedup" -> graft.operators.Similarity.d12OracleSql(),
+    "t18_bpe_merges" -> graft.operators.TextOps.t18OracleSql(),
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

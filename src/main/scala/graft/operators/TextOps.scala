@@ -746,4 +746,114 @@ object TextOps {
             (acc, x) -> acc + x)
           / CAST(n_tokens AS DOUBLE), 6) < 3.4 AS low_info
       FROM perdoc ORDER BY doc_id"""
+
+  /** t18: BPE merge induction — byte-pair-encoding tokenizer TRAINING
+    * as a distributed query: start from the character-split word
+    * vocabulary, then [[BpeMerges]] times pick the highest-frequency
+    * adjacent symbol pair (ties to the lexicographically smallest)
+    * and greedily merge its non-overlapping occurrences left-to-
+    * right. The output is the learned merge table — the artifact a
+    * tokenizer ships.
+    *
+    * All-integer counts and string symbols ⇒ exact. Ties and overlap
+    * handling are pinned down hard: the engine merges via an in-row
+    * left-to-right fold; the oracle merges via the equivalent
+    * RELATIONAL parity-islands form (gaps-and-islands over matched
+    * positions, merge even offsets within each island) — two
+    * independent formulations of greedy non-overlap that a spec
+    * proves equal on adversarial runs (aaaa / abab / aab).
+    *
+    * Scale shape: everything after the one corpus tokenize-and-count
+    * shuffle operates on the VOCABULARY (Heaps-law bounded, ~100k
+    * rows at 100 TB): per step one vocab-bounded pair aggregate, a
+    * 1-row TakeOrdered argmax broadcast back, and an in-row merge
+    * fold; the vocabulary frame is checkpointed per step (the plan
+    * would otherwise double per iteration — each step consumes the
+    * previous one twice). */
+  val BpeMerges = 6
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.parallel(Tables.load(spark, dir, "documents")), BpeMerges)
+
+  def bpeMerges(docs: DataFrame, m: Int): DataFrame = {
+    var vocab = graft.Ckpt(
+      docs.select(explode(words(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .withColumn("syms", expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+    val mergeFold = """aggregate(syms, cast(array() as array<string>),
+      (acc, s) -> CASE
+        WHEN size(acc) > 0 AND element_at(acc, -1) = ba AND s = bb
+        THEN concat(slice(acc, 1, size(acc) - 1), array(concat(ba, bb)))
+        ELSE concat(acc, array(s)) END)"""
+    val steps = (1 to m).map { step =>
+      // slice-based pair builder: slice(_, 1, size-1) is EMPTY for
+      // 1-symbol words (sequence(1, 0) would descend [1, 0] and
+      // element_at out of bounds)
+      val pairs = vocab.select(col("cnt"), explode(expr(
+        """transform(slice(syms, 1, size(syms) - 1),
+           (s, idx) -> struct(s as a, element_at(syms, idx + 2) as b))"""))
+        .as("p"))
+      val best = pairs
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("s"))
+        .orderBy(col("s").desc, col("a"), col("b"))
+        .limit(1)
+      vocab = graft.Ckpt(vocab
+        .crossJoin(broadcast(best.select(col("a").as("ba"), col("b").as("bb"))))
+        .select(col("word"), col("cnt"), expr(mergeFold).as("syms")))
+      best.select(lit(step).as("step"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("s").as("pair_count"))
+    }
+    steps.reduce(_ unionByName _).orderBy("step")
+  }
+
+  /** DuckDB oracle for [[bpeMerges]] — the same chain unrolled as
+    * generated CTE blocks (the q31 per-axis discipline), with the
+    * parity-islands merge (see [[bpeMerges]]). */
+  def t18OracleSql(m: Int = BpeMerges): String = {
+    def step(k: Int) = s"""
+      pos$k AS (
+        SELECT word, cnt, i, syms[i] AS a, syms[i + 1] AS b, len(syms) AS L
+        FROM words${k - 1}, unnest(generate_series(1, len(syms))) AS u$k(i)),
+      best$k AS MATERIALIZED (
+        SELECT a, b, s FROM (
+          SELECT a, b, sum(cnt) AS s FROM pos$k WHERE i < L GROUP BY a, b)
+        ORDER BY s DESC, a, b LIMIT 1),
+      m$k AS (
+        SELECT p.word, p.i,
+          p.i - row_number() OVER (PARTITION BY p.word ORDER BY p.i) AS isl
+        FROM pos$k p, best$k
+        WHERE p.i < p.L AND p.a = best$k.a AND p.b = best$k.b),
+      mm$k AS (
+        SELECT word, i FROM (
+          SELECT word, i, i - min(i) OVER (PARTITION BY word, isl) AS off
+          FROM m$k)
+        WHERE off % 2 = 0),
+      words$k AS MATERIALIZED (
+        SELECT p.word, any_value(p.cnt) AS cnt,
+          list(CASE WHEN cur.i IS NOT NULL THEN p.a || p.b ELSE p.a END
+            ORDER BY p.i) AS syms
+        FROM pos$k p
+        LEFT JOIN mm$k cur ON cur.word = p.word AND cur.i = p.i
+        LEFT JOIN mm$k prv ON prv.word = p.word AND prv.i = p.i - 1
+        WHERE prv.i IS NULL
+        GROUP BY p.word)"""
+    val finals = (1 to m).map(k =>
+      s"""SELECT $k AS step, a AS left_sym, b AS right_sym,
+          CAST(s AS BIGINT) AS pair_count FROM best$k""")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH words0 AS MATERIALIZED (
+        SELECT word, cnt,
+          list_transform(generate_series(1, len(word)),
+            i -> substr(word, i, 1)) AS syms
+        FROM (
+          SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+          WHERE len(word) > 0 GROUP BY word) v),
+      ${(1 to m).map(step).mkString(",")}
+      SELECT * FROM ($finals) ORDER BY step"""
+  }
 }

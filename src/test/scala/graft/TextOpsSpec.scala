@@ -135,6 +135,48 @@ class TextOpsSpec extends SparkSpec {
       f"temperature did not flatten: weight ratio $weightRatio%.3f vs share $shareRatio%.3f")
   }
 
+  /** Plain-Scala scan-greedy BPE — an INDEPENDENT formulation (the
+    * engine merges via a fold, the oracle via parity islands). */
+  private def referenceBpe(vocab: Seq[(String, Long)],
+      m: Int): Seq[(String, String, Long)] = {
+    var words = vocab.map { case (w, c) => (w.map(_.toString).toList, c) }
+    (1 to m).map { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      val maxC = counts.values.max
+      val best = counts.filter(_._2 == maxC).keys.min
+      words = words.map { case (syms, c) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && (syms(i), syms(i + 1)) == best) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toList, c)
+      }
+      (best._1, best._2, maxC)
+    }
+  }
+
+  test("BPE merges match an independent scan-greedy reference, " +
+       "including overlapping runs and ties") {
+    import spark.implicits._
+    // classic BPE example + an adversarial all-'a' run (overlap
+    // handling: 'aaaa' merges to two 'aa', not three)
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("aaaa", 4L), ("aaab", 4L))
+    val docs = vocab.zipWithIndex.map { case ((w, c), i) =>
+      (i.toLong, (Seq.fill(c.toInt)(w)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bpeMerges(docs, 5).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    val want = referenceBpe(vocab, 5)
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+  }
+
   test("surprisal orders common-token docs below rare-token docs") {
     import spark.implicits._
     // 10 docs of a dominant token, one doc of hapaxes: the boilerplate
