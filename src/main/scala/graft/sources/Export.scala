@@ -266,12 +266,16 @@ object Export {
     * files rot scan throughput: per-file open cost, starved row-group
     * pruning, NameNode/listing pressure). Stage 1 deliberately writes
     * the table fragmented ([[FragFiles]] files); stage 2 compacts by
-    * re-reading and writing ceil(rows / [[RowsPerFile]]) files via
-    * coalesce() — a NARROW dependency, no shuffle (repartition would
-    * pay one; compaction wants pure fan-in; the skew a coalesce can
-    * inherit is bounded here because the fragments are round-robin).
-    * Real deployments size by bytes; rows keep the file count
-    * oracle-derivable. The correctness gate is x6's discipline: the
+    * re-reading and writing ceil(rows / [[RowsPerFile]]) files via an
+    * explicit round-robin repartition. That pays ONE shuffle where a
+    * coalesce() would be narrow — but coalesce can only SHRINK the
+    * scan's partition count, so its output file count depends on how
+    * the scan bin-packed the fragments (the cross-parallelism
+    * determinism sweep caught exactly that: 4 files at 8 cores, 3 at
+    * 3). A compactor that promises a target layout must own the
+    * partitioning; the opportunistic narrow path is only valid when
+    * the file count is advisory. Real deployments size by bytes; rows
+    * keep the file count oracle-derivable. The gate is x6's: the
     * manifest (counts, char totals, a doc_id×n_chars content
     * signature) is recomputed from the RE-READ compacted output and
     * must equal the oracle's manifest from the source table — plus
@@ -295,7 +299,7 @@ object Export {
     val reread = spark.read.parquet(frag)
     val n = reread.count()
     val nAfter = math.max(1L, (n + RowsPerFile - 1) / RowsPerFile).toInt
-    reread.coalesce(nAfter).write.mode("overwrite").parquet(comp)
+    reread.repartition(nAfter).write.mode("overwrite").parquet(comp)
     val after = countFiles(comp)
     spark.read.parquet(comp)
       .agg(count(lit(1)).as("n_docs"),

@@ -262,6 +262,67 @@ object StreamingOps {
       }
   }
 
+  case class PathState(aUs: Long, aType: String, bType: String,
+    hasTwo: Boolean)
+  case class PathOut(user_id: Long, e1: String, e2: String, e3: String,
+    at_us: Long)
+
+  /** Streaming path mining — e14's stream twin: constant state per
+    * active user (the last TWO event types of the current session);
+    * each arrival that extends a session to ≥ 3 events emits one
+    * trigram. A session gap > `idleMinutes` resets the pair (batch
+    * e14's boundary rule), and idle state evicts on the same horizon
+    * via EventTimeTimeout (the funnel/transitions discipline, with
+    * lateness decoupled from the idle horizon). Aggregating the
+    * emitted trigrams downstream reproduces batch e14's counts —
+    * spec-gated by a single-batch replay. */
+  def pathStream(events: Dataset[Event], idleMinutes: Int = 30,
+      latenessMinutes: Option[Int] = None)
+      (implicit spark: SparkSession): Dataset[PathOut] = {
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    val idleMs = idleMinutes.toLong * 60 * 1000
+    val idleUs = idleMinutes.toLong * 60 * 1000000
+    events
+      .withWatermark("ts", s"${latenessMinutes.getOrElse(idleMinutes)} minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[PathState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption
+            val out = scala.collection.mutable.ListBuffer.empty[PathOut]
+            it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.aUs <= idleUs =>
+                  // within-session: emit when a full trigram exists
+                  if (s.hasTwo) out += PathOut(userId, s.aType, s.bType,
+                    e.event_type, t)
+                  cur = Some(PathState(t,
+                    if (s.hasTwo) s.bType else s.aType,
+                    e.event_type, hasTwo = true))
+                  // NOTE: aType/bType carry the last TWO types; after
+                  // the first pair forms, each arrival slides the pair
+                case _ =>
+                  // session start (or gap): restart the pair window
+                  cur = Some(PathState(t, e.event_type, "", hasTwo = false))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(
+                s.aUs / 1000 + idleMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming anomaly scoring — the online half of the classic
     * offline-train / online-score split: the BATCH job computes each
     * event type's daily-volume moments ([[graft.operators.Events

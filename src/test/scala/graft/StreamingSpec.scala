@@ -389,4 +389,38 @@ class StreamingSpec extends SparkSpec {
     assert(run("funnel_knob_tight", None) == 0,
       "event older than the 30-min watermark should be dropped")
   }
+
+  test("streaming path mining replays batch e14's trigram counts on " +
+       "the real events table") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val input = MemoryStream[Event]
+    val q = StreamingOps.pathStream(input.toDS())
+      .writeStream.format("memory").queryName("path_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev: _*)
+      q.processAllAvailable()
+      val got = spark.table("path_stream")
+        .groupBy("e1", "e2", "e3").count()
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+      // batch e14 WITHOUT the top-k cut is the oracle: every trigram
+      // count must agree exactly
+      val want = graft.operators.Events.pathTopk(
+          graft.Tables.load(spark, sfDir, "events"), Int.MaxValue)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+      assert(got == want,
+        s"stream/batch trigram divergence: stream ${got.size} keys, " +
+        s"batch ${want.size}; sample diff ${(want.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
 }
