@@ -109,6 +109,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.winnowFingerprint(s, d)),
     "g1_pagerank" -> ((s: SparkSession, d: String) => Graph.g1Pagerank(s, d)),
     "g2_components" -> ((s: SparkSession, d: String) => Graph.g2Components(s, d)),
+    "g3_triangles" -> ((s: SparkSession, d: String) => Graph.g3Triangles(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -939,6 +940,7 @@ object SparkEntry {
     "d11_winnow_fingerprint" -> graft.operators.Dedup.d11OracleSql,
     "g1_pagerank" -> graft.operators.Graph.g1OracleSql(),
     "g2_components" -> graft.operators.Graph.g2OracleSql(),
+    "g3_triangles" -> graft.operators.Graph.g3OracleSql,
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
     "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),
     "x7_compaction" -> graft.sources.Export.x7OracleSql,

@@ -252,4 +252,113 @@ object Graph {
         FROM (SELECT lab FROM cc WHERE k = $iters) f,
           (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
       GROUP BY component ORDER BY component"""
+
+  /** g3: triangle counting + global clustering coefficient over the
+    * simple undirected form of the derived graph — the classic
+    * massive-graph structure metric (community density, spam/bot
+    * subgraph detection).
+    *
+    * Scale design — the Suri–Vassilvitskii orientation: every simple
+    * edge is directed from its (degree, id)-SMALLER endpoint to the
+    * larger, so each triangle is generated by exactly ONE wedge at its
+    * lowest-degree corner and per-node out-degree is O(√E) on any
+    * graph — the wedge self-join fan-out is bounded even under power-
+    * law skew, where a plain id-orientation would square the hub
+    * degree. Wedges close against the oriented edge list with one
+    * equi-join. All integers ⇒ exact; the clustering coefficient is
+    * one rounded division at the very end. */
+  def g3Triangles(spark: SparkSession, dir: String): DataFrame =
+    g3Triangles(Tables.load(spark, dir, "documents"))
+
+  def g3Triangles(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g3 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    val fwd = docs
+      .select(col("doc_id").as("src"),
+        explode(expr(s"sequence(1, $OutDeg)")).as("j"))
+      .withColumn("dst0", pmod(
+        pmod(col("src") * 7 + col("j"), lit(1000000000L)) * lit(2654435761L),
+        lit(2147483647L)) % n)
+      .withColumn("dst", when(col("dst0") === col("src"),
+        pmod(col("dst0") + 1, lit(n))).otherwise(col("dst0")))
+    val simple = fwd
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    val withDeg = simple
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val oriented = graft.Ckpt(withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"),
+          col("db").as("dv"), col("b").as("vid")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"),
+          col("da").as("dv"), col("a").as("vid"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv")))
+    val o1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val o2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = o1.join(o2, "u")
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val tris = wedges.join(oriented.select(col("u").as("x"),
+        col("v").as("y")), Seq("x", "y"), "left_semi")
+    // single-row aggregates composed in-plan (no driver-side math)
+    docs.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(simple.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges")))
+      .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          round(lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double"), 6)).as("clustering"))
+  }
+
+  /** DuckDB oracle for [[g3Triangles]] — same derivation, same
+    * (degree, id) orientation, same one-wedge-per-triangle closure. */
+  def g3OracleSql: String = s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      fwd AS (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      simple AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM fwd),
+      deg AS MATERIALIZED (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) t
+        GROUP BY v),
+      oriented AS MATERIALIZED (
+        SELECT CASE WHEN (da.d, s.a) < (db.d, s.b) THEN s.a ELSE s.b END AS u,
+          CASE WHEN (da.d, s.a) < (db.d, s.b) THEN s.b ELSE s.a END AS v,
+          CASE WHEN (da.d, s.a) < (db.d, s.b) THEN db.d ELSE da.d END AS dv
+        FROM simple s
+        JOIN deg da ON da.v = s.a
+        JOIN deg db ON db.v = s.b),
+      wedges AS (
+        SELECT o1.v AS x, o2.v AS y
+        FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+        WHERE (o1.dv, o1.v) < (o2.dv, o2.v)),
+      tris AS (
+        SELECT count(*) AS t FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM oriented o
+                      WHERE o.u = w.x AND o.v = w.y))
+      SELECT n AS n_nodes,
+        (SELECT count(*) FROM simple) AS n_edges,
+        (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        (SELECT t FROM tris) AS n_triangles,
+        CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) = 0 THEN 0.0
+          ELSE round(CAST(3.0 AS DOUBLE)
+            * CAST((SELECT t FROM tris) AS DOUBLE)
+            / CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE), 6)
+          END AS clustering
+      FROM nn"""
 }

@@ -93,6 +93,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangle count matches brute-force triple enumeration") {
+    import spark.implicits._
+    for (n <- Seq(13, 29, 61)) {
+      // independent reference: materialize the simple undirected edge
+      // set the same way, then test ALL n-choose-3 triples directly
+      val edges = (for {
+        src <- 0 until n; j <- 1 to Graph.OutDeg
+      } yield {
+        val dst0 = ((((src.toLong * 7 + j) % 1000000000L) * 2654435761L)
+          % 2147483647L % n).toInt
+        val dst = if (dst0 == src) (dst0 + 1) % n else dst0
+        (math.min(src, dst), math.max(src, dst))
+      }).toSet
+      val refTris = (for {
+        a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n
+        if edges((a, b)) && edges((a, c)) && edges((b, c))
+      } yield 1).size
+      val refWedges = (0 until n).map { v =>
+        val d = edges.count(e => e._1 == v || e._2 == v).toLong
+        d * (d - 1) / 2
+      }.sum
+      val r = Graph.g3Triangles((0L until n.toLong).toDF("doc_id")).head()
+      assert(r.getLong(1) == edges.size.toLong, s"n=$n edge count")
+      assert(r.getLong(2) == refWedges, s"n=$n wedges ${r.getLong(2)} != $refWedges")
+      assert(r.getLong(3) == refTris.toLong,
+        s"n=$n triangles ${r.getLong(3)} != $refTris")
+    }
+  }
+
   test("component propagation fails loudly when the step budget is too small") {
     import spark.implicits._
     // 1 step cannot close a graph whose diameter exceeds 1
