@@ -127,6 +127,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Multimodal.audioDecode(s, d)),
     "m7_audio_features" ->
       ((s: SparkSession, d: String) => Multimodal.audioFeatures(s, d)),
+    "m8_image_features" ->
+      ((s: SparkSession, d: String) => Multimodal.imageFeatures(s, d)),
     "m6_video_frames" ->
       ((s: SparkSession, d: String) => Multimodal.videoDecode(s, d)),
     "m4_batch_shape" ->
@@ -941,6 +943,7 @@ object SparkEntry {
     "g1_pagerank" -> graft.operators.Graph.g1OracleSql(),
     "g2_components" -> graft.operators.Graph.g2OracleSql(),
     "g3_triangles" -> graft.operators.Graph.g3OracleSql,
+    "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
     "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),
     "x7_compaction" -> graft.sources.Export.x7OracleSql,

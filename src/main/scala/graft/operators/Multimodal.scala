@@ -192,7 +192,97 @@ object Multimodal {
           img.getColorModel.getNumComponents, sr, sg, sb, hash)
       }
     }
+
+    /** Sobel edge energy over the decoded red channel — integer 3×3
+      * kernels on interior pixels; see [[imageFeatures]]. */
+    def decodeSobel(rows: Iterator[ImageRow]): Iterator[ImageSobel] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val r = Array.tabulate(h, w)((y, x) => (img.getRGB(x, y) >> 16) & 0xff)
+        var e = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val gx = r(y - 1)(x + 1) + 2 * r(y)(x + 1) + r(y + 1)(x + 1) -
+              r(y - 1)(x - 1) - 2 * r(y)(x - 1) - r(y + 1)(x - 1)
+            val gy = r(y + 1)(x - 1) + 2 * r(y + 1)(x) + r(y + 1)(x + 1) -
+              r(y - 1)(x - 1) - 2 * r(y - 1)(x) - r(y - 1)(x + 1)
+            e += math.abs(gx) + math.abs(gy)
+            x += 1
+          }
+          y += 1
+        }
+        val interior = (w - 2).toLong * (h - 2)
+        ImageSobel(row.doc_id, w, h, interior, e,
+          BigDecimal(e.toDouble / interior)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
   }
+
+  case class ImageSobel(doc_id: Long, width: Int, height: Int,
+    interior_px: Long, edge_energy: Long, mean_edge: Double)
+
+  /** m8: image feature extraction (decode → vision DSP) — Sobel
+    * gradient energy Σ |Gx| + |Gy| over the RED channel of the REAL
+    * decoded raster, interior pixels only (the m7 pattern applied to
+    * images: the 3×3 integer kernels keep everything exact — no
+    * floats until the single rounded mean at the end). A decode bug
+    * (channel order, row order, lossy round trip) shifts the
+    * neighbourhood differences and breaks the exact match. The
+    * oracle never decodes: it replays the synthetic pixel arithmetic
+    * analytically per (x, y) — eight closed-form neighbour reads per
+    * interior pixel, no joins. Scale shape: mapPartitions over
+    * payload rows (the sanctioned decode site), zero shuffle, O(w·h)
+    * per image. */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withImagePayload(spark, Tables.parallel(Tables.load(spark, dir, "documents")))
+      .mapPartitions(ImageDecoder.decodeSobel)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[imageFeatures]] — the closed-form red
+    * channel r(x, y) = (id·31 + x·7 + y·13) mod 256 evaluated at the
+    * eight neighbours of every interior pixel. */
+  def m8OracleSql: String = s"""
+      WITH dims AS (
+        SELECT doc_id,
+          CAST(doc_id % $DimWMod + $DimWBase AS INT) AS w,
+          CAST(doc_id % $DimHMod + $DimHBase AS INT) AS h
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h, x, y,
+          (doc_id * 31 + (x + 1) * 7 + (y - 1) * 13) % 256
+            + 2 * ((doc_id * 31 + (x + 1) * 7 + y * 13) % 256)
+            + (doc_id * 31 + (x + 1) * 7 + (y + 1) * 13) % 256
+            - (doc_id * 31 + (x - 1) * 7 + (y - 1) * 13) % 256
+            - 2 * ((doc_id * 31 + (x - 1) * 7 + y * 13) % 256)
+            - (doc_id * 31 + (x - 1) * 7 + (y + 1) * 13) % 256 AS gx,
+          (doc_id * 31 + (x - 1) * 7 + (y + 1) * 13) % 256
+            + 2 * ((doc_id * 31 + x * 7 + (y + 1) * 13) % 256)
+            + (doc_id * 31 + (x + 1) * 7 + (y + 1) * 13) % 256
+            - (doc_id * 31 + (x - 1) * 7 + (y - 1) * 13) % 256
+            - 2 * ((doc_id * 31 + x * 7 + (y - 1) * 13) % 256)
+            - (doc_id * 31 + (x + 1) * 7 + (y - 1) * 13) % 256 AS gy
+        FROM dims,
+          unnest(generate_series(1, w - 2)) AS ux(x),
+          unnest(generate_series(1, h - 2)) AS uy(y))
+      SELECT d.doc_id, d.w AS width, d.h AS height,
+        CAST((d.w - 2) * (d.h - 2) AS BIGINT) AS interior_px,
+        CAST(coalesce(s.e, 0) AS BIGINT) AS edge_energy,
+        round(CAST(coalesce(s.e, 0) AS DOUBLE)
+          / CAST((d.w - 2) * (d.h - 2) AS DOUBLE), 6) AS mean_edge
+      FROM dims d
+      LEFT JOIN (
+        SELECT doc_id, sum(abs(gx) + abs(gy)) AS e FROM px GROUP BY doc_id) s
+        ON s.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
 
   /** End-to-end image pipeline: doc → PNG payload → ImageIO decode →
     * features. The decoder is a swappable iterator transform (same

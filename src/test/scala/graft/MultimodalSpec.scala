@@ -174,6 +174,35 @@ class MultimodalSpec extends SparkSpec {
     assert(back.count() == 0)
   }
 
+  test("sobel energy on a hand-built step edge equals the closed form") {
+    import graft.operators.Multimodal
+    // 5x5, red = 0 left of x=2, 255 from x=2: every interior row sees
+    // |Gx| = 4*255 at x=1 and x=2, 0 at x=3; Gy = 0 (rows identical)
+    // => energy = 3 rows * (1020 + 1020 + 0) = 6120
+    val img = new java.awt.image.BufferedImage(5, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 5) {
+      val v = if (x >= 2) 255 else 0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.ImageDecoder.decodeSobel(Iterator(
+      Multimodal.ImageRow(7L, bos.toByteArray))).next()
+    assert(out.width == 5 && out.height == 5 && out.interior_px == 9L)
+    assert(out.edge_energy == 6120L, s"step-edge energy ${out.edge_energy}")
+    assert(out.mean_edge == 680.0)
+    // and a constant image has zero gradient everywhere
+    val flat = new java.awt.image.BufferedImage(6, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 6) flat.setRGB(x, y, 0x555555)
+    val b2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flat, "png", b2)
+    val out2 = Multimodal.ImageDecoder.decodeSobel(Iterator(
+      Multimodal.ImageRow(8L, b2.toByteArray))).next()
+    assert(out2.edge_energy == 0L, s"flat image energy ${out2.edge_energy}")
+  }
+
   test("goertzel energies equal an independent complex-DFT evaluation") {
     import graft.operators.Multimodal
     // Goertzel power at ω must equal |Σ x·e^{-jωi}|² — check the
