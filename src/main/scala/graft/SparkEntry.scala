@@ -120,6 +120,7 @@ object SparkEntry {
     "s7_range_search" -> (Similarity.rangeSearch _),
     "s8_maxsim" -> (Similarity.maxSim _),
     "d12_semdedup" -> (Similarity.semDedup _),
+    "s9_hybrid_search" -> (Similarity.hybridSearch _),
     "m1_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m3_image_decode" ->
       ((s: SparkSession, d: String) => Multimodal.imageDecode(s, d)),
@@ -944,6 +945,7 @@ object SparkEntry {
     "g2_components" -> graft.operators.Graph.g2OracleSql(),
     "g3_triangles" -> graft.operators.Graph.g3OracleSql,
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
+    "s9_hybrid_search" -> graft.operators.Similarity.s9OracleSql(),
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
     "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),
     "x7_compaction" -> graft.sources.Export.x7OracleSql,

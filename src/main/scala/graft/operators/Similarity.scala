@@ -813,6 +813,180 @@ object Similarity {
       LEFT JOIN dups d ON d.b_id = s.c_id AND d.cell = s.cell
       ORDER BY vec_id"""
 
+  /** s9: hybrid search — BM25 keyword retrieval and vector retrieval
+    * fused by Reciprocal Rank Fusion (the modern RAG-stack default:
+    * lexical recall catches what embeddings miss and vice versa; RRF
+    * needs no score calibration because it consumes only RANKS).
+    *
+    * Stage 1 (keyword): Lucene-form BM25 (k1 = 1.2, b = 0.75,
+    * idf = ln((N − df + ½)/(df + ½) + 1)) of each query doc's term
+    * set against the corpus — the (doc, term) tf profile and df are
+    * t14's vocab-bounded aggregates; per-(q, d) contributions fold in
+    * term order and the rank cuts on the ROUNDED score (t14's
+    * ulp-proof discipline). Stage 2 (vector): s1's exact cosine
+    * ranks. Fusion: rrf = Σ 1/(60 + rank) over both lists (full
+    * outer per (q, d)), final top-k on the rounded fused score.
+    *
+    * Scale shape: queries broadcast at every stage; keyword
+    * candidates are bounded by docs SHARING A TERM with the query
+    * (the inverted-index join, not a corpus cross join); both rank
+    * stages cut at [[HybridWide]] before fusion so the outer join
+    * touches ≤ 2·wide rows per query. */
+  val HybridWide = 50
+
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame =
+    hybridSearch(Tables.parallel(Tables.load(spark, dir, "documents")),
+      Tables.parallel(Tables.load(spark, dir, "embeddings")), AnnK)
+
+  def hybridSearch(docs: DataFrame, e: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val wide = HybridWide
+    val tf = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qTerms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .filter(length(col("term")) > 0)
+    val contrib = broadcast(qTerms)
+      .join(tf, "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, "doc_id")
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(((col("nd") - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+          ((col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+    val wKw = Window.partitionBy("q_id")
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val kw = contrib
+      .groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("c")))).as("cs"))
+      .select(col("q_id"), col("doc_id"),
+        round(aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("c")), 6).as("bm25"))
+      .withColumn("kw_rank", row_number().over(wKw))
+      .filter(col("kw_rank") <= wide)
+    val vec = annBruteforceK(e, wide)
+      .select(col("q_id"), col("c_id").as("doc_id"),
+        col("rnk").as("vec_rank"))
+    val fusedW = Window.partitionBy("q_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    kw.select(col("q_id"), col("doc_id"), col("kw_rank"))
+      .join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("kw_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)), 6))
+      .withColumn("rnk", row_number().over(fusedW))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("kw_rank"), col("vec_rank"),
+        col("rrf"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** s1's scoring with a parameterized cut — shared by s9's vector leg. */
+  private[graft] def annBruteforceK(e: DataFrame, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** DuckDB oracle for [[hybridSearch]] — identical BM25 formula and
+    * fold order, s1's cosine CTEs for the vector leg, the same RRF. */
+  def s9OracleSql(k: Int = AnnK, wide: Int = HybridWide): String = s"""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents) t
+        WHERE len(term) > 0 GROUP BY doc_id, term),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+      stats AS (
+        SELECT count(*) AS nd,
+          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      qterms AS (
+        SELECT doc_id AS q_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        FROM documents WHERE doc_id < 5),
+      contrib AS (
+        SELECT q.q_id, tf.doc_id, tf.term,
+          ln((CAST(s.nd - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            + CAST(1.0 AS DOUBLE)) *
+          ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+            / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+              (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                * (CAST(d.dl AS DOUBLE) / s.avgdl)))) AS c
+        FROM qterms q
+        JOIN tf ON tf.term = q.term AND tf.doc_id <> q.q_id
+        JOIN dl d ON d.doc_id = tf.doc_id
+        JOIN dft f ON f.term = q.term, stats s
+        WHERE len(q.term) > 0),
+      kwscore AS (
+        SELECT q_id, doc_id,
+          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(term := term, c := c))),
+              s2 -> s2['c'])), (a, x) -> a + x), 6) AS bm25
+        FROM contrib GROUP BY q_id, doc_id),
+      kw AS (
+        SELECT q_id, doc_id, kw_rank FROM (
+          SELECT q_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY bm25 DESC, doc_id) AS INT) AS kw_rank
+          FROM kwscore) t WHERE kw_rank <= $wide),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.embedding AS qv, c.embedding AS cv
+        FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs)
+        GROUP BY q_id, c_id),
+      vec AS (
+        SELECT q_id, c_id AS doc_id, vec_rank FROM (
+          SELECT d.q_id, d.c_id,
+            CAST(row_number() OVER (PARTITION BY d.q_id
+              ORDER BY d.dt / (nq.nrm * nc.nrm) DESC, d.c_id) AS INT) AS vec_rank
+          FROM dots d JOIN norms nq ON nq.vec_id = d.q_id
+          JOIN norms nc ON nc.vec_id = d.c_id) t
+        WHERE vec_rank <= $wide),
+      fused AS (
+        SELECT coalesce(kw.q_id, vec.q_id) AS q_id,
+          coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+          kw.kw_rank, vec.vec_rank,
+          round(coalesce(CAST(1.0 AS DOUBLE)
+              / (CAST(60.0 AS DOUBLE) + kw.kw_rank), CAST(0.0 AS DOUBLE)) +
+            coalesce(CAST(1.0 AS DOUBLE)
+              / (CAST(60.0 AS DOUBLE) + vec.vec_rank), CAST(0.0 AS DOUBLE)), 6)
+            AS rrf
+        FROM kw FULL OUTER JOIN vec
+          ON kw.q_id = vec.q_id AND kw.doc_id = vec.doc_id)
+      SELECT q_id, doc_id, kw_rank, vec_rank, rrf,
+        CAST(rnk AS INT) AS rnk
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY rrf DESC, doc_id) AS rnk
+        FROM fused) t
+      WHERE rnk <= $k ORDER BY q_id, rnk"""
+
   /** s7: range (radius) search — every corpus vector within a cosine
     * threshold of each query. The retrieval primitive for "find ALL
     * sufficiently-similar items" (dedup candidate recall, cluster

@@ -400,6 +400,51 @@ class SimilaritySpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/embeddings.parquet").count())
   }
 
+  test("hybrid search fuses: a both-list doc outranks single-list leaders") {
+    import spark.implicits._
+    def v(dir: Double*): Array[Float] = dir.map(_.toFloat).toArray
+    // query 0; doc 1 = lexical twin but opposite embedding; doc 2 =
+    // embedding twin but disjoint words; doc 3 = moderate on BOTH
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "zu zv zw zx"),
+      (3L, "alpha beta yy zz"),
+      (4L, "qq rr ss tt")).toDF("doc_id", "text")
+    val e = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(-1, 0.1, 0, 0)), (2L, v(1, 0, 0, 0.001)),
+      (3L, v(0.9, 0.3, 0, 0)), (4L, v(0, 0, 1, 0))).toDF("vec_id", "embedding")
+    val res = Similarity.hybridSearch(docs, e, 5).collect()
+      .filter(_.getLong(0) == 0L)
+      .sortBy(_.getInt(5))
+      .map(r => (r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+    // doc 3 carries BOTH a keyword rank and a strong vector rank —
+    // RRF must put it above the lexical-only and vector-only twins
+    assert(res.head._1 == 3L, s"fusion failed: $res")
+    assert(res.head._2.isDefined && res.head._3.isDefined,
+      s"winner should appear in both lists: $res")
+    // every emitted row carries at least one leg
+    assert(res.forall(r => r._2.isDefined || r._3.isDefined))
+  }
+
+  test("hybrid search on the corpus: k ranked rows per query, legs consistent") {
+    val res = Similarity.hybridSearch(spark, sfDir).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(5)).toSeq.sorted == (1 to 10))
+      val scores = rows.sortBy(_.getInt(5)).map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // vec_rank values must agree with s1's independent ranking
+    val s1 = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    res.filter(r => !r.isNullAt(3) && r.getInt(3) <= 10).foreach { r =>
+      assert(s1.get((r.getLong(0), r.getLong(1))).contains(r.getInt(3)),
+        s"vec leg diverged from s1 at ${(r.getLong(0), r.getLong(1))}")
+    }
+  }
+
   test("maxsim ranks k per query through the native top-k plan") {
     val res = Similarity.maxSim(spark, sfDir).collect()
     val byQ = res.groupBy(_.getLong(0))
