@@ -842,11 +842,17 @@ object Similarity {
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
     val wide = HybridWide
-    val tf = docs.select(col("doc_id"),
+    // the (doc, term) profile feeds THREE consumers (doc lengths,
+    // document frequencies, the scoring join) — checkpoint it so the
+    // corpus tokenization runs once, not once per alias-renamed
+    // consumer (t17/d10's lesson: 22 executed shuffles un-pinned,
+    // PlanSpec-budgeted at 12 pinned). dl is doc-bounded and consumed
+    // twice — same treatment.
+    val tf = graft.Ckpt(docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dl = graft.Ckpt(tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
     val stats = dl.agg(count(lit(1)).as("nd"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -282,6 +282,35 @@ class PlanSpec extends SparkSpec {
     assert(d11p.contains("Generate"), "winnow fingerprints should explode in-row")
   }
 
+  test("last r7 batch: shuffle budgets for d12/s9/g3 and decode ops " +
+       "stay zero-shuffle") {
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
+      // d12: the within-cell self-join rides the checkpointed
+      // assignment (2 sides) + drop aggregate + decision join + sort
+      ("d12", graft.operators.Similarity.semDedup(spark, sfDir), 6),
+      // s9: tf/dl/df aggregates + candidate joins + per-(q,d) fold +
+      // two rank windows + fusion outer join + sort (two corpora)
+      ("s9", graft.operators.Similarity.hybridSearch(spark, sfDir), 12),
+      // g3: simple-edge distinct + degree agg + orientation joins +
+      // wedge join + closure semi-join + four single-row aggregates
+      ("g3", graft.operators.Graph.g3Triangles(spark, sfDir), 12))
+    cases.foreach { case (name, df, maxSh) =>
+      val n = executedShuffles(df)
+      assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+    // decode-side feature ops are mapPartitions chains: their only
+    // exchange is the output sort (plus the small-table fan-out)
+    Seq(
+      ("m7", graft.operators.Multimodal.audioFeatures(spark, sfDir)),
+      ("m8", graft.operators.Multimodal.imageFeatures(spark, sfDir)))
+      .foreach { case (name, df) =>
+        val n = executedShuffles(df)
+        assert(n <= 2, s"$name decode chain shuffles $n× (budget 2)")
+      }
+  }
+
   test("g1/g2: iterative graph plans stay checkpoint-bounded") {
     // the visible plan hangs off the LAST checkpoint, so lineage (and
     // shuffle count) must be bounded by the ckpt cadence, not by the

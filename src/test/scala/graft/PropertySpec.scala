@@ -169,6 +169,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee holds on random corpora with planted " +
+       "shared substrings") {
+    import spark.implicits._
+    // property: for ANY padding and ANY positions, two docs sharing a
+    // sufficiently long block surface as a pair. The op filters
+    // n_shared >= 2, and one selected position can serve up to w
+    // windows, so >= 2 guaranteed fingerprints needs G - w + 1 > w
+    // fully-shared gram windows, i.e. block >= k + 2w - 1 = 39 chars
+    // (47 here for margin; 31 guarantees only ONE fingerprint). Docs
+    // sharing nothing that long must not pair (random 6-letter
+    // alphabet: a chance 24-gram collision is ~6^-24 — negligible)
+    val rng = new scala.util.Random(1234L)
+    def randStr(n: Int) =
+      (1 to n).map(_ => ('a' + rng.nextInt(6)).toChar).mkString
+    for (trial <- 1 to 8) {
+      val shared = randStr(47)
+      val docs = Seq(
+        (1L, randStr(20 + rng.nextInt(60)) + shared + randStr(rng.nextInt(40))),
+        (2L, randStr(rng.nextInt(70)) + shared + randStr(10 + rng.nextInt(30))),
+        (3L, randStr(120)),
+        (4L, randStr(90))).toDF("doc_id", "text")
+      val pairs = graft.operators.Dedup.winnowFingerprint(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)),
+        s"trial $trial: planted 31-char block not detected")
+      assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L),
+        s"trial $trial: unrelated random docs paired: $pairs")
+    }
+  }
+
   test("scd2 merge invariants hold on random snapshot pairs") {
     import spark.implicits._
     for (seed <- Seq(11L, 12L, 13L)) {
