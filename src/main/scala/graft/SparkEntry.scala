@@ -110,6 +110,8 @@ object SparkEntry {
     "g1_pagerank" -> ((s: SparkSession, d: String) => Graph.g1Pagerank(s, d)),
     "g2_components" -> ((s: SparkSession, d: String) => Graph.g2Components(s, d)),
     "g3_triangles" -> ((s: SparkSession, d: String) => Graph.g3Triangles(s, d)),
+    "g4_assortativity" ->
+      ((s: SparkSession, d: String) => Graph.g4Assortativity(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -148,6 +150,7 @@ object SparkEntry {
     "e11_event_gaps" -> (Events.interEventGaps _),
     "e14_path_topk" -> (Events.pathTopk _),
     "e15_cohort_value" -> (Events.cohortValue _),
+    "e16_rfm_segments" -> (Events.rfmSegments _),
     "e3_props_json" -> (Events.propsJson _),
     "e4_rolling_avg" -> (Events.rollingAvg _),
     "e7_retention" -> (Events.retention _),
@@ -944,6 +947,7 @@ object SparkEntry {
     "g1_pagerank" -> graft.operators.Graph.g1OracleSql(),
     "g2_components" -> graft.operators.Graph.g2OracleSql(),
     "g3_triangles" -> graft.operators.Graph.g3OracleSql,
+    "g4_assortativity" -> graft.operators.Graph.g4OracleSql,
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
     "s9_hybrid_search" -> graft.operators.Similarity.s9OracleSql(),
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
@@ -1065,6 +1069,7 @@ object SparkEntry {
     "e11_event_gaps" -> Events.e11OracleSql,
     "e14_path_topk" -> Events.e14OracleSql(),
     "e15_cohort_value" -> Events.e15OracleSql,
+    "e16_rfm_segments" -> Events.e16OracleSql,
     "e2_sessionize" -> """
       WITH ev AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -636,6 +636,88 @@ object Events {
       GROUP BY e1, e2, e3
       ORDER BY n DESC, e1, e2, e3 LIMIT $k"""
 
+  /** e16: RFM segmentation — users bucketed into quartiles of
+    * Recency (days since last event, against the corpus anchor),
+    * Frequency (event count), and Monetary (DECIMAL value sum), the
+    * classic customer-base triage matrix. Deliberately NOT ntile():
+    * a global ntile would total-sort the user set in one window
+    * partition (q40's documented caveat) — instead the three quartile
+    * EDGES come from one exact-percentile aggregate and are broadcast
+    * back over a projection (q42's median pattern), so the user frame
+    * is never globally sorted. Edges are ROUNDED to 4 dp before the
+    * comparisons (e11's cross-engine percentile discipline); the
+    * compared values are integers or 2-dp decimals, so a rounded edge
+    * can only tie exactly, where `>` is stable in both engines. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegments(Tables.load(spark, dir, "events"))
+
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id").agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("freq"),
+      Dec.dsum(col("value")).as("mon"))
+    val anchor = users.agg(max(col("last_ts")).as("anchor"))
+    val u2 = users.crossJoin(broadcast(anchor))
+      .withColumn("rec",
+        datediff(to_date(col("anchor")), to_date(col("last_ts"))).cast("long"))
+    val edges = broadcast(u2.agg(
+      expr("percentile(rec, array(0.25, 0.5, 0.75))").as("re"),
+      expr("percentile(freq, array(0.25, 0.5, 0.75))").as("fe"),
+      expr("percentile(mon, array(0.25, 0.5, 0.75))").as("me")))
+    def seg(v: String, e: String): Column =
+      (lit(1) +
+        (col(v).cast("double") > round(element_at(col(e), 1), 4)).cast("int") +
+        (col(v).cast("double") > round(element_at(col(e), 2), 4)).cast("int") +
+        (col(v).cast("double") > round(element_at(col(e), 3), 4)).cast("int"))
+        .cast("long")
+    u2.crossJoin(edges)
+      .select(seg("rec", "re").as("r_seg"), seg("freq", "fe").as("f_seg"),
+        seg("mon", "me").as("m_seg"), col("mon"))
+      .groupBy("r_seg", "f_seg", "m_seg")
+      .agg(count(lit(1)).as("n_users"), Dec.dsum(col("mon")).as("total_value"))
+      .orderBy("r_seg", "f_seg", "m_seg")
+  }
+
+  /** DuckDB oracle for [[rfmSegments]]. */
+  def e16OracleSql: String = """
+      WITH users AS (
+        SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts,
+          count(*) AS freq,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mon
+        FROM events GROUP BY user_id),
+      anchor AS (SELECT max(last_ts) AS a FROM users),
+      u2 AS (
+        SELECT user_id, freq, mon,
+          date_diff('day', CAST(last_ts AS DATE), CAST(a AS DATE)) AS rec
+        FROM users, anchor),
+      edges AS (
+        SELECT
+          round(quantile_cont(rec, 0.25), 4) AS r1,
+          round(quantile_cont(rec, 0.5), 4) AS r2,
+          round(quantile_cont(rec, 0.75), 4) AS r3,
+          round(quantile_cont(freq, 0.25), 4) AS f1,
+          round(quantile_cont(freq, 0.5), 4) AS f2,
+          round(quantile_cont(freq, 0.75), 4) AS f3,
+          round(quantile_cont(mon, 0.25), 4) AS m1,
+          round(quantile_cont(mon, 0.5), 4) AS m2,
+          round(quantile_cont(mon, 0.75), 4) AS m3
+        FROM u2),
+      segs AS (
+        SELECT
+          CAST(1 + CAST(CAST(rec AS DOUBLE) > r1 AS INT)
+            + CAST(CAST(rec AS DOUBLE) > r2 AS INT)
+            + CAST(CAST(rec AS DOUBLE) > r3 AS INT) AS BIGINT) AS r_seg,
+          CAST(1 + CAST(CAST(freq AS DOUBLE) > f1 AS INT)
+            + CAST(CAST(freq AS DOUBLE) > f2 AS INT)
+            + CAST(CAST(freq AS DOUBLE) > f3 AS INT) AS BIGINT) AS f_seg,
+          CAST(1 + CAST(mon > m1 AS INT) + CAST(mon > m2 AS INT)
+            + CAST(mon > m3 AS INT) AS BIGINT) AS m_seg,
+          mon
+        FROM u2, edges)
+      SELECT r_seg, f_seg, m_seg, count(*) AS n_users,
+        CAST(sum(CAST(mon AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM segs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   /** e15: cohort value matrix — users cohorted by first-seen WEEK
     * (both engines truncate weeks to Monday; the corpus spans ~a
     * month, so month cohorts would collapse to one cell), value

@@ -253,6 +253,89 @@ object Graph {
           (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
       GROUP BY component ORDER BY component"""
 
+  /** g4: degree assortativity — the Pearson correlation of endpoint
+    * degrees over the simple undirected edge set (Newman 2002), the
+    * one-number summary of whether hubs link to hubs (positive) or to
+    * leaves (negative); what a crawl-graph analyst reads before
+    * trusting PageRank-style authority at all. Every edge contributes
+    * BOTH orientations (the standard undirected convention). All
+    * sums are exact integers (degrees are small, Σd⁴-scale terms fit
+    * BIGINT easily at any realistic degree); the single float
+    * division happens once at the end, identically phrased in both
+    * engines. Scale shape: degree aggregate + one broadcast-degree
+    * annotation pass + one global aggregate — no quadratic anything. */
+  def g4Assortativity(spark: SparkSession, dir: String): DataFrame =
+    g4Assortativity(Tables.load(spark, dir, "documents"))
+
+  def g4Assortativity(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g4 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    val fwd = docs
+      .select(col("doc_id").as("src"),
+        explode(expr(s"sequence(1, $OutDeg)")).as("j"))
+      .withColumn("dst0", pmod(
+        pmod(col("src") * 7 + col("j"), lit(1000000000L)) * lit(2654435761L),
+        lit(2147483647L)) % n)
+      .withColumn("dst", when(col("dst0") === col("src"),
+        pmod(col("dst0") + 1, lit(n))).otherwise(col("dst0")))
+    val simple = fwd
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val both = simple.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(simple.select(col("b").as("x"), col("a").as("y")))
+      .join(broadcast(deg.select(col("v").as("x"), col("d").as("dx"))), "x")
+      .join(broadcast(deg.select(col("v").as("y"), col("d").as("dy"))), "y")
+    both.agg(count(lit(1)).as("m2"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select(col("m2"),
+        round((col("m2").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("m2").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("assortativity"))
+  }
+
+  /** DuckDB oracle for [[g4Assortativity]] — identical sums, one
+    * identically-phrased division. By x/y symmetry of the
+    * both-orientations list, Σdx = Σdy and Σdx² = Σdy², so the
+    * Pearson formula needs only the x-side moments. */
+  def g4OracleSql: String = s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      fwd AS (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      simple AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM fwd),
+      deg AS MATERIALIZED (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) t
+        GROUP BY v),
+      both_ AS (
+        SELECT dx.d AS dx, dy.d AS dy FROM (
+          SELECT a AS x, b AS y FROM simple
+          UNION ALL SELECT b, a FROM simple) u
+        JOIN deg dx ON dx.v = u.x
+        JOIN deg dy ON dy.v = u.y)
+      SELECT count(*) AS m2,
+        round((CAST(count(*) AS DOUBLE) * CAST(sum(dx * dy) AS DOUBLE)
+            - CAST(sum(dx) AS DOUBLE) * CAST(sum(dx) AS DOUBLE))
+          / (CAST(count(*) AS DOUBLE) * CAST(sum(dx * dx) AS DOUBLE)
+            - CAST(sum(dx) AS DOUBLE) * CAST(sum(dx) AS DOUBLE)), 6)
+          AS assortativity
+      FROM both_"""
+
   /** g3: triangle counting + global clustering coefficient over the
     * simple undirected form of the derived graph — the classic
     * massive-graph structure metric (community density, spam/bot

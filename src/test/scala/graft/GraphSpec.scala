@@ -122,6 +122,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("assortativity matches an independent Pearson over endpoint degrees") {
+    import spark.implicits._
+    for (n <- Seq(17, 41)) {
+      val edges = (for {
+        src <- 0 until n; j <- 1 to Graph.OutDeg
+      } yield {
+        val dst0 = ((((src.toLong * 7 + j) % 1000000000L) * 2654435761L)
+          % 2147483647L % n).toInt
+        val dst = if (dst0 == src) (dst0 + 1) % n else dst0
+        (math.min(src, dst), math.max(src, dst))
+      }).toSet.toSeq
+      val deg = (0 until n).map(v =>
+        v -> edges.count(e => e._1 == v || e._2 == v)).toMap
+      val xs = edges.flatMap { case (a, b) =>
+        Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+      val m = xs.size.toDouble
+      val (sxy, sx, sxx) = (
+        xs.map { case (x, y) => x.toLong * y }.sum.toDouble,
+        xs.map(_._1.toLong).sum.toDouble,
+        xs.map { case (x, _) => x.toLong * x }.sum.toDouble)
+      val ref = BigDecimal((m * sxy - sx * sx) / (m * sxx - sx * sx))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val r = Graph.g4Assortativity((0L until n.toLong).toDF("doc_id")).head()
+      assert(r.getLong(0) == xs.size.toLong, s"n=$n orientation count")
+      assert(r.getDouble(1) == ref,
+        s"n=$n assortativity ${r.getDouble(1)} != $ref")
+    }
+  }
+
   test("component propagation fails loudly when the step budget is too small") {
     import spark.implicits._
     // 1 step cannot close a graph whose diameter exceeds 1

