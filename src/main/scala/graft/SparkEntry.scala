@@ -112,6 +112,7 @@ object SparkEntry {
     "g3_triangles" -> ((s: SparkSession, d: String) => Graph.g3Triangles(s, d)),
     "g4_assortativity" ->
       ((s: SparkSession, d: String) => Graph.g4Assortativity(s, d)),
+    "g5_kcore" -> ((s: SparkSession, d: String) => Graph.g5Kcore(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -948,6 +949,7 @@ object SparkEntry {
     "g2_components" -> graft.operators.Graph.g2OracleSql(),
     "g3_triangles" -> graft.operators.Graph.g3OracleSql,
     "g4_assortativity" -> graft.operators.Graph.g4OracleSql,
+    "g5_kcore" -> graft.operators.Graph.g5OracleSql(),
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
     "s9_hybrid_search" -> graft.operators.Similarity.s9OracleSql(),
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),

@@ -253,6 +253,120 @@ object Graph {
           (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
       GROUP BY component ORDER BY component"""
 
+  /** g5: k-core decomposition — every node's CORENESS (the largest k
+    * such that the node survives in the k-core), via the iterated
+    * h-index scheme (Lü et al. 2016): start from degree, repeatedly
+    * replace each node's value with the h-index of its neighbours'
+    * values; the sequence is monotone non-increasing and converges to
+    * coreness exactly. The density ladder behind "drop the periphery,
+    * keep the engaged core" analyses.
+    *
+    * Distributed shape (g2's discipline): simple undirected adjacency
+    * pinned partitioned by src, one join + one per-node aggregate per
+    * step (the h-index is an in-row fold over the sorted neighbour
+    * values, bounded by degree), lineage checkpointed on the cadence,
+    * FIXED step count both engines run plus an engine-side fixpoint
+    * assert. All integers — exact. */
+  val CoreIters = 24
+
+  def g5Kcore(spark: SparkSession, dir: String,
+              iters: Int = CoreIters): DataFrame =
+    g5Kcore(Tables.load(spark, dir, "documents"), iters)
+
+  def g5Kcore(docs0: DataFrame, iters: Int): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g5 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    val fwd = docs
+      .select(col("doc_id").as("src"),
+        explode(expr(s"sequence(1, $OutDeg)")).as("j"))
+      .withColumn("dst0", pmod(
+        pmod(col("src") * 7 + col("j"), lit(1000000000L)) * lit(2654435761L),
+        lit(2147483647L)) % n)
+      .withColumn("dst", when(col("dst0") === col("src"),
+        pmod(col("dst0") + 1, lit(n))).otherwise(col("dst0")))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val und = fwd.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(fwd.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // h-index of the desc-sorted neighbour values: count of 1-based
+    // positions i with value(i) >= i (a prefix, since sorted)
+    def hIndex(frame: DataFrame): DataFrame = frame
+      .groupBy(col("src"))
+      .agg(reverse(sort_array(collect_list(col("cn")))).as("cs"))
+      .select(col("src").as("v"),
+        aggregate(
+          zip_with(col("cs"),
+            expr("sequence(1, size(cs))"), (x, i) => (x >= i).cast("long")),
+          lit(0L), (a, b) => a + b).as("c"))
+
+    var cur = und.groupBy(col("src")).agg(count(lit(1)).as("c"))
+      .select(col("src").as("v"), col("c"))
+    for (t <- 1 to iters) {
+      val next = hIndex(und.join(
+        cur.select(col("v").as("dst"), col("c").as("cn")), "dst"))
+      cur = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+    }
+    val again = hIndex(und.join(
+        cur.select(col("v").as("dst"), col("c").as("cn")), "dst"))
+      .select(col("v"), col("c").as("c2"))
+      .join(cur, "v").filter(col("c2") =!= col("c")).count()
+    require(again == 0L, s"h-index iteration not converged after $iters steps")
+    cur.groupBy(col("c").as("coreness"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("min_doc"),
+        max(col("v")).as("max_doc"))
+      .orderBy("coreness")
+  }
+
+  /** DuckDB oracle for [[g5Kcore]] — the same fixed-step h-index
+    * iteration over a single list-valued row (g2's pattern). */
+  def g5OracleSql(iters: Int = CoreIters): String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM (
+          SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+          FROM (
+            SELECT doc_id AS src, j,
+              (((doc_id * 7 + j) % 1000000000) * 2654435761)
+                % 2147483647 % n AS dst0, n
+            FROM documents, nn, generate_series(1, $OutDeg) t(j)) e) s),
+      und AS (SELECT a AS src, b AS dst FROM fwd
+              UNION ALL SELECT b, a FROM fwd),
+      adj AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(src := src, ns := ns))),
+          s -> s['ns']) AS m
+        FROM (SELECT src, list(dst) AS ns FROM und GROUP BY src) g),
+      core AS (
+        SELECT 0 AS k,
+          list_transform(adj.m, ns -> CAST(len(ns) AS BIGINT)) AS c
+        FROM adj
+        UNION ALL
+        SELECT k + 1,
+          list_transform(adj.m, ns ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(
+                list_reverse(list_sort(list_transform(ns,
+                  u -> core.c[CAST(u AS INT) + 1]))),
+                (x, i) -> CAST(CASE WHEN x >= i THEN 1 ELSE 0 END AS BIGINT))),
+              (a, b) -> a + b)) AS c
+        FROM core, adj WHERE k < $iters)
+      SELECT c_val AS coreness, count(*) AS n_nodes,
+        min(v) AS min_doc, max(v) AS max_doc
+      FROM (
+        SELECT i - 1 AS v, f.c[i] AS c_val
+        FROM (SELECT c FROM core WHERE k = $iters) f,
+          (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
+      GROUP BY coreness ORDER BY coreness"""
+
   /** g4: degree assortativity — the Pearson correlation of endpoint
     * degrees over the simple undirected edge set (Newman 2002), the
     * one-number summary of whether hubs link to hubs (positive) or to

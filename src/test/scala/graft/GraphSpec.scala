@@ -151,6 +151,42 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("coreness matches an independent min-degree peeling reference") {
+    import spark.implicits._
+    for (n <- Seq(17, 41, 83)) {
+      val edges = (for {
+        src <- 0 until n; j <- 1 to Graph.OutDeg
+      } yield {
+        val dst0 = ((((src.toLong * 7 + j) % 1000000000L) * 2654435761L)
+          % 2147483647L % n).toInt
+        val dst = if (dst0 == src) (dst0 + 1) % n else dst0
+        (math.min(src, dst), math.max(src, dst))
+      }).toSet
+      // Batagelj-Zaversnik peeling: remove min-degree nodes; coreness =
+      // running max of the degree at removal — a DIFFERENT algorithm
+      // from the engine's h-index iteration
+      val adj = Array.fill(n)(scala.collection.mutable.Set[Int]())
+      edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+      val core = new Array[Int](n)
+      val alive = scala.collection.mutable.Set(0 until n: _*)
+      var kmax = 0
+      while (alive.nonEmpty) {
+        val v = alive.minBy(u => (adj(u).size, u))
+        kmax = math.max(kmax, adj(v).size)
+        core(v) = kmax
+        adj(v).foreach(u => adj(u) -= v)
+        adj(v).clear(); alive -= v
+      }
+      val want = core.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (c, vs) => (c.toLong, vs.length.toLong,
+          vs.map(_._2).min.toLong, vs.map(_._2).max.toLong) }
+      val got = Graph.g5Kcore((0L until n.toLong).toDF("doc_id"),
+        Graph.CoreIters).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == want, s"n=$n: got ${got.toSeq}, want $want")
+    }
+  }
+
   test("component propagation fails loudly when the step budget is too small") {
     import spark.implicits._
     // 1 step cannot close a graph whose diameter exceeds 1
