@@ -144,6 +144,8 @@ object SparkEntry {
     "x5_scd2_merge" -> (graft.sources.Ingest.x5Scd2 _),
     "x6_export_jsonl" -> ((s: SparkSession, d: String) => graft.sources.Export.jsonlShards(s, d)),
     "x7_compaction" -> ((s: SparkSession, d: String) => graft.sources.Export.compact(s, d)),
+    "x8_schema_evolution" ->
+      ((s: SparkSession, d: String) => graft.sources.Ingest.x8SchemaEvolution(s, d)),
     "t17_surprisal" -> (TextOps.surprisal _),
     "t18_bpe_merges" -> (TextOps.bpeMerges _),
     "e1_event_windows" -> (Events.eventWindows _),
@@ -955,6 +957,7 @@ object SparkEntry {
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
     "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),
     "x7_compaction" -> graft.sources.Export.x7OracleSql,
+    "x8_schema_evolution" -> graft.sources.Ingest.x8OracleSql,
     "t17_surprisal" -> graft.operators.TextOps.t17OracleSql,
     "m7_audio_features" -> graft.operators.Multimodal.m7OracleSql,
     "d12_semdedup" -> graft.operators.Similarity.d12OracleSql(),

@@ -139,4 +139,51 @@ object Ingest {
       UNION ALL SELECT k, n_bal, n_seg, 1, true FROM ch WHERE in_new AND NOT in_cur
       UNION ALL SELECT k, o_bal, o_seg, 1, false FROM ch WHERE in_cur AND NOT in_new
       ORDER BY c_custkey, version"""
+
+  /** x8: schema evolution on a landed parquet table — the lakehouse
+    * reality that batch N+1 ships columns batch N never had. Batch 1
+    * lands the EVEN doc_ids without `lang`; batch 2 lands the ODD ids
+    * with it; the read-side contract is `mergeSchema`: one unified
+    * schema, the missing column NULL-backfilled for old files — and
+    * that null topology is exactly what the manifest gates (per-lang
+    * counts where even ids fold into a NULL bucket). A reader that
+    * dropped the new column, failed on the old files, or backfilled
+    * with anything but null breaks the oracle match. Scale note:
+    * mergeSchema pays a footer read per file at planning (fine for a
+    * landing zone; a table format with a central schema log is the
+    * production answer — this op IS the correctness contract such a
+    * log must preserve). */
+  def x8SchemaEvolution(spark: SparkSession, dir: String,
+      outPath: String = null): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = Option(outPath).getOrElse {
+      val r = spark.conf.getOption("spark.graft.exportDir")
+        .getOrElse(s"/tmp/graft_export/${spark.sparkContext.applicationId}")
+      s"$r/x8_evolve"
+    }
+    val docs = graft.Tables.load(spark, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$root/batch=1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").parquet(s"$root/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  /** DuckDB oracle for [[x8SchemaEvolution]] — the same per-lang
+    * manifest with even ids folded into the NULL bucket. */
+  def x8OracleSql: String = """
+      SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+        count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents
+      GROUP BY 1 ORDER BY lang NULLS FIRST"""
 }

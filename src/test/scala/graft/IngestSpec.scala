@@ -65,4 +65,22 @@ class IngestSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(Files.exists(Paths.get(s"$tmp/landed/env=soil")))
   }
+
+  test("schema evolution: merged read null-backfills the old batch only") {
+    val out = Files.createTempDirectory("graft-x8").toString
+    val m = Ingest.x8SchemaEvolution(spark, sfDir, out)
+    m.collect() // materialize (writes both batches)
+    val unified = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(unified.columns.contains("lang"),
+      "merged schema lost the evolved column")
+    // the old batch (even ids) must read back as NULL lang, the new
+    // batch must keep its values — no cross-contamination
+    assert(unified.filter(col("doc_id") % 2 === 0 &&
+      col("lang").isNotNull).count() == 0, "old batch grew lang values")
+    assert(unified.filter(col("doc_id") % 2 === 1 &&
+      col("lang").isNull).count() == 0, "new batch lost lang values")
+    // total coverage: nothing dropped across the two batches
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(unified.count() == n)
+  }
 }
