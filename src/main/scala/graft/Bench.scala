@@ -102,9 +102,16 @@ object Bench {
         val m = pat.matcher(it.next().getFileName.toString)
         if (m.matches()) maxR = math.max(maxR, m.group(1).toInt)
       }
-      java.nio.file.Files.write(
-        cwd.resolve(s"BENCH_LOCAL_r${maxR + 1}.json"),
-        (line + "\n").getBytes("UTF-8"))
+      // Collision-safe: a late re-run (e.g. the driver's post-close pass
+      // on a loaded box) must never clobber committed evidence. If the
+      // round's artifact already exists, write a timestamp-suffixed
+      // sibling instead and leave the original untouched.
+      val target0 = cwd.resolve(s"BENCH_LOCAL_r${maxR + 1}.json")
+      val target =
+        if (java.nio.file.Files.exists(target0))
+          cwd.resolve(s"BENCH_LOCAL_r${maxR + 1}_${System.currentTimeMillis()}.json")
+        else target0
+      java.nio.file.Files.write(target, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // bench must still report on a read-only cwd
     spark.stop()
   }

@@ -40,60 +40,146 @@ object Graph {
   val OutDeg = 3
   val CkptEvery = 3
 
+  /** The deterministic synthetic out-link generator (oracle path):
+    * [[OutDeg]] targets per doc from the repo's Knuth hash. The `% n`
+    * target range is the ONLY reason the oracle queries need dense
+    * 0..N-1 ids; the iteration cores below run on arbitrary ids. */
+  private def syntheticFwd(docs: DataFrame, n: Long): DataFrame = docs
+    .select(col("doc_id").as("src"),
+      explode(expr(s"sequence(1, $OutDeg)")).as("j"))
+    .withColumn("dst0", pmod(
+      pmod(col("src") * 7 + col("j"), lit(1000000000L)) * lit(2654435761L),
+      lit(2147483647L)) % n)
+    .withColumn("dst", when(col("dst0") === col("src"),
+      pmod(col("dst0") + 1, lit(n))).otherwise(col("dst0")))
+    .select(col("src"), col("j"), col("dst"))
+
   def g1Pagerank(spark: SparkSession, dir: String,
                  iters: Int = Iters): DataFrame =
     g1Pagerank(Tables.load(spark, dir, "documents"), iters)
 
   def g1Pagerank(docs0: DataFrame, iters: Int): DataFrame = {
-    val docs = docs0.select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val spine = docs0.select(col("doc_id"))
     // the hash-derived dst lands in [0, N) — valid only if doc_ids are
-    // dense 0..N-1 (true for this corpus; one cheap aggregate guards it)
-    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    // dense 0..N-1 (true for this corpus; one cheap aggregate guards
+    // it, BEFORE anything is pinned so a refusal leaks nothing)
+    val h = spine.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
     val n = h.getLong(0)
     require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
       s"g1 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
     val base = 0.15 / n // fl(0.15)/N — same literal-then-divide both engines
-    val edges = docs
-      .select(col("doc_id").as("src"),
-        explode(expr(s"sequence(1, $OutDeg)")).as("j"))
-      .withColumn("dst0", pmod(
-        pmod(col("src") * 7 + col("j"), lit(1000000000L)) * lit(2654435761L),
-        lit(2147483647L)) % n)
-      .withColumn("dst", when(col("dst0") === col("src"),
-        pmod(col("dst0") + 1, lit(n))).otherwise(col("dst0")))
-      .select(col("src"), col("j"), col("dst"))
+    val docs = spine.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = syntheticFwd(docs, n)
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // (src = -1) sentinel rows keep zero-in-degree nodes in the
+      // aggregate (acc + 0.0 is a bit-exact no-op) — no per-step spine
+      // join needed, and n_in falls out as size(cs) - 1
+      val sentinel = docs.select(lit(-1L).as("src"), lit(0L).as("j"),
+        col("doc_id").as("dst"), lit(0.0).as("c"))
 
-    // (src = -1) sentinel rows keep zero-in-degree nodes in the
-    // aggregate (acc + 0.0 is a bit-exact no-op) — no per-step spine
-    // join needed, and n_in falls out as size(cs) - 1
-    val sentinel = docs.select(lit(-1L).as("src"), lit(0L).as("j"),
-      col("doc_id").as("dst"), lit(0.0).as("c"))
-
-    var ranks = docs.select(col("doc_id").as("v"),
-      lit(1.0 / n).as("r"))
-    for (t <- 1 to iters) {
-      val contribs = edges
-        .join(ranks, col("src") === col("v"))
-        .select(col("src"), col("j"), col("dst"),
-          (lit(Damping) * (col("r") / lit(OutDeg.toDouble))).as("c"))
-        .unionByName(sentinel)
-      val next = contribs
-        .groupBy(col("dst"))
-        .agg(sort_array(collect_list(struct(col("src"), col("j"), col("c"))))
-          .as("cs"))
-        .select(col("dst").as("v"),
-          aggregate(col("cs"), lit(base),
-            (acc, x) => acc + x.getField("c")).as("r"),
-          (size(col("cs")) - 1).cast("long").as("n_in"))
-      ranks = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+      var ranks = docs.select(col("doc_id").as("v"),
+        lit(1.0 / n).as("r"))
+      for (t <- 1 to iters) {
+        val contribs = edges
+          .join(ranks, col("src") === col("v"))
+          .select(col("src"), col("j"), col("dst"),
+            (lit(Damping) * (col("r") / lit(OutDeg.toDouble))).as("c"))
+          .unionByName(sentinel)
+        val next = contribs
+          .groupBy(col("dst"))
+          .agg(sort_array(collect_list(struct(col("src"), col("j"), col("c"))))
+            .as("cs"))
+          .select(col("dst").as("v"),
+            aggregate(col("cs"), lit(base),
+              (acc, x) => acc + x.getField("c")).as("r"),
+            (size(col("cs")) - 1).cast("long").as("n_in"))
+        ranks = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+      }
+      // Materialize the final ranks (Ckpt truncates lineage off the
+      // pinned frames) INSIDE the try — after it the pins are dead
+      // weight and the finally releases them on success and failure
+      // alike. No operator-internal persist may outlive its query
+      // (SURVEY §4 discipline); blocking so a caller observing
+      // getPersistentRDDs right after return sees them gone.
+      graft.Ckpt(ranks)
+        .select(col("v").as("doc_id"), round(col("r"), 6).as("pagerank"),
+          col("n_in"))
+        .orderBy("doc_id")
+    } finally {
+      edges.unpersist(blocking = true)
+      docs.unpersist(blocking = true)
     }
-    val out = ranks
-      .select(col("v").as("doc_id"), round(col("r"), 6).as("pagerank"),
-        col("n_in"))
-      .orderBy("doc_id")
-    out
+  }
+
+  /** General PageRank entry — an EXPLICIT (src, dst) edge list with
+    * arbitrary (possibly sparse, 64-bit, even negative) node ids; the
+    * synthetic generator above exists only so the oracle can re-derive
+    * the graph. Differences from the oracle path, both standard:
+    * out-degree is computed per node (not the generator's constant),
+    * and dangling mass (rank sitting on nodes with no out-links) is
+    * redistributed uniformly each step — without it rank leaks and the
+    * vector no longer sums to 1. Scale shape is unchanged: edges+outdeg
+    * pinned partitioned by src, one corpus-scale shuffle per step (the
+    * dst fold), dangling mass is a ONE-ROW aggregate crossJoin-broadcast
+    * back in-plan (no driver round-trip). Determinism: per-dst fold in
+    * src order (edge list deduped, so src is unique within a dst group)
+    * from init = fl(0.15)/n + (0.85*dm)/n. */
+  def g1PagerankEdges(edges0: DataFrame, iters: Int = Iters): DataFrame = {
+    val edges = edges0
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outd = edges.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val eo = edges.join(outd, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // nodes with no out-links — the dangling set whose rank mass is
+    // redistributed; a (possibly large) FRAME, semi-joined not collected
+    val noOut = nodes
+      .join(outd.select(col("src").as("v")), Seq("v"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      require(n > 0, "g1PagerankEdges: empty edge list")
+      val base = 0.15 / n
+      // sentinel src sorts before any real id; keeps sink-only nodes in
+      // the fold (acc + 0.0 no-op)
+      val sentinel = nodes.select(lit(Long.MinValue).as("src"),
+        col("v").as("dst"), lit(0.0).as("c"))
+      var ranks = nodes.select(col("v"), lit(1.0 / n).as("r"))
+      for (t <- 1 to iters) {
+        val dang = ranks.join(noOut, Seq("v"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+        val contribs = eo
+          .join(ranks, col("src") === col("v"))
+          .select(col("src"), col("dst"),
+            (lit(Damping) * (col("r") / col("outd").cast("double"))).as("c"))
+          .unionByName(sentinel)
+        val next = contribs
+          .groupBy(col("dst"))
+          .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+          .crossJoin(broadcast(dang)) // one row — in-plan, not a head()
+          .select(col("dst").as("v"),
+            aggregate(col("cs"),
+              lit(base) + lit(Damping) * col("dm") / lit(n.toDouble),
+              (acc, x) => acc + x.getField("c")).as("r"))
+        ranks = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+      }
+      graft.Ckpt(ranks)
+        .select(col("v").as("node"), round(col("r"), 6).as("pagerank"))
+        .orderBy("node")
+    } finally {
+      eo.unpersist(blocking = true)
+      noOut.unpersist(blocking = true)
+      nodes.unpersist(blocking = true)
+    }
   }
 
   /** DuckDB oracle for [[g1Pagerank]] — identical edge hash, identical
@@ -169,49 +255,73 @@ object Graph {
     g2Components(Tables.load(spark, dir, "documents"), iters)
 
   def g2Components(docs0: DataFrame, iters: Int): DataFrame = {
-    val docs = docs0.select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
-    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val spine = docs0.select(col("doc_id"))
+    val h = spine.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
     val n = h.getLong(0)
     require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
       s"g2 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
-    val fwd = docs
-      .select(col("doc_id").as("src"),
-        explode(expr(s"sequence(1, $OutDeg)")).as("j"))
-      .withColumn("dst0", pmod(
-        pmod(col("src") * 7 + col("j"), lit(1000000000L)) * lit(2654435761L),
-        lit(2147483647L)) % n)
-      .withColumn("dst", when(col("dst0") === col("src"),
-        pmod(col("dst0") + 1, lit(n))).otherwise(col("dst0")))
-      .select(col("src"), col("dst"))
+    val docs = spine.persist(StorageLevel.MEMORY_AND_DISK)
+    val fwd = syntheticFwd(docs, n).select(col("src"), col("dst"))
+    componentsCore(docs.select(col("doc_id").as("v")), fwd, iters, Seq(docs))
+  }
+
+  /** General CC entry — an EXPLICIT (src, dst) edge list with arbitrary
+    * sparse 64-bit node ids (edges are treated as undirected; the node
+    * spine is the distinct endpoint set). Same iteration core as the
+    * oracle path — all-integer, so generalizing costs nothing in
+    * determinism. */
+  def g2ComponentsEdges(edges0: DataFrame, iters: Int = CcIters): DataFrame = {
+    val edges = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .distinct()
+    componentsCore(nodes, edges, iters, Nil)
+  }
+
+  /** Min-label propagation over nodes(v) + directed edge pairs (both
+    * orientations and per-node self-edges are added here). Pins the
+    * undirected adjacency partitioned by src for the per-step join,
+    * materializes the final labels through Ckpt, then RELEASES every
+    * pin (plus `release`, the caller's own pinned inputs) before
+    * returning — persisted frames must not outlive the query. */
+  private def componentsCore(nodes: DataFrame, fwd: DataFrame, iters: Int,
+                             release: Seq[DataFrame]): DataFrame = {
     val und = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       // a self-edge per node keeps every node in the propagation
       // aggregate (the sentinel idiom) and carries its own label
-      .unionByName(docs.select(col("doc_id").as("src"),
-        col("doc_id").as("dst")))
+      .unionByName(nodes.select(col("v").as("src"), col("v").as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    var labels = docs.select(col("doc_id").as("v"), col("doc_id").as("label"))
-    for (t <- 1 to iters) {
-      val next = und
-        .join(labels, col("src") === col("v"))
-        .groupBy(col("dst"))
-        .agg(min(col("label")).as("label"))
-        .select(col("dst").as("v"), col("label"))
-      labels = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+    try {
+      var labels = nodes.select(col("v"), col("v").as("label"))
+      for (t <- 1 to iters) {
+        val next = und
+          .join(labels, col("src") === col("v"))
+          .groupBy(col("dst"))
+          .agg(min(col("label")).as("label"))
+          .select(col("dst").as("v"), col("label"))
+        labels = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+      }
+      // materialize final labels BEFORE the convergence probe so the
+      // probe and the returned frame both read the truncated lineage
+      val fin = graft.Ckpt(labels)
+      // convergence gate: one more step must change nothing
+      val again = und.join(fin, col("src") === col("v"))
+        .groupBy(col("dst")).agg(min(col("label")).as("l2"))
+        .join(fin, col("dst") === col("v"))
+        .filter(col("l2") =!= col("label")).count()
+      require(again == 0L,
+        s"min-label propagation not converged after $iters steps")
+      fin.groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"),
+          max(col("v")).as("max_doc"))
+        .orderBy("component")
+    } finally {
+      und.unpersist(blocking = true)
+      release.foreach(_.unpersist(blocking = true))
     }
-    // convergence gate: one more step must change nothing
-    val again = und.join(labels, col("src") === col("v"))
-      .groupBy(col("dst")).agg(min(col("label")).as("l2"))
-      .join(labels, col("dst") === col("v"))
-      .filter(col("l2") =!= col("label")).count()
-    require(again == 0L,
-      s"min-label propagation not converged after $iters steps")
-    labels.groupBy(col("label").as("component"))
-      .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"),
-        max(col("v")).as("max_doc"))
-      .orderBy("component")
   }
 
   /** DuckDB oracle for [[g2Components]] — the same fixed-step min-
@@ -279,49 +389,65 @@ object Graph {
     val n = h.getLong(0)
     require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
       s"g5 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
-    val fwd = docs
-      .select(col("doc_id").as("src"),
-        explode(expr(s"sequence(1, $OutDeg)")).as("j"))
-      .withColumn("dst0", pmod(
-        pmod(col("src") * 7 + col("j"), lit(1000000000L)) * lit(2654435761L),
-        lit(2147483647L)) % n)
-      .withColumn("dst", when(col("dst0") === col("src"),
-        pmod(col("dst0") + 1, lit(n))).otherwise(col("dst0")))
+    val fwd = syntheticFwd(docs, n)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+    kcoreCore(fwd, iters)
+  }
+
+  /** General k-core entry — an EXPLICIT (src, dst) edge list with
+    * arbitrary sparse 64-bit node ids; self-loops dropped, parallel
+    * edges collapsed (simple-graph semantics, the k-core convention). */
+  def g5KcoreEdges(edges0: DataFrame, iters: Int = CoreIters): DataFrame = {
+    val simple = edges0
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    kcoreCore(simple, iters)
+  }
+
+  /** Iterated h-index over the simple undirected edge set (a, b).
+    * Pins both orientations partitioned by src; final coreness is
+    * materialized through Ckpt and the pin released before return. */
+  private def kcoreCore(fwd: DataFrame, iters: Int): DataFrame = {
     val und = fwd.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(fwd.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // h-index of the desc-sorted neighbour values: count of 1-based
+      // positions i with value(i) >= i (a prefix, since sorted)
+      def hIndex(frame: DataFrame): DataFrame = frame
+        .groupBy(col("src"))
+        .agg(reverse(sort_array(collect_list(col("cn")))).as("cs"))
+        .select(col("src").as("v"),
+          aggregate(
+            zip_with(col("cs"),
+              expr("sequence(1, size(cs))"), (x, i) => (x >= i).cast("long")),
+            lit(0L), (a, b) => a + b).as("c"))
 
-    // h-index of the desc-sorted neighbour values: count of 1-based
-    // positions i with value(i) >= i (a prefix, since sorted)
-    def hIndex(frame: DataFrame): DataFrame = frame
-      .groupBy(col("src"))
-      .agg(reverse(sort_array(collect_list(col("cn")))).as("cs"))
-      .select(col("src").as("v"),
-        aggregate(
-          zip_with(col("cs"),
-            expr("sequence(1, size(cs))"), (x, i) => (x >= i).cast("long")),
-          lit(0L), (a, b) => a + b).as("c"))
-
-    var cur = und.groupBy(col("src")).agg(count(lit(1)).as("c"))
-      .select(col("src").as("v"), col("c"))
-    for (t <- 1 to iters) {
-      val next = hIndex(und.join(
-        cur.select(col("v").as("dst"), col("c").as("cn")), "dst"))
-      cur = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
-    }
-    val again = hIndex(und.join(
-        cur.select(col("v").as("dst"), col("c").as("cn")), "dst"))
-      .select(col("v"), col("c").as("c2"))
-      .join(cur, "v").filter(col("c2") =!= col("c")).count()
-    require(again == 0L, s"h-index iteration not converged after $iters steps")
-    cur.groupBy(col("c").as("coreness"))
-      .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("min_doc"),
-        max(col("v")).as("max_doc"))
-      .orderBy("coreness")
+      var cur = und.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .select(col("src").as("v"), col("c"))
+      for (t <- 1 to iters) {
+        val next = hIndex(und.join(
+          cur.select(col("v").as("dst"), col("c").as("cn")), "dst"))
+        cur = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+      }
+      val fin = graft.Ckpt(cur)
+      val again = hIndex(und.join(
+          fin.select(col("v").as("dst"), col("c").as("cn")), "dst"))
+        .select(col("v"), col("c").as("c2"))
+        .join(fin, "v").filter(col("c2") =!= col("c")).count()
+      require(again == 0L, s"h-index iteration not converged after $iters steps")
+      fin.groupBy(col("c").as("coreness"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("min_doc"),
+          max(col("v")).as("max_doc"))
+        .orderBy("coreness")
+    } finally und.unpersist(blocking = true)
   }
 
   /** DuckDB oracle for [[g5Kcore]] — the same fixed-step h-index
@@ -376,8 +502,13 @@ object Graph {
     * sums are exact integers (degrees are small, Σd⁴-scale terms fit
     * BIGINT easily at any realistic degree); the single float
     * division happens once at the end, identically phrased in both
-    * engines. Scale shape: degree aggregate + one broadcast-degree
-    * annotation pass + one global aggregate — no quadratic anything. */
+    * engines. Scale shape: degree aggregate + one degree-annotation
+    * join pass + one global aggregate — no quadratic anything. The
+    * degree table has one row PER NODE (corpus cardinality), so it is
+    * deliberately NOT hinted broadcast: the annotation is a plain
+    * shuffle join on the endpoint key (AQE may still elect broadcast
+    * when stats show the graph is small — the planner's call, not a
+    * corpus-scale driver pin). */
   def g4Assortativity(spark: SparkSession, dir: String): DataFrame =
     g4Assortativity(Tables.load(spark, dir, "documents"))
 
@@ -387,14 +518,7 @@ object Graph {
     val n = h.getLong(0)
     require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
       s"g4 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
-    val fwd = docs
-      .select(col("doc_id").as("src"),
-        explode(expr(s"sequence(1, $OutDeg)")).as("j"))
-      .withColumn("dst0", pmod(
-        pmod(col("src") * 7 + col("j"), lit(1000000000L)) * lit(2654435761L),
-        lit(2147483647L)) % n)
-      .withColumn("dst", when(col("dst0") === col("src"),
-        pmod(col("dst0") + 1, lit(n))).otherwise(col("dst0")))
+    val fwd = syntheticFwd(docs, n)
     val simple = fwd
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -403,8 +527,8 @@ object Graph {
       .groupBy("v").agg(count(lit(1)).as("d"))
     val both = simple.select(col("a").as("x"), col("b").as("y"))
       .unionByName(simple.select(col("b").as("x"), col("a").as("y")))
-      .join(broadcast(deg.select(col("v").as("x"), col("d").as("dx"))), "x")
-      .join(broadcast(deg.select(col("v").as("y"), col("d").as("dy"))), "y")
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
     both.agg(count(lit(1)).as("m2"),
         sum(col("dx") * col("dy")).as("sxy"),
         sum(col("dx")).as("sx"),
@@ -473,14 +597,7 @@ object Graph {
     val n = h.getLong(0)
     require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
       s"g3 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
-    val fwd = docs
-      .select(col("doc_id").as("src"),
-        explode(expr(s"sequence(1, $OutDeg)")).as("j"))
-      .withColumn("dst0", pmod(
-        pmod(col("src") * 7 + col("j"), lit(1000000000L)) * lit(2654435761L),
-        lit(2147483647L)) % n)
-      .withColumn("dst", when(col("dst0") === col("src"),
-        pmod(col("dst0") + 1, lit(n))).otherwise(col("dst0")))
+    val fwd = syntheticFwd(docs, n)
     val simple = fwd
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
