@@ -855,16 +855,28 @@ object Similarity {
     val dl = graft.Ckpt(tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
     val stats = dl.agg(count(lit(1)).as("nd"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qTerms = docs.filter(col("doc_id") < 5)
+    // query-bounded tiny; TWO consumers now (the scoring join and the
+    // df bound below) — checkpoint so the corpus-filter derivation
+    // runs once (alias-renamed consumers defeat exchange reuse)
+    val qTerms = graft.Ckpt(docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
-      .filter(length(col("term")) > 0)
+      .filter(length(col("term")) > 0))
+    // df values are only ever consumed for terms the queries contain,
+    // so bound the broadcast BEFORE the hint: the full df table is
+    // vocabulary-cardinality (10⁷–10⁸ distinct tokens at web scale — a
+    // multi-GB driver pin), while the semi-joined slice is bounded by
+    // the query term set. The bounding side broadcasts UN-deduped
+    // (semi-join output is per-left-row, so right-side duplicates are
+    // harmless and a distinct would cost a shuffle) — zero shuffles
+    // added over the unbounded form.
+    val dfQ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .join(broadcast(qTerms.select(col("term"))), Seq("term"), "left_semi")
     val contrib = broadcast(qTerms)
       .join(tf, "term")
       .filter(col("doc_id") =!= col("q_id"))
       .join(dl, "doc_id")
-      .join(broadcast(dfT), "term")
+      .join(broadcast(dfQ), "term")
       .crossJoin(broadcast(stats))
       .withColumn("c",
         log(((col("nd") - col("df")).cast("double") + lit(0.5))
