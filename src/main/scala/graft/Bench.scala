@@ -37,6 +37,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -46,28 +47,44 @@ object Bench {
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
 
-    def time(body: => Unit): Double = {
+    // A rep that throws must not masquerade as a (fast) timing — r9
+    // benched five analysis-broken queries as the wall time of their
+    // exception. Track failures per query; they surface in the
+    // artifact's "failed" list and as -1 raw entries.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def time(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0
+      }
     }
     def noopWrite(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val countTimes = if (countMode) names.map { name =>
-      name -> time(SparkEntry.queries(name)(spark, sfDir).count())
+      name -> time(name)(SparkEntry.queries(name)(spark, sfDir).count())
     } else Nil
     // rep 1 = cold (plan codegen + JIT), discarded; reported value =
     // min of the warm reps. Raw times for ALL reps go in the artifact.
+    // A query whose first rep throws is not re-run (same exception 3×
+    // would just triple the noise); its raw entry is [-1].
     val rawTimes: Seq[(String, Seq[Double])] = names.map { name =>
-      name -> Seq.fill(reps)(
-        time(noopWrite(SparkEntry.queries(name)(spark, sfDir))))
+      val first = time(name)(noopWrite(SparkEntry.queries(name)(spark, sfDir)))
+      val rest = if (first < 0) Nil else Seq.fill(reps - 1)(
+        time(name)(noopWrite(SparkEntry.queries(name)(spark, sfDir))))
+      name -> (first +: rest)
     }
     // GRAFT_BENCH_REPS=1 must not crash: with a single rep there is no
     // cold rep to discard, so the lone time IS the reported time.
+    // Failed queries (raw [-1]) report -1 — visibly broken, and they
+    // do NOT contribute to the suite total.
     val matTimes = rawTimes.map { case (n, ts) =>
-      n -> (if (ts.size > 1) ts.drop(1) else ts).min
+      val warm = (if (ts.size > 1) ts.drop(1) else ts).filter(_ >= 0)
+      n -> (if (warm.isEmpty) -1.0 else warm.min)
     }
 
     def r3(v: Double): String =
@@ -78,13 +95,15 @@ object Bench {
       ts.map { case (k, vs) =>
         s"\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-    val total = matTimes.map(_._2).sum
+    val total = matTimes.map(_._2).filter(_ >= 0).sum
     val legacy = if (countMode)
       s""""value_count":${r3(countTimes.map(_._2).sum)},"queries_count":${jmap(countTimes)},"""
     else ""
+    val failedJson =
+      failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""materialized":true,"runs":$reps,"protocol":"drop-first-min-rest",""" +
-      s""""raw":${jraw(rawTimes)},$legacy""" +
+      s""""raw":${jraw(rawTimes)},$legacy"failed":$failedJson,""" +
       s""""value":${r3(total)},"queries":${jmap(matTimes)}}"""
     println(line)
     // The driver's artifact is a BOUNDED TAIL of stdout: the r6

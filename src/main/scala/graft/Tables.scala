@@ -25,16 +25,27 @@ object Tables {
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by
-    * default. Read nanos as long and truncate to microseconds — the
-    * same truncation DuckDB applies on CAST(ts AS TIMESTAMP), keeping
-    * the oracle comparable. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some data
+    * generations and TIMESTAMP_NTZ (micros, isAdjustedToUTC=false) in
+    * others; downstream operators assume session-TZ TIMESTAMP (they
+    * call `unix_micros`). Normalize both shapes here, once:
+    *  - NANOS: Spark refuses it by default, so read nanos-as-long and
+    *    truncate to micros — the same truncation DuckDB applies on
+    *    CAST(ts AS TIMESTAMP), keeping the oracle comparable.
+    *  - NTZ: cast to TIMESTAMP. The session TZ is UTC (SparkEntry /
+    *    Verify / Bench all pin it), so the cast is lossless and the
+    *    DuckDB oracle (which reads the same micros) is unchanged. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Dimension load with a broadcast hint: at 100 TB the fact side is
