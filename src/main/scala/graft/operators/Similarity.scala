@@ -1085,11 +1085,17 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qd"), col("nm").as("qn")))
     val c = vecs.select(col("vec_id").as("c_id"), col("v").as("cd"),
       col("nm").as("cn"))
+    // Zero-norm guard: an all-zero token slice has norm 0; its
+    // sub-cosine is DEFINED as 0 (not NaN — NaN sorts differently
+    // between Spark and DuckDB and would poison the Σ fold). The
+    // oracle in [[s8OracleSql]] applies the identical rule.
     val ms = s"""aggregate(sequence(0, ${nT - 1}), cast(0.0 as double),
       (acc, i) -> acc + array_max(transform(sequence(0, ${nT - 1}), j ->
-        aggregate(sequence(1, $d), cast(0.0 as double),
-          (a, t) -> a + element_at(qd, i * $d + t) * element_at(cd, j * $d + t))
-        / (element_at(qn, i + 1) * element_at(cn, j + 1)))))"""
+        case when element_at(qn, i + 1) * element_at(cn, j + 1) = cast(0.0 as double)
+          then cast(0.0 as double)
+          else aggregate(sequence(1, $d), cast(0.0 as double),
+            (a, t) -> a + element_at(qd, i * $d + t) * element_at(cd, j * $d + t))
+          / (element_at(qn, i + 1) * element_at(cn, j + 1)) end)))"""
     val scored = q.join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), expr(ms).as("ms"))
     graft.plans.TopK.perGroup(scored, Seq("q_id"),
@@ -1119,10 +1125,12 @@ object Similarity {
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(generate_series(0, ${nT - 1}), i ->
               list_max(list_transform(generate_series(0, ${nT - 1}), j ->
-                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(generate_series(1, $d),
-                    t -> q.v[i * $d + t] * c.v[j * $d + t])), (a, x) -> a + x)
-                / (q.nm[i + 1] * c.nm[j + 1]))))), (acc, x) -> acc + x) AS ms
+                CASE WHEN q.nm[i + 1] * c.nm[j + 1] = CAST(0.0 AS DOUBLE)
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(generate_series(1, $d),
+                      t -> q.v[i * $d + t] * c.v[j * $d + t])), (a, x) -> a + x)
+                  / (q.nm[i + 1] * c.nm[j + 1]) END)))), (acc, x) -> acc + x) AS ms
         FROM withn q, withn c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
       ranked AS (
         SELECT q_id, c_id, ms,

@@ -290,13 +290,27 @@ object Export {
     def countFiles(p: String): Long = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(path).count(_.getPath.getName.startsWith("part-")).toLong
+      val it = fs.listFiles(path, true) // recursive: frag nests bucket=*/
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
     }
+    // Fragment DETERMINISTICALLY: bucket by pmod(doc_id, FragFiles),
+    // colocate each bucket in one task (repartition on the bucket
+    // column) and write partitionBy(bucket) — exactly one data file
+    // per occupied bucket, so n_files_before is oracle-derivable as
+    // count(DISTINCT doc_id % FragFiles). A plain repartition(N)
+    // round-robin is NOT: empty target partitions write no file, but
+    // an empty task 0 still writes a schema-only part file, so a
+    // corpus under N rows yields a data-dependent count (r9's oracle
+    // hardcoded 64 and broke on exactly that).
     Tables.load(spark, dir, "documents")
-      .repartition(FragFiles)
-      .write.mode("overwrite").parquet(frag)
+      .withColumn("bucket", pmod(col("doc_id"), lit(FragFiles)))
+      .repartition(FragFiles, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(frag)
     val before = countFiles(frag)
-    val reread = spark.read.parquet(frag)
+    val reread = spark.read.parquet(frag).drop("bucket")
     val n = reread.count()
     val nAfter = math.max(1L, (n + RowsPerFile - 1) / RowsPerFile).toInt
     reread.repartition(nAfter).write.mode("overwrite").parquet(comp)
@@ -310,9 +324,13 @@ object Export {
   }
 
   /** DuckDB oracle for [[compact]]: the manifest from the source table
-    * plus the arithmetically-derived file counts. */
+    * plus the arithmetically-derived file counts. n_files_before =
+    * occupied buckets = count(DISTINCT doc_id % FragFiles): one data
+    * file per occupied bucket by construction — exact for ANY corpus
+    * size, where the old hardcoded FragFiles broke under 64 rows. */
   def x7OracleSql: String = s"""
-      SELECT CAST($FragFiles AS BIGINT) AS n_files_before,
+      SELECT CAST(count(DISTINCT doc_id % $FragFiles) AS BIGINT)
+        AS n_files_before,
         CAST(greatest(1, (count(*) + ${RowsPerFile - 1}) // $RowsPerFile)
           AS BIGINT) AS n_files_after,
         count(*) AS n_docs,

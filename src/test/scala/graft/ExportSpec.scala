@@ -148,4 +148,25 @@ class ExportSpec extends SparkSpec {
     assert(m.getLong(2) == src.getLong(0) && m.getLong(3) == src.getLong(1)
       && m.getLong(4) == src.getLong(2), s"manifest drifted: $m vs $src")
   }
+
+  test("compaction file counts stay oracle-derivable on a corpus " +
+       "smaller than FragFiles") {
+    import spark.implicits._
+    // 10 rows < FragFiles=64: round-robin fragmentation writes one
+    // file per non-empty partition, i.e. 10, and the oracle's
+    // least(FragFiles, count(*)) must agree (the r8/r9 hardcoded-64
+    // oracle failed exactly this corpus)
+    val tmp = java.nio.file.Files.createTempDirectory("x7small").toString
+    (1 to 10).map(i => (i.toLong, "doc " * i, ("doc " * i).length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = graft.sources.Export.compact(spark, tmp,
+      java.nio.file.Files.createTempDirectory("x7out").toString).head()
+    val expBefore = math.max(1L, math.min(
+      graft.sources.Export.FragFiles.toLong, 10L))
+    assert(m.getLong(0) == expBefore,
+      s"fragment stage wrote ${m.getLong(0)} files, oracle derives $expBefore")
+    assert(m.getLong(1) == 1L, s"10 rows must compact to 1 file, got ${m.getLong(1)}")
+    assert(m.getLong(2) == 10L)
+  }
 }

@@ -372,6 +372,29 @@ class SimilaritySpec extends SparkSpec {
     assert(cosAB < 0.999, s"full-vector cosine should break under permutation, got $cosAB")
   }
 
+  test("maxsim defines a zero-norm token slice's sub-cosine as 0, " +
+       "never NaN") {
+    import spark.implicits._
+    val a = (1 to 64).map(i => (i % 13 + 1).toFloat).toArray
+    // b: token block 0 is all zeros -> its norm is 0; the unguarded
+    // division would yield NaN and poison b's whole MaxSim sum
+    val b = Array.fill(8)(0.0f) ++ a.slice(8, 64)
+    val zero = Array.fill(64)(0.0f) // every slice zero on BOTH sides
+    val e = Seq((0L, a), (1L, b), (2L, zero), (3L, a.map(_ * 2f)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.maxSim(e, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(res.values.forall(v => !v.isNaN), s"NaN leaked: $res")
+    // all-zero corpus doc scores exactly 0 against any query
+    assert(res((0L, 2L)) == 0.0, s"all-zero doc scored ${res((0L, 2L))}")
+    // b still earns its 7 intact token matches against a (each
+    // sub-cosine 1.0); query token 0 maxes over b's OTHER tokens
+    // (< 1.0), the zeroed slice itself contributing 0 — so the total
+    // lands in [7, 8), where an unguarded NaN would have erased it
+    assert(res((0L, 1L)) >= 7.0 && res((0L, 1L)) < 8.0,
+      s"partial-zero doc scored ${res((0L, 1L))}")
+  }
+
   test("semdedup drops planted twins within a cell and never a cell's " +
        "lowest id") {
     import spark.implicits._
