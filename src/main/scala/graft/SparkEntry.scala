@@ -148,6 +148,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.sources.Ingest.x8SchemaEvolution(s, d)),
     "t17_surprisal" -> (TextOps.surprisal _),
     "t18_bpe_merges" -> (TextOps.bpeMerges _),
+    "t19_quality_classifier" -> (TextOps.ftQuality _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e11_event_gaps" -> (Events.interEventGaps _),
@@ -959,6 +960,7 @@ object SparkEntry {
     "x7_compaction" -> graft.sources.Export.x7OracleSql,
     "x8_schema_evolution" -> graft.sources.Ingest.x8OracleSql,
     "t17_surprisal" -> graft.operators.TextOps.t17OracleSql,
+    "t19_quality_classifier" -> graft.operators.TextOps.t19OracleSql,
     "m7_audio_features" -> graft.operators.Multimodal.m7OracleSql,
     "d12_semdedup" -> graft.operators.Similarity.d12OracleSql(),
     "t18_bpe_merges" -> graft.operators.TextOps.t18OracleSql(),

@@ -856,4 +856,93 @@ object TextOps {
       ${(1 to m).map(step).mkString(",")}
       SELECT * FROM ($finals) ORDER BY step"""
   }
+
+  /** t19: model-based quality classifier — a fastText-style LINEAR
+    * scorer over hashed unigram + word-bigram features (the
+    * architecture of every production "model-based quality filter":
+    * fastText is bag-of-n-grams → hashed buckets → linear layer →
+    * sigmoid). The weight table is the shipped model artifact: weight
+    * of bucket b is the RATIONAL ((b·2654435761 + 12345) mod P −
+    * (P−1)/2 − 1)/P with P = [[FtPrime]] — a fixed pseudo-random
+    * init standing in for trained parameters, so the OPERATOR (hash,
+    * pool, dot product, cut) is the real thing while the weights stay
+    * reproducible from public arithmetic. keep ⇔ mean-pooled score ≥
+    * 0, i.e. sigmoid ≥ 0.5 — the fastText decision rule.
+    *
+    * Exactness: weights share denominator P, so the dot product's
+    * numerator Σ tf·num(bucket) is ALL-INTEGER (int64, order-free —
+    * no IEEE fold-order discipline needed); the single final division
+    * and round(6) are reproduced bit-for-bit by the oracle.
+    *
+    * Scale shape: the whole classifier — char-fold feature hash,
+    * bigram construction, weight lookup (a pure function of the
+    * bucket id: NO weight-table join or broadcast), pooling — is ONE
+    * in-row projection over the corpus scan: zero shuffle, zero
+    * joins, embarrassingly parallel at 100 TB. A real trained model
+    * ships as a [[FtBuckets]]-row table; at 2^20 rows it would join
+    * in as one broadcast, leaving the plan shape unchanged. */
+  val FtBuckets = 1048576L // 2^20 hashed feature buckets
+  val FtPrime = 1000003L // weight denominator (prime)
+
+  def ftQuality(spark: SparkSession, dir: String): DataFrame =
+    ftQuality(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def ftQuality(docs: DataFrame): DataFrame = {
+    val w = "split(text, ' ')"
+    // unigrams ++ bigrams ("a_b"); slice/zip_with (not sequence) so a
+    // one-word doc yields [] — Spark's sequence(1, 0) is DESCENDING
+    // [1, 0], not empty
+    val grams = s"""concat($w,
+      zip_with(slice($w, 1, size($w) - 1), slice($w, 2, size($w) - 1),
+        (x, y) -> concat(x, '_', y)))"""
+    // h(g): 31-ary char fold mod FtBuckets; num(h): the weight
+    // numerator, centered to [-(P-1)/2, (P-1)/2]
+    def num(g: String) = s"""((case when length($g) = 0 then cast(0 as bigint)
+      else aggregate(sequence(1, length($g)), cast(0 as bigint),
+        (a, i) -> (a * 31 + ascii(substring($g, i, 1))) % $FtBuckets) end)
+      * 2654435761 + 12345) % $FtPrime - ${(FtPrime - 1) / 2}"""
+    docs
+      .select(col("doc_id"), expr(grams).as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        expr(s"""aggregate(grams, cast(0 as bigint),
+          (acc, g) -> acc + (${num("g")}))""").as("sum_num"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("sum_num").cast("double")
+          / (lit(FtPrime.toDouble) * col("n_grams").cast("double")), 6)
+          .as("ft_score"))
+      .withColumn("keep", col("ft_score") >= 0.0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[ftQuality]] — same integer dot-product
+    * numerator, same single division and rounded cut. */
+  def t19OracleSql: String = {
+    val half = (FtPrime - 1) / 2
+    s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT doc_id, list_concat(w,
+          list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || '_' || w[i + 1])) AS grams FROM t),
+      s AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(grams, gr ->
+              ((CASE WHEN length(gr) = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(gr)),
+                    i -> CAST(ord(substring(gr, i, 1)) AS BIGINT))),
+                  (a, c) -> (a * 31 + c) % $FtBuckets) END)
+              * 2654435761 + 12345) % $FtPrime - $half)),
+            (acc, x) -> acc + x) AS sum_num
+        FROM g)
+      SELECT doc_id, n_grams,
+        round(CAST(sum_num AS DOUBLE) / ($FtPrime.0 * n_grams), 6)
+          AS ft_score,
+        round(CAST(sum_num AS DOUBLE) / ($FtPrime.0 * n_grams), 6) >= 0.0
+          AS keep
+      FROM s ORDER BY doc_id"""
+  }
 }

@@ -259,7 +259,11 @@ class PlanSpec extends SparkSpec {
       // e15: user window + cell aggregate (+ distinct expand + sort)
       ("e15", graft.operators.Events.cohortValue(spark, sfDir), 5),
       // t17: tf/cf aggregates + term join + per-doc fold + sort
-      ("t17", graft.operators.TextOps.surprisal(docs), 6))
+      ("t17", graft.operators.TextOps.surprisal(docs), 6),
+      // t19: the whole classifier is an in-row projection — only the
+      // result sort (+ the Tables.parallel small-table fan-out when
+      // loaded via dir) may shuffle
+      ("t19", graft.operators.TextOps.ftQuality(docs), 1))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")

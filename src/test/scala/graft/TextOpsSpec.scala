@@ -192,4 +192,34 @@ class TextOpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(res(1L) == exp, s"got ${res(1L)}, want $exp")
   }
+
+  test("t19 classifier matches a reference dot product and handles " +
+       "one-word and empty docs") {
+    import spark.implicits._
+    val docs = Seq((0L, "the quick brown fox"), (1L, "solo"), (2L, ""))
+      .toDF("doc_id", "text")
+    val res = graft.operators.TextOps.ftQuality(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // independent JVM reference of the same shipped-weight model
+    val P = graft.operators.TextOps.FtPrime
+    val B = graft.operators.TextOps.FtBuckets
+    def h(g: String): Long =
+      if (g.isEmpty) 0L
+      else g.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % B)
+    def num(g: String): Long = (h(g) * 2654435761L + 12345L) % P - (P - 1) / 2
+    def score(text: String): (Long, Double, Boolean) = {
+      val w = text.split(" ", -1).toSeq
+      val grams = w ++ w.sliding(2).filter(_.size == 2).map(p => s"${p(0)}_${p(1)}")
+      val s = BigDecimal(grams.map(num).sum.toDouble / (P.toDouble * grams.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (grams.size.toLong, s, s >= 0.0)
+    }
+    for (d <- Seq(0L, 1L, 2L))
+      assert(res(d) == score(Seq("the quick brown fox", "solo", "")(d.toInt)),
+        s"doc $d: got ${res(d)}")
+    // one-word doc: exactly 1 gram (no bigrams); empty doc: the single
+    // empty token hashes to bucket 0, never NaN or a crash
+    assert(res(1L)._1 == 1L && res(2L)._1 == 1L)
+  }
 }
