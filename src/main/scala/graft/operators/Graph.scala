@@ -518,11 +518,28 @@ object Graph {
     val n = h.getLong(0)
     require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
       s"g4 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
-    val fwd = syntheticFwd(docs, n)
-    val simple = fwd
+    g4Core(simpleUndirected(syntheticFwd(docs, n)))
+  }
+
+  /** General assortativity entry — an EXPLICIT (src, dst) edge list
+    * with arbitrary (sparse, 64-bit, even negative) node ids, the
+    * g1/g2/g5 Edges-variant convention: the dense-id `require` above
+    * guards only the synthetic-generator path the oracle re-derives;
+    * the metric itself never indexes by id. */
+  def g4AssortativityEdges(edges0: DataFrame): DataFrame =
+    g4Core(simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))))
+
+  /** Simple undirected form: self-loops dropped, each edge once as
+    * (min, max). Id-agnostic. */
+  private def simpleUndirected(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+
+  private def g4Core(simple: DataFrame): DataFrame = {
     val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val both = simple.select(col("a").as("x"), col("b").as("y"))
@@ -597,11 +614,26 @@ object Graph {
     val n = h.getLong(0)
     require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
       s"g3 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
-    val fwd = syntheticFwd(docs, n)
-    val simple = fwd
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
+    g3Core(docs.agg(count(lit(1)).as("n_nodes")),
+      simpleUndirected(syntheticFwd(docs, n)))
+  }
+
+  /** General triangle-count entry — an EXPLICIT (src, dst) edge list
+    * with arbitrary (sparse, 64-bit, even negative) node ids; the
+    * (degree, id) orientation and wedge closure never index by id, so
+    * the dense-id `require` above guards only the synthetic-generator
+    * path. n_nodes counts distinct endpoints (an edge list carries no
+    * isolated nodes). */
+  def g3TrianglesEdges(edges0: DataFrame): DataFrame = {
+    val simple = simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    val nodes = simple.select(explode(array(col("a"), col("b"))).as("v"))
       .distinct()
+    g3Core(nodes.agg(count(lit(1)).as("n_nodes")), simple)
+  }
+
+  private def g3Core(nNodes: DataFrame, simple: DataFrame): DataFrame = {
     val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
@@ -622,7 +654,7 @@ object Graph {
     val tris = wedges.join(oriented.select(col("u").as("x"),
         col("v").as("y")), Seq("x", "y"), "left_semi")
     // single-row aggregates composed in-plan (no driver-side math)
-    docs.agg(count(lit(1)).as("n_nodes"))
+    nNodes
       .crossJoin(simple.agg(count(lit(1)).as("n_edges")))
       .crossJoin(deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges")))
       .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))

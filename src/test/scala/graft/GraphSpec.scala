@@ -241,6 +241,51 @@ class GraphSpec extends SparkSpec {
       (base, 3L, base, base + 15838L)))
   }
 
+  test("triangles run on sparse ids: K4 plus a pendant edge, " +
+       "brute-force-checked") {
+    import spark.implicits._
+    val ids = Array(1L << 52, (1L << 52) + 13L, -999999937L, 0L, 7L)
+    // K4 over ids(0..3): 4 triangles, 6 edges; pendant ids(3)-ids(4);
+    // a duplicate and a self-loop that simple semantics must drop
+    val edges = (for {
+      i <- 0 until 4; j <- i + 1 until 4
+    } yield (ids(i), ids(j))).toSeq ++
+      Seq((ids(3), ids(4)), (ids(4), ids(3)), (ids(2), ids(2)))
+    val r = Graph.g3TrianglesEdges(edges.toDF("src", "dst")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(3)) == ((5L, 7L, 4L)),
+      s"nodes/edges/triangles: $r")
+    // wedges: K4 nodes have degree 3,3,3, ids(3) degree 4, ids(4)
+    // degree 1 -> 3*C(3,2) + C(4,2) + 0 = 9 + 6 = 15
+    assert(r.getLong(2) == 15L, s"wedges: $r")
+    val exp = BigDecimal(3.0 * 4 / 15).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == exp, s"clustering: $r")
+  }
+
+  test("assortativity runs on sparse ids and matches a scala Pearson") {
+    import spark.implicits._
+    val a = 1L << 47
+    // a star (hub a, leaves a+1..a+4) plus one leaf-leaf edge: strongly
+    // disassortative, every id far outside a dense range
+    val edges = Seq((a, a + 1), (a, a + 2), (a, a + 3), (a, a + 4),
+      (a + 1, -5L))
+    val r = Graph.g4AssortativityEdges(edges.toDF("src", "dst")).head()
+    val simple = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    val deg = simple.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, vs) => v -> vs.size.toLong }
+    val both = simple.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+      .map { case (x, y) => (deg(x), deg(y)) }
+    val m2 = both.size.toLong
+    val (sxy, sx, sxx) = (both.map(p => p._1 * p._2).sum,
+      both.map(_._1).sum, both.map(p => p._1 * p._1).sum)
+    val want = BigDecimal((m2.toDouble * sxy - sx.toDouble * sx)
+        / (m2.toDouble * sxx - sx.toDouble * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == m2 && r.getDouble(1) == want,
+      s"got $r, want ($m2, $want)")
+  }
+
   test("k-core runs on sparse ids: clique coreness 3, pendant path 1") {
     import spark.implicits._
     val ids = Array(1L << 50, (1L << 50) + 17L, (1L << 50) + 34L,
