@@ -353,15 +353,25 @@ class PlanSpec extends SparkSpec {
     // corpus cardinality — so a user-forced broadcast would pin a
     // multi-GB frame on the driver at 100 TB (the r8 judge's last
     // scale-killer finding). The gate: the analyzed plan carries ZERO
-    // ResolvedHint nodes anywhere, so the n_a/n_b annotation joins ride
+    // broadcast hint nodes, so the n_a/n_b annotation joins ride
     // plain shuffle joins; AQE remains free to broadcast at runtime
     // when the frame is ACTUALLY small, which is the behavior we want.
+    // SCOPE: winnowFingerprint Ckpt-materializes the fingerprint
+    // extraction, so this plan (and the assertion) covers only the
+    // stages DOWNSTREAM of that checkpoint — the sizes annotation and
+    // pair aggregation, which is exactly where the r8 hints lived.
+    // The pre-checkpoint stage is a hint-free scan projection by
+    // construction (asserted in-row in the late-r7 budget test); a
+    // hint added there would be invisible here.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = Tables.load(spark, sfDir, "documents")
     val df = graft.operators.Dedup.winnowFingerprint(docs)
-    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
-    assert(hints.isEmpty,
-      s"d11 forces ${hints.size} broadcast hint(s) on a corpus-cardinality frame")
+    val bcastHints = df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.exists(
+        _ == org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+    }
+    assert(bcastHints.isEmpty,
+      s"d11 forces ${bcastHints.size} broadcast hint(s) on a corpus-cardinality frame")
   }
 
   test("g1/g2: iterative graph plans stay checkpoint-bounded") {
