@@ -327,6 +327,16 @@ object Ordination {
     val gmean = rm
       .agg(idxFold(collect_list(struct(col("i"), col("rm").as("x")))).as("gs"))
       .crossJoin(nf).select((col("gs") / col("n")).as("gmean"))
+    // Partitioning note (r10, measured): pre-partitioning this frame
+    // by i does NOT help the per-iteration groupBy(i) — a DISK_ONLY
+    // localCheckpoint comes back as a bare `Scan ExistingRDD` with no
+    // outputPartitioning, so Catalyst re-inserts the exchange anyway
+    // (probe: ENSURE_REQUIREMENTS shuffle present either way). The
+    // mat-vec therefore pays one pairs-scale shuffle per iteration by
+    // construction; at cluster scale the alternative is writing the
+    // matrix BUCKETED by i to a table (the ScaleSpec bucketed
+    // co-located join shows the pattern), which a long-lived
+    // deployment should do.
     val b = graft.Ckpt(trip
       .join(broadcast(rm.select(col("i"), col("rm").as("rmi"))), "i")
       .join(broadcast(rm.select(col("i").as("j"), col("rm").as("rmj"))), "j")
