@@ -29,6 +29,31 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("a throwing query is LOUD in the verify artifacts, not absent") {
+    // r9's regression shipped green because Verify silently dropped
+    // queries that threw; the driver artifact then reported 119/119.
+    // Gate the failure path: a broken query must surface in
+    // _errors.json AND as a <name>_FAILED sentinel dir.
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val out = java.nio.file.Files.createTempDirectory("verify_loud").toString
+    val errs = Verify.dump(spark, tinySf, out, Map(
+      "ok_probe" -> ((s: SparkSession, d: String) =>
+        Tables.load(s, d, "region")),
+      "broken_probe" -> ((_: SparkSession, _: String) =>
+        throw new IllegalStateException("deliberate failure"))))
+    assert(errs.keySet == Set("broken_probe"), s"errors: $errs")
+    val ej = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/_errors.json")), "UTF-8")
+    assert(ej.contains("broken_probe") && ej.contains("deliberate failure"),
+      s"_errors.json not loud: $ej")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$out/broken_probe_FAILED")),
+      "no _FAILED sentinel dir")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$out/ok_probe")),
+      "healthy query's dump missing")
+  }
+
   test("every query has a SURVEY §2 coverage row") {
     // The §2 table is the judge's grading contract; it silently lost
     // the r4 bench tail once and q33's row in r5. A query key missing
