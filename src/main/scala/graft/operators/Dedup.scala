@@ -710,6 +710,15 @@ object Dedup {
         System.err.println(f"[cc] iter=$iter converged=$converged " +
           f"took=${(System.nanoTime() - tIter) / 1e9}%.2f s")
     }
+    // Path halving doubles the propagation distance each round, so the
+    // default 25-round budget covers any diameter up to ~2^25 — but a
+    // graph that genuinely exhausts it must fail LOUDLY, not return
+    // unconverged (hence wrong) cluster labels: the r10 g5 lesson is
+    // that silent step-budget exhaustion is invisible at verify scale
+    // and wrong at bench scale.
+    require(converged,
+      s"cluster label propagation not converged after $iter rounds " +
+        s"(maxIter=$maxIter)")
     // 4. decision row per document (singletons form their own cluster)
     documents.select("doc_id")
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")

@@ -36,6 +36,13 @@ import org.apache.spark.storage.StorageLevel
 object Graph {
 
   val Damping = 0.85
+  /** PageRank steps. FIXED BY CONTRACT, not a convergence knob: the
+    * query semantics are "the rank vector after exactly 10 damped
+    * power-iteration steps" (rank is float-valued and only approaches
+    * its limit asymptotically, so there is no finite fixpoint to stop
+    * at). This is semantically sound at any data size — unlike the
+    * all-integer g2/g5 iterations, which DO reach an exact fixpoint
+    * and therefore derive their step count from the data. */
   val Iters = 10
   val OutDeg = 3
   val CkptEvery = 3
@@ -240,21 +247,22 @@ object Graph {
     *
     * Scale shape: the undirected adjacency is materialized once,
     * partitioned by src, and pinned; each step is one join + one
-    * min-aggregate shuffle; labels checkpoint on the g1 cadence. The
-    * step count is FIXED at [[CcIters]] (both engines run exactly
-    * that many, so the oracle agrees by construction even mid-
-    * convergence) and the engine additionally asserts a fixpoint was
-    * reached — min-label needs ≤ diameter steps, and this 3-regular
-    * random digraph's undirected diameter is O(log n), far under the
-    * budget. A graph that genuinely needed more steps fails loudly
-    * rather than returning unconverged labels. */
-  val CcIters = 24
+    * min-aggregate shuffle; labels checkpoint on the g1 cadence.
+    * The step count is NOT fixed: both engine and oracle iterate to
+    * the fixpoint, which is unique (the component minimum everywhere)
+    * and order-independent, so the determinism contract survives any
+    * data size — a fixed budget tuned at one scale is exactly the
+    * knob that breaks at 100× (g5 did, at 10×, in r10). Convergence
+    * is checked every [[CkptEvery]] steps against the previous
+    * checkpoint; labels are monotone non-increasing, so equality
+    * across a whole check period certifies the fixpoint. A provable
+    * runaway cap (min-label needs ≤ diameter < n steps) still fails
+    * loudly on a genuine bug instead of looping forever. */
+  def g2Components(spark: SparkSession, dir: String): DataFrame =
+    g2Components(Tables.load(spark, dir, "documents"))
 
-  def g2Components(spark: SparkSession, dir: String,
-                   iters: Int = CcIters): DataFrame =
-    g2Components(Tables.load(spark, dir, "documents"), iters)
-
-  def g2Components(docs0: DataFrame, iters: Int): DataFrame = {
+  def g2Components(docs0: DataFrame,
+                   maxSteps: Long = Long.MaxValue): DataFrame = {
     val spine = docs0.select(col("doc_id"))
     val h = spine.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
     val n = h.getLong(0)
@@ -262,30 +270,40 @@ object Graph {
       s"g2 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
     val docs = spine.persist(StorageLevel.MEMORY_AND_DISK)
     val fwd = syntheticFwd(docs, n).select(col("src"), col("dst"))
-    componentsCore(docs.select(col("doc_id").as("v")), fwd, iters, Seq(docs))
+    componentsCore(docs.select(col("doc_id").as("v")), fwd, maxSteps, Seq(docs))
   }
 
   /** General CC entry — an EXPLICIT (src, dst) edge list with arbitrary
     * sparse 64-bit node ids (edges are treated as undirected; the node
     * spine is the distinct endpoint set). Same iteration core as the
     * oracle path — all-integer, so generalizing costs nothing in
-    * determinism. */
-  def g2ComponentsEdges(edges0: DataFrame, iters: Int = CcIters): DataFrame = {
+    * determinism. `maxSteps` is a loud runaway guard (and a test
+    * lever), NOT a tuning knob: the loop stops at the fixpoint. */
+  def g2ComponentsEdges(edges0: DataFrame,
+                        maxSteps: Long = Long.MaxValue): DataFrame = {
     val edges = edges0.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val nodes = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v")))
       .distinct()
-    componentsCore(nodes, edges, iters, Nil)
+    componentsCore(nodes, edges, maxSteps, Nil)
   }
 
   /** Min-label propagation over nodes(v) + directed edge pairs (both
-    * orientations and per-node self-edges are added here). Pins the
-    * undirected adjacency partitioned by src for the per-step join,
-    * materializes the final labels through Ckpt, then RELEASES every
-    * pin (plus `release`, the caller's own pinned inputs) before
-    * returning — persisted frames must not outlive the query. */
-  private def componentsCore(nodes: DataFrame, fwd: DataFrame, iters: Int,
+    * orientations and per-node self-edges are added here), iterated
+    * TO THE FIXPOINT: [[CkptEvery]] lazy steps per period, then one
+    * checkpoint + changed-count action. Monotonicity (every label is
+    * non-increasing) makes the across-period comparison sound: if the
+    * state is unchanged over a whole period it was unchanged at every
+    * intermediate step, so the previous checkpoint already was the
+    * fixpoint. Caps at min(maxSteps, n + period) — min-label converges
+    * in ≤ diameter ≤ n-1 steps, so the derived cap only fires on a
+    * genuine bug. Pins the undirected adjacency partitioned by src for
+    * the per-step join, then RELEASES every pin (plus `release`, the
+    * caller's own pinned inputs) before returning — persisted frames
+    * must not outlive the query. */
+  private def componentsCore(nodes: DataFrame, fwd: DataFrame,
+                             maxSteps: Long,
                              release: Seq[DataFrame]): DataFrame = {
     val und = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -295,26 +313,31 @@ object Graph {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = nodes.select(col("v"), col("v").as("label"))
-      for (t <- 1 to iters) {
-        val next = und
-          .join(labels, col("src") === col("v"))
-          .groupBy(col("dst"))
-          .agg(min(col("label")).as("label"))
-          .select(col("dst").as("v"), col("label"))
-        labels = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+      val n = nodes.count()
+      val cap = math.min(maxSteps, n + CkptEvery)
+      var labels = graft.Ckpt(nodes.select(col("v"), col("v").as("label")))
+      var steps = 0L
+      var converged = n == 0L
+      while (!converged) {
+        var nxt = labels
+        for (_ <- 1 to CkptEvery) {
+          nxt = und
+            .join(nxt, col("src") === col("v"))
+            .groupBy(col("dst"))
+            .agg(min(col("label")).as("label"))
+            .select(col("dst").as("v"), col("label"))
+        }
+        steps += CkptEvery
+        val nm = graft.Ckpt(nxt)
+        converged = nm
+          .join(labels.select(col("v"), col("label").as("l0")), "v")
+          .filter(col("label") =!= col("l0")).count() == 0L
+        labels = nm
+        require(converged || steps <= cap,
+          s"min-label propagation not converged after $steps steps " +
+            s"on $n nodes (cap $cap)")
       }
-      // materialize final labels BEFORE the convergence probe so the
-      // probe and the returned frame both read the truncated lineage
-      val fin = graft.Ckpt(labels)
-      // convergence gate: one more step must change nothing
-      val again = und.join(fin, col("src") === col("v"))
-        .groupBy(col("dst")).agg(min(col("label")).as("l2"))
-        .join(fin, col("dst") === col("v"))
-        .filter(col("l2") =!= col("label")).count()
-      require(again == 0L,
-        s"min-label propagation not converged after $iters steps")
-      fin.groupBy(col("label").as("component"))
+      labels.groupBy(col("label").as("component"))
         .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"),
           max(col("v")).as("max_doc"))
         .orderBy("component")
@@ -324,9 +347,14 @@ object Graph {
     }
   }
 
-  /** DuckDB oracle for [[g2Components]] — the same fixed-step min-
-    * label propagation over a single list-valued row. */
-  def g2OracleSql(iters: Int = CcIters): String = s"""
+  /** DuckDB oracle for [[g2Components]] — the same min-label
+    * propagation over a single list-valued row, recursed TO THE
+    * FIXPOINT: each row carries the previous label vector `p`, the
+    * recursion continues while `p <> lab`, and the terminal row (the
+    * unique one with `p = lab`) is the converged state. No step-count
+    * parameter — engine and oracle agree because the fixpoint is
+    * unique, not because they ran the same number of steps. */
+  def g2OracleSql(): String = s"""
       WITH RECURSIVE nn AS MATERIALIZED (
         SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
       fwd AS MATERIALIZED (
@@ -347,19 +375,21 @@ object Graph {
         FROM (SELECT dst, list(DISTINCT src) AS ns FROM und GROUP BY dst) g),
       cc AS (
         SELECT 0 AS k,
-          list_transform(generate_series(1, ni), i -> i - 1) AS lab
+          list_transform(generate_series(1, ni), i -> i - 1) AS lab,
+          CAST(NULL AS BIGINT[]) AS p
         FROM nn
         UNION ALL
         SELECT k + 1,
           list_transform(generate_series(1, ni), v ->
             list_reduce(list_transform(adj.m[v], u ->
-              cc.lab[CAST(u AS INT) + 1]), (a, b) -> least(a, b)))
-        FROM cc, nn, adj WHERE k < $iters)
+              cc.lab[CAST(u AS INT) + 1]), (a, b) -> least(a, b))) AS lab,
+          cc.lab AS p
+        FROM cc, nn, adj WHERE p IS NULL OR p <> lab)
       SELECT label AS component, count(*) AS n_members,
         min(v) AS min_doc, max(v) AS max_doc
       FROM (
         SELECT i - 1 AS v, f.lab[i] AS label
-        FROM (SELECT lab FROM cc WHERE k = $iters) f,
+        FROM (SELECT lab FROM cc WHERE p = lab) f,
           (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
       GROUP BY component ORDER BY component"""
 
@@ -374,16 +404,23 @@ object Graph {
     * Distributed shape (g2's discipline): simple undirected adjacency
     * pinned partitioned by src, one join + one per-node aggregate per
     * step (the h-index is an in-row fold over the sorted neighbour
-    * values, bounded by degree), lineage checkpointed on the cadence,
-    * FIXED step count both engines run plus an engine-side fixpoint
-    * assert. All integers — exact. */
-  val CoreIters = 24
+    * values, bounded by degree), lineage checkpointed on the cadence.
+    * All integers — exact.
+    *
+    * The step count is NOT fixed: both engine and oracle iterate to
+    * the (unique, order-independent) coreness fixpoint. The r10 scale
+    * lesson lives here: a constant 24-step budget tuned on the
+    * 500-node graph failed the moment the corpus grew 10× (the sf0.1
+    * graph needs 43 steps) — exactly the "dies at 100× scale-up"
+    * failure class. The derived runaway cap is provable (each
+    * unconverged check period strictly decreases the all-integer
+    * value total, which starts at Σdeg = 2|E|), so it only fires on
+    * a genuine bug. */
+  def g5Kcore(spark: SparkSession, dir: String): DataFrame =
+    g5Kcore(Tables.load(spark, dir, "documents"))
 
-  def g5Kcore(spark: SparkSession, dir: String,
-              iters: Int = CoreIters): DataFrame =
-    g5Kcore(Tables.load(spark, dir, "documents"), iters)
-
-  def g5Kcore(docs0: DataFrame, iters: Int): DataFrame = {
+  def g5Kcore(docs0: DataFrame,
+              maxSteps: Long = Long.MaxValue): DataFrame = {
     val docs = docs0.select(col("doc_id"))
     val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
     val n = h.getLong(0)
@@ -393,13 +430,16 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    kcoreCore(fwd, iters)
+    kcoreCore(fwd, maxSteps)
   }
 
   /** General k-core entry — an EXPLICIT (src, dst) edge list with
     * arbitrary sparse 64-bit node ids; self-loops dropped, parallel
-    * edges collapsed (simple-graph semantics, the k-core convention). */
-  def g5KcoreEdges(edges0: DataFrame, iters: Int = CoreIters): DataFrame = {
+    * edges collapsed (simple-graph semantics, the k-core convention).
+    * `maxSteps` is a loud runaway guard (and a test lever), NOT a
+    * tuning knob: the loop stops at the fixpoint. */
+  def g5KcoreEdges(edges0: DataFrame,
+                   maxSteps: Long = Long.MaxValue): DataFrame = {
     val simple = edges0
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -407,18 +447,28 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    kcoreCore(simple, iters)
+    kcoreCore(simple, maxSteps)
   }
 
-  /** Iterated h-index over the simple undirected edge set (a, b).
-    * Pins both orientations partitioned by src; final coreness is
-    * materialized through Ckpt and the pin released before return. */
-  private def kcoreCore(fwd: DataFrame, iters: Int): DataFrame = {
+  /** Iterated h-index over the simple undirected edge set (a, b),
+    * run TO THE FIXPOINT (componentsCore's loop discipline):
+    * [[CkptEvery]] lazy steps per period, then one checkpoint + one
+    * changed-count action. The h-index sequence is per-node monotone
+    * non-increasing (Lü et al. 2016), so across-period equality
+    * certifies the fixpoint. Derived cap: every unconverged period
+    * strictly decreases the all-integer value total, which starts at
+    * Σdeg = 2|E| — so the loop observes convergence within 2|E|+1
+    * periods; anything past min(maxSteps, that) is a genuine bug and
+    * fails loudly. Pins both orientations partitioned by src; the
+    * pin is released before return. */
+  private def kcoreCore(fwd: DataFrame, maxSteps: Long): DataFrame = {
     val und = fwd.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(fwd.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val m2 = und.count() // = 2|E|
+      val capPeriods = m2 + 1
       // h-index of the desc-sorted neighbour values: count of 1-based
       // positions i with value(i) >= i (a prefix, since sorted)
       def hIndex(frame: DataFrame): DataFrame = frame
@@ -430,29 +480,40 @@ object Graph {
               expr("sequence(1, size(cs))"), (x, i) => (x >= i).cast("long")),
             lit(0L), (a, b) => a + b).as("c"))
 
-      var cur = und.groupBy(col("src")).agg(count(lit(1)).as("c"))
-        .select(col("src").as("v"), col("c"))
-      for (t <- 1 to iters) {
-        val next = hIndex(und.join(
-          cur.select(col("v").as("dst"), col("c").as("cn")), "dst"))
-        cur = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+      var cur = graft.Ckpt(und.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .select(col("src").as("v"), col("c")))
+      var steps = 0L
+      var periods = 0L
+      var converged = m2 == 0L
+      while (!converged) {
+        var nxt = cur
+        for (_ <- 1 to CkptEvery) {
+          nxt = hIndex(und.join(
+            nxt.select(col("v").as("dst"), col("c").as("cn")), "dst"))
+        }
+        steps += CkptEvery
+        periods += 1
+        val nm = graft.Ckpt(nxt)
+        converged = nm
+          .join(cur.select(col("v"), col("c").as("c0")), "v")
+          .filter(col("c") =!= col("c0")).count() == 0L
+        cur = nm
+        require(converged || (steps <= maxSteps && periods <= capPeriods),
+          s"h-index iteration not converged after $steps steps " +
+            s"(cap ${math.min(maxSteps, capPeriods * CkptEvery)})")
       }
-      val fin = graft.Ckpt(cur)
-      val again = hIndex(und.join(
-          fin.select(col("v").as("dst"), col("c").as("cn")), "dst"))
-        .select(col("v"), col("c").as("c2"))
-        .join(fin, "v").filter(col("c2") =!= col("c")).count()
-      require(again == 0L, s"h-index iteration not converged after $iters steps")
-      fin.groupBy(col("c").as("coreness"))
+      cur.groupBy(col("c").as("coreness"))
         .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("min_doc"),
           max(col("v")).as("max_doc"))
         .orderBy("coreness")
     } finally und.unpersist(blocking = true)
   }
 
-  /** DuckDB oracle for [[g5Kcore]] — the same fixed-step h-index
-    * iteration over a single list-valued row (g2's pattern). */
-  def g5OracleSql(iters: Int = CoreIters): String = s"""
+  /** DuckDB oracle for [[g5Kcore]] — the same h-index iteration over
+    * a single list-valued row, recursed TO THE FIXPOINT (g2's carried
+    * `p` pattern): the terminal row, the unique one with `p = c`, is
+    * the coreness vector. No step-count parameter. */
+  def g5OracleSql(): String = s"""
       WITH RECURSIVE nn AS MATERIALIZED (
         SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
       fwd AS MATERIALIZED (
@@ -473,7 +534,8 @@ object Graph {
         FROM (SELECT src, list(dst) AS ns FROM und GROUP BY src) g),
       core AS (
         SELECT 0 AS k,
-          list_transform(adj.m, ns -> CAST(len(ns) AS BIGINT)) AS c
+          list_transform(adj.m, ns -> CAST(len(ns) AS BIGINT)) AS c,
+          CAST(NULL AS BIGINT[]) AS p
         FROM adj
         UNION ALL
         SELECT k + 1,
@@ -483,13 +545,14 @@ object Graph {
                 list_reverse(list_sort(list_transform(ns,
                   u -> core.c[CAST(u AS INT) + 1]))),
                 (x, i) -> CAST(CASE WHEN x >= i THEN 1 ELSE 0 END AS BIGINT))),
-              (a, b) -> a + b)) AS c
-        FROM core, adj WHERE k < $iters)
+              (a, b) -> a + b)) AS c,
+          core.c AS p
+        FROM core, adj WHERE p IS NULL OR p <> c)
       SELECT c_val AS coreness, count(*) AS n_nodes,
         min(v) AS min_doc, max(v) AS max_doc
       FROM (
         SELECT i - 1 AS v, f.c[i] AS c_val
-        FROM (SELECT c FROM core WHERE k = $iters) f,
+        FROM (SELECT c FROM core WHERE p = c) f,
           (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
       GROUP BY coreness ORDER BY coreness"""
 

@@ -85,7 +85,7 @@ class GraphSpec extends SparkSpec {
     import spark.implicits._
     for (n <- Seq(4, 11, 23)) {
       val docs = (0L until n.toLong).toDF("doc_id")
-      val got = Graph.g2Components(docs, Graph.CcIters).collect()
+      val got = Graph.g2Components(docs).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       val want = referenceComponents(n).toSeq.sortBy(_._1)
         .map { case (c, vs) => (c, vs.size.toLong, vs.min, vs.max) }
@@ -180,20 +180,74 @@ class GraphSpec extends SparkSpec {
       val want = core.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (c, vs) => (c.toLong, vs.length.toLong,
           vs.map(_._2).min.toLong, vs.map(_._2).max.toLong) }
-      val got = Graph.g5Kcore((0L until n.toLong).toDF("doc_id"),
-        Graph.CoreIters).collect()
+      val got = Graph.g5Kcore((0L until n.toLong).toDF("doc_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(got.toSeq == want, s"n=$n: got ${got.toSeq}, want $want")
     }
   }
 
-  test("component propagation fails loudly when the step budget is too small") {
+  test("coreness at the bench scale (5000 nodes) — the r10 failure case") {
     import spark.implicits._
-    // 1 step cannot close a graph whose diameter exceeds 1
+    // The regenerated sf0.1 corpus has 5000 documents and its derived
+    // graph needs 43 h-index steps — any fixed budget tuned at the
+    // 500-doc verify scale (r10's CoreIters=24) dies here. Pin the
+    // engine's fixpoint against the independent Batagelj-Zaversnik
+    // peeling reference at exactly that scale.
+    val n = 5000
+    val edges = (for {
+      src <- 0 until n; j <- 1 to Graph.OutDeg
+    } yield {
+      val dst0 = ((((src.toLong * 7 + j) % 1000000000L) * 2654435761L)
+        % 2147483647L % n).toInt
+      val dst = if (dst0 == src) (dst0 + 1) % n else dst0
+      (math.min(src, dst), math.max(src, dst))
+    }).toSet
+    val adj = Array.fill(n)(scala.collection.mutable.Set[Int]())
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val core = new Array[Int](n)
+    // bucket-queue peeling (O(E)) — the naive minBy scan is O(n^2)
+    val deg = Array.tabulate(n)(adj(_).size)
+    val buckets = Array.fill(deg.max + 1)(scala.collection.mutable.Set[Int]())
+    for (v <- 0 until n) buckets(deg(v)) += v
+    val alive = Array.fill(n)(true)
+    var kmax = 0
+    for (_ <- 0 until n) {
+      val d = buckets.indexWhere(_.nonEmpty)
+      val v = buckets(d).min
+      buckets(d) -= v; alive(v) = false
+      kmax = math.max(kmax, d)
+      core(v) = kmax
+      adj(v).foreach { u =>
+        if (alive(u)) { buckets(deg(u)) -= u; deg(u) -= 1; buckets(deg(u)) += u }
+      }
+    }
+    val want = core.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, vs) => (c.toLong, vs.length.toLong,
+        vs.map(_._2).min.toLong, vs.map(_._2).max.toLong) }
+    val got = Graph.g5Kcore((0L until n.toLong).toDF("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want, s"n=$n: got ${got.toSeq}, want $want")
+  }
+
+  test("the runaway guard fails loudly instead of looping (maxSteps lever)") {
+    import spark.implicits._
+    // the 64-node synthetic graph needs 4 min-label steps, so a 1-step
+    // cap is exceeded at the first convergence check
     val docs = (0L until 64L).toDF("doc_id")
     assertThrows[IllegalArgumentException] {
       Graph.g2Components(docs, 1).collect()
     }
+  }
+
+  test("components converge on a long-diameter path (fixed budgets would fail)") {
+    import spark.implicits._
+    // a 40-node path has diameter 39: min-label propagation genuinely
+    // needs 39 steps, more than r10's fixed 24-step budget — the
+    // fixpoint loop must just keep going until done
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.g2ComponentsEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 40L, 0L, 39L)))
   }
 
   /** Explicit memory-pinned persists (MEMORY_AND_DISK). Ckpt's local
@@ -209,14 +263,14 @@ class GraphSpec extends SparkSpec {
     val docs = (0L until 64L).toDF("doc_id")
     val before = memPinnedIds
     Graph.g1Pagerank(docs, Graph.Iters).collect()
-    Graph.g2Components(docs, Graph.CcIters).collect()
-    Graph.g5Kcore(docs, Graph.CoreIters).collect()
+    Graph.g2Components(docs).collect()
+    Graph.g5Kcore(docs).collect()
     Graph.g1PagerankEdges(
       Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"), 4).collect()
     Graph.g2ComponentsEdges(
-      Seq((0L, 1L), (2L, 3L)).toDF("src", "dst"), 4).collect()
+      Seq((0L, 1L), (2L, 3L)).toDF("src", "dst")).collect()
     Graph.g5KcoreEdges(
-      Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"), 4).collect()
+      Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")).collect()
     // exception paths must release too: an unconverged-budget failure
     // (throws mid-iteration, after the adjacency is pinned)
     intercept[IllegalArgumentException] {
@@ -234,7 +288,7 @@ class GraphSpec extends SparkSpec {
     val edges = Seq(
       (base, base + 7919L), (base + 7919L, base + 15838L),
       (-42L, 999999937L)).toDF("src", "dst")
-    val got = Graph.g2ComponentsEdges(edges, 8).collect()
+    val got = Graph.g2ComponentsEdges(edges).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(
       (-42L, 2L, -42L, 999999937L),
@@ -297,7 +351,7 @@ class GraphSpec extends SparkSpec {
     } yield (ids(i), ids(j))).toSeq ++
       Seq((ids(3), ids(4)), (ids(4), ids(5)),
         (ids(4), ids(3)), (ids(5), ids(5)))
-    val got = Graph.g5KcoreEdges(edges.toDF("src", "dst"), 8).collect()
+    val got = Graph.g5KcoreEdges(edges.toDF("src", "dst")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(
       (1L, 2L, -14L, -7L),
