@@ -18,6 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * r5's artifact read 4.4× slower purely from driver-machine load,
   * and min-of-2 couldn't prove otherwise.
   *
+  * Failure protocol (r11): `"failed"` is a name→MESSAGE map, not a
+  * bare name list — r10's g5 convergence failure reached the artifact
+  * as just a name while the reason went to stderr, which the driver's
+  * bounded tail capture dropped, and diagnosing it cost a 7-minute
+  * re-run. Semantics: a query appears in `failed` when AT LEAST ONE
+  * rep threw (the message is the first failure's); if only a later
+  * rep failed, the surviving warm reps still report a (valid) min, so
+  * a query can carry both a failed entry and a plausible time — the
+  * -1 raw entries say which reps died. A query whose reported value
+  * is -1 had no surviving warm rep and contributes nothing to the
+  * suite total (in count mode too: -1 sentinels are filtered from the
+  * legacy sum as well).
+  *
   * Field ORDER is part of the contract with the harness: the driver
   * captures only a bounded TAIL of the line (the round-3 artifact kept
   * just the legacy count map and lost the materialized numbers), so
@@ -29,53 +42,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * doubled wall time and measured less.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val countMode = sys.env.get("GRAFT_BENCH_COUNTMODE").contains("1")
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: trigger file listing, codegen, and JIT once so the
-    // first timed query doesn't pay session start-up costs.
-    try SparkEntry.queries.get("q1_pricing_summary")
-      .foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => }
 
+  /** JSON string escape (Verify's rules): backslash, quote, and ALL
+    * control chars — exception messages routinely carry newlines. */
+  private[graft] def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Run every query `reps` times against `sfDir` and render the
+    * one-line JSON artifact. Factored out of main so the failure path
+    * is spec-gated (ContractSpec) instead of trusted — r9/r10 both
+    * shipped artifact bugs in exactly this code. */
+  private[graft] def benchLine(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      reps: Int, countMode: Boolean): String = {
     // A rep that throws must not masquerade as a (fast) timing — r9
     // benched five analysis-broken queries as the wall time of their
-    // exception. Track failures per query; they surface in the
-    // artifact's "failed" list and as -1 raw entries.
-    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // exception. Track the FIRST failure message per query; failures
+    // surface in the artifact's "failed" map and as -1 raw entries.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def time(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
       try { body; (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+        if (!failed.contains(name)) failed(name) = msg
+        System.err.println(s"[bench] $name FAILED: $msg")
         -1.0
       }
     }
     def noopWrite(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = queries.keys.toSeq.sorted
     val countTimes = if (countMode) names.map { name =>
-      name -> time(name)(SparkEntry.queries(name)(spark, sfDir).count())
+      name -> time(name)(queries(name)(spark, sfDir).count())
     } else Nil
     // rep 1 = cold (plan codegen + JIT), discarded; reported value =
     // min of the warm reps. Raw times for ALL reps go in the artifact.
     // A query whose first rep throws is not re-run (same exception 3×
     // would just triple the noise); its raw entry is [-1].
     val rawTimes: Seq[(String, Seq[Double])] = names.map { name =>
-      val first = time(name)(noopWrite(SparkEntry.queries(name)(spark, sfDir)))
+      val first = time(name)(noopWrite(queries(name)(spark, sfDir)))
       val rest = if (first < 0) Nil else Seq.fill(reps - 1)(
-        time(name)(noopWrite(SparkEntry.queries(name)(spark, sfDir))))
+        time(name)(noopWrite(queries(name)(spark, sfDir))))
       name -> (first +: rest)
     }
     // GRAFT_BENCH_REPS=1 must not crash: with a single rep there is no
@@ -96,15 +112,38 @@ object Bench {
         s"\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val total = matTimes.map(_._2).filter(_ >= 0).sum
+    // -1 sentinels must not bias the legacy sum downward either
     val legacy = if (countMode)
-      s""""value_count":${r3(countTimes.map(_._2).sum)},"queries_count":${jmap(countTimes)},"""
+      s""""value_count":${r3(countTimes.map(_._2).filter(_ >= 0).sum)},""" +
+        s""""queries_count":${jmap(countTimes)},"""
     else ""
-    val failedJson =
-      failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+    val failedJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""materialized":true,"runs":$reps,"protocol":"drop-first-min-rest",""" +
       s""""raw":${jraw(rawTimes)},$legacy"failed":$failedJson,""" +
       s""""value":${r3(total)},"queries":${jmap(matTimes)}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val countMode = sys.env.get("GRAFT_BENCH_COUNTMODE").contains("1")
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: trigger file listing, codegen, and JIT once so the
+    // first timed query doesn't pay session start-up costs.
+    try SparkEntry.queries.get("q1_pricing_summary")
+      .foreach(_(spark, sfDir).count())
+    catch { case _: Throwable => }
+
+    val line = benchLine(spark, sfDir, SparkEntry.queries, reps, countMode)
     println(line)
     // The driver's artifact is a BOUNDED TAIL of stdout: the r6
     // BENCH_r6.json lost its "raw" arrays and the first 11 per-query

@@ -26,7 +26,30 @@ object GraftFunctions {
   val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    // poly_hash(str, mult, mod) — SQL-callable form of the native
+    // rolling hash so HOF lambda bodies (e.g. t19's per-gram hash
+    // inside aggregate()) reach the linear-pass expression instead of
+    // re-composing the O(len²) ascii(substring(...)) fold. mult/mod
+    // are constructor parameters, so they must be literals here.
+    ("poly_hash",
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "poly_hash(str, mult, mod) takes exactly 3 arguments")
+        def lng(e: Expression, what: String): Long = {
+          require(e.foldable, s"poly_hash $what must be a literal")
+          e.eval(null) match {
+            case l: java.lang.Long => l
+            case i: java.lang.Integer => i.toLong
+            case other => throw new IllegalArgumentException(
+              s"poly_hash $what must be an integer literal, got $other")
+          }
+        }
+        graft.functions.expressions.PolyHash(children.head,
+          lng(children(1), "mult"), lng(children(2), "mod"))
+      }))
 
   /** Idempotently register the native functions and planner strategy
     * on a live session (covers sessions built without the extensions

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{GraftFunctions, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -863,7 +863,7 @@ object TextOps {
     * fastText is bag-of-n-grams → hashed buckets → linear layer →
     * sigmoid). The weight table is the shipped model artifact: weight
     * of bucket b is the RATIONAL ((b·2654435761 + 12345) mod P −
-    * (P−1)/2 − 1)/P with P = [[FtPrime]] — a fixed pseudo-random
+    * (P−1)/2)/P with P = [[FtPrime]] — a fixed pseudo-random
     * init standing in for trained parameters, so the OPERATOR (hash,
     * pool, dot product, cut) is the real thing while the weights stay
     * reproducible from public arithmetic. keep ⇔ mean-pooled score ≥
@@ -888,6 +888,7 @@ object TextOps {
     ftQuality(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def ftQuality(docs: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
     val w = "split(text, ' ')"
     // unigrams ++ bigrams ("a_b"); slice/zip_with (not sequence) so a
     // one-word doc yields [] — Spark's sequence(1, 0) is DESCENDING
@@ -895,11 +896,13 @@ object TextOps {
     val grams = s"""concat($w,
       zip_with(slice($w, 1, size($w) - 1), slice($w, 2, size($w) - 1),
         (x, y) -> concat(x, '_', y)))"""
-    // h(g): 31-ary char fold mod FtBuckets; num(h): the weight
-    // numerator, centered to [-(P-1)/2, (P-1)/2]
-    def num(g: String) = s"""((case when length($g) = 0 then cast(0 as bigint)
-      else aggregate(sequence(1, length($g)), cast(0 as bigint),
-        (a, i) -> (a * 31 + ascii(substring($g, i, 1))) % $FtBuckets) end)
+    // h(g): the NATIVE 31-ary rolling hash mod FtBuckets (one linear
+    // allocation-free pass — the composed ascii(substring) fold is
+    // O(len²) per string, against the hot-loop discipline even though
+    // grams are short; empty-string parity: both hash to 0, so no
+    // length guard is needed). num(h): the weight numerator, centered
+    // to [-(P-1)/2, (P-1)/2]. Oracle unchanged — same arithmetic.
+    def num(g: String) = s"""(poly_hash($g, 31, $FtBuckets)
       * 2654435761 + 12345) % $FtPrime - ${(FtPrime - 1) / 2}"""
     docs
       .select(col("doc_id"), expr(grams).as("grams"))

@@ -325,11 +325,15 @@ object Export {
 
   /** DuckDB oracle for [[compact]]: the manifest from the source table
     * plus the arithmetically-derived file counts. n_files_before =
-    * occupied buckets = count(DISTINCT doc_id % FragFiles): one data
-    * file per occupied bucket by construction — exact for ANY corpus
-    * size, where the old hardcoded FragFiles broke under 64 rows. */
+    * occupied buckets = count(DISTINCT pmod(doc_id, FragFiles)) —
+    * spelled ((doc_id % F) + F) % F because DuckDB's % is
+    * sign-preserving while the Spark side buckets with pmod; they'd
+    * diverge on negative doc_ids otherwise. One data file per occupied
+    * bucket by construction — exact for ANY corpus size, where the old
+    * hardcoded FragFiles broke under 64 rows. */
   def x7OracleSql: String = s"""
-      SELECT CAST(count(DISTINCT doc_id % $FragFiles) AS BIGINT)
+      SELECT CAST(count(DISTINCT ((doc_id % $FragFiles) + $FragFiles)
+          % $FragFiles) AS BIGINT)
         AS n_files_before,
         CAST(greatest(1, (count(*) + ${RowsPerFile - 1}) // $RowsPerFile)
           AS BIGINT) AS n_files_after,

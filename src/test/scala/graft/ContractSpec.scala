@@ -54,6 +54,26 @@ class ContractSpec extends SparkSpec {
       "healthy query's dump missing")
   }
 
+  test("a throwing query's MESSAGE reaches the bench artifact") {
+    // r10's g5 failure reached BENCH_LOCAL as just a name; the reason
+    // went to stderr and the driver's bounded tail capture dropped it,
+    // so diagnosing the failure cost a 7-minute re-run. Gate the
+    // failure path: "failed" is a name→message map in the JSON line.
+    import org.apache.spark.sql.SparkSession
+    val line = Bench.benchLine(spark, tinySf, Map(
+      "ok_probe" -> ((s: SparkSession, d: String) =>
+        Tables.load(s, d, "region")),
+      "boom_probe" -> ((_: SparkSession, _: String) =>
+        throw new IllegalStateException("deliberate bench \"failure\""))),
+      reps = 1, countMode = false)
+    assert(line.contains(
+      """"failed":{"boom_probe":"deliberate bench \"failure\""}"""),
+      s"failed map not loud: $line")
+    assert(line.contains(""""boom_probe":[-1.000]"""),
+      s"raw -1 sentinel missing: $line")
+    assert(line.contains(""""ok_probe":["""), s"healthy raw missing: $line")
+  }
+
   test("every query has a SURVEY §2 coverage row") {
     // The §2 table is the judge's grading contract; it silently lost
     // the r4 bench tail once and q33's row in r5. A query key missing
