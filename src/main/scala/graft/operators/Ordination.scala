@@ -116,7 +116,7 @@ object Ordination {
     * step a tiny 1-row job, checkpointed every `ckptEvery` steps so
     * the plan stays shallow without a job per step. */
   private def iterate(init: DataFrame, gmCol: String, vCol: String,
-      iters: Int, ckptEvery: Int = 2): DataFrame = {
+      iters: Int, ckptEvery: Int = 3): DataFrame = {
     var st = graft.Ckpt(init)
     for (it <- 1 to iters) {
       val stepped = st.withColumn("vv",
@@ -229,13 +229,13 @@ object Ordination {
     * all k×iters steps; the iterated vector is checkpointed every
     * `ckptEvery` steps (plan depth stays bounded, jobs stay tiny). */
   def q31PcoaBlocked(spark: SparkSession, dir: String, iters: Int = Iters,
-      ckptEvery: Int = 2): DataFrame =
+      ckptEvery: Int = 3): DataFrame =
     pcoaBlocked(Relational.q30BrayCurtis(spark, dir), iters, ckptEvery)
 
   /** Blocked eigenvalue summary — bit-identical to [[pcoaEigen]]
     * (spec-gated), distributed like [[pcoaBlocked]]. */
   def q31dPcoaBlockedEigen(spark: SparkSession, dir: String, k: Int = 3,
-      iters: Int = Iters, ckptEvery: Int = 2): DataFrame =
+      iters: Int = Iters, ckptEvery: Int = 3): DataFrame =
     pcoaBlockedEigen(Relational.q30BrayCurtis(spark, dir), k, iters, ckptEvery)
 
   /** Sample-count bound for the single-row form: n² doubles in ONE
@@ -262,14 +262,14 @@ object Ordination {
     * single-row form off a cliff at 10⁴ samples. The two forms are
     * bit-identical (ScaleSpec), so the switch never changes results,
     * only the physical shape. */
-  def pcoaAuto(bc0: DataFrame, iters: Int = Iters, ckptEvery: Int = 2,
+  def pcoaAuto(bc0: DataFrame, iters: Int = Iters, ckptEvery: Int = 3,
       maxSingleRow: Int = SingleRowMaxSamples): DataFrame =
     if (useSingleRow(sampleCount(bc0), maxSingleRow)) pcoa(bc0, iters)
     else pcoaBlocked(bc0, iters, ckptEvery)
 
   /** Auto-selecting eigenvalue summary — same switch as [[pcoaAuto]]. */
   def pcoaEigenAuto(bc0: DataFrame, k: Int = 3, iters: Int = Iters,
-      ckptEvery: Int = 2,
+      ckptEvery: Int = 3,
       maxSingleRow: Int = SingleRowMaxSamples): DataFrame =
     if (useSingleRow(sampleCount(bc0), maxSingleRow)) pcoaEigen(bc0, k, iters)
     else pcoaBlockedEigen(bc0, k, iters, ckptEvery)
@@ -378,7 +378,20 @@ object Ordination {
   /** Axes 1..k of the blocked form: per axis the normalized vector
     * (single-row `varr`) and, when `needLams`, the Rayleigh scalars
     * (single-row `lam_num`/`lam_den` — computed via one extra
-    * distributed mat-vec, also required for deflation of axis a+1). */
+    * distributed mat-vec, also required for deflation of axis a+1).
+    *
+    * ONE materialized Gram across all axes (the carried r7-r10 ask):
+    * the Hotelling deflation `b − (λ/den)·v_i·v_j` is NOT written out
+    * as a second pairs-scale matrix per axis — it stays a LAZY
+    * map-side projection composed over the single checkpointed `b0`,
+    * recomputed as a fused multiply-add inside every later mat-vec
+    * scan. Elementwise the deflated value is the identical double
+    * either way (same operand order), so results — and the oracle —
+    * are bit-for-bit unchanged; what changes is the I/O shape: no
+    * n²-scale write + storage per extra axis, which at 10⁵ samples is
+    * hundreds of GB per axis on a cluster. Only the SCALARS are
+    * materialized (a one-row Ckpt), so re-reading the lazy deflation
+    * never re-runs the B·v chain that produced them. */
   private def blockedAxes(b0: DataFrame, v0: DataFrame, k: Int, iters: Int,
       ckptEvery: Int, needLams: Boolean): Seq[(DataFrame, Option[DataFrame])] = {
     var m = b0
@@ -389,16 +402,27 @@ object Ordination {
         // mat-vec, the Rayleigh quotient as the single-row form's
         // zip_with/fold shapes
         val bv = matVec(m, v, j => element_at(col("varr"), j), "bvarr")
-        val scal = broadcast(v.crossJoin(bv).select(col("varr"),
+        val scal = graft.Ckpt(v.crossJoin(bv).select(col("varr"),
           foldSum(zip_with(col("varr"), col("bvarr"), (x, y) => x * y))
             .as("lam_num"),
           foldSum(transform(col("varr"), x => x * x)).as("lam_den")))
-        if (a < k)
-          m = graft.Ckpt(m.crossJoin(scal)
-            .select(col("i"), col("j"), (col("b") -
-              (col("lam_num") / col("lam_den"))
-                * element_at(col("varr"), col("i"))
-                * element_at(col("varr"), col("j")) / col("lam_den")).as("b")))
+        if (a < k) {
+          // one dimension-bounded head() per AXIS (k−1 ≤ 2 total, off a
+          // 1-row checkpointed frame) — a planning-time action in the
+          // sampleCount class, NOT a per-iteration driver loop. The
+          // scalars ride into the deflation as literals: same doubles,
+          // same operand order (bit-identical, oracle unchanged), and
+          // the lazy deflated matrix carries no broadcast to rebuild
+          // on every later mat-vec scan.
+          val r = scal.head()
+          val varr = r.getSeq[Double](0)
+          val ln = r.getDouble(1)
+          val ld = r.getDouble(2)
+          m = m.select(col("i"), col("j"), (col("b") -
+            (lit(ln) / lit(ld))
+              * element_at(typedLit(varr), col("i"))
+              * element_at(typedLit(varr), col("j")) / lit(ld)).as("b"))
+        }
         (v, Some(scal))
       } else (v, None)
     }
@@ -407,7 +431,7 @@ object Ordination {
   /** Blocked PCoA over any pairwise-dissimilarity frame — same input
     * contract as [[pcoa]]; bit-identical output by construction. */
   def pcoaBlocked(bc0: DataFrame, iters: Int = Iters,
-      ckptEvery: Int = 2): DataFrame = {
+      ckptEvery: Int = 3): DataFrame = {
     val (ids, nf, b) = blockedPrelude(bc0)
     // e₁ start, gated on n ≥ 2 like the single-row form's filter
     val v0 = nf.select(transform(sequence(lit(1), col("n")),
@@ -439,7 +463,7 @@ object Ordination {
     * twin. The trace is an index-order fold over the diagonal triples;
     * every Rayleigh scalar is already a single-row broadcast frame. */
   def pcoaBlockedEigen(bc0: DataFrame, k: Int = 3, iters: Int = Iters,
-      ckptEvery: Int = 2): DataFrame = {
+      ckptEvery: Int = 3): DataFrame = {
     val (_, nf, b) = blockedPrelude(bc0)
     val v0 = nf.select(transform(sequence(lit(1), col("n")),
       i => when(i === 1, lit(1.0)).otherwise(lit(0.0))).as("varr"),
