@@ -8,6 +8,22 @@ import java.nio.file.Files
   * co-located joins avoid the shuffle entirely. */
 class ScaleSpec extends SparkSpec {
 
+  test("assert-carrying iterative operators complete at the BENCH scale (sf0.1)") {
+    // The driver verifies correctness at the 500-doc scale but benches
+    // at sf0.1 (5000 docs), so any data-size-dependent behavior —
+    // iteration budgets, convergence caps, thresholds — is invisible
+    // to CORRECTNESS: r10's g5_kcore shipped green and then failed its
+    // own convergence assert in every sf0.1 run. Run the construction
+    // of every operator that carries a convergence/runaway require at
+    // the bench scale, so scale-dependent refusal fails the SUITE.
+    val sf01 = "/root/testdata/sf0.1"
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    noop(graft.operators.Graph.g2Components(spark, sf01)) // min-label fixpoint
+    noop(graft.operators.Graph.g5Kcore(spark, sf01))      // h-index fixpoint
+    noop(SparkEntry.queries("d7_dedup_pipeline")(spark, sf01)) // label-prop maxIter
+  }
+
   test("salted join preserves inner-join semantics exactly") {
     val l = Tables.load(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity")
