@@ -43,6 +43,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
+  /** Warm-rep max/min ratio above which a query earns one extra
+    * end-of-suite rep (see the contention sanity gate below). */
+  val SpreadGate = 3.0
+
   /** JSON string escape (Verify's rules): backslash, quote, and ALL
     * control chars — exception messages routinely carry newlines. */
   private[graft] def jq(s: String): String = "\"" + s.flatMap {
@@ -88,11 +92,27 @@ object Bench {
     // min of the warm reps. Raw times for ALL reps go in the artifact.
     // A query whose first rep throws is not re-run (same exception 3×
     // would just triple the noise); its raw entry is [-1].
-    val rawTimes: Seq[(String, Seq[Double])] = names.map { name =>
+    val rawTimes0: Seq[(String, Seq[Double])] = names.map { name =>
       val first = time(name)(noopWrite(queries(name)(spark, sfDir)))
       val rest = if (first < 0) Nil else Seq.fill(reps - 1)(
         time(name)(noopWrite(queries(name)(spark, sfDir))))
       name -> (first +: rest)
+    }
+    // Contention sanity gate (r11, the r8-r10 carried ask): a loaded
+    // box shows up as wild warm-rep spread (r10's committed d11 triple
+    // was [8.9, 25.6, 55.5] for a true 2.1 s query). Any query whose
+    // warm max/min exceeds SpreadGate gets ONE more rep at the END of
+    // the suite — by then whatever contended has usually passed, and
+    // min-of-warm picks the clean number. The extra rep is visible in
+    // the raw array (length reps+1), so the artifact still shows the
+    // pollution instead of hiding it.
+    val rawTimes: Seq[(String, Seq[Double])] = rawTimes0.map { case (name, ts) =>
+      val warm = (if (ts.size > 1) ts.drop(1) else ts).filter(_ >= 0)
+      val spread = warm.nonEmpty && warm.min > 0 && warm.max / warm.min > SpreadGate
+      if (spread) {
+        System.err.println(f"[bench] $name warm spread ${warm.max / warm.min}%.1f× — one clean-up rep")
+        name -> (ts :+ time(name)(noopWrite(queries(name)(spark, sfDir))))
+      } else name -> ts
     }
     // GRAFT_BENCH_REPS=1 must not crash: with a single rep there is no
     // cold rep to discard, so the lone time IS the reported time.
