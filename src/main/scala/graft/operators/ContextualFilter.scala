@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * still pushes the sargable leaves into the parquet scan and the
   * whole tree stays inside whole-stage codegen — the DSL costs nothing
   * at execution time.
+  *
+  * 100 TB contract: compilation is driver-side and O(tree); execution
+  * adds zero shuffles and zero joins — the filter rides the scan with
+  * its sargable leaves pushed to parquet (PlanSpec-gated), so cost
+  * scales with the bytes the scan cannot skip, never with the tree.
   */
 object ContextualFilter {
 

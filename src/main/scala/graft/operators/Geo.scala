@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   * The testdata customer dim carries no coordinates, so [[synthCoords]]
   * derives them deterministically from `c_custkey` with pure integer
   * arithmetic — bit-reproducible in the DuckDB oracle.
+  *
+  * 100 TB contract: every geo predicate is a zero-shuffle, zero-join
+  * scan filter whose bbox legs push to parquet; cost scales with the
+  * row groups the viewport touches, not the corpus.
   */
 object Geo {
 

@@ -32,6 +32,13 @@ import org.apache.spark.storage.StorageLevel
   * oracle execute the identical IEEE-754 op sequence (the repo's
   * index-order-fold discipline); the oracle keeps the rank vector as
   * one list-valued row and recurses (the q31 pattern).
+  *
+  * 100 TB contract: every iterative operator here costs ONE
+  * edge-scale shuffle per step against a pinned, pre-partitioned
+  * adjacency, with lineage truncated on the Ckpt cadence; step counts
+  * are either fixed by query contract (PageRank) or derived from the
+  * data by iterating to the unique fixpoint (g2/g5) — never a
+  * constant tuned at test scale.
   */
 object Graph {
 

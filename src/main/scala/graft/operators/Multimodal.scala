@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   * mapInPandas' batch contract — is identical to the real
   * image/audio/GIF paths, so swapping such a codec in changes the
   * batch body only, not the plan.
+  *
+  * 100 TB contract: every decode/feature operator is a zero-shuffle
+  * mapPartitions projection over the payload scan — embarrassingly
+  * parallel, cost linear in payload bytes per partition; only the
+  * explicitly dimension-bounded summaries aggregate, and they shuffle
+  * once.
   */
 object Multimodal {
 

@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   * big side's hot keys across `saltFactor` shuffle partitions, turning
   * one straggler partition into `saltFactor` even ones. Equi-join
   * semantics are preserved exactly (inner joins).
+  *
+  * 100 TB contract: one shuffle on the salted key (the join's own),
+  * small-side replication bounded by saltFactor × |small|, and the
+  * worst per-task share of a hot key drops by saltFactor — the
+  * straggler tail, not total work, is what changes.
   */
 object Skew {
 

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * download endpoint would stream-concatenate); the BIOM write is
   * partitioned by the row key so downstream readers partition-prune
   * (asserted in ExportSpec).
+  *
+  * 100 TB contract: every export is a scan-shaped projection plus one
+  * distributed write (no collect, no single-file funnel); the only
+  * aggregations are the abundance-matrix pivots, which shuffle once on
+  * their dimension keys and stay dimension-bounded in the reduce.
   */
 object Export {
 

@@ -13,6 +13,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * keeps one row of state per (window, type); sessionization keeps one
   * [[SessionState]] per active user key, evicted by event-time timeout
   * — state size tracks *active* keys, not history.
+  *
+  * 100 TB contract: each micro-batch shuffles once on its grouping
+  * key; state stores partition by that key and are bounded by
+  * watermark-evicted ACTIVE keys, so an unbounded stream costs
+  * O(active keys) memory and one exchange per batch, independent of
+  * total history ingested.
   */
 object StreamingOps {
 
