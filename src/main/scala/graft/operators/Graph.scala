@@ -466,8 +466,17 @@ object Graph {
     * strictly decreases the all-integer value total, which starts at
     * Σdeg = 2|E| — so the loop observes convergence within 2|E|+1
     * periods; anything past min(maxSteps, that) is a genuine bug and
-    * fails loudly. Pins both orientations partitioned by src; the
-    * pin is released before return. */
+    * fails loudly. Message-passing shape is g2's exactly: the edge
+    * set is pinned partitioned by src — the per-step JOIN key — so at
+    * scale the adjacency never moves (only the node-scale value frame
+    * shuffles into the join; locally Spark broadcasts it) and the
+    * per-node aggregate keys on dst, ONE edge-scale exchange per step.
+    * Because `und` carries both orientations, "join values on src,
+    * fold by dst" computes the same per-node neighbour multiset as
+    * the converse orientation (r11: the original joined on dst
+    * against the src pin, which re-shuffled the whole adjacency every
+    * step once the value frame outgrows a broadcast). The pin is
+    * released before return. */
   private def kcoreCore(fwd: DataFrame, maxSteps: Long): DataFrame = {
     val und = fwd.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(fwd.select(col("b").as("src"), col("a").as("dst")))
@@ -479,16 +488,16 @@ object Graph {
       // h-index of the desc-sorted neighbour values: count of 1-based
       // positions i with value(i) >= i (a prefix, since sorted)
       def hIndex(frame: DataFrame): DataFrame = frame
-        .groupBy(col("src"))
+        .groupBy(col("dst"))
         .agg(reverse(sort_array(collect_list(col("cn")))).as("cs"))
-        .select(col("src").as("v"),
+        .select(col("dst").as("v"),
           aggregate(
             zip_with(col("cs"),
               expr("sequence(1, size(cs))"), (x, i) => (x >= i).cast("long")),
             lit(0L), (a, b) => a + b).as("c"))
 
-      var cur = graft.Ckpt(und.groupBy(col("src")).agg(count(lit(1)).as("c"))
-        .select(col("src").as("v"), col("c")))
+      var cur = graft.Ckpt(und.groupBy(col("dst")).agg(count(lit(1)).as("c"))
+        .select(col("dst").as("v"), col("c")))
       var steps = 0L
       var periods = 0L
       var converged = m2 == 0L
@@ -496,7 +505,7 @@ object Graph {
         var nxt = cur
         for (_ <- 1 to CkptEvery) {
           nxt = hIndex(und.join(
-            nxt.select(col("v").as("dst"), col("c").as("cn")), "dst"))
+            nxt.select(col("v").as("src"), col("c").as("cn")), "src"))
         }
         steps += CkptEvery
         periods += 1
