@@ -556,6 +556,69 @@ class PlanSpec extends SparkSpec {
     assert(n <= 3, s"chunking shuffles $n× (expected ≤ 3)")
   }
 
+  test("graph step: the pinned adjacency joins exchange-free in the " +
+       "shuffle-join regime") {
+    // The g1/g2/g5 per-step contract: the edge set is pinned
+    // partitioned by the JOIN key, so at scale — where the node-scale
+    // value frame outgrows a broadcast — only the value frame moves
+    // and the step pays ONE edge-scale exchange (the per-node
+    // aggregate). r11 found g5 joining on the non-pinned column,
+    // which silently re-shuffled the whole adjacency every step once
+    // broadcasts stopped applying; this gate pins the discipline in
+    // the broadcast-disabled regime so it cannot regress.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.storage.StorageLevel
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val und = (0L until 200L)
+        .flatMap(i => Seq((i, (i + 1) % 200), ((i + 1) % 200, i)))
+        .toDF("src", "dst")
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      und.count()
+      try {
+        val cur = (0L until 200L).map(i => (i, 2L)).toDF("v", "c")
+        val step = und
+          .join(cur.select(col("v").as("src"), col("c").as("cn")), "src")
+          .groupBy(col("dst")).agg(min(col("cn")).as("c"))
+        step.write.mode("overwrite").format("noop").save()
+        def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _: ReusedExchangeExec => Seq.empty
+          case other => other.children
+        }
+        def cacheScanBelow(p: SparkPlan): Boolean =
+          p.getClass.getSimpleName.startsWith("InMemoryTableScan") ||
+            kids(p).exists(cacheScanBelow)
+        def shuffles(p: SparkPlan): Int =
+          (p match { case _: ShuffleExchangeLike => 1; case _ => 0 }) +
+            kids(p).map(shuffles).sum
+        def joins(p: SparkPlan): Seq[org.apache.spark.sql.execution.joins.BaseJoinExec] =
+          (p match {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => Seq(j)
+            case _ => Seq.empty
+          }) ++ kids(p).flatMap(joins)
+        val root = step.queryExecution.executedPlan
+        val js = joins(root)
+        assert(js.size == 1, s"expected one join, saw ${js.size}")
+        val pinnedSides = Seq(js.head.left, js.head.right).filter(cacheScanBelow)
+        assert(pinnedSides.size == 1, "pinned adjacency side not found under the join")
+        // the pinned side must reach the join exchange-free (Sort is fine)
+        assert(shuffles(pinnedSides.head) == 0,
+          s"the pinned adjacency was re-shuffled on its way into the join:\n${pinnedSides.head}")
+        // whole step: value frame into the join + the per-node aggregate
+        val total = shuffles(root)
+        assert(total == 2, s"graph step shuffles $total× (expected exactly 2)")
+      } finally und.unpersist(blocking = true)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q1: whole-stage codegen covers the aggregation") {
     val df = Relational.q1PricingSummary(spark, sfDir)
     assert(plan(df).contains("partial_sum"),
