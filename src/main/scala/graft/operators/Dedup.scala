@@ -675,13 +675,26 @@ object Dedup {
     // when both children descend from the same checkpointed frame).
     val selfLoops = graft.Ckpt(edgesSym.select(col("src")).distinct()
       .select(col("src"), col("src").as("dst")))
-    val edges = graft.Ckpt(edgesSym.union(selfLoops))
+    // Pin the edge set PARTITIONED BY THE JOIN KEY for the loop (the
+    // graph family's per-step discipline, r11): a checkpointed frame
+    // comes back as a bare RDD scan with NO outputPartitioning (the
+    // r10 Ordination probe measured this), so a Ckpt here would let
+    // every propagation round re-shuffle the whole edge set once the
+    // label frame outgrows a broadcast; a persisted repartition
+    // KEEPS the partitioning, so each round's join is co-located and
+    // only the per-round aggregate exchanges. Lineage under the pin
+    // is already truncated (edgesSym/selfLoops are checkpoints).
+    // Released right after the loop — labels is checkpoint-
+    // materialized, so nothing downstream re-reads the pin.
+    val edges = edgesSym.union(selfLoops)
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = graft.Ckpt(selfLoops.select(col("src").as("node"))
       .withColumn("label", col("node")))
     var prev = labels
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    try while (!converged && iter < maxIter) {
       val tIter = System.nanoTime()
       val prop = graft.Ckpt(edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min("label").as("label"))
@@ -709,7 +722,7 @@ object Dedup {
       if (sys.env.contains("GRAFT_DEBUG_CC"))
         System.err.println(f"[cc] iter=$iter converged=$converged " +
           f"took=${(System.nanoTime() - tIter) / 1e9}%.2f s")
-    }
+    } finally edges.unpersist(blocking = true)
     // Path halving doubles the propagation distance each round, so the
     // default 25-round budget covers any diameter up to ~2^25 — but a
     // graph that genuinely exhausts it must fail LOUDLY, not return
