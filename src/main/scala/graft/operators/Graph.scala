@@ -299,7 +299,7 @@ object Graph {
   /** Min-label propagation over nodes(v) + directed edge pairs (both
     * orientations and per-node self-edges are added here), iterated
     * TO THE FIXPOINT: [[CkptEvery]] lazy steps per period, then one
-    * checkpoint + changed-count action. Monotonicity (every label is
+    * checkpoint + one exact-sum fixpoint probe. Monotonicity (every label is
     * non-increasing) makes the across-period comparison sound: if the
     * state is unchanged over a whole period it was unchanged at every
     * intermediate step, so the previous checkpoint already was the
@@ -323,6 +323,17 @@ object Graph {
       val n = nodes.count()
       val cap = math.min(maxSteps, n + CkptEvery)
       var labels = graft.Ckpt(nodes.select(col("v"), col("v").as("label")))
+      // Fixpoint test via the EXACT value total: labels are per-node
+      // monotone non-increasing and every node appears every step (the
+      // self-edge sentinel), so the sum is unchanged over a period iff
+      // no label moved — one scan aggregate per period instead of an
+      // n-row self-join. DECIMAL(38,0) keeps it exact at any n (the
+      // worst case n·|label| ≈ 2⁶³·2⁶³ < 10³⁸; an int64 sum could wrap
+      // a genuine decrease to apparent equality).
+      def tot(df: DataFrame): java.math.BigDecimal = df
+        .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+      var curTot = tot(labels)
       var steps = 0L
       var converged = n == 0L
       while (!converged) {
@@ -336,10 +347,10 @@ object Graph {
         }
         steps += CkptEvery
         val nm = graft.Ckpt(nxt)
-        converged = nm
-          .join(labels.select(col("v"), col("label").as("l0")), "v")
-          .filter(col("label") =!= col("l0")).count() == 0L
+        val nmTot = tot(nm)
+        converged = nmTot.compareTo(curTot) == 0
         labels = nm
+        curTot = nmTot
         require(converged || steps <= cap,
           s"min-label propagation not converged after $steps steps " +
             s"on $n nodes (cap $cap)")
@@ -460,7 +471,7 @@ object Graph {
   /** Iterated h-index over the simple undirected edge set (a, b),
     * run TO THE FIXPOINT (componentsCore's loop discipline):
     * [[CkptEvery]] lazy steps per period, then one checkpoint + one
-    * changed-count action. The h-index sequence is per-node monotone
+    * exact-sum fixpoint probe. The h-index sequence is per-node monotone
     * non-increasing (Lü et al. 2016), so across-period equality
     * certifies the fixpoint. Derived cap: every unconverged period
     * strictly decreases the all-integer value total, which starts at
@@ -498,6 +509,16 @@ object Graph {
 
       var cur = graft.Ckpt(und.groupBy(col("dst")).agg(count(lit(1)).as("c"))
         .select(col("dst").as("v"), col("c")))
+      // Fixpoint test via the exact value total (componentsCore's
+      // trick): the h-index sequence is per-node monotone
+      // non-increasing and every node keeps a row (both orientations
+      // pinned), so sum-unchanged over a period ⟺ fixpoint — one scan
+      // aggregate per period, no n-row self-join. Values are bounded
+      // by degree, so DECIMAL(38,0) is exact with orders of margin.
+      def tot(df: DataFrame): java.math.BigDecimal = df
+        .agg(coalesce(sum(col("c").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+      var curTot = tot(cur)
       var steps = 0L
       var periods = 0L
       var converged = m2 == 0L
@@ -510,10 +531,10 @@ object Graph {
         steps += CkptEvery
         periods += 1
         val nm = graft.Ckpt(nxt)
-        converged = nm
-          .join(cur.select(col("v"), col("c").as("c0")), "v")
-          .filter(col("c") =!= col("c0")).count() == 0L
+        val nmTot = tot(nm)
+        converged = nmTot.compareTo(curTot) == 0
         cur = nm
+        curTot = nmTot
         require(converged || (steps <= maxSteps && periods <= capPeriods),
           s"h-index iteration not converged after $steps steps " +
             s"(cap ${math.min(maxSteps, capPeriods * CkptEvery)})")
