@@ -684,11 +684,16 @@ object Dedup {
     // KEEPS the partitioning, so each round's join is co-located and
     // only the per-round aggregate exchanges. Lineage under the pin
     // is already truncated (edgesSym/selfLoops are checkpoints).
+    // DISK_ONLY for the same reason Ckpt is (the r6 GC finding):
+    // heap-resident deserialized blocks from mid-suite persists
+    // lingered into later queries as multi-second GC stalls — measured
+    // again here in r11, d7 read 8.5 s in-bench vs 3.5 s solo with a
+    // MEMORY_AND_DISK pin; the OS page cache serves the re-reads.
     // Released right after the loop — labels is checkpoint-
     // materialized, so nothing downstream re-reads the pin.
     val edges = edgesSym.union(selfLoops)
       .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var labels = graft.Ckpt(selfLoops.select(col("src").as("node"))
       .withColumn("label", col("node")))
     var prev = labels
