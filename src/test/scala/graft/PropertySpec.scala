@@ -236,4 +236,78 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("k-core fixpoint equals min-degree peeling on random sparse-id graphs") {
+    // The r11 fixpoint loop must land on coreness for ANY graph shape,
+    // not just the synthetic 3-out-regular corpus: random graphs with
+    // sparse/negative 64-bit ids, self-loops, and parallel edges,
+    // checked against an independent Batagelj–Zaveršnik peeling.
+    import spark.implicits._
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 40 + rng.nextInt(40)
+      val ids = Array.tabulate(nNodes)(i =>
+        rng.nextLong() % (1L << 50) - (if (i % 3 == 0) (1L << 40) else 0L))
+      val m = nNodes * 2 + rng.nextInt(nNodes)
+      val edges = (1 to m).map { _ =>
+        (ids(rng.nextInt(nNodes)), ids(rng.nextInt(nNodes)))
+      } ++ Seq((ids(0), ids(0))) // a self-loop simple semantics must drop
+      // reference peeling over the simplified graph
+      val simple = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val touched = simple.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val adj = scala.collection.mutable.Map(
+        touched.map(v => v -> scala.collection.mutable.Set[Long]()): _*)
+      simple.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+      val core = scala.collection.mutable.Map[Long, Int]()
+      val alive = scala.collection.mutable.Set(touched: _*)
+      var kmax = 0
+      while (alive.nonEmpty) {
+        val v = alive.minBy(u => (adj(u).size, u))
+        kmax = math.max(kmax, adj(v).size)
+        core(v) = kmax
+        adj(v).foreach(u => adj(u) -= v)
+        adj(v).clear(); alive -= v
+      }
+      val want = core.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (c, vs) => (c.toLong, vs.size.toLong,
+          vs.map(_._1).min, vs.map(_._1).max) }
+      val got = graft.operators.Graph.g5KcoreEdges(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == want, s"seed $seed: got ${got.toSeq}, want $want")
+    }
+  }
+
+  test("components fixpoint equals union-find on random sparse-id graphs") {
+    import spark.implicits._
+    for (seed <- Seq(21L, 22L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 60 + rng.nextInt(40)
+      val ids = Array.tabulate(nNodes)(_ => rng.nextLong() % (1L << 44))
+      // sparse edge set (below the connectivity threshold → several
+      // components, some singleton-free since nodes come from edges)
+      val m = nNodes / 2 + rng.nextInt(nNodes / 2)
+      val edges = (1 to m).map { _ =>
+        (ids(rng.nextInt(nNodes)), ids(rng.nextInt(nNodes)))
+      }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        r
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.foreach { case (a, b) => parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b); union(a, b) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.groupBy(find).toSeq.sortBy(_._1)
+        .map { case (c, vs) => (c, vs.size.toLong, vs.min, vs.max) }
+      val got = graft.operators.Graph.g2ComponentsEdges(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == want, s"seed $seed: got ${got.toSeq}, want $want")
+    }
+  }
 }
