@@ -74,6 +74,30 @@ class ContractSpec extends SparkSpec {
     assert(line.contains(""""ok_probe":["""), s"healthy raw missing: $line")
   }
 
+  test("the bench spread gate earns a polluted query a clean-up rep") {
+    // r10's committed artifact carried triples like [8.9, 25.6, 55.5]
+    // for a 2.1 s query with no self-correction. Simulate contention
+    // hitting exactly one warm rep; the gate must append one extra
+    // end-of-suite rep (raw length reps+1) and min-of-warm must report
+    // the clean number.
+    import org.apache.spark.sql.SparkSession
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val line = Bench.benchLine(spark, tinySf, Map(
+      "jitter_probe" -> ((s: SparkSession, d: String) => {
+        if (calls.incrementAndGet() == 2) Thread.sleep(1500) // first warm rep
+        Tables.load(s, d, "region")
+      })), reps = 3, countMode = false)
+    assert(calls.get() == 4, s"expected 3 reps + 1 clean-up, ran ${calls.get()}")
+    val rawEntry = """"raw":\{"jitter_probe":\[([^\]]*)\]""".r
+      .findFirstMatchIn(line).map(_.group(1))
+    assert(rawEntry.exists(_.split(",").length == 4),
+      s"raw array not lengthened by the clean-up rep: $line")
+    val reported = """"queries":\{"jitter_probe":([0-9.]+)""".r
+      .findFirstMatchIn(line).map(_.group(1).toDouble)
+    assert(reported.exists(_ < 1.0),
+      s"reported value did not pick the clean rep: $line")
+  }
+
   test("every query has a SURVEY §2 coverage row") {
     // The §2 table is the judge's grading contract; it silently lost
     // the r4 bench tail once and q33's row in r5. A query key missing
