@@ -113,6 +113,9 @@ object SparkEntry {
     "g4_assortativity" ->
       ((s: SparkSession, d: String) => Graph.g4Assortativity(s, d)),
     "g5_kcore" -> ((s: SparkSession, d: String) => Graph.g5Kcore(s, d)),
+    "g6_cc_sparse" -> ((s: SparkSession, d: String) => Graph.g6CcSparse(s, d)),
+    "g7_kcore_sparse" ->
+      ((s: SparkSession, d: String) => Graph.g7KcoreSparse(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -953,6 +956,8 @@ object SparkEntry {
     "g3_triangles" -> graft.operators.Graph.g3OracleSql,
     "g4_assortativity" -> graft.operators.Graph.g4OracleSql,
     "g5_kcore" -> graft.operators.Graph.g5OracleSql(),
+    "g6_cc_sparse" -> graft.operators.Graph.g6OracleSql,
+    "g7_kcore_sparse" -> graft.operators.Graph.g7OracleSql,
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
     "s9_hybrid_search" -> graft.operators.Similarity.s9OracleSql(),
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),

@@ -593,6 +593,137 @@ object Graph {
           (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
       GROUP BY coreness ORDER BY coreness"""
 
+  /** g6: connected components over a REAL relation with SPARSE ids —
+    * the customer–order bipartite graph (customer nodes as
+    * −(o_custkey+1), order nodes as o_orderkey: disjoint by sign,
+    * arbitrary 64-bit values). This is the general
+    * [[g2ComponentsEdges]] entry exercised end to end through the
+    * full DuckDB oracle (the synthetic doc-graph queries only cover
+    * the dense-id path): the oracle dense-ranks the sparse node set
+    * into index space, runs the SAME min-label fixpoint recursion,
+    * and maps back to node values. Components here are customer
+    * stars (diameter 2), so the fixpoint lands in a couple of steps
+    * at any scale — the structure probe is g7's richer graph. */
+  def g6CcSparse(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.load(spark, dir, "orders")
+      .select((-(col("o_custkey") + 1)).as("src"),
+        col("o_orderkey").as("dst"))
+    g2ComponentsEdges(edges)
+      .select(col("component"), col("n_members"),
+        col("min_doc").as("min_node"), col("max_doc").as("max_node"))
+  }
+
+  /** DuckDB oracle for [[g6CcSparse]] — dense-rank the sparse node
+    * set, min-label to the fixpoint over index space with labels
+    * CARRYING NODE VALUES (the engine's labels are node ids, so the
+    * recursion starts from the sorted value list, not 0..n−1), map
+    * back by position. */
+  def g6OracleSql: String = """
+      WITH RECURSIVE
+      edges0 AS MATERIALIZED (
+        SELECT -(o_custkey + 1) AS a, o_orderkey AS b FROM orders),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT v FROM (
+          SELECT a AS v FROM edges0 UNION ALL SELECT b FROM edges0) t),
+      nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM nodes),
+      idx AS MATERIALIZED (
+        SELECT v, CAST(row_number() OVER (ORDER BY v) AS INT) AS i FROM nodes),
+      vals AS MATERIALIZED (SELECT list(v ORDER BY v) AS vs FROM nodes),
+      und AS MATERIALIZED (
+        SELECT ia.i AS src, ib.i AS dst FROM edges0 e
+          JOIN idx ia ON ia.v = e.a JOIN idx ib ON ib.v = e.b
+        UNION ALL
+        SELECT ib.i, ia.i FROM edges0 e
+          JOIN idx ia ON ia.v = e.a JOIN idx ib ON ib.v = e.b
+        UNION ALL SELECT i, i FROM idx),
+      adj AS MATERIALIZED (
+        SELECT list_transform(list_sort(list(struct_pack(dst := dst, ns := ns))),
+          s -> s['ns']) AS m
+        FROM (SELECT dst, list(DISTINCT src) AS ns FROM und GROUP BY dst) g),
+      cc AS (
+        SELECT 0 AS k, vals.vs AS lab, CAST(NULL AS BIGINT[]) AS p FROM vals
+        UNION ALL
+        SELECT k + 1,
+          list_transform(generate_series(1, ni), x ->
+            list_reduce(list_transform(adj.m[x], u ->
+              cc.lab[CAST(u AS INT)]), (a, b) -> least(a, b))) AS lab,
+          cc.lab AS p
+        FROM cc, nn, adj WHERE p IS NULL OR p <> lab)
+      SELECT label AS component, count(*) AS n_members,
+        min(v) AS min_node, max(v) AS max_node
+      FROM (
+        SELECT vals.vs[i] AS v, f.lab[i] AS label
+        FROM (SELECT lab FROM cc WHERE p = lab) f, vals,
+          (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
+      GROUP BY component ORDER BY component"""
+
+  /** g7: k-core over the order–part co-purchase bipartite graph
+    * (parts as −(l_partkey+1), orders as l_orderkey) — a REAL
+    * relation whose coreness ladder is non-trivial (1..6 on the test
+    * corpora: parts are hubs, orders have 1–7 lineitems), exercising
+    * the general [[g5KcoreEdges]] fixpoint end to end through a full
+    * oracle on sparse ids. Parallel (order, part) pairs collapse via
+    * the entry's simple-graph dedup; sign-disjoint id spaces make
+    * self-loops impossible by construction. */
+  def g7KcoreSparse(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.load(spark, dir, "lineitem")
+      .select((-(col("l_partkey") + 1)).as("src"),
+        col("l_orderkey").as("dst"))
+    g5KcoreEdges(edges)
+      .select(col("coreness"), col("n_nodes"),
+        col("min_doc").as("min_node"), col("max_doc").as("max_node"))
+  }
+
+  /** DuckDB oracle for [[g7KcoreSparse]] — dense-rank node space,
+    * the same h-index fixpoint recursion as g5's oracle (1-based
+    * indices, so no +1 shift), values mapped back by position. */
+  def g7OracleSql: String = """
+      WITH RECURSIVE
+      edges0 AS MATERIALIZED (
+        SELECT DISTINCT -(l_partkey + 1) AS a, l_orderkey AS b FROM lineitem),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT v FROM (
+          SELECT a AS v FROM edges0 UNION ALL SELECT b FROM edges0) t),
+      nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM nodes),
+      idx AS MATERIALIZED (
+        SELECT v, CAST(row_number() OVER (ORDER BY v) AS INT) AS i FROM nodes),
+      vals AS MATERIALIZED (SELECT list(v ORDER BY v) AS vs FROM nodes),
+      und AS MATERIALIZED (
+        SELECT ia.i AS src, ib.i AS dst FROM edges0 e
+          JOIN idx ia ON ia.v = e.a JOIN idx ib ON ib.v = e.b
+        UNION ALL
+        SELECT ib.i, ia.i FROM edges0 e
+          JOIN idx ia ON ia.v = e.a JOIN idx ib ON ib.v = e.b),
+      adj AS MATERIALIZED (
+        SELECT list_transform(list_sort(list(struct_pack(src := src, ns := ns))),
+          s -> s['ns']) AS m
+        FROM (SELECT src, list(dst) AS ns FROM und GROUP BY src) g),
+      core AS (
+        SELECT 0 AS k,
+          list_transform(adj.m, ns -> CAST(len(ns) AS BIGINT)) AS c,
+          CAST(NULL AS BIGINT[]) AS p
+        FROM adj
+        UNION ALL
+        SELECT k + 1,
+          list_transform(adj.m, ns ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(
+                list_reverse(list_sort(list_transform(ns,
+                  u -> core.c[CAST(u AS INT)]))),
+                (x, i) -> CAST(CASE WHEN x >= i THEN 1 ELSE 0 END AS BIGINT))),
+              (a, b) -> a + b)) AS c,
+          core.c AS p
+        FROM core, adj WHERE p IS NULL OR p <> c)
+      SELECT c_val AS coreness, count(*) AS n_nodes,
+        min(v) AS min_node, max(v) AS max_node
+      FROM (
+        SELECT vals.vs[i] AS v, f.c[i] AS c_val
+        FROM (SELECT c FROM core WHERE p = c) f, vals,
+          (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
+      GROUP BY coreness ORDER BY coreness"""
+
   /** g4: degree assortativity — the Pearson correlation of endpoint
     * degrees over the simple undirected edge set (Newman 2002), the
     * one-number summary of whether hubs link to hubs (positive) or to
