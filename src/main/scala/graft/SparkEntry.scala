@@ -107,6 +107,7 @@ object SparkEntry {
     "d10_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     "d11_winnow_fingerprint" ->
       ((s: SparkSession, d: String) => Dedup.winnowFingerprint(s, d)),
+    "d13_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
     "g1_pagerank" -> ((s: SparkSession, d: String) => Graph.g1Pagerank(s, d)),
     "g2_components" -> ((s: SparkSession, d: String) => Graph.g2Components(s, d)),
     "g3_triangles" -> ((s: SparkSession, d: String) => Graph.g3Triangles(s, d)),
@@ -152,6 +153,9 @@ object SparkEntry {
     "t17_surprisal" -> (TextOps.surprisal _),
     "t18_bpe_merges" -> (TextOps.bpeMerges _),
     "t19_quality_classifier" -> (TextOps.ftQuality _),
+    "t20_bigram_lm" -> (TextOps.bigramLm _),
+    "t21_bpe_encode" -> (TextOps.bpeEncode _),
+    "s10_recall_eval" -> (Similarity.recallEval _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e11_event_gaps" -> (Events.interEventGaps _),
@@ -927,25 +931,8 @@ object SparkEntry {
     "s4_ann_pq" -> Similarity.s4OracleSql(),
     "s6_ann_rerank" -> Similarity.s6OracleSql(),
     "s5_ann_filtered" -> Similarity.s5OracleSql(),
-    "s1_ann_bruteforce" -> """
-      WITH norms AS (
-        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
-      pairs AS (
-        SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.embedding AS qv, c.embedding AS cv
-        FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
-      dots AS (
-        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
-        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs) GROUP BY q_id, c_id),
-      scored AS (
-        SELECT d.q_id, d.c_id, d.dt / (nq.nrm * nc.nrm) AS cos
-        FROM dots d JOIN norms nq ON nq.vec_id = d.q_id JOIN norms nc ON nc.vec_id = d.c_id),
-      ranked AS (
-        SELECT q_id, c_id, cos,
-          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
-        FROM scored)
-      SELECT q_id, c_id, rnk, round(cos, 6) AS score
-      FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk""",
+    "s1_ann_bruteforce" -> Similarity.s1OracleSql,
+    "s10_recall_eval" -> Similarity.s10OracleSql,
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
     "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),
     "b4_banded_align" -> graft.operators.Dedup.b4OracleSql(),
@@ -969,6 +956,9 @@ object SparkEntry {
     "m7_audio_features" -> graft.operators.Multimodal.m7OracleSql,
     "d12_semdedup" -> graft.operators.Similarity.d12OracleSql(),
     "t18_bpe_merges" -> graft.operators.TextOps.t18OracleSql(),
+    "t20_bigram_lm" -> graft.operators.TextOps.t20OracleSql,
+    "t21_bpe_encode" -> graft.operators.TextOps.t21OracleSql(),
+    "d13_chunk_dedup" -> graft.operators.Dedup.d13OracleSql(),
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

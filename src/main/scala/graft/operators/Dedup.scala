@@ -1027,4 +1027,93 @@ object Dedup {
       .withColumn("is_near", col("cos_sim") > 0.95)
       .orderBy("a_id")
   }
+
+  /** d13: cross-document duplicated-SPAN accounting — the C4/
+    * RefinedWeb family's span-level dedup, where the unit is a fixed
+    * window of text rather than the whole document: split each doc
+    * into consecutive [[ChunkWords]]-word chunks, hash each chunk,
+    * count every occurrence CORPUS-WIDE (within-doc repeats count — a
+    * span repeated twice in one doc is exactly as removable as one
+    * shared across docs), and report per doc how much of it is made of
+    * duplicated spans. `keep` is the C4-style cut: retain the doc
+    * while at most half its spans are duplicates. Whole-doc dedup (d1)
+    * misses boilerplate stitched into otherwise-unique pages; this is
+    * the operator that catches it.
+    *
+    * Exactness: all-integer counts; the one division happens once per
+    * doc and is correctly rounded in both engines, so round(6) is
+    * bit-stable; `keep` compares the ROUNDED fraction (t17's
+    * boundary-stable cut discipline).
+    *
+    * Scale shape: chunk hashing is one in-row projection (the native
+    * linear-pass [[graft.functions.expressions.PolyHash]] per chunk —
+    * no shingle strings survive the row). Per-(doc,chunk) counts
+    * shuffle once on the composite key with map-side combine; global
+    * chunk counts aggregate from THOSE (map-side partial again), so a
+    * span duplicated a million times corpus-wide reduces through
+    * per-partition partials, never through one task. The count
+    * re-attach is an equi-join on the chunk hash — linear in tf rows,
+    * AQE skew-split applies if one span dominates — and the final
+    * per-doc rollup shuffles on doc_id. The tf frame feeds both the
+    * global counts and the join, so it is checkpointed (t17's
+    * two-consumer discipline). */
+  val ChunkWords = 8
+
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedup(Tables.parallel(Tables.load(spark, dir, "documents")), ChunkWords)
+
+  def chunkDedup(docs: DataFrame, k: Int): DataFrame = {
+    val w = split(col("text"), " ")
+    // ceil(len/k) chunks; the trailing partial chunk is kept (slice
+    // clamps at the end in both engines). split("", " ") = [""] so
+    // every doc has ≥ 1 chunk and stays in the output.
+    val nChunks = (size(w) + lit(k - 1)) / lit(k)
+    val chunkHashes = transform(
+      sequence(lit(0), nChunks.cast("int") - 1),
+      i => graft.GraftFunctions.polyHash(
+        concat_ws(" ", slice(w, i * k + 1, lit(k)))))
+    val tf = graft.Ckpt(
+      docs.select(col("doc_id"), explode(chunkHashes).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("tf")))
+    val cf = tf.groupBy("ch").agg(sum(col("tf")).as("n_occ"))
+    tf.join(cf, "ch")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_chunks"),
+        sum(when(col("n_occ") >= 2, col("tf")).otherwise(lit(0L)))
+          .as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double")
+          / col("n_chunks").cast("double"), 6))
+      .withColumn("keep", col("dup_frac") <= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[chunkDedup]] — same k-word slicing (inclusive
+    * list_slice mirrors Spark's (start, length) slice; both clamp the
+    * trailing chunk), the DedupCte char-fold hash, and integer-count
+    * rollups with one rounded division. */
+  def d13OracleSql(k: Int = ChunkWords): String = s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      chunks AS (
+        SELECT doc_id,
+          array_to_string(list_slice(ws, i * $k + 1, i * $k + $k), ' ') AS chunk
+        FROM w, unnest(generate_series(0, (len(ws) + ${k - 1}) // $k - 1)) AS u(i)),
+      occ AS (
+        SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(chunk)),
+              ci -> CAST(ascii(substr(chunk, ci, 1)) AS BIGINT))),
+            (acc, ch) -> (acc * 131 + ch) % 2147483647) AS ch
+        FROM chunks),
+      tf AS (SELECT doc_id, ch, count(*) AS tf FROM occ GROUP BY 1, 2),
+      cf AS (SELECT ch, sum(tf) AS n_occ FROM tf GROUP BY 1)
+      SELECT doc_id,
+        CAST(sum(tf) AS BIGINT) AS n_chunks,
+        CAST(sum(CASE WHEN n_occ >= 2 THEN tf ELSE 0 END) AS BIGINT)
+          AS n_dup_chunks,
+        round(CAST(sum(CASE WHEN n_occ >= 2 THEN tf ELSE 0 END) AS DOUBLE)
+          / CAST(sum(tf) AS DOUBLE), 6) AS dup_frac,
+        round(CAST(sum(CASE WHEN n_occ >= 2 THEN tf ELSE 0 END) AS DOUBLE)
+          / CAST(sum(tf) AS DOUBLE), 6) <= 0.5 AS keep
+      FROM tf JOIN cf USING (ch)
+      GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -1140,4 +1140,77 @@ object Similarity {
       SELECT q_id, c_id, rnk, round(ms, 6) AS score
       FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
+
+  /** DuckDB oracle for [[annBruteforce]] (s1) — the proven norms/dots
+    * CTE shape. Hoisted here (from the inline SparkEntry string) so
+    * the s10 recall-evaluation oracle can compose it verbatim. */
+  def s1OracleSql: String = s"""
+      WITH norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.embedding AS qv, c.embedding AS cv
+        FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs) GROUP BY q_id, c_id),
+      scored AS (
+        SELECT d.q_id, d.c_id, d.dt / (nq.nrm * nc.nrm) AS cos
+        FROM dots d JOIN norms nq ON nq.vec_id = d.q_id JOIN norms nc ON nc.vec_id = d.c_id),
+      ranked AS (
+        SELECT q_id, c_id, cos,
+          CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
+        FROM scored)
+      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      FROM ranked WHERE rnk <= $AnnK ORDER BY q_id, rnk"""
+
+  /** s10: ANN recall evaluation — the measurement loop every
+    * approximate index ships with: recall@k of the IVF path (s3,
+    * nProbe = 4 of 16 cells, the config that genuinely trades recall
+    * for scan fraction) against the exact brute-force baseline (s1),
+    * per query. This is an OPERATOR, not a test: at real scale recall
+    * is re-measured continuously on sampled query logs to decide
+    * nProbe/nlist re-tuning, so the evaluation itself must run
+    * distributed next to the index.
+    *
+    * Exactness: both sides rank with the same deterministic
+    * (score DESC, c_id) tie-break, so the top-k SETS are reproducible
+    * cross-engine; hit counting is an integer semi-join count and the
+    * one recall division is correctly rounded (round(6)).
+    *
+    * Scale shape: the per-query result frames are k-bounded (queries ×
+    * k rows); the semi-join and rollup are trivial next to the index
+    * scans they audit. Cost is one brute-force corpus pass (the price
+    * of ground truth — at 100 TB you run it on a query SAMPLE, which
+    * is exactly the `vec_id < 5` query predicate both sides share)
+    * plus one IVF probe pass. */
+  def recallEval(spark: SparkSession, dir: String): DataFrame =
+    recallEval(Tables.parallel(Tables.load(spark, dir, "embeddings")))
+
+  def recallEval(e: DataFrame): DataFrame = {
+    val exact = annBruteforce(e).select(col("q_id"), col("c_id"))
+    val approx = annIvfDet(e, 16, 4).select(col("q_id"), col("c_id"))
+    val hits = exact.join(approx, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double")
+        / col("n_exact").cast("double"), 6))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB oracle for [[recallEval]] — the s1 and s3 oracles composed
+    * verbatim as subqueries and joined on (q_id, c_id). */
+  def s10OracleSql: String = s"""
+      SELECT ex.q_id, count(*) AS n_exact,
+        CAST(sum(CASE WHEN ap.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit,
+        round(CAST(sum(CASE WHEN ap.c_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+      FROM ( $s1OracleSql ) ex
+      LEFT JOIN ( $s3OracleSql ) ap
+        ON ap.q_id = ex.q_id AND ap.c_id = ex.c_id
+      GROUP BY ex.q_id ORDER BY ex.q_id"""
 }

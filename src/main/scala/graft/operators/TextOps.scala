@@ -775,7 +775,16 @@ object TextOps {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables.parallel(Tables.load(spark, dir, "documents")), BpeMerges)
 
-  def bpeMerges(docs: DataFrame, m: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, m: Int): DataFrame =
+    bpeChain(docs, m)._1.reduce(_ unionByName _).orderBy("step")
+
+  /** The shared BPE merge chain: runs `m` greedy merge steps over the
+    * character-split word vocabulary and returns BOTH artifacts — the
+    * per-step merge table rows (t18's output) and the final merged
+    * vocabulary `(word, cnt, syms)` (t21's tokenizer). One chain, two
+    * consumers, so the training and encoding operators can never
+    * disagree about what the learned tokenizer is. */
+  private def bpeChain(docs: DataFrame, m: Int): (Seq[DataFrame], DataFrame) = {
     var vocab = graft.Ckpt(
       docs.select(explode(words(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
@@ -806,13 +815,27 @@ object TextOps {
       best.select(lit(step).as("step"), col("a").as("left_sym"),
         col("b").as("right_sym"), col("s").as("pair_count"))
     }
-    steps.reduce(_ unionByName _).orderBy("step")
+    (steps, vocab)
   }
 
   /** DuckDB oracle for [[bpeMerges]] — the same chain unrolled as
     * generated CTE blocks (the q31 per-axis discipline), with the
     * parity-islands merge (see [[bpeMerges]]). */
   def t18OracleSql(m: Int = BpeMerges): String = {
+    val finals = (1 to m).map(k =>
+      s"""SELECT $k AS step, a AS left_sym, b AS right_sym,
+          CAST(s AS BIGINT) AS pair_count FROM best$k""")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH ${bpeChainCtes(m)}
+      SELECT * FROM ($finals) ORDER BY step"""
+  }
+
+  /** The t18 merge chain as a CTE block string (`words0` … `words$m`
+    * plus the per-step `best$k`), shared by the t18 and t21 oracles so
+    * both query the SAME learned tokenizer — the SQL mirror of
+    * [[bpeChain]]'s two-consumer contract. */
+  private def bpeChainCtes(m: Int): String = {
     def step(k: Int) = s"""
       pos$k AS (
         SELECT word, cnt, i, syms[i] AS a, syms[i + 1] AS b, len(syms) AS L
@@ -840,12 +863,7 @@ object TextOps {
         LEFT JOIN mm$k prv ON prv.word = p.word AND prv.i = p.i - 1
         WHERE prv.i IS NULL
         GROUP BY p.word)"""
-    val finals = (1 to m).map(k =>
-      s"""SELECT $k AS step, a AS left_sym, b AS right_sym,
-          CAST(s AS BIGINT) AS pair_count FROM best$k""")
-      .mkString(" UNION ALL ")
-    s"""
-      WITH words0 AS MATERIALIZED (
+    s"""words0 AS MATERIALIZED (
         SELECT word, cnt,
           list_transform(generate_series(1, len(word)),
             i -> substr(word, i, 1)) AS syms
@@ -853,9 +871,159 @@ object TextOps {
           SELECT word, count(*) AS cnt FROM (
             SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
           WHERE len(word) > 0 GROUP BY word) v),
-      ${(1 to m).map(step).mkString(",")}
-      SELECT * FROM ($finals) ORDER BY step"""
+      ${(1 to m).map(step).mkString(",")}"""
   }
+
+  /** t21: BPE ENCODING — the use side of the t18-trained tokenizer,
+    * closing the train→apply loop every real pipeline runs (train
+    * merges once, then tokenize the whole corpus to budget sequence
+    * lengths and packing). BPE merges never cross word boundaries, so
+    * a document's token count decomposes exactly as Σ_w tf(doc, w) ×
+    * |encode(w)| — encode the VOCABULARY once (re-running [[bpeChain]]
+    * to its final merged state) and the corpus pass reduces to a
+    * term-frequency join, never re-merging inside documents. Output
+    * per doc: word count, BPE token count, and the chars-per-token
+    * compression ratio a tokenizer is judged by.
+    *
+    * Exactness: all-integer counts; one correctly-rounded division per
+    * doc (round(6), t17's discipline).
+    *
+    * Scale shape: the chain's per-step work is vocabulary-bounded
+    * (Heaps-law ~10⁵ rows at 100 TB — see [[bpeMerges]]); the corpus
+    * side is one (doc, word) count shuffle with map-side combine plus
+    * a join against the vocab map, which the planner broadcasts at
+    * real vocab sizes; final rollup shuffles on doc_id. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.parallel(Tables.load(spark, dir, "documents")), BpeMerges)
+
+  def bpeEncode(docs: DataFrame, m: Int): DataFrame = {
+    val wmap = bpeChain(docs, m)._2
+      .select(col("word"), size(col("syms")).cast("long").as("tok"),
+        length(col("word")).cast("long").as("wlen"))
+    val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    tf.join(wmap, "word")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * col("tok")).as("n_tokens"),
+        sum(col("tf") * col("wlen")).as("n_word_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(col("n_word_chars").cast("double")
+          / col("n_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bpeEncode]] — t18's shared chain CTEs run to
+    * `words$m`, then the identical tf × |encode(word)| rollup. */
+  def t21OracleSql(m: Int = BpeMerges): String = s"""
+      WITH ${bpeChainCtes(m)},
+      tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) t
+        WHERE len(word) > 0 GROUP BY 1, 2),
+      wmap AS (
+        SELECT word, len(syms) AS tok, length(word) AS wlen FROM words$m)
+      SELECT doc_id,
+        CAST(sum(tf) AS BIGINT) AS n_words,
+        CAST(sum(tf * tok) AS BIGINT) AS n_tokens,
+        round(CAST(sum(tf * wlen) AS DOUBLE)
+          / CAST(sum(tf * tok) AS DOUBLE), 6) AS chars_per_token
+      FROM tf JOIN wmap USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  /** t20: bigram-LM cross-entropy scoring — the step up from t17's
+    * unigram surprisal that CCNet-class quality filters actually take:
+    * score each document by its mean −ln p(w₂|w₁) under the corpus
+    * bigram model with add-one smoothing, p(w₂|w₁) = (c(w₁w₂) + 1) /
+    * (c(w₁·) + V). Low cross-entropy = the document is stitched from
+    * the corpus's most predictable word transitions (templates,
+    * boilerplate); high = out-of-distribution noise — and unlike the
+    * unigram score it sees WORD ORDER, so shuffled or repeated-phrase
+    * text separates from natural text with the same word histogram.
+    *
+    * Exactness: counts and the smoothing sums are all-integer, so each
+    * probability is one correctly-rounded double division; the per-doc
+    * sum folds (bigram, contribution) pairs in bigram-sorted order
+    * (t17's index-order-fold discipline) and round(6) absorbs ln()'s
+    * libm ulp. Documents with fewer than two words have no bigram and
+    * drop out — in both engines.
+    *
+    * Scale shape: the model frames are VOCABULARY-bounded (bigram
+    * types ≪ corpus tokens by Zipf; context counts derive from the
+    * bigram frame by one more vocab-scale aggregate — no second corpus
+    * scan); V is a one-row broadcast scalar. The corpus pays one
+    * (doc, bigram) count shuffle (map-side combine), one equi-join per
+    * model frame on the bigram/context key — sort-merge at real scale,
+    * AQE skew-split if one context dominates — and the doc_id rollup.
+    * The tf frame feeds the model AND the scoring join: checkpointed
+    * (t17's two-consumer discipline). */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLm(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val bg = graft.Ckpt(
+      docs.select(col("doc_id"), explode(expr(
+        """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+           (s, idx) -> concat(s, ' ', element_at(split(text, ' '), idx + 2)))"""))
+        .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf")))
+    val cb = bg.groupBy("bg").agg(sum(col("tf")).as("cnt"))
+    val ctx = cb.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(sum(col("cnt")).as("ctx_cnt"))
+    val vocab = docs.select(explode(words(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bg.join(cb, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("contrib", col("tf").cast("double") *
+        -log((col("cnt") + 1).cast("double")
+          / (col("ctx_cnt") + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("bg"), col("contrib"))))
+          .as("cs"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("contrib"))
+          / col("n_bigrams").cast("double"), 6).as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[bigramLm]] — identical bigram construction,
+    * add-one smoothing and bigram-ordered fold. */
+  def t20OracleSql: String = """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bgx AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM w),
+      bg AS (SELECT doc_id, bg, count(*) AS tf FROM bgx GROUP BY 1, 2),
+      cb AS (SELECT bg, sum(tf) AS cnt FROM bg GROUP BY 1),
+      ctx AS (
+        SELECT string_split(bg, ' ')[1] AS w1, sum(cnt) AS ctx_cnt
+        FROM cb GROUP BY 1),
+      voc AS (SELECT count(DISTINCT t) AS v FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+      contribs AS (
+        SELECT doc_id, bg.bg AS bg, tf,
+          CAST(tf AS DOUBLE) * -ln(CAST(cnt + 1 AS DOUBLE)
+            / CAST(ctx_cnt + v AS DOUBLE)) AS contrib
+        FROM bg JOIN cb USING (bg)
+        JOIN ctx ON ctx.w1 = string_split(bg.bg, ' ')[1], voc),
+      perdoc AS (
+        SELECT doc_id,
+          list_transform(list_sort(list(struct_pack(bg := bg,
+            contrib := contrib))), s -> s['contrib']) AS cs,
+          CAST(sum(tf) AS BIGINT) AS n_bigrams
+        FROM contribs GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
+            (acc, x) -> acc + x)
+          / CAST(n_bigrams AS DOUBLE), 6) AS cross_entropy
+      FROM perdoc ORDER BY doc_id"""
 
   /** t19: model-based quality classifier — a fastText-style LINEAR
     * scorer over hashed unigram + word-bigram features (the

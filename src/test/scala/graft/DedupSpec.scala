@@ -293,4 +293,30 @@ class DedupSpec extends SparkSpec {
     // the cap, not selectivity, is what bounded it
     assert(Dedup.winnowFingerprint(docs, cap = 64).count() > 100)
   }
+
+  test("d13 chunk dedup counts cross-doc AND within-doc duplicated " +
+       "spans and cuts majority-duplicate docs") {
+    import spark.implicits._
+    // k = 4 word chunks. doc 1 ≡ doc 2 (8 words → both chunks shared:
+    // dup_frac 1, cut). doc 3 repeats ONE 4-word span twice inside
+    // itself (within-doc duplication counts — C4 counts occurrences,
+    // not documents) plus one unique chunk: 2 of 3 chunks duplicated,
+    // cut at > 0.5. doc 4 is fully unique: kept. doc 5 has 5 words →
+    // trailing partial chunk of 1 word, unique: kept.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "red green blue cyan red green blue cyan lone tail word x"),
+      (4L, "totally unique words that appear nowhere else at all"),
+      (5L, "five little words here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0, false)), s"doc1 ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 1.0, false)), s"doc2 ${got(2L)}")
+    assert(got(3L) == ((3L, 2L, 0.666667, false)), s"doc3 ${got(3L)}")
+    assert(got(4L) == ((3L, 0L, 0.0, true)), s"doc4 ${got(4L)}")
+    assert(got(5L) == ((2L, 0L, 0.0, true)), s"doc5 ${got(5L)}")
+  }
 }

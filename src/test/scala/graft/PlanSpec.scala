@@ -629,4 +629,34 @@ class PlanSpec extends SparkSpec {
     assert(executed.contains("*(1) HashAggregate") || executed.contains("WholeStageCodegen"),
       s"aggregation fell out of codegen:\n${executed.take(1500)}")
   }
+
+  test("r11b operators: shuffle budgets hold and no plan degenerates " +
+       "to a cartesian") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
+      // d13: (doc,chunk) tf behind a checkpoint; the live plan pays
+      // cf's chunk-hash aggregate + the doc rollup + the output sort
+      // (the tf→join side reuses cf's exchange). Chunk hashing itself
+      // is in-row.
+      ("d13", graft.operators.Dedup.chunkDedup(docs, 8), 3),
+      // t20: tf behind its checkpoint; live plan = cb + ctx model
+      // aggregates, their two join re-shuffles, V's two-phase
+      // distinct, doc rollup + sort
+      ("t20", graft.operators.TextOps.bigramLm(docs), 7),
+      // t21: the merge chain's per-step shuffles all sit behind the
+      // chain's checkpoints (vocab-bounded, run once); the live plan
+      // is corpus tf + vocab-map join re-shuffle + doc rollup/sort
+      ("t21", graft.operators.TextOps.bpeEncode(docs, 5), 3),
+      // s10: s1's window/rollup + s3's probe path + the k-bounded
+      // semi-join and recall rollup
+      ("s10", graft.operators.Similarity.recallEval(
+        Tables.load(spark, sfDir, "embeddings")), 9))
+    cases.foreach { case (name, df, maxSh) =>
+      val n = executedShuffles(df)
+      assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+  }
 }

@@ -481,4 +481,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.toString.contains("Window"),
       "maxsim must rank through TopKPerGroup, not a window total sort")
   }
+
+  test("s10 recall eval reproduces the set overlap of s1 and s3 and " +
+       "is exact when the approximate path IS the exact path") {
+    val exact = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val approx = Similarity.annIvfDet(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.recallEval(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    exact.foreach { case (q, rows) =>
+      val hit = rows.count(approx.contains)
+      val want = (rows.length.toLong, hit.toLong,
+        BigDecimal(hit.toDouble / rows.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got(q) == want, s"q$q: ${got(q)} want $want")
+    }
+    // at least one query must show a genuine recall deficit at
+    // nProbe = 4/16, or the evaluation measures nothing
+    assert(got.values.exists(_._3 < 1.0),
+      "IVF recall identically 1.0 — eval is vacuous at this config")
+  }
 }

@@ -222,4 +222,89 @@ class TextOpsSpec extends SparkSpec {
     // empty token hashes to bucket 0, never NaN or a crash
     assert(res(1L)._1 == 1L && res(2L)._1 == 1L)
   }
+
+  test("t20 bigram cross-entropy matches a JVM reference and sees " +
+       "word order that unigram surprisal cannot") {
+    import spark.implicits._
+    // doc 1 cycles one predictable transition; doc 2 uses rare ones;
+    // doc 3 has a single word — no bigram, so it must drop out
+    val docs = Seq((1L, "a b a b a b"), (2L, "a c b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bigramLm(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains(3L), "one-word doc produced a bigram row")
+    // corpus model: c(a b)=3 c(b a)=2 c(a c)=1 c(c b)=1; ctx a=4 b=2
+    // c=1; V=4 (a, b, c, solo). add-one smoothing.
+    def ce(terms: Seq[(Long, Double)]): Double = {
+      val s = terms.map { case (tf, p) => tf.toDouble * -math.log(p) }.sum
+      val n = terms.map(_._1).sum
+      BigDecimal(s / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // fold order is bigram-sorted: doc 1 = ("a b" ×3, "b a" ×2)
+    val want1 = ce(Seq((3L, 4.0 / 8.0), (2L, 3.0 / 6.0)))
+    val want2 = ce(Seq((1L, 2.0 / 8.0), (1L, 2.0 / 5.0)))
+    assert(got(1L) == ((5L, want1)), s"doc1 ${got(1L)} want $want1")
+    assert(got(2L) == ((2L, want2)), s"doc2 ${got(2L)} want $want2")
+    // the ordered model separates them; their UNIGRAM histograms are
+    // near-identical in commonness terms
+    assert(got(1L)._2 < got(2L)._2,
+      "predictable transitions did not score below rare ones")
+  }
+
+  /** Independent scan-greedy BPE ENCODER: train m merges (same greedy
+    * tie-break as [[referenceBpe]]) and return each word's final
+    * symbol count. */
+  private def referenceBpeTokens(vocab: Seq[(String, Long)],
+      m: Int): Map[String, Long] = {
+    var words = vocab.map { case (w, c) => (w, w.map(_.toString).toList, c) }
+    (1 to m).foreach { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (_, syms, c) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      val maxC = counts.values.max
+      val best = counts.filter(_._2 == maxC).keys.min
+      words = words.map { case (w, syms, c) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && (syms(i), syms(i + 1)) == best) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (w, out.toList, c)
+      }
+    }
+    words.map { case (w, syms, _) => w -> syms.length.toLong }.toMap
+  }
+
+  test("t21 BPE encoding matches the independent encoder: per-doc " +
+       "token counts are tf-weighted word encodings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest widest widest low"),
+      (3L, "aaaa aaab aaaa")).toDF("doc_id", "text")
+    val vocab = Seq(("low", 6L), ("lower", 2L), ("newest", 3L),
+      ("widest", 2L), ("aaaa", 2L), ("aaab", 1L))
+    val tok = referenceBpeTokens(vocab, 5)
+    def expect(ws: Seq[String]): (Long, Long, Double) = {
+      val nTok = ws.map(tok).sum
+      val nChar = ws.map(_.length.toLong).sum
+      (ws.size.toLong, nTok, BigDecimal(nChar.toDouble / nTok.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.operators.TextOps.bpeEncode(docs, 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == expect(Seq.fill(5)("low") ++ Seq.fill(2)("lower")),
+      s"doc1 ${got(1L)}")
+    assert(got(2L) == expect(Seq.fill(3)("newest") ++
+      Seq.fill(2)("widest") :+ "low"), s"doc2 ${got(2L)}")
+    assert(got(3L) == expect(Seq("aaaa", "aaab", "aaaa")), s"doc3 ${got(3L)}")
+    // merges compress: tokens strictly under characters, at least one
+    // multi-char token learned
+    assert(got(1L)._2 < Seq.fill(5)("low").map(_.length).sum +
+      Seq.fill(2)("lower").map(_.length).sum)
+  }
 }
