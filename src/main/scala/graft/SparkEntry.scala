@@ -117,6 +117,7 @@ object SparkEntry {
     "g6_cc_sparse" -> ((s: SparkSession, d: String) => Graph.g6CcSparse(s, d)),
     "g7_kcore_sparse" ->
       ((s: SparkSession, d: String) => Graph.g7KcoreSparse(s, d)),
+    "g8_bfs" -> ((s: SparkSession, d: String) => Graph.g8Bfs(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -141,6 +142,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Multimodal.videoDecode(s, d)),
     "m4_batch_shape" ->
       ((s: SparkSession, d: String) => Multimodal.batchShape(s, d)),
+    "m9_image_dedup" ->
+      ((s: SparkSession, d: String) => Multimodal.imageDedup(s, d)),
     "x1_export_csv" -> ((s: SparkSession, d: String) => graft.sources.Export.contextualCsv(s, d)),
     "x2_export_biom" -> ((s: SparkSession, d: String) => graft.sources.Export.biomMatrix(s, d)),
     "x3_export_biom_json" -> ((s: SparkSession, d: String) => graft.sources.Export.biomJson(s, d)),
@@ -150,12 +153,16 @@ object SparkEntry {
     "x7_compaction" -> ((s: SparkSession, d: String) => graft.sources.Export.compact(s, d)),
     "x8_schema_evolution" ->
       ((s: SparkSession, d: String) => graft.sources.Ingest.x8SchemaEvolution(s, d)),
+    "x9_partitioned_export" ->
+      ((s: SparkSession, d: String) => graft.sources.Export.partitionedExport(s, d)),
     "t17_surprisal" -> (TextOps.surprisal _),
     "t18_bpe_merges" -> (TextOps.bpeMerges _),
     "t19_quality_classifier" -> (TextOps.ftQuality _),
     "t20_bigram_lm" -> (TextOps.bigramLm _),
     "t21_bpe_encode" -> (TextOps.bpeEncode _),
     "s10_recall_eval" -> (Similarity.recallEval _),
+    "s11_ann_sq" -> (Similarity.annSq _),
+    "t22_gopher_rules" -> (TextOps.gopherRules _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e11_event_gaps" -> (Events.interEventGaps _),
@@ -933,6 +940,8 @@ object SparkEntry {
     "s5_ann_filtered" -> Similarity.s5OracleSql(),
     "s1_ann_bruteforce" -> Similarity.s1OracleSql,
     "s10_recall_eval" -> Similarity.s10OracleSql,
+    "s11_ann_sq" -> Similarity.s11OracleSql(),
+    "t22_gopher_rules" -> TextOps.t22OracleSql,
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
     "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),
     "b4_banded_align" -> graft.operators.Dedup.b4OracleSql(),
@@ -945,12 +954,15 @@ object SparkEntry {
     "g5_kcore" -> graft.operators.Graph.g5OracleSql(),
     "g6_cc_sparse" -> graft.operators.Graph.g6OracleSql,
     "g7_kcore_sparse" -> graft.operators.Graph.g7OracleSql,
+    "g8_bfs" -> graft.operators.Graph.g8OracleSql(),
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
+    "m9_image_dedup" -> graft.operators.Multimodal.m9OracleSql,
     "s9_hybrid_search" -> graft.operators.Similarity.s9OracleSql(),
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
     "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),
     "x7_compaction" -> graft.sources.Export.x7OracleSql,
     "x8_schema_evolution" -> graft.sources.Ingest.x8OracleSql,
+    "x9_partitioned_export" -> graft.sources.Export.x9OracleSql,
     "t17_surprisal" -> graft.operators.TextOps.t17OracleSql,
     "t19_quality_classifier" -> graft.operators.TextOps.t19OracleSql,
     "m7_audio_features" -> graft.operators.Multimodal.m7OracleSql,

@@ -822,6 +822,150 @@ object Graph {
           AS assortativity
       FROM both_"""
 
+  /** g8: single-source BFS hop distance over the derived document
+    * graph (undirected, source = doc 0) — the reachability/radius
+    * probe a crawl-graph pipeline runs before trusting any
+    * diffusion-style authority metric (how many hops until the whole
+    * corpus is covered; which pockets are unreachable).
+    *
+    * Iteration discipline is g2/g5's, NOT a fixed step budget: the
+    * hop-distance vector is all-integer and per-node monotone
+    * NON-INCREASING (each step takes min(own, min over neighbours+1),
+    * the self-edge carrying weight 0 so "own" rides the same
+    * aggregate), so the loop runs to the unique fixpoint with the
+    * exact-sum scan probe and a derived runaway cap (BFS converges in
+    * ≤ diameter ≤ n−1 steps). Unreachable nodes hold the `n` infinity
+    * sentinel at the fixpoint and are reported as −1.
+    *
+    * 100 TB contract: the weighted adjacency is pinned partitioned by
+    * `src` (the per-step join key), so each step pays ONE edge-scale
+    * exchange (the dst aggregate) — identical shape and PlanSpec gate
+    * as g2/g5. */
+  def g8Bfs(spark: SparkSession, dir: String): DataFrame =
+    g8Bfs(Tables.load(spark, dir, "documents"))
+
+  def g8Bfs(docs0: DataFrame, maxSteps: Long = Long.MaxValue): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g8 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    bfsCore(docs.select(col("doc_id").as("v")),
+      syntheticFwd(docs, n).select(col("src"), col("dst")), 0L, maxSteps)
+  }
+
+  /** General BFS entry — an EXPLICIT (src, dst) edge list with
+    * arbitrary sparse 64-bit node ids, treated undirected; the node
+    * spine is the distinct endpoint set. `maxSteps` is a loud runaway
+    * guard (and a test lever), NOT a tuning knob. */
+  def g8BfsEdges(edges0: DataFrame, source: Long,
+                 maxSteps: Long = Long.MaxValue): DataFrame = {
+    val edges = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .distinct()
+    bfsCore(nodes, edges, source, maxSteps)
+  }
+
+  /** Min-plus relaxation to the fixpoint: dist'(v) = min over incoming
+    * (dist(u) + w) where real edges carry w = 1 in both orientations
+    * and a per-node self-edge carries w = 0 (so the min includes the
+    * node's own value — monotone non-increasing by construction, and
+    * the sentinel keeps every node in the aggregate). componentsCore's
+    * loop verbatim: [[CkptEvery]] lazy steps per period, checkpoint +
+    * exact DECIMAL(38,0) sum probe (monotone ⇒ sum-unchanged ⟺
+    * fixpoint), cap n + period. */
+  private def bfsCore(nodes: DataFrame, fwd: DataFrame, source: Long,
+                      maxSteps: Long): DataFrame = {
+    val und = fwd.select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"),
+        lit(1L).as("w")))
+      .unionByName(nodes.select(col("v").as("src"), col("v").as("dst"),
+        lit(0L).as("w")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      // any real hop distance is ≤ n−1, so n is a safe infinity
+      val inf = n
+      val cap = math.min(maxSteps, n + CkptEvery)
+      var dist = graft.Ckpt(nodes.select(col("v"),
+        when(col("v") === source, lit(0L)).otherwise(lit(inf)).as("dist")))
+      def tot(df: DataFrame): java.math.BigDecimal = df
+        .agg(coalesce(sum(col("dist").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+      var curTot = tot(dist)
+      var steps = 0L
+      var converged = n == 0L
+      while (!converged) {
+        var nxt = dist
+        for (_ <- 1 to CkptEvery) {
+          nxt = und
+            .join(nxt, col("src") === col("v"))
+            .groupBy(col("dst"))
+            .agg(min(col("dist") + col("w")).as("dist"))
+            .select(col("dst").as("v"), col("dist"))
+        }
+        steps += CkptEvery
+        val nm = graft.Ckpt(nxt)
+        val nmTot = tot(nm)
+        converged = nmTot.compareTo(curTot) == 0
+        dist = nm
+        curTot = nmTot
+        require(converged || steps <= cap,
+          s"BFS relaxation not converged after $steps steps " +
+            s"on $n nodes (cap $cap)")
+      }
+      dist.select(col("v"),
+        when(col("dist") >= inf, lit(-1L)).otherwise(col("dist")).as("dist"))
+        .orderBy("v")
+    } finally und.unpersist(blocking = true)
+  }
+
+  /** DuckDB oracle for [[g8Bfs]] — the same min-plus relaxation over a
+    * single list-valued row, recursed TO THE FIXPOINT (g2's carried
+    * `p` pattern; the explicit least(own, …) replaces the engine's
+    * weight-0 self-edge). Unreachable ⇒ the `n` sentinel ⇒ −1. */
+  def g8OracleSql(): String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      und AS MATERIALIZED (
+        SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+      adj AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(dst := dst, ns := ns))),
+          s -> s['ns']) AS m
+        FROM (SELECT dst, list(DISTINCT src) AS ns FROM und GROUP BY dst) g),
+      bfs AS (
+        SELECT 0 AS k,
+          list_transform(generate_series(1, ni),
+            i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT) ELSE n END) AS d,
+          CAST(NULL AS BIGINT[]) AS p
+        FROM nn
+        UNION ALL
+        SELECT k + 1,
+          list_transform(generate_series(1, ni), v ->
+            least(bfs.d[CAST(v AS INT)],
+              list_reduce(list_prepend(n,
+                list_transform(adj.m[CAST(v AS INT)],
+                  u -> bfs.d[CAST(u AS INT) + 1] + 1)),
+                (a, b) -> least(a, b)))) AS d,
+          bfs.d AS p
+        FROM bfs, nn, adj WHERE p IS NULL OR p <> d)
+      SELECT i - 1 AS v,
+        CASE WHEN f.d[i] >= n THEN CAST(-1 AS BIGINT) ELSE f.d[i] END AS dist
+      FROM (SELECT d FROM bfs WHERE p = d) f, nn,
+        (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t
+      ORDER BY v"""
+
   /** g3: triangle counting + global clustering coefficient over the
     * simple undirected form of the derived graph — the classic
     * massive-graph structure metric (community density, spam/bot

@@ -345,6 +345,90 @@ object Multimodal {
       FROM sums s JOIN hashes hs ON hs.doc_id = s.doc_id
       ORDER BY s.doc_id"""
 
+  /** m9: image-content dedup — exact duplicate detection over the
+    * DECODED rasters (the multimodal counterpart of d1: a training
+    * pipeline dedups images by pixel CONTENT, not by byte-identical
+    * files, because the same picture arrives re-encoded with
+    * different compression settings/metadata). Every payload runs
+    * through the real JDK decoder; the content signature is (dims,
+    * channel sums, row-major pixel-fold hash) — all exact integers —
+    * and docs sharing a signature form a duplicate group whose
+    * canonical member is the smallest doc_id.
+    *
+    * Non-vacuous by construction: the synthetic pixel forms are
+    * linear mod 256 and the dims divide 256, so doc ids congruent
+    * mod 256 carry IDENTICAL images in DIFFERENT PNG byte streams —
+    * exactly the re-encoded-duplicate case byte-level dedup misses.
+    *
+    * Scale shape: decode is mapPartitions over payload rows (the
+    * sanctioned codec site); the signature frame is a narrow
+    * projection of corpus cardinality; one signature-keyed aggregate
+    * + one equi-join on the same key (exchange reused). A production
+    * run would hash the full raster bytes; the fold+sums+dims
+    * signature here keeps the oracle analytic. */
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = Seq("width", "height", "channels",
+      "sum_r", "sum_g", "sum_b", "pixel_hash")
+    val feats = withImagePayload(spark,
+        Tables.parallel(Tables.load(spark, dir, "documents")))
+      .mapPartitions(ImageDecoder.decodeImageIO)
+      .toDF()
+    val groups = feats.groupBy(sig.map(col): _*)
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+    feats.join(groups, sig)
+      .select(col("doc_id"), col("width"), col("height"),
+        col("canonical_id"), col("n_copies"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[imageDedup]] — m3's analytic sums/hash CTEs,
+    * grouped by the same signature. */
+  def m9OracleSql: String = s"""
+      WITH dims AS (
+        SELECT doc_id,
+          CAST(doc_id % $DimWMod + $DimWBase AS BIGINT) AS w,
+          CAST(doc_id % $DimHMod + $DimHBase AS BIGINT) AS h
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h,
+          unnest(generate_series(0, CAST(w * h - 1 AS INT))) AS p
+        FROM dims),
+      sums AS (
+        SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+          CAST(sum((doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256)
+            AS BIGINT) AS sum_r,
+          CAST(sum((doc_id * 17 + (p % w) * 11 + (p // w) * 3) % 256)
+            AS BIGINT) AS sum_g,
+          CAST(sum((doc_id * 23 + (p % w) * 5 + (p // w) * 19) % 256)
+            AS BIGINT) AS sum_b
+        FROM px GROUP BY doc_id),
+      hashes AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(0, CAST(w * h - 1 AS INT)), p ->
+              ((doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256) * 65536
+              + ((doc_id * 17 + (p % w) * 11 + (p // w) * 3) % 256) * 256
+              + ((doc_id * 23 + (p % w) * 5 + (p // w) * 19) % 256))),
+            (a, v) -> (a * 31 + v) % 1000003) AS pixel_hash
+        FROM dims),
+      feats AS (
+        SELECT s.doc_id, s.w, s.h, s.sum_r, s.sum_g, s.sum_b, hs.pixel_hash
+        FROM sums s JOIN hashes hs ON hs.doc_id = s.doc_id),
+      groups AS (
+        SELECT w, h, sum_r, sum_g, sum_b, pixel_hash,
+          count(*) AS n_copies, min(doc_id) AS canonical_id
+        FROM feats
+        GROUP BY w, h, sum_r, sum_g, sum_b, pixel_hash)
+      SELECT f.doc_id, CAST(f.w AS INT) AS width, CAST(f.h AS INT) AS height,
+        g.canonical_id, g.n_copies, f.doc_id <> g.canonical_id AS is_dup
+      FROM feats f
+      JOIN groups g ON g.w = f.w AND g.h = f.h AND g.sum_r = f.sum_r
+        AND g.sum_g = f.sum_g AND g.sum_b = f.sum_b
+        AND g.pixel_hash = f.pixel_hash
+      ORDER BY f.doc_id"""
+
   case class AudioRow(doc_id: Long, payload: Array[Byte])
   case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
     n_samples: Long, sum_ch0: Long, sum_ch1: Long, sample_hash: Long)

@@ -1213,4 +1213,126 @@ object Similarity {
       LEFT JOIN ( $s3OracleSql ) ap
         ON ap.q_id = ex.q_id AND ap.c_id = ex.c_id
       GROUP BY ex.q_id ORDER BY ex.q_id"""
+
+  /** SQ8 quantization levels — one unsigned byte per dimension. */
+  final val SqLevels = 256
+
+  /** s11: scalar-quantized (SQ8) ANN — the FAISS `SQ8` storage path,
+    * the third compression point on the family's memory/recall dial
+    * (raw float32 = s1, 8 bits/dim = s11, ~2 bits/dim PQ = s4): each
+    * dimension is affinely mapped to one byte using corpus-global
+    * per-dimension [min, max] ranges, and search scores queries
+    * asymmetrically — raw query floats against midpoint-reconstructed
+    * candidates (recon = mn + (code + ½)·step), so only the candidate
+    * side pays quantization error. 4× smaller than float32 with
+    * near-exact recall; the usual choice when PQ's 64× is too lossy.
+    *
+    * Determinism/oracle: the stats pass is exact (min/max select
+    * float values, exactly representable as doubles); encode, recon,
+    * and the index-order d² fold are the identical IEEE-754 op
+    * sequence in both engines, so every double matches bit-for-bit
+    * and the full pipeline is oracle-gated (unlike lossy-by-design
+    * k-means training, nothing here is rows-only).
+    *
+    * Scale shape: one corpus scan for stats (a single-row aggregate of
+    * 2·dim mins/maxes — map-side partial all the way, no explode
+    * shuffle); one planning-time head() for the range literals (the
+    * sampleCount class); then encode+recon+score fused into ONE
+    * codegen'd corpus-scan projection under the broadcast query join —
+    * zero corpus-scale shuffles before the k-bounded top-k window. At
+    * 100 TB the codes would be written once and scanned thereafter;
+    * the arithmetic per candidate is O(dim) lookups-free FMA, SIMD-
+    * friendly under codegen. */
+  def annSq(spark: SparkSession, dir: String): DataFrame =
+    annSq(Tables.parallel(Tables.load(spark, dir, "embeddings")), AnnK)
+
+  /** Per-dimension (min, step) ranges from one corpus scan. */
+  def sqRanges(e: DataFrame, dim: Int): (Seq[Double], Seq[Double]) = {
+    val row = e.agg(
+      array((1 to dim).map(i =>
+        min(element_at(col("embedding"), i).cast("double"))): _*).as("mns"),
+      array((1 to dim).map(i =>
+        max(element_at(col("embedding"), i).cast("double"))): _*).as("mxs"))
+      .head()
+    val mns = row.getSeq[Double](0)
+    val mxs = row.getSeq[Double](1)
+    (mns, mns.zip(mxs).map { case (mn, mx) => (mx - mn) / SqLevels.toDouble })
+  }
+
+  def annSq(e: DataFrame, k: Int): DataFrame = {
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val (mns, sts) = sqRanges(e, dim)
+    val mnsL = typedLit(mns)
+    val stsL = typedLit(sts)
+    // encode + midpoint-reconstruct, fused in-row: code = clamp(
+    // floor((x − mn)/step), 0, 255) (a constant dimension ⇒ step 0 ⇒
+    // code 0, recon = mn exactly)
+    val codes = zip_with(
+      zip_with(col("embedding"), mnsL, (x, mn) => x.cast("double") - mn),
+      stsL,
+      (d, st) => when(st > 0.0,
+        least(greatest(floor(d / st).cast("double"), lit(0.0)), lit(255.0)))
+        .otherwise(lit(0.0)))
+    val recon = zip_with(
+      zip_with(codes, stsL, (c, st) => (c + lit(0.5)) * st),
+      mnsL, (r, mn) => r + mn)
+    val cand = e.select(col("vec_id").as("c_id"), recon.as("rv"))
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val scored = q.join(cand, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(zip_with(col("qv"), col("rv"),
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v).as("approx_d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("approx_d2"), col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        round(col("approx_d2"), 6).as("approx_d2"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[annSq]] — same per-dimension ranges, same
+    * clamp/floor encode, same midpoint reconstruction in the same
+    * operation order ((code + ½)·step + mn), same index-order d²
+    * fold. */
+  def s11OracleSql(k: Int = AnnK, dim: Int = 64): String = s"""
+      WITH stats AS MATERIALIZED (
+        SELECT i, min(x) AS mn, max(x) AS mx FROM (
+          SELECT CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x, i
+          FROM embeddings, generate_series(1, $dim) t(i))
+        GROUP BY i),
+      pl AS MATERIALIZED (
+        SELECT list(mn ORDER BY i) AS mns,
+          list((mx - mn) / $SqLevels ORDER BY i) AS sts
+        FROM stats),
+      recs AS MATERIALIZED (
+        SELECT vec_id, list_transform(generate_series(1, $dim), i ->
+          (CASE WHEN pl.sts[CAST(i AS INT)] > 0.0
+             THEN least(greatest(floor(
+               (CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  - pl.mns[CAST(i AS INT)]) / pl.sts[CAST(i AS INT)]),
+               0.0), 255.0)
+             ELSE 0.0 END + 0.5) * pl.sts[CAST(i AS INT)]
+            + pl.mns[CAST(i AS INT)]) AS rv
+        FROM embeddings, pl),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, $dim), i ->
+              (CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+                 - c.rv[CAST(i AS INT)])
+              * (CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+                 - c.rv[CAST(i AS INT)]))),
+            (acc, x) -> acc + x) AS approx_d2
+        FROM embeddings q, recs c
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      ranked AS (
+        SELECT q_id, c_id, approx_d2,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY approx_d2, c_id) AS INT) AS rnk
+        FROM scored)
+      SELECT q_id, c_id, rnk, round(approx_d2, 6) AS approx_d2
+      FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
 }

@@ -1116,4 +1116,95 @@ object TextOps {
           AS keep
       FROM s ORDER BY doc_id"""
   }
+
+  /** The Gopher stopword list (Rae et al. 2021, §A1.1): a document
+    * must contain at least [[GopherMinStops]] of these to pass the
+    * "natural language" rule. */
+  final val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "a", "in", "that", "have", "i")
+  final val GopherMinWords = 20
+  final val GopherMaxWords = 80
+  final val GopherMinStops = 2
+
+  /** t22: Gopher-style HARD quality rules — the rule-based gate (Rae
+    * et al. 2021 §A1.1 / the C4 heuristics) that runs BEFORE any
+    * learned classifier (t19) in a web-corpus pipeline: word-count
+    * bounds, mean-word-length window, alphabetic-word fraction, and
+    * minimum stopword presence; `keep` is their conjunction. The
+    * word-count window is tightened to [[GopherMinWords]]..
+    * [[GopherMaxWords]] for the synthetic corpus (docs run 10–99
+    * words, vs Gopher's 50–100k for web pages) so the gate is
+    * non-vacuous — the spec asserts both outcomes occur. Distinct
+    * from t2 (a continuous score), t6 (repetition signals), and t19
+    * (a learned linear model): this is the thresholded boolean
+    * rule-set as data pipelines actually ship it.
+    *
+    * 100 TB contract: a pure per-row projection — every statistic is
+    * an in-row fold over the word array, zero shuffles, whole-stage
+    * codegen; thresholds are literals so the filter composes with
+    * parquet scan pruning downstream. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stopArr = GopherStops.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        (aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, b) => a + b).cast("double")
+          / size(col("ws")).cast("double")).as("mean_wlen0"),
+        (size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double")
+          / size(col("ws")).cast("double")).as("alpha_frac0"),
+        expr(s"size(filter($stopArr, s -> array_contains(ws, s)))")
+          .cast("long").as("stop_hits"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_wlen0"), 6).as("mean_wlen"),
+        round(col("alpha_frac0"), 6).as("alpha_frac"),
+        col("stop_hits"),
+        (col("n_words") >= GopherMinWords &&
+          col("n_words") <= GopherMaxWords).as("words_ok"),
+        (col("mean_wlen0") >= 3.0 && col("mean_wlen0") <= 10.0).as("wlen_ok"),
+        (col("alpha_frac0") >= 0.8).as("alpha_ok"),
+        (col("stop_hits") >= GopherMinStops).as("stop_ok"))
+      .withColumn("keep",
+        col("words_ok") && col("wlen_ok") && col("alpha_ok") && col("stop_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[gopherRules]] — same word split, same in-row
+    * folds (integer length sum, so fold order is immaterial; the two
+    * divisions are the identical double ops), same literal
+    * thresholds applied to the UNROUNDED statistics. */
+  def t22OracleSql: String = {
+    val stops = GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(ws, x -> CAST(len(x) AS BIGINT))),
+            (a, b) -> a + b) AS DOUBLE)
+            / CAST(len(ws) AS DOUBLE) AS mean_wlen0,
+          CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE)
+            / CAST(len(ws) AS DOUBLE) AS alpha_frac0,
+          CAST(len(list_filter($stops, s -> list_contains(ws, s)))
+            AS BIGINT) AS stop_hits
+        FROM w)
+      SELECT doc_id, n_words,
+        round(mean_wlen0, 6) AS mean_wlen,
+        round(alpha_frac0, 6) AS alpha_frac,
+        stop_hits,
+        n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS words_ok,
+        mean_wlen0 >= 3.0 AND mean_wlen0 <= 10.0 AS wlen_ok,
+        alpha_frac0 >= 0.8 AS alpha_ok,
+        stop_hits >= $GopherMinStops AS stop_ok,
+        (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords)
+          AND (mean_wlen0 >= 3.0 AND mean_wlen0 <= 10.0)
+          AND alpha_frac0 >= 0.8 AND stop_hits >= $GopherMinStops AS keep
+      FROM m ORDER BY doc_id"""
+  }
 }

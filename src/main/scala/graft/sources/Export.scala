@@ -346,4 +346,65 @@ object Export {
         CAST(sum(length(text)) AS BIGINT) AS total_chars,
         CAST(sum(doc_id * n_chars) AS BIGINT) AS content_sig
       FROM documents"""
+
+  /** x9: hive-partitioned training-data layout — write the corpus
+    * `partitionBy(lang, source)` (the layout a 100 TB corpus ships
+    * in: language/source pruning must happen at the DIRECTORY level,
+    * before any file is opened), then audit the landed layout by
+    * reading it BACK through the partitioned reader. Rows are
+    * repartitioned on exactly the partition columns first, so every
+    * (lang, source) cell lands in ONE task and writes EXACTLY ONE
+    * data file — the small-files discipline partitionBy famously
+    * violates when each of N tasks holds rows of every cell (N×cells
+    * files); that contract is oracle-exact (`n_files` = 1 per cell,
+    * counted from the filesystem, not assumed). Partition PRUNING on
+    * the read side is spec-gated (a lang=… filter must reach the
+    * scan as a PartitionFilter, scanning only that directory).
+    *
+    * 100 TB contract: one corpus-scale shuffle (the cell
+    * repartition), one streaming write, one partitioned re-read +
+    * cell-level aggregate; the per-cell file census is a driver-side
+    * directory listing bounded by the (small) cell count. */
+  def partitionedExport(spark: SparkSession, dir: String,
+      outPath: String = null): DataFrame = {
+    import spark.implicits._
+    val out = resolve(spark, outPath, "x9_part")
+    Tables.load(spark, dir, "documents")
+      .repartition(col("lang"), col("source"))
+      .write.mode("overwrite").partitionBy("lang", "source").parquet(out)
+    // per-cell data-file census from the landed directory tree:
+    // .../lang=<l>/source=<s>/part-*.parquet
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val census = scala.collection.mutable.Map.empty[(String, String), Long]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-")) {
+        val srcDir = f.getParent
+        val langDir = srcDir.getParent
+        val key = (langDir.getName.stripPrefix("lang="),
+          srcDir.getName.stripPrefix("source="))
+        census(key) = census.getOrElse(key, 0L) + 1
+      }
+    }
+    val files = census.toSeq.map { case ((l, s), n) => (l, s, n) }
+      .toDF("lang", "source", "n_files")
+    spark.read.parquet(out)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"))
+      .join(broadcast(files), Seq("lang", "source"))
+      .orderBy("lang", "source")
+  }
+
+  /** DuckDB oracle for [[partitionedExport]] — cell rollup from the
+    * source table; `n_files` = 1 per cell is the write-discipline
+    * contract itself (repartition on the partition columns ⇒ one
+    * task per cell ⇒ one file per cell), not an observation. */
+  def x9OracleSql: String = """
+      SELECT lang, source, count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        CAST(1 AS BIGINT) AS n_files
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""
 }

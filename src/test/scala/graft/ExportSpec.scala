@@ -130,6 +130,41 @@ class ExportSpec extends SparkSpec {
     assert(diff == 0, s"$diff docs mutated in the JSON round trip")
   }
 
+  test("partitioned export lands one file per (lang, source) cell and " +
+       "prunes a lang filter to its directory") {
+    val out = Files.createTempDirectory("graft-x9").toString + "/part"
+    val cells = Export.partitionedExport(spark, sfDir, out).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+    // coverage + the one-file-per-cell write discipline
+    assert(cells.map(_.getLong(2)).sum == docs.count(),
+      "cell doc counts do not cover the corpus")
+    assert(cells.forall(_.getLong(4) == 1L),
+      s"small-files regression: ${cells.filter(_.getLong(4) != 1L).toSeq}")
+    assert(cells.length ==
+      docs.select("lang", "source").distinct().count())
+    // a lang predicate must prune at the DIRECTORY level
+    val lang = cells.head.getString(0)
+    val one = spark.read.parquet(out).filter(col("lang") === lang)
+    // execute THIS dataset first (collect, not count — count() builds
+    // its own plan and leaves these scan metrics untouched)
+    assert(one.collect().length ==
+      cells.filter(_.getString(0) == lang).map(_.getLong(2)).sum)
+    val scan = one.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    assert(scan.toString.contains("PartitionFilters"),
+      s"lang predicate not a partition filter:\n${scan.toString.take(800)}")
+    val langCells = cells.count(_.getString(0) == lang)
+    assert(scan.metrics("numFiles").value == langCells,
+      s"read ${scan.metrics("numFiles").value} files for a $langCells-cell lang")
+    // text survives the partitioned round trip
+    val diff = spark.read.parquet(out)
+      .select(col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("text").as("t0")), "doc_id")
+      .filter(col("text") =!= col("t0")).count()
+    assert(diff == 0, s"$diff docs mutated in the partitioned round trip")
+  }
+
   test("compaction collapses the fragmented table without losing a row") {
     val m = graft.sources.Export.compact(spark, sfDir).head()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

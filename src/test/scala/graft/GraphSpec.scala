@@ -250,6 +250,66 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 40L, 0L, 39L)))
   }
 
+  /** Plain-Scala queue BFS over the synthetic undirected graph — an
+    * independent reference for the min-plus relaxation. */
+  private def referenceBfs(n: Int): Array[Long] = {
+    val fwd = for { src <- 0 until n; j <- 1 to Graph.OutDeg } yield {
+      val dst0 = ((((src.toLong * 7 + j) % 1000000000L) * 2654435761L)
+        % 2147483647L % n).toInt
+      (src, if (dst0 == src) (dst0 + 1) % n else dst0)
+    }
+    val adj = (fwd ++ fwd.map(e => (e._2, e._1))).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).distinct }
+    val dist = Array.fill(n)(-1L)
+    dist(0) = 0L
+    val q = scala.collection.mutable.Queue(0)
+    while (q.nonEmpty) {
+      val v = q.dequeue()
+      adj.getOrElse(v, Nil).foreach { u =>
+        if (dist(u) < 0) { dist(u) = dist(v) + 1; q += u }
+      }
+    }
+    dist
+  }
+
+  test("bfs hop distances match an independent queue BFS") {
+    import spark.implicits._
+    val n = 64
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val got = Graph.g8Bfs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = referenceBfs(n)
+    assert(got.length == n)
+    got.foreach { case (v, d) =>
+      assert(d == want(v.toInt), s"node $v: got $d want ${want(v.toInt)}")
+    }
+  }
+
+  test("bfs converges on a long-diameter path and reports unreachable " +
+       "nodes as -1 (fixed budgets would fail)") {
+    import spark.implicits._
+    // a 40-node path (diameter 39 — any fixed ≤24-step budget dies)
+    // plus a disjoint sparse-id pair the source can't reach
+    val base = 1L << 44
+    val edges = ((0L until 39L).map(i => (base + i, base + i + 1)) ++
+      Seq((-5L, -99L))).toDF("src", "dst")
+    val got = Graph.g8BfsEdges(edges, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 40L).foreach { i =>
+      assert(got(base + i) == i, s"path node $i: ${got(base + i)}")
+    }
+    assert(got(-5L) == -1L && got(-99L) == -1L,
+      "unreachable nodes must report -1")
+  }
+
+  test("bfs runaway guard fails loudly (maxSteps lever)") {
+    import spark.implicits._
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    assertThrows[IllegalArgumentException] {
+      Graph.g8BfsEdges(edges, 0L, maxSteps = 1).collect()
+    }
+  }
+
   /** Explicit memory-pinned persists (MEMORY_AND_DISK). Ckpt's local
     * checkpoints are DISK_ONLY and GC-released, so useMemory isolates
     * the leak signature the r7 judge flagged: an operator-internal
@@ -271,6 +331,9 @@ class GraphSpec extends SparkSpec {
       Seq((0L, 1L), (2L, 3L)).toDF("src", "dst")).collect()
     Graph.g5KcoreEdges(
       Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")).collect()
+    Graph.g8Bfs(docs).collect()
+    Graph.g8BfsEdges(
+      Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"), 0L).collect()
     // exception paths must release too: an unconverged-budget failure
     // (throws mid-iteration, after the adjacency is pinned)
     intercept[IllegalArgumentException] {

@@ -232,4 +232,28 @@ class MultimodalSpec extends SparkSpec {
         }
     }
   }
+
+  test("image dedup finds exactly the mod-256 twins through the real " +
+       "PNG decode path") {
+    import graft.operators.Multimodal
+    // the synthetic pixel forms are linear mod 256 and both dims
+    // divide 256, so doc id and id+256 carry IDENTICAL rasters inside
+    // DIFFERENT PNG byte streams — content dedup must find exactly
+    // those pairs (and nothing else) on the 500-doc corpus
+    val rows = Multimodal.imageDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    assert(rows.size == 500)
+    rows.foreach { case (id, (canon, nCopies, isDup)) =>
+      if (id >= 256)
+        assert((canon, nCopies, isDup) == ((id - 256, 2L, true)),
+          s"doc $id: ($canon, $nCopies, $isDup)")
+      else {
+        val hasTwin = id + 256 < 500
+        assert((canon, nCopies, isDup) ==
+          ((id, if (hasTwin) 2L else 1L, false)),
+          s"doc $id: ($canon, $nCopies, $isDup)")
+      }
+    }
+  }
 }

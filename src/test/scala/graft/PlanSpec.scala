@@ -650,7 +650,16 @@ class PlanSpec extends SparkSpec {
       // s10: s1's window/rollup + s3's probe path + the k-bounded
       // semi-join and recall rollup
       ("s10", graft.operators.Similarity.recallEval(
-        Tables.load(spark, sfDir, "embeddings")), 9))
+        Tables.load(spark, sfDir, "embeddings")), 9),
+      // s11: encode+recon+score fused into the corpus scan under the
+      // broadcast query join; shuffles are only the q_id top-k window
+      // and the output sort (stats ride in as literals)
+      ("s11", graft.operators.Similarity.annSq(
+        Tables.load(spark, sfDir, "embeddings"),
+        graft.operators.Similarity.AnnK), 3),
+      // t22: a pure per-row projection — the output sort is the only
+      // exchange
+      ("t22", graft.operators.TextOps.gopherRules(docs), 1))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")

@@ -21,6 +21,7 @@ class ScaleSpec extends SparkSpec {
       df.write.mode("overwrite").format("noop").save()
     noop(graft.operators.Graph.g2Components(spark, sf01)) // min-label fixpoint
     noop(graft.operators.Graph.g5Kcore(spark, sf01))      // h-index fixpoint
+    noop(graft.operators.Graph.g8Bfs(spark, sf01))        // min-plus fixpoint
     noop(SparkEntry.queries("d7_dedup_pipeline")(spark, sf01)) // label-prop maxIter
   }
 

@@ -504,4 +504,54 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.exists(_._3 < 1.0),
       "IVF recall identically 1.0 — eval is vacuous at this config")
   }
+
+  test("SQ8 codec matches an independent JVM replica bit-for-bit and " +
+       "recall vs brute force is near-exact") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = vecs.head._2.length
+    // independent replica: per-dim ranges -> clamp/floor encode ->
+    // midpoint recon -> d² in index order, same op order as the engine
+    val mns = (0 until dim).map(i => vecs.values.map(_(i).toDouble).min)
+    val sts = (0 until dim).map { i =>
+      (vecs.values.map(_(i).toDouble).max - mns(i)) /
+        Similarity.SqLevels.toDouble
+    }
+    def recon(v: Array[Float]): Array[Double] = Array.tabulate(dim) { i =>
+      val code = if (sts(i) > 0.0)
+        math.min(math.max(math.floor((v(i).toDouble - mns(i)) / sts(i)), 0.0),
+          255.0)
+      else 0.0
+      (code + 0.5) * sts(i) + mns(i)
+    }
+    val want = (0L until 5L).flatMap { q =>
+      val qv = vecs(q)
+      vecs.toSeq.filter(_._1 != q).map { case (c, cv) =>
+        val rv = recon(cv)
+        var d2 = 0.0
+        var i = 0
+        while (i < dim) {
+          val d = qv(i).toDouble - rv(i); d2 += d * d; i += 1
+        }
+        (q, c, d2)
+      }.sortBy(p => (p._3, p._2)).take(Similarity.AnnK)
+        .zipWithIndex.map { case ((_, c, d2), r) =>
+          (q, c, r + 1, BigDecimal(d2).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }
+    val got = Similarity.annSq(e, Similarity.AnnK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == want, s"first mismatch: ${
+      got.toSeq.zip(want).find { case (g, w) => g != w }}")
+    // 8 bits/dim is near-exact: the SQ8 top-10 sets must recall at
+    // least 80% of the exact brute-force top-10 (lossier PQ holds a
+    // lower floor; SQ8 justifies its 4× memory vs PQ's 64× here)
+    val bf = Similarity.annBruteforce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.count(g => bf.contains((g._1, g._2)))
+    assert(hits >= (bf.size * 0.8).toInt,
+      s"SQ8 recall ${hits.toDouble / bf.size} below the 0.8 floor")
+  }
 }

@@ -307,4 +307,48 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L)._2 < Seq.fill(5)("low").map(_.length).sum +
       Seq.fill(2)("lower").map(_.length).sum)
   }
+
+  test("gopher rules match a JVM replica on handcrafted docs and " +
+       "discriminate on the corpus") {
+    import spark.implicits._
+    // doc 10: passes everything; doc 11: too short + one stopword;
+    // doc 12: long enough but mean word length beyond 10; doc 13:
+    // no alphabetic words at all
+    // 30 words, mean length 19/6 ≈ 3.17, stopwords {the, of}
+    val pass = ("the cats sat of the mats " * 5).trim
+    val short = "the end"                                      // 2 words
+    // 30 words, mean length (28·15 + 3 + 1)/30 ≈ 14.1 > 10: only the
+    // word-length rule fails (count ok, alphabetic ok, 2 stopwords ok)
+    val longw = (Seq.fill(28)("extraordinarily") ++ Seq("the", "a"))
+      .mkString(" ")
+    val digits = (1 to 25).map(_.toString).mkString(" ")
+    val docs = Seq((10L, pass), (11L, short), (12L, longw), (13L, digits))
+      .toDF("doc_id", "text")
+    def replica(text: String) = {
+      val ws = text.split(" ", -1)
+      val nWords = ws.length.toLong
+      val meanW = ws.map(_.length.toLong).sum.toDouble / nWords
+      val alphaF = ws.count(_.exists(_.isLetter)).toDouble / nWords
+      val stops = TextOps.GopherStops.count(ws.contains).toLong
+      val keep = nWords >= TextOps.GopherMinWords &&
+        nWords <= TextOps.GopherMaxWords &&
+        meanW >= 3.0 && meanW <= 10.0 && alphaF >= 0.8 &&
+        stops >= TextOps.GopherMinStops
+      (nWords, BigDecimal(meanW).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, stops, keep)
+    }
+    val got = TextOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(4), r.getBoolean(9)))).toMap
+    Seq(10L -> pass, 11L -> short, 12L -> longw, 13L -> digits)
+      .foreach { case (id, t) =>
+        assert(got(id) == replica(t), s"doc $id: ${got(id)} vs ${replica(t)}")
+      }
+    assert(got(10L)._4 && !got(11L)._4 && !got(12L)._4 && !got(13L)._4)
+    // the corpus gate must be non-vacuous: both outcomes occur
+    val corpus = TextOps.gopherRules(spark, sfDir).collect()
+      .map(_.getBoolean(9))
+    assert(corpus.contains(true) && corpus.contains(false),
+      "gopher keep gate is vacuous on the corpus")
+  }
 }
