@@ -162,6 +162,7 @@ object SparkEntry {
     "t21_bpe_encode" -> (TextOps.bpeEncode _),
     "s10_recall_eval" -> (Similarity.recallEval _),
     "s11_ann_sq" -> (Similarity.annSq _),
+    "s12_cluster_profile" -> (Similarity.clusterProfile _),
     "t22_gopher_rules" -> (TextOps.gopherRules _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
@@ -941,6 +942,7 @@ object SparkEntry {
     "s1_ann_bruteforce" -> Similarity.s1OracleSql,
     "s10_recall_eval" -> Similarity.s10OracleSql,
     "s11_ann_sq" -> Similarity.s11OracleSql(),
+    "s12_cluster_profile" -> Similarity.s12OracleSql(),
     "t22_gopher_rules" -> TextOps.t22OracleSql,
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
     "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),

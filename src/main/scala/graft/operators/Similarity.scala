@@ -1214,6 +1214,119 @@ object Similarity {
         ON ap.q_id = ex.q_id AND ap.c_id = ex.c_id
       GROUP BY ex.q_id ORDER BY ex.q_id"""
 
+  /** s12: cluster profile — corpus CARTOGRAPHY over the embedding
+    * space (the "what is in my corpus" readout run before choosing
+    * mixing weights or dedup thresholds): every vector assigned to
+    * its deterministic IVF cell (s3's zero-extra-shuffle argmax),
+    * then per cell the membership count, id span, dominant metadata
+    * label with its share, and cohesion = mean cosine to the cell
+    * centroid. Cohesion separates tight topical clusters from
+    * junk-drawer cells; label purity cross-checks the embedding
+    * geometry against the labels.
+    *
+    * Determinism: per-member cosines are rounded to 12 dp and summed
+    * as DECIMAL(38,12) — exact, associative, shuffle-order-proof
+    * (the repo's Dec discipline) — with ONE double division at the
+    * end; the dominant label breaks count ties toward the smaller
+    * label in both engines. Scale shape: one corpus-scale assignment
+    * aggregate (s3's max_by), one broadcast re-join against the
+    * k-bounded centroid frame, then everything is k- or
+    * (k × labels)-bounded. */
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame =
+    clusterProfile(Tables.parallel(Tables.load(spark, dir, "embeddings")), 16)
+
+  def clusterProfile(e: DataFrame, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    val centroids = ivfCentroids(e, k)
+    val assigned = ivfAssign(e, centroids)
+      .join(e.select(col("vec_id").as("c_id"), col("label")), "c_id")
+      .join(centroids, Seq("cell"))
+      .select(col("cell"), col("c_id"), col("label"),
+        round(graft.GraftFunctions.cosineSim(spark, col("cv"), col("centv")),
+          12).cast("decimal(38,12)").as("cos12"))
+    val byLabel = assigned.groupBy("cell", "label")
+      .agg(count(lit(1)).as("n"))
+    val topLabel = byLabel.groupBy("cell")
+      .agg(max_by(struct(col("label"), col("n")),
+        struct(col("n"), (-col("label")).as("nl"))).as("t"))
+      .select(col("cell"), col("t.label").as("top_label"),
+        col("t.n").as("top_label_n"))
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("c_id")).as("min_id"), max(col("c_id")).as("max_id"),
+        sum(col("cos12")).as("s12"))
+      .join(topLabel, Seq("cell"))
+      .select(col("cell"), col("n_members"), col("min_id"), col("max_id"),
+        col("top_label"), col("top_label_n"),
+        round(col("top_label_n").cast("double")
+          / col("n_members").cast("double"), 6).as("label_share"),
+        round(col("s12").cast("double")
+          / col("n_members").cast("double"), 6).as("mean_cos"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB oracle for [[clusterProfile]] — s3's hash-centroid +
+    * argmax-assignment CTEs, cosines rounded to 12 dp and summed as
+    * DECIMAL(38,12), the same smaller-label tie-break. */
+  def s12OracleSql(k: Int = 16): String = s"""
+      WITH sel AS (
+        SELECT vec_id, embedding,
+          ((vec_id % 1000000000) * 2654435761) % 2147483647 AS hsh
+        FROM embeddings),
+      cent AS (
+        SELECT cell, centv FROM (
+          SELECT row_number() OVER (ORDER BY hsh, vec_id) AS cell,
+                 embedding AS centv
+          FROM sel) t
+        WHERE cell <= $k),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id),
+      cnorm AS (
+        SELECT cell, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT cell, unnest(centv) AS x FROM cent) GROUP BY cell),
+      adots AS (
+        SELECT c_id, cell, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT e.vec_id AS c_id, c.cell, unnest(e.embedding) AS x,
+                unnest(c.centv) AS y
+              FROM embeddings e, cent c) GROUP BY c_id, cell),
+      sims AS (
+        SELECT a.c_id, a.cell, a.dt / (n.nrm * cn.nrm) AS cs
+        FROM adots a
+        JOIN norms n ON n.vec_id = a.c_id
+        JOIN cnorm cn ON cn.cell = a.cell),
+      assign AS (
+        SELECT c_id, cell, cs FROM (
+          SELECT c_id, cell, cs,
+            row_number() OVER (PARTITION BY c_id
+              ORDER BY cs DESC, cell) AS rn
+          FROM sims) t
+        WHERE rn = 1),
+      mem AS (
+        SELECT a.c_id, a.cell, e.label,
+          CAST(round(a.cs, 12) AS DECIMAL(38,12)) AS cos12
+        FROM assign a JOIN embeddings e ON e.vec_id = a.c_id),
+      bylab AS (
+        SELECT cell, label, count(*) AS n FROM mem GROUP BY cell, label),
+      toplab AS (
+        SELECT cell, label AS top_label, n AS top_label_n FROM (
+          SELECT cell, label, n,
+            row_number() OVER (PARTITION BY cell
+              ORDER BY n DESC, label) AS rn
+          FROM bylab) t
+        WHERE rn = 1)
+      SELECT CAST(m.cell AS INT) AS cell, count(*) AS n_members,
+        min(m.c_id) AS min_id, max(m.c_id) AS max_id,
+        any_value(tl.top_label) AS top_label,
+        any_value(tl.top_label_n) AS top_label_n,
+        round(CAST(any_value(tl.top_label_n) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS label_share,
+        round(CAST(sum(m.cos12) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS mean_cos
+      FROM mem m JOIN toplab tl ON tl.cell = m.cell
+      GROUP BY m.cell ORDER BY m.cell"""
+
   /** SQ8 quantization levels — one unsigned byte per dimension. */
   final val SqLevels = 256
 

@@ -1146,7 +1146,14 @@ object TextOps {
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.parallel(Tables.load(spark, dir, "documents")))
 
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame): DataFrame =
+    gopherRulesCols(docs).orderBy("doc_id")
+
+  /** The rule projection without the output sort — the stream form
+    * ([[graft.streaming.StreamingOps.qualityGateStream]]) reuses it
+    * directly (a sort is illegal on an unbounded stream; the batch
+    * entry adds it for the deterministic dump). */
+  def gopherRulesCols(docs: DataFrame): DataFrame = {
     val stopArr = GopherStops.map(s => s"'$s'").mkString("array(", ", ", ")")
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
@@ -1169,7 +1176,6 @@ object TextOps {
         (col("stop_hits") >= GopherMinStops).as("stop_ok"))
       .withColumn("keep",
         col("words_ok") && col("wlen_ok") && col("alpha_ok") && col("stop_ok"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB oracle for [[gopherRules]] — same word split, same in-row

@@ -80,6 +80,17 @@ object StreamingOps {
       .union(sigged.filter(col("sig").isNull))
   }
 
+  /** Streaming ingestion-time quality gate — t22's Gopher rule
+    * conjunction applied to an unbounded document stream, keeping
+    * only passing docs. The rules are a STATELESS per-row projection,
+    * so the stream form IS the batch expression (no state, no
+    * watermark, trivially exactly-once under any sink): this is
+    * where a rule gate actually runs in a pipeline — at ingestion,
+    * before anything is stored or signatures are computed. Replay
+    * parity with the batch operator is spec-gated. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.gopherRulesCols(docs).filter(col("keep"))
+
   case class AsofState(cts: Long, clickId: Long, clickValue: Double)
   case class AsofOut(user_id: Long, purchase_id: Long,
     click_id: Option[Long], click_value: Option[Double], gap_us: Option[Long])

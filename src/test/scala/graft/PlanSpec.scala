@@ -659,7 +659,11 @@ class PlanSpec extends SparkSpec {
         graft.operators.Similarity.AnnK), 3),
       // t22: a pure per-row projection — the output sort is the only
       // exchange
-      ("t22", graft.operators.TextOps.gopherRules(docs), 1))
+      ("t22", graft.operators.TextOps.gopherRules(docs), 1),
+      // s12: assignment aggregate + label/centroid re-joins + the
+      // k-bounded cell rollups and output sort — measured actual
+      ("s12", graft.operators.Similarity.clusterProfile(
+        Tables.load(spark, sfDir, "embeddings"), 16), 6))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")

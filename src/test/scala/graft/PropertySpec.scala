@@ -310,4 +310,40 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq == want, s"seed $seed: got ${got.toSeq}, want $want")
     }
   }
+
+  test("bfs fixpoint equals queue BFS on random sparse-id graphs") {
+    // g8's min-plus relaxation must land on hop distance for ANY
+    // graph shape — random sparse graphs (several components, so
+    // unreachable −1 is exercised), sparse/negative 64-bit ids,
+    // checked against an independent queue BFS.
+    import spark.implicits._
+    for (seed <- Seq(31L, 32L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 50 + rng.nextInt(40)
+      val ids = Array.tabulate(nNodes)(i =>
+        rng.nextLong() % (1L << 44) - (if (i % 4 == 0) (1L << 40) else 0L))
+      val m = nNodes / 2 + rng.nextInt(nNodes)
+      val edges = (1 to m).map { _ =>
+        (ids(rng.nextInt(nNodes)), ids(rng.nextInt(nNodes)))
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val src = nodes.min
+      val adj = scala.collection.mutable.Map(
+        nodes.map(v => v -> scala.collection.mutable.Set[Long]()): _*)
+      edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+      val dist = scala.collection.mutable.Map(src -> 0L)
+      val q = scala.collection.mutable.Queue(src)
+      while (q.nonEmpty) {
+        val v = q.dequeue()
+        adj(v).foreach { u =>
+          if (!dist.contains(u)) { dist(u) = dist(v) + 1; q += u }
+        }
+      }
+      val want = nodes.sorted.map(v => (v, dist.getOrElse(v, -1L)))
+      val got = graft.operators.Graph
+        .g8BfsEdges(edges.toDF("src", "dst"), src)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == want, s"seed $seed: got ${got.toSeq}, want $want")
+    }
+  }
 }

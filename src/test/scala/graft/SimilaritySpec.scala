@@ -505,6 +505,61 @@ class SimilaritySpec extends SparkSpec {
       "IVF recall identically 1.0 — eval is vacuous at this config")
   }
 
+  test("cluster profile matches an independent JVM replica") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val rows = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val vecs = rows.map(t => t._1 -> t._2).toMap
+    val labels = rows.map(t => t._1 -> t._3).toMap
+    // replica: same Knuth-hash centroids, cosine argmax with the
+    // (sim desc, cell asc) tie-break, 12-dp-rounded cosine mean,
+    // smaller-label tie-break for the dominant label
+    val k = 16
+    val cents = rows.map(_._1).sortBy(id =>
+        (((id % 1000000000L) * 2654435761L) % 2147483647L, id))
+      .take(k).zipWithIndex.map { case (id, i) => (i + 1, vecs(id)) }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val members = rows.map { case (id, v, _) =>
+      val best = cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .minBy { case (c, s) => (-s, c) }
+      (best._1, id, BigDecimal(best._2).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP))
+    }.groupBy(_._1)
+    val want = members.toSeq.sortBy(_._1).map { case (cell, ms) =>
+      val n = ms.size.toLong
+      val labs = ms.map(m => labels(m._2)).groupBy(identity)
+        .map { case (l, ls) => (l, ls.size.toLong) }
+      val (topL, topN) = labs.toSeq.minBy { case (l, c) => (-c, l) }
+      (cell.toLong, n, ms.map(_._2).min, ms.map(_._2).max, topL, topN,
+        BigDecimal(topN.toDouble / n).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble,
+        // the engine's exact op order: exact decimal sum → double →
+        // one double division → HALF_UP round
+        BigDecimal(ms.map(_._3).sum.toDouble / n.toDouble).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Similarity.clusterProfile(e, k).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"cell ${g._1}: $g vs $w")
+    }
+    // the profile must be non-degenerate: multiple occupied cells and
+    // a cohesion spread (not every cell identically tight)
+    assert(got.length > 4 && got.map(_._8).distinct.length > 1)
+  }
+
   test("SQ8 codec matches an independent JVM replica bit-for-bit and " +
        "recall vs brute force is near-exact") {
     val e = Tables.load(spark, sfDir, "embeddings")

@@ -172,6 +172,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate replays the batch Gopher keep set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.qualityGateStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("quality_gate_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs.take(100).toSeq)
+      q.processAllAvailable()
+      input.addData(docs.drop(100).take(100).toSeq)
+      q.processAllAvailable()
+      val kept = spark.table("quality_gate_stream")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = graft.operators.TextOps.gopherRules(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("keep") &&
+          org.apache.spark.sql.functions.col("doc_id") < 200)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == want,
+        s"stream kept ${kept.size} docs, batch ${want.size}; " +
+          s"diff ${(kept diff want) ++ (want diff kept)}")
+      assert(want.nonEmpty && want.size < 200, "gate vacuous on this slice")
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionize agree on sub-millisecond gaps") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
