@@ -164,6 +164,7 @@ object SparkEntry {
     "s11_ann_sq" -> (Similarity.annSq _),
     "s12_cluster_profile" -> (Similarity.clusterProfile _),
     "t22_gopher_rules" -> (TextOps.gopherRules _),
+    "t23_mix_apply" -> (TextOps.mixApply _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e11_event_gaps" -> (Events.interEventGaps _),
@@ -944,6 +945,7 @@ object SparkEntry {
     "s11_ann_sq" -> Similarity.s11OracleSql(),
     "s12_cluster_profile" -> Similarity.s12OracleSql(),
     "t22_gopher_rules" -> TextOps.t22OracleSql,
+    "t23_mix_apply" -> TextOps.t23OracleSql,
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
     "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),
     "b4_banded_align" -> graft.operators.Dedup.b4OracleSql(),

@@ -1117,6 +1117,115 @@ object TextOps {
       FROM s ORDER BY doc_id"""
   }
 
+  /** t23: source-mix APPLICATION — the second half of the mixing loop
+    * t11 starts (t11 derives temperature-style target shares; t23
+    * turns them into a concrete per-source sampling manifest): for
+    * each source, epochs = targetShare·T / T_s (how many passes the
+    * source needs to hit its target — >1 means repeat/up-sample, <1
+    * means down-sample), the down-sampling acceptance threshold
+    * floor(min(1, epochs)·10⁶), and the EXACT kept doc/token counts
+    * under the deterministic Knuth-hash accept test (reproducible at
+    * any parallelism — no rand()). This is the Dolma/DoReMi-class
+    * "turn mixture weights into a physical corpus" step.
+    *
+    * 100 TB contract: one corpus-scale aggregate for the per-source
+    * totals, the (sources-bounded) weight fold, a broadcast
+    * threshold join + in-row hash filter, and one more per-source
+    * aggregate — nothing beyond t11's shapes plus one broadcast. */
+  def mixApply(spark: SparkSession, dir: String): DataFrame =
+    mixApply(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def mixApply(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(words(col("text"))).cast("long").as("n_toks"))
+    val per = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    // t11's sorted-fold weight discipline, verbatim
+    val asm = per.agg(
+      sort_array(collect_list(struct(col("source"), col("n_docs"),
+        col("n_tokens")))).as("ps"),
+      sum(col("n_tokens")).as("t"))
+    val rates = asm
+      .withColumn("wsum", aggregate(
+        transform(col("ps"),
+          s => sqrt(s("n_tokens").cast("double") / col("t").cast("double"))),
+        lit(0.0), (a, x) => a + x))
+      .select(col("t"), col("wsum"), explode(col("ps")).as("p"))
+      .select(col("p.source").as("source"), col("p.n_docs").as("n_docs"),
+        col("p.n_tokens").as("n_tokens"),
+        (sqrt(col("p.n_tokens").cast("double") / col("t").cast("double"))
+          / col("wsum")).as("w0"), col("t"))
+      .withColumn("epochs0",
+        col("w0") * col("t").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("thresh",
+        floor(least(col("epochs0"), lit(1.0)) * lit(1000000.0)).cast("long"))
+    val kept = toks
+      .join(broadcast(rates.select(col("source"), col("thresh"))), "source")
+      .filter(pmod(pmod(col("doc_id"), lit(1000000000L)) * lit(2654435761L),
+        lit(1000000L)) < col("thresh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_tokens"))
+    rates
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w0"), 6).as("target_share"),
+        round(col("epochs0"), 6).as("epochs"), col("thresh"))
+      .join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_share"), col("epochs"), col("thresh"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[mixApply]] — t11's fold CTEs, the identical
+    * epochs/threshold arithmetic ((sqrt(x)/wsum · T) / T_s, floored
+    * at 10⁶ after the min-1 clamp), the same Knuth accept test. */
+  def t23OracleSql: String = """
+      WITH per AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+            AS n_tokens
+        FROM documents GROUP BY source),
+      asm AS (
+        SELECT list_sort(list(struct_pack(source := source, n_docs := n_docs,
+                 n_tokens := n_tokens))) AS ps,
+          CAST(sum(n_tokens) AS BIGINT) AS t
+        FROM per),
+      w AS (
+        SELECT ps, t,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ps, s ->
+              sqrt(CAST(s['n_tokens'] AS DOUBLE) / CAST(t AS DOUBLE)))),
+            (a, x) -> a + x) AS wsum
+        FROM asm),
+      u AS (SELECT unnest(ps) AS s, t, wsum FROM w),
+      rates AS (
+        SELECT s['source'] AS source, s['n_docs'] AS n_docs,
+          s['n_tokens'] AS n_tokens,
+          sqrt(CAST(s['n_tokens'] AS DOUBLE) / CAST(t AS DOUBLE)) / wsum
+            AS w0,
+          sqrt(CAST(s['n_tokens'] AS DOUBLE) / CAST(t AS DOUBLE)) / wsum
+            * CAST(t AS DOUBLE) / CAST(s['n_tokens'] AS DOUBLE) AS epochs0
+        FROM u),
+      thr AS (
+        SELECT source, n_docs, n_tokens, w0, epochs0,
+          CAST(floor(least(epochs0, 1.0) * 1000000.0) AS BIGINT) AS thresh
+        FROM rates),
+      kept AS (
+        SELECT d.source, count(*) AS n_kept,
+          CAST(sum(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS BIGINT)
+            AS kept_tokens
+        FROM documents d JOIN thr ON thr.source = d.source
+        WHERE ((d.doc_id % 1000000000) * 2654435761) % 1000000 < thr.thresh
+        GROUP BY d.source)
+      SELECT thr.source, thr.n_docs, thr.n_tokens,
+        round(thr.w0, 6) AS target_share,
+        round(thr.epochs0, 6) AS epochs, thr.thresh,
+        COALESCE(kept.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        COALESCE(kept.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens
+      FROM thr LEFT JOIN kept ON kept.source = thr.source
+      ORDER BY thr.source"""
+
   /** The Gopher stopword list (Rae et al. 2021, §A1.1): a document
     * must contain at least [[GopherMinStops]] of these to pass the
     * "natural language" rule. */

@@ -663,7 +663,10 @@ class PlanSpec extends SparkSpec {
       // s12: assignment aggregate + label/centroid re-joins + the
       // k-bounded cell rollups and output sort — measured actual
       ("s12", graft.operators.Similarity.clusterProfile(
-        Tables.load(spark, sfDir, "embeddings"), 16), 6))
+        Tables.load(spark, sfDir, "embeddings"), 16), 6),
+      // t23: the two corpus-scale source aggregates (totals + kept),
+      // the sources-bounded weight fold, final join and sort
+      ("t23", graft.operators.TextOps.mixApply(docs), 5))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")

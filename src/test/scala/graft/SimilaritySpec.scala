@@ -560,6 +560,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length > 4 && got.map(_._8).distinct.length > 1)
   }
 
+  test("SQ8 handles a constant dimension (zero range) without dividing " +
+       "by zero: code 0, reconstruction = the constant") {
+    import spark.implicits._
+    // dim 2 is constant 5.0f across the corpus: step = 0 there, so the
+    // guard must take the code-0/recon-mn branch; dims 1 and 3 vary
+    val e = Seq(
+      (0L, Array(0.0f, 5.0f, 1.0f)),
+      (1L, Array(1.0f, 5.0f, 0.0f)),
+      (2L, Array(2.0f, 5.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.annSq(e, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // replica: mins (0,5,0), steps ((2-0)/256, 0, (2-0)/256)
+    val st = 2.0 / 256
+    def recon(v: Array[Float]) = Array(
+      (math.min(math.max(math.floor(v(0) / st), 0), 255) + 0.5) * st,
+      5.0, // constant dim: recon = mn exactly
+      (math.min(math.max(math.floor(v(2) / st), 0), 255) + 0.5) * st)
+    val vecs = Map(0L -> Array(0.0f, 5.0f, 1.0f),
+      1L -> Array(1.0f, 5.0f, 0.0f), 2L -> Array(2.0f, 5.0f, 2.0f))
+    val want = vecs.keys.toSeq.sorted.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q).map { case (c, cv) =>
+        val rv = recon(cv)
+        val d2 = (0 until 3).map(i =>
+          (vecs(q)(i).toDouble - rv(i)) * (vecs(q)(i).toDouble - rv(i))).sum
+        (q, c, d2)
+      }.sortBy(p => (p._3, p._2)).take(2).zipWithIndex.map {
+        case ((_, c, d2), r) => (q, c, r + 1, BigDecimal(d2).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
+
   test("SQ8 codec matches an independent JVM replica bit-for-bit and " +
        "recall vs brute force is near-exact") {
     val e = Tables.load(spark, sfDir, "embeddings")

@@ -308,6 +308,50 @@ class TextOpsSpec extends SparkSpec {
       Seq.fill(2)("lower").map(_.length).sum)
   }
 
+  test("mix apply matches a JVM replica and its manifest is a " +
+       "genuine down-sampling plan on the corpus") {
+    import spark.implicits._
+    // two sources, 4:1 token imbalance → sqrt temperature pushes the
+    // big source's share DOWN: epochs < 1 (down-sample) for big,
+    // > 1 (repeat) for small
+    val docs = (0L until 40L).map { i =>
+      val src = if (i < 32) "big" else "small"
+      (i, src, "tok " * 9 + "tok") // 10 words each
+    }.toDF("doc_id", "source", "text")
+    val bigT = 320.0; val smallT = 80.0; val t = 400.0
+    val wsum = math.sqrt(bigT / t) + math.sqrt(smallT / t)
+    def row(srcT: Double, nDocs: Long, ids: Seq[Long]) = {
+      val w0 = math.sqrt(srcT / t) / wsum
+      val ep = w0 * t / srcT
+      val thresh = math.floor(math.min(ep, 1.0) * 1000000.0).toLong
+      val keptIds = ids.filter(id =>
+        ((id % 1000000000L) * 2654435761L) % 1000000L < thresh)
+      (nDocs, srcT.toLong,
+        BigDecimal(w0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(ep).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        thresh, keptIds.size.toLong, keptIds.size * 10L)
+    }
+    val want = Map(
+      "big" -> row(bigT, 32L, 0L until 32L),
+      "small" -> row(smallT, 8L, 32L until 40L))
+    val got = graft.operators.TextOps.mixApply(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the plan must genuinely re-shape: big down-samples (epochs < 1,
+    // kept < all), small repeats (epochs > 1, threshold saturated)
+    assert(got("big")._4 < 1.0 && got("big")._6 < 32L)
+    assert(got("small")._4 > 1.0 && got("small")._5 == 1000000L &&
+      got("small")._6 == 8L)
+    // corpus run: thresholds in range, kept ≤ docs per source
+    val corpus = graft.operators.TextOps.mixApply(spark, sfDir).collect()
+    corpus.foreach { r =>
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
+      assert(r.getLong(6) <= r.getLong(1))
+    }
+  }
+
   test("gopher rules match a JVM replica on handcrafted docs and " +
        "discriminate on the corpus") {
     import spark.implicits._
@@ -322,8 +366,10 @@ class TextOpsSpec extends SparkSpec {
     val longw = (Seq.fill(28)("extraordinarily") ++ Seq("the", "a"))
       .mkString(" ")
     val digits = (1 to 25).map(_.toString).mkString(" ")
-    val docs = Seq((10L, pass), (11L, short), (12L, longw), (13L, digits))
-      .toDF("doc_id", "text")
+    // doc 14: empty text — split yields one empty word; every ratio
+    // must stay finite (n_words = 1, mean 0, alpha 0) and keep false
+    val docs = Seq((10L, pass), (11L, short), (12L, longw), (13L, digits),
+      (14L, "")).toDF("doc_id", "text")
     def replica(text: String) = {
       val ws = text.split(" ", -1)
       val nWords = ws.length.toLong
@@ -340,11 +386,12 @@ class TextOpsSpec extends SparkSpec {
     val got = TextOps.gopherRules(docs).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
         r.getLong(4), r.getBoolean(9)))).toMap
-    Seq(10L -> pass, 11L -> short, 12L -> longw, 13L -> digits)
+    Seq(10L -> pass, 11L -> short, 12L -> longw, 13L -> digits, 14L -> "")
       .foreach { case (id, t) =>
         assert(got(id) == replica(t), s"doc $id: ${got(id)} vs ${replica(t)}")
       }
-    assert(got(10L)._4 && !got(11L)._4 && !got(12L)._4 && !got(13L)._4)
+    assert(got(10L)._4 && !got(11L)._4 && !got(12L)._4 && !got(13L)._4 &&
+      !got(14L)._4)
     // the corpus gate must be non-vacuous: both outcomes occur
     val corpus = TextOps.gopherRules(spark, sfDir).collect()
       .map(_.getBoolean(9))
