@@ -361,19 +361,26 @@ object Multimodal {
     * exactly the re-encoded-duplicate case byte-level dedup misses.
     *
     * Scale shape: decode is mapPartitions over payload rows (the
-    * sanctioned codec site); the signature frame is a narrow
-    * projection of corpus cardinality; one signature-keyed aggregate
-    * + one equi-join on the same key (exchange reused). A production
-    * run would hash the full raster bytes; the fold+sums+dims
-    * signature here keeps the oracle analytic. */
+    * sanctioned codec site), run ONCE — the narrow signature frame is
+    * checkpointed for its two consumers; one signature-keyed
+    * aggregate (map-side partials absorb a mass-duplicated image) +
+    * one equi-join on the same key. A production run would hash the
+    * full raster bytes; the fold+sums+dims signature here keeps the
+    * oracle analytic. */
   def imageDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = Seq("width", "height", "channels",
       "sum_r", "sum_g", "sum_b", "pixel_hash")
-    val feats = withImagePayload(spark,
+    // the decoded frame is NARROW (8 numerics/row) and has two
+    // consumers (group stats + re-attach), so it is checkpointed once
+    // (d13's tf discipline) — without it the plan re-ran the whole
+    // decode pass for the join's second leg. groupBy (not a window)
+    // so a mass-duplicated image reduces through map-side partials
+    // instead of buffering one hot window partition.
+    val feats = graft.Ckpt(withImagePayload(spark,
         Tables.parallel(Tables.load(spark, dir, "documents")))
       .mapPartitions(ImageDecoder.decodeImageIO)
-      .toDF()
+      .toDF())
     val groups = feats.groupBy(sig.map(col): _*)
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
     feats.join(groups, sig)
