@@ -104,6 +104,7 @@ object SparkEntry {
     "d8_cluster_histogram" -> (d8Histogram _),
     "d9_keep_best" -> (d9KeepBest _),
     "d6_decontaminate" -> (Dedup.decontaminate _),
+    "d14_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
     "d10_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     "d11_winnow_fingerprint" ->
       ((s: SparkSession, d: String) => Dedup.winnowFingerprint(s, d)),
@@ -243,6 +244,26 @@ object SparkEntry {
         UNION
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
       cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)"""
+
+  /** Exact-join decontamination oracle, shared by d6 and d14 (the
+    * bloom prefilter changes the plan, never the answer). */
+  private val DecontamOracleSql = """
+      WITH sh AS (
+        SELECT doc_id, source,
+          unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS s
+        FROM documents),
+      bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+      hits AS (
+        SELECT t.doc_id, CAST(count(DISTINCT t.s) AS BIGINT) AS n_hits
+        FROM sh t JOIN bench b ON t.s = b.s
+        WHERE t.source <> 'src0'
+        GROUP BY t.doc_id)
+      SELECT d.doc_id, coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      WHERE d.source <> 'src0'
+      ORDER BY d.doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -833,23 +854,11 @@ object SparkEntry {
         de.doc_id = r.rep_id AS keep_best
       FROM decision de JOIN q USING (doc_id) JOIN reps r USING (cluster_id)
       ORDER BY de.doc_id"""),
-    "d6_decontaminate" -> """
-      WITH sh AS (
-        SELECT doc_id, source,
-          unnest(list_distinct(list_transform(
-            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS s
-        FROM documents),
-      bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
-      hits AS (
-        SELECT t.doc_id, CAST(count(DISTINCT t.s) AS BIGINT) AS n_hits
-        FROM sh t JOIN bench b ON t.s = b.s
-        WHERE t.source <> 'src0'
-        GROUP BY t.doc_id)
-      SELECT d.doc_id, coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
-      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-      WHERE d.source <> 'src0'
-      ORDER BY d.doc_id""",
+    "d6_decontaminate" -> DecontamOracleSql,
+    // d14's bloom phase is a transparent optimization (no false
+    // negatives; FPs die in the exact verify join), so the oracle is
+    // d6's exact-join SQL verbatim
+    "d14_bloom_decontaminate" -> DecontamOracleSql,
     "t5_shard_assign" -> """
       WITH fp AS (
         SELECT doc_id,

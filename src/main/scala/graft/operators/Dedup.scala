@@ -791,6 +791,67 @@ object Dedup {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.parallel(Tables.load(spark, dir, "documents")), "src0")
 
+  /** d14: BLOOM-prefiltered decontamination — d6's exact semantics
+    * restructured for the scale where the benchmark n-gram set no
+    * longer broadcasts as strings (a benchmark suite's shingle set
+    * runs to billions of entries; at ~10 bits/key a bloom filter is
+    * 100× smaller than the strings it summarizes). Three phases:
+    *
+    *  1. BUILD — one single-row aggregate serializes a bloom over
+    *     xxhash64 of every benchmark shingle (Spark's own
+    *     runtime-filter machinery via the shim; the collected binary
+    *     is bounded by the `numBits` constructor parameter, the PQ-
+    *     codebook class of sanctioned driver-side artifact, and rides
+    *     into the plan as a literal exactly as InjectRuntimeFilter
+    *     broadcasts it).
+    *  2. PRUNE — the corpus shingle stream drops bloom-negatives
+    *     IN-ROW: no shuffle touches the overwhelming clean majority.
+    *     Bloom filters have no false negatives, so nothing
+    *     contaminated can slip past this phase.
+    *  3. VERIFY — only the tiny bloom-positive remainder pays the
+    *     exact semi-join against the true shingle set, which kills
+    *     the false positives; per-doc exact hit counts re-attach to
+    *     the column-pruned doc spine (AQE broadcasts the hits frame
+    *     when it is small, the common case).
+    *
+    * The output is bit-identical to d6 (the bloom is a transparent
+    * optimization — the oracle IS the exact-join SQL); the spec
+    * additionally forces a deliberately tiny, FP-riddled bloom and
+    * asserts the verify phase still yields the exact answer. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    bloomDecontaminate(
+      Tables.parallel(Tables.load(spark, dir, "documents")), "src0")
+
+  def bloomDecontaminate(docs: DataFrame, benchmarkSource: String,
+      estItems: Long = 1L << 14, numBits: Long = 1L << 17): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val bench = docs.filter(col("source") === benchmarkSource)
+      .select(explode(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
+      .distinct()
+    val bloomRow = bench
+      .agg(GraftShim.bloomAggColumn(xxhash64(col("sh")), estItems, numBits)
+        .as("bf"))
+      .head()
+    val spine = docs.filter(col("source") =!= benchmarkSource)
+      .select(col("doc_id"))
+    val bloom =
+      if (bloomRow.isNullAt(0)) null else bloomRow.getAs[Array[Byte]](0)
+    if (bloom == null)
+      // empty benchmark ⇒ nothing is contaminated
+      return spine.select(col("doc_id"), lit(0L).as("n_hits"))
+        .orderBy("doc_id")
+    val cand = docs.filter(col("source") =!= benchmarkSource)
+      .select(col("doc_id"),
+        explode(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
+      .filter(GraftShim.bloomMightContain(bloom, xxhash64(col("sh"))))
+    val hits = cand.join(bench, Seq("sh"), "left_semi")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_hits"))
+    spine.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   def decontaminate(docs: DataFrame, benchmarkSource: String): DataFrame = {
     // native WordShingles: one linear pass, each shingle a contiguous
     // slice of the text (the composed split/slice/concat_ws form

@@ -23,4 +23,27 @@ object GraftShim {
   def expression(c: org.apache.spark.sql.Column):
       org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Spark's internal runtime-filter bloom aggregate as a Column:
+    * one single-row BINARY result over `child` (must be an xxhash64
+    * long — the same convention InjectRuntimeFilter uses). Not
+    * SQL-registered upstream, hence the shim. */
+  def bloomAggColumn(child: org.apache.spark.sql.Column,
+      estItems: Long, numBits: Long): org.apache.spark.sql.Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(child),
+        org.apache.spark.sql.catalyst.expressions.Literal(estItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Membership probe against a serialized bloom filter embedded as a
+    * plan literal (the broadcast-as-literal shape runtime filtering
+    * itself uses); `value` must be the same xxhash64 long form the
+    * aggregate inserted. */
+  def bloomMightContain(bloom: Array[Byte],
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(bloom,
+        org.apache.spark.sql.types.BinaryType),
+      expression(value)))
 }

@@ -19,6 +19,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res(3L) == 0, s"clean doc flagged: $res")
   }
 
+  test("bloom-prefiltered decontamination equals the exact operator, " +
+       "even under a deliberately FP-riddled tiny bloom") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val exact = Dedup.decontaminate(docs, "src0").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // default sizing
+    val bloomed = Dedup.bloomDecontaminate(docs, "src0").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloomed == exact, "bloom path diverged from the exact operator")
+    // 64-bit bloom over thousands of shingles: nearly every probe is a
+    // false positive — the verify join must still produce the exact
+    // answer (no-false-negatives + exact verify = correctness never
+    // depends on bloom sizing)
+    val tiny = Dedup.bloomDecontaminate(docs, "src0",
+        estItems = 4L, numBits = 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tiny == exact, "FP-riddled bloom changed the answer")
+    // and the default bloom genuinely prunes: an impossible-shingle
+    // stream (disjoint vocabulary) survives at well under 100%
+    import spark.implicits._
+    val clean = Seq((900L, "qq ww ee rr tt yy uu ii oo pp", "train"))
+      .toDF("doc_id", "text", "source")
+    val benchDocs = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"), col("source"))
+    val res = Dedup.bloomDecontaminate(benchDocs.unionByName(clean), "src0")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(res == Map(900L -> 0L))
+  }
+
   test("shard assignment covers all docs and is deterministic") {
     val docs = Tables.load(spark, sfDir, "documents")
     val a = TextOps.shardAssign(docs, 128)

@@ -666,7 +666,12 @@ class PlanSpec extends SparkSpec {
         Tables.load(spark, sfDir, "embeddings"), 16), 6),
       // t23: the two corpus-scale source aggregates (totals + kept),
       // the sources-bounded weight fold, final join and sort
-      ("t23", graft.operators.TextOps.mixApply(docs), 5))
+      ("t23", graft.operators.TextOps.mixApply(docs), 5),
+      // d14: bloom pruning is in-row; the shuffles are the candidate
+      // verify join legs, the per-doc hit aggregate, spine re-attach
+      // and sort — all on the bloom-positive remainder or the narrow
+      // doc spine, never the full shingle stream
+      ("d14", graft.operators.Dedup.bloomDecontaminate(docs, "src0"), 4))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
