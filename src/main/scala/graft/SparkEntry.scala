@@ -119,6 +119,7 @@ object SparkEntry {
     "g7_kcore_sparse" ->
       ((s: SparkSession, d: String) => Graph.g7KcoreSparse(s, d)),
     "g8_bfs" -> ((s: SparkSession, d: String) => Graph.g8Bfs(s, d)),
+    "g9_ppr" -> ((s: SparkSession, d: String) => Graph.g9Ppr(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -181,6 +182,7 @@ object SparkEntry {
     "q39_gapfill" -> (Events.gapFill _),
     "e12_rolling_rate" -> (Events.rollingRate _),
     "e13_dau_wau" -> (Events.dauWau _),
+    "e17_daily_topk" -> ((s: SparkSession, d: String) => Events.dailyTopk(s, d)),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
     "q36_cooccurrence" -> (Relational.q36Cooccurrence _),
@@ -655,6 +657,7 @@ object SparkEntry {
     "q39_gapfill" -> graft.operators.Events.gapFillOracleSql,
     "e12_rolling_rate" -> graft.operators.Events.rollingRateOracleSql,
     "e13_dau_wau" -> graft.operators.Events.dauWauOracleSql,
+    "e17_daily_topk" -> graft.operators.Events.e17OracleSql(),
     "t9_split" -> TextOps.split3OracleSql,
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
     "t11_sample_weights" -> TextOps.t11OracleSql,
@@ -968,6 +971,7 @@ object SparkEntry {
     "g6_cc_sparse" -> graft.operators.Graph.g6OracleSql,
     "g7_kcore_sparse" -> graft.operators.Graph.g7OracleSql,
     "g8_bfs" -> graft.operators.Graph.g8OracleSql(),
+    "g9_ppr" -> graft.operators.Graph.g9OracleSql(),
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
     "m9_image_dedup" -> graft.operators.Multimodal.m9OracleSql,
     "s9_hybrid_search" -> graft.operators.Similarity.s9OracleSql(),

@@ -489,6 +489,43 @@ object Events {
       .orderBy("day")
   }
 
+  /** e17: daily heavy hitters — the top-k event types per day (the
+    * "what dominated traffic each day" dashboard readout, and the
+    * generic per-window heavy-hitter shape). Counts are one exact
+    * (day, type) aggregate; the per-day top-k ranks through the
+    * native TopKPerGroup plan (map-side per-day heaps, shuffle
+    * bounded by k·days rows), never a per-day total sort — the s8
+    * discipline pointed at the events table. Ties break on the type
+    * string in both engines. */
+  def dailyTopk(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    dailyTopk(Tables.load(spark, dir, "events"), k)
+
+  def dailyTopk(events: DataFrame, k: Int): DataFrame = {
+    val counts = events
+      .select(to_date(col("ts")).as("day0"), col("event_type"))
+      .groupBy("day0", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+    graft.plans.TopK.perGroup(counts, Seq("day0"),
+        Seq(("n_events", false), ("event_type", true)), k)
+      .select(date_format(col("day0"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("rnk"))
+      .orderBy("day", "rnk")
+  }
+
+  /** DuckDB oracle for [[dailyTopk]] — same counts, a ranked window
+    * with the same (count desc, type asc) tie-break. */
+  def e17OracleSql(k: Int = 3): String = s"""
+      WITH c AS (
+        SELECT CAST(ts AS DATE) AS day0, event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT day0, event_type, n_events,
+          CAST(row_number() OVER (PARTITION BY day0
+            ORDER BY n_events DESC, event_type) AS INT) AS rnk
+        FROM c)
+      SELECT strftime(day0, '%Y-%m-%d') AS day, event_type, n_events, rnk
+      FROM r WHERE rnk <= $k ORDER BY day, rnk"""
+
   def dauWauOracleSql: String = """
       WITH presence AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -127,6 +127,118 @@ object Graph {
     }
   }
 
+  /** g9: PERSONALIZED PageRank from a seed document — the restart
+    * mass concentrates on the seed instead of spreading uniformly
+    * (r⁰ = e_seed; each step folds 0.85·incoming + 0.15·e_seed), so
+    * the vector ranks the corpus BY RELEVANCE TO THE SEED: the
+    * "more like this document" authority diffusion behind
+    * related-content and seed-expansion pipelines, vs g1's global
+    * authority. Same contract class as g1: FIXED-STEP by query
+    * semantics (float-valued, no finite fixpoint), identical
+    * iteration shape (edges pinned by src, one dst-fold shuffle per
+    * step, Ckpt cadence, (src, j)-ordered folds from the same
+    * seed-dependent init — bit-exact vs the oracle). */
+  def g9Ppr(spark: SparkSession, dir: String,
+            seed: Long = 0L, iters: Int = Iters): DataFrame =
+    g9Ppr(Tables.load(spark, dir, "documents"), seed, iters)
+
+  def g9Ppr(docs0: DataFrame, seed: Long, iters: Int): DataFrame = {
+    val spine = docs0.select(col("doc_id"))
+    val h = spine.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g9 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    require(seed >= 0 && seed < n, s"g9 seed $seed outside 0..${n - 1}")
+    val docs = spine.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = syntheticFwd(docs, n)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sentinel = docs.select(lit(-1L).as("src"), lit(0L).as("j"),
+        col("doc_id").as("dst"), lit(0.0).as("c"))
+      // restart vector: all mass on the seed (g1's uniform base and
+      // init, concentrated)
+      def restart(node: org.apache.spark.sql.Column) =
+        when(node === seed, lit(0.15)).otherwise(lit(0.0))
+      var ranks = docs.select(col("doc_id").as("v"),
+        when(col("doc_id") === seed, lit(1.0)).otherwise(lit(0.0)).as("r"))
+      for (t <- 1 to iters) {
+        val contribs = edges
+          .join(ranks, col("src") === col("v"))
+          .select(col("src"), col("j"), col("dst"),
+            (lit(Damping) * (col("r") / lit(OutDeg.toDouble))).as("c"))
+          .unionByName(sentinel)
+        val next = contribs
+          .groupBy(col("dst"))
+          .agg(sort_array(collect_list(struct(col("src"), col("j"), col("c"))))
+            .as("cs"))
+          .select(col("dst").as("v"),
+            aggregate(col("cs"), restart(col("dst")),
+              (acc, x) => acc + x.getField("c")).as("r"),
+            (size(col("cs")) - 1).cast("long").as("n_in"))
+        ranks = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next) else next
+      }
+      graft.Ckpt(ranks)
+        .select(col("v").as("doc_id"), round(col("r"), 6).as("ppr"),
+          col("n_in"))
+        .orderBy("doc_id")
+    } finally {
+      edges.unpersist(blocking = true)
+      docs.unpersist(blocking = true)
+    }
+  }
+
+  /** DuckDB oracle for [[g9Ppr]] — g1's recursion with the restart
+    * vector swapped: init e_seed, fold init 0.15·e_seed (seed is
+    * 1-based position seed+1 in the list vector). */
+  def g9OracleSql(seed: Long = 0L, iters: Int = Iters): String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
+      edges AS MATERIALIZED (
+        SELECT src, j,
+          CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      inb AS MATERIALIZED (
+        SELECT d.doc_id AS dst,
+          coalesce(i.ins, CAST([] AS STRUCT(src BIGINT, j BIGINT)[])) AS ins
+        FROM documents d
+        LEFT JOIN (
+          SELECT dst, list_sort(list(struct_pack(src := src, j := j))) AS ins
+          FROM edges GROUP BY dst) i ON i.dst = d.doc_id),
+      inm AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(dst := dst, ins := ins))),
+          s -> s['ins']) AS m
+        FROM inb),
+      pr AS (
+        SELECT 0 AS k,
+          list_transform(generate_series(1, ni),
+            i -> CASE WHEN i = ${seed + 1} THEN CAST(1.0 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END) AS r
+        FROM nn
+        UNION ALL
+        SELECT k + 1,
+          list_transform(generate_series(1, ni), v ->
+            list_reduce(
+              list_prepend(
+                CASE WHEN v = ${seed + 1} THEN CAST(0.15 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END,
+                list_transform(inm.m[CAST(v AS INT)], e ->
+                  CAST($Damping AS DOUBLE)
+                    * (pr.r[CAST(e['src'] AS INT) + 1]
+                       / CAST($OutDeg AS DOUBLE)))),
+              (acc, x) -> acc + x))
+        FROM pr, nn, inm WHERE k < $iters)
+      SELECT i - 1 AS doc_id, round(f.r[i], 6) AS ppr,
+        CAST(len(inm.m[i]) AS BIGINT) AS n_in
+      FROM (SELECT r FROM pr WHERE k = $iters) f,
+        inm, (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t
+      ORDER BY doc_id"""
+
   /** General PageRank entry — an EXPLICIT (src, dst) edge list with
     * arbitrary (possibly sparse, 64-bit, even negative) node ids; the
     * synthetic generator above exists only so the oracle can re-derive

@@ -250,6 +250,54 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 40L, 0L, 39L)))
   }
 
+  /** Plain-Scala personalized-PageRank replica: g1's recurrence with
+    * the restart vector concentrated on the seed. */
+  private def referencePpr(n: Int, seed: Int, iters: Int): Array[Double] = {
+    val edges = for {
+      src <- 0 until n; j <- 1 to Graph.OutDeg
+    } yield {
+      val dst0 = ((((src.toLong * 7 + j) % 1000000000L) * 2654435761L)
+        % 2147483647L % n).toInt
+      (src, j, if (dst0 == src) (dst0 + 1) % n else dst0)
+    }
+    val inEdges = edges.groupBy(_._3).map { case (d, es) =>
+      d -> es.map(e => (e._1, e._2)).sorted
+    }
+    var r = Array.tabulate(n)(v => if (v == seed) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      r = Array.tabulate(n) { v =>
+        inEdges.getOrElse(v, Seq.empty)
+          .foldLeft(if (v == seed) 0.15 else 0.0) {
+            case (acc, (src, _)) => acc + 0.85 * (r(src) / Graph.OutDeg.toDouble)
+          }
+      }
+    }
+    r
+  }
+
+  test("personalized pagerank matches an independent local solve and " +
+       "concentrates mass near the seed") {
+    import spark.implicits._
+    val n = 37
+    val seed = 5
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val got = Graph.g9Ppr(docs, seed, Graph.Iters).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = referencePpr(n, seed, Graph.Iters)
+    got.foreach { case (v, p) =>
+      val w = BigDecimal(want(v.toInt)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(p == w, s"node $v: got $p want $w")
+    }
+    // restart mass keeps the seed dominant over the global-uniform
+    // level — the property that distinguishes PPR from g1
+    val bySeed = got.toMap
+    assert(bySeed(seed.toLong) > 1.0 / n,
+      s"seed rank ${bySeed(seed.toLong)} not above uniform ${1.0 / n}")
+    // mass is conserved (no dangling nodes in the synthetic graph)
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-3)
+  }
+
   /** Plain-Scala queue BFS over the synthetic undirected graph — an
     * independent reference for the min-plus relaxation. */
   private def referenceBfs(n: Int): Array[Long] = {

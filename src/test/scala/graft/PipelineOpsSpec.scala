@@ -48,6 +48,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res == Map(900L -> 0L))
   }
 
+  test("daily top-k ranks event types per day through TopKPerGroup, " +
+       "matching a local recount") {
+    val events = Tables.load(spark, sfDir, "events")
+    val got = Events.dailyTopk(events, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // independent recount
+    val counts = events
+      .select(to_date(col("ts")).as("d"), col("event_type")).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1)))
+      .groupBy(identity).map { case (k, vs) => (k._1, k._2, vs.size.toLong) }
+    val want = counts.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (day, ts) =>
+        ts.toSeq.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+          .map { case ((_, typ, c), i) => (day, typ, c, i + 1) }
+    }
+    assert(got.toSeq == want, s"first diff: ${
+      got.toSeq.zip(want).find { case (g, w) => g != w }}")
+    // the plan must rank through the native TopKPerGroup, not a window
+    val plan = Events.dailyTopk(events, 3)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      "daily top-k fell back to a window total sort")
+  }
+
   test("shard assignment covers all docs and is deterministic") {
     val docs = Tables.load(spark, sfDir, "documents")
     val a = TextOps.shardAssign(docs, 128)
