@@ -825,9 +825,11 @@ object Dedup {
   def bloomDecontaminate(docs: DataFrame, benchmarkSource: String,
       estItems: Long = 1L << 14, numBits: Long = 1L << 17): DataFrame = {
     import org.apache.spark.sql.graftshim.GraftShim
-    val bench = docs.filter(col("source") === benchmarkSource)
+    // two consumers (bloom build action + verify join) ⇒ checkpoint
+    // the shingle set once instead of re-scanning the benchmark slice
+    val bench = graft.Ckpt(docs.filter(col("source") === benchmarkSource)
       .select(explode(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
-      .distinct()
+      .distinct())
     val bloomRow = bench
       .agg(GraftShim.bloomAggColumn(xxhash64(col("sh")), estItems, numBits)
         .as("bf"))
