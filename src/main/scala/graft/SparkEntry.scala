@@ -105,6 +105,7 @@ object SparkEntry {
     "d9_keep_best" -> (d9KeepBest _),
     "d6_decontaminate" -> (Dedup.decontaminate _),
     "d14_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
+    "d15_incremental_dedup" -> (Dedup.incrementalDedup _),
     "d10_source_overlap" -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d)),
     "d11_winnow_fingerprint" ->
       ((s: SparkSession, d: String) => Dedup.winnowFingerprint(s, d)),
@@ -862,6 +863,7 @@ object SparkEntry {
     // negatives; FPs die in the exact verify join), so the oracle is
     // d6's exact-join SQL verbatim
     "d14_bloom_decontaminate" -> DecontamOracleSql,
+    "d15_incremental_dedup" -> Dedup.d15OracleSql(),
     "t5_shard_assign" -> """
       WITH fp AS (
         SELECT doc_id,

@@ -192,6 +192,139 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d15: INCREMENTAL dedup — today's ingest batch against the
+    * standing corpus, the shape a production pipeline actually runs
+    * daily (d2/d7 answer "dedup this corpus against itself"; the
+    * recurring question is "is this NEW doc already in what we
+    * have"). Candidate generation joins ONLY batch bands against
+    * corpus bands — never corpus×corpus (that work was paid when the
+    * corpus was ingested) and never batch×batch (an intra-batch
+    * concern d1/d2 handle separately) — so per-ingest cost scales
+    * with batch size × bucket density, not standing-corpus size².
+    *
+    * Pipeline: zero-shuffle MinHash signatures + hashed shingle SETS
+    * in one scan (checkpointed: bands and verify both consume it);
+    * 16×4 band join batch↔corpus; exact shingle-set Jaccard verifies
+    * every candidate (integer set sizes ⇒ the division is the only
+    * float, identical in the oracle); per batch doc the verified
+    * candidate count, the best match (highest Jaccard, then smallest
+    * corpus id), and the `is_dup` cut at `tau` on the UNROUNDED
+    * score. Corpus-side hot buckets above `maxBucket` contribute
+    * only their min-id representative (d7's star policy — the 100 TB
+    * backstop; the oracle-gated default is uncapped, the d2 CAP
+    * POLICY). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedup(
+      Tables.parallel(Tables.load(spark, dir, "documents")), "src1")
+
+  def incrementalDedup(docs: DataFrame, batchSource: String,
+      tau: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val sigged = graft.Ckpt(docs.select(col("doc_id"), col("source"),
+      array_distinct(hashedShingleCol(col("text"))).as("hset"),
+      graft.GraftFunctions.minhashSig(hashedShingleCol(col("text")), 64)
+        .as("sig")))
+    val batch = sigged.filter(col("source") === batchSource)
+    val corpus = sigged.filter(col("source") =!= batchSource)
+    val bBands = minhashBands(batch.select(col("doc_id"), col("sig")))
+      .select(col("doc_id").as("b_id"), col("band_idx"), col("band_key"))
+    val cBands0 = minhashBands(corpus.select(col("doc_id"), col("sig")))
+      .select(col("doc_id").as("c_id"), col("band_idx"), col("band_key"))
+    // corpus-side hot-bucket star cap (oversized buckets join only
+    // their min-id representative)
+    val cStats = cBands0.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bsz"), min(col("c_id")).as("rep"))
+    val cBands = cBands0.join(cStats, Seq("band_idx", "band_key"))
+      .filter(col("bsz") <= maxBucket || col("c_id") === col("rep"))
+      .select(col("c_id"), col("band_idx"), col("band_key"))
+    val cands = bBands.join(cBands, Seq("band_idx", "band_key"))
+      .select(col("b_id"), col("c_id")).distinct()
+    val verified = cands
+      .join(batch.select(col("doc_id").as("b_id"), col("hset").as("bh")),
+        Seq("b_id"))
+      .join(corpus.select(col("doc_id").as("c_id"), col("hset").as("ch")),
+        Seq("c_id"))
+      .withColumn("ni", size(array_intersect(col("bh"), col("ch"))))
+      .select(col("b_id"), col("c_id"),
+        (col("ni").cast("double") /
+          (size(col("bh")) + size(col("ch")) - col("ni")).cast("double"))
+          .as("jac"))
+    val best = verified.groupBy("b_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        max_by(struct(col("c_id").as("cid"), col("jac").as("j")),
+          struct(col("jac"), (-col("c_id")).as("nc"))).as("t"))
+      .select(col("b_id"), col("n_candidates"),
+        col("t.cid").as("best_match"), col("t.j").as("best_j"))
+    batch.select(col("doc_id").as("b_id"))
+      .join(best, Seq("b_id"), "left_outer")
+      .select(col("b_id").as("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_match"),
+        round(col("best_j"), 6).as("best_jaccard"),
+        coalesce(col("best_j") >= tau, lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[incrementalDedup]] (uncapped default) —
+    * d2's shingle-hash/signature/band CTEs with the source split,
+    * cross-side-only candidates, exact set-Jaccard verify, the same
+    * (jac desc, c_id asc) best-match tie-break and unrounded-τ cut. */
+  def d15OracleSql(batchSource: String = "src1",
+      tau: Double = 0.5): String = s"""
+      WITH hs AS (
+        SELECT doc_id, source, list_distinct(list_transform(
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))),
+          s -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(s)),
+                     ci -> CAST(ascii(substr(s, ci, 1)) AS BIGINT))),
+                 (acc, ch) -> (acc * 131 + ch) % 2147483647))) AS hl
+        FROM documents),
+      sigs AS (
+        SELECT doc_id, source, list_transform(generate_series(0, 63), j ->
+          list_min(list_transform(hl, h ->
+            ((j*2+1) * h + j*12345 + 7) % 2147483647))) AS sig
+        FROM hs),
+      bands AS (
+        SELECT doc_id, source, b['band_idx'] AS band_idx,
+          b['band_key'] AS band_key FROM (
+          SELECT doc_id, source, unnest(list_transform(generate_series(0, 15), bi ->
+            {'band_idx': bi,
+             'band_key': list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_slice(sig, bi*4 + 1, bi*4 + 4)),
+               (a, m) -> (a * 1000003 + m) % 2147483647)})) AS b
+          FROM sigs) t),
+      cands AS (
+        SELECT DISTINCT bb.doc_id AS b_id, cb.doc_id AS c_id
+        FROM bands bb JOIN bands cb
+          ON bb.band_idx = cb.band_idx AND bb.band_key = cb.band_key
+        WHERE bb.source = '$batchSource' AND cb.source <> '$batchSource'),
+      verified AS (
+        SELECT c.b_id, c.c_id,
+          CAST(len(list_intersect(hb.hl, hc.hl)) AS DOUBLE)
+            / CAST(len(hb.hl) + len(hc.hl)
+                   - len(list_intersect(hb.hl, hc.hl)) AS DOUBLE) AS jac
+        FROM cands c
+        JOIN hs hb ON hb.doc_id = c.b_id
+        JOIN hs hc ON hc.doc_id = c.c_id),
+      best AS (
+        SELECT b_id, n_candidates, c_id AS best_match, jac AS best_j FROM (
+          SELECT b_id, c_id, jac,
+            CAST(count(*) OVER (PARTITION BY b_id) AS BIGINT) AS n_candidates,
+            row_number() OVER (PARTITION BY b_id
+              ORDER BY jac DESC, c_id) AS rn
+          FROM verified) t
+        WHERE rn = 1)
+      SELECT d.doc_id,
+        coalesce(b.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+        b.best_match,
+        round(b.best_j, 6) AS best_jaccard,
+        coalesce(b.best_j >= $tau, false) AS is_dup
+      FROM documents d LEFT JOIN best b ON b.b_id = d.doc_id
+      WHERE d.source = '$batchSource'
+      ORDER BY d.doc_id"""
+
   /** SimHash near-duplicate detection, Manku–Jain–Sarma style: a
     * 60-BIT SimHash split into 4 × 15-bit bands, so any pair within
     * Hamming distance 3 shares at least one full band (pigeonhole over

@@ -319,4 +319,35 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((3L, 0L, 0.0, true)), s"doc4 ${got(4L)}")
     assert(got(5L) == ((2L, 0L, 0.0, true)), s"doc5 ${got(5L)}")
   }
+
+  test("incremental dedup flags a batch doc copied from the corpus, " +
+       "never pairs corpus with corpus, and survives the star cap") {
+    import spark.implicits._
+    val corpusText = (1 to 30).map(i => s"word$i").mkString(" ")
+    val otherText = (31 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, corpusText, "corpus"),          // standing corpus
+      (2L, corpusText, "corpus"),          // corpus-internal dup: NOT reported
+      (3L, otherText, "corpus"),
+      (10L, corpusText, "batch"),          // batch copy of corpus doc
+      (11L, (61 to 90).map(i => s"w$i").mkString(" "), "batch")) // novel
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.incrementalDedup(docs, "batch").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), r.getBoolean(4)))).toMap
+    // batch doc 10 matches corpus twins 1 and 2; best match = smaller id
+    assert(got(10L)._1 == 2L && got(10L)._2.contains(1L) &&
+      got(10L)._3.contains(1.0) && got(10L)._4, s"doc10 ${got(10L)}")
+    // the novel batch doc reports no candidates, null best match
+    assert(got(11L) == ((0L, None, None, false)), s"doc11 ${got(11L)}")
+    // only batch docs appear (corpus-internal dup 1↔2 is not this
+    // operator's concern)
+    assert(got.keySet == Set(10L, 11L))
+    // star cap: capping corpus buckets at 1 member keeps doc 10
+    // connected through the min-id representative, answer unchanged
+    val capped = graft.operators.Dedup
+      .incrementalDedup(docs, "batch", maxBucket = 1).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), r.getBoolean(4)))).toMap
+    assert(capped(10L)._1.contains(1L) && capped(10L)._2)
+  }
 }

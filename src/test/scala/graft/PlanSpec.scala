@@ -671,7 +671,11 @@ class PlanSpec extends SparkSpec {
       // verify join legs, the per-doc hit aggregate, spine re-attach
       // and sort — all on the bloom-positive remainder or the narrow
       // doc spine, never the full shingle stream
-      ("d14", graft.operators.Dedup.bloomDecontaminate(docs, "src0"), 4))
+      ("d14", graft.operators.Dedup.bloomDecontaminate(docs, "src0"), 4),
+      // d15: band join legs + candidate distinct + verify hset joins +
+      // best-match aggregate — all behind the checkpointed signature
+      // frame, sized by batch×bucket-density, never corpus²
+      ("d15", graft.operators.Dedup.incrementalDedup(docs, "src1"), 5))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
