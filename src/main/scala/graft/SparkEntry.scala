@@ -147,6 +147,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Multimodal.batchShape(s, d)),
     "m9_image_dedup" ->
       ((s: SparkSession, d: String) => Multimodal.imageDedup(s, d)),
+    "m10_decode_robust" ->
+      ((s: SparkSession, d: String) => Multimodal.imageDecodeRobust(s, d)),
     "x1_export_csv" -> ((s: SparkSession, d: String) => graft.sources.Export.contextualCsv(s, d)),
     "x2_export_biom" -> ((s: SparkSession, d: String) => graft.sources.Export.biomMatrix(s, d)),
     "x3_export_biom_json" -> ((s: SparkSession, d: String) => graft.sources.Export.biomJson(s, d)),
@@ -976,6 +978,7 @@ object SparkEntry {
     "g9_ppr" -> graft.operators.Graph.g9OracleSql(),
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
     "m9_image_dedup" -> graft.operators.Multimodal.m9OracleSql,
+    "m10_decode_robust" -> graft.operators.Multimodal.m10OracleSql,
     "s9_hybrid_search" -> graft.operators.Similarity.s9OracleSql(),
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
     "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),

@@ -199,6 +199,38 @@ object Multimodal {
       }
     }
 
+    /** Per-row-guarded decode for [[imageDecodeRobust]]: a payload
+      * that fails to decode (ImageIO returns null on unrecognized
+      * streams and THROWS on recognized-but-truncated ones — both
+      * paths occur in the wild) becomes an `is_valid = false` row
+      * instead of killing the task. */
+    def decodeRobust(rows: Iterator[ImageRow]): Iterator[RobustFeatures] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.payload))
+          if (img == null) RobustFeatures(row.doc_id, false, None, None, None)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var hash = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                hash = (hash * 31 + (img.getRGB(x, y) & 0xffffff)) % 1000003
+                x += 1
+              }
+              y += 1
+            }
+            RobustFeatures(row.doc_id, true, Some(w), Some(h), Some(hash))
+          }
+        } catch { case _: Exception =>
+          RobustFeatures(row.doc_id, false, None, None, None)
+        }
+      }
+    }
+
     /** Sobel edge energy over the decoded red channel — integer 3×3
       * kernels on interior pixels; see [[imageFeatures]]. */
     def decodeSobel(rows: Iterator[ImageRow]): Iterator[ImageSobel] = {
@@ -344,6 +376,67 @@ object Multimodal {
         3 AS channels, s.sum_r, s.sum_g, s.sum_b, hs.pixel_hash
       FROM sums s JOIN hashes hs ON hs.doc_id = s.doc_id
       ORDER BY s.doc_id"""
+
+  case class RobustFeatures(doc_id: Long, is_valid: Boolean,
+    width: Option[Int], height: Option[Int], pixel_hash: Option[Long])
+
+  /** m10: CORRUPTION-TOLERANT image decode — the property a 100 TB
+    * media pipeline cannot ship without: at web scale some fraction
+    * of payloads is always truncated/mangled, and one bad byte
+    * stream must become a row of data (`is_valid = false`), never a
+    * task-killing exception that takes the other million payloads in
+    * the partition down with it. The synthetic corpus carries no
+    * natural corruption, so it is INJECTED deterministically (docs
+    * with id % 17 = 0 keep only their first 8 payload bytes — a
+    * valid PNG magic with no image data) and the decoder must
+    * recover exactly the uncorrupted set: the oracle replays the
+    * injection arithmetic, so an operator that over-catches (drops a
+    * good image) or under-catches (crashes) breaks the gate the same
+    * way m3's decode bugs do.
+    *
+    * Scale shape: m3's mapPartitions decode with a per-row
+    * guard — null-returning and throwing decoder paths both fold to
+    * the invalid row. */
+  final val CorruptEvery = 17
+
+  def imageDecodeRobust(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withImagePayload(spark, Tables.parallel(Tables.load(spark, dir, "documents")))
+      .map(r => if (r.doc_id % CorruptEvery == 0)
+        ImageRow(r.doc_id, r.payload.take(8)) else r)
+      .mapPartitions(ImageDecoder.decodeRobust)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[imageDecodeRobust]] — the injection
+    * arithmetic (id % CorruptEvery) decides validity; valid rows
+    * carry m3's closed-form dims and pixel hash, invalid rows NULLs. */
+  def m10OracleSql: String = s"""
+      WITH dims AS (
+        SELECT doc_id,
+          CAST(doc_id % $DimWMod + $DimWBase AS BIGINT) AS w,
+          CAST(doc_id % $DimHMod + $DimHBase AS BIGINT) AS h
+        FROM documents),
+      hashes AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(0, CAST(w * h - 1 AS INT)), p ->
+              ((doc_id * 31 + (p % w) * 7 + (p // w) * 13) % 256) * 65536
+              + ((doc_id * 17 + (p % w) * 11 + (p // w) * 3) % 256) * 256
+              + ((doc_id * 23 + (p % w) * 5 + (p // w) * 19) % 256))),
+            (a, v) -> (a * 31 + v) % 1000003) AS pixel_hash
+        FROM dims)
+      SELECT d.doc_id,
+        d.doc_id % $CorruptEvery <> 0 AS is_valid,
+        CASE WHEN d.doc_id % $CorruptEvery <> 0
+          THEN CAST(d.w AS INT) END AS width,
+        CASE WHEN d.doc_id % $CorruptEvery <> 0
+          THEN CAST(d.h AS INT) END AS height,
+        CASE WHEN d.doc_id % $CorruptEvery <> 0
+          THEN hs.pixel_hash END AS pixel_hash
+      FROM dims d JOIN hashes hs ON hs.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
 
   /** m9: image-content dedup — exact duplicate detection over the
     * DECODED rasters (the multimodal counterpart of d1: a training

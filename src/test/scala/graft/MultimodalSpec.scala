@@ -233,6 +233,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("robust decode survives truncated and garbage payloads, " +
+       "recovering exactly the uncorrupted set") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.imageDecodeRobust(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.get(4)))))
+      .toMap
+    assert(rows.size == 500)
+    rows.foreach { case (id, (valid, hash)) =>
+      if (id % Multimodal.CorruptEvery == 0)
+        assert(!valid && hash.isEmpty, s"corrupted doc $id decoded: $hash")
+      else assert(valid && hash.nonEmpty, s"good doc $id rejected")
+    }
+    // direct decoder-level checks: truncated PNG (throws inside
+    // ImageIO) and garbage bytes (read returns null) both fold to
+    // invalid rows; a valid payload still decodes
+    val good = Multimodal.pngPayload(7L, 5, 4)
+    val out = Multimodal.ImageDecoder.decodeRobust(Iterator(
+      Multimodal.ImageRow(1L, good),
+      Multimodal.ImageRow(2L, good.take(8)),
+      Multimodal.ImageRow(3L, Array.fill[Byte](64)(0x5A)))).toSeq
+    assert(out(0).is_valid && out(0).width.contains(5))
+    assert(!out(1).is_valid && !out(2).is_valid)
+  }
+
   test("image dedup finds exactly the mod-256 twins through the real " +
        "PNG decode path") {
     import graft.operators.Multimodal
