@@ -325,6 +325,23 @@ object Dedup {
       WHERE d.source = '$batchSource'
       ORDER BY d.doc_id"""
 
+  /** The standing corpus BAND INDEX (c_id, band_idx, band_key) a
+    * production incremental-dedup deployment maintains: computed once
+    * per corpus snapshot, joined by every ingest batch (d15) or
+    * document stream ([[graft.streaming.StreamingOps
+    * .incrementalDedupStream]]). Signatures are the zero-shuffle
+    * native projections, so building the index is one scan + one
+    * in-row band expansion. */
+  def corpusBandIndex(docs: DataFrame): DataFrame =
+    minhashBands(minhashSigs(docs))
+      .select(col("doc_id").as("c_id"), col("band_idx"), col("band_key"))
+
+  /** Band keys for a (possibly streaming) document frame — stateless
+    * per-row signatures + in-row band expansion, legal on unbounded
+    * streams. */
+  private[graft] def bandKeysFor(docs: DataFrame): DataFrame =
+    minhashBands(minhashSigs(docs))
+
   /** SimHash near-duplicate detection, Manku–Jain–Sarma style: a
     * 60-BIT SimHash split into 4 × 15-bit bands, so any pair within
     * Hamming distance 3 shares at least one full band (pigeonhole over

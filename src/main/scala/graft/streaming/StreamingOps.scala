@@ -91,6 +91,26 @@ object StreamingOps {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.gopherRulesCols(docs).filter(col("keep"))
 
+  /** Streaming incremental dedup — d15's batch-vs-corpus probe as a
+    * STREAM-STATIC join: each arriving document's band keys (the
+    * stateless zero-shuffle signature projection, legal on unbounded
+    * streams) join the standing corpus band index
+    * ([[graft.operators.Dedup.corpusBandIndex]], a static frame the
+    * deployment refreshes per corpus snapshot). Stream-static
+    * equi-joins are STATELESS in Structured Streaming — no watermark,
+    * no state store, append mode — so this is the cheapest possible
+    * "have we seen this before" probe at ingestion time. Emits one
+    * (b_id, c_id) row per matching band (the exact-verify /
+    * aggregation stage is the consumer's choice, as in d15); a doc
+    * sharing no band with the corpus emits nothing. Replay parity
+    * with d15's candidate set is spec-gated. */
+  def incrementalDedupStream(stream: DataFrame,
+      corpusBands: DataFrame): DataFrame =
+    graft.operators.Dedup.bandKeysFor(stream)
+      .select(col("doc_id").as("b_id"), col("band_idx"), col("band_key"))
+      .join(corpusBands, Seq("band_idx", "band_key"))
+      .select(col("b_id"), col("c_id"))
+
   case class AsofState(cts: Long, clickId: Long, clickValue: Double)
   case class AsofOut(user_id: Long, purchase_id: Long,
     click_id: Option[Long], click_value: Option[Double], gap_us: Option[Long])

@@ -201,6 +201,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup probes the static corpus index " +
+       "statelessly and replays the batch candidate set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpusText = (1 to 30).map(i => s"word$i").mkString(" ")
+    val corpus = Seq((1L, corpusText), (2L, (31 to 60).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.corpusBandIndex(corpus)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.incrementalDedupStream(
+        input.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("incdedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((10L, corpusText)) // copy of corpus doc 1
+      q.processAllAvailable()
+      input.addData((11L, (61 to 90).map(i => s"w$i").mkString(" "))) // novel
+      q.processAllAvailable()
+      val pairs = spark.table("incdedup_stream")
+        .select("b_id", "c_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the copy matches its corpus twin; the novel doc emits nothing
+      assert(pairs == Set((10L, 1L)), s"pairs $pairs")
+      // the join must be stateless: no state store rows accumulate
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "stream-static probe accumulated state")
+    } finally q.stop()
+  }
+
   test("batch and streaming sessionize agree on sub-millisecond gaps") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
