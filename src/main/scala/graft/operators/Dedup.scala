@@ -219,6 +219,11 @@ object Dedup {
 
   def incrementalDedup(docs: DataFrame, batchSource: String,
       tau: Double = 0.5, maxBucket: Int = Int.MaxValue): DataFrame = {
+    // array_distinct is NOT redundant here: hashedShingleCol dedups at
+    // the STRING level, so two distinct shingles colliding to one hash
+    // would leave duplicate hash values — the Jaccard needs SET
+    // semantics at the HASH level, pinned identically in the oracle's
+    // outer list_distinct
     val sigged = graft.Ckpt(docs.select(col("doc_id"), col("source"),
       array_distinct(hashedShingleCol(col("text"))).as("hset"),
       graft.GraftFunctions.minhashSig(hashedShingleCol(col("text")), 64)

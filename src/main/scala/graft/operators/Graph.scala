@@ -149,6 +149,7 @@ object Graph {
     require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
       s"g9 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
     require(seed >= 0 && seed < n, s"g9 seed $seed outside 0..${n - 1}")
+    require(iters >= 1, s"g9 needs at least one iteration, got $iters")
     val docs = spine.persist(StorageLevel.MEMORY_AND_DISK)
     val edges = syntheticFwd(docs, n)
       .repartition(col("src"))
@@ -977,6 +978,11 @@ object Graph {
     val nodes = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v")))
       .distinct()
+    // a source that is no edge endpoint would silently produce an
+    // all-unreachable answer with no source row at all — a typo'd
+    // source must fail loudly, not look like an empty reachability set
+    require(nodes.filter(col("v") === source).count() == 1,
+      s"g8 source $source is not a node of the edge list")
     bfsCore(nodes, edges, source, maxSteps)
   }
 

@@ -1238,12 +1238,14 @@ object Similarity {
   def clusterProfile(e: DataFrame, k: Int): DataFrame = {
     val spark = e.sparkSession
     val centroids = ivfCentroids(e, k)
-    val assigned = ivfAssign(e, centroids)
+    // two consumers (label rollup and the cell rollup) — checkpointed
+    // so the n×k assignment cross join + max_by aggregate run once
+    val assigned = graft.Ckpt(ivfAssign(e, centroids)
       .join(e.select(col("vec_id").as("c_id"), col("label")), "c_id")
       .join(centroids, Seq("cell"))
       .select(col("cell"), col("c_id"), col("label"),
         round(graft.GraftFunctions.cosineSim(spark, col("cv"), col("centv")),
-          12).cast("decimal(38,12)").as("cos12"))
+          12).cast("decimal(38,12)").as("cos12")))
     val byLabel = assigned.groupBy("cell", "label")
       .agg(count(lit(1)).as("n"))
     val topLabel = byLabel.groupBy("cell")

@@ -1145,7 +1145,10 @@ object TextOps {
       sort_array(collect_list(struct(col("source"), col("n_docs"),
         col("n_tokens")))).as("ps"),
       sum(col("n_tokens")).as("t"))
-    val rates = asm
+    // sources-bounded and TWO consumers (the broadcast threshold join
+    // and the final select) — checkpointed so the corpus-scale source
+    // aggregate behind it runs once (the m9/d14 discipline)
+    val rates = graft.Ckpt(asm
       .withColumn("wsum", aggregate(
         transform(col("ps"),
           s => sqrt(s("n_tokens").cast("double") / col("t").cast("double"))),
@@ -1158,7 +1161,7 @@ object TextOps {
       .withColumn("epochs0",
         col("w0") * col("t").cast("double") / col("n_tokens").cast("double"))
       .withColumn("thresh",
-        floor(least(col("epochs0"), lit(1.0)) * lit(1000000.0)).cast("long"))
+        floor(least(col("epochs0"), lit(1.0)) * lit(1000000.0)).cast("long")))
     val kept = toks
       .join(broadcast(rates.select(col("source"), col("thresh"))), "source")
       .filter(pmod(pmod(col("doc_id"), lit(1000000000L)) * lit(2654435761L),

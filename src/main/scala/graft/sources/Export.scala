@@ -367,34 +367,23 @@ object Export {
     * directory listing bounded by the (small) cell count. */
   def partitionedExport(spark: SparkSession, dir: String,
       outPath: String = null): DataFrame = {
-    import spark.implicits._
     val out = resolve(spark, outPath, "x9_part")
     Tables.load(spark, dir, "documents")
       .repartition(col("lang"), col("source"))
       .write.mode("overwrite").partitionBy("lang", "source").parquet(out)
-    // per-cell data-file census from the landed directory tree:
-    // .../lang=<l>/source=<s>/part-*.parquet
-    val root = new org.apache.hadoop.fs.Path(out)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(root, true)
-    val census = scala.collection.mutable.Map.empty[(String, String), Long]
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.startsWith("part-")) {
-        val srcDir = f.getParent
-        val langDir = srcDir.getParent
-        val key = (langDir.getName.stripPrefix("lang="),
-          srcDir.getName.stripPrefix("source="))
-        census(key) = census.getOrElse(key, 0L) + 1
-      }
-    }
-    val files = census.toSeq.map { case ((l, s), n) => (l, s, n) }
-      .toDF("lang", "source", "n_files")
+    // per-cell data-file census via input_file_name() on the
+    // partitioned re-read — Spark's own partition decoding supplies
+    // the cell values, so Hive path escaping (a lang like "pt BR" →
+    // lang=pt%20BR, or the null-partition sentinel) can never desync
+    // the census keys from the read-back values the way a hand-parsed
+    // directory walk did
     spark.read.parquet(out)
+      .select(col("lang"), col("source"), col("text"),
+        input_file_name().as("fname"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).as("total_chars"))
-      .join(broadcast(files), Seq("lang", "source"))
+        sum(length(col("text"))).as("total_chars"),
+        countDistinct(col("fname")).as("n_files"))
       .orderBy("lang", "source")
   }
 

@@ -660,13 +660,13 @@ class PlanSpec extends SparkSpec {
       // t22: a pure per-row projection — the output sort is the only
       // exchange
       ("t22", graft.operators.TextOps.gopherRules(docs), 1),
-      // s12: assignment aggregate + label/centroid re-joins + the
-      // k-bounded cell rollups and output sort — measured actual
+      // s12: the k-bounded label/cell rollups, their join and the
+      // output sort (the n×k assignment sits behind its checkpoint)
       ("s12", graft.operators.Similarity.clusterProfile(
-        Tables.load(spark, sfDir, "embeddings"), 16), 6),
-      // t23: the two corpus-scale source aggregates (totals + kept),
-      // the sources-bounded weight fold, final join and sort
-      ("t23", graft.operators.TextOps.mixApply(docs), 5),
+        Tables.load(spark, sfDir, "embeddings"), 16), 4),
+      // t23: the kept-side source aggregate + output sort (the totals
+      // aggregate and weight fold sit behind the rates checkpoint)
+      ("t23", graft.operators.TextOps.mixApply(docs), 2),
       // d14: bloom pruning is in-row; the shuffles are the candidate
       // verify join legs, the per-doc hit aggregate, spine re-attach
       // and sort — all on the bloom-positive remainder or the narrow
