@@ -139,9 +139,21 @@ object Bench {
     else ""
     val failedJson = failed.toSeq.sortBy(_._1)
       .map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    // Fixpoint step counts (r11 verdict #2): each iterative graph
+    // operator records the relaxation steps its DATA needed (g5 took
+    // 43 at sf0.1 vs 24 at sf0.01 — the class of silent cost growth
+    // wall time alone can't attribute). Emitting them per artifact
+    // makes a data regen that doubles an iteration's step count
+    // visible as a diff, not a mystery slowdown.
+    val stepsJson = {
+      import scala.jdk.CollectionConverters._
+      graft.operators.Graph.FixpointSteps.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    }
     s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""materialized":true,"runs":$reps,"protocol":"drop-first-min-rest",""" +
-      s""""raw":${jraw(rawTimes)},$legacy"failed":$failedJson,""" +
+      s""""raw":${jraw(rawTimes)},$legacy"fixpoint_steps":$stepsJson,""" +
+      s""""failed":$failedJson,""" +
       s""""value":${r3(total)},"queries":${jmap(matTimes)}}"""
   }
 

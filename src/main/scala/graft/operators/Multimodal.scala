@@ -203,7 +203,17 @@ object Multimodal {
       * that fails to decode (ImageIO returns null on unrecognized
       * streams and THROWS on recognized-but-truncated ones — both
       * paths occur in the wild) becomes an `is_valid = false` row
-      * instead of killing the task. */
+      * instead of killing the task.
+      *
+      * The guard catches ONLY the failure classes ImageIO throws on
+      * malformed payloads — IOException (incl. IIOException and the
+      * EOFException a truncated PNG raises) plus the runtime classes
+      * its format plugins leak on truncated/inconsistent streams
+      * (Index/ArrayIndexOutOfBounds, IllegalArgument,
+      * NegativeArraySize). A blanket `Exception` catch here would
+      * fold a genuine decode regression on GOOD payloads (e.g. a
+      * broken ImageIO plugin classpath) into a silently all-invalid
+      * corpus instead of failing loudly (r11 ADVICE). */
     def decodeRobust(rows: Iterator[ImageRow]): Iterator[RobustFeatures] = {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
@@ -225,8 +235,12 @@ object Multimodal {
             }
             RobustFeatures(row.doc_id, true, Some(w), Some(h), Some(hash))
           }
-        } catch { case _: Exception =>
-          RobustFeatures(row.doc_id, false, None, None, None)
+        } catch {
+          case _: java.io.IOException |
+               _: IndexOutOfBoundsException |
+               _: IllegalArgumentException |
+               _: NegativeArraySizeException =>
+            RobustFeatures(row.doc_id, false, None, None, None)
         }
       }
     }

@@ -370,7 +370,14 @@ object Export {
     val out = resolve(spark, outPath, "x9_part")
     Tables.load(spark, dir, "documents")
       .repartition(col("lang"), col("source"))
-      .write.mode("overwrite").partitionBy("lang", "source").parquet(out)
+      .write.mode("overwrite")
+      // the one-file-per-cell contract must not depend on ambient
+      // session config: a deployment that sets
+      // spark.sql.files.maxRecordsPerFile would split the single
+      // per-cell task into multiple files and break the oracle's
+      // n_files = 1 (r11 ADVICE) — 0 pins "no per-file row bound"
+      .option("maxRecordsPerFile", 0)
+      .partitionBy("lang", "source").parquet(out)
     // per-cell data-file census via input_file_name() on the
     // partitioned re-read — Spark's own partition decoding supplies
     // the cell values, so Hive path escaping (a lang like "pt BR" →

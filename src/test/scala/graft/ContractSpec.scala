@@ -74,6 +74,26 @@ class ContractSpec extends SparkSpec {
     assert(line.contains(""""ok_probe":["""), s"healthy raw missing: $line")
   }
 
+  test("fixpoint step counts reach the bench artifact") {
+    // r11 verdict #2: the cost of the iterative graph family is
+    // step count × edge scale, and the step count is DERIVED FROM THE
+    // DATA (g5 needed 43 steps at sf0.1 vs 24 at sf0.01). A data
+    // regen that silently doubles it must be visible in the committed
+    // artifact, not just as an unattributed wall-time jump.
+    import org.apache.spark.sql.SparkSession
+    graft.operators.Graph.FixpointSteps.clear()
+    val line = Bench.benchLine(spark, tinySf, Map(
+      "cc_probe" -> ((s: SparkSession, _: String) => {
+        import s.implicits._
+        graft.operators.Graph.g2ComponentsEdges(
+          Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("src", "dst"))
+      })), reps = 1, countMode = false)
+    val steps = graft.operators.Graph.FixpointSteps.getOrDefault("g2_edges", 0L)
+    assert(steps > 0, s"no step count recorded: $steps")
+    assert(line.contains(s""""fixpoint_steps":{"g2_edges":$steps}"""),
+      s"steps map not in artifact: $line")
+  }
+
   test("the bench spread gate earns a polluted query a clean-up rep") {
     // r10's committed artifact carried triples like [8.9, 25.6, 55.5]
     // for a 2.1 s query with no self-correction. Simulate contention

@@ -470,25 +470,34 @@ class GraphSpec extends SparkSpec {
   }
 
   /** Plain-Scala replica of the GENERAL pagerank recurrence: per-node
-    * out-degree, dangling-mass redistribution, per-dst fold in src
-    * order from init = 0.15/n + (0.85*dm)/n — the engine's exact
-    * float-op sequence. */
+    * out-degree, dangling-mass redistribution, and the engine's exact
+    * arithmetic — each contribution 0.85·(r/outd) quantized to
+    * DECIMAL(38,18) exactly as Spark's double→decimal cast does it
+    * (shortest decimal string of the double, then HALF_UP at scale
+    * 18), summed EXACTLY (order-free — the r12 skew-proof fold), the
+    * sum cast back to double and added to init = 0.15/n + (0.85·dm)/n;
+    * the dangling mass dm is the same exact decimal sum of the
+    * dangling ranks. */
+  private def dec18(x: Double): BigDecimal =
+    BigDecimal(new java.math.BigDecimal(java.lang.Double.toString(x)))
+      .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+
   private def referencePrEdges(edges: Seq[(Long, Long)],
                                iters: Int): Map[Long, Double] = {
     val simple = edges.filter(e => e._1 != e._2).distinct
     val nodes = simple.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val n = nodes.size
     val outd = simple.groupBy(_._1).map { case (s, es) => s -> es.size }
-    val inE = simple.groupBy(_._2)
-      .map { case (d, es) => d -> es.map(_._1).sorted }
+    val inE = simple.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
     var r = nodes.map(_ -> 1.0 / n).toMap
     for (_ <- 1 to iters) {
-      val dm = nodes.filter(v => !outd.contains(v)).map(r).sum
+      val dm = nodes.filter(v => !outd.contains(v))
+        .map(v => dec18(r(v))).foldLeft(BigDecimal(0))(_ + _).toDouble
+      val init = 0.15 / n + 0.85 * dm / n
       r = nodes.map { v =>
-        v -> inE.getOrElse(v, Seq.empty).foldLeft(
-          0.15 / n + 0.85 * dm / n) { (acc, src) =>
-          acc + 0.85 * (r(src) / outd(src).toDouble)
-        }
+        v -> (init + inE.getOrElse(v, Seq.empty)
+          .map(src => dec18(0.85 * (r(src) / outd(src).toDouble)))
+          .foldLeft(BigDecimal(0))(_ + _).toDouble)
       }.toMap
     }
     r
@@ -511,5 +520,47 @@ class GraphSpec extends SparkSpec {
     }
     // dangling redistribution keeps total mass at 1
     assert(math.abs(want.values.sum - 1.0) < 1e-9)
+  }
+
+  test("general pagerank survives a 1e5-spoke hub (skewed in-degree, " +
+       "O(1) per-node fold state)") {
+    import spark.implicits._
+    val hub = 1L << 44
+    val spokes = 100000
+    // every spoke points AT the hub: in-degree 1e5 concentrated on one
+    // node — the power-law shape that used to materialize an
+    // O(in-degree) collect_list row in a single aggregation task. The
+    // decimal-sum fold keeps per-node state O(1); map-side partials
+    // collapse the fan-in before the shuffle. The hub itself is
+    // dangling (no out-links), so the redistribution path is exercised
+    // with a 1e5-term exact sum too.
+    val edges = (1 to spokes).map(i => (hub + i, hub))
+    val iters = 4
+    val got = Graph.g1PagerankEdges(edges.toDF("src", "dst"), iters)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = referencePrEdges(edges, iters)
+    assert(got.keySet == want.keySet && got.size == spokes + 1)
+    want.foreach { case (v, w) =>
+      val exp = BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(got(v) == exp, s"node $v: engine ${got(v)} vs reference $exp")
+    }
+    // the hub must dominate: it absorbs every spoke's full rank
+    assert(got(hub) > got(hub + 1) * 1000)
+  }
+
+  test("k-core survives a 1e5-spoke hub (degree-skewed histogram fold " +
+       "bounded by distinct neighbour values, not degree)") {
+    import spark.implicits._
+    val hub = -77L
+    val spokes = 100000
+    // a star: the hub's 1e5 neighbours all hold value 1 after one
+    // step, so its histogram row is ONE (value, count) entry where the
+    // old list fold carried 1e5 elements in a single aggregation row
+    val edges = (1 to spokes).map(i => (hub, 1000000L + i))
+    val got = Graph.g5KcoreEdges(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a star is 1-degenerate: every node (hub included) has coreness 1
+    assert(got.toSeq == Seq((1L, spokes + 1L, hub, 1000000L + spokes)))
   }
 }
