@@ -954,11 +954,13 @@ object Dedup {
     *
     *  1. BUILD — one single-row aggregate serializes a bloom over
     *     xxhash64 of every benchmark shingle (Spark's own
-    *     runtime-filter machinery via the shim; the collected binary
-    *     is bounded by the `numBits` constructor parameter, the PQ-
-    *     codebook class of sanctioned driver-side artifact, and rides
-    *     into the plan as a literal exactly as InjectRuntimeFilter
-    *     broadcasts it).
+    *     runtime-filter machinery via the shim). The binary rides
+    *     into the probe as a SCALAR SUBQUERY — InjectRuntimeFilter's
+    *     own shape — so it ships to executors through the subquery
+    *     mechanism once, never through the driver as a collected
+    *     value and never replicated into each task closure (r11
+    *     ADVICE; at GB-range `numBits` the literal form was both a
+    *     driver-memory pin and a per-task serialization cost).
     *  2. PRUNE — the corpus shingle stream drops bloom-negatives
     *     IN-ROW: no shuffle touches the overwhelming clean majority.
     *     Bloom filters have no false negatives, so nothing
@@ -985,22 +987,24 @@ object Dedup {
     val bench = graft.Ckpt(docs.filter(col("source") === benchmarkSource)
       .select(explode(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
       .distinct())
-    val bloomRow = bench
+    // The bloom rides as a SCALAR SUBQUERY (the InjectRuntimeFilter
+    // shape), NOT a driver-collected plan literal: at billion-shingle
+    // scale the serialized filter is GB-range, and a literal would
+    // both sit in driver memory and re-ship in every task closure;
+    // the subquery result ships once per executor (r11 ADVICE). An
+    // empty benchmark yields a NULL bloom ⇒ NULL probe ⇒ the filter
+    // keeps no candidates ⇒ every doc reports n_hits = 0, the same
+    // answer the old driver-side early return produced.
+    val bloomDf = bench
       .agg(GraftShim.bloomAggColumn(xxhash64(col("sh")), estItems, numBits)
         .as("bf"))
-      .head()
     val spine = docs.filter(col("source") =!= benchmarkSource)
       .select(col("doc_id"))
-    val bloom =
-      if (bloomRow.isNullAt(0)) null else bloomRow.getAs[Array[Byte]](0)
-    if (bloom == null)
-      // empty benchmark ⇒ nothing is contaminated
-      return spine.select(col("doc_id"), lit(0L).as("n_hits"))
-        .orderBy("doc_id")
     val cand = docs.filter(col("source") =!= benchmarkSource)
       .select(col("doc_id"),
         explode(graft.GraftFunctions.wordShingles(col("text"), 3)).as("sh"))
-      .filter(GraftShim.bloomMightContain(bloom, xxhash64(col("sh"))))
+      .filter(GraftShim.bloomMightContainSubquery(bloomDf,
+        xxhash64(col("sh"))))
     val hits = cand.join(bench, Seq("sh"), "left_semi")
       .groupBy("doc_id")
       .agg(countDistinct(col("sh")).as("n_hits"))

@@ -46,4 +46,23 @@ object GraftShim {
       org.apache.spark.sql.catalyst.expressions.Literal(bloom,
         org.apache.spark.sql.types.BinaryType),
       expression(value)))
+
+  /** Membership probe whose bloom side is a SCALAR SUBQUERY over
+    * `bloomDf` (a one-row, one-BINARY-column bloom aggregate) — the
+    * exact shape InjectRuntimeFilter builds: the serialized filter
+    * never round-trips through the driver as a collected value and is
+    * shipped to executors once through the subquery result mechanism
+    * instead of riding in every task's closure as a plan literal
+    * (r11 ADVICE: at billion-shingle scale the literal form serializes
+    * GB-range bloom bytes into every task). A NULL bloom (empty build
+    * side) makes the probe NULL ⇒ the filter keeps nothing, which is
+    * the correct "nothing to match" semantics. */
+  def bloomMightContainSubquery(bloomDf: DataFrame,
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val plan = bloomDf.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(plan),
+      expression(value)))
+  }
 }

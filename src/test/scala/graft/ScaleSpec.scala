@@ -25,6 +25,51 @@ class ScaleSpec extends SparkSpec {
     noop(SparkEntry.queries("d7_dedup_pipeline")(spark, sf01)) // label-prop maxIter
   }
 
+  test("AQE splits a deliberately hot join key (OptimizeSkewedJoin " +
+       "exercised end to end)") {
+    // The linear joins the dedup family leans on at scale (d13's
+    // count re-attach, d15's verify legs) are documented as "AQE
+    // skew-split applies" — but no spec ever forced a skewed exchange
+    // through OptimizeSkewedJoin (r11 verdict #3). Do it for real:
+    // one key carries 1e5 padded rows (~12 MB in one hash partition
+    // vs a ~4 KB median), the skew thresholds are lowered to
+    // local-box sizes, broadcast is disabled so the join is a
+    // sort-merge over both shuffles, and the FINAL adaptive plan must
+    // show the skew-split join — the same mechanism that splits a
+    // hot-key task at 100 TB.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the pad must be per-row unique: skew detection reads the
+      // COMPRESSED shuffle block sizes, and a constant pad lz4's to
+      // nothing (the first cut of this spec never crossed the
+      // threshold for exactly that reason)
+      val pad = sha2(concat(col("id").cast("string"), lit("p")), 512)
+      val left = spark.range(0, 100000)
+        .select(lit(0L).as("k"), pad.as("pad"))
+        .unionByName(spark.range(1, 1001)
+          .select(col("id").as("k"), pad.as("pad")))
+      val right = spark.range(0, 1001).select(col("id").as("k"),
+        (col("id") % 5).as("vb"))
+      val joined = left.join(right, "k")
+      val n = joined.collect().length
+      assert(n == 101000, s"skewed join lost rows: $n")
+      val fin = joined.queryExecution.executedPlan.toString
+      assert(fin.contains("skew=true"),
+        s"final adaptive plan shows no skew-split join:\n${fin.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join preserves inner-join semantics exactly") {
     val l = Tables.load(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity")
