@@ -170,6 +170,7 @@ object SparkEntry {
     "s12_cluster_profile" -> (Similarity.clusterProfile _),
     "t22_gopher_rules" -> (TextOps.gopherRules _),
     "t23_mix_apply" -> (TextOps.mixApply _),
+    "t24_dsir_weights" -> (TextOps.dsirWeights _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e11_event_gaps" -> (Events.interEventGaps _),
@@ -185,6 +186,11 @@ object SparkEntry {
     "q39_gapfill" -> (Events.gapFill _),
     "e12_rolling_rate" -> (Events.rollingRate _),
     "e13_dau_wau" -> (Events.dauWau _),
+    // e18 has NO oracleSql entry BY DESIGN: no DuckDB replica of
+    // DataSketches HLL exists, so the driver records the weaker
+    // rows-only check; the error bound vs the exact e13 is spec-gated
+    // (PipelineOpsSpec) and the estimate itself is deterministic.
+    "e18_dau_approx" -> (Events.dauApprox _),
     "e17_daily_topk" -> ((s: SparkSession, d: String) => Events.dailyTopk(s, d)),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
@@ -962,6 +968,7 @@ object SparkEntry {
     "s12_cluster_profile" -> Similarity.s12OracleSql(),
     "t22_gopher_rules" -> TextOps.t22OracleSql,
     "t23_mix_apply" -> TextOps.t23OracleSql,
+    "t24_dsir_weights" -> TextOps.t24OracleSql(),
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
     "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),
     "b4_banded_align" -> graft.operators.Dedup.b4OracleSql(),

@@ -489,6 +489,50 @@ object Events {
       .orderBy("day")
   }
 
+  /** e18: sketch-based DAU / trailing-7-day WAU — the
+    * approximate twin of [[dauWau]] (r11 verdict #4). e13 is exact
+    * and oracle-checkable, but its first stage is a DISTINCT
+    * (user, day) collapse whose shuffle grows with RAW user×day
+    * cardinality — at 100 TB that one exchange dominates the query.
+    * This form never shuffles raw cardinality at all: one fact-scale
+    * pass folds each day's users into a DataSketches HLL sketch
+    * (map-side partial sketches merge, so the exchange carries ONE
+    * sketch per (partition, day) — KB per day, independent of user
+    * count), and every later stage operates on the day-cardinality
+    * sketch frame. WAU needs no 7× contribution explode of presence
+    * rows either: a day's sketch is REUSED for the 7 windows it
+    * feeds (sketch-row explode, ≤ 7×days rows), and `hll_union_agg`
+    * max-merges the window — exactly how production dashboards
+    * compute rolling uniques.
+    *
+    * Correctness contract: rows-only at the driver (no DuckDB HLL
+    * replica exists), with the error bound spec-gated against the
+    * exact e13 — DataSketches HLL relative standard error at the
+    * default lgConfigK=12 is ~1.6%, and estimates are DETERMINISTIC
+    * for a given input SET (register state is an order-free max), so
+    * the determinism sweep still applies. */
+  def dauApprox(spark: SparkSession, dir: String): DataFrame =
+    dauApprox(Tables.load(spark, dir, "events"))
+
+  def dauApprox(events: DataFrame): DataFrame = {
+    // one row per day, whatever the user cardinality
+    val daily = graft.Ckpt(events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk")))
+    val dau = daily.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("dau_approx"))
+    val wau = daily
+      .select(explode(sequence(col("day"), date_add(col("day"), 6),
+        expr("interval 1 day"))).as("day2"), col("sk"))
+      .groupBy("day2")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("wau_approx"))
+    dau.join(wau, dau("day") === wau("day2"))
+      .select(date_format(dau("day"), "yyyy-MM-dd").as("day"),
+        col("dau_approx"), col("wau_approx"))
+      .orderBy("day")
+  }
+
   /** e17: daily heavy hitters — the top-k event types per day (the
     * "what dominated traffic each day" dashboard readout, and the
     * generic per-window heavy-hitter shape). Counts are one exact

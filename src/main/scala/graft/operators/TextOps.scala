@@ -1229,6 +1229,123 @@ object TextOps {
       FROM thr LEFT JOIN kept ON kept.source = thr.source
       ORDER BY thr.source"""
 
+  /** t24: DSIR-style importance weights — hashed-n-gram importance
+    * scoring (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): estimate a target and a raw
+    * feature distribution over hashed unigram+bigram buckets
+    * (t19's exact feature map), score every document by how much
+    * more target-like than raw-like its grams are, and flag the
+    * docs a DSIR selection keeps. This is the data-SELECTION step
+    * between t11's mixture weights and t23's physical sampling —
+    * the "make the corpus look like the target domain" stage every
+    * current pretraining pipeline runs.
+    *
+    * Exactness (the t19 trick, lifted to data-derived weights): the
+    * paper's per-gram log(p̂/q̂) is float and unordered-sum-hostile,
+    * so the score here is the LINEARIZED importance score over one
+    * shared denominator — per bucket b the rational
+    * p̂(b) − q̂(b) = (T_b·R − R_b·T)/(T·R), so a doc's score
+    * numerator Σ_b tf_b·(T_b·R − R_b·T) is ALL-INTEGER. It is
+    * summed as DECIMAL(38,0) (T, R are gram-scale counts — at 100 TB
+    * the per-bucket product tops int64, and decimal sums stay exact
+    * and order-free), divided ONCE by n_grams·T·R for the per-gram
+    * mean, and rounded — reproduced bit-for-bit by the HUGEINT
+    * oracle. `selected` ⇔ numerator > 0: the doc's gram mass sits
+    * closer to the target than to the raw distribution. Smoothing is
+    * unnecessary by construction: every gram of every scored doc is
+    * in the raw counts, and T_b = 0 just contributes its negative
+    * raw term — no log singularities anywhere.
+    *
+    * Scale shape: one gram-scale (doc, bucket) tf aggregate (map-side
+    * combine collapses repeats), one gram-scale bucket-stats
+    * aggregate behind a checkpoint, then the tf frame joins the
+    * stats table — bounded by [[FtBuckets]] rows (2²⁰ ≈ 24 MB), a
+    * BROADCAST by constructor bound, the PQ-codebook class — plus a
+    * one-row totals crossJoin, and a per-doc fold. No corpus-scale
+    * join, nothing quadratic, zero UDFs. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def dsirWeights(docs: DataFrame,
+                  targetSource: String = "src0"): DataFrame = {
+    GraftFunctions.ensureRegistered(docs.sparkSession)
+    val w = "split(text, ' ')"
+    val grams = s"""concat($w,
+      zip_with(slice($w, 1, size($w) - 1), slice($w, 2, size($w) - 1),
+        (x, y) -> concat(x, '_', y)))"""
+    // gram stream → hashed bucket ids, all in-row (native poly_hash)
+    val db = docs
+      .select(col("doc_id"), col("source"), explode(expr(grams)).as("g"))
+      .select(col("doc_id"), col("source"),
+        expr(s"poly_hash(g, 31, $FtBuckets)").as("b"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    // bucket → (raw count, target count); ≤ FtBuckets rows, two
+    // consumers (totals + scoring join) ⇒ checkpointed once
+    val stats = graft.Ckpt(db.groupBy("b").agg(
+      count(lit(1)).as("r_b"),
+      sum(when(col("source") === targetSource, 1L).otherwise(0L))
+        .as("t_b")))
+    val tot = stats.agg(sum(col("r_b")).as("r_tot"),
+      sum(col("t_b")).as("t_tot"))
+    val perDoc = db.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    perDoc
+      .join(broadcast(stats), "b")
+      .crossJoin(broadcast(tot)) // one row — in-plan, not a head()
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_grams"),
+        sum(dec(col("tf")) * (dec(col("t_b")) * dec(col("r_tot"))
+          - dec(col("r_b")) * dec(col("t_tot")))).as("num"),
+        min(col("t_tot")).as("t_tot"), min(col("r_tot")).as("r_tot"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("num").cast("double")
+          / (col("n_grams").cast("double") * col("t_tot").cast("double")
+            * col("r_tot").cast("double")), 6).as("dsir_score"),
+        (col("num") > 0).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dsirWeights]] — same grams, same poly hash,
+    * same integer numerator in HUGEINT, same single division. */
+  def t24OracleSql(targetSource: String = "src0"): String = s"""
+      WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT doc_id, source, unnest(list_concat(w,
+          list_transform(generate_series(1, len(w) - 1),
+            i -> w[i] || '_' || w[i + 1]))) AS gr
+        FROM t),
+      bk AS (
+        SELECT doc_id, source,
+          CASE WHEN length(gr) = 0 THEN CAST(0 AS BIGINT)
+            ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, length(gr)),
+                i -> CAST(ord(substring(gr, i, 1)) AS BIGINT))),
+              (a, c) -> (a * 31 + c) % $FtBuckets) END AS b
+        FROM g),
+      stats AS (
+        SELECT b, count(*) AS r_b,
+          sum(CASE WHEN source = '$targetSource' THEN 1 ELSE 0 END) AS t_b
+        FROM bk GROUP BY b),
+      tot AS (
+        SELECT CAST(sum(r_b) AS BIGINT) AS r_tot,
+          CAST(sum(t_b) AS BIGINT) AS t_tot FROM stats),
+      perdoc AS (
+        SELECT doc_id, b, count(*) AS tf FROM bk GROUP BY doc_id, b),
+      sc AS (
+        SELECT p.doc_id, CAST(sum(p.tf) AS BIGINT) AS n_grams,
+          sum(CAST(p.tf AS HUGEINT)
+            * (CAST(s.t_b AS HUGEINT) * tt.r_tot
+               - CAST(s.r_b AS HUGEINT) * tt.t_tot)) AS num
+        FROM perdoc p JOIN stats s USING (b), tot tt
+        GROUP BY p.doc_id)
+      SELECT sc.doc_id, sc.n_grams,
+        round(CAST(sc.num AS DOUBLE)
+          / (CAST(sc.n_grams AS DOUBLE) * CAST(tt.t_tot AS DOUBLE)
+            * CAST(tt.r_tot AS DOUBLE)), 6) AS dsir_score,
+        sc.num > 0 AS selected
+      FROM sc, tot tt ORDER BY sc.doc_id"""
+
   /** The Gopher stopword list (Rae et al. 2021, §A1.1): a document
     * must contain at least [[GopherMinStops]] of these to pass the
     * "natural language" rule. */

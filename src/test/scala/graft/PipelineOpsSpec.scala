@@ -230,6 +230,28 @@ class PipelineOpsSpec extends SparkSpec {
     // horizon is days 1..7), which is exactly what wau=1 on Jan 8 shows
   }
 
+  test("e18 sketch DAU/WAU tracks the exact e13 within HLL error " +
+       "bounds, day by day") {
+    // DataSketches HLL at the default lgConfigK=12 has ~1.6% relative
+    // standard error; at the spec corpus's cardinalities the sketch
+    // is still in (exact) sparse mode, but the gate allows the full
+    // 3σ dense-mode band so a data regen can't break it spuriously.
+    val exact = graft.operators.Events.dauWau(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val approx = graft.operators.Events.dauApprox(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(approx.keySet == exact.keySet,
+      s"day sets differ: ${approx.keySet.diff(exact.keySet)} / " +
+        s"${exact.keySet.diff(approx.keySet)}")
+    exact.foreach { case (day, (dau, wau)) =>
+      val (da, wa) = approx(day)
+      assert(math.abs(da - dau) <= math.max(2.0, 0.05 * dau),
+        s"$day: dau_approx $da vs exact $dau")
+      assert(math.abs(wa - wau) <= math.max(2.0, 0.05 * wau),
+        s"$day: wau_approx $wa vs exact $wau")
+    }
+  }
+
   test("keep-best picks the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val docs = Seq(

@@ -675,7 +675,16 @@ class PlanSpec extends SparkSpec {
       // d15: band join legs + candidate distinct + verify hset joins +
       // best-match aggregate — all behind the checkpointed signature
       // frame, sized by batch×bucket-density, never corpus²
-      ("d15", graft.operators.Dedup.incrementalDedup(docs, "src1"), 5))
+      ("d15", graft.operators.Dedup.incrementalDedup(docs, "src1"), 5),
+      // e18: everything after the one fact-scale sketch aggregate
+      // (behind its checkpoint) runs on the day-cardinality frame:
+      // the 7-window union aggregate, the dau-wau join, output sort
+      ("e18", graft.operators.Events.dauApprox(spark, sfDir), 4),
+      // t24: gram-scale (doc,bucket) tf aggregate + the one-row totals
+      // + per-doc fold + output sort; the bucket-stats aggregate sits
+      // behind its checkpoint and re-enters as a broadcast — no
+      // corpus-scale join
+      ("t24", graft.operators.TextOps.dsirWeights(docs), 5))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")

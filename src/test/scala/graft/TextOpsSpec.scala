@@ -398,4 +398,56 @@ class TextOpsSpec extends SparkSpec {
     assert(corpus.contains(true) && corpus.contains(false),
       "gopher keep gate is vacuous on the corpus")
   }
+
+  test("t24 DSIR weights match a JVM reference, target-heavy docs " +
+       "score positive and selection is non-vacuous") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val corpus = Seq(
+      (0L, "alpha beta alpha", "src0"),
+      (1L, "alpha beta gamma", "src1"),
+      (2L, "delta epsilon zeta delta", "src1"),
+      (3L, "alpha alpha beta", "src2"),
+      (4L, "beta", "src0"),
+      (5L, "delta epsilon", "src2"))
+    val got = TextOps.dsirWeights(corpus.toDF("doc_id", "text", "source"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+
+    // independent reference: same grams, same 31-ary bucket fold, the
+    // linearized score num = Σ tf_b·(T_b·R − R_b·T) in BigInt, one
+    // division + HALF_UP round(6)
+    def gramsOf(text: String): Seq[String] = {
+      val w = text.split(" ", -1).toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(p => p(0) + "_" + p(1))
+    }
+    def bucket(g: String): Long =
+      g.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % TextOps.FtBuckets)
+    val byDoc = corpus.map { case (id, text, src) =>
+      (id, src, gramsOf(text).map(bucket)) }
+    val rB = byDoc.flatMap(_._3).groupBy(identity).map { case (b, xs) =>
+      b -> xs.size.toLong }
+    val tB = byDoc.filter(_._2 == "src0").flatMap(_._3).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val rTot = rB.values.sum
+    val tTot = tB.values.sum
+    byDoc.foreach { case (id, _, bs) =>
+      val tf = bs.groupBy(identity).map { case (b, xs) => b -> xs.size }
+      val num = tf.map { case (b, c) =>
+        BigInt(c) * (BigInt(tB.getOrElse(b, 0L)) * rTot -
+          BigInt(rB(b)) * tTot) }.sum
+      val score = BigDecimal(
+        new java.math.BigDecimal(num.bigInteger).doubleValue
+          / (bs.size.toDouble * tTot.toDouble * rTot.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nG, s, sel) = got(id)
+      assert(nG == bs.size && s == score && sel == (num > 0),
+        s"doc $id: got ($nG, $s, $sel), want (${bs.size}, $score, ${num > 0})")
+    }
+    // the gate must separate: src0's own docs lean target-positive,
+    // the delta/epsilon docs (zero target mass) lean negative
+    assert(got(0L)._3 && got(4L)._3, "target-heavy docs not selected")
+    assert(!got(2L)._3 && !got(5L)._3, "zero-target-mass docs selected")
+  }
 }
