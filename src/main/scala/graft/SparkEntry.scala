@@ -110,6 +110,7 @@ object SparkEntry {
     "d11_winnow_fingerprint" ->
       ((s: SparkSession, d: String) => Dedup.winnowFingerprint(s, d)),
     "d13_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
+    "d16_dup_ngram_rate" -> (Dedup.dupNgramRate _),
     "g1_pagerank" -> ((s: SparkSession, d: String) => Graph.g1Pagerank(s, d)),
     "g2_components" -> ((s: SparkSession, d: String) => Graph.g2Components(s, d)),
     "g3_triangles" -> ((s: SparkSession, d: String) => Graph.g3Triangles(s, d)),
@@ -121,6 +122,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Graph.g7KcoreSparse(s, d)),
     "g8_bfs" -> ((s: SparkSession, d: String) => Graph.g8Bfs(s, d)),
     "g9_ppr" -> ((s: SparkSession, d: String) => Graph.g9Ppr(s, d)),
+    "g10_lpa" -> ((s: SparkSession, d: String) => Graph.g10Lpa(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -275,6 +277,14 @@ object SparkEntry {
       FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
       WHERE d.source <> 'src0'
       ORDER BY d.doc_id"""
+
+  /** Query keys DELIBERATELY absent from [[oracleSql]] — approximate
+    * operators with no DuckDB replica (the driver records its weaker
+    * rows-only check for these). Every member must carry a spec-gated
+    * error bound against its exact twin instead; ContractSpec
+    * enforces EXACT set equality, so a key can neither silently lose
+    * its oracle nor idle in this allowlist while carrying one. */
+  val rowsOnly: Set[String] = Set("e18_dau_approx")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -983,6 +993,7 @@ object SparkEntry {
     "g7_kcore_sparse" -> graft.operators.Graph.g7OracleSql,
     "g8_bfs" -> graft.operators.Graph.g8OracleSql(),
     "g9_ppr" -> graft.operators.Graph.g9OracleSql(),
+    "g10_lpa" -> graft.operators.Graph.g10OracleSql(),
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
     "m9_image_dedup" -> graft.operators.Multimodal.m9OracleSql,
     "m10_decode_robust" -> graft.operators.Multimodal.m10OracleSql,
@@ -1000,6 +1011,7 @@ object SparkEntry {
     "t20_bigram_lm" -> graft.operators.TextOps.t20OracleSql,
     "t21_bpe_encode" -> graft.operators.TextOps.t21OracleSql(),
     "d13_chunk_dedup" -> graft.operators.Dedup.d13OracleSql(),
+    "d16_dup_ngram_rate" -> graft.operators.Dedup.d16OracleSql(),
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

@@ -1338,4 +1338,84 @@ object Dedup {
           / CAST(sum(tf) AS DOUBLE), 6) <= 0.5 AS keep
       FROM tf JOIN cf USING (ch)
       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** d16: duplicate-n-gram rate — the corpus memorization-surface
+    * metric of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): per document, the fraction of its
+    * SLIDING word n-grams whose corpus-wide occurrence count exceeds
+    * one (counting in-document repeats too — self-repetition is
+    * memorization surface). This is the MEASUREMENT companion to the
+    * removal operators: d13 dedups disjoint k-word chunks, d2/d11
+    * near-dup whole docs/spans; d16 reports how much duplicated text
+    * the pipeline has left behind, catching the SHIFTED overlaps
+    * disjoint chunking can't see (two docs sharing a phrase at
+    * different word offsets collide in some sliding gram but rarely
+    * on a chunk boundary).
+    *
+    * Scale shape — d13's exactly: in-row native shingle + PolyHash
+    * projection (8-byte gram keys, never gram STRINGS, on the wire),
+    * one (doc, gram) tf aggregate behind a checkpoint (map-side
+    * combine absorbs in-doc repeats), the gram-frequency rollup, and
+    * a linear tf⋈cf re-attach on the hash key (AQE skew-split
+    * applies to a viral gram — the mechanism ScaleSpec forces end to
+    * end) + per-doc rollup. Nothing quadratic; the d13 hash-collision
+    * caveat (2³¹ space) applies and conservatively over-counts a
+    * colliding gram as duplicated.
+    *
+    * Every doc stays in the output: wordShingles emits
+    * max(words−n+1, 1) shingles, so even an empty text carries one
+    * gram and the per-doc rollup never divides by zero. */
+  val DupGramN = 5
+
+  def dupNgramRate(spark: SparkSession, dir: String): DataFrame =
+    dupNgramRate(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def dupNgramRate(docs: DataFrame, n: Int = DupGramN): DataFrame = {
+    // dedup = false: the metric needs the shingle MULTISET — an
+    // in-document repeat is duplication surface too
+    val gh = transform(
+      graft.GraftFunctions.wordShingles(col("text"), n, dedup = false),
+      s => graft.GraftFunctions.polyHash(s))
+    val tf = graft.Ckpt(docs.select(col("doc_id"), explode(gh).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("tf")))
+    val cf = tf.groupBy("g").agg(sum(col("tf")).as("n_occ"))
+    tf.join(cf, "g")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_grams"),
+        sum(when(col("n_occ") >= 2, col("tf")).otherwise(lit(0L)))
+          .as("n_dup_grams"))
+      .withColumn("dup_rate",
+        round(col("n_dup_grams").cast("double")
+          / col("n_grams").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dupNgramRate]] — the d6 sliding-shingle
+    * replica at width n, the d13 char-fold hash, integer rollups,
+    * one rounded division. */
+  def d16OracleSql(n: Int = DupGramN): String = s"""
+      WITH sh AS (
+        SELECT doc_id,
+          unnest(list_transform(
+            generate_series(1,
+              greatest(len(string_split(text, ' ')) - ${n - 1}, 1)),
+            i -> array_to_string(
+              list_slice(string_split(text, ' '), i, i + ${n - 1}), ' ')))
+            AS s
+        FROM documents),
+      occ AS (
+        SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(s)),
+              ci -> CAST(ascii(substr(s, ci, 1)) AS BIGINT))),
+            (acc, ch) -> (acc * 131 + ch) % 2147483647) AS g
+        FROM sh),
+      tf AS (SELECT doc_id, g, count(*) AS tf FROM occ GROUP BY 1, 2),
+      cf AS (SELECT g, sum(tf) AS n_occ FROM tf GROUP BY 1)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN n_occ >= 2 THEN tf ELSE 0 END) AS BIGINT)
+          AS n_dup_grams,
+        round(CAST(sum(CASE WHEN n_occ >= 2 THEN tf ELSE 0 END) AS DOUBLE)
+          / CAST(sum(tf) AS DOUBLE), 6) AS dup_rate
+      FROM tf JOIN cf USING (g)
+      GROUP BY doc_id ORDER BY doc_id"""
 }

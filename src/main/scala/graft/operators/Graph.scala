@@ -401,6 +401,146 @@ object Graph {
         inm, (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t
       ORDER BY doc_id"""
 
+  /** g10: label-propagation community detection (Raghavan et al.
+    * 2007) over the derived undirected doc graph — the classic
+    * near-linear community finder (which topical/spam cluster does
+    * each page sit in), the structure readout BETWEEN g2's components
+    * (too coarse) and g5's cores (density, not membership).
+    *
+    * Rule, made fully deterministic: each synchronous step every node
+    * adopts the label carried by the PLURALITY of its neighbours,
+    * ties broken by the SMALLEST label — no randomness, no visit
+    * order. Step count is FIXED BY CONTRACT ([[LpaIters]]): unlike
+    * g2/g5's monotone iterations, synchronous LPA has NO guaranteed
+    * fixpoint (a bipartite pair flip-flops forever), so "the label
+    * vector after exactly K plurality steps" is the only
+    * scale-stable exact semantics — the g1 class of contract, not a
+    * convergence knob.
+    *
+    * Skew discipline (r12): the plurality is computed as TWO
+    * CASCADED O(1)-state aggregates — count by (node, label), then
+    * min of (−count, label) by node — so per-node state is a single
+    * struct, NEVER a neighbour-label list; a 10⁷-degree hub costs
+    * map-side-combined (node, label) partials, no degree-sized row
+    * anywhere (this is the two-exchange shape the g5 histogram fold
+    * uses, with the histogram itself folded away). Adjacency pinned
+    * partitioned by src, lineage checkpointed on the cadence, pins
+    * released before return. */
+  val LpaIters = 8
+
+  def g10Lpa(spark: SparkSession, dir: String): DataFrame =
+    g10Lpa(Tables.load(spark, dir, "documents"))
+
+  def g10Lpa(docs0: DataFrame, iters: Int = LpaIters): DataFrame = {
+    val spine = docs0.select(col("doc_id"))
+    val h = spine.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g10 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    // the derived MULTIgraph exactly as the oracle re-derives it:
+    // both orientations, parallel edges kept (multiplicity weights
+    // the plurality), no self-edges
+    val fwd = syntheticFwd(spine, n).select(col("src"), col("dst"))
+    lpaCore(fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))), iters)
+  }
+
+  /** General LPA entry — an EXPLICIT (src, dst) edge list with
+    * arbitrary sparse 64-bit node ids, SIMPLE-graph semantics
+    * (self-loops dropped, parallel edges collapsed — the g5Edges
+    * convention, so a repeated edge can't double-vote). */
+  def g10LpaEdges(edges0: DataFrame, iters: Int = LpaIters): DataFrame = {
+    val simple = simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")))
+    lpaCore(simple.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(simple.select(col("b").as("src"), col("a").as("dst"))),
+      iters)
+  }
+
+  /** K synchronous plurality steps over the both-orientations edge
+    * frame (every endpoint appears as dst, so no sentinel is needed
+    * and no node drops out of the aggregate). Labels init to node id.
+    * Output is the community rollup (g2's shape). */
+  private def lpaCore(und0: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"g10 needs at least one step, got $iters")
+    val und = und0.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      und.count()
+      var labels = und.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("label"))
+      for (t <- 1 to iters) {
+        val next = und
+          .join(labels.select(col("v").as("src"), col("label")), "src")
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          // plurality with min-label tie-break as ONE struct-min:
+          // (−cnt, label) minimal ⇔ cnt maximal, then label minimal.
+          // −cnt is always safe (cnt ≥ 1); labels are never negated.
+          .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+            .as("b"))
+          .select(col("dst").as("v"), col("b.l").as("label"))
+        labels = if (t % CkptEvery == 0 && t < iters) graft.Ckpt(next)
+          else next
+      }
+      graft.Ckpt(labels)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_node"),
+          max(col("v")).as("max_node"))
+        .orderBy("community")
+    } finally und.unpersist(blocking = true)
+  }
+
+  /** DuckDB oracle for [[g10Lpa]] — the same K plurality steps over a
+    * single list-valued row: per node, the neighbour-label multiset
+    * maps to distinct labels, each scored (−count, label), and the
+    * struct-least wins — identical rule, identical tie-break. */
+  def g10OracleSql(iters: Int = LpaIters): String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      und AS MATERIALIZED (
+        SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+      adj AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(dst := dst, ns := ns))),
+          s -> s['ns']) AS m
+        FROM (SELECT dst, list(src) AS ns FROM und GROUP BY dst) g),
+      lpa AS (
+        SELECT 0 AS k,
+          list_transform(generate_series(1, ni), i -> i - 1) AS lab
+        FROM nn
+        UNION ALL
+        SELECT k + 1,
+          list_transform(generate_series(1, ni), v ->
+            list_reduce(
+              list_transform(
+                list_distinct(list_transform(adj.m[v],
+                  u -> lpa.lab[CAST(u AS INT) + 1])),
+                d -> struct_pack(
+                  nc := -len(list_filter(
+                    list_transform(adj.m[v],
+                      u -> lpa.lab[CAST(u AS INT) + 1]),
+                    x -> x = d)),
+                  l := d)),
+              (a, b) -> CASE WHEN a < b THEN a ELSE b END)['l']) AS lab
+        FROM lpa, nn, adj WHERE k < $iters)
+      SELECT label AS community, count(*) AS n_members,
+        min(v) AS min_node, max(v) AS max_node
+      FROM (
+        SELECT i - 1 AS v, f.lab[i] AS label
+        FROM (SELECT lab FROM lpa WHERE k = $iters) f,
+          (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
+      GROUP BY community ORDER BY community"""
+
   /** g2: connected components over the same derived link graph,
     * undirected — min-label propagation, the standard massive-graph
     * CC algorithm (HashToMin family): every step each node takes the

@@ -111,6 +111,28 @@ object StreamingOps {
       .join(corpusBands, Seq("band_idx", "band_key"))
       .select(col("b_id"), col("c_id"))
 
+  /** Streaming sketch DAU — the stream form of
+    * [[graft.operators.Events.dauApprox]]'s daily-uniques side: a
+    * watermarked tumbling-day aggregate whose per-day state is ONE
+    * DataSketches HLL sketch (KB, independent of user cardinality).
+    * This is exactly why the sketch twin exists: an exact streaming
+    * DISTINCT would hold every (user, day) pair in the state store
+    * until watermark eviction — state grows with raw cardinality —
+    * while the sketch's state is constant per window and merges
+    * across micro-batches through the aggregation buffer. HLL
+    * register merges are order-free maxes, so ANY arrival order and
+    * ANY micro-batch split of the same events produce bit-identical
+    * estimates — replay parity with the batch operator (same sketch
+    * algorithm, same input sets ⇒ same integers) is spec-gated. */
+  def dauSketchStream(events: DataFrame,
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        hll_sketch_estimate(col("sk")).as("dau_approx"))
+
   case class AsofState(cts: Long, clickId: Long, clickValue: Double)
   case class AsofOut(user_id: Long, purchase_id: Long,
     click_id: Option[Long], click_value: Option[Double], gap_us: Option[Long])

@@ -350,4 +350,33 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((Option(r.get(2)), r.getBoolean(4)))).toMap
     assert(capped(10L)._1.contains(1L) && capped(10L)._2)
   }
+
+  test("d16 duplicate-ngram rate: cross-doc shared grams, in-doc " +
+       "repeats, unique and sub-width docs all land exactly") {
+    import spark.implicits._
+    val phrase = "one two three four five"
+    val docs = Seq(
+      // 10 words → 6 sliding 5-grams; only the leading one is shared
+      (1L, s"$phrase alpha beta gamma delta epsilon"),
+      // 7 words → 3 grams; the middle one is the shared phrase
+      (2L, s"zeta $phrase eta"),
+      // 6 words → 2 grams, nothing shared
+      (3L, "totally unique words nothing shared here"),
+      // 6 identical words → 2 IDENTICAL grams: an in-document repeat
+      // is memorization surface and must count as duplicated
+      (4L, "rep rep rep rep rep rep"),
+      // shorter than n → exactly one whole-text gram, still in output
+      (5L, "short")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.dupNgramRate(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      1L -> ((6L, 1L, r6(1.0 / 6))),
+      2L -> ((3L, 1L, r6(1.0 / 3))),
+      3L -> ((2L, 0L, 0.0)),
+      4L -> ((2L, 2L, 1.0)),
+      5L -> ((1L, 0L, 0.0))), s"got $got")
+  }
 }

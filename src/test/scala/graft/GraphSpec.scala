@@ -549,6 +549,65 @@ class GraphSpec extends SparkSpec {
     assert(got(hub) > got(hub + 1) * 1000)
   }
 
+  /** Plain-Scala replica of the K-step deterministic plurality rule
+    * over a SIMPLE undirected graph: every node adopts the label with
+    * the max neighbour count, ties to the smallest label. */
+  private def refLpa(simple: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = simple.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters)
+      lab = adj.map { case (v, ns) =>
+        v -> ns.map(lab).groupBy(identity).toSeq
+          .map { case (l, xs) => (-xs.size.toLong, l) }.min._2
+      }
+    lab
+  }
+
+  test("LPA communities match a JVM replica of the K-step plurality " +
+       "rule on sparse ids (dup edge and self-loop dropped)") {
+    import spark.implicits._
+    val a = 1L << 41
+    val b = -900L
+    // two 4-cliques (one on far-positive ids, one negative) joined by
+    // a single bridge, plus a duplicate edge and a self-loop that
+    // simple-graph semantics must drop (a repeated edge must not
+    // double-vote the plurality)
+    val edges = (for { i <- 0 until 4; j <- i + 1 until 4 }
+      yield (a + i, a + j)) ++
+      (for { i <- 0 until 4; j <- i + 1 until 4 } yield (b + i, b + j)) ++
+      Seq((a, b), (a + 1, a), (a, a))
+    val got = Graph.g10LpaEdges(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val simple = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val lab = refLpa(simple, Graph.LpaIters)
+    val want = lab.groupBy(_._2).toSeq.map { case (l, m) =>
+      (l, m.size.toLong, m.keys.min, m.keys.max) }.sortBy(_._1)
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+    assert(got.map(_._2).sum == 8L, "node count drifted")
+  }
+
+  test("LPA survives a 1e5-spoke hub with O(1) per-node state; the " +
+       "bipartite flip-flop lands exactly where the K-step contract says") {
+    import spark.implicits._
+    val hub = 5L
+    val spokes = 100000
+    val edges = (1 to spokes).map(i => (hub, 1000000L + i))
+    // star dynamics: t odd → hub holds the min spoke label, spokes
+    // hold the hub's; t even ≥ 2 → hub back to its own label, spokes
+    // on the min spoke label. LpaIters is even, so the contract pins
+    // (hub alone) + (all spokes under the min spoke id) — the
+    // documented no-fixpoint flip-flop, frozen by the fixed K.
+    assert(Graph.LpaIters % 2 == 0)
+    val got = Graph.g10LpaEdges(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (hub, 1L, hub, hub),
+      (1000001L, spokes.toLong, 1000001L, 1000000L + spokes)),
+      s"got ${got.toSeq}")
+  }
+
   test("k-core survives a 1e5-spoke hub (degree-skewed histogram fold " +
        "bounded by distinct neighbour values, not degree)") {
     import spark.implicits._

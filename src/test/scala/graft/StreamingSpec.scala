@@ -201,6 +201,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sketch DAU merges sketches across micro-batches and " +
+       "replays the batch estimates EXACTLY under a shuffled arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // adversarial arrival order: HLL register merges are order-free
+    // maxes, so neither the shuffle nor the micro-batch split may
+    // move ANY estimate — parity with batch e18 is exact integers,
+    // not a tolerance band
+    val shuffled = ev.sortBy(e => (e.event_id * 2654435761L) % 1000003)
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 2)
+    val input = MemoryStream[Event]
+    // watermark wider than the corpus horizon: the shuffled split
+    // makes events arrive up to a month "late", and this spec tests
+    // sketch merging, not the lateness-drop policy
+    val q = graft.streaming.StreamingOps
+      .dauSketchStream(input.toDF(), watermark = "40 days")
+      .writeStream.format("memory").queryName("dau_sketch_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+      // a sentinel far past the horizon advances the watermark and
+      // finalizes every real day window (its own day stays open and
+      // is the one absent key)
+      val maxTs = ev.map(_.ts.getTime).max
+      input.addData(Event(-1L,
+        new java.sql.Timestamp(maxTs + 90L * 86400 * 1000), -1L, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("dau_sketch_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = graft.operators.Events.dauApprox(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"stream/batch sketch DAU diverged: " +
+          s"${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+      assert(want.size > 1, "corpus gave a vacuous single-day parity check")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup probes the static corpus index " +
        "statelessly and replays the batch candidate set") {
     implicit val sqlCtx = spark.sqlContext
