@@ -630,6 +630,52 @@ class PlanSpec extends SparkSpec {
       s"aggregation fell out of codegen:\n${executed.take(1500)}")
   }
 
+  test("k-core histogram step: hub fan-in collapses in a map-side " +
+       "partial before either exchange") {
+    // The r12 skew fix folds the h-index from a (node, value) COUNT,
+    // not a neighbour-value list: per-node state is bounded by
+    // distinct neighbour values, and a hub's identical-value spokes
+    // must collapse in PARTIAL aggregation before the shuffle. Model
+    // one step over a pinned star adjacency in the shuffle-join
+    // regime and pin the plan: partial count on (dst, cn) upstream of
+    // the exchange, the pinned adjacency exchange-free, and exactly
+    // three shuffles for the whole step — the node-scale value frame
+    // into the join (every step shape pays this), the edge-scale
+    // (dst, cn) count, and the histogram-scale per-node fold.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val und = (1L to 2000L).flatMap(i => Seq((0L, i), (i, 0L)))
+        .toDF("src", "dst")
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      und.count()
+      try {
+        val cur = (0L to 2000L).map(v => (v, if (v == 0) 2000L else 1L))
+          .toDF("v", "c")
+        val step = und
+          .join(cur.select(col("v").as("src"), col("c").as("cn")), "src")
+          .groupBy(col("dst"), col("cn")).agg(count(lit(1)).as("k"))
+          .groupBy(col("dst"))
+          .agg(reverse(sort_array(collect_list(struct(col("cn"), col("k")))))
+            .as("hist"))
+        step.write.mode("overwrite").format("noop").save()
+        val executed = step.queryExecution.executedPlan.toString()
+        assert(executed.contains("partial_count"),
+          s"no map-side partial on (dst, cn):\n${executed.take(1500)}")
+        val n = executedShuffles(step)
+        assert(n == 3, s"histogram step shuffles $n× (expected exactly 3)")
+        // the hub row reduced to ONE histogram entry
+        val hubHist = step.filter(col("dst") === 0L)
+          .select(size(col("hist"))).head().getInt(0)
+        assert(hubHist == 1, s"hub histogram carries $hubHist entries")
+      } finally und.unpersist(blocking = true)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("r11b operators: shuffle budgets hold and no plan degenerates " +
        "to a cartesian") {
     val docs = Tables.load(spark, sfDir, "documents")
