@@ -173,6 +173,7 @@ object SparkEntry {
     "t22_gopher_rules" -> (TextOps.gopherRules _),
     "t23_mix_apply" -> (TextOps.mixApply _),
     "t24_dsir_weights" -> (TextOps.dsirWeights _),
+    "t25_leakage_split" -> (TextOps.leakageSplit _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e11_event_gaps" -> (Events.interEventGaps _),
@@ -193,6 +194,7 @@ object SparkEntry {
     // rows-only check; the error bound vs the exact e13 is spec-gated
     // (PipelineOpsSpec) and the estimate itself is deterministic.
     "e18_dau_approx" -> (Events.dauApprox _),
+    "e19_quantile_hist" -> (Events.quantileHist _),
     "e17_daily_topk" -> ((s: SparkSession, d: String) => Events.dailyTopk(s, d)),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
@@ -677,6 +679,7 @@ object SparkEntry {
     "e12_rolling_rate" -> graft.operators.Events.rollingRateOracleSql,
     "e13_dau_wau" -> graft.operators.Events.dauWauOracleSql,
     "e17_daily_topk" -> graft.operators.Events.e17OracleSql(),
+    "e19_quantile_hist" -> graft.operators.Events.e19OracleSql,
     "t9_split" -> TextOps.split3OracleSql,
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
     "t11_sample_weights" -> TextOps.t11OracleSql,
@@ -979,6 +982,7 @@ object SparkEntry {
     "t22_gopher_rules" -> TextOps.t22OracleSql,
     "t23_mix_apply" -> TextOps.t23OracleSql,
     "t24_dsir_weights" -> TextOps.t24OracleSql(),
+    "t25_leakage_split" -> TextOps.t25OracleSql,
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
     "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),
     "b4_banded_align" -> graft.operators.Dedup.b4OracleSql(),

@@ -533,6 +533,108 @@ object Events {
       .orderBy("day")
   }
 
+  /** e19: histogram quantiles — approximate per-type percentiles of
+    * `value` from a FIXED-BIN histogram, the deterministic sketch
+    * sibling of q20's exact percentiles. At 100 TB the exact form
+    * needs a per-group sort (percentile_approx's GK summaries avoid
+    * that but their merge is fold-order-sensitive — byte-unstable
+    * across partitionings, which this repo's determinism sweep
+    * rejects); the histogram form is two fact-scale aggregate passes
+    * with [[QhBins]]-bounded state per group (bounds, then bin
+    * counts — both order-free), and the estimate error is bounded by
+    * ONE BIN WIDTH (spec-gated against the exact percentiles).
+    *
+    * Estimates are the UPPER EDGE of the first bin whose cumulative
+    * count reaches ⌈q·n⌉ (rank threshold in exact integers,
+    * (n·q+99) div 100 — no float rank). All per-row arithmetic is
+    * the same single expression in both engines; the cumulative walk
+    * runs over the (groups × bins)-bounded histogram, never the
+    * fact. A constant-valued group (hi = lo) degenerates to one bin
+    * and every estimate lands on hi exactly. */
+  val QhBins = 256
+
+  def quantileHist(spark: SparkSession, dir: String): DataFrame =
+    quantileHist(Tables.load(spark, dir, "events"))
+
+  def quantileHist(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), col("value"))
+    val bounds = graft.Ckpt(base.groupBy("event_type").agg(
+      min(col("value")).as("lo"), max(col("value")).as("hi"),
+      count(lit(1)).as("n")))
+    val wexp = (col("hi") - col("lo")) / lit(QhBins.toDouble)
+    val binned = base
+      .join(broadcast(bounds), "event_type")
+      .select(col("event_type"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("lo")) / wexp).cast("long"),
+            lit(QhBins - 1L))).as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("k"))
+    val cum = binned.withColumn("cum",
+      sum(col("k")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    // ⌈n·q/100⌉ in TRUE integral division (Column./ on longs is
+    // double division — an off-by-one against the floor semantics)
+    def thr(q: Int) = expr(s"(n * $q + 99) div 100")
+    def pick(q: Int) = min(when(col("cum") >= thr(q), col("bin")))
+    def edge(b: org.apache.spark.sql.Column) =
+      when(col("hi") === col("lo"), col("hi"))
+        .otherwise(col("lo") + (b + 1).cast("double") * wexp)
+    cum.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"), col("lo"), col("hi"), col("n"))
+      .agg(pick(50).as("b50"), pick(95).as("b95"), pick(99).as("b99"))
+      .select(col("event_type"), col("n").as("n_events"),
+        col("lo"), col("hi"),
+        round(edge(col("b50")), 6).as("p50"),
+        round(edge(col("b95")), 6).as("p95"),
+        round(edge(col("b99")), 6).as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[quantileHist]] — identical binning
+    * expression, identical integer rank thresholds, identical
+    * upper-edge arithmetic. */
+  def e19OracleSql: String = s"""
+      WITH bounds AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi,
+          count(*) AS n
+        FROM events GROUP BY event_type),
+      binned AS (
+        SELECT e.event_type,
+          CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+            ELSE least(CAST(floor((e.value - b.lo)
+              / ((b.hi - b.lo) / $QhBins.0)) AS BIGINT),
+              ${QhBins - 1}) END AS bin,
+          count(*) AS k
+        FROM events e JOIN bounds b USING (event_type)
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, bin,
+          sum(k) OVER (PARTITION BY event_type ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM binned),
+      picked AS (
+        SELECT c.event_type,
+          min(CASE WHEN c.cum >= (b.n * 50 + 99) // 100 THEN c.bin END) AS b50,
+          min(CASE WHEN c.cum >= (b.n * 95 + 99) // 100 THEN c.bin END) AS b95,
+          min(CASE WHEN c.cum >= (b.n * 99 + 99) // 100 THEN c.bin END) AS b99
+        FROM cum c JOIN bounds b USING (event_type)
+        GROUP BY c.event_type)
+      SELECT b.event_type, b.n AS n_events, b.lo, b.hi,
+        round(CASE WHEN b.hi = b.lo THEN b.hi
+          ELSE b.lo + CAST(p.b50 + 1 AS DOUBLE)
+            * ((b.hi - b.lo) / $QhBins.0) END, 6) AS p50,
+        round(CASE WHEN b.hi = b.lo THEN b.hi
+          ELSE b.lo + CAST(p.b95 + 1 AS DOUBLE)
+            * ((b.hi - b.lo) / $QhBins.0) END, 6) AS p95,
+        round(CASE WHEN b.hi = b.lo THEN b.hi
+          ELSE b.lo + CAST(p.b99 + 1 AS DOUBLE)
+            * ((b.hi - b.lo) / $QhBins.0) END, 6) AS p99
+      FROM bounds b JOIN picked p USING (event_type)
+      ORDER BY b.event_type"""
+
   /** e17: daily heavy hitters — the top-k event types per day (the
     * "what dominated traffic each day" dashboard readout, and the
     * generic per-window heavy-hitter shape). Counts are one exact

@@ -303,6 +303,89 @@ object TextOps {
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents ORDER BY doc_id"""
 
+  /** t25: leakage audit of the train/val/test split — t9 assigns
+    * membership by hash, but a hash split knows nothing about
+    * CONTENT: near-copies of training documents routinely land in
+    * the eval splits and silently inflate benchmark numbers (the
+    * train→test contamination problem, the intra-corpus face of
+    * d6's benchmark decontamination). For every val/test document:
+    * how many of its distinct 3-word shingles also occur anywhere in
+    * the TRAIN split, and the `leaky` cut at ≥ 20% overlap —
+    * integer-exact as 5·hits ≥ shingles (no float share), guarded to
+    * false for a shingle-less doc.
+    *
+    * Scale shape: one corpus pass splits and shingles in-row; the
+    * train side collapses to a DISTINCT shingle set (vocabulary-
+    * bounded, d10's discipline) and meets the eval shingle stream in
+    * a LINEAR equi-join on the shingle key (shuffle join — at a real
+    * 90/10 split NEITHER side is broadcastable, unlike d6 whose
+    * benchmark side is small by assumption; AQE skew-split handles a
+    * boilerplate shingle). One per-doc rollup. Nothing quadratic. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame =
+    leakageSplit(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def leakageSplit(docs: DataFrame): DataFrame = {
+    // t9's split expression VERBATIM — the audit must see the same
+    // membership the split operator ships
+    val splitCol = {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    }
+    val tagged = docs.select(col("doc_id"), splitCol.as("split"),
+      col("text"))
+    val trainSh = tagged.filter(col("split") === "train")
+      .select(explode(graft.GraftFunctions.wordShingles(col("text"), 3))
+        .as("sh"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    tagged.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"),
+        explode_outer(graft.GraftFunctions.wordShingles(col("text"), 3))
+          .as("sh"))
+      .join(trainSh, Seq("sh"), "left_outer")
+      .groupBy("doc_id", "split")
+      .agg(countDistinct(col("sh")).as("n_shingles"),
+        countDistinct(when(col("hit").isNotNull, col("sh")))
+          .as("n_train_hits"))
+      .select(col("doc_id"), col("split"), col("n_shingles"),
+        col("n_train_hits"),
+        (col("n_shingles") > 0 &&
+          col("n_train_hits") * 5 >= col("n_shingles")).as("leaky"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[leakageSplit]] — t9's split CASE, the d6
+    * shingle replica, the same distinct-set counts and integer cut. */
+  def t25OracleSql: String = """
+      WITH tagged AS (
+        SELECT doc_id,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                 THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+                 THEN 'val'
+               ELSE 'test' END AS split,
+          text
+        FROM documents),
+      sh AS (
+        SELECT doc_id, split,
+          unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(
+              list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS s
+        FROM tagged),
+      train AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+      agg AS (
+        SELECT e.doc_id, e.split,
+          CAST(count(DISTINCT e.s) AS BIGINT) AS n_shingles,
+          CAST(count(DISTINCT CASE WHEN t.s IS NOT NULL THEN e.s END)
+            AS BIGINT) AS n_train_hits
+        FROM sh e LEFT JOIN train t ON t.s = e.s
+        WHERE e.split <> 'train'
+        GROUP BY e.doc_id, e.split)
+      SELECT doc_id, split, n_shingles, n_train_hits,
+        n_shingles > 0 AND n_train_hits * 5 >= n_shingles AS leaky
+      FROM agg ORDER BY doc_id"""
+
   /** Corpus term statistics — term frequency, document frequency, and
     * IDF for the top terms (the vocabulary/stopword-profiling pass a
     * corpus pipeline runs before filtering). Explode → partial-agg:

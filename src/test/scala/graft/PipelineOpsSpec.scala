@@ -252,6 +252,45 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("e19 histogram quantiles sit within one bin width of the exact " +
+       "percentiles, and a constant group degenerates exactly") {
+    import spark.implicits._
+    import graft.operators.Events
+    val got = Events.quantileHist(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // the estimator's contract is RANK-based: the upper edge of the
+    // bin holding the ⌈q·n⌉-th smallest value — so the bound is
+    // against that exact ORDER STATISTIC (an interpolated percentile
+    // can sit a value-GAP below it on a sparse tail, which says
+    // nothing about the histogram's accuracy)
+    val byType = Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    assert(got.keySet == byType.keySet && got.nonEmpty)
+    got.foreach { case (t, (n, lo, hi, p50, p95, p99)) =>
+      val w = (hi - lo) / Events.QhBins
+      val vs = byType(t)
+      def stat(q: Int): Double = vs(((n * q + 99) / 100).toInt - 1)
+      Seq(("p50", p50, stat(50)), ("p95", p95, stat(95)),
+        ("p99", p99, stat(99))).foreach { case (name, est, ex) =>
+        // the selected bin CONTAINS the order statistic: its upper
+        // edge is never below it and at most one bin width above
+        assert(est >= ex - 1e-9 && est <= ex + w + 1e-9,
+          s"$t $name: est $est vs order stat $ex (bin width $w, n=$n)")
+      }
+    }
+    // constant-valued group: every estimate must land on hi exactly
+    val const = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "k", 7.5), (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"),
+      2L, "k", 7.5)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val c = Events.quantileHist(const).head()
+    assert(c.getDouble(4) == 7.5 && c.getDouble(5) == 7.5 &&
+      c.getDouble(6) == 7.5, s"degenerate group drifted: $c")
+  }
+
   test("keep-best picks the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val docs = Seq(

@@ -730,7 +730,18 @@ class PlanSpec extends SparkSpec {
       // + per-doc fold + output sort; the bucket-stats aggregate sits
       // behind its checkpoint and re-enters as a broadcast — no
       // corpus-scale join
-      ("t24", graft.operators.TextOps.dsirWeights(docs), 5))
+      ("t24", graft.operators.TextOps.dsirWeights(docs), 5),
+      // e19: two fact-scale aggregates (bounds behind the checkpoint,
+      // bin counts), the bin-bounded cumulative window, per-type
+      // rollup, output sort
+      ("e19", graft.operators.Events.quantileHist(spark, sfDir), 5),
+      // t25: train-shingle distinct + the linear eval⋈train shingle
+      // join legs + per-doc rollup + output sort — never corpus²
+      ("t25", graft.operators.TextOps.leakageSplit(docs), 6),
+      // d16: (doc,gram) tf behind its checkpoint; live plan pays the
+      // gram-frequency rollup, the linear count re-attach legs, the
+      // per-doc rollup and the output sort
+      ("d16", graft.operators.Dedup.dupNgramRate(docs), 5))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")

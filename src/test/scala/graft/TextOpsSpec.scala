@@ -399,6 +399,40 @@ class TextOpsSpec extends SparkSpec {
       "gopher keep gate is vacuous on the corpus")
   }
 
+  test("t25 leakage audit flags an eval doc copying train text and " +
+       "clears a novel one, under t9's exact split rule") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+      if (h < 'c') "train" else if (h < 'e') "val" else "test"
+    }
+    val ids = (0L to 200L).toSeq
+    val trainId = ids.find(splitOf(_) == "train").get
+    val testIds = ids.filter(splitOf(_) == "test").take(2)
+    val valId = ids.find(splitOf(_) == "val").get
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (trainId, shared),
+      (testIds(0), shared), // verbatim copy of a train doc → leaky
+      (testIds(1), "nu xi omicron pi rho sigma"), // novel → clean
+      // val doc sharing ONE of its five shingles (1/5 = exactly the
+      // 20% cut, which the ≥ comparison must flag)
+      (valId, s"alpha beta gamma h1 h2 h3 h4")).toDF("doc_id", "text")
+    val got = TextOps.leakageSplit(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(!got.contains(trainId), "train doc leaked into the audit")
+    assert(got(testIds(0)) == (("test", 4L, 4L, true)),
+      s"copy not flagged: ${got(testIds(0))}")
+    assert(got(testIds(1)) == (("test", 4L, 0L, false)),
+      s"novel doc flagged: ${got(testIds(1))}")
+    assert(got(valId) == (("val", 5L, 1L, true)),
+      s"exact-20% doc not flagged: ${got(valId)}")
+  }
+
   test("t24 DSIR weights match a JVM reference, target-heavy docs " +
        "score positive and selection is non-vacuous") {
     import spark.implicits._
