@@ -123,6 +123,7 @@ object SparkEntry {
     "g8_bfs" -> ((s: SparkSession, d: String) => Graph.g8Bfs(s, d)),
     "g9_ppr" -> ((s: SparkSession, d: String) => Graph.g9Ppr(s, d)),
     "g10_lpa" -> ((s: SparkSession, d: String) => Graph.g10Lpa(s, d)),
+    "g11_centrality" -> ((s: SparkSession, d: String) => Graph.g11Centrality(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -998,6 +999,7 @@ object SparkEntry {
     "g8_bfs" -> graft.operators.Graph.g8OracleSql(),
     "g9_ppr" -> graft.operators.Graph.g9OracleSql(),
     "g10_lpa" -> graft.operators.Graph.g10OracleSql(),
+    "g11_centrality" -> graft.operators.Graph.g11OracleSql(),
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
     "m9_image_dedup" -> graft.operators.Multimodal.m9OracleSql,
     "m10_decode_robust" -> graft.operators.Multimodal.m10OracleSql,

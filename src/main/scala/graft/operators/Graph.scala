@@ -1318,6 +1318,170 @@ object Graph {
         (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t
       ORDER BY v"""
 
+  /** g11: harmonic centrality from SAMPLED sources (the
+    * Eppstein–Wang estimator family) — per node, Σ 1/d(s, v) over a
+    * fixed set of [[G11Seeds]] pivot nodes, the "how close is this
+    * page to everywhere" readout between degree (too local) and
+    * PageRank (authority, not distance). Exact all-pairs harmonic
+    * centrality is O(n·E) — dead at any scale; pivot sampling is the
+    * standard estimator, and the pivot rule here is DETERMINISTIC:
+    * the S nodes with the smallest Knuth-hash rank (hash ties broken
+    * by id) — pseudo-random spread, bit-reproducible in both engines,
+    * no rand().
+    *
+    * Iteration: ONE multi-source BFS — state is (node, seed, dist),
+    * S× the g8 frame, relaxed by the same min-plus step (weight-0
+    * self-edges keep every pair in the aggregate, per-pair monotone
+    * non-increasing ⇒ the exact-sum probe certifies the fixpoint; cap
+    * n + period). Cost: one (edge×S)-scale exchange per step — S
+    * single-source BFS runs would pay the same total exchanges but
+    * S× the scheduling and S separate adjacency passes.
+    *
+    * Determinism of the final fold: each 1/d contribution is rounded
+    * to 12 decimals and summed as DECIMAL(38,12) — exact and
+    * order-free (the repo's Dec discipline), reproduced digit-for-
+    * digit by the oracle. Unreachable pairs (dist = the n sentinel)
+    * and the seed's own zero row are excluded; nodes reaching no
+    * seed report harmonic 0 with n_reached 0. */
+  val G11Seeds = 4
+
+  def g11Centrality(spark: SparkSession, dir: String): DataFrame =
+    g11Centrality(Tables.load(spark, dir, "documents"))
+
+  def g11Centrality(docs0: DataFrame, nSeeds: Int = G11Seeds,
+                    maxSteps: Long = Long.MaxValue): DataFrame = {
+    val spine = docs0.select(col("doc_id"))
+    val h = spine.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g11 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    require(nSeeds >= 1 && nSeeds <= n, s"g11 seeds $nSeeds outside 1..$n")
+    val nodes = spine.select(col("doc_id").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fwd = syntheticFwd(spine, n).select(col("src"), col("dst"))
+    val und = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionByName(nodes.select(col("v").as("src"), col("v").as("dst"),
+        lit(0L).as("w")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      und.count()
+      // deterministic pivots: smallest (knuth-hash, id) rank — an
+      // S-row frame, broadcast into the init crossJoin
+      val seeds = nodes.select(col("v").as("seed"),
+          pmod(pmod(col("v"), lit(1000000000L)) * lit(2654435761L),
+            lit(2147483647L)).as("hk"))
+        .orderBy(col("hk"), col("seed"))
+        .limit(nSeeds)
+        .select(col("seed"))
+      val inf = n
+      val cap = math.min(maxSteps, n + CkptEvery)
+      var dist = graft.Ckpt(nodes.crossJoin(broadcast(seeds))
+        .select(col("v"), col("seed"),
+          when(col("v") === col("seed"), lit(0L)).otherwise(lit(inf))
+            .as("dist")))
+      def tot(df: DataFrame): java.math.BigDecimal = df
+        .agg(coalesce(sum(col("dist").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+      var curTot = tot(dist)
+      var steps = 0L
+      var converged = n == 0L
+      while (!converged) {
+        val k = math.min(CkptEvery.toLong, cap - steps)
+        require(k > 0,
+          s"multi-source BFS not converged after $steps steps " +
+            s"on $n nodes × $nSeeds seeds (cap $cap)")
+        var nxt = dist
+        for (_ <- 1L to k) {
+          nxt = und
+            .join(nxt, col("src") === col("v"))
+            .groupBy(col("dst"), col("seed"))
+            .agg(min(col("dist") + col("w")).as("dist"))
+            .select(col("dst").as("v"), col("seed"), col("dist"))
+        }
+        steps += k
+        val nm = graft.Ckpt(nxt)
+        val nmTot = tot(nm)
+        converged = nmTot.compareTo(curTot) == 0
+        dist = nm
+        curTot = nmTot
+      }
+      FixpointSteps.put("g11_centrality", steps)
+      val contrib = dist
+        .filter(col("dist") > 0 && col("dist") < inf)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(round(lit(1.0) / col("dist").cast("double"), 12)
+            .cast("decimal(38,12)")).as("hsum"))
+      nodes.join(contrib, Seq("v"), "left_outer")
+        .select(col("v").as("doc_id"),
+          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+          round(coalesce(col("hsum"),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"))
+            .cast("double"), 6).as("harmonic"))
+        .orderBy("doc_id")
+    } finally {
+      und.unpersist(blocking = true)
+      nodes.unpersist(blocking = true)
+    }
+  }
+
+  /** DuckDB oracle for [[g11Centrality]] — the same deterministic
+    * pivot rule, one list-valued BFS recursion PER SEED ROW (each row
+    * recurses to its own fixpoint via the carried `p`), the same
+    * round-12 decimal contributions. */
+  def g11OracleSql(nSeeds: Int = G11Seeds): String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      und AS MATERIALIZED (
+        SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+      adj AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(dst := dst, ns := ns))),
+          s -> s['ns']) AS m
+        FROM (SELECT dst, list(DISTINCT src) AS ns FROM und GROUP BY dst) g),
+      seeds AS MATERIALIZED (
+        SELECT doc_id AS seed FROM documents
+        ORDER BY ((doc_id % 1000000000) * 2654435761) % 2147483647, doc_id
+        LIMIT $nSeeds),
+      bfs AS (
+        SELECT 0 AS k, s.seed AS seed,
+          list_transform(generate_series(1, ni),
+            i -> CASE WHEN i - 1 = s.seed THEN CAST(0 AS BIGINT)
+                 ELSE n END) AS d,
+          CAST(NULL AS BIGINT[]) AS p
+        FROM seeds s, nn
+        UNION ALL
+        SELECT k + 1, seed,
+          list_transform(generate_series(1, ni), v ->
+            least(bfs.d[CAST(v AS INT)],
+              list_reduce(list_prepend(n,
+                list_transform(adj.m[CAST(v AS INT)],
+                  u -> bfs.d[CAST(u AS INT) + 1] + 1)),
+                (a, b) -> least(a, b)))) AS d,
+          bfs.d AS p
+        FROM bfs, nn, adj WHERE p IS NULL OR p <> d)
+      SELECT t.doc_id,
+        CAST(count(CASE WHEN dv > 0 AND dv < n THEN 1 END) AS BIGINT)
+          AS n_reached,
+        round(CAST(coalesce(sum(CASE WHEN dv > 0 AND dv < n
+            THEN CAST(round(1.0 / dv, 12) AS DECIMAL(38,12)) END),
+          CAST(0 AS DECIMAL(38,12))) AS DOUBLE), 6) AS harmonic
+      FROM (
+        SELECT d.doc_id, f.d[CAST(d.doc_id AS INT) + 1] AS dv, nn.n
+        FROM (SELECT seed, d FROM bfs WHERE p = d) f,
+          documents d, nn) t
+      GROUP BY t.doc_id ORDER BY t.doc_id"""
+
   /** g3: triangle counting + global clustering coefficient over the
     * simple undirected form of the derived graph — the classic
     * massive-graph structure metric (community density, spam/bot

@@ -549,6 +549,52 @@ class GraphSpec extends SparkSpec {
     assert(got(hub) > got(hub + 1) * 1000)
   }
 
+  test("g11 harmonic centrality matches a JVM BFS replica (pivot rule, " +
+       "round-12 decimal fold, unreachable exclusion)") {
+    import spark.implicits._
+    val n = 12
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val got = Graph.g11Centrality(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // replicate the derived undirected multigraph + pivots + BFS
+    val fwd = for { s <- 0L until n.toLong; j <- 1 to Graph.OutDeg } yield {
+      val d0 = (((s * 7 + j) % 1000000000L) * 2654435761L) % 2147483647L % n
+      (s, if (d0 == s) (d0 + 1) % n else d0)
+    }
+    val adj = (fwd ++ fwd.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).distinct }
+    // level-synchronous exact BFS
+    def bfs2(seed: Long): Map[Long, Long] = {
+      var dist = Map(seed -> 0L)
+      var frontier = Set(seed)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(adj.getOrElse(_, Seq.empty))
+          .filterNot(dist.contains)
+        next.foreach(v => dist += v -> d)
+        frontier = next
+      }
+      dist
+    }
+    val seeds = (0L until n.toLong)
+      .sortBy(v => (((v % 1000000000L) * 2654435761L) % 2147483647L, v))
+      .take(Graph.G11Seeds)
+    val dists = seeds.map(bfs2)
+    val want = (0L until n.toLong).map { v =>
+      val ds = dists.flatMap(_.get(v)).filter(_ > 0)
+      val h = ds.map(d => BigDecimal(1.0 / d)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .foldLeft(BigDecimal(0))(_ + _)
+      (v, ds.size.toLong,
+        BigDecimal(h.toDouble).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // non-vacuous: at least one node reaches all pivots
+    assert(want.exists(_._2 == Graph.G11Seeds.toLong))
+  }
+
   /** Plain-Scala replica of the K-step deterministic plurality rule
     * over a SIMPLE undirected graph: every node adopts the label with
     * the max neighbour count, ties to the smallest label. */
