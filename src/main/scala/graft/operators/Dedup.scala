@@ -1390,6 +1390,118 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d17: LSH candidate-quality audit — measures the MinHash banding
+    * against EXACT ground truth, the dedup twin of s10's ANN recall
+    * loop: with 16 bands × 4 rows, a pair at Jaccard J becomes a
+    * candidate with probability 1 − (1 − J⁴)¹⁶ (≈ 0.64 at the 0.5
+    * verify threshold, → 1 as J → 1), so candidate RECALL against
+    * the verifier's own metric is the number that tells an operator
+    * whether the band geometry fits the corpus before a 100 TB run.
+    * Output is one summary row: |truth|, |candidates|, |truth ∩
+    * candidates|, recall, and candidate precision.
+    *
+    * Ground truth = all pairs with exact hashed-shingle-set Jaccard
+    * ≥ 0.5 (d2's own verify metric and threshold), found through a
+    * shingle INVERTED INDEX (explode → self-join on the hash → pair
+    * counts): every J > 0 pair shares a hash, so nothing is missed,
+    * and the cut is integer-exact (2·|∩| ≥ |∪|). The index join is
+    * the EVAL-harness cost (s10's class): worst case a boilerplate
+    * shingle fans out quadratically — run it at eval scale or on a
+    * sample; the candidate side stays the production path
+    * (band-bucketed, star-cappable via `maxBucket`). */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame =
+    lshRecall(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def lshRecall(docs: DataFrame,
+                maxBucket: Int = Int.MaxValue): DataFrame = {
+    // distinct hash sets — d2's verify operates on these, so the
+    // audit's truth metric is identical by construction
+    val hs = graft.Ckpt(docs.select(col("doc_id"),
+      array_distinct(hashedShingleCol(col("text"))).as("hl")))
+    val sizes = hs.select(col("doc_id"), size(col("hl")).cast("long").as("nsh"))
+    val inv = hs.select(col("doc_id"), explode(col("hl")).as("h"))
+    val pairs = inv.as("x")
+      .join(inv.as("y"), col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val truth = graft.Ckpt(pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb")), "b_id")
+      .filter(col("n_inter") * 2 >= col("na") + col("nb") - col("n_inter"))
+      .select(col("a_id"), col("b_id")))
+    val cands = bandCandidates(bandKeysFor(docs), maxBucket)
+    val hit = truth.join(cands, Seq("a_id", "b_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        when(col("n_truth") === 0, lit(1.0))
+          .otherwise(round(col("n_hit").cast("double")
+            / col("n_truth").cast("double"), 6)).as("recall"),
+        when(col("n_candidates") === 0, lit(1.0))
+          .otherwise(round(col("n_hit").cast("double")
+            / col("n_candidates").cast("double"), 6))
+          .as("candidate_precision"))
+  }
+
+  /** DuckDB oracle for [[lshRecall]] — d2's signature/band/candidate
+    * CTEs verbatim plus the inverted-index exact-Jaccard truth. */
+  def d17OracleSql: String = """
+      WITH hs AS (
+        SELECT doc_id, list_transform(
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))),
+          s -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(s)),
+                     ci -> CAST(ascii(substr(s, ci, 1)) AS BIGINT))),
+                 (acc, ch) -> (acc * 131 + ch) % 2147483647)) AS hl
+        FROM documents),
+      hsd AS (SELECT doc_id, list_distinct(hl) AS hl FROM hs),
+      sigs AS (
+        SELECT doc_id, list_transform(generate_series(0, 63), j ->
+          list_min(list_transform(hl, h -> ((j*2+1) * h + j*12345 + 7) % 2147483647))) AS sig
+        FROM hs),
+      bands AS (
+        SELECT doc_id, b['band_idx'] AS band_idx, b['band_key'] AS band_key FROM (
+          SELECT doc_id, unnest(list_transform(generate_series(0, 15), bi ->
+            {'band_idx': bi,
+             'band_key': list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_slice(sig, bi*4 + 1, bi*4 + 4)),
+               (a, m) -> (a * 1000003 + m) % 2147483647)})) AS b
+          FROM sigs) t),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id),
+      inv AS (SELECT doc_id, unnest(hl) AS h FROM hsd),
+      pr AS (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_inter
+        FROM inv x JOIN inv y ON x.h = y.h AND x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      sz AS (SELECT doc_id, CAST(len(hl) AS BIGINT) AS nsh FROM hsd),
+      truth AS (
+        SELECT pr.a_id, pr.b_id FROM pr
+        JOIN sz a ON a.doc_id = pr.a_id
+        JOIN sz b ON b.doc_id = pr.b_id
+        WHERE pr.n_inter * 2 >= a.nsh + b.nsh - pr.n_inter),
+      hit AS (
+        SELECT t.a_id FROM truth t
+        JOIN cands c ON c.a_id = t.a_id AND c.b_id = t.b_id)
+      SELECT (SELECT count(*) FROM truth) AS n_truth,
+        (SELECT count(*) FROM cands) AS n_candidates,
+        (SELECT count(*) FROM hit) AS n_hit,
+        CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+          ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+            / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) END AS recall,
+        CASE WHEN (SELECT count(*) FROM cands) = 0 THEN 1.0
+          ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+            / CAST((SELECT count(*) FROM cands) AS DOUBLE), 6) END
+          AS candidate_precision"""
+
   /** DuckDB oracle for [[dupNgramRate]] — the d6 sliding-shingle
     * replica at width n, the d13 char-fold hash, integer rollups,
     * one rounded division. */

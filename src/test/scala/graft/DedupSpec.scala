@@ -351,6 +351,66 @@ class DedupSpec extends SparkSpec {
     assert(capped(10L)._1.contains(1L) && capped(10L)._2)
   }
 
+  test("d17 LSH recall audit matches a JVM replica of the full " +
+       "signature/band/truth pipeline on a handcrafted corpus") {
+    import spark.implicits._
+    val P = 2147483647L
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 22).map(i => s"w$i") ++ (1 to 8).map(i => s"x$i"))
+      .mkString(" ") // shares 20 of its shingles with base
+    val corpus = Seq(
+      (1L, base), (2L, base), (3L, near),
+      (4L, (1 to 30).map(i => s"q$i").mkString(" ")),
+      (5L, (1 to 30).map(i => s"z$i").mkString(" ")))
+    val got = graft.operators.Dedup.lshRecall(corpus.toDF("doc_id", "text"))
+      .head()
+    // JVM replica: distinct 3-word shingle strings → 131-fold char
+    // hash mod p → 64 permutation minima → 16 band keys → clique
+    // candidates; truth = distinct-hash-set Jaccard ≥ 0.5
+    def shingles(text: String): Seq[String] = {
+      val w = text.split(" ", -1)
+      (0 until math.max(w.length - 2, 1))
+        .map(i => w.slice(i, math.min(i + 3, w.length)).mkString(" "))
+        .distinct
+    }
+    def h(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % P)
+    val hl = corpus.map { case (id, t) => id -> shingles(t).map(h) }.toMap
+    val sig = hl.map { case (id, hs) =>
+      id -> (0 until 64).map(j => hs.map(x => ((2 * j + 1) * x + j * 12345L + 7) % P).min)
+    }
+    val bandKeys = sig.map { case (id, s) =>
+      id -> (0 until 16).map(b =>
+        s.slice(b * 4, b * 4 + 4).foldLeft(0L)((a, m) => (a * 1000003 + m) % P))
+    }
+    val ids = corpus.map(_._1)
+    val cands = (for {
+      a <- ids; b <- ids if a < b
+      if (0 until 16).exists(i => bandKeys(a)(i) == bandKeys(b)(i))
+    } yield (a, b)).toSet
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      sa = hl(a).distinct.toSet; sb = hl(b).distinct.toSet
+      inter = (sa intersect sb).size
+      if inter * 2 >= sa.size + sb.size - inter
+    } yield (a, b)).toSet
+    val hit = truth intersect cands
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((truth.size.toLong, cands.size.toLong, hit.size.toLong)),
+      s"got $got, want (${truth.size}, ${cands.size}, ${hit.size})")
+    assert(got.getDouble(3) ==
+      (if (truth.isEmpty) 1.0 else r6(hit.size.toDouble / truth.size)))
+    assert(got.getDouble(4) ==
+      (if (cands.isEmpty) 1.0 else r6(hit.size.toDouble / cands.size)))
+    // structural: the exact twin shares every band — always captured
+    assert(truth.contains((1L, 2L)) && cands.contains((1L, 2L)))
+    // the near pair is genuinely near (in truth), making the audit
+    // non-vacuous beyond exact twins
+    assert(truth.contains((1L, 3L)), "near pair fell below the threshold")
+  }
+
   test("d16 duplicate-ngram rate: cross-doc shared grams, in-doc " +
        "repeats, unique and sub-width docs all land exactly") {
     import spark.implicits._
