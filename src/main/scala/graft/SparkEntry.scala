@@ -78,6 +78,7 @@ object SparkEntry {
     "q37_vocab" -> (Relational.q37Vocab _),
     "q40_ntile_bands" -> (Relational.q40NtileBands _),
     "q41_mom_growth" -> (Relational.q41MomGrowth _),
+    "q43_distribution_rank" -> (Relational.q43DistributionRank _),
     "q42_mad_outliers" -> (Relational.q42MadOutliers _),
     "q38_geo_cluster" -> ((s: SparkSession, d: String) => Geo.q38GeoCluster(s, d)),
     "t6_repetition" -> (TextOps.repetition _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "t23_mix_apply" -> (TextOps.mixApply _),
     "t24_dsir_weights" -> (TextOps.dsirWeights _),
     "t25_leakage_split" -> (TextOps.leakageSplit _),
+    "t26_ppl_buckets" -> (TextOps.perplexityBuckets _),
     "e1_event_windows" -> (Events.eventWindows _),
     "e2_sessionize" -> (Events.sessionize _),
     "e11_event_gaps" -> (Events.interEventGaps _),
@@ -985,6 +987,7 @@ object SparkEntry {
     "t23_mix_apply" -> TextOps.t23OracleSql,
     "t24_dsir_weights" -> TextOps.t24OracleSql(),
     "t25_leakage_split" -> TextOps.t25OracleSql,
+    "t26_ppl_buckets" -> TextOps.t26OracleSql,
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
     "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),
     "b4_banded_align" -> graft.operators.Dedup.b4OracleSql(),
@@ -1079,6 +1082,18 @@ object SparkEntry {
       FROM banded GROUP BY c_mktsegment, band
       ORDER BY c_mktsegment, band""",
     "q42_mad_outliers" -> Relational.q42OracleSql,
+    "q43_distribution_rank" -> """
+      WITH r AS (
+        SELECT p_partkey, p_type, CAST(p_retailprice AS DOUBLE) AS price,
+          round(percent_rank() OVER w, 6) AS pr,
+          round(cume_dist() OVER w, 6) AS cd,
+          row_number() OVER w AS rn
+        FROM part
+        WINDOW w AS (PARTITION BY p_type
+          ORDER BY p_retailprice, p_partkey))
+      SELECT p_partkey, p_type, price, pr, cd
+      FROM r WHERE rn % 10 = 1
+      ORDER BY p_type, price, p_partkey""",
     "q41_mom_growth" -> """
       WITH m AS (
         SELECT strftime(o_orderdate, '%Y-%m') AS month,

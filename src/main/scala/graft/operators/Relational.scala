@@ -679,6 +679,31 @@ object Relational {
       .orderBy("c_mktsegment", "band")
   }
 
+  /** q43: distribution ranks — percent_rank and cume_dist of part
+    * retail price within each part type (bpaotu's "where does this
+    * sample sit in its cohort's distribution" readout; completes the
+    * window-rank family q8/q40 started). The order key is
+    * (price, partkey) so every rank is UNIQUE — percent_rank and
+    * cume_dist are then engine-stable even where prices tie (the
+    * repo's rank-boundary discipline). Window partitions are
+    * type-bounded (n/|types| rows each, sort-based and spill-safe —
+    * the standard distribution-rank shape); output trimmed to each
+    * type's decile heads to keep the result dim-bounded. */
+  def q43DistributionRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_type")
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") % 10 === 1)
+      .select(col("p_partkey"), col("p_type"),
+        col("p_retailprice").cast("double").as("price"),
+        col("pr"), col("cd"))
+      .orderBy("p_type", "price", "p_partkey")
+  }
+
   /** Month-over-month growth — the trend view over ingest volume:
     * monthly order totals (exact DECIMAL sums) with the previous
     * month's revenue and the percent delta via one lag() window. The

@@ -1075,6 +1075,110 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t26: perplexity bucketing — CCNet's quality triage (Wenzek et
+    * al. 2020): score every document with the corpus bigram LM
+    * ([[bigramLm]]'s cross-entropy) and split the corpus into
+    * head / middle / tail TERCILES — the buckets CCNet keeps,
+    * down-weights, and drops. Production CCNet cuts at thresholds
+    * computed from a sample, NOT by globally sorting every document;
+    * this form does the same deterministically: tercile thresholds
+    * come from e19's fixed-bin histogram machinery over the
+    * cross-entropy axis (bin-bounded state, exact integer rank
+    * targets ⌈n/3⌉ and ⌈2n/3⌉, threshold = the rank bin's upper
+    * edge), then bucketing is a stateless value comparison — no
+    * global sort anywhere, and the ≤-threshold rule is deterministic
+    * under ties BY VALUE, which is what threshold triage means.
+    *
+    * Mean cross-entropy per bucket is an exact DECIMAL(18,6) sum of
+    * the per-doc round-6 values (order-free) with one final rounded
+    * division. Population = docs with ≥ 1 bigram (the LM's own
+    * domain), identical in both engines. */
+  val PplBins = 256
+
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBuckets(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val ce = graft.Ckpt(bigramLm(docs))
+    val bounds = ce.agg(min(col("cross_entropy")).as("lo"),
+      max(col("cross_entropy")).as("hi"), count(lit(1)).as("n"))
+    val wexp = (col("hi") - col("lo")) / lit(PplBins.toDouble)
+    val binned = ce.crossJoin(broadcast(bounds))
+      .select(when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(
+          floor((col("cross_entropy") - col("lo")) / wexp).cast("long"),
+          lit(PplBins - 1L))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("k"))
+    // the cumulative walk runs over ≤ PplBins rows — the bounded
+    // global window with the repo's constant non-foldable key
+    val cum = binned.withColumn("cum",
+      sum(col("k")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bin") * 0).orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val thr = cum.crossJoin(broadcast(bounds))
+      .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("bin")))
+          .as("b1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("bin")))
+          .as("b2"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+    def edge(b: org.apache.spark.sql.Column) =
+      when(col("hi") === col("lo"), col("hi"))
+        .otherwise(col("lo") + (b + 1).cast("double")
+          * ((col("hi") - col("lo")) / lit(PplBins.toDouble)))
+    ce.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_bigrams"), col("cross_entropy"),
+        when(col("cross_entropy") <= edge(col("b1")), "head")
+          .when(col("cross_entropy") <= edge(col("b2")), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        round(sum(col("cross_entropy").cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("mean_ce"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[perplexityBuckets]] — t20's oracle as a
+    * nested CTE, then the identical histogram-threshold arithmetic. */
+  def t26OracleSql: String = s"""
+      WITH ce AS ($t20OracleSql),
+      bounds AS (
+        SELECT min(cross_entropy) AS lo, max(cross_entropy) AS hi,
+          count(*) AS n FROM ce),
+      binned AS (
+        SELECT CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+          ELSE least(CAST(floor((c.cross_entropy - b.lo)
+            / ((b.hi - b.lo) / $PplBins.0)) AS BIGINT), ${PplBins - 1})
+          END AS bin, count(*) AS k
+        FROM ce c, bounds b GROUP BY 1),
+      cum AS (
+        SELECT bin, sum(k) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+          AS cum
+        FROM binned),
+      thr AS (
+        SELECT min(CASE WHEN c.cum >= (b.n + 2) // 3 THEN c.bin END) AS b1,
+          min(CASE WHEN c.cum >= (2 * b.n + 2) // 3 THEN c.bin END) AS b2,
+          min(b.lo) AS lo, min(b.hi) AS hi
+        FROM cum c, bounds b),
+      tagged AS (
+        SELECT c.doc_id, c.n_bigrams, c.cross_entropy,
+          CASE WHEN c.cross_entropy <=
+              (CASE WHEN t.hi = t.lo THEN t.hi
+                ELSE t.lo + CAST(t.b1 + 1 AS DOUBLE)
+                  * ((t.hi - t.lo) / $PplBins.0) END) THEN 'head'
+            WHEN c.cross_entropy <=
+              (CASE WHEN t.hi = t.lo THEN t.hi
+                ELSE t.lo + CAST(t.b2 + 1 AS DOUBLE)
+                  * ((t.hi - t.lo) / $PplBins.0) END) THEN 'middle'
+            ELSE 'tail' END AS bucket
+        FROM ce c, thr t)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(CAST(cross_entropy AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS mean_ce
+      FROM tagged GROUP BY bucket ORDER BY bucket"""
+
   /** DuckDB oracle for [[bigramLm]] — identical bigram construction,
     * add-one smoothing and bigram-ordered fold. */
   def t20OracleSql: String = """

@@ -346,4 +346,39 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq == want, s"seed $seed: got ${got.toSeq}, want $want")
     }
   }
+
+  test("LPA K-step plurality equals a sequential replica on random " +
+       "sparse-id graphs") {
+    // g10's deterministic plurality rule (max count, min label) must
+    // reproduce a sequential synchronous replica for ANY graph shape,
+    // including graphs that never reach a fixpoint — the fixed K is
+    // the contract.
+    import spark.implicits._
+    for (seed <- Seq(41L, 42L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 50 + rng.nextInt(30)
+      val ids = Array.tabulate(nNodes)(_ => rng.nextLong() % (1L << 43))
+      val m = nNodes + rng.nextInt(2 * nNodes)
+      val edges = (1 to m).map { _ =>
+        (ids(rng.nextInt(nNodes)), ids(rng.nextInt(nNodes)))
+      }
+      val simple = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = simple.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      var lab = adj.keys.map(v => v -> v).toMap
+      for (_ <- 1 to graft.operators.Graph.LpaIters)
+        lab = adj.map { case (v, ns) =>
+          v -> ns.map(lab).groupBy(identity).toSeq
+            .map { case (l, xs) => (-xs.size.toLong, l) }.min._2
+        }
+      val want = lab.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (l, vs) => (l, vs.size.toLong, vs.keys.min, vs.keys.max) }
+      val got = graft.operators.Graph
+        .g10LpaEdges(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(got.toSeq == want, s"seed $seed: got ${got.toSeq}, want $want")
+    }
+  }
 }
