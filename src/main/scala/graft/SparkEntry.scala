@@ -126,6 +126,7 @@ object SparkEntry {
     "g9_ppr" -> ((s: SparkSession, d: String) => Graph.g9Ppr(s, d)),
     "g10_lpa" -> ((s: SparkSession, d: String) => Graph.g10Lpa(s, d)),
     "g11_centrality" -> ((s: SparkSession, d: String) => Graph.g11Centrality(s, d)),
+    "g12_wsp" -> ((s: SparkSession, d: String) => Graph.g12Wsp(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -1004,6 +1005,7 @@ object SparkEntry {
     "g9_ppr" -> graft.operators.Graph.g9OracleSql(),
     "g10_lpa" -> graft.operators.Graph.g10OracleSql(),
     "g11_centrality" -> graft.operators.Graph.g11OracleSql(),
+    "g12_wsp" -> graft.operators.Graph.g12OracleSql(),
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
     "m9_image_dedup" -> graft.operators.Multimodal.m9OracleSql,
     "m10_decode_robust" -> graft.operators.Multimodal.m10OracleSql,

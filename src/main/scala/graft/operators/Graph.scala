@@ -1222,18 +1222,35 @@ object Graph {
     * exact DECIMAL(38,0) sum probe (monotone ⇒ sum-unchanged ⟺
     * fixpoint), cap n + period. */
   private def bfsCore(nodes: DataFrame, fwd: DataFrame, source: Long,
-                      maxSteps: Long, tag: String = "g8_bfs"): DataFrame = {
-    val und = fwd.select(col("src"), col("dst"), lit(1L).as("w"))
-      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"),
-        lit(1L).as("w")))
+                      maxSteps: Long, tag: String = "g8_bfs"): DataFrame =
+    // hop distance = the unit-weight special case; any real hop
+    // distance is ≤ n−1, so n is a safe infinity
+    wspCore(nodes, fwd.select(col("src"), col("dst"), lit(1L).as("w")),
+      source, maxSteps, tag, infOf = identity)
+
+  /** Weighted min-plus relaxation core — Bellman–Ford as the g2/g5
+    * fixpoint loop: real edges carry POSITIVE integer weights in both
+    * orientations, the per-node weight-0 self-edge keeps "own value"
+    * in the min (monotone non-increasing by construction), and the
+    * loop runs to the unique shortest-distance fixpoint with the
+    * exact-sum probe. Bellman–Ford needs ≤ n−1 full relaxation
+    * rounds REGARDLESS of weights (each round extends every shortest
+    * path by ≥ 1 edge), so the derived cap n + period carries over
+    * from the unit-weight case unchanged. `infOf(n)` must exceed any
+    * real distance — callers pass n for hops, n·maxW for weights. */
+  private def wspCore(nodes: DataFrame, wedges: DataFrame, source: Long,
+                      maxSteps: Long, tag: String,
+                      infOf: Long => Long): DataFrame = {
+    val und = wedges
+      .unionByName(wedges.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
       .unionByName(nodes.select(col("v").as("src"), col("v").as("dst"),
         lit(0L).as("w")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = nodes.count()
-      // any real hop distance is ≤ n−1, so n is a safe infinity
-      val inf = n
+      val inf = infOf(n)
       val cap = math.min(maxSteps, n + CkptEvery)
       var dist = graft.Ckpt(nodes.select(col("v"),
         when(col("v") === source, lit(0L)).otherwise(lit(inf)).as("dist")))
@@ -1274,6 +1291,104 @@ object Graph {
         .orderBy("v")
     } finally und.unpersist(blocking = true)
   }
+
+  /** g12: WEIGHTED single-source shortest paths — Bellman–Ford over
+    * the derived doc graph with deterministic positive integer edge
+    * weights w = 1 + (src + dst) mod [[WspMaxW]] (link cost standing
+    * in for latency/hop quality; the oracle re-derives it), source =
+    * doc 0. g8 answers "how many hops"; this answers "what does the
+    * cheapest route COST" — the weighted-path capability (routing,
+    * weighted influence radius) the unit-BFS can't express. Same
+    * fixpoint discipline and ONE-exchange step as g8 through the
+    * shared [[wspCore]]; the cap is weight-independent (≤ n−1
+    * Bellman–Ford rounds), the infinity sentinel is n·maxW. All
+    * integers — exact. */
+  val WspMaxW = 5
+
+  def g12Wsp(spark: SparkSession, dir: String): DataFrame =
+    g12Wsp(Tables.load(spark, dir, "documents"))
+
+  def g12Wsp(docs0: DataFrame, maxSteps: Long = Long.MaxValue): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g12 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    val wedges = syntheticFwd(docs, n).select(col("src"), col("dst"),
+      (lit(1L) + pmod(col("src") + col("dst"), lit(WspMaxW.toLong))).as("w"))
+    wspCore(docs.select(col("doc_id").as("v")), wedges, 0L, maxSteps,
+      "g12_wsp", n => WspMaxW * n)
+  }
+
+  /** General weighted-shortest-path entry — an EXPLICIT
+    * (src, dst, w) edge list with arbitrary sparse 64-bit node ids
+    * and POSITIVE integer weights (validated with one aggregate —
+    * a zero/negative weight voids the monotone-fixpoint argument and
+    * must refuse loudly, not loop). Treated undirected. */
+  def g12WspEdges(edges0: DataFrame, source: Long,
+                  maxSteps: Long = Long.MaxValue): DataFrame = {
+    val edges = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val nodes = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .distinct()
+    val mm = edges.agg(min(col("w")), max(col("w")),
+      count(lit(1))).head()
+    require(mm.getLong(2) > 0, "g12 needs a non-empty edge list")
+    require(mm.getLong(0) >= 1,
+      s"g12 needs positive integer weights, saw min ${mm.getLong(0)}")
+    val maxW = mm.getLong(1)
+    require(nodes.filter(col("v") === source).count() == 1,
+      s"g12 source $source is not a node of the edge list")
+    wspCore(nodes, edges, source, maxSteps, "g12_edges", n => maxW * n)
+  }
+
+  /** DuckDB oracle for [[g12Wsp]] — g8's list recursion with the
+    * derived weights riding in the adjacency structs; unreachable ⇒
+    * the n·maxW sentinel ⇒ −1. */
+  def g12OracleSql(): String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni,
+          count(*) * $WspMaxW AS inf FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT src, dst, 1 + (src + dst) % $WspMaxW AS w
+        FROM (
+          SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+          FROM (
+            SELECT doc_id AS src, j,
+              (((doc_id * 7 + j) % 1000000000) * 2654435761)
+                % 2147483647 % n AS dst0, n
+            FROM documents, nn, generate_series(1, $OutDeg) t(j)) e) s),
+      und AS MATERIALIZED (
+        SELECT src, dst, w FROM fwd
+        UNION ALL SELECT dst, src, w FROM fwd),
+      adj AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(dst := dst, ns := ns))),
+          s -> s['ns']) AS m
+        FROM (SELECT dst, list(struct_pack(u := src, w := w)) AS ns
+              FROM und GROUP BY dst) g),
+      sp AS (
+        SELECT 0 AS k,
+          list_transform(generate_series(1, ni),
+            i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT) ELSE inf END) AS d,
+          CAST(NULL AS BIGINT[]) AS p
+        FROM nn
+        UNION ALL
+        SELECT k + 1,
+          list_transform(generate_series(1, ni), v ->
+            least(sp.d[CAST(v AS INT)],
+              list_reduce(list_prepend(inf,
+                list_transform(adj.m[CAST(v AS INT)],
+                  e -> sp.d[CAST(e['u'] AS INT) + 1] + e['w'])),
+                (a, b) -> least(a, b)))) AS d,
+          sp.d AS p
+        FROM sp, nn, adj WHERE p IS NULL OR p <> d)
+      SELECT i - 1 AS v,
+        CASE WHEN f.d[i] >= inf THEN CAST(-1 AS BIGINT) ELSE f.d[i] END AS dist
+      FROM (SELECT d FROM sp WHERE p = d) f, nn,
+        (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t
+      ORDER BY v"""
 
   /** DuckDB oracle for [[g8Bfs]] — the same min-plus relaxation over a
     * single list-valued row, recursed TO THE FIXPOINT (g2's carried

@@ -347,6 +347,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("weighted shortest paths equal Dijkstra on random sparse-id " +
+       "weighted graphs") {
+    import spark.implicits._
+    for (seed <- Seq(51L, 52L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 40 + rng.nextInt(30)
+      val ids = Array.tabulate(nNodes)(_ => rng.nextLong() % (1L << 42))
+      val m = nNodes + rng.nextInt(nNodes)
+      val edges = (1 to m).map { _ =>
+        (ids(rng.nextInt(nNodes)), ids(rng.nextInt(nNodes)),
+          1L + rng.nextInt(9))
+      }.filter(e => e._1 != e._2)
+      val src = edges.head._1
+      // Dijkstra over the undirected weighted multigraph
+      val adj = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(e => (e._2, e._3)) }
+      val dist = scala.collection.mutable.Map(src -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, src))(
+        Ordering.by[(Long, Long), Long](-_._1))
+      while (pq.nonEmpty) {
+        val (d, v) = pq.dequeue()
+        if (dist(v) == d)
+          adj.getOrElse(v, Seq.empty).foreach { case (u, w) =>
+            if (dist.getOrElse(u, Long.MaxValue) > d + w) {
+              dist(u) = d + w; pq.enqueue((d + w, u))
+            }
+          }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val want = nodes.map(v => (v, dist.getOrElse(v, -1L)))
+      val got = graft.operators.Graph
+        .g12WspEdges(edges.toDF("src", "dst", "w"), src)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == want, s"seed $seed: got ${got.toSeq}, want $want")
+    }
+  }
+
+  test("weighted shortest paths refuse non-positive weights loudly") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.g12WspEdges(
+        Seq((0L, 1L, 1L), (1L, 2L, 0L)).toDF("src", "dst", "w"), 0L)
+    }
+  }
+
   test("LPA K-step plurality equals a sequential replica on random " +
        "sparse-id graphs") {
     // g10's deterministic plurality rule (max count, min label) must
