@@ -103,6 +103,16 @@ object GraftFunctions {
       graft.functions.expressions.MinHashSig(
         org.apache.spark.sql.graftshim.GraftShim.expression(hashes), k))
 
+  /** Column API for the native h-index AGGREGATE (largest h with ≥ h
+    * group values ≥ h): bounded sparse-histogram buffer, map-side
+    * partial merge — the k-core step's one-exchange, skew-proof
+    * per-node fold. */
+  def hIndexAgg(values: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.functions.expressions.HIndexAgg(
+        org.apache.spark.sql.graftshim.GraftShim.expression(values))
+        .toAggregateExpression())
+
   /** Column API for the one-pass SimHash fingerprint. */
   def simhashBits(hashes: Column, bits: Int): Column =
     org.apache.spark.sql.graftshim.GraftShim.column(

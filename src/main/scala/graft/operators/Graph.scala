@@ -795,20 +795,21 @@ object Graph {
     * once the value frame outgrows a broadcast). The pin is released
     * before return.
     *
-    * Per-node fold state is a SPARSE value→count HISTOGRAM, not the
-    * neighbour value list (r11 verdict #1): the h-index needs only
-    * how many neighbours hold each distinct value, so the per-node
-    * row is bounded by the node's DISTINCT neighbour-value count —
+    * Per-node fold state is a SPARSE value→count HISTOGRAM inside
+    * the native [[graft.functions.expressions.HIndexAgg]] aggregate,
+    * not a neighbour value list (r11 verdict #1): the h-index needs
+    * only how many neighbours hold each distinct value, so per-node
+    * state is bounded by the DISTINCT neighbour-value count —
     * ≤ min(degree, O(√(2|E|))) (k distinct positive h-values each
     * backed by a node of degree ≥ its value forces Σvalues ≤ 2|E|,
-    * so k = O(√|E|)) — instead of O(degree). A 10⁷-degree power-law
-    * hub whose spokes share a handful of values folds to a few-entry
-    * histogram row; the spokes collapse in MAP-SIDE partial
-    * aggregation of the (dst, value) count before any shuffle. Cost:
-    * one edge-scale exchange (the (dst, value) count) plus one
-    * histogram-scale exchange (Σ per-node distinct values ≪ |E|)
-    * per step, vs one edge-scale exchange for the list fold — the
-    * second exchange buys the bounded row. */
+    * so k = O(√|E|)) — instead of O(degree). Being a regular typed
+    * aggregate (the BloomFilterAggregate pattern) it PARTIAL-merges
+    * map-side — a 10⁷-degree power-law hub's same-valued spokes
+    * collapse per map partition — and the step keeps the ONE
+    * edge-scale exchange of the original list fold (the r12 interim
+    * two-aggregate rewrite bounded the row but paid a second
+    * exchange; the custom aggregate gets both properties at once,
+    * PlanSpec-gated). All-integer, order-free, deterministic. */
   private def kcoreCore(fwd: DataFrame, maxSteps: Long,
                         tag: String = "g5_kcore"): DataFrame = {
     val und = fwd.select(col("a").as("src"), col("b").as("dst"))
@@ -818,27 +819,10 @@ object Graph {
     try {
       val m2 = und.count() // = 2|E|
       val capPeriods = m2 + 1
-      // h-index from the value-descending histogram: h = max over
-      // distinct values v of min(v, #neighbours with value ≥ v) —
-      // the running min(value, cumulative count) over the sorted
-      // (value, count) pairs. Distinct values are unique keys within
-      // a dst group, so sort_array gives ONE canonical order —
-      // deterministic, all-integer, exact.
       def hIndex(frame: DataFrame): DataFrame = frame
-        .groupBy(col("dst"), col("cn"))
-        .agg(count(lit(1)).as("k"))
         .groupBy(col("dst"))
-        .agg(reverse(sort_array(collect_list(struct(col("cn"), col("k")))))
-          .as("hist"))
-        .select(col("dst").as("v"),
-          aggregate(col("hist"),
-            struct(lit(0L).as("cum"), lit(0L).as("h")),
-            (acc, x) => struct(
-              (acc.getField("cum") + x.getField("k")).as("cum"),
-              greatest(acc.getField("h"),
-                least(x.getField("cn"),
-                  acc.getField("cum") + x.getField("k"))).as("h")),
-            acc => acc.getField("h")).as("c"))
+        .agg(graft.GraftFunctions.hIndexAgg(col("cn")).as("c"))
+        .select(col("dst").as("v"), col("c"))
 
       var cur = graft.Ckpt(und.groupBy(col("dst")).agg(count(lit(1)).as("c"))
         .select(col("dst").as("v"), col("c")))
