@@ -40,12 +40,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The legacy count() pass is opt-in (GRAFT_BENCH_COUNTMODE=1) — it
   * doubled wall time and measured less.
+  *
+  * Plan-shape telemetry (r12 verdict #6): `shuffle_bytes` maps each
+  * key to `[bytesRead, bytesWritten]` from the SAME warm rep whose
+  * time is reported — deterministic per plan, so a lost broadcast or
+  * a new exchange shows as a byte diff even when wall time is noise.
+  * Cross-run gate (r12 verdict #4): keys whose reported min exceeds
+  * [[CrossRunGate]]× their value in the newest committed BENCH_LOCAL
+  * artifact get one extra end-of-suite rep and, if still slow, land
+  * in the `suspect` map — load is flagged as load.
   */
 object Bench {
 
   /** Warm-rep max/min ratio above which a query earns one extra
     * end-of-suite rep (see the contention sanity gate below). */
   val SpreadGate = 3.0
+
+  /** Round-over-round ratio above which a query's reported time is
+    * treated as contention-suspect: if this run's min exceeds
+    * CrossRunGate × the previous committed artifact's value, the query
+    * gets ONE more end-of-suite rep, and if still above the gate it is
+    * listed in the artifact's `suspect` map (r12: the committed
+    * close-out artifact reported q1 at 7.6 s from a loaded box while
+    * the same-day clean run had 0.86 s — every warm rep was polluted,
+    * so the within-run spread gate couldn't see it; only a cross-run
+    * reference can). */
+  val CrossRunGate = 3.0
+
+  /** Prior values below this aren't gated — a 0.05 s → 0.2 s move is
+    * scheduling noise, not contention evidence. */
+  val CrossRunFloorSec = 0.2
 
   /** JSON string escape (Verify's rules): backslash, quote, and ALL
     * control chars — exception messages routinely carry newlines. */
@@ -65,7 +89,14 @@ object Bench {
     * shipped artifact bugs in exactly this code. */
   private[graft] def benchLine(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
-      reps: Int, countMode: Boolean): String = {
+      reps: Int, countMode: Boolean,
+      prior: Map[String, Double] = Map.empty): String = {
+    // FixpointSteps is a process-global map: without this clear, a
+    // bench artifact in a JVM that ran other queries first (specs, a
+    // previous benchLine) would carry stale step tags attributed to
+    // THIS run (r12 ADVICE). Snapshot-free: clear, then emit whatever
+    // this run's queries record.
+    graft.operators.Graph.FixpointSteps.clear()
     // A rep that throws must not masquerade as a (fast) timing — r9
     // benched five analysis-broken queries as the wall time of their
     // exception. Track the FIRST failure message per query; failures
@@ -88,16 +119,31 @@ object Bench {
     val countTimes = if (countMode) names.map { name =>
       name -> time(name)(queries(name)(spark, sfDir).count())
     } else Nil
+    // Shuffle meter (r12 verdict #6): wall time on a shared box is
+    // noisy, shuffle bytes are a deterministic property of the
+    // executed plan — recording them per key makes a plan regression
+    // (lost broadcast, new exchange, extra fixpoint steps) visible in
+    // the artifact even under load. Each rep runs between two flushed
+    // snapshots, so deltas attribute to the query that just ran.
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    // one rep = (wall seconds, shuffle bytes read, written)
+    def rep(name: String): (Double, Long, Long) = {
+      val (r0, w0) = meter.snapshot(spark.sparkContext)
+      val t = time(name)(noopWrite(queries(name)(spark, sfDir)))
+      val (r1, w1) = meter.snapshot(spark.sparkContext)
+      (t, r1 - r0, w1 - w0)
+    }
     // rep 1 = cold (plan codegen + JIT), discarded; reported value =
     // min of the warm reps. Raw times for ALL reps go in the artifact.
     // A query whose first rep throws is not re-run (same exception 3×
     // would just triple the noise); its raw entry is [-1].
-    val rawTimes0: Seq[(String, Seq[Double])] = names.map { name =>
-      val first = time(name)(noopWrite(queries(name)(spark, sfDir)))
-      val rest = if (first < 0) Nil else Seq.fill(reps - 1)(
-        time(name)(noopWrite(queries(name)(spark, sfDir))))
-      name -> (first +: rest)
-    }
+    val rawTimes0: Seq[(String, Seq[(Double, Long, Long)])] =
+      names.map { name =>
+        val first = rep(name)
+        val rest = if (first._1 < 0) Nil else Seq.fill(reps - 1)(rep(name))
+        name -> (first +: rest)
+      }
     // Contention sanity gate (r11, the r8-r10 carried ask): a loaded
     // box shows up as wild warm-rep spread (r10's committed d11 triple
     // was [8.9, 25.6, 55.5] for a true 2.1 s query). Any query whose
@@ -106,30 +152,64 @@ object Bench {
     // min-of-warm picks the clean number. The extra rep is visible in
     // the raw array (length reps+1), so the artifact still shows the
     // pollution instead of hiding it.
-    val rawTimes: Seq[(String, Seq[Double])] = rawTimes0.map { case (name, ts) =>
-      val warm = (if (ts.size > 1) ts.drop(1) else ts).filter(_ >= 0)
-      val spread = warm.nonEmpty && warm.min > 0 && warm.max / warm.min > SpreadGate
-      if (spread) {
-        System.err.println(f"[bench] $name warm spread ${warm.max / warm.min}%.1f× — one clean-up rep")
-        name -> (ts :+ time(name)(noopWrite(queries(name)(spark, sfDir))))
-      } else name -> ts
-    }
+    val rawTimes1: Seq[(String, Seq[(Double, Long, Long)])] =
+      rawTimes0.map { case (name, ts) =>
+        val warm = (if (ts.size > 1) ts.drop(1) else ts).map(_._1).filter(_ >= 0)
+        val spread = warm.nonEmpty && warm.min > 0 && warm.max / warm.min > SpreadGate
+        if (spread) {
+          System.err.println(f"[bench] $name warm spread ${warm.max / warm.min}%.1f× — one clean-up rep")
+          name -> (ts :+ rep(name))
+        } else name -> ts
+      }
     // GRAFT_BENCH_REPS=1 must not crash: with a single rep there is no
     // cold rep to discard, so the lone time IS the reported time.
     // Failed queries (raw [-1]) report -1 — visibly broken, and they
     // do NOT contribute to the suite total.
-    val matTimes = rawTimes.map { case (n, ts) =>
-      val warm = (if (ts.size > 1) ts.drop(1) else ts).filter(_ >= 0)
-      n -> (if (warm.isEmpty) -1.0 else warm.min)
+    def warmOf(ts: Seq[(Double, Long, Long)]): Seq[(Double, Long, Long)] =
+      (if (ts.size > 1) ts.drop(1) else ts).filter(_._1 >= 0)
+    def minWarm(ts: Seq[(Double, Long, Long)]): Double = {
+      val warm = warmOf(ts)
+      if (warm.isEmpty) -1.0 else warm.map(_._1).min
+    }
+    // Cross-run sanity gate (r12 verdict #4): the within-run spread
+    // gate is blind when EVERY warm rep is polluted (r12's close-out
+    // run reported q1 at 7.6 s; the same-day clean run had 0.86 s).
+    // Against the previous committed artifact: a reported min above
+    // CrossRunGate × its prior value earns ONE more end-of-suite rep;
+    // if still above the gate, the key lands in the artifact's
+    // `suspect` map — the jump is flagged as load, not silently
+    // recorded as a code regression.
+    val rawTimes: Seq[(String, Seq[(Double, Long, Long)])] =
+      rawTimes1.map { case (name, ts) =>
+        val v = minWarm(ts)
+        val p = prior.getOrElse(name, -1.0)
+        if (v > 0 && p >= CrossRunFloorSec && v > CrossRunGate * p) {
+          System.err.println(
+            f"[bench] $name $v%.2f s vs prior $p%.2f s (>${CrossRunGate}×) — one cross-run rep")
+          name -> (ts :+ rep(name))
+        } else name -> ts
+      }
+    spark.sparkContext.removeSparkListener(meter)
+    val matTimes = rawTimes.map { case (n, ts) => n -> minWarm(ts) }
+    // shuffle bytes of the SAME warm rep whose time is reported — the
+    // clean rep's plan is the one the number describes
+    val shuffleBytes = rawTimes.map { case (n, ts) =>
+      val warm = warmOf(ts)
+      if (warm.isEmpty) n -> (-1L, -1L)
+      else { val best = warm.minBy(_._1); n -> (best._2, best._3) }
+    }
+    val suspect = matTimes.filter { case (n, v) =>
+      val p = prior.getOrElse(n, -1.0)
+      v > 0 && p >= CrossRunFloorSec && v > CrossRunGate * p
     }
 
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(ts: Seq[(String, Double)]): String =
       ts.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    def jraw(ts: Seq[(String, Seq[Double])]): String =
+    def jraw(ts: Seq[(String, Seq[(Double, Long, Long)])]): String =
       ts.map { case (k, vs) =>
-        s"\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]")
+        s"\"" + k + "\":" + vs.map(v => r3(v._1)).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val total = matTimes.map(_._2).filter(_ >= 0).sum
     // -1 sentinels must not bias the legacy sum downward either
@@ -150,12 +230,62 @@ object Bench {
       graft.operators.Graph.FixpointSteps.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     }
+    val suspectJson = suspect.sortBy(_._1)
+      .map { case (k, v) => jq(k) + ":" + r3(v) }.mkString("{", ",", "}")
+    // [read, written] per key, from the reported (min-warm) rep
+    val shuffleJson = shuffleBytes.sortBy(_._1)
+      .map { case (k, (r, w)) => jq(k) + s":[$r,$w]" }
+      .mkString("{", ",", "}")
     s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""materialized":true,"runs":$reps,"protocol":"drop-first-min-rest",""" +
       s""""raw":${jraw(rawTimes)},$legacy"fixpoint_steps":$stepsJson,""" +
-      s""""failed":$failedJson,""" +
+      s""""shuffle_bytes":$shuffleJson,""" +
+      s""""failed":$failedJson,"suspect":$suspectJson,""" +
       s""""value":${r3(total)},"queries":${jmap(matTimes)}}"""
   }
+
+  /** Per-query seconds from the newest committed BENCH_LOCAL_r*.json
+    * (the builder's clean full-registry artifact — preferred over the
+    * driver's BENCH_r*.json, whose r12 close-out capture was itself
+    * the polluted run this gate exists to catch). Best-effort: any
+    * parse/IO failure returns empty, and the cross-run gate simply
+    * doesn't fire. */
+  private[graft] def loadPriorQueries(
+      dir: java.nio.file.Path = java.nio.file.Paths.get(".")): Map[String, Double] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val pat = java.util.regex.Pattern.compile(
+        "BENCH_LOCAL_r0*([0-9]+)(_[0-9]+)?\\.json")
+      val all = java.nio.file.Files.list(dir).iterator().asScala
+        .flatMap { p =>
+          val m = pat.matcher(p.getFileName.toString)
+          if (m.matches()) Some((m.group(1).toInt, p)) else None
+        }.toSeq
+      if (all.isEmpty) return Map.empty
+      // A round can carry several artifacts (the timestamp-suffixed
+      // siblings a late re-run writes); r12's round had one clean and
+      // one polluted. The per-key MIN across the newest round's
+      // artifacts is the clean reference by construction.
+      val maxRound = all.map(_._1).max
+      def parse(p: java.nio.file.Path): Map[String, Double] = {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qIdx = txt.lastIndexOf("\"queries\":")
+        if (qIdx < 0) return Map.empty
+        val kv = java.util.regex.Pattern
+          .compile("\"([^\"]+)\":(-?[0-9]+(?:\\.[0-9]+)?)")
+          .matcher(txt.substring(qIdx))
+        val b = Map.newBuilder[String, Double]
+        while (kv.find()) b += kv.group(1) -> kv.group(2).toDouble
+        b.result()
+      }
+      all.filter(_._1 == maxRound).map(t => parse(t._2))
+        .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+          (acc.keySet ++ m.keySet).map { k =>
+            val vs = Seq(acc.get(k), m.get(k)).flatten.filter(_ > 0)
+            k -> (if (vs.isEmpty) -1.0 else vs.min)
+          }.toMap
+        }.filter(_._2 > 0)
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -175,7 +305,8 @@ object Bench {
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
 
-    val line = benchLine(spark, sfDir, SparkEntry.queries, reps, countMode)
+    val line = benchLine(spark, sfDir, SparkEntry.queries, reps, countMode,
+      prior = loadPriorQueries())
     println(line)
     // The driver's artifact is a BOUNDED TAIL of stdout: the r6
     // BENCH_r6.json lost its "raw" arrays and the first 11 per-query

@@ -66,6 +66,20 @@ object GraftFunctions {
         spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
   }
 
+  /** `round` whose zero is ALWAYS +0.0 — use at every rounded output
+    * whose argument can be negative. Spark's `Round` goes through Java
+    * `BigDecimal` (which has no signed zero) and so emits +0.0, but
+    * DuckDB's float-side `round` preserves IEEE −0.0; a tiny negative
+    * that rounds to zero then hash-mismatches a byte-comparing gate
+    * even though the values compare equal (−0.0 == +0.0). Adding +0.0
+    * is the IEEE-754 canonicalization (−0.0 + 0.0 = +0.0; identity for
+    * every other value, including NaN and null) and stays inside
+    * whole-stage codegen. Oracle SQL must mirror it as
+    * `(round(...) + 0.0)` — see the paired `... + 0.0 AS` forms. */
+  def roundz(c: Column, scale: Int): Column =
+    org.apache.spark.sql.functions.round(c, scale) +
+      org.apache.spark.sql.functions.lit(0.0)
+
   /** Column API for the native cosine similarity. */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)

@@ -174,9 +174,11 @@ object SparkEntry {
     "s10_recall_eval" -> (Similarity.recallEval _),
     "s11_ann_sq" -> (Similarity.annSq _),
     "s12_cluster_profile" -> (Similarity.clusterProfile _),
+    "s13_mips_topk" -> (Similarity.mipsTopk _),
     "t22_gopher_rules" -> (TextOps.gopherRules _),
     "t23_mix_apply" -> (TextOps.mixApply _),
     "t24_dsir_weights" -> (TextOps.dsirWeights _),
+    "t27_span_mask" -> (TextOps.spanMask _),
     "t25_leakage_split" -> (TextOps.leakageSplit _),
     "t26_ppl_buckets" -> (TextOps.perplexityBuckets _),
     "e1_event_windows" -> (Events.eventWindows _),
@@ -200,6 +202,7 @@ object SparkEntry {
     // (PipelineOpsSpec) and the estimate itself is deterministic.
     "e18_dau_approx" -> (Events.dauApprox _),
     "e19_quantile_hist" -> (Events.quantileHist _),
+    "e20_log_quantile_hist" -> (Events.logQuantileHist _),
     "e17_daily_topk" -> ((s: SparkSession, d: String) => Events.dailyTopk(s, d)),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
@@ -685,6 +688,7 @@ object SparkEntry {
     "e13_dau_wau" -> graft.operators.Events.dauWauOracleSql,
     "e17_daily_topk" -> graft.operators.Events.e17OracleSql(),
     "e19_quantile_hist" -> graft.operators.Events.e19OracleSql,
+    "e20_log_quantile_hist" -> graft.operators.Events.e20OracleSql,
     "t9_split" -> TextOps.split3OracleSql,
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
     "t11_sample_weights" -> TextOps.t11OracleSql,
@@ -927,7 +931,7 @@ object SparkEntry {
         SELECT a_id, b_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
         FROM (SELECT a_id, b_id, unnest(ea) AS x, unnest(eb) AS y FROM pairs) GROUP BY a_id, b_id)
       SELECT d.a_id, d.b_id,
-        round(d.dt / (na.nrm * nb.nrm), 6) AS cos_sim,
+        (round(d.dt / (na.nrm * nb.nrm), 6) + 0.0) AS cos_sim,
         round(d.dt / (na.nrm * nb.nrm), 6) > 0.95 AS is_near
       FROM dots d JOIN norms na ON na.vec_id = d.a_id JOIN norms nb ON nb.vec_id = d.b_id
       ORDER BY d.a_id""",
@@ -984,9 +988,11 @@ object SparkEntry {
     "s10_recall_eval" -> Similarity.s10OracleSql,
     "s11_ann_sq" -> Similarity.s11OracleSql(),
     "s12_cluster_profile" -> Similarity.s12OracleSql(),
+    "s13_mips_topk" -> Similarity.s13OracleSql(),
     "t22_gopher_rules" -> TextOps.t22OracleSql,
     "t23_mix_apply" -> TextOps.t23OracleSql,
     "t24_dsir_weights" -> TextOps.t24OracleSql(),
+    "t27_span_mask" -> TextOps.t27OracleSql,
     "t25_leakage_split" -> TextOps.t25OracleSql,
     "t26_ppl_buckets" -> TextOps.t26OracleSql,
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
@@ -1024,7 +1030,7 @@ object SparkEntry {
     "t21_bpe_encode" -> graft.operators.TextOps.t21OracleSql(),
     "d13_chunk_dedup" -> graft.operators.Dedup.d13OracleSql(),
     "d16_dup_ngram_rate" -> graft.operators.Dedup.d16OracleSql(),
-    "d17_lsh_recall" -> graft.operators.Dedup.d17OracleSql,
+    "d17_lsh_recall" -> graft.operators.Dedup.d17OracleSql(),
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,
@@ -1078,9 +1084,9 @@ object SparkEntry {
             ORDER BY c_acctbal, c_custkey) AS band
         FROM customer)
       SELECT c_mktsegment, CAST(band AS INT) AS band, count(*) AS n,
-        round(min(c_acctbal), 2) AS lo,
-        round(max(c_acctbal), 2) AS hi,
-        round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_bal
+        (round(min(c_acctbal), 2) + 0.0) AS lo,
+        (round(max(c_acctbal), 2) + 0.0) AS hi,
+        (round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) + 0.0) AS avg_bal
       FROM banded GROUP BY c_mktsegment, band
       ORDER BY c_mktsegment, band""",
     "q42_mad_outliers" -> Relational.q42OracleSql,
@@ -1103,8 +1109,8 @@ object SparkEntry {
           count(*) AS n_orders
         FROM orders GROUP BY 1)
       SELECT month, revenue, n_orders,
-        round((revenue - lag(revenue) OVER (ORDER BY month))
-          / lag(revenue) OVER (ORDER BY month) * 100.0, 6) AS mom_pct
+        (round((revenue - lag(revenue) OVER (ORDER BY month))
+          / lag(revenue) OVER (ORDER BY month) * 100.0, 6) + 0.0) AS mom_pct
       FROM m ORDER BY month""",
     "x4_export_krona" -> """
       WITH leaves AS (

@@ -1244,7 +1244,8 @@ object Dedup {
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("b_id") === col("a_id") + 1)
       .select(col("a_id"), col("b_id"),
-        round(graft.GraftFunctions.cosineSim(spark, col("ea"), col("eb")), 6)
+        graft.GraftFunctions.roundz(
+            graft.GraftFunctions.cosineSim(spark, col("ea"), col("eb")), 6)
           .as("cos_sim"))
       .withColumn("is_near", col("cos_sim") > 0.95)
       .orderBy("a_id")
@@ -1406,20 +1407,37 @@ object Dedup {
     * counts): every J > 0 pair shares a hash, so nothing is missed,
     * and the cut is integer-exact (2·|∩| ≥ |∪|). The index join is
     * the EVAL-harness cost (s10's class): worst case a boilerplate
-    * shingle fans out quadratically — run it at eval scale or on a
-    * sample; the candidate side stays the production path
-    * (band-bucketed, star-cappable via `maxBucket`). */
+    * shingle fans out quadratically — which is why the truth index
+    * carries the d2/d10 hot-bucket pattern as `maxShingleDf`: a
+    * document-frequency cut that drops shingle buckets fanning out
+    * past the bound, with the dropped-bucket count surfaced LOUDLY
+    * in the output row (`n_capped_shingles`). With the cap engaged
+    * the truth set is a lower bound over the COLD shingles only
+    * (pairs sharing only boilerplate shingles are not enumerated,
+    * and intersections count cold shingles) — the trade that makes
+    * the audit safe to point at a raw corpus sample; the default is
+    * uncapped and exact. The candidate side stays the production
+    * path (band-bucketed, star-cappable via `maxBucket`). */
   def lshRecall(spark: SparkSession, dir: String): DataFrame =
     lshRecall(Tables.parallel(Tables.load(spark, dir, "documents")))
 
   def lshRecall(docs: DataFrame,
-                maxBucket: Int = Int.MaxValue): DataFrame = {
+                maxBucket: Int = Int.MaxValue,
+                maxShingleDf: Long = Long.MaxValue): DataFrame = {
     // distinct hash sets — d2's verify operates on these, so the
     // audit's truth metric is identical by construction
     val hs = graft.Ckpt(docs.select(col("doc_id"),
       array_distinct(hashedShingleCol(col("text"))).as("hl")))
     val sizes = hs.select(col("doc_id"), size(col("hl")).cast("long").as("nsh"))
-    val inv = hs.select(col("doc_id"), explode(col("hl")).as("h"))
+    val inv0 = hs.select(col("doc_id"), explode(col("hl")).as("h"))
+    // df per shingle hash: two consumers (the loud capped count and
+    // the cold filter) ⇒ checkpointed once; shingle-scale, one
+    // map-side-combined aggregate
+    val dfc = graft.Ckpt(inv0.groupBy("h").agg(count(lit(1)).as("df")))
+    val nCapped = dfc.agg(
+      count(when(col("df") > maxShingleDf, 1)).as("n_capped_shingles"))
+    val inv = inv0.join(
+      dfc.filter(col("df") <= maxShingleDf).select("h"), Seq("h"), "left_semi")
     val pairs = inv.as("x")
       .join(inv.as("y"), col("x.h") === col("y.h") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -1435,7 +1453,9 @@ object Dedup {
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(nCapped) // one row — in-plan, not a head()
       .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+        col("n_capped_shingles"),
         when(col("n_truth") === 0, lit(1.0))
           .otherwise(round(col("n_hit").cast("double")
             / col("n_truth").cast("double"), 6)).as("recall"),
@@ -1446,8 +1466,9 @@ object Dedup {
   }
 
   /** DuckDB oracle for [[lshRecall]] — d2's signature/band/candidate
-    * CTEs verbatim plus the inverted-index exact-Jaccard truth. */
-  def d17OracleSql: String = """
+    * CTEs verbatim plus the inverted-index exact-Jaccard truth with
+    * the same df-cut semantics. */
+  def d17OracleSql(maxShingleDf: Long = Long.MaxValue): String = s"""
       WITH hs AS (
         SELECT doc_id, list_transform(
           list_distinct(list_transform(
@@ -1477,7 +1498,11 @@ object Dedup {
         FROM bands x JOIN bands y
           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
             AND x.doc_id < y.doc_id),
-      inv AS (SELECT doc_id, unnest(hl) AS h FROM hsd),
+      inv0 AS (SELECT doc_id, unnest(hl) AS h FROM hsd),
+      dfc AS (SELECT h, count(*) AS df FROM inv0 GROUP BY h),
+      inv AS (
+        SELECT i.doc_id, i.h FROM inv0 i JOIN dfc d ON d.h = i.h
+        WHERE d.df <= $maxShingleDf),
       pr AS (
         SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_inter
         FROM inv x JOIN inv y ON x.h = y.h AND x.doc_id < y.doc_id
@@ -1494,6 +1519,8 @@ object Dedup {
       SELECT (SELECT count(*) FROM truth) AS n_truth,
         (SELECT count(*) FROM cands) AS n_candidates,
         (SELECT count(*) FROM hit) AS n_hit,
+        (SELECT count(*) FROM dfc WHERE df > $maxShingleDf)
+          AS n_capped_shingles,
         CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
           ELSE round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
             / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) END AS recall,

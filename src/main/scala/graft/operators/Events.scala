@@ -341,7 +341,8 @@ object Events {
       .withColumn("den", sqrt((d(col("n_days")) * col("ss") - col("s") * col("s")).cast("double")))
       .filter(col("den") > 0.0 && abs(col("num")) > lit(zThreshold) * col("den"))
       .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
-        col("n_events"), round(col("num") / col("den"), 6).as("z"))
+        col("n_events"),
+        graft.GraftFunctions.roundz(col("num") / col("den"), 6).as("z"))
       .orderBy("event_type", "day")
   }
 
@@ -363,7 +364,7 @@ object Events {
           sqrt(CAST(CAST(t.n_days AS HUGEINT) * t.ss - t.s * t.s AS DOUBLE)) AS den
         FROM daily d JOIN stats t USING (event_type))
       SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
-        round(num / den, 6) AS z
+        (round(num / den, 6) + 0.0) AS z
       FROM j WHERE den > 0.0 AND abs(num) > $zThreshold * den
       ORDER BY event_type, day"""
 
@@ -587,11 +588,119 @@ object Events {
       .agg(pick(50).as("b50"), pick(95).as("b95"), pick(99).as("b99"))
       .select(col("event_type"), col("n").as("n_events"),
         col("lo"), col("hi"),
-        round(edge(col("b50")), 6).as("p50"),
-        round(edge(col("b95")), 6).as("p95"),
-        round(edge(col("b99")), 6).as("p99"))
+        graft.GraftFunctions.roundz(edge(col("b50")), 6).as("p50"),
+        graft.GraftFunctions.roundz(edge(col("b95")), 6).as("p95"),
+        graft.GraftFunctions.roundz(edge(col("b99")), 6).as("p99"))
       .orderBy("event_type")
   }
+
+  /** e20: LOG-width histogram quantiles — e19's heavy-tail variant.
+    * Fixed-width bins bound error by one ABSOLUTE bin width, which is
+    * useless on a long-tailed field: p99 of a lognormal lands in a
+    * huge top bin and the estimate overshoots by orders of magnitude.
+    * Log-spaced bins over [lo, hi] bound the error MULTIPLICATIVELY
+    * instead — the selected upper edge is at most one log-bin factor
+    * (hi/lo)^(1/[[QhBins]]) above the exact order statistic (≈ 5.5%
+    * at hi/lo = 10⁶, B = 256) at every quantile, head or tail. Same
+    * two order-free fact-scale passes, same exact integer rank
+    * thresholds, same (groups × bins)-bounded cumulative walk.
+    *
+    * Positive domain REQUIRED (log bins are undefined at ≤ 0):
+    * validated with one aggregate that also catches NULLs, refusing
+    * loudly (g12's discipline) rather than binning garbage.
+    *
+    * Determinism note: the bin ratio (ln(v) − ln(lo))/w and the
+    * estimate exp(ln(lo) + (b+1)·w) pass through `round(·, 6)`
+    * BEFORE floor/output — t14/t17's discipline for transcendental
+    * kernels, absorbing the ≤1-ulp divergence between Java's and
+    * DuckDB's libm so the two engines agree on the bin index and the
+    * byte-level estimate. */
+  def logQuantileHist(spark: SparkSession, dir: String): DataFrame =
+    logQuantileHist(Tables.load(spark, dir, "events"))
+
+  def logQuantileHist(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), col("value"))
+    val chk = base.agg(count(when(col("value").isNull, 1)).as("nulls"),
+      min(col("value")).as("mn")).head()
+    require(chk.getLong(0) == 0,
+      s"e20 needs non-null values, saw ${chk.getLong(0)} null rows")
+    require(chk.getDouble(1) > 0.0,
+      s"e20 needs a positive domain, saw min ${chk.getDouble(1)}")
+    val bounds = graft.Ckpt(base.groupBy("event_type").agg(
+      min(col("value")).as("lo"), max(col("value")).as("hi"),
+      count(lit(1)).as("n")))
+    val wexp = (log(col("hi")) - log(col("lo"))) / lit(QhBins.toDouble)
+    val binned = base
+      .join(broadcast(bounds), "event_type")
+      .select(col("event_type"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor(round((log(col("value")) - log(col("lo"))) / wexp, 6))
+              .cast("long"),
+            lit(QhBins - 1L))).as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("k"))
+    val cum = binned.withColumn("cum",
+      sum(col("k")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    def thr(q: Int) = expr(s"(n * $q + 99) div 100")
+    def pick(q: Int) = min(when(col("cum") >= thr(q), col("bin")))
+    def edge(b: org.apache.spark.sql.Column) =
+      when(col("hi") === col("lo"), col("hi"))
+        .otherwise(round(exp(log(col("lo")) + (b + 1).cast("double") * wexp), 6))
+    cum.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"), col("lo"), col("hi"), col("n"))
+      .agg(pick(50).as("b50"), pick(95).as("b95"), pick(99).as("b99"))
+      .select(col("event_type"), col("n").as("n_events"),
+        col("lo"), col("hi"),
+        edge(col("b50")).as("p50"),
+        edge(col("b95")).as("p95"),
+        edge(col("b99")).as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[logQuantileHist]] — identical log binning
+    * (with the same round(6) ulp absorption), identical integer rank
+    * thresholds, identical rounded upper-edge arithmetic. */
+  def e20OracleSql: String = s"""
+      WITH bounds AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi,
+          count(*) AS n
+        FROM events GROUP BY event_type),
+      binned AS (
+        SELECT e.event_type,
+          CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+            ELSE least(CAST(floor(round((ln(e.value) - ln(b.lo))
+              / ((ln(b.hi) - ln(b.lo)) / $QhBins.0), 6)) AS BIGINT),
+              ${QhBins - 1}) END AS bin,
+          count(*) AS k
+        FROM events e JOIN bounds b USING (event_type)
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, bin,
+          sum(k) OVER (PARTITION BY event_type ORDER BY bin
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM binned),
+      picked AS (
+        SELECT c.event_type,
+          min(CASE WHEN c.cum >= (b.n * 50 + 99) // 100 THEN c.bin END) AS b50,
+          min(CASE WHEN c.cum >= (b.n * 95 + 99) // 100 THEN c.bin END) AS b95,
+          min(CASE WHEN c.cum >= (b.n * 99 + 99) // 100 THEN c.bin END) AS b99
+        FROM cum c JOIN bounds b USING (event_type)
+        GROUP BY c.event_type)
+      SELECT b.event_type, b.n AS n_events, b.lo, b.hi,
+        CASE WHEN b.hi = b.lo THEN b.hi
+          ELSE round(exp(ln(b.lo) + CAST(p.b50 + 1 AS DOUBLE)
+            * ((ln(b.hi) - ln(b.lo)) / $QhBins.0)), 6) END AS p50,
+        CASE WHEN b.hi = b.lo THEN b.hi
+          ELSE round(exp(ln(b.lo) + CAST(p.b95 + 1 AS DOUBLE)
+            * ((ln(b.hi) - ln(b.lo)) / $QhBins.0)), 6) END AS p95,
+        CASE WHEN b.hi = b.lo THEN b.hi
+          ELSE round(exp(ln(b.lo) + CAST(p.b99 + 1 AS DOUBLE)
+            * ((ln(b.hi) - ln(b.lo)) / $QhBins.0)), 6) END AS p99
+      FROM bounds b JOIN picked p USING (event_type)
+      ORDER BY b.event_type"""
 
   /** DuckDB oracle for [[quantileHist]] — identical binning
     * expression, identical integer rank thresholds, identical
@@ -623,15 +732,15 @@ object Events {
         FROM cum c JOIN bounds b USING (event_type)
         GROUP BY c.event_type)
       SELECT b.event_type, b.n AS n_events, b.lo, b.hi,
-        round(CASE WHEN b.hi = b.lo THEN b.hi
+        (round(CASE WHEN b.hi = b.lo THEN b.hi
           ELSE b.lo + CAST(p.b50 + 1 AS DOUBLE)
-            * ((b.hi - b.lo) / $QhBins.0) END, 6) AS p50,
-        round(CASE WHEN b.hi = b.lo THEN b.hi
+            * ((b.hi - b.lo) / $QhBins.0) END, 6) + 0.0) AS p50,
+        (round(CASE WHEN b.hi = b.lo THEN b.hi
           ELSE b.lo + CAST(p.b95 + 1 AS DOUBLE)
-            * ((b.hi - b.lo) / $QhBins.0) END, 6) AS p95,
-        round(CASE WHEN b.hi = b.lo THEN b.hi
+            * ((b.hi - b.lo) / $QhBins.0) END, 6) + 0.0) AS p95,
+        (round(CASE WHEN b.hi = b.lo THEN b.hi
           ELSE b.lo + CAST(p.b99 + 1 AS DOUBLE)
-            * ((b.hi - b.lo) / $QhBins.0) END, 6) AS p99
+            * ((b.hi - b.lo) / $QhBins.0) END, 6) + 0.0) AS p99
       FROM bounds b JOIN picked p USING (event_type)
       ORDER BY b.event_type"""
 

@@ -112,9 +112,11 @@ object Geo {
       .withColumn("cell_lon", floor((col("lon") + 180.0) / cellDeg).cast("long"))
       .groupBy("cell_lat", "cell_lon")
       .agg(count(lit(1)).as("n_samples"),
-        round(sum(col("lat").cast(d102)).cast("double") / count(lit(1)), 6)
+        graft.GraftFunctions.roundz(
+            sum(col("lat").cast(d102)).cast("double") / count(lit(1)), 6)
           .as("centroid_lat"),
-        round(sum(col("lon").cast(d102)).cast("double") / count(lit(1)), 6)
+        graft.GraftFunctions.roundz(
+            sum(col("lon").cast(d102)).cast("double") / count(lit(1)), 6)
           .as("centroid_lon"))
       .orderBy("cell_lat", "cell_lon")
   }
@@ -132,8 +134,8 @@ object Geo {
       SELECT CAST(floor((lat + 90.0) / $cellDeg) AS BIGINT) AS cell_lat,
         CAST(floor((lon + 180.0) / $cellDeg) AS BIGINT) AS cell_lon,
         count(*) AS n_samples,
-        round(CAST(sum(CAST(lat AS DECIMAL(10,2))) AS DOUBLE) / count(*), 6) AS centroid_lat,
-        round(CAST(sum(CAST(lon AS DECIMAL(10,2))) AS DOUBLE) / count(*), 6) AS centroid_lon
+        (round(CAST(sum(CAST(lat AS DECIMAL(10,2))) AS DOUBLE) / count(*), 6) + 0.0) AS centroid_lat,
+        (round(CAST(sum(CAST(lon AS DECIMAL(10,2))) AS DOUBLE) / count(*), 6) + 0.0) AS centroid_lon
       FROM boxed GROUP BY 1, 2
       ORDER BY cell_lat, cell_lon"""
 

@@ -1105,7 +1105,7 @@ object Graph {
         sum(col("dx")).as("sx"),
         sum(col("dx") * col("dx")).as("sxx"))
       .select(col("m2"),
-        round((col("m2").cast("double") * col("sxy").cast("double")
+        graft.GraftFunctions.roundz((col("m2").cast("double") * col("sxy").cast("double")
             - col("sx").cast("double") * col("sx").cast("double"))
           / (col("m2").cast("double") * col("sxx").cast("double")
             - col("sx").cast("double") * col("sx").cast("double")), 6)
@@ -1138,10 +1138,10 @@ object Graph {
         JOIN deg dx ON dx.v = u.x
         JOIN deg dy ON dy.v = u.y)
       SELECT count(*) AS m2,
-        round((CAST(count(*) AS DOUBLE) * CAST(sum(dx * dy) AS DOUBLE)
+        (round((CAST(count(*) AS DOUBLE) * CAST(sum(dx * dy) AS DOUBLE)
             - CAST(sum(dx) AS DOUBLE) * CAST(sum(dx) AS DOUBLE))
           / (CAST(count(*) AS DOUBLE) * CAST(sum(dx * dx) AS DOUBLE)
-            - CAST(sum(dx) AS DOUBLE) * CAST(sum(dx) AS DOUBLE)), 6)
+            - CAST(sum(dx) AS DOUBLE) * CAST(sum(dx) AS DOUBLE)), 6) + 0.0)
           AS assortativity
       FROM both_"""
 
@@ -1316,9 +1316,15 @@ object Graph {
     val nodes = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v")))
       .distinct()
+    // min(w) skips NULLs, so it alone would wave through (or NPE on)
+    // an edge list with null weights and the relaxation would then
+    // silently DROP those edges instead of refusing loudly (r12
+    // ADVICE). Count nulls in the same one-pass aggregate.
     val mm = edges.agg(min(col("w")), max(col("w")),
-      count(lit(1))).head()
+      count(lit(1)), count(when(col("w").isNull, 1))).head()
     require(mm.getLong(2) > 0, "g12 needs a non-empty edge list")
+    require(mm.getLong(3) == 0,
+      s"g12 needs non-null weights, saw ${mm.getLong(3)} null w rows")
     require(mm.getLong(0) >= 1,
       s"g12 needs positive integer weights, saw min ${mm.getLong(0)}")
     val maxW = mm.getLong(1)

@@ -210,7 +210,11 @@ object Multimodal {
       * EOFException a truncated PNG raises) plus the runtime classes
       * its format plugins leak on truncated/inconsistent streams
       * (Index/ArrayIndexOutOfBounds, IllegalArgument,
-      * NegativeArraySize). A blanket `Exception` catch here would
+      * NegativeArraySize), the color-management classes a corrupt
+      * ICC profile inside a JPEG raises (CMMException,
+      * ProfileDataException) and the RasterFormatException an
+      * inconsistent raster geometry raises — all payload-triggered,
+      * none environment-triggered. A blanket `Exception` catch here would
       * fold a genuine decode regression on GOOD payloads (e.g. a
       * broken ImageIO plugin classpath) into a silently all-invalid
       * corpus instead of failing loudly (r11 ADVICE). */
@@ -239,7 +243,10 @@ object Multimodal {
           case _: java.io.IOException |
                _: IndexOutOfBoundsException |
                _: IllegalArgumentException |
-               _: NegativeArraySizeException =>
+               _: NegativeArraySizeException |
+               _: java.awt.color.CMMException |
+               _: java.awt.color.ProfileDataException |
+               _: java.awt.image.RasterFormatException =>
             RobustFeatures(row.doc_id, false, None, None, None)
         }
       }

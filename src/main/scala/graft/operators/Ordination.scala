@@ -175,8 +175,10 @@ object Ordination {
         when(element_at(col("v_2"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
       .select(posexplode(transform(sequence(lit(1), col("n")), i =>
         struct(element_at(col("samples"), i).as("sample"),
-          round(element_at(col("v_1"), i) * col("sgn1"), 6).as("axis1"),
-          round(element_at(col("v_2"), i) * col("sgn2"), 6).as("axis2")))))
+          graft.GraftFunctions.roundz(
+            element_at(col("v_1"), i) * col("sgn1"), 6).as("axis1"),
+          graft.GraftFunctions.roundz(
+            element_at(col("v_2"), i) * col("sgn2"), 6).as("axis2")))))
       .select(col("col.sample").as("sample"),
         col("col.axis1").as("axis1"), col("col.axis2").as("axis2"))
       .orderBy("sample")
@@ -191,8 +193,9 @@ object Ordination {
     val st = powerAxes(centeredGram(bc0), k, iters)
     st.select(posexplode(array((1 to k).map(a =>
         struct(lit(a).as("axis"),
-          round(col(s"lam_$a"), 6).as("eigenvalue"),
-          round(col(s"lam_$a") / col("trace"), 6).as("pct_var"))): _*)))
+          graft.GraftFunctions.roundz(col(s"lam_$a"), 6).as("eigenvalue"),
+          graft.GraftFunctions.roundz(col(s"lam_$a") / col("trace"), 6)
+            .as("pct_var"))): _*)))
       .select(col("col.axis").as("axis"),
         col("col.eigenvalue").as("eigenvalue"), col("col.pct_var").as("pct_var"))
       .orderBy("axis")
@@ -452,8 +455,10 @@ object Ordination {
         when(element_at(col("v2arr"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
       .select(posexplode(transform(sequence(lit(1), col("n")), i =>
         struct(element_at(col("samples"), i).as("sample"),
-          round(element_at(col("varr"), i) * col("sgn1"), 6).as("axis1"),
-          round(element_at(col("v2arr"), i) * col("sgn2"), 6).as("axis2")))))
+          graft.GraftFunctions.roundz(
+            element_at(col("varr"), i) * col("sgn1"), 6).as("axis1"),
+          graft.GraftFunctions.roundz(
+            element_at(col("v2arr"), i) * col("sgn2"), 6).as("axis2")))))
       .select(col("col.sample").as("sample"),
         col("col.axis1").as("axis1"), col("col.axis2").as("axis2"))
       .orderBy("sample")
@@ -480,8 +485,9 @@ object Ordination {
     lamRow.crossJoin(trace)
       .select(posexplode(array((1 to k).map(a =>
         struct(lit(a).as("axis"),
-          round(col(s"lam_$a"), 6).as("eigenvalue"),
-          round(col(s"lam_$a") / col("trace"), 6).as("pct_var"))): _*)))
+          graft.GraftFunctions.roundz(col(s"lam_$a"), 6).as("eigenvalue"),
+          graft.GraftFunctions.roundz(col(s"lam_$a") / col("trace"), 6)
+            .as("pct_var"))): _*)))
       .select(col("col.axis").as("axis"),
         col("col.eigenvalue").as("eigenvalue"), col("col.pct_var").as("pct_var"))
       .orderBy("axis")
@@ -607,8 +613,8 @@ object Ordination {
         SELECT unnest(generate_series(1, CAST(n AS INT))) AS i, samples
         FROM cent)
       SELECT idx.samples[idx.i] AS sample,
-        round(fin1.v[idx.i] * fin1.sgn, 6) AS axis1,
-        round(fin2.v[idx.i] * fin2.sgn, 6) AS axis2
+        (round(fin1.v[idx.i] * fin1.sgn, 6) + 0.0) AS axis1,
+        (round(fin2.v[idx.i] * fin2.sgn, 6) + 0.0) AS axis2
       FROM idx, fin1, fin2
       ORDER BY sample"""
 
@@ -622,7 +628,8 @@ object Ordination {
           list_transform(generate_series(1, CAST(n AS INT)), i -> gm[i][i])),
           (acc, x) -> acc + x) AS trace
         FROM cent)
-      SELECT axis, round(lam, 6) AS eigenvalue, round(lam / trace, 6) AS pct_var
+      SELECT axis, (round(lam, 6) + 0.0) AS eigenvalue,
+        (round(lam / trace, 6) + 0.0) AS pct_var
       FROM (${(1 to k).map(a =>
         s"SELECT $a AS axis, lam_num / lam_den AS lam FROM ray$a")
         .mkString("\n        UNION ALL ")}) lams, trc

@@ -673,9 +673,10 @@ object Relational {
       .withColumn("band", ntile(4).over(w))
       .groupBy("c_mktsegment", "band")
       .agg(count(lit(1)).as("n"),
-        round(min(col("c_acctbal")), 2).as("lo"),
-        round(max(col("c_acctbal")), 2).as("hi"),
-        round(dsum(col("c_acctbal")) / count(lit(1)), 6).as("avg_bal"))
+        graft.GraftFunctions.roundz(min(col("c_acctbal")), 2).as("lo"),
+        graft.GraftFunctions.roundz(max(col("c_acctbal")), 2).as("hi"),
+        graft.GraftFunctions.roundz(dsum(col("c_acctbal")) / count(lit(1)), 6)
+          .as("avg_bal"))
       .orderBy("c_mktsegment", "band")
   }
 
@@ -719,7 +720,8 @@ object Relational {
     monthly
       .withColumn("prev", lag(col("revenue"), 1).over(w))
       .withColumn("mom_pct",
-        round((col("revenue") - col("prev")) / col("prev") * 100.0, 6))
+        graft.GraftFunctions.roundz(
+          (col("revenue") - col("prev")) / col("prev") * 100.0, 6))
       .select(col("month"), col("revenue"), col("n_orders"), col("mom_pct"))
       .orderBy("month")
   }

@@ -36,9 +36,72 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .select(col("q_id"), col("c_id"), col("rnk"),
-        round(col("cos"), 6).as("score"))
+        graft.GraftFunctions.roundz(col("cos"), 6).as("score"))
       .orderBy("q_id", "rnk")
   }
+
+  /** s13: maximum-inner-product search (MIPS) — retrieval by RAW dot
+    * product, the scoring two-tower recommenders and learned-sparse
+    * retrievers actually use (an embedding trained with a dot-product
+    * objective encodes popularity/intensity in the NORM; cosine
+    * normalization erases exactly that signal, so MIPS ≠ cosine ANN
+    * and needs its own operator). Exact brute-force baseline: one
+    * broadcast of the query batch over one corpus scan, the dot an
+    * index-order in-row `zip_with`+`aggregate` fold (codegen HOFs,
+    * no UDF; round(6) absorbs the oracle's unnest-sum ordering, s1's
+    * convention), ranks by (dot desc, c_id).
+    *
+    * Scale path — documented reduction, spec-PROVEN equivalence: MIPS
+    * over a corpus with max norm M is cosine ANN over the augmented
+    * corpus x̃ = [x, √(M²−‖x‖²)] with queries q̃ = [q, 0] (Bachrach et
+    * al. 2014): ‖x̃‖ = M for every corpus vector, so augmented cosine
+    * = ⟨q,x⟩/(‖q‖·M) is monotone in the dot product and the s2/s3
+    * bucketed candidate machinery applies unchanged to x̃. The
+    * SimilaritySpec case ranks both forms and asserts identical
+    * per-query order — the reduction is load-bearing, not prose. */
+  def mipsTopk(spark: SparkSession, dir: String): DataFrame =
+    mipsTopk(Tables.parallel(Tables.load(spark, dir, "embeddings")))
+
+  def mipsTopk(e: DataFrame, k: Int = AnnK): DataFrame = {
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        // per-element cast BEFORE the multiply: float×float runs in
+        // float precision, the oracle's DOUBLE products don't —
+        // round(6) can't absorb a 1e-7-relative float product error
+        expr("""aggregate(
+          zip_with(qv, cv, (x, y) -> cast(x as double) * cast(y as double)),
+          cast(0.0 as double), (a, v) -> a + v)""").as("dt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dt").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        graft.GraftFunctions.roundz(col("dt"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[mipsTopk]] — s1's pairs/dots CTE shape
+    * ranked by the raw dot product (no norm division). */
+  def s13OracleSql(k: Int = AnnK): String = s"""
+      WITH pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          q.embedding AS qv, c.embedding AS cv
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y FROM pairs)
+        GROUP BY q_id, c_id),
+      ranked AS (
+        SELECT q_id, c_id, dt,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY dt DESC, c_id) AS INT) AS rnk
+        FROM dots)
+      SELECT q_id, c_id, rnk, (round(dt, 6) + 0.0) AS score
+      FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
 
   /** Filtered ANN — vector search under a metadata predicate, the
     * retrieval-stack staple ("nearest among docs where source = X").
@@ -70,7 +133,7 @@ object Similarity {
       .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= AnnK)
-      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
+      .select(col("q_id"), col("c_id"), col("rnk"), graft.GraftFunctions.roundz(col("cos"), 6).as("score"))
       .orderBy("q_id", "rnk")
   }
 
@@ -97,7 +160,7 @@ object Similarity {
         SELECT q_id, c_id, cos,
           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
         FROM scored)
-      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      SELECT q_id, c_id, rnk, (round(cos, 6) + 0.0) AS score
       FROM ranked WHERE rnk <= $AnnK ORDER BY q_id, rnk"""
 
   /** IVF (inverted-file) ANN: K-Means centroids partition the corpus;
@@ -207,7 +270,7 @@ object Similarity {
       .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
-      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
+      .select(col("q_id"), col("c_id"), col("rnk"), graft.GraftFunctions.roundz(col("cos"), 6).as("score"))
       .orderBy("q_id", "rnk")
   }
 
@@ -287,7 +350,7 @@ object Similarity {
       .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
-      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
+      .select(col("q_id"), col("c_id"), col("rnk"), graft.GraftFunctions.roundz(col("cos"), 6).as("score"))
       .orderBy("q_id", "rnk")
   }
 
@@ -352,7 +415,7 @@ object Similarity {
         SELECT q_id, c_id, cos,
           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
         FROM scored)
-      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      SELECT q_id, c_id, rnk, (round(cos, 6) + 0.0) AS score
       FROM ranked WHERE rnk <= 10 ORDER BY q_id, rnk"""
 
   /** Result size k shared by the ANN operators, their deficit-detected
@@ -436,7 +499,7 @@ object Similarity {
       .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= AnnK)
-      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
+      .select(col("q_id"), col("c_id"), col("rnk"), graft.GraftFunctions.roundz(col("cos"), 6).as("score"))
       .orderBy("q_id", "rnk")
   }
 
@@ -499,7 +562,7 @@ object Similarity {
         SELECT q_id, c_id, cos,
           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
         FROM scored)
-      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      SELECT q_id, c_id, rnk, (round(cos, 6) + 0.0) AS score
       FROM ranked WHERE rnk <= $AnnK ORDER BY q_id, rnk"""
   }
 
@@ -623,7 +686,7 @@ object Similarity {
       .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     rescored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("c_id"), col("rnk"), round(col("cos"), 6).as("score"))
+      .select(col("q_id"), col("c_id"), col("rnk"), graft.GraftFunctions.roundz(col("cos"), 6).as("score"))
       .orderBy("q_id", "rnk")
   }
 
@@ -658,7 +721,7 @@ object Similarity {
           CAST(row_number() OVER (PARTITION BY q_id
             ORDER BY cos DESC, c_id) AS INT) AS rnk
         FROM scored)
-      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      SELECT q_id, c_id, rnk, (round(cos, 6) + 0.0) AS score
       FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
 
@@ -750,7 +813,7 @@ object Similarity {
       .join(dups.select(col("b_id").as("vec_id"), col("dup_of"),
         col("max_cos")), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of").isNull.as("keep"),
-        col("dup_of"), round(col("max_cos"), 6).as("max_cos"))
+        col("dup_of"), graft.GraftFunctions.roundz(col("max_cos"), 6).as("max_cos"))
       .orderBy("vec_id")
   }
 
@@ -808,7 +871,7 @@ object Similarity {
         WHERE cos >= $tau GROUP BY 1, 2)
       SELECT s.c_id AS vec_id, s.cell,
         d.dup_of IS NULL AS keep, d.dup_of,
-        round(d.max_cos, 6) AS max_cos
+        (round(d.max_cos, 6) + 0.0) AS max_cos
       FROM assign s
       LEFT JOIN dups d ON d.b_id = s.c_id AND d.cell = s.cell
       ORDER BY vec_id"""
@@ -1026,7 +1089,7 @@ object Similarity {
       .select(col("q_id"), col("c_id"),
         graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
       .filter(col("cos") >= tau)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("score"))
+      .select(col("q_id"), col("c_id"), graft.GraftFunctions.roundz(col("cos"), 6).as("score"))
       .orderBy("q_id", "c_id")
   }
 
@@ -1047,7 +1110,7 @@ object Similarity {
         SELECT d.q_id, d.c_id, d.dt / (nq.nrm * nc.nrm) AS cos
         FROM dots d JOIN norms nq ON nq.vec_id = d.q_id
         JOIN norms nc ON nc.vec_id = d.c_id)
-      SELECT q_id, c_id, round(cos, 6) AS score
+      SELECT q_id, c_id, (round(cos, 6) + 0.0) AS score
       FROM scored WHERE cos >= $tau ORDER BY q_id, c_id"""
 
   /** s8: multi-vector late-interaction scoring (ColBERT's MaxSim) —
@@ -1101,7 +1164,7 @@ object Similarity {
     graft.plans.TopK.perGroup(scored, Seq("q_id"),
         Seq(("ms", false), ("c_id", true)), k)
       .select(col("q_id"), col("c_id"), col("rnk"),
-        round(col("ms"), 6).as("score"))
+        graft.GraftFunctions.roundz(col("ms"), 6).as("score"))
       .orderBy("q_id", "rnk")
   }
 
@@ -1137,7 +1200,7 @@ object Similarity {
           CAST(row_number() OVER (PARTITION BY q_id
             ORDER BY ms DESC, c_id) AS INT) AS rnk
         FROM scored)
-      SELECT q_id, c_id, rnk, round(ms, 6) AS score
+      SELECT q_id, c_id, rnk, (round(ms, 6) + 0.0) AS score
       FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
 
@@ -1161,7 +1224,7 @@ object Similarity {
         SELECT q_id, c_id, cos,
           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS INT) AS rnk
         FROM scored)
-      SELECT q_id, c_id, rnk, round(cos, 6) AS score
+      SELECT q_id, c_id, rnk, (round(cos, 6) + 0.0) AS score
       FROM ranked WHERE rnk <= $AnnK ORDER BY q_id, rnk"""
 
   /** s10: ANN recall evaluation — the measurement loop every
@@ -1262,7 +1325,7 @@ object Similarity {
         col("top_label"), col("top_label_n"),
         round(col("top_label_n").cast("double")
           / col("n_members").cast("double"), 6).as("label_share"),
-        round(col("s12").cast("double")
+        graft.GraftFunctions.roundz(col("s12").cast("double")
           / col("n_members").cast("double"), 6).as("mean_cos"))
       .orderBy("cell")
   }
@@ -1324,8 +1387,8 @@ object Similarity {
         any_value(tl.top_label_n) AS top_label_n,
         round(CAST(any_value(tl.top_label_n) AS DOUBLE)
           / CAST(count(*) AS DOUBLE), 6) AS label_share,
-        round(CAST(sum(m.cos12) AS DOUBLE)
-          / CAST(count(*) AS DOUBLE), 6) AS mean_cos
+        (round(CAST(sum(m.cos12) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) + 0.0) AS mean_cos
       FROM mem m JOIN toplab tl ON tl.cell = m.cell
       GROUP BY m.cell ORDER BY m.cell"""
 

@@ -1266,7 +1266,7 @@ object TextOps {
         expr(s"""aggregate(grams, cast(0 as bigint),
           (acc, g) -> acc + (${num("g")}))""").as("sum_num"))
       .select(col("doc_id"), col("n_grams"),
-        round(col("sum_num").cast("double")
+        GraftFunctions.roundz(col("sum_num").cast("double")
           / (lit(FtPrime.toDouble) * col("n_grams").cast("double")), 6)
           .as("ft_score"))
       .withColumn("keep", col("ft_score") >= 0.0)
@@ -1297,7 +1297,7 @@ object TextOps {
             (acc, x) -> acc + x) AS sum_num
         FROM g)
       SELECT doc_id, n_grams,
-        round(CAST(sum_num AS DOUBLE) / ($FtPrime.0 * n_grams), 6)
+        (round(CAST(sum_num AS DOUBLE) / ($FtPrime.0 * n_grams), 6) + 0.0)
           AS ft_score,
         round(CAST(sum_num AS DOUBLE) / ($FtPrime.0 * n_grams), 6) >= 0.0
           AS keep
@@ -1437,7 +1437,11 @@ object TextOps {
     * the per-bucket product tops int64, and decimal sums stay exact
     * and order-free), divided ONCE by n_grams·T·R for the per-gram
     * mean, and rounded — reproduced bit-for-bit by the HUGEINT
-    * oracle. `selected` ⇔ numerator > 0: the doc's gram mass sits
+    * oracle (both sides canonicalize the signed zero — a tiny negative
+    * numerator rounds to DuckDB −0.0 but Spark/BigDecimal +0.0, so the
+    * output goes through [[GraftFunctions.roundz]] and the oracle adds
+    * `+ 0.0`; values equal, bytes now equal too).
+    * `selected` ⇔ numerator > 0: the doc's gram mass sits
     * closer to the target than to the raw distribution. Smoothing is
     * unnecessary by construction: every gram of every scored doc is
     * in the raw counts, and T_b = 0 just contributes its negative
@@ -1485,7 +1489,7 @@ object TextOps {
           - dec(col("r_b")) * dec(col("t_tot")))).as("num"),
         min(col("t_tot")).as("t_tot"), min(col("r_tot")).as("r_tot"))
       .select(col("doc_id"), col("n_grams"),
-        round(col("num").cast("double")
+        GraftFunctions.roundz(col("num").cast("double")
           / (col("n_grams").cast("double") * col("t_tot").cast("double")
             * col("r_tot").cast("double")), 6).as("dsir_score"),
         (col("num") > 0).as("selected"))
@@ -1527,9 +1531,9 @@ object TextOps {
         FROM perdoc p JOIN stats s USING (b), tot tt
         GROUP BY p.doc_id)
       SELECT sc.doc_id, sc.n_grams,
-        round(CAST(sc.num AS DOUBLE)
+        (round(CAST(sc.num AS DOUBLE)
           / (CAST(sc.n_grams AS DOUBLE) * CAST(tt.t_tot AS DOUBLE)
-            * CAST(tt.r_tot AS DOUBLE)), 6) AS dsir_score,
+            * CAST(tt.r_tot AS DOUBLE)), 6) + 0.0) AS dsir_score,
         sc.num > 0 AS selected
       FROM sc, tot tt ORDER BY sc.doc_id"""
 
@@ -1628,5 +1632,96 @@ object TextOps {
           AND (mean_wlen0 >= 3.0 AND mean_wlen0 <= 10.0)
           AND alpha_frac0 >= 0.8 AND stop_hits >= $GopherMinStops AS keep
       FROM m ORDER BY doc_id"""
+  }
+
+  /** Span-start probability is 1/[[SpanStartMod]] per eligible token;
+    * span length is uniform 1..[[SpanLenRange]] (mean 3), so the
+    * expected corpus mask rate is ≈ 3/20 = 15% — T5's corruption
+    * budget. */
+  final val SpanStartMod = 20L
+  final val SpanLenRange = 5L
+
+  /** t27: span-corruption manifest — the T5/UL2 denoising-objective
+    * data-prep step: for every document, plan which token SPANS get
+    * masked (start positions + lengths), reporting per doc the token
+    * count, span count, masked-token count and mask rate. Production
+    * pipelines precompute exactly this manifest so the same corpus
+    * yields the same corruption under retries and re-shards — which
+    * is why selection here is a DETERMINISTIC position hash (the
+    * repo's Knuth-multiplier form, t23's no-rand() discipline), not
+    * an RNG: position i starts a span iff it's outside the previous
+    * span and h(doc_id, i) ≡ 0 (mod [[SpanStartMod]]); its length is
+    * 1 + (h/[[SpanStartMod]]) mod [[SpanLenRange]], truncated at the
+    * doc end. Greedy left-to-right, non-overlapping — the fold is a
+    * sequential recurrence over positions, run IN-ROW as one
+    * `aggregate` over `sequence(1, n)` with the (next_free, n_masked,
+    * n_spans) state packed into a single BIGINT (nf·10¹² + nm·10⁶ +
+    * ns — exact integer arithmetic both engines reproduce bit-level;
+    * caps: docs to 10⁶ tokens, the class bound the oracle shares).
+    *
+    * 100 TB contract: a pure per-row projection — zero shuffles
+    * (ordering aside), whole-stage codegen, linear in corpus tokens;
+    * composes with t8's packing and t23's sampling unchanged. */
+  def spanMask(spark: SparkSession, dir: String): DataFrame =
+    spanMask(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def spanMask(docs: DataFrame): DataFrame = {
+    // h(doc_id, i), pre-mod to keep the Knuth product inside int64
+    val h = s"(((doc_id * 1000003 + i) % 1000000000) * 2654435761)" +
+      s" % 2147483647"
+    val len = s"(1 + (($h div $SpanStartMod) % $SpanLenRange))"
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr(s"""aggregate(sequence(1L, n), cast(1000000000000 as bigint),
+          (acc, i) -> if(i >= acc div 1000000000000 and $h % $SpanStartMod = 0,
+            (i + $len) * 1000000000000
+              + ((acc div 1000000) % 1000000
+                 + least($len, n - i + 1)) * 1000000
+              + (acc % 1000000 + 1),
+            acc))""").as("packed"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("packed") % 1000000L).as("n_spans"),
+        // Column./ is DOUBLE division — past 2^53 it silently loses
+        // low bits of the packed word; `div` keeps it integral
+        expr("(packed div 1000000) % 1000000").as("n_masked"),
+        round(expr("(packed div 1000000) % 1000000").cast("double")
+          / col("n_tokens").cast("double"), 6).as("mask_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[spanMask]] — the identical greedy
+    * recurrence, expressed as a RECURSIVE CTE stepping every doc's
+    * position counter in lockstep rather than a list_reduce lambda:
+    * DuckDB 1.0's vectorized list_reduce mis-evaluates branching
+    * lambdas on ~96+-element lists (7 of sf0.01's 500 docs came back
+    * with wrong span counts; the same fold on a single row is
+    * correct), and an oracle must not stand on a construct with a
+    * row-count-dependent failure mode. Plain scalar arithmetic per
+    * step, ≤ max(n) iterations of doc-count rows — oracle-scale. */
+  def t27OracleSql: String = {
+    val h = s"(((doc_id * 1000003 + pos + 1) % 1000000000)" +
+      s" * 2654435761) % 2147483647"
+    val len = s"(1 + (($h // $SpanStartMod) % $SpanLenRange))"
+    val fire = s"pos + 1 >= nf AND $h % $SpanStartMod = 0"
+    s"""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      st(doc_id, n, pos, nf, nm, ns) AS (
+        SELECT doc_id, n, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM t
+        UNION ALL
+        SELECT doc_id, n, pos + 1,
+          CASE WHEN $fire THEN pos + 1 + $len ELSE nf END,
+          CASE WHEN $fire
+            THEN nm + least($len, n - (pos + 1) + 1) ELSE nm END,
+          CASE WHEN $fire THEN ns + 1 ELSE ns END
+        FROM st WHERE pos < n)
+      SELECT doc_id, n AS n_tokens, ns AS n_spans, nm AS n_masked,
+        round(CAST(nm AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mask_rate
+      FROM st WHERE pos = n ORDER BY doc_id"""
   }
 }

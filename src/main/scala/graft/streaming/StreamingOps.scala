@@ -44,6 +44,36 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** DECLARATIVE gap sessionization — Spark's native `session_window`
+    * aggregate, the form to prefer when the per-session result is
+    * expressible as an aggregation (counts, sums, bounds): the state
+    * store holds one mergeable window per active (user, session), the
+    * engine handles window merging, watermark eviction and session
+    * finalization, and the whole thing stays inside the declarative
+    * plan (no typed state closure to maintain — the explicit
+    * [[sessionize]] remains for logic a merge-capable aggregate can't
+    * express, e.g. emitting mid-session). The per-session total rides
+    * the [[Dec]] DECIMAL(18,2) sum: session_window state MERGES when
+    * late events bridge two open windows, and a float sum would make
+    * the result depend on merge order — the decimal sum is order-free
+    * exact (the repo's streaming-determinism discipline).
+    *
+    * Boundary semantics: session_window merges while gap < gap
+    * duration (STRICT), the explicit-state form while gap ≤ gapUs —
+    * they disagree only on events at EXACTLY the gap bound; the
+    * parity spec drives both away from that boundary. */
+  def sessionWindowStream(events: DataFrame,
+      gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        Dec.dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Stream-stream interval join: attribute each purchase to the
     * clicks by the same user in the preceding window. Watermarks on
     * both sides bound the join state retention. */
@@ -409,7 +439,8 @@ object StreamingOps {
       .filter(col("den") > 0.0 && abs(col("num")) > lit(zThreshold) * col("den"))
       .select(col("event_type"),
         date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-        col("n_events"), round(col("num") / col("den"), 6).as("z"))
+        col("n_events"),
+        graft.GraftFunctions.roundz(col("num") / col("den"), 6).as("z"))
   }
 
   /** Gap-based sessionization with explicit per-key state — the

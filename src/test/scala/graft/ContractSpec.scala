@@ -100,6 +100,92 @@ class ContractSpec extends SparkSpec {
       s"steps map not in artifact: $line")
   }
 
+  test("benchLine clears stale fixpoint step tags from earlier runs") {
+    // FixpointSteps is process-global; r12's ADVICE: a bench artifact
+    // in a JVM that ran other queries first carried their tags,
+    // misattributing step counts across artifacts. benchLine must
+    // clear the map itself, not trust callers to.
+    import org.apache.spark.sql.SparkSession
+    graft.operators.Graph.FixpointSteps.put("stale_tag_from_last_run", 99L)
+    val line = Bench.benchLine(spark, tinySf, Map(
+      "plain_probe" -> ((s: SparkSession, d: String) =>
+        Tables.load(s, d, "region"))), reps = 1, countMode = false)
+    assert(!line.contains("stale_tag_from_last_run"),
+      s"stale fixpoint tag leaked into artifact: $line")
+    assert(line.contains(""""fixpoint_steps":{}"""),
+      s"expected empty steps map for a non-iterative suite: $line")
+  }
+
+  test("the cross-run gate flags a >3x round-over-round jump as suspect") {
+    // r12's committed close-out artifact reported q1 at 7.6 s from a
+    // loaded box (clean same-day run: 0.86 s) — every warm rep was
+    // polluted, so the within-run spread gate was blind. With a prior
+    // reference, the slow query must (a) earn one extra end-of-suite
+    // rep and (b) if still slow, land in the artifact's suspect map;
+    // a query consistent with its prior must do neither.
+    import org.apache.spark.sql.SparkSession
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val line = Bench.benchLine(spark, tinySf, Map(
+      "slow_probe" -> ((s: SparkSession, d: String) => {
+        calls.incrementAndGet(); Thread.sleep(900)
+        Tables.load(s, d, "region")
+      }),
+      "ok_probe" -> ((s: SparkSession, d: String) =>
+        Tables.load(s, d, "region"))),
+      reps = 1, countMode = false,
+      prior = Map("slow_probe" -> 0.25, "ok_probe" -> 10.0))
+    assert(calls.get() == 2,
+      s"slow probe should run 1 rep + 1 cross-run rep, ran ${calls.get()}")
+    val suspect = """"suspect":\{([^}]*)\}""".r
+      .findFirstMatchIn(line).map(_.group(1)).getOrElse("MISSING")
+    assert(suspect.contains("slow_probe") && !suspect.contains("ok_probe"),
+      s"suspect map wrong: $line")
+  }
+
+  test("loadPriorQueries reads the newest round's per-key min") {
+    // Two same-round artifacts (the timestamp-suffixed sibling a late
+    // re-run writes): the clean reference is the per-key MIN; an older
+    // round must be ignored entirely.
+    val dir = java.nio.file.Files.createTempDirectory("bench_prior")
+    def w(name: String, body: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes("UTF-8"))
+    w("BENCH_LOCAL_r7.json", """{"queries":{"q1":9.0}}""")
+    w("BENCH_LOCAL_r12.json", """{"raw":{"q1":[1.0]},"queries":{"q1":7.62,"g9":6.25}}""")
+    w("BENCH_LOCAL_r12_123.json", """{"queries":{"q1":0.86,"extra":2.0}}""")
+    val prior = Bench.loadPriorQueries(dir)
+    assert(prior == Map("q1" -> 0.86, "g9" -> 6.25, "extra" -> 2.0),
+      s"got $prior")
+  }
+
+  test("per-query shuffle bytes reach the bench artifact") {
+    // r12 verdict #6: wall time on a shared box is noise; shuffle
+    // bytes are a deterministic plan property. A shuffling query must
+    // report nonzero [read, written]; a scan-only query must report
+    // [0,0]; bytes must attribute to the query that shuffled, not
+    // bleed into its neighbour.
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions.{col, count => cnt, lit}
+    val line = Bench.benchLine(spark, tinySf, Map(
+      "scan_probe" -> ((s: SparkSession, d: String) =>
+        Tables.load(s, d, "region")),
+      "shuffle_probe" -> ((s: SparkSession, d: String) =>
+        Tables.load(s, d, "documents")
+          .repartition(4, col("doc_id"))
+          .groupBy("source").agg(cnt(lit(1)).as("n")))),
+      reps = 2, countMode = false)
+    val sb = """"shuffle_bytes":\{([^}]*)\}""".r
+      .findFirstMatchIn(line).map(_.group(1)).getOrElse("MISSING")
+    val scanB = """"scan_probe":\[([0-9-]+),([0-9-]+)\]""".r
+      .findFirstMatchIn(sb)
+    val shufB = """"shuffle_probe":\[([0-9-]+),([0-9-]+)\]""".r
+      .findFirstMatchIn(sb)
+    assert(scanB.isDefined && shufB.isDefined, s"shuffle_bytes map: $line")
+    assert(scanB.get.group(1).toLong == 0L && scanB.get.group(2).toLong == 0L,
+      s"scan-only query claims shuffle bytes: $sb")
+    assert(shufB.get.group(1).toLong > 0L && shufB.get.group(2).toLong > 0L,
+      s"shuffling query reports no shuffle bytes: $sb")
+  }
+
   test("the bench spread gate earns a polluted query a clean-up rep") {
     // r10's committed artifact carried triples like [8.9, 25.6, 55.5]
     // for a 2.1 s query with no self-correction. Simulate contention

@@ -291,6 +291,58 @@ class PipelineOpsSpec extends SparkSpec {
       c.getDouble(6) == 7.5, s"degenerate group drifted: $c")
   }
 
+  test("e20 log-bin quantiles bound the TAIL relatively where fixed " +
+       "bins blow it, refuse non-positive domains, and degenerate exactly") {
+    import spark.implicits._
+    import graft.operators.Events
+    // seeded lognormal-ish corpus: exp(uniform · ln(1e6)) spans six
+    // decades — the shape whose p50 sits thousands of fixed-bin
+    // widths below the top
+    val rng = new scala.util.Random(99L)
+    val vals = (1 to 4000).map(i => math.exp(rng.nextDouble() * math.log(1e6)))
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        i.toLong, "skewed", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.logQuantileHist(df).head()
+    val (n, lo, hi) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val ratio = math.pow(hi / lo, 1.0 / Events.QhBins) // one log-bin factor
+    val sorted = vals.sorted
+    def stat(q: Int): Double = sorted(((n * q + 99) / 100).toInt - 1)
+    Seq(("p50", r.getDouble(4), stat(50)), ("p95", r.getDouble(5), stat(95)),
+      ("p99", r.getDouble(6), stat(99))).foreach { case (name, est, ex) =>
+      // upper edge of the bin CONTAINING the order statistic: never
+      // below it, at most one log-bin FACTOR above (1e-6 slack for
+      // the round(6) the estimate passes through)
+      assert(est >= ex * (1 - 1e-6) && est <= ex * ratio * (1 + 1e-6),
+        s"$name: est $est vs order stat $ex (bin factor $ratio)")
+      // and the relative bound is one fixed-width e19 bin CANNOT
+      // honor at the median of this distribution: the absolute bin
+      // width exceeds the median itself
+      assert((hi - lo) / Events.QhBins > stat(50),
+        "corpus not skewed enough to demonstrate the fixed-bin failure")
+    }
+    // positive domain refused loudly, nulls counted not skipped
+    val neg = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "k", -1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val e1 = intercept[IllegalArgumentException](Events.logQuantileHist(neg))
+    assert(e1.getMessage.contains("positive"), e1.getMessage)
+    val withNull = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "k", java.lang.Double.valueOf(2.0)),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        2L, "k", null.asInstanceOf[java.lang.Double]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val e2 = intercept[IllegalArgumentException](Events.logQuantileHist(withNull))
+    assert(e2.getMessage.contains("null"), e2.getMessage)
+    // constant-valued group: every estimate lands on hi exactly
+    val const = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "k", 7.5), (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"),
+      2L, "k", 7.5)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val c = Events.logQuantileHist(const).head()
+    assert(c.getDouble(4) == 7.5 && c.getDouble(5) == 7.5 &&
+      c.getDouble(6) == 7.5, s"degenerate group drifted: $c")
+  }
+
   test("keep-best picks the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val docs = Seq(

@@ -630,18 +630,22 @@ class PlanSpec extends SparkSpec {
       s"aggregation fell out of codegen:\n${executed.take(1500)}")
   }
 
-  test("k-core histogram step: hub fan-in collapses in a map-side " +
-       "partial before either exchange") {
-    // The r12 skew fix folds the h-index from a (node, value) COUNT,
-    // not a neighbour-value list: per-node state is bounded by
-    // distinct neighbour values, and a hub's identical-value spokes
-    // must collapse in PARTIAL aggregation before the shuffle. Model
-    // one step over a pinned star adjacency in the shuffle-join
-    // regime and pin the plan: partial count on (dst, cn) upstream of
-    // the exchange, the pinned adjacency exchange-free, and exactly
-    // three shuffles for the whole step — the node-scale value frame
-    // into the join (every step shape pays this), the edge-scale
-    // (dst, cn) count, and the histogram-scale per-node fold.
+  test("k-core h-index step: hub fan-in collapses in HIndexAgg's " +
+       "map-side partial before the single exchange") {
+    // The SHIPPED r12 skew fix is the native HIndexAgg aggregate
+    // (kcoreCore's actual step), not the interim two-aggregate
+    // rewrite this test previously modeled (r12 ADVICE): a
+    // TypedImperativeAggregate whose buffer is a sparse value→count
+    // histogram, partial-merging map-side — a hub's identical-value
+    // spokes collapse per map partition, and the step pays ONE
+    // edge-scale exchange, not two. Run one real kcoreCore-shaped
+    // step over a pinned star adjacency in the shuffle-join regime
+    // and pin the plan: partial_h_index upstream of the exchange, the
+    // pinned adjacency exchange-free, and exactly TWO shuffles for
+    // the whole step — the node-scale value frame into the join plus
+    // the per-node h-index fold (this exercises HIndexAgg's
+    // serialize/merge path too: partials cross the exchange as
+    // serialized histogram buffers).
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import org.apache.spark.storage.StorageLevel
@@ -658,20 +662,24 @@ class PlanSpec extends SparkSpec {
           .toDF("v", "c")
         val step = und
           .join(cur.select(col("v").as("src"), col("c").as("cn")), "src")
-          .groupBy(col("dst"), col("cn")).agg(count(lit(1)).as("k"))
           .groupBy(col("dst"))
-          .agg(reverse(sort_array(collect_list(struct(col("cn"), col("k")))))
-            .as("hist"))
+          .agg(graft.GraftFunctions.hIndexAgg(col("cn")).as("c"))
         step.write.mode("overwrite").format("noop").save()
         val executed = step.queryExecution.executedPlan.toString()
-        assert(executed.contains("partial_count"),
-          s"no map-side partial on (dst, cn):\n${executed.take(1500)}")
+        assert(executed.contains("partial_h_index"),
+          s"no map-side partial h_index aggregate:\n${executed.take(1500)}")
+        // the partial must sit BELOW the aggregate exchange: in the
+        // executed plan string the first partial_h_index occurrence
+        // comes after (deeper than) the last Exchange line feeding it
         val n = executedShuffles(step)
-        assert(n == 3, s"histogram step shuffles $n× (expected exactly 3)")
-        // the hub row reduced to ONE histogram entry
-        val hubHist = step.filter(col("dst") === 0L)
-          .select(size(col("hist"))).head().getInt(0)
-        assert(hubHist == 1, s"hub histogram carries $hubHist entries")
+        assert(n == 2, s"h-index step shuffles $n× (expected exactly 2)")
+        // correctness through the serialize/merge path: the hub saw
+        // 2000 neighbours of value 1 → h-index 1; each spoke saw one
+        // neighbour of value 2000 → h-index 1
+        val rows = step.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(rows(0L) == 1L, s"hub h-index ${rows(0L)} (expected 1)")
+        assert(rows(1L) == 1L && rows(2000L) == 1L,
+          "spoke h-index wrong through the partial/merge path")
       } finally und.unpersist(blocking = true)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
@@ -735,6 +743,9 @@ class PlanSpec extends SparkSpec {
       // bin counts), the bin-bounded cumulative window, per-type
       // rollup, output sort
       ("e19", graft.operators.Events.quantileHist(spark, sfDir), 5),
+      // e20: e19's shape with log kernels — same budget (the domain
+      // validation aggregate runs eagerly at build time, not here)
+      ("e20", graft.operators.Events.logQuantileHist(spark, sfDir), 5),
       // t25: train-shingle distinct + the linear eval⋈train shingle
       // join legs + per-doc rollup + output sort — never corpus²
       ("t25", graft.operators.TextOps.leakageSplit(docs), 6),

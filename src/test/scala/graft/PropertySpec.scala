@@ -390,6 +390,23 @@ class PropertySpec extends SparkSpec {
       graft.operators.Graph.g12WspEdges(
         Seq((0L, 1L, 1L), (1L, 2L, 0L)).toDF("src", "dst", "w"), 0L)
     }
+    // null weights: min(w) ignores NULLs, so without an explicit null
+    // count the edge would be silently dropped from the relaxation
+    // (r12 ADVICE) — one null among valid weights must refuse...
+    val someNull = intercept[IllegalArgumentException] {
+      graft.operators.Graph.g12WspEdges(
+        Seq((0L, 1L, java.lang.Long.valueOf(1L)),
+            (1L, 2L, null.asInstanceOf[java.lang.Long]))
+          .toDF("src", "dst", "w"), 0L)
+    }
+    assert(someNull.getMessage.contains("null"), someNull.getMessage)
+    // ...and an ALL-null column must refuse too, not NPE on min(w)
+    val allNull = intercept[IllegalArgumentException] {
+      graft.operators.Graph.g12WspEdges(
+        Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+          .withColumn("w", lit(null).cast("long")), 0L)
+    }
+    assert(allNull.getMessage.contains("null"), allNull.getMessage)
   }
 
   test("LPA K-step plurality equals a sequential replica on random " +
@@ -424,6 +441,57 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3)))
       assert(got.toSeq == want, s"seed $seed: got ${got.toSeq}, want $want")
+    }
+  }
+
+  test("roundz canonicalizes IEEE -0.0 at every rounded signed output " +
+      "(the r12 t24 hash-gate class)") {
+    import spark.implicits._
+    // A tiny negative rounds to zero: DuckDB's float-side round keeps
+    // the sign bit (-0.0), Spark's BigDecimal round drops it. The
+    // driver hashes bytes, so the two zeros differ. roundz is the
+    // class-wide fix: round then + 0.0 (IEEE: -0.0 + 0.0 = +0.0,
+    // identity elsewhere). Bit-level assertions, not ==, throughout —
+    // == is exactly the comparator that let the r12 escape through.
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    val negZeroBits = bits(-0.0)
+    assert(negZeroBits != 0L, "sanity: -0.0 has its own bit pattern")
+    val probes = Seq(-1e-9, -0.0, 0.0, 1e-9, -4.9999e-7, 0.1234565,
+      -0.1234565, Double.NaN, 12.5)
+    val got = probes.toDF("x")
+      .select(GraftFunctions.roundz(col("x"), 6).as("r"))
+      .collect().map(_.getDouble(0))
+    got.zip(probes).foreach { case (r, p) =>
+      assert(bits(r) != negZeroBits, s"roundz($p, 6) emitted -0.0")
+    }
+    // identity away from zero (rounding still applied)
+    assert(got(8) == 12.5 && got(5) != 0.0 && got(5) > 0.12)
+    // null passes through as null, not 0.0
+    val nres = Seq[java.lang.Double](null).toDF("x")
+      .select(GraftFunctions.roundz(col("x"), 6).as("r")).collect()
+    assert(nres.head.isNullAt(0), "roundz(null) must stay null")
+
+    // cosine-score family representative: a forced tiny-negative
+    // cosine that rounds to zero flows through d5's rounded output
+    // with +0.0 bits (same expression shape as s1/s2/s5/s6/s11/s12)
+    val e = Seq(
+      (0L, Array(1.0, 0.0), 0L),
+      (1L, Array(-1e-8, 1.0), 0L)).toDF("vec_id", "embedding", "label")
+    val d5 = operators.Dedup.embedNeardup(spark, e).collect()
+    assert(d5.length == 1)
+    val cos = d5.head.getDouble(2)
+    assert(cos == 0.0 && bits(cos) == 0L,
+      s"d5 cos_sim must be +0.0, got bits ${bits(cos).toHexString}")
+
+    // t24 representative at data scale: every zero-valued dsir_score
+    // on the real sf table must carry +0.0 bits (doc 194 at sf0.01 is
+    // the known negative-numerator row the r12 driver gate caught)
+    val t24 = operators.TextOps.dsirWeights(spark, sfDir)
+      .filter(col("dsir_score") === 0.0).collect()
+    t24.foreach { r =>
+      val v = r.getDouble(2)
+      assert(bits(v) == 0L,
+        s"t24 doc ${r.getLong(0)}: dsir_score -0.0 leaked")
     }
   }
 }

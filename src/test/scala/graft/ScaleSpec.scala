@@ -117,6 +117,41 @@ class ScaleSpec extends SparkSpec {
     assert(a.sameElements(b), "bucket cap changed results on normal data")
   }
 
+  test("d17 truth-index df-cut keeps an all-identical corpus linear " +
+       "and surfaces the capped-bucket count loudly") {
+    import spark.implicits._
+    // The d17 truth index pairs every two docs sharing a shingle hash
+    // — 2000 identical docs would enumerate 2000²/2 pairs per shingle.
+    // With the df-cut engaged (the d2/d10 hot-bucket pattern), the run
+    // must finish fast, and the output row must carry the number of
+    // dropped shingle buckets instead of hiding the truncation.
+    val identical = (0L until 2000L)
+      .map(i => (i, "same text repeated for every single document here"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val row = graft.operators.Dedup
+      .lshRecall(identical, maxBucket = 100, maxShingleDf = 50)
+      .head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120, f"capped d17 run took $secs%.1f s")
+    // every shingle of the identical corpus has df = 2000 > 50: all
+    // buckets capped (6 distinct 3-gram shingles of an 8-word doc),
+    // truth lower-bounds to empty, recall degenerates to 1.0 by the
+    // n_truth = 0 convention — and the capped count says WHY
+    assert(row.getAs[Long]("n_capped_shingles") == 6L, row.toString)
+    assert(row.getAs[Long]("n_truth") == 0L, row.toString)
+    assert(row.getAs[Double]("recall") == 1.0, row.toString)
+    // candidates stay the production star-capped path: nonzero
+    assert(row.getAs[Long]("n_candidates") > 0L, row.toString)
+    // and the cut must be invariant on normal data whose shingle df
+    // sits below the bound — capped vs uncapped agree bit-for-bit
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = graft.operators.Dedup.lshRecall(docs).collect()
+    val b = graft.operators.Dedup
+      .lshRecall(docs, maxShingleDf = 1000000L).collect()
+    assert(a.sameElements(b), "df-cut changed results on normal data")
+  }
+
   test("simhash fingerprint compression keeps an identical-doc flood linear") {
     import spark.implicits._
     // 2000 identical docs share ONE 60-bit fingerprint. Pre-compression

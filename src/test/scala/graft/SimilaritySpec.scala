@@ -642,4 +642,64 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= (bf.size * 0.8).toInt,
       s"SQ8 recall ${hits.toDouble / bf.size} below the 0.8 floor")
   }
+
+  test("s13 MIPS ranking equals cosine ANN over the norm-augmented " +
+       "corpus (the documented scale reduction), and differs from raw " +
+       "cosine where norms carry signal") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.parallel(Tables.load(spark, sfDir, "embeddings"))
+    val mips = Similarity.mipsTopk(e).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    // Bachrach et al. 2014: x̃ = [x, sqrt(M² − ‖x‖²)], q̃ = [q, 0];
+    // ‖x̃‖ = M ∀x, so cos(q̃, x̃) = ⟨q,x⟩/(‖q‖·M) — monotone in the dot
+    // product per query ⇒ identical per-query rankings
+    val mx = e.select(sqrt(expr(
+      "aggregate(embedding, cast(0.0 as double), (a, x) -> a + x * x)"))
+      .as("nrm")).agg(max(col("nrm"))).head().getDouble(0)
+    val aug = e.select(col("vec_id"),
+      expr(s"""concat(embedding, array(sqrt(
+        $mx * $mx - aggregate(embedding, cast(0.0 as double),
+          (a, x) -> a + x * x))))""").as("cv"))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"),
+      expr("concat(embedding, array(cast(0.0 as double)))").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val augTop = broadcast(q)
+      .join(aug.select(col("vec_id").as("c_id"), col("cv")),
+        col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Similarity.AnnK)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(mips.keySet == augTop.keySet && mips.nonEmpty)
+    val agree = mips.keys.count(k => mips(k) == augTop(k))
+    // float tie-wobble tolerance: the augmented path divides by ‖q̃‖·M
+    // where MIPS compares raw dots — allow rank swaps only between
+    // adjacent candidates whose dots collide, which the corpus
+    // doesn't produce: require exact agreement
+    assert(agree == mips.size,
+      s"augmented-cosine ranking diverged from MIPS on ${mips.size - agree} slots")
+    // and the operator must NOT be cosine in disguise. The synthetic
+    // corpus has near-uniform norms (cosine and MIPS top-k happen to
+    // coincide there), so the separation is pinned on a PLANTED
+    // micro-corpus where the norm IS the signal: c=11 is perfectly
+    // aligned with the query but short (dot 1); c=12 is off-axis but
+    // long (dot 3). Cosine must prefer the aligned short vector,
+    // MIPS the long one.
+    import spark.implicits._
+    val planted = Seq(
+      (0L, Array(1.0f, 0.0f), 0L),
+      (11L, Array(1.0f, 0.0f), 0L),
+      (12L, Array(3.0f, 3.0f), 0L),
+      (13L, Array(-1.0f, 0.0f), 0L)).toDF("vec_id", "embedding", "label")
+    val pm = Similarity.mipsTopk(planted, k = 3).collect()
+      .map(r => r.getInt(2) -> r.getLong(1)).toMap
+    assert(pm(1) == 12L && pm(2) == 11L && pm(3) == 13L,
+      s"MIPS ignored the norm signal: $pm")
+    val pc = Similarity.annBruteforceK(planted, 3).collect()
+      .map(r => r.getInt(3) -> r.getLong(1)).toMap
+    assert(pc(1) == 11L && pc(2) == 12L,
+      s"cosine baseline lost its alignment preference: $pc")
+  }
 }

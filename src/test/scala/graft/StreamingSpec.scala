@@ -69,6 +69,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window sessionization agrees with the " +
+       "explicit-state form away from the gap boundary") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionWindowStream(input.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: (0,5) one session, 45 starts another; user 2 one
+      // singleton. All gaps are strictly ≶ 30 min — the strict-< vs ≤
+      // boundary difference between the two forms can't bite.
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.5),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(45), 1, "click", 3.0),
+        Event(4, ts(10), 2, "view", 0.5))
+      q.processAllAvailable()
+      // push the watermark far forward so every session finalizes
+      input.addData(Event(9, tsH(6, 0), 3, "view", 0.1))
+      q.processAllAvailable()
+      input.addData(Event(10, tsH(12, 0), 3, "view", 0.1))
+      q.processAllAvailable()
+      val got = spark.table("native_sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      // sessions: u1 [ts0: 2 events, 3.5], u1 [ts45: 1 event, 3.0],
+      // u2 [ts10: 1 event, 0.5]
+      assert(got((1L, ts(0).toString)) == ((2L, 3.5)), s"got $got")
+      assert(got((1L, ts(45).toString)) == ((1L, 3.0)), s"got $got")
+      assert(got((2L, ts(10).toString)) == ((1L, 0.5)), s"got $got")
+      // parity with the explicit-state sessionizer on the same events
+      // (its session_id IS the start micros)
+      val input2 = MemoryStream[Event]
+      val q2 = StreamingOps.sessionize(input2.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("explicit_sessions")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input2.addData(
+          Event(1, ts(0), 1, "click", 1.5),
+          Event(2, ts(5), 1, "click", 2.0),
+          Event(3, ts(45), 1, "click", 3.0),
+          Event(4, ts(10), 2, "view", 0.5))
+        q2.processAllAvailable()
+        input2.addData(Event(9, tsH(6, 0), 3, "view", 0.1))
+        q2.processAllAvailable()
+        input2.addData(Event(10, tsH(12, 0), 3, "view", 0.1))
+        q2.processAllAvailable()
+        val exp = spark.table("explicit_sessions").as[SessionOut].collect()
+          .filter(_.user_id <= 2)
+          .map(o => (o.user_id,
+            new java.sql.Timestamp(o.start_us / 1000).toString) ->
+            ((o.n_events, o.total_value))).toMap
+        assert(exp == got.filter(_._1._1 <= 2),
+          s"forms diverged: explicit=$exp native=$got")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming as-of replays the batch attribution on one batch") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

@@ -484,4 +484,45 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0L)._3 && got(4L)._3, "target-heavy docs not selected")
     assert(!got(2L)._3 && !got(5L)._3, "zero-target-mass docs selected")
   }
+
+  test("t27 span-mask manifest equals a sequential replica and hits " +
+       "the T5 corruption budget corpus-wide") {
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, sfDir, "documents")
+    val got = TextOps.spanMask(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // sequential replica of the greedy fold, plain Scala
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty && got.size == texts.length)
+    texts.foreach { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      var nf = 1L; var nm = 0L; var ns = 0L
+      var i = 1L
+      while (i <= n) {
+        val h = ((id * 1000003L + i) % 1000000000L) * 2654435761L %
+          2147483647L
+        if (i >= nf && h % TextOps.SpanStartMod == 0) {
+          val len = 1 + (h / TextOps.SpanStartMod) % TextOps.SpanLenRange
+          ns += 1; nm += math.min(len, n - i + 1); nf = i + len
+        }
+        i += 1
+      }
+      val rate = BigDecimal(nm.toDouble / n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == ((n, ns, nm, rate)),
+        s"doc $id: got ${got(id)}, want ($n, $ns, $nm, $rate)")
+    }
+    // the corruption budget: ≈ 3/20 = 15% corpus-wide (±5 pts — the
+    // hash is uniform, docs are 10..99 tokens)
+    val totTok = got.values.map(_._1).sum.toDouble
+    val totMask = got.values.map(_._3).sum.toDouble
+    assert(totMask / totTok > 0.10 && totMask / totTok < 0.20,
+      f"corpus mask rate ${totMask / totTok}%.3f off the 15%% budget")
+    // spans never overlap and never run off the doc: nm ≥ ns, nm ≤ n
+    got.foreach { case (id, (n, ns, nm, _)) =>
+      assert(nm >= ns && nm <= n, s"doc $id: impossible manifest")
+    }
+  }
 }
