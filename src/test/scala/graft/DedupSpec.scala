@@ -400,9 +400,11 @@ class DedupSpec extends SparkSpec {
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
       ((truth.size.toLong, cands.size.toLong, hit.size.toLong)),
       s"got $got, want (${truth.size}, ${cands.size}, ${hit.size})")
-    assert(got.getDouble(3) ==
+    // uncapped default: the df-cut drops nothing on this corpus
+    assert(got.getAs[Long]("n_capped_shingles") == 0L, got.toString)
+    assert(got.getAs[Double]("recall") ==
       (if (truth.isEmpty) 1.0 else r6(hit.size.toDouble / truth.size)))
-    assert(got.getDouble(4) ==
+    assert(got.getAs[Double]("candidate_precision") ==
       (if (cands.isEmpty) 1.0 else r6(hit.size.toDouble / cands.size)))
     // structural: the exact twin shares every band — always captured
     assert(truth.contains((1L, 2L)) && cands.contains((1L, 2L)))
