@@ -27,6 +27,11 @@ object GraftFunctions {
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    ("dot_product",
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => graft.functions.expressions.DotProduct(
+        children(0), children(1))),
     // poly_hash(str, mult, mod) — SQL-callable form of the native
     // rolling hash so HOF lambda bodies (e.g. t19's per-gram hash
     // inside aggregate()) reach the linear-pass expression instead of
@@ -84,6 +89,12 @@ object GraftFunctions {
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("cosine_sim", a, b)
+  }
+
+  /** Column API for the native raw inner product (MIPS scoring). */
+  def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(spark)
+    call_function("dot_product", a, b)
   }
 
   /** Column API for the native polynomial rolling hash (bypasses the

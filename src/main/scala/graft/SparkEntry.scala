@@ -113,6 +113,7 @@ object SparkEntry {
     "d13_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkDedup(s, d)),
     "d16_dup_ngram_rate" -> (Dedup.dupNgramRate _),
     "d17_lsh_recall" -> (Dedup.lshRecall _),
+    "d18_containment" -> (Dedup.containment _),
     "g1_pagerank" -> ((s: SparkSession, d: String) => Graph.g1Pagerank(s, d)),
     "g2_components" -> ((s: SparkSession, d: String) => Graph.g2Components(s, d)),
     "g3_triangles" -> ((s: SparkSession, d: String) => Graph.g3Triangles(s, d)),
@@ -1031,6 +1032,7 @@ object SparkEntry {
     "d13_chunk_dedup" -> graft.operators.Dedup.d13OracleSql(),
     "d16_dup_ngram_rate" -> graft.operators.Dedup.d16OracleSql(),
     "d17_lsh_recall" -> graft.operators.Dedup.d17OracleSql(),
+    "d18_containment" -> graft.operators.Dedup.d18OracleSql(),
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

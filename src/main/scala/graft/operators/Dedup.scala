@@ -1529,6 +1529,113 @@ object Dedup {
             / CAST((SELECT count(*) FROM cands) AS DOUBLE), 6) END
           AS candidate_precision"""
 
+  /** Containment threshold: the smaller doc's shingle mass must sit
+    * ≥ this fraction inside the larger doc's set. */
+  final val ContainThresh = 0.9
+
+  /** d18: CONTAINMENT dedup — the asymmetric near-dup mode Jaccard
+    * misses: a short document (a quote, a syndicated wire excerpt, a
+    * boilerplate block) living INSIDE a long one has low Jaccard
+    * (|∩|/|∪| shrinks with the big doc) but containment
+    * |∩|/|small| ≈ 1. MinHash-LSH is the WRONG candidate generator
+    * here for the same reason — band collision probability tracks
+    * Jaccard, so subset pairs don't reliably collide — which is why
+    * this operator generates candidates from the shingle INVERTED
+    * INDEX (d17's truth machinery, including its `maxShingleDf`
+    * hot-bucket df-cut: boilerplate shingles are exactly where a raw
+    * corpus floods, and with the cut engaged containment is a lower
+    * bound over cold shingles with the dropped-bucket count surfaced
+    * loudly). Emits (contained, container) pairs at containment ≥
+    * [[ContainThresh]]: contained = the smaller shingle set (ties →
+    * smaller id) — deterministic orientation both engines replay.
+    *
+    * Scale shape: shingle-scale index aggregate + the index
+    * self-join (pair fan-out bounded by shared-shingle density and
+    * the df-cut, never n²), one pair-scale rollup, dimension joins
+    * for sizes. The registered entry runs uncapped (sf corpora sit
+    * far below any flood); production points it at a sample or sets
+    * the cut, as d17 documents. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containment(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def containment(docs: DataFrame,
+                  thresh: Double = ContainThresh,
+                  maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val hs = graft.Ckpt(docs.select(col("doc_id"),
+      array_distinct(hashedShingleCol(col("text"))).as("hl")))
+    val sizes = hs.select(col("doc_id"), size(col("hl")).cast("long").as("nsh"))
+    val inv0 = hs.select(col("doc_id"), explode(col("hl")).as("h"))
+    val dfc = graft.Ckpt(inv0.groupBy("h").agg(count(lit(1)).as("df")))
+    val nCapped = dfc.agg(
+      count(when(col("df") > maxShingleDf, 1)).as("n_capped_shingles"))
+    val inv = inv0.join(
+      dfc.filter(col("df") <= maxShingleDf).select("h"), Seq("h"), "left_semi")
+    inv.as("x")
+      .join(inv.as("y"), col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb")), "b_id")
+      .select(
+        when(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("a_id") < col("b_id")),
+          col("a_id")).otherwise(col("b_id")).as("contained_id"),
+        when(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("a_id") < col("b_id")),
+          col("b_id")).otherwise(col("a_id")).as("container_id"),
+        col("n_inter"), least(col("na"), col("nb")).as("n_contained"),
+        round(col("n_inter").cast("double")
+          / least(col("na"), col("nb")).cast("double"), 6).as("containment"))
+      .filter(col("containment") >= thresh)
+      .crossJoin(broadcast(nCapped)) // one row — in-plan, not a head()
+      .orderBy("contained_id", "container_id")
+  }
+
+  /** DuckDB oracle for [[containment]] — d17's inverted-index CTEs
+    * with the same df-cut, smaller-set orientation and threshold. */
+  def d18OracleSql(thresh: Double = ContainThresh,
+      maxShingleDf: Long = Long.MaxValue): String = s"""
+      WITH hs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))),
+          s -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(s)),
+                     ci -> CAST(ascii(substr(s, ci, 1)) AS BIGINT))),
+                 (acc, ch) -> (acc * 131 + ch) % 2147483647))) AS hl
+        FROM documents),
+      sz AS (SELECT doc_id, CAST(len(hl) AS BIGINT) AS nsh FROM hs),
+      inv0 AS (SELECT doc_id, unnest(hl) AS h FROM hs),
+      dfc AS (SELECT h, count(*) AS df FROM inv0 GROUP BY h),
+      capped AS (
+        SELECT count(*) AS n_capped_shingles FROM dfc
+        WHERE df > $maxShingleDf),
+      inv AS (
+        SELECT i.doc_id, i.h FROM inv0 i JOIN dfc d ON d.h = i.h
+        WHERE d.df <= $maxShingleDf),
+      pr AS (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_inter
+        FROM inv x JOIN inv y ON x.h = y.h AND x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      orient AS (
+        SELECT
+          CASE WHEN a.nsh < b.nsh OR (a.nsh = b.nsh AND pr.a_id < pr.b_id)
+            THEN pr.a_id ELSE pr.b_id END AS contained_id,
+          CASE WHEN a.nsh < b.nsh OR (a.nsh = b.nsh AND pr.a_id < pr.b_id)
+            THEN pr.b_id ELSE pr.a_id END AS container_id,
+          pr.n_inter, least(a.nsh, b.nsh) AS n_contained,
+          round(CAST(pr.n_inter AS DOUBLE)
+            / CAST(least(a.nsh, b.nsh) AS DOUBLE), 6) AS containment
+        FROM pr JOIN sz a ON a.doc_id = pr.a_id
+        JOIN sz b ON b.doc_id = pr.b_id)
+      SELECT o.*, c.n_capped_shingles
+      FROM orient o, capped c
+      WHERE o.containment >= $thresh
+      ORDER BY contained_id, container_id"""
+
   /** DuckDB oracle for [[dupNgramRate]] — the d6 sliding-shingle
     * replica at width n, the d13 char-fold hash, integer rollups,
     * one rounded division. */

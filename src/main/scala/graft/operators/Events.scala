@@ -616,7 +616,13 @@ object Events {
     * DuckDB's libm so the two engines agree on the bin index and the
     * byte-level estimate. */
   def logQuantileHist(spark: SparkSession, dir: String): DataFrame =
-    logQuantileHist(Tables.load(spark, dir, "events"))
+    // the registered entry scopes to the POSITIVE subset: log bins are
+    // undefined at ≤ 0 and real event streams carry zero-value rows
+    // (sf0.1 does) — excluding them upfront is the domain rule, the
+    // oracle applies the same predicate, and the strict refusal below
+    // still protects direct callers who pass unfiltered frames
+    logQuantileHist(Tables.load(spark, dir, "events")
+      .filter(col("value") > 0.0))
 
   def logQuantileHist(events: DataFrame): DataFrame = {
     val base = events.select(col("event_type"), col("value"))
@@ -664,10 +670,12 @@ object Events {
     * (with the same round(6) ulp absorption), identical integer rank
     * thresholds, identical rounded upper-edge arithmetic. */
   def e20OracleSql: String = s"""
-      WITH bounds AS (
+      WITH ev AS (
+        SELECT event_type, value FROM events WHERE value > 0),
+      bounds AS (
         SELECT event_type, min(value) AS lo, max(value) AS hi,
           count(*) AS n
-        FROM events GROUP BY event_type),
+        FROM ev GROUP BY event_type),
       binned AS (
         SELECT e.event_type,
           CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
@@ -675,7 +683,7 @@ object Events {
               / ((ln(b.hi) - ln(b.lo)) / $QhBins.0), 6)) AS BIGINT),
               ${QhBins - 1}) END AS bin,
           count(*) AS k
-        FROM events e JOIN bounds b USING (event_type)
+        FROM ev e JOIN bounds b USING (event_type)
         GROUP BY 1, 2),
       cum AS (
         SELECT event_type, bin,

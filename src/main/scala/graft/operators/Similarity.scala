@@ -66,14 +66,15 @@ object Similarity {
     val q = broadcast(e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val spark = e.sparkSession
     val scored = q.join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        // per-element cast BEFORE the multiply: float×float runs in
-        // float precision, the oracle's DOUBLE products don't —
-        // round(6) can't absorb a 1e-7-relative float product error
-        expr("""aggregate(
-          zip_with(qv, cv, (x, y) -> cast(x as double) * cast(y as double)),
-          cast(0.0 as double), (a, v) -> a + v)""").as("dt"))
+        // native fused pass (CosineSimilarity minus the norms); each
+        // element widens to double BEFORE the multiply — float×float
+        // in float precision would diverge from the oracle's DOUBLE
+        // products by ~1e-7 relative, past what round(6) absorbs
+        graft.GraftFunctions.dotProduct(spark, col("qv"), col("cv"))
+          .as("dt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("dt").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w))

@@ -413,6 +413,39 @@ class DedupSpec extends SparkSpec {
     assert(truth.contains((1L, 3L)), "near pair fell below the threshold")
   }
 
+  test("d18 containment flags a planted prefix-doc at 1.0 where " +
+       "Jaccard sits far below threshold, with exact orientation") {
+    import spark.implicits._
+    // B = A ++ suffix: every 3-shingle of A appears in B (containment
+    // of A in B = 1.0) while Jaccard(A, B) = |A|/|B| is small. C is
+    // unrelated. D shares a fragment with B but below threshold.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val suffix = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, a),
+      (2L, s"$a $suffix"),
+      (3L, "completely different words that never overlap anything"),
+      (4L, s"alpha beta gamma ${(1 to 30).map(i => s"x$i").mkString(" ")}"))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.containment(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // A has 6 distinct 3-shingles, all inside B ⇒ containment 1.0,
+    // contained = A (smaller set), container = B
+    assert(got.keySet == Set((1L, 2L)), s"got ${got.keySet}")
+    val (nInter, nContained, c) = got((1L, 2L))
+    assert(nInter == 6L && nContained == 6L && c == 1.0, got.toString)
+    // the Jaccard view of the same pair sits FAR below the 0.5 d2
+    // verify threshold — the pair containment exists to catch
+    val hlB = 6 + 2 + 38 // |B| shingles: A's 6 + 2 bridge + 38 suffix
+    assert(6.0 / (6 + hlB - 6) < 0.2, "planted pair not asymmetric")
+    // df-cut path: capping every shingle (df ≥ 2 cut) removes the
+    // pair and surfaces the capped count loudly
+    val capped = operators.Dedup.containment(docs, maxShingleDf = 1L)
+      .collect()
+    assert(capped.isEmpty, s"capped run still paired: ${capped.toSeq}")
+  }
+
   test("d16 duplicate-ngram rate: cross-doc shared grams, in-doc " +
        "repeats, unique and sub-width docs all land exactly") {
     import spark.implicits._

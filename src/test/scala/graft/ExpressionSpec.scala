@@ -20,6 +20,53 @@ class ExpressionSpec extends SparkSpec {
     assert(diff.count() == 0, "native and HOF cosine disagree")
   }
 
+  test("native dot_product == HOF fold, bit for bit, codegen and " +
+       "interpreted, and relates to cosine_sim by the norm identity") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("b_id") === col("a_id") + 1)
+    // the HOF reference: per-element double widening, index order —
+    // the exact semantics the native expression must reproduce
+    val hof = expr("""aggregate(
+      zip_with(ea, eb, (x, y) -> cast(x as double) * cast(y as double)),
+      cast(0.0 as double), (acc, v) -> acc + v)""")
+    val diff = pairs.select(
+        GraftFunctions.dotProduct(spark, col("ea"), col("eb")).as("native"),
+        hof.as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0, "native and HOF dot product disagree")
+    // interpreted path (Literal eval, no codegen): same bits as the
+    // codegen'd DataFrame path on one concrete pair
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      import spark.implicits._
+      val va = Array.tabulate(32)(i => math.sin(i + 1).toFloat)
+      val vb = Array.tabulate(32)(i => math.cos(i + 1).toFloat)
+      val fromDf = Seq((va, vb)).toDF("x", "y")
+        .select(GraftFunctions.dotProduct(spark, col("x"), col("y")))
+        .head().getDouble(0)
+      val interp = graft.functions.expressions.DotProduct(
+        Literal.create(va, ArrayType(FloatType)),
+        Literal.create(vb, ArrayType(FloatType)))
+        .eval(null).asInstanceOf[Double]
+      assert(java.lang.Double.doubleToRawLongBits(fromDf) ==
+        java.lang.Double.doubleToRawLongBits(interp),
+        s"codegen $fromDf != interpreted $interp")
+    }
+    // cross-check against cosine: dot ≈ cos·‖a‖·‖b‖ (not bit-exact —
+    // different op order — but must agree to float tolerance)
+    val rel = pairs.select(
+        (GraftFunctions.dotProduct(spark, col("ea"), col("eb")) -
+          GraftFunctions.cosineSim(spark, col("ea"), col("eb")) *
+            sqrt(expr("aggregate(ea, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")) *
+            sqrt(expr("aggregate(eb, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")))
+          .as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(rel < 1e-9, s"dot/cosine norm identity violated by $rel")
+  }
+
   test("independently built SrpBuckets/PolyHash canonicalize as equal") {
     import graft.operators.Similarity._
     import org.apache.spark.sql.catalyst.expressions.Literal
