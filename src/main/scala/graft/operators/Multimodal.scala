@@ -797,6 +797,130 @@ ${es.mkString(",\n")}
       JOIN hashes h ON h.doc_id = d.doc_id
       ORDER BY d.doc_id"""
 
+  /** Energy-segmentation window width (ch0 samples per window). */
+  final val SegWindow = 16
+
+  case class AudioSegments(doc_id: Long, n_samples: Long, n_windows: Long,
+    n_active: Long, n_segments: Long, active_ratio: Double)
+
+  /** m11: audio activity segmentation — the VAD-shaped stage between
+    * decode and an audio model: split the decoded ch0 stream into
+    * fixed [[SegWindow]]-sample windows, mark a window ACTIVE when
+    * its energy exceeds the doc's mean window energy, and merge
+    * consecutive active windows into segments (speech/tone regions vs
+    * background). The threshold compare is the exact integer
+    * cross-multiplication `energy_w · n_windows > Σ energies` — no
+    * division, no float, so the activity mask is bit-reproducible and
+    * the oracle replays it over the analytically-regenerated samples
+    * (m5/m7's discipline: a decode bug — endianness, interleave,
+    * frame count — OR a segmentation bug breaks the exact match).
+    * The trailing partial window is dropped (documented; every
+    * payload here has ≥ 2 full windows). Magnitudes: |v| < 2¹⁵ ⇒
+    * window energy < 2³⁴, × n_windows ≤ 2³⁷ — BIGINT with room.
+    *
+    * Scale shape: mapPartitions over payload rows (the sanctioned
+    * decode site), zero shuffle, O(n) per doc; the output sort is the
+    * only exchange. */
+  object SegmentDecoder {
+    def decodeSegments(rows: Iterator[AudioRow],
+        w: Int = SegWindow): Iterator[AudioSegments] =
+      rows.map { row =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        val fmt = ais.getFormat
+        val channels = fmt.getChannels
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val frames = bytes.length / fmt.getFrameSize
+        val nW = frames / w
+        val energies = Array.tabulate(nW) { wi =>
+          var e = 0L
+          var i = wi * w
+          while (i < wi * w + w) {
+            val off = i * channels * 2 // ch0 sample of frame i
+            val u = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+            val v = (if (u >= 32768) u - 65536 else u).toLong
+            e += v * v
+            i += 1
+          }
+          e
+        }
+        val totE = energies.sum
+        var nActive = 0L
+        var nSegments = 0L
+        var prevActive = false
+        energies.foreach { e =>
+          val active = e * nW > totE
+          if (active) {
+            nActive += 1
+            if (!prevActive) nSegments += 1
+          }
+          prevActive = active
+        }
+        val ratio = BigDecimal(nActive.toDouble / nW)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        AudioSegments(row.doc_id, frames.toLong, nW.toLong, nActive,
+          nSegments, ratio)
+      }
+  }
+
+  def audioSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withAudioPayload(spark, Tables.parallel(Tables.load(spark, dir, "documents")))
+      .mapPartitions(SegmentDecoder.decodeSegments(_))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[audioSegments]] — per-window integer
+    * energies over the regenerated ch0 grid, the same
+    * cross-multiplied activity test, segment starts via lag() over
+    * window order. */
+  def m11OracleSql(w: Int = SegWindow): String = s"""
+      WITH dims AS (
+        SELECT doc_id,
+          CAST(doc_id % $AudLenMod + $AudLenBase AS BIGINT) AS n_samples
+        FROM documents),
+      idx AS (
+        SELECT doc_id, unnest(generate_series(0,
+          CAST((n_samples // $w) * $w - 1 AS INT))) AS i
+        FROM dims),
+      samp AS (
+        SELECT doc_id, i // $w AS wi,
+          CASE WHEN (doc_id * 31 + i * 13) % 65536 >= 32768
+            THEN (doc_id * 31 + i * 13) % 65536 - 65536
+            ELSE (doc_id * 31 + i * 13) % 65536 END AS v
+        FROM idx),
+      wins AS (
+        SELECT doc_id, wi, CAST(sum(v * v) AS BIGINT) AS energy
+        FROM samp GROUP BY doc_id, wi),
+      tot AS (
+        SELECT doc_id, count(*) AS n_windows,
+          CAST(sum(energy) AS BIGINT) AS tot_e
+        FROM wins GROUP BY doc_id),
+      act AS (
+        SELECT w2.doc_id, w2.wi,
+          (w2.energy * t.n_windows > t.tot_e) AS active
+        FROM wins w2 JOIN tot t ON t.doc_id = w2.doc_id),
+      act2 AS (
+        SELECT doc_id, wi, active,
+          coalesce(lag(active) OVER (PARTITION BY doc_id ORDER BY wi),
+            false) AS prev
+        FROM act),
+      seg AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_active,
+          CAST(sum(CASE WHEN active AND NOT prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_segments
+        FROM act2 GROUP BY doc_id)
+      SELECT d.doc_id, d.n_samples, t.n_windows, s.n_active, s.n_segments,
+        round(CAST(s.n_active AS DOUBLE) / CAST(t.n_windows AS DOUBLE), 6)
+          AS active_ratio
+      FROM dims d JOIN tot t ON t.doc_id = d.doc_id
+      JOIN seg s ON s.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+
   /** Inference batch shaping — the step between decode and a model
     * server: media rows grouped into fixed-size GPU batches with a
     * tensor slot per row. Deterministic Knuth-hash sharding spreads

@@ -280,4 +280,49 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("audio segmentation finds planted loud regions through the " +
+       "real WAV decode, with exact segment structure") {
+    // silence ∥ loud ∥ silence ∥ loud ∥ silence: 10 windows of 16
+    // samples — windows 2,3 and 6,7 carry ±20000 square waves, the
+    // rest are zeros. Mean window energy = 4·E_loud/10 < E_loud, so
+    // exactly the 4 loud windows are active, merging into 2 segments.
+    val w = Multimodal.SegWindow
+    val frames = 10 * w
+    val raw = new Array[Byte](frames * 2)
+    def loudWindow(wi: Int): Boolean = wi == 2 || wi == 3 || wi == 6 || wi == 7
+    for (i <- 0 until frames) {
+      val v = if (loudWindow(i / w)) { if (i % 2 == 0) 20000 else -20000 }
+        else 0
+      val u = if (v < 0) v + 65536 else v
+      raw(i * 2) = (u & 0xff).toByte
+      raw(i * 2 + 1) = ((u >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = Multimodal.SegmentDecoder.decodeSegments(
+      Iterator(Multimodal.AudioRow(7L, bos.toByteArray))).toSeq
+    assert(out.size == 1)
+    val s = out.head
+    assert(s.n_samples == frames && s.n_windows == 10 &&
+      s.n_active == 4 && s.n_segments == 2 && s.active_ratio == 0.4,
+      s.toString)
+    // degenerate flat payload: no window beats the (equal) mean —
+    // zero active, zero segments, not a divide-by-zero
+    val flat = new Array[Byte](4 * w * 2)
+    java.util.Arrays.fill(flat, 1.toByte)
+    val ais2 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(flat), fmt, (4L * w))
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais2,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos2)
+    val f = Multimodal.SegmentDecoder.decodeSegments(
+      Iterator(Multimodal.AudioRow(8L, bos2.toByteArray))).toSeq.head
+    assert(f.n_active == 0 && f.n_segments == 0 && f.active_ratio == 0.0,
+      f.toString)
+  }
 }
