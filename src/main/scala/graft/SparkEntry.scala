@@ -168,6 +168,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.sources.Ingest.x8SchemaEvolution(s, d)),
     "x9_partitioned_export" ->
       ((s: SparkSession, d: String) => graft.sources.Export.partitionedExport(s, d)),
+    "x10_constraints" -> (graft.sources.Ingest.x10Constraints _),
     "t17_surprisal" -> (TextOps.surprisal _),
     "t18_bpe_merges" -> (TextOps.bpeMerges _),
     "t19_quality_classifier" -> (TextOps.ftQuality _),
@@ -1024,6 +1025,7 @@ object SparkEntry {
     "x7_compaction" -> graft.sources.Export.x7OracleSql,
     "x8_schema_evolution" -> graft.sources.Ingest.x8OracleSql,
     "x9_partitioned_export" -> graft.sources.Export.x9OracleSql,
+    "x10_constraints" -> graft.sources.Ingest.x10OracleSql,
     "t17_surprisal" -> graft.operators.TextOps.t17OracleSql,
     "t19_quality_classifier" -> graft.operators.TextOps.t19OracleSql,
     "m7_audio_features" -> graft.operators.Multimodal.m7OracleSql,

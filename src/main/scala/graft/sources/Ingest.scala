@@ -186,4 +186,92 @@ object Ingest {
         min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM documents
       GROUP BY 1 ORDER BY lang NULLS FIRST"""
+
+  /** x10: ingest-gate data-quality CONSTRAINT SUITE — the Deequ /
+    * Great-Expectations-shaped check a pipeline runs on every landed
+    * batch before anything downstream trusts it: column completeness,
+    * key uniqueness, domain membership, value-range conformance over
+    * `documents`, plus referential integrity of `embeddings.vec_id`
+    * into `documents.doc_id`. One report row per constraint —
+    * (constraint, value, passed) — so the gate is a table a scheduler
+    * can assert on, not a log line.
+    *
+    * Scale shape: ONE aggregate pass over documents computes every
+    * per-column metric simultaneously (conditional-count fusion —
+    * adding a constraint adds a column, not a scan: Deequ's central
+    * design point); uniqueness pays the one exact count(DISTINCT)
+    * shuffle (at 100 TB swap for HLL if approximate suffices — e18's
+    * dial); referential integrity is one LEFT ANTI join counted.
+    * Constraint rows unpivot from a single struct array projection —
+    * no per-constraint scans, no collect. Values round(6),
+    * non-negative by construction. */
+  def x10Constraints(spark: SparkSession, dir: String): DataFrame =
+    x10Constraints(graft.Tables.load(spark, dir, "documents"),
+      graft.Tables.load(spark, dir, "embeddings"))
+
+  def x10Constraints(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val d = docs.agg(
+      count(lit(1)).as("n"),
+      count(col("text")).as("n_text"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      sum(when(col("source").rlike("^src[0-9]+$"), 1L).otherwise(0L))
+        .as("n_src_ok"),
+      sum(when(length(col("text")).between(1L, 100000L), 1L).otherwise(0L))
+        .as("n_len_ok"))
+    val orphans = emb.select(col("vec_id"))
+      .join(docs.select(col("doc_id")),
+        col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    def frac(num: Column) = round(num.cast("double") / col("n").cast("double"), 6)
+    d.crossJoin(orphans) // both one-row — in-plan, not a head()
+      .select(explode(array(
+        struct(lit("completeness_text").as("constraint"),
+          frac(col("n_text")).as("value"),
+          (col("n_text") === col("n")).as("passed")),
+        struct(lit("uniqueness_doc_id").as("constraint"),
+          frac(col("n_ids")).as("value"),
+          (col("n_ids") === col("n")).as("passed")),
+        struct(lit("domain_source").as("constraint"),
+          frac(col("n_src_ok")).as("value"),
+          (col("n_src_ok") === col("n")).as("passed")),
+        struct(lit("range_text_length").as("constraint"),
+          frac(col("n_len_ok")).as("value"),
+          (col("n_len_ok") === col("n")).as("passed")),
+        struct(lit("referential_embeddings").as("constraint"),
+          col("n_orphans").cast("double").as("value"),
+          (col("n_orphans") === 0L).as("passed")))).as("c"))
+      .select(col("c.constraint").as("constraint"), col("c.value").as("value"),
+        col("c.passed").as("passed"))
+      .orderBy("constraint")
+  }
+
+  /** DuckDB oracle for [[x10Constraints]] — the same fused
+    * conditional counts, the same five report rows. */
+  def x10OracleSql: String = """
+      WITH d AS (
+        SELECT count(*) AS n,
+          count(text) AS n_text,
+          count(DISTINCT doc_id) AS n_ids,
+          sum(CASE WHEN regexp_matches(source, '^src[0-9]+$')
+            THEN 1 ELSE 0 END) AS n_src_ok,
+          sum(CASE WHEN length(text) BETWEEN 1 AND 100000
+            THEN 1 ELSE 0 END) AS n_len_ok
+        FROM documents),
+      o AS (
+        SELECT count(*) AS n_orphans FROM embeddings e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM documents dd WHERE dd.doc_id = e.vec_id)),
+      rows_ AS (
+        SELECT 'completeness_text' AS "constraint",
+          round(CAST(n_text AS DOUBLE) / n, 6) AS "value",
+          n_text = n AS passed FROM d
+        UNION ALL SELECT 'domain_source',
+          round(CAST(n_src_ok AS DOUBLE) / n, 6), n_src_ok = n FROM d
+        UNION ALL SELECT 'range_text_length',
+          round(CAST(n_len_ok AS DOUBLE) / n, 6), n_len_ok = n FROM d
+        UNION ALL SELECT 'referential_embeddings',
+          CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM o
+        UNION ALL SELECT 'uniqueness_doc_id',
+          round(CAST(n_ids AS DOUBLE) / n, 6), n_ids = n FROM d)
+      SELECT * FROM rows_ ORDER BY "constraint" """
 }

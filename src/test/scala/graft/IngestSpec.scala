@@ -83,4 +83,39 @@ class IngestSpec extends SparkSpec {
     val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
     assert(unified.count() == n)
   }
+
+  test("x10 constraint suite passes a clean corpus and pinpoints " +
+       "exactly the planted violations on a mutated one") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val clean = graft.sources.Ingest.x10Constraints(docs, emb).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(clean.size == 5 && clean.values.forall(_._2),
+      s"clean corpus failed constraints: $clean")
+    // plant one violation per constraint: null text on doc 0, a
+    // duplicated doc_id 1, a bad source on doc 2, an empty text on
+    // doc 3 (range), and an orphan embedding id
+    val n = docs.count()
+    val mutated = docs
+      .withColumn("text", when(col("doc_id") === 0, lit(null))
+        .when(col("doc_id") === 3, lit("")).otherwise(col("text")))
+      .withColumn("source", when(col("doc_id") === 2, lit("BAD!"))
+        .otherwise(col("source")))
+      .unionByName(docs.filter(col("doc_id") === 1))
+    val embBad = emb.unionByName(
+      emb.limit(1).withColumn("vec_id", lit(99999999L)))
+    val got = graft.sources.Ingest.x10Constraints(mutated, embBad).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = n + 1 // the duplicated row
+    assert(got("completeness_text") == ((r6((m - 1.0) / m), false)), got.toString)
+    assert(got("uniqueness_doc_id") == ((r6((m - 1.0) / m), false)), got.toString)
+    assert(got("domain_source") == ((r6((m - 1.0) / m), false)), got.toString)
+    // range: the null text row ALSO fails the length check (null
+    // comparison is not-true), alongside the planted empty text
+    assert(got("range_text_length") == ((r6((m - 2.0) / m), false)), got.toString)
+    assert(got("referential_embeddings") == ((1.0, false)), got.toString)
+  }
 }

@@ -752,7 +752,18 @@ class PlanSpec extends SparkSpec {
       // d16: (doc,gram) tf behind its checkpoint; live plan pays the
       // gram-frequency rollup, the linear count re-attach legs, the
       // per-doc rollup and the output sort
-      ("d16", graft.operators.Dedup.dupNgramRate(docs), 5))
+      ("d16", graft.operators.Dedup.dupNgramRate(docs), 5),
+      // s13: broadcast query batch (zero exchanges for the join), one
+      // window exchange on q_id, the output sort
+      ("s13", graft.operators.Similarity.mipsTopk(
+        Tables.load(spark, sfDir, "embeddings")), 3),
+      // d18: shingle sets + df table behind checkpoints; live plan =
+      // the df semi-join legs, the index self-join, the pair rollup,
+      // two size-attach joins, capped-count crossJoin, output sort
+      ("d18", graft.operators.Dedup.containment(docs), 10),
+      // m11: mapPartitions decode (scan-shaped) + the output sort;
+      // Tables.parallel may add one fan-out repartition
+      ("m11", graft.operators.Multimodal.audioSegments(spark, sfDir), 2))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
