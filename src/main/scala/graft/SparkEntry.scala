@@ -182,6 +182,7 @@ object SparkEntry {
     "t23_mix_apply" -> (TextOps.mixApply _),
     "t24_dsir_weights" -> (TextOps.dsirWeights _),
     "t27_span_mask" -> (TextOps.spanMask _),
+    "t28_source_diversity" -> (TextOps.sourceDiversity _),
     "t25_leakage_split" -> (TextOps.leakageSplit _),
     "t26_ppl_buckets" -> (TextOps.perplexityBuckets _),
     "e1_event_windows" -> (Events.eventWindows _),
@@ -996,6 +997,7 @@ object SparkEntry {
     "t23_mix_apply" -> TextOps.t23OracleSql,
     "t24_dsir_weights" -> TextOps.t24OracleSql(),
     "t27_span_mask" -> TextOps.t27OracleSql,
+    "t28_source_diversity" -> TextOps.t28OracleSql,
     "t25_leakage_split" -> TextOps.t25OracleSql,
     "t26_ppl_buckets" -> TextOps.t26OracleSql,
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),

@@ -1421,23 +1421,31 @@ object Dedup {
   def lshRecall(spark: SparkSession, dir: String): DataFrame =
     lshRecall(Tables.parallel(Tables.load(spark, dir, "documents")))
 
-  def lshRecall(docs: DataFrame,
-                maxBucket: Int = Int.MaxValue,
-                maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    // distinct hash sets — d2's verify operates on these, so the
-    // audit's truth metric is identical by construction
+  /** Shared d17/d18 machinery: the hot-bucket-capped shingle inverted
+    * index — distinct-hash-set sizes, the df-cut (doc, hash) index and
+    * the LOUD capped-bucket count (one row). Both consumers pay one
+    * shingle-scale df aggregate (checkpointed: the loud count and the
+    * cold filter both read it). */
+  private def cappedShingleIndex(docs: DataFrame, maxShingleDf: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
     val hs = graft.Ckpt(docs.select(col("doc_id"),
       array_distinct(hashedShingleCol(col("text"))).as("hl")))
     val sizes = hs.select(col("doc_id"), size(col("hl")).cast("long").as("nsh"))
     val inv0 = hs.select(col("doc_id"), explode(col("hl")).as("h"))
-    // df per shingle hash: two consumers (the loud capped count and
-    // the cold filter) ⇒ checkpointed once; shingle-scale, one
-    // map-side-combined aggregate
     val dfc = graft.Ckpt(inv0.groupBy("h").agg(count(lit(1)).as("df")))
     val nCapped = dfc.agg(
       count(when(col("df") > maxShingleDf, 1)).as("n_capped_shingles"))
     val inv = inv0.join(
       dfc.filter(col("df") <= maxShingleDf).select("h"), Seq("h"), "left_semi")
+    (sizes, inv, nCapped)
+  }
+
+  def lshRecall(docs: DataFrame,
+                maxBucket: Int = Int.MaxValue,
+                maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // distinct hash sets — d2's verify operates on these, so the
+    // audit's truth metric is identical by construction
+    val (sizes, inv, nCapped) = cappedShingleIndex(docs, maxShingleDf)
     val pairs = inv.as("x")
       .join(inv.as("y"), col("x.h") === col("y.h") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -1561,15 +1569,7 @@ object Dedup {
   def containment(docs: DataFrame,
                   thresh: Double = ContainThresh,
                   maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    val hs = graft.Ckpt(docs.select(col("doc_id"),
-      array_distinct(hashedShingleCol(col("text"))).as("hl")))
-    val sizes = hs.select(col("doc_id"), size(col("hl")).cast("long").as("nsh"))
-    val inv0 = hs.select(col("doc_id"), explode(col("hl")).as("h"))
-    val dfc = graft.Ckpt(inv0.groupBy("h").agg(count(lit(1)).as("df")))
-    val nCapped = dfc.agg(
-      count(when(col("df") > maxShingleDf, 1)).as("n_capped_shingles"))
-    val inv = inv0.join(
-      dfc.filter(col("df") <= maxShingleDf).select("h"), Seq("h"), "left_semi")
+    val (sizes, inv, nCapped) = cappedShingleIndex(docs, maxShingleDf)
     inv.as("x")
       .join(inv.as("y"), col("x.h") === col("y.h") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -1634,6 +1634,90 @@ object TextOps {
       FROM m ORDER BY doc_id"""
   }
 
+  /** t28: per-source n-gram DIVERSITY — the corpus-curation telemetry
+    * (Dolma/RefinedWeb-style source reports) that catches templated or
+    * spammy sources before they swamp a mixture: per source, the
+    * bigram token count, distinct-bigram count, distinct ratio,
+    * Shannon entropy of the bigram distribution and Pielou evenness
+    * (entropy / ln(distinct) — the scale-free "how templated is this
+    * source" number; a one-gram source is trivially even = 1).
+    * Distinct from t10 (corpus term frequencies), t14 (per-doc
+    * tf-idf), d16 (duplicate-gram memorization): this is the
+    * SOURCE-level distributional summary a curation dashboard plots.
+    *
+    * Determinism: entropy is a float sum over gram-scale terms — the
+    * classic order-sensitive fold. Each term p·ln(p) is rounded to
+    * 12 dp (absorbing the ≤1-ulp ln() divergence between engines,
+    * t14/s12's discipline) and summed as DECIMAL(38,12) — exact and
+    * order-free, so the result is partitioning-independent and
+    * bit-reproducible; the negated total goes through the roundz
+    * signed-zero canonicalization (a single-gram source sums to
+    * exactly 0, and DuckDB's negation of +0.0 is −0.0).
+    *
+    * Scale shape: one (source, gram) tf aggregate (map-side combine
+    * collapses repeats — gram-scale, never doc×gram), one
+    * source-scale rollup over it, a broadcast-joined per-source
+    * total. Zero UDFs, zero collects. */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
+    sourceDiversity(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def sourceDiversity(docs: DataFrame): DataFrame = {
+    val w = "split(text, ' ')"
+    val grams = s"""zip_with(slice($w, 1, size($w) - 1),
+      slice($w, 2, size($w) - 1), (x, y) -> concat(x, '_', y))"""
+    val tf = docs
+      .select(col("source"), explode(expr(grams)).as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("source").agg(sum(col("tf")).as("n_grams"))
+    val terms = tf.join(broadcast(tot), "source")
+      .select(col("source"), col("n_grams"),
+        round((col("tf").cast("double") / col("n_grams").cast("double"))
+          * log(col("tf").cast("double") / col("n_grams").cast("double")), 12)
+          .cast("decimal(38,12)").as("term"))
+    terms.groupBy("source")
+      .agg(min(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("term")).as("s12"))
+      .select(col("source"), col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast("double")
+          / col("n_grams").cast("double"), 6).as("distinct_ratio"),
+        GraftFunctions.roundz(-col("s12").cast("double"), 6).as("entropy"),
+        when(col("n_distinct") === 1, lit(1.0))
+          .otherwise(GraftFunctions.roundz(-col("s12").cast("double")
+            / log(col("n_distinct").cast("double")), 6)).as("evenness"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[sourceDiversity]] — identical grams,
+    * identical round-12/DECIMAL(38,12) term fold, identical
+    * canonicalized outputs. */
+  def t28OracleSql: String = """
+      WITH t AS (
+        SELECT source, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT source, unnest(list_transform(
+          generate_series(1, len(w) - 1), i -> w[i] || '_' || w[i + 1]))
+          AS gr
+        FROM t),
+      tf AS (SELECT source, gr, count(*) AS tf FROM g GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_grams
+        FROM tf GROUP BY 1),
+      terms AS (
+        SELECT f.source, t2.n_grams,
+          CAST(round((CAST(f.tf AS DOUBLE) / t2.n_grams)
+            * ln(CAST(f.tf AS DOUBLE) / t2.n_grams), 12)
+            AS DECIMAL(38,12)) AS term
+        FROM tf f JOIN tot t2 USING (source))
+      SELECT source, any_value(n_grams) AS n_grams,
+        count(*) AS n_distinct,
+        round(CAST(count(*) AS DOUBLE)
+          / CAST(any_value(n_grams) AS DOUBLE), 6) AS distinct_ratio,
+        (round(-CAST(sum(term) AS DOUBLE), 6) + 0.0) AS entropy,
+        CASE WHEN count(*) = 1 THEN 1.0
+          ELSE (round(-CAST(sum(term) AS DOUBLE)
+            / ln(CAST(count(*) AS DOUBLE)), 6) + 0.0) END AS evenness
+      FROM terms GROUP BY source ORDER BY source"""
+
   /** Span-start probability is 1/[[SpanStartMod]] per eligible token;
     * span length is uniform 1..[[SpanLenRange]] (mean 3), so the
     * expected corpus mask rate is ≈ 3/20 = 15% — T5's corruption

@@ -494,4 +494,56 @@ class PropertySpec extends SparkSpec {
         s"t24 doc ${r.getLong(0)}: dsir_score -0.0 leaked")
     }
   }
+
+  test("d18 containment equals a quadratic JVM replica on random " +
+       "corpora with planted subset structure") {
+    import spark.implicits._
+    val P = 2147483647L
+    def shingles(text: String): Seq[String] = {
+      val w = text.split(" ", -1)
+      (0 until math.max(w.length - 2, 1))
+        .map(i => w.slice(i, math.min(i + 3, w.length)).mkString(" "))
+        .distinct
+    }
+    def h(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % P)
+    for (seed <- Seq(21L, 22L)) {
+      val rng = new scala.util.Random(seed)
+      // random docs over a small vocabulary (forces shared shingles),
+      // plus planted prefix-subsets of random hosts
+      val base = (0 until 12).map { i =>
+        i.toLong -> (1 to (8 + rng.nextInt(30)))
+          .map(_ => s"v${rng.nextInt(12)}").mkString(" ")
+      }
+      val planted = (0 until 3).map { k =>
+        val host = base(rng.nextInt(base.size))._2
+        val words = host.split(" ")
+        (100L + k) -> words.take(5 + rng.nextInt(words.length - 4))
+          .mkString(" ")
+      }
+      val corpus = base ++ planted
+      val got = graft.operators.Dedup
+        .containment(corpus.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      // quadratic reference: all pairs, distinct-hash intersections
+      val hl = corpus.map { case (id, t) => id -> shingles(t).map(h).distinct.toSet }.toMap
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val want = (for {
+        (a, sa) <- hl; (b, sb) <- hl if a < b
+        inter = (sa intersect sb).size
+        small = math.min(sa.size, sb.size)
+        c = r6(inter.toDouble / small)
+        if c >= graft.operators.Dedup.ContainThresh
+      } yield {
+        val (cd, cr) = if (sa.size < sb.size || (sa.size == sb.size && a < b))
+          (a, b) else (b, a)
+        (cd, cr) -> ((inter.toLong, small.toLong, c))
+      }).toMap
+      assert(got == want, s"seed $seed: got $got, want $want")
+      // the planted prefixes guarantee the suite is non-vacuous
+      assert(want.nonEmpty, s"seed $seed produced no containment pairs")
+    }
+  }
 }

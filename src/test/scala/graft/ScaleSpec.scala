@@ -152,6 +152,30 @@ class ScaleSpec extends SparkSpec {
     assert(a.sameElements(b), "df-cut changed results on normal data")
   }
 
+  test("d18 containment's df-cut keeps an all-identical corpus linear") {
+    import spark.implicits._
+    // Uncapped, 2000 identical docs would pair quadratically through
+    // the inverted index (every shingle shared by every doc). With
+    // the df-cut engaged the run must finish fast; the capped pairs
+    // are dropped LOUDLY via the n_capped_shingles column semantics
+    // (here: every shingle capped ⇒ no pairs survive at all).
+    val identical = (0L until 2000L)
+      .map(i => (i, "same text repeated for every single document here"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val rows = graft.operators.Dedup
+      .containment(identical, maxShingleDf = 50L).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rows.isEmpty, s"capped flood still paired: ${rows.length}")
+    assert(secs < 120, f"capped d18 flood took $secs%.1f s")
+    // and the cut is invariant on normal data below the bound
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = graft.operators.Dedup.containment(docs).collect()
+    val b = graft.operators.Dedup
+      .containment(docs, maxShingleDf = 1000000L).collect()
+    assert(a.sameElements(b), "df-cut changed results on normal data")
+  }
+
   test("simhash fingerprint compression keeps an identical-doc flood linear") {
     import spark.implicits._
     // 2000 identical docs share ONE 60-bit fingerprint. Pre-compression

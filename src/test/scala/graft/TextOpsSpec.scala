@@ -485,6 +485,49 @@ class TextOpsSpec extends SparkSpec {
     assert(!got(2L)._3 && !got(5L)._3, "zero-target-mass docs selected")
   }
 
+  test("t28 source diversity equals a JVM replica, pins the uniform " +
+       "and single-gram extremes, and never emits -0.0") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // srcU: 4 docs of all-distinct bigrams → entropy = ln(n), evenness 1
+    // srcT: one templated bigram repeated → entropy 0, evenness 1 by
+    //        the single-gram convention — and the 0 must be +0.0 bits
+    // srcM: mixed — replica-checked exactly
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5", "srcU"), (2L, "b1 b2 b3 b4 b5", "srcU"),
+      (3L, "t t t t t t", "srcT"),
+      (4L, "m1 m2 m1 m2 m1", "srcM"), (5L, "m1 m2 m9", "srcM"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceDiversity(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def replica(texts: Seq[String]): (Long, Long, Double, Double, Double) = {
+      val grams = texts.flatMap(t => t.split(" ").sliding(2)
+        .filter(_.length == 2).map(_.mkString("_")))
+      val tf = grams.groupBy(identity).map { case (_, xs) => xs.size }
+      val n = grams.size.toDouble
+      val terms = tf.map { c =>
+        BigDecimal(c / n * math.log(c / n))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val ent = r6(-terms.sum.toDouble)
+      val even = if (tf.size == 1) 1.0
+        else r6(-terms.sum.toDouble / math.log(tf.size.toDouble))
+      (grams.size.toLong, tf.size.toLong, r6(tf.size / n), ent, even)
+    }
+    assert(got("srcU") == replica(Seq("a1 a2 a3 a4 a5", "b1 b2 b3 b4 b5")))
+    assert(got("srcM") == replica(Seq("m1 m2 m1 m2 m1", "m1 m2 m9")))
+    assert(got("srcT") == replica(Seq("t t t t t t")))
+    // extremes: uniform source maximally even; templated source has
+    // entropy exactly +0.0 (bit-level — the -0.0 class guard)
+    assert(got("srcU")._5 == 1.0 && got("srcU")._4 == r6(math.log(8.0)))
+    assert(got("srcT")._4 == 0.0 && got("srcT")._5 == 1.0)
+    assert(java.lang.Double.doubleToRawLongBits(got("srcT")._4) == 0L,
+      "templated source's zero entropy carries the sign bit")
+  }
+
   test("t27 span-mask manifest equals a sequential replica and hits " +
        "the T5 corruption budget corpus-wide") {
     import graft.operators.TextOps
