@@ -763,7 +763,20 @@ class PlanSpec extends SparkSpec {
       ("d18", graft.operators.Dedup.containment(docs), 10),
       // m11: mapPartitions decode (scan-shaped) + the output sort;
       // Tables.parallel may add one fan-out repartition
-      ("m11", graft.operators.Multimodal.audioSegments(spark, sfDir), 2))
+      ("m11", graft.operators.Multimodal.audioSegments(spark, sfDir), 2),
+      // t27: pure per-row projection + the output sort
+      ("t27", graft.operators.TextOps.spanMask(
+        Tables.load(spark, sfDir, "documents")), 2),
+      // t28: (source, gram) tf aggregate + source rollup + the
+      // broadcast-joined totals + output sort
+      ("t28", graft.operators.TextOps.sourceDiversity(
+        Tables.load(spark, sfDir, "documents")), 5),
+      // x10: one fused metric aggregate (count-distinct pays its
+      // two-phase exchange), the anti-join legs, the one-row
+      // crossJoin, the report sort
+      ("x10", graft.sources.Ingest.x10Constraints(
+        Tables.load(spark, sfDir, "documents"),
+        Tables.load(spark, sfDir, "embeddings")), 7))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
