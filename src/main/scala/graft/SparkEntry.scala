@@ -128,6 +128,7 @@ object SparkEntry {
     "g10_lpa" -> ((s: SparkSession, d: String) => Graph.g10Lpa(s, d)),
     "g11_centrality" -> ((s: SparkSession, d: String) => Graph.g11Centrality(s, d)),
     "g12_wsp" -> ((s: SparkSession, d: String) => Graph.g12Wsp(s, d)),
+    "g13_degree_hist" -> ((s: SparkSession, d: String) => Graph.g13DegreeHist(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -1017,6 +1018,7 @@ object SparkEntry {
     "g10_lpa" -> graft.operators.Graph.g10OracleSql(),
     "g11_centrality" -> graft.operators.Graph.g11OracleSql(),
     "g12_wsp" -> graft.operators.Graph.g12OracleSql(),
+    "g13_degree_hist" -> graft.operators.Graph.g13OracleSql,
     "m8_image_features" -> graft.operators.Multimodal.m8OracleSql,
     "m9_image_dedup" -> graft.operators.Multimodal.m9OracleSql,
     "m10_decode_robust" -> graft.operators.Multimodal.m10OracleSql,

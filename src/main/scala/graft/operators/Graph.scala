@@ -1085,6 +1085,88 @@ object Graph {
       edges0.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))))
 
+  /** g13: log₂-bucketed DEGREE HISTOGRAM — the hub-preflight every
+    * operator in this file assumes someone ran: before trusting a
+    * salting cap, a band-bucket bound or a per-node fold's memory
+    * model on a new graph, you read its degree distribution. Buckets
+    * are powers of two (the heavy-tail convention), and the bucket
+    * index is computed EXACTLY as `length(bin(d)) − 1` — the binary
+    * digit count, a pure integer expression both engines share —
+    * never `floor(log2(d))`, whose libm ulp flips buckets at exact
+    * powers of two (the e20 lesson applied where it would actually
+    * bite: degrees land ON powers of two constantly). Per bucket:
+    * node count, exact min/max degree, and the node share.
+    *
+    * Scale shape: one degree aggregate (map-side combined), one
+    * bucket-scale rollup (≤ 64 rows by construction — log₂ of any
+    * 64-bit degree), a one-row broadcast total. Nothing quadratic,
+    * nothing per-node in the output. */
+  def g13DegreeHist(spark: SparkSession, dir: String): DataFrame =
+    g13DegreeHist(Tables.load(spark, dir, "documents"))
+
+  def g13DegreeHist(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g13 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g13Core(simpleUndirected(syntheticFwd(docs, n)))
+  }
+
+  /** General entry — explicit (src, dst) edge list, arbitrary sparse
+    * 64-bit ids (the Edges-variant convention). */
+  def g13DegreeHistEdges(edges0: DataFrame): DataFrame =
+    g13Core(simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))))
+
+  private def g13Core(simple: DataFrame): DataFrame = {
+    val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val tot = deg.agg(count(lit(1)).as("nt"))
+    deg
+      .withColumn("bucket", (length(bin(col("d"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("d")).as("min_degree"), max(col("d")).as("max_degree"))
+      .crossJoin(broadcast(tot)) // one row — in-plan, not a head()
+      .select(col("bucket"),
+        expr("shiftleft(cast(1 as bigint), cast(bucket as int))")
+          .as("degree_lo"),
+        col("n_nodes"), col("min_degree"), col("max_degree"),
+        round(col("n_nodes").cast("double") / col("nt").cast("double"), 6)
+          .as("share"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[g13DegreeHist]] — g4's derived-graph CTEs,
+    * the identical digit-count bucket expression. */
+  def g13OracleSql: String = s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      fwd AS (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      simple AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM fwd),
+      deg AS (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) t
+        GROUP BY v),
+      tot AS (SELECT count(*) AS nt FROM deg),
+      bk AS (SELECT length(bin(d)) - 1 AS bucket, d FROM deg)
+      SELECT bucket,
+        CAST(1 AS BIGINT) << bucket AS degree_lo,
+        count(*) AS n_nodes,
+        min(d) AS min_degree, max(d) AS max_degree,
+        round(CAST(count(*) AS DOUBLE) / CAST(any_value(tt.nt) AS DOUBLE), 6)
+          AS share
+      FROM bk, tot tt
+      GROUP BY bucket ORDER BY bucket"""
+
   /** Simple undirected form: self-loops dropped, each edge once as
     * (min, max). Id-agnostic. */
   private def simpleUndirected(edges: DataFrame): DataFrame =

@@ -668,4 +668,46 @@ class GraphSpec extends SparkSpec {
     // a star is 1-degenerate: every node (hub included) has coreness 1
     assert(got.toSeq == Seq((1L, spokes + 1L, hub, 1000000L + spokes)))
   }
+
+  test("g13 degree histogram equals a JVM replica on random sparse-id " +
+       "graphs and pins a 1e5-spoke hub to its exact power-of-two bucket") {
+    import spark.implicits._
+    for (seed <- Seq(31L, 32L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 40 + rng.nextInt(40)
+      val ids = Array.tabulate(nNodes)(_ => rng.nextLong() % (1L << 43))
+      val m = 2 * nNodes + rng.nextInt(3 * nNodes)
+      val edges = (1 to m).map { _ =>
+        (ids(rng.nextInt(nNodes)), ids(rng.nextInt(nNodes)))
+      }
+      val simple = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val deg = simple.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (_, xs) => xs.size }
+      val want = deg.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+        .toSeq.sortBy(_._1)
+        .map { case (k, ds) =>
+          val share = BigDecimal(ds.size.toDouble / deg.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (k, 1L << k, ds.size.toLong, ds.min.toLong, ds.max.toLong, share)
+        }
+      val got = Graph.g13DegreeHistEdges(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+      assert(got == want, s"seed $seed: got $got, want $want")
+    }
+    // star: the 1e5-degree hub lands EXACTLY in bucket 16
+    // (2^16 = 65536 ≤ 100000 < 2^17) and the spokes in bucket 0 —
+    // exact-power-of-two boundaries are integer-safe by construction
+    val hub = -77L
+    val spokes = 100000
+    val star = (1 to spokes).map(i => (hub, 1000000L + i))
+    val rows = Graph.g13DegreeHistEdges(star.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set(0L, 16L), rows.toString)
+    assert(rows(0L) == ((1L, spokes.toLong, 1L, 1L)), rows.toString)
+    assert(rows(16L) == ((65536L, 1L, spokes.toLong, spokes.toLong)),
+      rows.toString)
+  }
 }
