@@ -15,10 +15,18 @@ import org.apache.spark.sql.types._
   * accumulation runs in index order in double precision, so results
   * are identical to the HOF version and to an index-ordered oracle —
   * but ~3× cheaper (one pass, no intermediate arrays, no lambda
-  * dispatch).
+  * dispatch). The equivalence holds on the FULL input domain:
+  * unequal-length arrays and arrays with a NULL element yield NULL,
+  * exactly as the HOF fold does (`zip_with` pads with nulls and
+  * `acc + null` poisons the aggregate) — `cosine_sim` is
+  * SQL-registered, so arbitrary user data can hit both cases.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // null is produced for valid non-null inputs (length mismatch /
+  // null element), so nullability cannot be derived from the children
+  override def nullable: Boolean = true
 
   private def numericArray(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -45,12 +53,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
     val y = r.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val getX = elemGetter(left)
     val getY = elemGetter(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = getX(x, i); val yi = getY(y, i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
@@ -73,15 +83,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val bad = ctx.freshName("bad")
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = ${getter(left, x, i)};
-          double $yi = ${getter(right, y, i)};
-          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        if ($x.numElements() != $y.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $x.numElements();
+          double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+          boolean $bad = false;
+          for (int $i = 0; $i < $n && !$bad; $i++) {
+            if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; }
+            else {
+              double $xi = ${getter(left, x, i)};
+              double $yi = ${getter(right, y, i)};
+              $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+            }
+          }
+          if ($bad) { ${ev.isNull} = true; }
+          else { ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny)); }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """
     })
   }

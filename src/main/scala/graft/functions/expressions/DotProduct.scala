@@ -11,12 +11,22 @@ import org.apache.spark.sql.types._
   * minus the norms: one fused index-order pass in double precision
   * (each element WIDENED to double before the multiply — float×float
   * in float precision would diverge from the oracle's DOUBLE
-  * products), whole-stage codegen via [[doGenCode]]. Semantics are
-  * bit-identical to the `zip_with`+`aggregate` HOF fold it replaces,
-  * at one pass with no intermediate array or lambda dispatch.
+  * products), whole-stage codegen via [[doGenCode]]. Semantics match
+  * the `zip_with`+`aggregate` HOF fold it replaces bit-for-bit ON THE
+  * FULL INPUT DOMAIN, not just the happy path: unequal-length arrays
+  * yield NULL (zip_with pads the shorter side with nulls and the
+  * null product poisons the fold) and a NULL element in either array
+  * yields NULL (the fold's `acc + null` is null) — a min-length
+  * partial sum or a silently-zeroed null element would diverge from
+  * the fold, and `dot_product` is SQL-registered so arbitrary user
+  * data can hit both cases.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // null is produced for valid non-null inputs (length mismatch /
+  // null element), so nullability cannot be derived from the children
+  override def nullable: Boolean = true
 
   private def numericArray(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -43,12 +53,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
     val y = r.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val getX = elemGetter(left)
     val getY = elemGetter(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += getX(x, i) * getY(y, i)
       i += 1
     }
@@ -66,13 +78,20 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val bad = ctx.freshName("bad")
       s"""
-        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-        double $dot = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $dot += ${getter(left, x, i)} * ${getter(right, y, i)};
+        if ($x.numElements() != $y.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $x.numElements();
+          double $dot = 0.0;
+          boolean $bad = false;
+          for (int $i = 0; $i < $n && !$bad; $i++) {
+            if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; }
+            else { $dot += ${getter(left, x, i)} * ${getter(right, y, i)}; }
+          }
+          if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
         }
-        ${ev.value} = $dot;
       """
     })
   }

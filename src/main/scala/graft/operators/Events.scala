@@ -630,6 +630,9 @@ object Events {
       min(col("value")).as("mn")).head()
     require(chk.getLong(0) == 0,
       s"e20 needs non-null values, saw ${chk.getLong(0)} null rows")
+    // min of zero rows is null — check before getDouble so empty
+    // input refuses loudly instead of NPEing inside the null read
+    require(!chk.isNullAt(1), "e20 needs a non-empty input frame")
     require(chk.getDouble(1) > 0.0,
       s"e20 needs a positive domain, saw min ${chk.getDouble(1)}")
     val bounds = graft.Ckpt(base.groupBy("event_type").agg(

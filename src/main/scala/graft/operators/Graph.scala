@@ -1108,6 +1108,8 @@ object Graph {
     val docs = docs0.select(col("doc_id"))
     val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
     val n = h.getLong(0)
+    // min/max of zero rows are null — refuse loudly before reading them
+    require(n > 0, "g13 needs a non-empty documents frame")
     require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
       s"g13 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
     g13Core(simpleUndirected(syntheticFwd(docs, n)))

@@ -1740,8 +1740,13 @@ object TextOps {
     * sequential recurrence over positions, run IN-ROW as one
     * `aggregate` over `sequence(1, n)` with the (next_free, n_masked,
     * n_spans) state packed into a single BIGINT (nf·10¹² + nm·10⁶ +
-    * ns — exact integer arithmetic both engines reproduce bit-level;
-    * caps: docs to 10⁶ tokens, the class bound the oracle shares).
+    * ns — exact integer arithmetic both engines reproduce bit-level).
+    * The nm/ns fields carry 6 decimal digits, so the packing is only
+    * sound for docs of ≤ 999,999 tokens (nm = n at the limit; one
+    * more digit overflows nm into nf and silently corrupts all three
+    * counters) — ENFORCED in-row via `raise_error` gating the packed
+    * value (no extra scan, not prunable), so an over-cap doc fails
+    * loudly instead of corrupting the fold.
     *
     * 100 TB contract: a pure per-row projection — zero shuffles
     * (ordering aside), whole-stage codegen, linear in corpus tokens;
@@ -1758,13 +1763,17 @@ object TextOps {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n"))
       .select(col("doc_id"), col("n").as("n_tokens"),
-        expr(s"""aggregate(sequence(1L, n), cast(1000000000000 as bigint),
+        expr(s"""if(n <= 999999,
+          aggregate(sequence(1L, n), cast(1000000000000 as bigint),
           (acc, i) -> if(i >= acc div 1000000000000 and $h % $SpanStartMod = 0,
             (i + $len) * 1000000000000
               + ((acc div 1000000) % 1000000
                  + least($len, n - i + 1)) * 1000000
               + (acc % 1000000 + 1),
-            acc))""").as("packed"))
+            acc)),
+          cast(raise_error(concat('t27 spanMask: doc ', doc_id,
+            ' has ', n, ' tokens, beyond the 999,999-token packing',
+            ' bound')) as bigint))""").as("packed"))
       .select(col("doc_id"), col("n_tokens"),
         (col("packed") % 1000000L).as("n_spans"),
         // Column./ is DOUBLE division — past 2^53 it silently loses

@@ -67,6 +67,46 @@ class ExpressionSpec extends SparkSpec {
     assert(rel < 1e-9, s"dot/cosine norm identity violated by $rel")
   }
 
+  test("dot_product and cosine_sim propagate NULL on length mismatch " +
+       "and null elements, matching the HOF fold on the full domain") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val rows = Seq(
+      // (label, a, b) — java.lang.Float arrays so elements can be null
+      ("mismatch", Array[java.lang.Float](1f, 2f, 3f),
+        Array[java.lang.Float](1f, 2f)),
+      ("null_elem", Array[java.lang.Float](1f, null, 3f),
+        Array[java.lang.Float](1f, 2f, 3f)),
+      ("clean", Array[java.lang.Float](1f, 2f, 3f),
+        Array[java.lang.Float](4f, 5f, 6f)))
+    val df = rows.toDF("label", "x", "y")
+    val hofDot = expr("""aggregate(
+      zip_with(x, y, (a, b) -> cast(a as double) * cast(b as double)),
+      cast(0.0 as double), (acc, v) -> acc + v)""")
+    val out = df.select(col("label"),
+        expr("dot_product(x, y)").as("nd"), hofDot.as("hd"),
+        expr("cosine_sim(x, y)").as("nc"))
+      .collect().map(r => r.getString(0) ->
+        ((r.isNullAt(1), r.isNullAt(2), r.isNullAt(3)))).toMap
+    // codegen path: native null iff HOF null; cosine same domain
+    assert(out("mismatch") == ((true, true, true)), out.toString)
+    assert(out("null_elem") == ((true, true, true)), out.toString)
+    assert(out("clean") == ((false, false, false)), out.toString)
+    // interpreted path (Literal eval, no codegen): same nulls
+    def lit(a: Array[java.lang.Float]) = Literal.create(
+      a.map(v => if (v == null) null else v.floatValue()),
+      ArrayType(FloatType, containsNull = true))
+    rows.foreach { case (label, a, b) =>
+      val d = graft.functions.expressions.DotProduct(lit(a), lit(b)).eval(null)
+      val c = graft.functions.expressions.CosineSimilarity(lit(a), lit(b)).eval(null)
+      val wantNull = label != "clean"
+      assert((d == null) == wantNull && (c == null) == wantNull,
+        s"interpreted $label: dot=$d cos=$c")
+    }
+  }
+
   test("independently built SrpBuckets/PolyHash canonicalize as equal") {
     import graft.operators.Similarity._
     import org.apache.spark.sql.catalyst.expressions.Literal

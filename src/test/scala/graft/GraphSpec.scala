@@ -709,5 +709,11 @@ class GraphSpec extends SparkSpec {
     assert(rows(0L) == ((1L, spokes.toLong, 1L, 1L)), rows.toString)
     assert(rows(16L) == ((65536L, 1L, spokes.toLong, spokes.toLong)),
       rows.toString)
+    // empty documents frame: loud refusal, not an NPE on the null
+    // min/max read inside the dense-id check
+    val emptyDocs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 0L)
+    val e = intercept[IllegalArgumentException](Graph.g13DegreeHist(emptyDocs))
+    assert(e.getMessage.contains("non-empty"), e.getMessage)
   }
 }

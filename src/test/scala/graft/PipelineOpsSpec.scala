@@ -341,6 +341,10 @@ class PipelineOpsSpec extends SparkSpec {
     val c = Events.logQuantileHist(const).head()
     assert(c.getDouble(4) == 7.5 && c.getDouble(5) == 7.5 &&
       c.getDouble(6) == 7.5, s"degenerate group drifted: $c")
+    // empty frame: loud refusal, not an NPE inside the null min read
+    val empty = df.filter(col("value") < 0.0)
+    val e3 = intercept[IllegalArgumentException](Events.logQuantileHist(empty))
+    assert(e3.getMessage.contains("non-empty"), e3.getMessage)
   }
 
   test("keep-best picks the highest-quality cluster member, min id on ties") {

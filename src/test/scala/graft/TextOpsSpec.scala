@@ -568,4 +568,25 @@ class TextOpsSpec extends SparkSpec {
       assert(nm >= ns && nm <= n, s"doc $id: impossible manifest")
     }
   }
+
+  test("t27 refuses a doc beyond the 999,999-token packing bound " +
+       "loudly instead of corrupting the packed counters") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // exactly 1e6 tokens: at the bound nm can reach 1e6 and overflow
+    // its 6-digit field into next_free — the in-row raise_error gate
+    // must fire before the fold runs
+    val over = Seq((0L, Array.fill(1000000)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextOps.spanMask(over).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("packing")), msgs(e).mkString(" | "))
+    // one token under the bound still computes
+    val ok = Seq((1L, Array.fill(999999)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextOps.spanMask(ok).head().getLong(1) == 999999L)
+  }
 }

@@ -17,12 +17,15 @@ import numpy as np
 
 def canon(x):
     """Byte-faithful canonical form of one cell value."""
+    if isinstance(x, (np.bool_, bool)):  # before int: bool <: int
+        return ("b", bool(x))
     if isinstance(x, (float, np.floating)):
         return ("f64", struct.pack("<d", float(x)))
-    if isinstance(x, (np.integer,)):
+    if isinstance(x, (int, np.integer)):
+        # one tag for Python int AND numpy scalar ints: object-dtype
+        # Series.tolist() preserves numpy scalars, so equal integers
+        # from different engines must not compare unequal by type
         return ("i", int(x))
-    if isinstance(x, (np.bool_, bool)):
-        return ("b", bool(x))
     if isinstance(x, np.ndarray):
         return ("arr", tuple(canon(v) for v in x))
     if isinstance(x, (list, tuple)):
@@ -50,6 +53,9 @@ def selftest():
     assert cells_equal(-0.0, -0.0)
     assert cells_equal(float("nan"), float("nan"))
     assert cells_equal(3, 3) and not cells_equal(3, 4)
+    assert cells_equal(3, np.int64(3)), "int vs np.integer must be equal"
+    assert cells_equal(np.int32(3), np.int64(3))
+    assert not cells_equal(True, 1) and not cells_equal(np.bool_(True), 1)
     assert cells_equal([1.0, -0.0], [1.0, -0.0])
     assert not cells_equal([1.0, -0.0], [1.0, 0.0])
     print("selftest OK (bitwise compare rejects -0.0 vs +0.0)")
