@@ -114,6 +114,7 @@ object SparkEntry {
     "d16_dup_ngram_rate" -> (Dedup.dupNgramRate _),
     "d17_lsh_recall" -> (Dedup.lshRecall _),
     "d18_containment" -> (Dedup.containment _),
+    "d19_edit_dedup" -> ((s: SparkSession, d: String) => Dedup.editDedup(s, d)),
     "g1_pagerank" -> ((s: SparkSession, d: String) => Graph.g1Pagerank(s, d)),
     "g2_components" -> ((s: SparkSession, d: String) => Graph.g2Components(s, d)),
     "g3_triangles" -> ((s: SparkSession, d: String) => Graph.g3Triangles(s, d)),
@@ -129,6 +130,8 @@ object SparkEntry {
     "g11_centrality" -> ((s: SparkSession, d: String) => Graph.g11Centrality(s, d)),
     "g12_wsp" -> ((s: SparkSession, d: String) => Graph.g12Wsp(s, d)),
     "g13_degree_hist" -> ((s: SparkSession, d: String) => Graph.g13DegreeHist(s, d)),
+    "g14_local_clustering" ->
+      ((s: SparkSession, d: String) => Graph.g14LocalClustering(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -170,6 +173,9 @@ object SparkEntry {
     "x9_partitioned_export" ->
       ((s: SparkSession, d: String) => graft.sources.Export.partitionedExport(s, d)),
     "x10_constraints" -> (graft.sources.Ingest.x10Constraints _),
+    "x11_zorder_export" ->
+      ((s: SparkSession, d: String) => graft.sources.Export.zorderExport(s, d)),
+    "x12_stats_manifest" -> (graft.sources.Ingest.x12StatsManifest _),
     "t17_surprisal" -> (TextOps.surprisal _),
     "t18_bpe_merges" -> (TextOps.bpeMerges _),
     "t19_quality_classifier" -> (TextOps.ftQuality _),
@@ -184,6 +190,7 @@ object SparkEntry {
     "t24_dsir_weights" -> (TextOps.dsirWeights _),
     "t27_span_mask" -> (TextOps.spanMask _),
     "t28_source_diversity" -> (TextOps.sourceDiversity _),
+    "t29_zipf" -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
     "t25_leakage_split" -> (TextOps.leakageSplit _),
     "t26_ppl_buckets" -> (TextOps.perplexityBuckets _),
     "e1_event_windows" -> (Events.eventWindows _),
@@ -208,6 +215,7 @@ object SparkEntry {
     "e18_dau_approx" -> (Events.dauApprox _),
     "e19_quantile_hist" -> (Events.quantileHist _),
     "e20_log_quantile_hist" -> (Events.logQuantileHist _),
+    "e21_watermark_audit" -> (Events.watermarkAudit _),
     "e17_daily_topk" -> ((s: SparkSession, d: String) => Events.dailyTopk(s, d)),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
@@ -1041,6 +1049,12 @@ object SparkEntry {
     "d16_dup_ngram_rate" -> graft.operators.Dedup.d16OracleSql(),
     "d17_lsh_recall" -> graft.operators.Dedup.d17OracleSql(),
     "d18_containment" -> graft.operators.Dedup.d18OracleSql(),
+    "d19_edit_dedup" -> graft.operators.Dedup.d19OracleSql(),
+    "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
+    "t29_zipf" -> graft.operators.TextOps.t29OracleSql,
+    "e21_watermark_audit" -> graft.operators.Events.e21OracleSql,
+    "x11_zorder_export" -> graft.sources.Export.x11OracleSql,
+    "x12_stats_manifest" -> graft.sources.Ingest.x12OracleSql,
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

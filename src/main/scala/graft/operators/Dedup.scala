@@ -1636,6 +1636,115 @@ object Dedup {
       WHERE o.containment >= $thresh
       ORDER BY contained_id, container_id"""
 
+  /** Minimum shared (cold) shingle hashes for a pair to reach the
+    * edit-distance verifier — the cheap integer pre-cut that keeps
+    * the O(len²) DP off pairs that can't plausibly be near-dups. */
+  final val EditMinShared = 3
+
+  /** Normalized edit-similarity threshold for d19:
+    * 1 − lev/max(len) ≥ this. */
+  final val EditSimThresh = 0.8
+
+  /** d19: EDIT-DISTANCE near-dup — the character-level verifier the
+    * shingle family can't express: token-set measures (Jaccard,
+    * containment, MinHash) are blind to within-token corruption and
+    * to ORDER (a shuffled doc keeps its shingle set at n=1 and most
+    * of it at n=3), while Levenshtein charges every insertion,
+    * deletion and substitution at character grain — the right metric
+    * for OCR noise, near-identical boilerplate with inline edits, and
+    * template instantiations. The classic two-phase shape: CANDIDATES
+    * from the shared shingle inverted index (d17/d18's
+    * `cappedShingleIndex`, df-cut + loud capped count), pre-cut at
+    * ≥ [[EditMinShared]] shared cold shingles, then VERIFY each
+    * surviving pair with one `levenshtein(text_a, text_b)` (native
+    * codegen'd expression in Spark, same-name same-semantics function
+    * in DuckDB) and keep normalized similarity
+    * 1 − lev/max(len_a, len_b) ≥ [[EditSimThresh]].
+    *
+    * Scale shape: the DP is O(len_a·len_b) PER PAIR — the design
+    * keeps it off the corpus (never all-pairs): pair cardinality is
+    * bounded by the inverted index (df-cut caps boilerplate fan-out)
+    * and the integer pre-cut, and each text travels to its pairs via
+    * two hash joins on doc_id. Similarity is one rounded division
+    * (bounded [0, 1] — lev ≤ max(len) always). */
+  def editDedup(spark: SparkSession, dir: String): DataFrame =
+    editDedup(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def editDedup(docs: DataFrame,
+                thresh: Double = EditSimThresh,
+                minShared: Long = EditMinShared,
+                maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val (_, inv, nCapped) = cappedShingleIndex(docs, maxShingleDf)
+    val cands = inv.as("x")
+      .join(inv.as("y"), col("x.h") === col("y.h") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val txt = docs.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("len"))
+    cands
+      .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta"),
+        col("len").as("la")), "a_id")
+      .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb"),
+        col("len").as("lb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev_dist"),
+        greatest(col("la"), col("lb")).as("max_len"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("lev_dist").cast("double")
+          / col("max_len").cast("double"), 6))
+      .filter(col("edit_sim") >= thresh)
+      .crossJoin(broadcast(nCapped)) // one row — in-plan, not a head()
+      .orderBy("a_id", "b_id")
+  }
+
+  /** DuckDB oracle for [[editDedup]] — d17's inverted-index CTEs with
+    * the same df-cut and pre-cut, DuckDB's own `levenshtein`, the
+    * identical normalized similarity and threshold. */
+  def d19OracleSql(thresh: Double = EditSimThresh,
+      minShared: Long = EditMinShared,
+      maxShingleDf: Long = Long.MaxValue): String = s"""
+      WITH hs AS (
+        SELECT doc_id, list_distinct(list_transform(
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))),
+          s -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, length(s)),
+                     ci -> CAST(ascii(substr(s, ci, 1)) AS BIGINT))),
+                 (acc, ch) -> (acc * 131 + ch) % 2147483647))) AS hl
+        FROM documents),
+      inv0 AS (SELECT doc_id, unnest(hl) AS h FROM hs),
+      dfc AS (SELECT h, count(*) AS df FROM inv0 GROUP BY h),
+      capped AS (
+        SELECT count(*) AS n_capped_shingles FROM dfc
+        WHERE df > $maxShingleDf),
+      inv AS (
+        SELECT i.doc_id, i.h FROM inv0 i JOIN dfc d ON d.h = i.h
+        WHERE d.df <= $maxShingleDf),
+      pr AS (
+        SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_shared
+        FROM inv x JOIN inv y ON x.h = y.h AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= $minShared),
+      v AS (
+        SELECT pr.a_id, pr.b_id, pr.n_shared,
+          CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev_dist,
+          CAST(greatest(length(a.text), length(b.text)) AS BIGINT)
+            AS max_len
+        FROM pr JOIN documents a ON a.doc_id = pr.a_id
+        JOIN documents b ON b.doc_id = pr.b_id),
+      sim AS (
+        SELECT *, round(1.0 - CAST(lev_dist AS DOUBLE)
+          / CAST(max_len AS DOUBLE), 6) AS edit_sim
+        FROM v)
+      SELECT s.*, c.n_capped_shingles
+      FROM sim s, capped c
+      WHERE s.edit_sim >= $thresh
+      ORDER BY a_id, b_id"""
+
   /** DuckDB oracle for [[dupNgramRate]] — the d6 sliding-shingle
     * replica at width n, the d13 char-fold hash, integer rollups,
     * one rounded division. */

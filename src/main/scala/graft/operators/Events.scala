@@ -1070,4 +1070,88 @@ object Events {
         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM cohorted
       GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Arrival-order block width for e21's distributed prefix-max. */
+  final val WaBlock = 65536L
+
+  /** e21: WATERMARK AUDIT — the event-time disorder profile that
+    * answers "how much watermark slack does this stream need?"
+    * BEFORE a `withWatermark` is deployed: per event type, each
+    * event's lateness = (running max event-time over arrival order,
+    * inclusive) − own event-time; report late-event count/rate, and
+    * the max/p95/p99 lateness a watermark must cover. Arrival order
+    * is `event_id` (the stream's append sequence). A stream with zero
+    * disorder (this corpus) reports all-zero lateness — the honest
+    * "no slack needed" answer; the spec plants disorder to pin
+    * detection.
+    *
+    * Scale shape — the running max is a sequential scan recurrence,
+    * and the naive window (one partition per event type) puts an
+    * entire 100 TB stream's type into ONE task. The standard
+    * distributed prefix-scan decomposition instead: (1) a local
+    * running max within [[WaBlock]]-sized arrival blocks (bounded
+    * partitions), (2) a per-block max rolled up to a block-count-
+    * scale frame where the exclusive prefix max is a tiny window,
+    * (3) one broadcast join back. Lateness is exact integer µs; the
+    * percentile interpolation runs on those ints (e11's discipline).
+    * Identical to the single-window oracle by associativity of max. */
+  def watermarkAudit(spark: SparkSession, dir: String): DataFrame =
+    watermarkAudit(Tables.load(spark, dir, "events"))
+
+  def watermarkAudit(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      (col("event_id") / lit(WaBlock)).cast("long").as("blk"))
+    // (1) block-local running max (inclusive) — bounded partitions
+    val localW = Window.partitionBy("event_type", "blk")
+      .orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ev.withColumn("lmax", max(col("us")).over(localW))
+    // (2) exclusive prefix max over block summaries — block-count scale
+    val blocks = ev.groupBy("event_type", "blk").agg(max(col("us")).as("bmax"))
+    val prevW = Window.partitionBy("event_type").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = blocks.withColumn("pmax", max(col("bmax")).over(prevW))
+      .select(col("event_type"), col("blk"), col("pmax"))
+    // (3) stitch: running max = max(block-local, all earlier blocks)
+    val late = local.join(broadcast(prev), Seq("event_type", "blk"))
+      .select(col("event_type"),
+        (greatest(col("lmax"), coalesce(col("pmax"), col("lmax")))
+          - col("us")).as("late_us"))
+    late.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("late_us") > 0, 1)).as("n_late"),
+        round(count(when(col("late_us") > 0, 1)).cast("double")
+          / count(lit(1)).cast("double"), 6).as("late_rate"),
+        round(max(col("late_us")).cast("double") / 1000000.0, 4)
+          .as("max_late_s"),
+        round(expr("percentile(late_us, 0.95)") / 1000000.0, 4)
+          .as("p95_late_s"),
+        round(expr("percentile(late_us, 0.99)") / 1000000.0, 4)
+          .as("p99_late_s"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[watermarkAudit]] — ONE inclusive running-max
+    * window per type (the blocked decomposition is equal by
+    * associativity of max), identical integer lateness, identical
+    * percentile interpolation. */
+  def e21OracleSql: String = """
+      WITH e AS (
+        SELECT event_type, event_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      w AS (
+        SELECT event_type,
+          max(us) OVER (PARTITION BY event_type ORDER BY event_id
+            ROWS UNBOUNDED PRECEDING) - us AS late_us
+        FROM e)
+      SELECT event_type, count(*) AS n_events,
+        count(CASE WHEN late_us > 0 THEN 1 END) AS n_late,
+        round(CAST(count(CASE WHEN late_us > 0 THEN 1 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS late_rate,
+        round(CAST(max(late_us) AS DOUBLE) / 1000000.0, 4) AS max_late_s,
+        round(quantile_cont(late_us, 0.95) / 1000000.0, 4) AS p95_late_s,
+        round(quantile_cont(late_us, 0.99) / 1000000.0, 4) AS p99_late_s
+      FROM w GROUP BY event_type ORDER BY event_type"""
 }

@@ -1713,10 +1713,13 @@ object Graph {
     g3Core(nodes.agg(count(lit(1)).as("n_nodes")), simple)
   }
 
-  private def g3Core(nNodes: DataFrame, simple: DataFrame): DataFrame = {
+  /** Shared g3/g14 triangle machinery: per-node degrees and the
+    * (degree, id)-oriented edge list (u → v iff (d_u, u) < (d_v, v)),
+    * checkpointed — the orientation that bounds wedge fan-out at
+    * O(√E) per node on any graph, hubs included. */
+  private def orientByDegree(simple: DataFrame): (DataFrame, DataFrame) = {
     val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    // orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
     val withDeg = simple
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -1727,10 +1730,21 @@ object Graph {
         .otherwise(struct(col("b").as("u"), col("a").as("v"),
           col("da").as("dv"), col("a").as("vid"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv")))
+    (deg, oriented)
+  }
+
+  /** Wedges at the lowest-(degree, id) corner of each potential
+    * triangle — exactly one wedge generates each triangle. */
+  private def orientedWedges(oriented: DataFrame): DataFrame = {
     val o1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
     val o2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
-    val wedges = o1.join(o2, "u")
+    o1.join(o2, "u")
       .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+  }
+
+  private def g3Core(nNodes: DataFrame, simple: DataFrame): DataFrame = {
+    val (deg, oriented) = orientByDegree(simple)
+    val wedges = orientedWedges(oriented)
     val tris = wedges.join(oriented.select(col("u").as("x"),
         col("v").as("y")), Seq("x", "y"), "left_semi")
     // single-row aggregates composed in-plan (no driver-side math)
@@ -1787,4 +1801,124 @@ object Graph {
             / CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE), 6)
           END AS clustering
       FROM nn"""
+
+  /** g14: LOCAL clustering coefficient profile — per-node
+    * c_v = 2·t_v / (d_v·(d_v−1)) (t_v = triangles at v; c_v ≐ 0 for
+    * d < 2), aggregated into g13's log₂ degree buckets. g3 answers
+    * "how clustered is the graph" in one number; this answers the
+    * question community/spam analysts actually ask — DO HIGH-DEGREE
+    * NODES CLOSE TRIANGLES (organic neighbourhoods) or not (crawl
+    * hubs, link farms)? The degree-bucket × avg-LCC curve is that
+    * dashboard.
+    *
+    * Per-node triangle counts come from g3's machinery run ONE
+    * exchange further: each triangle is generated exactly once at its
+    * lowest-(degree, id) corner, then credited to all THREE corners
+    * (explode + count — triangle-scale, the same cardinality g3
+    * already enumerates). The (degree, id) orientation keeps wedge
+    * fan-out O(√E) per node, hubs included.
+    *
+    * Determinism: per-node c_v is rounded to 12 dp and summed as
+    * DECIMAL(38,12) (t28's order-free fold); the bucket average is
+    * one double division phrased identically in both engines.
+    *
+    * 100 TB contract: wedge join bounded by the orientation; the
+    * per-corner credit is one explode (3× triangles) + one count
+    * shuffle; output is ≤ 64 buckets. No per-node state beyond a
+    * count; no windows. */
+  def g14LocalClustering(spark: SparkSession, dir: String): DataFrame =
+    g14LocalClustering(Tables.load(spark, dir, "documents"))
+
+  def g14LocalClustering(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(n > 0, "g14 needs a non-empty documents frame")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g14 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g14Core(simpleUndirected(syntheticFwd(docs, n)))
+  }
+
+  /** General entry — explicit (src, dst) edge list, arbitrary sparse
+    * 64-bit ids (the Edges-variant convention). */
+  def g14LocalClusteringEdges(edges0: DataFrame): DataFrame =
+    g14Core(simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))))
+
+  private def g14Core(simple: DataFrame): DataFrame = {
+    val (deg, oriented) = orientByDegree(simple)
+    // inner join (not semi): the wedge row carries corners u, x, y
+    val tris = orientedWedges(oriented)
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v"), col("d"),
+        coalesce(col("t"), lit(0L)).as("t"))
+      .withColumn("lccq",
+        when(col("d") < 2, lit(0.0))
+          .otherwise(round(lit(2.0) * col("t").cast("double")
+            / (col("d") * (col("d") - 1)).cast("double"), 12))
+          .cast("decimal(38,12)"))
+      .withColumn("bucket", (length(bin(col("d"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("t")).as("n_corner_triangles"),
+        round(sum(col("lccq")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_lcc"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[g14LocalClustering]] — g3's derivation and
+    * orientation, the corner credit, the identical round-12 /
+    * DECIMAL(38,12) fold and bucket average. */
+  def g14OracleSql: String = s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      fwd AS (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      simple AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM fwd),
+      deg AS MATERIALIZED (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) t
+        GROUP BY v),
+      oriented AS MATERIALIZED (
+        SELECT CASE WHEN (da.d, s.a) < (db.d, s.b) THEN s.a ELSE s.b END AS u,
+          CASE WHEN (da.d, s.a) < (db.d, s.b) THEN s.b ELSE s.a END AS v,
+          CASE WHEN (da.d, s.a) < (db.d, s.b) THEN db.d ELSE da.d END AS dv
+        FROM simple s
+        JOIN deg da ON da.v = s.a
+        JOIN deg db ON db.v = s.b),
+      tris AS (
+        SELECT o1.u AS u, o1.v AS x, o2.v AS y
+        FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+        WHERE (o1.dv, o1.v) < (o2.dv, o2.v)
+          AND EXISTS (SELECT 1 FROM oriented o
+                      WHERE o.u = o1.v AND o.v = o2.v)),
+      pn AS (
+        SELECT v, count(*) AS t FROM (
+          SELECT u AS v FROM tris
+          UNION ALL SELECT x FROM tris
+          UNION ALL SELECT y FROM tris) c
+        GROUP BY v),
+      lcc AS (
+        SELECT deg.v, deg.d, coalesce(pn.t, 0) AS t,
+          CAST(CASE WHEN deg.d < 2 THEN 0.0
+            ELSE round(2.0 * CAST(coalesce(pn.t, 0) AS DOUBLE)
+              / CAST(deg.d * (deg.d - 1) AS DOUBLE), 12) END
+            AS DECIMAL(38,12)) AS lccq
+        FROM deg LEFT JOIN pn ON pn.v = deg.v)
+      SELECT length(bin(d)) - 1 AS bucket,
+        count(*) AS n_nodes,
+        CAST(sum(t) AS BIGINT) AS n_corner_triangles,
+        round(CAST(sum(lccq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS avg_lcc
+      FROM lcc GROUP BY bucket ORDER BY bucket"""
 }

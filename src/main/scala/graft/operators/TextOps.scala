@@ -1817,4 +1817,98 @@ object TextOps {
         round(CAST(nm AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mask_rate
       FROM st WHERE pos = n ORDER BY doc_id"""
   }
+
+  /** Ranks entering the Zipf regression per source — the standard
+    * head-of-distribution fit window (the tail bends away from the
+    * power law and a fit over it measures vocabulary truncation, not
+    * the exponent). */
+  final val ZipfTopK = 100
+
+  /** t29: per-source Zipf exponent — the corpus-health number next to
+    * t28's entropy on a curation dashboard: natural text follows
+    * rank⁻ˢ with s ≈ 1; a templated or machine-generated source bends
+    * flat (s → 0) and a spam source with a few hammered tokens bends
+    * steep. Fit = ordinary least squares of ln(freq) on ln(rank) over
+    * the top-[[ZipfTopK]] tokens per source (rank ties broken by
+    * token asc — deterministic in both engines).
+    *
+    * Determinism: ln() terms are rounded to 12 dp (the t14/t28
+    * cross-engine ulp absorption) and every sum runs as
+    * DECIMAL(38,12) — order-free, partitioning-independent; the
+    * slope's single double division is identically phrased in both
+    * engines and the (negative) result passes through roundz.
+    *
+    * Scale shape: one (source, token) tf aggregate with map-side
+    * combine (gram-scale, never corpus-scale rows out), then the
+    * NATIVE TopKPerGroup plan takes the top-100 per source with a
+    * per-partition bounded heap — no per-source sort, no windowed
+    * skew partition (one hot source never becomes one hot task) —
+    * and the regression runs on ≤ 100·|sources| rows. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("source").agg(
+      sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_vocab"))
+    val top = graft.plans.TopK.perGroup(tf, Seq("source"),
+      Seq(("tf", false), ("w", true)), k = ZipfTopK)
+    val q = top.select(col("source"),
+      round(log(col("rnk").cast("double")), 12).as("x"),
+      round(log(col("tf").cast("double")), 12).as("y"))
+    val s = q.groupBy("source").agg(
+      count(lit(1)).as("n_top"),
+      sum(round(col("x") * col("y"), 12).cast("decimal(38,12)"))
+        .cast("double").as("sxy"),
+      sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(38,12)")).cast("double").as("sy"),
+      sum(round(col("x") * col("x"), 12).cast("decimal(38,12)"))
+        .cast("double").as("sxx"))
+    s.join(broadcast(tot), "source")
+      .select(col("source"), col("n_tokens"), col("n_vocab"), col("n_top"),
+        when(col("n_top") < 2, lit(null).cast("double"))
+          .otherwise(GraftFunctions.roundz(
+            (col("n_top").cast("double") * col("sxy") - col("sx") * col("sy"))
+              / (col("n_top").cast("double") * col("sxx")
+                - col("sx") * col("sx")), 6)).as("zipf_slope"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[zipfFit]] — identical tf/rank derivation
+    * (row_number with the same tie-break), identical round-12 /
+    * DECIMAL(38,12) term folds, identical slope arithmetic. */
+  def t29OracleSql: String = s"""
+      WITH tf AS (
+        SELECT source, w, count(*) AS tf FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS w
+          FROM documents) t
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+          count(*) AS n_vocab
+        FROM tf GROUP BY 1),
+      rk AS (
+        SELECT source, tf, row_number() OVER (
+          PARTITION BY source ORDER BY tf DESC, w ASC) AS rnk
+        FROM tf),
+      q AS (
+        SELECT source,
+          round(ln(CAST(rnk AS DOUBLE)), 12) AS x,
+          round(ln(CAST(tf AS DOUBLE)), 12) AS y
+        FROM rk WHERE rnk <= $ZipfTopK),
+      s AS (
+        SELECT source, count(*) AS n_top,
+          CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM q GROUP BY 1)
+      SELECT s.source, t.n_tokens, t.n_vocab, s.n_top,
+        CASE WHEN s.n_top < 2 THEN NULL
+          ELSE (round((CAST(s.n_top AS DOUBLE) * sxy - sx * sy)
+            / (CAST(s.n_top AS DOUBLE) * sxx - sx * sx), 6) + 0.0) END
+          AS zipf_slope
+      FROM s JOIN tot t USING (source) ORDER BY source"""
 }

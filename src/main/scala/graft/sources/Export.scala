@@ -403,4 +403,101 @@ object Export {
         CAST(sum(length(text)) AS BIGINT) AS total_chars,
         CAST(1 AS BIGINT) AS n_files
       FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
+  /** Bits per dimension of x11's Morton quantization grid (8 ⇒ a
+    * 256×256 grid, 16-bit z-values) and the z-prefix shift that folds
+    * them into [[ZBuckets]] write buckets (one 16×16 grid cell each). */
+  val ZBits = 8
+  val ZBuckets = 256
+
+  /** x11: Z-ORDER (Morton) clustered export — the multi-dimensional
+    * layout trick behind Delta/Iceberg `ZORDER BY`: interleaving the
+    * bits of two quantized key columns makes ONE physical sort order
+    * serve range predicates on BOTH columns, so file-level min/max
+    * stats prune on either key (a single-column sort prunes on one
+    * and shreds the other). Here: quantize (l_orderkey, l_partkey)
+    * onto a 2^[[ZBits]]-per-side grid with exact integer arithmetic
+    * (div/mod only — no floats, no engine-specific bitwise ops),
+    * interleave to a z-value, bucket by its high byte (= a 16×16
+    * grid cell), land ONE file per occupied bucket (x9's
+    * repartition-then-partitionBy discipline, maxRecordsPerFile
+    * pinned to 0), and audit the landed layout by RE-READING it:
+    * per-bucket row count, the min/max BOUNDING BOX of both keys
+    * (the zone-map a reader would prune with — tight on both
+    * dimensions precisely because of the interleave), and the
+    * physical file census.
+    *
+    * 100 TB contract: one corpus-scale shuffle (the bucket
+    * repartition — at scale, RANGE-partition by z for balanced
+    * files), one streaming write, one re-read rollup. The quantile
+    * bounds here are global min/max one-row aggregates composed
+    * in-plan (broadcast), never a collect. */
+  def zorderExport(spark: SparkSession, dir: String,
+      outPath: String = null): DataFrame = {
+    val out = resolve(spark, outPath, "x11_zorder")
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val bounds = l.agg(
+      min(col("ok")).as("mn_ok"), max(col("ok")).as("mx_ok"),
+      min(col("pk")).as("mn_pk"), max(col("pk")).as("mx_pk"))
+    val side = 1L << ZBits
+    // exact integer grid cell: (x - mn) * side div (mx - mn + 1) ∈ [0, side)
+    val zExpr = (0 until ZBits).map { i =>
+      s"((qx div ${1L << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((qy div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    l.crossJoin(broadcast(bounds))
+      .withColumn("qx",
+        expr(s"(ok - mn_ok) * $side div (mx_ok - mn_ok + 1)"))
+      .withColumn("qy",
+        expr(s"(pk - mn_pk) * $side div (mx_pk - mn_pk + 1)"))
+      .withColumn("zbucket",
+        expr(s"($zExpr) div ${(1L << (2 * ZBits)) / ZBuckets}"))
+      .select(col("ok"), col("pk"), col("zbucket"))
+      .repartition(col("zbucket"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 0)
+      .partitionBy("zbucket").parquet(out)
+    spark.read.parquet(out)
+      // partition-column type inference reads the directory value as
+      // int — pin the contract type explicitly
+      .select(col("zbucket").cast("long").as("zbucket"), col("ok"), col("pk"),
+        input_file_name().as("fname"))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ok")).as("min_ok"), max(col("ok")).as("max_ok"),
+        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+        countDistinct(col("fname")).as("n_files"))
+      .orderBy("zbucket")
+  }
+
+  /** DuckDB oracle for [[zorderExport]] — the identical integer
+    * quantize/interleave/bucket arithmetic straight off the source
+    * table; `n_files` = 1 per occupied bucket is the x9 write
+    * contract, not an observation. */
+  def x11OracleSql: String = {
+    val side = 1L << ZBits
+    val zExpr = (0 until ZBits).map { i =>
+      s"((qx // ${1L << i}) % 2) * ${1L << (2 * i)}" +
+        s" + ((qy // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""
+      WITH b AS (
+        SELECT min(l_orderkey) AS mn_ok, max(l_orderkey) AS mx_ok,
+          min(l_partkey) AS mn_pk, max(l_partkey) AS mx_pk
+        FROM lineitem),
+      q AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk,
+          (l_orderkey - mn_ok) * $side // (mx_ok - mn_ok + 1) AS qx,
+          (l_partkey - mn_pk) * $side // (mx_pk - mn_pk + 1) AS qy
+        FROM lineitem, b),
+      z AS (
+        SELECT ok, pk,
+          ($zExpr) // ${(1L << (2 * ZBits)) / ZBuckets} AS zbucket
+        FROM q)
+      SELECT zbucket, count(*) AS n_rows,
+        min(ok) AS min_ok, max(ok) AS max_ok,
+        min(pk) AS min_pk, max(pk) AS max_pk,
+        CAST(1 AS BIGINT) AS n_files
+      FROM z GROUP BY zbucket ORDER BY zbucket"""
+  }
 }

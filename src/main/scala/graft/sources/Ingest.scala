@@ -274,4 +274,62 @@ object Ingest {
         UNION ALL SELECT 'uniqueness_doc_id',
           round(CAST(n_ids AS DOUBLE) / n, 6), n_ids = n FROM d)
       SELECT * FROM rows_ ORDER BY "constraint" """
+
+  /** Rows of l_orderkey key space per x12 manifest bucket. */
+  val ManifestStride = 256L
+
+  /** Pruning predicate pinned in the x12 manifest: `l_quantity > 45`
+    * (a selective tail filter — most buckets' max sits at 50, so the
+    * flag exercises both outcomes only when a bucket's draw happens
+    * to top out lower; the SPEC plants a corpus where pruning wins). */
+  val ManifestQtyGt = 45.0
+
+  /** x12: ZONE-MAP STATS MANIFEST — the Iceberg/Delta manifest-file
+    * read path as an operator: bucket the fact table by key range
+    * (`l_orderkey div [[ManifestStride]]` — the unit a writer would
+    * land as one file), and per bucket emit the stats a scan planner
+    * prunes with: row count, min/max + null count per tracked column,
+    * and the precomputed prunability flag for the pinned predicate
+    * `l_quantity > [[ManifestQtyGt]]` (a bucket whose max_qty ≤ the
+    * bound can be skipped without opening it). x10 gates VALUES at
+    * ingest; x12 summarizes LAYOUT for the planner — together they're
+    * the manifest a table format maintains per snapshot.
+    *
+    * Scale shape: ONE scan, one bucket-keyed aggregate with map-side
+    * combine (min/max/count fuse per bucket — adding a tracked column
+    * adds agg columns, not scans); output is bucket-count scale. At
+    * 100 TB the bucket key is the actual file id and this exact query
+    * IS the manifest build — no row-level reread on the prune path. */
+  def x12StatsManifest(spark: SparkSession, dir: String): DataFrame =
+    x12StatsManifest(graft.Tables.load(spark, dir, "lineitem"))
+
+  def x12StatsManifest(l: DataFrame): DataFrame =
+    // integer div, not `/`: Column./ is DOUBLE division and would
+    // lose key bits past 2^53 before the truncation
+    l.groupBy(expr(s"l_orderkey div $ManifestStride").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+          .as("n_null_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .withColumn("prunable_qty_gt45",
+        col("max_qty") <= lit(ManifestQtyGt))
+      .orderBy("bucket")
+
+  /** DuckDB oracle for [[x12StatsManifest]] — the same bucket key and
+    * fused min/max/null-count rollup (exact: no summed floats). */
+  def x12OracleSql: String = s"""
+      SELECT l_orderkey // $ManifestStride AS bucket,
+        count(*) AS n_rows,
+        min(l_quantity) AS min_qty,
+        max(l_quantity) AS max_qty,
+        CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null_qty,
+        min(l_extendedprice) AS min_price,
+        max(l_extendedprice) AS max_price,
+        max(l_quantity) <= $ManifestQtyGt AS prunable_qty_gt45
+      FROM lineitem
+      GROUP BY bucket ORDER BY bucket"""
 }

@@ -496,4 +496,44 @@ object StreamingOps {
           }
       }
   }
+
+  case class LateState(maxUs: Long)
+  case class LateOut(event_type: String, event_id: Long, late_us: Long)
+
+  /** Streaming WATERMARK AUDIT — e21's stream twin: per event type,
+    * track the inclusive running-max event time in O(1) state and
+    * emit each event's lateness (running max − own event time) in
+    * arrival order. This is the monitor a deployment runs NEXT TO its
+    * watermarked jobs: batch e21 sizes the slack offline; this
+    * watches live whether the observed disorder stays inside it.
+    *
+    * Arrival order within a micro-batch is `event_id` (the source's
+    * append sequence — the same proxy batch e21 uses), so a replay of
+    * the stream in id-contiguous micro-batches of ANY sizing
+    * reproduces batch e21's per-event lateness exactly (spec-gated).
+    *
+    * State is ONE long per event type — bounded by type cardinality,
+    * not history, so no timeout/eviction is needed (unlike the
+    * per-user session states); each micro-batch pays one exchange on
+    * the type key. */
+  def latenessStream(events: Dataset[Event])
+      (implicit spark: SparkSession): Dataset[LateOut] = {
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[LateState, LateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (tpe, it, state: GroupState[LateState]) =>
+          var mx = state.getOption.map(_.maxUs).getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(_.event_id).map { e =>
+            val t = us(e.ts)
+            mx = math.max(mx, t)
+            LateOut(tpe, e.event_id, mx - t)
+          }
+          if (out.nonEmpty) state.update(LateState(mx))
+          out.iterator
+      }
+  }
 }

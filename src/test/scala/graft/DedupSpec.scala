@@ -446,6 +446,47 @@ class DedupSpec extends SparkSpec {
     assert(capped.isEmpty, s"capped run still paired: ${capped.toSeq}")
   }
 
+  test("d19 edit-distance dedup verifies candidates at character " +
+       "grain: substitutions pass, heavy rewrites fail, exact distances") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      // one in-token substitution: shingles mostly survive (candidate),
+      // lev = 1 → near-identical
+      (2L, base.replace("gamma", "gamme")),
+      // same TOKEN SET, harder rewrite: a swapped tail — candidates
+      // still fire on the shared prefix shingles, but the character
+      // distance is large enough to stay under threshold? No: keep a
+      // clearly-below-threshold rewrite instead
+      (3L, "alpha beta gamma " + (1 to 20).map(i => s"q$i").mkString(" ")),
+      (4L, "unrelated words that share nothing with anyone at all"))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.editDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only (1,2) survives the 0.8 normalized-similarity bar
+    assert(got.keySet == Set((1L, 2L)), s"got ${got.keySet}")
+    val (_, lev, maxLen, sim) = got((1L, 2L))
+    assert(lev == 1L && maxLen == base.length.toLong, got.toString)
+    val want = BigDecimal(1.0 - 1.0 / base.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sim == want, s"sim $sim != $want")
+    // JVM cross-check of the verifier itself on the planted pair
+    assert(org.apache.commons.text.similarity.LevenshteinDistance
+      .getDefaultInstance.apply(base, base.replace("gamma", "gamme")) == 1)
+    // pre-cut: pairs sharing fewer than EditMinShared cold shingles
+    // never reach the DP — doc 3 shares exactly 1 shingle with base
+    // ("alpha beta gamma") so it was cut before any levenshtein ran
+    val cands = operators.Dedup.editDedup(docs, thresh = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.contains((1L, 3L)),
+      s"pre-cut failed to drop the 1-shared-shingle pair: $cands")
+    // df-cut path: cap everything → no candidates at all
+    assert(operators.Dedup.editDedup(docs, maxShingleDf = 1L)
+      .collect().isEmpty)
+  }
+
   test("d16 duplicate-ngram rate: cross-doc shared grams, in-doc " +
        "repeats, unique and sub-width docs all land exactly") {
     import spark.implicits._

@@ -168,6 +168,44 @@ class ExportSpec extends SparkSpec {
     assert(diff == 0, s"$diff docs mutated in the partitioned round trip")
   }
 
+  test("z-order export clusters BOTH key dimensions: every bucket's " +
+       "bbox is cell-tight where single-key bucketing shreds the other " +
+       "dim, files land one per bucket, and no row is lost") {
+    val out = Files.createTempDirectory("graft-x11").toString + "/z"
+    val cells = Export.zorderExport(spark, sfDir, out).collect()
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val (mnOk, mxOk, mnPk, mxPk, n) = {
+      val r = l.agg(min("ok"), max("ok"), min("pk"), max("pk"),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    // coverage + the one-file-per-bucket write discipline
+    assert(cells.map(_.getLong(1)).sum == n, "bucket counts lose rows")
+    assert(cells.forall(_.getLong(6) == 1L),
+      s"small-files regression: ${cells.filter(_.getLong(6) != 1L).toSeq}")
+    // BOTH dims are tight per bucket: each z-bucket is one 16×16 grid
+    // cell, so each normalized span is ≈ 1/16 of its key range —
+    // that's what lets min/max stats prune a predicate on EITHER key
+    def span(lo: Long, hi: Long, mn: Long, mx: Long): Double =
+      (hi - lo + 1).toDouble / (mx - mn + 1).toDouble
+    val okSpans = cells.map(c => span(c.getLong(2), c.getLong(3), mnOk, mxOk))
+    val pkSpans = cells.map(c => span(c.getLong(4), c.getLong(5), mnPk, mxPk))
+    assert(okSpans.sum / okSpans.length < 0.15,
+      f"ok spans not clustered: avg ${okSpans.sum / okSpans.length}%.4f")
+    assert(pkSpans.sum / pkSpans.length < 0.15,
+      f"pk spans not clustered: avg ${pkSpans.sum / pkSpans.length}%.4f")
+    // the single-key counterfactual on the SAME data: bucketing by ok
+    // range alone leaves the pk dimension unclustered (span ≈ 1) —
+    // the failure mode z-order exists to fix
+    val okOnly = l
+      .groupBy(expr(s"(ok - $mnOk) * 256 div (${mxOk - mnOk + 1})").as("b"))
+      .agg(min("pk").as("lo"), max("pk").as("hi"))
+      .collect().map(r => span(r.getLong(1), r.getLong(2), mnPk, mxPk))
+    assert(okOnly.sum / okOnly.length > 0.8,
+      f"counterfactual unexpectedly clustered: ${okOnly.sum / okOnly.length}%.4f")
+  }
+
   test("compaction collapses the fragmented table without losing a row") {
     val m = graft.sources.Export.compact(spark, sfDir).head()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -716,4 +716,65 @@ class GraphSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Graph.g13DegreeHist(emptyDocs))
     assert(e.getMessage.contains("non-empty"), e.getMessage)
   }
+
+  test("g14 local clustering equals a JVM replica on random sparse-id " +
+       "graphs and pins planted triangle/star geometries exactly") {
+    import spark.implicits._
+    def replica(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long, Double)] = {
+      val simple = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = simple.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+      val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+      val tri = adj.map { case (v, ns) =>
+        val nsq = ns.toSeq
+        v -> (for {
+          i <- nsq.indices; j <- (i + 1) until nsq.size
+          if adj(nsq(i)).contains(nsq(j))
+        } yield 1).size.toLong
+      }
+      deg.groupBy { case (_, d) => 63 - java.lang.Long.numberOfLeadingZeros(d) }
+        .toSeq.sortBy(_._1)
+        .map { case (bucket, vs) =>
+          val lccSum = vs.map { case (v, d) =>
+            if (d < 2) BigDecimal(0)
+            else BigDecimal(2.0 * tri(v) / (d * (d - 1)))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          }.sum
+          val avg = BigDecimal(lccSum.toDouble / vs.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (bucket, vs.size.toLong, vs.map { case (v, _) => tri(v) }.sum, avg)
+        }
+    }
+    for (seed <- Seq(41L, 42L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 30 + rng.nextInt(30)
+      val ids = Array.tabulate(nNodes)(_ => rng.nextLong() % (1L << 40))
+      val m = 3 * nNodes + rng.nextInt(2 * nNodes)
+      val edges = (1 to m).map { _ =>
+        (ids(rng.nextInt(nNodes)), ids(rng.nextInt(nNodes)))
+      }
+      val got = Graph.g14LocalClusteringEdges(edges.toDF("src", "dst"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == replica(edges), s"seed $seed: got $got")
+    }
+    // planted: triangle {1,2,3} + pendant 4 on node 1.
+    // deg(1)=3 → lcc 2·1/6 = 1/3; deg(2)=deg(3)=2 → lcc 1; deg(4)=1 → 0
+    val planted = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val rows = Graph.g14LocalClusteringEdges(planted.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows(0L) == ((1L, 0L, 0.0)), rows.toString)   // the pendant
+    assert(rows(1L) == ((3L, 3L,
+      BigDecimal((1.0 + 1.0 + 1.0 / 3.0) / 3.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      rows.toString)
+    // star: no triangles anywhere — every bucket's avg_lcc is 0
+    val star = (1 to 1000).map(i => (0L, i.toLong))
+    val starRows = Graph.g14LocalClusteringEdges(star.toDF("src", "dst"))
+      .collect()
+    assert(starRows.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0),
+      starRows.mkString(";"))
+  }
 }

@@ -118,4 +118,41 @@ class IngestSpec extends SparkSpec {
     assert(got("range_text_length") == ((r6((m - 2.0) / m), false)), got.toString)
     assert(got("referential_embeddings") == ((1.0, false)), got.toString)
   }
+
+  test("x12 zone-map manifest pins bucket stats, null counts and the " +
+       "prune flag on a planted layout, and its flags actually prune") {
+    import spark.implicits._
+    // buckets: 0 (keys 0..255), 1 (256..511), 2 (512..767).
+    // bucket 0: qtys 10/20 (prunable: max ≤ 45); bucket 1: 30/50 + a
+    // NULL qty (not prunable); bucket 2: exactly 45 (prunable — the
+    // boundary is ≤)
+    val rows = Seq(
+      (0L, 0L, java.lang.Double.valueOf(10.0), 100.0),
+      (255L, 1L, java.lang.Double.valueOf(20.0), 200.0),
+      (256L, 2L, java.lang.Double.valueOf(50.0), 300.0),
+      (400L, 3L, java.lang.Double.valueOf(30.0), 50.0),
+      (511L, 4L, null.asInstanceOf[java.lang.Double], 75.0),
+      (600L, 5L, java.lang.Double.valueOf(45.0), 10.0))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val got = Ingest.x12StatsManifest(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7))))
+      .toMap
+    assert(got(0L) == ((2L, Some(10.0), Some(20.0), 0L, 100.0, 200.0, true)),
+      got.toString)
+    assert(got(1L) == ((3L, Some(30.0), Some(50.0), 1L, 50.0, 300.0, false)),
+      got.toString)
+    assert(got(2L) == ((1L, Some(45.0), Some(45.0), 0L, 10.0, 10.0, true)),
+      got.toString)
+    // the flag is a sound prune: no bucket marked prunable contains a
+    // row matching l_quantity > 45
+    val matches = rows.filter(col("l_quantity") > Ingest.ManifestQtyGt)
+      .select(expr(s"l_orderkey div ${Ingest.ManifestStride}").as("bucket"))
+      .distinct().as[Long].collect().toSet
+    val prunable = got.collect { case (b, t) if t._7 => b }.toSet
+    assert(matches.intersect(prunable).isEmpty,
+      s"prunable buckets $prunable contain matches $matches")
+  }
 }

@@ -347,6 +347,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e3.getMessage.contains("non-empty"), e3.getMessage)
   }
 
+  test("e21 watermark audit pins planted lateness exactly, reports " +
+       "all-zero on an ordered stream, and stitches across blocks") {
+    import spark.implicits._
+    import graft.operators.Events
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // planted: arrival order 0..4; event 2 is 30 s late vs the running
+    // max (100), event 4 is 10 s late vs 130
+    val planted = Seq(
+      (0L, ts(50L), 1L, "a", 0.0, "{}"),
+      (1L, ts(100L), 1L, "a", 0.0, "{}"),
+      (2L, ts(70L), 1L, "a", 0.0, "{}"),
+      (3L, ts(130L), 1L, "a", 0.0, "{}"),
+      (4L, ts(120L), 1L, "a", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.watermarkAudit(planted).head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 2L, r.toString)
+    assert(r.getDouble(3) == 0.4, r.toString)       // late_rate
+    assert(r.getDouble(4) == 30.0, r.toString)      // max_late_s
+    // p95 over exact lateness ints [0,0,0,10e6,30e6]: linear
+    // interpolation at rank 0.95·4 = 3.8 → 26 s; p99 → 29.2 s
+    assert(r.getDouble(5) == 26.0 && r.getDouble(6) == 29.2, r.toString)
+    // ordered stream (the shipped corpus): zero lateness everywhere
+    val sf = Events.watermarkAudit(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall(x =>
+      x.getLong(2) == 0L && x.getDouble(4) == 0.0), sf.mkString(";"))
+    // block stitching: the late event sits in a LATER 65536-block than
+    // the running max that convicts it — the prefix-max join must
+    // carry it across
+    val cross = Seq(
+      (0L, ts(1000L), 1L, "a", 0.0, "{}"),
+      (Events.WaBlock + 5L, ts(400L), 1L, "a", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val c = Events.watermarkAudit(cross).head()
+    assert(c.getLong(2) == 1L && c.getDouble(4) == 600.0,
+      s"cross-block lateness missed: $c")
+  }
+
   test("keep-best picks the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val docs = Seq(

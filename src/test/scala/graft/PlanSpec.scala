@@ -776,7 +776,31 @@ class PlanSpec extends SparkSpec {
       // crossJoin, the report sort
       ("x10", graft.sources.Ingest.x10Constraints(
         Tables.load(spark, sfDir, "documents"),
-        Tables.load(spark, sfDir, "embeddings")), 7))
+        Tables.load(spark, sfDir, "embeddings")), 7),
+      // g14: oriented list behind its checkpoint; live plan = the
+      // wedge self-join + closure join off it, the corner-credit
+      // count, the deg⋈triangles join, bucket rollup + sort
+      ("g14", graft.operators.Graph.g14LocalClustering(spark, sfDir), 5),
+      // d19: d18's index shape (sets/df behind checkpoints, semi-join
+      // legs, self-join, pair rollup) + two text-attach joins + the
+      // capped-count crossJoin + sort — the DP itself is in-row
+      ("d19", graft.operators.Dedup.editDedup(docs), 6),
+      // t29: (source, token) tf aggregate, the TopKPerGroup two-phase
+      // exchange, the term rollup, the totals aggregate + its join,
+      // output sort
+      ("t29", graft.operators.TextOps.zipfFit(docs), 7),
+      // e21: block-local window exchange, the block-summary aggregate
+      // + its tiny prefix window, the broadcast stitch (no exchange),
+      // per-type rollup + sort
+      ("e21", graft.operators.Events.watermarkAudit(spark, sfDir), 5),
+      // x11: the audited re-read rollup (bucket agg with its
+      // two-phase count-distinct + sort); the write pays its own
+      // repartition at build time, outside this plan
+      ("x11", graft.sources.Export.zorderExport(spark, sfDir,
+        java.nio.file.Files.createTempDirectory("plan-x11").toString + "/z"),
+        4),
+      // x12: one fused bucket aggregate + the output sort
+      ("x12", graft.sources.Ingest.x12StatsManifest(spark, sfDir), 3))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")

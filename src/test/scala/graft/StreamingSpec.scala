@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.{Event, SessionOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, max, when}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -584,6 +585,77 @@ class StreamingSpec extends SparkSpec {
       assert(got == want,
         s"stream/batch trigram divergence: stream ${got.size} keys, " +
         s"batch ${want.size}; sample diff ${(want.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming lateness monitor replays batch e21's profile across " +
+       "arbitrary micro-batch sizings and convicts planted disorder") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    // planted disorder appended AFTER the (ordered) real table: two
+    // late events per their types' running maxes
+    val real = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq.sortBy(_.event_id)
+    val maxId = real.map(_.event_id).max
+    // the running max is PER TYPE — plant against each type's own max
+    val maxClick = real.filter(_.event_type == "click").map(_.ts.getTime).max
+    val maxView = real.filter(_.event_type == "view").map(_.ts.getTime).max
+    val planted = Seq(
+      Event(maxId + 1, new Timestamp(maxClick - 120000L), 1L, "click", 0.0),
+      Event(maxId + 2, new Timestamp(maxView + 1000L), 1L, "view", 0.0),
+      // arrives after the new view max above: 45 s + that extra 1 s
+      Event(maxId + 3, new Timestamp(maxView - 45000L), 2L, "view", 0.0))
+    val all = real ++ planted
+    val input = MemoryStream[Event]
+    val q = StreamingOps.latenessStream(input.toDS())
+      .writeStream.format("memory").queryName("late_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // id-contiguous micro-batches of uneven sizes: state must carry
+      // the running max across every boundary
+      all.grouped(617).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("late_stream")
+        .groupBy("event_type")
+        .agg(count(when(col("late_us") > 0, 1)).as("n_late"),
+          max(col("late_us")).as("max_late_us"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // batch e21 over the SAME frame (real + planted) is the oracle
+      val batch = graft.operators.Events.watermarkAudit(
+          all.toDF().withColumn("props", lit("{}")))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(2), (r.getDouble(4) * 1000000.0).round, r.getLong(1))))
+        .toMap
+      assert(got.keySet == batch.keySet, s"types: $got vs $batch")
+      got.foreach { case (t, (nl, mx, n)) =>
+        val (bnl, bmx, bn) = batch(t)
+        // max compares through batch's 4-dp-rounded seconds — exact
+        // to the 50 µs half-step of that rounding
+        assert(nl == bnl && math.abs(mx - bmx) <= 50L && n == bn,
+          s"$t: stream ($nl, $mx, $n) != batch ($bnl, $bmx, $bn)")
+      }
+      // the planted rows were convicted with their exact µs lateness
+      // (the type max carries sub-ms micros getTime truncates, so
+      // derive the expectation through the same µs clock)
+      def usOf(t: Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+      val maxClickUs = real.filter(_.event_type == "click")
+        .map(e => usOf(e.ts)).max
+      val late = spark.table("late_stream").filter(col("late_us") > 0)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(late(maxId + 1) == maxClickUs - (maxClick - 120000L) * 1000L &&
+        late(maxId + 3) == 46000000L,
+        s"planted lateness wrong: $late")
+      assert(!late.contains(maxId + 2), "the new-max event is not late")
     } finally q.stop()
   }
 }

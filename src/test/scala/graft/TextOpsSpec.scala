@@ -589,4 +589,54 @@ class TextOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(TextOps.spanMask(ok).head().getLong(1) == 999999L)
   }
+
+  test("t29 zipf slope equals a JVM replica, reads ≈ -1 on a planted " +
+       "power law and ≈ 0 on a uniform source") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // planted zipf source: token wi repeated round(1000/i) times — an
+    // exact rank^-1 law; uniform source: 50 tokens, 7 occurrences each
+    val zipfTokens = (1 to 60).flatMap(i =>
+      Seq.fill(math.max(1, math.round(1000.0 / i).toInt))(f"w$i%03d"))
+    val uniTokens = (1 to 50).flatMap(i => Seq.fill(7)(f"u$i%03d"))
+    def docsOf(src: String, toks: Seq[String], base: Long) =
+      toks.grouped(40).zipWithIndex.map { case (g, i) =>
+        (base + i, g.mkString(" "), "en", src, g.mkString(" ").length.toLong)
+      }.toSeq
+    val docs = (docsOf("zipfy", zipfTokens, 0L) ++
+      docsOf("flat", uniTokens, 100000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.zipfFit(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // JVM replica with the identical quantized fold
+    def replica(toks: Seq[String]): (Long, Long, Long, Double) = {
+      val tf = toks.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      val top = tf.toSeq.sortBy { case (w, f) => (-f, w) }
+        .take(TextOps.ZipfTopK).zipWithIndex
+      def q12(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val terms = top.map { case ((_, f), i) =>
+        val x = q12(math.log(i + 1.0)).toDouble
+        val y = q12(math.log(f.toDouble)).toDouble
+        (q12(x * y), BigDecimal(x), BigDecimal(y), q12(x * x))
+      }
+      val n = top.size.toDouble
+      val sxy = terms.map(_._1).sum.toDouble
+      val sx = terms.map(_._2).sum.toDouble
+      val sy = terms.map(_._3).sum.toDouble
+      val sxx = terms.map(_._4).sum.toDouble
+      val slope = BigDecimal((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (tf.values.sum, tf.size.toLong, top.size.toLong, slope)
+    }
+    assert(got("zipfy") == replica(zipfTokens),
+      s"zipfy: got ${got("zipfy")}, want ${replica(zipfTokens)}")
+    assert(got("flat") == replica(uniTokens),
+      s"flat: got ${got("flat")}, want ${replica(uniTokens)}")
+    // and the slopes READ right: the planted law fits ≈ -1, the
+    // uniform source is flat
+    assert(math.abs(got("zipfy")._4 + 1.0) < 0.05, got("zipfy").toString)
+    assert(math.abs(got("flat")._4) < 1e-5, got("flat").toString)
+  }
 }
