@@ -132,6 +132,7 @@ object SparkEntry {
     "g13_degree_hist" -> ((s: SparkSession, d: String) => Graph.g13DegreeHist(s, d)),
     "g14_local_clustering" ->
       ((s: SparkSession, d: String) => Graph.g14LocalClustering(s, d)),
+    "g15_diameter" -> ((s: SparkSession, d: String) => Graph.g15Diameter(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "x11_zorder_export" ->
       ((s: SparkSession, d: String) => graft.sources.Export.zorderExport(s, d)),
     "x12_stats_manifest" -> (graft.sources.Ingest.x12StatsManifest _),
+    "x13_snapshot_diff" -> (graft.sources.Ingest.x13SnapshotDiff _),
     "t17_surprisal" -> (TextOps.surprisal _),
     "t18_bpe_merges" -> (TextOps.bpeMerges _),
     "t19_quality_classifier" -> (TextOps.ftQuality _),
@@ -185,12 +187,15 @@ object SparkEntry {
     "s11_ann_sq" -> (Similarity.annSq _),
     "s12_cluster_profile" -> (Similarity.clusterProfile _),
     "s13_mips_topk" -> (Similarity.mipsTopk _),
+    "s14_mmr_rerank" -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
     "t22_gopher_rules" -> (TextOps.gopherRules _),
     "t23_mix_apply" -> (TextOps.mixApply _),
     "t24_dsir_weights" -> (TextOps.dsirWeights _),
     "t27_span_mask" -> (TextOps.spanMask _),
     "t28_source_diversity" -> (TextOps.sourceDiversity _),
     "t29_zipf" -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
+    "t30_template_prefix" ->
+      ((s: SparkSession, d: String) => TextOps.templatePrefix(s, d)),
     "t25_leakage_split" -> (TextOps.leakageSplit _),
     "t26_ppl_buckets" -> (TextOps.perplexityBuckets _),
     "e1_event_windows" -> (Events.eventWindows _),
@@ -216,6 +221,7 @@ object SparkEntry {
     "e19_quantile_hist" -> (Events.quantileHist _),
     "e20_log_quantile_hist" -> (Events.logQuantileHist _),
     "e21_watermark_audit" -> (Events.watermarkAudit _),
+    "e22_burst" -> (Events.burstProfile _),
     "e17_daily_topk" -> ((s: SparkSession, d: String) => Events.dailyTopk(s, d)),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
@@ -1051,10 +1057,15 @@ object SparkEntry {
     "d18_containment" -> graft.operators.Dedup.d18OracleSql(),
     "d19_edit_dedup" -> graft.operators.Dedup.d19OracleSql(),
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
+    "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "t29_zipf" -> graft.operators.TextOps.t29OracleSql,
     "e21_watermark_audit" -> graft.operators.Events.e21OracleSql,
     "x11_zorder_export" -> graft.sources.Export.x11OracleSql,
     "x12_stats_manifest" -> graft.sources.Ingest.x12OracleSql,
+    "s14_mmr_rerank" -> graft.operators.Similarity.s14OracleSql(),
+    "t30_template_prefix" -> graft.operators.TextOps.t30OracleSql,
+    "e22_burst" -> graft.operators.Events.e22OracleSql,
+    "x13_snapshot_diff" -> graft.sources.Ingest.x13OracleSql,
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

@@ -1154,4 +1154,50 @@ object Events {
         round(quantile_cont(late_us, 0.95) / 1000000.0, 4) AS p95_late_s,
         round(quantile_cont(late_us, 0.99) / 1000000.0, 4) AS p99_late_s
       FROM w GROUP BY event_type ORDER BY event_type"""
+
+  /** e22's sliding burst window, microseconds (60 s inclusive). */
+  final val BurstWindowUs = 60000000L
+
+  /** e22: BURST profile — per-user peak request rate, the
+    * abuse/rate-limit telemetry read before provisioning a limiter:
+    * for every event, the count of the SAME user's events in the
+    * trailing [[BurstWindowUs]] event-time window (a RANGE frame over
+    * exact integer µs — peers at the same timestamp count together
+    * regardless of row order, so the measure is
+    * partitioning-independent); per user the MAXIMUM such count is
+    * their burst; output is the burst histogram (burst size → user
+    * count) a limiter threshold is read off.
+    *
+    * Scale shape: one user-keyed shuffle; the RANGE window sorts
+    * within user timelines (bounded per user); two bounded rollups
+    * after. All integers — exact. */
+  def burstProfile(spark: SparkSession, dir: String): DataFrame =
+    burstProfile(Tables.load(spark, dir, "events"))
+
+  def burstProfile(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-(BurstWindowUs - 1), 0)
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("in_win", count(lit(1)).over(w))
+      .groupBy("user_id").agg(max(col("in_win")).as("burst"))
+      .groupBy("burst").agg(count(lit(1)).as("n_users"))
+      .orderBy("burst")
+  }
+
+  /** DuckDB oracle for [[burstProfile]] — the identical µs RANGE
+    * frame and rollups. */
+  def e22OracleSql: String = s"""
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      w AS (
+        SELECT user_id, count(*) OVER (
+          PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN ${BurstWindowUs - 1} PRECEDING AND CURRENT ROW)
+          AS in_win
+        FROM e),
+      b AS (SELECT user_id, max(in_win) AS burst FROM w GROUP BY 1)
+      SELECT burst, count(*) AS n_users
+      FROM b GROUP BY burst ORDER BY burst"""
 }

@@ -1921,4 +1921,148 @@ object Graph {
         round(CAST(sum(lccq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
           AS avg_lcc
       FROM lcc GROUP BY bucket ORDER BY bucket"""
+
+  /** g15: DIAMETER estimate by the classic DOUBLE-SWEEP BFS (Magnien–
+    * Latapy–Habib) — the graph-radius preflight behind watermark-style
+    * iteration budgets: BFS from a fixed root, then BFS again from the
+    * farthest node found; the second eccentricity is a diameter LOWER
+    * bound that is exact on trees and empirically tight on real
+    * graphs, at the cost of TWO BFS passes instead of the hopeless
+    * all-pairs O(n·E). Deterministic end to end: both sweeps are g8's
+    * exact integer fixpoint (shared [[bfsCore]] — weight-0 self-edges,
+    * exact-sum probe, one edge-scale exchange per step), and the
+    * farthest-node pick breaks distance ties on the SMALLER id in
+    * both engines. Output is one row: root, its farthest node +
+    * eccentricity, the second sweep's farthest node + the diameter
+    * bound, unreachable count, node count.
+    *
+    * 100 TB contract: exactly 2× g8's cost — the second source is a
+    * one-row planning scalar (the next BFS needs it as a literal),
+    * everything else composes in-plan; final rollup is one aggregate
+    * with an in-plan struct-argmax (no extra pass for the argmax). */
+  def g15Diameter(spark: SparkSession, dir: String): DataFrame =
+    g15Diameter(Tables.load(spark, dir, "documents"))
+
+  def g15Diameter(docs0: DataFrame, maxSteps: Long = Long.MaxValue)
+      : DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(n > 0, "g15 needs a non-empty documents frame")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g15 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g15Core(docs.select(col("doc_id").as("v")),
+      syntheticFwd(docs, n).select(col("src"), col("dst")), 0L, maxSteps)
+  }
+
+  /** General entry — explicit (src, dst) edge list, arbitrary sparse
+    * 64-bit ids; root = the smallest node id. */
+  def g15DiameterEdges(edges0: DataFrame,
+                       maxSteps: Long = Long.MaxValue): DataFrame = {
+    val edges = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = edges.select(explode(array(col("src"), col("dst"))).as("v"))
+      .distinct()
+    val r = nodes.agg(min(col("v"))).head()
+    require(!r.isNullAt(0), "g15 needs a non-empty edge list")
+    g15Core(nodes, edges, r.getLong(0), maxSteps, tag = "g15_edges")
+  }
+
+  private def g15Core(nodes: DataFrame, fwd: DataFrame, root: Long,
+                      maxSteps: Long, tag: String = "g15"): DataFrame = {
+    val d1 = bfsCore(nodes, fwd, root, maxSteps, s"${tag}_pass1")
+    // farthest reachable node (max dist, tie → min id): a one-row
+    // planning scalar — the second sweep needs its source as a literal
+    val far1 = d1.filter(col("dist") >= 0)
+      .orderBy(col("dist").desc, col("v")).head()
+    val (u, ecc) = (far1.getLong(0), far1.getLong(1))
+    val d2 = bfsCore(nodes, fwd, u, maxSteps, s"${tag}_pass2")
+    d2.agg(
+        max(struct(col("dist").as("d"), (-col("v")).as("nv"))).as("m"),
+        count(when(col("dist") < 0, 1)).as("n_unreachable"),
+        count(lit(1)).as("n_nodes"))
+      .select(lit(root).as("source"), lit(u).as("far_node"),
+        lit(ecc).as("ecc_source"),
+        (-col("m.nv")).as("far_node2"), col("m.d").as("diameter_lb"),
+        col("n_unreachable"), col("n_nodes"))
+  }
+
+  /** DuckDB oracle for [[g15Diameter]] — g8's recursion run twice,
+    * the second seeded from the first sweep's (max dist, min id)
+    * argmax; the sweeps chain through one WITH RECURSIVE. */
+  def g15OracleSql(): String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      und AS MATERIALIZED (
+        SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+      adj AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(dst := dst, ns := ns))),
+          s -> s['ns']) AS m
+        FROM (SELECT dst, list(DISTINCT src) AS ns FROM und GROUP BY dst) g),
+      bfs AS (
+        SELECT 0 AS k,
+          list_transform(generate_series(1, ni),
+            i -> CASE WHEN i = 1 THEN CAST(0 AS BIGINT) ELSE n END) AS d,
+          CAST(NULL AS BIGINT[]) AS p
+        FROM nn
+        UNION ALL
+        SELECT k + 1,
+          list_transform(generate_series(1, ni), v ->
+            least(bfs.d[CAST(v AS INT)],
+              list_reduce(list_prepend(n,
+                list_transform(adj.m[CAST(v AS INT)],
+                  u -> bfs.d[CAST(u AS INT) + 1] + 1)),
+                (a, b) -> least(a, b)))) AS d,
+          bfs.d AS p
+        FROM bfs, nn, adj WHERE p IS NULL OR p <> d),
+      f1 AS MATERIALIZED (
+        SELECT i, f.d[i] AS dist
+        FROM (SELECT d FROM bfs WHERE p = d) f, nn,
+          (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t),
+      e1 AS MATERIALIZED (
+        SELECT max(CASE WHEN dist < n THEN dist END) AS ecc,
+          CAST(min(CASE WHEN dist =
+            (SELECT max(CASE WHEN dist < n THEN dist END) FROM f1, nn)
+            THEN i END) AS INT) AS ui
+        FROM f1, nn),
+      bfs2 AS (
+        SELECT 0 AS k,
+          list_transform(generate_series(1, ni),
+            i -> CASE WHEN i = e1.ui THEN CAST(0 AS BIGINT) ELSE n END)
+            AS d,
+          CAST(NULL AS BIGINT[]) AS p
+        FROM nn, e1
+        UNION ALL
+        SELECT k + 1,
+          list_transform(generate_series(1, ni), v ->
+            least(bfs2.d[CAST(v AS INT)],
+              list_reduce(list_prepend(n,
+                list_transform(adj.m[CAST(v AS INT)],
+                  u -> bfs2.d[CAST(u AS INT) + 1] + 1)),
+                (a, b) -> least(a, b)))) AS d,
+          bfs2.d AS p
+        FROM bfs2, nn, adj WHERE p IS NULL OR p <> d),
+      f2 AS MATERIALIZED (
+        SELECT i, f.d[i] AS dist
+        FROM (SELECT d FROM bfs2 WHERE p = d) f, nn,
+          (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t)
+      SELECT CAST(0 AS BIGINT) AS source,
+        CAST((SELECT ui FROM e1) - 1 AS BIGINT) AS far_node,
+        (SELECT ecc FROM e1) AS ecc_source,
+        CAST(min(CASE WHEN dist =
+          (SELECT max(CASE WHEN dist < n THEN dist END) FROM f2, nn)
+          THEN i END) - 1 AS BIGINT) AS far_node2,
+        max(CASE WHEN dist < n THEN dist END) AS diameter_lb,
+        CAST(count(CASE WHEN dist >= n THEN 1 END) AS BIGINT)
+          AS n_unreachable,
+        n AS n_nodes
+      FROM f2, nn GROUP BY n"""
 }

@@ -1514,4 +1514,169 @@ object Similarity {
         FROM scored)
       SELECT q_id, c_id, rnk, round(approx_d2, 6) AS approx_d2
       FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+
+  /** s14's stage-1 candidate width, final list size and relevance
+    * weight. λ = 0.7 favours relevance; 1 − λ is written as the
+    * LITERAL 0.3 in both engines (computing `1 - 0.7` in double gives
+    * 0.30000000000000004 and the two engines must score with the
+    * identical constant). */
+  final val MmrWide = 20
+  final val MmrK = 5
+
+  /** s14: MMR (maximal-marginal-relevance) DIVERSITY re-ranking — the
+    * second stage every production retriever runs after ANN: the raw
+    * top-k is redundancy-prone (near-duplicate passages crowd out
+    * coverage), so select k = [[MmrK]] results from the top-
+    * [[MmrWide]] candidates greedily by
+    * `λ·sim(q, c) − (1−λ)·max_{s∈S} sim(c, s)` (Carbonell & Goldstein
+    * 1998) — each pick trades query relevance against similarity to
+    * what's already selected; ties break on smaller c_id.
+    *
+    * Determinism across engines: every similarity (query-side and
+    * candidate-pairwise) is quantized round(9) BEFORE any comparison
+    * — Spark's fused index-order cosine and the oracle's unnest-sum
+    * fold differ by ulps that 9 dp absorb — and each greedy step's
+    * score is re-quantized round(9), so both engines compare the
+    * SAME doubles at every selection.
+    *
+    * Scale shape: stage-1 scoring is s1's broadcast-query corpus
+    * scan; everything after runs on candidate-scale frames (wide
+    * per query, wide² pairwise — both bounded by parameters, never
+    * corpus²); the greedy loop is k fixed steps of candidate-scale
+    * joins with a checkpointed selection (the fixpoint-loop
+    * discipline), NOT a driver-side collect. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame =
+    mmrRerank(Tables.parallel(Tables.load(spark, dir, "embeddings")))
+
+  def mmrRerank(e: DataFrame, wide: Int = MmrWide, k: Int = MmrK): DataFrame = {
+    val spark = e.sparkSession
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")), 9)
+          .as("simq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("simq").desc, col("c_id"))
+    val cands = graft.Ckpt(scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= wide).select("q_id", "c_id", "simq"))
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val pair = graft.Ckpt(cands.as("a")
+      .join(cands.as("b"), col("a.q_id") === col("b.q_id") &&
+        col("a.c_id") =!= col("b.c_id"))
+      .select(col("a.q_id").as("q_id"), col("a.c_id").as("a_id"),
+        col("b.c_id").as("b_id"))
+      .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("av")),
+        "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"), col("embedding").as("bv")),
+        "b_id")
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        round(graft.GraftFunctions.cosineSim(spark, col("av"), col("bv")), 9)
+          .as("simc")))
+    var selected: DataFrame = null
+    for (step <- 1 to k) {
+      val remaining =
+        if (selected == null) cands
+        else cands.join(selected.select(col("q_id"), col("c_id")),
+          Seq("q_id", "c_id"), "left_anti")
+      val withMs =
+        if (selected == null) remaining.withColumn("ms", lit(0.0))
+        else remaining.join(
+          pair.join(broadcast(
+              selected.select(col("q_id"), col("c_id").as("b_id"))),
+              Seq("q_id", "b_id"))
+            .groupBy(col("q_id"), col("a_id").as("c_id"))
+            .agg(max(col("simc")).as("ms0")),
+          Seq("q_id", "c_id"), "left")
+          .withColumn("ms", coalesce(col("ms0"), lit(0.0)))
+      val ww = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+      val winner = withMs
+        .withColumn("score",
+          round(lit(0.7) * col("simq") - lit(0.3) * col("ms"), 9))
+        .withColumn("r", row_number().over(ww)).filter(col("r") === 1)
+        .select(col("q_id"), col("c_id"), lit(step.toLong).as("mmr_rank"),
+          col("score"))
+      selected = graft.Ckpt(
+        if (selected == null) winner else selected.unionByName(winner))
+    }
+    selected.select(col("q_id"), col("mmr_rank"), col("c_id"),
+        graft.GraftFunctions.roundz(col("score"), 6).as("score"))
+      .orderBy("q_id", "mmr_rank")
+  }
+
+  /** DuckDB oracle for [[mmrRerank]] — s1's cosine derivation with
+    * the identical round(9) quantization, the same wide cut, and the
+    * greedy recursion as a recursive CTE whose per-step winner is
+    * `max(struct(score, −c_id))` (lexicographic struct max = score
+    * desc, c_id asc — the Spark window's exact tie-break). */
+  def s14OracleSql(wide: Int = MmrWide, k: Int = MmrK): String = s"""
+      WITH RECURSIVE
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id),
+      pairs0 AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          q.embedding AS qv, c.embedding AS cv
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, c_id, unnest(qv) AS x, unnest(cv) AS y
+              FROM pairs0)
+        GROUP BY q_id, c_id),
+      scored AS (
+        SELECT d.q_id, d.c_id, round(d.dt / (nq.nrm * nc.nrm), 9) AS simq
+        FROM dots d JOIN norms nq ON nq.vec_id = d.q_id
+        JOIN norms nc ON nc.vec_id = d.c_id),
+      cands AS MATERIALIZED (
+        SELECT q_id, c_id, simq FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY simq DESC, c_id) AS rnk
+          FROM scored) t WHERE rnk <= $wide),
+      cpairs0 AS (
+        SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+          ea.embedding AS av, eb.embedding AS bv
+        FROM cands a JOIN cands b
+          ON a.q_id = b.q_id AND a.c_id <> b.c_id
+        JOIN embeddings ea ON ea.vec_id = a.c_id
+        JOIN embeddings eb ON eb.vec_id = b.c_id),
+      cdots AS (
+        SELECT q_id, a_id, b_id,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT q_id, a_id, b_id, unnest(av) AS x, unnest(bv) AS y
+              FROM cpairs0)
+        GROUP BY q_id, a_id, b_id),
+      cpair AS MATERIALIZED (
+        SELECT d.q_id, d.a_id, d.b_id,
+          round(d.dt / (na.nrm * nb.nrm), 9) AS simc
+        FROM cdots d JOIN norms na ON na.vec_id = d.a_id
+        JOIN norms nb ON nb.vec_id = d.b_id),
+      rec(step, q_id, sel, scores) AS (
+        SELECT 0, vec_id, CAST([] AS BIGINT[]), CAST([] AS DOUBLE[])
+        FROM embeddings WHERE vec_id < 5
+        UNION ALL
+        SELECT step + 1, q_id,
+          list_append(sel, -(max(struct_pack(s := score, t := -c_id))['t'])),
+          list_append(scores, max(struct_pack(s := score, t := -c_id))['s'])
+        FROM (
+          SELECT r.step AS step, r.q_id AS q_id, r.sel AS sel,
+            r.scores AS scores, cd.c_id AS c_id,
+            round(0.7 * cd.simq - 0.3 * coalesce(
+              max(CASE WHEN list_contains(r.sel, p.b_id)
+                  THEN p.simc END), 0.0), 9) AS score
+          FROM rec r
+          JOIN cands cd
+            ON cd.q_id = r.q_id AND NOT list_contains(r.sel, cd.c_id)
+          LEFT JOIN cpair p ON p.q_id = r.q_id AND p.a_id = cd.c_id
+          WHERE r.step < $k
+          GROUP BY r.step, r.q_id, r.sel, r.scores, cd.c_id, cd.simq) x
+        GROUP BY step, q_id, sel, scores)
+      SELECT q_id, i AS mmr_rank, sel[i] AS c_id,
+        (round(scores[i], 6) + 0.0) AS score
+      FROM rec, unnest(generate_series(1, $k)) t(i)
+      WHERE step = $k
+      ORDER BY q_id, mmr_rank"""
 }

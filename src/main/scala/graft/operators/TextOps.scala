@@ -1911,4 +1911,69 @@ object TextOps {
             / (CAST(s.n_top AS DOUBLE) * sxx - sx * sx), 6) + 0.0) END
           AS zipf_slope
       FROM s JOIN tot t USING (source) ORDER BY source"""
+
+  /** Tokens of leading context t30 fingerprints as "the template". */
+  final val PrefixTokens = 5
+
+  /** t30: TEMPLATE-PREFIX detection — the boilerplate-header telemetry
+    * (RefinedWeb/Dolma curation): scraped sources ship thousands of
+    * documents opening with the same navigation header, cookie banner
+    * or license blurb; a source whose single most-common
+    * [[PrefixTokens]]-token prefix covers a large share of its docs
+    * needs a stripping rule BEFORE tokenization (t12 removes
+    * known-boilerplate LINES; this finds which sources need one). Per
+    * source: doc count, distinct prefix count, the dominant prefix
+    * with its count and share.
+    *
+    * Scale shape: the prefix is an in-row projection (never the full
+    * text as a key — 5 tokens bound the key width); one (source,
+    * prefix) tf aggregate with map-side combine; the dominant prefix
+    * via the NATIVE TopKPerGroup plan (bounded per-partition heap —
+    * the hot-source-as-hot-partition trap again avoided); one
+    * broadcast-joined per-source total. Ties break on prefix asc in
+    * both engines. */
+  def templatePrefix(spark: SparkSession, dir: String): DataFrame =
+    templatePrefix(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def templatePrefix(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"),
+        expr(s"array_join(slice(split(text, ' '), 1, $PrefixTokens), ' ')")
+          .as("prefix"))
+      .groupBy("source", "prefix").agg(count(lit(1)).as("cnt"))
+    val tot = tf.groupBy("source").agg(
+      sum(col("cnt")).as("n_docs"), count(lit(1)).as("n_prefixes"))
+    graft.plans.TopK.perGroup(tf, Seq("source"),
+        Seq(("cnt", false), ("prefix", true)), k = 1)
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("n_docs"), col("n_prefixes"),
+        col("prefix").as("top_prefix"), col("cnt").as("top_count"),
+        round(col("cnt").cast("double") / col("n_docs").cast("double"), 6)
+          .as("top_share"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[templatePrefix]] — identical prefix
+    * derivation, row_number with the same tie-break. */
+  def t30OracleSql: String = s"""
+      WITH tf AS (
+        SELECT source,
+          array_to_string(list_slice(string_split(text, ' '),
+            1, $PrefixTokens), ' ') AS prefix,
+          count(*) AS cnt
+        FROM documents GROUP BY 1, 2),
+      tot AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+          count(*) AS n_prefixes
+        FROM tf GROUP BY 1),
+      rk AS (
+        SELECT source, prefix, cnt, row_number() OVER (
+          PARTITION BY source ORDER BY cnt DESC, prefix ASC) AS rnk
+        FROM tf)
+      SELECT r.source, t.n_docs, t.n_prefixes,
+        r.prefix AS top_prefix, r.cnt AS top_count,
+        round(CAST(r.cnt AS DOUBLE) / CAST(t.n_docs AS DOUBLE), 6)
+          AS top_share
+      FROM rk r JOIN tot t USING (source)
+      WHERE r.rnk = 1 ORDER BY source"""
 }

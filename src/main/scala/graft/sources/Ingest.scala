@@ -332,4 +332,72 @@ object Ingest {
         max(l_quantity) <= $ManifestQtyGt AS prunable_qty_gt45
       FROM lineitem
       GROUP BY bucket ORDER BY bucket"""
+
+  /** x13: SNAPSHOT DIFF — the change-data-capture summary between two
+    * versions of a table (Delta CDF / Iceberg changelog shape): a
+    * full-outer key join classifying every key as added / removed /
+    * changed / unchanged, rolled up to the census an auditor signs
+    * off on before promoting the new snapshot. x5 (SCD2) MERGES a
+    * delta into history; x13 answers the prior question — WHAT
+    * changed between v1 and v2, with counts and key ranges.
+    *
+    * The registered entry derives v2 from `documents` by a
+    * deterministic mutation both engines replay: doc_id % 97 = 3
+    * rows dropped (removed), % 97 = 5 rows re-texted (changed),
+    * % 97 = 7 rows re-landed under key doc_id + 10⁷ (added). The
+    * general `x13SnapshotDiff(v1, v2)` takes any two frames.
+    *
+    * Scale shape: ONE key-hash full-outer join (both sides shuffle
+    * once on doc_id — co-partitioned; bucketed tables would make it
+    * shuffle-free) comparing text IN the join row (no second pass),
+    * plus a 4-row rollup. No collects, no windows. */
+  def x13SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 97 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 97 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.filter(col("doc_id") % 97 === 7)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    x13SnapshotDiff(v1, v2)
+  }
+
+  def x13SnapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame =
+    v1.select(col("doc_id"), col("text").as("t1"))
+      .join(v2.select(col("doc_id"), col("text").as("t2")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("t1").isNull, lit("added"))
+          .when(col("t2").isNull, lit("removed"))
+          .when(col("t1") =!= col("t2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("change_type")
+
+  /** DuckDB oracle for [[x13SnapshotDiff]] — the identical v2
+    * derivation and full-outer classification. */
+  def x13OracleSql: String = """
+      WITH v1 AS (SELECT doc_id, text FROM documents),
+      v2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 97 = 5 THEN text || ' rev2' ELSE text END
+            AS text
+        FROM v1 WHERE doc_id % 97 <> 3
+        UNION ALL
+        SELECT doc_id + 10000000, 'new ' || text
+        FROM v1 WHERE doc_id % 97 = 7),
+      d AS (
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+          CASE WHEN v1.text IS NULL THEN 'added'
+            WHEN v2.text IS NULL THEN 'removed'
+            WHEN v1.text <> v2.text THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      SELECT change_type, count(*) AS n_docs,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM d GROUP BY change_type ORDER BY change_type"""
 }

@@ -777,4 +777,30 @@ class GraphSpec extends SparkSpec {
     assert(starRows.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0),
       starRows.mkString(";"))
   }
+
+  test("g15 double-sweep diameter is exact on a path, finds the true " +
+       "diameter of a star, and counts a planted unreachable island") {
+    import spark.implicits._
+    // path 0—1—…—9 rooted at 0: first sweep reaches 9 (ecc 9), second
+    // sweep lands back at 0 — exact diameter 9 (double sweep is exact
+    // on trees)
+    val path = (0 until 9).map(i => (i.toLong, i + 1L))
+    val p = Graph.g15DiameterEdges(path.toDF("src", "dst")).head()
+    assert((p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3),
+      p.getLong(4), p.getLong(5), p.getLong(6)) ==
+      ((0L, 9L, 9L, 0L, 9L, 0L, 10L)), p.toString)
+    // star rooted at the hub (smallest id): ecc(hub) = 1, but the
+    // second sweep from a spoke finds the TRUE diameter 2 — the case
+    // double-sweep exists for (a badly-placed root underestimates)
+    val star = (1 to 50).map(i => (0L, 100L + i))
+    val s = Graph.g15DiameterEdges(star.toDF("src", "dst")).head()
+    assert(s.getLong(2) == 1L && s.getLong(1) == 101L &&
+      s.getLong(4) == 2L, s.toString)
+    // two components: the island is unreachable from the rooted one
+    val split = Seq((0L, 1L), (1L, 2L), (500L, 501L))
+    val d = Graph.g15DiameterEdges(split.toDF("src", "dst")).head()
+    assert(d.getLong(5) == 2L && d.getLong(6) == 5L,
+      s"island not counted unreachable: $d")
+    assert(d.getLong(4) == 2L, s"rooted component diameter: $d")
+  }
 }

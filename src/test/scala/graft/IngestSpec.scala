@@ -155,4 +155,25 @@ class IngestSpec extends SparkSpec {
     assert(matches.intersect(prunable).isEmpty,
       s"prunable buckets $prunable contain matches $matches")
   }
+
+  test("x13 snapshot diff classifies all four change types exactly " +
+       "on planted versions") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "beta v2"), (4L, "delta"), (9L, "new"))
+      .toDF("doc_id", "text")
+    val got = Ingest.x13SnapshotDiff(v1, v2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "added" -> ((1L, 9L, 9L)),
+      "removed" -> ((1L, 3L, 3L)),
+      "changed" -> ((1L, 2L, 2L)),
+      "unchanged" -> ((2L, 1L, 4L))), got.toString)
+    // identical snapshots: one all-unchanged row
+    val same = Ingest.x13SnapshotDiff(v1, v1).collect()
+    assert(same.length == 1 && same.head.getString(0) == "unchanged" &&
+      same.head.getLong(1) == 4L, same.mkString(";"))
+  }
 }

@@ -384,6 +384,35 @@ class PipelineOpsSpec extends SparkSpec {
       s"cross-block lateness missed: $c")
   }
 
+  test("e22 burst profile pins planted peaks with exact window-edge " +
+       "semantics and counts same-timestamp peers together") {
+    import spark.implicits._
+    import graft.operators.Events
+    def ts(s: Long, us: Long = 0L) = {
+      val t = new java.sql.Timestamp(s * 1000L)
+      t.setNanos((us * 1000L).toInt); t
+    }
+    val rows = Seq(
+      // user 1: three events inside one 60 s window → burst 3; the
+      // event at +60 s exactly is OUTSIDE the trailing window of the
+      // first (window is (t−60 s, t], 59999999 µs back)
+      (0L, ts(0L), 1L), (1L, ts(30L), 1L), (2L, ts(59L, 999999L), 1L),
+      (3L, ts(60L), 1L),
+      // user 2: two events at the IDENTICAL timestamp are range-frame
+      // peers — both see burst 2 regardless of row order
+      (4L, ts(1000L), 2L), (5L, ts(1000L), 2L),
+      // user 3: fully spread — burst 1
+      (6L, ts(0L), 3L), (7L, ts(100L), 3L), (8L, ts(200L), 3L))
+      .map { case (id, t, u) => (id, t, u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.burstProfile(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user 3 → burst 1; user 2 → burst 2; user 1 → burst 3 (events
+    // 0,1,2 share a window; event 3's window holds 1,2,3 — also 3,
+    // and event 0 has dropped out by exactly one µs)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
+  }
+
   test("keep-best picks the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val docs = Seq(

@@ -800,7 +800,23 @@ class PlanSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("plan-x11").toString + "/z"),
         4),
       // x12: one fused bucket aggregate + the output sort
-      ("x12", graft.sources.Ingest.x12StatsManifest(spark, sfDir), 3))
+      ("x12", graft.sources.Ingest.x12StatsManifest(spark, sfDir), 3),
+      // s14: candidate and pairwise frames plus every greedy step's
+      // winner sit behind checkpoints — the live plan is the output
+      // sort of the k·|Q|-row selection
+      ("s14", graft.operators.Similarity.mmrRerank(
+        Tables.load(spark, sfDir, "embeddings")), 2),
+      // t30: (source, prefix) tf aggregate, the TopKPerGroup
+      // two-phase exchange, the totals aggregate + its join, sort
+      ("t30", graft.operators.TextOps.templatePrefix(docs), 7),
+      // e22: one user-keyed window exchange + two bounded rollups
+      ("e22", graft.operators.Events.burstProfile(spark, sfDir), 4),
+      // x13: the full-outer key join (both sides shuffle on doc_id)
+      // + the 4-row rollup + sort
+      ("x13", graft.sources.Ingest.x13SnapshotDiff(spark, sfDir), 5),
+      // g15: both sweeps' fixpoints sit behind checkpoints; the live
+      // plan is the second sweep's ordered read + the one-row rollup
+      ("g15", graft.operators.Graph.g15Diameter(spark, sfDir), 3))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")

@@ -702,4 +702,85 @@ class SimilaritySpec extends SparkSpec {
     assert(pc(1) == 11L && pc(2) == 12L,
       s"cosine baseline lost its alignment preference: $pc")
   }
+
+  test("s14 MMR equals a JVM greedy replica on the real corpus and " +
+       "demotes a planted near-duplicate a plain top-k keeps adjacent") {
+    import spark.implicits._
+    val e = Tables.load(spark, sfDir, "embeddings")
+    // JVM replica of the identical quantized greedy
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def replica(emb: Map[Long, Array[Float]], qIds: Seq[Long])
+        : Map[(Long, Long), (Long, Double)] = {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dt = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dt += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dt / (math.sqrt(na) * math.sqrt(nb))
+      }
+      qIds.flatMap { q =>
+        val scored = emb.keys.filter(_ != q).toSeq
+          .map(c => (q9(cos(emb(q), emb(c))), c))
+          .sortBy { case (s, c) => (-s, c) }.take(Similarity.MmrWide)
+        val simq = scored.map { case (s, c) => c -> s }.toMap
+        val cand = scored.map(_._2)
+        var sel = List.empty[Long]
+        (1 to Similarity.MmrK).map { step =>
+          val (winner, score) = cand.filterNot(sel.contains)
+            .map { c =>
+              // max over the SELECTED set — negative similarity is a
+              // diversity BONUS, not floored at 0 (only an empty set
+              // contributes nothing)
+              val ms = if (sel.isEmpty) 0.0
+                else sel.map(s => q9(cos(emb(c), emb(s)))).max
+              (c, q9(0.7 * simq(c) - 0.3 * ms))
+            }
+            .minBy { case (c, s) => (-s, c) }
+          sel = sel :+ winner
+          (q, step.toLong) -> ((winner,
+            BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
+        }
+      }.toMap
+    }
+    val emb = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = Similarity.mmrRerank(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == replica(emb, 0L until 5L), {
+      val want = replica(emb, 0L until 5L)
+      s"diff: ${(want.toSet -- got.toSet).take(3)} vs ${(got.toSet -- want.toSet).take(3)}"
+    })
+    // planted diversity win: query q; a and a' near-identical and most
+    // relevant; b distinct and slightly less relevant. Plain top-2 =
+    // (a, a'); MMR keeps a then PREFERS b (a' pays the redundancy
+    // penalty). ids < 5 are queries, so plant q at id 0
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // sim(q,·): a ≈ .8985 > a' ≈ .8944 > b ≈ .8924 — plain rank (a, a');
+    // but cos(a, a') ≈ .99996 while cos(a, b) ≈ .6035, so MMR step 2:
+    // score(a') ≈ .7·.8944 − .3·1 ≈ .326 < score(b) ≈ .7·.8924 −
+    // .3·.604 ≈ .444 — b overtakes
+    val planted = Seq(
+      0L -> v(1.0, 0.0, 0.0, 0.0),     // the query
+      10L -> v(0.9, 0.44, 0.0, 0.0),   // a
+      11L -> v(0.9, 0.45, 0.0, 0.0),   // a' ≈ a
+      12L -> v(0.87, -0.44, 0.0, 0.0), // b: same relevance tier, far side
+      13L -> v(0.0, 0.1, 0.0, 1.0),    // filler
+      1L -> v(0.0, 1.0, 0.0, 0.0), 2L -> v(0.0, 0.0, 1.0, 0.0),
+      3L -> v(0.0, 0.0, 0.0, 1.0), 4L -> v(0.5, 0.5, 0.0, 0.0))
+    val pdf = planted.toDF("vec_id", "embedding")
+    val topPlain = Similarity.annBruteforce(pdf)
+      .filter(col("q_id") === 0L).orderBy("rnk")
+      .collect().map(_.getLong(1)).take(2).toSeq
+    assert(topPlain == Seq(10L, 11L),
+      s"planted corpus lost the adjacent near-dup property: $topPlain")
+    val mmr = Similarity.mmrRerank(pdf, wide = 4, k = 2)
+      .filter(col("q_id") === 0L).orderBy("mmr_rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(mmr == Seq(10L, 12L),
+      s"MMR failed to demote the near-duplicate: $mmr")
+  }
 }

@@ -639,4 +639,31 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(got("zipfy")._4 + 1.0) < 0.05, got("zipfy").toString)
     assert(math.abs(got("flat")._4) < 1e-5, got("flat").toString)
   }
+
+  test("t30 template-prefix detection pins a planted boilerplate " +
+       "source exactly and breaks prefix ties deterministically") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val header = "cookie notice please accept our terms"
+    val docs = (
+      // templated source: 9 of 12 docs share the 5-token header prefix
+      (1 to 9).map(i => (i.toLong, s"$header body $i words", "en", "tmpl")) ++
+      (10 to 12).map(i => (i.toLong, s"unique opening line number $i", "en", "tmpl")) ++
+      // diverse source: every prefix distinct → ties broken by prefix asc
+      (20 to 25).map(i => (i.toLong, s"doc $i starts differently here always", "en", "divr")))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.templatePrefix(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("tmpl") == ((12L, 4L, "cookie notice please accept our",
+      9L, r6(9.0 / 12))), got.toString)
+    // all-distinct source: count ties at 1, smallest prefix wins
+    val wantDivr = (20 to 25).map(i => s"doc $i starts differently here").min
+    assert(got("divr") == ((6L, 6L, wantDivr, 1L, r6(1.0 / 6))),
+      got.toString)
+  }
 }
