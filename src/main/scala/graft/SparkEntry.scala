@@ -196,6 +196,8 @@ object SparkEntry {
     "t29_zipf" -> ((s: SparkSession, d: String) => TextOps.zipfFit(s, d)),
     "t30_template_prefix" ->
       ((s: SparkSession, d: String) => TextOps.templatePrefix(s, d)),
+    "t31_freq_spectrum" ->
+      ((s: SparkSession, d: String) => TextOps.freqSpectrum(s, d)),
     "t25_leakage_split" -> (TextOps.leakageSplit _),
     "t26_ppl_buckets" -> (TextOps.perplexityBuckets _),
     "e1_event_windows" -> (Events.eventWindows _),
@@ -1064,6 +1066,7 @@ object SparkEntry {
     "x12_stats_manifest" -> graft.sources.Ingest.x12OracleSql,
     "s14_mmr_rerank" -> graft.operators.Similarity.s14OracleSql(),
     "t30_template_prefix" -> graft.operators.TextOps.t30OracleSql,
+    "t31_freq_spectrum" -> graft.operators.TextOps.t31OracleSql,
     "e22_burst" -> graft.operators.Events.e22OracleSql,
     "x13_snapshot_diff" -> graft.sources.Ingest.x13OracleSql,
     "m1_multimodal_meta" -> """

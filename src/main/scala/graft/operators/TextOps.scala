@@ -1976,4 +1976,68 @@ object TextOps {
           AS top_share
       FROM rk r JOIN tot t USING (source)
       WHERE r.rnk = 1 ORDER BY source"""
+
+  /** t31: token FREQUENCY SPECTRUM — Good–Turing
+    * frequencies-of-frequencies: how many distinct tokens occur k
+    * times, rolled into log₂ occurrence buckets (g13's digit-count
+    * bucket — pure integer, engine-shared). The two numbers every
+    * tokenizer/vocab decision reads: the hapax mass (bucket 0 — the
+    * singleton tail a vocab cut drops) and where the occurrence mass
+    * concentrates. Distinct from t10 (top terms), t29 (rank
+    * exponent): this is the FULL spectrum, computed with NO global
+    * sort or rank — a ranked coverage curve needs a corpus-wide
+    * ordering, the spectrum needs only aggregates.
+    *
+    * Scale shape: one (token) tf aggregate with map-side combine,
+    * one tf-keyed rollup (distinct-tf scale), a ≤64-row bucket
+    * rollup + a one-row total broadcast. All integers except the
+    * final share divisions. */
+  def freqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    freqSpectrum(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def freqSpectrum(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("tf"))
+    val spec = tf.groupBy("tf").agg(count(lit(1)).as("n_tok"))
+    val tot = spec.agg(sum(col("n_tok")).as("vocab"),
+      sum(col("tf") * col("n_tok")).as("n_total"))
+    spec
+      .withColumn("bucket", (length(bin(col("tf"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(sum(col("n_tok")).as("n_tokens"),
+        min(col("tf")).as("min_occ"), max(col("tf")).as("max_occ"),
+        sum(col("tf") * col("n_tok")).as("occurrences"))
+      .crossJoin(broadcast(tot)) // one row — in-plan, not a head()
+      .select(col("bucket"), col("n_tokens"), col("min_occ"),
+        col("max_occ"), col("occurrences"),
+        round(col("n_tokens").cast("double") / col("vocab").cast("double"), 6)
+          .as("vocab_share"),
+        round(col("occurrences").cast("double")
+          / col("n_total").cast("double"), 6).as("occ_share"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB oracle for [[freqSpectrum]] — identical tf spectrum and
+    * digit-count bucket. */
+  def t31OracleSql: String = """
+      WITH tf AS (
+        SELECT w, count(*) AS tf FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        GROUP BY w),
+      spec AS (SELECT tf, count(*) AS n_tok FROM tf GROUP BY tf),
+      tot AS (
+        SELECT CAST(sum(n_tok) AS BIGINT) AS vocab,
+          CAST(sum(tf * n_tok) AS BIGINT) AS n_total
+        FROM spec)
+      SELECT length(bin(tf)) - 1 AS bucket,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        min(tf) AS min_occ, max(tf) AS max_occ,
+        CAST(sum(tf * n_tok) AS BIGINT) AS occurrences,
+        round(CAST(sum(n_tok) AS DOUBLE) / CAST(any_value(t.vocab) AS DOUBLE), 6)
+          AS vocab_share,
+        round(CAST(sum(tf * n_tok) AS DOUBLE)
+          / CAST(any_value(t.n_total) AS DOUBLE), 6) AS occ_share
+      FROM spec, tot t
+      GROUP BY bucket ORDER BY bucket"""
 }

@@ -816,7 +816,11 @@ class PlanSpec extends SparkSpec {
       ("x13", graft.sources.Ingest.x13SnapshotDiff(spark, sfDir), 5),
       // g15: both sweeps' fixpoints sit behind checkpoints; the live
       // plan is the second sweep's ordered read + the one-row rollup
-      ("g15", graft.operators.Graph.g15Diameter(spark, sfDir), 3))
+      ("g15", graft.operators.Graph.g15Diameter(spark, sfDir), 3),
+      // t31: token tf aggregate, distinct-tf rollup (reused by the
+      // totals leg with its own two-phase exchange), bucket rollup,
+      // output sort
+      ("t31", graft.operators.TextOps.freqSpectrum(docs), 7))
     cases.foreach { case (name, df, maxSh) =>
       val n = executedShuffles(df)
       assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")

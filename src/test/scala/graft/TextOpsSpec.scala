@@ -666,4 +666,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got("divr") == ((6L, 6L, wantDivr, 1L, r6(1.0 / 6))),
       got.toString)
   }
+
+  test("t31 frequency spectrum pins a planted Good-Turing profile " +
+       "exactly and conserves vocab and occurrence mass on the corpus") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // planted: 3 hapaxes (tf 1 → bucket 0), 2 tokens at tf 2 and one
+    // at tf 3 (bucket 1), one at tf 5 (bucket 2)
+    val toks = Seq("h1", "h2", "h3") ++
+      Seq.fill(2)("d1") ++ Seq.fill(2)("d2") ++ Seq.fill(3)("d3") ++
+      Seq.fill(5)("p1")
+    val docs = Seq((0L, toks.mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.freqSpectrum(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val v = 7.0; val n = 15.0
+    assert(got == Map(
+      0L -> ((3L, 1L, 1L, 3L, r6(3 / v), r6(3 / n))),
+      1L -> ((3L, 2L, 3L, 7L, r6(3 / v), r6(7 / n))),
+      2L -> ((1L, 5L, 5L, 5L, r6(1 / v), r6(5 / n)))), got.toString)
+    // corpus-level conservation: vocab shares and occurrence shares
+    // must each sum to 1 (±rounding), and occurrences to the corpus
+    // token count
+    val corpus = TextOps.freqSpectrum(
+      Tables.load(spark, sfDir, "documents")).collect()
+    val totalTokens = Tables.load(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(corpus.map(_.getLong(4)).sum == totalTokens)
+    assert(math.abs(corpus.map(_.getDouble(5)).sum - 1.0) < 1e-4)
+    assert(math.abs(corpus.map(_.getDouble(6)).sum - 1.0) < 1e-4)
+  }
 }
