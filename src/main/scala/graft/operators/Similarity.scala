@@ -1544,7 +1544,13 @@ object Similarity {
     * per query, wide² pairwise — both bounded by parameters, never
     * corpus²); the greedy loop is k fixed steps of candidate-scale
     * joins with a checkpointed selection (the fixpoint-loop
-    * discipline), NOT a driver-side collect. */
+    * discipline), NOT a driver-side collect.
+    *
+    * Precondition: every query must have ≥ k candidates (corpus size
+    * > k, true for any real corpus). A query that runs dry mid-greedy
+    * keeps its partial selection here but drops out of the oracle's
+    * recursion entirely (its chain never reaches step k) — don't
+    * point the operator at a sub-k corpus expecting oracle parity. */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame =
     mmrRerank(Tables.parallel(Tables.load(spark, dir, "embeddings")))
 
