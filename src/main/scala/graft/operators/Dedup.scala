@@ -1665,8 +1665,16 @@ object Dedup {
     * keeps it off the corpus (never all-pairs): pair cardinality is
     * bounded by the inverted index (df-cut caps boilerplate fan-out)
     * and the integer pre-cut, and each text travels to its pairs via
-    * two hash joins on doc_id. Similarity is one rounded division
-    * (bounded [0, 1] — lev ≤ max(len) always). */
+    * two hash joins on doc_id. The verify itself runs Spark's BANDED
+    * `levenshtein(l, r, threshold)` (O(len·threshold) instead of
+    * O(len²)): any pair that can still round to similarity ≥ thresh
+    * has lev ≤ (1−thresh)·max_len, so the band is set from the
+    * corpus-wide max length (one-row planning scalar, +1 slack for
+    * the round(6) boundary) and a −1 (= beyond the band) pair is
+    * provably below threshold — dropped BEFORE the similarity math,
+    * with the exact distance preserved for every emitted pair (the
+    * banded form is exact within the band). Similarity is one
+    * rounded division (bounded [0, 1] — lev ≤ max(len) always). */
   def editDedup(spark: SparkSession, dir: String): DataFrame =
     editDedup(Tables.parallel(Tables.load(spark, dir, "documents")))
 
@@ -1683,14 +1691,24 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
     val txt = docs.select(col("doc_id"), col("text"),
       length(col("text")).cast("long").as("len"))
+    // banded-DP cutoff: the largest distance any pair could carry and
+    // still round to sim ≥ thresh (a one-row planning scalar; +1
+    // absorbs the round(6) half-up boundary)
+    val maxLen = Option(txt.agg(max(col("len"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val band = (math.ceil((1.0 - thresh) * maxLen) + 1).toInt.max(1)
     cands
       .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta"),
         col("len").as("la")), "a_id")
       .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb"),
         col("len").as("lb")), "b_id")
       .select(col("a_id"), col("b_id"), col("n_shared"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("lev_dist"),
+        levenshtein(col("ta"), col("tb"), band).cast("long").as("lev_dist"),
         greatest(col("la"), col("lb")).as("max_len"))
+      // −1 = beyond the band ⇒ lev > (1−thresh)·max_len ⇒ below
+      // threshold — cut before the similarity arithmetic (a −1 fed
+      // into 1 − lev/max_len would WRONGLY pass the filter)
+      .filter(col("lev_dist") >= 0)
       .withColumn("edit_sim",
         round(lit(1.0) - col("lev_dist").cast("double")
           / col("max_len").cast("double"), 6))

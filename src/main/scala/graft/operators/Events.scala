@@ -1099,9 +1099,11 @@ object Events {
     watermarkAudit(Tables.load(spark, dir, "events"))
 
   def watermarkAudit(events: DataFrame): DataFrame = {
+    // integer div, not `/`: Column./ is DOUBLE division and would
+    // smear block boundaries past 2^53 event ids
     val ev = events.select(col("event_type"), col("event_id"),
       unix_micros(col("ts")).as("us"),
-      (col("event_id") / lit(WaBlock)).cast("long").as("blk"))
+      expr(s"event_id div $WaBlock").as("blk"))
     // (1) block-local running max (inclusive) — bounded partitions
     val localW = Window.partitionBy("event_type", "blk")
       .orderBy("event_id")

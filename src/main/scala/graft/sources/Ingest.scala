@@ -364,6 +364,9 @@ object Ingest {
     x13SnapshotDiff(v1, v2)
   }
 
+  /** Precondition: `doc_id` is unique within each frame (a KEY join —
+    * x10's uniqueness constraint audits exactly this); duplicate keys
+    * would fan the full-outer join out multiplicatively. */
   def x13SnapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame =
     v1.select(col("doc_id"), col("text").as("t1"))
       .join(v2.select(col("doc_id"), col("text").as("t2")),

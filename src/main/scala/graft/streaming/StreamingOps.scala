@@ -497,6 +497,27 @@ object StreamingOps {
       }
   }
 
+  /** Streaming BURST monitor — e22's stream twin, as the standard
+    * tumbling-window approximation: per (user, 60 s event-time
+    * window) an exact count with watermark-bounded state (ONE row per
+    * active pair — the engine-managed aggregate; an exact SLIDING
+    * peak would buffer every in-window event per user, state bounded
+    * by the very burst being measured). The price is bounded and
+    * spec-PROVEN: every tumbling window is a 60 s interval, so
+    * tumbling_max ≤ true sliding burst; and any 60 s interval is
+    * covered by two adjacent tumbling windows, so true ≤
+    * 2·tumbling_max — the downstream per-user max is a factor-2
+    * sandwich of batch e22's exact figure, and EQUALS it whenever
+    * activity aligns to window boundaries. */
+  def burstTumblingStream(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), "60 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("window.start").as("win_start"),
+        col("n_events"))
+
   case class LateState(maxUs: Long)
   case class LateOut(event_type: String, event_id: Long, late_us: Long)
 

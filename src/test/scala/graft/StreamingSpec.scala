@@ -658,4 +658,67 @@ class StreamingSpec extends SparkSpec {
       assert(!late.contains(maxId + 2), "the new-max event is not late")
     } finally q.stop()
   }
+
+  test("streaming tumbling burst sandwiches batch e22's sliding peak " +
+       "within factor 2 and equals it on aligned activity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val input = MemoryStream[Event]
+    val q = StreamingOps.burstTumblingStream(input.toDF())
+      .writeStream.format("memory").queryName("burst_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize every window
+      val lastTs = new Timestamp(ev.map(_.ts.getTime).max + 8 * 3600 * 1000L)
+      input.addData(Event(-1L, lastTs, -1L, "x", 0.0))
+      q.processAllAvailable()
+      val tumbling = spark.table("burst_stream")
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id").agg(max(col("n_events")).as("t_burst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = graft.operators.Events.burstProfile(
+          graft.Tables.load(spark, sfDir, "events"))
+        .collect() // histogram — recompute per-user for the sandwich
+      val perUser = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy("us").rangeBetween(-(graft.operators.Events.BurstWindowUs - 1), 0)
+        graft.Tables.load(spark, sfDir, "events")
+          .withColumn("us", org.apache.spark.sql.functions.unix_micros(col("ts")))
+          .withColumn("iw", count(lit(1)).over(w))
+          .groupBy("user_id").agg(max(col("iw")).as("burst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(exact.nonEmpty && tumbling.keySet == perUser.keySet)
+      perUser.foreach { case (u, truth) =>
+        val t = tumbling(u)
+        assert(t <= truth && truth <= 2 * t,
+          s"user $u: tumbling $t vs sliding $truth outside the sandwich")
+      }
+      // aligned activity: a user whose whole burst sits inside one
+      // tumbling window — the approximation is exact
+      val input2 = MemoryStream[Event]
+      val q2 = StreamingOps.burstTumblingStream(input2.toDF())
+        .writeStream.format("memory").queryName("burst_stream2")
+        .outputMode(OutputMode.Append).start()
+      try {
+        def at(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+        // window [..00:00, ..01:00): 4 events at +0..+3 s
+        input2.addData((0 to 3).map(i =>
+          Event(i.toLong, at(i.toLong), 7L, "a", 0.0)): _*)
+        q2.processAllAvailable()
+        input2.addData(Event(99L, at(9000L), 8L, "a", 0.0))
+        q2.processAllAvailable()
+        val got = spark.table("burst_stream2").filter(col("user_id") === 7L)
+          .agg(max(col("n_events"))).head().getLong(0)
+        assert(got == 4L, s"aligned burst should be exact: $got")
+      } finally q2.stop()
+    } finally q.stop()
+  }
 }
