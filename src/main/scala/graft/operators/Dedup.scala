@@ -1668,9 +1668,12 @@ object Dedup {
     * two hash joins on doc_id. The verify itself runs Spark's BANDED
     * `levenshtein(l, r, threshold)` (O(len·threshold) instead of
     * O(len²)): any pair that can still round to similarity ≥ thresh
-    * has lev ≤ (1−thresh)·max_len, so the band is set from the
-    * corpus-wide max length (one-row planning scalar, +1 slack for
-    * the round(6) boundary) and a −1 (= beyond the band) pair is
+    * has lev ≤ (1−thresh)·max(len_a, len_b), so the band is derived
+    * PER PAIR from greatest(la, lb) (threshold is a per-row
+    * expression in the 3-arg SQL form — no global planning scan, and
+    * a book-length outlier no longer widens every short pair's DP),
+    * with a (1−thresh+5e-7)-scaled slack that absorbs the round(6)
+    * half-up boundary at ANY document length; a −1 (= beyond the band) pair is
     * provably below threshold — dropped BEFORE the similarity math,
     * with the exact distance preserved for every emitted pair (the
     * banded form is exact within the band). Similarity is one
@@ -1691,19 +1694,30 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
     val txt = docs.select(col("doc_id"), col("text"),
       length(col("text")).cast("long").as("len"))
-    // banded-DP cutoff: the largest distance any pair could carry and
-    // still round to sim ≥ thresh (a one-row planning scalar; +1
-    // absorbs the round(6) half-up boundary)
-    val maxLen = Option(txt.agg(max(col("len"))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val band = (math.ceil((1.0 - thresh) * maxLen) + 1).toInt.max(1)
+    // banded-DP cutoff PER PAIR: the largest distance this pair could
+    // carry and still round to sim ≥ thresh is (1−thresh)·max(la,lb);
+    // deriving the band from the GLOBAL max length (the r14 form)
+    // let one book-length outlier widen every short pair's DP band
+    // (cost ≈ len × band), so the cut is now greatest(la, lb)-scaled —
+    // no planning scan, no outlier inflation. The (1−thresh+5e-7)
+    // slack absorbs the round(6) half-up boundary EXACTLY at any
+    // length (a pair with similarity in [thresh−5e-7, thresh) rounds
+    // up to thresh in the unbanded oracle; the old constant +1 only
+    // covered it while max_len ≤ ~2M chars); the trailing +1 keeps
+    // the band ≥ 1 for degenerate empty-text pairs. Spark's 3-arg
+    // `levenshtein` takes the threshold as a per-row EXPRESSION in
+    // its SQL form, so the pair-scaled band stays inside codegen.
+    val slack = 1.0 - thresh + 5e-7
     cands
       .join(txt.select(col("doc_id").as("a_id"), col("text").as("ta"),
         col("len").as("la")), "a_id")
       .join(txt.select(col("doc_id").as("b_id"), col("text").as("tb"),
         col("len").as("lb")), "b_id")
+      .withColumn("band",
+        (ceil(greatest(col("la"), col("lb")).cast("double") * slack) + 1)
+          .cast("int"))
       .select(col("a_id"), col("b_id"), col("n_shared"),
-        levenshtein(col("ta"), col("tb"), band).cast("long").as("lev_dist"),
+        expr("levenshtein(ta, tb, band)").cast("long").as("lev_dist"),
         greatest(col("la"), col("lb")).as("max_len"))
       // −1 = beyond the band ⇒ lev > (1−thresh)·max_len ⇒ below
       // threshold — cut before the similarity arithmetic (a −1 fed

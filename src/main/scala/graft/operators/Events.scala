@@ -1092,7 +1092,11 @@ object Events {
     * running max within [[WaBlock]]-sized arrival blocks (bounded
     * partitions), (2) a per-block max rolled up to a block-count-
     * scale frame where the exclusive prefix max is a tiny window,
-    * (3) one broadcast join back. Lateness is exact integer µs; the
+    * (3) one (event_type, blk)-keyed stitch join back — unhinted,
+    * because the block-summary frame grows with the corpus
+    * (n_events/65536 rows per type) and a forced broadcast of it is
+    * exactly the driver-side failure the decomposition avoids; AQE
+    * broadcasts it on its own while small. Lateness is exact integer µs; the
     * percentile interpolation runs on those ints (e11's discipline).
     * Identical to the single-window oracle by associativity of max. */
   def watermarkAudit(spark: SparkSession, dir: String): DataFrame =
@@ -1115,8 +1119,14 @@ object Events {
       .rowsBetween(Window.unboundedPreceding, -1)
     val prev = blocks.withColumn("pmax", max(col("bmax")).over(prevW))
       .select(col("event_type"), col("blk"), col("pmax"))
-    // (3) stitch: running max = max(block-local, all earlier blocks)
-    val late = local.join(broadcast(prev), Seq("event_type", "blk"))
+    // (3) stitch: running max = max(block-local, all earlier blocks).
+    // NO broadcast hint: `prev` has one row per (type, 64Ki-id block),
+    // i.e. rows = n_events/65536 per type — corpus-PROPORTIONAL, which
+    // at the 100 TB design point (~10¹¹ events) is 10⁶–10⁷ rows and
+    // would die as a driver-collected broadcast. The (event_type, blk)
+    // equi-join hash-joins fine, and AQE still broadcasts on its own
+    // whenever the summary frame is actually small (the sf0.1 case).
+    val late = local.join(prev, Seq("event_type", "blk"))
       .select(col("event_type"),
         (greatest(col("lmax"), coalesce(col("pmax"), col("lmax")))
           - col("us")).as("late_us"))

@@ -442,15 +442,22 @@ object Export {
       min(col("pk")).as("mn_pk"), max(col("pk")).as("mx_pk"))
     val side = 1L << ZBits
     // exact integer grid cell: (x - mn) * side div (mx - mn + 1) ∈ [0, side)
+    // — the widening multiply runs in DECIMAL(38,0) (128-bit-safe):
+    // a plain Long (x − mn) * 256 silently wraps once the key range
+    // exceeds ~2^55, producing wrong buckets exactly where the
+    // HUGEINT-exact oracle keeps the true cell. `div` (IntegralDivide)
+    // accepts decimal operands and lands back on BIGINT.
     val zExpr = (0 until ZBits).map { i =>
       s"((qx div ${1L << i}) % 2) * ${1L << (2 * i)}" +
         s" + ((qy div ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
     l.crossJoin(broadcast(bounds))
       .withColumn("qx",
-        expr(s"(ok - mn_ok) * $side div (mx_ok - mn_ok + 1)"))
+        expr(s"(CAST(ok AS DECIMAL(38,0)) - mn_ok) * $side" +
+          s" div (CAST(mx_ok AS DECIMAL(38,0)) - mn_ok + 1)"))
       .withColumn("qy",
-        expr(s"(pk - mn_pk) * $side div (mx_pk - mn_pk + 1)"))
+        expr(s"(CAST(pk AS DECIMAL(38,0)) - mn_pk) * $side" +
+          s" div (CAST(mx_pk AS DECIMAL(38,0)) - mn_pk + 1)"))
       .withColumn("zbucket",
         expr(s"($zExpr) div ${(1L << (2 * ZBits)) / ZBuckets}"))
       .select(col("ok"), col("pk"), col("zbucket"))
@@ -487,8 +494,10 @@ object Export {
         FROM lineitem),
       q AS (
         SELECT l_orderkey AS ok, l_partkey AS pk,
-          (l_orderkey - mn_ok) * $side // (mx_ok - mn_ok + 1) AS qx,
-          (l_partkey - mn_pk) * $side // (mx_pk - mn_pk + 1) AS qy
+          CAST((CAST(l_orderkey AS HUGEINT) - mn_ok) * $side
+            // (CAST(mx_ok AS HUGEINT) - mn_ok + 1) AS BIGINT) AS qx,
+          CAST((CAST(l_partkey AS HUGEINT) - mn_pk) * $side
+            // (CAST(mx_pk AS HUGEINT) - mn_pk + 1) AS BIGINT) AS qy
         FROM lineitem, b),
       z AS (
         SELECT ok, pk,

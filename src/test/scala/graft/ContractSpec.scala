@@ -220,4 +220,115 @@ class ContractSpec extends SparkSpec {
     assert(missing.isEmpty,
       s"queries with no SURVEY §2 row: ${missing.toSeq.sorted.mkString(", ")}")
   }
+
+  test("every broadcast() hint in main is audited as bounded input") {
+    // r14's one scale defect: e21 forced a broadcast of its
+    // block-summary prefix frame, whose row count grows with the
+    // corpus (n_events/65536 per type) — a driver-collected broadcast
+    // that dies at the operator's own 100 TB design point. A hint is
+    // only safe when its input is bounded INDEPENDENT of corpus size:
+    //   one-row    — a global aggregate / planning scalar
+    //   k          — query-set / top-k / pivot / codebook frames
+    //   dim        — a dimension table or per-dimension aggregate
+    //                (event_type, source, brand, priority, sample,
+    //                vocab-cut term set, bin/bucket count)
+    //   benchmark  — the decontamination benchmark corpus (d6's
+    //                documented assumption; d14 is its no-broadcast
+    //                scale path)
+    // This gate audits the CLASS, not the instance: every distinct
+    // `broadcast(` call-site line below is classified; a new site (or
+    // an edit to one) fails the equality until it is re-audited here.
+    // Corpus-scale frames must join unhinted — AQE still broadcasts
+    // them while they are actually small.
+    val audited: Map[String, Map[String, String]] = Map(
+      "Tables.scala" -> Map(
+        "broadcast(load(spark, dir, name))" -> "dim (dimension-table loader)"),
+      "Dedup.scala" -> Map(
+        ".crossJoin(broadcast(nCapped)) // one row — in-plan, not a head()" -> "one-row",
+        ".join(broadcast(sizes.select(col(\"s\").as(\"source_a\")," -> "dim (per-source sizes)",
+        ".join(broadcast(sizes.select(col(\"s\").as(\"source_b\")," -> "dim (per-source sizes)",
+        "val bench = broadcast(docs.filter(col(\"source\") === benchmarkSource)" -> "benchmark (d6 contract; d14 = scale path)"),
+      "Events.scala" -> Map(
+        ".join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
+        "cum.join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
+        "daily.join(broadcast(stats), \"event_type\")" -> "dim (per-type moments)",
+        "val edges = broadcast(u2.agg(" -> "one-row (quartile edges)",
+        "val u2 = users.crossJoin(broadcast(anchor))" -> "one-row (anchor date)"),
+      "Graph.scala" -> Map(
+        ".crossJoin(broadcast(dang)) // one row — in-plan, not a head()" -> "one-row",
+        ".crossJoin(broadcast(tot)) // one row — in-plan, not a head()" -> "one-row",
+        "var dist = graft.Ckpt(nodes.crossJoin(broadcast(seeds))" -> "k (4 deterministic pivots)"),
+      "Ordination.scala" -> Map(
+        ".crossJoin(broadcast(gmean))" -> "one-row",
+        ".crossJoin(broadcast(ids.agg(" -> "one-row",
+        ".crossJoin(broadcast(nf))" -> "one-row",
+        ".join(broadcast(ids.select(col(\"sample\").as(\"sample_a\"), col(\"i\").as(\"ti\"))), \"sample_a\")" -> "dim (sample index)",
+        ".join(broadcast(ids.select(col(\"sample\").as(\"sample_b\"), col(\"i\").as(\"tj\"))), \"sample_b\")" -> "dim (sample index)",
+        ".join(broadcast(rm.select(col(\"i\"), col(\"rm\").as(\"rmi\"))), \"i\")" -> "dim (per-sample row means)",
+        ".join(broadcast(rm.select(col(\"i\").as(\"j\"), col(\"rm\").as(\"rmj\"))), \"j\")" -> "dim (per-sample row means)",
+        "toRow(m.crossJoin(broadcast(vrow))" -> "one-row (iteration vector)",
+        "val nf = broadcast(ids.agg(max(col(\"i\")).as(\"n\")).filter(col(\"n\") >= 2))" -> "one-row",
+        "val trace = broadcast(b.filter(col(\"i\") === col(\"j\"))" -> "one-row (trace scalar)"),
+      "Relational.scala" -> Map(
+        ".join(broadcast(df.select(col(\"brand\").as(\"brand_a\"), col(\"df\").as(\"df_a\"))), \"brand_a\")" -> "dim (per-brand df)",
+        ".join(broadcast(df.select(col(\"brand\").as(\"brand_b\"), col(\"df\").as(\"df_b\"))), \"brand_b\")" -> "dim (per-brand df)",
+        "l.join(broadcast(promo), col(\"l_partkey\") === col(\"p_partkey\"), \"left_semi\")" -> "dim (filtered part)",
+        "o.join(broadcast(mad), \"o_orderpriority\")" -> "dim (per-priority MAD)",
+        "val mad = o.join(broadcast(med), \"o_orderpriority\")" -> "dim (per-priority median)"),
+      "Similarity.scala" -> Map(
+        ".crossJoin(broadcast(stats))" -> "one-row (BM25 corpus stats)",
+        ".join(broadcast(dfQ), \"term\")" -> "k (query-term df)",
+        ".join(broadcast(qTerms.select(col(\"term\"))), Seq(\"term\"), \"left_semi\")" -> "k (query terms)",
+        "broadcast(centers.zipWithIndex.map { case (v, i) => (i, v) }" -> "k (IVF centroids)",
+        "broadcast(sel.withColumn(\"cell\", row_number().over(wCell))" -> "k (IVF centroid sample)",
+        "pair.join(broadcast(" -> "k (MMR selected set)",
+        "val contrib = broadcast(qTerms)" -> "k (query terms)",
+        "val deficient = broadcast(" -> "k (deficient queries)",
+        "val q = broadcast(e.filter(col(\"vec_id\") < 10)" -> "k (query set)",
+        "val q = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
+        "val q = broadcast(vecs.filter(col(\"vec_id\") < 5)" -> "k (query set)",
+        "val qVecs = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
+        "val queries = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
+        "val queries = broadcast(withBuckets(e.filter(col(\"vec_id\") < 5))" -> "k (query set)",
+        "val scored = broadcast(probes).join(assigned, Seq(\"cell\"))" -> "k (query×probe rows)",
+        "val scored = broadcast(probes).join(corpus, Seq(\"cell\"))" -> "k (query×probe rows)"),
+      "TextOps.scala" -> Map(
+        ".crossJoin(broadcast(best.select(col(\"a\").as(\"ba\"), col(\"b\").as(\"bb\"))))" -> "one-row (best merge pair)",
+        ".crossJoin(broadcast(n))" -> "one-row",
+        ".crossJoin(broadcast(tot))" -> "one-row",
+        ".crossJoin(broadcast(tot)) // one row — in-plan, not a head()" -> "one-row",
+        ".crossJoin(broadcast(vocab))" -> "dim (vocab-cut map)",
+        ".join(broadcast(rates.select(col(\"source\"), col(\"thresh\"))), \"source\")" -> "dim (per-source thresholds)",
+        ".join(broadcast(stats), \"b\")" -> "dim (FtBuckets-bounded stats)",
+        ".join(broadcast(tot), \"source\")" -> "dim (per-source totals)",
+        "ce.crossJoin(broadcast(thr))" -> "dim (tercile thresholds)",
+        "s.join(broadcast(tot), \"source\")" -> "dim (per-source totals)",
+        "val binned = ce.crossJoin(broadcast(bounds))" -> "one-row (histogram bounds)",
+        "val terms = tf.join(broadcast(tot), \"source\")" -> "dim (per-source totals)",
+        "val thr = cum.crossJoin(broadcast(bounds))" -> "one-row (histogram bounds)"),
+      "Export.scala" -> Map(
+        "l.crossJoin(broadcast(bounds))" -> "one-row (quantization bounds)"))
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val actual = scala.collection.mutable.Map[String, Set[String]]()
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val sigs = scala.io.Source.fromFile(p.toFile, "UTF-8").getLines()
+          .filter(_.contains("broadcast(")).map(_.trim).toSet
+        if (sigs.nonEmpty)
+          actual(p.getFileName.toString) =
+            actual.getOrElse(p.getFileName.toString, Set.empty) ++ sigs
+      }
+    }
+    val expected = audited.map { case (f, m) => f -> m.keySet }
+    assert(actual.toMap == expected,
+      "broadcast() audit drifted — classify the new/changed site(s) " +
+        "as one-row/k/dim bounded (or remove the hint if the input " +
+        "grows with the corpus):\n" +
+        (actual.keySet ++ expected.keySet).toSeq.sorted.flatMap { f =>
+          val a = actual.getOrElse(f, Set.empty)
+          val e = expected.getOrElse(f, Set.empty)
+          (a -- e).map(s => s"  UNAUDITED $f: $s") ++
+            (e -- a).map(s => s"  STALE     $f: $s")
+        }.mkString("\n"))
+  }
 }

@@ -487,6 +487,30 @@ class DedupSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("d19 per-pair levenshtein band: a book-length outlier neither " +
+       "changes the answer nor widens short pairs' DP cut") {
+    import spark.implicits._
+    // r14 derived the band from the GLOBAL max length (plus a
+    // separate driver-side max(len) planning scan): one long outlier
+    // widened every short pair's DP band (cost ≈ len × band). The
+    // band is now greatest(la, lb) per pair — this spec pins (a)
+    // answer invariance under an outlier, (b) the banded distance
+    // stays EXACT at the threshold edge for a short pair.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = base.replace("gamma", "gamme")
+    val small = Seq((1L, base), (2L, near)).toDF("doc_id", "text")
+    // (a) plant a ~120k-char unrelated outlier (shares no shingle)
+    val outlier = (1 to 20000).map(i => s"w$i").mkString(" ")
+    val withOutlier = small.union(Seq((3L, outlier)).toDF("doc_id", "text"))
+    val a = operators.Dedup.editDedup(small).collect().toSeq
+    val b = operators.Dedup.editDedup(withOutlier).collect().toSeq
+    assert(a == b, s"outlier changed the answer: $a vs $b")
+    // (b) the pair's own band ceil((1-0.8+5e-7)*56)+1 = 13 admits the
+    // true distance 1 — exact lev and sim survive the banded form
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) ==
+      Seq((1L, 2L, 1L)), a.toString)
+  }
+
   test("d16 duplicate-ngram rate: cross-doc shared grams, in-doc " +
        "repeats, unique and sub-width docs all land exactly") {
     import spark.implicits._
