@@ -115,6 +115,8 @@ object SparkEntry {
     "d17_lsh_recall" -> (Dedup.lshRecall _),
     "d18_containment" -> (Dedup.containment _),
     "d19_edit_dedup" -> ((s: SparkSession, d: String) => Dedup.editDedup(s, d)),
+    "d20_exact_substring" ->
+      ((s: SparkSession, d: String) => Dedup.exactSubstring(s, d)),
     "g1_pagerank" -> ((s: SparkSession, d: String) => Graph.g1Pagerank(s, d)),
     "g2_components" -> ((s: SparkSession, d: String) => Graph.g2Components(s, d)),
     "g3_triangles" -> ((s: SparkSession, d: String) => Graph.g3Triangles(s, d)),
@@ -1058,6 +1060,7 @@ object SparkEntry {
     "d17_lsh_recall" -> graft.operators.Dedup.d17OracleSql(),
     "d18_containment" -> graft.operators.Dedup.d18OracleSql(),
     "d19_edit_dedup" -> graft.operators.Dedup.d19OracleSql(),
+    "d20_exact_substring" -> graft.operators.Dedup.d20OracleSql(),
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "t29_zipf" -> graft.operators.TextOps.t29OracleSql,

@@ -1805,4 +1805,131 @@ object Dedup {
           / CAST(sum(tf) AS DOUBLE), 6) AS dup_rate
       FROM tf JOIN cf USING (g)
       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Default repeated-span width for [[exactSubstring]]'s registered
+    * entry. Lee et al. 2022 (§3, *ExactSubstr*) remove any ≥50-token
+    * span that appears more than once in the corpus; the synthetic
+    * `documents` table tops out at 99 tokens per doc, so the
+    * registered entry scales the width to 20 tokens (the method
+    * default stays at the paper's 50). */
+  final val ExactSubstrTokens = 20
+
+  /** d20: EXACT-SUBSTRING dedup audit (Lee et al. 2022 §3,
+    * *ExactSubstr*) — the span-grain exact complement of the gram-set
+    * family: d13/d16 score fixed-width gram OVERLAP per chunk/doc, but
+    * a long span duplicated at a shifted offset, or repeated INSIDE
+    * one document, is only fully visible as a maximal repeated-span
+    * region. Per document: total tokens, tokens covered by some
+    * ≥`spanTokens`-token span that occurs ≥2 times anywhere in the
+    * corpus (other docs or elsewhere in the same doc), the covered
+    * share, and the count of maximal contiguous covered regions
+    * (adjacent/overlapping matched spans merged).
+    *
+    * Scale shape — NO pair join anywhere (unlike every other d-op,
+    * duplication here needs only "does this span occur ≥2×", a per-
+    * gram COUNT): (1) an in-row projection explodes each doc into its
+    * starting-position spans (the unavoidable spanTokens× token
+    * inflation — the same materialization class as a suffix-array
+    * build, which blows the corpus up ~8× per byte); (2) one gram-
+    * keyed count aggregate finds repeated spans — partial aggregation
+    * collapses hot boilerplate grams map-side, so a span occurring
+    * 10⁹ times costs one reduce-side row, never a hub; (3) one gram-
+    * keyed LEFT SEMI join marks the duplicated start positions (the
+    * span-scale frame is deliberately recomputed for the probe side
+    * rather than checkpointed — it is the one frame here that is
+    * spanTokens× corpus size, and a second scan+projection is cheaper
+    * than materializing it); (4) run-merge is a per-doc window over
+    * MATCHED positions only (bounded by doc length): with fixed span
+    * width, interval ends are monotone in starts, so a maximal region
+    * breaks exactly where pos − lag(pos) > spanTokens, and each
+    * region covers last − first + spanTokens tokens. All integers;
+    * one round(6) share division per doc. */
+  def exactSubstring(spark: SparkSession, dir: String): DataFrame =
+    exactSubstring(Tables.parallel(Tables.load(spark, dir, "documents")),
+      ExactSubstrTokens)
+
+  def exactSubstring(docs: DataFrame, spanTokens: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = spanTokens
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    // (1) span starts: gram built IN-ROW before the explode so the
+    // exploded frame never carries the full token array per position
+    // (that projection would be n² tokens per doc, not n·L)
+    def starts = toks.filter(col("n") >= L)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - $L + 1), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(t, i, $L)) AS gram))"))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    // (2) repeated spans: total occurrence count ≥ 2 (cross-doc OR
+    // in-doc repeats both count — the paper's semantics)
+    val dupg = starts.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("gram")
+    // (3) matched start positions
+    val dupStarts = starts.join(dupg, Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
+    // (4) merge overlapping/adjacent spans into maximal covered runs
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = dupStarts
+      .withColumn("newrun", when(lag(col("pos"), 1).over(w).isNull
+        .or(col("pos") - lag(col("pos"), 1).over(w) > L), 1).otherwise(0))
+      .withColumn("rid", sum(col("newrun")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg((max(col("pos")) - min(col("pos")) + L).cast("long").as("covered"))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(sum(col("covered")).as("dup_toks"), count(lit(1)).as("nr"))
+    toks.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_toks"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("dup_toks"), lit(0L)).cast("double")
+          / col("n_tokens").cast("double"), 6).as("dup_rate"),
+        coalesce(col("nr"), lit(0L)).as("n_runs"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[exactSubstring]] — identical span explode,
+    * ≥2-occurrence cut, run merge (same fixed-width break rule) and
+    * share arithmetic over the raw `documents` table. */
+  def d20OracleSql(spanTokens: Int = ExactSubstrTokens): String = {
+    val L = spanTokens
+    s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+          len(string_split(text, ' ')) AS n FROM documents),
+      g AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(list_slice(t, i, i + $L - 1), ' ') AS gram
+        FROM toks, LATERAL unnest(generate_series(1, n - $L + 1)) AS s(i)
+        WHERE n >= $L),
+      dg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      ds AS (SELECT doc_id, pos FROM g
+             WHERE gram IN (SELECT gram FROM dg)),
+      fl AS (
+        SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER w IS NULL
+                 OR pos - lag(pos) OVER w > $L THEN 1 ELSE 0 END AS nr
+        FROM ds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      ri AS (
+        SELECT doc_id, pos, sum(nr) OVER (PARTITION BY doc_id
+          ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rid
+        FROM fl),
+      runs AS (
+        SELECT doc_id, rid,
+          CAST(max(pos) - min(pos) + $L AS BIGINT) AS covered
+        FROM ri GROUP BY doc_id, rid),
+      pd AS (
+        SELECT doc_id, CAST(sum(covered) AS BIGINT) AS n_dup_tokens,
+          count(*) AS n_runs
+        FROM runs GROUP BY doc_id)
+      SELECT toks.doc_id, CAST(toks.n AS BIGINT) AS n_tokens,
+        coalesce(pd.n_dup_tokens, 0) AS n_dup_tokens,
+        round(CAST(coalesce(pd.n_dup_tokens, 0) AS DOUBLE)
+          / CAST(toks.n AS DOUBLE), 6) AS dup_rate,
+        coalesce(pd.n_runs, 0) AS n_runs
+      FROM toks LEFT JOIN pd ON toks.doc_id = pd.doc_id
+      ORDER BY toks.doc_id"""
+  }
 }

@@ -511,6 +511,59 @@ class DedupSpec extends SparkSpec {
       Seq((1L, 2L, 1L)), a.toString)
   }
 
+  test("d20 exact-substring dedup: shifted cross-doc spans, in-doc " +
+       "repeats, run merging and sub-width docs land exactly") {
+    import spark.implicits._
+    val L = 5
+    // shared 7-token span planted at DIFFERENT offsets in docs 1 and 2
+    // — a fixed-chunk dedup (d13) grid-aligns and misses the shifted
+    // overlap; exact-substring coverage must catch every token of it
+    val span = "one two three four five six seven"
+    val d1 = s"aa bb cc $span xx yy zz"       // span at tokens 4..10
+    val d2 = s"$span pp qq rr ss tt uu vv"    // span at tokens 1..7
+    // doc 3: an IN-DOC repeat (the paper counts self-repeats) of a
+    // 5-token phrase, separated so the two runs do NOT merge
+    val rep = "k1 k2 k3 k4 k5"
+    val d3 = s"$rep m1 m2 m3 m4 m5 m6 $rep"
+    // doc 4: unique text, and doc 5: shorter than L tokens
+    val d4 = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    val d5 = "s1 s2 s3"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4), (5L, d5))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.exactSubstring(docs, spanTokens = L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // docs 1/2: the 7-token span yields 3 matched 5-gram starts that
+    // merge into ONE run covering exactly the 7 span tokens
+    assert(got(1L) == ((13L, 7L, math.rint(7.0 / 13 * 1e6) / 1e6, 1L)),
+      got.toString)
+    assert(got(2L) == ((14L, 7L, math.rint(7.0 / 14 * 1e6) / 1e6, 1L)),
+      got.toString)
+    // doc 3: two non-adjacent occurrences of the 5-token phrase = two
+    // runs of 5 covered tokens each
+    assert(got(3L) == ((16L, 10L, math.rint(10.0 / 16 * 1e6) / 1e6, 2L)),
+      got.toString)
+    // unique and sub-width docs report zero coverage (and the
+    // sub-width doc never produced a gram at all)
+    assert(got(4L) == ((10L, 0L, 0.0, 0L)), got.toString)
+    assert(got(5L) == ((3L, 0L, 0.0, 0L)), got.toString)
+    // adjacency boundary, both sides: matched starts exactly L apart
+    // cover contiguous tokens ([p, p+L−1] then [p+L, p+2L−1]) and MUST
+    // merge into one run; starts L+1 apart leave one uncovered token
+    // between the regions and MUST stay two runs. A and B are two
+    // L-token phrases each shared across docs 6/7; doc 7's extra "x"
+    // pushes B one token further.
+    val A = (1 to L).map(i => s"v$i").mkString(" ")
+    val B = (1 to L).map(i => s"b$i").mkString(" ")
+    val more = Seq((6L, s"$A $B"), (7L, s"$A x $B")).toDF("doc_id", "text")
+    val got2 = operators.Dedup.exactSubstring(more, spanTokens = L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(got2(6L) == ((10L, 1L)), s"L-apart starts did not merge: $got2")
+    assert(got2(7L) == ((10L, 2L)),
+      s"(L+1)-apart starts wrongly merged: $got2")
+  }
+
   test("d16 duplicate-ngram rate: cross-doc shared grams, in-doc " +
        "repeats, unique and sub-width docs all land exactly") {
     import spark.implicits._
