@@ -68,6 +68,7 @@ object SparkEntry {
     "q28_keyset" -> ((s: SparkSession, d: String) => Relational.q28Keyset(s, d)),
     "q29_scalar_subquery" -> (Relational.q29ScalarSubquery _),
     "q30_bray_curtis" -> (Relational.q30BrayCurtis _),
+    "q44_taxonomy_unifrac" -> (Relational.q44TaxonomyUnifrac _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1061,6 +1062,7 @@ object SparkEntry {
     "d18_containment" -> graft.operators.Dedup.d18OracleSql(),
     "d19_edit_dedup" -> graft.operators.Dedup.d19OracleSql(),
     "d20_exact_substring" -> graft.operators.Dedup.d20OracleSql(),
+    "q44_taxonomy_unifrac" -> graft.operators.Relational.q44OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "t29_zipf" -> graft.operators.TextOps.t29OracleSql,

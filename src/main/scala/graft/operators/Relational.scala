@@ -540,6 +540,135 @@ object Relational {
       .orderBy("sample_a", "sample_b")
   }
 
+  /** Number of hierarchy levels in [[q44TaxonomyUnifrac]]'s derived
+    * tree: mfgr → brand → (brand, type) → (brand, type, size) →
+    * partkey. Every leaf sits at depth 5 under unit branch lengths,
+    * so the normalization denominator is exactly 2 · 5. */
+  final val UnifracLevels = 5
+
+  /** q44: WEIGHTED UniFrac sample dissimilarity (Lozupone et al. 2007)
+    * — the taxonomy-AWARE companion to q30's Bray–Curtis on bpaotu's
+    * sample-comparison page: two samples whose abundance sits in
+    * sibling taxa (same brand, different size) are CLOSE under
+    * UniFrac but maximally far under any flat-taxon measure, because
+    * the tree shares their mass at every ancestor branch. Tree = the
+    * derived part hierarchy ([[UnifracLevels]] path levels, each
+    * branch length 1; path-composite node keys make every level nest
+    * by construction — p_type alone does not nest under brand, the
+    * (brand, type) pair does). WU(A,B) = Σ_branches |p_A − p_B| over
+    * the per-branch abundance SHARES p_X = subtree qty / sample
+    * total, normalized by its maximum 2·levels so the result lands in
+    * [0, 1] like q30.
+    *
+    * Scale shape: one fact-scale aggregation to the (sample, leaf
+    * path) matrix (checkpointed — five level rollups and the totals
+    * all read it); each level rollup, the share projection, and the
+    * pair join are aggregate-bounded (samples × nodes). The absent-
+    * node alignment problem dissolves the same way q30's does:
+    * Σ|p_A − p_B| = Σp_A + Σp_B − 2·Σ min(p_A, p_B), and absent
+    * branches contribute 0 to the min-sum — an inner node join, never
+    * a full-outer. Shares are round-12 quantized and every Σ runs as
+    * a DECIMAL sum (order-free, partitioning-independent); the single
+    * double division happens once at the end. */
+  def q44TaxonomyUnifrac(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+      .withColumn("p_mfgr", concat(lit("MFGR#"),
+        (element_at(split(col("p_brand"), "#"), 2).cast("int") % 5).cast("string")))
+    val ab = graft.Ckpt(l
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_mfgr"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty")))
+    unifracFromLeaves(ab)
+  }
+
+  /** [[q44TaxonomyUnifrac]]'s core over a pre-aggregated (n_name,
+    * p_mfgr, p_brand, p_type, p_size, p_partkey, qty DECIMAL) leaf
+    * matrix — split out so specs can plant exact tree geometries. */
+  def unifracFromLeaves(ab: DataFrame): DataFrame = {
+    val tot = ab.groupBy("n_name").agg(sum(col("qty")).as("s"))
+    // one rollup per tree level off the checkpointed leaf matrix;
+    // node ids carry the full ancestor path so levels nest exactly
+    def lvl(node: org.apache.spark.sql.Column): DataFrame =
+      ab.groupBy(col("n_name"), node.as("node")).agg(sum(col("qty")).as("nq"))
+    val nodes = lvl(concat(lit("M|"), col("p_mfgr")))
+      .union(lvl(concat(lit("B|"), col("p_brand"))))
+      .union(lvl(concat(lit("T|"), col("p_brand"), lit("|"), col("p_type"))))
+      .union(lvl(concat(lit("S|"), col("p_brand"), lit("|"), col("p_type"),
+        lit("|"), col("p_size").cast("string"))))
+      .union(lvl(concat(lit("P|"), col("p_partkey").cast("string"))))
+    val shares = nodes.join(tot, "n_name")
+      .select(col("n_name"), col("node"),
+        round(col("nq").cast("double") / col("s").cast("double"), 12)
+          .cast("decimal(13,12)").as("share"))
+    val sums = shares.groupBy("n_name").agg(sum(col("share")).as("ss"))
+    val mins = shares.as("a").join(shares.as("b"),
+        col("a.node") === col("b.node") && col("a.n_name") < col("b.n_name"))
+      .groupBy(col("a.n_name").as("sample_a"), col("b.n_name").as("sample_b"))
+      .agg(sum(least(col("a.share"), col("b.share"))).as("m"))
+    sums.as("ta").join(sums.as("tb"), col("ta.n_name") < col("tb.n_name"))
+      .select(col("ta.n_name").as("sample_a"), col("tb.n_name").as("sample_b"),
+        col("ta.ss").as("sa"), col("tb.ss").as("sb"))
+      .join(mins, Seq("sample_a", "sample_b"), "left_outer")
+      .select(col("sample_a"), col("sample_b"),
+        round((col("sa") + col("sb") - lit(2) * coalesce(col("m"),
+          lit(0).cast("decimal(13,12)"))).cast("double")
+          / lit(2.0 * UnifracLevels), 6).as("unifrac"))
+      .orderBy("sample_a", "sample_b")
+  }
+
+  /** DuckDB oracle for [[q44TaxonomyUnifrac]] — identical path-node
+    * rollups, round-12 share quantization, decimal min-sum identity
+    * and final normalization. */
+  def q44OracleSql: String = s"""
+      WITH pm AS (
+        SELECT p_partkey, p_brand, p_type, p_size,
+          'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) % 5
+            AS VARCHAR) AS p_mfgr
+        FROM part),
+      ab AS (
+        SELECT n_name, p_mfgr, p_brand, p_type, p_size, pm.p_partkey,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem JOIN pm ON l_partkey = pm.p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3, 4, 5, 6),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY 1),
+      nodes AS (
+        SELECT n_name, 'M|' || p_mfgr AS node, sum(qty) AS nq
+        FROM ab GROUP BY 1, 2
+        UNION ALL SELECT n_name, 'B|' || p_brand, sum(qty)
+        FROM ab GROUP BY 1, 2
+        UNION ALL SELECT n_name, 'T|' || p_brand || '|' || p_type, sum(qty)
+        FROM ab GROUP BY 1, 2
+        UNION ALL SELECT n_name, 'S|' || p_brand || '|' || p_type || '|'
+          || CAST(p_size AS VARCHAR), sum(qty)
+        FROM ab GROUP BY 1, 2
+        UNION ALL SELECT n_name, 'P|' || CAST(p_partkey AS VARCHAR), sum(qty)
+        FROM ab GROUP BY 1, 2),
+      sh AS (
+        SELECT nodes.n_name, node,
+          CAST(round(CAST(nq AS DOUBLE) / CAST(s AS DOUBLE), 12)
+            AS DECIMAL(13,12)) AS share
+        FROM nodes JOIN tot ON nodes.n_name = tot.n_name),
+      ss AS (SELECT n_name, sum(share) AS ss FROM sh GROUP BY 1),
+      mn AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.share, b.share)) AS m
+        FROM sh a JOIN sh b ON a.node = b.node AND a.n_name < b.n_name
+        GROUP BY 1, 2)
+      SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+        round(CAST(ta.ss + tb.ss - 2 * coalesce(m, 0) AS DOUBLE)
+          / ${2.0 * UnifracLevels}, 6) AS unifrac
+      FROM ss ta JOIN ss tb ON ta.n_name < tb.n_name
+      LEFT JOIN mn ON mn.sample_a = ta.n_name AND mn.sample_b = tb.n_name
+      ORDER BY sample_a, sample_b"""
+
   /** Taxonomy browse — the cascading-dropdown endpoint: with the upper
     * levels of the hierarchy fixed (here mfgr + type), list the
     * DISTINCT next-level values (brand) with the number of taxa, the

@@ -106,6 +106,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(res.forall(r => r.getString(0) < r.getString(1)))
   }
 
+  test("UniFrac covers every pair in [0,1] and rewards shared ancestry " +
+       "where flat-taxon measures cannot") {
+    import spark.implicits._
+    val res = graft.operators.Relational.q44TaxonomyUnifrac(spark, sfDir)
+      .collect()
+    val samples = (res.map(_.getString(0)) ++ res.map(_.getString(1)))
+      .distinct.length
+    assert(res.length == samples * (samples - 1) / 2,
+      s"expected all ${samples * (samples - 1) / 2} pairs, got ${res.length}")
+    assert(res.forall { r =>
+      val v = r.getDouble(2); v >= 0.0 && v <= 1.0
+    }, "UniFrac outside [0,1]")
+    assert(res.forall(r => r.getString(0) < r.getString(1)), "pair order")
+    // planted tree geometry with EXACT expected values: A and B are
+    // sibling taxa (same mfgr/brand/type, different size+part — they
+    // differ on 2 of the 5 levels ⇒ Σ|pA−pB| = 4 ⇒ 4/10); C sits
+    // under a different mfgr entirely (all 5 levels differ ⇒ 10/10).
+    // A flat-taxon measure (q30 semantics) calls BOTH pairs maximally
+    // dissimilar — the tree is what separates them.
+    val leaves = Seq(
+      ("A", "MFGR#1", "Brand#11", "ECONOMY", 1, 1L, BigDecimal("10.00")),
+      ("B", "MFGR#1", "Brand#11", "ECONOMY", 2, 2L, BigDecimal("10.00")),
+      ("C", "MFGR#2", "Brand#22", "STANDARD", 3, 3L, BigDecimal("10.00")))
+      .toDF("n_name", "p_mfgr", "p_brand", "p_type", "p_size", "p_partkey",
+        "qty")
+    val got = graft.operators.Relational.unifracFromLeaves(leaves).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got == Map(("A", "B") -> 0.4, ("A", "C") -> 1.0,
+      ("B", "C") -> 1.0), got.toString)
+    // identical distributions are at distance exactly 0
+    val twin = Seq(
+      ("A", "MFGR#1", "Brand#11", "ECONOMY", 1, 1L, BigDecimal("7.00")),
+      ("B", "MFGR#1", "Brand#11", "ECONOMY", 1, 1L, BigDecimal("3.00")))
+      .toDF("n_name", "p_mfgr", "p_brand", "p_type", "p_size", "p_partkey",
+        "qty")
+    val z = graft.operators.Relational.unifracFromLeaves(twin).collect()
+    assert(z.map(r => r.getDouble(2)).toSeq == Seq(0.0), z.mkString(","))
+  }
+
   test("PCoA axis is max-normalized and separates the most dissimilar pair") {
     val axis = graft.operators.Ordination.q31Pcoa(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
