@@ -191,6 +191,7 @@ object SparkEntry {
     "s12_cluster_profile" -> (Similarity.clusterProfile _),
     "s13_mips_topk" -> (Similarity.mipsTopk _),
     "s14_mmr_rerank" -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
+    "s15_ivf_append" -> ((s: SparkSession, d: String) => Similarity.ivfAppend(s, d)),
     "t22_gopher_rules" -> (TextOps.gopherRules _),
     "t23_mix_apply" -> (TextOps.mixApply _),
     "t24_dsir_weights" -> (TextOps.dsirWeights _),
@@ -1070,6 +1071,7 @@ object SparkEntry {
     "x11_zorder_export" -> graft.sources.Export.x11OracleSql,
     "x12_stats_manifest" -> graft.sources.Ingest.x12OracleSql,
     "s14_mmr_rerank" -> graft.operators.Similarity.s14OracleSql(),
+    "s15_ivf_append" -> graft.operators.Similarity.s15OracleSql(),
     "t30_template_prefix" -> graft.operators.TextOps.t30OracleSql,
     "t31_freq_spectrum" -> graft.operators.TextOps.t31OracleSql,
     "e22_burst" -> graft.operators.Events.e22OracleSql,

@@ -1685,4 +1685,149 @@ object Similarity {
       FROM rec, unnest(generate_series(1, $k)) t(i)
       WHERE step = $k
       ORDER BY q_id, mmr_rank"""
+
+  /** Cell count for [[ivfAppend]]'s registered entry (matches s3's
+    * deterministic-IVF cell count) and the index/batch hash split
+    * percentage (90% standing index, 10% arriving batch). */
+  final val IvfAppendK = 16
+  final val IvfAppendSplit = 90
+
+  /** s15: INCREMENTAL IVF index maintenance — the d15-for-vectors
+    * production shape. A standing IVF index is NOT retrained per
+    * ingest: the arriving batch is assigned to the EXISTING cells
+    * under the index's frozen centroids and appended to the
+    * cell-partitioned layout; what the operator needs per ingest is
+    * the DRIFT AUDIT that says when appending has degraded the index
+    * enough that a retrain pays — per cell: standing count, appended
+    * count, growth share, mean cosine-to-centroid of standing vs
+    * appended members, the drift between them (appended mass far from
+    * its nearest frozen centroid ⇒ the geometry has moved), and a
+    * `retrain` flag (batch ≥ half the cell, or rounded drift ≤ −0.02).
+    *
+    * Scale shape: centroid selection/probing machinery is shared with
+    * s3 ([[ivfCentroids]]/[[ivfAssign]] — k-bounded broadcasts, one
+    * map-side max_by argmin pass per frame, the shuffle carries one
+    * row per vector, never ×k; with driver-matrix centroids the
+    * assignment is the zero-shuffle native
+    * [[graft.functions.expressions.EuclidArgmin]] projection, and the
+    * append-equals-rebuild law is exactly why that is safe: under
+    * FROZEN centroids assignment is per-row, so batch-assign ≡ the
+    * batch's slice of a full union re-assignment — spec-gated). Per-
+    * cell cosine terms are round-12 quantized and summed as DECIMAL
+    * (order-free); the audit frame is k-bounded. */
+  def ivfAppend(spark: SparkSession, dir: String): DataFrame =
+    ivfAppend(Tables.parallel(Tables.load(spark, dir, "embeddings")),
+      IvfAppendK)
+
+  def ivfAppend(e: DataFrame, k: Int): DataFrame = {
+    val h = pmod(pmod(col("vec_id"), lit(1000000000L)) * lit(2654435761L),
+      lit(100))
+    ivfAppendFrom(e.filter(h < IvfAppendSplit),
+      e.filter(h >= IvfAppendSplit), k)
+  }
+
+  /** [[ivfAppend]]'s core over explicit index/batch frames — split out
+    * so specs can plant batches and prove append ≡ rebuild. */
+  def ivfAppendFrom(index: DataFrame, batch: DataFrame, k: Int): DataFrame = {
+    val spark = index.sparkSession
+    // centroids frozen from the STANDING index only — the whole point:
+    // an append must not silently retrain
+    val centroids = ivfCentroids(index, k)
+    def cellStats(x: DataFrame): DataFrame = ivfAssign(x, centroids)
+      .join(centroids, "cell")
+      .select(col("cell"),
+        round(graft.GraftFunctions.cosineSim(spark, col("cv"), col("centv")),
+          12).cast("decimal(14,12)").as("cs"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("cs")).as("scs"))
+    val si = cellStats(index)
+      .select(col("cell"), col("n").as("n_index"), col("scs").as("s_i"))
+    val sb = cellStats(batch)
+      .select(col("cell"), col("n").as("n_batch"), col("scs").as("s_b"))
+    // every cell has ≥1 standing member (each hash-selected centroid
+    // assigns to itself at cosine 1), so the standing side drives
+    si.join(sb, Seq("cell"), "left_outer")
+      .withColumn("n_batch", coalesce(col("n_batch"), lit(0L)))
+      .withColumn("mi", col("s_i").cast("double") / col("n_index"))
+      .withColumn("mb", col("s_b").cast("double") / col("n_batch"))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_index"), col("n_batch"),
+        round(col("n_batch").cast("double") / col("n_index").cast("double"),
+          6).as("growth"),
+        graft.GraftFunctions.roundz(col("mi"), 6).as("mean_cos_index"),
+        graft.GraftFunctions.roundz(col("mb"), 6).as("mean_cos_batch"),
+        graft.GraftFunctions.roundz(col("mb") - col("mi"), 6).as("drift"))
+      .withColumn("retrain",
+        (col("n_batch") * 2 >= col("n_index")) ||
+          coalesce(col("drift") <= -0.02, lit(false)))
+      .orderBy("cell")
+  }
+
+  /** DuckDB oracle for [[ivfAppend]] — s3's centroid/argmax CTEs with
+    * the index/batch hash split, identical round-12 decimal cosine
+    * sums, identical audit arithmetic. */
+  def s15OracleSql(k: Int = IvfAppendK): String = s"""
+      WITH idx AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE ((vec_id % 1000000000) * 2654435761) % 100 < $IvfAppendSplit),
+      bat AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE ((vec_id % 1000000000) * 2654435761) % 100 >= $IvfAppendSplit),
+      sel AS (
+        SELECT vec_id, embedding,
+          ((vec_id % 1000000000) * 2654435761) % 2147483647 AS hsh
+        FROM idx),
+      cent AS (
+        SELECT cell, centv FROM (
+          SELECT row_number() OVER (ORDER BY hsh, vec_id) AS cell,
+                 embedding AS centv
+          FROM sel) t
+        WHERE cell <= $k),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id),
+      cnorm AS (
+        SELECT cell, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT cell, unnest(centv) AS x FROM cent) GROUP BY cell),
+      adots AS (
+        SELECT c_id, cell, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT e.vec_id AS c_id, c.cell, unnest(e.embedding) AS x,
+                unnest(c.centv) AS y
+              FROM embeddings e, cent c) GROUP BY c_id, cell),
+      acos_all AS (
+        SELECT a.c_id, a.cell, a.dt / (n.nrm * cn.nrm) AS cs
+        FROM adots a
+        JOIN norms n ON n.vec_id = a.c_id
+        JOIN cnorm cn ON cn.cell = a.cell),
+      assign AS (
+        SELECT c_id, cell, cs FROM (
+          SELECT c_id, cell, cs,
+            row_number() OVER (PARTITION BY c_id ORDER BY cs DESC, cell) AS rn
+          FROM acos_all) t
+        WHERE rn = 1),
+      qi AS (
+        SELECT a.cell, count(*) AS n_index,
+          sum(CAST(round(a.cs, 12) AS DECIMAL(14,12))) AS s_i
+        FROM assign a JOIN idx ON idx.vec_id = a.c_id
+        GROUP BY a.cell),
+      qb AS (
+        SELECT a.cell, count(*) AS n_batch,
+          sum(CAST(round(a.cs, 12) AS DECIMAL(14,12))) AS s_b
+        FROM assign a JOIN bat ON bat.vec_id = a.c_id
+        GROUP BY a.cell),
+      j AS (
+        SELECT CAST(qi.cell AS BIGINT) AS cell, qi.n_index,
+          coalesce(qb.n_batch, 0) AS n_batch,
+          CAST(qi.s_i AS DOUBLE) / qi.n_index AS mi,
+          CAST(qb.s_b AS DOUBLE) / qb.n_batch AS mb
+        FROM qi LEFT JOIN qb ON qi.cell = qb.cell)
+      SELECT cell, n_index, n_batch,
+        round(CAST(n_batch AS DOUBLE) / CAST(n_index AS DOUBLE), 6) AS growth,
+        (round(mi, 6) + 0.0) AS mean_cos_index,
+        (round(mb, 6) + 0.0) AS mean_cos_batch,
+        (round(mb - mi, 6) + 0.0) AS drift,
+        (n_batch * 2 >= n_index)
+          OR coalesce((round(mb - mi, 6) + 0.0) <= -0.02, FALSE) AS retrain
+      FROM j ORDER BY cell"""
 }

@@ -783,4 +783,57 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr == Seq(10L, 12L),
       s"MMR failed to demote the near-duplicate: $mmr")
   }
+
+  test("IVF append: batch assignment under frozen centroids equals the " +
+       "batch slice of a full union re-assignment") {
+    // the law that makes append-without-retrain safe: with centroids
+    // FROZEN, assignment is per-row, so assigning only the batch must
+    // be bit-identical to re-assigning the whole union and slicing out
+    // the batch ids. If an implementation ever derives centroids from
+    // the union (a silent retrain), this breaks.
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val h = pmod(pmod(col("vec_id"), lit(1000000000L)) * lit(2654435761L),
+      lit(100))
+    val index = e.filter(h < Similarity.IvfAppendSplit)
+    val batch = e.filter(h >= Similarity.IvfAppendSplit)
+    val cents = Similarity.ivfCentroids(index, Similarity.IvfAppendK)
+    val direct = Similarity.ivfAssign(batch, cents)
+      .select(col("c_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batchIds = direct.keySet
+    val viaUnion = Similarity.ivfAssign(index.union(batch), cents)
+      .select(col("c_id"), col("cell")).collect()
+      .filter(r => batchIds(r.getLong(0)))
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(direct.nonEmpty, "empty batch — split broken")
+    assert(direct == viaUnion, "append diverged from union re-assignment")
+  }
+
+  test("IVF append audit: planted far-off batch mass trips the drift " +
+       "retrain flag, nearby mass does not") {
+    import spark.implicits._
+    // two tight index clusters on the axes (3 members each); k = 2
+    // hash-selected centroids land one per cluster (ids 1 and 5 carry
+    // the two smallest Knuth hashes of 1..6)
+    val index = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.05f)), (3L, Seq(1.0f, -0.05f)),
+      (4L, Seq(0.0f, 1.0f)), (5L, Seq(0.05f, 1.0f)), (6L, Seq(-0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // batch: one vector snug inside cluster A, one far from every
+    // centroid (lands somewhere, but with a collapsed cosine)
+    val batch = Seq(
+      (101L, Seq(1.0f, 0.02f)), (102L, Seq(-1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfAppendFrom(index, batch, 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(6), r.getBoolean(7)))
+    assert(got.length == 2 && got.map(_._1).sum == 6 &&
+      got.map(_._2).sum == 2, got.mkString(","))
+    // growth never triggers here (2·1 < 3); retrain is drift-only
+    val flagged = got.filter(_._4)
+    assert(flagged.length == 1, s"expected exactly one flagged cell: " +
+      got.mkString(","))
+    assert(flagged.head._3 <= -0.02 &&
+      got.filterNot(_._4).head._3 > -0.02,
+      s"drift/flag inconsistent: ${got.mkString(",")}")
+  }
 }
