@@ -136,6 +136,8 @@ object SparkEntry {
     "g14_local_clustering" ->
       ((s: SparkSession, d: String) => Graph.g14LocalClustering(s, d)),
     "g15_diameter" -> ((s: SparkSession, d: String) => Graph.g15Diameter(s, d)),
+    "g16_betweenness" ->
+      ((s: SparkSession, d: String) => Graph.g16Betweenness(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -1066,6 +1068,7 @@ object SparkEntry {
     "q44_taxonomy_unifrac" -> graft.operators.Relational.q44OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
+    "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),
     "t29_zipf" -> graft.operators.TextOps.t29OracleSql,
     "e21_watermark_audit" -> graft.operators.Events.e21OracleSql,
     "x11_zorder_export" -> graft.sources.Export.x11OracleSql,

@@ -2065,4 +2065,269 @@ object Graph {
           AS n_unreachable,
         n AS n_nodes
       FROM f2, nn GROUP BY n"""
+
+  /** Pivot count for [[g16Betweenness]] — g11's sampling rule. */
+  val G16Seeds = 4
+
+  def g16Betweenness(spark: SparkSession, dir: String): DataFrame =
+    g16Betweenness(Tables.load(spark, dir, "documents"))
+
+  /** g16: SAMPLED betweenness centrality (Brandes 2001 accumulation
+    * over Eppstein–Wang-style pivots) — the "who sits on the traffic"
+    * centrality g11's harmonic (closeness family) does not give:
+    * delta_s(v) sums, over shortest paths FROM pivot s, the fraction
+    * passing THROUGH v. Exact all-pairs Brandes is O(n·E) — dead at
+    * scale — so the estimate sums dependencies from [[G16Seeds]]
+    * deterministic pivots (smallest Knuth-hash rank, id tie-break —
+    * g11's rule, reproducible under re-runs and re-shards).
+    *
+    * Three phases, all on the (v, seed) keyed state so every pivot
+    * rides ONE shared exchange per step (never S separate BFS runs):
+    * (1) multi-source BFS distances — g11's exact-integer fixpoint
+    * (weight-0 self-edges, exact-sum probe, derived cap, steps
+    * recorded); (2) path counts sigma, level-synchronous: sigma(v) =
+    * Σ sigma(u) over edge-predecessors one level nearer the pivot —
+    * a driver loop over BFS levels (bounded by the graph's
+    * eccentricity, the quantity g15 measures), each step one
+    * edge-scale equi-join + count-style aggregate, sigma summed as
+    * DECIMAL(38,0) (path counts explode combinatorially — integer
+    * exact up to 38 digits, the same overflow headroom class as
+    * g1's DECIMAL rank); (3) Brandes' backward accumulation,
+    * descending the same levels: delta(v) = sigma_v · Σ_succ
+    * round((1 + delta_w)/sigma_w, 12), each per-successor term
+    * round-12 quantized and summed as DECIMAL(38,12) (order-free —
+    * partitioning-independent), one double multiply per node per
+    * level. Per-node state is one row — no neighbour lists, hub-safe.
+    * Betweenness = Σ over pivots of delta (pivot's own row excluded),
+    * an exact decimal fold, rounded once at the end.
+    *
+    * The simple-graph contract: sigma counts paths over the DISTINCT
+    * undirected neighbour relation (parallel derived edges would
+    * multiply path counts), so the traversal edge set is de-duplicated
+    * — exactly the `list(DISTINCT ...)` the oracle's adjacency takes. */
+  def g16Betweenness(docs0: DataFrame, nSeeds: Int = G16Seeds,
+                     maxSteps: Long = Long.MaxValue): DataFrame = {
+    val spine = docs0.select(col("doc_id"))
+    val h = spine.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g16 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    require(nSeeds >= 1 && nSeeds <= n, s"g16 seeds $nSeeds outside 1..$n")
+    val nodes = spine.select(col("doc_id").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fwd = syntheticFwd(spine, n).select(col("src"), col("dst"))
+    // simple undirected neighbour relation — sigma's path-count
+    // semantics require de-duplicated edges
+    val adj = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val undSelf = adj.select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionByName(nodes.select(col("v").as("src"), col("v").as("dst"),
+        lit(0L).as("w")))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      undSelf.count()
+      val seeds = nodes.select(col("v").as("seed"),
+          pmod(pmod(col("v"), lit(1000000000L)) * lit(2654435761L),
+            lit(2147483647L)).as("hk"))
+        .orderBy(col("hk"), col("seed"))
+        .limit(nSeeds)
+        .select(col("seed"))
+      val inf = n
+      val cap = math.min(maxSteps, n + CkptEvery)
+      // ---- phase 1: multi-source BFS distances (g11's fixpoint) ----
+      var dist = graft.Ckpt(nodes.crossJoin(broadcast(seeds))
+        .select(col("v"), col("seed"),
+          when(col("v") === col("seed"), lit(0L)).otherwise(lit(inf))
+            .as("dist")))
+      def tot(df: DataFrame): java.math.BigDecimal = df
+        .agg(coalesce(sum(col("dist").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+      var curTot = tot(dist)
+      var steps = 0L
+      var converged = n == 0L
+      while (!converged) {
+        val k = math.min(CkptEvery.toLong, cap - steps)
+        require(k > 0,
+          s"g16 BFS not converged after $steps steps " +
+            s"on $n nodes × $nSeeds seeds (cap $cap)")
+        var nxt = dist
+        for (_ <- 1L to k) {
+          nxt = undSelf
+            .join(nxt, col("src") === col("v"))
+            .groupBy(col("dst"), col("seed"))
+            .agg(min(col("dist") + col("w")).as("dist"))
+            .select(col("dst").as("v"), col("seed"), col("dist"))
+        }
+        steps += k
+        val nm = graft.Ckpt(nxt)
+        val nmTot = tot(nm)
+        converged = nmTot.compareTo(curTot) == 0
+        dist = nm
+        curTot = nmTot
+      }
+      val distF = dist
+      // highest populated BFS level — a one-row planning scalar that
+      // bounds both the forward and backward level loops
+      val maxLev = Option(distF.filter(col("dist") < inf)
+        .agg(max(col("dist"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      FixpointSteps.put("g16_betweenness", steps + 2 * maxLev)
+      // ---- phase 2: path counts, level-synchronous ----
+      val lvlSigma = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var sig = graft.Ckpt(distF.filter(col("dist") === 0L)
+        .select(col("v"), col("seed"),
+          lit(java.math.BigDecimal.ONE).cast("decimal(38,0)").as("sigma")))
+      lvlSigma += sig
+      for (lev <- 1L to maxLev) {
+        sig = graft.Ckpt(adj
+          .join(sig.select(col("v").as("src"), col("seed"), col("sigma")),
+            Seq("src"))
+          .select(col("dst").as("v"), col("seed"), col("sigma"))
+          .join(distF.filter(col("dist") === lev).select("v", "seed"),
+            Seq("v", "seed"), "left_semi")
+          .groupBy("v", "seed")
+          .agg(sum(col("sigma")).as("sigma")))
+        lvlSigma += sig
+      }
+      // ---- phase 3: Brandes backward accumulation ----
+      var delta = graft.Ckpt(lvlSigma(maxLev.toInt)
+        .select(col("v"), col("seed"), col("sigma"), lit(0.0).as("delta")))
+      val acc = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+      if (maxLev >= 1L) acc += delta
+      for (lev <- (maxLev - 1) to 0L by -1L) {
+        val terms = adj
+          .join(delta.select(col("v").as("dst"), col("seed"),
+            round((lit(1.0) + col("delta")) / col("sigma").cast("double"), 12)
+              .cast("decimal(38,12)").as("t")), Seq("dst"))
+          .select(col("src").as("v"), col("seed"), col("t"))
+          .join(distF.filter(col("dist") === lev).select("v", "seed"),
+            Seq("v", "seed"), "left_semi")
+          .groupBy("v", "seed").agg(sum(col("t")).as("ts"))
+        delta = graft.Ckpt(lvlSigma(lev.toInt)
+          .join(terms, Seq("v", "seed"), "left_outer")
+          .select(col("v"), col("seed"), col("sigma"),
+            when(col("ts").isNull, lit(0.0)).otherwise(
+              round(col("sigma").cast("double") * col("ts").cast("double"),
+                12)).as("delta")))
+        if (lev >= 1L) acc += delta
+      }
+      val bc =
+        if (acc.isEmpty) nodes.select(col("v"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)").as("b"))
+          .limit(0)
+        else acc.reduce(_ unionByName _)
+          .groupBy("v")
+          .agg(sum(col("delta").cast("decimal(38,12)")).as("b"))
+      nodes.join(bc, Seq("v"), "left_outer")
+        .select(col("v").as("doc_id"),
+          round(coalesce(col("b"),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"))
+            .cast("double"), 6).as("betweenness"))
+        .orderBy("doc_id")
+    } finally {
+      undSelf.unpersist(blocking = true)
+      adj.unpersist(blocking = true)
+      nodes.unpersist(blocking = true)
+    }
+  }
+
+  /** DuckDB oracle for [[g16Betweenness]] — g11's list-valued per-seed
+    * BFS recursion, then the same level-synchronous sigma recursion
+    * (HUGEINT — the DECIMAL(38,0) twin), then the same descending
+    * delta recursion with identical round-12 term quantization,
+    * decimal term sums and per-node double multiply. */
+  def g16OracleSql(nSeeds: Int = G16Seeds): String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      und AS MATERIALIZED (
+        SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+      adj AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(dst := dst, ns := ns))),
+          s -> s['ns']) AS m
+        FROM (SELECT dst, list(DISTINCT src) AS ns FROM und GROUP BY dst) g),
+      seeds AS MATERIALIZED (
+        SELECT doc_id AS seed FROM documents
+        ORDER BY ((doc_id % 1000000000) * 2654435761) % 2147483647, doc_id
+        LIMIT $nSeeds),
+      bfs AS (
+        SELECT 0 AS k, s.seed AS seed,
+          list_transform(generate_series(1, ni),
+            i -> CASE WHEN i - 1 = s.seed THEN CAST(0 AS BIGINT)
+                 ELSE n END) AS d,
+          CAST(NULL AS BIGINT[]) AS p
+        FROM seeds s, nn
+        UNION ALL
+        SELECT k + 1, seed,
+          list_transform(generate_series(1, ni), v ->
+            least(bfs.d[CAST(v AS INT)],
+              list_reduce(list_prepend(n,
+                list_transform(adj.m[CAST(v AS INT)],
+                  u -> bfs.d[CAST(u AS INT) + 1] + 1)),
+                (a, b) -> least(a, b)))) AS d,
+          bfs.d AS p
+        FROM bfs, nn, adj WHERE p IS NULL OR p <> d),
+      fdist AS MATERIALIZED (SELECT seed, d FROM bfs WHERE p = d),
+      ml AS MATERIALIZED (
+        SELECT coalesce(max(dv), 0) AS maxlev FROM (
+          SELECT unnest(d) AS dv FROM fdist), nn WHERE dv < n),
+      sig AS (
+        SELECT 0 AS k, seed, d,
+          list_transform(generate_series(1, ni), i ->
+            CASE WHEN d[CAST(i AS INT)] = 0 THEN CAST(1 AS HUGEINT)
+            ELSE CAST(0 AS HUGEINT) END) AS s
+        FROM fdist, nn
+        UNION ALL
+        SELECT k + 1, seed, d,
+          list_transform(generate_series(1, ni), v ->
+            CASE WHEN d[CAST(v AS INT)] = k + 1 THEN
+              coalesce(list_sum(list_transform(adj.m[CAST(v AS INT)],
+                u -> CASE WHEN d[CAST(u AS INT) + 1] = k
+                     THEN s[CAST(u AS INT) + 1]
+                     ELSE CAST(0 AS HUGEINT) END)), CAST(0 AS HUGEINT))
+            ELSE s[CAST(v AS INT)] END) AS s
+        FROM sig, nn, adj, ml WHERE k < ml.maxlev),
+      fsig AS MATERIALIZED (
+        SELECT sig.seed, sig.d, sig.s FROM sig, ml WHERE sig.k = ml.maxlev),
+      del AS (
+        SELECT 0 AS t, seed, d, s,
+          list_transform(generate_series(1, ni),
+            i -> CAST(0.0 AS DOUBLE)) AS dl
+        FROM fsig, nn
+        UNION ALL
+        SELECT t + 1, seed, d, s,
+          list_transform(generate_series(1, ni), v ->
+            CASE WHEN d[CAST(v AS INT)] = ml.maxlev - (t + 1) THEN
+              round(CAST(s[CAST(v AS INT)] AS DOUBLE) * CAST(
+                coalesce(list_sum(list_transform(adj.m[CAST(v AS INT)],
+                  u -> CASE WHEN d[CAST(u AS INT) + 1] = ml.maxlev - t
+                       THEN CAST(round((1.0 + dl[CAST(u AS INT) + 1])
+                         / CAST(s[CAST(u AS INT) + 1] AS DOUBLE), 12)
+                         AS DECIMAL(38,12))
+                       ELSE CAST(0 AS DECIMAL(38,12)) END)),
+                  CAST(0 AS DECIMAL(38,12))) AS DOUBLE), 12)
+            ELSE dl[CAST(v AS INT)] END) AS dl
+        FROM del, nn, adj, ml WHERE t < ml.maxlev),
+      fdel AS MATERIALIZED (
+        SELECT del.seed, del.d, del.dl FROM del, ml WHERE del.t = ml.maxlev)
+      SELECT t.doc_id,
+        round(CAST(coalesce(sum(CASE WHEN dv >= 1 AND dv < n
+            THEN CAST(dlv AS DECIMAL(38,12)) END),
+          CAST(0 AS DECIMAL(38,12))) AS DOUBLE), 6) AS betweenness
+      FROM (
+        SELECT d.doc_id, f.d[CAST(d.doc_id AS INT) + 1] AS dv,
+          f.dl[CAST(d.doc_id AS INT) + 1] AS dlv, nn.n
+        FROM fdel f, documents d, nn) t
+      GROUP BY t.doc_id ORDER BY t.doc_id"""
 }

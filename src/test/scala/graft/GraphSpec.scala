@@ -803,4 +803,69 @@ class GraphSpec extends SparkSpec {
       s"island not counted unreachable: $d")
     assert(d.getLong(4) == 2L, s"rooted component diameter: $d")
   }
+
+  test("g16 sampled betweenness matches a JVM Brandes replica (pivot " +
+       "rule, sigma path counts, round-12 backward accumulation)") {
+    import spark.implicits._
+    val n = 12
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val got = Graph.g16Betweenness(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // derived SIMPLE undirected graph (distinct neighbour relation —
+    // the operator's sigma contract) + g11's pivot rule
+    val fwd = for { s <- 0L until n.toLong; j <- 1 to Graph.OutDeg } yield {
+      val d0 = (((s * 7 + j) % 1000000000L) * 2654435761L) % 2147483647L % n
+      (s, if (d0 == s) (d0 + 1) % n else d0)
+    }
+    val adj = (fwd ++ fwd.map(_.swap)).distinct.groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).distinct }
+    val seeds = (0L until n.toLong)
+      .sortBy(v => (((v % 1000000000L) * 2654435761L) % 2147483647L, v))
+      .take(Graph.G16Seeds)
+    def r12(x: Double): BigDecimal =
+      BigDecimal.valueOf(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // plain sequential Brandes per pivot with the operator's exact
+    // quantization: per-successor terms rounded to 12 dp and summed
+    // exactly, one double multiply per node per level, rounded to 12
+    val acc = scala.collection.mutable.Map[Long, BigDecimal]()
+      .withDefaultValue(BigDecimal(0))
+    for (s <- seeds) {
+      var dist = Map(s -> 0L)
+      var frontier = Seq(s)
+      var lev = 0L
+      val sigma = scala.collection.mutable.Map(s -> BigInt(1))
+      while (frontier.nonEmpty) {
+        lev += 1
+        val next = frontier.flatMap(adj.getOrElse(_, Seq.empty))
+          .distinct.filterNot(dist.contains).sorted
+        next.foreach { v =>
+          dist += v -> lev
+          sigma(v) = adj(v).filter(u => dist.get(u).contains(lev - 1))
+            .map(u => sigma(u)).sum
+        }
+        frontier = next
+      }
+      val maxLev = dist.values.max
+      val delta = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (lev <- (maxLev - 1) to 0L by -1L;
+           v <- dist.collect { case (x, l) if l == lev => x }.toSeq.sorted) {
+        val ts = adj(v).filter(w => dist.get(w).contains(lev + 1))
+          .map(w => r12((1.0 + delta(w)) / sigma(w).toDouble))
+          .foldLeft(BigDecimal(0))(_ + _)
+        delta(v) =
+          if (ts == BigDecimal(0) &&
+              !adj(v).exists(w => dist.get(w).contains(lev + 1))) 0.0
+          else r12(sigma(v).toDouble * ts.toDouble).toDouble
+      }
+      for ((v, l) <- dist if l >= 1) acc(v) = acc(v) + r12(delta(v))
+    }
+    val want = (0L until n.toLong).map { v =>
+      (v, BigDecimal(acc(v).toDouble).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // non-vacuous: some node carries positive dependency
+    assert(want.exists(_._2 > 0.0))
+  }
 }
