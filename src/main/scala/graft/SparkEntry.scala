@@ -204,6 +204,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.templatePrefix(s, d)),
     "t31_freq_spectrum" ->
       ((s: SparkSession, d: String) => TextOps.freqSpectrum(s, d)),
+    "t32_unigram_lm" ->
+      ((s: SparkSession, d: String) => TextOps.unigramLm(s, d)),
     "t25_leakage_split" -> (TextOps.leakageSplit _),
     "t26_ppl_buckets" -> (TextOps.perplexityBuckets _),
     "e1_event_windows" -> (Events.eventWindows _),
@@ -1077,6 +1079,7 @@ object SparkEntry {
     "s15_ivf_append" -> graft.operators.Similarity.s15OracleSql(),
     "t30_template_prefix" -> graft.operators.TextOps.t30OracleSql,
     "t31_freq_spectrum" -> graft.operators.TextOps.t31OracleSql,
+    "t32_unigram_lm" -> graft.operators.TextOps.t32OracleSql(),
     "e22_burst" -> graft.operators.Events.e22OracleSql,
     "x13_snapshot_diff" -> graft.sources.Ingest.x13OracleSql,
     "m1_multimodal_meta" -> """

@@ -2040,4 +2040,192 @@ object TextOps {
           / CAST(any_value(t.n_total) AS DOUBLE), 6) AS occ_share
       FROM spec, tot t
       GROUP BY bucket ORDER BY bucket"""
+
+  /** t32 parameters: max piece length, seed-vocabulary size (top-N
+    * substrings by occurrence-weighted frequency, PLUS every single
+    * character — the coverage guarantee that keeps Viterbi total),
+    * and the FIXED EM step count (hard-EM has no finite fixpoint
+    * guarantee under re-quantized scores, so "the vocabulary after
+    * exactly K steps" is the scale-stable exact contract — the g1
+    * class). */
+  final val T32MaxPiece = 4
+  final val T32SeedN = 40
+  final val T32EmSteps = 2
+
+  /** t32: UNIGRAM-LM tokenizer training (Kudo 2018, the SentencePiece
+    * unigram model) beside t18's BPE — the OTHER mainstream subword
+    * trainer: instead of greedy pair merges, a piece VOCABULARY with
+    * log-probabilities under which each word is segmented by Viterbi
+    * into its most probable piece sequence. This implementation is
+    * the hard-EM (Viterbi-EM) form: (1) seed = the [[T32SeedN]] most
+    * frequent substrings of length ≤ [[T32MaxPiece]] plus all single
+    * chars, scored by ln frequency share; (2) each EM step Viterbi-
+    * segments the word vocabulary under current scores (E) and
+    * re-estimates scores from the weighted piece usage counts (M);
+    * pieces the Viterbi never uses drop out — the unigram PRUNE,
+    * emerging from the E-step rather than a separate heuristic.
+    *
+    * Determinism contract: piece scores are round-6 quantized before
+    * any comparison (t14's ln-ulp absorption); DP candidate scores
+    * are sums of those identical doubles in identical order; score
+    * ties break to the SHORTER piece (first-wins ascending-j fold,
+    * mirrored exactly by the oracle's list_reduce). Fixed
+    * [[T32EmSteps]] by contract.
+    *
+    * Scale shape: ONE corpus-scale tokenize+count shuffle builds the
+    * word vocabulary; everything after — substring explode, seed
+    * top-N, per-step Viterbi + usage aggregate — is VOCABULARY-
+    * bounded (Heaps-law ~10⁵ words at 100 TB), t18's exact cost
+    * class. The Viterbi is an in-row packed DP (t27's discipline):
+    * one `aggregate` builds the (score, backpointer) array — the
+    * per-position argmax is a nested constant-width fold over
+    * [[T32MaxPiece]] candidates — and one `aggregate` walks the
+    * backpointers out; the piece scores ride along as a broadcast
+    * one-row map column (vocab-bounded), so the whole E-step is a
+    * zero-shuffle projection over the word frame. */
+  def unigramLm(spark: SparkSession, dir: String): DataFrame =
+    unigramLm(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def unigramLm(docs: DataFrame, seedN: Int = T32SeedN,
+                emSteps: Int = T32EmSteps,
+                maxPiece: Int = T32MaxPiece): DataFrame = {
+    require(emSteps >= 1, s"t32 needs >= 1 EM step, got $emSteps")
+    val M = maxPiece
+    val w = graft.Ckpt(docs.select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("word"))))
+    // seed: every substring occurrence of length 1..M, weighted
+    val subs = graft.Ckpt(w.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(1, len), i ->
+            transform(sequence(1, least($M, len - i + 1)), j ->
+              substring(word, i, j))))""")).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("freq")))
+    val topN = subs.orderBy(col("freq").desc, col("piece")).limit(seedN)
+    val singles = subs.filter(length(col("piece")) === 1)
+    val seed = topN.unionByName(singles).distinct()
+    val tot0 = seed.agg(sum(col("freq")).as("tf"))
+    var vocab: DataFrame = graft.Ckpt(seed.crossJoin(broadcast(tot0))
+      .select(col("piece"),
+        round(log(col("freq").cast("double") / col("tf").cast("double")), 6)
+          .as("logp")))
+    // in-row Viterbi: dp = array of (best score, chosen piece length)
+    // per prefix; missing pieces carry a -1e18 penalty (never chosen
+    // while single chars exist); ties to the shorter piece via the
+    // strict-> first-wins ascending-j fold
+    val dpExpr = s"""aggregate(sequence(1, len),
+        array(struct(0.0D as s, 0 as j)),
+        (acc, i) -> concat(acc, array(
+          aggregate(sequence(1, least(i, $M)),
+            struct(cast('-Infinity' as double) as s, 0 as j),
+            (b, j) -> CASE WHEN element_at(acc, i - j + 1).s
+                + coalesce(element_at(pm, substring(word, i - j + 1, j)),
+                    -1.0E18D) > b.s
+              THEN struct(element_at(acc, i - j + 1).s
+                + coalesce(element_at(pm, substring(word, i - j + 1, j)),
+                    -1.0E18D) as s, j as j)
+              ELSE b END))))"""
+    val btExpr = """aggregate(sequence(1, len),
+        struct(len as pos, cast(array() as array<string>) as ps),
+        (a, x) -> CASE WHEN a.pos > 0 THEN struct(
+            a.pos - element_at(dp, a.pos + 1).j as pos,
+            concat(a.ps, array(substring(word,
+              a.pos - element_at(dp, a.pos + 1).j + 1,
+              element_at(dp, a.pos + 1).j))) as ps)
+          ELSE a END).ps"""
+    for (_ <- 1 to emSteps) {
+      val pm = vocab.agg(map_from_entries(
+        collect_list(struct(col("piece"), col("logp")))).as("pm"))
+      val counts = w.crossJoin(broadcast(pm))
+        .withColumn("dp", expr(dpExpr))
+        .withColumn("ps", expr(btExpr))
+        .select(col("cnt"), explode(col("ps")).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("c"))
+      val tot = counts.agg(sum(col("c")).as("tc"))
+      vocab = graft.Ckpt(counts.crossJoin(broadcast(tot))
+        .select(col("piece"), col("c"),
+          round(log(col("c").cast("double") / col("tc").cast("double")), 6)
+            .as("logp")))
+    }
+    vocab.select(col("piece"), col("c").as("cnt"),
+      graft.GraftFunctions.roundz(col("logp"), 6).as("logp"))
+      .orderBy("piece")
+  }
+
+  /** DuckDB oracle for [[unigramLm]] — identical seed construction,
+    * then [[T32EmSteps]] unrolled Viterbi-EM blocks (t18's generated-
+    * CTE discipline): the DP is a per-word list recursion carrying
+    * (scores, backpointers), the per-position argmax the same
+    * first-wins ascending-j fold, piece lookups through a sorted
+    * (piece, logp) list pair (missing → the same -1e18 penalty). */
+  def t32OracleSql(seedN: Int = T32SeedN, emSteps: Int = T32EmSteps): String = {
+    val M = T32MaxPiece
+    def step(k: Int) = s"""
+      pm$k AS MATERIALIZED (
+        SELECT list(piece ORDER BY piece) AS pl,
+          list(logp ORDER BY piece) AS ll FROM voc${k - 1}),
+      vit$k AS (
+        SELECT word, cnt, L, 0 AS i,
+          [CAST(0.0 AS DOUBLE)] AS bs, [0] AS bp
+        FROM wv
+        UNION ALL
+        SELECT word, cnt, L, i + 1,
+          list_append(bs, best['s']), list_append(bp, best['j'])
+        FROM (
+          SELECT word, cnt, L, i, bs, bp,
+            list_reduce(
+              list_transform(generate_series(1, least(i + 1, $M)), j ->
+                struct_pack(
+                  s := bs[i + 2 - j] + coalesce(
+                    ll[list_position(pl, substr(word, i + 2 - j, j))],
+                    -1e18),
+                  j := j)),
+              (a, b) -> CASE WHEN b['s'] > a['s'] THEN b ELSE a END) AS best
+          FROM vit$k, pm$k WHERE i < L) t),
+      f$k AS MATERIALIZED (
+        SELECT word, cnt, L, bp FROM vit$k WHERE i = L),
+      bt$k AS (
+        SELECT word, cnt, L AS pos, CAST([] AS VARCHAR[]) AS ps, bp FROM f$k
+        UNION ALL
+        SELECT word, cnt, pos - bp[pos + 1],
+          list_append(ps,
+            substr(word, pos - bp[pos + 1] + 1, bp[pos + 1])), bp
+        FROM bt$k WHERE pos > 0),
+      cnt$k AS MATERIALIZED (
+        SELECT piece, sum(cnt) AS c FROM (
+          SELECT cnt, unnest(ps) AS piece FROM bt$k WHERE pos = 0) t
+        GROUP BY piece),
+      tt$k AS (SELECT sum(c) AS tc FROM cnt$k),
+      voc$k AS MATERIALIZED (
+        SELECT piece, c,
+          round(ln(CAST(c AS DOUBLE) / CAST(tc AS DOUBLE)), 6) AS logp
+        FROM cnt$k, tt$k)"""
+    s"""
+      WITH RECURSIVE wv AS MATERIALIZED (
+        SELECT word, count(*) AS cnt, len(word) AS L FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        WHERE len(word) > 0 GROUP BY word),
+      subs AS MATERIALIZED (
+        SELECT substr(word, i, j) AS piece, sum(cnt) AS freq
+        FROM wv,
+          LATERAL unnest(generate_series(1, L)) a(i),
+          LATERAL unnest(generate_series(1, $M)) b(j)
+        WHERE i + j - 1 <= L
+        GROUP BY 1),
+      topn AS (
+        SELECT piece, freq FROM subs ORDER BY freq DESC, piece LIMIT $seedN),
+      seed AS (
+        SELECT DISTINCT piece, freq FROM (
+          SELECT * FROM topn
+          UNION ALL SELECT piece, freq FROM subs WHERE len(piece) = 1) u),
+      t0 AS (SELECT sum(freq) AS tf FROM seed),
+      voc0 AS MATERIALIZED (
+        SELECT piece,
+          round(ln(CAST(freq AS DOUBLE) / CAST(tf AS DOUBLE)), 6) AS logp
+        FROM seed, t0),
+      ${(1 to emSteps).map(step).mkString(",")}
+      SELECT piece, CAST(c AS BIGINT) AS cnt,
+        (round(logp, 6) + 0.0) AS logp
+      FROM voc$emSteps ORDER BY piece"""
+  }
 }

@@ -305,7 +305,10 @@ class ContractSpec extends SparkSpec {
         "s.join(broadcast(tot), \"source\")" -> "dim (per-source totals)",
         "val binned = ce.crossJoin(broadcast(bounds))" -> "one-row (histogram bounds)",
         "val terms = tf.join(broadcast(tot), \"source\")" -> "dim (per-source totals)",
-        "val thr = cum.crossJoin(broadcast(bounds))" -> "one-row (histogram bounds)"),
+        "val thr = cum.crossJoin(broadcast(bounds))" -> "one-row (histogram bounds)",
+        "var vocab: DataFrame = graft.Ckpt(seed.crossJoin(broadcast(tot0))" -> "one-row (seed total)",
+        "val counts = w.crossJoin(broadcast(pm))" -> "one-row (vocab-bounded score map)",
+        "vocab = graft.Ckpt(counts.crossJoin(broadcast(tot))" -> "one-row (usage total)"),
       "Export.scala" -> Map(
         "l.crossJoin(broadcast(bounds))" -> "one-row (quantization bounds)"))
     val root = java.nio.file.Paths.get("src/main/scala")

@@ -700,4 +700,82 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(corpus.map(_.getDouble(5)).sum - 1.0) < 1e-4)
     assert(math.abs(corpus.map(_.getDouble(6)).sum - 1.0) < 1e-4)
   }
+
+  test("t32 unigram-LM training matches a JVM hard-EM replica and " +
+       "beats greedy longest-match where greedy mis-segments") {
+    import spark.implicits._
+    // corpus engineered so Viterbi and greedy longest-match DISAGREE
+    // on "aab" under the learned scores: "ab" is frequent, "aa" rare,
+    // so a+ab beats greedy's aa+b. maxPiece = 2 keeps whole words
+    // from being single pieces.
+    val docs = (
+      (1 to 100).map(i => (i.toLong, "ab")) ++
+      (1 to 5).map(i => (100L + i, "aab"))).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.unigramLm(docs, maxPiece = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // ---- JVM replica with the operator's exact quantization ----
+    def r6(x: Double): Double = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val words = Map("ab" -> 100L, "aab" -> 5L)
+    val subs = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for ((w, c) <- words; i <- 0 until w.length;
+         j <- 1 to math.min(2, w.length - i))
+      subs(w.substring(i, i + j)) += c
+    val seedSet = (subs.toSeq.sortBy { case (p, f) => (-f, p) }.take(40) ++
+      subs.toSeq.filter(_._1.length == 1)).distinct
+    val tot0 = seedSet.map(_._2).sum
+    var logp: Map[String, Double] =
+      seedSet.map { case (p, f) => p -> r6(math.log(f.toDouble / tot0)) }.toMap
+    def viterbi(w: String): Seq[String] = {
+      val bs = Array.fill(w.length + 1)(0.0)
+      val bp = Array.fill(w.length + 1)(0)
+      for (i <- 1 to w.length) {
+        var best = Double.NegativeInfinity; var bj = 0
+        for (j <- 1 to math.min(i, 2)) {
+          val s = bs(i - j) +
+            logp.getOrElse(w.substring(i - j, i), -1.0e18)
+          if (s > best) { best = s; bj = j }
+        }
+        bs(i) = best; bp(i) = bj
+      }
+      var pos = w.length
+      val ps = scala.collection.mutable.ArrayBuffer[String]()
+      while (pos > 0) { ps += w.substring(pos - bp(pos), pos); pos -= bp(pos) }
+      ps.toSeq
+    }
+    var cnts: Map[String, Long] = Map.empty
+    for (_ <- 1 to graft.operators.TextOps.T32EmSteps) {
+      cnts = words.toSeq.flatMap { case (w, c) =>
+        viterbi(w).map(_ -> c) }
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      val tc = cnts.values.sum
+      logp = cnts.map { case (p, c) => p -> r6(math.log(c.toDouble / tc)) }
+    }
+    val want = cnts.toSeq.sortBy(_._1)
+      .map { case (p, c) => (p, c, r6(logp(p)) + 0.0) }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // ---- greedy cross-check: Viterbi strictly beats longest-match ----
+    def score(ps: Seq[String]): Double =
+      ps.map(p => logp.getOrElse(p, -1.0e18)).sum
+    def greedy(w: String): Seq[String] = {
+      var pos = 0
+      val ps = scala.collection.mutable.ArrayBuffer[String]()
+      while (pos < w.length) {
+        val j = (math.min(2, w.length - pos) to 1 by -1)
+          .find(j => logp.contains(w.substring(pos, pos + j))).getOrElse(1)
+        ps += w.substring(pos, pos + j); pos += j
+      }
+      ps.toSeq
+    }
+    assert(words.keys.forall(w => score(viterbi(w)) >= score(greedy(w))),
+      "Viterbi below greedy — DP broken")
+    // the planted word: the prune dropped aa/b (never used by any
+    // best segmentation), and Viterbi routes a+ab where a greedy
+    // longest-match under the SEED vocab would have taken aa+b
+    assert(viterbi("aab") == Seq("ab", "a"),
+      s"unexpected segmentation ${viterbi("aab")}")
+    assert(got.map(_._1).toSet == Set("a", "ab"),
+      s"prune kept unused pieces: ${got.map(_._1).toSet}")
+  }
 }
