@@ -1417,7 +1417,15 @@ object Dedup {
     * and intersections count cold shingles) — the trade that makes
     * the audit safe to point at a raw corpus sample; the default is
     * uncapped and exact. The candidate side stays the production
-    * path (band-bucketed, star-cappable via `maxBucket`). */
+    * path (band-bucketed, star-cappable via `maxBucket`).
+    *
+    * OPERATIONAL NOTE (applies to every `maxShingleDf`-taking op —
+    * d17, d18, d19): the uncapped default exists to keep the oracle
+    * gate exact on the curated test corpus. On a RAW web-scale
+    * corpus, SET the cap (e.g. a few thousand) before running —
+    * boilerplate shingles otherwise quadratically inflate the
+    * inverted-index self-join, and the loud `n_capped_shingles`
+    * column is the audit trail that the cut was engaged. */
   def lshRecall(spark: SparkSession, dir: String): DataFrame =
     lshRecall(Tables.parallel(Tables.load(spark, dir, "documents")))
 
