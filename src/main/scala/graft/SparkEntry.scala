@@ -69,6 +69,7 @@ object SparkEntry {
     "q29_scalar_subquery" -> (Relational.q29ScalarSubquery _),
     "q30_bray_curtis" -> (Relational.q30BrayCurtis _),
     "q44_taxonomy_unifrac" -> (Relational.q44TaxonomyUnifrac _),
+    "q45_core_taxa" -> (Relational.q45CoreTaxa _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1068,6 +1069,7 @@ object SparkEntry {
     "d19_edit_dedup" -> graft.operators.Dedup.d19OracleSql(),
     "d20_exact_substring" -> graft.operators.Dedup.d20OracleSql(),
     "q44_taxonomy_unifrac" -> graft.operators.Relational.q44OracleSql,
+    "q45_core_taxa" -> graft.operators.Relational.q45OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

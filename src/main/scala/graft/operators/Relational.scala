@@ -925,4 +925,108 @@ object Relational {
       FROM orders o JOIN mad m USING (o_orderpriority)
       GROUP BY o.o_orderpriority
       ORDER BY o.o_orderpriority"""
+
+  /** q45 core-membership threshold: a taxon is CORE to a group when
+    * it is present in at least this fraction of the group's samples
+    * (the conventional 80% prevalence cut of the core-microbiome
+    * literature). */
+  final val CoreTaxaPrevalence = 0.8
+
+  /** q45: CORE-TAXA prevalence screen — the "core microbiome"
+    * endpoint of the comparative layer (which taxa are consistently
+    * present across a group's samples, vs merely abundant in a few):
+    * per (region = group, taxon = p_type), the number of the group's
+    * samples (nation) where the taxon occurs, prevalence =
+    * n_present / n_samples, and the taxon's mean within-sample
+    * relative abundance over the samples where it IS present
+    * (mean-over-present is the standard core-taxa summary — absent
+    * samples say "not there", not "share 0"). Output keeps taxa at
+    * prevalence ≥ [[CoreTaxaPrevalence]].
+    *
+    * Determinism: shares are round-12 DECIMAL(13,12) (q44's
+    * quantization), the mean is an order-free DECIMAL sum divided by
+    * an exact integer count; prevalence is a ratio of two exact
+    * integers rounded once. The ≥-threshold compares the ROUNDED
+    * prevalence, so the cut sits on a 6-dp grid both engines share.
+    *
+    * Scale shape: ONE fact-scale shuffle builds the (group, sample,
+    * taxon) abundance matrix (exact DECIMAL sums, map-side partials);
+    * sample totals, presence counts, and the prevalence screen are
+    * all aggregate-bounded (groups × samples × taxa — dimension
+    * vocabulary, never fact cardinality). No pair join anywhere. */
+  def q45CoreTaxa(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.dim(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("p_type"))
+      .agg(sum(dec(col("l_quantity"))).as("qty")))
+    coreTaxaFromAbundance(ab)
+  }
+
+  /** [[q45CoreTaxa]]'s core over a pre-aggregated (r_name, n_name,
+    * p_type, qty DECIMAL) abundance matrix — split out so specs can
+    * plant exact prevalence geometries. */
+  def coreTaxaFromAbundance(ab: DataFrame): DataFrame = {
+    val tot = ab.groupBy("r_name", "n_name").agg(sum(col("qty")).as("s"))
+    val groupSize = tot.groupBy("r_name")
+      .agg(count(lit(1)).as("n_samples"))
+    val shares = ab.join(tot, Seq("r_name", "n_name"))
+      .select(col("r_name"), col("n_name"), col("p_type"),
+        round(col("qty").cast("double") / col("s").cast("double"), 12)
+          .cast("decimal(13,12)").as("share"))
+    shares.groupBy("r_name", "p_type")
+      .agg(count(lit(1)).as("n_present"),
+        sum(col("share")).as("share_sum"))
+      .join(groupSize, "r_name")
+      .withColumn("prevalence",
+        round(col("n_present").cast("double")
+          / col("n_samples").cast("double"), 6))
+      .filter(col("prevalence") >= CoreTaxaPrevalence)
+      .select(col("r_name"), col("p_type"), col("n_samples"),
+        col("n_present"), col("prevalence"),
+        round(col("share_sum").cast("double")
+          / col("n_present").cast("double"), 6).as("mean_share"))
+      .orderBy("r_name", "p_type")
+  }
+
+  /** DuckDB oracle for [[q45CoreTaxa]] — identical abundance matrix,
+    * round-12 share quantization, integer prevalence screen. */
+  def q45OracleSql: String = s"""
+      WITH ab AS (
+        SELECT r_name, n_name, p_type,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2, 3),
+      tot AS (
+        SELECT r_name, n_name, sum(qty) AS s FROM ab GROUP BY 1, 2),
+      gs AS (SELECT r_name, count(*) AS n_samples FROM tot GROUP BY 1),
+      sh AS (
+        SELECT ab.r_name, ab.n_name, p_type,
+          CAST(round(CAST(qty AS DOUBLE) / CAST(s AS DOUBLE), 12)
+            AS DECIMAL(13,12)) AS share
+        FROM ab JOIN tot ON ab.r_name = tot.r_name
+          AND ab.n_name = tot.n_name),
+      agg AS (
+        SELECT sh.r_name, p_type, count(*) AS n_present,
+          sum(share) AS share_sum, any_value(n_samples) AS n_samples
+        FROM sh JOIN gs ON sh.r_name = gs.r_name
+        GROUP BY 1, 2)
+      SELECT r_name, p_type, n_samples, n_present,
+        round(CAST(n_present AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
+          AS prevalence,
+        round(CAST(share_sum AS DOUBLE) / CAST(n_present AS DOUBLE), 6)
+          AS mean_share
+      FROM agg
+      WHERE round(CAST(n_present AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
+        >= $CoreTaxaPrevalence
+      ORDER BY r_name, p_type"""
 }

@@ -145,6 +145,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(z.map(r => r.getDouble(2)).toSeq == Seq(0.0), z.mkString(","))
   }
 
+  test("core-taxa screen keeps the 80%-prevalent taxon, drops the rare one, " +
+       "and averages shares over PRESENT samples only") {
+    import spark.implicits._
+    // region R, 5 samples. Z everywhere (prevalence 1.0), X in 4/5
+    // (exactly the 0.8 cut — must be KEPT, the boundary is >=),
+    // Y in 2/5 (0.4 — dropped).
+    val ab = Seq(
+      ("R", "s1", "Z", "60.00"), ("R", "s1", "X", "40.00"),
+      ("R", "s2", "Z", "60.00"), ("R", "s2", "X", "40.00"),
+      ("R", "s3", "Z", "60.00"), ("R", "s3", "X", "40.00"),
+      ("R", "s4", "Z", "20.00"), ("R", "s4", "X", "20.00"),
+      ("R", "s4", "Y", "60.00"),
+      ("R", "s5", "Z", "50.00"), ("R", "s5", "Y", "50.00"))
+      .map { case (r, n, t, q) => (r, n, t, BigDecimal(q)) }
+      .toDF("r_name", "n_name", "p_type", "qty")
+    val got = graft.operators.Relational.coreTaxaFromAbundance(ab).collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set("X", "Z"), s"wrong core set: $got")
+    // X present in s1..s4: shares 0.4, 0.4, 0.4, 0.2 → mean 0.35
+    assert(got("X") == ((5L, 4L, 0.8, 0.35)), got.toString)
+    // Z: 0.6, 0.6, 0.6, 0.2, 0.5 → mean 0.5
+    assert(got("Z") == ((5L, 5L, 1.0, 0.5)), got.toString)
+    // sf corpus invariants: prevalence respects the cut, present <= group
+    val res = graft.operators.Relational.q45CoreTaxa(spark, sfDir).collect()
+    assert(res.nonEmpty, "empty core set on the sf corpus")
+    assert(res.forall(r => r.getDouble(4) >= 0.8 &&
+      r.getLong(3) <= r.getLong(2)), "prevalence cut violated")
+    assert(res.forall { r =>
+      val m = r.getDouble(5); m > 0.0 && m <= 1.0 }, "mean share range")
+  }
+
   test("PCoA axis is max-normalized and separates the most dissimilar pair") {
     val axis = graft.operators.Ordination.q31Pcoa(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
