@@ -139,6 +139,8 @@ object SparkEntry {
     "g15_diameter" -> ((s: SparkSession, d: String) => Graph.g15Diameter(s, d)),
     "g16_betweenness" ->
       ((s: SparkSession, d: String) => Graph.g16Betweenness(s, d)),
+    "g17_link_predict" ->
+      ((s: SparkSession, d: String) => Graph.g17LinkPredict(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -1073,6 +1075,7 @@ object SparkEntry {
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),
+    "g17_link_predict" -> graft.operators.Graph.g17OracleSql,
     "t29_zipf" -> graft.operators.TextOps.t29OracleSql,
     "e21_watermark_audit" -> graft.operators.Events.e21OracleSql,
     "x11_zorder_export" -> graft.sources.Export.x11OracleSql,

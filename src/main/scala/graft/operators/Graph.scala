@@ -2330,4 +2330,121 @@ object Graph {
           f.dl[CAST(d.doc_id AS INT) + 1] AS dlv, nn.n
         FROM fdel f, documents d, nn) t
       GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+  /** Candidate horizon of [[g17LinkPredict]] — the endpoint is "the
+    * K strongest missing links", not a full quadratic score table. */
+  final val G17TopK = 20
+
+  /** g17: LINK PREDICTION by common-neighbor evidence — the "which
+    * edge is missing" counterpart of the descriptive graph family
+    * (the crawl-frontier / related-source suggestion a link-graph
+    * pipeline runs after the census ops): for every NON-adjacent
+    * pair (x < y) sharing at least one neighbor, the common-neighbor
+    * count and the Adamic–Adar score AA = Σ_{z ∈ N(x)∩N(y)} 1/ln d_z
+    * (Adamic & Adar 2003 — hub centers are down-weighted because a
+    * shared hub is weak evidence). Output = the [[G17TopK]] strongest
+    * candidates by (AA desc, x, y).
+    *
+    * Determinism: per-center weights 1/ln(d) are round-12 quantized
+    * DECIMAL(13,12) and summed order-free as DECIMAL; the ranking
+    * compares the EXACT decimal sum (ties broken on ids), so the
+    * top-K horizon is engine- and partitioning-stable; the double
+    * cast + round(6) happens once, after the horizon.
+    *
+    * Scale shape: candidate pairs are generated as wedges at their
+    * common neighbor — per-center cost d_z², the hub-quadratic risk
+    * class — so the Edges entry takes `maxCenterDegree` (d17's
+    * df-cut discipline): centers above the cap are EXCLUDED from
+    * evidence and LOUDLY counted in `n_capped_centers` (for AA the
+    * cut is also principled: a dropped center contributes the
+    * smallest possible weight 1/ln d). The default is uncapped and
+    * exact — the oracle gate runs exact; a raw web-scale link graph
+    * sets the cap. The final top-K is a TakeOrdered (map-side heap),
+    * never a full sort. */
+  def g17LinkPredict(spark: SparkSession, dir: String): DataFrame =
+    g17LinkPredict(Tables.load(spark, dir, "documents"))
+
+  def g17LinkPredict(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(n > 0, "g17 needs a non-empty documents frame")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g17 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g17Core(simpleUndirected(syntheticFwd(docs, n)))
+  }
+
+  /** General entry — explicit (src, dst) edge list, arbitrary sparse
+    * 64-bit ids; `maxCenterDegree` caps the wedge fan-out per common
+    * neighbor (uncapped = exact). */
+  def g17LinkPredictEdges(edges0: DataFrame,
+      maxCenterDegree: Long = Long.MaxValue): DataFrame =
+    g17Core(simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))), maxCenterDegree)
+
+  private def g17Core(simple: DataFrame,
+      maxCenterDegree: Long = Long.MaxValue): DataFrame = {
+    val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val adj = simple.select(col("a").as("z"), col("b").as("x"))
+      .union(simple.select(col("b").as("z"), col("a").as("x")))
+    val withDeg = graft.Ckpt(adj
+      .join(deg.select(col("v").as("z"), col("d")), "z"))
+    val nCapped = withDeg.filter(col("d") > maxCenterDegree)
+      .agg(countDistinct(col("z")).as("n_capped_centers"))
+    val kept = withDeg.filter(col("d") <= maxCenterDegree)
+      .withColumn("w", round(lit(1.0) / log(col("d").cast("double")), 12)
+        .cast("decimal(13,12)"))
+    val cand = kept.select(col("z"), col("x"), col("w"))
+      .join(kept.select(col("z"), col("x").as("y")), "z")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("cn"), sum(col("w")).as("aaq"))
+    cand
+      .join(simple.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .crossJoin(broadcast(nCapped)) // one row — in-plan, not a head()
+      .orderBy(col("aaq").desc, col("x"), col("y"))
+      .limit(G17TopK)
+      .select(col("x"), col("y"), col("cn"),
+        round(col("aaq").cast("double"), 6).as("adamic_adar"),
+        col("n_capped_centers"))
+  }
+
+  /** DuckDB oracle for [[g17LinkPredict]] — identical wedge-at-center
+    * derivation, round-12 decimal weights, exact-decimal ranking. */
+  def g17OracleSql: String = s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      fwd AS (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      simple AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM fwd),
+      deg AS (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) t
+        GROUP BY v),
+      adj AS (
+        SELECT a AS z, b AS x FROM simple
+        UNION ALL SELECT b, a FROM simple),
+      kept AS MATERIALIZED (
+        SELECT z, x,
+          CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 12) AS DECIMAL(13,12)) AS w
+        FROM adj JOIN deg ON adj.z = deg.v),
+      cand AS (
+        SELECT p.x AS x, q.x AS y, count(*) AS cn, sum(p.w) AS aaq
+        FROM kept p JOIN kept q ON p.z = q.z AND p.x < q.x
+        GROUP BY 1, 2)
+      SELECT x, y, cn,
+        round(CAST(aaq AS DOUBLE), 6) AS adamic_adar,
+        CAST(0 AS BIGINT) AS n_capped_centers
+      FROM cand
+      WHERE NOT EXISTS (SELECT 1 FROM simple s
+                        WHERE s.a = cand.x AND s.b = cand.y)
+      ORDER BY aaq DESC, x, y LIMIT $G17TopK"""
 }

@@ -257,6 +257,7 @@ class ContractSpec extends SparkSpec {
       "Graph.scala" -> Map(
         ".crossJoin(broadcast(dang)) // one row — in-plan, not a head()" -> "one-row",
         ".crossJoin(broadcast(tot)) // one row — in-plan, not a head()" -> "one-row",
+        ".crossJoin(broadcast(nCapped)) // one row — in-plan, not a head()" -> "one-row (cap audit count)",
         "var dist = graft.Ckpt(nodes.crossJoin(broadcast(seeds))" -> "k (4 deterministic pivots)"),
       "Ordination.scala" -> Map(
         ".crossJoin(broadcast(gmean))" -> "one-row",

@@ -868,4 +868,65 @@ class GraphSpec extends SparkSpec {
     // non-vacuous: some node carries positive dependency
     assert(want.exists(_._2 > 0.0))
   }
+
+  test("g17 link prediction matches a JVM Adamic-Adar replica and the " +
+       "center-degree cap is loud and principled") {
+    import spark.implicits._
+    def r12(x: Double): BigDecimal =
+      BigDecimal.valueOf(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal): Double =
+      BigDecimal.valueOf(x.toDouble).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    // replica over the derived graph at n = 12 (g16's harness)
+    val n = 12
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val got = Graph.g17LinkPredict(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val fwd = for { s <- 0L until n.toLong; j <- 1 to Graph.OutDeg } yield {
+      val d0 = (((s * 7 + j) % 1000000000L) * 2654435761L) % 2147483647L % n
+      (s, if (d0 == s) (d0 + 1) % n else d0)
+    }
+    val simple = fwd.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (simple ++ simple.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+    val deg = adj.map { case (v, ns) => v -> ns.size }
+    val want = (for {
+      x <- 0L until n.toLong; y <- (x + 1) until n.toLong
+      if !adj.getOrElse(x, Set.empty).contains(y)
+      common = adj.getOrElse(x, Set.empty) & adj.getOrElse(y, Set.empty)
+      if common.nonEmpty
+    } yield {
+      val aa = common.toSeq.sorted
+        .map(z => r12(1.0 / math.log(deg(z).toDouble)))
+        .foldLeft(BigDecimal(0))(_ + _)
+      (x, y, common.size.toLong, aa)
+    }).sortBy { case (x, y, _, aa) => (-aa, x, y) }
+      .take(Graph.G17TopK)
+      .map { case (x, y, cn, aa) => (x, y, cn, r6(aa), 0L) }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    assert(want.nonEmpty, "replica found no candidate pairs")
+    // planted cap geometry: star 0-(1..5) + chain 5-6-7. Uncapped, the
+    // hub contributes 10 leaf pairs at weight 1/ln 5; capped at 4 the
+    // hub is excluded (LOUDLY counted) and only the two degree-2
+    // wedges (0,6) and (5,7) survive at weight 1/ln 2.
+    val planted = (1L to 5L).map(v => (0L, v)) ++ Seq((5L, 6L), (6L, 7L))
+    val wHub = r6(r12(1.0 / math.log(5.0)))
+    val w2 = r6(r12(1.0 / math.log(2.0)))
+    val un = Graph.g17LinkPredictEdges(planted.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(un.count(_._4 == wHub) == 10, s"hub pairs: ${un.toSeq}")
+    assert(un.take(2).map(t => (t._1, t._2, t._4)).toSet ==
+      Set((0L, 6L, w2), (5L, 7L, w2)), s"ranking: ${un.toSeq}")
+    assert(un.forall(_._5 == 0L), "uncapped run reported capped centers")
+    val capped = Graph.g17LinkPredictEdges(planted.toDF("src", "dst"),
+      maxCenterDegree = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(capped.map(t => (t._1, t._2, t._3, t._4)).toSet ==
+      Set((0L, 6L, 1L, w2), (5L, 7L, 1L, w2)), s"capped: ${capped.toSeq}")
+    assert(capped.forall(_._5 == 1L), s"cap audit count: ${capped.toSeq}")
+  }
 }
