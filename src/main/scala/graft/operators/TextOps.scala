@@ -2228,4 +2228,115 @@ object TextOps {
         (round(logp, 6) + 0.0) AS logp
       FROM voc$emSteps ORDER BY piece"""
   }
+
+  /** Absolute discount of [[knBigramLm]] — the conventional 0.75 of
+    * the Kneser–Ney literature (Chen & Goodman 1999 report D ≈
+    * n₁/(n₁+2n₂) ≈ 0.75 across corpora; the fixed literal keeps the
+    * operator parameter-free and the oracle byte-identical). */
+  final val KnDiscount = 0.75
+
+  /** t33: interpolated KNESER–NEY bigram scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1999) — the smoothing the production LM-quality
+    * stack (KenLM / CCNet) actually uses, beside t20's add-one
+    * baseline: P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·) +
+    * (D·N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/N₁₊(··). The continuation
+    * probability is what add-one cannot express: a word that appears
+    * OFTEN but only after one fixed context ("Francisco") gets a low
+    * backoff weight even though its unigram count is high — exactly
+    * the template/boilerplate signature the quality filter wants to
+    * see through. Per-doc output = mean −ln P over the doc's bigrams
+    * (t20's fold), so the two scores are directly comparable.
+    *
+    * Exactness: every model quantity (bigram count, context total,
+    * distinct-successor/predecessor counts, type count) is an exact
+    * integer; each probability is ONE double expression phrased
+    * identically in both engines (c ≥ 1 > D so the max(·,0) clamp of
+    * the general form is vacuous within-corpus, stated not coded);
+    * the per-doc fold runs in bigram-sorted order (t17's index-order
+    * fold) and round(6) absorbs ln()'s libm ulp.
+    *
+    * Scale shape: identical to t20 — the corpus pays ONE (doc,
+    * bigram) count shuffle; all four model frames derive from the
+    * checkpointed bigram-type frame by vocab-scale aggregates (no
+    * second corpus scan); the type-count total is a one-row
+    * broadcast; scoring is two vocab-keyed equi-joins (sort-merge at
+    * scale, AQE skew-split if one context dominates). */
+  def knBigramLm(spark: SparkSession, dir: String): DataFrame =
+    knBigramLm(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def knBigramLm(docs: DataFrame): DataFrame = {
+    val d = lit(KnDiscount)
+    val bg = graft.Ckpt(
+      docs.select(col("doc_id"), explode(expr(
+        """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+           (s, idx) -> concat(s, ' ', element_at(split(text, ' '), idx + 2)))"""))
+        .as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf")))
+    val cb = graft.Ckpt(bg.groupBy("bg").agg(sum(col("tf")).as("cnt"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1)))
+    val ctx = cb.groupBy("w1")
+      .agg(sum(col("cnt")).as("ctx_cnt"), count(lit(1)).as("n1_fwd"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("n1_bwd"))
+    val types = cb.agg(count(lit(1)).as("n_types"))
+    bg.join(cb.select(col("bg"), col("cnt"), col("w1"), col("w2")), "bg")
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .withColumn("contrib", col("tf").cast("double") * -log(
+        (col("cnt").cast("double") - d) / col("ctx_cnt").cast("double")
+          + (d * col("n1_fwd").cast("double")
+              / col("ctx_cnt").cast("double"))
+            * (col("n1_bwd").cast("double") / col("n_types").cast("double"))))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("bg"), col("contrib"))))
+          .as("cs"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("contrib"))
+          / col("n_bigrams").cast("double"), 6).as("kn_cross_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[knBigramLm]] — identical model counts and
+    * the byte-identical probability expression. */
+  def t33OracleSql: String = s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bgx AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM w),
+      bg AS (SELECT doc_id, bg, count(*) AS tf FROM bgx GROUP BY 1, 2),
+      cb AS MATERIALIZED (
+        SELECT bg, sum(tf) AS cnt,
+          string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[-1] AS w2
+        FROM bg GROUP BY bg),
+      ctx AS (
+        SELECT w1, sum(cnt) AS ctx_cnt, count(*) AS n1_fwd
+        FROM cb GROUP BY 1),
+      cont AS (SELECT w2, count(*) AS n1_bwd FROM cb GROUP BY 1),
+      types AS (SELECT count(*) AS n_types FROM cb),
+      contribs AS (
+        SELECT doc_id, bg.bg AS bg, tf,
+          CAST(tf AS DOUBLE) * -ln(
+            (CAST(cnt AS DOUBLE) - $KnDiscount) / CAST(ctx_cnt AS DOUBLE)
+              + ($KnDiscount * CAST(n1_fwd AS DOUBLE)
+                  / CAST(ctx_cnt AS DOUBLE))
+                * (CAST(n1_bwd AS DOUBLE) / CAST(n_types AS DOUBLE)))
+            AS contrib
+        FROM bg JOIN cb USING (bg)
+        JOIN ctx ON ctx.w1 = cb.w1
+        JOIN cont ON cont.w2 = cb.w2, types),
+      perdoc AS (
+        SELECT doc_id,
+          list_transform(list_sort(list(struct_pack(bg := bg,
+            contrib := contrib))), s -> s['contrib']) AS cs,
+          CAST(sum(tf) AS BIGINT) AS n_bigrams
+        FROM contribs GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cs),
+            (acc, x) -> acc + x)
+          / CAST(n_bigrams AS DOUBLE), 6) AS kn_cross_entropy
+      FROM perdoc ORDER BY doc_id"""
 }

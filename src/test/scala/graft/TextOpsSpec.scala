@@ -778,4 +778,51 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set("a", "ab"),
       s"prune kept unused pieces: ${got.map(_._1).toSet}")
   }
+
+  test("t33 Kneser-Ney matches a JVM replica and rewards continuation " +
+       "diversity where add-one smoothing is blind") {
+    import spark.implicits._
+    // 'hub' follows THREE distinct contexts (q, a, b); 'solo' follows
+    // only q. The bigrams "q hub" and "q solo" have identical counts
+    // and the identical context total, so ONLY the continuation term
+    // can separate the two docs.
+    val corpus = Seq(
+      (1L, "q hub"), (2L, "q solo"), (3L, "a hub"), (4L, "b hub"))
+    val got = TextOps.knBigramLm(corpus.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // JVM replica with the operator's exact arithmetic
+    val D = TextOps.KnDiscount
+    val bgs = corpus.flatMap { case (id, t) =>
+      t.split(" ").sliding(2).filter(_.length == 2)
+        .map(p => (id, p(0) + " " + p(1))).toSeq }
+    val perDoc = bgs.groupBy(identity).toSeq
+      .map { case ((id, bg), l) => (id, bg, l.size.toLong) }
+    val cb = bgs.map(_._2).groupBy(identity)
+      .map { case (bg, l) => bg -> l.size.toLong }
+    val ctx = cb.groupBy(_._1.split(" ")(0))
+      .map { case (w1, m) => w1 -> ((m.values.sum, m.size)) }
+    val cont = cb.groupBy(_._1.split(" ").last)
+      .map { case (w2, m) => w2 -> m.size }
+    val nTypes = cb.size
+    val want = perDoc.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, l) =>
+      val cs = l.sortBy(_._2).map { case (_, bg, tf) =>
+        val (cc, n1f) = ctx(bg.split(" ")(0))
+        val p = (cb(bg).toDouble - D) / cc.toDouble +
+          (D * n1f.toDouble / cc.toDouble) *
+            (cont(bg.split(" ").last).toDouble / nTypes.toDouble)
+        tf.toDouble * -math.log(p)
+      }
+      val n = l.map(_._3).sum
+      (id, n, BigDecimal(cs.foldLeft(0.0)(_ + _) / n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    val ce = got.map(r => r._1 -> r._3).toMap
+    assert(ce(1L) < ce(2L),
+      s"diverse continuation not rewarded: hub=${ce(1L)} solo=${ce(2L)}")
+    // sf corpus sanity: every scored doc finite and positive
+    val sf = TextOps.knBigramLm(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall { r =>
+      val v = r.getDouble(2); !v.isNaN && v > 0.0 }, "sf corpus scoring")
+  }
 }
