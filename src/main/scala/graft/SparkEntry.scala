@@ -236,6 +236,7 @@ object SparkEntry {
     "e20_log_quantile_hist" -> (Events.logQuantileHist _),
     "e21_watermark_audit" -> (Events.watermarkAudit _),
     "e22_burst" -> (Events.burstProfile _),
+    "e23_cms_heavy_hitters" -> (Events.cmsHeavyHitters _),
     "e17_daily_topk" -> ((s: SparkSession, d: String) => Events.dailyTopk(s, d)),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
@@ -1088,6 +1089,7 @@ object SparkEntry {
     "t31_freq_spectrum" -> graft.operators.TextOps.t31OracleSql,
     "t32_unigram_lm" -> graft.operators.TextOps.t32OracleSql(),
     "e22_burst" -> graft.operators.Events.e22OracleSql,
+    "e23_cms_heavy_hitters" -> graft.operators.Events.e23OracleSql,
     "x13_snapshot_diff" -> graft.sources.Ingest.x13OracleSql,
     "m1_multimodal_meta" -> """
       SELECT doc_id,

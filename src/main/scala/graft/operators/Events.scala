@@ -1212,4 +1212,95 @@ object Events {
       b AS (SELECT user_id, max(in_win) AS burst FROM w GROUP BY 1)
       SELECT burst, count(*) AS n_users
       FROM b GROUP BY burst ORDER BY burst"""
+
+  /** Count–Min sketch geometry of [[cmsHeavyHitters]]: depth × width
+    * counters is the ENTIRE reduce-side state. The row-hash constants
+    * are fixed odd multipliers (xxhash's published primes) under the
+    * Mersenne prime 2³¹−1; (p−1)·max(A) < 2⁶³ so the multiply never
+    * wraps — unlike x11's audited quantize, there is no key-range
+    * precondition at all. */
+  final val CmsDepth = 4
+  final val CmsWidth = 256L
+  final val CmsTopK = 10
+  final val CmsPrime = 2147483647L
+  val CmsA: Seq[Long] = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  val CmsB: Seq[Long] = Seq(1L, 7L, 13L, 19L)
+
+  /** e23: COUNT–MIN heavy-hitter accuracy audit (Cormode &
+    * Muthukrishnan 2005) — the MERGEABLE-sketch counterpart of e17's
+    * exact daily top-k: build the [[CmsDepth]]×[[CmsWidth]] sketch
+    * over the per-user event stream, then report, for the exact
+    * top-[[CmsTopK]] users, the sketch's estimate (min over the
+    * user's depth counters) beside the exact count and the overshoot.
+    * CMS never underestimates, so `overshoot ≥ 0` is a structural
+    * invariant (spec-gated); the audit is what sizes width/depth
+    * before the sketch replaces the exact count in a streaming or
+    * multi-tenant rollup.
+    *
+    * Everything is integer arithmetic on fixed public constants —
+    * fully deterministic, so unlike e18's HLL this sketch is
+    * oracle-gated bit-for-bit, not rows-only.
+    *
+    * Scale shape: the sketch build is ONE explode([[CmsDepth]]) +
+    * count with map-side combine whose reduce state is the
+    * depth×width counter table — CONSTANT size regardless of corpus
+    * (the mergeability that makes CMS the 100 TB shape: executor
+    * partials are themselves sketches). The exact top-k is a
+    * TakeOrdered heap over the per-user aggregate; the estimate join
+    * broadcasts the constant-size counter table. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    cmsHeavyHitters(Tables.load(spark, dir, "events"))
+
+  def cmsHeavyHitters(events: DataFrame): DataFrame = {
+    val aArr = array(CmsA.map(lit): _*)
+    val bArr = array(CmsB.map(lit): _*)
+    def bucket(u: org.apache.spark.sql.Column,
+               r: org.apache.spark.sql.Column) =
+      pmod(pmod(pmod(u, lit(CmsPrime)) * element_at(aArr, r + 1)
+        + element_at(bArr, r + 1), lit(CmsPrime)), lit(CmsWidth))
+    val keyed = events.select(col("user_id").as("u"))
+    val counters = keyed
+      .select(col("u"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("r"))
+      .groupBy(col("r"), bucket(col("u"), col("r")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val top = keyed.groupBy("u").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("u")).limit(CmsTopK)
+    top
+      .select(col("u"), col("exact_cnt"),
+        explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("r"))
+      .withColumn("bucket", bucket(col("u"), col("r")))
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy("u")
+      .agg(first(col("exact_cnt")).as("exact_cnt"),
+        min(col("c")).as("cms_est"))
+      .select(col("u").as("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overshoot"))
+      .orderBy(col("exact_cnt").desc, col("user_id"))
+  }
+
+  /** DuckDB oracle for [[cmsHeavyHitters]] — identical hash lattice,
+    * counter table, and min-estimate. */
+  def e23OracleSql: String = s"""
+      WITH params AS (
+        SELECT * FROM (VALUES ${CmsA.zip(CmsB).zipWithIndex.map {
+          case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")})
+          t(r, a, b)),
+      ex AS (SELECT user_id AS u, count(*) AS exact_cnt
+             FROM events GROUP BY 1),
+      top AS (SELECT u, exact_cnt FROM ex
+              ORDER BY exact_cnt DESC, u LIMIT $CmsTopK),
+      sk AS (
+        SELECT r, ((e.user_id % $CmsPrime) * a + b) % $CmsPrime
+          % $CmsWidth AS bucket, count(*) AS c
+        FROM events e, params GROUP BY 1, 2),
+      est AS (
+        SELECT t.u, any_value(t.exact_cnt) AS exact_cnt,
+          min(c) AS cms_est
+        FROM top t JOIN params p ON true
+        JOIN sk ON sk.r = p.r AND sk.bucket =
+          ((t.u % $CmsPrime) * p.a + p.b) % $CmsPrime % $CmsWidth
+        GROUP BY t.u)
+      SELECT u AS user_id, exact_cnt, cms_est,
+        cms_est - exact_cnt AS overshoot
+      FROM est ORDER BY exact_cnt DESC, user_id"""
 }

@@ -249,6 +249,7 @@ class ContractSpec extends SparkSpec {
         ".join(broadcast(sizes.select(col(\"s\").as(\"source_b\")," -> "dim (per-source sizes)",
         "val bench = broadcast(docs.filter(col(\"source\") === benchmarkSource)" -> "benchmark (d6 contract; d14 = scale path)"),
       "Events.scala" -> Map(
+        ".join(broadcast(counters), Seq(\"r\", \"bucket\"))" -> "k (depth×width sketch counters — constant)",
         ".join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
         "cum.join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
         "daily.join(broadcast(stats), \"event_type\")" -> "dim (per-type moments)",

@@ -484,6 +484,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
   }
 
+  test("count-min heavy-hitter audit matches a JVM sketch replica and " +
+       "never underestimates") {
+    import spark.implicits._
+    import graft.operators.Events
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1 × 5 events, user 2 × 3, users 3..12 × 1 → top-10 by
+    // (count desc, id) = 1, 2, then 3..10
+    val evs = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ (3L to 12L))
+      .zipWithIndex
+      .map { case (u, i) => (i.toLong, ts(i.toLong), u, "view", 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.cmsHeavyHitters(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // JVM sketch replica with the operator's exact hash lattice
+    val counts = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ (3L to 12L))
+      .groupBy(identity).map { case (u, l) => u -> l.size.toLong }
+    def bucket(u: Long, r: Int): Long =
+      ((u % Events.CmsPrime) * Events.CmsA(r) + Events.CmsB(r)) %
+        Events.CmsPrime % Events.CmsWidth
+    val counters = (for { (u, c) <- counts.toSeq; r <- 0 until Events.CmsDepth }
+      yield ((r, bucket(u, r)), c))
+      .groupBy(_._1).map { case (k, l) => k -> l.map(_._2).sum }
+    val want = counts.toSeq.sortBy { case (u, c) => (-c, u) }
+      .take(Events.CmsTopK)
+      .map { case (u, c) =>
+        val est = (0 until Events.CmsDepth)
+          .map(r => counters((r, bucket(u, r)))).min
+        (u, c, est, est - c)
+      }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // CMS structural guarantee + audit shape on the sf corpus
+    val sf = Events.cmsHeavyHitters(spark, sfDir).collect()
+    assert(sf.length == Events.CmsTopK, s"expected top-${Events.CmsTopK}")
+    assert(sf.forall(r => r.getLong(3) >= 0L && r.getLong(2) >= r.getLong(1)),
+      "CMS underestimated a count")
+  }
+
   test("keep-best picks the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val docs = Seq(
