@@ -299,6 +299,7 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(n))" -> "one-row",
         ".crossJoin(broadcast(tot))" -> "one-row",
         ".crossJoin(broadcast(tot)) // one row — in-plan, not a head()" -> "one-row",
+        ".crossJoin(broadcast(types))" -> "one-row (bigram type count)",
         ".crossJoin(broadcast(vocab))" -> "dim (vocab-cut map)",
         ".join(broadcast(rates.select(col(\"source\"), col(\"thresh\"))), \"source\")" -> "dim (per-source thresholds)",
         ".join(broadcast(stats), \"b\")" -> "dim (FtBuckets-bounded stats)",
