@@ -1830,4 +1830,120 @@ object Similarity {
         (n_batch * 2 >= n_index)
           OR coalesce((round(mb - mi, 6) + 0.0) <= -0.02, FALSE) AS retrain
       FROM j ORDER BY cell"""
+
+  /** Coreset size of [[kcenterSelect]]'s registered entry. */
+  final val KCenterK = 8
+
+  /** s16: greedy K-CENTER coreset selection (Gonzalez 1985 max-min
+    * farthest-first) — the diversity-SELECTION stage of a curation
+    * pipeline, where s14's MMR is the diversity-RANKING stage of
+    * retrieval: pick k vectors such that every remaining vector is
+    * close to some pick (the 2-approximation of the k-center
+    * objective; the classic coreset seed for clustering / dedup
+    * panels / eval-set sampling). Seed = min vec_id; each step adds
+    * the vector FARTHEST (cosine distance) from the current picks;
+    * output carries `coverage` = the max-min distance at selection —
+    * the radius trace that says when the coreset stopped buying
+    * anything.
+    *
+    * Determinism (s14's cross-engine greedy contract): every
+    * similarity is round(9)-quantized, d = 1.0 − cos on those
+    * identical doubles, the per-vector min-distance state is a
+    * least()-fold over the SAME value set in both engines (min is
+    * order-free), and the per-step argmax breaks ties on the smaller
+    * vec_id via one lexicographic struct max.
+    *
+    * Scale shape: the O(k·n²) textbook form collapses to k
+    * INCREMENTAL passes — after a pick, the min-distance state
+    * updates by one least() against the ONE new center (a one-row
+    * broadcast), so each step is a zero-shuffle projection plus one
+    * struct-max aggregate (map-side partials); state frames are
+    * checkpointed on the Ckpt cadence. The quadratic pair table
+    * exists ONLY in the DuckDB oracle. */
+  def kcenterSelect(spark: SparkSession, dir: String): DataFrame =
+    kcenterSelect(Tables.parallel(Tables.load(spark, dir, "embeddings")),
+      KCenterK)
+
+  def kcenterSelect(e: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"s16 needs k >= 1, got $k")
+    val spark = e.sparkSession
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    def dist(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      lit(1.0) - round(graft.GraftFunctions.cosineSim(spark, v, c), 9)
+    val seed = vecs.agg(min(col("vec_id")).as("c_id"))
+    val seedVec = vecs.join(broadcast(seed), col("vec_id") === col("c_id"))
+      .select(col("embedding").as("cv"))
+    var centers: DataFrame = seed
+      .select(lit(1L).as("sel_rank"), col("c_id"), lit(0.0).as("dmin"))
+    var state = graft.Ckpt(vecs
+      .join(broadcast(seed), col("vec_id") === col("c_id"), "left_anti")
+      .crossJoin(broadcast(seedVec))
+      .select(col("vec_id"), col("embedding"),
+        dist(col("embedding"), col("cv")).as("md")))
+    for (step <- 2 to k) {
+      val winner = state
+        .agg(max(struct(col("md").as("md"), (-col("vec_id")).as("nid")))
+          .as("w"))
+        .select((-col("w.nid")).as("c_id"), col("w.md").as("dmin"))
+      centers = graft.Ckpt(centers.unionByName(
+        winner.select(lit(step.toLong).as("sel_rank"), col("c_id"),
+          col("dmin"))))
+      if (step < k) {
+        val wVec = vecs.join(broadcast(winner), col("vec_id") === col("c_id"))
+          .select(col("embedding").as("cv"))
+        state = graft.Ckpt(state
+          .join(broadcast(winner), col("vec_id") === col("c_id"), "left_anti")
+          .crossJoin(broadcast(wVec))
+          .select(col("vec_id"), col("embedding"),
+            least(col("md"), dist(col("embedding"), col("cv"))).as("md")))
+      }
+    }
+    centers.select(col("sel_rank"), col("c_id").as("vec_id"),
+        graft.GraftFunctions.roundz(col("dmin"), 6).as("coverage"))
+      .orderBy("sel_rank")
+  }
+
+  /** DuckDB oracle for [[kcenterSelect]] — the identical round-9
+    * distance grid and struct-max greedy recursion; the all-pairs
+    * distance table is the ORACLE's luxury (the operator never
+    * materializes it). */
+  def s16OracleSql(k: Int = KCenterK): String = s"""
+      WITH RECURSIVE
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id),
+      dots AS (
+        SELECT a_id, b_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                unnest(a.embedding) AS x, unnest(b.embedding) AS y
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id <> b.vec_id)
+        GROUP BY a_id, b_id),
+      dist AS MATERIALIZED (
+        SELECT a_id, b_id,
+          1.0 - round(dt / (na.nrm * nb.nrm), 9) AS d
+        FROM dots JOIN norms na ON na.vec_id = a_id
+        JOIN norms nb ON nb.vec_id = b_id),
+      seed AS (SELECT min(vec_id) AS s FROM embeddings),
+      rec(step, sel, ds) AS (
+        SELECT 1, [s], [CAST(0.0 AS DOUBLE)] FROM seed
+        UNION ALL
+        SELECT step + 1,
+          list_append(sel, -(max(struct_pack(m := md, t := -vec_id))['t'])),
+          list_append(ds, max(struct_pack(m := md, t := -vec_id))['m'])
+        FROM (
+          SELECT r.step AS step, r.sel AS sel, r.ds AS ds,
+            v.vec_id AS vec_id, min(d.d) AS md
+          FROM rec r
+          JOIN embeddings v ON NOT list_contains(r.sel, v.vec_id)
+          JOIN dist d ON d.a_id = v.vec_id AND list_contains(r.sel, d.b_id)
+          WHERE r.step < $k
+          GROUP BY r.step, r.sel, r.ds, v.vec_id) x
+        GROUP BY step, sel, ds)
+      SELECT i AS sel_rank, sel[i] AS vec_id,
+        (round(ds[i], 6) + 0.0) AS coverage
+      FROM rec, unnest(generate_series(1, $k)) t(i)
+      WHERE step = $k
+      ORDER BY sel_rank"""
 }

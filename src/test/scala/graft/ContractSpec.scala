@@ -293,7 +293,13 @@ class ContractSpec extends SparkSpec {
         "val queries = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
         "val queries = broadcast(withBuckets(e.filter(col(\"vec_id\") < 5))" -> "k (query set)",
         "val scored = broadcast(probes).join(assigned, Seq(\"cell\"))" -> "k (query×probe rows)",
-        "val scored = broadcast(probes).join(corpus, Seq(\"cell\"))" -> "k (query×probe rows)"),
+        "val scored = broadcast(probes).join(corpus, Seq(\"cell\"))" -> "k (query×probe rows)",
+        "val seedVec = vecs.join(broadcast(seed), col(\"vec_id\") === col(\"c_id\"))" -> "one-row (k-center seed)",
+        ".join(broadcast(seed), col(\"vec_id\") === col(\"c_id\"), \"left_anti\")" -> "one-row (k-center seed)",
+        ".crossJoin(broadcast(seedVec))" -> "one-row (seed vector)",
+        "val wVec = vecs.join(broadcast(winner), col(\"vec_id\") === col(\"c_id\"))" -> "one-row (step winner)",
+        ".join(broadcast(winner), col(\"vec_id\") === col(\"c_id\"), \"left_anti\")" -> "one-row (step winner)",
+        ".crossJoin(broadcast(wVec))" -> "one-row (winner vector)"),
       "TextOps.scala" -> Map(
         ".crossJoin(broadcast(best.select(col(\"a\").as(\"ba\"), col(\"b\").as(\"bb\"))))" -> "one-row (best merge pair)",
         ".crossJoin(broadcast(n))" -> "one-row",

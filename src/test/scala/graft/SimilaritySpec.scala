@@ -836,4 +836,59 @@ class SimilaritySpec extends SparkSpec {
       got.filterNot(_._4).head._3 > -0.02,
       s"drift/flag inconsistent: ${got.mkString(",")}")
   }
+
+  test("s16 k-center equals a JVM farthest-first replica and one pick " +
+       "lands in each planted cluster") {
+    import spark.implicits._
+    val e = Tables.load(spark, sfDir, "embeddings")
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dt += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dt / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def replica(emb: Map[Long, Array[Float]], k: Int)
+        : Seq[(Long, Long, Double)] = {
+      val seed = emb.keys.min
+      var sel = Vector((1L, seed, 0.0))
+      var md = emb.keys.filter(_ != seed)
+        .map(v => v -> (1.0 - q9(cos(emb(v), emb(seed))))).toMap
+      for (step <- 2 to k) {
+        val (w, d) = md.toSeq.minBy { case (v, dd) => (-dd, v) }
+        sel = sel :+ ((step.toLong, w, r6(d)))
+        md = (md - w).map { case (v, m) =>
+          v -> math.min(m, 1.0 - q9(cos(emb(v), emb(w)))) }
+      }
+      sel
+    }
+    val emb = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = Similarity.kcenterSelect(e, Similarity.KCenterK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = replica(emb, Similarity.KCenterK)
+    assert(got == want, s"got $got\nwant $want")
+    // the coverage radius can only shrink as picks accumulate
+    val ds = got.drop(1).map(_._3)
+    assert(ds == ds.sorted.reverse, s"coverage trace not non-increasing: $ds")
+    // three tight planted clusters, k = 3: farthest-first must take
+    // exactly one pick from each (a random or top-density pick won't)
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val planted = Seq(
+      0L -> v(1.0, 0.0, 0.0, 0.0), 1L -> v(0.99, 0.01, 0.0, 0.0),
+      2L -> v(0.98, 0.02, 0.0, 0.0),
+      10L -> v(0.0, 1.0, 0.0, 0.0), 11L -> v(0.01, 0.99, 0.0, 0.0),
+      20L -> v(0.0, 0.0, 1.0, 0.0), 21L -> v(0.0, 0.01, 0.99, 0.0))
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.kcenterSelect(planted, 3).collect()
+      .map(_.getLong(1)).toSeq
+    assert(picks.head == 0L, s"seed must be the min id: $picks")
+    assert(picks.map(_ / 10L).toSet == Set(0L, 1L, 2L),
+      s"picks $picks did not cover all three clusters")
+  }
 }
