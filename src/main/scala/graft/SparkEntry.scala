@@ -70,6 +70,7 @@ object SparkEntry {
     "q30_bray_curtis" -> (Relational.q30BrayCurtis _),
     "q44_taxonomy_unifrac" -> (Relational.q44TaxonomyUnifrac _),
     "q45_core_taxa" -> (Relational.q45CoreTaxa _),
+    "q46_permanova" -> (Relational.q46Permanova _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1076,6 +1077,7 @@ object SparkEntry {
     "d20_exact_substring" -> graft.operators.Dedup.d20OracleSql(),
     "q44_taxonomy_unifrac" -> graft.operators.Relational.q44OracleSql,
     "q45_core_taxa" -> graft.operators.Relational.q45OracleSql,
+    "q46_permanova" -> graft.operators.Relational.q46OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

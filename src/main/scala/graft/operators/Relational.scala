@@ -1029,4 +1029,198 @@ object Relational {
       WHERE round(CAST(n_present AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
         >= $CoreTaxaPrevalence
       ORDER BY r_name, p_type"""
+
+  /** Permutation count of [[q46Permanova]]. FIXED BY CONTRACT (the g1
+    * class): the query semantics are "the pseudo-F null distribution
+    * over exactly these 60 deterministic label shuffles". */
+  final val PermanovaPerms = 60
+
+  /** q46: PERMANOVA (Anderson 2001, `adonis`) — the significance test
+    * behind every "do these groups differ in composition?" claim on
+    * the beta-diversity page: given the Bray–Curtis matrix (q30's
+    * machinery) and the region grouping of the nation samples, the
+    * pseudo-F statistic F = ((SS_t − SS_w)/(k−1)) / (SS_w/(N−k)) with
+    * SS_t = Σ_{i<j} d²/N and SS_w = Σ_g Σ_{i<j ∈ g} d²/n_g, plus its
+    * permutation p-value over [[PermanovaPerms]] DETERMINISTIC label
+    * shuffles: permutation p ranks samples by the repo's Knuth hash
+    * of (key, p) and deals the ranked samples into the observed group
+    * sizes in group-name order — the null preserves sizes exactly and
+    * both engines replay the identical shuffle without any RNG.
+    *
+    * Determinism: d² of the round-6 BC values is round-12 quantized
+    * and summed as DECIMAL (order-free); each group's 1/n_g division
+    * is re-quantized before the 5-term group fold (order-free again);
+    * F is ONE double expression phrased identically in both engines
+    * and compared on a round-9 grid (F_perm ≥ F_obs); p =
+    * (n_ge + 1)/(P + 1), the standard add-one permutation estimate.
+    *
+    * Scale shape: the only fact-scale work is q30's abundance
+    * aggregate (checkpointed). Pairs are sample-dim-bounded (n²/2),
+    * the permutation lattice is (P+1) × n label rows and (P+1) × n²/2
+    * joined pair rows — all dimension-bounded; the rank window
+    * partitions by permutation (n rows each). Nothing here ever
+    * touches the fact table again. */
+  def q46Permanova(spark: SparkSession, dir: String): DataFrame = {
+    val bc = graft.Ckpt(q30BrayCurtis(spark, dir))
+    val nat = Tables.dim(spark, dir, "nation")
+      .join(Tables.dim(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("n_nationkey").as("k"), col("r_name"))
+    val samples = graft.Ckpt(bc.select(col("sample_a").as("n_name"))
+      .union(bc.select(col("sample_b"))).distinct()
+      .join(nat, "n_name"))
+    permanovaFromDistances(bc, samples)
+  }
+
+  /** [[q46Permanova]]'s core over a pre-built (sample_a, sample_b,
+    * bray_curtis) distance frame and a (n_name, k, r_name) sample
+    * frame (k = the integer permutation key) — split out so specs can
+    * plant exact separation geometries. */
+  def permanovaFromDistances(bc: DataFrame, samples: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val counts = samples.agg(count(lit(1)).as("n"),
+      countDistinct(col("r_name")).as("kg"))
+    val sizes = samples.groupBy("r_name").agg(count(lit(1)).as("ng"))
+    // slot ranges per group in group-name order (≤ groups rows — the
+    // bounded global window with the constant non-foldable key)
+    val bounds = sizes
+      .withColumn("hi", sum(col("ng")).over(Window
+        .partitionBy(col("ng") * 0).orderBy("r_name")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo", col("hi") - col("ng"))
+      .select(col("r_name").as("g"), col("lo"), col("hi"))
+    val permuted = samples
+      .select(col("n_name"), col("k"), explode(expr(s"sequence(1, $P)"))
+        .as("p0"))
+      .withColumn("p", col("p0").cast("long"))
+      .withColumn("h", pmod(pmod(col("k") * 1000003L + col("p"),
+        lit(1000000000L)) * lit(2654435761L), lit(2147483647L)))
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy("p").orderBy("h", "k")).cast("long"))
+      .join(broadcast(bounds), col("rnk") > col("lo") && col("rnk") <= col("hi"))
+      .select(col("p"), col("n_name"), col("g"))
+    val labels = samples
+      .select(lit(0L).as("p"), col("n_name"), col("r_name").as("g"))
+      .unionByName(permuted)
+    val dq = bc.select(col("sample_a"), col("sample_b"),
+      round(col("bray_curtis") * col("bray_curtis"), 12)
+        .cast("decimal(25,12)").as("dq"))
+    val stot = dq.agg(sum(col("dq")).as("sdq"))
+    val la = labels.select(col("p"), col("n_name").as("sample_a"),
+      col("g").as("ga"))
+    val lb = labels.select(col("p"), col("n_name").as("sample_b"),
+      col("g").as("gb"))
+    val terms = dq.join(la, "sample_a").join(lb, Seq("p", "sample_b"))
+      .filter(col("ga") === col("gb"))
+      .groupBy("p", "ga").agg(sum(col("dq")).as("sg"))
+      .join(broadcast(sizes.select(col("r_name").as("ga"), col("ng"))), "ga")
+      .select(col("p"), round(col("sg").cast("double")
+        / col("ng").cast("double"), 12).cast("decimal(25,12)").as("term"))
+    val fq = terms.groupBy("p").agg(sum(col("term")).as("swq"))
+      .crossJoin(broadcast(stot))
+      .crossJoin(broadcast(counts))
+      .select(col("p"), round(
+        ((round(col("sdq").cast("double") / col("n").cast("double"), 12)
+          - col("swq").cast("double")) / (col("kg") - 1).cast("double"))
+        / (col("swq").cast("double") / (col("n") - col("kg")).cast("double")),
+        9).as("fq"))
+    val fobs = fq.filter(col("p") === 0L).select(col("fq").as("f_obs"))
+    fq.filter(col("p") >= 1L)
+      .crossJoin(broadcast(fobs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("fq") >= col("f_obs"), 1L).otherwise(0L)).as("n_ge"),
+        first(col("f_obs")).as("f0"))
+      .crossJoin(broadcast(counts))
+      .select(col("n").as("n_samples"), col("kg").as("n_groups"),
+        graft.GraftFunctions.roundz(col("f0"), 6).as("f_obs"),
+        col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+  }
+
+  /** DuckDB oracle for [[q46Permanova]] — q30's BC derivation, the
+    * identical Knuth-hash deal, decimal quantization lattice, and
+    * round-9 F compare. */
+  def q46OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY n_name),
+      cm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS c
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      bc AS MATERIALIZED (
+        SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+          round(1.0 - 2.0 * CAST(coalesce(cm.c, 0) AS DOUBLE)
+            / (CAST(ta.s AS DOUBLE) + CAST(tb.s AS DOUBLE)), 6) AS d
+        FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+        LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name),
+      nat AS (
+        SELECT n_name, n_nationkey AS k, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey),
+      samples AS MATERIALIZED (
+        SELECT s.n_name, nat.k, nat.r_name
+        FROM (SELECT DISTINCT n_name FROM (
+          SELECT sample_a AS n_name FROM bc
+          UNION ALL SELECT sample_b FROM bc)) s
+        JOIN nat USING (n_name)),
+      counts AS (
+        SELECT count(*) AS n, count(DISTINCT r_name) AS kg FROM samples),
+      sizes AS (SELECT r_name, count(*) AS ng FROM samples GROUP BY 1),
+      bounds AS (
+        SELECT r_name AS g,
+          sum(ng) OVER (ORDER BY r_name) - ng AS lo,
+          sum(ng) OVER (ORDER BY r_name) AS hi
+        FROM sizes),
+      permuted AS (
+        SELECT r.p, r.n_name, b.g
+        FROM (
+          SELECT p, n_name,
+            row_number() OVER (PARTITION BY p ORDER BY
+              ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+              k) AS rnk
+          FROM samples, generate_series(1, $PermanovaPerms) t(p)) r
+        JOIN bounds b ON r.rnk > b.lo AND r.rnk <= b.hi),
+      labels AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, r_name AS g FROM samples
+        UNION ALL SELECT CAST(p AS BIGINT), n_name, g FROM permuted),
+      dq AS MATERIALIZED (
+        SELECT sample_a, sample_b,
+          CAST(round(d * d, 12) AS DECIMAL(25,12)) AS dq
+        FROM bc),
+      stot AS (SELECT sum(dq) AS sdq FROM dq),
+      sg AS (
+        SELECT la.p, la.g AS ga, sum(dq.dq) AS sg
+        FROM dq
+        JOIN labels la ON la.n_name = dq.sample_a
+        JOIN labels lb ON lb.n_name = dq.sample_b AND lb.p = la.p
+        WHERE la.g = lb.g
+        GROUP BY 1, 2),
+      terms AS (
+        SELECT p, CAST(round(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE), 12)
+          AS DECIMAL(25,12)) AS term
+        FROM sg JOIN sizes ON sizes.r_name = sg.ga),
+      fq AS (
+        SELECT p, round(
+          ((round(CAST(sdq AS DOUBLE) / CAST(n AS DOUBLE), 12)
+            - CAST(swq AS DOUBLE)) / CAST(kg - 1 AS DOUBLE))
+          / (CAST(swq AS DOUBLE) / CAST(n - kg AS DOUBLE)), 9) AS fq
+        FROM (SELECT p, sum(term) AS swq FROM terms GROUP BY 1), stot,
+          counts),
+      f0 AS (SELECT fq AS f_obs FROM fq WHERE p = 0)
+      SELECT any_value(n) AS n_samples, any_value(kg) AS n_groups,
+        (round(any_value(f0.f_obs), 6) + 0.0) AS f_obs,
+        count(*) AS n_perms,
+        CAST(sum(CASE WHEN fq.fq >= f0.f_obs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ge,
+        round(CAST(sum(CASE WHEN fq.fq >= f0.f_obs THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+      FROM fq, f0, counts WHERE fq.p >= 1"""
 }

@@ -272,6 +272,11 @@ class ContractSpec extends SparkSpec {
         "val nf = broadcast(ids.agg(max(col(\"i\")).as(\"n\")).filter(col(\"n\") >= 2))" -> "one-row",
         "val trace = broadcast(b.filter(col(\"i\") === col(\"j\"))" -> "one-row (trace scalar)"),
       "Relational.scala" -> Map(
+        ".join(broadcast(bounds), col(\"rnk\") > col(\"lo\") && col(\"rnk\") <= col(\"hi\"))" -> "dim (group slot ranges)",
+        ".join(broadcast(sizes.select(col(\"r_name\").as(\"ga\"), col(\"ng\"))), \"ga\")" -> "dim (group sizes)",
+        ".crossJoin(broadcast(stot))" -> "one-row (total SS)",
+        ".crossJoin(broadcast(counts))" -> "one-row (sample/group counts)",
+        ".crossJoin(broadcast(fobs))" -> "one-row (observed F)",
         ".join(broadcast(df.select(col(\"brand\").as(\"brand_a\"), col(\"df\").as(\"df_a\"))), \"brand_a\")" -> "dim (per-brand df)",
         ".join(broadcast(df.select(col(\"brand\").as(\"brand_b\"), col(\"df\").as(\"df_b\"))), \"brand_b\")" -> "dim (per-brand df)",
         "l.join(broadcast(promo), col(\"l_partkey\") === col(\"p_partkey\"), \"left_semi\")" -> "dim (filtered part)",

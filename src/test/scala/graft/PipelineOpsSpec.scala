@@ -177,6 +177,40 @@ class PipelineOpsSpec extends SparkSpec {
       val m = r.getDouble(5); m > 0.0 && m <= 1.0 }, "mean share range")
   }
 
+  test("PERMANOVA separates planted clusters, is exactly null-calibrated " +
+       "on an all-equal matrix, and its permutation deal preserves sizes") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // 6 samples, 2 groups of 3. Within-group distance 0.1, between 0.9
+    // → F is huge and (almost) no permutation reaches it
+    val names = Seq("s1", "s2", "s3", "t1", "t2", "t3")
+    val samples = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong, nm.substring(0, 1)) }
+      .toDF("n_name", "k", "r_name")
+    val pairs = for {
+      i <- names.indices; j <- names.indices if names(i) < names(j)
+    } yield (names(i), names(j),
+      if (names(i)(0) == names(j)(0)) 0.1 else 0.9)
+    val sep = Relational.permanovaFromDistances(
+      pairs.toDF("sample_a", "sample_b", "bray_curtis"), samples).head()
+    assert(sep.getLong(0) == 6L && sep.getLong(1) == 2L)
+    assert(sep.getDouble(2) > 10.0, s"separated F too small: $sep")
+    assert(sep.getLong(3) == Relational.PermanovaPerms)
+    assert(sep.getDouble(5) < 0.2, s"separated p not small: $sep")
+    // all-equal distances: every labeling gives the identical F, so
+    // ALL permutations tie the observed value and p = 1 exactly
+    val flat = pairs.map { case (a, b, _) => (a, b, 0.5) }
+    val nul = Relational.permanovaFromDistances(
+      flat.toDF("sample_a", "sample_b", "bray_curtis"), samples).head()
+    assert(nul.getLong(4) == Relational.PermanovaPerms &&
+      nul.getDouble(5) == 1.0, s"null not calibrated: $nul")
+    // real-corpus shape: one row, p in (0, 1], F finite
+    val sf = Relational.q46Permanova(spark, sfDir).head()
+    assert(sf.getLong(3) == Relational.PermanovaPerms)
+    assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0 &&
+      !sf.getDouble(2).isNaN, s"sf PERMANOVA shape: $sf")
+  }
+
   test("PCoA axis is max-normalized and separates the most dissimilar pair") {
     val axis = graft.operators.Ordination.q31Pcoa(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
