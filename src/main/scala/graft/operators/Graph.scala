@@ -462,7 +462,17 @@ object Graph {
     * frame (every endpoint appears as dst, so no sentinel is needed
     * and no node drops out of the aggregate). Labels init to node id.
     * Output is the community rollup (g2's shape). */
-  private def lpaCore(und0: DataFrame, iters: Int): DataFrame = {
+  private def lpaCore(und0: DataFrame, iters: Int): DataFrame =
+    lpaLabels(und0, iters)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_node"),
+        max(col("v")).as("max_node"))
+      .orderBy("community")
+
+  /** The per-node (v, label) frame after exactly `iters` synchronous
+    * plurality steps — [[lpaCore]]'s loop, shared with g18's
+    * modularity scoring. Returned checkpointed. */
+  private def lpaLabels(und0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"g10 needs at least one step, got $iters")
     val und = und0.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -486,10 +496,6 @@ object Graph {
           else next
       }
       graft.Ckpt(labels)
-        .groupBy(col("label").as("community"))
-        .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_node"),
-          max(col("v")).as("max_node"))
-        .orderBy("community")
     } finally und.unpersist(blocking = true)
   }
 
@@ -2447,4 +2453,141 @@ object Graph {
       WHERE NOT EXISTS (SELECT 1 FROM simple s
                         WHERE s.a = cand.x AND s.b = cand.y)
       ORDER BY aaq DESC, x, y LIMIT $G17TopK"""
+
+  /** g18: MODULARITY of the g10 LPA partition (Newman & Girvan 2004)
+    * — the number that says whether the detected communities are real
+    * structure or noise: Q = Σ_c (e_c/m − (d_c/2m)²) over the simple
+    * undirected graph, where e_c counts intra-community edges, d_c
+    * sums member degrees, m is the edge count. Q ≈ 0 means the
+    * partition captures no more intra-edges than a degree-preserving
+    * random graph would; Q ≳ 0.3 is conventional "has communities".
+    * Labels come from the SAME [[lpaLabels]] fixpoint g10 reports, so
+    * the score certifies exactly the partition the browse endpoint
+    * shows.
+    *
+    * Determinism: e_c, d_c, m are exact integers; each community's
+    * contribution is ONE double expression (with t = d_c/(2m)
+    * factored so t·t is the identical multiply in both engines)
+    * quantized round-12 into DECIMAL and summed order-free; the final
+    * Q rounds once through roundz (contributions are signed).
+    *
+    * Scale shape: LPA's cost (one edge-scale exchange per step,
+    * [[LpaIters]] steps); after labels, one edge-scale double label
+    * join for e_c, one node-scale join for d_c, then everything is
+    * community-bounded. One-row m broadcast composes in-plan. */
+  def g18Modularity(spark: SparkSession, dir: String): DataFrame =
+    g18Modularity(Tables.load(spark, dir, "documents"))
+
+  def g18Modularity(docs0: DataFrame, iters: Int = LpaIters): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(n > 0, "g18 needs a non-empty documents frame")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g18 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g18Core(simpleUndirected(syntheticFwd(docs, n)), iters)
+  }
+
+  /** General entry — explicit (src, dst) edge list, arbitrary sparse
+    * 64-bit ids. */
+  def g18ModularityEdges(edges0: DataFrame,
+                         iters: Int = LpaIters): DataFrame =
+    g18Core(simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))), iters)
+
+  private def g18Core(simple0: DataFrame, iters: Int): DataFrame = {
+    val simple = graft.Ckpt(simple0)
+    val labels = lpaLabels(
+      simple.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(simple.select(col("b").as("src"), col("a").as("dst"))),
+      iters)
+    val m = simple.agg(count(lit(1)).as("m"))
+    val intra = simple
+      .join(labels.select(col("v").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("v").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("ec"))
+    val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val dc = deg.join(labels, "v")
+      .groupBy(col("label").as("community"))
+      .agg(sum(col("d")).as("dcs"), count(lit(1)).as("nm"))
+    val terms = dc.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .withColumn("t",
+        col("dcs").cast("double") / (lit(2L) * col("m")).cast("double"))
+      .withColumn("contrib",
+        round(coalesce(col("ec"), lit(0L)).cast("double")
+          / col("m").cast("double") - col("t") * col("t"), 12)
+          .cast("decimal(25,12)"))
+    labels.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(m))
+      .crossJoin(terms.agg(count(lit(1)).as("n_communities"),
+        sum(col("contrib")).as("q")))
+      .select(col("n_nodes"), col("m").as("n_edges"),
+        col("n_communities"),
+        graft.GraftFunctions.roundz(col("q").cast("double"), 6)
+          .as("modularity"))
+  }
+
+  /** DuckDB oracle for [[g18Modularity]] — g10's LPA recursion for
+    * the labels, then the identical integer censuses and round-12
+    * contribution lattice. */
+  def g18OracleSql(iters: Int = LpaIters): String = s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      fwd AS (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      simple AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM fwd),
+      und AS (
+        SELECT a AS src, b AS dst FROM simple
+        UNION ALL SELECT b, a FROM simple),
+      lab0 AS (
+        SELECT src AS v, src AS label FROM (SELECT DISTINCT src FROM und)),
+      ${(1 to iters).map { t =>
+        val prev = if (t == 1) "lab0" else s"lab${t - 1}"
+        s"""lab$t AS MATERIALIZED (
+        SELECT u.dst AS v,
+          -(max(struct_pack(nc := cnt, l := -label))['l']) AS label
+        FROM (
+          SELECT u.dst, p.label, count(*) AS cnt
+          FROM und u JOIN $prev p ON p.v = u.src
+          GROUP BY u.dst, p.label) u
+        GROUP BY u.dst)"""
+      }.mkString(",\n      ")},
+      labels AS MATERIALIZED (SELECT v, label FROM lab$iters),
+      m AS (SELECT count(*) AS m FROM simple),
+      deg AS (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) t
+        GROUP BY v),
+      intra AS (
+        SELECT la.label AS community, count(*) AS ec
+        FROM simple s
+        JOIN labels la ON la.v = s.a
+        JOIN labels lb ON lb.v = s.b
+        WHERE la.label = lb.label
+        GROUP BY 1),
+      dc AS (
+        SELECT label AS community, sum(d) AS dcs
+        FROM deg JOIN labels ON labels.v = deg.v
+        GROUP BY 1),
+      terms AS (
+        SELECT CAST(round(
+          CAST(coalesce(ec, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+            - (CAST(dcs AS DOUBLE) / CAST(2 * m AS DOUBLE))
+              * (CAST(dcs AS DOUBLE) / CAST(2 * m AS DOUBLE)), 12)
+          AS DECIMAL(25,12)) AS contrib
+        FROM dc LEFT JOIN intra USING (community), m)
+      SELECT (SELECT count(*) FROM labels) AS n_nodes,
+        any_value(m.m) AS n_edges,
+        count(*) AS n_communities,
+        (round(CAST(sum(contrib) AS DOUBLE), 6) + 0.0) AS modularity
+      FROM terms, m"""
 }

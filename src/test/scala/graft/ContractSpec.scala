@@ -259,6 +259,7 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(dang)) // one row — in-plan, not a head()" -> "one-row",
         ".crossJoin(broadcast(tot)) // one row — in-plan, not a head()" -> "one-row",
         ".crossJoin(broadcast(nCapped)) // one row — in-plan, not a head()" -> "one-row (cap audit count)",
+        ".crossJoin(broadcast(m))" -> "one-row (edge count)",
         "var dist = graft.Ckpt(nodes.crossJoin(broadcast(seeds))" -> "k (4 deterministic pivots)"),
       "Ordination.scala" -> Map(
         ".crossJoin(broadcast(gmean))" -> "one-row",

@@ -929,4 +929,59 @@ class GraphSpec extends SparkSpec {
       Set((0L, 6L, 1L, w2), (5L, 7L, 1L, w2)), s"capped: ${capped.toSeq}")
     assert(capped.forall(_._5 == 1L), s"cap audit count: ${capped.toSeq}")
   }
+
+  test("g18 modularity matches a JVM LPA+Newman replica, scores planted " +
+       "communities high, and a single community exactly 0") {
+    import spark.implicits._
+    // JVM replica over the derived graph at n = 12
+    val n = 12
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val got = Graph.g18Modularity(docs).head()
+    val fwd = for { s <- 0L until n.toLong; j <- 1 to Graph.OutDeg } yield {
+      val d0 = (((s * 7 + j) % 1000000000L) * 2654435761L) % 2147483647L % n
+      (s, if (d0 == s) (d0 + 1) % n else d0)
+    }
+    def replica(edges: Seq[(Long, Long)]): (Long, Long, Long, Double) = {
+      val simple = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val und = simple ++ simple.map(_.swap)
+      val nodes = und.map(_._1).distinct
+      var label = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to Graph.LpaIters) {
+        label = nodes.map { v =>
+          val cnts = und.filter(_._2 == v).map(e => label(e._1))
+            .groupBy(identity).map { case (l, xs) => l -> xs.size }
+          v -> cnts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      val m = simple.size.toLong
+      val deg = und.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      def r12(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val q = label.values.toSeq.distinct.map { c =>
+        val ec = simple.count(e => label(e._1) == c && label(e._2) == c)
+        val dcs = deg.collect { case (v, d) if label(v) == c => d }.sum
+        val t = dcs.toDouble / (2L * m).toDouble
+        r12(ec.toDouble / m.toDouble - t * t)
+      }.foldLeft(BigDecimal(0))(_ + _)
+      (nodes.size.toLong, m, label.values.toSet.size.toLong,
+        BigDecimal(q.toDouble).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val want = replica(fwd)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getDouble(3)) == want, s"got $got want $want")
+    // two planted triangles + one bridge: clear community structure
+    val twoTri = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+    val sep = Graph.g18ModularityEdges(twoTri.toDF("src", "dst")).head()
+    assert(sep.getLong(2) == 2L, s"expected 2 communities: $sep")
+    assert(sep.getDouble(3) > 0.3, s"planted structure scored low: $sep")
+    // complete graph K4: LPA collapses to one community and the
+    // single-community modularity is EXACTLY e/m − 1² = 0
+    val k4 = for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j)
+    val one = Graph.g18ModularityEdges(k4.toDF("src", "dst")).head()
+    assert(one.getLong(2) == 1L && one.getDouble(3) == 0.0,
+      s"K4 not a single zero-modularity community: $one")
+  }
 }
