@@ -194,6 +194,7 @@ object SparkEntry {
     "t19_quality_classifier" -> (TextOps.ftQuality _),
     "t20_bigram_lm" -> (TextOps.bigramLm _),
     "t33_kneser_ney" -> (TextOps.knBigramLm _),
+    "t34_heaps_fit" -> (TextOps.heapsFit _),
     "t21_bpe_encode" -> (TextOps.bpeEncode _),
     "s10_recall_eval" -> (Similarity.recallEval _),
     "s11_ann_sq" -> (Similarity.annSq _),
@@ -1070,6 +1071,7 @@ object SparkEntry {
     "t18_bpe_merges" -> graft.operators.TextOps.t18OracleSql(),
     "t20_bigram_lm" -> graft.operators.TextOps.t20OracleSql,
     "t33_kneser_ney" -> graft.operators.TextOps.t33OracleSql,
+    "t34_heaps_fit" -> graft.operators.TextOps.t34OracleSql,
     "t21_bpe_encode" -> graft.operators.TextOps.t21OracleSql(),
     "d13_chunk_dedup" -> graft.operators.Dedup.d13OracleSql(),
     "d16_dup_ngram_rate" -> graft.operators.Dedup.d16OracleSql(),

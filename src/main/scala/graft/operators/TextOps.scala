@@ -2339,4 +2339,115 @@ object TextOps {
             (acc, x) -> acc + x)
           / CAST(n_bigrams AS DOUBLE), 6) AS kn_cross_entropy
       FROM perdoc ORDER BY doc_id"""
+
+  /** t34: HEAPS-LAW vocabulary-growth fit — V(n) ≈ K·nᵝ (Heaps 1978),
+    * the projection every tokenizer/vocab budget decision at 100 TB
+    * rests on: how fast does the vocabulary still grow at the corpus
+    * frontier? β near 1 means unbounded novelty (OCR noise, ids,
+    * boilerplate churn); β ≈ 0.4–0.6 is natural text. Checkpoints are
+    * the power-of-two doc-id prefixes (the log₂ bucket family of
+    * g13/t31): V_i and T_i at prefix doc_id < 2ⁱ come from ONE
+    * first-occurrence aggregate (token → min doc_id) and one per-doc
+    * token count, both bucketed by bit length and cumulated over the
+    * ≤64-row bucket frame — NO corpus-order scan, NO corpus-scale
+    * window. OLS of ln V on ln T over the checkpoints runs t29's
+    * round-12 / DECIMAL(38,12) term lattice; K = exp(intercept) uses
+    * the UNROUNDED slope so both engines exponentiate the identical
+    * double.
+    *
+    * Scale shape: one (token) min-aggregate with map-side combine
+    * (vocab-bounded output), one doc-scale projection + ≤64-bucket
+    * rollup, a ≤64-row cumulative window (constant non-foldable key),
+    * and a one-row OLS aggregate. Requires dense doc_ids 0..N−1 (the
+    * g1 guard) so prefixes are id ranges. */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame =
+    heapsFit(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+      .head()
+    val n = h.getLong(0)
+    require(n > 0, "t34 needs a non-empty documents frame")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"t34 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    val fp = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("fp"))
+    val vb = fp.groupBy((length(bin(col("fp"))) - 1).cast("long").as("b"))
+      .agg(count(lit(1)).as("nv"))
+    val tb = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy((length(bin(col("doc_id"))) - 1).cast("long").as("b"))
+      .agg(sum(col("nt")).as("ntok"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b") * 0).orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = graft.Ckpt(tb.join(vb, Seq("b"), "left_outer")
+      .select(col("b"), coalesce(col("nv"), lit(0L)).as("nv"), col("ntok"))
+      .select(col("b"), sum(col("nv")).over(wcum).as("v"),
+        sum(col("ntok")).over(wcum).as("t")))
+    val pts = cum.select(
+      round(log(col("t").cast("double")), 12).as("x"),
+      round(log(col("v").cast("double")), 12).as("y"))
+    val s = pts.agg(count(lit(1)).as("c"),
+      sum(round(col("x") * col("y"), 12).cast("decimal(38,12)"))
+        .cast("double").as("sxy"),
+      sum(col("x").cast("decimal(38,12)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(38,12)")).cast("double").as("sy"),
+      sum(round(col("x") * col("x"), 12).cast("decimal(38,12)"))
+        .cast("double").as("sxx"))
+    val beta = (col("c").cast("double") * col("sxy") - col("sx") * col("sy")) /
+      (col("c").cast("double") * col("sxx") - col("sx") * col("sx"))
+    s.crossJoin(broadcast(cum.agg(max(col("t")).as("n_tokens"),
+        max(col("v")).as("n_vocab"))))
+      .select(col("c").as("n_checkpoints"), col("n_tokens"), col("n_vocab"),
+        graft.GraftFunctions.roundz(beta, 6).as("heaps_beta"),
+        round(exp((col("sy") - beta * col("sx")) / col("c").cast("double")),
+          6).as("heaps_k"))
+  }
+
+  /** DuckDB oracle for [[heapsFit]] — identical bucket prefixes,
+    * cumulative lattice, and OLS term quantization. */
+  def t34OracleSql: String = """
+      WITH fp AS (
+        SELECT w, min(doc_id) AS fp FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents) t
+        GROUP BY w),
+      vb AS (
+        SELECT length(bin(fp)) - 1 AS b, count(*) AS nv
+        FROM fp GROUP BY 1),
+      tb AS (
+        SELECT length(bin(doc_id)) - 1 AS b,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ntok
+        FROM documents GROUP BY 1),
+      cum AS (
+        SELECT b,
+          sum(coalesce(nv, 0)) OVER (ORDER BY b) AS v,
+          sum(ntok) OVER (ORDER BY b) AS t
+        FROM tb LEFT JOIN vb USING (b)),
+      pts AS (
+        SELECT round(ln(CAST(t AS DOUBLE)), 12) AS x,
+          round(ln(CAST(v AS DOUBLE)), 12) AS y
+        FROM cum),
+      s AS (
+        SELECT count(*) AS c,
+          CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        FROM pts),
+      tot AS (
+        SELECT CAST(max(t) AS BIGINT) AS n_tokens,
+          CAST(max(v) AS BIGINT) AS n_vocab
+        FROM cum)
+      SELECT c AS n_checkpoints, n_tokens, n_vocab,
+        (round((CAST(c AS DOUBLE) * sxy - sx * sy)
+          / (CAST(c AS DOUBLE) * sxx - sx * sx), 6) + 0.0) AS heaps_beta,
+        round(exp((sy - (CAST(c AS DOUBLE) * sxy - sx * sy)
+            / (CAST(c AS DOUBLE) * sxx - sx * sx) * sx)
+          / CAST(c AS DOUBLE)), 6) AS heaps_k
+      FROM s, tot"""
 }

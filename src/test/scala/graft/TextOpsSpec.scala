@@ -825,4 +825,34 @@ class TextOpsSpec extends SparkSpec {
     assert(sf.nonEmpty && sf.forall { r =>
       val v = r.getDouble(2); !v.isNaN && v > 0.0 }, "sf corpus scoring")
   }
+
+  test("t34 Heaps fit is exactly 1 on an all-novel corpus, exactly 0 on " +
+       "a closed vocabulary, and lands between on real text") {
+    import spark.implicits._
+    // every doc introduces only new tokens → V = T at every power-of-2
+    // checkpoint → the ln-ln points are collinear with slope exactly 1
+    // and intercept exactly 0 (K = 1)
+    val novel = (0L until 8L)
+      .map(i => (i, s"w${i}a w${i}b")).toDF("doc_id", "text")
+    val gotNovel = TextOps.heapsFit(novel).head()
+    assert((gotNovel.getLong(0), gotNovel.getLong(1), gotNovel.getLong(2),
+      gotNovel.getDouble(3), gotNovel.getDouble(4)) ==
+      ((3L, 16L, 16L, 1.0, 1.0)), s"novel corpus: $gotNovel")
+    // one fixed token everywhere → V = 1 at every checkpoint → slope
+    // exactly 0, K = exp(0) = 1
+    val closed = (0L until 8L).map(i => (i, "w w w")).toDF("doc_id", "text")
+    val gotClosed = TextOps.heapsFit(closed).head()
+    assert((gotClosed.getLong(0), gotClosed.getLong(1), gotClosed.getLong(2),
+      gotClosed.getDouble(3), gotClosed.getDouble(4)) ==
+      ((3L, 24L, 1L, 0.0, 1.0)), s"closed corpus: $gotClosed")
+    // sf corpus: the generator draws from a FIXED word list, so the
+    // fit must detect saturation — β at (or near) 0 with K ≈ the
+    // full vocabulary. That is the diagnosis the operator exists to
+    // make: this corpus adds no novelty at the frontier.
+    val sf = TextOps.heapsFit(spark, sfDir).head()
+    assert(sf.getDouble(3) >= 0.0 && sf.getDouble(3) < 0.5 &&
+      sf.getDouble(4) > 0.0, s"sf Heaps fit: $sf")
+    assert(sf.getDouble(4) <= sf.getLong(2).toDouble,
+      s"K above the total vocabulary: $sf")
+  }
 }
