@@ -1278,6 +1278,128 @@ object Events {
       .orderBy(col("exact_cnt").desc, col("user_id"))
   }
 
+  /** Baseline window of [[cusumDrift]] (days). */
+  final val CusumBaselineDays = 7
+
+  /** e24: CUSUM drift detection (Page 1954) over the per-type daily
+    * volume — the SEQUENTIAL complement of e10's pointwise z-score: a
+    * slow 1σ drift never trips a z-threshold on any single day, but
+    * its deviations ACCUMULATE. Upper CUSUM with the standard
+    * parameters: baseline = the first [[CusumBaselineDays]] days
+    * (μ, σ from exact integer sums), allowance k = σ/2, decision
+    * interval h = 4σ; S_t = max(0, S_{t−1} + x_t − μ − k) reported
+    * per type as alarm count, first alarm day, and the peak statistic.
+    *
+    * The recurrence is NOT computed sequentially: S_t = P_t −
+    * min(0, min_{τ≤t} P_τ) with P the prefix sum of quantized
+    * deviations — two stacked bounded windows (prefix sum, prefix
+    * min), the associative reformulation that would also block-scan
+    * at e21 scale if days were ever corpus-scale (they are not: the
+    * day axis is calendar-bounded).
+    *
+    * Determinism: deviations are round-9 quantized into
+    * DECIMAL(38,9) BEFORE the prefix sums (exact thereafter); μ and
+    * σ are single double expressions over exact integer baseline
+    * sums; the alarm compares round-9 grids on both sides.
+    *
+    * Scale shape: ONE fact-scale (type, day) count shuffle (map-side
+    * combine); everything after lives on the calendar-bounded daily
+    * frame — the rank/prefix windows partition per type over ≤ a few
+    * thousand rows regardless of corpus size. Per-type stats
+    * broadcast back as a dimension frame. */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame =
+    cusumDrift(Tables.load(spark, dir, "events"))
+
+  def cusumDrift(events: DataFrame): DataFrame = {
+    val B = CusumBaselineDays
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(d38)
+    val daily = graft.Ckpt(events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")))
+    val wr = Window.partitionBy("event_type").orderBy("day")
+    val ranked = graft.Ckpt(daily
+      .withColumn("r", row_number().over(wr).cast("long")))
+    val stats = ranked.filter(col("r") <= B)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("bn"), sum(d(col("cnt"))).as("sx"),
+        sum(d(col("cnt")) * d(col("cnt"))).as("sxx"))
+      // a type without a full baseline has no calibrated reference —
+      // dropped identically in both engines
+      .filter(col("bn") === B)
+      .select(col("event_type"),
+        (col("sx").cast("double") / lit(B.toDouble)).as("mu"),
+        (sqrt((lit(B) * col("sxx") - col("sx") * col("sx")).cast("double"))
+          / lit(B.toDouble)).as("sigma"))
+    val wcum = Window.partitionBy("event_type").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mon = ranked.filter(col("r") > B)
+      .join(broadcast(stats), "event_type")
+      .withColumn("devq", round(col("cnt").cast("double") - col("mu")
+        - lit(0.5) * col("sigma"), 9).cast("decimal(38,9)"))
+      .withColumn("p", sum(col("devq")).over(wcum))
+      .withColumn("s", col("p") -
+        least(min(col("p")).over(wcum), lit(0).cast("decimal(38,9)")))
+      .withColumn("alarm", round(col("s").cast("double"), 9) >
+        round(lit(4.0) * col("sigma"), 9))
+    mon.groupBy("event_type")
+      .agg(count(lit(1)).as("n_monitored"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        date_format(min(when(col("alarm"), col("day"))), "yyyy-MM-dd")
+          .as("first_alarm_day"),
+        round(max(col("s")).cast("double"), 6).as("max_cusum"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[cusumDrift]] — identical baseline moments,
+    * deviation quantization, and stacked prefix windows. */
+  def e24OracleSql: String = s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      ranked AS (
+        SELECT event_type, day, cnt, row_number() OVER (
+          PARTITION BY event_type ORDER BY day) AS r
+        FROM daily),
+      stats AS (
+        SELECT event_type,
+          CAST(sx AS DOUBLE) / $CusumBaselineDays.0 AS mu,
+          sqrt(CAST($CusumBaselineDays * sxx - sx * sx AS DOUBLE))
+            / $CusumBaselineDays.0 AS sigma
+        FROM (
+          SELECT event_type, count(*) AS bn,
+            sum(CAST(cnt AS DECIMAL(38,0))) AS sx,
+            sum(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0)))
+              AS sxx
+          FROM ranked WHERE r <= $CusumBaselineDays GROUP BY 1)
+        WHERE bn = $CusumBaselineDays),
+      mon AS (
+        SELECT ranked.event_type, day, r, sigma,
+          CAST(round(CAST(cnt AS DOUBLE) - mu - 0.5 * sigma, 9)
+            AS DECIMAL(38,9)) AS devq
+        FROM ranked JOIN stats USING (event_type)
+        WHERE r > $CusumBaselineDays),
+      cum1 AS (
+        SELECT event_type, day, r, sigma, sum(devq) OVER (
+          PARTITION BY event_type ORDER BY r ROWS UNBOUNDED PRECEDING) AS p
+        FROM mon),
+      cum2 AS (
+        SELECT event_type, day, sigma, p, min(p) OVER (
+          PARTITION BY event_type ORDER BY r ROWS UNBOUNDED PRECEDING) AS pm
+        FROM cum1),
+      flag AS (
+        SELECT event_type, day, sigma,
+          p - least(pm, CAST(0 AS DECIMAL(38,9))) AS s
+        FROM cum2)
+      SELECT event_type, count(*) AS n_monitored,
+        CAST(sum(CASE WHEN round(CAST(s AS DOUBLE), 9)
+          > round(4.0 * sigma, 9) THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        strftime(min(CASE WHEN round(CAST(s AS DOUBLE), 9)
+          > round(4.0 * sigma, 9) THEN day END), '%Y-%m-%d')
+          AS first_alarm_day,
+        round(CAST(max(s) AS DOUBLE), 6) AS max_cusum
+      FROM flag GROUP BY event_type ORDER BY event_type"""
+
   /** DuckDB oracle for [[cmsHeavyHitters]] — identical hash lattice,
     * counter table, and min-estimate. */
   def e23OracleSql: String = s"""

@@ -555,6 +555,60 @@ class PipelineOpsSpec extends SparkSpec {
       "CMS underestimated a count")
   }
 
+  test("CUSUM accumulates a sub-z-threshold drift into an alarm and " +
+       "stays silent on a flat series") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dayUs = 86400L * 1000000L
+    def mkEvents(series: Seq[(String, Int, Int)]) = {
+      val rows = for {
+        ((tp, d, cnt), gi) <- series.zipWithIndex
+        i <- 0 until cnt
+      } yield {
+        val t = new java.sql.Timestamp(0L)
+        val us = d.toLong * dayUs + i.toLong * 1000000L
+        t.setTime(us / 1000L)
+        ((gi * 1000 + i).toLong, t, 1L, tp, 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    // flat: zero-σ baseline, monitored days identical → S = 0, silent.
+    // step: zero-σ baseline then +1/day → S = 1, 2, 3; h = 4σ = 0, so
+    // EVERY monitored day alarms and the peak is exactly 3
+    val flat = (0 until 10).map(d => ("flat", d, 10))
+    val step = (0 until 7).map(d => ("step", d, 10)) ++
+      (7 until 10).map(d => ("step", d, 11))
+    val got = Events.cusumDrift(mkEvents(flat ++ step)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getDouble(4)))).toMap
+    assert(got("flat") == ((3L, 0L, None, 0.0)), s"flat: $got")
+    assert(got("step") == ((3L, 3L, Some("1970-01-08"), 3.0)), s"step: $got")
+    // slow drift: baseline 8,12,8,12,8,12,10 (μ=10, σ=√(24/7)≈1.852);
+    // monitored days at 12 → per-day z ≈ 1.08 (silent for e10's 2.0
+    // pointwise rule) but dev = 2 − σ/2 accumulates past h = 4σ on
+    // day 7 of monitoring — the sequential detection z-scores can't do
+    val baseCnts = Seq(8, 12, 8, 12, 8, 12, 10)
+    val drift = baseCnts.zipWithIndex.map { case (c, d) => ("drift", d, c) } ++
+      (7 until 17).map(d => ("drift", d, 12))
+    val sigma = math.sqrt((7.0 * (baseCnts.map(c => c * c).sum)
+      - 70.0 * 70.0)) / 7.0
+    val dev = BigDecimal(12.0 - 10.0 - 0.5 * sigma)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val firstAlarm = (1 to 10).find(dd =>
+      BigDecimal((dev * dd).toDouble).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP) >
+      BigDecimal(4.0 * sigma).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP)).get
+    val dr = Events.cusumDrift(mkEvents(drift)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), Option(r.getString(3)))))
+      .toMap
+    val wantDay = f"1970-01-${8 + firstAlarm - 1}%02d"
+    assert(dr("drift") == (((10 - firstAlarm + 1).toLong, Some(wantDay))),
+      s"drift detection: $dr expected first alarm $wantDay")
+    // single-day z on the drifted days stays under e10's threshold
+    assert((12.0 - 10.0) / sigma < 2.0, "plant lost its sub-z property")
+  }
+
   test("keep-best picks the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val docs = Seq(
