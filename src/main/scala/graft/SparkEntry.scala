@@ -104,6 +104,7 @@ object SparkEntry {
     "b2_sequence_align" -> ((s: SparkSession, d: String) => Dedup.sequenceAlign(s, d)),
     "b3_kmer_profile" -> (Dedup.kmerProfile _),
     "b4_banded_align" -> ((s: SparkSession, d: String) => Dedup.bandedAlign(s, d)),
+    "b5_minimizers" -> ((s: SparkSession, d: String) => Dedup.minimizerProfile(s, d)),
     "d7_dedup_pipeline" -> (d7Decision _),
     "d8_cluster_histogram" -> (d8Histogram _),
     "d9_keep_best" -> (d9KeepBest _),
@@ -1039,6 +1040,7 @@ object SparkEntry {
     "m4_batch_shape" -> graft.operators.Multimodal.m4OracleSql(),
     "b3_kmer_profile" -> graft.operators.Dedup.b3OracleSql(),
     "b4_banded_align" -> graft.operators.Dedup.b4OracleSql(),
+    "b5_minimizers" -> graft.operators.Dedup.b5OracleSql(),
     "d10_source_overlap" -> graft.operators.Dedup.d10OracleSql,
     "d11_winnow_fingerprint" -> graft.operators.Dedup.d11OracleSql,
     "g1_pagerank" -> graft.operators.Graph.g1OracleSql(),

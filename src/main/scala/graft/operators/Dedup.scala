@@ -763,6 +763,83 @@ object Dedup {
       SELECT doc_id, kmer, n, rnk FROM ranked
       WHERE rnk <= $topK ORDER BY doc_id, rnk"""
 
+  /** (w, k) of [[minimizerProfile]]: windows of [[MinimizerW]]
+    * consecutive [[MinimizerK]]-mers, expected density 2/(w+1). */
+  final val MinimizerK = 5
+  final val MinimizerW = 6
+
+  /** b5: (w,k)-MINIMIZER sketch profile (Roberts et al. 2004 — the
+    * sampling scheme under minimap2/Kraken and the winnowing family
+    * d11 applies to hashes): in every window of [[MinimizerW]]
+    * consecutive [[MinimizerK]]-mers, keep the lexicographically
+    * smallest; the distinct-minimizer set is a position-robust
+    * sketch — two sequences sharing a long substring share its
+    * interior minimizers REGARDLESS of offset, which is what makes
+    * the scheme the seed index for overlap detection. Per doc:
+    * k-mer count, distinct minimizers, density (vs the 2/(w+1)
+    * expectation), and the smallest minimizer (the sketch's anchor
+    * sample).
+    *
+    * Scale shape: the ENTIRE operator is one in-row projection over
+    * the corpus scan — k-mer array, window minima, distinct — zero
+    * shuffle, zero joins, embarrassingly parallel; the final sort is
+    * the output contract only. Docs shorter than k + w − 1 chars
+    * have no full window and emit an empty sketch (density 0),
+    * identically in both engines. */
+  def minimizerProfile(spark: SparkSession, dir: String): DataFrame =
+    minimizerProfile(Tables.parallel(Tables.load(spark, dir, "documents")),
+      MinimizerK, MinimizerW)
+
+  def minimizerProfile(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"b5 needs k, w >= 1, got ($k, $w)")
+    docs
+      .select(col("doc_id"),
+        when(length(col("text")) >= k,
+          transform(sequence(lit(1), length(col("text")) - (k - 1)),
+            i => col("text").substr(i, lit(k))))
+          .otherwise(array()).as("kmers"))
+      .select(col("doc_id"), size(col("kmers")).cast("long").as("n_kmers"),
+        when(size(col("kmers")) >= w,
+          array_distinct(transform(
+            sequence(lit(1), size(col("kmers")) - (w - 1)),
+            i => array_min(slice(col("kmers"), i, lit(w))))))
+          .otherwise(array().cast("array<string>")).as("mins"))
+      .select(col("doc_id"), col("n_kmers"),
+        size(col("mins")).cast("long").as("n_minimizers"),
+        when(col("n_kmers") > 0,
+          round(size(col("mins")).cast("double")
+            / col("n_kmers").cast("double"), 6)).otherwise(lit(0.0))
+          .as("density"),
+        array_min(col("mins")).as("anchor"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[minimizerProfile]] — identical k-mer array,
+    * window minima, and distinct census. */
+  def b5OracleSql(k: Int = MinimizerK, w: Int = MinimizerW): String = s"""
+      WITH km AS (
+        SELECT doc_id,
+          CASE WHEN length(text) >= $k THEN
+            list_transform(generate_series(1, length(text) - ${k - 1}),
+              i -> substr(text, i, $k))
+          ELSE [] END AS kmers
+        FROM documents),
+      mn AS (
+        SELECT doc_id, len(kmers) AS n_kmers,
+          CASE WHEN len(kmers) >= $w THEN
+            list_distinct(list_transform(
+              generate_series(1, len(kmers) - ${w - 1}),
+              i -> list_aggregate(kmers[i:i+${w - 1}], 'min')))
+          ELSE [] END AS mins
+        FROM km)
+      SELECT doc_id, CAST(n_kmers AS BIGINT) AS n_kmers,
+        CAST(len(mins) AS BIGINT) AS n_minimizers,
+        CASE WHEN n_kmers > 0 THEN
+          round(CAST(len(mins) AS DOUBLE) / CAST(n_kmers AS DOUBLE), 6)
+        ELSE 0.0 END AS density,
+        list_aggregate(mins, 'min') AS anchor
+      FROM mn ORDER BY doc_id"""
+
   /** End-to-end dedup DECISION operator — the piece the individual
     * signature ops feed: MinHash-LSH candidate pairs (d2's banding) →
     * shingle-Jaccard verification → transitive duplicate clusters →

@@ -592,4 +592,46 @@ class DedupSpec extends SparkSpec {
       4L -> ((2L, 2L, 1.0)),
       5L -> ((1L, 0L, 0.0))), s"got $got")
   }
+
+  test("b5 minimizers match a JVM replica, and a shifted shared substring " +
+       "shares interior minimizers regardless of offset") {
+    import spark.implicits._
+    val k = Dedup.MinimizerK
+    val w = Dedup.MinimizerW
+    def replica(text: String): Set[String] = {
+      if (text.length < k) return Set.empty
+      val kmers = (0 to text.length - k).map(i => text.substring(i, i + k))
+      if (kmers.length < w) return Set.empty
+      (0 to kmers.length - w).map(i => kmers.slice(i, i + w).min).toSet
+    }
+    // replica parity on the real corpus, including census and anchor
+    val docs = Tables.load(spark, sfDir, "documents")
+    val got = Dedup.minimizerProfile(docs, k, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.getString(4))))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, t) =>
+      val m = replica(t)
+      val wantN = if (t.length >= k) (t.length - k + 1).toLong else 0L
+      assert(got(id)._1 == wantN && got(id)._2 == m.size.toLong &&
+        got(id)._4 == (if (m.isEmpty) None else Some(m.min)),
+        s"doc $id: got ${got(id)} want ($wantN, ${m.size}, ${m.minOption})")
+    }
+    // density sits at the 2/(w+1) scale. The DISTINCT census dedups
+    // repeated minimizers, so a repetitive small-vocabulary corpus
+    // lands below the random-sequence expectation — but the same
+    // order of magnitude, never the ~1.0 of no sampling at all
+    val dens = got.values.map(_._3).toSeq
+    val mean = dens.sum / dens.size
+    assert(mean > 0.5 / (w + 1) && mean < 4.0 / (w + 1),
+      s"density $mean far from the 2/(w+1) = ${2.0 / (w + 1)} scale")
+    // position robustness: the SAME long substring at two different
+    // offsets shares interior minimizers (the overlap-seed property
+    // a fixed-grid chunking scheme like d13 loses under shift)
+    val core = "npqrstuvwxyzabcdefghijklm"
+    val a = replica("xx" + core + "yy")
+    val b = replica("qqqqqqq" + core)
+    assert((a & b).nonEmpty, s"shifted copies share no minimizer: $a vs $b")
+  }
 }
