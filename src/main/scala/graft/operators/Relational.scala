@@ -1223,4 +1223,198 @@ object Relational {
         round(CAST(sum(CASE WHEN fq.fq >= f0.f_obs THEN 1 ELSE 0 END) + 1
             AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
       FROM fq, f0, counts WHERE fq.p >= 1"""
+
+  /** q47: MANTEL test (Mantel 1967; vegan's `mantel`) — "do two
+    * dissimilarity structures agree?", the question asked whenever a
+    * flat measure (q30 Bray–Curtis) and a tree-aware one (q44
+    * UniFrac) are both on the sample-comparison page: Pearson r over
+    * the n(n−1)/2 aligned pair values, with a permutation p-value
+    * (matrix rows/columns of ONE matrix relabeled together — the
+    * Mantel null, NOT independent pair shuffling, which would break
+    * the triangle structure). Permutations are q46's deterministic
+    * Knuth-hash deal: permutation p maps the sample at id-rank j to
+    * the sample at hash-rank j, replayed bit-identically by the
+    * oracle.
+    *
+    * Determinism: both input matrices are round-6 oracle-gated
+    * outputs; Pearson components (Σxy, Σx, Σy, Σxx, Σyy) are
+    * round-12 DECIMAL sums (order-free); r is ONE double expression
+    * compared on a round-9 grid across permutations; p =
+    * (n_ge + 1)/(P + 1).
+    *
+    * Scale shape: both matrices are sample-dim-bounded (q30/q44's
+    * only fact-scale work is their own checkpointed abundance
+    * aggregate); the permutation lattice is (P+1) × n mapping rows
+    * and (P+1) × n²/2 joined pairs — dimension-bounded throughout. */
+  def q47Mantel(spark: SparkSession, dir: String): DataFrame = {
+    val bc = q30BrayCurtis(spark, dir)
+      .select(col("sample_a"), col("sample_b"), col("bray_curtis").as("x"))
+    val uf = q44TaxonomyUnifrac(spark, dir)
+      .select(col("sample_a"), col("sample_b"), col("unifrac").as("y"))
+    val nat = Tables.dim(spark, dir, "nation")
+      .select(col("n_name"), col("n_nationkey").as("k"))
+    mantelFromDistances(bc, uf, nat)
+  }
+
+  /** [[q47Mantel]]'s core over two aligned (sample_a, sample_b, x|y)
+    * pair frames and a (n_name, k) sample-key frame — split out so
+    * specs can plant exact correlation geometries. */
+  def mantelFromDistances(xs: DataFrame, ys: DataFrame,
+      keys: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val pairs = graft.Ckpt(xs.join(ys, Seq("sample_a", "sample_b")))
+    val samples = graft.Ckpt(pairs.select(col("sample_a").as("n_name"))
+      .union(pairs.select(col("sample_b"))).distinct()
+      .join(keys, "n_name"))
+    // permutation p ≥ 1: sample at id-rank j ↦ sample at hash-rank j;
+    // p = 0 is the EXPLICIT identity (id-rank vs key-rank differ, so
+    // the identity cannot be expressed as "hash := key")
+    val wid = Window.partitionBy("p").orderBy("n_name")
+    val whash = Window.partitionBy("p").orderBy("h", "k")
+    val exp = samples
+      .select(col("n_name"), col("k"), explode(expr(s"sequence(1, $P)"))
+        .as("p0"))
+      .withColumn("p", col("p0").cast("long"))
+    val byId = exp
+      .withColumn("j", row_number().over(wid))
+      .select(col("p"), col("n_name"), col("j"))
+    val byHash = exp
+      .withColumn("h", pmod(pmod(col("k") * 1000003L + col("p"),
+        lit(1000000000L)) * lit(2654435761L), lit(2147483647L)))
+      .withColumn("j", row_number().over(whash))
+      .select(col("p"), col("n_name").as("mapped"), col("j"))
+    val pi = samples
+      .select(lit(0L).as("p"), col("n_name"), col("n_name").as("mapped"))
+      .unionByName(byId.join(byHash, Seq("p", "j"))
+        .select(col("p"), col("n_name"), col("mapped")))
+    // y values re-read at the PERMUTED endpoints (unordered pair)
+    val ya = pi.select(col("p"), col("n_name").as("sample_a"),
+      col("mapped").as("ma"))
+    val yb = pi.select(col("p"), col("n_name").as("sample_b"),
+      col("mapped").as("mb"))
+    val yLook = ys.select(
+      col("sample_a").as("pa"), col("sample_b").as("pb"), col("y"))
+    val lattice = pairs.select(col("sample_a"), col("sample_b"), col("x"))
+      .join(ya, "sample_a").join(yb, Seq("p", "sample_b"))
+      .withColumn("pa", least(col("ma"), col("mb")))
+      .withColumn("pb", greatest(col("ma"), col("mb")))
+      .join(yLook, Seq("pa", "pb"))
+    val d3812 = "decimal(38,12)"
+    val rq = lattice.groupBy("p")
+      .agg(count(lit(1)).as("m"),
+        sum(round(col("x") * col("y"), 12).cast(d3812))
+          .cast("double").as("sxy"),
+        sum(col("x").cast(d3812)).cast("double").as("sx"),
+        sum(col("y").cast(d3812)).cast("double").as("sy"),
+        sum(round(col("x") * col("x"), 12).cast(d3812))
+          .cast("double").as("sxx"),
+        sum(round(col("y") * col("y"), 12).cast(d3812))
+          .cast("double").as("syy"))
+      .select(col("p"), col("m"), round(
+        (col("m").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("m").cast("double") * col("sxx")
+              - col("sx") * col("sx"))
+            * sqrt(col("m").cast("double") * col("syy")
+              - col("sy") * col("sy"))), 9).as("rq"))
+    val robs = rq.filter(col("p") === 0L)
+      .select(col("rq").as("r_obs"), col("m").as("n_pairs"))
+    rq.filter(col("p") >= 1L)
+      .crossJoin(broadcast(robs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("rq") >= col("r_obs"), 1L).otherwise(0L)).as("n_ge"),
+        first(col("r_obs")).as("r0"), first(col("n_pairs")).as("n_pairs"))
+      .crossJoin(broadcast(samples.agg(count(lit(1)).as("n_samples"))))
+      .select(col("n_samples"), col("n_pairs"),
+        graft.GraftFunctions.roundz(col("r0"), 6).as("mantel_r"),
+        col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+  }
+
+  /** DuckDB oracle for [[q47Mantel]] — q30's BC derivation inline,
+    * q44's full oracle as a nested subquery, the identical
+    * permutation deal and Pearson component lattice. */
+  def q47OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY n_name),
+      cm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS c
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      bc AS MATERIALIZED (
+        SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+          round(1.0 - 2.0 * CAST(coalesce(cm.c, 0) AS DOUBLE)
+            / (CAST(ta.s AS DOUBLE) + CAST(tb.s AS DOUBLE)), 6) AS x
+        FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+        LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name),
+      uf AS MATERIALIZED (
+        SELECT sample_a, sample_b, unifrac AS y
+        FROM (${q44OracleSql}) quf),
+      pairs AS MATERIALIZED (
+        SELECT bc.sample_a, bc.sample_b, x, y
+        FROM bc JOIN uf USING (sample_a, sample_b)),
+      samples AS MATERIALIZED (
+        SELECT s.n_name, n_nationkey AS k
+        FROM (SELECT DISTINCT n_name FROM (
+          SELECT sample_a AS n_name FROM pairs
+          UNION ALL SELECT sample_b FROM pairs)) s
+        JOIN nation ON nation.n_name = s.n_name),
+      byid AS (
+        SELECT p, n_name, row_number() OVER (
+          PARTITION BY p ORDER BY n_name) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      byhash AS (
+        SELECT p, n_name AS mapped, row_number() OVER (
+          PARTITION BY p ORDER BY
+            ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+            k) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      pi AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, n_name AS mapped
+        FROM samples
+        UNION ALL
+        SELECT CAST(byid.p AS BIGINT), byid.n_name, mapped
+        FROM byid JOIN byhash ON byid.p = byhash.p AND byid.j = byhash.j),
+      lattice AS (
+        SELECT pa.p, x, uy.y
+        FROM pairs
+        JOIN pi pa ON pa.n_name = pairs.sample_a
+        JOIN pi pb ON pb.n_name = pairs.sample_b AND pb.p = pa.p
+        JOIN uf uy ON uy.sample_a = least(pa.mapped, pb.mapped)
+          AND uy.sample_b = greatest(pa.mapped, pb.mapped)),
+      comp AS (
+        SELECT p, count(*) AS m,
+          CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxy,
+          CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxx,
+          CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS syy
+        FROM lattice GROUP BY 1),
+      rq AS (
+        SELECT p, m, round((CAST(m AS DOUBLE) * sxy - sx * sy)
+          / (sqrt(CAST(m AS DOUBLE) * sxx - sx * sx)
+            * sqrt(CAST(m AS DOUBLE) * syy - sy * sy)), 9) AS rq
+        FROM comp),
+      r0 AS (SELECT rq AS r_obs, m AS n_pairs FROM rq WHERE p = 0),
+      ns AS (SELECT count(*) AS n_samples FROM samples)
+      SELECT any_value(n_samples) AS n_samples,
+        any_value(n_pairs) AS n_pairs,
+        (round(any_value(r_obs), 6) + 0.0) AS mantel_r,
+        count(*) AS n_perms,
+        CAST(sum(CASE WHEN rq.rq >= r_obs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ge,
+        round(CAST(sum(CASE WHEN rq.rq >= r_obs THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+      FROM rq, r0, ns WHERE rq.p >= 1"""
 }

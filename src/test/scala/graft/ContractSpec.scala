@@ -253,6 +253,7 @@ class ContractSpec extends SparkSpec {
         ".join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
         "cum.join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
         "daily.join(broadcast(stats), \"event_type\")" -> "dim (per-type moments)",
+        ".join(broadcast(stats), \"event_type\")" -> "dim (per-type CUSUM baseline)",
         "val edges = broadcast(u2.agg(" -> "one-row (quartile edges)",
         "val u2 = users.crossJoin(broadcast(anchor))" -> "one-row (anchor date)"),
       "Graph.scala" -> Map(
@@ -278,6 +279,8 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(stot))" -> "one-row (total SS)",
         ".crossJoin(broadcast(counts))" -> "one-row (sample/group counts)",
         ".crossJoin(broadcast(fobs))" -> "one-row (observed F)",
+        ".crossJoin(broadcast(robs))" -> "one-row (observed r)",
+        ".crossJoin(broadcast(samples.agg(count(lit(1)).as(\"n_samples\"))))" -> "one-row (sample count)",
         ".join(broadcast(df.select(col(\"brand\").as(\"brand_a\"), col(\"df\").as(\"df_a\"))), \"brand_a\")" -> "dim (per-brand df)",
         ".join(broadcast(df.select(col(\"brand\").as(\"brand_b\"), col(\"df\").as(\"df_b\"))), \"brand_b\")" -> "dim (per-brand df)",
         "l.join(broadcast(promo), col(\"l_partkey\") === col(\"p_partkey\"), \"left_semi\")" -> "dim (filtered part)",

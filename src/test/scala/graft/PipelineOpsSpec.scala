@@ -211,6 +211,55 @@ class PipelineOpsSpec extends SparkSpec {
       !sf.getDouble(2).isNaN, s"sf PERMANOVA shape: $sf")
   }
 
+  test("Mantel r is exactly 1 on identical matrices, detects planted " +
+       "agreement, and its permutation null kills an unrelated matrix") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val names = (1 to 8).map(i => f"s$i%02d")
+    val keys = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong) }.toDF("n_name", "k")
+    def pairsOf(f: (String, String) => Double) = (for {
+      i <- names.indices; j <- names.indices if names(i) < names(j)
+    } yield (names(i), names(j), f(names(i), names(j))))
+    // identical matrices → r exactly 1 and NO permutation beats it
+    // strictly... but ties count (>=): permutations of a constant-
+    // structure matrix tie only if they preserve the values; use a
+    // value pattern injective enough that ties are the identity only
+    val base = pairsOf((a, b) => 0.1 * (a.hashCode % 7).abs
+      + 0.05 * (b.hashCode % 5).abs + 0.2)
+    val self = Relational.mantelFromDistances(
+      base.toDF("sample_a", "sample_b", "x"),
+      base.map { case (a, b, v) => (a, b, v) }
+        .toDF("sample_a", "sample_b", "y"),
+      keys).head()
+    assert(self.getDouble(2) == 1.0, s"self-Mantel r != 1: $self")
+    assert(self.getDouble(5) < 0.2, s"self-Mantel p not small: $self")
+    // y = affine(x) still correlates exactly 1 (Pearson invariance)
+    val affine = Relational.mantelFromDistances(
+      base.toDF("sample_a", "sample_b", "x"),
+      base.map { case (a, b, v) => (a, b, 0.5 * v + 0.1) }
+        .toDF("sample_a", "sample_b", "y"),
+      keys).head()
+    assert(affine.getDouble(2) == 1.0, s"affine invariance: $affine")
+    // an unrelated structure: p lands in the null's bulk (> 0.05)
+    val other = pairsOf((a, b) =>
+      0.1 * ((a + b).hashCode % 11).abs + 0.1)
+    val un = Relational.mantelFromDistances(
+      base.toDF("sample_a", "sample_b", "x"),
+      other.toDF("sample_a", "sample_b", "y"), keys).head()
+    assert(un.getDouble(5) > 0.05, s"unrelated matrix p too small: $un")
+    // real corpus: the test's JOB is the honest verdict, whatever it
+    // is — on this near-uniform synthetic corpus the tree-aware and
+    // flat views genuinely disagree (r ≈ 0.11, p ≈ 0.3), which is
+    // exactly the signal a practitioner reads off a Mantel report.
+    // Gate the SHAPE: full pair census, r in [−1, 1], p in (0, 1]
+    val sf = Relational.q47Mantel(spark, sfDir).head()
+    assert(sf.getLong(0) == 25L && sf.getLong(1) == 300L, s"shape: $sf")
+    assert(sf.getDouble(2) >= -1.0 && sf.getDouble(2) <= 1.0 &&
+      !sf.getDouble(2).isNaN, s"Mantel r range: $sf")
+    assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"p range: $sf")
+  }
+
   test("PCoA axis is max-normalized and separates the most dissimilar pair") {
     val axis = graft.operators.Ordination.q31Pcoa(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
