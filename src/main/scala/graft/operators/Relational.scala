@@ -1417,4 +1417,184 @@ object Relational {
         round(CAST(sum(CASE WHEN rq.rq >= r_obs THEN 1 ELSE 0 END) + 1
             AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
       FROM rq, r0, ns WHERE rq.p >= 1"""
+
+  /** Taxa reported per group pair by [[q48Simper]]. */
+  final val SimperTopK = 5
+
+  /** q48: SIMPER — similarity-percentage decomposition (Clarke 1993;
+    * vegan's `simper`), the "WHICH taxa drive the difference?" that
+    * follows a significant q46: for each region pair (A, B), each
+    * taxon's average contribution to the between-group share
+    * dissimilarity δ_t = mean over cross pairs (j ∈ A, k ∈ B) of
+    * |s_jt − s_kt| / 2 (shares sum to 1, so the per-pair denominator
+    * is the constant 2), reported as the top [[SimperTopK]] taxa with
+    * the percentage of the pair's total dissimilarity each explains.
+    *
+    * The absent-taxon alignment dissolves by the SAME min-sum
+    * identity as q30/q44 — Σ_pairs |a − b| = n_B·Σ_A s + n_A·Σ_B s
+    * − 2·Σ_{cross pairs, both present} min — so no full-outer join
+    * ever materializes a (pair × union-taxa) frame.
+    *
+    * Determinism: shares are q44's round-12 DECIMAL(13,12); group
+    * sums and the cross-pair min-sum are exact DECIMAL folds;
+    * per-taxon means are re-quantized round-12 before the per-pair
+    * total (order-free), and the ranking compares exact decimals
+    * (ties → taxon name).
+    *
+    * Scale shape: one fact-scale abundance aggregate (q30's,
+    * checkpointed); the cross-pair min join is (samples_A ×
+    * samples_B × shared taxa) — dimension-bounded³; ranking is a
+    * per-pair window over taxa. */
+  def q48Simper(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.dim(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("p_type"))
+      .agg(sum(dec(col("l_quantity"))).as("qty")))
+    simperFromAbundance(ab)
+  }
+
+  /** [[q48Simper]]'s core over a pre-aggregated (r_name, n_name,
+    * p_type, qty DECIMAL) matrix — split out for planted specs. */
+  def simperFromAbundance(ab: DataFrame): DataFrame = {
+    val tot = ab.groupBy("r_name", "n_name").agg(sum(col("qty")).as("s"))
+    val shares = graft.Ckpt(ab.join(tot, Seq("r_name", "n_name"))
+      .select(col("r_name"), col("n_name"), col("p_type"),
+        round(col("qty").cast("double") / col("s").cast("double"), 12)
+          .cast("decimal(13,12)").as("share")))
+    val sizes = tot.groupBy("r_name").agg(count(lit(1)).as("ng"))
+    // per (group, taxon) share sums
+    val gs = shares.groupBy("r_name", "p_type")
+      .agg(sum(col("share")).as("gsum"))
+    // cross-group per-taxon min-sum over sample pairs (both present)
+    val mins = shares.as("a").join(shares.as("b"),
+        col("a.p_type") === col("b.p_type") &&
+        col("a.r_name") < col("b.r_name"))
+      .groupBy(col("a.r_name").as("ga"), col("b.r_name").as("gb"),
+        col("a.p_type").as("p_type"))
+      .agg(sum(least(col("a.share"), col("b.share"))).as("msum"))
+    val dz = "decimal(13,12)"
+    val dzSum = "decimal(23,12)"
+    // the (group pair × taxon) lattice must be built OUTER — a taxon
+    // present in only one group is precisely a top discriminator (an
+    // inner gs⋈gs would silently drop it; caught by the planted spec)
+    val gpairs = sizes.select(col("r_name").as("ga"), col("ng").as("na"))
+      .join(sizes.select(col("r_name").as("gb"), col("ng").as("nb")),
+        col("ga") < col("gb"))
+    val taxa = gs.select("p_type").distinct()
+    val contrib = gpairs.crossJoin(broadcast(taxa))
+      .join(broadcast(gs.select(col("r_name").as("ga"), col("p_type"),
+        col("gsum").as("sa"))), Seq("ga", "p_type"), "left_outer")
+      .join(broadcast(gs.select(col("r_name").as("gb"), col("p_type"),
+        col("gsum").as("sb"))), Seq("gb", "p_type"), "left_outer")
+      .join(mins, Seq("ga", "gb", "p_type"), "left_outer")
+      // EVERYTHING from here rides an exact integer grid — a double
+      // round anywhere in this chain sits on the Spark-decimal-vs-
+      // DuckDB-binary rounding razor (caught live: a 1-ulp round(12)
+      // difference in ONE taxon's cq cascaded through the pair total
+      // into 0.168723 vs 0.168724 at the output). cu = the
+      // contribution in 10⁻⁶ units, half-up((num/2·na·nb)·10⁶) =
+      // (num·2·10⁶ + d2) div (2·d2) with num the exact DECIMAL
+      // numerator and d2 = 2·na·nb. Precision budget documents the
+      // precondition: group sizes ≤ 10⁶ samples keep every operand
+      // inside DECIMAL(38) / long.
+      .withColumn("num", (col("nb").cast("decimal(6,0)")
+        * coalesce(col("sa"), lit(0).cast(dzSum)).cast("decimal(19,12)")
+        + col("na").cast("decimal(6,0)")
+          * coalesce(col("sb"), lit(0).cast(dzSum)).cast("decimal(19,12)")
+        - lit(2) * coalesce(col("msum"), lit(0).cast(dz)))
+        .cast("decimal(25,12)"))
+      .withColumn("d2", lit(2L) * col("na") * col("nb"))
+      .withColumn("num2",
+        col("num") * lit(java.math.BigDecimal.valueOf(2000000L)))
+      .withColumn("cu", expr("(num2 + d2) div (2L * d2)"))
+      .select(col("ga"), col("gb"), col("p_type"), col("cu"))
+    val wtot = contrib.groupBy("ga", "gb").agg(sum(col("cu")).as("ctu"))
+    val wr = Window.partitionBy("ga", "gb")
+      .orderBy(col("cu").desc, col("p_type"))
+    contrib.withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= SimperTopK)
+      .join(broadcast(wtot), Seq("ga", "gb"))
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("rnk"), col("p_type"),
+        (col("cu").cast("double") / lit(1000000.0)).as("avg_contrib"),
+        when(col("ctu") === 0L, lit(0.0))
+          .otherwise(expr("(2000000L * cu + ctu) div (2L * ctu)")
+            .cast("double") / lit(1000000.0)).as("contrib_pct"))
+      .orderBy("group_a", "group_b", "rnk")
+  }
+
+  /** DuckDB oracle for [[q48Simper]] — identical share lattice,
+    * min-sum identity, and exact-decimal ranking. */
+  def q48OracleSql: String = s"""
+      WITH ab AS (
+        SELECT r_name, n_name, p_type,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2, 3),
+      tot AS (
+        SELECT r_name, n_name, sum(qty) AS s FROM ab GROUP BY 1, 2),
+      shares AS MATERIALIZED (
+        SELECT ab.r_name, ab.n_name, p_type,
+          CAST(round(CAST(qty AS DOUBLE) / CAST(s AS DOUBLE), 12)
+            AS DECIMAL(13,12)) AS share
+        FROM ab JOIN tot ON ab.r_name = tot.r_name
+          AND ab.n_name = tot.n_name),
+      sizes AS (SELECT r_name, count(*) AS ng FROM tot GROUP BY 1),
+      gs AS (
+        SELECT r_name, p_type, sum(share) AS gsum
+        FROM shares GROUP BY 1, 2),
+      mins AS (
+        SELECT a.r_name AS ga, b.r_name AS gb, a.p_type,
+          sum(least(a.share, b.share)) AS msum
+        FROM shares a JOIN shares b
+          ON a.p_type = b.p_type AND a.r_name < b.r_name
+        GROUP BY 1, 2, 3),
+      gpairs AS (
+        SELECT a.r_name AS ga, a.ng AS na, b.r_name AS gb, b.ng AS nb
+        FROM sizes a JOIN sizes b ON a.r_name < b.r_name),
+      taxa AS (SELECT DISTINCT p_type FROM gs),
+      numf AS (
+        SELECT gpairs.ga, gpairs.gb, taxa.p_type,
+          CAST(CAST(nb AS DECIMAL(6,0))
+              * CAST(coalesce(x.gsum, 0) AS DECIMAL(19,12))
+            + CAST(na AS DECIMAL(6,0))
+              * CAST(coalesce(y.gsum, 0) AS DECIMAL(19,12))
+            - 2 * coalesce(msum, 0) AS DECIMAL(25,12)) AS num,
+          2 * na * nb AS d2
+        FROM gpairs CROSS JOIN taxa
+        LEFT JOIN gs x ON x.r_name = gpairs.ga
+          AND x.p_type = taxa.p_type
+        LEFT JOIN gs y ON y.r_name = gpairs.gb
+          AND y.p_type = taxa.p_type
+        LEFT JOIN mins ON mins.ga = gpairs.ga AND mins.gb = gpairs.gb
+          AND mins.p_type = taxa.p_type),
+      contrib AS (
+        SELECT ga, gb, p_type,
+          (2000000 * CAST(num * 1000000000000 AS HUGEINT)
+              + CAST(d2 AS HUGEINT) * 1000000000000)
+            // (2 * CAST(d2 AS HUGEINT) * 1000000000000) AS cu
+        FROM numf),
+      wtot AS (SELECT ga, gb, sum(cu) AS ctu FROM contrib GROUP BY 1, 2),
+      ranked AS (
+        SELECT ga, gb, p_type, cu, CAST(row_number() OVER (
+          PARTITION BY ga, gb ORDER BY cu DESC, p_type) AS BIGINT) AS rnk
+        FROM contrib)
+      SELECT ga AS group_a, gb AS group_b, rnk, p_type,
+        CAST(cu AS DOUBLE) / 1000000.0 AS avg_contrib,
+        CASE WHEN ctu = 0 THEN 0.0
+          ELSE CAST((2000000 * cu + ctu) // (2 * ctu) AS DOUBLE)
+            / 1000000.0 END AS contrib_pct
+      FROM ranked JOIN wtot USING (ga, gb)
+      WHERE rnk <= $SimperTopK
+      ORDER BY group_a, group_b, rnk"""
 }

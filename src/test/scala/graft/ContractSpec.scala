@@ -280,6 +280,10 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(counts))" -> "one-row (sample/group counts)",
         ".crossJoin(broadcast(fobs))" -> "one-row (observed F)",
         ".crossJoin(broadcast(robs))" -> "one-row (observed r)",
+        "val contrib = gpairs.crossJoin(broadcast(taxa))" -> "dim (taxon vocabulary)",
+        ".join(broadcast(gs.select(col(\"r_name\").as(\"ga\"), col(\"p_type\")," -> "dim (group×taxon sums)",
+        ".join(broadcast(gs.select(col(\"r_name\").as(\"gb\"), col(\"p_type\")," -> "dim (group×taxon sums)",
+        ".join(broadcast(wtot), Seq(\"ga\", \"gb\"))" -> "dim (per-pair totals)",
         ".crossJoin(broadcast(samples.agg(count(lit(1)).as(\"n_samples\"))))" -> "one-row (sample count)",
         ".join(broadcast(df.select(col(\"brand\").as(\"brand_a\"), col(\"df\").as(\"df_a\"))), \"brand_a\")" -> "dim (per-brand df)",
         ".join(broadcast(df.select(col(\"brand\").as(\"brand_b\"), col(\"df\").as(\"df_b\"))), \"brand_b\")" -> "dim (per-brand df)",

@@ -260,6 +260,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"p range: $sf")
   }
 
+  test("SIMPER attributes a planted between-group difference to exactly " +
+       "the differing taxa and zeroes the shared one") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // group A eats X (80%) + Z (20%); group B eats Y (80%) + Z (20%).
+    // Every cross pair: |Δ|/2 = 0.4 for X and Y, exactly 0 for Z.
+    val ab = Seq(
+      ("A", "s1", "X", "8.00"), ("A", "s1", "Z", "2.00"),
+      ("A", "s2", "X", "8.00"), ("A", "s2", "Z", "2.00"),
+      ("B", "t1", "Y", "8.00"), ("B", "t1", "Z", "2.00"),
+      ("B", "t2", "Y", "8.00"), ("B", "t2", "Z", "2.00"))
+      .map { case (g, n, t, q) => (g, n, t, BigDecimal(q)) }
+      .toDF("r_name", "n_name", "p_type", "qty")
+    val got = Relational.simperFromAbundance(ab).collect()
+      .map(r => (r.getLong(2), r.getString(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1L, "X", 0.4, 0.5), (2L, "Y", 0.4, 0.5), (3L, "Z", 0.0, 0.0)),
+      s"planted attribution: ${got.toSeq}")
+    // real corpus: every region pair reports SimperTopK taxa, percent
+    // contributions positive and ≤ 1, ranks contiguous from 1
+    val sf = Relational.q48Simper(spark, sfDir).collect()
+    val byPair = sf.groupBy(r => (r.getString(0), r.getString(1)))
+    assert(byPair.size == 10, s"expected all 10 region pairs: ${byPair.keys}")
+    byPair.foreach { case (k, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq ==
+        (1L to Relational.SimperTopK).toSeq, s"ranks for $k")
+      assert(rows.forall(r => r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0),
+        s"pct range for $k")
+    }
+  }
+
   test("PCoA axis is max-normalized and separates the most dissimilar pair") {
     val axis = graft.operators.Ordination.q31Pcoa(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
