@@ -520,6 +520,15 @@ object Relational {
       .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("p_type"))
       .agg(sum(dec(col("l_quantity"))).as("qty")))
+    brayCurtisFromAbundance(abundance)
+  }
+
+  /** [[q30BrayCurtis]]'s core over a pre-aggregated (n_name, p_type,
+    * qty DECIMAL) matrix — split out so q47 can derive BOTH of its
+    * input matrices from ONE fact-scale leaf aggregate (DECIMAL sums
+    * are exact and order-free, so a rollup of q44's leaf frame is
+    * bit-identical to q30's direct aggregate). */
+  def brayCurtisFromAbundance(abundance: DataFrame): DataFrame = {
     val totals = abundance.groupBy(col("n_name"))
       .agg(sum(col("qty")).as("s"))
     val commonMin = abundance.as("a")
@@ -570,12 +579,21 @@ object Relational {
     * a full-outer. Shares are round-12 quantized and every Σ runs as
     * a DECIMAL sum (order-free, partitioning-independent); the single
     * double division happens once at the end. */
-  def q44TaxonomyUnifrac(spark: SparkSession, dir: String): DataFrame = {
+  def q44TaxonomyUnifrac(spark: SparkSession, dir: String): DataFrame =
+    unifracFromLeaves(unifracLeafAbundance(spark, dir))
+
+  /** The checkpointed (sample × tree-leaf) abundance matrix under
+    * q44's derived hierarchy — the ONE fact-scale pass q44 and q47
+    * share (q47 additionally rolls it up to q30's (sample, taxon)
+    * matrix; exact DECIMAL sums make that rollup bit-identical to
+    * q30's direct aggregate). */
+  private def unifracLeafAbundance(spark: SparkSession,
+      dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
     val p = Tables.dim(spark, dir, "part")
       .withColumn("p_mfgr", concat(lit("MFGR#"),
         (element_at(split(col("p_brand"), "#"), 2).cast("int") % 5).cast("string")))
-    val ab = graft.Ckpt(l
+    graft.Ckpt(l
       .join(p, col("l_partkey") === col("p_partkey"))
       .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -583,7 +601,6 @@ object Relational {
       .groupBy(col("n_name"), col("p_mfgr"), col("p_brand"), col("p_type"),
         col("p_size"), col("p_partkey"))
       .agg(sum(dec(col("l_quantity"))).as("qty")))
-    unifracFromLeaves(ab)
   }
 
   /** [[q44TaxonomyUnifrac]]'s core over a pre-aggregated (n_name,
@@ -1247,9 +1264,15 @@ object Relational {
     * aggregate); the permutation lattice is (P+1) × n mapping rows
     * and (P+1) × n²/2 joined pairs — dimension-bounded throughout. */
   def q47Mantel(spark: SparkSession, dir: String): DataFrame = {
-    val bc = q30BrayCurtis(spark, dir)
+    // ONE fact-scale pass: q30's (sample, taxon) matrix is an exact
+    // DECIMAL rollup of q44's leaf matrix, so both input matrices
+    // derive from the same checkpointed leaf aggregate bit-for-bit
+    val leaves = unifracLeafAbundance(spark, dir)
+    val bc = brayCurtisFromAbundance(leaves
+        .groupBy(col("n_name"), col("p_type"))
+        .agg(sum(col("qty")).as("qty")))
       .select(col("sample_a"), col("sample_b"), col("bray_curtis").as("x"))
-    val uf = q44TaxonomyUnifrac(spark, dir)
+    val uf = unifracFromLeaves(leaves)
       .select(col("sample_a"), col("sample_b"), col("unifrac").as("y"))
     val nat = Tables.dim(spark, dir, "nation")
       .select(col("n_name"), col("n_nationkey").as("k"))
