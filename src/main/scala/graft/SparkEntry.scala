@@ -73,6 +73,7 @@ object SparkEntry {
     "q46_permanova" -> (Relational.q46Permanova _),
     "q47_mantel" -> (Relational.q47Mantel _),
     "q48_simper" -> (Relational.q48Simper _),
+    "q49_betadisper" -> (Relational.q49Betadisper _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1089,6 +1090,7 @@ object SparkEntry {
     "q46_permanova" -> graft.operators.Relational.q46OracleSql,
     "q47_mantel" -> graft.operators.Relational.q47OracleSql,
     "q48_simper" -> graft.operators.Relational.q48OracleSql,
+    "q49_betadisper" -> graft.operators.Relational.q49OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

@@ -1093,10 +1093,12 @@ object Relational {
     * bray_curtis) distance frame and a (n_name, k, r_name) sample
     * frame (k = the integer permutation key) — split out so specs can
     * plant exact separation geometries. */
-  def permanovaFromDistances(bc: DataFrame, samples: DataFrame): DataFrame = {
-    val P = PermanovaPerms
-    val counts = samples.agg(count(lit(1)).as("n"),
-      countDistinct(col("r_name")).as("kg"))
+  /** The (p, n_name, g) permutation-label lattice shared by q46 and
+    * q49: p = 0 carries the OBSERVED grouping; permutation p ≥ 1
+    * ranks samples by the Knuth hash of (key, p) and deals the ranked
+    * samples into the observed group sizes in group-name order — the
+    * size-preserving deterministic null both engines replay. */
+  private def permutationLabels(samples: DataFrame, P: Int): DataFrame = {
     val sizes = samples.groupBy("r_name").agg(count(lit(1)).as("ng"))
     // slot ranges per group in group-name order (≤ groups rows — the
     // bounded global window with the constant non-foldable key)
@@ -1116,9 +1118,17 @@ object Relational {
         .partitionBy("p").orderBy("h", "k")).cast("long"))
       .join(broadcast(bounds), col("rnk") > col("lo") && col("rnk") <= col("hi"))
       .select(col("p"), col("n_name"), col("g"))
-    val labels = samples
+    samples
       .select(lit(0L).as("p"), col("n_name"), col("r_name").as("g"))
       .unionByName(permuted)
+  }
+
+  def permanovaFromDistances(bc: DataFrame, samples: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val counts = samples.agg(count(lit(1)).as("n"),
+      countDistinct(col("r_name")).as("kg"))
+    val sizes = samples.groupBy("r_name").agg(count(lit(1)).as("ng"))
+    val labels = permutationLabels(samples, P)
     val dq = bc.select(col("sample_a"), col("sample_b"),
       round(col("bray_curtis") * col("bray_curtis"), 12)
         .cast("decimal(25,12)").as("dq"))
@@ -1620,4 +1630,246 @@ object Relational {
       FROM ranked JOIN wtot USING (ga, gb)
       WHERE rnk <= $SimperTopK
       ORDER BY group_a, group_b, rnk"""
+
+  /** q49: BETADISPER / PERMDISP (Anderson 2006; vegan's `betadisper`
+    * + `permutest`) — the homogeneity-of-dispersion check that MUST
+    * accompany a significant q46 (PERMANOVA confounds location with
+    * spread; a "significant" group difference can be pure dispersion):
+    * each sample's distance to its own group centroid comes straight
+    * from the distance matrix by the centroid identity
+    * z²_i = Σ_{j∈g} d²_ij / n_g − Σ_{j<k∈g} d²_jk / n_g², then a
+    * one-way ANOVA F over the z values, with the permutation p-value
+    * under q46's deterministic size-preserving label deal.
+    *
+    * Determinism: d² and the centroid sums ride the round-12 DECIMAL
+    * lattice; z = round(√(max(·, 0)), 9) (the max absorbs the tiny
+    * negative a semi-metric can put under the root); group/overall
+    * means are single double expressions over exact decimal sums;
+    * between/within squared terms are re-quantized round-12 before
+    * their order-free folds; F compares on a round-9 grid. A
+    * zero-variance within term (every z equal — e.g. the all-equal
+    * matrix) defines F = 0 in both engines, which calibrates p to 1.
+    *
+    * Scale shape: q30's checkpointed fact aggregate is the only
+    * corpus-scale work; the both-orders distance frame × the (P+1)
+    * label lattice is sample-dim-bounded², and every window/rollup
+    * after is group- or permutation-bounded. */
+  def q49Betadisper(spark: SparkSession, dir: String): DataFrame = {
+    val bc = graft.Ckpt(q30BrayCurtis(spark, dir))
+    val nat = Tables.dim(spark, dir, "nation")
+      .join(Tables.dim(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("n_nationkey").as("k"), col("r_name"))
+    val samples = graft.Ckpt(bc.select(col("sample_a").as("n_name"))
+      .union(bc.select(col("sample_b"))).distinct()
+      .join(nat, "n_name"))
+    betadisperFromDistances(bc, samples)
+  }
+
+  /** [[q49Betadisper]]'s core over a (sample_a, sample_b,
+    * bray_curtis) pair frame and a (n_name, k, r_name) sample frame —
+    * split out for planted specs. */
+  def betadisperFromDistances(bc: DataFrame,
+      samples: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val counts = samples.agg(count(lit(1)).as("n"),
+      countDistinct(col("r_name")).as("kg"))
+    val ngf = samples.groupBy(col("r_name").as("g"))
+      .agg(count(lit(1)).as("ng"))
+    val labels = graft.Ckpt(permutationLabels(samples, P))
+    val dq = bc.select(col("sample_a"), col("sample_b"),
+      round(col("bray_curtis") * col("bray_curtis"), 12)
+        .cast("decimal(25,12)").as("dq"))
+    val dqf = dq.unionByName(dq.select(col("sample_b").as("sample_a"),
+      col("sample_a").as("sample_b"), col("dq")))
+    // within-group pair sums W_g (j < k, both in g) per permutation
+    val wg = dq
+      .join(labels.select(col("p"), col("n_name").as("sample_a"),
+        col("g").as("ga")), "sample_a")
+      .join(labels.select(col("p"), col("n_name").as("sample_b"),
+        col("g").as("gb")), Seq("p", "sample_b"))
+      .filter(col("ga") === col("gb"))
+      .groupBy(col("p"), col("ga").as("g"))
+      .agg(sum(col("dq")).as("wsum"))
+    // per-sample own-group sum S_i = Σ_{j ∈ g(i)} d²_ij
+    val si = dqf
+      .join(labels.select(col("p"), col("n_name").as("sample_a"),
+        col("g").as("gi")), "sample_a")
+      .join(labels.select(col("p"), col("n_name").as("sample_b"),
+        col("g").as("gj")), Seq("p", "sample_b"))
+      .filter(col("gi") === col("gj"))
+      .groupBy(col("p"), col("sample_a").as("i"))
+      .agg(sum(col("dq")).as("ssum"))
+    val zdec = "decimal(25,12)"
+    val z = labels.select(col("p"), col("n_name").as("i"), col("g"))
+      .join(si, Seq("p", "i"), "left_outer")
+      .join(wg, Seq("p", "g"), "left_outer")
+      .join(broadcast(ngf), "g")
+      .select(col("p"), col("i"), col("g"),
+        round(sqrt(greatest(
+          coalesce(col("ssum"), lit(0).cast(zdec)).cast("double")
+            / col("ng").cast("double")
+          - coalesce(col("wsum"), lit(0).cast(zdec)).cast("double")
+            / (col("ng") * col("ng")).cast("double"), lit(0.0))), 9)
+          .cast("decimal(13,12)").as("zq"))
+    val gm = z.groupBy("p", "g")
+      .agg(sum(col("zq")).as("zs"), count(lit(1)).as("ngz"))
+      .withColumn("zbar_g", col("zs").cast("double")
+        / col("ngz").cast("double"))
+    val om = z.groupBy("p")
+      .agg(sum(col("zq")).as("zt"), count(lit(1)).as("nz"))
+      .withColumn("zbar", col("zt").cast("double")
+        / col("nz").cast("double"))
+    val nume = gm.join(om.select(col("p"), col("zbar")), "p")
+      .withColumn("t", col("zbar_g") - col("zbar"))
+      .groupBy("p")
+      .agg(sum(round(col("ngz") * col("t") * col("t"), 12)
+        .cast("decimal(38,12)")).as("numq"))
+    val dene = z.join(gm.select(col("p"), col("g"), col("zbar_g")),
+        Seq("p", "g"))
+      .withColumn("t", col("zq").cast("double") - col("zbar_g"))
+      .groupBy("p")
+      .agg(sum(round(col("t") * col("t"), 12).cast("decimal(38,12)"))
+        .as("denq"))
+    val fq = nume.join(dene, "p")
+      .crossJoin(broadcast(counts))
+      .select(col("p"),
+        when(col("denq") === lit(0).cast("decimal(38,12)"), lit(0.0))
+          .otherwise(round(
+            (col("numq").cast("double") / (col("kg") - 1).cast("double"))
+            / (col("denq").cast("double")
+              / (col("n") - col("kg")).cast("double")), 9)).as("fq"))
+    val fobs = fq.filter(col("p") === 0L).select(col("fq").as("f_obs"))
+    fq.filter(col("p") >= 1L)
+      .crossJoin(broadcast(fobs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("fq") >= col("f_obs"), 1L).otherwise(0L)).as("n_ge"),
+        first(col("f_obs")).as("f0"))
+      .crossJoin(broadcast(counts))
+      .select(col("n").as("n_samples"), col("kg").as("n_groups"),
+        graft.GraftFunctions.roundz(col("f0"), 6).as("f_obs"),
+        col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+  }
+
+  /** DuckDB oracle for [[q49Betadisper]] — q30's BC derivation, q46's
+    * label deal, the identical centroid identity and ANOVA lattice. */
+  def q49OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY n_name),
+      cm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS c
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      bc AS MATERIALIZED (
+        SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+          round(1.0 - 2.0 * CAST(coalesce(cm.c, 0) AS DOUBLE)
+            / (CAST(ta.s AS DOUBLE) + CAST(tb.s AS DOUBLE)), 6) AS d
+        FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+        LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name),
+      samples AS MATERIALIZED (
+        SELECT s.n_name, n_nationkey AS k, r_name
+        FROM (SELECT DISTINCT n_name FROM (
+          SELECT sample_a AS n_name FROM bc
+          UNION ALL SELECT sample_b FROM bc)) s
+        JOIN nation ON nation.n_name = s.n_name
+        JOIN region ON n_regionkey = r_regionkey),
+      counts AS (
+        SELECT count(*) AS n, count(DISTINCT r_name) AS kg FROM samples),
+      ngf AS (SELECT r_name AS g, count(*) AS ng FROM samples GROUP BY 1),
+      bounds AS (
+        SELECT g,
+          sum(ng) OVER (ORDER BY g) - ng AS lo,
+          sum(ng) OVER (ORDER BY g) AS hi
+        FROM ngf),
+      permuted AS (
+        SELECT r.p, r.n_name, b.g
+        FROM (
+          SELECT p, n_name,
+            row_number() OVER (PARTITION BY p ORDER BY
+              ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+              k) AS rnk
+          FROM samples, generate_series(1, $PermanovaPerms) t(p)) r
+        JOIN bounds b ON r.rnk > b.lo AND r.rnk <= b.hi),
+      labels AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, r_name AS g FROM samples
+        UNION ALL SELECT CAST(p AS BIGINT), n_name, g FROM permuted),
+      dq AS (
+        SELECT sample_a, sample_b,
+          CAST(round(d * d, 12) AS DECIMAL(25,12)) AS dq
+        FROM bc),
+      dqf AS MATERIALIZED (
+        SELECT sample_a, sample_b, dq FROM dq
+        UNION ALL SELECT sample_b, sample_a, dq FROM dq),
+      wg AS (
+        SELECT la.p, la.g, sum(dq.dq) AS wsum
+        FROM dq
+        JOIN labels la ON la.n_name = dq.sample_a
+        JOIN labels lb ON lb.n_name = dq.sample_b AND lb.p = la.p
+        WHERE la.g = lb.g
+        GROUP BY 1, 2),
+      si AS (
+        SELECT la.p, dqf.sample_a AS i, sum(dqf.dq) AS ssum
+        FROM dqf
+        JOIN labels la ON la.n_name = dqf.sample_a
+        JOIN labels lb ON lb.n_name = dqf.sample_b AND lb.p = la.p
+        WHERE la.g = lb.g
+        GROUP BY 1, 2),
+      z AS MATERIALIZED (
+        SELECT l.p, l.n_name AS i, l.g,
+          CAST(round(sqrt(greatest(
+            CAST(coalesce(ssum, 0) AS DOUBLE) / CAST(ng AS DOUBLE)
+            - CAST(coalesce(wsum, 0) AS DOUBLE)
+              / CAST(ng * ng AS DOUBLE), 0.0)), 9)
+            AS DECIMAL(13,12)) AS zq
+        FROM labels l
+        LEFT JOIN si ON si.p = l.p AND si.i = l.n_name
+        LEFT JOIN wg ON wg.p = l.p AND wg.g = l.g
+        JOIN ngf ON ngf.g = l.g),
+      gm AS (
+        SELECT p, g, sum(zq) AS zs, count(*) AS ngz,
+          CAST(sum(zq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS zbar_g
+        FROM z GROUP BY 1, 2),
+      om AS (
+        SELECT p, CAST(sum(zq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          AS zbar
+        FROM z GROUP BY 1),
+      nume AS (
+        SELECT gm.p, sum(CAST(round(
+          ngz * (zbar_g - zbar) * (zbar_g - zbar), 12)
+          AS DECIMAL(38,12))) AS numq
+        FROM gm JOIN om ON om.p = gm.p
+        GROUP BY 1),
+      dene AS (
+        SELECT z.p, sum(CAST(round(
+          (CAST(zq AS DOUBLE) - zbar_g) * (CAST(zq AS DOUBLE) - zbar_g),
+          12) AS DECIMAL(38,12))) AS denq
+        FROM z JOIN gm ON gm.p = z.p AND gm.g = z.g
+        GROUP BY 1),
+      fq AS (
+        SELECT nume.p,
+          CASE WHEN denq = 0 THEN 0.0
+            ELSE round(
+              (CAST(numq AS DOUBLE) / CAST(kg - 1 AS DOUBLE))
+              / (CAST(denq AS DOUBLE) / CAST(n - kg AS DOUBLE)), 9) END
+            AS fq
+        FROM nume JOIN dene ON dene.p = nume.p, counts),
+      f0 AS (SELECT fq AS f_obs FROM fq WHERE p = 0)
+      SELECT any_value(n) AS n_samples, any_value(kg) AS n_groups,
+        (round(any_value(f0.f_obs), 6) + 0.0) AS f_obs,
+        count(*) AS n_perms,
+        CAST(sum(CASE WHEN fq.fq >= f0.f_obs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ge,
+        round(CAST(sum(CASE WHEN fq.fq >= f0.f_obs THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+      FROM fq, f0, counts WHERE fq.p >= 1"""
 }

@@ -280,6 +280,7 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(counts))" -> "one-row (sample/group counts)",
         ".crossJoin(broadcast(fobs))" -> "one-row (observed F)",
         ".crossJoin(broadcast(robs))" -> "one-row (observed r)",
+        ".join(broadcast(ngf), \"g\")" -> "dim (group sizes)",
         "val contrib = gpairs.crossJoin(broadcast(taxa))" -> "dim (taxon vocabulary)",
         ".join(broadcast(gs.select(col(\"r_name\").as(\"ga\"), col(\"p_type\")," -> "dim (group×taxon sums)",
         ".join(broadcast(gs.select(col(\"r_name\").as(\"gb\"), col(\"p_type\")," -> "dim (group×taxon sums)",

@@ -292,6 +292,46 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("betadisper detects a pure dispersion difference and is exactly " +
+       "zero-calibrated on an all-equal matrix") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val names = Seq("a1", "a2", "a3", "b1", "b2", "b3")
+    val keys = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong, nm.substring(0, 1)) }
+      .toDF("n_name", "k", "r_name")
+    // group a TIGHT (within ≈ 0.1), group b SPREAD (within ≈ 0.8,
+    // deliberately unequal so the within-group variance is nonzero),
+    // across constant — a location test sees little, dispersion a lot
+    def within(x: String, y: String): Double = (x, y) match {
+      case ("b1", "b2") => 0.7
+      case ("b1", "b3") => 0.8
+      case ("b2", "b3") => 0.9
+      case _ => 0.1
+    }
+    val pairs = for {
+      i <- names.indices; j <- names.indices if names(i) < names(j)
+    } yield (names(i), names(j),
+      if (names(i)(0) == names(j)(0)) within(names(i), names(j)) else 0.5)
+    val disp = Relational.betadisperFromDistances(
+      pairs.toDF("sample_a", "sample_b", "bray_curtis"), keys).head()
+    assert(disp.getLong(0) == 6L && disp.getLong(1) == 2L)
+    assert(disp.getDouble(2) > 10.0, s"dispersion F too small: $disp")
+    assert(disp.getDouble(5) < 0.2, s"dispersion p not small: $disp")
+    // all-equal matrix: every z identical → within variance 0 → the
+    // defined F = 0 for EVERY labeling → p = 1 exactly
+    val flat = pairs.map { case (a, b, _) => (a, b, 0.5) }
+    val nul = Relational.betadisperFromDistances(
+      flat.toDF("sample_a", "sample_b", "bray_curtis"), keys).head()
+    assert(nul.getDouble(2) == 0.0 && nul.getDouble(5) == 1.0,
+      s"null not calibrated: $nul")
+    // real corpus: one row, sane ranges
+    val sf = Relational.q49Betadisper(spark, sfDir).head()
+    assert(sf.getLong(3) == Relational.PermanovaPerms)
+    assert(sf.getDouble(2) >= 0.0 && !sf.getDouble(2).isNaN &&
+      sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"sf shape: $sf")
+  }
+
   test("PCoA axis is max-normalized and separates the most dissimilar pair") {
     val axis = graft.operators.Ordination.q31Pcoa(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
