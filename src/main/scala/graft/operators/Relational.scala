@@ -1631,6 +1631,82 @@ object Relational {
       WHERE rnk <= $SimperTopK
       ORDER BY group_a, group_b, rnk"""
 
+  /** q50: RAREFACTION CURVE — q21's single-depth deterministic
+    * subsample extended to the full curve bpaotu plots (richness at
+    * 10%…100% of observations): the same Knuth-hash bucket assigns
+    * every observation a stable decile, so the curve needs only ONE
+    * aggregate to the (taxon-group, brand, bucket) frame — richness
+    * at depth d = # brands whose MINIMUM bucket < d (first-occurrence
+    * logic, no per-depth rescan), observations at d = a cumulative
+    * bucket rollup. Monotonicity along the depth axis is structural.
+    *
+    * Scale shape: one fact-scale shuffle to the (type × brand ×
+    * 100-bucket) frame; the depth lattice is a 10-row broadcast cross
+    * on aggregate-bounded frames. */
+  def q50RarefactionCurve(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+    val keyed = l.join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("p_brand"), col("l_orderkey"),
+        col("l_linenumber"))
+      .withColumn("bucket",
+        pmod(pmod(col("l_orderkey"), lit(1000000000L)) * lit(2654435761L)
+          + col("l_linenumber"), lit(100)))
+    val g = graft.Ckpt(keyed.groupBy("p_type", "p_brand", "bucket")
+      .agg(count(lit(1)).as("c")))
+    val depths = spark.range(1, 11)
+      .select((col("id") * 10).as("depth"))
+    val rich = g.groupBy("p_type", "p_brand")
+      .agg(min(col("bucket")).as("mb"))
+      .crossJoin(broadcast(depths))
+      .filter(col("mb") < col("depth"))
+      .groupBy("p_type", "depth")
+      .agg(count(lit(1)).as("richness"))
+    val obs = g.crossJoin(broadcast(depths))
+      .filter(col("bucket") < col("depth"))
+      .groupBy("p_type", "depth")
+      .agg(sum(col("c")).as("n_obs"))
+    g.select("p_type").distinct()
+      .crossJoin(broadcast(depths))
+      .join(rich, Seq("p_type", "depth"), "left_outer")
+      .join(obs, Seq("p_type", "depth"), "left_outer")
+      .select(col("p_type"), col("depth"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        coalesce(col("richness"), lit(0L)).as("richness"))
+      .orderBy("p_type", "depth")
+  }
+
+  /** DuckDB oracle for [[q50RarefactionCurve]] — q21's bucket hash,
+    * the same min-bucket richness and cumulative observation logic. */
+  def q50OracleSql: String = """
+      WITH keyed AS (
+        SELECT p_type, p_brand,
+          ((l_orderkey % 1000000000) * 2654435761 + l_linenumber) % 100
+            AS bucket
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      g AS MATERIALIZED (
+        SELECT p_type, p_brand, bucket, count(*) AS c
+        FROM keyed GROUP BY 1, 2, 3),
+      depths AS (SELECT 10 * d AS depth FROM generate_series(1, 10) t(d)),
+      rich AS (
+        SELECT p_type, depth, count(*) AS richness
+        FROM (SELECT p_type, p_brand, min(bucket) AS mb
+              FROM g GROUP BY 1, 2) mbf, depths
+        WHERE mb < depth GROUP BY 1, 2),
+      obs AS (
+        SELECT p_type, depth, CAST(sum(c) AS BIGINT) AS n_obs
+        FROM g, depths WHERE bucket < depth GROUP BY 1, 2),
+      lattice AS (
+        SELECT DISTINCT p_type, depth FROM g, depths)
+      SELECT lattice.p_type, CAST(lattice.depth AS BIGINT) AS depth,
+        coalesce(n_obs, 0) AS n_obs, coalesce(richness, 0) AS richness
+      FROM lattice
+      LEFT JOIN rich ON rich.p_type = lattice.p_type
+        AND rich.depth = lattice.depth
+      LEFT JOIN obs ON obs.p_type = lattice.p_type
+        AND obs.depth = lattice.depth
+      ORDER BY 1, 2"""
+
   /** q49: BETADISPER / PERMDISP (Anderson 2006; vegan's `betadisper`
     * + `permutest`) — the homogeneity-of-dispersion check that MUST
     * accompany a significant q46 (PERMANOVA confounds location with

@@ -281,6 +281,8 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(fobs))" -> "one-row (observed F)",
         ".crossJoin(broadcast(robs))" -> "one-row (observed r)",
         ".join(broadcast(ngf), \"g\")" -> "dim (group sizes)",
+        ".crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
+        "val obs = g.crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val contrib = gpairs.crossJoin(broadcast(taxa))" -> "dim (taxon vocabulary)",
         ".join(broadcast(gs.select(col(\"r_name\").as(\"ga\"), col(\"p_type\")," -> "dim (group×taxon sums)",
         ".join(broadcast(gs.select(col(\"r_name\").as(\"gb\"), col(\"p_type\")," -> "dim (group×taxon sums)",

@@ -332,6 +332,29 @@ class PipelineOpsSpec extends SparkSpec {
       sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"sf shape: $sf")
   }
 
+  test("rarefaction curve is monotone, agrees with q21 at its two depths, " +
+       "and saturates to full richness") {
+    import graft.operators.Relational
+    val curve = Relational.q50RarefactionCurve(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val q21 = Relational.q21Rarefaction(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    q21.foreach { case (t, (rFull, rSub, nSub, nFull)) =>
+      assert(curve((t, 20L)) == ((nSub, rSub)),
+        s"$t depth 20 disagrees with q21: ${curve((t, 20L))} vs ($nSub, $rSub)")
+      assert(curve((t, 100L)) == ((nFull, rFull)),
+        s"$t depth 100 disagrees with q21's full census")
+    }
+    // structural monotonicity along the depth axis
+    curve.keys.map(_._1).toSeq.distinct.foreach { t =>
+      val byDepth = (1 to 10).map(d => curve((t, d * 10L)))
+      assert(byDepth == byDepth.sorted,
+        s"curve for $t not monotone: $byDepth")
+    }
+  }
+
   test("PCoA axis is max-normalized and separates the most dissimilar pair") {
     val axis = graft.operators.Ordination.q31Pcoa(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
