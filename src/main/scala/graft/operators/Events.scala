@@ -1251,13 +1251,17 @@ object Events {
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     cmsHeavyHitters(Tables.load(spark, dir, "events"))
 
-  def cmsHeavyHitters(events: DataFrame): DataFrame = {
+  /** The CMS row-hash: bucket of key `u` under depth row `r` —
+    * shared by the batch audit and the streaming sketch twin. */
+  def cmsBucket(u: Column, r: Column): Column = {
     val aArr = array(CmsA.map(lit): _*)
     val bArr = array(CmsB.map(lit): _*)
-    def bucket(u: org.apache.spark.sql.Column,
-               r: org.apache.spark.sql.Column) =
-      pmod(pmod(pmod(u, lit(CmsPrime)) * element_at(aArr, r + 1)
-        + element_at(bArr, r + 1), lit(CmsPrime)), lit(CmsWidth))
+    pmod(pmod(pmod(u, lit(CmsPrime)) * element_at(aArr, r + 1)
+      + element_at(bArr, r + 1), lit(CmsPrime)), lit(CmsWidth))
+  }
+
+  def cmsHeavyHitters(events: DataFrame): DataFrame = {
+    def bucket(u: Column, r: Column) = cmsBucket(u, r)
     val keyed = events.select(col("user_id").as("u"))
     val counters = keyed
       .select(col("u"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("r"))

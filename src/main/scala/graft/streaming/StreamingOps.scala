@@ -557,4 +557,32 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Streaming COUNT–MIN sketch — the stream form of
+    * [[graft.operators.Events.cmsHeavyHitters]]'s build side: a
+    * watermarked tumbling-day aggregate whose per-day state is the
+    * depth×width counter lattice (CONSTANT rows per window,
+    * independent of key cardinality — the same state-bound argument
+    * as [[dauSketchStream]], but with EXACT integer counters, so
+    * unlike HLL the stream/batch parity is a bitwise equality, not a
+    * same-estimate check). Counter increments are commutative
+    * integer adds: ANY arrival order and ANY micro-batch split of
+    * the same events produce the identical counter table — replay
+    * parity with the batch build is spec-gated. The heavy-hitter
+    * ESTIMATE step stays a downstream batch lookup against this
+    * table ([[graft.operators.Events.cmsHeavyHitters]]'s min-over-
+    * rows), exactly how a production sketch pipeline splits
+    * build-continuously / query-on-demand. */
+  def cmsSketchStream(events: DataFrame,
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id").as("u"),
+        explode(expr(s"sequence(0, ${graft.operators.Events.CmsDepth - 1})"))
+          .as("r"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("r"),
+        graft.operators.Events.cmsBucket(col("u"), col("r")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("r"), col("bucket"), col("c"))
 }

@@ -721,4 +721,57 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     } finally q.stop()
   }
+
+  test("streaming count-min sketch replays the batch counter table " +
+       "BITWISE under a shuffled arrival order and micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // counter increments are commutative integer adds, so neither the
+    // shuffle nor the split may move ANY counter — exact equality,
+    // stronger than the HLL twin's same-estimate parity
+    val shuffled = ev.sortBy(e => (e.event_id * 2654435761L) % 1000003)
+    val (b1, b2) = shuffled.splitAt(shuffled.length / 3)
+    val input = MemoryStream[Event]
+    val q = graft.streaming.StreamingOps
+      .cmsSketchStream(input.toDF(), watermark = "40 days")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq)
+      q.processAllAvailable()
+      val maxTs = ev.map(_.ts.getTime).max
+      input.addData(Event(-1L,
+        new java.sql.Timestamp(maxTs + 90L * 86400 * 1000), -1L, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("cms_stream").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      // batch replica of the per-day counter table over the same events
+      val want = Tables.load(spark, sfDir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("user_id").as("u"),
+          explode(expr(s"sequence(0, ${
+            graft.operators.Events.CmsDepth - 1})")).as("r"))
+        .groupBy(col("day"), col("r"),
+          graft.operators.Events.cmsBucket(col("u"), col("r")).as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      assert(got == want, s"stream/batch CMS counters diverged: " +
+        s"${(got.toSet diff want.toSet).take(3)} vs ${
+          (want.toSet diff got.toSet).take(3)}")
+      // state-bound sanity: per day at most depth×width counter rows
+      val perDay = got.keys.groupBy(_._1).map(_._2.size)
+      assert(perDay.forall(_ <= graft.operators.Events.CmsDepth *
+        graft.operators.Events.CmsWidth), "counter lattice overflowed")
+      assert(want.size > 100, "vacuous counter parity")
+    } finally q.stop()
+  }
 }
