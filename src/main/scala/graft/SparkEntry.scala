@@ -676,7 +676,7 @@ object SparkEntry {
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
-      WHERE 'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) % 5 AS VARCHAR) = 'MFGR#0'
+      WHERE 'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) // 10 AS VARCHAR) = 'MFGR#0'
         AND p_type = 'ECONOMY'
       GROUP BY p_brand
       ORDER BY p_brand""",
@@ -1195,7 +1195,7 @@ object SparkEntry {
       FROM m ORDER BY month""",
     "x4_export_krona" -> """
       WITH leaves AS (
-        SELECT 'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) % 5 AS VARCHAR) AS p_mfgr,
+        SELECT 'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) // 10 AS VARCHAR) AS p_mfgr,
           p_type, p_brand,
           string_split(p_name, ' ')[1] AS p_genus,
           CAST(p_size AS VARCHAR) AS p_size,

@@ -1899,6 +1899,13 @@ object Dedup {
     * default stays at the paper's 50). */
   final val ExactSubstrTokens = 20
 
+  /** Second, independent PolyHash lattice for d20's span key: pairing
+    * (131 mod 2147483647) with (137 mod 2147483629 — also prime) makes
+    * the count key an effectively-62-bit fingerprint while each half
+    * stays inside the 31-bit-safe fold both engines share. */
+  final val ExactSubstrMult2 = 137L
+  final val ExactSubstrMod2 = 2147483629L
+
   /** d20: EXACT-SUBSTRING dedup audit (Lee et al. 2022 §3,
     * *ExactSubstr*) — the span-grain exact complement of the gram-set
     * family: d13/d16 score fixed-width gram OVERLAP per chunk/doc, but
@@ -1918,7 +1925,15 @@ object Dedup {
     * build, which blows the corpus up ~8× per byte); (2) one gram-
     * keyed count aggregate finds repeated spans — partial aggregation
     * collapses hot boilerplate grams map-side, so a span occurring
-    * 10⁹ times costs one reduce-side row, never a hub; (3) one gram-
+    * 10⁹ times costs one reduce-side row, never a hub — and the key
+    * on the wire is a 2×64-bit [[graft.functions.expressions.PolyHash]]
+    * PAIR of the span, never the ~spanTokens-word string itself
+    * (d13/d16's discipline: the one corpus-scale exchange carries
+    * 16-byte keys, ~30–40× fewer bytes than raw grams; two
+    * independent 31-bit hashes put a birthday collision for a
+    * 10⁹-span corpus at ~10⁻¹ expected pairs corpus-WIDE, vs the
+    * ~hundreds a single 31-bit key would admit — and a collision only
+    * ever OVER-counts a span as duplicated); (3) one hash-pair-
     * keyed LEFT SEMI join marks the duplicated start positions (the
     * span-scale frame is deliberately recomputed for the probe side
     * rather than checkpointed — it is the one frame here that is
@@ -1938,21 +1953,26 @@ object Dedup {
     val L = spanTokens
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("n", size(col("t")))
-    // (1) span starts: gram built IN-ROW before the explode so the
-    // exploded frame never carries the full token array per position
-    // (that projection would be n² tokens per doc, not n·L)
+    // (1) span starts: gram built AND hashed IN-ROW before the explode
+    // so the exploded frame never carries the full token array per
+    // position (that projection would be n² tokens per doc, not n·L)
+    // and the shuffle key is the 16-byte (g1, g2) hash pair, never the
+    // ~L-word gram string
     def starts = toks.filter(col("n") >= L)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, n - $L + 1), " +
           s"i -> struct(i AS pos, concat_ws(' ', slice(t, i, $L)) AS gram))"))
         .as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        graft.GraftFunctions.polyHash(col("pg.gram")).as("g1"),
+        graft.GraftFunctions.polyHash(col("pg.gram"),
+          ExactSubstrMult2, ExactSubstrMod2).as("g2"))
     // (2) repeated spans: total occurrence count ≥ 2 (cross-doc OR
     // in-doc repeats both count — the paper's semantics)
-    val dupg = starts.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("gram")
+    val dupg = starts.groupBy("g1", "g2").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("g1", "g2")
     // (3) matched start positions
-    val dupStarts = starts.join(dupg, Seq("gram"), "left_semi")
+    val dupStarts = starts.join(dupg, Seq("g1", "g2"), "left_semi")
       .select("doc_id", "pos")
     // (4) merge overlapping/adjacent spans into maximal covered runs
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1976,6 +1996,8 @@ object Dedup {
   }
 
   /** DuckDB oracle for [[exactSubstring]] — identical span explode,
+    * the same 2×31-bit char-fold hash pair as the count key (the
+    * DedupCte fold, twice, on independent (mult, mod) lattices),
     * ≥2-occurrence cut, run merge (same fixed-width break rule) and
     * share arithmetic over the raw `documents` table. */
   def d20OracleSql(spanTokens: Int = ExactSubstrTokens): String = {
@@ -1984,14 +2006,25 @@ object Dedup {
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS t,
           len(string_split(text, ' ')) AS n FROM documents),
-      g AS (
+      gr AS (
         SELECT doc_id, i AS pos,
           array_to_string(list_slice(t, i, i + $L - 1), ' ') AS gram
         FROM toks, LATERAL unnest(generate_series(1, n - $L + 1)) AS s(i)
         WHERE n >= $L),
-      dg AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
-      ds AS (SELECT doc_id, pos FROM g
-             WHERE gram IN (SELECT gram FROM dg)),
+      g AS (
+        SELECT doc_id, pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(gram)),
+              ci -> CAST(ascii(substr(gram, ci, 1)) AS BIGINT))),
+            (acc, ch) -> (acc * 131 + ch) % 2147483647) AS g1,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(gram)),
+              ci -> CAST(ascii(substr(gram, ci, 1)) AS BIGINT))),
+            (acc, ch) -> (acc * $ExactSubstrMult2 + ch) % $ExactSubstrMod2)
+            AS g2
+        FROM gr),
+      dg AS (SELECT g1, g2 FROM g GROUP BY g1, g2 HAVING count(*) >= 2),
+      ds AS (SELECT doc_id, pos FROM g JOIN dg USING (g1, g2)),
       fl AS (
         SELECT doc_id, pos,
           CASE WHEN lag(pos) OVER w IS NULL

@@ -2399,7 +2399,11 @@ object Graph {
       .join(deg.select(col("v").as("z"), col("d")), "z"))
     val nCapped = withDeg.filter(col("d") > maxCenterDegree)
       .agg(countDistinct(col("z")).as("n_capped_centers"))
-    val kept = withDeg.filter(col("d") <= maxCenterDegree)
+    // d >= 2: a degree-1 center has one neighbor, so it can form no
+    // wedge — dropping it is semantics-preserving AND removes the
+    // 1/ln(1) = Infinity weight, which Spark would silently null on
+    // the DECIMAL cast while DuckDB aborts the cast outright.
+    val kept = withDeg.filter(col("d") <= maxCenterDegree && col("d") >= 2)
       .withColumn("w", round(lit(1.0) / log(col("d").cast("double")), 12)
         .cast("decimal(13,12)"))
     val cand = kept.select(col("z"), col("x"), col("w"))
@@ -2441,7 +2445,8 @@ object Graph {
       kept AS MATERIALIZED (
         SELECT z, x,
           CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 12) AS DECIMAL(13,12)) AS w
-        FROM adj JOIN deg ON adj.z = deg.v),
+        FROM adj JOIN deg ON adj.z = deg.v
+        WHERE d >= 2),
       cand AS (
         SELECT p.x AS x, q.x AS y, count(*) AS cn, sum(p.w) AS aaq
         FROM kept p JOIN kept q ON p.z = q.z AND p.x < q.x

@@ -592,7 +592,7 @@ object Relational {
     val l = Tables.load(spark, dir, "lineitem")
     val p = Tables.dim(spark, dir, "part")
       .withColumn("p_mfgr", concat(lit("MFGR#"),
-        (element_at(split(col("p_brand"), "#"), 2).cast("int") % 5).cast("string")))
+        (element_at(split(col("p_brand"), "#"), 2).cast("int") / 10).cast("int").cast("string")))
     graft.Ckpt(l
       .join(p, col("l_partkey") === col("p_partkey"))
       .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -644,7 +644,7 @@ object Relational {
   def q44OracleSql: String = s"""
       WITH pm AS (
         SELECT p_partkey, p_brand, p_type, p_size,
-          'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) % 5
+          'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) // 10
             AS VARCHAR) AS p_mfgr
         FROM part),
       ab AS (
@@ -698,7 +698,7 @@ object Relational {
     val l = Tables.load(spark, dir, "lineitem")
     val p = Tables.dim(spark, dir, "part")
       .withColumn("p_mfgr", concat(lit("MFGR#"),
-        (element_at(split(col("p_brand"), "#"), 2).cast("int") % 5).cast("string")))
+        (element_at(split(col("p_brand"), "#"), 2).cast("int") / 10).cast("int").cast("string")))
       .filter(col("p_mfgr") === s"MFGR#$mfgrDigit" && col("p_type") === ptype)
     val o = Tables.load(spark, dir, "orders")
     val c = Tables.dim(spark, dir, "customer")

@@ -1868,6 +1868,12 @@ object Similarity {
     require(k >= 1, s"s16 needs k >= 1, got $k")
     val spark = e.sparkSession
     val vecs = e.select(col("vec_id"), col("embedding"))
+    // k must not exceed the vector count: past n the greedy loop's
+    // state frame is empty and the struct-max would emit null
+    // vec_id/coverage rows while the oracle recursion just stops —
+    // fail loudly instead of diverging silently across engines.
+    val nVecs = vecs.count()
+    require(k <= nVecs, s"s16 needs k <= vector count ($nVecs), got $k")
     def dist(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
       lit(1.0) - round(graft.GraftFunctions.cosineSim(spark, v, c), 9)
     val seed = vecs.agg(min(col("vec_id")).as("c_id"))

@@ -193,7 +193,7 @@ object Export {
       // nests under exactly one mfgr) → type → brand → genus (head
       // word of p_name) → size
       .withColumn("p_mfgr", concat(lit("MFGR#"),
-        (element_at(split(col("p_brand"), "#"), 2).cast("int") % 5).cast("string")))
+        (element_at(split(col("p_brand"), "#"), 2).cast("int") / 10).cast("int").cast("string")))
       .withColumn("p_genus", element_at(split(col("p_name"), " "), 1))
       .groupBy(col("p_mfgr"), col("p_type"), col("p_brand"),
         col("p_genus"), col("p_size"))

@@ -65,6 +65,7 @@ if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
     selftest(); sys.exit(0)
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -73,6 +74,8 @@ for t in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
 for name in sorted(oracle):
+    if only is not None and name not in only:
+        continue
     path = f"{out_dir}/{name}"
     if not os.path.isdir(path):
         fails.append((name, "NO SPARK OUTPUT")); continue
