@@ -305,8 +305,13 @@ object Bench {
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
 
-    val line = benchLine(spark, sfDir, SparkEntry.queries, reps, countMode,
-      prior = loadPriorQueries())
+    // GRAFT_BENCH_ONLY=k1,k2 restricts the run (local iteration only;
+    // the driver sets no env and always benches the full registry)
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val line = benchLine(spark, sfDir,
+      SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) },
+      reps, countMode, prior = loadPriorQueries())
     println(line)
     // The driver's artifact is a BOUNDED TAIL of stdout: the r6
     // BENCH_r6.json lost its "raw" arrays and the first 11 per-query
