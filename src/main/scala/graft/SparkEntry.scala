@@ -75,6 +75,7 @@ object SparkEntry {
     "q48_simper" -> (Relational.q48Simper _),
     "q49_betadisper" -> (Relational.q49Betadisper _),
     "q50_rarefaction_curve" -> (Relational.q50RarefactionCurve _),
+    "q51_anosim" -> (Relational.q51Anosim _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1093,6 +1094,7 @@ object SparkEntry {
     "q48_simper" -> graft.operators.Relational.q48OracleSql,
     "q49_betadisper" -> graft.operators.Relational.q49OracleSql,
     "q50_rarefaction_curve" -> graft.operators.Relational.q50OracleSql,
+    "q51_anosim" -> graft.operators.Relational.q51OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

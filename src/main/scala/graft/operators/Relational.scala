@@ -1948,4 +1948,175 @@ object Relational {
         round(CAST(sum(CASE WHEN fq.fq >= f0.f_obs THEN 1 ELSE 0 END) + 1
             AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
       FROM fq, f0, counts WHERE fq.p >= 1"""
+
+  /** q51: ANOSIM (Clarke 1993; vegan's `anosim`) — the RANK-based
+    * companion to q46's PERMANOVA on the beta-diversity page: instead
+    * of sums of squared distances, compare the mean RANK of
+    * between-group pair dissimilarities with the mean rank of
+    * within-group ones, R = (r̄_B − r̄_W) / (M/2) with M = n(n−1)/2
+    * total pairs, so R ∈ [−1, 1] with R ≈ 0 under no structure and
+    * R → 1 when all between-group pairs out-rank all within-group
+    * pairs. Being rank-based it is insensitive to the distance
+    * metric's scale — the reason the bpaotu-class comparison page
+    * offers it beside the parametric-ish PERMANOVA. Significance is
+    * the permutation p over the SAME [[PermanovaPerms]] deterministic
+    * Knuth-hash label deals as q46/q49 ([[permutationLabels]]): ranks
+    * are a property of the DISTANCES alone, so the rank frame is
+    * computed once and only the within/between classification changes
+    * per permutation.
+    *
+    * Determinism: ranks ride an ALL-INTEGER grid — ties get the
+    * average rank, carried as avg2 = 2·r̄ = 2·rank_min + ties − 1
+    * (an exact integer; the windows run over the round-6 quantized
+    * distances, so cross-engine tie SETS are identical and the
+    * averaged rank is order-free). Per permutation the statistic is
+    * ONE double expression over four integer sums,
+    * R = (sB/nB − sW/nW) / M in avg2 units (the 2s cancel), compared
+    * on a round-9 grid; p = (n_ge + 1)/(P + 1); the reported R is
+    * roundz-quantized (it is legitimately negative when within-group
+    * pairs out-rank between-group ones).
+    *
+    * Scale shape: q46's exactly — the only fact-scale work is q30's
+    * checkpointed abundance aggregate; the pair frame, the rank
+    * windows (global, but over the n²/2 sample-dim-bounded pair
+    * frame — the constant-key bounded-window idiom), and the
+    * (P+1)-label lattice are all dimension-bounded. */
+  def q51Anosim(spark: SparkSession, dir: String): DataFrame = {
+    val bc = graft.Ckpt(q30BrayCurtis(spark, dir))
+    val nat = Tables.dim(spark, dir, "nation")
+      .join(Tables.dim(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("n_nationkey").as("k"), col("r_name"))
+    val samples = graft.Ckpt(bc.select(col("sample_a").as("n_name"))
+      .union(bc.select(col("sample_b"))).distinct()
+      .join(nat, "n_name"))
+    anosimFromDistances(bc, samples)
+  }
+
+  /** [[q51Anosim]]'s core over a (sample_a, sample_b, bray_curtis)
+    * pair frame and a (n_name, k, r_name) sample frame — split out
+    * for planted specs. */
+  def anosimFromDistances(bc: DataFrame, samples: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val counts = samples.agg(count(lit(1)).as("n"),
+      countDistinct(col("r_name")).as("kg"))
+    val labels = graft.Ckpt(permutationLabels(samples, P))
+    // avg2 = twice the average tie rank = 2*rank_min + ties - 1: an
+    // exact integer, order-free under any tie ordering. The global
+    // windows run on the pair frame (n²/2 rows, sample-dim-bounded) —
+    // the constant non-foldable key keeps the plan's single-partition
+    // scope explicit and bounded, as in permutationLabels' bounds.
+    val dcol = col("bray_curtis")
+    val wRank = Window.partitionBy(dcol * 0).orderBy("bray_curtis")
+    val wTies = Window.partitionBy(dcol * 0, dcol)
+    val ranked = graft.Ckpt(bc
+      .withColumn("avg2", lit(2L) * rank().over(wRank).cast("long")
+        + count(lit(1)).over(wTies) - lit(1L))
+      .select(col("sample_a"), col("sample_b"), col("avg2")))
+    val la = labels.select(col("p"), col("n_name").as("sample_a"),
+      col("g").as("ga"))
+    val lb = labels.select(col("p"), col("n_name").as("sample_b"),
+      col("g").as("gb"))
+    val rq = ranked.join(la, "sample_a").join(lb, Seq("p", "sample_b"))
+      .groupBy("p")
+      .agg(
+        sum(when(col("ga") =!= col("gb"), col("avg2"))).as("sb"),
+        sum(when(col("ga") === col("gb"), col("avg2"))).as("sw"),
+        sum(when(col("ga") =!= col("gb"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("ga") === col("gb"), 1L).otherwise(0L)).as("nw"),
+        count(lit(1)).as("m"))
+      .select(col("p"), round(
+        (col("sb").cast("double") / col("nb").cast("double")
+          - col("sw").cast("double") / col("nw").cast("double"))
+          / col("m").cast("double"), 9).as("rq"))
+    val robs = rq.filter(col("p") === 0L).select(col("rq").as("r_obs"))
+    rq.filter(col("p") >= 1L)
+      .crossJoin(broadcast(robs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("rq") >= col("r_obs"), 1L).otherwise(0L)).as("n_ge"),
+        first(col("r_obs")).as("r0"))
+      .crossJoin(broadcast(counts))
+      .select(col("n").as("n_samples"), col("kg").as("n_groups"),
+        graft.GraftFunctions.roundz(col("r0"), 6).as("r_obs"),
+        col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+  }
+
+  /** DuckDB oracle for [[q51Anosim]] — q30's BC derivation, the
+    * identical integer avg2 rank grid, Knuth-hash deal, and round-9
+    * R compare. */
+  def q51OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY n_name),
+      cm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS c
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      bc AS MATERIALIZED (
+        SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+          round(1.0 - 2.0 * CAST(coalesce(cm.c, 0) AS DOUBLE)
+            / (CAST(ta.s AS DOUBLE) + CAST(tb.s AS DOUBLE)), 6) AS d
+        FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+        LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name),
+      samples AS MATERIALIZED (
+        SELECT s.n_name, n_nationkey AS k, r_name
+        FROM (SELECT DISTINCT n_name FROM (
+          SELECT sample_a AS n_name FROM bc
+          UNION ALL SELECT sample_b FROM bc)) s
+        JOIN nation ON nation.n_name = s.n_name
+        JOIN region ON n_regionkey = r_regionkey),
+      counts AS (
+        SELECT count(*) AS n, count(DISTINCT r_name) AS kg FROM samples),
+      ngf AS (SELECT r_name AS g, count(*) AS ng FROM samples GROUP BY 1),
+      bounds AS (
+        SELECT g,
+          sum(ng) OVER (ORDER BY g) - ng AS lo,
+          sum(ng) OVER (ORDER BY g) AS hi
+        FROM ngf),
+      permuted AS (
+        SELECT r.p, r.n_name, b.g
+        FROM (
+          SELECT p, n_name,
+            row_number() OVER (PARTITION BY p ORDER BY
+              ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+              k) AS rnk
+          FROM samples, generate_series(1, $PermanovaPerms) t(p)) r
+        JOIN bounds b ON r.rnk > b.lo AND r.rnk <= b.hi),
+      labels AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, r_name AS g FROM samples
+        UNION ALL SELECT CAST(p AS BIGINT), n_name, g FROM permuted),
+      ranked AS MATERIALIZED (
+        SELECT sample_a, sample_b,
+          2 * rank() OVER (ORDER BY d)
+            + count(*) OVER (PARTITION BY d) - 1 AS avg2
+        FROM bc),
+      rq AS MATERIALIZED (
+        SELECT la.p, round(
+          (CAST(sum(CASE WHEN la.g <> lb.g THEN avg2 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN la.g <> lb.g THEN 1 ELSE 0 END) AS DOUBLE)
+           - CAST(sum(CASE WHEN la.g = lb.g THEN avg2 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN la.g = lb.g THEN 1 ELSE 0 END) AS DOUBLE))
+          / CAST(count(*) AS DOUBLE), 9) AS rq
+        FROM ranked r
+        JOIN labels la ON la.n_name = r.sample_a
+        JOIN labels lb ON lb.n_name = r.sample_b AND lb.p = la.p
+        GROUP BY la.p),
+      r0 AS (SELECT rq AS r_obs FROM rq WHERE p = 0)
+      SELECT any_value(n) AS n_samples, any_value(kg) AS n_groups,
+        (round(any_value(r0.r_obs), 6) + 0.0) AS r_obs,
+        count(*) AS n_perms,
+        CAST(sum(CASE WHEN rq.rq >= r0.r_obs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ge,
+        round(CAST(sum(CASE WHEN rq.rq >= r0.r_obs THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+      FROM rq, r0, counts WHERE rq.p >= 1"""
 }

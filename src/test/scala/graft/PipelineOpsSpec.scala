@@ -260,6 +260,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"p range: $sf")
   }
 
+  test("ANOSIM R is exactly 1 on perfectly separated groups, exactly 0 " +
+       "with p = 1 on an all-equal matrix, and sane on the sf corpus") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // 6 samples, 2 groups of 3: all 6 within-pairs at 0.1 (tied ranks
+    // 1..6, avg 3.5), all 9 between-pairs at 0.9 (avg rank 11) →
+    // R = (11 − 3.5)/(15/2) = 1.0 EXACTLY, and no permutation that
+    // moves any sample across groups can tie it, so p = 1/(P+1)
+    val names = Seq("s1", "s2", "s3", "t1", "t2", "t3")
+    val samples = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong, nm.substring(0, 1)) }
+      .toDF("n_name", "k", "r_name")
+    val pairs = for {
+      i <- names.indices; j <- names.indices if names(i) < names(j)
+    } yield (names(i), names(j),
+      if (names(i)(0) == names(j)(0)) 0.1 else 0.9)
+    val sep = Relational.anosimFromDistances(
+      pairs.toDF("sample_a", "sample_b", "bray_curtis"), samples).head()
+    assert(sep.getLong(0) == 6L && sep.getLong(1) == 2L, sep.toString)
+    assert(sep.getDouble(2) == 1.0, s"separated R != 1: $sep")
+    assert(sep.getLong(3) == Relational.PermanovaPerms)
+    assert(sep.getDouble(5) == math.rint(1.0e6
+      / (Relational.PermanovaPerms + 1)) / 1.0e6,
+      s"separated p not minimal: $sep")
+    // all-equal distances: every pair carries the identical average
+    // rank, so R = 0 for the observed AND every permuted labeling —
+    // all permutations tie and p = 1 exactly
+    val flat = pairs.map { case (a, b, _) => (a, b, 0.5) }
+    val nul = Relational.anosimFromDistances(
+      flat.toDF("sample_a", "sample_b", "bray_curtis"), samples).head()
+    assert(nul.getDouble(2) == 0.0, s"null R != 0: $nul")
+    assert(nul.getLong(4) == Relational.PermanovaPerms &&
+      nul.getDouble(5) == 1.0, s"null not calibrated: $nul")
+    // inverted structure (within pairs FAR, between pairs close) →
+    // R is negative, the diagnostic reading ANOSIM is known for
+    val inv = pairs.map { case (a, b, d) => (a, b, 1.0 - d) }
+    val neg = Relational.anosimFromDistances(
+      inv.toDF("sample_a", "sample_b", "bray_curtis"), samples).head()
+    assert(neg.getDouble(2) == -1.0, s"inverted R != -1: $neg")
+    // real corpus: gate the shape — full census, R in [−1, 1], p in (0, 1]
+    val sf = Relational.q51Anosim(spark, sfDir).head()
+    assert(sf.getLong(0) == 25L && sf.getLong(1) == 5L, s"sf shape: $sf")
+    assert(sf.getDouble(2) >= -1.0 && sf.getDouble(2) <= 1.0 &&
+      !sf.getDouble(2).isNaN, s"sf R range: $sf")
+    assert(sf.getLong(3) == Relational.PermanovaPerms)
+    assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"sf p: $sf")
+  }
+
   test("SIMPER attributes a planted between-group difference to exactly " +
        "the differing taxa and zeroes the shared one") {
     import spark.implicits._
