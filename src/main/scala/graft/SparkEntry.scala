@@ -76,6 +76,7 @@ object SparkEntry {
     "q49_betadisper" -> (Relational.q49Betadisper _),
     "q50_rarefaction_curve" -> (Relational.q50RarefactionCurve _),
     "q51_anosim" -> (Relational.q51Anosim _),
+    "q52_indval" -> (Relational.q52Indval _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1095,6 +1096,7 @@ object SparkEntry {
     "q49_betadisper" -> graft.operators.Relational.q49OracleSql,
     "q50_rarefaction_curve" -> graft.operators.Relational.q50OracleSql,
     "q51_anosim" -> graft.operators.Relational.q51OracleSql,
+    "q52_indval" -> graft.operators.Relational.q52OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

@@ -2119,4 +2119,158 @@ object Relational {
         round(CAST(sum(CASE WHEN rq.rq >= r0.r_obs THEN 1 ELSE 0 END) + 1
             AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
       FROM rq, r0, counts WHERE rq.p >= 1"""
+
+  /** q52: INDICATOR SPECIES ANALYSIS (Dufrêne & Legendre 1997; R
+    * `indicspecies`/`labdsv` IndVal) — the "WHICH taxa characterize a
+    * group" endpoint beside q45's prevalence screen: for taxon t and
+    * group g, specificity A_tg = (mean abundance of t in g) / (Σ over
+    * groups of t's mean abundance), fidelity B_tg = (samples of g
+    * containing t)/n_g, and IndVal_t = max_g A_tg·B_tg — 1.0 exactly
+    * when t appears in EVERY sample of ONE group and nowhere else.
+    * Significance is the per-taxon permutation p over the SAME
+    * [[PermanovaPerms]] deterministic Knuth-hash label deals as
+    * q46/q49/q51: group sizes are preserved by construction, so B's
+    * denominator and A's mean divisors never change — only the
+    * sample-to-group assignment does.
+    *
+    * Determinism: abundance sums are exact DECIMAL; each (p, g, t)
+    * mean is round-12 quantized into DECIMAL before the per-taxon
+    * total (order-free sum); IndVal is ONE double expression
+    * (A·B) on a round-9 grid; the observed argmax group breaks ties
+    * on the smaller group name via one bounded row_number window; p =
+    * (n_ge + 1)/(P + 1).
+    *
+    * Scale shape: one fact-scale aggregate to the sparse (sample,
+    * taxon) matrix (checkpointed); everything after is bounded by
+    * (P+1) × taxa × groups. Absent (taxon, sample) cells never
+    * materialize — presence counts fall out of the sparse join. */
+  def q52Indval(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(dec(col("l_quantity"))).as("qty")))
+    val nat = Tables.dim(spark, dir, "nation")
+      .join(Tables.dim(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("n_nationkey").as("k"), col("r_name"))
+    val samples = graft.Ckpt(
+      ab.select(col("n_name")).distinct().join(nat, "n_name"))
+    indvalFromAbundance(ab, samples)
+  }
+
+  /** [[q52Indval]]'s core over a sparse (n_name, p_type, qty DECIMAL)
+    * abundance matrix and a (n_name, k, r_name) sample frame — split
+    * out for planted specs. Rows carry qty > 0 (presence). */
+  def indvalFromAbundance(ab: DataFrame, samples: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val labels = graft.Ckpt(permutationLabels(samples, P))
+    val sizes = samples.groupBy(col("r_name").as("g"))
+      .agg(count(lit(1)).as("ng"))
+    val gstats = ab.join(labels, "n_name")
+      .groupBy("p", "p_type", "g")
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("npres"))
+      .join(broadcast(sizes), "g")
+      .select(col("p"), col("p_type"), col("g"),
+        round(col("sq").cast("double") / col("ng").cast("double"), 12)
+          .cast("decimal(25,12)").as("mg"),
+        col("npres"), col("ng"))
+    val tmean = gstats.groupBy("p", "p_type").agg(sum(col("mg")).as("tm"))
+    val iv = graft.Ckpt(gstats.join(tmean, Seq("p", "p_type"))
+      .select(col("p"), col("p_type"), col("g"),
+        round((col("mg").cast("double") / col("tm").cast("double"))
+          * (col("npres").cast("double") / col("ng").cast("double")), 9)
+          .as("iv")))
+    val ivmax = iv.groupBy("p", "p_type").agg(max(col("iv")).as("ivm"))
+    val obs = iv.filter(col("p") === 0L)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_type").orderBy(col("iv").desc, col("g"))))
+      .filter(col("rn") === 1)
+      .select(col("p_type"), col("g").as("group_g"), col("iv").as("iv0"))
+    ivmax.filter(col("p") >= 1L)
+      .join(obs, "p_type")
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("ivm") >= col("iv0"), 1L).otherwise(0L)).as("n_ge"),
+        first(col("group_g")).as("group_g"),
+        first(col("iv0")).as("ivo"))
+      .select(col("p_type"), col("group_g"),
+        round(col("ivo"), 6).as("indval"),
+        col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+      .orderBy("p_type")
+  }
+
+  /** DuckDB oracle for [[q52Indval]] — identical sparse matrix,
+    * round-12 group means, Knuth-hash deal, round-9 IndVal grid and
+    * smallest-group argmax tie-break. */
+  def q52OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      samples AS MATERIALIZED (
+        SELECT s.n_name, n_nationkey AS k, r_name
+        FROM (SELECT DISTINCT n_name FROM ab) s
+        JOIN nation ON nation.n_name = s.n_name
+        JOIN region ON n_regionkey = r_regionkey),
+      sizes AS (SELECT r_name AS g, count(*) AS ng FROM samples GROUP BY 1),
+      bounds AS (
+        SELECT g,
+          sum(ng) OVER (ORDER BY g) - ng AS lo,
+          sum(ng) OVER (ORDER BY g) AS hi
+        FROM sizes),
+      permuted AS (
+        SELECT r.p, r.n_name, b.g
+        FROM (
+          SELECT p, n_name,
+            row_number() OVER (PARTITION BY p ORDER BY
+              ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+              k) AS rnk
+          FROM samples, generate_series(1, $PermanovaPerms) t(p)) r
+        JOIN bounds b ON r.rnk > b.lo AND r.rnk <= b.hi),
+      labels AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, r_name AS g FROM samples
+        UNION ALL SELECT CAST(p AS BIGINT), n_name, g FROM permuted),
+      gstats AS MATERIALIZED (
+        SELECT la.p, ab.p_type, la.g,
+          CAST(round(CAST(sum(ab.qty) AS DOUBLE) / CAST(any_value(ng)
+            AS DOUBLE), 12) AS DECIMAL(25,12)) AS mg,
+          count(*) AS npres, any_value(ng) AS ng
+        FROM ab
+        JOIN labels la ON la.n_name = ab.n_name
+        JOIN sizes ON sizes.g = la.g
+        GROUP BY 1, 2, 3),
+      tmean AS (
+        SELECT p, p_type, sum(mg) AS tm FROM gstats GROUP BY 1, 2),
+      iv AS MATERIALIZED (
+        SELECT g.p, g.p_type, g.g,
+          round((CAST(mg AS DOUBLE) / CAST(tm AS DOUBLE))
+            * (CAST(npres AS DOUBLE) / CAST(ng AS DOUBLE)), 9) AS iv
+        FROM gstats g JOIN tmean USING (p, p_type)),
+      ivmax AS (SELECT p, p_type, max(iv) AS ivm FROM iv GROUP BY 1, 2),
+      obs AS (
+        SELECT p_type, g AS group_g, iv AS iv0
+        FROM (SELECT p_type, g, iv, row_number() OVER
+                (PARTITION BY p_type ORDER BY iv DESC, g) AS rn
+              FROM iv WHERE p = 0)
+        WHERE rn = 1)
+      SELECT obs.p_type, any_value(group_g) AS group_g,
+        round(any_value(iv0), 6) AS indval,
+        count(*) AS n_perms,
+        CAST(sum(CASE WHEN ivm >= iv0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ge,
+        round(CAST(sum(CASE WHEN ivm >= iv0 THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+      FROM ivmax JOIN obs ON ivmax.p_type = obs.p_type
+      WHERE ivmax.p >= 1
+      GROUP BY obs.p_type ORDER BY obs.p_type"""
 }

@@ -308,6 +308,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"sf p: $sf")
   }
 
+  test("IndVal scores a perfect indicator exactly 1, a ubiquitous " +
+       "uniform taxon exactly 1/k with p = 1, and is sane on the corpus") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val names = Seq("a1", "a2", "a3", "b1", "b2", "b3")
+    val samples = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong, nm.substring(0, 1)) }
+      .toDF("n_name", "k", "r_name")
+    // X: all of group a, none of b → A = 1, B = 1, IndVal = 1 exactly.
+    // U: every sample, identical abundance → A = 1/2, B = 1 in BOTH
+    // groups under EVERY labeling → IndVal = 0.5 for observed and all
+    // permutations, so p = 1 exactly.
+    val ab = (names.filter(_.startsWith("a")).map(n => (n, "X", "5.00"))
+      ++ names.map(n => (n, "U", "3.00")))
+      .map { case (n, t, q) => (n, t, BigDecimal(q)) }
+      .toDF("n_name", "p_type", "qty")
+    val got = Relational.indvalFromAbundance(ab, samples).collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getDouble(2), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set("X", "U"), got.toString)
+    val (xg, xiv, _, xp) = got("X")
+    assert(xg == "a" && xiv == 1.0, s"perfect indicator: ${got("X")}")
+    // a permutation ties 1.0 only when all three X-samples land in one
+    // group (same-size deal: chance 2·C(3,3)/C(6,3) = 0.1) — p is
+    // small but not necessarily minimal; gate it below the null bulk
+    assert(xp < 0.5, s"indicator p not small: ${got("X")}")
+    val (_, uiv, unge, up) = got("U")
+    assert(uiv == 0.5 && unge == Relational.PermanovaPerms && up == 1.0,
+      s"uniform taxon not calibrated: ${got("U")}")
+    // real corpus: every taxon reported once, indval in (0, 1],
+    // p in (0, 1], group is one of the five regions
+    val sf = Relational.q52Indval(spark, sfDir).collect()
+    assert(sf.length == 6, s"expected 6 taxa, got ${sf.length}")
+    assert(sf.forall { r =>
+      r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0 &&
+      r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0 }, sf.mkString(";"))
+  }
+
   test("SIMPER attributes a planted between-group difference to exactly " +
        "the differing taxa and zeroes the shared one") {
     import spark.implicits._
