@@ -625,47 +625,9 @@ object Graph {
     try {
       val n = nodes.count()
       val cap = math.min(maxSteps, n + CkptEvery)
-      var labels = graft.Ckpt(nodes.select(col("v"), col("v").as("label")))
-      // Fixpoint test via the EXACT value total: labels are per-node
-      // monotone non-increasing and every node appears every step (the
-      // self-edge sentinel), so the sum is unchanged over a period iff
-      // no label moved — one scan aggregate per period instead of an
-      // n-row self-join. DECIMAL(38,0) keeps it exact at any n (the
-      // worst case n·|label| ≈ 2⁶³·2⁶³ < 10³⁸; an int64 sum could wrap
-      // a genuine decrease to apparent equality).
-      def tot(df: DataFrame): java.math.BigDecimal = df
-        .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-      var curTot = tot(labels)
-      var steps = 0L
-      var converged = n == 0L
-      while (!converged) {
-        // the runaway guard bounds steps actually EXECUTED: each
-        // period runs at most cap − steps further relaxations, so a
-        // maxSteps below the checkpoint cadence still fires (r11
-        // ADVICE: the old guard was quantized to CkptEvery and a
-        // first-period fixpoint never checked it at all). Equality of
-        // the exact sum over a SHORT final period (k ≥ 1, monotone
-        // labels) still certifies the fixpoint.
-        val k = math.min(CkptEvery.toLong, cap - steps)
-        require(k > 0,
-          s"min-label propagation not converged after $steps steps " +
-            s"on $n nodes (cap $cap)")
-        var nxt = labels
-        for (_ <- 1L to k) {
-          nxt = und
-            .join(nxt, col("src") === col("v"))
-            .groupBy(col("dst"))
-            .agg(min(col("label")).as("label"))
-            .select(col("dst").as("v"), col("label"))
-        }
-        steps += k
-        val nm = graft.Ckpt(nxt)
-        val nmTot = tot(nm)
-        converged = nmTot.compareTo(curTot) == 0
-        labels = nm
-        curTot = nmTot
-      }
+      val init = nodes.select(col("v"), col("v").as("label"))
+      val (labels, steps) = propagateToFixpoint(init, und, n, min, cap,
+        s"min-label propagation ($tag)")
       FixpointSteps.put(tag, steps)
       labels.groupBy(col("label").as("component"))
         .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"),
@@ -675,6 +637,61 @@ object Graph {
       und.unpersist(blocking = true)
       release.foreach(_.unpersist(blocking = true))
     }
+  }
+
+  /** Monotone label propagation to the exact fixpoint — the shared
+    * loop behind [[componentsCore]] (min-label CC) and [[sccCore]]'s
+    * coloring/marking passes. `adj` must carry a self-edge per node
+    * (the sentinel that keeps every node in the aggregate and carries
+    * its own label forward) and should be persisted by the caller (it
+    * is re-joined every step); `labels0` is the (v, label) initial
+    * state; `fold` is the per-dst monotone aggregate (min for
+    * coloring, max for marks).
+    *
+    * Fixpoint test via the EXACT value total: labels are per-node
+    * monotone and every node appears every step (the self-edge
+    * sentinel), so the sum is unchanged over a [[CkptEvery]]-step
+    * period iff no label moved — one scan aggregate per period
+    * instead of an n-row self-join. DECIMAL(38,0) keeps it exact at
+    * any n (the worst case n·|label| ≈ 2⁶³·2⁶³ < 10³⁸; an int64 sum
+    * could wrap a genuine change to apparent equality). The runaway
+    * guard bounds steps actually EXECUTED: each period runs at most
+    * cap − steps further relaxations, so a cap below the checkpoint
+    * cadence still fires (r11 ADVICE); equality of the exact sum over
+    * a SHORT final period (k ≥ 1, monotone labels) still certifies
+    * the fixpoint. Returns (converged (v, label) frame, steps run). */
+  private def propagateToFixpoint(labels0: DataFrame, adj: DataFrame,
+      nNodes: Long, fold: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column,
+      cap: Long, what: String): (DataFrame, Long) = {
+    def tot(df: DataFrame): java.math.BigDecimal = df
+      .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var labels = graft.Ckpt(labels0)
+    var curTot = tot(labels)
+    var steps = 0L
+    var converged = nNodes == 0L
+    while (!converged) {
+      val k = math.min(CkptEvery.toLong, cap - steps)
+      require(k > 0,
+        s"$what not converged after $steps steps " +
+          s"on $nNodes nodes (cap $cap)")
+      var nxt = labels
+      for (_ <- 1L to k) {
+        nxt = adj
+          .join(nxt, col("src") === col("v"))
+          .groupBy(col("dst"))
+          .agg(fold(col("label")).as("label"))
+          .select(col("dst").as("v"), col("label"))
+      }
+      steps += k
+      val nm = graft.Ckpt(nxt)
+      val nmTot = tot(nm)
+      converged = nmTot.compareTo(curTot) == 0
+      labels = nm
+      curTot = nmTot
+    }
+    (labels, steps)
   }
 
   /** DuckDB oracle for [[g2Components]] — the same min-label
@@ -2595,4 +2612,169 @@ object Graph {
         count(*) AS n_communities,
         (round(CAST(sum(contrib) AS DOUBLE), 6) + 0.0) AS modularity
       FROM terms, m"""
+
+  /** g19: STRONGLY CONNECTED COMPONENTS of the DIRECTED link graph —
+    * the directed complement of g2/g6 (which symmetrize): on a web/
+    * citation graph the giant SCC vs in/out-periphery split (the
+    * "bow-tie") is the structure a source-weighting pipeline actually
+    * wants, and mutual reachability is what distinguishes a citation
+    * ring from a chain. Output is g2's shape: one row per SCC keyed by
+    * its minimum member id.
+    *
+    * Algorithm — iterative forward-color / backward-mark peeling
+    * (Orzan's coloring, the standard distributed SCC shape; FW-BW's
+    * pivot reachability is the special case with one color): each
+    * round on the remaining subgraph
+    *   (1) FORWARD min-label propagation to the exact fixpoint:
+    *       c(v) = min id over v's ancestors ∪ {{v}} — so each color
+    *       class sits inside the descendant set of its root r
+    *       (c(r) = r);
+    *   (2) BACKWARD mark propagation from the roots along reversed
+    *       edges RESTRICTED to same-color pairs, to the fixpoint:
+    *       marked(v) ⇔ v →* r within the class. The restriction is
+    *       lossless (standard argument: any v→*r path node w has
+    *       r →* w and every ancestor of w is an ancestor of r, so
+    *       c(w) = r exactly);
+    *   (3) every marked set IS the SCC of its root (F ∩ B) — emit
+    *       them ALL, peel, repeat on the remainder.
+    * Both inner loops are [[propagateToFixpoint]] (componentsCore's
+    * exact-sum probe, Ckpt cadence, loud runaway caps); the outer
+    * peel is capped by `maxRounds` (default n + 1 — a pure runaway
+    * guard: each round removes ≥ 1 node). Every round removes every
+    * root SCC simultaneously, so round count is bounded by the depth
+    * of the condensation's min-id peeling order, not by SCC count —
+    * on hash-random link graphs the giant SCC + shallow periphery
+    * peel in a handful of rounds. Per round the work is
+    * O(diameter) edge-scale exchanges against a pinned adjacency —
+    * the g2 cost class with a constant-factor outer dial, the
+    * published trade for distributed SCC (Tarjan is inherently
+    * sequential).
+    *
+    * Determinism: all-integer labels and marks; fixpoints are unique
+    * regardless of execution order. */
+  def g19Scc(spark: SparkSession, dir: String): DataFrame =
+    g19Scc(Tables.load(spark, dir, "documents"))
+
+  def g19Scc(docs0: DataFrame, maxRounds: Long = Long.MaxValue): DataFrame = {
+    val spine = docs0.select(col("doc_id"))
+    val h = spine.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(n > 0, "g19 needs a non-empty documents frame")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g19 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    sccCore(spine.select(col("doc_id").as("v")),
+      syntheticFwd(spine, n).select(col("src"), col("dst")), maxRounds,
+      "g19_scc")
+  }
+
+  /** General SCC entry — explicit DIRECTED (src, dst) edge list with
+    * arbitrary sparse 64-bit ids; the node spine is the distinct
+    * endpoint set. */
+  def g19SccEdges(edges0: DataFrame, maxRounds: Long = Long.MaxValue,
+      tag: String = "g19_edges"): DataFrame = {
+    val edges = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .distinct()
+    sccCore(nodes, edges, maxRounds, tag)
+  }
+
+  private def sccCore(nodes0: DataFrame, edges0: DataFrame,
+      maxRounds: Long, tag: String): DataFrame = {
+    var remaining = graft.Ckpt(nodes0.select(col("v")))
+    var edges = graft.Ckpt(edges0.select(col("src"), col("dst")))
+    var nLeft = remaining.count()
+    val cap = math.min(maxRounds, nLeft + 1)
+    var assigned: DataFrame = null
+    var rounds = 0L
+    var innerSteps = 0L
+    while (nLeft > 0) {
+      require(rounds < cap,
+        s"SCC peel not converged after $rounds rounds, $nLeft nodes " +
+          s"left (cap $cap, $tag)")
+      // (1) forward coloring on the remaining subgraph
+      val fadj = edges
+        .unionByName(remaining.select(col("v").as("src"), col("v").as("dst")))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (colors, cSteps) = propagateToFixpoint(
+        remaining.select(col("v"), col("v").as("label")), fadj, nLeft,
+        min, nLeft + CkptEvery, s"SCC coloring ($tag)")
+      fadj.unpersist(blocking = true)
+      // (2) backward marks within color classes: keep only same-color
+      // edges, REVERSED (marks flow head → tail), plus the sentinel
+      // self-edges; seed = the roots
+      val cs = colors.select(col("v").as("src"), col("label").as("cs"))
+      val cd = colors.select(col("v").as("dst"), col("label").as("cd"))
+      val badj = edges.join(cs, "src").join(cd, "dst")
+        .filter(col("cs") === col("cd"))
+        .select(col("dst").as("src"), col("src").as("dst"))
+        .unionByName(remaining.select(col("v").as("src"), col("v").as("dst")))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val seed = colors.select(col("v"),
+        when(col("label") === col("v"), 1L).otherwise(0L).as("label"))
+      val (marks, mSteps) = propagateToFixpoint(seed, badj, nLeft,
+        max, nLeft + CkptEvery, s"SCC marking ($tag)")
+      badj.unpersist(blocking = true)
+      innerSteps += cSteps + mSteps
+      // (3) peel every root SCC at once
+      val scc = graft.Ckpt(marks.filter(col("label") === 1L)
+        .select(col("v"))
+        .join(colors, "v")
+        .select(col("v"), col("label").as("component")))
+      assigned = if (assigned == null) scc else assigned.unionByName(scc)
+      remaining = graft.Ckpt(
+        remaining.join(scc.select(col("v")), Seq("v"), "left_anti"))
+      edges = graft.Ckpt(edges
+        .join(remaining.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(remaining.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+      rounds += 1
+      nLeft = remaining.count()
+    }
+    FixpointSteps.put(tag, innerSteps)
+    FixpointSteps.put(tag + "_rounds", rounds)
+    if (assigned == null)
+      return nodes0.sparkSession.emptyDataFrame
+        .withColumn("component", lit(0L))
+        .withColumn("n_members", lit(0L))
+        .withColumn("min_doc", lit(0L))
+        .withColumn("max_doc", lit(0L))
+    assigned.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"),
+        max(col("v")).as("max_doc"))
+      .orderBy("component")
+  }
+
+  /** DuckDB oracle for [[g19Scc]] — full transitive closure of the
+    * synthetic directed graph via one recursive CTE (pair space is
+    * n², the ORACLE's luxury — the engine never materializes it);
+    * scc(v) = min u with v →* u ∧ u →* v (v itself iff v is on a
+    * cycle, else the singleton fallback). */
+  def g19OracleSql: String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      reach AS (
+        SELECT src AS a, dst AS b FROM fwd
+        UNION
+        SELECT r.a, f.dst FROM reach r JOIN fwd f ON r.b = f.src),
+      mut AS (
+        SELECT r1.a AS v, min(r1.b) AS mn
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        GROUP BY r1.a),
+      scc AS (
+        SELECT doc_id AS v, coalesce(mn, doc_id) AS component
+        FROM documents LEFT JOIN mut ON mut.v = doc_id)
+      SELECT component, count(*) AS n_members,
+        min(v) AS min_doc, max(v) AS max_doc
+      FROM scc GROUP BY component ORDER BY component"""
 }

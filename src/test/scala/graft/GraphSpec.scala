@@ -984,4 +984,50 @@ class GraphSpec extends SparkSpec {
     assert(one.getLong(2) == 1L && one.getDouble(3) == 0.0,
       s"K4 not a single zero-modularity community: $one")
   }
+
+  test("g19 SCC: planted cycle, DAG chain, two linked cycles, bow-tie, " +
+       "sparse ids, and the runaway cap fires") {
+    import spark.implicits._
+    import graft.operators.Graph
+    def comps(edges: Seq[(Long, Long)], maxRounds: Long = Long.MaxValue) =
+      Graph.g19SccEdges(edges.toDF("src", "dst"), maxRounds, tag = "g19_spec")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    // pure 4-cycle: one SCC containing everything
+    assert(comps(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+      == Seq((0L, 4L, 0L, 3L)), "4-cycle")
+    // DAG chain: every node its own SCC (this is the worst peel shape:
+    // one root per round — 4 rounds, each a cheap fixpoint)
+    assert(comps(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+      == (0L to 3L).map(i => (i, 1L, i, i)), "DAG chain")
+    // two 2-cycles joined by a one-way bridge: exactly two SCCs, and
+    // the DIRECTION matters — g2 (undirected) would merge them
+    val two = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 3L), (3L, 2L))
+    assert(comps(two) == Seq((0L, 2L, 0L, 1L), (2L, 2L, 2L, 3L)),
+      "two linked cycles")
+    // bow-tie: in-tendril 10 → core {0,1,2} → out-tendril 20
+    val bow = Seq((10L, 0L), (0L, 1L), (1L, 2L), (2L, 0L), (2L, 20L))
+    assert(comps(bow) == Seq((0L, 3L, 0L, 2L), (10L, 1L, 10L, 10L),
+      (20L, 1L, 20L, 20L)), "bow-tie")
+    // sparse/negative 64-bit ids pass through untouched
+    val sparse = Seq((-5L, 1000000007L), (1000000007L, -5L),
+      (1000000007L, 42L))
+    assert(comps(sparse) == Seq((-5L, 2L, -5L, 1000000007L),
+      (42L, 1L, 42L, 42L)), "sparse ids")
+    // the runaway cap is a loud failure, not silent truncation: the
+    // 4-node DAG chain needs 4 peel rounds, cap it at 2
+    val ex = intercept[Exception] {
+      comps(Seq((0L, 1L), (1L, 2L), (2L, 3L)), maxRounds = 2L)
+    }
+    assert(ex.getMessage.contains("SCC peel not converged"),
+      s"wrong failure: ${ex.getMessage}")
+    // dense-id oracle path at sf (values are cross-checked bitwise by
+    // the DuckDB oracle; here gate the partition property: the SCCs
+    // partition the node set exactly)
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    val sf = Graph.g19Scc(spark, sfDir).collect()
+    assert(sf.map(_.getLong(1)).sum == nDocs,
+      s"SCCs don't partition the $nDocs nodes: ${sf.mkString(";")}")
+  }
 }
