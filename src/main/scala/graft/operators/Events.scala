@@ -1314,17 +1314,23 @@ object Events {
   def cusumDrift(spark: SparkSession, dir: String): DataFrame =
     cusumDrift(Tables.load(spark, dir, "events"))
 
-  def cusumDrift(events: DataFrame): DataFrame = {
-    val B = CusumBaselineDays
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    def d(c: Column): Column = c.cast(d38)
+  /** The (event_type, day, cnt, r) observed-day rank frame e24 and the
+    * baseline publisher share — checkpointed, one fact-scale pass. */
+  private def cusumRanked(events: DataFrame): DataFrame = {
     val daily = graft.Ckpt(events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt")))
     val wr = Window.partitionBy("event_type").orderBy("day")
-    val ranked = graft.Ckpt(daily
-      .withColumn("r", row_number().over(wr).cast("long")))
-    val stats = ranked.filter(col("r") <= B)
+    graft.Ckpt(daily.withColumn("r", row_number().over(wr).cast("long")))
+  }
+
+  /** Per-type baseline moments from the first [[CusumBaselineDays]]
+    * observed days of the rank frame. */
+  private def cusumStatsFrom(ranked: DataFrame): DataFrame = {
+    val B = CusumBaselineDays
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(d38)
+    ranked.filter(col("r") <= B)
       .groupBy("event_type")
       .agg(count(lit(1)).as("bn"), sum(d(col("cnt"))).as("sx"),
         sum(d(col("cnt")) * d(col("cnt"))).as("sxx"))
@@ -1335,6 +1341,22 @@ object Events {
         (col("sx").cast("double") / lit(B.toDouble)).as("mu"),
         (sqrt((lit(B) * col("sxx") - col("sx") * col("sx")).cast("double"))
           / lit(B.toDouble)).as("sigma"))
+  }
+
+  /** BATCH-published CUSUM baseline — the offline half of the
+    * calibrate-offline / monitor-online split
+    * ([[graft.streaming.StreamingOps.cusumStream]] is the online
+    * half): per event type, (mu, sigma) over the first
+    * [[CusumBaselineDays]] observed days, derived EXACTLY as
+    * [[cusumDrift]]'s internal baseline so the stream twin's deviation
+    * grid is bit-identical to the batch monitor's. */
+  def cusumBaseline(events: DataFrame): DataFrame =
+    cusumStatsFrom(cusumRanked(events))
+
+  def cusumDrift(events: DataFrame): DataFrame = {
+    val B = CusumBaselineDays
+    val ranked = cusumRanked(events)
+    val stats = cusumStatsFrom(ranked)
     val wcum = Window.partitionBy("event_type").orderBy("r")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mon = ranked.filter(col("r") > B)

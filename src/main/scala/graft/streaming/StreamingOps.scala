@@ -585,4 +585,106 @@ object StreamingOps {
       .agg(count(lit(1)).as("c"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("r"), col("bucket"), col("c"))
+
+  case class CusumEv(event_type: String, ts: java.sql.Timestamp,
+    mu: Double, sigma: Double)
+  case class CusumState(mu: Double, sigma: Double,
+    open: Map[Long, Long], p: java.math.BigDecimal,
+    pmin: java.math.BigDecimal)
+  case class CusumOut(event_type: String, day: String, n_events: Long,
+    cusum: Double, alarm: Boolean)
+
+  /** Streaming CUSUM drift monitor — [[graft.operators.Events
+    * .cusumDrift]]'s stream twin, and the deployment shape a drift
+    * monitor intrinsically has: the BATCH job publishes each type's
+    * baseline moments ([[graft.operators.Events.cusumBaseline]]);
+    * the STREAM joins them stream-static (anomalyStream's split),
+    * buckets arrivals into event-time days, and carries Page's
+    * recurrence as O(1) per-type state — the prefix sum P and prefix
+    * min of P (S = P − min(0, min P), the same associative identity
+    * the batch operator runs as two stacked windows). Days finalize
+    * in EVENT-DAY order as the watermark passes their end (quiet
+    * types advance on the event-time timeout), so a replay of the
+    * same events in ANY micro-batch sizing emits the identical
+    * per-day CUSUM sequence the batch monitor computes (spec-gated).
+    *
+    * State is (mu, sigma, open-day counts, P, min P): the open map is
+    * bounded by the lateness horizon in DAYS (not by history), and
+    * the finalized prefix is two decimals — constant per type. The
+    * deviation grid is bit-identical to batch e24: dev = round₉(cnt −
+    * mu − σ/2) on the DECIMAL(38,9) lattice (Spark's round-then-cast
+    * replayed on java.math.BigDecimal), exact prefix sums, and the
+    * alarm compare on the round-9 grid. */
+  def cusumStream(events: Dataset[Event], stats: DataFrame)
+      (implicit spark: SparkSession): Dataset[CusumOut] = {
+    import spark.implicits._
+    val DayUs = 86400000000L
+    val DayMs = 86400000L
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    // Spark's round(double, n) is BigDecimal.valueOf(x).setScale(n,
+    // HALF_UP).toDouble; the cast to DECIMAL(38,9) re-scales the
+    // rounded double — replay both steps exactly
+    def q9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(
+        java.math.BigDecimal.valueOf(x)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue)
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val Z = java.math.BigDecimal.ZERO.setScale(9)
+    val joined = events.toDF()
+      .join(stats.select(col("event_type"), col("mu"), col("sigma")),
+        "event_type")
+      .select(col("event_type"), col("ts"), col("mu"), col("sigma"))
+      .as[CusumEv]
+    joined
+      .withWatermark("ts", "1 day")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (tpe, it, state: GroupState[CusumState]) =>
+          val evs = it.toSeq
+          var st = state.getOption.getOrElse {
+            val h = evs.head // non-timeout invocations carry ≥ 1 event
+            CusumState(h.mu, h.sigma, Map.empty, Z, Z)
+          }
+          // ingest into open day buckets (commutative adds: any
+          // micro-batch split of the same events builds the same map)
+          if (evs.nonEmpty) {
+            var open = st.open
+            evs.foreach { e =>
+              val d = Math.floorDiv(us(e.ts), DayUs)
+              open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+            }
+            st = st.copy(open = open)
+          }
+          // finalize every day whose end the watermark has passed, in
+          // event-day order — the sequential recurrence touches each
+          // day exactly once, then the bucket is dropped
+          val wmMs = state.getCurrentWatermarkMs()
+          val ready = st.open.keys.filter(d => (d + 1) * DayMs <= wmMs)
+            .toSeq.sorted
+          val out = ready.map { d =>
+            val cnt = st.open(d)
+            val dev = q9(cnt.toDouble - st.mu - 0.5 * st.sigma)
+            val p = st.p.add(dev)
+            val pmin = st.pmin.min(p)
+            val sV = p.subtract(pmin.min(Z))
+            st = st.copy(open = st.open - d, p = p, pmin = pmin)
+            // cusum is the raw decimal→double (the batch frame's
+            // s.cast(double)); the round-9 grid applies ONLY to the
+            // alarm compare, exactly as in batch e24
+            CusumOut(tpe, java.time.LocalDate.ofEpochDay(d).toString, cnt,
+              sV.doubleValue, r9(sV.doubleValue) > r9(4.0 * st.sigma))
+          }
+          state.update(st)
+          if (st.open.nonEmpty)
+            // wake at the earliest unfinalized day's end (clamped past
+            // the current watermark, as EventTimeTimeout requires)
+            state.setTimeoutTimestamp(math.max(
+              (st.open.keys.min + 1) * DayMs, wmMs + 1))
+          out.iterator
+      }
+  }
 }

@@ -281,6 +281,7 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(fobs))" -> "one-row (observed F)",
         ".crossJoin(broadcast(robs))" -> "one-row (observed r)",
         ".join(broadcast(ngf), \"g\")" -> "dim (group sizes)",
+        ".join(broadcast(sizes), \"g\")" -> "dim (group sizes — q52 IndVal)",
         ".crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val obs = g.crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val contrib = gpairs.crossJoin(broadcast(taxa))" -> "dim (taxon vocabulary)",

@@ -774,4 +774,73 @@ class StreamingSpec extends SparkSpec {
       assert(want.size > 100, "vacuous counter parity")
     } finally q.stop()
   }
+
+  test("streaming CUSUM reproduces the batch drift monitor under an " +
+       "uneven micro-batch replay, including the slow-drift alarm") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // x: varied 7-day baseline (mu 10, sigma sqrt(14)/7), then a slow
+    // +1/day drift — each day is well under the pointwise z bar but
+    // the cumulative sum crosses 4*sigma within a few days.
+    // y: monitored days at exactly the baseline mean — never alarms.
+    def burst(tpe: String, d: Int, n: Int, base: Long) =
+      (1 to n).map(i => StreamingOps.Event(base + d * 100L + i,
+        day(d), 1L, tpe, 0.0))
+    val xBase = Seq(9, 11, 10, 10, 9, 11, 10).zipWithIndex.flatMap {
+      case (n, i) => burst("x", i + 1, n, 0L) }
+    val yBase = Seq(5, 5, 5, 5, 5, 5, 5).zipWithIndex.flatMap {
+      case (n, i) => burst("y", i + 1, n, 50000L) }
+    val xMon = (8 to 14).flatMap(d => burst("x", d, 11, 100000L))
+    val yMon = (8 to 14).flatMap(d => burst("y", d, 5, 150000L))
+    val all = xBase ++ yBase ++ xMon ++ yMon
+    val toDf = (es: Seq[StreamingOps.Event]) =>
+      es.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = graft.operators.Events.cusumDrift(toDf(all)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getDouble(4))).toMap
+    assert(batch("x")._2 > 0L, s"no planted batch alarm: $batch")
+    assert(batch("y")._2 == 0L, s"stable type alarmed in batch: $batch")
+    val stats = graft.operators.Events.cusumBaseline(toDf(all))
+    val input = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.cusumStream(input.toDS(), stats)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // replay ONLY the monitored days (the deployment cutover), in
+      // deliberately uneven, type-interleaved micro-batches — in
+      // event-time order, because the replay must RESPECT the 1-day
+      // lateness contract: a feed that delivers one type's whole
+      // fortnight before another type's first day is declaring those
+      // rows late, and the watermark drops them by design
+      val mon = (xMon ++ yMon).sortBy(e => (e.ts.getTime, e.event_id))
+      val cuts = Seq(0, 7, 30, 31, 90, mon.length)
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        input.addData(mon.slice(a, b): _*)
+        q.processAllAvailable()
+      }
+      // far-future flush on a type PRESENT in stats (the stream-static
+      // join would drop an unknown type before the watermark sees it)
+      input.addData(StreamingOps.Event(999999L,
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 1L, "x", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("cusum_stream")
+        .as[StreamingOps.CusumOut].collect()
+      val got = rows.groupBy(_.event_type).map { case (t, rs) =>
+        t -> (rs.length.toLong,
+          rs.count(_.alarm).toLong,
+          rs.filter(_.alarm).map(_.day).sorted.headOption,
+          math.rint(rs.map(_.cusum).max * 1e6) / 1e6)
+      }
+      assert(got == batch, s"stream summary $got != batch $batch")
+      // per-day sequence is strictly ordered and x's drift is monotone
+      val xs = rows.filter(_.event_type == "x").sortBy(_.day)
+      assert(xs.map(_.day).toSeq == (8 to 14).map(d => f"2024-01-$d%02d"),
+        s"x days: ${xs.map(_.day).toSeq}")
+      assert(xs.zip(xs.tail).forall { case (a, b) => a.cusum <= b.cusum },
+        s"x cusum not monotone under constant drift: ${xs.map(_.cusum).toSeq}")
+    } finally q.stop()
+  }
 }
