@@ -211,6 +211,7 @@ object SparkEntry {
     "s14_mmr_rerank" -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
     "s15_ivf_append" -> ((s: SparkSession, d: String) => Similarity.ivfAppend(s, d)),
     "s16_kcenter" -> ((s: SparkSession, d: String) => Similarity.kcenterSelect(s, d)),
+    "s17_knn_graph" -> ((s: SparkSession, d: String) => Similarity.knnGraph(s, d)),
     "t22_gopher_rules" -> (TextOps.gopherRules _),
     "t23_mix_apply" -> (TextOps.mixApply _),
     "t24_dsir_weights" -> (TextOps.dsirWeights _),
@@ -1111,6 +1112,7 @@ object SparkEntry {
     "s14_mmr_rerank" -> graft.operators.Similarity.s14OracleSql(),
     "s15_ivf_append" -> graft.operators.Similarity.s15OracleSql(),
     "s16_kcenter" -> graft.operators.Similarity.s16OracleSql(),
+    "s17_knn_graph" -> graft.operators.Similarity.s17OracleSql(),
     "t30_template_prefix" -> graft.operators.TextOps.t30OracleSql,
     "t31_freq_spectrum" -> graft.operators.TextOps.t31OracleSql,
     "t32_unigram_lm" -> graft.operators.TextOps.t32OracleSql(),

@@ -1952,4 +1952,172 @@ object Similarity {
       FROM rec, unnest(generate_series(1, $k)) t(i)
       WHERE step = $k
       ORDER BY sel_rank"""
+
+  /** Neighbor count and refinement rounds for [[knnGraph]]. FIXED BY
+    * CONTRACT (g1's class): the query semantics are "the k-NN graph
+    * after exactly [[KnnRounds]] NN-Descent refinement rounds from the
+    * deterministic hash initialization" — NN-Descent converges
+    * asymptotically (recall climbs per round), so like PageRank there
+    * is no finite fixpoint to stop at. */
+  final val KnnK = 10
+  final val KnnRounds = 4
+
+  /** s17: distributed k-NN-GRAPH construction via NN-Descent (Dong,
+    * Moses & Li 2011) — the missing graph-ANN primitive: the k-NN
+    * graph is the input every graph-based index (HNSW class) builds
+    * on, the backbone of semantic-dedup clustering (d12 reads exact
+    * neighborhoods; this is its corpus-scale path), and a UMAP/
+    * spectral preprocessing staple. The principle: "a neighbor of a
+    * neighbor is likely a neighbor" — start from a deterministic
+    * random graph and iteratively score each node's neighbors-of-
+    * neighbors, keeping the best k.
+    *
+    * Per round: (1) reverse edges, capped at k per node by (score,
+    * id) — the paper's reverse sampling, and the hub cap that keeps a
+    * popular vector from quadratic fan-out; (2) the LOCAL JOIN: every
+    * ordered pair inside B(w) = kNN(w) ∪ kNN⁻¹(w) becomes a candidate
+    * edge in BOTH directions — ≤ C(2k,2) pairs per center, k²-bounded;
+    * (3) score the DISTINCT new pairs once (round-9 cosine on the
+    * native expression); (4) each node keeps top-k of old ∪ new by
+    * (score desc, id). Everything is (n · k²)-bounded per round — the
+    * corpus-scale work is the embedding re-attach joins, never an n²
+    * pair table (that table exists only in s1's exact baseline and the
+    * oracle).
+    *
+    * Determinism: ids are integers; scores ride the round-9 grid with
+    * id tie-breaks everywhere a rank is taken (init hash is the repo's
+    * Knuth lattice). Recall vs s1's exact top-k is spec-gated.
+    *
+    * 100 TB: the per-round candidate volume is n·4k² rows of 3 columns
+    * — linear in corpus, k² in the dial; embedding joins shuffle on
+    * vec_id (AQE skew-split applies); no broadcast of anything
+    * corpus-sized; rounds are the published recall/cost dial. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraph(Tables.parallel(Tables.load(spark, dir, "embeddings")),
+      KnnK, KnnRounds)
+
+  def knnGraph(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0, s"s17 needs k >= 1, rounds >= 0")
+    val spark = e.sparkSession
+    val vecs = graft.Ckpt(e.select(col("vec_id"), col("embedding")))
+    val h = vecs.agg(count(lit(1)), min(col("vec_id")),
+      max(col("vec_id"))).head()
+    val n = h.getLong(0)
+    require(n > k, s"s17 needs more than k=$k vectors, got $n")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"s17 hash init needs dense vec_ids 0..N-1, got " +
+        s"[${h.get(1)}, ${h.get(2)}] of $n")
+    // (v, u) -> (v, u, s): re-attach both embeddings, one round-9
+    // cosine per DISTINCT pair
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(vecs.select(col("vec_id").as("v"), col("embedding").as("ev")), "v")
+      .join(vecs.select(col("vec_id").as("u"), col("embedding").as("eu")), "u")
+      .select(col("v"), col("u"),
+        round(graft.GraftFunctions.cosineSim(spark, col("ev"), col("eu")), 9)
+          .as("s"))
+    // deterministic start: k Knuth-hash targets per node (self skipped,
+    // collisions deduped — the paper's random init without the RNG)
+    val init = vecs
+      .select(col("vec_id").as("v"), explode(expr(s"sequence(1, $k)")).as("j"))
+      .withColumn("u0", pmod(pmod(col("v") * 1000003L + col("j"),
+        lit(1000000000L)) * lit(2654435761L), lit(2147483647L)) % n)
+      .withColumn("u", when(col("u0") === col("v"),
+        pmod(col("u0") + 1, lit(n))).otherwise(col("u0")))
+      .select("v", "u").distinct()
+    var cur = graft.Ckpt(score(init))
+    for (_ <- 1 to rounds) {
+      val wRev = org.apache.spark.sql.expressions.Window.partitionBy("u").orderBy(col("s").desc, col("v"))
+      val rev = cur.withColumn("rr", row_number().over(wRev))
+        .filter(col("rr") <= k)
+        .select(col("u").as("v"), col("v").as("u"))
+      val b = cur.select("v", "u").unionByName(rev).distinct()
+      val pairs = b.as("x")
+        .join(b.select(col("v"), col("u").as("w")).as("y"), "v")
+        .filter(col("u") < col("w"))
+        .select(col("u").as("v"), col("w").as("u")).distinct()
+      val ns = score(pairs)
+      val both = ns.unionByName(
+        ns.select(col("u").as("v"), col("v").as("u"), col("s")))
+      val wTop = org.apache.spark.sql.expressions.Window.partitionBy("v").orderBy(col("s").desc, col("u"))
+      cur = graft.Ckpt(cur.unionByName(both)
+        .groupBy("v", "u").agg(max(col("s")).as("s"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= k)
+        .select("v", "u", "s"))
+    }
+    val wOut = org.apache.spark.sql.expressions.Window.partitionBy("v").orderBy(col("s").desc, col("u"))
+    cur.withColumn("nbr_rank", row_number().over(wOut))
+      .select(col("v").as("vec_id"), col("nbr_rank"), col("u").as("nbr_id"),
+        graft.GraftFunctions.roundz(col("s"), 6).as("score"))
+      .orderBy("vec_id", "nbr_rank")
+  }
+
+  /** DuckDB oracle for [[knnGraph]] — the identical hash init and
+    * round-unrolled refinement (rounds are FIXED by contract, so the
+    * oracle is straight-line CTEs, no recursion), s1's norms/dots
+    * scoring on the same round-9 grid. */
+  def s17OracleSql(k: Int = KnnK, rounds: Int = KnnRounds): String = {
+    def scored(pairs: String): String = s"""
+        SELECT p.v, p.u, round(dt / (nv.nrm * nu.nrm), 9) AS s
+        FROM (
+          SELECT v, u, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+          FROM (SELECT p0.v, p0.u, unnest(ev.embedding) AS x,
+                  unnest(eu.embedding) AS y
+                FROM $pairs p0
+                JOIN embeddings ev ON ev.vec_id = p0.v
+                JOIN embeddings eu ON eu.vec_id = p0.u)
+          GROUP BY v, u) p
+        JOIN norms nv ON nv.vec_id = p.v
+        JOIN norms nu ON nu.vec_id = p.u"""
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id),
+      init AS (
+        SELECT DISTINCT v,
+          CASE WHEN u0 = v THEN (u0 + 1) % n ELSE u0 END AS u
+        FROM (
+          SELECT e.vec_id AS v, j,
+            ((e.vec_id * 1000003 + j) % 1000000000) * 2654435761
+              % 2147483647 % n AS u0, n
+          FROM embeddings e, nn, generate_series(1, $k) t(j))),
+      cur0 AS MATERIALIZED (${scored("init")})"""
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s""",
+      rev$r AS (
+        SELECT u AS v, v AS u FROM (
+          SELECT v, u, row_number() OVER (
+            PARTITION BY u ORDER BY s DESC, v) AS rr
+          FROM cur$p) WHERE rr <= $k),
+      b$r AS (
+        SELECT DISTINCT v, u FROM (
+          SELECT v, u FROM cur$p UNION ALL SELECT v, u FROM rev$r)),
+      pairs$r AS (
+        SELECT DISTINCT x.u AS v, y.u AS u
+        FROM b$r x JOIN b$r y ON x.v = y.v AND x.u < y.u),
+      ns$r AS MATERIALIZED (${scored(s"pairs$r")}),
+      cur$r AS MATERIALIZED (
+        SELECT v, u, s FROM (
+          SELECT v, u, s, row_number() OVER (
+            PARTITION BY v ORDER BY s DESC, u) AS rnk
+          FROM (SELECT v, u, max(s) AS s FROM (
+            SELECT v, u, s FROM cur$p
+            UNION ALL SELECT v, u, s FROM ns$r
+            UNION ALL SELECT u AS v, v AS u, s FROM ns$r)
+            GROUP BY v, u))
+        WHERE rnk <= $k)"""
+    }
+    sb ++= s"""
+      SELECT v AS vec_id,
+        CAST(row_number() OVER (PARTITION BY v ORDER BY s DESC, u)
+          AS INT) AS nbr_rank,
+        u AS nbr_id, (round(s, 6) + 0.0) AS score
+      FROM cur$rounds
+      ORDER BY vec_id, nbr_rank"""
+    sb.toString
+  }
 }

@@ -891,4 +891,55 @@ class SimilaritySpec extends SparkSpec {
     assert(picks.map(_ / 10L).toSet == Set(0L, 1L, 2L),
       s"picks $picks did not cover all three clusters")
   }
+
+  test("s17 NN-Descent: rounds strictly improve recall vs the exact " +
+       "k-NN graph, output shape is a valid k-regular ranking") {
+    import graft.operators.Similarity
+    val e = graft.Tables.parallel(
+      graft.Tables.load(spark, sfDir, "embeddings"))
+    val spark0 = spark
+    // exact k-NN graph (the s1 machinery over EVERY node — n² is fine
+    // at spec scale; the operator never builds this)
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val exact = vecs.select(col("vec_id").as("v"), col("embedding").as("ev"))
+      .join(vecs.select(col("vec_id").as("u"), col("embedding").as("eu")),
+        col("v") =!= col("u"))
+      .select(col("v"), col("u"),
+        round(graft.GraftFunctions.cosineSim(spark0, col("ev"), col("eu")), 9)
+          .as("s"))
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("v").orderBy(col("s").desc, col("u"))))
+      .filter(col("rnk") <= Similarity.KnnK)
+      .select(col("v"), col("u")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def edges(rounds: Int): Set[(Long, Long)] =
+      Similarity.knnGraph(e, Similarity.KnnK, rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(g: Set[(Long, Long)]): Double =
+      g.count(exact.contains).toDouble / exact.size
+    val r0 = recall(edges(0))
+    val r1 = recall(edges(1))
+    val r2 = recall(edges(2))
+    val r4 = recall(edges(Similarity.KnnRounds))
+    // the hash init is random noise; each local-join round must climb
+    // (this synthetic corpus is near-uniform in 64-d — NN-Descent's
+    // WORST case, no cluster structure to exploit — so the floor is
+    // honest for unstructured data; structured corpora converge faster)
+    assert(r0 < 0.1, s"random init suspiciously good: $r0")
+    assert(r1 > r0 && r2 > r1 && r4 > r2,
+      s"refinement not monotone: $r0 -> $r1 -> $r2 -> $r4")
+    assert(r2 >= 0.55, s"round-2 recall floor: $r0 -> $r1 -> $r2")
+    assert(r4 >= 0.7, s"contract-rounds recall floor: $r4")
+    info(s"recall@${Similarity.KnnK}: init $r0, r1 $r1, r2 $r2, " +
+      s"r${Similarity.KnnRounds} $r4")
+    // shape: every node present with exactly k dense ranks 1..k
+    val out = Similarity.knnGraph(e, Similarity.KnnK, Similarity.KnnRounds)
+      .collect()
+    val n = e.count()
+    assert(out.length == n * Similarity.KnnK, s"not k-regular: ${out.length}")
+    val byV = out.groupBy(_.getLong(0))
+    assert(byV.forall(_._2.map(_.getInt(1)).sorted.toSeq
+      == (1 to Similarity.KnnK)), "ranks not dense 1..k")
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)), "self edge")
+  }
 }
