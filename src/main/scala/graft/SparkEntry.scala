@@ -77,6 +77,8 @@ object SparkEntry {
     "q50_rarefaction_curve" -> (Relational.q50RarefactionCurve _),
     "q51_anosim" -> (Relational.q51Anosim _),
     "q52_indval" -> (Relational.q52Indval _),
+    "q53_richness" -> (Relational.q53RichnessEstimators _),
+    "q54_rank_abundance" -> (Relational.q54RankAbundance _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1099,6 +1101,8 @@ object SparkEntry {
     "q50_rarefaction_curve" -> graft.operators.Relational.q50OracleSql,
     "q51_anosim" -> graft.operators.Relational.q51OracleSql,
     "q52_indval" -> graft.operators.Relational.q52OracleSql,
+    "q53_richness" -> graft.operators.Relational.q53OracleSql,
+    "q54_rank_abundance" -> graft.operators.Relational.q54OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

@@ -2273,4 +2273,190 @@ object Relational {
       FROM ivmax JOIN obs ON ivmax.p_type = obs.p_type
       WHERE ivmax.p >= 1
       GROUP BY obs.p_type ORDER BY obs.p_type"""
+
+  /** Abundance ceiling below which a taxon counts as "rare" for ACE
+    * (Chao & Lee 1992's standard cut, vegan's default). */
+  final val AceRareMax = 10
+
+  /** q53: NONPARAMETRIC RICHNESS ESTIMATORS — Chao1 (Chao 1984,
+    * bias-corrected form) and ACE (Chao & Lee 1992), the alpha-
+    * diversity panel beside q13's observed richness/Shannon/Simpson:
+    * observed richness undercounts because rare taxa are missed, and
+    * both estimators extrapolate the unseen count from how many taxa
+    * were seen exactly once (f1) and twice (f2). Per sample:
+    * Chao1 = S_obs + f1(f1−1)/(2(f2+1)) (the bias-corrected variant —
+    * defined even at f2 = 0); ACE splits taxa at [[AceRareMax]]
+    * occurrences, estimates sample coverage C = 1 − f1/N_rare, and
+    * corrects with the rare-taxon CV: S_abund + S_rare/C + f1/C · γ²,
+    * γ² = max(S_rare/C · Σi(i−1)Fᵢ / (N_rare(N_rare−1)) − 1, 0).
+    * Degenerate panels (no rare taxa, all rare taxa singletons ⇒
+    * C = 0, or N_rare < 2) yield NULL ACE identically in both
+    * engines.
+    *
+    * Determinism: occurrence counts are integers; every estimator
+    * input (S_obs, f1, f2, S_rare, N_rare, Σi(i−1)Fᵢ) is an exact
+    * integer aggregate, and each estimator is ONE double expression
+    * phrased identically in both engines, rounded once.
+    *
+    * Scale shape: one fact-scale aggregate to (sample, taxon,
+    * occurrences) with map-side combine, then one sample-keyed
+    * integer rollup — everything after is sample-dim-bounded. */
+  def q53RichnessEstimators(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    richnessFromCounts(ab)
+  }
+
+  /** [[q53RichnessEstimators]]'s core over a (n_name, taxon-keyed,
+    * cnt BIGINT) occurrence matrix — split out for planted specs. */
+  def richnessFromCounts(ab: DataFrame): DataFrame = {
+    val R = AceRareMax
+    val agg = ab.groupBy("n_name").agg(
+      count(lit(1)).as("s_obs"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"),
+      sum(when(col("cnt") <= R, 1L).otherwise(0L)).as("s_rare"),
+      sum(when(col("cnt") <= R, col("cnt")).otherwise(0L)).as("n_rare"),
+      sum(when(col("cnt") <= R, col("cnt") * (col("cnt") - 1))
+        .otherwise(0L)).as("sumii"))
+    val withC = agg
+      .withColumn("chao1", round(col("s_obs").cast("double")
+        + col("f1").cast("double") * (col("f1") - 1).cast("double")
+          / (lit(2.0) * (col("f2") + 1).cast("double")), 6))
+      .withColumn("c_ace", lit(1.0)
+        - col("f1").cast("double") / col("n_rare").cast("double"))
+    withC
+      .withColumn("g2", greatest(
+        col("s_rare").cast("double") / col("c_ace")
+          * col("sumii").cast("double")
+          / (col("n_rare") * (col("n_rare") - 1)).cast("double")
+          - lit(1.0), lit(0.0)))
+      .withColumn("ace", when(
+        col("n_rare") >= 2 && col("c_ace") > 0.0,
+        round((col("s_obs") - col("s_rare")).cast("double")
+          + col("s_rare").cast("double") / col("c_ace")
+          + col("f1").cast("double") / col("c_ace") * col("g2"), 6)))
+      .select(col("n_name"), col("s_obs"), col("f1"), col("f2"),
+        col("chao1"), col("ace"))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB oracle for [[q53RichnessEstimators]] — identical integer
+    * panel and double estimator expressions. */
+  def q53OracleSql: String = {
+    val R = AceRareMax
+    s"""
+      WITH ab AS (
+        SELECT n_name, l_partkey, count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT n_name, count(*) AS s_obs,
+          sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS f1,
+          sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS f2,
+          sum(CASE WHEN cnt <= $R THEN 1 ELSE 0 END) AS s_rare,
+          sum(CASE WHEN cnt <= $R THEN cnt ELSE 0 END) AS n_rare,
+          sum(CASE WHEN cnt <= $R THEN cnt * (cnt - 1) ELSE 0 END) AS sumii
+        FROM ab GROUP BY 1),
+      wc AS (
+        SELECT *,
+          round(CAST(s_obs AS DOUBLE)
+            + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+              / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+          1.0 - CAST(f1 AS DOUBLE) / CAST(n_rare AS DOUBLE) AS c_ace
+        FROM agg),
+      wg AS (
+        SELECT *,
+          greatest(CAST(s_rare AS DOUBLE) / c_ace
+            * CAST(sumii AS DOUBLE)
+            / CAST(n_rare * (n_rare - 1) AS DOUBLE)
+            - 1.0, 0.0) AS g2
+        FROM wc)
+      SELECT n_name, CAST(s_obs AS BIGINT) AS s_obs,
+        CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, chao1,
+        CASE WHEN n_rare >= 2 AND c_ace > 0.0 THEN
+          round(CAST(s_obs - s_rare AS DOUBLE)
+            + CAST(s_rare AS DOUBLE) / c_ace
+            + CAST(f1 AS DOUBLE) / c_ace * g2, 6)
+        END AS ace
+      FROM wg ORDER BY n_name"""
+  }
+
+  /** q54: RANK-ABUNDANCE (Whittaker) CURVE — the dominance/evenness
+    * plot beside q13's scalar indices: per group, taxa ranked by
+    * abundance (descending, name tie-break), each with its share of
+    * the group total and the cumulative share. A steep curve = few
+    * dominant taxa (low evenness); the long tail length IS the
+    * richness. This is the plot drawn straight from the q7/q14
+    * abundance machinery; the operator emits the plot's exact points.
+    *
+    * Determinism: abundance is the exact DECIMAL sum; shares are
+    * round-12 quantized DECIMALs so the cumulative sum is order-free
+    * within the rank window; output rounds once at 6.
+    *
+    * Scale shape: one fact-scale aggregate to the (group, taxon)
+    * matrix; the rank/cumulative windows run per group over the
+    * taxon-bounded frame. */
+  def q54RankAbundance(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = l
+      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.dim(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    val tot = ab.groupBy("r_name").agg(sum(col("qty")).as("s"))
+    val wRank = Window.partitionBy("r_name")
+      .orderBy(col("qty").desc, col("p_brand"))
+    ab.join(tot, "r_name")
+      .withColumn("share", round(col("qty").cast("double")
+        / col("s").cast("double"), 12).cast("decimal(13,12)"))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("cum", sum(col("share")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("r_name"), col("rnk"), col("p_brand"),
+        col("qty").cast("double").as("abundance"),
+        round(col("share").cast("double"), 6).as("share"),
+        round(col("cum").cast("double"), 6).as("cum_share"))
+      .orderBy("r_name", "rnk")
+  }
+
+  /** DuckDB oracle for [[q54RankAbundance]] — identical rank order,
+    * round-12 share grid, decimal cumulative fold. */
+  def q54OracleSql: String = s"""
+      WITH ab AS (
+        SELECT r_name, p_brand, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      tot AS (SELECT r_name, sum(qty) AS s FROM ab GROUP BY 1),
+      sh AS (
+        SELECT ab.r_name, p_brand, qty,
+          CAST(round(CAST(qty AS DOUBLE) / CAST(s AS DOUBLE), 12)
+            AS DECIMAL(13,12)) AS share
+        FROM ab JOIN tot ON ab.r_name = tot.r_name),
+      rk AS (
+        SELECT r_name, p_brand, qty, share,
+          CAST(row_number() OVER w AS INT) AS rnk,
+          sum(share) OVER (w ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sh
+        WINDOW w AS (PARTITION BY r_name ORDER BY qty DESC, p_brand))
+      SELECT r_name, rnk, p_brand, CAST(qty AS DOUBLE) AS abundance,
+        round(CAST(share AS DOUBLE), 6) AS share,
+        round(CAST(cum AS DOUBLE), 6) AS cum_share
+      FROM rk ORDER BY r_name, rnk"""
 }

@@ -346,6 +346,63 @@ class PipelineOpsSpec extends SparkSpec {
       r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0 }, sf.mkString(";"))
   }
 
+  test("Chao1/ACE richness: exact on planted panels, collapse to S_obs " +
+       "with no rare structure, NULL on degenerate coverage") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // s1: a:1 b:1 c:2 d:5 — S=4, f1=2, f2=1;
+    //   Chao1 = 4 + 2·1/(2·2) = 4.5
+    //   ACE: all rare, N=9, Σi(i−1)F=22, C=7/9,
+    //        γ² = max((4/C)·22/72 − 1, 0), ACE = 4/C + (2/C)γ²
+    // s2: every taxon ≥ 3 occurrences and ≤ 10 — f1=f2=0 ⇒ C=1, γ²=0
+    //   ⇒ Chao1 = ACE = S_obs exactly
+    // s3: ONLY singletons — C = 0 ⇒ ACE NULL (Chao1 still defined)
+    // s4: one taxon once — N_rare < 2 ⇒ ACE NULL
+    val ab = Seq(
+      ("s1", 1L, 1L), ("s1", 2L, 1L), ("s1", 3L, 2L), ("s1", 4L, 5L),
+      ("s2", 1L, 3L), ("s2", 2L, 4L), ("s2", 3L, 10L),
+      ("s3", 1L, 1L), ("s3", 2L, 1L),
+      ("s4", 1L, 1L))
+      .toDF("n_name", "taxon", "cnt")
+    val got = Relational.richnessFromCounts(ab).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toMap
+    assert(got("s1")._1 == 4L && got("s1")._4 == 4.5, got("s1").toString)
+    val c = 1.0 - 2.0 / 9.0
+    val g2 = math.max(4.0 / c * 22.0 / 72.0 - 1.0, 0.0)
+    val aceWant = math.rint((4.0 / c + 2.0 / c * g2) * 1e6) / 1e6
+    assert(got("s1")._5.contains(aceWant), s"${got("s1")} want ace $aceWant")
+    assert(got("s2") == ((3L, 0L, 0L, 3.0, Some(3.0))), got("s2").toString)
+    assert(got("s3")._5.isEmpty && got("s3")._4 == 3.0, got("s3").toString)
+    assert(got("s4")._5.isEmpty, got("s4").toString)
+    // sf corpus: estimators never fall below observed richness
+    val sf = Relational.q53RichnessEstimators(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall { r =>
+      r.getDouble(4) >= r.getLong(1).toDouble &&
+      (r.isNullAt(5) || r.getDouble(5) >= r.getLong(1) * 0.9) },
+      sf.mkString(";"))
+  }
+
+  test("rank-abundance curve: descending abundance, dense ranks, " +
+       "cumulative share closes at 1") {
+    import graft.operators.Relational
+    val rows = Relational.q54RankAbundance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byG = rows.groupBy(_.getString(0))
+    byG.foreach { case (g, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length),
+        s"$g ranks not dense")
+      assert(sorted.zip(sorted.tail).forall { case (a, b) =>
+        a.getDouble(3) >= b.getDouble(3) }, s"$g not descending")
+      assert(sorted.zip(sorted.tail).forall { case (a, b) =>
+        a.getDouble(5) <= b.getDouble(5) }, s"$g cum not monotone")
+      val last = sorted.last.getDouble(5)
+      assert(math.abs(last - 1.0) < 1e-4, s"$g cum_share ends at $last")
+    }
+  }
+
   test("SIMPER attributes a planted between-group difference to exactly " +
        "the differing taxa and zeroes the shared one") {
     import spark.implicits._
