@@ -1997,6 +1997,19 @@ object Similarity {
       KnnK, KnnRounds)
 
   def knnGraph(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val cur = knnGraphEdges(e, k, rounds)
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(col("s").desc, col("u"))
+    cur.withColumn("nbr_rank", row_number().over(wOut))
+      .select(col("v").as("vec_id"), col("nbr_rank"), col("u").as("nbr_id"),
+        graft.GraftFunctions.roundz(col("s"), 6).as("score"))
+      .orderBy("vec_id", "nbr_rank")
+  }
+
+  /** The refined, CHECKPOINTED (v, u, s) edge frame behind
+    * [[knnGraph]] — s18 searches it directly, skipping the output
+    * formatting/sort re-materialization. */
+  def knnGraphEdges(e: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 0, s"s17 needs k >= 1, rounds >= 0")
     val spark = e.sparkSession
     val vecs = graft.Ckpt(e.select(col("vec_id"), col("embedding")))
@@ -2045,11 +2058,7 @@ object Similarity {
         .filter(col("rnk") <= k)
         .select("v", "u", "s"))
     }
-    val wOut = org.apache.spark.sql.expressions.Window.partitionBy("v").orderBy(col("s").desc, col("u"))
-    cur.withColumn("nbr_rank", row_number().over(wOut))
-      .select(col("v").as("vec_id"), col("nbr_rank"), col("u").as("nbr_id"),
-        graft.GraftFunctions.roundz(col("s"), 6).as("score"))
-      .orderBy("vec_id", "nbr_rank")
+    cur
   }
 
   /** DuckDB oracle for [[knnGraph]] — the identical hash init and
@@ -2119,5 +2128,145 @@ object Similarity {
       FROM cur$rounds
       ORDER BY vec_id, nbr_rank"""
     sb.toString
+  }
+
+  /** Beam width and hop count for [[graphSearch]]. FIXED BY CONTRACT
+    * (the s17/g1 class): the query semantics are "the best k found by
+    * a [[SearchBeam]]-wide beam after exactly [[SearchHops]]
+    * expansions from the fixed entry point". */
+  final val SearchBeam = 10
+  final val SearchHops = 4
+
+  /** s18: GRAPH-ANN SEARCH over the s17 k-NN graph — the query half
+    * of the graph-ANN pair (s17 builds the index, this searches it;
+    * together they are the HNSW-class pattern minus the hierarchy):
+    * greedy beam search from a fixed entry node — per hop, expand the
+    * current beam's out-neighbors, score the UNSEEN candidates
+    * against the query (round-9 native cosine, self excluded), and
+    * keep the best [[SearchBeam]] of everything seen; after
+    * [[SearchHops]] hops emit the best [[AnnK]]. The returned frame is
+    * s1's exact shape, so recall is directly measurable (s10's
+    * machinery; spec-gated here).
+    *
+    * Scale shape: the graph build is s17's (n·k²-bounded rounds); the
+    * search itself touches per query ≤ beam·k new candidates per hop —
+    * the whole point vs s1's full scan: candidate volume is
+    * (queries × beam × k × hops), INDEPENDENT of corpus size. The
+    * anti-join against the visited set keeps every pair scored once.
+    *
+    * Determinism: integer ids, round-9 scores, id tie-breaks on every
+    * beam cut; the entry point is node 0 (node 1 for query 0), so the
+    * whole trajectory is a pure function of the embeddings. */
+  def graphSearch(spark: SparkSession, dir: String): DataFrame =
+    graphSearch(Tables.parallel(Tables.load(spark, dir, "embeddings")),
+      KnnK, KnnRounds, SearchBeam, SearchHops)
+
+  def graphSearch(e: DataFrame, k: Int, rounds: Int, beam: Int,
+      hops: Int): DataFrame = {
+    require(beam >= 1 && hops >= 0, "s18 needs beam >= 1, hops >= 0")
+    val spark = e.sparkSession
+    // the edge frame is already checkpointed inside the build — no
+    // second materialization, no output sort
+    val graph = knnGraphEdges(e, k, rounds)
+      .select(col("v").as("gv"), col("u").as("gu"))
+    val vecs = graft.Ckpt(e.select(col("vec_id"), col("embedding")))
+    val queries = broadcast(vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    def scoreCand(c: DataFrame): DataFrame = c
+      .filter(col("q_id") =!= col("c_id"))
+      .join(vecs.select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+        "c_id")
+      .join(queries, "q_id")
+      .select(col("q_id"), col("c_id"),
+        round(graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")), 9)
+          .as("s"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("s").desc, col("c_id"))
+    var visited = graft.Ckpt(scoreCand(queries.select(col("q_id"))
+      .withColumn("c_id",
+        when(col("q_id") === 0L, 1L).otherwise(0L))))
+    var frontier = visited
+    for (_ <- 1 to hops) {
+      val expand = frontier
+        .join(graph, col("c_id") === col("gv"))
+        .select(col("q_id"), col("gu").as("c_id")).distinct()
+        .join(visited.select("q_id", "c_id"), Seq("q_id", "c_id"),
+          "left_anti")
+      // visited is re-referenced next hop on BOTH sides (the frontier
+      // window and the anti-join), so it must be checkpointed per hop
+      // — an un-broken lineage makes the self-reference ambiguous
+      visited = graft.Ckpt(visited.unionByName(scoreCand(expand)))
+      // the beam is one bounded window over visited — no checkpoint
+      frontier = visited
+        .withColumn("r", row_number().over(wB)).filter(col("r") <= beam)
+        .select("q_id", "c_id", "s")
+    }
+    visited.withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= AnnK)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        graft.GraftFunctions.roundz(col("s"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[graphSearch]] — the s17 oracle as the graph,
+    * then hop-unrolled beam CTEs on the identical grid. */
+  def s18OracleSql(k: Int = KnnK, rounds: Int = KnnRounds,
+      beam: Int = SearchBeam, hops: Int = SearchHops): String = {
+    def scored(pairs: String): String = s"""
+        SELECT p.q_id, p.c_id, round(dt / (nq.nrm * nc.nrm), 9) AS s
+        FROM (
+          SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+          FROM (SELECT p0.q_id, p0.c_id, unnest(eq.embedding) AS x,
+                  unnest(ec.embedding) AS y
+                FROM $pairs p0
+                JOIN embeddings eq ON eq.vec_id = p0.q_id
+                JOIN embeddings ec ON ec.vec_id = p0.c_id)
+          GROUP BY q_id, c_id) p
+        JOIN norms nq ON nq.vec_id = p.q_id
+        JOIN norms nc ON nc.vec_id = p.c_id"""
+    val sb = new StringBuilder
+    sb ++= s"""
+      WITH norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id),
+      graph AS MATERIALIZED (
+        SELECT vec_id AS v, nbr_id AS u
+        FROM (${s17OracleSql(k, rounds)})),
+      entry AS (
+        SELECT vec_id AS q_id,
+          CASE WHEN vec_id = 0 THEN 1 ELSE 0 END AS c_id
+        FROM embeddings WHERE vec_id < 5),
+      vis0 AS MATERIALIZED (${scored("entry")}),
+      front0 AS (SELECT q_id, c_id, s FROM vis0)"""
+    for (h <- 1 to hops) {
+      val p = h - 1
+      sb ++= s""",
+      exp$h AS (
+        SELECT DISTINCT f.q_id, g.u AS c_id
+        FROM front$p f JOIN graph g ON g.v = f.c_id
+        WHERE g.u <> f.q_id
+          AND NOT EXISTS (SELECT 1 FROM vis$p v
+                          WHERE v.q_id = f.q_id AND v.c_id = g.u)),
+      ns$h AS MATERIALIZED (${scored(s"exp$h")}),
+      vis$h AS MATERIALIZED (
+        SELECT q_id, c_id, s FROM vis$p
+        UNION ALL SELECT q_id, c_id, s FROM ns$h),
+      front$h AS (
+        SELECT q_id, c_id, s FROM (
+          SELECT q_id, c_id, s, row_number() OVER (
+            PARTITION BY q_id ORDER BY s DESC, c_id) AS r
+          FROM vis$h) WHERE r <= $beam)"""
+    }
+    sb ++= s"""
+      SELECT q_id, c_id,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id)
+          AS INT) AS rnk_all, s
+      FROM vis$hops"""
+    s"""
+      SELECT q_id, c_id, rnk_all AS rnk, (round(s, 6) + 0.0) AS score
+      FROM (${sb.toString}) t
+      WHERE rnk_all <= $AnnK
+      ORDER BY q_id, rnk"""
   }
 }

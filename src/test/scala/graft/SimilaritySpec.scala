@@ -942,4 +942,40 @@ class SimilaritySpec extends SparkSpec {
       == (1 to Similarity.KnnK)), "ranks not dense 1..k")
     assert(out.forall(r => r.getLong(0) != r.getLong(2)), "self edge")
   }
+
+  test("s18 graph search: recall vs the exact top-k climbs with hops " +
+       "and candidate volume stays corpus-independent") {
+    import graft.operators.Similarity
+    val e = graft.Tables.parallel(
+      graft.Tables.load(spark, sfDir, "embeddings"))
+    val exact = Similarity.annBruteforce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def got(hops: Int): Set[(Long, Long)] =
+      Similarity.graphSearch(e, Similarity.KnnK, Similarity.KnnRounds,
+        Similarity.SearchBeam, hops).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(g: Set[(Long, Long)]): Double =
+      g.count(exact.contains).toDouble / exact.size
+    val r1 = recall(got(1))
+    val rH = recall(got(Similarity.SearchHops))
+    assert(rH >= r1, s"more hops lost recall: $r1 -> $rH")
+    assert(rH >= 0.6, s"contract-hops recall floor: $r1 -> $rH")
+    // the scale property: candidates scored per query are bounded by
+    // 1 + hops·beam·k — independent of corpus size (s1 scans all n)
+    val n = e.count()
+    val bound = 1 + Similarity.SearchHops.toLong *
+      Similarity.SearchBeam * Similarity.KnnK
+    assert(bound < n, s"spec corpus too small to show the bound")
+    // output shape: 5 queries × AnnK dense ranks, no self hits
+    val out = Similarity.graphSearch(e, Similarity.KnnK,
+      Similarity.KnnRounds, Similarity.SearchBeam,
+      Similarity.SearchHops).collect()
+    assert(out.length == 5 * Similarity.AnnK, s"shape: ${out.length}")
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)), "self hit")
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.forall(_._2.map(_.getInt(2)).sorted.toSeq
+      == (1 to Similarity.AnnK)), "ranks not dense")
+    info(s"s18 recall@${Similarity.AnnK}: hop1 $r1, " +
+      s"hop${Similarity.SearchHops} $rH (exact candidates bound $bound of $n)")
+  }
 }
