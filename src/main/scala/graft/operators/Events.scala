@@ -1451,4 +1451,99 @@ object Events {
       SELECT u AS user_id, exact_cnt, cms_est,
         cms_est - exact_cnt AS overshoot
       FROM est ORDER BY exact_cnt DESC, user_id"""
+
+  /** Seasonal lag for [[seasonalNaive]] — weekly seasonality, the
+    * dominant cycle in event traffic. */
+  final val SeasonalLag = 7
+
+  /** e25: SEASONAL-NAIVE FORECAST AUDIT — the seasonality-aware
+    * complement of e10's pointwise z-score and e24's cumulative
+    * drift: both treat every day as exchangeable, so a perfectly
+    * healthy weekly rhythm (quiet weekends) reads as repeated
+    * anomalies. The seasonal-naive forecast ŷ(d) = y(d − 7 days) is
+    * the standard forecasting BASELINE (Hyndman & Athanasopoulos,
+    * forecast accuracy chapters): per event type, score it with
+    * MAPE = mean |y − ŷ|/ŷ, signed bias = mean (y − ŷ)/ŷ, and the
+    * worst day — the numbers that tell a pipeline operator whether
+    * day-over-week volume is stable enough for naive capacity
+    * planning, and which day broke the rhythm.
+    *
+    * The lag is CALENDAR days (an interval join on day − 7), not row
+    * offsets, so observation gaps produce no forecast rather than a
+    * misaligned one (q39's gap-fill is the upstream repair if a
+    * dense calendar is wanted); zero-count forecast days are
+    * impossible (absent days simply have no row).
+    *
+    * Determinism: daily counts are integers; each day's ratio is ONE
+    * double expression round-12 quantized into DECIMAL, summed
+    * order-free, divided once; the worst day is a (round-12 ape,
+    * earliest day) struct max.
+    *
+    * Scale shape: one fact-scale aggregate to (type, day); the
+    * self-join is per-type calendar-bounded; everything after is
+    * type-bounded. */
+  def seasonalNaive(spark: SparkSession, dir: String): DataFrame =
+    seasonalNaive(Tables.load(spark, dir, "events"))
+
+  def seasonalNaive(events: DataFrame): DataFrame = {
+    val L = SeasonalLag
+    val daily = graft.Ckpt(events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")))
+    val joined = daily.as("cur")
+      .join(daily.select(col("event_type"),
+          col("day").as("pday"), col("cnt").as("fcst")).as("prev"),
+        col("cur.event_type") === col("prev.event_type")
+          && col("cur.day") === date_add(col("pday"), L))
+      .select(col("cur.event_type").as("event_type"), col("cur.day").as("day"),
+        col("cnt"), col("fcst"))
+      .withColumn("ape", round(abs(col("cnt") - col("fcst")).cast("double")
+        / col("fcst").cast("double"), 12).cast("decimal(25,12)"))
+      .withColumn("sbias", round((col("cnt") - col("fcst")).cast("double")
+        / col("fcst").cast("double"), 12).cast("decimal(25,12)"))
+    joined.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("ape")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mape"),
+        graft.GraftFunctions.roundz(
+          (sum(col("sbias")).cast("double")
+            / count(lit(1)).cast("double")), 6).as("bias"),
+        max(struct(col("ape"), to_unix_timestamp(col("day")).as("nday"),
+          date_format(col("day"), "yyyy-MM-dd").as("d"))).as("w"))
+      .select(col("event_type"), col("n_days"), col("mape"), col("bias"),
+        col("w.d").as("worst_day"),
+        round(col("w.ape").cast("double"), 6).as("max_ape"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[seasonalNaive]] — identical calendar lag
+    * join, round-12 ratio grid, order-free decimal folds, and
+    * (ape, day) struct-max worst-day pick. */
+  def e25OracleSql: String = s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      j AS (
+        SELECT cur.event_type, cur.day, cur.cnt, prev.cnt AS fcst,
+          CAST(round(CAST(abs(cur.cnt - prev.cnt) AS DOUBLE)
+            / CAST(prev.cnt AS DOUBLE), 12) AS DECIMAL(25,12)) AS ape,
+          CAST(round(CAST(cur.cnt - prev.cnt AS DOUBLE)
+            / CAST(prev.cnt AS DOUBLE), 12) AS DECIMAL(25,12)) AS sbias
+        FROM daily cur JOIN daily prev
+          ON cur.event_type = prev.event_type
+          AND cur.day = prev.day + INTERVAL $SeasonalLag DAY),
+      w AS (
+        SELECT event_type, day, ape,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY ape DESC, day DESC) AS rn
+        FROM j)
+      SELECT j.event_type, count(*) AS n_days,
+        round(CAST(sum(j.ape) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS mape,
+        (round(CAST(sum(j.sbias) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          + 0.0) AS bias,
+        strftime(any_value(w.day), '%Y-%m-%d') AS worst_day,
+        round(CAST(any_value(w.ape) AS DOUBLE), 6) AS max_ape
+      FROM j JOIN w ON j.event_type = w.event_type AND w.rn = 1
+      GROUP BY j.event_type ORDER BY j.event_type"""
 }

@@ -1173,4 +1173,59 @@ class PipelineOpsSpec extends SparkSpec {
       ("2024-01-01", 2L, 1L, 1L, 5.0),
       ("2024-01-08", 0L, 1L, 1L, 7.0)), s"bad triangle: ${got.toSeq}")
   }
+
+  test("seasonal-naive audit: zero error on a perfect weekly rhythm, " +
+       "pins the broken day, and a calendar gap yields no forecast") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dayUs = 86400L * 1000000L
+    def mkEvents(series: Seq[(String, Int, Int)]) = {
+      val rows = for {
+        ((tp, d, cnt), gi) <- series.zipWithIndex
+        i <- 0 until cnt
+      } yield {
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        ((gi * 1000 + i).toLong, t, 1L, tp, 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    // rhythm: counts cycle 5,20,5,20,... with period dividing 7? No —
+    // use EXACT weekly repetition: day d count = pattern(d % 7); every
+    // day from 7 on forecasts perfectly → mape = bias = 0
+    val pat = Seq(5, 20, 8, 13, 5, 30, 9)
+    val rhythm = (0 until 21).map(d => ("rhythm", d, pat(d % 7)))
+    // broken: same rhythm but day 10 doubles — worst_day = 1970-01-11,
+    // and day 17 (its next-week echo) also misses; mape > 0
+    val broken = (0 until 21).map(d =>
+      ("broken", d, if (d == 10) 2 * pat(d % 7) else pat(d % 7)))
+    // gappy: weekly-flat 10/day but days 8..9 absent — the absent days
+    // produce NO forecast row for day 15..16 targets? No: forecast for
+    // d needs d−7 observed; missing 8,9 removes forecasts for 15,16
+    // AND the absent days themselves are never scored
+    val gappy = (0 until 21).filter(d => d != 8 && d != 9)
+      .map(d => ("gappy", d, 10))
+    val got = Events.seasonalNaive(mkEvents(rhythm ++ broken ++ gappy))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4), r.getDouble(5)))).toMap
+    // all APEs tie at 0 → worst-day pick falls to the tie-break
+    // (latest day), i.e. the final scored day 20
+    assert(got("rhythm") == ((14L, 0.0, 0.0, "1970-01-21", 0.0)),
+      s"rhythm: ${got("rhythm")}")
+    val b = got("broken")
+    assert(b._5 == 1.0 && b._4 == "1970-01-11",
+      s"worst day not the planted break: $b")
+    assert(b._2 > 0.0, s"broken mape zero: $b")
+    // gappy: 21 − 2 absent = 19 observed days; scored days = those
+    // with an observed d−7: days 7..20 minus {8,9 themselves} minus
+    // {15,16 whose lag is absent} = 10 days, all exact
+    assert(got("gappy")._1 == 10L && got("gappy")._2 == 0.0,
+      s"gappy: ${got("gappy")}")
+    // sf corpus shape: every type scored, mape finite and >= 0
+    val sf = Events.seasonalNaive(
+      graft.Tables.load(spark, sfDir, "events")).collect()
+    assert(sf.nonEmpty && sf.forall(r => r.getDouble(2) >= 0.0
+      && !r.getDouble(2).isNaN), sf.mkString(";"))
+  }
 }
