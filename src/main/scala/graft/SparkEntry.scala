@@ -79,6 +79,7 @@ object SparkEntry {
     "q52_indval" -> (Relational.q52Indval _),
     "q53_richness" -> (Relational.q53RichnessEstimators _),
     "q54_rank_abundance" -> (Relational.q54RankAbundance _),
+    "q55_protest" -> (Relational.q55Protest _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1105,6 +1106,7 @@ object SparkEntry {
     "q52_indval" -> graft.operators.Relational.q52OracleSql,
     "q53_richness" -> graft.operators.Relational.q53OracleSql,
     "q54_rank_abundance" -> graft.operators.Relational.q54OracleSql,
+    "q55_protest" -> graft.operators.Relational.q55OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

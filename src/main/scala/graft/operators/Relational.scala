@@ -1289,19 +1289,12 @@ object Relational {
     mantelFromDistances(bc, uf, nat)
   }
 
-  /** [[q47Mantel]]'s core over two aligned (sample_a, sample_b, x|y)
-    * pair frames and a (n_name, k) sample-key frame — split out so
-    * specs can plant exact correlation geometries. */
-  def mantelFromDistances(xs: DataFrame, ys: DataFrame,
-      keys: DataFrame): DataFrame = {
-    val P = PermanovaPerms
-    val pairs = graft.Ckpt(xs.join(ys, Seq("sample_a", "sample_b")))
-    val samples = graft.Ckpt(pairs.select(col("sample_a").as("n_name"))
-      .union(pairs.select(col("sample_b"))).distinct()
-      .join(keys, "n_name"))
-    // permutation p ≥ 1: sample at id-rank j ↦ sample at hash-rank j;
-    // p = 0 is the EXPLICIT identity (id-rank vs key-rank differ, so
-    // the identity cannot be expressed as "hash := key")
+  /** The (p, n_name, mapped) permutation-BIJECTION lattice shared by
+    * q47 (Mantel) and q55 (PROTEST): permutation p ≥ 1 maps the
+    * sample at id-rank j to the sample at hash-rank j; p = 0 is the
+    * EXPLICIT identity (id-rank vs key-rank differ, so the identity
+    * cannot be expressed as "hash := key"). */
+  private def permutationBijection(samples: DataFrame, P: Int): DataFrame = {
     val wid = Window.partitionBy("p").orderBy("n_name")
     val whash = Window.partitionBy("p").orderBy("h", "k")
     val exp = samples
@@ -1316,10 +1309,23 @@ object Relational {
         lit(1000000000L)) * lit(2654435761L), lit(2147483647L)))
       .withColumn("j", row_number().over(whash))
       .select(col("p"), col("n_name").as("mapped"), col("j"))
-    val pi = samples
+    samples
       .select(lit(0L).as("p"), col("n_name"), col("n_name").as("mapped"))
       .unionByName(byId.join(byHash, Seq("p", "j"))
         .select(col("p"), col("n_name"), col("mapped")))
+  }
+
+  /** [[q47Mantel]]'s core over two aligned (sample_a, sample_b, x|y)
+    * pair frames and a (n_name, k) sample-key frame — split out so
+    * specs can plant exact correlation geometries. */
+  def mantelFromDistances(xs: DataFrame, ys: DataFrame,
+      keys: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val pairs = graft.Ckpt(xs.join(ys, Seq("sample_a", "sample_b")))
+    val samples = graft.Ckpt(pairs.select(col("sample_a").as("n_name"))
+      .union(pairs.select(col("sample_b"))).distinct()
+      .join(keys, "n_name"))
+    val pi = permutationBijection(samples, P)
     // y values re-read at the PERMUTED endpoints (unordered pair)
     val ya = pi.select(col("p"), col("n_name").as("sample_a"),
       col("mapped").as("ma"))
@@ -2459,4 +2465,239 @@ object Relational {
         round(CAST(share AS DOUBLE), 6) AS share,
         round(CAST(cum AS DOUBLE), 6) AS cum_share
       FROM rk ORDER BY r_name, rnk"""
+
+  /** q55: PROCRUSTES / PROTEST (Gower 1975; Peres-Neto & Jackson
+    * 2001; vegan's `procrustes`+`protest`) — "do two sample
+    * CONFIGURATIONS agree?", the ordination-space companion of q47's
+    * distance-space Mantel: superimpose configuration Y onto X under
+    * the best translation + uniform scale + orthogonal map (rotation
+    * or reflection) and report the residual m² ∈ [0, 1]. Here X = the
+    * q31 PCoA ordination of the Bray–Curtis matrix and Y = each
+    * sample's GEOGRAPHIC centroid (the Geo module's deterministic
+    * synthetic customer coordinates) — the "does community
+    * composition track geography?" question an ecologist asks of an
+    * ordination map. Significance is PROTEST's permutation p over the
+    * shared [[permutationBijection]] deal (better fit = smaller m²).
+    *
+    * The 2-D closed form: with both configurations centered and
+    * scaled to unit sum of squares, m² = 1 − (σ₁+σ₂)²/(tx·ty) where
+    * σᵢ are the singular values of the 2×2 cross-product M = YᵀX —
+    * and for a 2×2 matrix (σ₁+σ₂)² = ‖M‖²_F + 2·|det M| exactly, so
+    * NO iterative SVD is needed: the whole statistic is one double
+    * expression over four round-12 decimal sums. |det| grants the
+    * orthogonal map its reflection (spec-gated: a mirrored
+    * configuration fits perfectly).
+    *
+    * Determinism: normalization means/scales ride decimal sums and
+    * round-12 grids; the four M entries are round-12 decimal sums
+    * (order-free); m² is one round-9 expression; p = (n_le + 1)/(P+1).
+    *
+    * Scale shape: X is q31's gated output (its power iteration is the
+    * only non-dimension-bounded work and is shared machinery); Y is
+    * one customer-dim aggregate; everything here is samples × (P+1)
+    * bounded. */
+  def q55Protest(spark: SparkSession, dir: String): DataFrame = {
+    val x = Ordination.pcoa(q30BrayCurtis(spark, dir))
+      .select(col("sample").as("n_name"),
+        col("axis1").as("x1"), col("axis2").as("x2"))
+    // per-nation geographic centroid on the EXACT integer centi-degree
+    // grid (Geo.synthCoords' lattice), divided once
+    val cust = Tables.dim(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        ((col("c_custkey") * 7919L) % 12000L).as("ilat"),
+        ((col("c_custkey") * 104729L) % 36000L).as("ilon"))
+    val nat = Tables.dim(spark, dir, "nation")
+      .select(col("n_name"), col("n_nationkey"))
+    val y = cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("ilat")).cast("double")
+          / count(lit(1)).cast("double") / lit(100.0) - lit(60.0), 12)
+          .as("y1"),
+        round(sum(col("ilon")).cast("double")
+          / count(lit(1)).cast("double") / lit(100.0) - lit(180.0), 12)
+          .as("y2"))
+    procrustesFromConfigs(x, y,
+      nat.select(col("n_name"), col("n_nationkey").as("k")))
+  }
+
+  /** [[q55Protest]]'s core over two (n_name, ·1, ·2) configurations
+    * and a (n_name, k) key frame — split out for planted specs. */
+  def procrustesFromConfigs(x0: DataFrame, y0: DataFrame,
+      keys: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val d3812 = "decimal(38,12)"
+    val samples = graft.Ckpt(x0.select("n_name")
+      .join(y0.select("n_name"), "n_name").join(keys, "n_name"))
+    def normalize(c0: DataFrame, a: String, b: String): DataFrame = {
+      val c = c0.join(samples.select("n_name"), Seq("n_name"), "left_semi")
+      val mns = c.agg(
+        (sum(col(a).cast(d3812)).cast("double")
+          / count(lit(1)).cast("double")).as("m1"),
+        (sum(col(b).cast(d3812)).cast("double")
+          / count(lit(1)).cast("double")).as("m2"))
+      val cen = c.crossJoin(broadcast(mns))
+        .select(col("n_name"),
+          round(col(a) - col("m1"), 12).as("c1"),
+          round(col(b) - col("m2"), 12).as("c2"))
+      val ssf = cen.agg(sum((round(col("c1") * col("c1"), 12)
+          + round(col("c2") * col("c2"), 12)).cast(d3812))
+        .cast("double").as("ss"))
+      cen.crossJoin(broadcast(ssf))
+        .select(col("n_name"),
+          round(col("c1") / sqrt(col("ss")), 12).as("n1"),
+          round(col("c2") / sqrt(col("ss")), 12).as("n2"))
+    }
+    val xn = graft.Ckpt(normalize(x0, "x1", "x2"))
+    val yn = graft.Ckpt(normalize(y0, "y1", "y2"))
+    // the normalized traces re-measured on the SAME grid the M sums
+    // ride — quantization makes them 1 ± 1e-12, not exactly 1
+    val txf = xn.agg(sum((round(col("n1") * col("n1"), 12)
+        + round(col("n2") * col("n2"), 12)).cast(d3812))
+      .cast("double").as("tx"))
+    val tyf = yn.agg(sum((round(col("n1") * col("n1"), 12)
+        + round(col("n2") * col("n2"), 12)).cast(d3812))
+      .cast("double").as("ty"))
+    val pi = permutationBijection(samples, P)
+    val rows = xn.join(pi, "n_name")
+      .join(yn.select(col("n_name").as("mapped"),
+        col("n1").as("p1"), col("n2").as("p2")), "mapped")
+    val ms = rows.groupBy("p").agg(
+      sum(round(col("p1") * col("n1"), 12).cast(d3812))
+        .cast("double").as("m11"),
+      sum(round(col("p1") * col("n2"), 12).cast(d3812))
+        .cast("double").as("m12"),
+      sum(round(col("p2") * col("n1"), 12).cast(d3812))
+        .cast("double").as("m21"),
+      sum(round(col("p2") * col("n2"), 12).cast(d3812))
+        .cast("double").as("m22"))
+    val m2 = ms.crossJoin(broadcast(txf)).crossJoin(broadcast(tyf))
+      .select(col("p"), round(lit(1.0)
+        - (col("m11") * col("m11") + col("m12") * col("m12")
+           + col("m21") * col("m21") + col("m22") * col("m22")
+           + lit(2.0) * abs(col("m11") * col("m22")
+             - col("m12") * col("m21")))
+          / (col("tx") * col("ty")), 9).as("m2"))
+    val pobs = m2.filter(col("p") === 0L).select(col("m2").as("m2_obs"))
+    m2.filter(col("p") >= 1L)
+      .crossJoin(broadcast(pobs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("m2") <= col("m2_obs"), 1L).otherwise(0L)).as("n_le"),
+        first(col("m2_obs")).as("m0"))
+      .crossJoin(broadcast(samples.agg(count(lit(1)).as("n_samples"))))
+      .select(col("n_samples"),
+        graft.GraftFunctions.roundz(col("m0"), 6).as("m2"),
+        graft.GraftFunctions.roundz(
+          sqrt(greatest(lit(1.0) - col("m0"), lit(0.0))), 6).as("t_stat"),
+        col("n_perms"), col("n_le"),
+        round((col("n_le") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+  }
+
+  /** DuckDB oracle for [[q55Protest]] — the q31 PCoA oracle as the X
+    * configuration, the identical integer-grid centroids, round-12
+    * normalization lattice, bijection deal, and the closed-form 2×2
+    * singular-value identity. */
+  def q55OracleSql: String = s"""
+      WITH xcfg AS MATERIALIZED (
+        SELECT sample AS n_name, axis1 AS x1, axis2 AS x2
+        FROM (${Ordination.q31OracleSql()}) q31),
+      ycfg AS MATERIALIZED (
+        SELECT n_name,
+          round(CAST(sum(ilat) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            / 100.0 - 60.0, 12) AS y1,
+          round(CAST(sum(ilon) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            / 100.0 - 180.0, 12) AS y2
+        FROM (
+          SELECT n_name, (c_custkey * 7919) % 12000 AS ilat,
+            (c_custkey * 104729) % 36000 AS ilon
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        GROUP BY n_name),
+      samples AS MATERIALIZED (
+        SELECT xcfg.n_name, n_nationkey AS k
+        FROM xcfg JOIN ycfg ON xcfg.n_name = ycfg.n_name
+        JOIN nation ON nation.n_name = xcfg.n_name),
+      xm AS (
+        SELECT CAST(sum(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS m1,
+          CAST(sum(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS m2
+        FROM xcfg JOIN samples USING (n_name)),
+      xc AS (
+        SELECT n_name, round(x1 - m1, 12) AS c1, round(x2 - m2, 12) AS c2
+        FROM xcfg JOIN samples USING (n_name), xm),
+      xs AS (
+        SELECT CAST(sum(CAST(round(c1 * c1, 12) + round(c2 * c2, 12)
+          AS DECIMAL(38,12))) AS DOUBLE) AS ss FROM xc),
+      xn AS MATERIALIZED (
+        SELECT n_name, round(c1 / sqrt(ss), 12) AS n1,
+          round(c2 / sqrt(ss), 12) AS n2
+        FROM xc, xs),
+      ym AS (
+        SELECT CAST(sum(CAST(y1 AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS m1,
+          CAST(sum(CAST(y2 AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS m2
+        FROM ycfg JOIN samples USING (n_name)),
+      yc AS (
+        SELECT n_name, round(y1 - m1, 12) AS c1, round(y2 - m2, 12) AS c2
+        FROM ycfg JOIN samples USING (n_name), ym),
+      ys AS (
+        SELECT CAST(sum(CAST(round(c1 * c1, 12) + round(c2 * c2, 12)
+          AS DECIMAL(38,12))) AS DOUBLE) AS ss FROM yc),
+      yn AS MATERIALIZED (
+        SELECT n_name, round(c1 / sqrt(ss), 12) AS n1,
+          round(c2 / sqrt(ss), 12) AS n2
+        FROM yc, ys),
+      tx AS (
+        SELECT CAST(sum(CAST(round(n1 * n1, 12) + round(n2 * n2, 12)
+          AS DECIMAL(38,12))) AS DOUBLE) AS tx FROM xn),
+      ty AS (
+        SELECT CAST(sum(CAST(round(n1 * n1, 12) + round(n2 * n2, 12)
+          AS DECIMAL(38,12))) AS DOUBLE) AS ty FROM yn),
+      byid AS (
+        SELECT p, n_name, row_number() OVER (
+          PARTITION BY p ORDER BY n_name) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      byhash AS (
+        SELECT p, n_name AS mapped, row_number() OVER (
+          PARTITION BY p ORDER BY
+            ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+            k) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      pi AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, n_name AS mapped
+        FROM samples
+        UNION ALL
+        SELECT CAST(byid.p AS BIGINT), byid.n_name, mapped
+        FROM byid JOIN byhash ON byid.p = byhash.p AND byid.j = byhash.j),
+      ms AS (
+        SELECT pi.p,
+          CAST(sum(CAST(round(yn.n1 * xn.n1, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS m11,
+          CAST(sum(CAST(round(yn.n1 * xn.n2, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS m12,
+          CAST(sum(CAST(round(yn.n2 * xn.n1, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS m21,
+          CAST(sum(CAST(round(yn.n2 * xn.n2, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS m22
+        FROM xn JOIN pi ON pi.n_name = xn.n_name
+        JOIN yn ON yn.n_name = pi.mapped
+        GROUP BY pi.p),
+      m2 AS MATERIALIZED (
+        SELECT p, round(1.0
+          - (m11 * m11 + m12 * m12 + m21 * m21 + m22 * m22
+             + 2.0 * abs(m11 * m22 - m12 * m21)) / (tx * ty), 9) AS m2
+        FROM ms, tx, ty),
+      obs AS (SELECT m2 AS m2_obs FROM m2 WHERE p = 0),
+      ns AS (SELECT count(*) AS n_samples FROM samples)
+      SELECT any_value(n_samples) AS n_samples,
+        (round(any_value(m2_obs), 6) + 0.0) AS m2,
+        (round(sqrt(greatest(1.0 - any_value(m2_obs), 0.0)), 6) + 0.0)
+          AS t_stat,
+        count(*) AS n_perms,
+        CAST(sum(CASE WHEN m2.m2 <= m2_obs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_le,
+        round(CAST(sum(CASE WHEN m2.m2 <= m2_obs THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+      FROM m2, obs, ns WHERE m2.p >= 1"""
 }

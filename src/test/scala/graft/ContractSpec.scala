@@ -282,6 +282,10 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(robs))" -> "one-row (observed r)",
         ".join(broadcast(ngf), \"g\")" -> "dim (group sizes)",
         ".join(broadcast(sizes), \"g\")" -> "dim (group sizes — q52 IndVal)",
+        "val cen = c.crossJoin(broadcast(mns))" -> "one-row (config means — q55)",
+        "cen.crossJoin(broadcast(ssf))" -> "one-row (config scale — q55)",
+        "val m2 = ms.crossJoin(broadcast(txf)).crossJoin(broadcast(tyf))" -> "one-row (normalized traces — q55)",
+        ".crossJoin(broadcast(pobs))" -> "one-row (observed m² — q55)",
         ".crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val obs = g.crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val contrib = gpairs.crossJoin(broadcast(taxa))" -> "dim (taxon vocabulary)",
@@ -307,6 +311,7 @@ class ContractSpec extends SparkSpec {
         "val q = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
         "val q = broadcast(vecs.filter(col(\"vec_id\") < 5)" -> "k (query set)",
         "val qVecs = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
+        "val queries = broadcast(vecs.filter(col(\"vec_id\") < 5)" -> "k (s18 query batch)",
         "val queries = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
         "val queries = broadcast(withBuckets(e.filter(col(\"vec_id\") < 5))" -> "k (query set)",
         "val scored = broadcast(probes).join(assigned, Seq(\"cell\"))" -> "k (query×probe rows)",

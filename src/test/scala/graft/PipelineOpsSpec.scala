@@ -1228,4 +1228,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.nonEmpty && sf.forall(r => r.getDouble(2) >= 0.0
       && !r.getDouble(2).isNaN), sf.mkString(";"))
   }
+
+  test("PROTEST m2 is exactly 0 under rotation, reflection and scaling " +
+       "of the same configuration, and kills an unrelated one") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val names = (1 to 8).map(i => f"s$i%02d")
+    val keys = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong) }.toDF("n_name", "k")
+    // a non-degenerate planted configuration
+    val xs = names.zipWithIndex.map { case (nm, i) =>
+      (nm, 0.1 * ((i * 7) % 11) + 0.05, 0.1 * ((i * 3) % 5) - 0.2) }
+    val x = xs.toDF("n_name", "x1", "x2")
+    def run(y: Seq[(String, Double, Double)]) =
+      Relational.procrustesFromConfigs(x,
+        y.toDF("n_name", "y1", "y2"), keys).head()
+    // identity: perfect fit, and every permutation is at best as good
+    val self = run(xs)
+    assert(self.getDouble(1) == 0.0 && self.getDouble(2) == 1.0,
+      s"self-fit not exact: $self")
+    assert(self.getDouble(5) < 0.2, s"self p not small: $self")
+    // rotation by 90°, reflection (axis swap), and uniform 3× scale +
+    // translation are all absorbed by the Procrustes superimposition
+    assert(run(xs.map { case (n, a, b) => (n, -b, a) }).getDouble(1) == 0.0,
+      "rotation not absorbed")
+    assert(run(xs.map { case (n, a, b) => (n, b, a) }).getDouble(1) == 0.0,
+      "reflection not absorbed")
+    assert(run(xs.map { case (n, a, b) =>
+      (n, 3.0 * a + 5.0, 3.0 * b - 2.0) }).getDouble(1) == 0.0,
+      "scale+translation not absorbed")
+    // an unrelated configuration: m2 large, p in the null bulk
+    val un = run(names.zipWithIndex.map { case (nm, i) =>
+      (nm, 0.1 * ((i * 5 + 3) % 7), 0.1 * ((i * 11 + 1) % 13)) })
+    assert(un.getDouble(1) > 0.2, s"unrelated m2 too small: $un")
+    assert(un.getDouble(5) > 0.05, s"unrelated p too small: $un")
+    // sf corpus: one row, m2 in [0, 1], honest p in (0, 1]
+    val sf = Relational.q55Protest(spark, sfDir).head()
+    assert(sf.getLong(0) == 25L, s"sf samples: $sf")
+    assert(sf.getDouble(1) >= 0.0 && sf.getDouble(1) <= 1.0, s"m2: $sf")
+    assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"p: $sf")
+  }
 }
