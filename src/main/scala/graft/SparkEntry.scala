@@ -80,6 +80,7 @@ object SparkEntry {
     "q53_richness" -> (Relational.q53RichnessEstimators _),
     "q54_rank_abundance" -> (Relational.q54RankAbundance _),
     "q55_protest" -> (Relational.q55Protest _),
+    "q56_beta_partition" -> (Relational.q56BetaPartition _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1107,6 +1108,7 @@ object SparkEntry {
     "q53_richness" -> graft.operators.Relational.q53OracleSql,
     "q54_rank_abundance" -> graft.operators.Relational.q54OracleSql,
     "q55_protest" -> graft.operators.Relational.q55OracleSql,
+    "q56_beta_partition" -> graft.operators.Relational.q56OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

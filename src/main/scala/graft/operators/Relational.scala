@@ -2700,4 +2700,113 @@ object Relational {
         round(CAST(sum(CASE WHEN m2.m2 <= m2_obs THEN 1 ELSE 0 END) + 1
             AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
       FROM m2, obs, ns WHERE m2.p >= 1"""
+
+  /** q56: BETA-DIVERSITY PARTITION (Baselga 2010; R `betapart`) —
+    * splits each sample pair's Sørensen dissimilarity into its two
+    * ecological mechanisms: βsor = (b+c)/(2a+b+c) decomposes EXACTLY
+    * as βsim + βsne, where βsim = min(b,c)/(a+min(b,c)) is species
+    * TURNOVER (replacement) and βsne = βsor − βsim is NESTEDNESS
+    * (one community being a subset of the other) — a = shared taxa,
+    * b/c = each side's unique taxa, all on presence/absence. Two
+    * sites can be equally dissimilar because they host different
+    * taxa (turnover) or because one lost most of the other's
+    * (nestedness); q30's abundance Bray–Curtis cannot tell these
+    * apart, which is exactly why the comparison page carries this
+    * decomposition.
+    *
+    * Determinism: a/b/c are exact integer census counts; the two
+    * ratios are single double expressions; βsne is their difference
+    * (mathematically ≥ 0, but computed as a signed subtraction — the
+    * roundz discipline applies). Degenerate pairs (a + min(b,c) = 0,
+    * i.e. an empty community) yield NULL identically in both engines.
+    *
+    * Scale shape: one fact-scale aggregate to the presence matrix;
+    * shared counts come from the per-taxon self-join (bounded by
+    * Σ_taxon presence², the q30/q44 pair class — AQE skew-split
+    * applies to a ubiquitous taxon); per-sample richness and the
+    * pair frame are sample-dim-bounded. */
+  def q56BetaPartition(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val pres = graft.Ckpt(l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_partkey").as("taxon")).distinct())
+    betaPartitionFromPresence(pres)
+  }
+
+  /** [[q56BetaPartition]]'s core over a (n_name, taxon) presence
+    * frame — split out for planted specs. */
+  def betaPartitionFromPresence(pres: DataFrame): DataFrame = {
+    val rich = pres.groupBy("n_name").agg(count(lit(1)).as("nt"))
+    val shared = pres.as("x")
+      .join(pres.select(col("n_name").as("nb"), col("taxon")).as("y"), "taxon")
+      .filter(col("n_name") < col("nb"))
+      .groupBy(col("n_name").as("sample_a"), col("nb").as("sample_b"))
+      .agg(count(lit(1)).as("a"))
+    val pairs = rich.as("ra")
+      .join(rich.select(col("n_name").as("nb"), col("nt").as("ntb")).as("rb"),
+        col("n_name") < col("nb"))
+      .select(col("n_name").as("sample_a"), col("nb").as("sample_b"),
+        col("nt").as("nta"), col("ntb"))
+      .join(shared, Seq("sample_a", "sample_b"), "left_outer")
+      .select(col("sample_a"), col("sample_b"),
+        coalesce(col("a"), lit(0L)).as("a"),
+        (col("nta") - coalesce(col("a"), lit(0L))).as("b"),
+        (col("ntb") - coalesce(col("a"), lit(0L))).as("c"))
+    pairs
+      .withColumn("mn", least(col("b"), col("c")))
+      .withColumn("bsor", when(lit(2) * col("a") + col("b") + col("c") > 0,
+        round((col("b") + col("c")).cast("double")
+          / (lit(2) * col("a") + col("b") + col("c")).cast("double"), 9)))
+      .withColumn("bsim", when(col("a") + col("mn") > 0,
+        round(col("mn").cast("double")
+          / (col("a") + col("mn")).cast("double"), 9)))
+      .select(col("sample_a"), col("sample_b"), col("a"), col("b"), col("c"),
+        graft.GraftFunctions.roundz(col("bsor"), 6).as("beta_sor"),
+        graft.GraftFunctions.roundz(col("bsim"), 6).as("beta_sim"),
+        graft.GraftFunctions.roundz(col("bsor") - col("bsim"), 6)
+          .as("beta_sne"))
+      .orderBy("sample_a", "sample_b")
+  }
+
+  /** DuckDB oracle for [[q56BetaPartition]] — identical integer
+    * census, round-9 component grid, roundz outputs. */
+  def q56OracleSql: String = s"""
+      WITH pres AS (
+        SELECT DISTINCT n_name, l_partkey AS taxon
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      rich AS (SELECT n_name, count(*) AS nt FROM pres GROUP BY 1),
+      shared AS (
+        SELECT x.n_name AS sample_a, y.n_name AS sample_b, count(*) AS a
+        FROM pres x JOIN pres y ON x.taxon = y.taxon
+          AND x.n_name < y.n_name
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT ra.n_name AS sample_a, rb.n_name AS sample_b,
+          coalesce(a, 0) AS a,
+          ra.nt - coalesce(a, 0) AS b,
+          rb.nt - coalesce(a, 0) AS c
+        FROM rich ra JOIN rich rb ON ra.n_name < rb.n_name
+        LEFT JOIN shared ON shared.sample_a = ra.n_name
+          AND shared.sample_b = rb.n_name),
+      comp AS (
+        SELECT sample_a, sample_b, a, b, c, least(b, c) AS mn,
+          CASE WHEN 2 * a + b + c > 0 THEN
+            round(CAST(b + c AS DOUBLE)
+              / CAST(2 * a + b + c AS DOUBLE), 9) END AS bsor,
+          CASE WHEN a + least(b, c) > 0 THEN
+            round(CAST(least(b, c) AS DOUBLE)
+              / CAST(a + least(b, c) AS DOUBLE), 9) END AS bsim
+        FROM pairs)
+      SELECT sample_a, sample_b,
+        CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        CAST(c AS BIGINT) AS c,
+        (round(bsor, 6) + 0.0) AS beta_sor,
+        (round(bsim, 6) + 0.0) AS beta_sim,
+        (round(bsor - bsim, 6) + 0.0) AS beta_sne
+      FROM comp ORDER BY sample_a, sample_b"""
 }

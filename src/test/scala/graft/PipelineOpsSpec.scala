@@ -1268,4 +1268,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(1) >= 0.0 && sf.getDouble(1) <= 1.0, s"m2: $sf")
     assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"p: $sf")
   }
+
+  test("beta partition: pure turnover, pure nestedness, identity, and " +
+       "the Baselga decomposition identity holds corpus-wide") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // t1/t2: disjoint equal-size communities → pure turnover:
+    //   a=0, b=c=2 → βsor = 1, βsim = 1, βsne = 0
+    // n1/n2: n2 ⊂ n1 → pure nestedness: a=2, b=2, c=0 →
+    //   βsim = 0, βsor = βsne = 2/(2·2+2) = 1/3
+    // i1/i2: identical → all zero
+    val pres = Seq(
+      ("t1", 1L), ("t1", 2L), ("t2", 3L), ("t2", 4L),
+      ("n1", 10L), ("n1", 11L), ("n1", 12L), ("n1", 13L),
+      ("n2", 10L), ("n2", 11L),
+      ("i1", 20L), ("i1", 21L), ("i2", 20L), ("i2", 21L))
+      .toDF("n_name", "taxon")
+    val got = Relational.betaPartitionFromPresence(pres).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(got(("t1", "t2")) == ((0L, 2L, 2L, 1.0, 1.0, 0.0)),
+      s"turnover pair: ${got(("t1", "t2"))}")
+    assert(got(("n1", "n2")) == ((2L, 2L, 0L, 0.333333, 0.0, 0.333333)),
+      s"nested pair: ${got(("n1", "n2"))}")
+    assert(got(("i1", "i2")) == ((2L, 0L, 0L, 0.0, 0.0, 0.0)),
+      s"identical pair: ${got(("i1", "i2"))}")
+    // corpus: decomposition identity and ranges on every pair
+    val sf = Relational.q56BetaPartition(spark, sfDir).collect()
+    assert(sf.length == 300, s"pair census: ${sf.length}")
+    assert(sf.forall { r =>
+      val (so, si, sn) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      so >= 0 && so <= 1 && si >= 0 && si <= 1 && sn >= -1e-9 &&
+        math.abs(so - si - sn) < 2e-6 }, "decomposition identity broken")
+  }
 }
