@@ -687,4 +687,68 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  case class SnaiveState(open: Map[Long, Long], hist: Map[Long, Long])
+  case class SnaiveOut(event_type: String, day: String, n_events: Long,
+    fcst: Long)
+
+  /** Streaming SEASONAL-NAIVE forecast join — [[graft.operators
+    * .Events.seasonalNaive]]'s stream twin: per event type, finalize
+    * daily counts in event-day order as the watermark passes
+    * (cusumStream's discipline), keep the last [[graft.operators
+    * .Events.SeasonalLag]] finalized days as the forecast memory, and
+    * emit (day, count, forecast) whenever the day exactly one season
+    * back was observed — the same calendar-gap semantics as the batch
+    * interval join (an absent lag day emits NOTHING, never a
+    * misaligned forecast). Output is ALL-INTEGER: the error grids
+    * (APE, bias) are derived downstream on batch e25's exact
+    * expressions, so stream/batch parity is integer equality, not a
+    * float compare (spec-gated under an uneven micro-batch replay).
+    *
+    * State per type is the open-day buckets (bounded by the lateness
+    * horizon) plus ≤ SeasonalLag finalized counts — O(1). */
+  def seasonalNaiveStream(events: Dataset[Event])
+      (implicit spark: SparkSession): Dataset[SnaiveOut] = {
+    import spark.implicits._
+    val L = graft.operators.Events.SeasonalLag.toLong
+    val DayUs = 86400000000L
+    val DayMs = 86400000L
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("ts", "1 day")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SnaiveState, SnaiveOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (tpe, it, state: GroupState[SnaiveState]) =>
+          var st = state.getOption.getOrElse(SnaiveState(Map.empty, Map.empty))
+          val evs = it.toSeq
+          if (evs.nonEmpty) {
+            var open = st.open
+            evs.foreach { e =>
+              val d = Math.floorDiv(us(e.ts), DayUs)
+              open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+            }
+            st = st.copy(open = open)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val ready = st.open.keys.filter(d => (d + 1) * DayMs <= wmMs)
+            .toSeq.sorted
+          val out = ready.flatMap { d =>
+            val cnt = st.open(d)
+            val row = st.hist.get(d - L).map(f =>
+              SnaiveOut(tpe, java.time.LocalDate.ofEpochDay(d).toString,
+                cnt, f))
+            // retain exactly one season of finalized counts
+            st = st.copy(open = st.open - d,
+              hist = (st.hist + (d -> cnt)).filter(_._1 >= d - L + 1))
+            row
+          }
+          state.update(st)
+          if (st.open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (st.open.keys.min + 1) * DayMs, wmMs + 1))
+          out.iterator
+      }
+  }
 }

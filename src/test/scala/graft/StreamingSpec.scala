@@ -843,4 +843,55 @@ class StreamingSpec extends SparkSpec {
         s"x cusum not monotone under constant drift: ${xs.map(_.cusum).toSeq}")
     } finally q.stop()
   }
+
+  test("streaming seasonal-naive emits exactly the batch calendar-join " +
+       "rows (integer parity) under an uneven replay with gaps") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    def mk(tp: String, d: Int, cnt: Int, base: Long) =
+      (1 to cnt).map { i =>
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        StreamingOps.Event(base + d * 1000L + i, t, 1L, tp, 0.0)
+      }
+    val pat = Seq(5, 20, 8, 13, 5, 30, 9)
+    val ev =
+      (0 until 21).flatMap(d => mk("rhythm", d, pat(d % 7), 0L)) ++
+      (0 until 21).flatMap(d => mk("broken", d,
+        if (d == 10) 2 * pat(d % 7) else pat(d % 7), 100000L)) ++
+      (0 until 21).filter(d => d != 8 && d != 9)
+        .flatMap(d => mk("gappy", d, 10, 200000L))
+    def day(d: Int) = f"1970-01-${d + 1}%02d"
+    val expect =
+      (7 until 21).map(d => ("rhythm", day(d),
+        pat(d % 7).toLong, pat(d % 7).toLong)) ++
+      (7 until 21).map { d =>
+        val c = if (d == 10) 2 * pat(d % 7) else pat(d % 7)
+        val f = if (d == 17) 2 * pat(d % 7) else pat(d % 7)
+        ("broken", day(d), c.toLong, f.toLong) } ++
+      (7 until 21).filter(d => !Set(8, 9, 15, 16)(d))
+        .map(d => ("gappy", day(d), 10L, 10L))
+    val input = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.seasonalNaiveStream(input.toDS())
+      .writeStream.format("memory").queryName("snaive_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val sorted = ev.sortBy(e => (e.ts.getTime, e.event_id))
+      val cuts = Seq(0, 13, 100, 101, 350, sorted.length)
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        input.addData(sorted.slice(a, b): _*)
+        q.processAllAvailable()
+      }
+      input.addData(StreamingOps.Event(999999L,
+        java.sql.Timestamp.valueOf("1970-06-01 00:00:00"), 1L, "rhythm", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("snaive_stream").as[StreamingOps.SnaiveOut]
+        .collect().map(r => (r.event_type, r.day, r.n_events, r.fcst))
+      assert(got.toSet == expect.toSet,
+        s"missing: ${expect.toSet -- got.toSet}; extra: ${got.toSet -- expect.toSet}")
+      assert(got.length == expect.length, "duplicate emissions")
+    } finally q.stop()
+  }
 }
