@@ -81,6 +81,7 @@ object SparkEntry {
     "q54_rank_abundance" -> (Relational.q54RankAbundance _),
     "q55_protest" -> (Relational.q55Protest _),
     "q56_beta_partition" -> (Relational.q56BetaPartition _),
+    "q57_specaccum" -> (Relational.q57SpecAccum _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -264,6 +265,7 @@ object SparkEntry {
     "q36_cooccurrence" -> (Relational.q36Cooccurrence _),
     "t9_split" -> (TextOps.split3 _),
     "t10_term_freq" -> ((s: SparkSession, d: String) => TextOps.termFreq(s, d)),
+    "t35_good_turing" -> ((s: SparkSession, d: String) => TextOps.goodTuring(s, d)),
     "t11_sample_weights" -> (TextOps.sampleWeights _),
     "t12_boilerplate" -> (TextOps.boilerplate _),
     "t13_chunking" -> (TextOps.chunking _),
@@ -746,6 +748,7 @@ object SparkEntry {
     "e20_log_quantile_hist" -> graft.operators.Events.e20OracleSql,
     "t9_split" -> TextOps.split3OracleSql,
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
+    "t35_good_turing" -> TextOps.t35OracleSql,
     "t11_sample_weights" -> TextOps.t11OracleSql,
     "t12_boilerplate" -> TextOps.t12OracleSql,
     "t13_chunking" -> TextOps.t13OracleSql(),
@@ -1109,6 +1112,7 @@ object SparkEntry {
     "q54_rank_abundance" -> graft.operators.Relational.q54OracleSql,
     "q55_protest" -> graft.operators.Relational.q55OracleSql,
     "q56_beta_partition" -> graft.operators.Relational.q56OracleSql,
+    "q57_specaccum" -> graft.operators.Relational.q57OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

@@ -2809,4 +2809,81 @@ object Relational {
         (round(bsim, 6) + 0.0) AS beta_sim,
         (round(bsor - bsim, 6) + 0.0) AS beta_sne
       FROM comp ORDER BY sample_a, sample_b"""
+
+  /** q57: SPECIES ACCUMULATION CURVE, exact form (Ugland/Colwell;
+    * vegan `specaccum(method = "exact")`) — the across-sample
+    * companion of q50's within-sample rarefaction: the EXPECTED
+    * richness after surveying k of the N samples, averaged over all
+    * C(N, k) subsets analytically: E[S(k)] = Σ_t (1 − h(k, n_t))
+    * where n_t = samples containing taxon t and h(k, n_t) =
+    * Π_{i=0}^{k−1} (N−n_t−i)/(N−i) is the hypergeometric probability
+    * that a k-subset misses all n_t of t's samples. No subsampling,
+    * no RNG — the curve every survey-effort plot draws.
+    *
+    * Determinism: n_t are exact integers; h is an IN-ROW index-order
+    * product fold (both engines execute the identical IEEE multiply
+    * sequence — the repo's index-order-fold discipline), each term
+    * round-9 quantized into DECIMAL and summed order-free per k; a
+    * factor hitting zero (k > N − n_t) pins h = 0 exactly, so the
+    * curve's tail equals observed richness bitwise.
+    *
+    * Scale shape: one fact-scale distinct to the presence frame, one
+    * taxon-keyed occupancy count, then a (taxa × N) in-row lattice —
+    * dimension-bounded; the curve is monotone by construction. */
+  def q57SpecAccum(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val pres = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_partkey").as("taxon")).distinct()
+    specAccumFromPresence(pres)
+  }
+
+  /** [[q57SpecAccum]]'s core over a (n_name, taxon) presence frame —
+    * split out for planted specs. */
+  def specAccumFromPresence(pres: DataFrame): DataFrame = {
+    val occ = graft.Ckpt(pres.groupBy("taxon")
+      .agg(countDistinct(col("n_name")).as("nt")))
+    val nsf = pres.select(col("n_name")).distinct()
+      .agg(count(lit(1)).as("n"))
+    occ.crossJoin(broadcast(nsf))
+      .select(col("taxon"), col("nt"), col("n"),
+        explode(expr("sequence(1, cast(n AS INT))")).as("k"))
+      .withColumn("h", expr("aggregate(sequence(0, k - 1), " +
+        "CAST(1.0 AS DOUBLE), (acc, i) -> acc * " +
+        "CAST(n - nt - i AS DOUBLE) / CAST(n - i AS DOUBLE))"))
+      .withColumn("term", round(lit(1.0) - col("h"), 9)
+        .cast("decimal(25,9)"))
+      .groupBy("k")
+      .agg(round(sum(col("term")).cast("double"), 6)
+        .as("expected_richness"))
+      .orderBy("k")
+  }
+
+  /** DuckDB oracle for [[q57SpecAccum]] — identical occupancy census
+    * and index-order hypergeometric product fold. */
+  def q57OracleSql: String = s"""
+      WITH pres AS (
+        SELECT DISTINCT n_name, l_partkey AS taxon
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      occ AS (
+        SELECT taxon, count(DISTINCT n_name) AS nt FROM pres GROUP BY 1),
+      nn AS (SELECT count(DISTINCT n_name) AS n FROM pres),
+      lat AS (
+        SELECT taxon, nt, n, k
+        FROM occ, nn, LATERAL unnest(generate_series(1, CAST(n AS INT)))
+          t(k)),
+      terms AS (
+        SELECT k,
+          CAST(round(1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(generate_series(0, k - 1),
+              i -> CAST(n - nt - i AS DOUBLE) / CAST(n - i AS DOUBLE))),
+            (acc, x) -> acc * x), 9) AS DECIMAL(25,9)) AS term
+        FROM lat)
+      SELECT k, round(CAST(sum(term) AS DOUBLE), 6) AS expected_richness
+      FROM terms GROUP BY k ORDER BY k"""
 }

@@ -2450,4 +2450,63 @@ object TextOps {
             / (CAST(c AS DOUBLE) * sxx - sx * sx) * sx)
           / CAST(c AS DOUBLE)), 6) AS heaps_k
       FROM s, tot"""
+
+  /** t35: GOOD–TURING COVERAGE — per source, the unseen-probability
+    * mass estimate P₀ = N₁/N (Good 1953): the fraction of the NEXT
+    * token expected to be a type never seen in this source, from the
+    * singleton count alone. This is the text-side twin of q53's
+    * Chao1 (both extrapolate the unseen from the once-seen): a
+    * source with high unseen mass is under-sampled for vocabulary
+    * coverage — the signal a data-mixing pipeline reads before
+    * deciding a source is "covered". Reports the full frequency-of-
+    * frequency head (types, singletons f1, doubletons f2), P₀, and
+    * coverage = 1 − P₀.
+    *
+    * Determinism: all inputs are exact integer aggregates (token
+    * multiset → type counts → f-of-f); P₀ is one double division
+    * rounded once.
+    *
+    * Scale shape: one (source, token) count aggregate with map-side
+    * combine (the t10 class), one vocabulary-scale f-of-f rollup,
+    * then source-bounded. */
+  def goodTuring(spark: SparkSession, dir: String): DataFrame =
+    goodTuring(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def goodTuring(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    tf.groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("p_unseen", round(col("f1").cast("double")
+        / col("n_tokens").cast("double"), 6))
+      .withColumn("coverage", round(lit(1.0) - col("f1").cast("double")
+        / col("n_tokens").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[goodTuring]] — identical token multiset,
+    * f-of-f census, and single rounded divisions. */
+  def t35OracleSql: String = """
+      WITH tf AS (
+        SELECT source, w, count(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+          sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+        FROM tf GROUP BY 1)
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_types AS BIGINT) AS n_types,
+        CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+        round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          AS p_unseen,
+        round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          AS coverage
+      FROM agg ORDER BY source"""
 }

@@ -286,6 +286,7 @@ class ContractSpec extends SparkSpec {
         "cen.crossJoin(broadcast(ssf))" -> "one-row (config scale — q55)",
         "val m2 = ms.crossJoin(broadcast(txf)).crossJoin(broadcast(tyf))" -> "one-row (normalized traces — q55)",
         ".crossJoin(broadcast(pobs))" -> "one-row (observed m² — q55)",
+        "occ.crossJoin(broadcast(nsf))" -> "one-row (sample count — q57)",
         ".crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val obs = g.crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val contrib = gpairs.crossJoin(broadcast(taxa))" -> "dim (taxon vocabulary)",

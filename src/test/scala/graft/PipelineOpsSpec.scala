@@ -1302,4 +1302,52 @@ class PipelineOpsSpec extends SparkSpec {
       so >= 0 && so <= 1 && si >= 0 && si <= 1 && sn >= -1e-9 &&
         math.abs(so - si - sn) < 2e-6 }, "decomposition identity broken")
   }
+
+  test("Good-Turing coverage: exact on a planted frequency panel") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(("A", 1L, "a b a c"), ("A", 2L, "d"),
+      ("B", 3L, "x x x x"))
+      .toDF("source", "doc_id", "text")
+    val got = TextOps.goodTuring(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    // A: 5 tokens {a:2, b:1, c:1, d:1} → f1=3, f2=1, P0=0.6
+    assert(got("A") == ((5L, 4L, 3L, 1L, 0.6, 0.4)), got("A").toString)
+    // B: one type seen 4× → no singletons, full coverage
+    assert(got("B") == ((4L, 1L, 0L, 0L, 0.0, 1.0)), got("B").toString)
+    val sf = TextOps.goodTuring(
+      graft.Tables.load(spark, sfDir, "documents")).collect()
+    assert(sf.nonEmpty && sf.forall { r =>
+      val p = r.getDouble(5); p >= 0.0 && p <= 1.0 }, sf.mkString(";"))
+  }
+
+  test("species accumulation: exact hypergeometric means on a planted " +
+       "panel, monotone, and closes at total richness") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // X in both samples, Y only in s1: E[S(1)] = (2 + 1)/2 = 1.5,
+    // E[S(2)] = 2 exactly
+    val pres = Seq(("s1", 1L), ("s1", 2L), ("s2", 1L))
+      .toDF("n_name", "taxon")
+    val got = Relational.specAccumFromPresence(pres).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1 -> 1.5, 2 -> 2.0), got.toString)
+    // sf corpus: strictly monotone non-decreasing, tail = the global
+    // distinct-taxon count exactly (every taxon certainly included)
+    val sf = Relational.q57SpecAccum(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(sf.zip(sf.tail).forall { case (a, b) => a._2 <= b._2 },
+      "curve not monotone")
+    val presSf = graft.Tables.load(spark, sfDir, "lineitem")
+      .join(graft.Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.dim(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.dim(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey")).distinct().count()
+    assert(sf.last._2 == presSf.toDouble,
+      s"tail ${sf.last} != total richness $presSf")
+  }
 }
