@@ -2744,8 +2744,12 @@ object Relational {
       .filter(col("n_name") < col("nb"))
       .groupBy(col("n_name").as("sample_a"), col("nb").as("sample_b"))
       .agg(count(lit(1)).as("a"))
+    // the pair frame is a non-equi join of two SAMPLE-DIM-BOUNDED
+    // richness frames — broadcast one side so the plan is a bounded
+    // nested-loop, never a cartesian exchange
     val pairs = rich.as("ra")
-      .join(rich.select(col("n_name").as("nb"), col("nt").as("ntb")).as("rb"),
+      .join(broadcast(rich.select(col("n_name").as("nb"),
+          col("nt").as("ntb"))),
         col("n_name") < col("nb"))
       .select(col("n_name").as("sample_a"), col("nb").as("sample_b"),
         col("nt").as("nta"), col("ntb"))

@@ -287,6 +287,7 @@ class ContractSpec extends SparkSpec {
         "val m2 = ms.crossJoin(broadcast(txf)).crossJoin(broadcast(tyf))" -> "one-row (normalized traces — q55)",
         ".crossJoin(broadcast(pobs))" -> "one-row (observed m² — q55)",
         "occ.crossJoin(broadcast(nsf))" -> "one-row (sample count — q57)",
+        ".join(broadcast(rich.select(col(\"n_name\").as(\"nb\")," -> "dim (per-sample richness — q56)",
         ".crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val obs = g.crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val contrib = gpairs.crossJoin(broadcast(taxa))" -> "dim (taxon vocabulary)",

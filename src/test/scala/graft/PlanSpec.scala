@@ -829,4 +829,36 @@ class PlanSpec extends SparkSpec {
         s"$name degenerated to a cartesian product")
     }
   }
+
+  test("r16 operators: shuffle budgets hold and no plan degenerates " +
+       "to a cartesian") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
+      // q53: one fact aggregate + one sample rollup (+ output sort)
+      ("q53", Relational.q53RichnessEstimators(spark, sfDir), 4),
+      // q54: fact aggregate + group totals join + rank windows
+      ("q54", Relational.q54RankAbundance(spark, sfDir), 6),
+      // q56: presence distinct + per-taxon self-join + pair rollups
+      ("q56", Relational.q56BetaPartition(spark, sfDir), 8),
+      // q57: presence distinct + occupancy count + in-row lattice
+      ("q57", Relational.q57SpecAccum(spark, sfDir), 6),
+      // t35: token counts + f-of-f rollup
+      ("t35", graft.operators.TextOps.goodTuring(docs), 4),
+      // e25: daily aggregate + calendar self-join + per-type rollup
+      ("e25", graft.operators.Events.seasonalNaive(
+        Tables.load(spark, sfDir, "events")), 6))
+    cases.foreach { case (name, df, maxSh) =>
+      val n = executedShuffles(df)
+      assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+    // q57's hypergeometric product must be IN-ROW (an aggregate HOF in
+    // the projection), never a per-(taxon, k, i) explode
+    val q57p = Relational.q57SpecAccum(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    assert(q57p.contains("aggregate(sequence(0,"),
+      "q57 product fold not in-row")
+  }
 }
