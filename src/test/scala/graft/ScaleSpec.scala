@@ -23,6 +23,33 @@ class ScaleSpec extends SparkSpec {
     noop(graft.operators.Graph.g5Kcore(spark, sf01))      // h-index fixpoint
     noop(graft.operators.Graph.g8Bfs(spark, sf01))        // min-plus fixpoint
     noop(SparkEntry.queries("d7_dedup_pipeline")(spark, sf01)) // label-prop maxIter
+    noop(graft.operators.Graph.g19Scc(spark, sf01))       // SCC peel cap (r16)
+  }
+
+  test("NN-Descent survives a degenerate all-identical embedding corpus " +
+       "(every cosine ties at 1.0 — the reverse-cap/tie-break torture case)") {
+    // a hub vector appearing in EVERYONE's kNN is the quadratic risk
+    // the reverse cap exists for; the extreme form is all-identical
+    // vectors, where every candidate scores 1.0 and only the (score,
+    // id) tie-break keeps the selection deterministic
+    import spark.implicits._
+    val e = (0L until 60L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val g = graft.operators.Similarity.knnGraph(e, 5, 2).collect()
+    assert(g.length == 60 * 5, s"not k-regular: ${g.length}")
+    // ties broken on the smaller id: every node's neighbor list is the
+    // 5 smallest OTHER ids it ever saw as a candidate — in particular
+    // all scores are exactly 1.0 and ranks are dense
+    assert(g.forall(_.getDouble(3) == 1.0), "tie scores drifted")
+    assert(g.forall(r => r.getLong(0) != r.getLong(2)), "self edge")
+    val byV = g.groupBy(_.getLong(0))
+    assert(byV.forall(_._2.map(_.getInt(1)).sorted.toSeq == (1 to 5)),
+      "ranks not dense under total ties")
+    // the search half on the same degenerate corpus: completes, emits
+    // dense ranks, never a self hit
+    val out = graft.operators.Similarity.graphSearch(e, 5, 2, 5, 3).collect()
+    assert(out.nonEmpty && out.forall(r => r.getLong(0) != r.getLong(1)),
+      "graph search broke on the tie corpus")
   }
 
   test("AQE splits a deliberately hot join key (OptimizeSkewedJoin " +
