@@ -82,6 +82,8 @@ object SparkEntry {
     "q55_protest" -> (Relational.q55Protest _),
     "q56_beta_partition" -> (Relational.q56BetaPartition _),
     "q57_specaccum" -> (Relational.q57SpecAccum _),
+    "q58_hill_numbers" -> (Relational.q58HillNumbers _),
+    "q59_fisher_alpha" -> (Relational.q59FisherAlpha _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1113,6 +1115,8 @@ object SparkEntry {
     "q55_protest" -> graft.operators.Relational.q55OracleSql,
     "q56_beta_partition" -> graft.operators.Relational.q56OracleSql,
     "q57_specaccum" -> graft.operators.Relational.q57OracleSql,
+    "q58_hill_numbers" -> graft.operators.Relational.q58OracleSql,
+    "q59_fisher_alpha" -> graft.operators.Relational.q59OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Dec, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2890,4 +2890,199 @@ object Relational {
         FROM lat)
       SELECT k, round(CAST(sum(term) AS DOUBLE), 6) AS expected_richness
       FROM terms GROUP BY k ORDER BY k"""
+
+  /** q58: HILL NUMBER DIVERSITY PROFILE (Hill 1973; Jost 2006) — the
+    * unified "effective number of species" ladder that modern
+    * diversity pages report INSTEAD of raw indices, because the three
+    * classic numbers live on incompatible scales: ⁰D = richness
+    * (rarity-blind), ¹D = exp(Shannon) (abundance-weighted effective
+    * count), ²D = 1/Σp² (dominance-weighted inverse Simpson) — all in
+    * the same "equivalent equally-common species" unit, so ¹D/⁰D-type
+    * ratios are meaningful. Pielou's evenness J = H/ln(S) rides along
+    * (the q13 scalar panel's missing fourth column).
+    *
+    * Determinism: abundances are exact integer counts; each share
+    * p = cnt/N is ONE double division (bit-identical across engines);
+    * the entropy and concentration TERMS are round-12 quantized
+    * DECIMALs so the across-taxa sums are order-free exact decimal
+    * adds (the taxon frame here is thousands of rows — q13's
+    * round-after-double-sum trick only survives its 6-value
+    * vocabulary); each output is one round-6 expression on the exact
+    * sums.
+    *
+    * Scale shape: one fact-scale count aggregate to the sparse
+    * (group, taxon) matrix (map-side combine), one group-scale total,
+    * one taxon-scale projection + one group-scale aggregate. Nothing
+    * quadratic, nothing iterated. */
+  def q58HillNumbers(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    hillFromCounts(ab)
+  }
+
+  /** [[q58HillNumbers]]'s core over a (n_name, taxon-keyed, cnt
+    * BIGINT) abundance frame — split out for planted specs. */
+  def hillFromCounts(ab: DataFrame): DataFrame = {
+    val tot = ab.groupBy("n_name")
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("s_obs"))
+    val terms = ab.join(tot, "n_name")
+      .withColumn("p", col("cnt").cast("double") / col("n").cast("double"))
+      .select(col("n_name"), col("s_obs"),
+        round(col("p") * log(col("p")), 12).cast("decimal(25,12)").as("th"),
+        round(col("p") * col("p"), 12).cast("decimal(25,12)").as("tc"))
+    terms.groupBy("n_name", "s_obs")
+      .agg((-sum(col("th")).cast("double")).as("hraw"),
+        sum(col("tc")).cast("double").as("craw"))
+      .select(col("n_name"), col("s_obs"),
+        // roundz: a single-taxon group yields hraw = −0.0 (negated
+        // zero sum) — the signed-zero class discipline
+        graft.GraftFunctions.roundz(col("hraw"), 6).as("shannon"),
+        round(exp(col("hraw")), 6).as("hill1"),
+        round(lit(1.0) / col("craw"), 6).as("hill2"),
+        when(col("s_obs") > 1,
+          round(col("hraw") / log(col("s_obs").cast("double")), 6))
+          .as("pielou"))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB oracle for [[q58HillNumbers]] — identical count panel,
+    * single-division shares, round-12 decimal term grid. */
+  def q58OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, l_partkey, count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT n_name, sum(cnt) AS n, count(*) AS s_obs
+        FROM ab GROUP BY 1),
+      terms AS (
+        SELECT ab.n_name, s_obs,
+          CAST(round((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+            * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+            AS DECIMAL(25,12)) AS th,
+          CAST(round((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+            AS DECIMAL(25,12)) AS tc
+        FROM ab JOIN tot ON ab.n_name = tot.n_name),
+      agg AS (
+        SELECT n_name, s_obs,
+          -CAST(sum(th) AS DOUBLE) AS hraw,
+          CAST(sum(tc) AS DOUBLE) AS craw
+        FROM terms GROUP BY 1, 2)
+      SELECT n_name, s_obs,
+        (round(hraw, 6) + 0.0) AS shannon,
+        round(exp(hraw), 6) AS hill1,
+        round(1.0 / craw, 6) AS hill2,
+        CASE WHEN s_obs > 1
+          THEN round(hraw / ln(CAST(s_obs AS DOUBLE)), 6) END AS pielou
+      FROM agg ORDER BY n_name"""
+
+  /** Fixed-point iteration count for [[q59FisherAlpha]] — a CONTRACT
+    * constant (g1's class), not a convergence test: both engines run
+    * exactly this many steps of the same IEEE map, so the trajectories
+    * are bitwise identical whether or not they have converged. 80
+    * steps converges to full double precision for every S ≪ N regime
+    * the operator accepts (spec-gated against the closed
+    * Lambert-W-free bisection). */
+  final val FisherIters = 80
+
+  /** q59: FISHER'S LOG-SERIES ALPHA (Fisher, Corbet & Williams 1943;
+    * vegan `fisher.alpha`) — the classic single-parameter diversity
+    * index that is (unlike raw richness) nearly sample-size
+    * invariant: solve S = α·ln(1 + N/α) for α from the group's
+    * observed richness S and individual count N. The log-series fit
+    * also predicts the singleton count f̂₁ = αx with x = N/(N+α) — a
+    * built-in goodness dial against the observed f₁.
+    *
+    * No closed form exists, so α is the limit of the fixed-point map
+    * α ← S / ln(1 + N/α) — a contraction on S < N. Determinism is by
+    * CONTRACT, not convergence: both engines run exactly
+    * [[FisherIters]] steps of the same double map from the same
+    * α₀ = 10 (Spark: an in-row `aggregate` fold; DuckDB: the same
+    * fold as `list_reduce`), so the result is bit-identical BEFORE
+    * the final round-6. Degenerate S = N (every individual its own
+    * taxon — the map diverges monotonically) yields NULL in both
+    * engines.
+    *
+    * Scale shape: one fact-scale count aggregate (map-side combine)
+    * to the (group, taxon) matrix, then per-group scalar arithmetic
+    * on a group-count-bounded frame. The iteration is an expression
+    * chain, not a loop over data. */
+  def q59FisherAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = l
+      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(count(lit(1)).as("cnt"))
+    fisherAlphaFromCounts(ab)
+  }
+
+  /** [[q59FisherAlpha]]'s core over a (n_name, taxon-keyed, cnt
+    * BIGINT) abundance frame — split out for planted specs. */
+  def fisherAlphaFromCounts(ab: DataFrame): DataFrame = {
+    val agg = ab.groupBy("n_name").agg(
+      count(lit(1)).as("s_obs"),
+      sum(col("cnt")).as("n_tot"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"))
+    val nD = col("n_tot").cast("double")
+    // the fixed-point map as an in-row fold (q57's discipline — a
+    // nested Column chain overflows the column-node converter at
+    // this depth); the sequence element is just the step counter
+    val a = expr(s"aggregate(sequence(1, $FisherIters), " +
+      "CAST(10.0 AS DOUBLE), (acc, i) -> " +
+      "CAST(s_obs AS DOUBLE) / ln(1.0d + CAST(n_tot AS DOUBLE) / acc))")
+    val withA = agg.withColumn("alpha_raw",
+      when(col("s_obs") < col("n_tot"), a))
+    withA
+      .withColumn("x", nD / (nD + col("alpha_raw")))
+      .select(col("n_name"), col("s_obs"), col("n_tot"), col("f1"),
+        round(col("alpha_raw"), 6).as("fisher_alpha"),
+        round(col("x"), 6).as("x"),
+        round(col("alpha_raw") * col("x"), 6).as("f1_fit"))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB oracle for [[q59FisherAlpha]] — the identical
+    * [[FisherIters]]-step fixed-point fold from the same α₀ = 10. */
+  def q59OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, p_type, count(*) AS cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT n_name, count(*) AS s_obs, sum(cnt) AS n_tot,
+          sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS f1
+        FROM ab GROUP BY 1),
+      fin AS (
+        SELECT n_name, s_obs, n_tot, f1,
+          CASE WHEN s_obs < n_tot THEN list_reduce(
+            list_prepend(CAST(10.0 AS DOUBLE),
+              list_transform(generate_series(1, $FisherIters),
+                i -> CAST(0.0 AS DOUBLE))),
+            (acc, x) -> CAST(s_obs AS DOUBLE)
+              / ln(1.0 + CAST(n_tot AS DOUBLE) / acc)) END AS alpha_raw
+        FROM agg)
+      SELECT n_name, s_obs, CAST(n_tot AS BIGINT) AS n_tot,
+        CAST(f1 AS BIGINT) AS f1,
+        round(alpha_raw, 6) AS fisher_alpha,
+        round(CAST(n_tot AS DOUBLE)
+          / (CAST(n_tot AS DOUBLE) + alpha_raw), 6) AS x,
+        round(alpha_raw * (CAST(n_tot AS DOUBLE)
+          / (CAST(n_tot AS DOUBLE) + alpha_raw)), 6) AS f1_fit
+      FROM fin ORDER BY n_name"""
 }

@@ -1350,4 +1350,80 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.last._2 == presSf.toDouble,
       s"tail ${sf.last} != total richness $presSf")
   }
+
+  test("Hill numbers: uniform panel hits S exactly at every order, " +
+       "dominance orders the ladder, singleton group degenerates to 1") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // u4: 4 equally-common taxa — all Hill numbers = 4, J = 1;
+    // dom: one taxon holds 97/100 — ⁰D > ¹D > ²D, J < 1;
+    // one: a single taxon — H = 0, ¹D = ²D = 1, J undefined (NULL)
+    val ab = Seq(
+      ("u4", 1L, 1L), ("u4", 2L, 1L), ("u4", 3L, 1L), ("u4", 4L, 1L),
+      ("dom", 1L, 97L), ("dom", 2L, 1L), ("dom", 3L, 1L), ("dom", 4L, 1L),
+      ("one", 1L, 5L))
+      .toDF("n_name", "taxon", "cnt")
+    val got = Relational.hillFromCounts(ab).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toMap
+    val u4 = got("u4")
+    assert(u4._1 == 4L && u4._3 == 4.0 && u4._4 == 4.0 &&
+      u4._5.contains(1.0), u4.toString)
+    assert(math.abs(u4._2 - math.log(4.0)) < 1e-6, u4.toString)
+    val dom = got("dom")
+    assert(dom._1.toDouble > dom._3 && dom._3 > dom._4 &&
+      dom._5.exists(_ < 1.0), dom.toString)
+    val one = got("one")
+    assert(one._1 == 1L && one._2 == 0.0 && one._3 == 1.0 &&
+      one._4 == 1.0 && one._5.isEmpty, one.toString)
+    // sf corpus: the ladder ⁰D ≥ ¹D ≥ ²D holds for every group
+    // (Hill numbers are non-increasing in the order q), J ∈ (0, 1]
+    val sf = Relational.q58HillNumbers(spark, sfDir).collect()
+    assert(sf.nonEmpty)
+    assert(sf.forall { r =>
+      r.getLong(1).toDouble >= r.getDouble(3) - 1e-9 &&
+      r.getDouble(3) >= r.getDouble(4) - 1e-9 &&
+      r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0 + 1e-9 },
+      sf.mkString(";"))
+  }
+
+  test("Fisher alpha: fixed-point limit satisfies the defining " +
+       "equation, predicts singletons, NULL on the all-singleton " +
+       "degenerate") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // fit: S=25 taxa over N=2400 individuals (23 filler taxa carry the
+    // bulk) — the map contracts fast; the limit must satisfy
+    // S = α·ln(1 + N/α) to well under the round-6 grid.
+    // deg: S = N (all singletons) — no finite α; NULL end-to-end.
+    val fit = (1L to 23L).map(i => ("fit", i, 103L)) ++
+      Seq(("fit", 24L, 15L), ("fit", 25L, 16L)) // N = 23*103 + 31 = 2400
+    val deg = Seq(("deg", 1L, 1L), ("deg", 2L, 1L), ("deg", 3L, 1L))
+    val ab = (fit ++ deg).toDF("n_name", "taxon", "cnt")
+    val got = Relational.fisherAlphaFromCounts(ab).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val f = got("fit")
+    assert(f.getLong(1) == 25L && f.getLong(2) == 2400L)
+    val alpha = f.getDouble(4)
+    assert(math.abs(25.0 - alpha * math.log1p(2400.0 / alpha)) < 1e-3,
+      s"defining equation violated at alpha=$alpha")
+    val x = f.getDouble(5)
+    assert(math.abs(x - 2400.0 / (2400.0 + alpha)) < 1e-5, f.toString)
+    assert(math.abs(f.getDouble(6) - alpha * x) < 1e-4, f.toString)
+    val d = got("deg")
+    assert(d.isNullAt(4) && d.isNullAt(5) && d.isNullAt(6), d.toString)
+    // sf corpus: α finite and positive everywhere, defining equation
+    // holds on every group to the same tolerance
+    val sf = Relational.q59FisherAlpha(spark, sfDir).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { r =>
+      val a = r.getDouble(4)
+      val s = r.getLong(1).toDouble
+      assert(a > 0.0 &&
+        math.abs(s - a * math.log1p(r.getLong(2).toDouble / a)) < 1e-3,
+        r.toString)
+    }
+  }
 }
