@@ -261,6 +261,8 @@ object SparkEntry {
     "e23_cms_heavy_hitters" -> (Events.cmsHeavyHitters _),
     "e24_cusum_drift" -> (Events.cusumDrift _),
     "e25_seasonal_naive" -> (Events.seasonalNaive _),
+    "e26_attribution" -> (Events.attribution _),
+    "e27_ewma" -> (Events.ewma _),
     "e17_daily_topk" -> ((s: SparkSession, d: String) => Events.dailyTopk(s, d)),
     "q34_unpivot" -> (Relational.q34Unpivot _),
     "q35_histogram" -> ((s: SparkSession, d: String) => Relational.q35Histogram(s, d)),
@@ -1139,6 +1141,8 @@ object SparkEntry {
     "e23_cms_heavy_hitters" -> graft.operators.Events.e23OracleSql,
     "e24_cusum_drift" -> graft.operators.Events.e24OracleSql,
     "e25_seasonal_naive" -> graft.operators.Events.e25OracleSql,
+    "e26_attribution" -> graft.operators.Events.e26OracleSql,
+    "e27_ewma" -> graft.operators.Events.e27OracleSql,
     "x13_snapshot_diff" -> graft.sources.Ingest.x13OracleSql,
     "m1_multimodal_meta" -> """
       SELECT doc_id,

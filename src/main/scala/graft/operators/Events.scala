@@ -1546,4 +1546,230 @@ object Events {
         round(CAST(any_value(w.ape) AS DOUBLE), 6) AS max_ape
       FROM j JOIN w ON j.event_type = w.event_type AND w.rn = 1
       GROUP BY j.event_type ORDER BY j.event_type"""
+
+  /** Attribution lookback in days — touches older than this before a
+    * conversion get no credit (the marketing-analytics convention). */
+  final val AttributionLookbackDays = 3
+
+  /** e26: FIRST/LAST-TOUCH ATTRIBUTION — for every conversion
+    * (purchase), the earliest and latest marketing touch (click or
+    * view) by the same user within the [[AttributionLookbackDays]]
+    * lookback, plus the touch count: the two classic single-touch
+    * attribution models plus the input to any multi-touch weighting,
+    * in ONE pass. The product-analytics sibling of [[asofJoin]] (which
+    * is last-touch only, unbounded lookback).
+    *
+    * Shape: touches are first reduced to one row per (user, µs)
+    * (max_by event_id — [[asofJoin]]'s tie law), then touches and
+    * purchases ride ONE union frame ordered by the UNIQUE key
+    * k = 2·µs + side; a RANGE window [-(2·lookback_µs + 1), 0]
+    * implements "touch.ts ∈ [purchase.ts − lookback, purchase.ts]"
+    * exactly (the +1 half-step makes the ≥ bound inclusive across the
+    * side bit). first/last(ignoreNulls) over touch-only CASE columns
+    * are deterministic because touch keys are unique per user;
+    * purchases sharing a µs see identical frames. NEVER a self-join
+    * of the fact table.
+    *
+    * Scale: one shuffle+sort on user_id; window state is
+    * lookback-bounded. 100 TB: the frame holds only the lookback's
+    * touches per user — constant for bounded human activity; a bot
+    * user's giant frame degrades that one partition only (the skew
+    * note d2 carries). */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables.load(spark, dir, "events"))
+
+  def attribution(events: DataFrame): DataFrame = {
+    val lookbackUs = AttributionLookbackDays.toLong * 86400L * 1000000L
+    val touches = events
+      .filter(col("event_type") === "click" || col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("tid"),
+        max_by(col("event_type"), col("event_id")).as("ttype"))
+      .select(col("user_id"), (unix_micros(col("ts")) * 2).as("k"),
+        lit(0).as("side"), col("tid"), col("ttype"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (unix_micros(col("ts")) * 2 + 1).as("k"),
+        lit(1).as("side"), lit(null).cast("long").as("tid"),
+        lit(null).cast("string").as("ttype"),
+        col("event_id").as("purchase_id"))
+    val w = Window.partitionBy("user_id").orderBy("k")
+      .rangeBetween(-(2L * lookbackUs + 1L), 0L)
+    val tCase = when(col("side") === 0, col("tid"))
+    val tyCase = when(col("side") === 0, col("ttype"))
+    touches.unionByName(purchases)
+      .withColumn("first_tid", first(tCase, ignoreNulls = true).over(w))
+      .withColumn("first_type", first(tyCase, ignoreNulls = true).over(w))
+      .withColumn("last_tid", last(tCase, ignoreNulls = true).over(w))
+      .withColumn("last_type", last(tyCase, ignoreNulls = true).over(w))
+      .withColumn("n_touches",
+        sum(when(col("side") === 0, 1L).otherwise(0L)).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("purchase_id"), col("first_tid"),
+        col("first_type"), col("last_tid"), col("last_type"),
+        col("n_touches"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** DuckDB oracle for [[attribution]] — the identical union frame,
+    * unique key, and range window. */
+  def e26OracleSql: String = {
+    val lb = 2L * AttributionLookbackDays.toLong * 86400000000L + 1L
+    s"""
+      WITH touches AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) * 2 AS k,
+          0 AS side, max(event_id) AS tid,
+          max_by(event_type, event_id) AS ttype,
+          CAST(NULL AS BIGINT) AS purchase_id
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1, 2),
+      purchases AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) * 2 + 1 AS k,
+          1 AS side, CAST(NULL AS BIGINT) AS tid,
+          CAST(NULL AS VARCHAR) AS ttype, event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'),
+      u AS (SELECT * FROM touches UNION ALL SELECT * FROM purchases),
+      att AS (
+        SELECT user_id, side, purchase_id,
+          first_value(CASE WHEN side = 0 THEN tid END IGNORE NULLS)
+            OVER w AS first_tid,
+          first_value(CASE WHEN side = 0 THEN ttype END IGNORE NULLS)
+            OVER w AS first_type,
+          last_value(CASE WHEN side = 0 THEN tid END IGNORE NULLS)
+            OVER w AS last_tid,
+          last_value(CASE WHEN side = 0 THEN ttype END IGNORE NULLS)
+            OVER w AS last_type,
+          sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER w AS n_touches
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY k
+          RANGE BETWEEN $lb PRECEDING AND CURRENT ROW))
+      SELECT user_id, purchase_id, first_tid, first_type, last_tid,
+        last_type, CAST(coalesce(n_touches, 0) AS BIGINT) AS n_touches
+      FROM att WHERE side = 1
+      ORDER BY user_id, purchase_id"""
+  }
+
+  /** EWMA truncation window (days) and per-day decay for [[ewma]]. */
+  final val EwmaWindowDays = 14
+  final val EwmaDecay = "0.7" // exact decimal literal, NOT a double
+
+  /** e27: EWMA LEVEL + DEVIATION ALARM — the exponentially-weighted
+    * daily-rate monitor between e10's fixed-window z-score and e24's
+    * cumulative CUSUM: level_d = Σ_j w_j·x_{d−j} / Σ_j w_j over the
+    * last [[EwmaWindowDays]] calendar days with w_j = decay^j (the
+    * normalizing denominator makes the leading edge unbiased, and the
+    * α factor of the classic recurrence cancels). A day alarms when
+    * |cnt − level_{d−1}| > 3·√level_{d−1} (Poisson-scale deviation
+    * from yesterday's level).
+    *
+    * Determinism: the calendar is zero-filled per type (gap days are
+    * real zero-rate days, not absent rows — q39's repair is upstream
+    * for sparse feeds), so lag-j IS day-j; the weights ride as the
+    * EXACT integers w_j·10^13 = 7^j·10^(13−j) (0.7^j terminates at 13
+    * decimal digits — no libm pow, whose rounding differs across
+    * engines; the 10^13 scale cancels in num/den), so the whole
+    * ladder is exact integer arithmetic; ONE double division per day,
+    * round-6; the alarm rides √ (IEEE correctly-rounded,
+    * engine-identical) of the round-6 grid.
+    *
+    * Scale: one fact-scale count aggregate; the calendar frame is
+    * (types × days)-bounded; the lag ladder is one window sort per
+    * type. */
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewma(Tables.load(spark, dir, "events"))
+
+  def ewma(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val cal = span.select(col("event_type"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    // weights scaled to EXACT integers w_j·10^13 = 7^j·10^(13−j): the
+    // 10^13 factor cancels in num/den, and the whole ladder stays in
+    // DECIMAL(38,0) integer arithmetic — a fractional-decimal add
+    // chain would blow precision 38 and silently erode the scale
+    // (Spark's allowPrecisionLoss), which is exactly the drift this
+    // operator must not have
+    val weights = (0 until EwmaWindowDays).map(j =>
+      new java.math.BigDecimal(EwmaDecay).pow(j)
+        .movePointRight(13).toBigIntegerExact)
+    val num = weights.zipWithIndex.map { case (wj, j) =>
+      coalesce(lag(col("cnt"), j).over(w).cast("decimal(24,0)")
+        * lit(new java.math.BigDecimal(wj)),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+    }.reduce(_ + _)
+    val den = weights.zipWithIndex.map { case (wj, j) =>
+      when(lag(col("cnt"), j).over(w).isNotNull,
+        lit(new java.math.BigDecimal(wj)))
+        .otherwise(lit(java.math.BigDecimal.ZERO)).cast("decimal(38,0)")
+    }.reduce(_ + _)
+    val leveled = filled
+      .withColumn("level",
+        round(num.cast("double") / den.cast("double"), 6))
+      .withColumn("prev_level", lag(col("level"), 1).over(w))
+    leveled
+      .withColumn("dev", graft.GraftFunctions.roundz(
+        col("cnt").cast("double") - col("prev_level"), 6))
+      // coalesce: the first day has no baseline — "no alarm", not
+      // NULL (a nullable boolean round-trips as None vs NaN across
+      // the two engines' parquet/pandas paths)
+      .withColumn("alarm", coalesce(
+        abs(col("dev")) > lit(3.0) * sqrt(col("prev_level")), lit(false)))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"), col("level"), col("dev"), col("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB oracle for [[ewma]] — identical zero-filled calendar,
+    * exact-decimal weight ladder, and round-6 level grid. */
+  def e27OracleSql: String = {
+    val weights = (0 until EwmaWindowDays).map(j =>
+      new java.math.BigDecimal(EwmaDecay).pow(j)
+        .movePointRight(13).toBigIntegerExact.toString)
+    val num = weights.zipWithIndex.map { case (wj, j) =>
+      s"coalesce(CAST(lag(cnt, $j) OVER w AS HUGEINT) * $wj, 0)"
+    }.mkString(" + ")
+    val den = weights.zipWithIndex.map { case (wj, j) =>
+      s"CAST(CASE WHEN lag(cnt, $j) OVER w IS NOT NULL THEN $wj" +
+        s" ELSE 0 END AS HUGEINT)"
+    }.mkString(" + ")
+    s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+      cal AS (
+        SELECT event_type,
+          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM span),
+      filled AS (
+        SELECT cal.event_type, cal.day, coalesce(daily.cnt, 0) AS cnt
+        FROM cal LEFT JOIN daily
+          ON cal.event_type = daily.event_type AND cal.day = daily.day),
+      lv AS (
+        SELECT event_type, day, cnt,
+          round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS level
+        FROM filled
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      pv AS (
+        SELECT event_type, day, cnt, level,
+          lag(level, 1) OVER (PARTITION BY event_type ORDER BY day)
+            AS prev_level
+        FROM lv)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        CAST(cnt AS BIGINT) AS cnt, level,
+        (round(CAST(cnt AS DOUBLE) - prev_level, 6) + 0.0) AS dev,
+        coalesce(abs(round(CAST(cnt AS DOUBLE) - prev_level, 6) + 0.0)
+          > 3.0 * sqrt(prev_level), FALSE) AS alarm
+      FROM pv ORDER BY event_type, day"""
+  }
 }

@@ -1426,4 +1426,93 @@ class PipelineOpsSpec extends SparkSpec {
         r.toString)
     }
   }
+
+  test("attribution: first/last touch split, inclusive lookback " +
+       "boundary, post-purchase and stale touches excluded") {
+    import spark.implicits._
+    import graft.operators.Events
+    val hourUs = 3600L * 1000000L
+    val dayUs = 24L * hourUs
+    def ts(us: Long) = { val t = new java.sql.Timestamp(0L); t.setTime(us / 1000L); t }
+    val base = 10L * dayUs
+    val rows = Seq(
+      // user 1: view then click then purchase — first=view, last=click
+      (101L, ts(base), 1L, "view", 0.0, "{}"),
+      (102L, ts(base + hourUs), 1L, "click", 0.0, "{}"),
+      (103L, ts(base + 2 * hourUs), 1L, "purchase", 5.0, "{}"),
+      // user 2: click 4 days before purchase — outside the 3-day
+      // lookback, no credit
+      (201L, ts(base), 2L, "click", 0.0, "{}"),
+      (202L, ts(base + 4 * dayUs), 2L, "purchase", 5.0, "{}"),
+      // user 3: one touch EXACTLY lookback days before, one at the
+      // purchase µs — both inclusive
+      (301L, ts(base), 3L, "click", 0.0, "{}"),
+      (302L, ts(base + 3 * dayUs), 3L, "view", 0.0, "{}"),
+      (303L, ts(base + 3 * dayUs), 3L, "purchase", 5.0, "{}"),
+      // user 4: touch AFTER the purchase — no credit
+      (401L, ts(base + hourUs), 4L, "purchase", 5.0, "{}"),
+      (402L, ts(base + 2 * hourUs), 4L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.attribution(rows).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)).map(_.toString),
+        Option(r.getString(3)), Option(r.get(4)).map(_.toString),
+        Option(r.getString(5)), r.getLong(6)))).toMap
+    assert(got(1L) == ((Some("101"), Some("view"), Some("102"),
+      Some("click"), 2L)), got(1L).toString)
+    assert(got(2L) == ((None, None, None, None, 0L)), got(2L).toString)
+    assert(got(3L) == ((Some("301"), Some("click"), Some("302"),
+      Some("view"), 2L)), got(3L).toString)
+    assert(got(4L) == ((None, None, None, None, 0L)), got(4L).toString)
+    // sf corpus: every purchase appears exactly once; touch ids when
+    // present are real click/view event ids
+    val ev = Tables.load(spark, sfDir, "events")
+    val sf = Events.attribution(spark, sfDir)
+    assert(sf.count() ==
+      ev.filter(col("event_type") === "purchase").count())
+    val touchIds = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(sf.filter(col("first_tid").isNotNull).select(col("first_tid"))
+      .as[Long].collect().forall(touchIds.contains))
+  }
+
+  test("EWMA: flat series holds the level exactly with no alarms; a " +
+       "spike and a zero-filled gap day both alarm") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dayUs = 86400L * 1000000L
+    def mkEvents(series: Seq[(String, Int, Int)]) = {
+      val rows = for {
+        ((tp, d, cnt), gi) <- series.zipWithIndex
+        i <- 0 until cnt
+      } yield {
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        ((gi * 1000 + i).toLong, t, 1L, tp, 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    // flat: the normalized weight ladder reproduces 10.0 EXACTLY
+    // (num = 10·Σw, den = Σw) on every day including the ramp-in
+    val flat = (0 until 20).map(d => ("flat", d, 10))
+    // spike: day 10 jumps to 100 — dev = 90 > 3√10
+    val spike = (0 until 10).map(d => ("spike", d, 10)) :+ (("spike", 10, 100))
+    // gap: day 5 has NO events — the calendar fill makes it a real
+    // zero day and |0 − 10| = 10 > 3√10 ≈ 9.49 alarms
+    val gap = (0 until 11).filter(_ != 5).map(d => ("gap", d, 10))
+    val got = Events.ewma(mkEvents(flat ++ spike ++ gap)).collect()
+    val byType = got.groupBy(_.getString(0))
+    byType("flat").foreach { r =>
+      assert(r.getDouble(3) == 10.0, s"flat level drifted: $r")
+      assert(!r.getBoolean(5), s"flat alarmed: $r") }
+    val spikeDay = byType("spike").find(_.getString(1) == "1970-01-11").get
+    assert(spikeDay.getLong(2) == 100L && spikeDay.getDouble(4) == 90.0
+      && spikeDay.getBoolean(5), spikeDay.toString)
+    val gapDay = byType("gap").find(_.getString(1) == "1970-01-06").get
+    assert(gapDay.getLong(2) == 0L && gapDay.getDouble(4) == -10.0
+      && gapDay.getBoolean(5), gapDay.toString)
+    // the day after the gap sees a lowered level, not a broken ladder
+    val after = byType("gap").find(_.getString(1) == "1970-01-07").get
+    assert(after.getDouble(3) < 10.0 && after.getDouble(3) > 5.0,
+      after.toString)
+  }
 }
