@@ -270,6 +270,8 @@ object SparkEntry {
     "t9_split" -> (TextOps.split3 _),
     "t10_term_freq" -> ((s: SparkSession, d: String) => TextOps.termFreq(s, d)),
     "t35_good_turing" -> ((s: SparkSession, d: String) => TextOps.goodTuring(s, d)),
+    "t36_fertility" -> ((s: SparkSession, d: String) => TextOps.fertility(s, d)),
+    "t37_char_entropy" -> ((s: SparkSession, d: String) => TextOps.charEntropy(s, d)),
     "t11_sample_weights" -> (TextOps.sampleWeights _),
     "t12_boilerplate" -> (TextOps.boilerplate _),
     "t13_chunking" -> (TextOps.chunking _),
@@ -753,6 +755,8 @@ object SparkEntry {
     "t9_split" -> TextOps.split3OracleSql,
     "t10_term_freq" -> TextOps.termFreqOracleSql(),
     "t35_good_turing" -> TextOps.t35OracleSql,
+    "t36_fertility" -> TextOps.t36OracleSql,
+    "t37_char_entropy" -> TextOps.t37OracleSql,
     "t11_sample_weights" -> TextOps.t11OracleSql,
     "t12_boilerplate" -> TextOps.t12OracleSql,
     "t13_chunking" -> TextOps.t13OracleSql(),

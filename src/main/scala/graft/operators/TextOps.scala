@@ -2509,4 +2509,142 @@ object TextOps {
         round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
           AS coverage
       FROM agg ORDER BY source"""
+
+  /** t36: TOKENIZER FERTILITY / COMPRESSION per language — the
+    * multilingual-pipeline dial "how many subword pieces does this
+    * tokenizer spend per word, and how many bytes ride in each
+    * piece?" (fertility ≈ 1 for a well-fit language; ≫ 1 signals the
+    * tokenizer fragments it, so the language pays more sequence
+    * length per content — the standard argument for vocabulary
+    * rebalancing). Pieces use t3's BPE-ish lexer; words are the
+    * whitespace stream; bytes are octets.
+    *
+    * Determinism: all sums are exact integers; each output ratio is
+    * ONE double division, round-6.
+    *
+    * Scale shape: one projection + one (lang)-keyed aggregate with
+    * map-side combine — the per-doc counting happens before the
+    * shuffle, so the exchange carries one row per language per
+    * partition. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    fertility(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def fertility(docs: DataFrame): DataFrame = {
+    docs.select(col("lang"),
+        size(words(col("text"))).cast("long").as("nw"),
+        regexp_count(col("text"), lit("[a-z]{1,4}")).cast("long").as("np"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("np")).as("n_pieces"), sum(col("nb")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_pieces"), col("n_bytes"),
+        round(col("n_pieces").cast("double")
+          / col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_bytes").cast("double")
+          / col("n_pieces").cast("double"), 6).as("bytes_per_piece"),
+        round(col("n_words").cast("double")
+          / col("n_docs").cast("double"), 6).as("words_per_doc"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle for [[fertility]] — identical integer panels and
+    * single-division ratios. */
+  def t36OracleSql: String = """
+      WITH per_doc AS (
+        SELECT lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+          CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT)
+            AS np,
+          CAST(strlen(text) AS BIGINT) AS nb
+        FROM documents),
+      agg AS (
+        SELECT lang, count(*) AS n_docs, sum(nw) AS n_words,
+          sum(np) AS n_pieces, sum(nb) AS n_bytes
+        FROM per_doc GROUP BY 1)
+      SELECT lang, n_docs, CAST(n_words AS BIGINT) AS n_words,
+        CAST(n_pieces AS BIGINT) AS n_pieces,
+        CAST(n_bytes AS BIGINT) AS n_bytes,
+        round(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+          AS fertility,
+        round(CAST(n_bytes AS DOUBLE) / CAST(n_pieces AS DOUBLE), 6)
+          AS bytes_per_piece,
+        round(CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+          AS words_per_doc
+      FROM agg ORDER BY lang"""
+
+  /** The character-entropy junk threshold (bits-e, i.e. nats): real
+    * prose over a ~27-symbol alphabet runs ≈ 2.8–3.1 nats; repeated
+    * filler and single-char spam fall well under 2. */
+  final val CharEntropyJunkNats = 2.0
+
+  /** t37: CHARACTER-ENTROPY JUNK SCORE per document — the cheapest
+    * content-quality signal in the stack: Shannon entropy of the
+    * character distribution over the fixed bins {a..z, space, other}.
+    * Keyboard-mash, repeated-filler, and truncated-binary documents
+    * collapse to low entropy long before a language model sees them;
+    * the t2/t22 quality screens read this as one more column.
+    *
+    * Shape: a PURE per-row projection — each bin count is
+    * length − length(replace(text, ch)) (no explode: a (doc, char)
+    * exchange would ship every byte of a 100 TB corpus through a
+    * shuffle for a statistic each row already holds); the entropy is
+    * a FIXED-ORDER in-row chain (a…z, space, other) of one-division
+    * p·ln p terms, so the IEEE sequence is identical in both engines
+    * (q57's in-row fold discipline). Zero shuffle, zero state.
+    *
+    * Literal replace targets, not regex — nothing here can collide
+    * with a regex metacharacter. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropy(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val bins: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+    val counts = bins.map(ch =>
+      (length(col("text")) - length(expr(
+        s"replace(text, '$ch', '')"))).cast("long"))
+    val known = counts.reduce(_ + _)
+    val withBins = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_total"),
+      (length(col("text")).cast("long") - known).as("n_other"),
+      struct(counts.zipWithIndex.map { case (c, i) =>
+        c.as(s"b$i") }: _*).as("bc"))
+    val total = col("n_total").cast("double")
+    def term(cnt: Column): Column = when(cnt > 0,
+      -(cnt.cast("double") / total) * log(cnt.cast("double") / total))
+      .otherwise(lit(0.0))
+    val entropy = (0 until bins.size)
+      .map(i => term(col(s"bc.b$i")))
+      .reduce(_ + _) + term(col("n_other"))
+    withBins
+      .select(col("doc_id"), col("n_total"), col("n_other"),
+        round(entropy, 6).as("entropy"))
+      .withColumn("low_entropy", col("entropy") < CharEntropyJunkNats)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[charEntropy]] — the identical fixed-order
+    * bin chain. */
+  def t37OracleSql: String = {
+    val bins: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+    val cnts = bins.zipWithIndex.map { case (ch, i) =>
+      s"CAST(length(text) - length(replace(text, '$ch', '')) AS BIGINT) AS b$i"
+    }.mkString(",\n          ")
+    val known = bins.indices.map(i => s"b$i").mkString(" + ")
+    def term(c: String) =
+      s"CASE WHEN $c > 0 THEN -(CAST($c AS DOUBLE) / CAST(n_total AS DOUBLE)) * ln(CAST($c AS DOUBLE) / CAST(n_total AS DOUBLE)) ELSE 0.0 END"
+    val entropy = (bins.indices.map(i => term(s"b$i")) :+ term("n_other"))
+      .mkString(" + ")
+    s"""
+      WITH bc AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_total,
+          $cnts
+        FROM documents),
+      wo AS (
+        SELECT *, n_total - ($known) AS n_other FROM bc)
+      SELECT doc_id, n_total, CAST(n_other AS BIGINT) AS n_other,
+        round($entropy, 6) AS entropy,
+        round($entropy, 6) < $CharEntropyJunkNats AS low_entropy
+      FROM wo ORDER BY doc_id"""
+  }
 }

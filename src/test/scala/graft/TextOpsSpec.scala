@@ -855,4 +855,50 @@ class TextOpsSpec extends SparkSpec {
     assert(sf.getDouble(4) <= sf.getLong(2).toDouble,
       s"K above the total vocabulary: $sf")
   }
+
+  test("fertility: short-word language at 1 piece/word, long-word " +
+       "language fragments, exact byte panel") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab cd", "xx", "s0", 5L),       // 2 words, 2 pieces, 5 bytes
+      (2L, "abcdefgh", "yy", "s0", 8L),    // 1 word, 2 pieces (4+4)
+      (3L, "abcd efgh", "xx", "s0", 9L))   // 2 words, 2 pieces
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.fertility(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got("xx") == ((2L, 4L, 4L, 14L, 1.0, 3.5)), got("xx").toString)
+    assert(got("yy") == ((1L, 1L, 2L, 8L, 2.0, 4.0)), got("yy").toString)
+    // sf corpus: fertility ≥ 1 for every language of 1–4-char-piece
+    // lexing, bytes_per_piece bounded by the piece length cap + slack
+    val sfRows = TextOps.fertility(spark, sfDir).collect()
+    assert(sfRows.nonEmpty && sfRows.forall(r =>
+      r.getDouble(5) >= 1.0 && r.getDouble(6) > 0.0), sfRows.mkString(";"))
+  }
+
+  test("char entropy: zero on constant text, exact ln2/ln4 on uniform " +
+       "panels, other-bin counted, prose scores high") {
+    import spark.implicits._
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val docs = Seq(
+      (1L, "aaaa", "en", "s0", 4L),
+      (2L, "abab", "en", "s0", 4L),   // two bins, ln 2
+      (3L, "a!a!", "en", "s0", 4L),   // a + other, ln 2
+      (4L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((4L, 0L, 0.0, true)), got(1L).toString)
+    assert(got(2L) == ((4L, 0L, r6(math.log(2.0)), true)), got(2L).toString)
+    assert(got(3L) == ((4L, 2L, r6(math.log(2.0)), true)), got(3L).toString)
+    assert(got(4L)._3 > TextOps.CharEntropyJunkNats && !got(4L)._4,
+      got(4L).toString)
+    // sf corpus: entropies live in [0, ln 28]
+    val sfRows = TextOps.charEntropy(spark, sfDir).collect()
+    assert(sfRows.nonEmpty && sfRows.forall { r =>
+      val h = r.getDouble(3)
+      h >= 0.0 && h <= math.log(28.0) + 1e-9 }, "entropy out of range")
+  }
 }
