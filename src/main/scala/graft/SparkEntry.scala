@@ -159,6 +159,7 @@ object SparkEntry {
     "g18_modularity" ->
       ((s: SparkSession, d: String) => Graph.g18Modularity(s, d)),
     "g19_scc" -> ((s: SparkSession, d: String) => Graph.g19Scc(s, d)),
+    "g20_condensation" -> (Graph.g20Condensation _),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -1129,6 +1130,7 @@ object SparkEntry {
     "g17_link_predict" -> graft.operators.Graph.g17OracleSql,
     "g18_modularity" -> graft.operators.Graph.g18OracleSql(),
     "g19_scc" -> graft.operators.Graph.g19OracleSql,
+    "g20_condensation" -> graft.operators.Graph.g20OracleSql,
     "t29_zipf" -> graft.operators.TextOps.t29OracleSql,
     "e21_watermark_audit" -> graft.operators.Events.e21OracleSql,
     "x11_zorder_export" -> graft.sources.Export.x11OracleSql,

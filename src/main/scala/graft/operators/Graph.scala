@@ -2682,6 +2682,18 @@ object Graph {
 
   private def sccCore(nodes0: DataFrame, edges0: DataFrame,
       maxRounds: Long, tag: String): DataFrame = {
+    val labels = sccLabelsCore(nodes0, edges0, maxRounds, tag)
+    labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"),
+        max(col("v")).as("max_doc"))
+      .orderBy("component")
+  }
+
+  /** The per-node (v, component) SCC assignment behind [[sccCore]] —
+    * split out so [[g20Condensation]] contracts the SAME peel instead
+    * of re-running it. */
+  private def sccLabelsCore(nodes0: DataFrame, edges0: DataFrame,
+      maxRounds: Long, tag: String): DataFrame = {
     var remaining = graft.Ckpt(nodes0.select(col("v")))
     var edges = graft.Ckpt(edges0.select(col("src"), col("dst")))
     var nLeft = remaining.count()
@@ -2737,15 +2749,8 @@ object Graph {
     FixpointSteps.put(tag, innerSteps)
     FixpointSteps.put(tag + "_rounds", rounds)
     if (assigned == null)
-      return nodes0.sparkSession.emptyDataFrame
-        .withColumn("component", lit(0L))
-        .withColumn("n_members", lit(0L))
-        .withColumn("min_doc", lit(0L))
-        .withColumn("max_doc", lit(0L))
-    assigned.groupBy(col("component"))
-      .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_doc"),
-        max(col("v")).as("max_doc"))
-      .orderBy("component")
+      nodes0.select(col("v"), col("v").as("component")).limit(0)
+    else assigned
   }
 
   /** DuckDB oracle for [[g19Scc]] — full transitive closure of the
@@ -2777,4 +2782,154 @@ object Graph {
       SELECT component, count(*) AS n_members,
         min(v) AS min_doc, max(v) AS max_doc
       FROM scc GROUP BY component ORDER BY component"""
+
+  /** g20: CONDENSATION DAG LAYERS — contract [[g19Scc]]'s components
+    * and assign every SCC its LONGEST-PATH-FROM-A-SOURCE level in the
+    * (provably acyclic) condensation: the bow-tie "IN → core → OUT"
+    * coordinate a link-graph pipeline actually consumes (level 0 =
+    * pure upstream; the giant SCC sits mid-ladder; deep levels =
+    * terminal sinks). Output is one row per level with the SCC/node
+    * census.
+    *
+    * Shape: SCC labels ride [[sccLabelsCore]] (the SAME peel as g19 —
+    * one machine, two consumers); condensation edges are one
+    * label-join + distinct of the edge list; the level ladder is the
+    * standard monotone fixpoint lvl(c) = max(lvl(c), 1 + max over
+    * predecessors), which converges in ≤ condensation-depth steps
+    * (after k steps every SCC of depth ≤ k is final). The exact-sum
+    * probe certifies the fixpoint (levels are monotone non-decreasing
+    * integers bounded by C − 1); the loud cap is C + 1 steps — past
+    * that is a genuine bug (a cycle in the "DAG" = a broken SCC
+    * contraction).
+    *
+    * Scale: per step ONE condensation-edge-scale join against the
+    * level frame; the condensation of a 100 TB web graph is itself
+    * edge-scale in the worst case (all-singleton SCCs) — the ladder
+    * stays distributed, nothing collects. */
+  def g20Condensation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val spine = docs.select(col("doc_id"))
+    val h = spine.agg(count(lit(1)), min(col("doc_id")),
+      max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(n > 0, "g20 needs a non-empty documents frame")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g20 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    val edges = syntheticFwd(spine, n).select(col("src"), col("dst"))
+    condensationCore(spine.select(col("doc_id").as("v")), edges,
+      "g20_condensation")
+  }
+
+  /** General condensation entry — explicit DIRECTED (src, dst) edges,
+    * sparse 64-bit ids (g19SccEdges' contract). */
+  def g20CondensationEdges(edges0: DataFrame,
+      tag: String = "g20_edges"): DataFrame = {
+    val edges = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .distinct()
+    condensationCore(nodes, edges, tag)
+  }
+
+  private def condensationCore(nodes: DataFrame, edges: DataFrame,
+      tag: String): DataFrame = {
+    val labels = graft.Ckpt(
+      sccLabelsCore(nodes, edges, Long.MaxValue, tag + "_scc"))
+    val cedges = graft.Ckpt(edges
+      .join(labels.select(col("v").as("src"), col("component").as("csrc")),
+        "src")
+      .join(labels.select(col("v").as("dst"), col("component").as("cdst")),
+        "dst")
+      .filter(col("csrc") =!= col("cdst"))
+      .select(col("csrc"), col("cdst"))
+      .distinct())
+    val cnodes = graft.Ckpt(labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members")))
+    val nC = cnodes.count()
+    def tot(df: DataFrame): java.math.BigDecimal = df
+      .agg(coalesce(sum(col("lvl").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var lvl = graft.Ckpt(cnodes.select(col("component").as("c"),
+      lit(0L).as("lvl")))
+    var curTot = tot(lvl)
+    var steps = 0L
+    var converged = nC == 0L
+    while (!converged) {
+      val k = math.min(CkptEvery.toLong, nC + 1 - steps)
+      require(k > 0,
+        s"condensation levels not converged after $steps steps on " +
+          s"$nC SCCs ($tag) — the contraction left a cycle")
+      var nxt = lvl
+      for (_ <- 1L to k) {
+        val fromPreds = cedges
+          .join(nxt.select(col("c").as("csrc"), col("lvl").as("plvl")),
+            "csrc")
+          .groupBy(col("cdst"))
+          .agg((max(col("plvl")) + 1L).as("cand"))
+          .select(col("cdst").as("c"), col("cand"))
+        nxt = nxt.join(fromPreds, Seq("c"), "left")
+          .select(col("c"),
+            greatest(col("lvl"), coalesce(col("cand"), lit(0L))).as("lvl"))
+      }
+      steps += k
+      val nm = graft.Ckpt(nxt)
+      val nmTot = tot(nm)
+      converged = nmTot.compareTo(curTot) == 0
+      lvl = nm
+      curTot = nmTot
+    }
+    FixpointSteps.put(tag, steps)
+    lvl.join(cnodes, col("c") === col("component"))
+      .groupBy(col("lvl").as("level"))
+      .agg(count(lit(1)).as("n_sccs"), sum(col("n_members")).as("n_nodes"),
+        min(col("c")).as("min_comp"), max(col("c")).as("max_comp"))
+      .orderBy("level")
+  }
+
+  /** DuckDB oracle for [[g20Condensation]] — g19's transitive-closure
+    * SCC labels, contracted edges, and the longest-path level via a
+    * deduplicating recursive walk from the sources (the condensation
+    * is a DAG, so the walk terminates; UNION bounds rows by
+    * SCCs × depth). */
+  def g20OracleSql: String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      reach AS (
+        SELECT src AS a, dst AS b FROM fwd
+        UNION
+        SELECT r.a, f.dst FROM reach r JOIN fwd f ON r.b = f.src),
+      mut AS (
+        SELECT r1.a AS v, min(r1.b) AS mn
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        GROUP BY r1.a),
+      labels AS MATERIALIZED (
+        SELECT doc_id AS v, coalesce(mn, doc_id) AS component
+        FROM documents LEFT JOIN mut ON mut.v = doc_id),
+      cedges AS MATERIALIZED (
+        SELECT DISTINCT l1.component AS csrc, l2.component AS cdst
+        FROM fwd
+        JOIN labels l1 ON fwd.src = l1.v
+        JOIN labels l2 ON fwd.dst = l2.v
+        WHERE l1.component <> l2.component),
+      comps AS MATERIALIZED (
+        SELECT component, count(*) AS n_members FROM labels GROUP BY 1),
+      lp AS (
+        SELECT component AS c, 0 AS lvl FROM comps
+        WHERE component NOT IN (SELECT cdst FROM cedges)
+        UNION
+        SELECT cdst, lvl + 1 FROM lp JOIN cedges ON lp.c = cedges.csrc),
+      lev AS (SELECT c, max(lvl) AS level FROM lp GROUP BY 1)
+      SELECT CAST(level AS BIGINT) AS level, count(*) AS n_sccs,
+        CAST(sum(n_members) AS BIGINT) AS n_nodes,
+        min(c) AS min_comp, max(c) AS max_comp
+      FROM lev JOIN comps ON c = component
+      GROUP BY 1 ORDER BY 1"""
 }

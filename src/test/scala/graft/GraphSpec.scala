@@ -1030,4 +1030,36 @@ class GraphSpec extends SparkSpec {
     assert(sf.map(_.getLong(1)).sum == nDocs,
       s"SCCs don't partition the $nDocs nodes: ${sf.mkString(";")}")
   }
+
+  test("g20 condensation: bow-tie layers in order, LONGEST-path level " +
+       "at a confluence, cycle collapses to one level-0 row") {
+    import spark.implicits._
+    import graft.operators.Graph
+    def layers(edges: Seq[(Long, Long)]) =
+      Graph.g20CondensationEdges(edges.toDF("src", "dst"), tag = "g20_spec")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    // bow-tie: 10 → {0,1,2} cycle → 20 → 21: four layers, the 3-node
+    // core at level 1
+    val bow = Seq((10L, 0L), (0L, 1L), (1L, 2L), (2L, 0L), (2L, 20L),
+      (20L, 21L))
+    assert(layers(bow) == Seq(
+      (0L, 1L, 1L, 10L, 10L), (1L, 1L, 3L, 0L, 0L),
+      (2L, 1L, 1L, 20L, 20L), (3L, 1L, 1L, 21L, 21L)), s"bow-tie")
+    // confluence a→b→d plus c→d: d's level is the LONGEST path (2),
+    // not the shortest (1); a and c share level 0
+    val conf = Seq((1L, 2L), (2L, 4L), (3L, 4L))
+    assert(layers(conf) == Seq(
+      (0L, 2L, 2L, 1L, 3L), (1L, 1L, 1L, 2L, 2L), (2L, 1L, 1L, 4L, 4L)),
+      "confluence")
+    // pure cycle: the whole graph is one SCC at level 0
+    assert(layers(Seq((0L, 1L), (1L, 2L), (2L, 0L)))
+      == Seq((0L, 1L, 3L, 0L, 0L)), "cycle")
+    // sf corpus: levels partition all nodes and start at 0
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    val sf = Graph.g20Condensation(spark, sfDir).collect()
+    assert(sf.map(_.getLong(2)).sum == nDocs && sf.head.getLong(0) == 0L,
+      s"levels don't cover the $nDocs nodes: ${sf.mkString(";")}")
+  }
 }
