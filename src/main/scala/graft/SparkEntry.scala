@@ -160,6 +160,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Graph.g18Modularity(s, d)),
     "g19_scc" -> ((s: SparkSession, d: String) => Graph.g19Scc(s, d)),
     "g20_condensation" -> (Graph.g20Condensation _),
+    "g21_reciprocity" -> (Graph.g21Reciprocity _),
+    "g22_random_walks" -> (Graph.g22RandomWalks _),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -1131,6 +1133,8 @@ object SparkEntry {
     "g18_modularity" -> graft.operators.Graph.g18OracleSql(),
     "g19_scc" -> graft.operators.Graph.g19OracleSql,
     "g20_condensation" -> graft.operators.Graph.g20OracleSql,
+    "g21_reciprocity" -> graft.operators.Graph.g21OracleSql,
+    "g22_random_walks" -> graft.operators.Graph.g22OracleSql,
     "t29_zipf" -> graft.operators.TextOps.t29OracleSql,
     "e21_watermark_audit" -> graft.operators.Events.e21OracleSql,
     "x11_zorder_export" -> graft.sources.Export.x11OracleSql,

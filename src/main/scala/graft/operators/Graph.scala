@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -2932,4 +2933,199 @@ object Graph {
         min(c) AS min_comp, max(c) AS max_comp
       FROM lev JOIN comps ON c = component
       GROUP BY 1 ORDER BY 1"""
+
+  /** g21: RECIPROCITY + DYAD CENSUS of the directed link graph — the
+    * classic "is linking mutual or broadcast?" statistic (Wasserman &
+    * Faust's dyad census, restricted to the connected dyads): mutual
+    * pairs M (both directions present), asymmetric pairs A (exactly
+    * one), r = reciprocated-link fraction = 2M / (2M + A). High r on
+    * a citation graph flags ring-like mutual-citation structure —
+    * the directed sibling of g3's triangle screen.
+    *
+    * Shape: ONE edge-scale left-semi self-join of the distinct edge
+    * set against its own reversal (hash join on the composite key) +
+    * one aggregate. All integers; one round-6 division. */
+  def g21Reciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val spine = docs.select(col("doc_id"))
+    val h = spine.agg(count(lit(1)), min(col("doc_id")),
+      max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g21 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g21ReciprocityEdges(syntheticFwd(spine, n).select(col("src"), col("dst")))
+  }
+
+  /** General reciprocity entry — explicit DIRECTED (src, dst) edges,
+    * arbitrary 64-bit ids; self-loops dropped, parallel edges
+    * collapsed (the dyad census is about PAIRS). */
+  def g21ReciprocityEdges(edges0: DataFrame): DataFrame = {
+    val e = edges0
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val mutual = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast( // one-row frame (ContractSpec class)
+        mutual.agg(count(lit(1)).as("n_mutual_links"))))
+      .select(col("n_edges"), col("n_mutual_links"),
+        expr("n_mutual_links div 2").as("n_mutual_pairs"),
+        (col("n_edges") - col("n_mutual_links")).as("n_asym_pairs"),
+        round(col("n_mutual_links").cast("double")
+          / col("n_edges").cast("double"), 6).as("reciprocity"))
+  }
+
+  /** DuckDB oracle for [[g21Reciprocity]] — identical distinct edge
+    * set, reversal semi-join, and census arithmetic. */
+  def g21OracleSql: String = s"""
+      WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT DISTINCT src,
+          CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      ed AS (SELECT src, dst FROM fwd WHERE src <> dst),
+      mut AS (
+        SELECT count(*) AS n_mutual_links FROM ed
+        WHERE EXISTS (SELECT 1 FROM ed r
+                      WHERE r.src = ed.dst AND r.dst = ed.src)),
+      tot AS (SELECT count(*) AS n_edges FROM ed)
+      SELECT n_edges, n_mutual_links,
+        CAST(n_mutual_links / 2 AS BIGINT) AS n_mutual_pairs,
+        n_edges - n_mutual_links AS n_asym_pairs,
+        round(CAST(n_mutual_links AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+          AS reciprocity
+      FROM tot, mut"""
+
+  /** Walk length for [[g22RandomWalks]] — a CONTRACT constant (g1's
+    * class): the walk corpus is a training-data artifact whose length
+    * is a pipeline hyperparameter, not a convergence question. */
+  final val WalkLen = 8
+
+  /** g22: DETERMINISTIC RANDOM-WALK CORPUS — one [[WalkLen]]-step
+    * walk from every node, the input a node2vec/DeepWalk-class
+    * embedding trainer consumes (walks ARE the sentences). "Random"
+    * is the repo's Knuth hash of (current node, step): fully
+    * deterministic and engine-reproducible, the property a replayable
+    * pipeline needs from its walk generator (re-runs must emit the
+    * same corpus or downstream shard hashes churn).
+    *
+    * Step rule: from node v at step s, move to the h(v,s)-th
+    * out-neighbor in sorted-dst order (h mod out-degree); a dead-end
+    * absorbs (the walk stays — documented, matches the absorbing
+    * convention of PageRank's dangling mass). The synthetic corpus
+    * graph has no dead ends; the edges entry can.
+    *
+    * Shape: the adjacency (with per-neighbor rank and degree) is
+    * built ONCE, pinned partitioned by src; each of the [[WalkLen]]
+    * unrolled steps is ONE equi-join of the walker frame against it
+    * (walkers shuffle to the adjacency, never the reverse — g5's pin
+    * law). Path state is an in-row array (walker-scale, length ≤
+    * WalkLen+1). NO RNG anywhere.
+    *
+    * Scale: WalkLen joins of an n-walker frame against an edge-scale
+    * pinned adjacency — embarrassingly parallel, skew-free (every
+    * walker does O(1) work per step; a hub's in-walkers spread over
+    * its partition). */
+  def g22RandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val spine = docs.select(col("doc_id"))
+    val h = spine.agg(count(lit(1)), min(col("doc_id")),
+      max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g22 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g22RandomWalksEdges(syntheticFwd(spine, n).select(col("src"), col("dst")),
+      spine.select(col("doc_id").as("v")))
+  }
+
+  /** General walk entry — explicit DIRECTED (src, dst) edges; starts
+    * default to the distinct endpoint set. */
+  def g22RandomWalksEdges(edges0: DataFrame,
+      starts0: DataFrame = null): DataFrame = {
+    val e = edges0
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+    val starts =
+      if (starts0 != null) starts0.select(col("v").cast("long").as("v"))
+      else e.select(col("src").as("v"))
+        .unionByName(e.select(col("dst").as("v"))).distinct()
+    val wAdj = Window.partitionBy("src").orderBy("dst")
+    val adj = graft.Ckpt(e
+      .withColumn("r", row_number().over(wAdj).cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src"))))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def h(v: Column, s: Int): Column = pmod(
+        pmod(v * 7 + s, lit(1000000000L)) * lit(2654435761L),
+        lit(2147483647L))
+      var walk = starts.select(col("v").as("start"), col("v").as("cur"),
+        array(col("v")).as("path"))
+      for (s <- 1 to WalkLen) {
+        val nxt = walk
+          .join(adj.withColumnRenamed("src", "cur"), Seq("cur"), "left")
+          .filter(col("r").isNull || col("r") === pmod(h(col("cur"), s),
+            col("deg")))
+          .select(col("start"),
+            coalesce(col("dst"), col("cur")).as("cur"),
+            array_append(col("path"),
+              coalesce(col("dst"), col("cur"))).as("path"))
+        walk = if (s % CkptEvery == 0) graft.Ckpt(nxt) else nxt
+      }
+      graft.Ckpt(walk.select(col("start"),
+        concat_ws(">",
+          expr("transform(path, x -> CAST(x AS STRING))")).as("path"),
+        col("cur").as("final_node"),
+        size(array_distinct(col("path"))).cast("long").as("n_unique"))
+        .orderBy("start"))
+    } finally adj.unpersist(blocking = true)
+  }
+
+  /** DuckDB oracle for [[g22RandomWalks]] — sorted adjacency lists +
+    * the identical hash step, unrolled [[WalkLen]] hops. */
+  def g22OracleSql: String = {
+    def step(s: Int): String = s"""
+      w$s AS (
+        SELECT start,
+          CASE WHEN ns IS NULL THEN cur
+            ELSE ns[CAST((((cur * 7 + $s) % 1000000000) * 2654435761)
+              % 2147483647 % len(ns) AS INT) + 1] END AS cur,
+          path || '>' || CAST(CASE WHEN ns IS NULL THEN cur
+            ELSE ns[CAST((((cur * 7 + $s) % 1000000000) * 2654435761)
+              % 2147483647 % len(ns) AS INT) + 1] END AS VARCHAR) AS path,
+          CASE WHEN ns IS NULL THEN visited
+            ELSE list_append(visited,
+              ns[CAST((((cur * 7 + $s) % 1000000000) * 2654435761)
+                % 2147483647 % len(ns) AS INT) + 1]) END AS visited
+        FROM (SELECT w.*, adj.ns FROM w${s - 1} w
+              LEFT JOIN adj ON adj.src = w.cur))"""
+    s"""
+      WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+      fwd AS MATERIALIZED (
+        SELECT DISTINCT src,
+          CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      adj AS MATERIALIZED (
+        SELECT src, list_sort(list(dst)) AS ns FROM fwd GROUP BY 1),
+      w0 AS (
+        SELECT doc_id AS start, doc_id AS cur,
+          CAST(doc_id AS VARCHAR) AS path, [doc_id] AS visited
+        FROM documents),
+      ${(1 to WalkLen).map(step).mkString(",")}
+      SELECT start, path, cur AS final_node,
+        CAST(len(list_distinct(visited)) AS BIGINT) AS n_unique
+      FROM w$WalkLen ORDER BY start"""
+  }
 }

@@ -261,7 +261,8 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(tot)) // one row — in-plan, not a head()" -> "one-row",
         ".crossJoin(broadcast(nCapped)) // one row — in-plan, not a head()" -> "one-row (cap audit count)",
         ".crossJoin(broadcast(m))" -> "one-row (edge count)",
-        "var dist = graft.Ckpt(nodes.crossJoin(broadcast(seeds))" -> "k (4 deterministic pivots)"),
+        "var dist = graft.Ckpt(nodes.crossJoin(broadcast(seeds))" -> "k (4 deterministic pivots)",
+        ".crossJoin(broadcast( // one-row frame (ContractSpec class)" -> "one-row (mutual-link count)"),
       "Ordination.scala" -> Map(
         ".crossJoin(broadcast(gmean))" -> "one-row",
         ".crossJoin(broadcast(ids.agg(" -> "one-row",

@@ -1062,4 +1062,56 @@ class GraphSpec extends SparkSpec {
     assert(sf.map(_.getLong(2)).sum == nDocs && sf.head.getLong(0) == 0L,
       s"levels don't cover the $nDocs nodes: ${sf.mkString(";")}")
   }
+
+  test("g21 reciprocity: exact census on a mixed dyad plant, 1 on a " +
+       "mutual pair, 0 on a DAG, loops/parallels collapsed") {
+    import spark.implicits._
+    import graft.operators.Graph
+    def cen(edges: Seq[(Long, Long)]) = {
+      val r = Graph.g21ReciprocityEdges(edges.toDF("src", "dst")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    }
+    // 0↔1 mutual, 1→2 asymmetric; a self-loop and a parallel edge
+    // must not change the census
+    assert(cen(Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 2L), (0L, 1L)))
+      == ((3L, 2L, 1L, 1L, 0.666667)), "mixed dyads")
+    assert(cen(Seq((0L, 1L), (1L, 0L))) == ((2L, 2L, 1L, 0L, 1.0)),
+      "mutual pair")
+    assert(cen(Seq((0L, 1L), (1L, 2L), (0L, 2L)))
+      == ((3L, 0L, 0L, 3L, 0.0)), "DAG")
+  }
+
+  test("g22 walks: degree-1 cycle fully determined, dead-end absorbs, " +
+       "branch choice matches the hash replica, corpus shape holds") {
+    import spark.implicits._
+    import graft.operators.Graph
+    def walks(edges: Seq[(Long, Long)], starts: Seq[Long]) =
+      Graph.g22RandomWalksEdges(edges.toDF("src", "dst"),
+        starts.toDF("v")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          r.getLong(3)))).toMap
+    // 3-cycle of out-degree-1 nodes: the walk is forced
+    val cyc = walks(Seq((0L, 1L), (1L, 2L), (2L, 0L)), Seq(0L))
+    assert(cyc(0L) == (("0>1>2>0>1>2>0>1>2", 2L, 3L)), cyc.toString)
+    // dead end absorbs: 0→1, 1 has no out-edges
+    val dead = walks(Seq((0L, 1L)), Seq(0L, 1L))
+    assert(dead(0L) == (("0>1>1>1>1>1>1>1>1", 1L, 2L)), dead.toString)
+    assert(dead(1L) == (("1>1>1>1>1>1>1>1>1", 1L, 1L)), dead.toString)
+    // branch: node 0 → {5, 9}; the first hop must be the hash pick
+    def h(v: Long, s: Long) =
+      (((v * 7 + s) % 1000000000L) * 2654435761L) % 2147483647L
+    val br = walks(Seq((0L, 5L), (0L, 9L), (5L, 0L), (9L, 0L)), Seq(0L))
+    val firstHop = Seq(5L, 9L)(Math.toIntExact(h(0L, 1L) % 2L))
+    assert(br(0L)._1.startsWith(s"0>$firstHop>"),
+      s"hash pick diverged: ${br(0L)}")
+    // sf corpus: one walk per node, WalkLen+1 path entries, n_unique
+    // bounded by the path length
+    val sf = Graph.g22RandomWalks(spark, sfDir).collect()
+    val nDocs = graft.Tables.load(spark, sfDir, "documents").count()
+    assert(sf.length == nDocs)
+    assert(sf.forall(r => r.getString(1).split(">").length
+      == Graph.WalkLen + 1 && r.getLong(3) <= Graph.WalkLen + 1),
+      "walk shape violated")
+  }
 }
