@@ -134,7 +134,8 @@ object Ordination {
     * returns the single-row frame with `samples`, `n`, `trace`,
     * `v_a` / `lam_a` / `lam_den_a` for each axis a. All sequential
     * folds, mirrored op-for-op in the oracle generator. */
-  private def powerAxes(centered: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[operators] def powerAxes(centered: DataFrame, k: Int,
+      iters: Int): DataFrame = {
     var st = centered.withColumn("trace",
       foldSum(transform(sequence(lit(1), col("n")),
         i => element_at(element_at(col("gm"), i), i))))
@@ -562,7 +563,8 @@ object Ordination {
     * (fin$a), and — when `deflate` — the Rayleigh scalars (ray$a) and
     * the deflated next matrix (g${a+1}). Fold-for-fold the Spark
     * [[iterate]]/[[powerAxes]] expressions. */
-  private def axisSql(a: Int, iters: Int, deflate: Boolean): String = {
+  private[operators] def axisSql(a: Int, iters: Int,
+      deflate: Boolean): String = {
     val core = s"""
       it$a AS (
         SELECT 0 AS k,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour search over the `embeddings` table.
@@ -2269,4 +2269,138 @@ object Similarity {
       WHERE rnk_all <= $AnnK
       ORDER BY q_id, rnk"""
   }
+
+  /** s19: PCA OF THE EMBEDDING CORPUS — top-2 principal components of
+    * the 64-dim embedding cloud, the standard pre-ANN diagnostics/
+    * whitening step (an embedding drift check is "did the PC basis
+    * move?"; a 2-D corpus map is "plot pc1 × pc2"). Emits each
+    * vector's (pc1, pc2) coordinates in the unit-eigenvector basis.
+    *
+    * Pipeline: per-dimension means → centered values → the 64×64
+    * SCATTER matrix as (i, j) triples (one corpus-scale pair
+    * aggregate with map-side combine: the exchange carries at most
+    * dim² rows per partition, never the corpus) → assembled into ONE
+    * 64×64 row → [[Ordination.powerAxes]] (q31's shared fixed-count
+    * power iteration + deflation, 40 iters by the same contract) →
+    * per-vector projection as an in-row index-order fold against the
+    * broadcast axis row.
+    *
+    * Determinism: per-element products are round-12 quantized
+    * DECIMALs (cross-row sums must be order-free); the matrix entries
+    * are one decimal→double cast each; the iteration is q31's
+    * fold-for-fold machinery (index-order in-row folds, max-abs
+    * normalization); projections divide by √λ_den (IEEE sqrt) and
+    * ride [[graft.GraftFunctions.roundz]]; the sign convention is
+    * q31's (first component of each axis non-negative).
+    *
+    * Scale: the only corpus-scale stages are the explode (linear ×
+    * dim) and the pair aggregate (linear × dim² work, dim²-bounded
+    * exchange). The eigensolve itself is dimension-bounded (64×64) —
+    * a single-row job by design, NOT a scale risk (the blocked
+    * machinery exists for sample-dimension Gram matrices; a dim×dim
+    * covariance never outgrows one row). */
+  def pcaEmbed(spark: SparkSession, dir: String): DataFrame =
+    pcaEmbed(Tables.parallel(Tables.load(spark, dir, "embeddings")))
+
+  def pcaEmbed(e0: DataFrame, iters: Int = Ordination.Iters): DataFrame = {
+    val e = e0.select(col("vec_id"), col("label"), col("embedding"))
+    val ex = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i0", "x0")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("x0").cast("double").as("x"))
+    val mu = ex.groupBy("i")
+      .agg(sum(round(col("x"), 12).cast("decimal(25,12)")).as("sx"),
+        count(lit(1)).as("cnt"))
+      .select(col("i"),
+        round(col("sx").cast("double") / col("cnt").cast("double"), 12)
+          .as("mu"))
+    // mu is dim-bounded (64 rows) — the dim broadcast class
+    val cx = graft.Ckpt(ex.join(broadcast(mu), "i")
+      .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("xc")))
+    val trip = cx
+      .join(cx.select(col("vec_id"), col("i").as("j"), col("xc").as("yc")),
+        "vec_id")
+      .select(col("i"), col("j"),
+        round(col("xc") * col("yc"), 12).cast("decimal(25,12)").as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("sp"))
+      .select(col("i"), col("j"), col("sp").cast("double").as("v"))
+    val rows = trip.groupBy("i")
+      .agg(sort_array(collect_list(struct(col("j"), col("v")))).as("r"))
+      .select(col("i"), transform(col("r"), s => s("v")).as("r"))
+    val gm = rows
+      .agg(sort_array(collect_list(struct(col("i"), col("r")))).as("m"))
+      .select(transform(col("m"), s => s("r")).as("gm"))
+      .withColumn("n", size(col("gm")))
+    val axes = Ordination.powerAxes(gm, 2, iters)
+      .select(col("v_1"), col("v_2"), col("lam_den_1"), col("lam_den_2"),
+        when(element_at(col("v_1"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0))
+          .as("sgn1"),
+        when(element_at(col("v_2"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0))
+          .as("sgn2"))
+    val vecs = cx.groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("i"), col("xc")))).as("c"))
+      .select(col("vec_id"), transform(col("c"), s => s("xc")).as("cv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    vecs
+      .crossJoin(broadcast(axes)) // one-row axis frame
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"),
+        graft.GraftFunctions.roundz(dot(col("cv"), col("v_1")) * col("sgn1")
+          / sqrt(col("lam_den_1")), 6).as("pc1"),
+        graft.GraftFunctions.roundz(dot(col("cv"), col("v_2")) * col("sgn2")
+          / sqrt(col("lam_den_2")), 6).as("pc2"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[pcaEmbed]] — identical mean/scatter grids,
+    * then [[Ordination.axisSql]]'s power recursion REUSED over the
+    * covariance row (both axes deflate so both Rayleigh CTEs exist
+    * for the √λ_den normalization). */
+  def s19OracleSql(iters: Int = Ordination.Iters): String = s"""
+      WITH RECURSIVE ex AS MATERIALIZED (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+          LATERAL unnest(generate_series(1, len(embedding))) t(i)),
+      mu AS (
+        SELECT i,
+          round(CAST(sum(CAST(round(x, 12) AS DECIMAL(25,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS mu
+        FROM ex GROUP BY 1),
+      cx AS MATERIALIZED (
+        SELECT vec_id, ex.i, x - mu AS xc FROM ex JOIN mu ON ex.i = mu.i),
+      trip AS (
+        SELECT a.i, b.i AS j,
+          CAST(sum(CAST(round(a.xc * b.xc, 12) AS DECIMAL(25,12)))
+            AS DOUBLE) AS v
+        FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+        GROUP BY 1, 2),
+      rws AS (
+        SELECT i, list_transform(
+          list_sort(list(struct_pack(j := j, v := v))), s -> s['v']) AS r
+        FROM trip GROUP BY 1),
+      g1 AS MATERIALIZED (
+        SELECT list_transform(
+            list_sort(list(struct_pack(i := i, r := r))), s -> s['r']) AS gm,
+          CAST(count(*) AS BIGINT) AS n
+        FROM rws),
+      ${Ordination.axisSql(1, iters, deflate = true)},
+      ${Ordination.axisSql(2, iters, deflate = true)},
+      cvv AS (
+        SELECT vec_id, list_transform(
+          list_sort(list(struct_pack(i := i, xc := xc))), s -> s['xc']) AS cv
+        FROM cx GROUP BY 1)
+      SELECT c.vec_id, e.label,
+        (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(c.cv)),
+              i -> c.cv[i] * f1.v[i])), (acc, x) -> acc + x)
+          * f1.sgn / sqrt(r1.lam_den), 6) + 0.0) AS pc1,
+        (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(c.cv)),
+              i -> c.cv[i] * f2.v[i])), (acc, x) -> acc + x)
+          * f2.sgn / sqrt(r2.lam_den), 6) + 0.0) AS pc2
+      FROM cvv c
+      JOIN embeddings e ON e.vec_id = c.vec_id,
+        fin1 f1, fin2 f2, ray1 r1, ray2 r2
+      ORDER BY c.vec_id"""
 }

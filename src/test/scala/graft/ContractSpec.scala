@@ -303,6 +303,8 @@ class ContractSpec extends SparkSpec {
         "val mad = o.join(broadcast(med), \"o_orderpriority\")" -> "dim (per-priority median)"),
       "Similarity.scala" -> Map(
         ".crossJoin(broadcast(stats))" -> "one-row (BM25 corpus stats)",
+        ".crossJoin(broadcast(axes)) // one-row axis frame" -> "one-row (s19 PC basis)",
+        ".join(broadcast(mu), \"i\")" -> "dim (per-dimension means)",
         ".join(broadcast(dfQ), \"term\")" -> "k (query-term df)",
         ".join(broadcast(qTerms.select(col(\"term\"))), Seq(\"term\"), \"left_semi\")" -> "k (query terms)",
         "broadcast(centers.zipWithIndex.map { case (v, i) => (i, v) }" -> "k (IVF centroids)",

@@ -978,4 +978,40 @@ class SimilaritySpec extends SparkSpec {
     info(s"s18 recall@${Similarity.AnnK}: hop1 $r1, " +
       s"hop${Similarity.SearchHops} $rH (exact candidates bound $bound of $n)")
   }
+
+  test("s19 PCA: recovers a planted rotated 2-D structure exactly, " +
+       "corpus axes ordered by variance") {
+    import spark.implicits._
+    // structure: x_k = t_k·d̂1 + u_k·d̂2 with d1 = (1,1,0,0)/√2 and
+    // d2 = (1,-1,0,0)/√2, Σt = Σu = Σt·u = 0 — the scatter matrix is
+    // exactly λ1=Σt²=10 on d1 and λ2=Σu²=1 on d2, so pc1 = t and
+    // pc2 = u in the unit basis (sign pinned by the first-component
+    // convention; the rotation keeps the e₁ start out of both null
+    // spaces)
+    val t = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+    val u = Seq(0.5, -0.5, -0.5, 0.5, 0.0)
+    val s2 = math.sqrt(2.0)
+    val vecs = t.zip(u).zipWithIndex.map { case ((tk, uk), k) =>
+      (k.toLong, Array(((tk + uk) / s2).toFloat, ((tk - uk) / s2).toFloat,
+        0.0f, 0.0f), k)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.pcaEmbed(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    t.zip(u).zipWithIndex.foreach { case ((tk, uk), k) =>
+      val (p1, p2) = got(k.toLong)
+      assert(math.abs(p1 - tk) < 1e-3 && math.abs(p2 - uk) < 1e-3,
+        s"vec $k: ($p1, $p2) != ($tk, $uk)")
+    }
+    // sf corpus: 500 coordinates, first axis carries at least as much
+    // empirical variance as the second
+    val sf = Similarity.pcaEmbed(spark, sfDir).collect()
+    assert(sf.length == 500)
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v1 = variance(sf.map(_.getDouble(2)).toSeq)
+    val v2 = variance(sf.map(_.getDouble(3)).toSeq)
+    assert(v1 >= v2 - 1e-9, s"axis order violated: $v1 < $v2")
+  }
 }
