@@ -304,7 +304,7 @@ class ContractSpec extends SparkSpec {
       "Similarity.scala" -> Map(
         ".crossJoin(broadcast(stats))" -> "one-row (BM25 corpus stats)",
         ".crossJoin(broadcast(axes)) // one-row axis frame" -> "one-row (s19 PC basis)",
-        ".join(broadcast(mu), \"i\")" -> "dim (per-dimension means)",
+        "val cx = graft.Ckpt(ex.join(broadcast(mu), \"i\")" -> "dim (per-dimension means)",
         ".join(broadcast(dfQ), \"term\")" -> "k (query-term df)",
         ".join(broadcast(qTerms.select(col(\"term\"))), Seq(\"term\"), \"left_semi\")" -> "k (query terms)",
         "broadcast(centers.zipWithIndex.map { case (v, i) => (i, v) }" -> "k (IVF centroids)",
