@@ -751,4 +751,96 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  case class EwmaState(open: Map[Long, Long], lastDay: Long,
+    hist: List[Long], prevLevel: Option[Double])
+  case class EwmaOut(event_type: String, day: String, cnt: Long,
+    level: Double, dev: Option[Double], alarm: Boolean)
+
+  /** Streaming EWMA LEVEL MONITOR — [[graft.operators.Events.ewma]]'s
+    * stream twin: per event type, finalize daily counts in event-day
+    * order as the watermark passes (cusumStream's discipline),
+    * ZERO-FILLING interior calendar gaps exactly as the batch
+    * operator's calendar join does (a quiet day is a real zero-rate
+    * day and must both emit its own row and enter the decay window),
+    * and replay the batch arithmetic bit-for-bit: the weight ladder
+    * rides the same exact integers 7^j·10^(13−j), the level is the
+    * same decimal→double division on the round-6 grid, dev rides the
+    * roundz replay, the alarm the same √-scaled compare. Stream/batch
+    * parity is therefore EXACT double equality, not a tolerance
+    * (spec-gated under an uneven micro-batch replay with planted
+    * gaps).
+    *
+    * State per type is O(1): the open day buckets (lateness-bounded)
+    * + the last [[graft.operators.Events.EwmaWindowDays]]−1 finalized
+    * counts + one double. */
+  def ewmaStream(events: Dataset[Event])
+      (implicit spark: SparkSession): Dataset[EwmaOut] = {
+    import spark.implicits._
+    val W = graft.operators.Events.EwmaWindowDays
+    val weights: IndexedSeq[java.math.BigInteger] = (0 until W).map(j =>
+      new java.math.BigDecimal(graft.operators.Events.EwmaDecay).pow(j)
+        .movePointRight(13).toBigIntegerExact)
+    val DayUs = 86400000000L
+    val DayMs = 86400000L
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    events
+      .withWatermark("ts", "1 day")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (tpe, it, state: GroupState[EwmaState]) =>
+          var st = state.getOption
+            .getOrElse(EwmaState(Map.empty, Long.MinValue, Nil, None))
+          val evs = it.toSeq
+          if (evs.nonEmpty) {
+            var open = st.open
+            evs.foreach { e =>
+              val d = Math.floorDiv(us(e.ts), DayUs)
+              open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+            }
+            st = st.copy(open = open)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val ready = st.open.keys.filter(d => (d + 1) * DayMs <= wmMs)
+            .toSeq.sorted
+          def emit(d: Long, cnt: Long): EwmaOut = {
+            // the batch lag ladder: lag0 = this day, lag j = the j-th
+            // previous CALENDAR day (hist is dense by construction)
+            val window = cnt :: st.hist
+            val num = window.iterator.zipWithIndex.take(W)
+              .map { case (x, j) =>
+                weights(j).multiply(java.math.BigInteger.valueOf(x)) }
+              .reduce(_ add _)
+            val den = weights.take(window.length).reduce(_ add _)
+            val level = r6(new java.math.BigDecimal(num).doubleValue
+              / new java.math.BigDecimal(den).doubleValue)
+            val dev = st.prevLevel.map(p => r6(cnt.toDouble - p) + 0.0)
+            val alarm = st.prevLevel.zip(dev).exists { case (p, dv) =>
+              math.abs(dv) > 3.0 * math.sqrt(p) }
+            st = st.copy(lastDay = d,
+              hist = (cnt :: st.hist).take(W - 1),
+              prevLevel = Some(level))
+            EwmaOut(tpe, java.time.LocalDate.ofEpochDay(d).toString, cnt,
+              level, dev, alarm)
+          }
+          val out = ready.flatMap { d =>
+            val gaps =
+              if (st.lastDay != Long.MinValue && d > st.lastDay + 1)
+                (st.lastDay + 1) until d
+              else Seq.empty[Long]
+            val rows = gaps.map(g => emit(g, 0L)) :+ emit(d, st.open(d))
+            st = st.copy(open = st.open - d)
+            rows
+          }
+          state.update(st)
+          if (st.open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (st.open.keys.min + 1) * DayMs, wmMs + 1))
+          out.iterator
+      }
+  }
 }

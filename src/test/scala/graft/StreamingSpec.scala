@@ -894,4 +894,64 @@ class StreamingSpec extends SparkSpec {
       assert(got.length == expect.length, "duplicate emissions")
     } finally q.stop()
   }
+
+  test("streaming EWMA replays the batch monitor EXACTLY (double " +
+       "equality) under an uneven replay, zero-filling the gap day") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    def mk(tp: String, d: Int, cnt: Int, base: Long) =
+      (1 to cnt).map { i =>
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        StreamingOps.Event(base + d * 1000L + i, t, 1L, tp, 0.0)
+      }
+    // flat: constant level, no alarms; gappy: day 5 missing — the
+    // stream must zero-fill it (and alarm) exactly like the batch
+    // calendar join; jumpy: a spike day to exercise a real alarm on a
+    // non-gap row
+    val ev =
+      (0 until 20).flatMap(d => mk("flat", d, 10, 0L)) ++
+      (0 until 12).filter(_ != 5).flatMap(d => mk("gappy", d, 10, 100000L)) ++
+      (0 until 12).flatMap(d => mk("jumpy", d,
+        if (d == 8) 90 else 10, 200000L))
+    val input = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val sorted = ev.sortBy(e => (e.ts.getTime, e.event_id))
+      val cuts = Seq(0, 7, 64, 65, 230, sorted.length)
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        input.addData(sorted.slice(a, b): _*)
+        q.processAllAvailable()
+      }
+      // flush: push the watermark far past every planted day
+      input.addData(StreamingOps.Event(999999L,
+        java.sql.Timestamp.valueOf("1970-06-01 00:00:00"), 1L, "flat", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ewma_stream").as[StreamingOps.EwmaOut]
+        .collect()
+        .map(o => (o.event_type, o.day, o.cnt, o.level, o.dev, o.alarm))
+      val batch = graft.operators.Events.ewma(
+        ev.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))
+      assert(got.toSet == batch.toSet,
+        s"missing: ${batch.toSet -- got.toSet}; extra: ${got.toSet -- batch.toSet}")
+      assert(got.length == batch.length, "duplicate emissions")
+      // the plants actually exercised both alarm paths
+      assert(batch.exists(r => r._1 == "gappy" && r._3 == 0L && r._6),
+        "gap-day alarm missing")
+      assert(batch.exists(r => r._1 == "jumpy" && r._3 == 90L && r._6),
+        "spike alarm missing")
+      assert(batch.filter(_._1 == "flat").forall(r => r._4 == 10.0 && !r._6),
+        "flat level drifted")
+    } finally q.stop()
+  }
 }
