@@ -134,6 +134,7 @@ object SparkEntry {
     "d19_edit_dedup" -> ((s: SparkSession, d: String) => Dedup.editDedup(s, d)),
     "d20_exact_substring" ->
       ((s: SparkSession, d: String) => Dedup.exactSubstring(s, d)),
+    "d21_url_dedup" -> (Dedup.urlDedup _),
     "g1_pagerank" -> ((s: SparkSession, d: String) => Graph.g1Pagerank(s, d)),
     "g2_components" -> ((s: SparkSession, d: String) => Graph.g2Components(s, d)),
     "g3_triangles" -> ((s: SparkSession, d: String) => Graph.g3Triangles(s, d)),
@@ -1111,6 +1112,7 @@ object SparkEntry {
     "d18_containment" -> graft.operators.Dedup.d18OracleSql(),
     "d19_edit_dedup" -> graft.operators.Dedup.d19OracleSql(),
     "d20_exact_substring" -> graft.operators.Dedup.d20OracleSql(),
+    "d21_url_dedup" -> graft.operators.Dedup.d21OracleSql,
     "q44_taxonomy_unifrac" -> graft.operators.Relational.q44OracleSql,
     "q45_core_taxa" -> graft.operators.Relational.q45OracleSql,
     "q46_permanova" -> graft.operators.Relational.q46OracleSql,

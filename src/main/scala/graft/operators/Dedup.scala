@@ -2050,4 +2050,103 @@ object Dedup {
       FROM toks LEFT JOIN pd ON toks.doc_id = pd.doc_id
       ORDER BY toks.doc_id"""
   }
+
+  /** d21: URL CANONICALIZATION DEDUP — the FIRST dedup pass a web
+    * corpus runs, before any content hashing: collapse URL variants
+    * (scheme, www, trailing slash, tracking params, fragments) to a
+    * canonical form and keep one fetch per canonical URL. Cheap —
+    * pure per-row string rewrites + one exact groupBy — and it
+    * removes the bulk of crawl-level duplication for free (the same
+    * page fetched as http/https/?utm_… is byte-identical content d1
+    * would hash three times).
+    *
+    * The corpus carries no URL column, so (the graph family's
+    * synthesis law) the entry derives one DETERMINISTICALLY per doc:
+    * base = a shared host + path /doc/(doc_id div 3) and ONE variant feature
+    * chosen by the repo's Knuth hash — none / trailing slash /
+    * utm_source param / https / www — so true canonical groups are
+    * doc_id div 3 exactly (three fetches of "the same page" under
+    * different variant features) and every variant class is
+    * exercised. The canonicalizer itself is the operator;
+    * [[urlDedupCore]] takes any (doc_id, url) frame.
+    *
+    * Canonical form: lowercase; strip an end-anchored utm query;
+    * strip one trailing slash; fold https→http; fold ://www.→://.
+    * Every rewrite is an anchored single-match regexp or a literal
+    * replace — the (Java regex, RE2) intersection where both engines
+    * agree.
+    *
+    * Scale: one projection + one canonical-keyed exact groupBy
+    * (map-side combine) — d1's cost class. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    urlDedupCore(withSyntheticUrls(
+      Tables.parallel(Tables.load(spark, dir, "documents"))))
+
+  /** The deterministic URL fixture: one variant feature per doc from
+    * the Knuth hash (mirrored verbatim in the oracle). */
+  def withSyntheticUrls(docs: DataFrame): DataFrame = {
+    val h = pmod(pmod(col("doc_id"), lit(1000000000L)) * lit(2654435761L),
+      lit(2147483647L)) % 5
+    val base = concat(lit("http://example.com/doc/"),
+      expr("doc_id div 3"))
+    docs.select(col("doc_id"),
+      when(h === 0, base)
+        .when(h === 1, concat(base, lit("/")))
+        .when(h === 2, concat(base, lit("?utm_source=x")))
+        .when(h === 3, regexp_replace(base, "^http://", "https://"))
+        .otherwise(regexp_replace(base, "^http://", "http://www."))
+        .as("url"))
+  }
+
+  /** Canonicalize + exact-group any (doc_id, url) frame. */
+  def urlDedupCore(d: DataFrame): DataFrame = {
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("url")), "#.*$", ""),
+            "\\?utm_[a-z_]+=[a-z0-9]*$", ""),
+          "/$", ""),
+        "^https://", "http://")
+    d.withColumn("canonical",
+        regexp_replace(canon, "^http://www\\.", "http://"))
+      .groupBy("canonical")
+      .agg(min(col("doc_id")).as("kept_doc_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("url")).as("n_variant_forms"))
+      .orderBy("kept_doc_id")
+  }
+
+  /** DuckDB oracle for [[urlDedup]] — identical fixture hash and
+    * anchored rewrite chain. */
+  def d21OracleSql: String = """
+      WITH urls AS (
+        SELECT doc_id,
+          CASE ((doc_id % 1000000000) * 2654435761) % 2147483647 % 5
+            WHEN 0 THEN base
+            WHEN 1 THEN base || '/'
+            WHEN 2 THEN base || '?utm_source=x'
+            WHEN 3 THEN regexp_replace(base, '^http://', 'https://')
+            ELSE regexp_replace(base, '^http://', 'http://www.')
+          END AS url
+        FROM (
+          SELECT doc_id, 'http://example.com/doc/'
+            || CAST(doc_id // 3 AS VARCHAR) AS base
+          FROM documents)),
+      canon AS (
+        SELECT doc_id, url,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(url), '#.*$', ''),
+                  '\?utm_[a-z_]+=[a-z0-9]*$', ''),
+                '/$', ''),
+              '^https://', 'http://'),
+            '^http://www\.', 'http://') AS canonical
+        FROM urls)
+      SELECT canonical, min(doc_id) AS kept_doc_id,
+        count(*) AS n_copies,
+        count(DISTINCT url) AS n_variant_forms
+      FROM canon GROUP BY canonical ORDER BY kept_doc_id"""
 }

@@ -634,4 +634,37 @@ class DedupSpec extends SparkSpec {
     val b = replica("qqqqqqq" + core)
     assert((a & b).nonEmpty, s"shifted copies share no minimizer: $a vs $b")
   }
+
+  test("URL dedup: every planted variant of one page collapses to one " +
+       "canonical form; distinct pages and real paths stay apart") {
+    import spark.implicits._
+    val variants = Seq(
+      (1L, "http://example.com/doc/7"),
+      (2L, "http://example.com/doc/7/"),
+      (3L, "https://example.com/doc/7"),
+      (4L, "http://www.example.com/doc/7"),
+      (5L, "HTTP://EXAMPLE.COM/DOC/7"),
+      (6L, "http://example.com/doc/7?utm_source=newsletter"),
+      (7L, "http://example.com/doc/7#section-2"),
+      // NOT the same page:
+      (8L, "http://example.com/doc/70"),
+      (9L, "http://other.com/doc/7"),
+      (10L, "http://example.com/doc/7?page=2")) // a REAL param survives
+      .toDF("doc_id", "url")
+    val got = Dedup.urlDedupCore(variants).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("http://example.com/doc/7") == ((1L, 7L, 7L)), got.toString)
+    assert(got.contains("http://example.com/doc/70") &&
+      got.contains("http://other.com/doc/7") &&
+      got.contains("http://example.com/doc/7?page=2"), got.toString)
+    assert(got.size == 4, s"wrong group count: $got")
+    // corpus: the div-3 fixture makes every canonical group carry all
+    // its variant fetches; copies per group never exceed 3
+    val sf = Dedup.urlDedup(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall(r =>
+      r.getLong(2) >= 1L && r.getLong(2) <= 3L &&
+      r.getLong(3) <= r.getLong(2)), "corpus group shape violated")
+    assert(sf.exists(_.getLong(2) == 3L), "no collapsed group on corpus")
+  }
 }
