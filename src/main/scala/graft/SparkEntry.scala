@@ -163,6 +163,7 @@ object SparkEntry {
     "g20_condensation" -> (Graph.g20Condensation _),
     "g21_reciprocity" -> (Graph.g21Reciprocity _),
     "g22_random_walks" -> (Graph.g22RandomWalks _),
+    "g23_hits" -> ((s: SparkSession, d: String) => Graph.g23Hits(s, d)),
     "t5_shard_assign" -> ((s: SparkSession, d: String) => TextOps.shardAssign(s, d)),
     "s1_ann_bruteforce" -> (Similarity.annBruteforce _),
     "s2_ann_lsh" -> (Similarity.annLsh _),
@@ -1138,6 +1139,7 @@ object SparkEntry {
     "g20_condensation" -> graft.operators.Graph.g20OracleSql,
     "g21_reciprocity" -> graft.operators.Graph.g21OracleSql,
     "g22_random_walks" -> graft.operators.Graph.g22OracleSql,
+    "g23_hits" -> graft.operators.Graph.g23OracleSql(),
     "t29_zipf" -> graft.operators.TextOps.t29OracleSql,
     "e21_watermark_audit" -> graft.operators.Events.e21OracleSql,
     "x11_zorder_export" -> graft.sources.Export.x11OracleSql,

@@ -3003,6 +3003,184 @@ object Graph {
           AS reciprocity
       FROM tot, mut"""
 
+  /** g23: HITS HUBS & AUTHORITIES (Kleinberg 1999) — the two-sided
+    * complement of g1's single authority score on a DIRECTED graph:
+    * a(v) = Σ_{u→v} h(u) and h(v) = Σ_{v→u} a(u), iterated; a curated
+    * link page is a strong HUB, the pages it points at are strong
+    * AUTHORITIES — the distinction a source-weighting pipeline wants
+    * when "points at good content" and "is good content" diverge.
+    * Fixed [[Iters]] mutual-reinforcement steps by g1's contract
+    * (float-valued, no finite fixpoint); each half-step max-abs
+    * normalized (the scale-free choice that needs no order-sensitive
+    * global sum).
+    *
+    * Distributed shape: TWO pinned adjacency copies — forward pinned
+    * by src (the hub step reads a(dst) grouped back to src) and
+    * reversed pinned by its own join key (the authority step) — so at
+    * scale the edges never move; only the node-scale score frame
+    * shuffles into each join (g5's pin law, both directions). Per
+    * half-step sums are g1's discipline: sort_array(collect_list)
+    * sequential folds in (contributor, j) order, bit-exact vs the
+    * oracle's list folds; sentinel rows keep degree-0 nodes with an
+    * exact + 0.0 no-op. The per-half-step max rides a one-row
+    * broadcast. */
+  def g23Hits(spark: SparkSession, dir: String,
+      iters: Int = Iters): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val spine = docs.select(col("doc_id"))
+    val h = spine.agg(count(lit(1)), min(col("doc_id")),
+      max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g23 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    require(iters >= 1, s"g23 needs at least one iteration, got $iters")
+    hitsCore(spine, syntheticFwd(spine, n), iters)
+  }
+
+  /** General HITS entry — explicit DIRECTED (src, dst) edges (sparse
+    * 64-bit ids, parallel edges collapsed); nodes = the endpoint
+    * set. */
+  def g23HitsEdges(edges0: DataFrame, iters: Int = Iters): DataFrame = {
+    val e = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("doc_id"))
+      .unionByName(e.select(col("dst").as("doc_id"))).distinct()
+    hitsCore(nodes, e.select(col("src"), lit(0L).as("j"), col("dst")), iters)
+  }
+
+  private def hitsCore(spine0: DataFrame, edges0: DataFrame,
+      iters: Int): DataFrame = {
+    val spine2 = spine0.select(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fwd = edges0
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rev = edges0
+      .select(col("dst").as("src"), col("j"), col("src").as("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sentinelA = spine2.select(lit(-1L).as("src"), lit(0L).as("j"),
+        col("doc_id").as("dst"), lit(0.0).as("c"))
+      def fold(contribs: DataFrame): DataFrame = contribs
+        .groupBy(col("dst"))
+        .agg(sort_array(collect_list(struct(col("src"), col("j"), col("c"))))
+          .as("cs"))
+        .select(col("dst").as("v"),
+          aggregate(col("cs"), lit(0.0),
+            (acc, x) => acc + x.getField("c")).as("s"))
+      def normalized(raw: DataFrame): DataFrame = raw
+        .crossJoin(broadcast(raw.agg(max(col("s")).as("mx")))) // one row
+        .select(col("v"), (col("s") / col("mx")).as("s"))
+      var hubs = spine2.select(col("doc_id").as("v"), lit(1.0).as("s"))
+      var auth = hubs
+      for (t <- 1 to iters) {
+        // authority step: contributions flow ALONG edges (u → v adds
+        // h(u) at v) — the forward pin's join key is src
+        auth = graft.Ckpt(normalized(fold(fwd
+          .join(hubs, col("src") === col("v"))
+          .select(col("src"), col("j"), col("dst"), col("s").as("c"))
+          .unionByName(sentinelA))))
+        // hub step: contributions flow AGAINST edges (v → u reads
+        // a(u) back at v) — the reversed pin's join key is its src
+        hubs = graft.Ckpt(normalized(fold(rev
+          .join(auth, col("src") === col("v"))
+          .select(col("src"), col("j"), col("dst"), col("s").as("c"))
+          .unionByName(sentinelA))))
+      }
+      graft.Ckpt(hubs.select(col("v").as("doc_id"), col("s").as("hub"))
+        .join(auth.select(col("v").as("doc_id"), col("s").as("auth")),
+          "doc_id")
+        .select(col("doc_id"), round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy("doc_id"))
+    } finally {
+      fwd.unpersist(blocking = true)
+      rev.unpersist(blocking = true)
+      spine2.unpersist(blocking = true)
+    }
+  }
+
+  /** DuckDB oracle for [[g23Hits]] — g1's list-state recursion with
+    * both score vectors; in-lists sorted by (contributor, j) with the
+    * sentinel's leading exact 0.0, folds and max-normalization
+    * mirrored per half-step. */
+  def g23OracleSql(iters: Int = Iters): String = s"""
+      WITH RECURSIVE nn AS MATERIALIZED (
+        SELECT count(*) AS n, CAST(count(*) AS INT) AS ni FROM documents),
+      edges AS MATERIALIZED (
+        SELECT src, j,
+          CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      inm AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(dst := dst, ins := ins))),
+          s -> s['ins']) AS m
+        FROM (
+          SELECT d.doc_id AS dst,
+            coalesce(i.ins, CAST([] AS STRUCT(src BIGINT, j BIGINT)[]))
+              AS ins
+          FROM documents d
+          LEFT JOIN (
+            SELECT dst, list_sort(list(struct_pack(src := src, j := j)))
+              AS ins
+            FROM edges GROUP BY dst) i ON i.dst = d.doc_id)),
+      outm AS MATERIALIZED (
+        SELECT list_transform(
+          list_sort(list(struct_pack(src := src, outs := outs))),
+          s -> s['outs']) AS m
+        FROM (
+          SELECT d.doc_id AS src,
+            coalesce(o.outs, CAST([] AS STRUCT(dst BIGINT, j BIGINT)[]))
+              AS outs
+          FROM documents d
+          LEFT JOIN (
+            SELECT src, list_sort(list(struct_pack(dst := dst, j := j)))
+              AS outs
+            FROM edges GROUP BY src) o ON o.src = d.doc_id)),
+      it AS (
+        SELECT 0 AS k,
+          list_transform(generate_series(1, ni),
+            i -> CAST(1.0 AS DOUBLE)) AS h,
+          list_transform(generate_series(1, ni),
+            i -> CAST(1.0 AS DOUBLE)) AS a
+        FROM nn
+        UNION ALL
+        SELECT s2.k + 1,
+          list_transform(s2.hr, x -> x /
+            list_reduce(s2.hr, (acc, y) -> greatest(acc, y))),
+          s2.an
+        FROM (
+          SELECT s1.k, s1.an,
+            list_transform(generate_series(1, s1.ni), v ->
+              list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(outm.m[v],
+                    e -> s1.an[CAST(e['dst'] AS INT) + 1])),
+                (acc, x) -> acc + x)) AS hr
+          FROM (
+            SELECT s0.k, s0.ni,
+              list_transform(s0.ar, x -> x /
+                list_reduce(s0.ar, (acc, y) -> greatest(acc, y))) AS an
+            FROM (
+              SELECT it.k, nn.ni,
+                list_transform(generate_series(1, nn.ni), v ->
+                  list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(inm.m[v],
+                        e -> it.h[CAST(e['src'] AS INT) + 1])),
+                    (acc, x) -> acc + x)) AS ar
+              FROM it, nn, inm WHERE it.k < $iters) s0) s1, outm) s2)
+      SELECT i - 1 AS doc_id,
+        round(f.h[i], 6) AS hub, round(f.a[i], 6) AS auth
+      FROM (SELECT h, a FROM it WHERE k = $iters) f,
+        (SELECT unnest(generate_series(1, ni)) AS i FROM nn) t
+      ORDER BY doc_id"""
+
   /** Walk length for [[g22RandomWalks]] — a CONTRACT constant (g1's
     * class): the walk corpus is a training-data artifact whose length
     * is a pipeline hyperparameter, not a convergence question. */

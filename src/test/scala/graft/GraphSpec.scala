@@ -1114,4 +1114,37 @@ class GraphSpec extends SparkSpec {
       == Graph.WalkLen + 1 && r.getLong(3) <= Graph.WalkLen + 1),
       "walk shape violated")
   }
+
+  test("g23 HITS: a pure link page is the hub and its targets the " +
+       "authorities; mutual reinforcement splits the bipartite plant") {
+    import spark.implicits._
+    import graft.operators.Graph
+    def hits(edges: Seq[(Long, Long)]) =
+      Graph.g23HitsEdges(edges.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+    // star: 0 → {1,2,3} — 0 is the only hub (h=1, a=0); targets are
+    // the authorities (a=1, h=0). The fixpoint is exact from step 1.
+    val star = hits(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(star(0L) == ((1.0, 0.0)), star.toString)
+    Seq(1L, 2L, 3L).foreach(v =>
+      assert(star(v) == ((0.0, 1.0)), star.toString))
+    // bipartite {0,1} → {2,3}: both hubs tie at 1, both authorities
+    // tie at 1 (max-normalized mutual reinforcement)
+    val bi = hits(Seq((0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L)))
+    assert(bi(0L) == ((1.0, 0.0)) && bi(1L) == ((1.0, 0.0)), bi.toString)
+    assert(bi(2L) == ((0.0, 1.0)) && bi(3L) == ((0.0, 1.0)), bi.toString)
+    // a second-tier hub: 4 → {1} points at only one authority — its
+    // hub score must be strictly below the 3-target hub's
+    val tiered = hits(Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L)))
+    assert(tiered(4L)._1 > 0.0 && tiered(4L)._1 < tiered(0L)._1,
+      tiered.toString)
+    // corpus: scores normalized into [0, 1] with at least one 1.0 on
+    // each side
+    val sf = Graph.g23Hits(spark, sfDir).collect()
+    assert(sf.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0
+      && r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(sf.exists(_.getDouble(1) == 1.0) &&
+      sf.exists(_.getDouble(2) == 1.0), "max normalization lost")
+  }
 }
