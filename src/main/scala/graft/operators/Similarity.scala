@@ -2270,6 +2270,114 @@ object Similarity {
       ORDER BY q_id, rnk"""
   }
 
+  /** Candidate pool per query for [[bqHamming]]'s exact rerank. */
+  final val BqCandidates = 50
+
+  /** s20: BINARY-QUANTIZED ANN (sign bits + Hamming) — the modern
+    * cheap first stage every large vector store ships: quantize each
+    * 64-dim embedding to its SIGN BITS (one bit per dimension — the
+    * whole vector becomes two 32-bit words), generate candidates by
+    * HAMMING distance (two XOR+popcount ops per pair — a 32×
+    * bandwidth/compute cut vs float cosine), then exact-rerank only
+    * the [[BqCandidates]]-deep pool. The asymmetric two-stage shape
+    * is s6's; the quantizer is 1-bit where s11's SQ is 8-bit.
+    *
+    * Determinism: the packed words are exact integers (in-row
+    * index-order folds); Hamming is integer; candidate rank breaks
+    * ties by id; the rerank is s1's round-6 cosine grid.
+    *
+    * Scale: the Hamming scan is the same corpus×queries fan-out as s1
+    * but moves 8 bytes/vector instead of 256 and does 2 popcounts
+    * instead of a 64-term fused fold — at 100 TB the packed sketch
+    * column (0.8 GB per 10⁸ vectors) rides a parquet projection the
+    * scan prunes to; only candidate rows touch the float vectors. */
+  def bqHamming(spark: SparkSession, dir: String): DataFrame =
+    bqHamming(Tables.parallel(Tables.load(spark, dir, "embeddings")))
+
+  /** The sign-bit packer — two exact 32-bit words per 64-dim vector
+    * (a single 64-bit fold would overflow DuckDB's checked BIGINT
+    * multiply at bit 63; two halves keep both engines exact). */
+  def withBqWords(e: DataFrame): DataFrame = {
+    def pack(lo: Int): Column = expr(
+      s"aggregate(slice(embedding, $lo, 32), CAST(0 AS BIGINT), " +
+        "(acc, x) -> acc * 2 + IF(x >= 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))")
+    e.withColumn("b1", pack(1)).withColumn("b2", pack(33))
+  }
+
+  def bqHamming(e: DataFrame, k: Int = AnnK,
+      cand: Int = BqCandidates): DataFrame = {
+    val spark = e.sparkSession
+    val packed = withBqWords(e)
+    val queries = broadcast(packed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("b1").as("qb1"), col("b2").as("qb2")))
+    val corpus = packed.select(col("vec_id").as("c_id"),
+      col("embedding").as("cv"), col("b1").as("cb1"), col("b2").as("cb2"))
+    val scored = queries.join(corpus, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("qv"), col("cv"),
+        (bit_count(expr("qb1 ^ cb1")) + bit_count(expr("qb2 ^ cb2")))
+          .cast("long").as("hamming"))
+    val wH = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("hamming"), col("c_id"))
+    val candidates = scored.withColumn("hrnk", row_number().over(wH))
+      .filter(col("hrnk") <= cand)
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    candidates
+      .withColumn("cos",
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(wC))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"), col("hamming"),
+        graft.GraftFunctions.roundz(col("cos"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[bqHamming]] — identical two-word sign packs,
+    * xor/bit_count Hamming, candidate rank, and s1's rerank CTEs
+    * restricted to the candidate pool. */
+  def s20OracleSql(k: Int = AnnK, cand: Int = BqCandidates): String = s"""
+      WITH packed AS MATERIALIZED (
+        SELECT vec_id, embedding,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(embedding[1:32],
+              x -> CAST(CASE WHEN x >= 0 THEN 1 ELSE 0 END AS BIGINT))),
+            (acc, b) -> acc * 2 + b) AS b1,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(embedding[33:64],
+              x -> CAST(CASE WHEN x >= 0 THEN 1 ELSE 0 END AS BIGINT))),
+            (acc, b) -> acc * 2 + b) AS b2
+        FROM embeddings),
+      ham AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          q.embedding AS qv, c.embedding AS cv,
+          CAST(bit_count(xor(q.b1, c.b1))
+            + bit_count(xor(q.b2, c.b2)) AS BIGINT) AS hamming
+        FROM packed q, packed c
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      cands AS (
+        SELECT * FROM (
+          SELECT q_id, c_id, qv, cv, hamming,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY hamming, c_id) AS hrnk
+          FROM ham) t
+        WHERE hrnk <= $cand),
+      dots AS (
+        SELECT q_id, c_id, hamming,
+          sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt,
+          sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+          sqrt(sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nc
+        FROM (SELECT q_id, c_id, hamming, unnest(qv) AS x, unnest(cv) AS y
+              FROM cands)
+        GROUP BY q_id, c_id, hamming),
+      ranked AS (
+        SELECT q_id, c_id, hamming, dt / (nq * nc) AS cos,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY dt / (nq * nc) DESC, c_id) AS INT) AS rnk
+        FROM dots)
+      SELECT q_id, c_id, rnk, hamming, (round(cos, 6) + 0.0) AS score
+      FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+
   /** s19: PCA OF THE EMBEDDING CORPUS — top-2 principal components of
     * the 64-dim embedding cloud, the standard pre-ANN diagnostics/
     * whitening step (an embedding drift check is "did the PC basis

@@ -262,7 +262,8 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(nCapped)) // one row — in-plan, not a head()" -> "one-row (cap audit count)",
         ".crossJoin(broadcast(m))" -> "one-row (edge count)",
         "var dist = graft.Ckpt(nodes.crossJoin(broadcast(seeds))" -> "k (4 deterministic pivots)",
-        ".crossJoin(broadcast( // one-row frame (ContractSpec class)" -> "one-row (mutual-link count)"),
+        ".crossJoin(broadcast( // one-row frame (ContractSpec class)" -> "one-row (mutual-link count)",
+        ".crossJoin(broadcast(raw.agg(max(col(\"s\")).as(\"mx\")))) // one row" -> "one-row (g23 half-step max)"),
       "Ordination.scala" -> Map(
         ".crossJoin(broadcast(gmean))" -> "one-row",
         ".crossJoin(broadcast(ids.agg(" -> "one-row",
@@ -304,6 +305,7 @@ class ContractSpec extends SparkSpec {
       "Similarity.scala" -> Map(
         ".crossJoin(broadcast(stats))" -> "one-row (BM25 corpus stats)",
         ".crossJoin(broadcast(axes)) // one-row axis frame" -> "one-row (s19 PC basis)",
+        "val queries = broadcast(packed.filter(col(\"vec_id\") < 5)" -> "k (s20 query batch)",
         "val cx = graft.Ckpt(ex.join(broadcast(mu), \"i\")" -> "dim (per-dimension means)",
         ".join(broadcast(dfQ), \"term\")" -> "k (query-term df)",
         ".join(broadcast(qTerms.select(col(\"term\"))), Seq(\"term\"), \"left_semi\")" -> "k (query terms)",

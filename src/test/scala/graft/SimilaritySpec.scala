@@ -1014,4 +1014,40 @@ class SimilaritySpec extends SparkSpec {
     val v2 = variance(sf.map(_.getDouble(3)).toSeq)
     assert(v1 >= v2 - 1e-9, s"axis order violated: $v1 < $v2")
   }
+
+  test("s20 binary quantization: exact sign packs, opposite vectors at " +
+       "Hamming 64, recall vs the exact top-k measured and floored") {
+    import spark.implicits._
+    // pack: first half all-positive → 2³²−1; second half alternating
+    // +/− from + → 0b1010…10 = 0xAAAAAAAA
+    val v = (Array.fill(32)(0.5f) ++
+      (0 until 32).map(i => if (i % 2 == 0) 0.5f else -0.5f)).toArray
+    val packed = Similarity.withBqWords(
+        Seq((0L, v, 0), (1L, v.map(-_), 0)).toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(packed(0L) == (((1L << 32) - 1L, 0xAAAAAAAAL)), packed.toString)
+    // negation flips every sign bit (no zero entries planted)
+    assert(packed(1L) == ((0L, 0x55555555L)), packed.toString)
+    // end-to-end: the negated twin lands at Hamming 64, the identical
+    // twin at Hamming 0 with cosine 1
+    val trio = Seq((0L, v, 0), (1L, v.map(-_), 0), (2L, v.clone, 0))
+      .toDF("vec_id", "embedding", "label")
+    val res = Similarity.bqHamming(trio, k = 2, cand = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(res((0L, 2L)) == ((0L, 1.0)), res.toString)
+    assert(res((0L, 1L)) == ((64L, -1.0)), res.toString)
+    // corpus recall@k of the BQ two-stage vs s1's exact scan — the
+    // sign sketch must recover most of the true neighbourhood from a
+    // 50-deep pool
+    val e = Tables.parallel(Tables.load(spark, sfDir, "embeddings"))
+    val exact = Similarity.annBruteforce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bq = Similarity.bqHamming(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & bq).size.toDouble / exact.size
+    info(s"s20 recall@10 from ${Similarity.BqCandidates} candidates: $recall")
+    assert(recall >= 0.5, s"BQ recall collapsed: $recall")
+  }
 }
