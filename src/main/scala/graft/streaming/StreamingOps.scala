@@ -752,6 +752,86 @@ object StreamingOps {
       }
   }
 
+  case class AttrEv(us: Long, side: Int, id: Long, ttype: String)
+  case class AttrState(open: List[AttrEv],
+    touches: List[(Long, Long, String)])
+  case class AttrOut(user_id: Long, purchase_id: Long,
+    first_tid: Option[Long], first_type: Option[String],
+    last_tid: Option[Long], last_type: Option[String], n_touches: Long)
+
+  /** Streaming FIRST/LAST-TOUCH ATTRIBUTION — [[graft.operators
+    * .Events.attribution]]'s stream twin (attribution is intrinsically
+    * a stream job: credit is assigned as conversions ARRIVE, not in a
+    * nightly batch). Keyed by user; arrivals buffer until the
+    * watermark passes their µs, then finalize in the batch operator's
+    * exact k = 2µs + side order: touches at one µs tie-reduce to the
+    * max-event_id representative (e6's law) BEFORE any same-µs
+    * purchase reads the window, and each purchase emits its
+    * first/last touch and touch count over the inclusive lookback.
+    * Parity with the batch range-window is EXACT (all-integer ids +
+    * strings — spec-gated under an uneven replay).
+    *
+    * State per user is O(1): the lateness-bounded open buffer + the
+    * lookback-bounded reduced touch history (touches older than
+    * watermark − lookback can never enter a future conversion's
+    * window — late conversions below the watermark are dropped before
+    * the operator — and are pruned each trigger). */
+  def attributionStream(events: Dataset[Event])
+      (implicit spark: SparkSession): Dataset[AttrOut] = {
+    import spark.implicits._
+    val lookbackUs =
+      graft.operators.Events.AttributionLookbackDays.toLong * 86400000000L
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "view" ||
+        e.event_type == "purchase")
+      .withWatermark("ts", "1 day")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, it, state: GroupState[AttrState]) =>
+          var st = state.getOption.getOrElse(AttrState(Nil, Nil))
+          val evs = it.toSeq
+          if (evs.nonEmpty) {
+            val add = evs.map { e =>
+              if (e.event_type == "purchase")
+                AttrEv(us(e.ts), 1, e.event_id, null)
+              else AttrEv(us(e.ts), 0, e.event_id, e.event_type)
+            }
+            st = st.copy(open = add.toList ::: st.open)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, stay) = st.open.partition(_.us < wmUs)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrOut]
+          ready.groupBy(_.us).toSeq.sortBy(_._1).foreach { case (m, g) =>
+            // touch tie-reduction first: a same-µs touch is inside
+            // every same-µs purchase's window (the k-order half-step)
+            val touches = g.filter(_.side == 0)
+            if (touches.nonEmpty) {
+              val rep = touches.maxBy(_.id)
+              st = st.copy(touches = (m, rep.id, rep.ttype) :: st.touches)
+            }
+            g.filter(_.side == 1).foreach { p =>
+              val win = st.touches.filter(t => t._1 >= m - lookbackUs)
+              val first = win.minByOption(_._1)
+              val last = win.maxByOption(_._1)
+              out += AttrOut(user, p.id,
+                first.map(_._2), first.map(_._3),
+                last.map(_._2), last.map(_._3), win.length.toLong)
+            }
+          }
+          st = st.copy(open = stay,
+            touches = st.touches.filter(_._1 >= wmUs - lookbackUs))
+          state.update(st)
+          if (st.open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              Math.floorDiv(st.open.map(_.us).min, 1000L) + 1L,
+              state.getCurrentWatermarkMs() + 1))
+          out.iterator
+      }
+  }
+
   case class EwmaState(open: Map[Long, Long], lastDay: Long,
     hist: List[Long], prevLevel: Option[Double])
   case class EwmaOut(event_type: String, day: String, cnt: Long,

@@ -954,4 +954,71 @@ class StreamingSpec extends SparkSpec {
         "flat level drifted")
     } finally q.stop()
   }
+
+  test("streaming attribution emits exactly the batch range-window " +
+       "rows under an uneven replay (boundaries, ties, no-touch)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val dayUs = 24L * hourUs
+    def ev(id: Long, usTs: Long, u: Long, tp: String) = {
+      val t = new java.sql.Timestamp(0L)
+      t.setTime(usTs / 1000L)
+      StreamingOps.Event(id, t, u, tp, 0.0)
+    }
+    val base = 10L * dayUs
+    val events = Seq(
+      // user 1: view, click, purchase — first/last split
+      ev(101L, base, 1L, "view"), ev(102L, base + hourUs, 1L, "click"),
+      ev(103L, base + 2 * hourUs, 1L, "purchase"),
+      // user 2: stale touch (4 days) — no credit
+      ev(201L, base, 2L, "click"), ev(202L, base + 4 * dayUs, 2L, "purchase"),
+      // user 3: exact lookback boundary + same-µs touch (click+view
+      // tie at the purchase µs reduce to max event_id)
+      ev(301L, base, 3L, "click"), ev(302L, base + 3 * dayUs, 3L, "view"),
+      ev(304L, base + 3 * dayUs, 3L, "click"),
+      ev(303L, base + 3 * dayUs, 3L, "purchase"),
+      // user 4: touch after purchase — no credit
+      ev(401L, base + hourUs, 4L, "purchase"),
+      ev(402L, base + 2 * hourUs, 4L, "click"),
+      // user 5: two purchases sharing one touch history
+      ev(501L, base, 5L, "view"), ev(502L, base + hourUs, 5L, "purchase"),
+      ev(503L, base + 5 * hourUs, 5L, "click"),
+      ev(504L, base + 6 * hourUs, 5L, "purchase"))
+    val input = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+      val cuts = Seq(0, 3, 4, 9, sorted.length)
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        input.addData(sorted.slice(a, b): _*)
+        q.processAllAvailable()
+      }
+      input.addData(ev(999999L, base + 400L * dayUs, 1L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("attr_stream").as[StreamingOps.AttrOut]
+        .collect()
+        .map(o => (o.user_id, o.purchase_id, o.first_tid, o.first_type,
+          o.last_tid, o.last_type, o.n_touches))
+      val batch = graft.operators.Events.attribution(
+        events.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          Option(r.getString(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          Option(r.getString(5)), r.getLong(6)))
+      assert(got.toSet == batch.toSet,
+        s"missing: ${batch.toSet -- got.toSet}; extra: ${got.toSet -- batch.toSet}")
+      assert(got.length == batch.length, "duplicate emissions")
+      // the plant exercised the semantics it claims to
+      assert(batch.exists(r => r._1 == 3L && r._7 == 2L),
+        "boundary + same-µs tie not exercised")
+      assert(batch.exists(r => r._1 == 2L && r._7 == 0L), "stale not exercised")
+    } finally q.stop()
+  }
 }
