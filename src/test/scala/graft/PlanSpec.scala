@@ -861,4 +861,53 @@ class PlanSpec extends SparkSpec {
     assert(q57p.contains("aggregate(sequence(0,"),
       "q57 product fold not in-row")
   }
+
+  test("late-r16 operators: shuffle budgets hold, no cartesians, and " +
+       "the in-row folds stay in-row") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val events = Tables.load(spark, sfDir, "events")
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
+      // q58: fact aggregate + group totals + term rollup + sort
+      ("q58", Relational.q58HillNumbers(spark, sfDir), 6),
+      // q59: fact aggregate + group rollup + sort (the Fisher
+      // iteration is an expression chain, not a plan stage)
+      ("q59", Relational.q59FisherAlpha(spark, sfDir), 5),
+      // t36: one lang-keyed aggregate + sort
+      ("t36", graft.operators.TextOps.fertility(docs), 3),
+      // t37: PURE projection — the output sort is the only exchange
+      ("t37", graft.operators.TextOps.charEntropy(docs), 1),
+      // d21: canonical-keyed aggregate (the countDistinct rewrite
+      // pays a second exchange) + sort
+      ("d21", graft.operators.Dedup.urlDedup(spark, sfDir), 4),
+      // e26: touch tie-reduce + union window on user + sort
+      ("e26", graft.operators.Events.attribution(events), 5),
+      // e27: daily aggregate + span + calendar join + lag windows
+      ("e27", graft.operators.Events.ewma(events), 7),
+      // g21: distinct edges + reversal semi-join + census rollups
+      ("g21", graft.operators.Graph.g21Reciprocity(spark, sfDir), 6),
+      // s20: broadcast hamming scan + candidate window + rerank
+      // window + sort
+      ("s20", graft.operators.Similarity.bqHamming(
+        Tables.load(spark, sfDir, "embeddings")), 5))
+    cases.foreach { case (name, df, maxSh) =>
+      val n = executedShuffles(df)
+      assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+    // t37's entropy must be a per-row expression — no explode, no
+    // (doc, char) exchange anywhere in the plan
+    val t37p = graft.operators.TextOps.charEntropy(docs)
+      .queryExecution.optimizedPlan.toString()
+    assert(!t37p.toLowerCase.contains("explode"),
+      "t37 exploded the character stream")
+    // q59's fixed-point map must be an in-row aggregate fold (the
+    // literal step sequence constant-folds to an array literal, so
+    // match the fold, not the sequence call)
+    val q59p = Relational.q59FisherAlpha(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    assert(q59p.contains("aggregate(") && q59p.contains("lambdafunction"),
+      "q59 Fisher iteration not an in-row fold")
+  }
 }
