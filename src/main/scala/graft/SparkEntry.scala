@@ -279,6 +279,7 @@ object SparkEntry {
     "t35_good_turing" -> ((s: SparkSession, d: String) => TextOps.goodTuring(s, d)),
     "t36_fertility" -> ((s: SparkSession, d: String) => TextOps.fertility(s, d)),
     "t37_char_entropy" -> ((s: SparkSession, d: String) => TextOps.charEntropy(s, d)),
+    "t38_moore_lewis" -> ((s: SparkSession, d: String) => TextOps.mooreLewis(s, d)),
     "t11_sample_weights" -> (TextOps.sampleWeights _),
     "t12_boilerplate" -> (TextOps.boilerplate _),
     "t13_chunking" -> (TextOps.chunking _),
@@ -764,6 +765,7 @@ object SparkEntry {
     "t35_good_turing" -> TextOps.t35OracleSql,
     "t36_fertility" -> TextOps.t36OracleSql,
     "t37_char_entropy" -> TextOps.t37OracleSql,
+    "t38_moore_lewis" -> TextOps.t38OracleSql(),
     "t11_sample_weights" -> TextOps.t11OracleSql,
     "t12_boilerplate" -> TextOps.t12OracleSql,
     "t13_chunking" -> TextOps.t13OracleSql(),

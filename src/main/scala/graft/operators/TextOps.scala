@@ -2573,6 +2573,105 @@ object TextOps {
           AS words_per_doc
       FROM agg ORDER BY lang"""
 
+  /** t38: MOORE–LEWIS CROSS-ENTROPY DIFFERENCE SELECTION (Moore &
+    * Lewis 2010) — the classic targeted-data-selection method beside
+    * t24's DSIR: score each document by H_general(doc) − H_indomain
+    * (doc), the per-token cross-entropy difference between a language
+    * model of the TARGET domain and one of the general corpus; high
+    * scores read "looks like the target, unlike the background", the
+    * criterion used to mine general crawls for domain-relevant
+    * training data. Here the target domain is the `en` slice and the
+    * LMs are add-one unigram models over the SHARED corpus
+    * vocabulary (so both assign every token nonzero mass — the
+    * smoothing convention that keeps the difference finite).
+    *
+    * Determinism: counts are exact integers; each token's two
+    * log-probs are single expressions of those integers; the per-doc
+    * sums ride round-12 quantized DECIMAL terms (order-free); the two
+    * cross-entropies divide once each, and the score is one roundz.
+    *
+    * Scale: tokenize once (corpus-linear), two token-keyed count
+    * aggregates (map-side combine), one token-keyed join back
+    * (vocabulary-scale side), one doc-keyed rollup. The three corpus
+    * scalars ride a one-row broadcast. */
+  def mooreLewis(spark: SparkSession, dir: String): DataFrame =
+    mooreLewis(Tables.parallel(Tables.load(spark, dir, "documents")), "en")
+
+  def mooreLewis(docs: DataFrame, domainLang: String): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(words(col("text"))).as("w"))
+    val gen = toks.groupBy("w").agg(count(lit(1)).as("c_gen"))
+    val ind = toks.filter(col("lang") === domainLang)
+      .groupBy("w").agg(count(lit(1)).as("c_in"))
+    val lm = graft.Ckpt(gen.join(ind, Seq("w"), "left")
+      .select(col("w"), col("c_gen"),
+        coalesce(col("c_in"), lit(0L)).as("c_in")))
+    val scal = lm.agg(sum(col("c_gen")).as("n_gen"),
+      sum(col("c_in")).as("n_in"), count(lit(1)).as("v"))
+    val scored = toks.join(lm, "w")
+      .crossJoin(broadcast(scal)) // one-row corpus scalars
+      .select(col("doc_id"), col("lang"),
+        round(log((col("c_in") + 1).cast("double")
+          / (col("n_in") + col("v")).cast("double")), 12)
+          .cast("decimal(25,12)").as("lp_in"),
+        round(log((col("c_gen") + 1).cast("double")
+          / (col("n_gen") + col("v")).cast("double")), 12)
+          .cast("decimal(25,12)").as("lp_gen"))
+    scored.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp_in")).as("s_in"), sum(col("lp_gen")).as("s_gen"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(-col("s_in").cast("double")
+          / col("n_tokens").cast("double"), 6).as("ce_in"),
+        round(-col("s_gen").cast("double")
+          / col("n_tokens").cast("double"), 6).as("ce_gen"),
+        graft.GraftFunctions.roundz(
+          (-col("s_gen").cast("double") / col("n_tokens").cast("double"))
+            - (-col("s_in").cast("double") / col("n_tokens").cast("double")),
+          6).as("ml_score"))
+      .withColumn("selected", col("ml_score") > 0.0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[mooreLewis]] — identical count panels,
+    * add-one log-prob grids, and per-doc decimal folds. */
+  def t38OracleSql(domainLang: String = "en"): String = s"""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      gen AS (SELECT w, count(*) AS c_gen FROM toks GROUP BY 1),
+      ind AS (SELECT w, count(*) AS c_in FROM toks
+              WHERE lang = '$domainLang' GROUP BY 1),
+      lm AS (
+        SELECT gen.w, c_gen, coalesce(c_in, 0) AS c_in
+        FROM gen LEFT JOIN ind ON gen.w = ind.w),
+      scal AS (
+        SELECT sum(c_gen) AS n_gen, sum(c_in) AS n_in, count(*) AS v
+        FROM lm),
+      scored AS (
+        SELECT doc_id, lang,
+          CAST(round(ln(CAST(c_in + 1 AS DOUBLE)
+            / CAST(n_in + v AS DOUBLE)), 12) AS DECIMAL(25,12)) AS lp_in,
+          CAST(round(ln(CAST(c_gen + 1 AS DOUBLE)
+            / CAST(n_gen + v AS DOUBLE)), 12) AS DECIMAL(25,12)) AS lp_gen
+        FROM toks JOIN lm ON toks.w = lm.w, scal),
+      agg AS (
+        SELECT doc_id, lang, count(*) AS n_tokens,
+          sum(lp_in) AS s_in, sum(lp_gen) AS s_gen
+        FROM scored GROUP BY 1, 2)
+      SELECT doc_id, lang, n_tokens,
+        round(-CAST(s_in AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          AS ce_in,
+        round(-CAST(s_gen AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          AS ce_gen,
+        (round((-CAST(s_gen AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          - (-CAST(s_in AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6)
+          + 0.0) AS ml_score,
+        (round((-CAST(s_gen AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          - (-CAST(s_in AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6)
+          + 0.0) > 0.0 AS selected
+      FROM agg ORDER BY doc_id"""
+
   /** The character-entropy junk threshold (bits-e, i.e. nats): real
     * prose over a ~27-symbol alphabet runs ≈ 2.8–3.1 nats; repeated
     * filler and single-char spam fall well under 2. */

@@ -330,6 +330,7 @@ class ContractSpec extends SparkSpec {
         ".join(broadcast(winner), col(\"vec_id\") === col(\"c_id\"), \"left_anti\")" -> "one-row (step winner)",
         ".crossJoin(broadcast(wVec))" -> "one-row (winner vector)"),
       "TextOps.scala" -> Map(
+        ".crossJoin(broadcast(scal)) // one-row corpus scalars" -> "one-row (t38 LM scalars)",
         ".crossJoin(broadcast(best.select(col(\"a\").as(\"ba\"), col(\"b\").as(\"bb\"))))" -> "one-row (best merge pair)",
         ".crossJoin(broadcast(n))" -> "one-row",
         ".crossJoin(broadcast(tot))" -> "one-row",

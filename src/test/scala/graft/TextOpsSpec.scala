@@ -901,4 +901,33 @@ class TextOpsSpec extends SparkSpec {
       val h = r.getDouble(3)
       h >= 0.0 && h <= math.log(28.0) + 1e-9 }, "entropy out of range")
   }
+
+  test("Moore-Lewis: domain-like text scores positive, background " +
+       "text negative, and the domain slice outranks the rest on sf") {
+    import spark.implicits._
+    // domain docs speak 'aa', background speaks 'bb'; the probe docs
+    // repeat one dialect each
+    val docs = Seq(
+      (1L, "aa aa aa aa", "dd", "s0", 11L),
+      (2L, "aa aa aa aa", "dd", "s0", 11L),
+      (3L, "bb bb bb bb", "xx", "s0", 11L),
+      (4L, "bb bb bb bb", "xx", "s0", 11L),
+      (5L, "aa aa", "xx", "s0", 5L),   // domain-like but labeled xx
+      (6L, "bb bb", "dd", "s0", 5L))   // background-like but labeled dd
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextOps.mooreLewis(docs, "dd").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got(5L)._1 > 0.0 && got(5L)._2,
+      s"domain-like probe not selected: ${got(5L)}")
+    assert(got(3L)._1 < 0.0 && !got(3L)._2,
+      s"background probe selected: ${got(3L)}")
+    // sf corpus: the en slice's mean score exceeds the non-en mean —
+    // the selector finds its own training domain
+    val sf = TextOps.mooreLewis(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getDouble(5)))
+    val en = sf.filter(_._1 == "en").map(_._2)
+    val rest = sf.filter(_._1 != "en").map(_._2)
+    assert(en.sum / en.length > rest.sum / rest.length,
+      "en slice does not outrank the background")
+  }
 }
