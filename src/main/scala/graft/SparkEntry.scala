@@ -84,6 +84,7 @@ object SparkEntry {
     "q57_specaccum" -> (Relational.q57SpecAccum _),
     "q58_hill_numbers" -> (Relational.q58HillNumbers _),
     "q59_fisher_alpha" -> (Relational.q59FisherAlpha _),
+    "q60_raup_crick" -> (Relational.q60RaupCrick _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1133,6 +1134,7 @@ object SparkEntry {
     "q57_specaccum" -> graft.operators.Relational.q57OracleSql,
     "q58_hill_numbers" -> graft.operators.Relational.q58OracleSql,
     "q59_fisher_alpha" -> graft.operators.Relational.q59OracleSql,
+    "q60_raup_crick" -> graft.operators.Relational.q60OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

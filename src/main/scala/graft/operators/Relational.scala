@@ -3085,4 +3085,162 @@ object Relational {
         round(alpha_raw * (CAST(n_tot AS DOUBLE)
           / (CAST(n_tot AS DOUBLE) + alpha_raw)), 6) AS f1_fit
       FROM fin ORDER BY n_name"""
+
+  /** q60: RAUP–CRICK NULL-MODEL BETA DIVERSITY (Raup & Crick 1979;
+    * vegan `raupcrick`'s analytic ancestor) — "do these two samples
+    * share MORE taxa than chance?": for each sample pair, the
+    * probability P(X ≥ s_obs) that two random samples of the same
+    * richnesses drawn from the common taxon pool would share at least
+    * the observed count, X ~ Hypergeometric(S, n_a, n_b). Unlike the
+    * q30/q56 abundance/incidence distances this is a SIGNIFICANCE
+    * measure: p ≈ 0 reads "assembled from the same species pool",
+    * p ≈ 1 "actively dissimilar" — the null-model page of the beta
+    * diversity suite, computed ANALYTICALLY (no simulation, no RNG —
+    * the exact tail q46/q51 would otherwise permute for).
+    *
+    * Per pair, entirely IN-ROW (q57's fold discipline): ln pmf(s) via
+    * three index-order log-binomial folds (terms round-12 quantized —
+    * the ln grid both engines share), one exp, then the upper tail by
+    * the exact rational recurrence pmf(k+1) = pmf(k)·(n_a−k)(n_b−k) /
+    * ((k+1)(S−n_a−n_b+k+1)) carried in a struct accumulator
+    * (multiply/divide are IEEE-exact ops, so the recurrence is
+    * engine-identical); the round-6 output absorbs the transcendental
+    * ulp. Starting AT s — never at the range floor — sidesteps the
+    * tail underflow that would zero a from-the-bottom recurrence.
+    *
+    * Scale shape: one fact-scale presence distinct, one taxon-keyed
+    * self-join bounded by taxon occupancy (the q30 pair class), then
+    * the sample-pair-bounded in-row lattice. */
+  def q60RaupCrick(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val pres = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_partkey").as("taxon")).distinct()
+    raupCrickFromPresence(pres)
+  }
+
+  /** [[q60RaupCrick]]'s core over a (n_name, taxon) presence frame —
+    * split out for planted specs. */
+  def raupCrickFromPresence(pres0: DataFrame): DataFrame = {
+    val pres = graft.Ckpt(pres0)
+    val rich = pres.groupBy("n_name").agg(count(lit(1)).as("nr"))
+    val pool = pres.select(col("taxon")).distinct()
+      .agg(count(lit(1)).as("stot"))
+    val shared = pres.select(col("n_name").as("sample_a"), col("taxon"))
+      .join(pres.select(col("n_name").as("sample_b"), col("taxon")), "taxon")
+      .filter(col("sample_a") < col("sample_b"))
+      .groupBy("sample_a", "sample_b")
+      .agg(count(lit(1)).as("shr"))
+    val pairs = rich.select(col("n_name").as("sample_a"), col("nr").as("n_a"))
+      .join(rich.select(col("n_name").as("sample_b"), col("nr").as("n_b")),
+        col("sample_a") < col("sample_b"))
+      .join(shared, Seq("sample_a", "sample_b"), "left")
+      .withColumn("shr", coalesce(col("shr"), lit(0L)))
+      .crossJoin(broadcast(pool)) // one-row taxon-pool size
+    // ln C(n_a, s) + ln C(S − n_a, n_b − s) − ln C(S, n_b), each a
+    // guarded index-order fold of round-12 ln terms
+    val lnpmf =
+      expr("""CASE WHEN shr = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+          aggregate(sequence(1, CAST(shr AS INT)), CAST(0.0 AS DOUBLE),
+            (acc, i) -> acc + round(ln(CAST(n_a - shr + i AS DOUBLE)
+              / CAST(i AS DOUBLE)), 12)) END""") +
+      expr("""CASE WHEN n_b - shr = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+          aggregate(sequence(1, CAST(n_b - shr AS INT)), CAST(0.0 AS DOUBLE),
+            (acc, i) -> acc + round(ln(
+              CAST(stot - n_a - (n_b - shr) + i AS DOUBLE)
+              / CAST(i AS DOUBLE)), 12)) END""") -
+      expr("""aggregate(sequence(1, CAST(n_b AS INT)), CAST(0.0 AS DOUBLE),
+            (acc, i) -> acc + round(ln(CAST(stot - n_b + i AS DOUBLE)
+              / CAST(i AS DOUBLE)), 12))""")
+    // the tail as a HORNER right-fold with a SCALAR accumulator —
+    // p = pmf(s)·(1 + r_s·(1 + r_{s+1}·(1 + …))) over the descending
+    // k range. A struct-typed accumulator would be the natural
+    // forward recurrence, but DuckDB 1.0's list_reduce mis-evaluates
+    // double-field struct accumulators (later fields read the
+    // already-updated earlier field from step 2 on — found in-round
+    // by this operator's oracle); the scalar Horner form needs no
+    // struct and only IEEE-exact *, /, + per step.
+    val horner = expr(
+      """CASE WHEN shr >= least(n_a, n_b) THEN CAST(1.0 AS DOUBLE) ELSE
+           aggregate(
+             sequence(CAST(least(n_a, n_b) - 1 AS INT), CAST(shr AS INT), -1),
+             CAST(1.0 AS DOUBLE),
+             (acc, k) -> CAST(1.0 AS DOUBLE)
+               + (CAST((n_a - k) * (n_b - k) AS DOUBLE)
+                  / CAST((k + 1) * (stot - n_a - n_b + k + 1) AS DOUBLE))
+                 * acc) END""")
+    pairs
+      .withColumn("t0", exp(lnpmf))
+      .withColumn("p_ge", round(least(col("t0") * horner, lit(1.0)), 6))
+      .select(col("sample_a"), col("sample_b"), col("n_a"), col("n_b"),
+        col("shr").as("shared"), col("p_ge"),
+        graft.GraftFunctions.roundz(lit(1.0) - col("p_ge"), 6)
+          .as("rc_dissim"))
+      .orderBy("sample_a", "sample_b")
+  }
+
+  /** DuckDB oracle for [[q60RaupCrick]] — identical presence census,
+    * guarded log-binomial folds, and struct-carried tail recurrence. */
+  def q60OracleSql: String = """
+      WITH pres AS MATERIALIZED (
+        SELECT DISTINCT n_name, l_partkey AS taxon
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      rich AS (SELECT n_name, count(*) AS nr FROM pres GROUP BY 1),
+      pool AS (SELECT count(DISTINCT taxon) AS stot FROM pres),
+      shared AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          count(*) AS shr
+        FROM pres a JOIN pres b
+          ON a.taxon = b.taxon AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT ra.n_name AS sample_a, rb.n_name AS sample_b,
+          ra.nr AS n_a, rb.nr AS n_b, coalesce(shr, 0) AS shr, stot
+        FROM rich ra
+        JOIN rich rb ON ra.n_name < rb.n_name
+        LEFT JOIN shared ON sample_a = ra.n_name AND sample_b = rb.n_name,
+          pool),
+      lnp AS (
+        SELECT *,
+          (CASE WHEN shr = 0 THEN 0.0 ELSE
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(shr AS INT)),
+                i -> round(ln(CAST(n_a - shr + i AS DOUBLE)
+                  / CAST(i AS DOUBLE)), 12))),
+              (acc, x) -> acc + x) END)
+          + (CASE WHEN n_b - shr = 0 THEN 0.0 ELSE
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(n_b - shr AS INT)),
+                i -> round(ln(CAST(stot - n_a - (n_b - shr) + i AS DOUBLE)
+                  / CAST(i AS DOUBLE)), 12))),
+              (acc, x) -> acc + x) END)
+          - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(n_b AS INT)),
+                i -> round(ln(CAST(stot - n_b + i AS DOUBLE)
+                  / CAST(i AS DOUBLE)), 12))),
+              (acc, x) -> acc + x) AS lnpmf
+        FROM pairs),
+      tails AS (
+        SELECT *,
+          exp(lnpmf) * (CASE WHEN shr >= least(n_a, n_b)
+            THEN CAST(1.0 AS DOUBLE) ELSE
+            list_reduce(
+              list_prepend(CAST(1.0 AS DOUBLE),
+                list_transform(
+                  generate_series(CAST(least(n_a, n_b) - 1 AS INT),
+                    CAST(shr AS INT), -1),
+                  k -> CAST((n_a - k) * (n_b - k) AS DOUBLE)
+                    / CAST((k + 1) * (stot - n_a - n_b + k + 1)
+                      AS DOUBLE))),
+              (acc, r) -> CAST(1.0 AS DOUBLE) + r * acc) END) AS tail
+        FROM lnp)
+      SELECT sample_a, sample_b, n_a, n_b, CAST(shr AS BIGINT) AS shared,
+        round(least(tail, 1.0), 6) AS p_ge,
+        (round(1.0 - round(least(tail, 1.0), 6), 6) + 0.0) AS rc_dissim
+      FROM tails ORDER BY sample_a, sample_b"""
 }

@@ -1427,6 +1427,44 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("Raup-Crick: exact hypergeometric tails on planted panels — " +
+       "identical, overlapping, and disjoint sample pairs") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // pool = 10 taxa. sa = {1..4}, sb = {3..6}, sc = {5..10},
+    // sd = {1..4} (sa's twin)
+    val pres = (
+      (1L to 4L).map(t => ("sa", t)) ++ (3L to 6L).map(t => ("sb", t)) ++
+      (5L to 10L).map(t => ("sc", t)) ++ (1L to 4L).map(t => ("sd", t)))
+      .toDF("n_name", "taxon")
+    val got = Relational.raupCrickFromPresence(pres).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // (sa, sb): Hyp(10,4,4), s=2: (6·15 + 4·6 + 1)/210 = 115/210
+    assert(got(("sa", "sb")) == ((4L, 4L, 2L, r6(115.0 / 210.0))),
+      got(("sa", "sb")).toString)
+    // (sa, sd): identical — s=4: 1/210
+    assert(got(("sa", "sd")) == ((4L, 4L, 4L, r6(1.0 / 210.0))),
+      got(("sa", "sd")).toString)
+    // (sa, sc): disjoint — s=0: the tail is the whole mass
+    assert(got(("sa", "sc")) == ((4L, 6L, 0L, 1.0)),
+      got(("sa", "sc")).toString)
+    // (sb, sc): Hyp(10,4,6), s=2: 1 − (1 + 24)/210 = 185/210
+    assert(got(("sb", "sc")) == ((4L, 6L, 2L, r6(185.0 / 210.0))),
+      got(("sb", "sc")).toString)
+    // sf corpus: probabilities in (0, 1], shared obeys the
+    // inclusion-exclusion floor on every pair
+    val sf = Relational.q60RaupCrick(spark, sfDir).collect()
+    assert(sf.length == 300)
+    val stot = 2000L
+    assert(sf.forall { r =>
+      val p = r.getDouble(5)
+      p > 0.0 && p <= 1.0 &&
+      r.getLong(4) >= r.getLong(2) + r.getLong(3) - stot }, "corpus gate")
+  }
+
   test("attribution: first/last touch split, inclusive lookback " +
        "boundary, post-purchase and stale touches excluded") {
     import spark.implicits._
