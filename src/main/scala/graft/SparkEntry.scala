@@ -228,6 +228,7 @@ object SparkEntry {
     "s18_graph_search" -> ((s: SparkSession, d: String) => Similarity.graphSearch(s, d)),
     "s19_pca_embed" -> ((s: SparkSession, d: String) => Similarity.pcaEmbed(s, d)),
     "s20_bq_hamming" -> (Similarity.bqHamming _),
+    "s21_ivf_pq" -> (Similarity.ivfPq _),
     "t22_gopher_rules" -> (TextOps.gopherRules _),
     "t23_mix_apply" -> (TextOps.mixApply _),
     "t24_dsir_weights" -> (TextOps.dsirWeights _),
@@ -1156,6 +1157,7 @@ object SparkEntry {
     "s18_graph_search" -> graft.operators.Similarity.s18OracleSql(),
     "s19_pca_embed" -> graft.operators.Similarity.s19OracleSql(),
     "s20_bq_hamming" -> graft.operators.Similarity.s20OracleSql(),
+    "s21_ivf_pq" -> graft.operators.Similarity.s21OracleSql(),
     "t30_template_prefix" -> graft.operators.TextOps.t30OracleSql,
     "t31_freq_spectrum" -> graft.operators.TextOps.t31OracleSql,
     "t32_unigram_lm" -> graft.operators.TextOps.t32OracleSql(),

@@ -2270,6 +2270,215 @@ object Similarity {
       ORDER BY q_id, rnk"""
   }
 
+  /** s21: IVF-PQ — the canonical large-scale vector index (the
+    * faiss/SCaNN default): coarse-quantize with s3's IVF cells, then
+    * product-quantize each member's RESIDUAL x − centroid (s4's
+    * machinery on the residual space). Residual encoding is the whole
+    * trick ON CLUSTERED DATA: residuals concentrate near the origin,
+    * so the SAME ks codewords cover them more densely than raw
+    * vectors — better distance fidelity at identical memory. (On this
+    * NEAR-UNIFORM synthetic corpus the advantage measurably vanishes
+    * — spec-recorded, not overclaimed; what the operator contributes
+    * here is the canonical index SHAPE, bit-exactly verified.) Queries
+    * probe nProbe cells (s3's rule) and ADC-score members with a
+    * PER-(query, cell) residual table, since the query's residual
+    * differs per probed cell.
+    *
+    * Determinism: the residual arithmetic is float→double exact
+    * subtraction; encode is the native [[graft.functions.expressions
+    * .EuclidArgmin]] (zero-shuffle projection, index-order (x−c)²
+    * folds); ADC sums fold subspaces in index order — every double
+    * reproduced bit-for-bit by the oracle (s4's discipline). The
+    * residual codebook is the s4 bounded-ks driver materialization,
+    * the one sanctioned `.collect()` class.
+    *
+    * Scale: encode is corpus-linear and shuffle-free on top of the
+    * one ivfAssign exchange; the query side touches nProbe/kCells of
+    * the corpus (assignment written partitioned by cell at scale —
+    * s3's proven layout); per-candidate cost is nSub table lookups. */
+  def ivfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPq(Tables.parallel(Tables.load(spark, dir, "embeddings")),
+      16, 4, 4, 16, AnnK)
+
+  def ivfPq(e: DataFrame, kCells: Int, nProbe: Int, nSub: Int, ks: Int,
+      k: Int): DataFrame = {
+    val spark = e.sparkSession
+    val centroids = ivfCentroids(e, kCells)
+    val assigned = ivfAssign(e, centroids)
+    val withRes = graft.Ckpt(assigned.join(centroids, "cell")
+      .select(col("c_id"), col("cell"),
+        zip_with(col("cv"), col("centv"),
+          (x, c) => x.cast("double") - c.cast("double")).as("rv")))
+    // residual codebook: the ks smallest-hash members' residuals
+    // (s4's bounded driver materialization)
+    val cbFull: Seq[Seq[Double]] = withRes
+      .withColumn("hsh", pmod(pmod(col("c_id"), lit(1000000000L))
+        * lit(2654435761L), lit(2147483647L)))
+      .orderBy("hsh", "c_id").limit(ks)
+      .collect().map(_.getSeq[Double](2).toSeq).toSeq
+    val dim = cbFull.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val sub = dim / nSub
+    def cb(s: Int): Seq[Seq[Double]] =
+      cbFull.map(v => v.slice(s * sub, (s + 1) * sub))
+    val codes = (0 until nSub).map(s =>
+      graft.GraftFunctions.euclidArgmin(
+        slice(col("rv"), s * sub + 1, sub), cb(s)))
+    val encoded = withRes.select(col("c_id"), col("cell"),
+      array(codes: _*).as("codes"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("csim").desc, col("cell"))
+    val probesR = queries.crossJoin(centroids)
+      .withColumn("csim",
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("centv")))
+      .withColumn("crnk", row_number().over(wProbe))
+      .filter(col("crnk") <= nProbe)
+      .select(col("q_id"), col("cell"),
+        zip_with(col("qv"), col("centv"),
+          (x, c) => x.cast("double") - c.cast("double")).as("qrv"))
+    // per-(query, probed cell) ADC table, subspace-major
+    val tableEntries: Seq[Column] =
+      for (s <- 0 until nSub; c <- 0 until ks) yield
+        aggregate(
+          zip_with(slice(col("qrv"), s * sub + 1, sub), typedLit(cb(s)(c)),
+            (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (acc, v) => acc + v)
+    val qtabs = broadcast(probesR
+      .select(col("q_id"), col("cell"), array(tableEntries: _*).as("tbl")))
+    val scored = qtabs.join(encoded, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0),
+          (acc, s) => acc + element_at(col("tbl"),
+            (s * ks + element_at(col("codes"), s + 1) + 1).cast("int")))
+          .as("approx_d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("approx_d2"), col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        round(col("approx_d2"), 6).as("approx_d2"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[ivfPq]] — s3's cell/assignment/probe CTEs,
+    * residuals, s4's codebook/encode/ADC shape on the residual
+    * space (per-pair sums fold s-sorted, matching the index-order
+    * Spark fold). */
+  def s21OracleSql(kCells: Int = 16, nProbe: Int = 4, nSub: Int = 4,
+      ks: Int = 16, k: Int = AnnK, dim: Int = 64): String = {
+    val sub = dim / nSub
+    s"""
+      WITH sel AS (
+        SELECT vec_id, embedding,
+          ((vec_id % 1000000000) * 2654435761) % 2147483647 AS hsh
+        FROM embeddings),
+      cent AS (
+        SELECT cell, centv FROM (
+          SELECT row_number() OVER (ORDER BY hsh, vec_id) AS cell,
+                 embedding AS centv
+          FROM sel ORDER BY hsh, vec_id LIMIT $kCells) t),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id),
+      cnorm AS (
+        SELECT cell, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT cell, unnest(centv) AS x FROM cent) GROUP BY cell),
+      adots AS (
+        SELECT c_id, cell, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT e.vec_id AS c_id, c.cell, unnest(e.embedding) AS x,
+                unnest(c.centv) AS y
+              FROM embeddings e, cent c) GROUP BY c_id, cell),
+      assign AS (
+        SELECT c_id, cell FROM (
+          SELECT a.c_id, a.cell,
+            row_number() OVER (PARTITION BY a.c_id
+              ORDER BY a.dt / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+          FROM adots a
+          JOIN norms n ON n.vec_id = a.c_id
+          JOIN cnorm cn ON cn.cell = a.cell) t
+        WHERE rn = 1),
+      resid AS MATERIALIZED (
+        SELECT a.c_id, a.cell,
+          list_transform(generate_series(1, $dim), i ->
+            CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))
+            AS rv
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.c_id
+        JOIN cent c ON c.cell = a.cell),
+      cb AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY hsh, c_id) AS INT) - 1
+            AS code, rv
+        FROM (
+          SELECT r.c_id, r.rv,
+            ((r.c_id % 1000000000) * 2654435761) % 2147483647 AS hsh
+          FROM resid r ORDER BY hsh, c_id LIMIT $ks) t),
+      cdm AS MATERIALIZED (
+        SELECT r.c_id, r.cell, s.s, cb.code,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, $sub), ii ->
+              (r.rv[CAST(s.s * $sub + ii AS INT)]
+                 - cb.rv[CAST(s.s * $sub + ii AS INT)])
+              * (r.rv[CAST(s.s * $sub + ii AS INT)]
+                 - cb.rv[CAST(s.s * $sub + ii AS INT)]))),
+            (acc, x) -> acc + x) AS d2
+        FROM resid r, generate_series(0, ${nSub - 1}) AS s(s), cb),
+      codes AS (
+        SELECT c_id, cell, s, code FROM (
+          SELECT c_id, cell, s, code,
+            row_number() OVER (PARTITION BY c_id, s ORDER BY d2, code) AS rn
+          FROM cdm) t
+        WHERE rn = 1),
+      probes AS (
+        SELECT q_id, cell FROM (
+          SELECT a.c_id AS q_id, a.cell,
+            row_number() OVER (PARTITION BY a.c_id
+              ORDER BY a.dt / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+          FROM adots a
+          JOIN norms n ON n.vec_id = a.c_id
+          JOIN cnorm cn ON cn.cell = a.cell
+          WHERE a.c_id < 5) t
+        WHERE rn <= $nProbe),
+      qres AS (
+        SELECT p.q_id, p.cell,
+          list_transform(generate_series(1, $dim), i ->
+            CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))
+            AS qrv
+        FROM probes p
+        JOIN embeddings e ON e.vec_id = p.q_id
+        JOIN cent c ON c.cell = p.cell),
+      qd AS (
+        SELECT q.q_id, q.cell, s.s, cb.code,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, $sub), ii ->
+              (q.qrv[CAST(s.s * $sub + ii AS INT)]
+                 - cb.rv[CAST(s.s * $sub + ii AS INT)])
+              * (q.qrv[CAST(s.s * $sub + ii AS INT)]
+                 - cb.rv[CAST(s.s * $sub + ii AS INT)]))),
+            (acc, x) -> acc + x) AS d2
+        FROM qres q, generate_series(0, ${nSub - 1}) AS s(s), cb),
+      scored AS (
+        SELECT q.q_id, c.c_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_sort(list(struct_pack(s := q.s, d := q.d2))),
+              y -> y['d'])),
+            (acc, x) -> acc + x) AS approx_d2
+        FROM qd q
+        JOIN codes c ON c.cell = q.cell AND c.s = q.s AND c.code = q.code
+        WHERE c.c_id <> q.q_id
+        GROUP BY q.q_id, c.c_id),
+      ranked AS (
+        SELECT q_id, c_id, approx_d2,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY approx_d2, c_id) AS INT) AS rnk
+        FROM scored)
+      SELECT q_id, c_id, rnk, round(approx_d2, 6) AS approx_d2
+      FROM ranked WHERE rnk <= $k ORDER BY q_id, rnk"""
+  }
+
   /** Candidate pool per query for [[bqHamming]]'s exact rerank. */
   final val BqCandidates = 50
 

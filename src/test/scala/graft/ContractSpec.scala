@@ -289,6 +289,7 @@ class ContractSpec extends SparkSpec {
         "val m2 = ms.crossJoin(broadcast(txf)).crossJoin(broadcast(tyf))" -> "one-row (normalized traces — q55)",
         ".crossJoin(broadcast(pobs))" -> "one-row (observed m² — q55)",
         "occ.crossJoin(broadcast(nsf))" -> "one-row (sample count — q57)",
+        ".crossJoin(broadcast(pool)) // one-row taxon-pool size" -> "one-row (q60 pool size)",
         ".join(broadcast(rich.select(col(\"n_name\").as(\"nb\")," -> "dim (per-sample richness — q56)",
         ".crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val obs = g.crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
@@ -306,6 +307,7 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(stats))" -> "one-row (BM25 corpus stats)",
         ".crossJoin(broadcast(axes)) // one-row axis frame" -> "one-row (s19 PC basis)",
         "val queries = broadcast(packed.filter(col(\"vec_id\") < 5)" -> "k (s20 query batch)",
+        "val qtabs = broadcast(probesR" -> "k (s21 query×probe ADC tables)",
         "val cx = graft.Ckpt(ex.join(broadcast(mu), \"i\")" -> "dim (per-dimension means)",
         ".join(broadcast(dfQ), \"term\")" -> "k (query-term df)",
         ".join(broadcast(qTerms.select(col(\"term\"))), Seq(\"term\"), \"left_semi\")" -> "k (query terms)",

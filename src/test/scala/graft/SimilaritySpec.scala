@@ -1050,4 +1050,72 @@ class SimilaritySpec extends SparkSpec {
     info(s"s20 recall@10 from ${Similarity.BqCandidates} candidates: $recall")
     assert(recall >= 0.5, s"BQ recall collapsed: $recall")
   }
+
+  test("s21 IVF-PQ: dense ranks, ADC arithmetic exact against a full " +
+       "local replica, candidates confined to probed cells") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val kCells = 16; val nProbe = 4; val nSub = 4; val ks = 16
+    val s21 = Similarity.ivfPq(e, kCells, nProbe, nSub, ks, 10).collect()
+    s21.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 10),
+        s"ranks broken for q$q") }
+    // full local replica of the pipeline: hash centroids → cosine
+    // argmax assignment → residuals → hash residual codebook →
+    // per-subspace argmin codes → per-(query, cell) ADC tables
+    val all = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val vecs = all.toMap
+    def knuth(id: Long) = ((id % 1000000000L) * 2654435761L) % 2147483647L
+    val cents = all.sortBy(v => (knuth(v._1), v._1)).take(kCells)
+      .map(_._2).zipWithIndex.map { case (v, i) => (i + 1, v) }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dt = a.zip(b).map { case (x, y) => x * y }.sum
+      dt / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def assignOf(v: Array[Double]): Int =
+      cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    val cellOf = all.map { case (id, v) => id -> assignOf(v) }.toMap
+    def resid(id: Long): Array[Double] = {
+      val c = cents(cellOf(id) - 1)._2
+      vecs(id).zip(c).map { case (x, y) => x - y }
+    }
+    val cb = all.map(_._1).sortBy(id => (knuth(id), id)).take(ks).map(resid)
+    val dim = 64; val sub = dim / nSub
+    def subD2(v: Array[Double], s: Int, code: Int): Double = {
+      var d2 = 0.0; var i = 0
+      while (i < sub) {
+        val d = v(s * sub + i) - cb(code)(s * sub + i); d2 += d * d; i += 1 }
+      d2
+    }
+    def codesOf(rv: Array[Double]): Seq[Int] =
+      (0 until nSub).map(s => (0 until ks).minBy(c => subD2(rv, s, c)))
+    def probesOf(q: Long): Seq[Int] =
+      cents.map { case (c, cv) => (c, cos(vecs(q), cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(nProbe).map(_._1)
+    s21.foreach { r =>
+      val (q, c, got) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(probesOf(q).contains(cellOf(c)),
+        s"candidate $c outside q$q's probed cells")
+      val qres = vecs(q).zip(cents(cellOf(c) - 1)._2)
+        .map { case (x, y) => x - y }
+      val want = codesOf(resid(c)).zipWithIndex
+        .map { case (code, s) => subD2(qres, s, code) }.sum
+      val wantR = BigDecimal(want)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got - wantR) < 1e-9, s"ADC drift q$q c$c: $got vs $wantR")
+    }
+    // honest fidelity note: on THIS near-uniform corpus the residual
+    // codebook does NOT beat s4's raw codebook (residuals only
+    // concentrate under real cluster structure) — recorded, not
+    // asserted; the operator's value here is the index SHAPE
+    def meanErr(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map { r =>
+        val (q, c) = (r.getLong(0), r.getLong(1))
+        val t = vecs(q).zip(vecs(c)).map { case (x, y) => (x - y) * (x - y) }.sum
+        math.abs(r.getDouble(3) - t) }.sum / rows.length
+    info(s"mean ADC error: s21 ${meanErr(s21)} vs " +
+      s"s4 ${meanErr(Similarity.annPq(e, nSub, ks, 10).collect())} " +
+      "(near-uniform corpus: no residual advantage expected)")
+  }
 }
