@@ -210,6 +210,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => graft.sources.Export.zorderExport(s, d)),
     "x12_stats_manifest" -> (graft.sources.Ingest.x12StatsManifest _),
     "x13_snapshot_diff" -> (graft.sources.Ingest.x13SnapshotDiff _),
+    "x14_csv_quarantine" ->
+      ((s: SparkSession, d: String) => graft.sources.Ingest.x14CsvQuarantine(s, d)),
     "t17_surprisal" -> (TextOps.surprisal _),
     "t18_bpe_merges" -> (TextOps.bpeMerges _),
     "t19_quality_classifier" -> (TextOps.ftQuality _),
@@ -1168,6 +1170,7 @@ object SparkEntry {
     "e26_attribution" -> graft.operators.Events.e26OracleSql,
     "e27_ewma" -> graft.operators.Events.e27OracleSql,
     "x13_snapshot_diff" -> graft.sources.Ingest.x13OracleSql,
+    "x14_csv_quarantine" -> graft.sources.Ingest.x14OracleSql,
     "m1_multimodal_meta" -> """
       SELECT doc_id,
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END AS fmt,

@@ -403,4 +403,64 @@ object Ingest {
       SELECT change_type, count(*) AS n_docs,
         min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM d GROUP BY change_type ORDER BY change_type"""
+
+  /** x14: QUARANTINED CSV INGEST as a driver-gated ROUND TRIP — the
+    * [[readCsv]] PERMISSIVE/quarantine contract (until now spec-only)
+    * as a first-class registry key: export an orders slice to
+    * header-less CSV, APPEND three deterministically malformed lines
+    * (bad key, bad price, over-arity), re-ingest under the explicit
+    * schema, and report the clean/quarantined census with the clean
+    * side's exact decimal total. The oracle pins BOTH directions: the
+    * clean aggregate must equal the source-of-truth parquet aggregate
+    * (nothing clean was dropped or mangled by the text round trip)
+    * and the quarantine count must equal exactly the planted 3
+    * (nothing clean was quarantined, nothing malformed leaked
+    * through).
+    *
+    * Scale: a write + a schema-enforced read + one aggregate — the
+    * 100 TB backfill path is just more input files ([[readCsv]]'s
+    * DISK_ONLY materialization note). */
+  def x14CsvQuarantine(spark: SparkSession, dir: String,
+      outPath: String = null): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = Option(outPath).getOrElse {
+      val r = spark.conf.getOption("spark.graft.exportDir")
+        .getOrElse(s"/tmp/graft_export/${spark.sparkContext.applicationId}")
+      s"$r/x14_csv_quarantine"
+    }
+    graft.Tables.load(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .write.mode("overwrite").csv(path)
+    import spark.implicits._
+    Seq("notakey,F,1.00,2024-01-01",
+        "1,F,notaprice,2024-01-01",
+        "1,F,1.00,2024-01-01,EXTRA,EXTRA,EXTRA")
+      .toDS().coalesce(1).write.mode("append").text(path)
+    val schema = StructType.fromDDL(
+      "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, " +
+        "o_orderdate STRING")
+    val (good, bad) = readCsv(spark, path, schema, header = false)
+    good.agg(count(lit(1)).as("n_rows"),
+        graft.Dec.dsum(col("o_totalprice")).as("total_price"))
+      .select(lit("clean").as("status"), col("n_rows"), col("total_price"))
+      .unionByName(bad.agg(count(lit(1)).as("n_rows"))
+        .select(lit("quarantined").as("status"), col("n_rows"),
+          lit(null).cast("double").as("total_price")))
+      .orderBy("status")
+  }
+
+  /** DuckDB oracle for [[x14CsvQuarantine]] — the clean side from the
+    * source-of-truth parquet, the quarantine side the planted
+    * constant. */
+  def x14OracleSql: String = """
+      SELECT 'clean' AS status, count(*) AS n_rows,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_price
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT 'quarantined', 3, NULL
+      ORDER BY status"""
 }

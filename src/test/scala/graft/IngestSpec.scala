@@ -176,4 +176,27 @@ class IngestSpec extends SparkSpec {
     assert(same.length == 1 && same.head.getString(0) == "unchanged" &&
       same.head.getLong(1) == 4L, same.mkString(";"))
   }
+
+  test("x14 round trip: the clean census matches the source slice, " +
+       "exactly the three planted malformed lines quarantine, raw " +
+       "text recoverable") {
+    import org.apache.spark.sql.functions._
+    val out = s"$tmp/x14"
+    val got = Ingest.x14CsvQuarantine(spark, sfDir, out).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.toString.toDouble)))).toMap
+    val want = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(got("clean")._1 == want, got.toString)
+    assert(got("quarantined") == ((3L, None)), got.toString)
+    // the quarantined raw lines are the planted ones, byte-for-byte
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, " +
+        "o_orderdate STRING")
+    val (_, bad) = Ingest.readCsv(spark, out, schema, header = false)
+    val lines = bad.collect().map(_.getString(0)).sorted.toSeq
+    assert(lines == Seq("1,F,1.00,2024-01-01,EXTRA,EXTRA,EXTRA",
+      "1,F,notaprice,2024-01-01", "notakey,F,1.00,2024-01-01"),
+      lines.mkString("|"))
+  }
 }
