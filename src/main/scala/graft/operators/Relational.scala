@@ -3125,22 +3125,34 @@ object Relational {
     * split out for planted specs. */
   def raupCrickFromPresence(pres0: DataFrame): DataFrame = {
     val pres = graft.Ckpt(pres0)
-    val rich = pres.groupBy("n_name").agg(count(lit(1)).as("nr"))
     val pool = pres.select(col("taxon")).distinct()
       .agg(count(lit(1)).as("stot"))
+    // ln C(S, nr) hoisted to the SAMPLE frame: it depends only on the
+    // sample's richness, so it folds once per sample and is reused by
+    // every pair the sample joins into (same round-12 index-order
+    // terms — bitwise identical to the per-pair form it replaces,
+    // at 1/(samples−1) of the fold work)
+    val rich = pres.groupBy("n_name").agg(count(lit(1)).as("nr"))
+      .crossJoin(broadcast(pool)) // one-row taxon-pool size
+      .withColumn("lnc_sn",
+        expr("""aggregate(sequence(1, CAST(nr AS INT)), CAST(0.0 AS DOUBLE),
+            (acc, i) -> acc + round(ln(CAST(stot - nr + i AS DOUBLE)
+              / CAST(i AS DOUBLE)), 12))"""))
     val shared = pres.select(col("n_name").as("sample_a"), col("taxon"))
       .join(pres.select(col("n_name").as("sample_b"), col("taxon")), "taxon")
       .filter(col("sample_a") < col("sample_b"))
       .groupBy("sample_a", "sample_b")
       .agg(count(lit(1)).as("shr"))
-    val pairs = rich.select(col("n_name").as("sample_a"), col("nr").as("n_a"))
-      .join(rich.select(col("n_name").as("sample_b"), col("nr").as("n_b")),
+    val pairs = rich.select(col("n_name").as("sample_a"), col("nr").as("n_a"),
+        col("stot"))
+      .join(rich.select(col("n_name").as("sample_b"), col("nr").as("n_b"),
+        col("lnc_sn").as("lnc_b")),
         col("sample_a") < col("sample_b"))
       .join(shared, Seq("sample_a", "sample_b"), "left")
       .withColumn("shr", coalesce(col("shr"), lit(0L)))
-      .crossJoin(broadcast(pool)) // one-row taxon-pool size
-    // ln C(n_a, s) + ln C(S − n_a, n_b − s) − ln C(S, n_b), each a
-    // guarded index-order fold of round-12 ln terms
+    // ln C(n_a, s) + ln C(S − n_a, n_b − s) − ln C(S, n_b), the first
+    // two as guarded per-pair index-order folds of round-12 ln terms,
+    // the third the hoisted per-sample column
     val lnpmf =
       expr("""CASE WHEN shr = 0 THEN CAST(0.0 AS DOUBLE) ELSE
           aggregate(sequence(1, CAST(shr AS INT)), CAST(0.0 AS DOUBLE),
@@ -3151,9 +3163,7 @@ object Relational {
             (acc, i) -> acc + round(ln(
               CAST(stot - n_a - (n_b - shr) + i AS DOUBLE)
               / CAST(i AS DOUBLE)), 12)) END""") -
-      expr("""aggregate(sequence(1, CAST(n_b AS INT)), CAST(0.0 AS DOUBLE),
-            (acc, i) -> acc + round(ln(CAST(stot - n_b + i AS DOUBLE)
-              / CAST(i AS DOUBLE)), 12))""")
+      col("lnc_b")
     // the tail as a HORNER right-fold with a SCALAR accumulator —
     // p = pmf(s)·(1 + r_s·(1 + r_{s+1}·(1 + …))) over the descending
     // k range. A struct-typed accumulator would be the natural
@@ -3190,8 +3200,15 @@ object Relational {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey),
-      rich AS (SELECT n_name, count(*) AS nr FROM pres GROUP BY 1),
       pool AS (SELECT count(DISTINCT taxon) AS stot FROM pres),
+      rich AS MATERIALIZED (
+        SELECT n_name, nr, stot,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, CAST(nr AS INT)),
+              i -> round(ln(CAST(stot - nr + i AS DOUBLE)
+                / CAST(i AS DOUBLE)), 12))),
+            (acc, x) -> acc + x) AS lnc_sn
+        FROM (SELECT n_name, count(*) AS nr FROM pres GROUP BY 1), pool),
       shared AS (
         SELECT a.n_name AS sample_a, b.n_name AS sample_b,
           count(*) AS shr
@@ -3200,11 +3217,11 @@ object Relational {
         GROUP BY 1, 2),
       pairs AS (
         SELECT ra.n_name AS sample_a, rb.n_name AS sample_b,
-          ra.nr AS n_a, rb.nr AS n_b, coalesce(shr, 0) AS shr, stot
+          ra.nr AS n_a, rb.nr AS n_b, coalesce(shr, 0) AS shr,
+          ra.stot AS stot, rb.lnc_sn AS lnc_b
         FROM rich ra
         JOIN rich rb ON ra.n_name < rb.n_name
-        LEFT JOIN shared ON sample_a = ra.n_name AND sample_b = rb.n_name,
-          pool),
+        LEFT JOIN shared ON sample_a = ra.n_name AND sample_b = rb.n_name),
       lnp AS (
         SELECT *,
           (CASE WHEN shr = 0 THEN 0.0 ELSE
@@ -3219,11 +3236,7 @@ object Relational {
                 i -> round(ln(CAST(stot - n_a - (n_b - shr) + i AS DOUBLE)
                   / CAST(i AS DOUBLE)), 12))),
               (acc, x) -> acc + x) END)
-          - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(generate_series(1, CAST(n_b AS INT)),
-                i -> round(ln(CAST(stot - n_b + i AS DOUBLE)
-                  / CAST(i AS DOUBLE)), 12))),
-              (acc, x) -> acc + x) AS lnpmf
+          - lnc_b AS lnpmf
         FROM pairs),
       tails AS (
         SELECT *,
