@@ -85,6 +85,8 @@ object SparkEntry {
     "q58_hill_numbers" -> (Relational.q58HillNumbers _),
     "q59_fisher_alpha" -> (Relational.q59FisherAlpha _),
     "q60_raup_crick" -> (Relational.q60RaupCrick _),
+    "q63_multi_beta" -> (Relational.q63MultiBeta _),
+    "q64_nodf" -> (Relational.q64Nodf _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1138,6 +1140,8 @@ object SparkEntry {
     "q58_hill_numbers" -> graft.operators.Relational.q58OracleSql,
     "q59_fisher_alpha" -> graft.operators.Relational.q59OracleSql,
     "q60_raup_crick" -> graft.operators.Relational.q60OracleSql,
+    "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
+    "q64_nodf" -> graft.operators.Relational.q64OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

@@ -3256,4 +3256,286 @@ object Relational {
         round(least(tail, 1.0), 6) AS p_ge,
         (round(1.0 - round(least(tail, 1.0), 6), 6) + 0.0) AS rc_dissim
       FROM tails ORDER BY sample_a, sample_b"""
+
+  /** q63: MULTIPLE-SITE BETA-DIVERSITY PARTITION (Baselga 2010; R
+    * `betapart::beta.multi`, Sørensen family) — the whole-corpus
+    * companion of q56's pairwise decomposition: multiple-site
+    * dissimilarity is NOT the average of pairwise values (shared-taxa
+    * structure across ≥3 sites double-counts under averaging —
+    * Baselga's central point), so the comparison page reports this
+    * one-row summary beside the 300-pair table. With
+    * core = Σ_i S_i − S_T (within-site richness in excess of the
+    * pooled richness), Σmin = Σ_{i<j} min(b_ij, c_ij) and
+    * Σmax = Σ_{i<j} max(b_ij, c_ij) over each pair's unique-taxa
+    * counts:  βSIM = Σmin/(core + Σmin) (multi-site turnover),
+    * βSOR = (Σmin + Σmax)/(2·core + Σmin + Σmax), βSNE = βSOR − βSIM
+    * (multi-site nestedness).
+    *
+    * Determinism: every census is an exact integer (the pair frame is
+    * q56's machinery verbatim); the two ratios are single double
+    * expressions on a round-9 grid; βSNE is a signed subtraction →
+    * roundz. Degenerate corpus (all sites identical ⇒ core = Σmin =
+    * 0) yields NULL identically in both engines.
+    *
+    * Scale shape: exactly q56's — one fact-scale presence distinct,
+    * the per-taxon self-join bounded by taxon occupancy, and a
+    * sample-dim-bounded pair frame; the multi-site reduction adds one
+    * single-row aggregate on top. */
+  def q63MultiBeta(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val pres = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_partkey").as("taxon")).distinct()
+    multiBetaFromPresence(pres)
+  }
+
+  /** [[q63MultiBeta]]'s core over a (n_name, taxon) presence frame —
+    * split out for planted specs. */
+  def multiBetaFromPresence(pres0: DataFrame): DataFrame = {
+    val pres = graft.Ckpt(pres0)
+    val rich = pres.groupBy("n_name").agg(count(lit(1)).as("nt"))
+    val shared = pres.as("x")
+      .join(pres.select(col("n_name").as("nb"), col("taxon")).as("y"), "taxon")
+      .filter(col("n_name") < col("nb"))
+      .groupBy(col("n_name").as("sample_a"), col("nb").as("sample_b"))
+      .agg(count(lit(1)).as("a"))
+    val pairSums = rich.as("ra")
+      .join(broadcast(rich.select(col("n_name").as("nb"),
+          col("nt").as("ntb"))),
+        col("n_name") < col("nb"))
+      .select(col("n_name").as("sample_a"), col("nb").as("sample_b"),
+        col("nt").as("nta"), col("ntb"))
+      .join(shared, Seq("sample_a", "sample_b"), "left_outer")
+      .select((col("nta") - coalesce(col("a"), lit(0L))).as("b"),
+        (col("ntb") - coalesce(col("a"), lit(0L))).as("c"))
+      .agg(sum(least(col("b"), col("c"))).as("sum_min"),
+        sum(greatest(col("b"), col("c"))).as("sum_max"))
+    val siteSums = rich.agg(count(lit(1)).as("n_sites"),
+      sum(col("nt")).as("s_sum"))
+    val poolRich = pres.select(col("taxon")).distinct()
+      .agg(count(lit(1)).as("n_taxa"))
+    siteSums
+      .crossJoin(broadcast(poolRich)) // one-row pooled richness
+      .crossJoin(broadcast(pairSums)) // one-row pair-census sums
+      .withColumn("core", col("s_sum") - col("n_taxa"))
+      .withColumn("bsim", when(col("core") + col("sum_min") > 0,
+        round(col("sum_min").cast("double")
+          / (col("core") + col("sum_min")).cast("double"), 9)))
+      .withColumn("bsor",
+        when(lit(2) * col("core") + col("sum_min") + col("sum_max") > 0,
+          round((col("sum_min") + col("sum_max")).cast("double")
+            / (lit(2) * col("core") + col("sum_min") + col("sum_max"))
+              .cast("double"), 9)))
+      .select(col("n_sites"), col("n_taxa"), col("core"),
+        col("sum_min"), col("sum_max"),
+        round(col("bsim"), 6).as("beta_sim"),
+        round(col("bsor"), 6).as("beta_sor"),
+        graft.GraftFunctions.roundz(col("bsor") - col("bsim"), 6)
+          .as("beta_sne"))
+  }
+
+  /** DuckDB oracle for [[q63MultiBeta]] — identical integer censuses,
+    * round-9 component grid, roundz nestedness. */
+  def q63OracleSql: String = s"""
+      WITH pres AS (
+        SELECT DISTINCT n_name, l_partkey AS taxon
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      rich AS (SELECT n_name, count(*) AS nt FROM pres GROUP BY 1),
+      shared AS (
+        SELECT x.n_name AS sample_a, y.n_name AS sample_b, count(*) AS a
+        FROM pres x JOIN pres y ON x.taxon = y.taxon
+          AND x.n_name < y.n_name
+        GROUP BY 1, 2),
+      psums AS (
+        SELECT sum(least(b, c)) AS sum_min, sum(greatest(b, c)) AS sum_max
+        FROM (
+          SELECT ra.nt - coalesce(a, 0) AS b, rb.nt - coalesce(a, 0) AS c
+          FROM rich ra JOIN rich rb ON ra.n_name < rb.n_name
+          LEFT JOIN shared ON shared.sample_a = ra.n_name
+            AND shared.sample_b = rb.n_name)),
+      ssums AS (SELECT count(*) AS n_sites, sum(nt) AS s_sum FROM rich),
+      pool AS (SELECT count(DISTINCT taxon) AS n_taxa FROM pres),
+      comp AS (
+        SELECT n_sites, n_taxa, s_sum - n_taxa AS core, sum_min, sum_max,
+          CASE WHEN (s_sum - n_taxa) + sum_min > 0 THEN
+            round(CAST(sum_min AS DOUBLE)
+              / CAST((s_sum - n_taxa) + sum_min AS DOUBLE), 9) END AS bsim,
+          CASE WHEN 2 * (s_sum - n_taxa) + sum_min + sum_max > 0 THEN
+            round(CAST(sum_min + sum_max AS DOUBLE)
+              / CAST(2 * (s_sum - n_taxa) + sum_min + sum_max
+                AS DOUBLE), 9) END AS bsor
+        FROM ssums, pool, psums)
+      SELECT CAST(n_sites AS BIGINT) AS n_sites,
+        CAST(n_taxa AS BIGINT) AS n_taxa, CAST(core AS BIGINT) AS core,
+        CAST(sum_min AS BIGINT) AS sum_min,
+        CAST(sum_max AS BIGINT) AS sum_max,
+        round(bsim, 6) AS beta_sim, round(bsor, 6) AS beta_sor,
+        (round(bsor - bsim, 6) + 0.0) AS beta_sne
+      FROM comp"""
+
+  /** q64: NODF NESTEDNESS (Almeida-Neto et al. 2008; vegan
+    * `nestednodf`) — "are poor communities subsets of rich ones?", the
+    * matrix-wide structure question behind q56's per-pair nestedness
+    * component. NODF = 100 · (Σ row-pair overlaps + Σ column-pair
+    * overlaps) / (C(m,2) + C(T,2)) where a pair with DECREASING fill
+    * (n_i > n_j) contributes shared_ij/n_j (the poorer line's fraction
+    * inside the richer) and an equal-fill pair contributes 0.
+    *
+    * Scale design — the reason this shipped a round late: the column
+    * half naively enumerates all C(T,2) taxa pairs (~2·10⁷ at sf0.01,
+    * taxa² at the design point). But only CO-OCCURRING pairs have
+    * shared > 0, and the sum rewrites per sample over the OCCUPANCY
+    * HISTOGRAM:  Σ_{k,l: m_k>m_l} shared_kl/m_l
+    *           = Σ_s Σ_{k,l ∈ taxa(s), m_k>m_l} 1/m_l
+    *           = Σ_s Σ_m c_{s,m} · G_{s,m} / m,
+    * where c_{s,m} = # taxa in sample s with occupancy m and G_{s,m} =
+    * # taxa in s with occupancy > m. Occupancy is bounded by the
+    * sample count, so the (sample, m) frame is ≤ samples² rows and NO
+    * taxa pair is ever enumerated; equal-occupancy pairs contribute 0
+    * by the strict inequality, and non-co-occurring pairs contribute 0
+    * by construction. The denominator C(T,2) is analytic. The row half
+    * is the q56 sample-pair frame (sample-dim-bounded).
+    *
+    * Determinism: every census is an exact integer; each overlap term
+    * is one integer ratio round-12 quantized into DECIMAL(38,12) and
+    * summed order-free (the q44 grid); the three NODF outputs are
+    * single double divisions on a round-6 grid. Outputs are
+    * non-negative by construction. */
+  def q64Nodf(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val pres = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_partkey").as("taxon")).distinct()
+    nodfFromPresence(pres)
+  }
+
+  /** [[q64Nodf]]'s core over a (n_name, taxon) presence frame — split
+    * out for planted specs. */
+  def nodfFromPresence(pres0: DataFrame): DataFrame = {
+    val pres = graft.Ckpt(pres0)
+    val rich = pres.groupBy("n_name").agg(count(lit(1)).as("nt"))
+    // row half: q56's pair machinery; decreasing-fill overlap share
+    val shared = pres.as("x")
+      .join(pres.select(col("n_name").as("nb"), col("taxon")).as("y"), "taxon")
+      .filter(col("n_name") < col("nb"))
+      .groupBy(col("n_name").as("sample_a"), col("nb").as("sample_b"))
+      .agg(count(lit(1)).as("a"))
+    val rowSum = rich.as("ra")
+      .join(broadcast(rich.select(col("n_name").as("nb"),
+          col("nt").as("ntb"))),
+        col("n_name") < col("nb"))
+      .select(col("n_name").as("sample_a"), col("nb").as("sample_b"),
+        col("nt").as("nta"), col("ntb"))
+      .join(shared, Seq("sample_a", "sample_b"), "left_outer")
+      .select(when(col("nta") =!= col("ntb"),
+          round(coalesce(col("a"), lit(0L)).cast("double")
+            / least(col("nta"), col("ntb")).cast("double"), 12))
+        .otherwise(lit(0.0))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("term"))
+      .agg(coalesce(sum(col("term")),
+        lit(java.math.BigDecimal.ZERO)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .as("row_sum"))
+    // column half: per-sample occupancy histogram — c taxa at
+    // occupancy m, G taxa strictly above m (range frame, tie-safe)
+    val occ = pres.groupBy("taxon").agg(count(lit(1)).as("mt"))
+    val sampOcc = pres.join(occ, "taxon")
+      .groupBy(col("n_name"), col("mt")).agg(count(lit(1)).as("c"))
+    val wGt = Window.partitionBy("n_name").orderBy(col("mt"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val colSum = sampOcc
+      .withColumn("g", coalesce(sum(col("c")).over(wGt), lit(0L)))
+      .select(round((col("c") * col("g")).cast("double")
+          / col("mt").cast("double"), 12)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("term"))
+      .agg(coalesce(sum(col("term")),
+        lit(java.math.BigDecimal.ZERO)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .as("col_sum"))
+    val counts = rich.agg(count(lit(1)).as("n_samples"))
+      .crossJoin(occ.agg(count(lit(1)).as("n_taxa")))
+    counts
+      .crossJoin(broadcast(rowSum)) // one-row row-half sum
+      .crossJoin(broadcast(colSum)) // one-row column-half sum
+      .withColumn("pr", (col("n_samples") * (col("n_samples") - 1) / 2)
+        .cast("long"))
+      .withColumn("pc", (col("n_taxa") * (col("n_taxa") - 1) / 2)
+        .cast("long"))
+      .select(col("n_samples"), col("n_taxa"),
+        when(col("pr") > 0, round(lit(100.0)
+          * col("row_sum").cast("double") / col("pr").cast("double"), 6))
+          .as("nodf_rows"),
+        when(col("pc") > 0, round(lit(100.0)
+          * col("col_sum").cast("double") / col("pc").cast("double"), 6))
+          .as("nodf_cols"),
+        when(col("pr") + col("pc") > 0, round(lit(100.0)
+          * (col("row_sum") + col("col_sum")).cast("double")
+          / (col("pr") + col("pc")).cast("double"), 6)).as("nodf"))
+  }
+
+  /** DuckDB oracle for [[q64Nodf]] — identical occupancy-histogram
+    * rewrite, round-12 DECIMAL term grid, round-6 outputs. */
+  def q64OracleSql: String = s"""
+      WITH pres AS (
+        SELECT DISTINCT n_name, l_partkey AS taxon
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      rich AS (SELECT n_name, count(*) AS nt FROM pres GROUP BY 1),
+      shared AS (
+        SELECT x.n_name AS sample_a, y.n_name AS sample_b, count(*) AS a
+        FROM pres x JOIN pres y ON x.taxon = y.taxon
+          AND x.n_name < y.n_name
+        GROUP BY 1, 2),
+      rsum AS (
+        SELECT coalesce(sum(term), CAST(0 AS DECIMAL(38,12))) AS row_sum
+        FROM (
+          SELECT CAST(CASE WHEN ra.nt <> rb.nt THEN
+              round(CAST(coalesce(a, 0) AS DOUBLE)
+                / CAST(least(ra.nt, rb.nt) AS DOUBLE), 12)
+            ELSE 0.0 END AS DECIMAL(38,12)) AS term
+          FROM rich ra JOIN rich rb ON ra.n_name < rb.n_name
+          LEFT JOIN shared ON shared.sample_a = ra.n_name
+            AND shared.sample_b = rb.n_name)),
+      occ AS (SELECT taxon, count(*) AS mt FROM pres GROUP BY 1),
+      sampocc AS (
+        SELECT n_name, mt, count(*) AS c
+        FROM pres JOIN occ USING (taxon) GROUP BY 1, 2),
+      csum AS (
+        SELECT coalesce(sum(term), CAST(0 AS DECIMAL(38,12))) AS col_sum
+        FROM (
+          SELECT CAST(round(CAST(c * coalesce(g, 0) AS DOUBLE)
+              / CAST(mt AS DOUBLE), 12) AS DECIMAL(38,12)) AS term
+          FROM (
+            SELECT c, mt, sum(c) OVER (PARTITION BY n_name ORDER BY mt
+              RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS g
+            FROM sampocc))),
+      counts AS (
+        SELECT (SELECT count(*) FROM rich) AS n_samples,
+          (SELECT count(*) FROM occ) AS n_taxa)
+      SELECT CAST(n_samples AS BIGINT) AS n_samples,
+        CAST(n_taxa AS BIGINT) AS n_taxa,
+        CASE WHEN n_samples * (n_samples - 1) // 2 > 0 THEN
+          round(100.0 * CAST(row_sum AS DOUBLE)
+            / CAST(n_samples * (n_samples - 1) // 2 AS DOUBLE), 6)
+          END AS nodf_rows,
+        CASE WHEN n_taxa * (n_taxa - 1) // 2 > 0 THEN
+          round(100.0 * CAST(col_sum AS DOUBLE)
+            / CAST(n_taxa * (n_taxa - 1) // 2 AS DOUBLE), 6)
+          END AS nodf_cols,
+        CASE WHEN n_samples * (n_samples - 1) // 2
+            + n_taxa * (n_taxa - 1) // 2 > 0 THEN
+          round(100.0 * CAST(row_sum + col_sum AS DOUBLE)
+            / CAST(n_samples * (n_samples - 1) // 2
+              + n_taxa * (n_taxa - 1) // 2 AS DOUBLE), 6)
+          END AS nodf
+      FROM counts, rsum, csum"""
 }

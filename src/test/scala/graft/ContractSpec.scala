@@ -290,6 +290,10 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(pobs))" -> "one-row (observed m² — q55)",
         "occ.crossJoin(broadcast(nsf))" -> "one-row (sample count — q57)",
         ".crossJoin(broadcast(pool)) // one-row taxon-pool size" -> "one-row (q60 pool size)",
+        ".crossJoin(broadcast(poolRich)) // one-row pooled richness" -> "one-row (q63 pooled richness)",
+        ".crossJoin(broadcast(pairSums)) // one-row pair-census sums" -> "one-row (q63 pair sums)",
+        ".crossJoin(broadcast(rowSum)) // one-row row-half sum" -> "one-row (q64 row half)",
+        ".crossJoin(broadcast(colSum)) // one-row column-half sum" -> "one-row (q64 column half)",
         ".join(broadcast(rich.select(col(\"n_name\").as(\"nb\")," -> "dim (per-sample richness — q56)",
         ".crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",
         "val obs = g.crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",

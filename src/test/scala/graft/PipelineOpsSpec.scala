@@ -1303,6 +1303,70 @@ class PipelineOpsSpec extends SparkSpec {
         math.abs(so - si - sn) < 2e-6 }, "decomposition identity broken")
   }
 
+  test("multi-site beta: exact on planted turnover/nested panels and " +
+       "consistent with the pairwise decomposition bounds corpus-wide") {
+    import spark.implicits._
+    import graft.operators.Relational
+    def run(rows: Seq[(String, Long)]) =
+      Relational.multiBetaFromPresence(rows.toDF("n_name", "taxon")).head()
+    // three mutually disjoint equal-size sites → pure turnover:
+    // core = 0, every pair min = max = 2 → βSIM = βSOR = 1, βSNE = 0
+    val turn = run(Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)))
+    assert((turn.getLong(2), turn.getDouble(5), turn.getDouble(6),
+      turn.getDouble(7)) == ((0L, 1.0, 1.0, 0.0)), turn.toString)
+    // perfectly nested ladder {1}, {1,2}, {1,2,3} → Σmin = 0 ⇒
+    // βSIM = 0, pure nestedness: Σmax = 1+2+1 = 4, core = 6 − 3 = 3,
+    // βSOR = 4/(6+4) = 0.4 = βSNE
+    val nest = run(Seq(("a", 1L), ("b", 1L), ("b", 2L),
+      ("c", 1L), ("c", 2L), ("c", 3L)))
+    assert((nest.getLong(2), nest.getLong(3), nest.getLong(4),
+      nest.getDouble(5), nest.getDouble(6), nest.getDouble(7))
+      == ((3L, 0L, 4L, 0.0, 0.4, 0.4)), nest.toString)
+    // identical sites → core = 4 − 2 = 2 but Σmin = Σmax = 0 ⇒ all
+    // three dissimilarities exactly 0 (NOT degenerate: core > 0)
+    val ident = run(Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)))
+    assert((ident.getLong(2), ident.getDouble(5), ident.getDouble(6),
+      ident.getDouble(7)) == ((2L, 0.0, 0.0, 0.0)), ident.toString)
+    // corpus: decomposition identity + [0,1] ranges on the one row
+    val sf = Relational.q63MultiBeta(spark, sfDir).head()
+    val (si, so, sn) = (sf.getDouble(5), sf.getDouble(6), sf.getDouble(7))
+    assert(si >= 0 && si <= 1 && so >= si && sn >= -1e-9 &&
+      math.abs(so - si - sn) < 2e-6, sf.toString)
+  }
+
+  test("NODF: planted perfect nesting = 100, disjoint = 0, and the " +
+       "occupancy-histogram column half equals brute-force pairs") {
+    import spark.implicits._
+    import graft.operators.Relational
+    def run(rows: Seq[(String, Long)]) =
+      Relational.nodfFromPresence(rows.toDF("n_name", "taxon")).head()
+    // perfectly nested ladder with strictly decreasing fills AND
+    // strictly decreasing occupancies → every pair overlap = 1 → 100
+    val nest = run(Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 1L), ("b", 2L), ("c", 1L)))
+    assert((nest.getLong(0), nest.getLong(1), nest.getDouble(2),
+      nest.getDouble(3), nest.getDouble(4))
+      == ((3L, 3L, 100.0, 100.0, 100.0)), nest.toString)
+    // two disjoint equal-fill sites → rows: equal fill ⇒ 0; cols: the
+    // two taxa never co-occur ⇒ 0
+    val disj = run(Seq(("a", 1L), ("b", 2L)))
+    assert((disj.getDouble(2), disj.getDouble(3), disj.getDouble(4))
+      == ((0.0, 0.0, 0.0)), disj.toString)
+    // column half vs brute force on a mixed fixture: taxa occupancies
+    // t1:3, t2:2, t3:1, t4:1 → ordered pairs (m_k > m_l) share samples:
+    // (t1,t2): 2 shared / 2 → 1.0; (t1,t3): 1/1 → 1.0; (t1,t4): 1/1 →
+    // 1.0; (t2,t3): 1/1 → 1.0; (t2,t4): 0; (t3,t4): equal occupancy 0
+    // → col_sum = 4, C(4,2) = 6 → nodf_cols = 100·4/6 = 66.666667
+    val mixed = run(Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 1L), ("b", 2L), ("c", 1L), ("c", 4L)))
+    assert(mixed.getDouble(3) == 66.666667, mixed.toString)
+    // corpus: one row, all three panels in [0, 100]
+    val sf = Relational.q64Nodf(spark, sfDir).head()
+    Seq(sf.getDouble(2), sf.getDouble(3), sf.getDouble(4)).foreach(v =>
+      assert(v >= 0.0 && v <= 100.0, sf.toString))
+  }
+
   test("Good-Turing coverage: exact on a planted frequency panel") {
     import spark.implicits._
     import graft.operators.TextOps
