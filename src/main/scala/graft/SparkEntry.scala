@@ -86,6 +86,7 @@ object SparkEntry {
     "q59_fisher_alpha" -> (Relational.q59FisherAlpha _),
     "q60_raup_crick" -> (Relational.q60RaupCrick _),
     "q63_multi_beta" -> (Relational.q63MultiBeta _),
+    "g24_ktruss" -> (Graph.g24Ktruss _),
     "q64_nodf" -> (Relational.q64Nodf _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
@@ -1141,6 +1142,7 @@ object SparkEntry {
     "q59_fisher_alpha" -> graft.operators.Relational.q59OracleSql,
     "q60_raup_crick" -> graft.operators.Relational.q60OracleSql,
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
+    "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),
     "q64_nodf" -> graft.operators.Relational.q64OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),

