@@ -85,6 +85,7 @@ object SparkEntry {
     "q58_hill_numbers" -> (Relational.q58HillNumbers _),
     "q59_fisher_alpha" -> (Relational.q59FisherAlpha _),
     "q60_raup_crick" -> (Relational.q60RaupCrick _),
+    "q61_envfit" -> (Relational.q61Envfit _),
     "q63_multi_beta" -> (Relational.q63MultiBeta _),
     "g24_ktruss" -> (Graph.g24Ktruss _),
     "q64_nodf" -> (Relational.q64Nodf _),
@@ -1141,6 +1142,7 @@ object SparkEntry {
     "q58_hill_numbers" -> graft.operators.Relational.q58OracleSql,
     "q59_fisher_alpha" -> graft.operators.Relational.q59OracleSql,
     "q60_raup_crick" -> graft.operators.Relational.q60OracleSql,
+    "q61_envfit" -> graft.operators.Relational.q61OracleSql,
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),
     "q64_nodf" -> graft.operators.Relational.q64OracleSql,

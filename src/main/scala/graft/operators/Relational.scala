@@ -3378,6 +3378,263 @@ object Relational {
         (round(bsor - bsim, 6) + 0.0) AS beta_sne
       FROM comp"""
 
+  /** q61: ENVFIT — fitting environmental vectors onto an ordination
+    * (vegan `envfit`, vector half) — the arrow overlay every
+    * published PCoA/NMDS plot carries: for each environmental
+    * variable v, the OLS fit v ~ (axis1, axis2) gives the direction
+    * the variable increases across the ordination map (the arrow) and
+    * its squared correlation r² (the arrow's length); significance is
+    * the permutation p over the shared [[permutationBijection]] deal
+    * (v shuffled across samples, axes fixed).
+    *
+    * Variables here are the sample dimension's numeric context: mean
+    * customer account balance, mean order total, and orders per
+    * customer, per nation sample.
+    *
+    * NO iterative solver: with axes and v centered, the 2-regressor
+    * normal equations have the closed form b1 = (Syy·Sxv − Sxy·Syv)/Δ,
+    * b2 = (Sxx·Syv − Sxy·Sxv)/Δ, Δ = Sxx·Syy − Sxy², and
+    * r² = (b1·Sxv + b2·Syv)/Svv — five round-12 DECIMAL(38,12) sums
+    * (order-free) per (variable, permutation) feed single double
+    * expressions on a round-9 grid. The axis moments and Svv are
+    * permutation-INVARIANT (computed once); only the two cross sums
+    * ride the (P+1)-deep lattice.
+    *
+    * Scale shape: axes are q31's gated shared machinery; env means
+    * are dimension-scale aggregates; everything here is
+    * samples × variables × (P+1) bounded. */
+  def q61Envfit(spark: SparkSession, dir: String): DataFrame = {
+    val x = Ordination.pcoa(q30BrayCurtis(spark, dir))
+      .select(col("sample").as("n_name"),
+        col("axis1").as("x1"), col("axis2").as("x2"))
+    val nat = Tables.dim(spark, dir, "nation")
+      .select(col("n_name"), col("n_nationkey"))
+    val cn = Tables.dim(spark, dir, "customer")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+    val acct = cn.groupBy("n_name")
+      .agg(round(sum(dec(col("c_acctbal"))).cast("double")
+        / count(lit(1)).cast("double"), 12).as("v"))
+      .withColumn("variable", lit("acctbal_mean"))
+    val ords = Tables.load(spark, dir, "orders")
+      .join(cn.select(col("c_custkey"), col("n_name")),
+        col("o_custkey") === col("c_custkey"))
+    val tp = ords.groupBy("n_name")
+      .agg(round(sum(dec(col("o_totalprice"))).cast("double")
+        / count(lit(1)).cast("double"), 12).as("v"))
+      .withColumn("variable", lit("totalprice_mean"))
+    val opc = ords.groupBy("n_name").agg(count(lit(1)).as("no"))
+      .join(cn.groupBy("n_name").agg(count(lit(1)).as("nc")), "n_name")
+      .select(col("n_name"), round(col("no").cast("double")
+        / col("nc").cast("double"), 12).as("v"))
+      .withColumn("variable", lit("orders_per_cust"))
+    envfitFromConfig(x,
+      acct.unionByName(tp).unionByName(opc)
+        .select(col("variable"), col("n_name"), col("v")),
+      nat.select(col("n_name"), col("n_nationkey").as("k")))
+  }
+
+  /** [[q61Envfit]]'s core over an (n_name, x1, x2) ordination, a
+    * (variable, n_name, v) environment frame, and a (n_name, k) key
+    * frame — split out for planted specs. */
+  def envfitFromConfig(x0: DataFrame, env0: DataFrame,
+      keys: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val d3812 = "decimal(38,12)"
+    val samples = graft.Ckpt(x0.select("n_name").join(keys, "n_name"))
+    val xm = x0.agg(
+      (sum(col("x1").cast(d3812)).cast("double")
+        / count(lit(1)).cast("double")).as("m1"),
+      (sum(col("x2").cast(d3812)).cast("double")
+        / count(lit(1)).cast("double")).as("m2"))
+    val xc = graft.Ckpt(x0.crossJoin(broadcast(xm))
+      .select(col("n_name"),
+        round(col("x1") - col("m1"), 12).as("c1"),
+        round(col("x2") - col("m2"), 12).as("c2")))
+    val vm = env0.groupBy("variable").agg(
+      (sum(col("v").cast(d3812)).cast("double")
+        / count(lit(1)).cast("double")).as("mv"))
+    val vc = graft.Ckpt(env0
+      .join(broadcast(vm), "variable")
+      .select(col("variable"), col("n_name"),
+        round(col("v") - col("mv"), 12).as("vc")))
+    val ax = xc.agg(
+      sum(round(col("c1") * col("c1"), 12).cast(d3812))
+        .cast("double").as("sxx"),
+      sum(round(col("c1") * col("c2"), 12).cast(d3812))
+        .cast("double").as("sxy"),
+      sum(round(col("c2") * col("c2"), 12).cast(d3812))
+        .cast("double").as("syy"))
+    val svv = vc.groupBy("variable")
+      .agg(sum(round(col("vc") * col("vc"), 12).cast(d3812))
+        .cast("double").as("svv"))
+    val pi = permutationBijection(samples, P)
+    val cross = xc.join(pi, "n_name")
+      .join(vc.select(col("variable"), col("n_name").as("mapped"),
+        col("vc")), "mapped")
+      .groupBy("variable", "p").agg(
+        sum(round(col("c1") * col("vc"), 12).cast(d3812))
+          .cast("double").as("sxv"),
+        sum(round(col("c2") * col("vc"), 12).cast(d3812))
+          .cast("double").as("syv"))
+    val det = col("sxx") * col("syy") - col("sxy") * col("sxy")
+    val r2all = cross
+      .crossJoin(broadcast(ax)) // one-row axis moments (q61)
+      .join(broadcast(svv), "variable")
+      .select(col("variable"), col("p"), col("sxv"), col("syv"),
+        col("sxx"), col("sxy"), col("syy"), col("svv"),
+        when(det > 0 && col("svv") > 0, round(
+          ((col("syy") * col("sxv") - col("sxy") * col("syv")) * col("sxv")
+            + (col("sxx") * col("syv") - col("sxy") * col("sxv"))
+              * col("syv"))
+          / det / col("svv"), 9)).as("r2"))
+    val obs = r2all.filter(col("p") === 0L)
+      .withColumn("b1", (col("syy") * col("sxv")
+        - col("sxy") * col("syv")) / det)
+      .withColumn("b2", (col("sxx") * col("syv")
+        - col("sxy") * col("sxv")) / det)
+      .withColumn("bl", sqrt(col("b1") * col("b1")
+        + col("b2") * col("b2")))
+      .select(col("variable"), col("r2").as("r2_obs"),
+        when(col("bl") > 0, col("b1") / col("bl")).as("dx0"),
+        when(col("bl") > 0, col("b2") / col("bl")).as("dy0"))
+    r2all.filter(col("p") >= 1L)
+      .join(broadcast(obs), "variable")
+      .groupBy("variable").agg(
+        first(col("dx0")).as("dx0"), first(col("dy0")).as("dy0"),
+        first(col("r2_obs")).as("r20"),
+        count(lit(1)).as("n_perms"),
+        sum(when(col("r2") >= col("r2_obs"), 1L).otherwise(0L))
+          .as("n_ge"))
+      .select(col("variable"),
+        graft.GraftFunctions.roundz(col("dx0"), 6).as("dx"),
+        graft.GraftFunctions.roundz(col("dy0"), 6).as("dy"),
+        graft.GraftFunctions.roundz(col("r20"), 6).as("r2"),
+        col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+      .orderBy("variable")
+  }
+
+  /** DuckDB oracle for [[q61Envfit]] — the q31 PCoA oracle as the
+    * ordination, identical env-mean derivations, the shared bijection
+    * deal, and the same closed-form normal equations on the round-12
+    * sum grid. */
+  def q61OracleSql: String = s"""
+      WITH xcfg AS MATERIALIZED (
+        SELECT sample AS n_name, axis1 AS x1, axis2 AS x2
+        FROM (${Ordination.q31OracleSql()}) q31),
+      cn AS MATERIALIZED (
+        SELECT c_custkey, n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey),
+      env AS MATERIALIZED (
+        SELECT 'acctbal_mean' AS variable, n_name,
+          round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS v
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'totalprice_mean', n_name,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12)
+        FROM orders JOIN cn ON o_custkey = c_custkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'orders_per_cust', o.n_name,
+          round(CAST(o.no AS DOUBLE) / CAST(c.nc AS DOUBLE), 12)
+        FROM (SELECT n_name, count(*) AS no FROM orders
+              JOIN cn ON o_custkey = c_custkey GROUP BY 1) o
+        JOIN (SELECT n_name, count(*) AS nc FROM cn GROUP BY 1) c
+          ON o.n_name = c.n_name),
+      samples AS MATERIALIZED (
+        SELECT xcfg.n_name, n_nationkey AS k
+        FROM xcfg JOIN nation ON nation.n_name = xcfg.n_name),
+      xm AS (
+        SELECT CAST(sum(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS m1,
+          CAST(sum(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS m2
+        FROM xcfg),
+      xc AS MATERIALIZED (
+        SELECT n_name, round(x1 - m1, 12) AS c1, round(x2 - m2, 12) AS c2
+        FROM xcfg, xm),
+      vm AS (
+        SELECT variable, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS mv
+        FROM env GROUP BY 1),
+      vc AS MATERIALIZED (
+        SELECT env.variable, n_name, round(v - mv, 12) AS vc
+        FROM env JOIN vm ON env.variable = vm.variable),
+      ax AS (
+        SELECT CAST(sum(CAST(round(c1 * c1, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS sxx,
+          CAST(sum(CAST(round(c1 * c2, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS sxy,
+          CAST(sum(CAST(round(c2 * c2, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS syy
+        FROM xc),
+      svv AS (
+        SELECT variable, CAST(sum(CAST(round(vc * vc, 12)
+          AS DECIMAL(38,12))) AS DOUBLE) AS svv
+        FROM vc GROUP BY 1),
+      byid AS (
+        SELECT p, n_name, row_number() OVER (
+          PARTITION BY p ORDER BY n_name) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      byhash AS (
+        SELECT p, n_name AS mapped, row_number() OVER (
+          PARTITION BY p ORDER BY
+            ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+            k) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      pi AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, n_name AS mapped
+        FROM samples
+        UNION ALL
+        SELECT CAST(byid.p AS BIGINT), byid.n_name, mapped
+        FROM byid JOIN byhash ON byid.p = byhash.p AND byid.j = byhash.j),
+      crossx AS (
+        SELECT vc.variable, pi.p,
+          CAST(sum(CAST(round(xc.c1 * vc.vc, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS sxv,
+          CAST(sum(CAST(round(xc.c2 * vc.vc, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS syv
+        FROM xc JOIN pi ON pi.n_name = xc.n_name
+        JOIN vc ON vc.n_name = pi.mapped
+        GROUP BY 1, 2),
+      r2all AS (
+        SELECT variable, p, sxv, syv, sxx, sxy, syy, svv,
+          CASE WHEN sxx * syy - sxy * sxy > 0 AND svv > 0 THEN round(
+            ((syy * sxv - sxy * syv) * sxv
+              + (sxx * syv - sxy * sxv) * syv)
+            / (sxx * syy - sxy * sxy) / svv, 9) END AS r2
+        FROM crossx JOIN svv USING (variable), ax),
+      obs AS (
+        SELECT variable, r2 AS r2_obs,
+          CASE WHEN bl > 0 THEN b1 / bl END AS dx0,
+          CASE WHEN bl > 0 THEN b2 / bl END AS dy0
+        FROM (
+          SELECT variable, r2,
+            (syy * sxv - sxy * syv) / (sxx * syy - sxy * sxy) AS b1,
+            (sxx * syv - sxy * sxv) / (sxx * syy - sxy * sxy) AS b2,
+            sqrt(((syy * sxv - sxy * syv) / (sxx * syy - sxy * sxy))
+              * ((syy * sxv - sxy * syv) / (sxx * syy - sxy * sxy))
+              + ((sxx * syv - sxy * sxv) / (sxx * syy - sxy * sxy))
+              * ((sxx * syv - sxy * sxv) / (sxx * syy - sxy * sxy)))
+              AS bl
+          FROM r2all WHERE p = 0))
+      SELECT r.variable,
+        (round(dx0, 6) + 0.0) AS dx, (round(dy0, 6) + 0.0) AS dy,
+        (round(r2_obs, 6) + 0.0) AS r2,
+        count(*) AS n_perms,
+        CAST(sum(CASE WHEN r.r2 >= r2_obs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ge,
+        round(CAST(sum(CASE WHEN r.r2 >= r2_obs THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+      FROM r2all r JOIN obs USING (variable)
+      WHERE r.p >= 1
+      GROUP BY r.variable, dx0, dy0, r2_obs
+      ORDER BY r.variable"""
+
   /** q64: NODF NESTEDNESS (Almeida-Neto et al. 2008; vegan
     * `nestednodf`) — "are poor communities subsets of rich ones?", the
     * matrix-wide structure question behind q56's per-pair nestedness

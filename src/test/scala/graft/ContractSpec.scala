@@ -293,6 +293,11 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(poolRich)) // one-row pooled richness" -> "one-row (q63 pooled richness)",
         ".crossJoin(broadcast(pairSums)) // one-row pair-census sums" -> "one-row (q63 pair sums)",
         ".crossJoin(broadcast(rowSum)) // one-row row-half sum" -> "one-row (q64 row half)",
+        "val xc = graft.Ckpt(x0.crossJoin(broadcast(xm))" -> "one-row (q61 axis means)",
+        ".join(broadcast(vm), \"variable\")" -> "k (per-variable means — q61)",
+        ".crossJoin(broadcast(ax)) // one-row axis moments (q61)" -> "one-row (q61 axis moments)",
+        ".join(broadcast(svv), \"variable\")" -> "k (per-variable total SS — q61)",
+        ".join(broadcast(obs), \"variable\")" -> "k (per-variable observed row — q61)",
         ".crossJoin(broadcast(colSum)) // one-row column-half sum" -> "one-row (q64 column half)",
         ".join(broadcast(rich.select(col(\"n_name\").as(\"nb\")," -> "dim (per-sample richness — q56)",
         ".crossJoin(broadcast(depths))" -> "k (10-row depth lattice)",

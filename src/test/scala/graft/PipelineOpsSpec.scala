@@ -1367,6 +1367,48 @@ class PipelineOpsSpec extends SparkSpec {
       assert(v >= 0.0 && v <= 100.0, sf.toString))
   }
 
+  test("envfit: an exactly axis-aligned variable fits r2=1 with the " +
+       "right arrow, a constant variable is NULL, noise stays weak") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val names = ('a' to 'y').map(c => s"s$c")
+    val axes = names.zipWithIndex.map { case (nm, i) =>
+      (nm, 0.1 * ((i * 7 + 3) % 11) - 0.5, 0.1 * ((i * 13 + 5) % 9) - 0.4)
+    }
+    val keys = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong) }.toDF("n_name", "k")
+    def run(env: Seq[(String, String, Double)]) =
+      Relational.envfitFromConfig(
+        axes.toDF("n_name", "x1", "x2"),
+        env.toDF("variable", "n_name", "v"), keys).collect()
+        .map(r => r.getString(0) -> r).toMap
+    val env =
+      axes.map { case (nm, x1, _) => ("aligned", nm, 3.0 * x1 + 7.0) } ++
+      axes.map { case (nm, _, _) => ("flat", nm, 42.0) } ++
+      names.zipWithIndex.map { case (nm, i) =>
+        ("noise", nm, 0.1 * ((i * 31 + 17) % 23)) }
+    val got = run(env)
+    // a variable that IS 3·axis1 + 7: r2 = 1 exactly, arrow = (1, 0)
+    assert(got("aligned").getDouble(3) == 1.0, got("aligned").toString)
+    assert(got("aligned").getDouble(1) == 1.0
+      && got("aligned").getDouble(2) == 0.0, got("aligned").toString)
+    // constant variable: Svv = 0 → NULL r2 and arrow, p from NULL
+    // compares (n_ge = 0 → p = 1/(P+1) is NOT emitted as significant
+    // semantics — the r2 NULL is the signal)
+    assert(got("flat").isNullAt(3), got("flat").toString)
+    // hash noise: r2 well below 1
+    assert(got("noise").getDouble(3) < 0.9, got("noise").toString)
+    // corpus: 3 variables, r2 in [0,1], p in (0,1]
+    val sf = Relational.q61Envfit(spark, sfDir).collect()
+    assert(sf.length == 3, sf.mkString(";"))
+    sf.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, r.toString)
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0, r.toString)
+      val (dx, dy) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(dx * dx + dy * dy - 1.0) < 1e-5, r.toString)
+    }
+  }
+
   test("Good-Turing coverage: exact on a planted frequency panel") {
     import spark.implicits._
     import graft.operators.TextOps
