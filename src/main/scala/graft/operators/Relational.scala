@@ -3635,6 +3635,257 @@ object Relational {
       GROUP BY r.variable, dx0, dy0, r2_obs
       ORDER BY r.variable"""
 
+  /** The q62 environment-variable vocabulary and its non-empty subset
+    * lattice — ONE source of truth rendered into both the Spark
+    * literal membership frame and the oracle's VALUES list. */
+  val BioenvVars: Seq[String] =
+    Seq("acctbal_mean", "orders_per_cust", "totalprice_mean")
+  def bioenvSubsets: Seq[(String, Seq[String])] =
+    (1 until (1 << BioenvVars.size)).map { m =>
+      val vs = BioenvVars.zipWithIndex
+        .filter(t => (m & (1 << t._2)) != 0).map(_._1)
+      (vs.mkString("+"), vs)
+    }.sortBy(_._1)
+
+  /** q62: BIOENV / BEST-SUBSET ENVIRONMENT SELECTION (Clarke &
+    * Ainsworth 1993; vegan `bioenv`) — "WHICH combination of
+    * environmental variables best explains the community pattern?":
+    * for every non-empty subset of the environment variables, the
+    * Spearman rank correlation ρ between the subset's standardized
+    * Euclidean sample distances and the q30 Bray–Curtis
+    * dissimilarities; subsets ranked by ρ. q61's envfit asks the
+    * question per variable against the 2-D ordination; this asks it
+    * per SUBSET against the full distance structure — the
+    * model-selection half of the env story.
+    *
+    * Determinism: z-scores on the round-12 grid from DECIMAL
+    * mean/variance sums; each pair's per-variable squared difference
+    * is round-12 quantized into DECIMAL(38,12) and the subset distance
+    * is their order-free decimal SUM — ranks are computed on this
+    * EXACT decimal (sqrt is monotone, so Spearman needs no root and no
+    * float ever enters the ranking). Ranks ride q51's exact integer
+    * average-tie grid avg2 = 2·rank_min + ties − 1; ρ is one double
+    * expression over six exact integer sums, roundz-6. A
+    * zero-variance variable yields NULL z → null-skipping sums drop it
+    * identically in both engines (an all-dropped subset has constance
+    * ⇒ NULL ρ).
+    *
+    * Scale shape: only q30's checkpointed fact aggregate touches the
+    * corpus; everything here is pairs × subsets bounded (the subset
+    * lattice is 2^vars − 1 with a FIXED variable vocabulary). */
+  def q62Bioenv(spark: SparkSession, dir: String): DataFrame = {
+    val bcp = q30BrayCurtis(spark, dir)
+      .select(col("sample_a"), col("sample_b"),
+        col("bray_curtis").as("bc"))
+    val nat = Tables.dim(spark, dir, "nation")
+      .select(col("n_name"), col("n_nationkey"))
+    val cn = Tables.dim(spark, dir, "customer")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+    val acct = cn.groupBy("n_name")
+      .agg(round(sum(dec(col("c_acctbal"))).cast("double")
+        / count(lit(1)).cast("double"), 12).as("v"))
+      .withColumn("variable", lit("acctbal_mean"))
+    val ords = Tables.load(spark, dir, "orders")
+      .join(cn.select(col("c_custkey"), col("n_name")),
+        col("o_custkey") === col("c_custkey"))
+    val tp = ords.groupBy("n_name")
+      .agg(round(sum(dec(col("o_totalprice"))).cast("double")
+        / count(lit(1)).cast("double"), 12).as("v"))
+      .withColumn("variable", lit("totalprice_mean"))
+    val opc = ords.groupBy("n_name").agg(count(lit(1)).as("no"))
+      .join(cn.groupBy("n_name").agg(count(lit(1)).as("nc")), "n_name")
+      .select(col("n_name"), round(col("no").cast("double")
+        / col("nc").cast("double"), 12).as("v"))
+      .withColumn("variable", lit("orders_per_cust"))
+    bioenvFromInputs(bcp,
+      acct.unionByName(tp).unionByName(opc)
+        .select(col("variable"), col("n_name"), col("v")))
+  }
+
+  /** [[q62Bioenv]]'s core over a (sample_a, sample_b, bc) pair frame
+    * and a (variable, n_name, v) environment frame — split out for
+    * planted specs. Subsets come from [[bioenvSubsets]]. */
+  def bioenvFromInputs(bcp0: DataFrame, env0: DataFrame): DataFrame = {
+    val spark = bcp0.sparkSession
+    import spark.implicits._
+    val d3812 = "decimal(38,12)"
+    val bcp = graft.Ckpt(bcp0)
+    // standardize: z on the round-12 grid from decimal moment sums
+    val vm = env0.groupBy("variable").agg(
+      (sum(col("v").cast(d3812)).cast("double")
+        / count(lit(1)).cast("double")).as("mv"),
+      count(lit(1)).as("nv"))
+    val vsd = env0.join(broadcast(vm), "variable")
+      .groupBy("variable").agg(
+        round(sqrt(sum(round((col("v") - col("mv"))
+            * (col("v") - col("mv")), 12).cast(d3812)).cast("double")
+          / (first(col("nv")) - 1).cast("double")), 12).as("sd"),
+        first(col("mv")).as("mv"))
+    val z = graft.Ckpt(env0.join(broadcast(vsd), "variable")
+      .select(col("variable"), col("n_name"),
+        when(col("sd") > 0,
+          round((col("v") - col("mv")) / col("sd"), 12)).as("z")))
+    // per (pair, variable) squared difference on the decimal grid
+    val d2 = bcp
+      .join(z.select(col("variable"), col("n_name").as("sample_a"),
+        col("z").as("za")), "sample_a")
+      .join(z.select(col("variable"), col("n_name").as("sample_b"),
+        col("z").as("zb")), Seq("sample_b", "variable"))
+      .select(col("sample_a"), col("sample_b"), col("variable"),
+        round((col("za") - col("zb")) * (col("za") - col("zb")), 12)
+          .cast(d3812).as("d2"))
+    val member = broadcast(bioenvSubsets
+      .flatMap { case (s, vs) => vs.map(v => (s, vs.size, v)) }
+      .toDF("subset", "k_vars", "variable"))
+    val dist = d2.join(member, "variable")
+      .groupBy(col("subset"), col("k_vars"),
+        col("sample_a"), col("sample_b"))
+      .agg(sum(col("d2")).as("dist"))
+    // exact integer average-tie ranks (q51's avg2 grid) per subset for
+    // the env distance; once globally for the shared BC vector
+    val wrD = Window.partitionBy("subset").orderBy(col("dist"))
+    val wtD = Window.partitionBy("subset", "dist")
+    val wrB = Window.orderBy(col("bc"))
+    val wtB = Window.partitionBy(col("bc"))
+    val bcr = bcp.select(col("sample_a"), col("sample_b"),
+      (lit(2) * rank().over(wrB) + count(lit(1)).over(wtB) - 1)
+        .cast("long").as("w"))
+    val ranked = dist
+      .withColumn("u", (lit(2) * rank().over(wrD)
+        + count(lit(1)).over(wtD) - 1).cast("long"))
+      .join(bcr, Seq("sample_a", "sample_b"))
+    val stats = ranked.groupBy("subset", "k_vars").agg(
+      count(lit(1)).as("n"),
+      sum(col("u")).as("su"), sum(col("w")).as("sw"),
+      sum(col("u") * col("u")).as("suu"),
+      sum(col("w") * col("w")).as("sww"),
+      sum(col("u") * col("w")).as("suw"))
+    val den2u = col("n") * col("suu") - col("su") * col("su")
+    val den2w = col("n") * col("sww") - col("sw") * col("sw")
+    val rho = stats.select(col("subset"), col("k_vars"),
+      when(den2u > 0 && den2w > 0, graft.GraftFunctions.roundz(
+        (col("n") * col("suw") - col("su") * col("sw")).cast("double")
+          / sqrt(den2u.cast("double")) / sqrt(den2w.cast("double")), 6))
+        .as("rho"))
+    rho.withColumn("rnk",
+      row_number().over(Window.orderBy(col("rho").desc_nulls_last,
+        col("subset"))))
+      .select(col("rnk"), col("subset"), col("k_vars"), col("rho"))
+      .orderBy("rnk")
+  }
+
+  /** DuckDB oracle for [[q62Bioenv]] — identical z-score grid, exact
+    * decimal subset distances, the same avg2 integer rank lattice, and
+    * the same six-sum ρ expression. */
+  def q62OracleSql: String = {
+    val values = bioenvSubsets
+      .flatMap { case (s, vs) => vs.map(v => s"('$s', ${vs.size}, '$v')") }
+      .mkString(", ")
+    s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY n_name),
+      cm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS c
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      bcp AS MATERIALIZED (
+        SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+          round(1.0 - 2.0 * CAST(coalesce(cm.c, 0) AS DOUBLE)
+            / (CAST(ta.s AS DOUBLE) + CAST(tb.s AS DOUBLE)), 6) AS bc
+        FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+        LEFT JOIN cm ON cm.sample_a = ta.n_name
+          AND cm.sample_b = tb.n_name),
+      cn AS MATERIALIZED (
+        SELECT c_custkey, n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey),
+      env AS MATERIALIZED (
+        SELECT 'acctbal_mean' AS variable, n_name,
+          round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS v
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'totalprice_mean', n_name,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12)
+        FROM orders JOIN cn ON o_custkey = c_custkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'orders_per_cust', o.n_name,
+          round(CAST(o.no AS DOUBLE) / CAST(c.nc AS DOUBLE), 12)
+        FROM (SELECT n_name, count(*) AS no FROM orders
+              JOIN cn ON o_custkey = c_custkey GROUP BY 1) o
+        JOIN (SELECT n_name, count(*) AS nc FROM cn GROUP BY 1) c
+          ON o.n_name = c.n_name),
+      vm AS (
+        SELECT variable,
+          CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS mv,
+          count(*) AS nv
+        FROM env GROUP BY 1),
+      vsd AS (
+        SELECT env.variable,
+          round(sqrt(CAST(sum(CAST(round((v - mv) * (v - mv), 12)
+              AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(any_value(nv) - 1 AS DOUBLE)), 12) AS sd,
+          any_value(mv) AS mv
+        FROM env JOIN vm ON env.variable = vm.variable
+        GROUP BY env.variable),
+      z AS MATERIALIZED (
+        SELECT env.variable, n_name,
+          CASE WHEN sd > 0 THEN round((v - mv) / sd, 12) END AS z
+        FROM env JOIN vsd ON env.variable = vsd.variable),
+      d2 AS (
+        SELECT sample_a, sample_b, za.variable,
+          CAST(round((za.z - zb.z) * (za.z - zb.z), 12)
+            AS DECIMAL(38,12)) AS d2
+        FROM bcp
+        JOIN z za ON za.n_name = sample_a
+        JOIN z zb ON zb.n_name = sample_b AND zb.variable = za.variable),
+      member(subset, k_vars, variable) AS (VALUES $values),
+      dist AS (
+        SELECT subset, k_vars, sample_a, sample_b, sum(d2) AS dist
+        FROM d2 JOIN member USING (variable)
+        GROUP BY 1, 2, 3, 4),
+      bcr AS (
+        SELECT sample_a, sample_b,
+          CAST(2 * rank() OVER (ORDER BY bc)
+            + count(*) OVER (PARTITION BY bc) - 1 AS BIGINT) AS w
+        FROM bcp),
+      ranked AS (
+        SELECT subset, k_vars,
+          CAST(2 * rank() OVER (PARTITION BY subset ORDER BY dist)
+            + count(*) OVER (PARTITION BY subset, dist) - 1 AS BIGINT)
+            AS u,
+          w
+        FROM dist JOIN bcr USING (sample_a, sample_b)),
+      stats AS (
+        SELECT subset, k_vars, count(*) AS n,
+          sum(u) AS su, sum(w) AS sw, sum(u * u) AS suu,
+          sum(w * w) AS sww, sum(u * w) AS suw
+        FROM ranked GROUP BY 1, 2),
+      rho AS (
+        SELECT subset, k_vars,
+          CASE WHEN n * suu - su * su > 0 AND n * sww - sw * sw > 0
+            THEN (round(CAST(n * suw - su * sw AS DOUBLE)
+              / sqrt(CAST(n * suu - su * su AS DOUBLE))
+              / sqrt(CAST(n * sww - sw * sw AS DOUBLE)), 6) + 0.0)
+            END AS rho
+        FROM stats)
+      SELECT CAST(row_number() OVER (
+          ORDER BY rho DESC NULLS LAST, subset) AS INT) AS rnk,
+        subset, CAST(k_vars AS INT) AS k_vars, rho
+      FROM rho ORDER BY rnk"""
+  }
+
   /** q64: NODF NESTEDNESS (Almeida-Neto et al. 2008; vegan
     * `nestednodf`) — "are poor communities subsets of rich ones?", the
     * matrix-wide structure question behind q56's per-pair nestedness

@@ -294,6 +294,9 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(pairSums)) // one-row pair-census sums" -> "one-row (q63 pair sums)",
         ".crossJoin(broadcast(rowSum)) // one-row row-half sum" -> "one-row (q64 row half)",
         "val xc = graft.Ckpt(x0.crossJoin(broadcast(xm))" -> "one-row (q61 axis means)",
+        "val vsd = env0.join(broadcast(vm), \"variable\")" -> "k (per-variable moments — q62)",
+        "val z = graft.Ckpt(env0.join(broadcast(vsd), \"variable\")" -> "k (per-variable z params — q62)",
+        "val member = broadcast(bioenvSubsets" -> "k (fixed subset lattice — q62)",
         ".join(broadcast(vm), \"variable\")" -> "k (per-variable means — q61)",
         ".crossJoin(broadcast(ax)) // one-row axis moments (q61)" -> "one-row (q61 axis moments)",
         ".join(broadcast(svv), \"variable\")" -> "k (per-variable total SS — q61)",

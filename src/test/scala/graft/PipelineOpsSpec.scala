@@ -1409,6 +1409,51 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bioenv: the variable that GENERATED the distances wins, its " +
+       "supersets tie at rho=1, and a constant variable nulls out") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // 6 samples at SIDON-set positions {0,1,3,7,12,20} — all 15
+    // pairwise differences distinct, so NO rank ties exist and the
+    // 1e-12 z-quantization noise cannot split a tie group: a monotone
+    // env distance in the same order gives Spearman rho = 1 EXACTLY
+    val pos = Seq(0, 1, 3, 7, 12, 20)
+    val names = pos.indices.map(i => s"s$i")
+    val bcp = (for {
+      i <- pos.indices; j <- i + 1 until pos.size
+    } yield (names(i), names(j), 0.01 * (pos(j) - pos(i))))
+      .toDF("sample_a", "sample_b", "bc")
+    // acctbal_mean sits at the Sidon positions (scaled); totalprice_
+    // mean is hash noise; orders_per_cust is CONSTANT (sd = 0 → its
+    // singleton subset has no distance signal → NULL rho)
+    val env = names.zipWithIndex.flatMap { case (nm, i) => Seq(
+      ("acctbal_mean", nm, 10.0 * pos(i)),
+      ("totalprice_mean", nm, ((i * 17 + 5) % 7).toDouble),
+      ("orders_per_cust", nm, 3.0)) }
+      .toDF("variable", "n_name", "v")
+    val got = Relational.bioenvFromInputs(bcp, env).collect()
+      .map(r => r.getString(1) ->
+        (r.getInt(0), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got.size == 7, got.toString)
+    // the generating variable alone: rho = 1 (rank 1 after tie-break)
+    assert(got("acctbal_mean")._2.contains(1.0), got.toString)
+    // adding the constant variable changes nothing: still rho = 1
+    assert(got("acctbal_mean+orders_per_cust")._2.contains(1.0),
+      got.toString)
+    // the constant variable alone: all distances tie → NULL rho, last
+    assert(got("orders_per_cust")._2.isEmpty, got.toString)
+    assert(got("orders_per_cust")._1 == 7, got.toString)
+    // noise alone must not reach 1
+    assert(got("totalprice_mean")._2.exists(_ < 1.0), got.toString)
+    // corpus: 7 subsets, ranks 1..7, rho in [-1, 1]
+    val sf = Relational.q62Bioenv(spark, sfDir).collect()
+    assert(sf.length == 7 && sf.map(_.getInt(0)).sorted.sameElements(1 to 7),
+      sf.mkString(";"))
+    sf.filterNot(_.isNullAt(3)).foreach(r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0, r.toString))
+  }
+
   test("Good-Turing coverage: exact on a planted frequency panel") {
     import spark.implicits._
     import graft.operators.TextOps
