@@ -2149,4 +2149,120 @@ object Dedup {
         count(*) AS n_copies,
         count(DISTINCT url) AS n_variant_forms
       FROM canon GROUP BY canonical ORDER BY kept_doc_id"""
+
+  /** d22 content-defined chunking parameters: the boundary test reads
+    * a [[CdcGram]]-word rolling window and cuts where its hash lands
+    * on residue [[CdcRes]] mod [[CdcDiv]] — expected chunk length ≈
+    * CdcDiv words. No min/max chunk clamps (the production FastCDC
+    * refinement); the plain Rabin cut keeps both engines' boundary
+    * logic a single expression, and the duplication accounting is
+    * clamp-independent. */
+  val CdcGram = 4
+  val CdcDiv = 16L
+  val CdcRes = 7L
+
+  /** d22: CONTENT-DEFINED CHUNKING dedup (Rabin/LBFS-style; the CDC
+    * of Muthitacharoen et al. 2001) — the SHIFT-ROBUST sibling of
+    * d13's fixed k-word chunks: boundaries are cut where the rolling
+    * window's own content hashes to a fixed residue, so inserting a
+    * word near the head of a document RE-ALIGNS only up to the first
+    * content-defined boundary and every later chunk is byte-identical
+    * to the unshifted copy — the property fixed chunking structurally
+    * lacks (one head insertion shifts EVERY d13 boundary). The
+    * accounting is d13's duplication-as-COUNT: per doc, how many of
+    * its chunks occur ≥ 2× corpus-wide (in-doc repeats count), with
+    * the C4-style keep cut at half.
+    *
+    * Exactness: boundaries and chunk keys ride the shared 31-bit
+    * [[graft.functions.expressions.PolyHash]] lattice (char-fold
+    * mirrored by the oracle); all counts integer; one rounded
+    * division per doc.
+    *
+    * Scale shape — d13's exactly: boundary detection + chunk hashing
+    * is ONE in-row projection (gram hashes → cut filter → per-chunk
+    * hash; only 8-byte chunk keys leave the row); one (doc, chunk)
+    * count aggregate behind a checkpoint; chunk-frequency rollup from
+    * the tf frame (map-side partials absorb viral boilerplate
+    * chunks); linear tf⋈cf re-attach; per-doc rollup. NO pair join
+    * anywhere. */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkDedup(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def cdcChunkDedup(docs: DataFrame, g: Int = CdcGram, div: Long = CdcDiv,
+      res: Long = CdcRes): DataFrame = {
+    val w = split(col("text"), " ")
+    // a word position j (1-based) ENDS a chunk when the g-word window
+    // ending at j hashes to the residue, or at the document's end;
+    // positions before the first full window never cut
+    val ends = filter(sequence(lit(1), size(w)), j =>
+      (j === size(w)) || (j >= g &&
+        pmod(graft.GraftFunctions.polyHash(
+          concat_ws(" ", slice(w, j - (g - 1), lit(g)))), lit(div))
+          === res))
+    graft.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val chunkHashes = expr(
+      s"""transform(sequence(1, size(ends)), n ->
+         |  poly_hash(concat_ws(' ', slice(ws,
+         |    CASE WHEN n = 1 THEN 1 ELSE element_at(ends, n - 1) + 1 END,
+         |    element_at(ends, n) - CASE WHEN n = 1 THEN 0
+         |      ELSE element_at(ends, n - 1) END)), 131L, 2147483647L))"""
+        .stripMargin)
+    val tf = graft.Ckpt(
+      docs.select(col("doc_id"), w.as("ws"), ends.as("ends"))
+        .withColumn("ch", explode(chunkHashes))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("tf")))
+    val cf = tf.groupBy("ch").agg(sum(col("tf")).as("n_occ"))
+    tf.join(cf, "ch")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_chunks"),
+        sum(when(col("n_occ") >= 2, col("tf")).otherwise(lit(0L)))
+          .as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double")
+          / col("n_chunks").cast("double"), 6))
+      .withColumn("keep", col("dup_frac") <= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[cdcChunkDedup]] — identical window-hash cut
+    * rule and char-fold chunk hash on the reassembled chunk string. */
+  def d22OracleSql(g: Int = CdcGram, div: Long = CdcDiv,
+      res: Long = CdcRes): String = s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      ends AS (
+        SELECT doc_id, ws, list_filter(generate_series(1, len(ws)), j ->
+          j = len(ws) OR (j >= $g AND
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, length(
+                array_to_string(list_slice(ws, j - ${g - 1}, j), ' '))),
+                ci -> CAST(ascii(substr(
+                  array_to_string(list_slice(ws, j - ${g - 1}, j), ' '),
+                  ci, 1)) AS BIGINT))),
+              (acc, ch) -> (acc * 131 + ch) % 2147483647) % $div = $res))
+          AS ends
+        FROM w),
+      chunks AS (
+        SELECT doc_id,
+          array_to_string(list_slice(ws,
+            CASE WHEN n = 1 THEN 1 ELSE ends[n - 1] + 1 END,
+            ends[n]), ' ') AS chunk
+        FROM ends, unnest(generate_series(1, len(ends))) AS u(n)),
+      occ AS (
+        SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(chunk)),
+              ci -> CAST(ascii(substr(chunk, ci, 1)) AS BIGINT))),
+            (acc, ch) -> (acc * 131 + ch) % 2147483647) AS ch
+        FROM chunks),
+      tf AS (SELECT doc_id, ch, count(*) AS tf FROM occ GROUP BY 1, 2),
+      cf AS (SELECT ch, sum(tf) AS n_occ FROM tf GROUP BY 1)
+      SELECT doc_id,
+        CAST(sum(tf) AS BIGINT) AS n_chunks,
+        CAST(sum(CASE WHEN n_occ >= 2 THEN tf ELSE 0 END) AS BIGINT)
+          AS n_dup_chunks,
+        round(CAST(sum(CASE WHEN n_occ >= 2 THEN tf ELSE 0 END) AS DOUBLE)
+          / CAST(sum(tf) AS DOUBLE), 6) AS dup_frac,
+        round(CAST(sum(CASE WHEN n_occ >= 2 THEN tf ELSE 0 END) AS DOUBLE)
+          / CAST(sum(tf) AS DOUBLE), 6) <= 0.5 AS keep
+      FROM tf JOIN cf USING (ch)
+      GROUP BY doc_id ORDER BY doc_id"""
 }

@@ -667,4 +667,42 @@ class DedupSpec extends SparkSpec {
       r.getLong(3) <= r.getLong(2)), "corpus group shape violated")
     assert(sf.exists(_.getLong(2) == 3L), "no collapsed group on corpus")
   }
+
+  test("d22 CDC chunking: a head insertion re-aligns (shift-robust " +
+       "where fixed chunks are not), identical docs fully duplicate") {
+    import spark.implicits._
+    // 100 deterministic pseudo-words; doc 2 = the same text with two
+    // words PREPENDED — content-defined boundaries in the shared
+    // suffix land on the same windows, so chunks after the first cut
+    // are identical across the pair
+    val words = (0 until 100).map(i => s"w${(i * 37 + 11) % 83}")
+    val base = words.mkString(" ")
+    val shifted = "zz yy " + base
+    val pair = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunkDedup(pair).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cdc(1L)._2 >= 1 && cdc(2L)._2 >= 1,
+      s"CDC found no re-aligned duplicate chunks: $cdc")
+    // fixed k-word chunking on the SAME pair: the 2-word shift
+    // misaligns every boundary, so it finds strictly fewer duplicated
+    // chunks than CDC — the measured shift-robustness claim
+    val fixed = Dedup.chunkDedup(pair, Dedup.ChunkWords).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixed(1L) < cdc(1L)._2,
+      s"fixed chunking matched CDC on a shifted pair: $fixed vs $cdc")
+    // two identical docs: every chunk duplicated, keep = false at the
+    // half cut (dup_frac = 1)
+    val twins = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val tw = Dedup.cdcChunkDedup(twins).collect()
+    assert(tw.forall(r => r.getLong(1) == r.getLong(2) && !r.getBoolean(4)),
+      tw.mkString(";"))
+    // degenerate: an empty text still yields one chunk and a row
+    val e = Dedup.cdcChunkDedup(Seq((9L, "")).toDF("doc_id", "text"))
+      .collect()
+    assert(e.length == 1 && e(0).getLong(1) == 1L, e.mkString(";"))
+    // corpus: every doc present, dup_frac in [0, 1]
+    val sf = Dedup.cdcChunkDedup(
+      graft.Tables.load(spark, sfDir, "documents")).collect()
+    assert(sf.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
 }
