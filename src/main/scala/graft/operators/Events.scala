@@ -1772,4 +1772,176 @@ object Events {
           > 3.0 * sqrt(prev_level), FALSE) AS alarm
       FROM pv ORDER BY event_type, day"""
   }
+
+  /** Holt–Winters smoothing constants — exact SQL literal strings so
+    * both engines parse the identical DOUBLE. */
+  final val HwAlpha = "0.3"
+  final val HwBeta = "0.1"
+  final val HwGamma = "0.2"
+  final val HwSeason = 7
+
+  /** e28: ADDITIVE HOLT–WINTERS one-step-ahead forecast audit — the
+    * level + trend + weekly-seasonality member of the forecasting
+    * family (e25 = pure seasonal-naive, e27 = pure level): per type,
+    * ŷ_t = l_{t−1} + b_{t−1} + s_{t−7} with the classic recurrences
+    * l_t = α(y_t − s_{t−7}) + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    * s_t = γ(y_t − l_t) + (1−γ)s_{t−7}, standard two-week init
+    * (l = week-1 mean, b = (week-2 mean − week-1 mean)/7, s = week-1
+    * deviations); forecasts EMIT from day 15 (past both init weeks —
+    * no look-ahead in any emitted row).
+    *
+    * Determinism: the recurrence is double-valued and SEQUENTIAL, so
+    * the whole per-type chain is ONE in-row `aggregate` fold over the
+    * zero-filled calendar array (bounded state: l, b, a 7-slot season
+    * array — t27's packed-DP discipline; the calendar is day-bounded,
+    * never corpus-bounded) executing a fixed IEEE op sequence; the
+    * oracle replays the IDENTICAL expression tree via a recursive CTE
+    * stepping day by day — NOT list_reduce, whose double-field struct
+    * accumulator is the DuckDB 1.0 bug q60 documented. Smoothing
+    * constants ride exact literal strings cast to DOUBLE in both
+    * engines. Outputs round-6 (yhat), roundz (err).
+    *
+    * Scale: one fact-scale count aggregate; per-type state is a
+    * ≤(days) array (collect_list is calendar-bounded by construction);
+    * everything after is (types × days)-bounded. */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWinters(Tables.load(spark, dir, "events"))
+
+  def holtWinters(events: DataFrame): DataFrame = {
+    val m = HwSeason
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val cal = span.select(col("event_type"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val byType = filled.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt"))))
+        .as("dc"))
+      .filter(size(col("dc")) >= 2 * m + 1)
+      .select(col("event_type"),
+        expr("transform(dc, x -> x.day)").as("days"),
+        expr("transform(dc, x -> CAST(x.cnt AS DOUBLE))").as("ys"),
+        expr("transform(dc, x -> x.cnt)").as("cs"),
+        size(col("dc")).as("n"))
+    def el(k: String) = s"element_at(ys, $k)"
+    val w1 = (1 to m).map(k => el(k.toString)).mkString(" + ")
+    val w2 = (m + 1 to 2 * m).map(k => el(k.toString)).mkString(" + ")
+    val l0 = s"(($w1) / CAST(7.0 AS DOUBLE))"
+    val b0 = s"((($w2) / CAST(7.0 AS DOUBLE) - $l0) / CAST(7.0 AS DOUBLE))"
+    val s0 = (1 to m).map(k => s"${el(k.toString)} - $l0")
+      .mkString("array(", ", ", ")")
+    val su = s"element_at(acc.s, ((t - 1) % $m) + 1)"
+    val y = el("t")
+    val yhat = s"(acc.l + acc.b + $su)"
+    val lN = s"(CAST($HwAlpha AS DOUBLE) * ($y - $su) " +
+      s"+ (CAST(1.0 AS DOUBLE) - CAST($HwAlpha AS DOUBLE)) " +
+      s"* (acc.l + acc.b))"
+    val bN = s"(CAST($HwBeta AS DOUBLE) * ($lN - acc.l) " +
+      s"+ (CAST(1.0 AS DOUBLE) - CAST($HwBeta AS DOUBLE)) * acc.b)"
+    val sN = s"(CAST($HwGamma AS DOUBLE) * ($y - $lN) " +
+      s"+ (CAST(1.0 AS DOUBLE) - CAST($HwGamma AS DOUBLE)) * $su)"
+    val fold = s"""aggregate(
+      sequence(${m + 1}, n),
+      named_struct(
+        'l', $l0, 'b', $b0, 's', $s0,
+        'out', CAST(array() AS array<struct<t:int, yhat:double>>)),
+      (acc, t) -> named_struct(
+        'l', $lN, 'b', $bN,
+        's', transform(acc.s, (v, i) -> CASE WHEN i = (t - 1) % $m
+               THEN $sN ELSE v END),
+        'out', CASE WHEN t >= ${2 * m + 1} THEN concat(acc.out,
+            array(named_struct('t', t, 'yhat', $yhat)))
+          ELSE acc.out END),
+      acc -> acc.out)"""
+    byType
+      .withColumn("o", explode(expr(fold)))
+      .withColumn("yhat", round(col("o.yhat"), 6))
+      .withColumn("cnt", element_at(col("cs"), col("o.t")))
+      .withColumn("err", graft.GraftFunctions.roundz(
+        col("cnt").cast("double") - col("yhat"), 6))
+      .select(col("event_type"),
+        date_format(element_at(col("days"), col("o.t")), "yyyy-MM-dd")
+          .as("day"),
+        col("cnt"), col("yhat"), col("err"),
+        (abs(col("err")) > lit(3.0)
+          * sqrt(greatest(col("yhat"), lit(0.0)))).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB oracle for [[holtWinters]] — identical zero-filled
+    * calendar, identical two-week init, and the SAME IEEE expression
+    * tree replayed day-by-day in a recursive CTE (one row per type per
+    * day; list_reduce is avoided — its double-field struct accumulator
+    * is the DuckDB 1.0 bug documented at q60). */
+  def e28OracleSql: String = {
+    val m = HwSeason
+    def el(k: String) = s"CAST(ysl[$k] AS DOUBLE)"
+    val w1 = (1 to m).map(k => el(k.toString)).mkString(" + ")
+    val w2 = (m + 1 to 2 * m).map(k => el(k.toString)).mkString(" + ")
+    val l0 = s"(($w1) / CAST(7.0 AS DOUBLE))"
+    val b0 = s"((($w2) / CAST(7.0 AS DOUBLE) - $l0) / CAST(7.0 AS DOUBLE))"
+    val s0 = (1 to m).map(k => s"${el(k.toString)} - $l0")
+      .mkString("[", ", ", "]")
+    // the recursive step advances to day u = t + 1
+    val su = s"s[(((t + 1) - 1) % $m) + 1]"
+    val y = el("t + 1")
+    val yhat = s"(l + b + $su)"
+    val lN = s"(CAST($HwAlpha AS DOUBLE) * ($y - $su) " +
+      s"+ (CAST(1.0 AS DOUBLE) - CAST($HwAlpha AS DOUBLE)) * (l + b))"
+    val bN = s"(CAST($HwBeta AS DOUBLE) * ($lN - l) " +
+      s"+ (CAST(1.0 AS DOUBLE) - CAST($HwBeta AS DOUBLE)) * b)"
+    val sN = s"(CAST($HwGamma AS DOUBLE) * ($y - $lN) " +
+      s"+ (CAST(1.0 AS DOUBLE) - CAST($HwGamma AS DOUBLE)) * $su)"
+    s"""
+      WITH RECURSIVE daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+      cal AS (
+        SELECT event_type,
+          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM span),
+      filled AS (
+        SELECT cal.event_type, cal.day, coalesce(daily.cnt, 0) AS cnt
+        FROM cal LEFT JOIN daily
+          ON cal.event_type = daily.event_type AND cal.day = daily.day),
+      series AS MATERIALIZED (
+        SELECT event_type, list(cnt ORDER BY day) AS ysl,
+          list(day ORDER BY day) AS daysl,
+          CAST(count(*) AS INT) AS n
+        FROM filled GROUP BY 1 HAVING count(*) >= ${2 * m + 1}),
+      hw AS (
+        SELECT event_type, $m AS t, $l0 AS l, $b0 AS b, $s0 AS s,
+          CAST([] AS STRUCT(t INTEGER, yhat DOUBLE)[]) AS out
+        FROM series
+        UNION ALL
+        SELECT hw.event_type, t + 1, $lN, $bN,
+          list_transform(s, (v, i) ->
+            CASE WHEN i = ((((t + 1) - 1) % $m) + 1) THEN $sN ELSE v END),
+          CASE WHEN t + 1 >= ${2 * m + 1}
+            THEN list_append(out,
+              struct_pack(t := CAST(t + 1 AS INTEGER), yhat := $yhat))
+            ELSE out END
+        FROM hw JOIN series USING (event_type) WHERE t < n),
+      fin AS (
+        SELECT hw.event_type, unnest(out) AS o, daysl, ysl
+        FROM hw JOIN series USING (event_type) WHERE t = n)
+      SELECT event_type,
+        strftime(daysl[o['t']], '%Y-%m-%d') AS day,
+        CAST(ysl[o['t']] AS BIGINT) AS cnt,
+        round(o['yhat'], 6) AS yhat,
+        (round(CAST(ysl[o['t']] AS DOUBLE) - round(o['yhat'], 6), 6)
+          + 0.0) AS err,
+        abs(round(CAST(ysl[o['t']] AS DOUBLE) - round(o['yhat'], 6), 6)
+          + 0.0) > 3.0 * sqrt(greatest(round(o['yhat'], 6), 0.0)) AS alarm
+      FROM fin ORDER BY event_type, day"""
+  }
 }

@@ -1704,4 +1704,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(after.getDouble(3) < 10.0 && after.getDouble(3) > 5.0,
       after.toString)
   }
+
+  test("Holt-Winters: a pure weekly rhythm forecasts itself exactly, " +
+       "a linear trend is tracked, a break day alarms, short series " +
+       "are excluded") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dayUs = 86400L * 1000000L
+    def mkEvents(series: Seq[(String, Int, Int)]) = {
+      val rows = for {
+        ((tp, d, cnt), gi) <- series.zipWithIndex
+        i <- 0 until cnt
+      } yield {
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        ((gi * 1000 + i).toLong, t, 1L, tp, 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    // rhythm: weekly pattern 10,20,30,40,30,20,10 repeated 4 weeks —
+    // week means equal ⇒ b0 = 0, s0 = exact deviations, and every
+    // recurrence reproduces the pattern: err = 0 on every emitted day
+    val pat = Seq(10, 20, 30, 40, 30, 20, 10)
+    val rhythm = (0 until 28).map(d => ("rhythm", d, pat(d % 7)))
+    // trend: y_d = 10 + 2d — b0 = 2 exactly, but the init ALSO reads
+    // the within-week ramp into the seasonal slots (s0 = −6..+6), so
+    // forecasts are close, converging, and never alarming — not exact
+    val trend = (0 until 21).map(d => ("trend", d, 10 + 2 * d))
+    // break: rhythm for 3 weeks, then day 17 collapses to 1
+    val broke = (0 until 21).map(d =>
+      ("broke", d, if (d == 17) 1 else pat(d % 7)))
+    // short: 10 days < 15 → excluded entirely
+    val short = (0 until 10).map(d => ("short", d, 5))
+    val got = Events.holtWinters(
+      mkEvents(rhythm ++ trend ++ broke ++ short)).collect()
+    val byType = got.groupBy(_.getString(0))
+    assert(!byType.contains("short"), "short series not excluded")
+    // emission starts on day 15 exactly
+    assert(byType("rhythm").map(_.getString(1)).min == "1970-01-15")
+    byType("rhythm").foreach { r =>
+      assert(r.getDouble(4) == 0.0 && !r.getBoolean(5),
+        s"rhythm err nonzero: $r") }
+    val tr = byType("trend").sortBy(_.getString(1))
+    tr.foreach { r =>
+      assert(math.abs(r.getDouble(4)) < 10.0 && !r.getBoolean(5),
+        s"trend err out of band: $r") }
+    assert(math.abs(tr.last.getDouble(4)) < math.abs(tr.head.getDouble(4)),
+      s"trend error not shrinking: ${tr.head} .. ${tr.last}")
+    val breakDay = byType("broke").find(_.getString(1) == "1970-01-18").get
+    assert(breakDay.getLong(2) == 1L && breakDay.getBoolean(5),
+      breakDay.toString)
+    // corpus: rows for every type, yhat finite, err = cnt - yhat
+    val sf = Events.holtWinters(
+      graft.Tables.load(spark, sfDir, "events")).collect()
+    assert(sf.nonEmpty && sf.forall(r => !r.getDouble(3).isNaN))
+  }
 }
