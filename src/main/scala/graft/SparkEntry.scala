@@ -89,6 +89,7 @@ object SparkEntry {
     "q62_bioenv" -> (Relational.q62Bioenv _),
     "d22_cdc_chunk" -> ((s: SparkSession, d: String) => Dedup.cdcChunkDedup(s, d)),
     "e28_holt_winters" -> (Events.holtWinters _),
+    "s22_hnsw" -> (Similarity.hnswSearch _),
     "q63_multi_beta" -> (Relational.q63MultiBeta _),
     "g24_ktruss" -> (Graph.g24Ktruss _),
     "q64_nodf" -> (Relational.q64Nodf _),
@@ -1149,6 +1150,7 @@ object SparkEntry {
     "q62_bioenv" -> graft.operators.Relational.q62OracleSql,
     "d22_cdc_chunk" -> graft.operators.Dedup.d22OracleSql(),
     "e28_holt_winters" -> graft.operators.Events.e28OracleSql,
+    "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),
     "q64_nodf" -> graft.operators.Relational.q64OracleSql,

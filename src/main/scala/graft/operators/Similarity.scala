@@ -2065,7 +2065,8 @@ object Similarity {
     * round-unrolled refinement (rounds are FIXED by contract, so the
     * oracle is straight-line CTEs, no recursion), s1's norms/dots
     * scoring on the same round-9 grid. */
-  def s17OracleSql(k: Int = KnnK, rounds: Int = KnnRounds): String = {
+  def s17OracleSql(k: Int = KnnK, rounds: Int = KnnRounds,
+      table: String = "embeddings"): String = {
     def scored(pairs: String): String = s"""
         SELECT p.v, p.u, round(dt / (nv.nrm * nu.nrm), 9) AS s
         FROM (
@@ -2073,17 +2074,17 @@ object Similarity {
           FROM (SELECT p0.v, p0.u, unnest(ev.embedding) AS x,
                   unnest(eu.embedding) AS y
                 FROM $pairs p0
-                JOIN embeddings ev ON ev.vec_id = p0.v
-                JOIN embeddings eu ON eu.vec_id = p0.u)
+                JOIN $table ev ON ev.vec_id = p0.v
+                JOIN $table eu ON eu.vec_id = p0.u)
           GROUP BY v, u) p
         JOIN norms nv ON nv.vec_id = p.v
         JOIN norms nu ON nu.vec_id = p.u"""
     val sb = new StringBuilder
     sb ++= s"""
-      WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      WITH nn AS (SELECT count(*) AS n FROM $table),
       norms AS (
         SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
-        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM $table)
         GROUP BY vec_id),
       init AS (
         SELECT DISTINCT v,
@@ -2092,7 +2093,7 @@ object Similarity {
           SELECT e.vec_id AS v, j,
             ((e.vec_id * 1000003 + j) % 1000000000) * 2654435761
               % 2147483647 % n AS u0, n
-          FROM embeddings e, nn, generate_series(1, $k) t(j))),
+          FROM $table e, nn, generate_series(1, $k) t(j))),
       cur0 AS MATERIALIZED (${scored("init")})"""
     for (r <- 1 to rounds) {
       val p = r - 1
@@ -2164,7 +2165,6 @@ object Similarity {
   def graphSearch(e: DataFrame, k: Int, rounds: Int, beam: Int,
       hops: Int): DataFrame = {
     require(beam >= 1 && hops >= 0, "s18 needs beam >= 1, hops >= 0")
-    val spark = e.sparkSession
     // the edge frame is already checkpointed inside the build — no
     // second materialization, no output sort
     val graph = knnGraphEdges(e, k, rounds)
@@ -2172,6 +2172,29 @@ object Similarity {
     val vecs = graft.Ckpt(e.select(col("vec_id"), col("embedding")))
     val queries = broadcast(vecs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    val entry = queries.select(col("q_id"))
+      .withColumn("c_id", when(col("q_id") === 0L, 1L).otherwise(0L))
+    val visited = beamCore(vecs, graph, queries, entry, beam, hops)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("s").desc, col("c_id"))
+    visited.withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= AnnK)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        graft.GraftFunctions.roundz(col("s"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The greedy-beam engine shared by s18 (flat graph, fixed entry)
+    * and s22 (per-query entry from the coarse layer): per hop, expand
+    * the beam's out-neighbors over `graph`, score UNSEEN candidates
+    * once (round-9 native cosine, self excluded), keep the best `beam`
+    * of everything seen. Returns the full visited (q_id, c_id, s)
+    * frame. Factored out of [[graphSearch]] in r17 — s18 re-verified
+    * bitwise after the refactor. */
+  private def beamCore(vecs: DataFrame, graph: DataFrame,
+      queries: DataFrame, entry0: DataFrame, beam: Int,
+      hops: Int): DataFrame = {
+    val spark = vecs.sparkSession
     def scoreCand(c: DataFrame): DataFrame = c
       .filter(col("q_id") =!= col("c_id"))
       .join(vecs.select(col("vec_id").as("c_id"), col("embedding").as("cv")),
@@ -2182,9 +2205,7 @@ object Similarity {
           .as("s"))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("s").desc, col("c_id"))
-    var visited = graft.Ckpt(scoreCand(queries.select(col("q_id"))
-      .withColumn("c_id",
-        when(col("q_id") === 0L, 1L).otherwise(0L))))
+    var visited = graft.Ckpt(scoreCand(entry0.select("q_id", "c_id")))
     var frontier = visited
     for (_ <- 1 to hops) {
       val expand = frontier
@@ -2201,11 +2222,7 @@ object Similarity {
         .withColumn("r", row_number().over(wB)).filter(col("r") <= beam)
         .select("q_id", "c_id", "s")
     }
-    visited.withColumn("rnk", row_number().over(wB))
-      .filter(col("rnk") <= AnnK)
-      .select(col("q_id"), col("c_id"), col("rnk"),
-        graft.GraftFunctions.roundz(col("s"), 6).as("score"))
-      .orderBy("q_id", "rnk")
+    visited
   }
 
   /** DuckDB oracle for [[graphSearch]] — the s17 oracle as the graph,
@@ -2266,6 +2283,179 @@ object Similarity {
     s"""
       SELECT q_id, c_id, rnk_all AS rnk, (round(s, 6) + 0.0) AS score
       FROM (${sb.toString}) t
+      WHERE rnk_all <= $AnnK
+      ORDER BY q_id, rnk"""
+  }
+
+  /** s22 hierarchy parameters: a vector joins the COARSE layer when
+    * its Knuth hash lands on residue 0 mod [[CoarseMod]] (HNSW's
+    * geometric level assignment, derandomized — ~1/CoarseMod of the
+    * corpus); the coarse beam is deliberately narrower than the base
+    * beam (its only job is routing the entry point). */
+  final val CoarseMod = 8
+  final val CoarseBeam = 4
+  final val CoarseHops = 3
+
+  /** s22: HNSW-STYLE HIERARCHICAL GRAPH SEARCH — the hierarchy s18
+    * deliberately lacked (Malkov & Yashunin 2018, two-layer form):
+    * a deterministic hash selects ~1/[[CoarseMod]] of the vectors into
+    * a COARSE layer with its OWN NN-Descent graph (s17's machinery on
+    * the densely re-indexed subset); each query first beam-searches
+    * the coarse layer from its fixed entry to find the best coarse
+    * node, then beam-searches the BASE k-NN graph starting there. The
+    * point of the hierarchy: the base search starts NEAR the query
+    * instead of at a fixed node, so a query far from node 0 — or in a
+    * component node 0's beam cannot reach — is routed correctly
+    * (spec plants exactly that failure: two well-separated clusters
+    * where s18's fixed entry strands the beam in the wrong cluster).
+    *
+    * Per-query cost: coarse (1 + CoarseHops·CoarseBeam·k) + base
+    * (1 + hops·beam·k) candidates — corpus-size-independent given the
+    * index, and the coarse layer's graph build is the s17 contract on
+    * an n/CoarseMod subset. Both searches share [[beamCore]]
+    * (factored from s18; s18 re-verified bitwise).
+    *
+    * Determinism: the layer assignment is the repo's Knuth lattice;
+    * the coarse subset re-indexes densely by vec_id rank (s17's init
+    * needs dense ids) and maps back; entries, beams, and ranks all
+    * tie-break on ids; scores ride the round-9 grid. */
+  def hnswSearch(spark: SparkSession, dir: String): DataFrame =
+    hnswSearch(Tables.parallel(Tables.load(spark, dir, "embeddings")),
+      KnnK, KnnRounds, SearchBeam, SearchHops)
+
+  def hnswSearch(e: DataFrame, k: Int, rounds: Int, beam: Int,
+      hops: Int): DataFrame = {
+    require(beam >= 1 && hops >= 0, "s22 needs beam >= 1, hops >= 0")
+    val vecs = graft.Ckpt(e.select(col("vec_id"), col("embedding")))
+    val queries = broadcast(vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    // coarse layer: hash-selected subset, densely re-indexed by id
+    // rank (s17's init contract), graph mapped back to original ids
+    val wIdx = org.apache.spark.sql.expressions.Window.orderBy("orig")
+    val cmap = graft.Ckpt(vecs
+      .filter(pmod(pmod(col("vec_id") * 1000003L + 1L, lit(1000000000L))
+        * lit(2654435761L), lit(2147483647L)) % CoarseMod === 0)
+      .select(col("vec_id").as("orig"), col("embedding"))
+      .withColumn("cid", (row_number().over(wIdx) - 1).cast("long")))
+    val cGraphDense = knnGraphEdges(
+      cmap.select(col("cid").as("vec_id"), col("embedding")), k, rounds)
+    val cGraph = cGraphDense
+      .join(cmap.select(col("cid").as("v"), col("orig").as("gv")), "v")
+      .join(cmap.select(col("cid").as("u"), col("orig").as("gu")), "u")
+      .select("gv", "gu")
+    // coarse entry: the smallest-id coarse node (next one if it IS
+    // the query — scoring excludes self, so the beam must not start
+    // there)
+    val ent01 = broadcast(cmap.filter(col("cid") <= 1)
+      .agg(max(when(col("cid") === 0, col("orig"))).as("e0"),
+        max(when(col("cid") === 1, col("orig"))).as("e1")))
+    val coarseEntry = queries.select(col("q_id")).crossJoin(ent01)
+      .select(col("q_id"), when(col("e0") === col("q_id"), col("e1"))
+        .otherwise(col("e0")).as("c_id"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("s").desc, col("c_id"))
+    val coarseBest = beamCore(vecs, cGraph, queries, coarseEntry,
+      CoarseBeam, CoarseHops)
+      .withColumn("r", row_number().over(wB)).filter(col("r") === 1)
+      .select("q_id", "c_id")
+    // base layer: s17's full graph, beam from the routed entry
+    val baseGraph = knnGraphEdges(e, k, rounds)
+      .select(col("v").as("gv"), col("u").as("gu"))
+    beamCore(vecs, baseGraph, queries, coarseBest, beam, hops)
+      .withColumn("rnk", row_number().over(wB))
+      .filter(col("rnk") <= AnnK)
+      .select(col("q_id"), col("c_id"), col("rnk"),
+        graft.GraftFunctions.roundz(col("s"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle for [[hnswSearch]] — the identical hash layer
+    * assignment and dense re-index, the s17 oracle run on BOTH the
+    * coarse subset and the full corpus (each in its own nested WITH
+    * scope), and two hop-unrolled beam stages on the shared grid. */
+  def s22OracleSql(k: Int = KnnK, rounds: Int = KnnRounds,
+      beam: Int = SearchBeam, hops: Int = SearchHops): String = {
+    def scored(pairs: String): String = s"""
+        SELECT p.q_id, p.c_id, round(dt / (nq.nrm * nc.nrm), 9) AS s
+        FROM (
+          SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+          FROM (SELECT p0.q_id, p0.c_id, unnest(eq.embedding) AS x,
+                  unnest(ec.embedding) AS y
+                FROM $pairs p0
+                JOIN embeddings eq ON eq.vec_id = p0.q_id
+                JOIN embeddings ec ON ec.vec_id = p0.c_id)
+          GROUP BY q_id, c_id) p
+        JOIN norms nq ON nq.vec_id = p.q_id
+        JOIN norms nc ON nc.vec_id = p.c_id"""
+    def beamSql(tag: String, graphCte: String, entryCte: String,
+        bw: Int, nh: Int): String = {
+      val sb = new StringBuilder
+      sb ++= s"""
+      ${tag}vis0 AS MATERIALIZED (${scored(entryCte)}),
+      ${tag}front0 AS (SELECT q_id, c_id, s FROM ${tag}vis0)"""
+      for (h <- 1 to nh) {
+        val p = h - 1
+        sb ++= s""",
+      ${tag}exp$h AS (
+        SELECT DISTINCT f.q_id, g.gu AS c_id
+        FROM ${tag}front$p f JOIN $graphCte g ON g.gv = f.c_id
+        WHERE g.gu <> f.q_id
+          AND NOT EXISTS (SELECT 1 FROM ${tag}vis$p v
+                          WHERE v.q_id = f.q_id AND v.c_id = g.gu)),
+      ${tag}ns$h AS MATERIALIZED (${scored(s"${tag}exp$h")}),
+      ${tag}vis$h AS MATERIALIZED (
+        SELECT q_id, c_id, s FROM ${tag}vis$p
+        UNION ALL SELECT q_id, c_id, s FROM ${tag}ns$h),
+      ${tag}front$h AS (
+        SELECT q_id, c_id, s FROM (
+          SELECT q_id, c_id, s, row_number() OVER (
+            PARTITION BY q_id ORDER BY s DESC, c_id) AS r
+          FROM ${tag}vis$h) WHERE r <= $bw)"""
+      }
+      sb.toString
+    }
+    s"""
+      WITH norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id),
+      cmap AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+            AS cid, vec_id AS orig, embedding
+        FROM embeddings
+        WHERE ((vec_id * 1000003 + 1) % 1000000000) * 2654435761
+          % 2147483647 % $CoarseMod = 0),
+      cemb AS (SELECT cid AS vec_id, embedding FROM cmap),
+      cgraph AS MATERIALIZED (
+        SELECT mv.orig AS gv, mu.orig AS gu
+        FROM (SELECT vec_id AS v, nbr_id AS u
+              FROM (${s17OracleSql(k, rounds, "cemb")})) g
+        JOIN cmap mv ON mv.cid = g.v
+        JOIN cmap mu ON mu.cid = g.u),
+      ent01 AS (
+        SELECT max(CASE WHEN cid = 0 THEN orig END) AS e0,
+          max(CASE WHEN cid = 1 THEN orig END) AS e1
+        FROM cmap WHERE cid <= 1),
+      centry AS (
+        SELECT vec_id AS q_id,
+          CASE WHEN e0 = vec_id THEN e1 ELSE e0 END AS c_id
+        FROM embeddings, ent01 WHERE vec_id < 5),
+      ${beamSql("c", "cgraph", "centry", CoarseBeam, CoarseHops)},
+      bentry AS (
+        SELECT q_id, c_id FROM (
+          SELECT q_id, c_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY s DESC, c_id) AS r
+          FROM cvis$CoarseHops) WHERE r = 1),
+      bgraph AS MATERIALIZED (
+        SELECT vec_id AS gv, nbr_id AS gu
+        FROM (${s17OracleSql(k, rounds)})),
+      ${beamSql("b", "bgraph", "bentry", beam, hops)}
+      SELECT q_id, c_id,
+        CAST(rnk_all AS INT) AS rnk, (round(s, 6) + 0.0) AS score
+      FROM (
+        SELECT q_id, c_id, s, row_number() OVER (
+          PARTITION BY q_id ORDER BY s DESC, c_id) AS rnk_all
+        FROM bvis$hops) t
       WHERE rnk_all <= $AnnK
       ORDER BY q_id, rnk"""
   }

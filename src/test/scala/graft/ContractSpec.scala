@@ -332,7 +332,8 @@ class ContractSpec extends SparkSpec {
         "val q = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
         "val q = broadcast(vecs.filter(col(\"vec_id\") < 5)" -> "k (query set)",
         "val qVecs = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
-        "val queries = broadcast(vecs.filter(col(\"vec_id\") < 5)" -> "k (s18 query batch)",
+        "val queries = broadcast(vecs.filter(col(\"vec_id\") < 5)" -> "k (s18/s22 query batch)",
+        "val ent01 = broadcast(cmap.filter(col(\"cid\") <= 1)" -> "one-row (s22 coarse entry pair)",
         "val queries = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
         "val queries = broadcast(withBuckets(e.filter(col(\"vec_id\") < 5))" -> "k (query set)",
         "val scored = broadcast(probes).join(assigned, Seq(\"cell\"))" -> "k (query×probe rows)",

@@ -1118,4 +1118,63 @@ class SimilaritySpec extends SparkSpec {
       s"s4 ${meanErr(Similarity.annPq(e, nSub, ks, 10).collect())} " +
       "(near-uniform corpus: no residual advantage expected)")
   }
+
+  test("s22 HNSW hierarchy: the coarse layer routes a far-from-entry " +
+       "query that strands s18's fixed-entry beam, and the corpus run " +
+       "keeps s18's output shape") {
+    import spark.implicits._
+    // 100 unit vectors on a smooth arc: curve position p has
+    // v_p = (cos(p·θ), sin(p·θ)) with θ = π/220, so top-10 cosine
+    // neighbors are the ±5 adjacent positions and a beam walks the
+    // arc ~5 positions per hop. Queries are HARDWIRED to ids 1..4 by
+    // the operator; place them at the FAR end of the arc (positions
+    // 96..99) while id 0 (s18's fixed entry) sits at position 0: four
+    // hops from position 0 reach ~position 25, so the flat beam can
+    // NEVER see the queries' true neighborhood; the coarse layer's
+    // ~12-node graph spans the whole arc in 3 hops and routes the
+    // base beam to the right region.
+    val n = 100
+    val theta = math.Pi / 220.0
+    // id 0 -> position 0; ids 1..4 -> positions 96..99; ids 5..99 ->
+    // positions 1..95 in order
+    def posOf(id: Int): Int =
+      if (id == 0) 0 else if (id <= 4) 95 + id else id - 4
+    val e = (0 until n).map { id =>
+      val p = posOf(id)
+      (id.toLong, Array(math.cos(p * theta).toFloat,
+        math.sin(p * theta).toFloat))
+    }.toDF("vec_id", "embedding")
+    def top1(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val flat = top1(Similarity.graphSearch(e, Similarity.KnnK,
+      Similarity.KnnRounds, Similarity.SearchBeam,
+      Similarity.SearchHops).collect())
+    val hier = top1(Similarity.hnswSearch(e, Similarity.KnnK,
+      Similarity.KnnRounds, Similarity.SearchBeam,
+      Similarity.SearchHops).collect())
+    // for every stranded query the hierarchy's best hit is strictly
+    // better — and essentially exact (an arc neighbor: cos(θ·d) with
+    // d <= 3 => score > 0.999)
+    (1L to 4L).foreach { q =>
+      assert(hier(q)._2 > flat(q)._2,
+        s"hierarchy no better for q$q: ${hier(q)} vs ${flat(q)}")
+      assert(hier(q)._2 > 0.999, s"hierarchy missed the neighborhood: " +
+        s"q$q -> ${hier(q)}")
+      assert(flat(q)._2 < 0.9, s"flat beam unexpectedly reached q$q's " +
+        s"neighborhood: ${flat(q)} (plant broken)")
+    }
+    // corpus: s18's exact output shape — 5 queries x top-10, scores
+    // descending per query, no self hits
+    val sf = Similarity.hnswSearch(
+      graft.Tables.load(spark, sfDir, "embeddings"),
+      Similarity.KnnK, Similarity.KnnRounds, Similarity.SearchBeam,
+      Similarity.SearchHops).collect()
+    assert(sf.length == 50, s"corpus rows: ${sf.length}")
+    assert(sf.forall(r => r.getLong(0) != r.getLong(1)), "self hit")
+    sf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
