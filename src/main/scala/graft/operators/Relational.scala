@@ -3295,7 +3295,9 @@ object Relational {
     * split out for planted specs. */
   def multiBetaFromPresence(pres0: DataFrame): DataFrame = {
     val pres = graft.Ckpt(pres0)
-    val rich = pres.groupBy("n_name").agg(count(lit(1)).as("nt"))
+    // three consumers (pair frame both sides + site sums) — pin the
+    // 25-row aggregate so the presence checkpoint is scanned once
+    val rich = graft.Ckpt(pres.groupBy("n_name").agg(count(lit(1)).as("nt")))
     val shared = pres.as("x")
       .join(pres.select(col("n_name").as("nb"), col("taxon")).as("y"), "taxon")
       .filter(col("n_name") < col("nb"))
@@ -3928,7 +3930,8 @@ object Relational {
     * out for planted specs. */
   def nodfFromPresence(pres0: DataFrame): DataFrame = {
     val pres = graft.Ckpt(pres0)
-    val rich = pres.groupBy("n_name").agg(count(lit(1)).as("nt"))
+    // consumed by the pair frame (twice) and the sample count
+    val rich = graft.Ckpt(pres.groupBy("n_name").agg(count(lit(1)).as("nt")))
     // row half: q56's pair machinery; decreasing-fill overlap share
     val shared = pres.as("x")
       .join(pres.select(col("n_name").as("nb"), col("taxon")).as("y"), "taxon")
@@ -3953,7 +3956,8 @@ object Relational {
         .as("row_sum"))
     // column half: per-sample occupancy histogram — c taxa at
     // occupancy m, G taxa strictly above m (range frame, tie-safe)
-    val occ = pres.groupBy("taxon").agg(count(lit(1)).as("mt"))
+    // consumed by the histogram join and the taxa count
+    val occ = graft.Ckpt(pres.groupBy("taxon").agg(count(lit(1)).as("mt")))
     val sampOcc = pres.join(occ, "taxon")
       .groupBy(col("n_name"), col("mt")).agg(count(lit(1)).as("c"))
     val wGt = Window.partitionBy("n_name").orderBy(col("mt"))
