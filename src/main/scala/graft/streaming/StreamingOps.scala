@@ -923,4 +923,115 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  case class HwState(open: Map[Long, Long], lastDay: Long, t: Long,
+    init: List[Long], l: Double, b: Double, s: Vector[Double])
+  case class HwOut(event_type: String, day: String, cnt: Long,
+    yhat: Double, err: Double, alarm: Boolean)
+
+  /** Streaming HOLT–WINTERS FORECAST MONITOR — [[graft.operators
+    * .Events.holtWinters]]'s stream twin: per type, daily counts
+    * finalize in event-day order as the watermark passes
+    * (cusumStream's discipline) with interior calendar gaps
+    * zero-filled exactly like the batch calendar join, and the batch
+    * recurrence replayed bit-for-bit. The batch init reads BOTH first
+    * weeks before its fold starts (b₀ is the week-2 − week-1 slope),
+    * so the stream BUFFERS the first 14 finalized counts, then on the
+    * 14th replays the t = 8..14 recurrence steps from the buffer —
+    * after that every state update and emitted forecast is live and
+    * IEEE-identical to the batch fold (same literals, same op order).
+    * Parity is EXACT double equality (spec-gated under an uneven
+    * replay with a planted gap and break day).
+    *
+    * State per type is O(1): the lateness-bounded open buckets + a
+    * 14-count init buffer + (l, b, the 7-slot season vector). */
+  def hwStream(events: Dataset[Event])
+      (implicit spark: SparkSession): Dataset[HwOut] = {
+    import spark.implicits._
+    val m = graft.operators.Events.HwSeason
+    val a = graft.operators.Events.HwAlpha.toDouble
+    val be = graft.operators.Events.HwBeta.toDouble
+    val g = graft.operators.Events.HwGamma.toDouble
+    val a1 = 1.0 - a; val be1 = 1.0 - be; val g1 = 1.0 - g
+    val DayUs = 86400000000L
+    val DayMs = 86400000L
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    events
+      .withWatermark("ts", "1 day")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (tpe, it, state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(Map.empty, Long.MinValue, 0L, Nil, 0.0, 0.0,
+              Vector.fill(m)(0.0)))
+          val evs = it.toSeq
+          if (evs.nonEmpty) {
+            var open = st.open
+            evs.foreach { e =>
+              val d = Math.floorDiv(us(e.ts), DayUs)
+              open = open.updated(d, open.getOrElse(d, 0L) + 1L)
+            }
+            st = st.copy(open = open)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val ready = st.open.keys.filter(d => (d + 1) * DayMs <= wmMs)
+            .toSeq.sorted
+          // one recurrence step at series position t with observation
+          // y — the batch fold's expressions in the batch fold's order
+          def step(y: Double, t: Long): Unit = {
+            val i = ((t - 1) % m).toInt
+            val su = st.s(i)
+            val lN = a * (y - su) + a1 * (st.l + st.b)
+            val bN = be * (lN - st.l) + be1 * st.b
+            val sN = g * (y - lN) + g1 * su
+            st = st.copy(l = lN, b = bN, s = st.s.updated(i, sN))
+          }
+          def finalizeDay(d: Long, cnt: Long): Option[HwOut] = {
+            val t = st.t + 1
+            st = st.copy(lastDay = d, t = t)
+            if (t <= 2 * m) {
+              st = st.copy(init = st.init :+ cnt)
+              if (t == 2 * m) {
+                val ys = st.init.map(_.toDouble)
+                val l0 = ys.take(m).reduceLeft(_ + _) / 7.0
+                val b0 = (ys.slice(m, 2 * m).reduceLeft(_ + _) / 7.0
+                  - l0) / 7.0
+                st = st.copy(l = l0, b = b0,
+                  s = Vector.tabulate(m)(j => ys(j) - l0))
+                // replay the batch fold's silent steps t = 8..14
+                ((m + 1) to 2 * m).foreach(tt => step(ys(tt - 1), tt))
+              }
+              None
+            } else {
+              val su = st.s(((t - 1) % m).toInt)
+              val yhat = st.l + st.b + su
+              step(cnt.toDouble, t)
+              val y6 = r6(yhat)
+              val err = r6(cnt.toDouble - y6) + 0.0
+              Some(HwOut(tpe, java.time.LocalDate.ofEpochDay(d).toString,
+                cnt, y6, err,
+                math.abs(err) > 3.0 * math.sqrt(math.max(y6, 0.0))))
+            }
+          }
+          val out = ready.flatMap { d =>
+            val gaps =
+              if (st.lastDay != Long.MinValue && d > st.lastDay + 1)
+                (st.lastDay + 1) until d
+              else Seq.empty[Long]
+            val rows = gaps.flatMap(gd => finalizeDay(gd, 0L)) ++
+              finalizeDay(d, st.open(d))
+            st = st.copy(open = st.open - d)
+            rows
+          }
+          state.update(st)
+          if (st.open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              (st.open.keys.min + 1) * DayMs, wmMs + 1))
+          out.iterator
+      }
+  }
 }

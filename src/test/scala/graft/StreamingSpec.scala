@@ -955,6 +955,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt-Winters replays the batch forecaster EXACTLY " +
+       "(double equality) under an uneven replay with a gap and a break") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    def mk(tp: String, d: Int, cnt: Int, base: Long) =
+      (1 to cnt).map { i =>
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        StreamingOps.Event(base + d * 1000L + i, t, 1L, tp, 0.0)
+      }
+    val pat = Seq(10, 20, 30, 40, 30, 20, 10)
+    // rhythm: clean weekly pattern; broke: the pattern with day 17
+    // collapsed (alarm) AND day 19 absent entirely — the stream must
+    // zero-fill it exactly like the batch calendar join; short: under
+    // two weeks, excluded by both engines
+    val ev =
+      (0 until 28).flatMap(d => mk("rhythm", d, pat(d % 7), 0L)) ++
+      (0 until 24).filter(_ != 19).flatMap(d => mk("broke", d,
+        if (d == 17) 1 else pat(d % 7), 100000L)) ++
+      (0 until 10).flatMap(d => mk("short", d, 5, 200000L))
+    val input = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.hwStream(input.toDS())
+      .writeStream.format("memory").queryName("hw_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val sorted = ev.sortBy(e => (e.ts.getTime, e.event_id))
+      val cuts = Seq(0, 13, 118, 119, 500, sorted.length)
+      cuts.sliding(2).foreach { case Seq(a, b) =>
+        input.addData(sorted.slice(a, b): _*)
+        q.processAllAvailable()
+      }
+      // flush: push the watermark far past every planted day
+      input.addData(StreamingOps.Event(999999L,
+        java.sql.Timestamp.valueOf("1970-06-01 00:00:00"), 1L, "rhythm",
+        0.0))
+      q.processAllAvailable()
+      val got = spark.table("hw_stream").as[StreamingOps.HwOut]
+        .collect()
+        .map(o => (o.event_type, o.day, o.cnt, o.yhat, o.err, o.alarm))
+      val batch = graft.operators.Events.holtWinters(
+        ev.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      assert(got.toSet == batch.toSet,
+        s"missing: ${batch.toSet -- got.toSet}; extra: ${got.toSet -- batch.toSet}")
+      assert(got.length == batch.length, "duplicate emissions")
+      assert(!batch.exists(_._1 == "short"), "short series not excluded")
+      assert(batch.filter(_._1 == "rhythm").forall(r =>
+        r._5 == 0.0 && !r._6), "rhythm not self-forecast")
+      assert(batch.exists(r => r._1 == "broke" && r._3 == 1L && r._6),
+        "break alarm missing")
+      assert(batch.exists(r => r._1 == "broke" && r._2 == "1970-01-20"
+        && r._3 == 0L), "gap day not zero-filled")
+    } finally q.stop()
+  }
+
   test("streaming attribution emits exactly the batch range-window " +
        "rows under an uneven replay (boundaries, ties, no-touch)") {
     implicit val s = spark
