@@ -93,6 +93,7 @@ object SparkEntry {
     "q63_multi_beta" -> (Relational.q63MultiBeta _),
     "g24_ktruss" -> (Graph.g24Ktruss _),
     "q64_nodf" -> (Relational.q64Nodf _),
+    "q65_renyi" -> (Relational.q65Renyi _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1154,6 +1155,7 @@ object SparkEntry {
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),
     "q64_nodf" -> graft.operators.Relational.q64OracleSql,
+    "q65_renyi" -> graft.operators.Relational.q65OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

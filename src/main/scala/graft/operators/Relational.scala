@@ -3637,6 +3637,122 @@ object Relational {
       GROUP BY r.variable, dx0, dy0, r2_obs
       ORDER BY r.variable"""
 
+  /** q65: RÉNYI DIVERSITY PROFILE (Rényi 1961; vegan `renyi`) — the
+    * CONTINUUM q58's three Hill points sit on, the standard
+    * "diversity ordering" plot: H_α = ln(Σ p_iᵅ)/(1−α) evaluated at
+    * α ∈ {0, 0.5, 1, 2, 4, ∞}, with H₁ = Shannon (the limit) and
+    * H_∞ = −ln max p (Berger–Parker dominance). One community is
+    * unambiguously more diverse than another ONLY if its whole
+    * profile sits above — the pointwise q58 indices can disagree,
+    * which is exactly why vegan ships the profile.
+    *
+    * Determinism: shares are single double divisions of exact integer
+    * counts; every p^α term is built from IEEE-exact ops (sqrt for
+    * α = ½, squared squares for α ∈ {2, 4} — no libm pow), round-12
+    * quantized into DECIMAL(25,12) and summed order-free (q58's
+    * grid); each H is one double expression on a round-6 grid
+    * (roundz — a single-taxon group lands exactly −0.0); the six
+    * (α, H) rows leave one in-row array explode. max p is an
+    * order-free aggregate.
+    *
+    * Scale shape: q58's exactly — one fact-scale count aggregate to
+    * the sparse (group, taxon) matrix, group-bounded everything
+    * after. */
+  def q65Renyi(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    renyiFromCounts(ab)
+  }
+
+  /** [[q65Renyi]]'s core over a (n_name, taxon-keyed, cnt BIGINT)
+    * abundance frame — split out for planted specs. */
+  def renyiFromCounts(ab: DataFrame): DataFrame = {
+    val d2512 = "decimal(25,12)"
+    val tot = ab.groupBy("n_name")
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("s_obs"))
+    val p = col("cnt").cast("double") / col("n").cast("double")
+    val sums = ab.join(tot, "n_name")
+      .select(col("n_name"), col("s_obs"),
+        round(sqrt(p), 12).cast(d2512).as("t05"),
+        round(p * log(p), 12).cast(d2512).as("t1"),
+        round(p * p, 12).cast(d2512).as("t2"),
+        round((p * p) * (p * p), 12).cast(d2512).as("t4"),
+        p.as("p"))
+      .groupBy("n_name", "s_obs")
+      .agg(sum(col("t05")).cast("double").as("s05"),
+        (-sum(col("t1")).cast("double")).as("h1"),
+        sum(col("t2")).cast("double").as("s2"),
+        sum(col("t4")).cast("double").as("s4"),
+        max(col("p")).as("pmax"))
+    sums
+      .select(col("n_name"), explode(array(
+        struct(lit("0").as("alpha"),
+          log(col("s_obs").cast("double")).as("h")),
+        struct(lit("0.5").as("alpha"),
+          (log(col("s05")) / lit(0.5)).as("h")),
+        struct(lit("1").as("alpha"), col("h1").as("h")),
+        struct(lit("2").as("alpha"), (-log(col("s2"))).as("h")),
+        struct(lit("4").as("alpha"),
+          (log(col("s4")) / lit(-3.0)).as("h")),
+        struct(lit("inf").as("alpha"),
+          (-log(col("pmax"))).as("h")))).as("e"))
+      .select(col("n_name"), col("e.alpha").as("alpha"),
+        graft.GraftFunctions.roundz(col("e.h"), 6).as("renyi"),
+        round(exp(col("e.h")), 6).as("hill"))
+      .orderBy("n_name", "alpha")
+  }
+
+  /** DuckDB oracle for [[q65Renyi]] — identical count panel, IEEE
+    * power terms, round-12 decimal sums, and per-α expressions. */
+  def q65OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, l_partkey, count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT n_name, sum(cnt) AS n, count(*) AS s_obs
+        FROM ab GROUP BY 1),
+      sums AS (
+        SELECT ab.n_name, s_obs,
+          CAST(sum(CAST(round(sqrt(CAST(cnt AS DOUBLE)
+            / CAST(n AS DOUBLE)), 12) AS DECIMAL(25,12))) AS DOUBLE)
+            AS s05,
+          -CAST(sum(CAST(round((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+            * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+            AS DECIMAL(25,12))) AS DOUBLE) AS h1,
+          CAST(sum(CAST(round((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+            AS DECIMAL(25,12))) AS DOUBLE) AS s2,
+          CAST(sum(CAST(round(((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)))
+            * ((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))), 12)
+            AS DECIMAL(25,12))) AS DOUBLE) AS s4,
+          max(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS pmax
+        FROM ab JOIN tot ON ab.n_name = tot.n_name
+        GROUP BY 1, 2),
+      rows_ AS (
+        SELECT n_name, '0' AS alpha,
+          ln(CAST(s_obs AS DOUBLE)) AS h FROM sums
+        UNION ALL
+        SELECT n_name, '0.5', ln(s05) / CAST(0.5 AS DOUBLE) FROM sums
+        UNION ALL SELECT n_name, '1', h1 FROM sums
+        UNION ALL SELECT n_name, '2', -ln(s2) FROM sums
+        UNION ALL
+        SELECT n_name, '4', ln(s4) / CAST(-3.0 AS DOUBLE) FROM sums
+        UNION ALL SELECT n_name, 'inf', -ln(pmax) FROM sums)
+      SELECT n_name, alpha, (round(h, 6) + 0.0) AS renyi,
+        round(exp(h), 6) AS hill
+      FROM rows_ ORDER BY n_name, alpha"""
+
   /** The q62 environment-variable vocabulary and its non-empty subset
     * lattice — ONE source of truth rendered into both the Spark
     * literal membership frame and the oracle's VALUES list. */

@@ -1454,6 +1454,53 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3)) <= 1.0, r.toString))
   }
 
+  test("Renyi profile: flat at ln k on a uniform community, strictly " +
+       "decreasing under dominance, exactly zero for a single taxon, " +
+       "and consistent with q58's Hill points corpus-wide") {
+    import spark.implicits._
+    import graft.operators.Relational
+    def run(rows: Seq[(String, Long, Long)]) =
+      Relational.renyiFromCounts(rows.toDF("n_name", "taxon", "cnt"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+    val got = run(
+      (1L to 4L).map(t => ("uni", t, 25L)) ++
+      Seq(("dom", 1L, 97L), ("dom", 2L, 1L), ("dom", 3L, 1L),
+        ("dom", 4L, 1L)) ++
+      Seq(("solo", 1L, 42L)))
+    val alphas = Seq("0", "0.5", "1", "2", "4", "inf")
+    // uniform: H = ln 4 at every alpha, hill = 4 everywhere
+    val ln4 = math.rint(math.log(4.0) * 1e6) / 1e6
+    alphas.foreach { a =>
+      assert(got(("uni", a))._1 == ln4 && got(("uni", a))._2 == 4.0,
+        s"uniform profile not flat at alpha=$a: ${got(("uni", a))}") }
+    // dominance: profile strictly decreasing along the alpha ladder
+    val dom = alphas.map(a => got(("dom", a))._1)
+    assert(dom.zip(dom.tail).forall { case (x, y) => x > y },
+      s"dominated profile not strictly decreasing: $dom")
+    assert(got(("dom", "0"))._1 == ln4, "H0 must be ln richness")
+    // single taxon: exactly 0 (positive zero via roundz), hill = 1
+    alphas.foreach { a =>
+      val (h, d) = got(("solo", a))
+      assert(h == 0.0 && !(1.0 / h < 0) && d == 1.0,
+        s"solo not canonical zero at alpha=$a: ($h, $d)") }
+    // corpus: profile non-increasing per group; hill at alpha 1 and 2
+    // equals q58's hill1/hill2 (two operators, one truth)
+    val sf = Relational.q65Renyi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val q58 = Relational.q58HillNumbers(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    q58.foreach { case (g, (hill1, hill2)) =>
+      assert(sf((g, "1"))._2 == hill1, s"$g hill1 disagrees with q58")
+      assert(sf((g, "2"))._2 == hill2, s"$g hill2 disagrees with q58")
+      val prof = alphas.map(a => sf((g, a))._1)
+      assert(prof.zip(prof.tail).forall { case (x, y) => x >= y },
+        s"$g profile not non-increasing: $prof")
+    }
+  }
+
   test("Good-Turing coverage: exact on a planted frequency panel") {
     import spark.implicits._
     import graft.operators.TextOps
