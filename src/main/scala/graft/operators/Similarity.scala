@@ -1996,8 +1996,14 @@ object Similarity {
     knnGraph(Tables.parallel(Tables.load(spark, dir, "embeddings")),
       KnnK, KnnRounds)
 
-  def knnGraph(e: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val cur = knnGraphEdges(e, k, rounds)
+  def knnGraph(e: DataFrame, k: Int, rounds: Int): DataFrame =
+    knnGraphFormat(knnGraphEdges(e, k, rounds))
+
+  /** Output formatting over an already-built (v, u, s) edge frame —
+    * split out so the driver can build the index ONCE and reuse it
+    * across the s17/s18/s22 entries (the production shape: one build,
+    * many searches; d7/d8's memo pattern). */
+  def knnGraphFormat(cur: DataFrame): DataFrame = {
     val wOut = org.apache.spark.sql.expressions.Window
       .partitionBy("v").orderBy(col("s").desc, col("u"))
     cur.withColumn("nbr_rank", row_number().over(wOut))
@@ -2163,12 +2169,18 @@ object Similarity {
       KnnK, KnnRounds, SearchBeam, SearchHops)
 
   def graphSearch(e: DataFrame, k: Int, rounds: Int, beam: Int,
+      hops: Int): DataFrame =
+    graphSearchOn(e, knnGraphEdges(e, k, rounds), beam, hops)
+
+  /** [[graphSearch]] over an already-built (v, u, s) edge frame —
+    * the reuse entry for a shared index (SparkEntry memoizes the
+    * checkpointed build across s17/s18/s22). */
+  def graphSearchOn(e: DataFrame, edges: DataFrame, beam: Int,
       hops: Int): DataFrame = {
     require(beam >= 1 && hops >= 0, "s18 needs beam >= 1, hops >= 0")
     // the edge frame is already checkpointed inside the build — no
     // second materialization, no output sort
-    val graph = knnGraphEdges(e, k, rounds)
-      .select(col("v").as("gv"), col("u").as("gu"))
+    val graph = edges.select(col("v").as("gv"), col("u").as("gu"))
     val vecs = graft.Ckpt(e.select(col("vec_id"), col("embedding")))
     val queries = broadcast(vecs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
@@ -2324,7 +2336,14 @@ object Similarity {
       KnnK, KnnRounds, SearchBeam, SearchHops)
 
   def hnswSearch(e: DataFrame, k: Int, rounds: Int, beam: Int,
-      hops: Int): DataFrame = {
+      hops: Int): DataFrame =
+    hnswSearchOn(e, knnGraphEdges(e, k, rounds), k, rounds, beam, hops)
+
+  /** [[hnswSearch]] over an already-built BASE-layer (v, u, s) edge
+    * frame (the coarse layer is rebuilt here — it is 1/CoarseMod of
+    * the corpus and not shared with any other entry). */
+  def hnswSearchOn(e: DataFrame, baseEdges: DataFrame, k: Int,
+      rounds: Int, beam: Int, hops: Int): DataFrame = {
     require(beam >= 1 && hops >= 0, "s22 needs beam >= 1, hops >= 0")
     val vecs = graft.Ckpt(e.select(col("vec_id"), col("embedding")))
     val queries = broadcast(vecs.filter(col("vec_id") < 5)
@@ -2359,8 +2378,7 @@ object Similarity {
       .withColumn("r", row_number().over(wB)).filter(col("r") === 1)
       .select("q_id", "c_id")
     // base layer: s17's full graph, beam from the routed entry
-    val baseGraph = knnGraphEdges(e, k, rounds)
-      .select(col("v").as("gv"), col("u").as("gu"))
+    val baseGraph = baseEdges.select(col("v").as("gv"), col("u").as("gu"))
     beamCore(vecs, baseGraph, queries, coarseBest, beam, hops)
       .withColumn("rnk", row_number().over(wB))
       .filter(col("rnk") <= AnnK)
