@@ -2746,4 +2746,75 @@ object TextOps {
         round($entropy, 6) < $CharEntropyJunkNats AS low_entropy
       FROM wo ORDER BY doc_id"""
   }
+
+  /** t39: READABILITY PANEL — Flesch Reading Ease + Flesch–Kincaid
+    * grade (Kincaid et al. 1975), the classic audience-level dial a
+    * curation pipeline slices corpora by (t2 scores junk; this scores
+    * REGISTER — textbook vs legalese both pass t2): per document,
+    * words (the house whitespace split), sentences (terminal-
+    * punctuation runs, floored at 1 so a fragment is one sentence),
+    * and the standard syllable PROXY = vowel-group runs ([aeiouy]+,
+    * lowercased — the published approximation; a real hyphenator is a
+    * dictionary, not an expression). FRE = 206.835 − 1.015·(w/s) −
+    * 84.6·(syl/w); FK grade = 0.39·(w/s) + 11.8·(syl/w) − 15.59.
+    *
+    * Determinism: counts are exact integers from regexp_extract_all
+    * on a shared Java∩RE2 regex (d21's discipline — '[aeiouy]+' and
+    * '[.!?]+' parse identically in both engines); the two scores are
+    * single double expressions (roundz — FK is negative for very
+    * simple text, FRE can exceed 100).
+    *
+    * Scale: a PURE per-row projection — the output sort is the only
+    * exchange (t37's class, PlanSpec-gated). */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(split(col("text"), " "))
+    val sents = greatest(
+      size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+    val sylls = size(expr(
+      "regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    val wps = words.cast("double") / sents.cast("double")
+    val spw = sylls.cast("double") / words.cast("double")
+    docs.select(col("doc_id"),
+      words.cast("long").as("n_words"),
+      sents.cast("long").as("n_sentences"),
+      sylls.cast("long").as("n_syllables"),
+      graft.GraftFunctions.roundz(lit(206.835) - lit(1.015) * wps
+        - lit(84.6) * spw, 6).as("flesch_ease"),
+      graft.GraftFunctions.roundz(lit(0.39) * wps + lit(11.8) * spw
+        - lit(15.59), 6).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[readability]] — identical splits, the same
+    * RE2-safe regexes, and the same double expressions. */
+  def t39OracleSql: String = """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+          AS BIGINT) AS n_sentences,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+          AS BIGINT) AS n_syllables,
+        (round(CAST(206.835 AS DOUBLE)
+          - CAST(1.015 AS DOUBLE) * (CAST(len(string_split(text, ' '))
+              AS DOUBLE)
+            / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS DOUBLE))
+          - CAST(84.6 AS DOUBLE)
+            * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) + 0.0)
+          AS flesch_ease,
+        (round(CAST(0.39 AS DOUBLE) * (CAST(len(string_split(text, ' '))
+              AS DOUBLE)
+            / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS DOUBLE))
+          + CAST(11.8 AS DOUBLE)
+            * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE))
+          - CAST(15.59 AS DOUBLE), 6) + 0.0) AS fk_grade
+      FROM documents ORDER BY doc_id"""
 }

@@ -930,4 +930,32 @@ class TextOpsSpec extends SparkSpec {
     assert(en.sum / en.length > rest.sum / rest.length,
       "en slice does not outrank the background")
   }
+
+  test("t39 readability: exact counts and scores on planted prose, " +
+       "fragments floor at one sentence, and corpus rows are total") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      // 6 words, 2 sentences, syllable groups: the(1) cat(1) sat(1) =
+      // 3; it(1) was(1) flat(1) = 3 → 6 syllables, w/s = 3, syl/w = 1
+      (1L, "the cat sat. it was flat."),
+      // a fragment: no terminal punctuation → 1 sentence
+      (2L, "no end in sight"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((6L, 2L, 6L)),
+      r1.toString)
+    // FRE = 206.835 − 1.015·3 − 84.6·1 = 119.19; FK = 0.39·3 + 11.8·1
+    // − 15.59 = −2.62 (simple prose IS negative-grade)
+    assert(r1.getDouble(4) == 119.19 && r1.getDouble(5) == -2.62,
+      r1.toString)
+    assert(got(2L).getLong(2) == 1L, "fragment not floored")
+    // empty text: split yields [""] → 1 word, 0 syllables, defined
+    assert(got(3L).getLong(1) == 1L && got(3L).getLong(3) == 0L)
+    val sf = TextOps.readability(
+      graft.Tables.load(spark, sfDir, "documents")).collect()
+    assert(sf.length == 500 && sf.forall(!_.isNullAt(4)))
+  }
 }
