@@ -3753,6 +3753,109 @@ object Relational {
         round(exp(h), 6) AS hill
       FROM rows_ ORDER BY n_name, alpha"""
 
+  /** q66's individual-count grid — the survey-effort ladder the
+    * rarefaction table is evaluated at (rows emit only where the
+    * sample holds at least n individuals). */
+  val RarefyGrid: Seq[Int] = Seq(50, 200, 800)
+
+  /** q66: INDIVIDUAL-BASED ANALYTIC RAREFACTION (Hurlbert 1971;
+    * vegan `rarefy`) — the third member of the rarefaction family
+    * and the one the others approximate: the EXPECTED richness in a
+    * random draw of n INDIVIDUALS, E[S(n)] = Σ_t (1 − C(N−N_t, n)/
+    * C(N, n)), exactly. q21/q50 draw ONE deterministic subsample
+    * (fast, but a point estimate); q57 rarefies by SAMPLES; this is
+    * the per-sample analytic mean over ALL C(N, n) draws — the
+    * normalization used to compare richness across samples of
+    * unequal depth.
+    *
+    * The taxa-fold collapse: the hypergeometric miss probability
+    * h(n, N_t) depends on a taxon only through its COUNT, so taxa
+    * collapse onto the per-sample ABUNDANCE HISTOGRAM (6–7 distinct
+    * counts per sample on this corpus; O(√2N) in general — the q64
+    * trick again) and each (sample, count value, n) fold runs ONCE,
+    * scaled by the number of taxa at that count.
+    *
+    * Determinism: h is an in-row index-order product fold of exact
+    * integer ratios (identical IEEE sequence both engines — q57's
+    * discipline; a zero factor pins h = 0 exactly, and the fold
+    * continuing past the zero is sign-safe because 1 − h absorbs a
+    * signed zero); per-value terms c·(1−h) round-9 quantized into
+    * DECIMAL(38,9) and summed order-free; one round-6 output.
+    *
+    * Scale shape: one fact-scale count aggregate, then the
+    * (samples × distinct-counts × grid) lattice — dimension-bounded
+    * with in-row folds of length n. */
+  def q66Rarefy(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    rarefyFromCounts(ab, RarefyGrid)
+  }
+
+  /** [[q66Rarefy]]'s core over a (n_name, taxon-keyed, cnt BIGINT)
+    * abundance frame — split out for planted specs. */
+  def rarefyFromCounts(ab0: DataFrame, grid: Seq[Int]): DataFrame = {
+    val ab = graft.Ckpt(ab0)
+    val hist = ab.groupBy(col("n_name"), col("cnt"))
+      .agg(count(lit(1)).as("c"))
+    val tot = ab.groupBy("n_name")
+      .agg(sum(col("cnt")).as("nn"), count(lit(1)).as("s_obs"))
+    val gridCol = expr(s"explode(array(${grid.mkString(", ")}))")
+    val lattice = hist.join(tot, "n_name")
+      .select(col("n_name"), col("cnt"), col("c"), col("nn"),
+        col("s_obs"), gridCol.as("n"))
+      .filter(col("n") <= col("nn"))
+      .withColumn("h", expr(
+        """aggregate(sequence(0, n - 1), CAST(1.0 AS DOUBLE),
+          |  (acc, i) -> acc * CAST(nn - cnt - i AS DOUBLE)
+          |    / CAST(nn - i AS DOUBLE))""".stripMargin))
+      .withColumn("term",
+        round(col("c").cast("double") * (lit(1.0) - col("h")), 9)
+          .cast("decimal(38,9)"))
+    lattice.groupBy("n_name", "n")
+      .agg(first(col("s_obs")).as("s_obs"),
+        sum(col("term")).cast("double").as("raw"))
+      .select(col("n_name"), col("n"), col("s_obs"),
+        round(col("raw"), 6).as("exp_richness"))
+      .orderBy("n_name", "n")
+  }
+
+  /** DuckDB oracle for [[q66Rarefy]] — identical abundance histogram,
+    * the same index-order product fold, round-9 decimal term grid. */
+  def q66OracleSql(grid: Seq[Int] = RarefyGrid): String = s"""
+      WITH ab AS (
+        SELECT n_name, l_partkey, count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      hist AS (
+        SELECT n_name, cnt, count(*) AS c FROM ab GROUP BY 1, 2),
+      tot AS (
+        SELECT n_name, sum(cnt) AS nn, count(*) AS s_obs
+        FROM ab GROUP BY 1),
+      lattice AS (
+        SELECT n_name, cnt, c, nn, s_obs, n,
+          list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(generate_series(0, CAST(n - 1 AS INT)),
+              i -> CAST(nn - cnt - i AS DOUBLE)
+                / CAST(nn - i AS DOUBLE))),
+            (acc, x) -> acc * x) AS h
+        FROM hist JOIN tot USING (n_name),
+          unnest([${grid.mkString(", ")}]) t(n)
+        WHERE n <= nn)
+      SELECT n_name, CAST(n AS INT) AS n,
+        CAST(any_value(s_obs) AS BIGINT) AS s_obs,
+        round(CAST(sum(CAST(round(CAST(c AS DOUBLE) * (1.0 - h), 9)
+          AS DECIMAL(38,9))) AS DOUBLE), 6) AS exp_richness
+      FROM lattice
+      GROUP BY n_name, n ORDER BY n_name, n"""
+
   /** The q62 environment-variable vocabulary and its non-empty subset
     * lattice — ONE source of truth rendered into both the Spark
     * literal membership frame and the oracle's VALUES list. */

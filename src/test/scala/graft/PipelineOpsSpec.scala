@@ -1501,6 +1501,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("individual rarefaction: exact hypergeometric means on a " +
+       "planted panel, monotone and bounded by richness corpus-wide") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // N = 3 individuals, taxa A:2, B:1 — E[S(1)] = 2/3 + 1/3 = 1,
+    // E[S(2)] = 1 + 2/3 = 5/3, E[S(3)] = S_obs = 2 exactly
+    val ab = Seq(("s1", 1L, 2L), ("s1", 2L, 1L))
+      .toDF("n_name", "taxon", "cnt")
+    val got = Relational.rarefyFromCounts(ab, Seq(1, 2, 3)).collect()
+      .map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(got == Map(1 -> 1.0, 2 -> 1.666667, 3 -> 2.0), got.toString)
+    // grid points beyond the sample's depth emit nothing
+    val deep = Relational.rarefyFromCounts(ab, Seq(2, 99)).collect()
+    assert(deep.length == 1 && deep(0).getInt(1) == 2, deep.mkString(";"))
+    // corpus: per sample the curve is monotone non-decreasing in n
+    // and strictly below observed richness at every finite depth
+    val sf = Relational.q66Rarefy(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(sf.nonEmpty)
+    sf.groupBy(_._1).foreach { case (g, rs) =>
+      val curve = rs.sortBy(_._2)
+      assert(curve.zip(curve.tail).forall { case (a, b) => a._4 <= b._4 },
+        s"$g curve not monotone")
+      assert(curve.forall(r => r._4 > 0 && r._4 < r._3.toDouble),
+        s"$g curve out of bounds")
+    }
+  }
+
   test("Good-Turing coverage: exact on a planted frequency panel") {
     import spark.implicits._
     import graft.operators.TextOps
