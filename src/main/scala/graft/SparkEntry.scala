@@ -111,6 +111,7 @@ object SparkEntry {
     "q62_bioenv" -> (Relational.q62Bioenv _),
     "d22_cdc_chunk" -> ((s: SparkSession, d: String) => Dedup.cdcChunkDedup(s, d)),
     "e28_holt_winters" -> (Events.holtWinters _),
+    "e29_markov_mix" -> (Events.markovMix _),
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
     "s22_hnsw" -> ((s: SparkSession, d: String) =>
       Similarity.hnswSearchOn(annEmb(s, d), annEdges(s, d),
@@ -1181,6 +1182,7 @@ object SparkEntry {
     "q62_bioenv" -> graft.operators.Relational.q62OracleSql,
     "d22_cdc_chunk" -> graft.operators.Dedup.d22OracleSql(),
     "e28_holt_winters" -> graft.operators.Events.e28OracleSql,
+    "e29_markov_mix" -> graft.operators.Events.e29OracleSql,
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
     "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,

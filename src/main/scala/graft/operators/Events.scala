@@ -1773,6 +1773,141 @@ object Events {
       FROM pv ORDER BY event_type, day"""
   }
 
+  /** Power-iteration steps for [[markovMix]] — FIXED BY CONTRACT
+    * (g1's class): the stationary vector is float-valued and only
+    * approached asymptotically, so the query semantics are "π after
+    * exactly MarkovIters steps from uniform". */
+  final val MarkovIters = 40
+
+  /** e29: MARKOV LONG-RUN STATE MIX — the stationary distribution of
+    * e9's transition matrix: where does a user's session settle if
+    * the observed dynamics keep running? e9 reports the one-step
+    * structure; funnels (e8) read hand-picked paths; this is the
+    * whole-chain summary (the PageRank of the event-type graph) that
+    * ranks states by long-run occupancy. π = lim πPᵗ approximated by
+    * exactly [[MarkovIters]] power steps from the uniform vector.
+    *
+    * Determinism: transition counts are exact integers; P entries are
+    * single double divisions; the matrix is ONE row of (i, j, p)
+    * structs sorted by (i, j) — k²-bounded, k = event-type count —
+    * and every step's π_j is an index-order fold of pi[i]·p products
+    * (identical IEEE sequence both engines; the oracle replays the
+    * identical expression tree in a recursive CTE, e28's pattern). A
+    * type with NO outgoing transitions gets the standard absorbing
+    * self-loop completion (P[i][i] = 1), identically in both engines.
+    *
+    * Scale shape: one fact-scale user-ordered window (e9's shape) to
+    * the pair counts; EVERYTHING after is k²-bounded. */
+  def markovMix(spark: SparkSession, dir: String): DataFrame =
+    markovMix(Tables.load(spark, dir, "events"))
+
+  def markovMix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    markovMixFromPairs(events
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** [[markovMix]]'s core over a (from_type, to_type, n) transition-
+    * count frame — split out for planted specs. */
+  def markovMixFromPairs(pairs: DataFrame): DataFrame = {
+    val types = graft.Ckpt(pairs.select(col("from_type").as("t"))
+      .union(pairs.select(col("to_type"))).distinct())
+    val idx = types.withColumn("i",
+      (row_number().over(Window.orderBy("t")) - 1).cast("int"))
+    val rows = pairs
+      .join(idx.select(col("t").as("from_type"), col("i")), "from_type")
+      .join(idx.select(col("t").as("to_type"), col("i").as("j")),
+        "to_type")
+    val rowSum = rows.groupBy("i").agg(sum(col("n")).as("rs"))
+    val ent = rows.join(rowSum, "i")
+      .select(col("i"), col("j"),
+        (col("n").cast("double") / col("rs").cast("double")).as("p"))
+    val missing = idx.join(rowSum.select(col("i")), Seq("i"), "left_anti")
+      .select(col("i"), col("i").as("j"), lit(1.0).as("p"))
+    val packed = ent.unionByName(missing)
+      .select(struct(col("i"), col("j"), col("p")).as("e"))
+      .agg(sort_array(collect_list(col("e"))).as("m"))
+    val kf = idx.agg(count(lit(1)).cast("int").as("k"))
+    val fold = s"""aggregate(
+      sequence(1, $MarkovIters),
+      transform(sequence(1, k),
+        x -> CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE)),
+      (pi, it) -> transform(sequence(0, k - 1), j ->
+        aggregate(filter(m, e -> e.j = j), CAST(0.0 AS DOUBLE),
+          (acc, e) -> acc + element_at(pi, e.i + 1) * e.p)),
+      pi -> pi)"""
+    packed.crossJoin(broadcast(kf)) // one-row type count (e29)
+      .select(posexplode(expr(fold)).as(Seq("i0", "stat")))
+      .select(col("i0").cast("int").as("i"), col("stat"))
+      .join(idx, "i")
+      .join(rowSum.select(col("i"), col("rs")), Seq("i"), "left_outer")
+      .select(col("t").as("event_type"),
+        coalesce(col("rs"), lit(0L)).as("n_out"),
+        graft.GraftFunctions.roundz(col("stat"), 6).as("stationary"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[markovMix]] — identical pair counts, sorted
+    * (i, j, p) matrix row, and the same index-order power steps in a
+    * recursive CTE (NOT a list_reduce struct accumulator — q60's
+    * documented DuckDB 1.0 bug). */
+  def e29OracleSql: String = s"""
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+            AS to_type
+        FROM events),
+      pairs AS (
+        SELECT event_type AS from_type, to_type, count(*) AS n
+        FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      types AS (
+        SELECT DISTINCT t FROM (
+          SELECT from_type AS t FROM pairs
+          UNION SELECT to_type FROM pairs)),
+      idx AS MATERIALIZED (
+        SELECT t, CAST(row_number() OVER (ORDER BY t) - 1 AS INT) AS i
+        FROM types),
+      rws AS (
+        SELECT fi.i AS i, ti.i AS j, n
+        FROM pairs
+        JOIN idx fi ON fi.t = from_type
+        JOIN idx ti ON ti.t = to_type),
+      rowsum AS (SELECT i, sum(n) AS rs FROM rws GROUP BY 1),
+      ent AS (
+        SELECT i, j, CAST(n AS DOUBLE) / CAST(rs AS DOUBLE) AS p
+        FROM rws JOIN rowsum USING (i)
+        UNION ALL
+        SELECT idx.i, idx.i, CAST(1.0 AS DOUBLE)
+        FROM idx LEFT JOIN rowsum ON rowsum.i = idx.i
+        WHERE rowsum.i IS NULL),
+      packed AS MATERIALIZED (
+        SELECT list(struct_pack(i := i, j := j, p := p)
+          ORDER BY i, j) AS m FROM ent),
+      kf AS (SELECT CAST(count(*) AS INT) AS k FROM idx),
+      pw AS (
+        SELECT 0 AS it, list_transform(generate_series(1, k),
+          x -> CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE)) AS pi
+        FROM kf
+        UNION ALL
+        SELECT it + 1, list_transform(generate_series(0, k - 1), j ->
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_filter(m, e -> e['j'] = j),
+              e -> pi[e['i'] + 1] * e['p'])),
+            (acc, x) -> acc + x))
+        FROM pw, packed, kf WHERE it < $MarkovIters),
+      fin AS (
+        SELECT idx.t AS event_type, idx.i, pi[idx.i + 1] AS stat
+        FROM pw, idx WHERE it = $MarkovIters)
+      SELECT event_type,
+        CAST(coalesce(rs, 0) AS BIGINT) AS n_out,
+        (round(stat, 6) + 0.0) AS stationary
+      FROM fin LEFT JOIN rowsum ON rowsum.i = fin.i
+      ORDER BY event_type"""
+
   /** Holt–Winters smoothing constants — exact SQL literal strings so
     * both engines parse the identical DOUBLE. */
   final val HwAlpha = "0.3"

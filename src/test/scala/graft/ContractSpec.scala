@@ -254,6 +254,7 @@ class ContractSpec extends SparkSpec {
         "cum.join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
         "daily.join(broadcast(stats), \"event_type\")" -> "dim (per-type moments)",
         ".join(broadcast(stats), \"event_type\")" -> "dim (per-type CUSUM baseline)",
+        "packed.crossJoin(broadcast(kf)) // one-row type count (e29)" -> "one-row (e29 type count)",
         "val edges = broadcast(u2.agg(" -> "one-row (quartile edges)",
         "val u2 = users.crossJoin(broadcast(anchor))" -> "one-row (anchor date)"),
       "Graph.scala" -> Map(

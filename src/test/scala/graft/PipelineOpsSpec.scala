@@ -1529,6 +1529,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("Markov mix: exact stationary vectors on planted chains, the " +
+       "absorbing completion drains, and the corpus mix is a " +
+       "distribution") {
+    import spark.implicits._
+    import graft.operators.Events
+    def run(ps: Seq[(String, String, Long)]) =
+      Events.markovMixFromPairs(ps.toDF("from_type", "to_type", "n"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+    // alternating 2-cycle: uniform IS stationary (exact at every step)
+    val alt = run(Seq(("A", "B", 5L), ("B", "A", 5L)))
+    assert(alt("A")._2 == 0.5 && alt("B")._2 == 0.5, alt.toString)
+    // A→B always, B→A w.p. 1/3: π = (1/4, 3/4); |λ₂| = 1/3 puts the
+    // 40-step iterate ~1e-19 from the limit → round-6 exact
+    val bias = run(Seq(("A", "B", 6L), ("B", "A", 2L), ("B", "B", 4L)))
+    assert(bias("A")._2 == 0.25 && bias("B")._2 == 0.75, bias.toString)
+    // B has no outgoing row → the absorbing self-loop completion:
+    // everything drains into B (exactly, after one step)
+    val drain = run(Seq(("A", "B", 5L)))
+    assert(drain("A") == ((5L, 0.0)) && drain("B") == ((0L, 1.0)),
+      drain.toString)
+    // corpus: one row per type, a probability distribution
+    val sf = Events.markovMix(
+      graft.Tables.load(spark, sfDir, "events")).collect()
+    assert(sf.length == 5, sf.mkString(";"))
+    assert(sf.forall(r => r.getDouble(2) >= 0.0))
+    assert(math.abs(sf.map(_.getDouble(2)).sum - 1.0) < 1e-4,
+      sf.mkString(";"))
+  }
+
   test("Good-Turing coverage: exact on a planted frequency panel") {
     import spark.implicits._
     import graft.operators.TextOps
