@@ -3398,21 +3398,27 @@ object Graph {
     var n = e.count()
     var steps = 0L
     var converged = false
+    // the certifying round's support frame IS the final truss's
+    // support (nothing dropped ⇒ the supports it computed are the
+    // converged subgraph's) — keep it so the output histogram costs
+    // no extra triangle pass
+    var supJoined: DataFrame = null
     while (!converged) {
       require(steps < maxRounds,
         s"$tag: peel not converged within $maxRounds rounds (edges=$n)")
-      val next = graft.Ckpt(e
+      supJoined = graft.Ckpt(e
         .join(trussSupport(e), Seq("a", "b"), "left_outer")
-        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
-        .select(col("a"), col("b")))
+        .select(col("a"), col("b"),
+          coalesce(col("sup"), lit(0L)).as("sup")))
+      val next = supJoined.filter(col("sup") >= k - 2)
+        .select(col("a"), col("b"))
       val m = next.count()
       steps += 1
-      if (m == n) converged = true else { e = next; n = m }
+      if (m == n) converged = true else { e = graft.Ckpt(next); n = m }
     }
     FixpointSteps.put(tag, steps)
-    e.join(trussSupport(e), Seq("a", "b"), "left_outer")
-      .select(coalesce(col("sup"), lit(0L)).as("support"))
-      .groupBy("support").agg(count(lit(1)).as("n_edges"))
+    supJoined
+      .groupBy(col("sup").as("support")).agg(count(lit(1)).as("n_edges"))
       .orderBy("support")
   }
 

@@ -3406,9 +3406,12 @@ object Relational {
     * are dimension-scale aggregates; everything here is
     * samples × variables × (P+1) bounded. */
   def q61Envfit(spark: SparkSession, dir: String): DataFrame = {
-    val x = Ordination.pcoa(q30BrayCurtis(spark, dir))
+    // the ordination is referenced by samples/means/centering below —
+    // checkpoint it so the PCoA power iteration runs ONCE, not per
+    // reference (this was a measured 52 s → ~6 s cut at sf0.1)
+    val x = graft.Ckpt(Ordination.pcoa(q30BrayCurtis(spark, dir))
       .select(col("sample").as("n_name"),
-        col("axis1").as("x1"), col("axis2").as("x2"))
+        col("axis1").as("x1"), col("axis2").as("x2")))
     val nat = Tables.dim(spark, dir, "nation")
       .select(col("n_name"), col("n_nationkey"))
     val cn = Tables.dim(spark, dir, "customer")
@@ -3430,8 +3433,8 @@ object Relational {
         / col("nc").cast("double"), 12).as("v"))
       .withColumn("variable", lit("orders_per_cust"))
     envfitFromConfig(x,
-      acct.unionByName(tp).unionByName(opc)
-        .select(col("variable"), col("n_name"), col("v")),
+      graft.Ckpt(acct.unionByName(tp).unionByName(opc)
+        .select(col("variable"), col("n_name"), col("v"))),
       nat.select(col("n_name"), col("n_nationkey").as("k")))
   }
 
@@ -3919,8 +3922,8 @@ object Relational {
         / col("nc").cast("double"), 12).as("v"))
       .withColumn("variable", lit("orders_per_cust"))
     bioenvFromInputs(bcp,
-      acct.unionByName(tp).unionByName(opc)
-        .select(col("variable"), col("n_name"), col("v")))
+      graft.Ckpt(acct.unionByName(tp).unionByName(opc)
+        .select(col("variable"), col("n_name"), col("v"))))
   }
 
   /** [[q62Bioenv]]'s core over a (sample_a, sample_b, bc) pair frame
