@@ -119,6 +119,7 @@ object SparkEntry {
         Similarity.SearchBeam, Similarity.SearchHops)),
     "q63_multi_beta" -> (Relational.q63MultiBeta _),
     "g24_ktruss" -> (Graph.g24Ktruss _),
+    "g26_homophily" -> (Graph.g26Homophily _),
     "q64_nodf" -> (Relational.q64Nodf _),
     "q65_renyi" -> (Relational.q65Renyi _),
     "q66_rarefy" -> (Relational.q66Rarefy _),
@@ -1187,6 +1188,7 @@ object SparkEntry {
     "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),
+    "g26_homophily" -> graft.operators.Graph.g26OracleSql,
     "q64_nodf" -> graft.operators.Relational.q64OracleSql,
     "q65_renyi" -> graft.operators.Relational.q65OracleSql,
     "q66_rarefy" -> graft.operators.Relational.q66OracleSql(),

@@ -3422,6 +3422,108 @@ object Graph {
       .orderBy("support")
   }
 
+  /** g26: ATTRIBUTE HOMOPHILY / categorical assortativity (Newman
+    * 2003, eq. 2) of the directed link graph with the document SOURCE
+    * as the node attribute — g4 answers "do high-degree nodes link to
+    * high-degree nodes"; this answers the curation question "do
+    * documents link WITHIN their source" (a crawl whose links never
+    * leave their domain needs different dedup/mixing treatment than
+    * one that cross-links):
+    * r = (Σᵢ e_ii − Σᵢ a_i·b_i) / (1 − Σᵢ a_i·b_i), with e the
+    * source×source edge-fraction mixing matrix, a/b its row/column
+    * sums. r = 1 is perfect homophily; r ≈ 0 is source-blind linking;
+    * r < 0 is disassortative.
+    *
+    * ALL-INTEGER determinism: with m edges, n_within = Σᵢ m_ii and
+    * sp = Σᵢ row_i·col_i (exact BIGINTs — m² ~ 10¹² at sf0.1, far
+    * under the 9.2·10¹⁸ ceiling; the category space is
+    * sources²-bounded), r = (m·n_within − sp)/(m² − sp) is ONE double
+    * division of exact integers on a round-6 grid (roundz — r is
+    * signed). Degenerate m² = sp (a single category) yields NULL
+    * identically in both engines.
+    *
+    * Scale: one edge-scale distinct + two dimension joins + a
+    * category²-bounded mixing census. */
+  def g26Homophily(spark: SparkSession, dir: String): DataFrame = {
+    val docs0 = Tables.load(spark, dir, "documents")
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")),
+      max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g26 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g26HomophilyEdges(
+      syntheticFwd(docs, n).select(col("src"), col("dst")).distinct(),
+      docs0.select(col("doc_id").as("node"), col("source").as("cat")))
+  }
+
+  /** General homophily entry — an explicit directed (src, dst) edge
+    * list plus a (node, cat) attribute frame; edges whose endpoint
+    * lacks an attribute row are dropped (inner joins — stated, not
+    * silent: the mixing matrix is only defined over labeled nodes). */
+  def g26HomophilyEdges(edges0: DataFrame, attrs: DataFrame): DataFrame = {
+    val e = edges0
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .join(attrs.select(col("node").as("src"), col("cat").as("ca")), "src")
+      .join(attrs.select(col("node").as("dst"), col("cat").as("cb")), "dst")
+    val mix = graft.Ckpt(e.groupBy("ca", "cb").agg(count(lit(1)).as("cnt")))
+    val m = mix.agg(sum(col("cnt")).as("m"))
+    val rows = mix.groupBy("ca").agg(sum(col("cnt")).as("rc"))
+    val cols = mix.groupBy("cb").agg(sum(col("cnt")).as("cc"))
+    val sp = rows.join(cols, col("ca") === col("cb"))
+      .agg(coalesce(sum(col("rc") * col("cc")), lit(0L)).as("sp"))
+    val within = mix.filter(col("ca") === col("cb"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_within"))
+    m.crossJoin(broadcast(within)) // one-row within census (g26)
+      .crossJoin(broadcast(sp)) // one-row sum-of-products (g26)
+      .select(col("m").as("n_edges"), col("n_within"),
+        round(col("n_within").cast("double") / col("m").cast("double"), 6)
+          .as("frac_within"),
+        when(col("m") * col("m") =!= col("sp"),
+          graft.GraftFunctions.roundz(
+            (col("m") * col("n_within") - col("sp")).cast("double")
+              / (col("m") * col("m") - col("sp")).cast("double"), 6))
+          .as("assortativity"))
+  }
+
+  /** DuckDB oracle for [[g26Homophily]] — identical synthetic edges,
+    * source joins, and the all-integer mixing arithmetic. */
+  def g26OracleSql: String = s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      fwd AS (
+        SELECT DISTINCT src,
+          CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      lab AS (
+        SELECT f.src, f.dst, da.source AS ca, db.source AS cb
+        FROM (SELECT * FROM fwd WHERE src <> dst) f
+        JOIN documents da ON da.doc_id = f.src
+        JOIN documents db ON db.doc_id = f.dst),
+      mix AS (SELECT ca, cb, count(*) AS cnt FROM lab GROUP BY 1, 2),
+      mm AS (SELECT sum(cnt) AS m FROM mix),
+      rws AS (SELECT ca, sum(cnt) AS rc FROM mix GROUP BY 1),
+      cls AS (SELECT cb, sum(cnt) AS cc FROM mix GROUP BY 1),
+      spx AS (
+        SELECT coalesce(sum(rc * cc), 0) AS sp
+        FROM rws JOIN cls ON ca = cb),
+      wi AS (
+        SELECT coalesce(sum(cnt), 0) AS n_within
+        FROM mix WHERE ca = cb)
+      SELECT CAST(m AS BIGINT) AS n_edges,
+        CAST(n_within AS BIGINT) AS n_within,
+        round(CAST(n_within AS DOUBLE) / CAST(m AS DOUBLE), 6)
+          AS frac_within,
+        CASE WHEN m * m <> sp THEN
+          (round(CAST(m * n_within - sp AS DOUBLE)
+            / CAST(m * m - sp AS DOUBLE), 6) + 0.0) END AS assortativity
+      FROM mm, wi, spx"""
+
   /** DuckDB oracle for [[g24Ktruss]] — identical co-purchase edge
     * derivation and a FIXED [[TrussRounds]]-round unroll of the same
     * support-filter peel (rounds past the fixpoint are no-ops), then

@@ -264,7 +264,9 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(m))" -> "one-row (edge count)",
         "var dist = graft.Ckpt(nodes.crossJoin(broadcast(seeds))" -> "k (4 deterministic pivots)",
         ".crossJoin(broadcast( // one-row frame (ContractSpec class)" -> "one-row (mutual-link count)",
-        ".crossJoin(broadcast(raw.agg(max(col(\"s\")).as(\"mx\")))) // one row" -> "one-row (g23 half-step max)"),
+        ".crossJoin(broadcast(raw.agg(max(col(\"s\")).as(\"mx\")))) // one row" -> "one-row (g23 half-step max)",
+        "m.crossJoin(broadcast(within)) // one-row within census (g26)" -> "one-row (g26 within census)",
+        ".crossJoin(broadcast(sp)) // one-row sum-of-products (g26)" -> "one-row (g26 sum of products)"),
       "Ordination.scala" -> Map(
         ".crossJoin(broadcast(gmean))" -> "one-row",
         ".crossJoin(broadcast(ids.agg(" -> "one-row",

@@ -1182,4 +1182,33 @@ class GraphSpec extends SparkSpec {
     assert(Graph.FixpointSteps.get("g24_ktruss") <= Graph.TrussRounds,
       "peel budget exceeded")
   }
+
+  test("g26 homophily: within-only edges score exactly 1, symmetric " +
+       "cross-linking exactly -1, one category is NULL, and the " +
+       "hash-linked corpus is near source-blind") {
+    import spark.implicits._
+    def run(es: Seq[(Long, Long)], cats: Seq[(Long, String)]) =
+      Graph.g26HomophilyEdges(es.toDF("src", "dst"),
+        cats.toDF("node", "cat")).head()
+    val cats = Seq(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B")
+    // perfect homophily: every edge stays inside its category
+    val within = run(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)), cats)
+    assert(within.getDouble(2) == 1.0 && within.getDouble(3) == 1.0,
+      within.toString)
+    // perfect disassortativity: symmetric cross-category linking
+    val cross = run(Seq((1L, 3L), (3L, 1L), (2L, 4L), (4L, 2L)), cats)
+    assert(cross.getDouble(2) == 0.0 && cross.getDouble(3) == -1.0,
+      cross.toString)
+    // a single category: m^2 = sp, the statistic is undefined -> NULL
+    val mono = run(Seq((1L, 2L), (2L, 1L)),
+      Seq(1L -> "A", 2L -> "A"))
+    assert(mono.getDouble(2) == 1.0 && mono.isNullAt(3), mono.toString)
+    // unlabeled endpoints drop (inner-join contract): only (1,2) stays
+    val drop = run(Seq((1L, 2L), (1L, 9L)), cats)
+    assert(drop.getLong(0) == 1L, drop.toString)
+    // corpus: the generator links by hash, blind to source -> r near 0
+    val sf = Graph.g26Homophily(spark, sfDir).head()
+    assert(math.abs(sf.getDouble(3)) < 0.1, sf.toString)
+    assert(sf.getDouble(2) > 0.0 && sf.getDouble(2) < 1.0, sf.toString)
+  }
 }
