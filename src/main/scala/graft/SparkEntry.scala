@@ -123,6 +123,7 @@ object SparkEntry {
     "q64_nodf" -> (Relational.q64Nodf _),
     "q65_renyi" -> (Relational.q65Renyi _),
     "q66_rarefy" -> (Relational.q66Rarefy _),
+    "q67_mrpp" -> (Relational.q67Mrpp _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1192,6 +1193,7 @@ object SparkEntry {
     "q64_nodf" -> graft.operators.Relational.q64OracleSql,
     "q65_renyi" -> graft.operators.Relational.q65OracleSql,
     "q66_rarefy" -> graft.operators.Relational.q66OracleSql(),
+    "q67_mrpp" -> graft.operators.Relational.q67OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

@@ -2126,6 +2126,172 @@ object Relational {
             AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
       FROM rq, r0, counts WHERE rq.p >= 1"""
 
+  /** q67: MRPP — multi-response permutation procedure (Mielke & Berry;
+    * vegan's `mrpp`), the third of the three classic "do these groups
+    * differ?" tests on the comparison page beside q46 (PERMANOVA, sums
+    * of SQUARED distances) and q51 (ANOSIM, ranks): the statistic is
+    * the size-weighted mean WITHIN-group distance δ = Σ_g (n_g/N)·ξ_g
+    * with ξ_g the average raw Bray–Curtis distance among group g's
+    * pairs — SMALL δ means tight groups, so significance counts
+    * permuted δ ≤ observed. The chance-corrected effect size is
+    * A = 1 − δ/E(δ) with E(δ) the mean of the permuted δs (A = 0 at
+    * chance, A → 1 as groups collapse to points — vegan's convention).
+    * Permutations are the SAME [[PermanovaPerms]] deterministic
+    * Knuth-hash label deals as q46/q49/q51 ([[permutationLabels]]).
+    *
+    * Determinism: the round-6 distances sum as exact DECIMAL(25,6)
+    * per (permutation, group); ξ_g = round(sum/count, 12); the
+    * weighted term round(ξ_g·n_g/N, 12) re-enters DECIMAL so each δ
+    * is an ORDER-FREE exact decimal — the δ_perm ≤ δ_obs compare and
+    * E(δ)'s sum are exact decimal arithmetic, no float ranking
+    * anywhere; A and the output δ are single double expressions
+    * phrased identically in both engines (round-12 E grid, roundz-6
+    * outputs). Singleton groups have no within pair and drop from the
+    * δ sum identically in both engines (sizes are permutation-
+    * invariant, so this is a property of the GROUPING, not the deal).
+    *
+    * Scale shape: q46's exactly — the only fact-scale work is q30's
+    * checkpointed abundance aggregate; the pair frame and the
+    * (P+1)-label lattice are sample-dimension-bounded throughout. */
+  def q67Mrpp(spark: SparkSession, dir: String): DataFrame = {
+    val bc = graft.Ckpt(q30BrayCurtis(spark, dir))
+    val nat = Tables.dim(spark, dir, "nation")
+      .join(Tables.dim(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("n_nationkey").as("k"), col("r_name"))
+    val samples = graft.Ckpt(bc.select(col("sample_a").as("n_name"))
+      .union(bc.select(col("sample_b"))).distinct()
+      .join(nat, "n_name"))
+    mrppFromDistances(bc, samples)
+  }
+
+  /** [[q67Mrpp]]'s core over a (sample_a, sample_b, bray_curtis) pair
+    * frame and a (n_name, k, r_name) sample frame — split out for
+    * planted specs. */
+  def mrppFromDistances(bc: DataFrame, samples: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val counts = samples.agg(count(lit(1)).as("n"),
+      countDistinct(col("r_name")).as("kg"))
+    val sizes = samples.groupBy("r_name").agg(count(lit(1)).as("ng"))
+    val labels = graft.Ckpt(permutationLabels(samples, P))
+    val dd = bc.select(col("sample_a"), col("sample_b"),
+      col("bray_curtis").cast("decimal(25,6)").as("dd"))
+    val la = labels.select(col("p"), col("n_name").as("sample_a"),
+      col("g").as("ga"))
+    val lb = labels.select(col("p"), col("n_name").as("sample_b"),
+      col("g").as("gb"))
+    val terms = dd.join(la, "sample_a").join(lb, Seq("p", "sample_b"))
+      .filter(col("ga") === col("gb"))
+      .groupBy("p", "ga")
+      .agg(sum(col("dd")).as("sg"), count(lit(1)).as("mg"))
+      .join(broadcast(sizes.select(col("r_name").as("ga"), col("ng"))), "ga")
+      .crossJoin(broadcast(counts.select(col("n"))))
+      .select(col("p"), round(
+        round(col("sg").cast("double") / col("mg").cast("double"), 12)
+          * col("ng").cast("double") / col("n").cast("double"), 12)
+        .cast("decimal(25,12)").as("term"))
+    val dq = terms.groupBy("p").agg(sum(col("term")).as("delta"))
+    val dobs = dq.filter(col("p") === 0L).select(col("delta").as("d_obs"))
+    dq.filter(col("p") >= 1L)
+      .crossJoin(broadcast(dobs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("delta") <= col("d_obs"), 1L).otherwise(0L))
+          .as("n_le"),
+        first(col("d_obs")).as("d0"),
+        sum(col("delta")).as("sdelta"))
+      .crossJoin(broadcast(counts))
+      .select(col("n").as("n_samples"), col("kg").as("n_groups"),
+        graft.GraftFunctions.roundz(col("d0").cast("double"), 6)
+          .as("delta_obs"),
+        graft.GraftFunctions.roundz(lit(1.0) - col("d0").cast("double")
+          / round(col("sdelta").cast("double")
+            / col("n_perms").cast("double"), 12), 6).as("a_stat"),
+        col("n_perms"), col("n_le"),
+        round((col("n_le") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+  }
+
+  /** DuckDB oracle for [[q67Mrpp]] — q30's BC derivation, the
+    * identical Knuth-hash deal, exact-decimal δ lattice, round-12
+    * ξ/weight/E grids, and the exact decimal δ ≤ compare. */
+  def q67OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY n_name),
+      cm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS c
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      bc AS MATERIALIZED (
+        SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+          round(1.0 - 2.0 * CAST(coalesce(cm.c, 0) AS DOUBLE)
+            / (CAST(ta.s AS DOUBLE) + CAST(tb.s AS DOUBLE)), 6) AS d
+        FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+        LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name),
+      samples AS MATERIALIZED (
+        SELECT s.n_name, n_nationkey AS k, r_name
+        FROM (SELECT DISTINCT n_name FROM (
+          SELECT sample_a AS n_name FROM bc
+          UNION ALL SELECT sample_b FROM bc)) s
+        JOIN nation ON nation.n_name = s.n_name
+        JOIN region ON n_regionkey = r_regionkey),
+      counts AS (
+        SELECT count(*) AS n, count(DISTINCT r_name) AS kg FROM samples),
+      ngf AS (SELECT r_name AS g, count(*) AS ng FROM samples GROUP BY 1),
+      bounds AS (
+        SELECT g,
+          sum(ng) OVER (ORDER BY g) - ng AS lo,
+          sum(ng) OVER (ORDER BY g) AS hi
+        FROM ngf),
+      permuted AS (
+        SELECT r.p, r.n_name, b.g
+        FROM (
+          SELECT p, n_name,
+            row_number() OVER (PARTITION BY p ORDER BY
+              ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+              k) AS rnk
+          FROM samples, generate_series(1, $PermanovaPerms) t(p)) r
+        JOIN bounds b ON r.rnk > b.lo AND r.rnk <= b.hi),
+      labels AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, r_name AS g FROM samples
+        UNION ALL SELECT CAST(p AS BIGINT), n_name, g FROM permuted),
+      dd AS MATERIALIZED (
+        SELECT sample_a, sample_b, CAST(d AS DECIMAL(25,6)) AS dd
+        FROM bc),
+      sg AS (
+        SELECT la.p, la.g AS ga, sum(dd.dd) AS sg, count(*) AS mg
+        FROM dd
+        JOIN labels la ON la.n_name = dd.sample_a
+        JOIN labels lb ON lb.n_name = dd.sample_b AND lb.p = la.p
+        WHERE la.g = lb.g
+        GROUP BY 1, 2),
+      terms AS (
+        SELECT p, CAST(round(
+          round(CAST(sg AS DOUBLE) / CAST(mg AS DOUBLE), 12)
+            * CAST(ng AS DOUBLE) / CAST(n AS DOUBLE), 12)
+          AS DECIMAL(25,12)) AS term
+        FROM sg JOIN ngf ON ngf.g = sg.ga, counts),
+      dq AS (SELECT p, sum(term) AS delta FROM terms GROUP BY 1),
+      d0 AS (SELECT delta AS d_obs FROM dq WHERE p = 0)
+      SELECT any_value(n) AS n_samples, any_value(kg) AS n_groups,
+        (round(CAST(any_value(d_obs) AS DOUBLE), 6) + 0.0) AS delta_obs,
+        (round(1.0 - CAST(any_value(d_obs) AS DOUBLE)
+          / round(CAST(sum(dq.delta) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12), 6) + 0.0) AS a_stat,
+        count(*) AS n_perms,
+        CAST(sum(CASE WHEN dq.delta <= d_obs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_le,
+        round(CAST(sum(CASE WHEN dq.delta <= d_obs THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+      FROM dq, d0, counts WHERE dq.p >= 1"""
+
   /** q52: INDICATOR SPECIES ANALYSIS (Dufrêne & Legendre 1997; R
     * `indicspecies`/`labdsv` IndVal) — the "WHICH taxa characterize a
     * group" endpoint beside q45's prevalence screen: for taxon t and

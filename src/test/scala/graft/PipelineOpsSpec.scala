@@ -308,6 +308,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"sf p: $sf")
   }
 
+  test("MRPP delta is the within-group mean exactly, A = 0 with p = 1 " +
+       "on an all-equal matrix, and sane on the sf corpus") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // 6 samples, 2 groups of 3: all within pairs at 0.1 → each group's
+    // ξ = 0.1 and δ_obs = 0.1 exactly. A permuted δ ties 0.1 only when
+    // the deal reproduces the set-partition — the SAME condition the
+    // ANOSIM spec already proves never fires over these 60 deals — so
+    // n_le = 0 and p = 1/(P+1) exactly; every permuted δ mixes in 0.9
+    // pairs, so E(δ) > δ_obs and A > 0
+    val names = Seq("s1", "s2", "s3", "t1", "t2", "t3")
+    val samples = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong, nm.substring(0, 1)) }
+      .toDF("n_name", "k", "r_name")
+    val pairs = for {
+      i <- names.indices; j <- names.indices if names(i) < names(j)
+    } yield (names(i), names(j),
+      if (names(i)(0) == names(j)(0)) 0.1 else 0.9)
+    val sep = Relational.mrppFromDistances(
+      pairs.toDF("sample_a", "sample_b", "bray_curtis"), samples).head()
+    assert(sep.getLong(0) == 6L && sep.getLong(1) == 2L, sep.toString)
+    assert(sep.getDouble(2) == 0.1, s"separated delta != 0.1: $sep")
+    assert(sep.getDouble(3) > 0.0, s"separated A not positive: $sep")
+    assert(sep.getLong(4) == Relational.PermanovaPerms)
+    assert(sep.getDouble(6) == math.rint(1.0e6
+      / (Relational.PermanovaPerms + 1)) / 1.0e6,
+      s"separated p not minimal: $sep")
+    // all-equal distances: δ = 0.5 for the observed AND every permuted
+    // labeling — all permutations tie (≤), p = 1, and A = 1 − 0.5/0.5
+    // = 0 exactly
+    val flat = pairs.map { case (a, b, _) => (a, b, 0.5) }
+    val nul = Relational.mrppFromDistances(
+      flat.toDF("sample_a", "sample_b", "bray_curtis"), samples).head()
+    assert(nul.getDouble(2) == 0.5, s"null delta != 0.5: $nul")
+    assert(nul.getDouble(3) == 0.0, s"null A != 0: $nul")
+    assert(nul.getLong(5) == Relational.PermanovaPerms &&
+      nul.getDouble(6) == 1.0, s"null not calibrated: $nul")
+    // real corpus: gate the shape — full census, δ in (0, 1], A finite,
+    // p in (0, 1]
+    val sf = Relational.q67Mrpp(spark, sfDir).head()
+    assert(sf.getLong(0) == 25L && sf.getLong(1) == 5L, s"sf shape: $sf")
+    assert(sf.getDouble(2) > 0.0 && sf.getDouble(2) <= 1.0, s"sf delta: $sf")
+    assert(!sf.getDouble(3).isNaN && sf.getDouble(3) < 1.0, s"sf A: $sf")
+    assert(sf.getLong(4) == Relational.PermanovaPerms)
+    assert(sf.getDouble(6) > 0.0 && sf.getDouble(6) <= 1.0, s"sf p: $sf")
+  }
+
   test("IndVal scores a perfect indicator exactly 1, a ubiquitous " +
        "uniform taxon exactly 1/k with p = 1, and is sane on the corpus") {
     import spark.implicits._
