@@ -112,6 +112,7 @@ object SparkEntry {
     "d22_cdc_chunk" -> ((s: SparkSession, d: String) => Dedup.cdcChunkDedup(s, d)),
     "e28_holt_winters" -> (Events.holtWinters _),
     "e29_markov_mix" -> (Events.markovMix _),
+    "e30_acf" -> (Events.acf _),
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
     "s22_hnsw" -> ((s: SparkSession, d: String) =>
       Similarity.hnswSearchOn(annEmb(s, d), annEdges(s, d),
@@ -1185,6 +1186,7 @@ object SparkEntry {
     "d22_cdc_chunk" -> graft.operators.Dedup.d22OracleSql(),
     "e28_holt_winters" -> graft.operators.Events.e28OracleSql,
     "e29_markov_mix" -> graft.operators.Events.e29OracleSql,
+    "e30_acf" -> graft.operators.Events.e30OracleSql,
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
     "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,

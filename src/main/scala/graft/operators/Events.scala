@@ -2079,4 +2079,127 @@ object Events {
           + 0.0) > 3.0 * sqrt(greatest(round(o['yhat'], 6), 0.0)) AS alarm
       FROM fin ORDER BY event_type, day"""
   }
+
+  /** Lags reported by [[acf]]: 1–3 catch short memory, 7 and 14 the
+    * weekly rhythm this event feed is expected to carry. FIXED BY
+    * CONTRACT (the g1 class): the query semantics are "the sample
+    * autocorrelation at exactly these lags". */
+  final val AcfLags: Seq[Int] = Seq(1, 2, 3, 7, 14)
+
+  /** e30: AUTOCORRELATION PANEL (the sample ACF) — the periodicity
+    * detector beside the forecasters: e25/e28 ASSUME a weekly season;
+    * this MEASURES it. Per event type, over the zero-filled daily
+    * calendar (e27's spine — gap days are real zero-rate days), the
+    * lag-k sample autocorrelation r_k = Σ_t c_t·c_{t+k} / Σ_t c_t²
+    * with c_t = x_t − x̄, at the [[AcfLags]] lag grid: a feed with a
+    * true weekly rhythm shows r_7, r_14 ≫ r_1, which is the
+    * precondition a practitioner checks before trusting e25/e28.
+    *
+    * Determinism: x̄ rides the round-12 grid from the exact integer
+    * count sum; centered values c_t are round-12; every product is
+    * round-12 quantized into DECIMAL(38,12) so numerator and
+    * denominator are order-free exact sums; r_k is ONE roundz-6
+    * double division (legitimately negative at off-phase lags). A
+    * constant series has zero variance → NULL acf in both engines.
+    *
+    * Scale shape: one fact-scale count aggregate (map-side combine);
+    * the spine is (types × days)-bounded; ALL lags ride ONE window
+    * sort per type (the leads share a window spec), and the stack
+    * explode is lag-bounded. Nothing touches the fact table twice. */
+  def acf(spark: SparkSession, dir: String): DataFrame =
+    acf(Tables.load(spark, dir, "events"))
+
+  def acf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val cal = span.select(col("event_type"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = graft.Ckpt(cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L))))
+    val mean = filled.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("cnt")).cast("double")
+          / count(lit(1)).cast("double"), 12).as("mu"))
+    val cc = filled.join(broadcast(mean), "event_type")
+      .withColumn("cc", round(col("cnt").cast("double") - col("mu"), 12))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val leads = AcfLags.foldLeft(cc)((df, k) =>
+      df.withColumn(s"l$k", lead(col("cc"), k).over(w)))
+    val stacked = leads.select(col("event_type"), col("n_days"), col("cc"),
+      expr(s"stack(${AcfLags.size}, " +
+        AcfLags.map(k => s"$k, l$k").mkString(", ") + ") AS (lag, lv)"))
+    val d3812 = "decimal(38,12)"
+    val num = stacked.filter(col("lv").isNotNull)
+      .groupBy("event_type", "lag")
+      .agg(first(col("n_days")).as("n_days"),
+        sum(round(col("cc") * col("lv"), 12).cast(d3812)).as("num"))
+    val den = cc.groupBy("event_type")
+      .agg(sum(round(col("cc") * col("cc"), 12).cast(d3812)).as("den"))
+    num.join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag"), col("n_days"),
+        when(col("den") > 0, graft.GraftFunctions.roundz(
+          col("num").cast("double") / col("den").cast("double"), 6))
+          .as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** DuckDB oracle for [[acf]] — identical zero-filled calendar,
+    * round-12 centering grid, exact-decimal product sums, one
+    * roundz-6 division per (type, lag). */
+  def e30OracleSql: String = {
+    val leadCols = AcfLags
+      .map(k => s"lead(cc, $k) OVER w AS l$k").mkString(",\n          ")
+    val stacked = AcfLags.map(k =>
+      s"SELECT event_type, n_days, cc, $k AS lag, l$k AS lv FROM leads")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+      cal AS (
+        SELECT event_type,
+          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM span),
+      filled AS (
+        SELECT cal.event_type, cal.day, coalesce(daily.cnt, 0) AS cnt
+        FROM cal LEFT JOIN daily
+          ON cal.event_type = daily.event_type AND cal.day = daily.day),
+      mean AS (
+        SELECT event_type, count(*) AS n_days,
+          round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 12)
+            AS mu
+        FROM filled GROUP BY 1),
+      cc AS (
+        SELECT filled.event_type, day, n_days,
+          round(CAST(cnt AS DOUBLE) - mu, 12) AS cc
+        FROM filled JOIN mean USING (event_type)),
+      leads AS (
+        SELECT event_type, n_days, cc,
+          $leadCols
+        FROM cc
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      stacked AS (
+        $stacked),
+      num AS (
+        SELECT event_type, lag, any_value(n_days) AS n_days,
+          sum(CAST(round(cc * lv, 12) AS DECIMAL(38,12))) AS num
+        FROM stacked WHERE lv IS NOT NULL GROUP BY 1, 2),
+      den AS (
+        SELECT event_type,
+          sum(CAST(round(cc * cc, 12) AS DECIMAL(38,12))) AS den
+        FROM cc GROUP BY 1)
+      SELECT num.event_type, CAST(lag AS INT) AS lag,
+        CAST(n_days AS BIGINT) AS n_days,
+        CASE WHEN den > 0 THEN (round(CAST(num AS DOUBLE)
+          / CAST(den AS DOUBLE), 6) + 0.0) END AS acf
+      FROM num JOIN den USING (event_type)
+      ORDER BY event_type, lag"""
+  }
 }

@@ -255,6 +255,8 @@ class ContractSpec extends SparkSpec {
         "daily.join(broadcast(stats), \"event_type\")" -> "dim (per-type moments)",
         ".join(broadcast(stats), \"event_type\")" -> "dim (per-type CUSUM baseline)",
         "packed.crossJoin(broadcast(kf)) // one-row type count (e29)" -> "one-row (e29 type count)",
+        "val cc = filled.join(broadcast(mean), \"event_type\")" -> "dim (per-type mean/day-count — e30)",
+        "num.join(broadcast(den), \"event_type\")" -> "dim (per-type variance sum — e30)",
         "val edges = broadcast(u2.agg(" -> "one-row (quartile edges)",
         "val u2 = users.crossJoin(broadcast(anchor))" -> "one-row (anchor date)"),
       "Graph.scala" -> Map(
@@ -285,6 +287,8 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(counts))" -> "one-row (sample/group counts)",
         ".crossJoin(broadcast(fobs))" -> "one-row (observed F)",
         ".crossJoin(broadcast(robs))" -> "one-row (observed r)",
+        ".crossJoin(broadcast(counts.select(col(\"n\"))))" -> "one-row (sample count — q67)",
+        ".crossJoin(broadcast(dobs))" -> "one-row (observed delta — q67)",
         ".join(broadcast(ngf), \"g\")" -> "dim (group sizes)",
         ".join(broadcast(sizes), \"g\")" -> "dim (group sizes — q52 IndVal)",
         "val cen = c.crossJoin(broadcast(mns))" -> "one-row (config means — q55)",

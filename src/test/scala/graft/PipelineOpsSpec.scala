@@ -1857,6 +1857,53 @@ class PipelineOpsSpec extends SparkSpec {
       after.toString)
   }
 
+  test("ACF: a pure weekly rhythm lands exactly 0.75/0.5 at lags 7/14 " +
+       "with a negative lag-1, a constant series is NULL, corpus sane") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dayUs = 86400L * 1000000L
+    def mkEvents(series: Seq[(String, Int, Int)]) = {
+      val rows = for {
+        ((tp, d, cnt), gi) <- series.zipWithIndex
+        i <- 0 until cnt
+      } yield {
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        ((gi * 1000 + i).toLong, t, 1L, tp, 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    // weekly: 28 days, 10 events every 7th day, 1 otherwise (every day
+    // has events, so the span is the full 4 weeks). The truncated
+    // lag-k sum keeps (4 − k/7)/4 of the aligned weeks and the
+    // per-product round-12 factors cancel in the ratio EXACTLY:
+    // acf(7) = 3/4 and acf(14) = 2/4; lag 1 pairs spikes with troughs
+    // → strictly negative
+    val weekly = (0 until 28)
+      .map(d => ("weekly", d, if (d % 7 == 0) 10 else 1))
+    // flat: zero variance → den = 0 → NULL acf at every lag
+    val flat = (0 until 28).map(d => ("flat", d, 5))
+    val got = Events.acf(mkEvents(weekly ++ flat)).collect()
+    val wk = got.filter(_.getString(0) == "weekly")
+      .map(r => r.getInt(1) -> r).toMap
+    assert(wk(7).getDouble(3) == 0.75, s"lag-7: ${wk(7)}")
+    assert(wk(14).getDouble(3) == 0.5, s"lag-14: ${wk(14)}")
+    assert(wk(1).getDouble(3) < 0.0, s"lag-1 not negative: ${wk(1)}")
+    assert(wk.values.forall(_.getLong(2) == 28L), "zero-filled span")
+    val fl = got.filter(_.getString(0) == "flat")
+    assert(fl.nonEmpty && fl.forall(_.isNullAt(3)),
+      s"flat series acf not NULL: ${fl.mkString(",")}")
+    // sf corpus: every (type, lag) within |acf| <= 1 (Cauchy–Schwarz
+    // bounds the truncated numerator by the full denominator)
+    val sf = Events.acf(spark, sfDir).collect()
+    assert(sf.nonEmpty, "empty corpus ACF")
+    assert(sf.forall(r => r.isNullAt(3) ||
+      (r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)),
+      "ACF out of [-1, 1]")
+    val lags = sf.map(_.getInt(1)).distinct.sorted
+    assert(lags.toSeq == Events.AcfLags.sorted, s"lag grid: ${lags.toSeq}")
+  }
+
   test("Holt-Winters: a pure weekly rhythm forecasts itself exactly, " +
        "a linear trend is tracked, a break day alarms, short series " +
        "are excluded") {
