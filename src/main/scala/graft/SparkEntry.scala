@@ -125,6 +125,7 @@ object SparkEntry {
     "q65_renyi" -> (Relational.q65Renyi _),
     "q66_rarefy" -> (Relational.q66Rarefy _),
     "q67_mrpp" -> (Relational.q67Mrpp _),
+    "q68_partial_mantel" -> (Relational.q68PartialMantel _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1196,6 +1197,7 @@ object SparkEntry {
     "q65_renyi" -> graft.operators.Relational.q65OracleSql,
     "q66_rarefy" -> graft.operators.Relational.q66OracleSql(),
     "q67_mrpp" -> graft.operators.Relational.q67OracleSql,
+    "q68_partial_mantel" -> graft.operators.Relational.q68OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

@@ -1457,6 +1457,291 @@ object Relational {
             AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
       FROM rq, r0, ns WHERE rq.p >= 1"""
 
+  /** q68: PARTIAL MANTEL (Smouse, Long & Sokal 1986; vegan's
+    * `mantel.partial`) — "do the flat (q30 BC) and tree-aware (q44
+    * UniFrac) views still agree AFTER controlling for the environment
+    * gradient?": the first-order partial correlation
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) over the
+    * aligned pair values, where z is the standardized-Euclidean
+    * environment distance built from q62's [[bioenvEnv]] frame (the
+    * full [[BioenvVars]] set on the identical z-score grid). The null
+    * permutes ONE matrix's sample identities together (q47's Mantel
+    * null — the same [[PermanovaPerms]] deterministic bijection deal,
+    * applied to y) and recomputes the partial statistic; x and z stay
+    * fixed, so r_xz is permutation-invariant but rides the same
+    * per-permutation expression for engine parity.
+    *
+    * Determinism: all three matrices are round-6 products of oracle-
+    * gated derivations (z = round-6 √ of an exact decimal sum of
+    * round-12 squared z-diffs); the ten correlation component sums
+    * are round-12 DECIMAL(38,12) (order-free); each pairwise r is
+    * round-12, the partial r ONE double expression compared round-9
+    * across permutations; p = (n_ge + 1)/(P + 1). A degenerate |r|=1
+    * conditioning correlation yields NULL partial r identically in
+    * both engines (and that permutation drops from the null count).
+    *
+    * Scale shape: q47's exactly — one checkpointed fact-scale leaf
+    * aggregate feeds BOTH community matrices; the env frame is
+    * dimension-bounded; pairs and the (P+1) lattice are
+    * sample-dim-bounded. */
+  def q68PartialMantel(spark: SparkSession, dir: String): DataFrame = {
+    val leaves = unifracLeafAbundance(spark, dir)
+    val bc = brayCurtisFromAbundance(leaves
+        .groupBy(col("n_name"), col("p_type"))
+        .agg(sum(col("qty")).as("qty")))
+      .select(col("sample_a"), col("sample_b"), col("bray_curtis").as("x"))
+    val uf = unifracFromLeaves(leaves)
+      .select(col("sample_a"), col("sample_b"), col("unifrac").as("y"))
+    val z = envZScores(bioenvEnv(spark, dir))
+    val d3812 = "decimal(38,12)"
+    val zd = bc.select(col("sample_a"), col("sample_b"))
+      .join(z.select(col("variable"), col("n_name").as("sample_a"),
+        col("z").as("za")), "sample_a")
+      .join(z.select(col("variable"), col("n_name").as("sample_b"),
+        col("z").as("zb")), Seq("sample_b", "variable"))
+      .groupBy("sample_a", "sample_b")
+      .agg(sum(round((col("za") - col("zb")) * (col("za") - col("zb")), 12)
+        .cast(d3812)).as("zd2"))
+      .select(col("sample_a"), col("sample_b"),
+        round(sqrt(col("zd2").cast("double")), 6).as("zv"))
+    val nat = Tables.dim(spark, dir, "nation")
+      .select(col("n_name"), col("n_nationkey").as("k"))
+    partialMantelFromDistances(bc, uf, zd, nat)
+  }
+
+  /** [[q68PartialMantel]]'s core over three aligned pair frames
+    * (x | y | zv) and a (n_name, k) sample-key frame — split out so
+    * specs can plant exact conditioning geometries. The y matrix is
+    * the permuted one. */
+  def partialMantelFromDistances(xs: DataFrame, ys: DataFrame,
+      zs: DataFrame, keys: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val pairs = graft.Ckpt(xs.join(ys, Seq("sample_a", "sample_b"))
+      .join(zs, Seq("sample_a", "sample_b")))
+    val samples = graft.Ckpt(pairs.select(col("sample_a").as("n_name"))
+      .union(pairs.select(col("sample_b"))).distinct()
+      .join(keys, "n_name"))
+    val pi = permutationBijection(samples, P)
+    val ya = pi.select(col("p"), col("n_name").as("sample_a"),
+      col("mapped").as("ma"))
+    val yb = pi.select(col("p"), col("n_name").as("sample_b"),
+      col("mapped").as("mb"))
+    val yLook = ys.select(
+      col("sample_a").as("pa"), col("sample_b").as("pb"), col("y"))
+    val lattice = pairs.select(col("sample_a"), col("sample_b"),
+        col("x"), col("zv"))
+      .join(ya, "sample_a").join(yb, Seq("p", "sample_b"))
+      .withColumn("pa", least(col("ma"), col("mb")))
+      .withColumn("pb", greatest(col("ma"), col("mb")))
+      .join(yLook, Seq("pa", "pb"))
+    val d3812 = "decimal(38,12)"
+    val comp = lattice.groupBy("p")
+      .agg(count(lit(1)).as("m"),
+        sum(col("x").cast(d3812)).cast("double").as("sx"),
+        sum(col("y").cast(d3812)).cast("double").as("sy"),
+        sum(col("zv").cast(d3812)).cast("double").as("sz"),
+        sum(round(col("x") * col("x"), 12).cast(d3812))
+          .cast("double").as("sxx"),
+        sum(round(col("y") * col("y"), 12).cast(d3812))
+          .cast("double").as("syy"),
+        sum(round(col("zv") * col("zv"), 12).cast(d3812))
+          .cast("double").as("szz"),
+        sum(round(col("x") * col("y"), 12).cast(d3812))
+          .cast("double").as("sxy"),
+        sum(round(col("x") * col("zv"), 12).cast(d3812))
+          .cast("double").as("sxz"),
+        sum(round(col("y") * col("zv"), 12).cast(d3812))
+          .cast("double").as("syz"))
+    def r12(sab: String, sa: String, sb: String, saa: String,
+        sbb: String) = round(
+      (col("m").cast("double") * col(sab) - col(sa) * col(sb))
+        / (sqrt(col("m").cast("double") * col(saa) - col(sa) * col(sa))
+          * sqrt(col("m").cast("double") * col(sbb) - col(sb) * col(sb))),
+      12)
+    val rq = comp
+      .select(col("p"), col("m"),
+        r12("sxy", "sx", "sy", "sxx", "syy").as("rxy"),
+        r12("sxz", "sx", "sz", "sxx", "szz").as("rxz"),
+        r12("syz", "sy", "sz", "syy", "szz").as("ryz"))
+      .select(col("p"), col("m"),
+        when(col("rxz") * col("rxz") < 1.0 && col("ryz") * col("ryz") < 1.0,
+          round((col("rxy") - col("rxz") * col("ryz"))
+            / (sqrt(lit(1.0) - col("rxz") * col("rxz"))
+              * sqrt(lit(1.0) - col("ryz") * col("ryz"))), 9)).as("rq"))
+      .filter(col("rq").isNotNull)
+    val robs = rq.filter(col("p") === 0L)
+      .select(col("rq").as("r_obs"), col("m").as("n_pairs"))
+    rq.filter(col("p") >= 1L)
+      .crossJoin(broadcast(robs))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("rq") >= col("r_obs"), 1L).otherwise(0L)).as("n_ge"),
+        first(col("r_obs")).as("r0"), first(col("n_pairs")).as("n_pairs"))
+      .crossJoin(broadcast(samples.agg(count(lit(1)).as("n_samples"))))
+      .select(col("n_samples"), col("n_pairs"),
+        graft.GraftFunctions.roundz(col("r0"), 6).as("partial_r"),
+        col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+  }
+
+  /** DuckDB oracle for [[q68PartialMantel]] — q47's derivations plus
+    * q62's env z-score grid, the identical bijection deal, ten-sum
+    * component lattice, round-12 pairwise r and round-9 partial r. */
+  def q68OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY n_name),
+      cm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS c
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      bc AS MATERIALIZED (
+        SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+          round(1.0 - 2.0 * CAST(coalesce(cm.c, 0) AS DOUBLE)
+            / (CAST(ta.s AS DOUBLE) + CAST(tb.s AS DOUBLE)), 6) AS x
+        FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+        LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name),
+      uf AS MATERIALIZED (
+        SELECT sample_a, sample_b, unifrac AS y
+        FROM (${q44OracleSql}) quf),
+      cn AS MATERIALIZED (
+        SELECT c_custkey, n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey),
+      env AS MATERIALIZED (
+        SELECT 'acctbal_mean' AS variable, n_name,
+          round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS v
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'totalprice_mean', n_name,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12)
+        FROM orders JOIN cn ON o_custkey = c_custkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'orders_per_cust', o.n_name,
+          round(CAST(o.no AS DOUBLE) / CAST(c.nc AS DOUBLE), 12)
+        FROM (SELECT n_name, count(*) AS no FROM orders
+              JOIN cn ON o_custkey = c_custkey GROUP BY 1) o
+        JOIN (SELECT n_name, count(*) AS nc FROM cn GROUP BY 1) c
+          ON o.n_name = c.n_name),
+      vm AS (
+        SELECT variable,
+          CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS mv,
+          count(*) AS nv
+        FROM env GROUP BY 1),
+      vsd AS (
+        SELECT env.variable,
+          round(sqrt(CAST(sum(CAST(round((v - mv) * (v - mv), 12)
+              AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(any_value(nv) - 1 AS DOUBLE)), 12) AS sd,
+          any_value(mv) AS mv
+        FROM env JOIN vm ON env.variable = vm.variable
+        GROUP BY env.variable),
+      z AS MATERIALIZED (
+        SELECT env.variable, n_name,
+          CASE WHEN sd > 0 THEN round((v - mv) / sd, 12) END AS z
+        FROM env JOIN vsd ON env.variable = vsd.variable),
+      zd AS MATERIALIZED (
+        SELECT sample_a, sample_b,
+          round(sqrt(CAST(sum(CAST(round((za.z - zb.z) * (za.z - zb.z),
+            12) AS DECIMAL(38,12))) AS DOUBLE)), 6) AS zv
+        FROM bc
+        JOIN z za ON za.n_name = sample_a
+        JOIN z zb ON zb.n_name = sample_b AND zb.variable = za.variable
+        GROUP BY 1, 2),
+      pairs AS MATERIALIZED (
+        SELECT bc.sample_a, bc.sample_b, x, y, zv
+        FROM bc JOIN uf USING (sample_a, sample_b)
+        JOIN zd USING (sample_a, sample_b)),
+      samples AS MATERIALIZED (
+        SELECT s.n_name, n_nationkey AS k
+        FROM (SELECT DISTINCT n_name FROM (
+          SELECT sample_a AS n_name FROM pairs
+          UNION ALL SELECT sample_b FROM pairs)) s
+        JOIN nation ON nation.n_name = s.n_name),
+      byid AS (
+        SELECT p, n_name, row_number() OVER (
+          PARTITION BY p ORDER BY n_name) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      byhash AS (
+        SELECT p, n_name AS mapped, row_number() OVER (
+          PARTITION BY p ORDER BY
+            ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+            k) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      pi AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, n_name AS mapped
+        FROM samples
+        UNION ALL
+        SELECT CAST(byid.p AS BIGINT), byid.n_name, mapped
+        FROM byid JOIN byhash ON byid.p = byhash.p AND byid.j = byhash.j),
+      lattice AS (
+        SELECT pa.p, x, zv, uy.y
+        FROM pairs
+        JOIN pi pa ON pa.n_name = pairs.sample_a
+        JOIN pi pb ON pb.n_name = pairs.sample_b AND pb.p = pa.p
+        JOIN uf uy ON uy.sample_a = least(pa.mapped, pb.mapped)
+          AND uy.sample_b = greatest(pa.mapped, pb.mapped)),
+      comp AS (
+        SELECT p, count(*) AS m,
+          CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(zv AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+          CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxx,
+          CAST(sum(CAST(round(y * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS syy,
+          CAST(sum(CAST(round(zv * zv, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS szz,
+          CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxy,
+          CAST(sum(CAST(round(x * zv, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxz,
+          CAST(sum(CAST(round(y * zv, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS syz
+        FROM lattice GROUP BY 1),
+      rr AS (
+        SELECT p, m,
+          round((CAST(m AS DOUBLE) * sxy - sx * sy)
+            / (sqrt(CAST(m AS DOUBLE) * sxx - sx * sx)
+              * sqrt(CAST(m AS DOUBLE) * syy - sy * sy)), 12) AS rxy,
+          round((CAST(m AS DOUBLE) * sxz - sx * sz)
+            / (sqrt(CAST(m AS DOUBLE) * sxx - sx * sx)
+              * sqrt(CAST(m AS DOUBLE) * szz - sz * sz)), 12) AS rxz,
+          round((CAST(m AS DOUBLE) * syz - sy * sz)
+            / (sqrt(CAST(m AS DOUBLE) * syy - sy * sy)
+              * sqrt(CAST(m AS DOUBLE) * szz - sz * sz)), 12) AS ryz
+        FROM comp),
+      rq AS (
+        SELECT p, m,
+          CASE WHEN rxz * rxz < 1.0 AND ryz * ryz < 1.0
+            THEN round((rxy - rxz * ryz)
+              / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz)), 9)
+            END AS rq
+        FROM rr),
+      rqn AS (SELECT p, m, rq FROM rq WHERE rq IS NOT NULL),
+      r0 AS (SELECT rq AS r_obs, m AS n_pairs FROM rqn WHERE p = 0),
+      ns AS (SELECT count(*) AS n_samples FROM samples)
+      SELECT any_value(n_samples) AS n_samples,
+        any_value(n_pairs) AS n_pairs,
+        (round(any_value(r_obs), 6) + 0.0) AS partial_r,
+        count(*) AS n_perms,
+        CAST(sum(CASE WHEN rqn.rq >= r_obs THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ge,
+        round(CAST(sum(CASE WHEN rqn.rq >= r_obs THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+      FROM rqn, r0, ns WHERE rqn.p >= 1"""
+
   /** Taxa reported per group pair by [[q48Simper]]. */
   final val SimperTopK = 5
 
@@ -4067,6 +4352,13 @@ object Relational {
     val bcp = q30BrayCurtis(spark, dir)
       .select(col("sample_a"), col("sample_b"),
         col("bray_curtis").as("bc"))
+    bioenvFromInputs(bcp, bioenvEnv(spark, dir))
+  }
+
+  /** The (variable, n_name, v) environment frame over [[BioenvVars]] —
+    * split out of [[q62Bioenv]] so q68's partial Mantel conditions on
+    * the SAME environment structure the bioenv selection scores. */
+  def bioenvEnv(spark: SparkSession, dir: String): DataFrame = {
     val nat = Tables.dim(spark, dir, "nation")
       .select(col("n_name"), col("n_nationkey"))
     val cn = Tables.dim(spark, dir, "customer")
@@ -4087,20 +4379,15 @@ object Relational {
       .select(col("n_name"), round(col("no").cast("double")
         / col("nc").cast("double"), 12).as("v"))
       .withColumn("variable", lit("orders_per_cust"))
-    bioenvFromInputs(bcp,
-      graft.Ckpt(acct.unionByName(tp).unionByName(opc)
-        .select(col("variable"), col("n_name"), col("v"))))
+    graft.Ckpt(acct.unionByName(tp).unionByName(opc)
+      .select(col("variable"), col("n_name"), col("v")))
   }
 
-  /** [[q62Bioenv]]'s core over a (sample_a, sample_b, bc) pair frame
-    * and a (variable, n_name, v) environment frame — split out for
-    * planted specs. Subsets come from [[bioenvSubsets]]. */
-  def bioenvFromInputs(bcp0: DataFrame, env0: DataFrame): DataFrame = {
-    val spark = bcp0.sparkSession
-    import spark.implicits._
+  /** Round-12 z-score standardization of a (variable, n_name, v)
+    * environment frame — split out of [[bioenvFromInputs]] so q68's
+    * partial Mantel rides the identical grid. */
+  private def envZScores(env0: DataFrame): DataFrame = {
     val d3812 = "decimal(38,12)"
-    val bcp = graft.Ckpt(bcp0)
-    // standardize: z on the round-12 grid from decimal moment sums
     val vm = env0.groupBy("variable").agg(
       (sum(col("v").cast(d3812)).cast("double")
         / count(lit(1)).cast("double")).as("mv"),
@@ -4115,6 +4402,19 @@ object Relational {
       .select(col("variable"), col("n_name"),
         when(col("sd") > 0,
           round((col("v") - col("mv")) / col("sd"), 12)).as("z")))
+    z
+  }
+
+  /** [[q62Bioenv]]'s core over a (sample_a, sample_b, bc) pair frame
+    * and a (variable, n_name, v) environment frame — split out for
+    * planted specs. Subsets come from [[bioenvSubsets]]. */
+  def bioenvFromInputs(bcp0: DataFrame, env0: DataFrame): DataFrame = {
+    val spark = bcp0.sparkSession
+    import spark.implicits._
+    val d3812 = "decimal(38,12)"
+    val bcp = graft.Ckpt(bcp0)
+    // standardize: z on the round-12 grid from decimal moment sums
+    val z = envZScores(env0)
     // per (pair, variable) squared difference on the decimal grid
     val d2 = bcp
       .join(z.select(col("variable"), col("n_name").as("sample_a"),

@@ -260,6 +260,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"p range: $sf")
   }
 
+  test("Partial Mantel keeps r = 1 exactly when x and y agree beyond " +
+       "the covariate, and strips a shared-gradient confound") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val names = (1 to 8).map(i => f"s$i%02d")
+    val keys = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong) }.toDF("n_name", "k")
+    def pairsOf(f: (String, String) => Double) = (for {
+      i <- names.indices; j <- names.indices if names(i) < names(j)
+    } yield (names(i), names(j), f(names(i), names(j))))
+    // y = x with an unrelated covariate: r_xy = 1 and r_xz = r_yz, so
+    // the partial collapses to (1 − c²)/(1 − c²) = 1 exactly on the
+    // round-9 grid
+    val base = pairsOf((a, b) => 0.1 * (a.hashCode % 7).abs
+      + 0.05 * (b.hashCode % 5).abs + 0.2)
+    val other = pairsOf((a, b) => 0.1 * ((a + b).hashCode % 11).abs + 0.1)
+    val self = Relational.partialMantelFromDistances(
+      base.toDF("sample_a", "sample_b", "x"),
+      base.map { case (a, b, v) => (a, b, v) }
+        .toDF("sample_a", "sample_b", "y"),
+      other.toDF("sample_a", "sample_b", "zv"), keys).head()
+    assert(self.getDouble(2) == 1.0, s"agreement partial r != 1: $self")
+    assert(self.getDouble(5) < 0.2, s"agreement p not small: $self")
+    // confound: x and y each = shared gradient z + independent jitter.
+    // The plain Mantel reads the shared gradient as agreement; the
+    // partial controls it away — partial r must drop strictly below
+    val grad = pairsOf((a, b) => 0.1 * ((a + b).hashCode % 13).abs + 0.2)
+    val xj = pairsOf((a, b) =>
+      0.1 * ((a + b).hashCode % 13).abs + 0.2
+        + 0.03 * ((a.hashCode * 31 + b.hashCode) % 7).abs)
+    val yj = pairsOf((a, b) =>
+      0.1 * ((a + b).hashCode % 13).abs + 0.2
+        + 0.03 * ((a.hashCode * 17 + b.hashCode) % 5).abs)
+    val plain = Relational.mantelFromDistances(
+      xj.toDF("sample_a", "sample_b", "x"),
+      yj.toDF("sample_a", "sample_b", "y"), keys).head()
+    val part = Relational.partialMantelFromDistances(
+      xj.toDF("sample_a", "sample_b", "x"),
+      yj.toDF("sample_a", "sample_b", "y"),
+      grad.toDF("sample_a", "sample_b", "zv"), keys).head()
+    assert(plain.getDouble(2) > 0.5, s"confounded plain r too low: $plain")
+    assert(part.getDouble(2) < plain.getDouble(2) - 0.1,
+      s"partial did not strip the gradient: plain=$plain partial=$part")
+    // real corpus: full census, r in [−1, 1], p in (0, 1]
+    val sf = Relational.q68PartialMantel(spark, sfDir).head()
+    assert(sf.getLong(0) == 25L && sf.getLong(1) == 300L, s"shape: $sf")
+    assert(sf.getDouble(2) >= -1.0 && sf.getDouble(2) <= 1.0 &&
+      !sf.getDouble(2).isNaN, s"partial r range: $sf")
+    assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"p range: $sf")
+  }
+
   test("ANOSIM R is exactly 1 on perfectly separated groups, exactly 0 " +
        "with p = 1 on an all-equal matrix, and sane on the sf corpus") {
     import spark.implicits._
