@@ -2477,6 +2477,130 @@ object Graph {
                         WHERE s.a = cand.x AND s.b = cand.y)
       ORDER BY aaq DESC, x, y LIMIT $G17TopK"""
 
+  /** Candidate pairs reported by [[g27JaccardLink]]. */
+  final val G27TopK = 20
+
+  /** g27: NEIGHBORHOOD-JACCARD LINK PREDICTION (Liben-Nowell &
+    * Kleinberg 2003) — the normalized companion to g17's Adamic–Adar
+    * on the doc-graph page: for non-adjacent (x, y),
+    * J = |N(x)∩N(y)| / |N(x)∪N(y)| = cn/(d_x + d_y − cn). Where AA
+    * asks "how RARE are the shared neighbors", Jaccard asks "how much
+    * of both neighborhoods is shared" — a hub pair with 3 common
+    * neighbors among hundreds scores near 0 here while AA still
+    * accumulates; the two lists genuinely disagree, which is why link
+    * prediction suites report both. Candidates come from the same
+    * wedge generation as g17 (only pairs with cn ≥ 1 can score > 0,
+    * so no non-wedge pair is ever enumerated).
+    *
+    * Determinism: cn, d_x, d_y are exact integers; J is ONE double
+    * division of exact integers on the round-9 ranking grid with
+    * (x, y) id tie-breaks, output re-rounded to 6 — phrased
+    * identically in both engines; TakeOrdered horizon, never a full
+    * sort.
+    *
+    * Scale shape: g17's exactly — the wedge join is the quadratic-risk
+    * path and the Edges entry takes the same `maxCenterDegree` hub cap
+    * (a capped center drops its wedges = minimum contribution, the
+    * principled floor; the union denominator keeps FULL degrees, so
+    * capped scores are conservative underestimates). Degree joins are
+    * node-scale, unhinted — AQE broadcasts them while genuinely
+    * small. */
+  def g27JaccardLink(spark: SparkSession, dir: String): DataFrame =
+    g27JaccardLink(Tables.load(spark, dir, "documents"))
+
+  def g27JaccardLink(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(n > 0, "g27 needs a non-empty documents frame")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g27 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g27Core(simpleUndirected(syntheticFwd(docs, n)))
+  }
+
+  /** General entry — explicit (src, dst) edge list, arbitrary sparse
+    * 64-bit ids; `maxCenterDegree` caps the wedge fan-out per common
+    * neighbor (uncapped = exact). */
+  def g27JaccardLinkEdges(edges0: DataFrame,
+      maxCenterDegree: Long = Long.MaxValue): DataFrame =
+    g27Core(simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))), maxCenterDegree)
+
+  private def g27Core(simple: DataFrame,
+      maxCenterDegree: Long = Long.MaxValue): DataFrame = {
+    val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val adj = simple.select(col("a").as("z"), col("b").as("x"))
+      .union(simple.select(col("b").as("z"), col("a").as("x")))
+    val withDeg = graft.Ckpt(adj
+      .join(deg.select(col("v").as("z"), col("d")), "z"))
+    val nCapped = withDeg.filter(col("d") > maxCenterDegree)
+      .agg(countDistinct(col("z")).as("n_capped_centers"))
+    // d >= 2 mirrors g17: a degree-1 center forms no wedge
+    val kept = withDeg.filter(col("d") <= maxCenterDegree && col("d") >= 2)
+      .select(col("z"), col("x"))
+    val cand = kept
+      .join(kept.select(col("z"), col("x").as("y")), "z")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("cn"))
+    cand
+      .join(simple.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .join(deg.select(col("v").as("x"), col("d").as("d_x")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("d_y")), "y")
+      .withColumn("jq", round(col("cn").cast("double")
+        / (col("d_x") + col("d_y") - col("cn")).cast("double"), 9))
+      .crossJoin(broadcast(nCapped)) // one row — in-plan, not a head()
+      .orderBy(col("jq").desc, col("x"), col("y"))
+      .limit(G27TopK)
+      .select(col("x"), col("y"), col("cn"), col("d_x"), col("d_y"),
+        round(col("jq"), 6).as("jaccard"), col("n_capped_centers"))
+  }
+
+  /** DuckDB oracle for [[g27JaccardLink]] — identical wedge candidate
+    * derivation, exact-integer census, round-9 ranking grid. */
+  def g27OracleSql: String = s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      fwd AS (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      simple AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM fwd),
+      deg AS (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) t
+        GROUP BY v),
+      adj AS (
+        SELECT a AS z, b AS x FROM simple
+        UNION ALL SELECT b, a FROM simple),
+      kept AS MATERIALIZED (
+        SELECT z, x
+        FROM adj JOIN deg ON adj.z = deg.v
+        WHERE d >= 2),
+      cand AS (
+        SELECT p.x AS x, q.x AS y, count(*) AS cn
+        FROM kept p JOIN kept q ON p.z = q.z AND p.x < q.x
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT cand.x, cand.y, cn, dx.d AS d_x, dy.d AS d_y,
+          round(CAST(cn AS DOUBLE)
+            / CAST(dx.d + dy.d - cn AS DOUBLE), 9) AS jq
+        FROM cand
+        JOIN deg dx ON dx.v = cand.x
+        JOIN deg dy ON dy.v = cand.y
+        WHERE NOT EXISTS (SELECT 1 FROM simple s
+                          WHERE s.a = cand.x AND s.b = cand.y))
+      SELECT x, y, cn, d_x, d_y, round(jq, 6) AS jaccard,
+        CAST(0 AS BIGINT) AS n_capped_centers
+      FROM scored
+      ORDER BY jq DESC, x, y LIMIT $G27TopK"""
+
   /** g18: MODULARITY of the g10 LPA partition (Newman & Girvan 2004)
     * — the number that says whether the detected communities are real
     * structure or noise: Q = Σ_c (e_c/m − (d_c/2m)²) over the simple

@@ -930,6 +930,67 @@ class GraphSpec extends SparkSpec {
     assert(capped.forall(_._5 == 1L), s"cap audit count: ${capped.toSeq}")
   }
 
+  test("g27 Jaccard link prediction matches a JVM replica, scores twin " +
+       "leaves a perfect 1, and the center cap keeps full-degree unions") {
+    import spark.implicits._
+    def r9(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def r6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // replica over the derived graph at n = 12 (g17's harness)
+    val n = 12
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val got = Graph.g27JaccardLink(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+    val fwd = for { s <- 0L until n.toLong; j <- 1 to Graph.OutDeg } yield {
+      val d0 = (((s * 7 + j) % 1000000000L) * 2654435761L) % 2147483647L % n
+      (s, if (d0 == s) (d0 + 1) % n else d0)
+    }
+    val simple = fwd.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = (simple ++ simple.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+    val deg = adj.map { case (v, ns) => v -> ns.size }
+    val want = (for {
+      x <- 0L until n.toLong; y <- (x + 1) until n.toLong
+      if !adj.getOrElse(x, Set.empty).contains(y)
+      common = adj.getOrElse(x, Set.empty) & adj.getOrElse(y, Set.empty)
+      if common.nonEmpty
+    } yield {
+      val cn = common.size
+      val jq = r9(cn.toDouble / (deg(x) + deg(y) - cn).toDouble)
+      (x, y, cn.toLong, deg(x).toLong, deg(y).toLong, jq)
+    }).sortBy { case (x, y, _, _, _, jq) => (-jq, x, y) }
+      .take(Graph.G27TopK)
+      .map { case (x, y, cn, dx, dy, jq) => (x, y, cn, dx, dy, r6(jq), 0L) }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    assert(want.nonEmpty, "replica found no candidate pairs")
+    // planted geometry (g17's star + chain): leaves 1..4 share EXACTLY
+    // the hub as their whole neighborhood → Jaccard 1.0 (where AA gave
+    // them the WEAK 1/ln 5 — the two predictors genuinely disagree);
+    // (0,6) is 1/(5+2−1) = 1/6, (i,5) and (5,7) are 0.5
+    val planted = (1L to 5L).map(v => (0L, v)) ++ Seq((5L, 6L), (6L, 7L))
+    val un = Graph.g27JaccardLinkEdges(planted.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5), r.getLong(6)))
+    assert(un.count(_._4 == 1.0) == 6, s"twin-leaf pairs: ${un.toSeq}")
+    assert(un.count(_._4 == 0.5) == 5, s"half pairs: ${un.toSeq}")
+    assert(un.count(_._4 == r6(r9(1.0 / 6.0))) == 1, s"hub-chain: ${un.toSeq}")
+    assert(un.length == 12 && un.forall(_._5 == 0L), s"census: ${un.toSeq}")
+    // capped at 4: the hub center drops (LOUDLY counted) but surviving
+    // scores keep the FULL union denominator — (0,6) stays 1/6
+    val capped = Graph.g27JaccardLinkEdges(planted.toDF("src", "dst"),
+      maxCenterDegree = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+    assert(capped.toSet == Set(
+      (0L, 6L, 1L, 5L, 2L, r6(r9(1.0 / 6.0)), 1L),
+      (5L, 7L, 1L, 2L, 1L, 0.5, 1L)), s"capped: ${capped.toSeq}")
+  }
+
   test("g18 modularity matches a JVM LPA+Newman replica, scores planted " +
        "communities high, and a single community exactly 0") {
     import spark.implicits._
