@@ -114,6 +114,7 @@ object SparkEntry {
     "e29_markov_mix" -> (Events.markovMix _),
     "e30_acf" -> (Events.acf _),
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
+    "t40_rake" -> ((s: SparkSession, d: String) => TextOps.rakeKeywords(s, d)),
     "s22_hnsw" -> ((s: SparkSession, d: String) =>
       Similarity.hnswSearchOn(annEmb(s, d), annEdges(s, d),
         Similarity.KnnK, Similarity.KnnRounds,
@@ -1191,6 +1192,7 @@ object SparkEntry {
     "e29_markov_mix" -> graft.operators.Events.e29OracleSql,
     "e30_acf" -> graft.operators.Events.e30OracleSql,
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
+    "t40_rake" -> graft.operators.TextOps.t40OracleSql,
     "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),

@@ -2817,4 +2817,119 @@ object TextOps {
             / CAST(len(string_split(text, ' ')) AS DOUBLE))
           - CAST(15.59 AS DOUBLE), 6) + 0.0) AS fk_grade
       FROM documents ORDER BY doc_id"""
+
+  /** Phrases reported by [[rakeKeywords]]. */
+  final val RakeTopK = 20
+
+  /** t40: RAKE KEYWORD EXTRACTION (Rose et al. 2010) — the unsupervised
+    * keyphrase surfacer beside t10's unigram profile and t14's TF-IDF:
+    * candidate phrases are the maximal stopword-free word runs
+    * (delimiters = the [[GopherStops]] vocabulary — ONE source of
+    * truth rendered into both engines), each word scores
+    * deg(w)/freq(w) (deg = Σ length of phrases containing w — words
+    * that live in LONG phrases beat equally-frequent loners), and a
+    * phrase scores the sum of its word scores; the corpus-level
+    * report is the [[RakeTopK]] highest-scoring distinct phrases with
+    * occurrence/document counts.
+    *
+    * Determinism: deg and freq are exact integers; each word score is
+    * ONE round-12 double division re-entering DECIMAL(38,12), so
+    * phrase scores are order-free exact decimal sums ranked directly
+    * (no float ordering) with phrase-text tie-breaks; the output
+    * score is one round-6 cast.
+    *
+    * Scale shape: two fact-scale in-row explodes (phrase runs, then
+    * words — no pair join anywhere); word stats are vocab-bounded;
+    * the word-stat join is vocab-keyed (unhinted — AQE broadcasts
+    * while genuinely small); per-occurrence scores partial-aggregate
+    * map-side; the distinct-phrase frame is content-bounded and the
+    * final rank is a TakeOrdered horizon, never a full sort. Phrase
+    * GROUP BY keys are the phrase strings themselves — the same bytes
+    * the report must output, and one key per ~phrase-length words
+    * (unlike a per-position gram key, which is why d20 hashes and
+    * this does not). */
+  def rakeKeywords(spark: SparkSession, dir: String): DataFrame =
+    rakeKeywords(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def rakeKeywords(docs: DataFrame): DataFrame = {
+    val d3812 = "decimal(38,12)"
+    val marked = concat_ws(" ",
+      org.apache.spark.sql.functions.transform(split(col("text"), " "),
+        w => when(w.isin(GopherStops: _*), lit("|")).otherwise(w)))
+    val phraseArr = org.apache.spark.sql.functions.filter(
+      org.apache.spark.sql.functions.transform(split(marked, "\\|"),
+        p => trim(p)),
+      p => p =!= "")
+    val phrases = docs.select(col("doc_id"),
+      posexplode(phraseArr).as(Seq("pidx", "phrase")))
+    val pw = phrases.select(col("doc_id"), col("pidx"), col("phrase"),
+      size(split(col("phrase"), " ")).cast("long").as("n_words"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val ws = pw.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+    val scored = pw.join(ws, "w")
+      .groupBy("doc_id", "pidx")
+      .agg(first(col("phrase")).as("phrase"),
+        first(col("n_words")).as("n_words"),
+        sum(round(col("deg").cast("double") / col("freq").cast("double"),
+          12).cast(d3812)).as("ps"))
+    val agg = scored.groupBy("phrase")
+      .agg(first(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("ps")).as("ps"))
+    agg.orderBy(col("ps").desc, col("phrase")).limit(RakeTopK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("ps").desc, col("phrase"))).cast("int"))
+      .select(col("rnk"), col("phrase"), col("n_words"), col("n_occ"),
+        col("n_docs"),
+        round(col("ps").cast("double"), 6).as("score"))
+  }
+
+  /** DuckDB oracle for [[rakeKeywords]] — identical stopword-run
+    * phrase derivation, exact integer deg/freq, round-12 word-score
+    * grid, exact-decimal phrase ranking. */
+  def t40OracleSql: String = {
+    val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+    s"""
+      WITH raw AS (
+        SELECT doc_id, string_split(array_to_string(list_transform(
+          string_split(text, ' '),
+          w -> CASE WHEN w IN ($stops) THEN '|' ELSE w END), ' '), '|')
+          AS pl
+        FROM documents),
+      phrases AS MATERIALIZED (
+        SELECT doc_id, s['pidx'] AS pidx, s['phrase'] AS phrase
+        FROM (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(pl)),
+            i -> struct_pack(pidx := i, phrase := trim(pl[i])))) AS s
+          FROM raw)
+        WHERE s['phrase'] <> ''),
+      pw AS MATERIALIZED (
+        SELECT doc_id, pidx, phrase,
+          CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+          unnest(string_split(phrase, ' ')) AS w
+        FROM phrases),
+      ws AS (
+        SELECT w, count(*) AS freq, sum(n_words) AS deg
+        FROM pw GROUP BY 1),
+      scored AS (
+        SELECT doc_id, pidx, any_value(phrase) AS phrase,
+          any_value(n_words) AS n_words,
+          sum(CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 12)
+            AS DECIMAL(38,12))) AS ps
+        FROM pw JOIN ws USING (w)
+        GROUP BY doc_id, pidx),
+      agg AS (
+        SELECT phrase, any_value(n_words) AS n_words,
+          count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+          max(ps) AS ps
+        FROM scored GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY ps DESC, phrase) AS INT)
+          AS rnk,
+        phrase, n_words, n_occ, n_docs,
+        round(CAST(ps AS DOUBLE), 6) AS score
+      FROM agg ORDER BY rnk LIMIT $RakeTopK"""
+  }
 }

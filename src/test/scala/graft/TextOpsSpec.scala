@@ -958,4 +958,34 @@ class TextOpsSpec extends SparkSpec {
       graft.Tables.load(spark, sfDir, "documents")).collect()
     assert(sf.length == 500 && sf.forall(!_.isNullAt(4)))
   }
+
+  test("t40 RAKE: deg/freq favors long runs exactly, stopword-only " +
+       "docs vanish, occurrence/doc censuses are exact, corpus sane") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // deg(w) sums the lengths of phrases containing w, so a 3-word run
+    // scores 3 per word = 9 total; "alpha beta" scores 2+2 = 4 (alpha
+    // and beta each appear twice, always in 2-word runs); "gamma"
+    // appears 3× always alone → score 1; the all-stopword doc yields
+    // no phrase at all
+    val docs = Seq(
+      (0L, "alpha beta the alpha beta the gamma"),
+      (1L, "gamma the gamma"),
+      (2L, "delta epsilon zeta"),
+      (3L, "the a to of and")).toDF("doc_id", "text")
+    val got = TextOps.rakeKeywords(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1, "delta epsilon zeta", 3L, 1L, 1L, 9.0),
+      (2, "alpha beta", 2L, 2L, 1L, 4.0),
+      (3, "gamma", 1L, 3L, 2L, 1.0)), s"got: ${got.toSeq}")
+    // corpus: top-k census, scores positive and ranked descending
+    val sf = TextOps.rakeKeywords(spark, sfDir).collect()
+    assert(sf.length == TextOps.RakeTopK, s"rows: ${sf.length}")
+    assert(sf.map(_.getDouble(5)).toSeq ==
+      sf.map(_.getDouble(5)).sortBy(-_).toSeq, "not rank-ordered")
+    assert(sf.forall(r => r.getDouble(5) > 0.0 && r.getLong(3) >= 1L
+      && r.getLong(4) >= 1L), "degenerate corpus row")
+  }
 }
