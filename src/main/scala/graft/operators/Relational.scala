@@ -4310,6 +4310,141 @@ object Relational {
       FROM lattice
       GROUP BY n_name, n ORDER BY n_name, n"""
 
+  /** q69: ADDITIVE DIVERSITY PARTITIONING (Lande 1996; vegan
+    * `adipart`) — the "WHERE does the diversity live?" decomposition
+    * the comparison page reports after the indices: pooled (gamma)
+    * Shannon diversity splits additively into the mean within-sample
+    * diversity (alpha_sample), the between-sample-within-group
+    * component (beta_sample = alpha_group − alpha_sample), and the
+    * between-group component (beta_group = gamma − alpha_group), over
+    * the nation → region → corpus hierarchy (q46's grouping). Beta
+    * here is in diversity UNITS (nats), the additive companion of
+    * q56/q63's compositional beta.
+    *
+    * Determinism: counts are exact integers; each unit's Shannon
+    * entropy sums round-12 quantized −p·ln p terms as DECIMAL(25,12)
+    * (order-free — q58's grid, NOT q13's raw double sum, which only
+    * survives its 6-value vocabulary); level means are one round-12
+    * double division of the exact decimal H sum; betas are single
+    * double differences of round-12 values re-rounded 12; all five
+    * output values pass roundz-6 (betas can land on −0.0).
+    *
+    * Scale shape: ONE fact-scale count aggregate to the sparse
+    * (region, nation, taxon) matrix (checkpointed); the region and
+    * corpus re-aggregations and every entropy fold are
+    * dimension-bounded; the final five rows stack from one-row
+    * level summaries. */
+  def q69Adipart(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.dim(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("p_type"))
+      .agg(count(lit(1)).as("cnt")))
+    adipartFromCounts(ab)
+  }
+
+  /** [[q69Adipart]]'s core over a (r_name, n_name, p_type, cnt BIGINT)
+    * abundance frame — split out for planted specs. */
+  def adipartFromCounts(ab0: DataFrame): DataFrame = {
+    val ab = graft.Ckpt(ab0)
+    val d2512 = "decimal(25,12)"
+    def term(cnt: org.apache.spark.sql.Column,
+        tot: org.apache.spark.sql.Column) =
+      round(-(cnt.cast("double") / tot.cast("double"))
+        * log(cnt.cast("double") / tot.cast("double")), 12).cast(d2512)
+    // per-nation H
+    val nTot = ab.groupBy("n_name").agg(sum(col("cnt")).as("tot"))
+    val hN = ab.join(nTot, "n_name")
+      .groupBy("n_name").agg(sum(term(col("cnt"), col("tot"))).as("h"))
+    val a1 = hN.agg(round(sum(col("h")).cast("double")
+      / count(lit(1)).cast("double"), 12).as("a1"))
+    // per-region H over pooled counts
+    val rAb = ab.groupBy("r_name", "p_type").agg(sum(col("cnt")).as("cnt"))
+    val rTot = rAb.groupBy("r_name").agg(sum(col("cnt")).as("tot"))
+    val hR = rAb.join(rTot, "r_name")
+      .groupBy("r_name").agg(sum(term(col("cnt"), col("tot"))).as("h"))
+    val a2 = hR.agg(round(sum(col("h")).cast("double")
+      / count(lit(1)).cast("double"), 12).as("a2"))
+    // pooled gamma
+    val gAb = ab.groupBy("p_type").agg(sum(col("cnt")).as("cnt"))
+    val gTot = gAb.agg(sum(col("cnt")).as("tot"))
+    val g = gAb.crossJoin(broadcast(gTot))
+      .agg(round(sum(term(col("cnt"), col("tot"))).cast("double"), 12)
+        .as("g"))
+    a1.crossJoin(broadcast(a2)).crossJoin(broadcast(g))
+      .select(expr("stack(5, " +
+        "'alpha_sample', a1, " +
+        "'alpha_group', a2, " +
+        "'beta_sample', round(a2 - a1, 12), " +
+        "'beta_group', round(g - a2, 12), " +
+        "'gamma', g) AS (component, v)"))
+      .select(col("component"),
+        graft.GraftFunctions.roundz(col("v"), 6).as("value"))
+      .orderBy("component")
+  }
+
+  /** DuckDB oracle for [[q69Adipart]] — identical count hierarchy,
+    * round-12 entropy term grid, level means, and beta differences. */
+  def q69OracleSql: String = s"""
+      WITH ab AS (
+        SELECT r_name, n_name, p_type, count(*) AS cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2, 3),
+      ntot AS (SELECT n_name, sum(cnt) AS tot FROM ab GROUP BY 1),
+      hn AS (
+        SELECT ab.n_name, sum(CAST(round(
+          -(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+            * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+          AS DECIMAL(25,12))) AS h
+        FROM ab JOIN ntot ON ab.n_name = ntot.n_name GROUP BY 1),
+      a1 AS (
+        SELECT round(CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+          12) AS a1 FROM hn),
+      rab AS (
+        SELECT r_name, p_type, sum(cnt) AS cnt FROM ab GROUP BY 1, 2),
+      rtot AS (SELECT r_name, sum(cnt) AS tot FROM rab GROUP BY 1),
+      hr AS (
+        SELECT rab.r_name, sum(CAST(round(
+          -(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+            * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+          AS DECIMAL(25,12))) AS h
+        FROM rab JOIN rtot ON rab.r_name = rtot.r_name GROUP BY 1),
+      a2 AS (
+        SELECT round(CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+          12) AS a2 FROM hr),
+      gab AS (SELECT p_type, sum(cnt) AS cnt FROM ab GROUP BY 1),
+      gtot AS (SELECT sum(cnt) AS tot FROM gab),
+      g AS (
+        SELECT round(CAST(sum(CAST(round(
+          -(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+            * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+          AS DECIMAL(25,12))) AS DOUBLE), 12) AS g
+        FROM gab, gtot)
+      SELECT component, value FROM (
+        SELECT 'alpha_sample' AS component, (round(a1, 6) + 0.0) AS value
+        FROM a1
+        UNION ALL SELECT 'alpha_group', (round(a2, 6) + 0.0) FROM a2
+        UNION ALL SELECT 'beta_sample', (round(round(a2 - a1, 12), 6) + 0.0)
+        FROM a1, a2
+        UNION ALL SELECT 'beta_group', (round(round(g - a2, 12), 6) + 0.0)
+        FROM a2, g
+        UNION ALL SELECT 'gamma', (round(g, 6) + 0.0) FROM g)
+      ORDER BY component"""
+
   /** The q62 environment-variable vocabulary and its non-empty subset
     * lattice — ONE source of truth rendered into both the Spark
     * literal membership frame and the oracle's VALUES list. */

@@ -289,6 +289,8 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(robs))" -> "one-row (observed r)",
         ".crossJoin(broadcast(counts.select(col(\"n\"))))" -> "one-row (sample count — q67)",
         ".crossJoin(broadcast(dobs))" -> "one-row (observed delta — q67)",
+        "val g = gAb.crossJoin(broadcast(gTot))" -> "one-row (pooled total — q69)",
+        "a1.crossJoin(broadcast(a2)).crossJoin(broadcast(g))" -> "one-row (level summaries — q69)",
         ".join(broadcast(ngf), \"g\")" -> "dim (group sizes)",
         ".join(broadcast(sizes), \"g\")" -> "dim (group sizes — q52 IndVal)",
         "val cen = c.crossJoin(broadcast(mns))" -> "one-row (config means — q55)",

@@ -406,6 +406,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(6) > 0.0 && sf.getDouble(6) <= 1.0, s"sf p: $sf")
   }
 
+  test("Adipart: identical communities put all diversity in alpha, " +
+       "complete turnover puts it all in beta_group, corpus adds up") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val ln2r6 = 0.693147
+    // identical composition everywhere: every level's H = ln 2, so
+    // both betas are EXACTLY zero (and roundz keeps them +0.0)
+    val same = Seq(
+      ("R1", "n1", "X", 2L), ("R1", "n1", "Y", 2L),
+      ("R1", "n2", "X", 2L), ("R1", "n2", "Y", 2L),
+      ("R2", "n3", "X", 2L), ("R2", "n3", "Y", 2L),
+      ("R2", "n4", "X", 2L), ("R2", "n4", "Y", 2L))
+      .toDF("r_name", "n_name", "p_type", "cnt")
+    val s = Relational.adipartFromCounts(same).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s("alpha_sample") == ln2r6 && s("alpha_group") == ln2r6 &&
+      s("gamma") == ln2r6, s"identical alphas: $s")
+    assert(s("beta_sample") == 0.0 && s("beta_group") == 0.0 &&
+      !(1.0 / s("beta_sample") < 0), s"identical betas: $s")
+    // complete between-group turnover: each region is a single-taxon
+    // monoculture → alpha levels are 0 and ALL diversity is beta_group
+    val turn = Seq(("R1", "n1", "X", 3L), ("R2", "n2", "Y", 3L))
+      .toDF("r_name", "n_name", "p_type", "cnt")
+    val t = Relational.adipartFromCounts(turn).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(t("alpha_sample") == 0.0 && t("alpha_group") == 0.0,
+      s"turnover alphas: $t")
+    assert(t("beta_sample") == 0.0 && t("beta_group") == ln2r6 &&
+      t("gamma") == ln2r6, s"turnover betas: $t")
+    // corpus: 5 components, additivity holds on the round-6 grid
+    val sf = Relational.q69Adipart(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sf.keySet == Set("alpha_sample", "alpha_group", "beta_sample",
+      "beta_group", "gamma"), s"components: $sf")
+    assert(sf("gamma") > 0.0 && sf("alpha_sample") > 0.0, s"corpus: $sf")
+    assert(math.abs(sf("alpha_sample") + sf("beta_sample")
+      + sf("beta_group") - sf("gamma")) <= 2e-6, s"additivity: $sf")
+  }
+
   test("IndVal scores a perfect indicator exactly 1, a ubiquitous " +
        "uniform taxon exactly 1/k with p = 1, and is sane on the corpus") {
     import spark.implicits._
