@@ -128,6 +128,7 @@ object SparkEntry {
     "q67_mrpp" -> (Relational.q67Mrpp _),
     "q68_partial_mantel" -> (Relational.q68PartialMantel _),
     "q69_adipart" -> (Relational.q69Adipart _),
+    "q70_rankindex" -> (Relational.q70Rankindex _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1204,6 +1205,7 @@ object SparkEntry {
     "q67_mrpp" -> graft.operators.Relational.q67OracleSql,
     "q68_partial_mantel" -> graft.operators.Relational.q68OracleSql,
     "q69_adipart" -> graft.operators.Relational.q69OracleSql,
+    "q70_rankindex" -> graft.operators.Relational.q70OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

@@ -4445,6 +4445,283 @@ object Relational {
         UNION ALL SELECT 'gamma', (round(g, 6) + 0.0) FROM g)
       ORDER BY component"""
 
+  /** q70: RANKINDEX — dissimilarity-metric selection (Faith, Minchin
+    * & Belbin 1987; vegan `rankindex`): "WHICH community dissimilarity
+    * tracks the environment gradient best?", the methodological
+    * question asked BEFORE q30/q46/q62 commit to Bray–Curtis: Spearman
+    * ρ between the standardized-Euclidean environment distances (q62's
+    * [[bioenvEnv]] z-score grid) and each of five community metrics —
+    * Bray–Curtis, squared Euclidean (ranks equal Euclidean's, sqrt
+    * monotone — q62's trick), binary Jaccard, quantitative Kulczynski,
+    * Manhattan — ranked per metric. q62 varies the ENV side under a
+    * fixed metric; this varies the METRIC under the fixed env
+    * gradient.
+    *
+    * All five metrics fall out of ONE pair pass via the min-sum family
+    * of identities (q30's): Σ|x−y| = Σx + Σy − 2Σmin (Manhattan, and
+    * Bray–Curtis after the 1/(Σx+Σy) normalization), Σ(x−y)² = Σx² +
+    * Σy² − 2Σxy (Euclidean), shared richness for Jaccard — absent
+    * taxa never materialize.
+    *
+    * Determinism: Manhattan and squared-Euclidean rank on EXACT
+    * DECIMAL values (never floated); Bray/Kulczynski/Jaccard rank on
+    * their round-6 grids (identical tie sets across engines — q51's
+    * argument); all ranks ride the avg2 integer grid; ρ is q62's one
+    * double expression over six exact integer sums (roundz-6); a
+    * constant metric (zero rank variance) yields NULL ρ identically
+    * in both engines and sorts last.
+    *
+    * Scale shape: ONE checkpointed fact-scale abundance aggregate;
+    * the pair pass, the five rank windows (pair-frame-bounded, the
+    * constant-key idiom), the env lattice, and the 5-row output are
+    * all dimension-bounded. */
+  def q70Rankindex(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(dec(col("l_quantity"))).as("qty")))
+    rankindexFromInputs(ab, envZScores(bioenvEnv(spark, dir)))
+  }
+
+  /** [[q70Rankindex]]'s core over a (n_name, p_type, qty DECIMAL)
+    * abundance frame and a (variable, n_name, z) standardized
+    * environment frame — split out for planted specs. */
+  def rankindexFromInputs(ab0: DataFrame, z: DataFrame): DataFrame = {
+    val ab = graft.Ckpt(ab0)
+    val d3812 = "decimal(38,12)"
+    val tot = ab.groupBy(col("n_name"))
+      .agg(sum(col("qty")).as("s"),
+        sum(col("qty") * col("qty")).as("q2"),
+        count(lit(1)).as("rich"))
+    val cross = ab.as("a")
+      .join(ab.as("b"),
+        col("a.p_type") === col("b.p_type") &&
+        col("a.n_name") < col("b.n_name"))
+      .groupBy(col("a.n_name").as("sample_a"), col("b.n_name").as("sample_b"))
+      .agg(sum(least(col("a.qty"), col("b.qty"))).as("cmin"),
+        sum(col("a.qty") * col("b.qty")).as("cxy"),
+        count(lit(1)).as("cshared"))
+    val pairs = graft.Ckpt(tot.as("ta")
+      .join(tot.as("tb"), col("ta.n_name") < col("tb.n_name"))
+      .select(col("ta.n_name").as("sample_a"), col("tb.n_name").as("sample_b"),
+        col("ta.s").as("sa"), col("tb.s").as("sb"),
+        col("ta.q2").as("q2a"), col("tb.q2").as("q2b"),
+        col("ta.rich").as("ra"), col("tb.rich").as("rb"))
+      .join(cross, Seq("sample_a", "sample_b"), "left_outer")
+      .select(col("sample_a"), col("sample_b"),
+        col("sa"), col("sb"), col("q2a"), col("q2b"),
+        col("ra"), col("rb"),
+        coalesce(col("cmin"), lit(0).cast(D2)).as("cmin"),
+        coalesce(col("cxy"), lit(0).cast(D2)).as("cxy"),
+        coalesce(col("cshared"), lit(0L)).as("cshared")))
+    val metrics = pairs.select(col("sample_a"), col("sample_b"),
+      round(lit(1.0) - lit(2.0) * col("cmin").cast("double")
+        / (col("sa").cast("double") + col("sb").cast("double")), 6)
+        .as("m_bray"),
+      (col("q2a") + col("q2b") - col("cxy") - col("cxy")).as("m_eucl2"),
+      round(lit(1.0) - col("cshared").cast("double")
+        / (col("ra") + col("rb") - col("cshared")).cast("double"), 6)
+        .as("m_jacc"),
+      round(lit(1.0) - lit(0.5)
+        * (col("cmin").cast("double") / col("sa").cast("double")
+          + col("cmin").cast("double") / col("sb").cast("double")), 6)
+        .as("m_kulc"),
+      (col("sa") + col("sb") - col("cmin") - col("cmin")).as("m_manh"))
+    def avg2(c: String) =
+      (lit(2L) * rank().over(Window.partitionBy(col(c) * 0)
+          .orderBy(col(c))).cast("long")
+        + count(lit(1)).over(Window.partitionBy(col(c) * 0, col(c)))
+        - lit(1L)).as(s"u_${c.stripPrefix("m_")}")
+    val ranked = metrics.select(col("sample_a"), col("sample_b"),
+      avg2("m_bray"), avg2("m_eucl2"), avg2("m_jacc"),
+      avg2("m_kulc"), avg2("m_manh"))
+    val stacked = ranked.select(col("sample_a"), col("sample_b"),
+      expr("stack(5, 'bray', u_bray, 'euclidean', u_eucl2, " +
+        "'jaccard', u_jacc, 'kulczynski', u_kulc, " +
+        "'manhattan', u_manh) AS (metric, u)"))
+    // the env gradient ranks once, globally (q62's bcr shape), on the
+    // EXACT decimal squared distance
+    val gd = pairs.select(col("sample_a"), col("sample_b"))
+      .join(z.select(col("variable"), col("n_name").as("sample_a"),
+        col("z").as("za")), "sample_a")
+      .join(z.select(col("variable"), col("n_name").as("sample_b"),
+        col("z").as("zb")), Seq("sample_b", "variable"))
+      .groupBy("sample_a", "sample_b")
+      .agg(sum(round((col("za") - col("zb")) * (col("za") - col("zb")), 12)
+        .cast(d3812)).as("gd"))
+    val wrG = Window.partitionBy(col("gd") * 0).orderBy(col("gd"))
+    val wtG = Window.partitionBy(col("gd") * 0, col("gd"))
+    val wr = gd.select(col("sample_a"), col("sample_b"),
+      (lit(2L) * rank().over(wrG).cast("long")
+        + count(lit(1)).over(wtG) - lit(1L)).as("w"))
+    val stats = stacked.join(wr, Seq("sample_a", "sample_b"))
+      .groupBy("metric").agg(
+        count(lit(1)).as("n"),
+        sum(col("u")).as("su"), sum(col("w")).as("sw"),
+        sum(col("u") * col("u")).as("suu"),
+        sum(col("w") * col("w")).as("sww"),
+        sum(col("u") * col("w")).as("suw"))
+    val den2u = col("n") * col("suu") - col("su") * col("su")
+    val den2w = col("n") * col("sww") - col("sw") * col("sw")
+    stats.select(col("metric"),
+      when(den2u > 0 && den2w > 0, graft.GraftFunctions.roundz(
+        (col("n") * col("suw") - col("su") * col("sw")).cast("double")
+          / sqrt(den2u.cast("double")) / sqrt(den2w.cast("double")), 6))
+        .as("rho"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("rho").desc_nulls_last,
+          col("metric"))).cast("int"))
+      .select(col("rnk"), col("metric"), col("rho"))
+      .orderBy("rnk")
+  }
+
+  /** DuckDB oracle for [[q70Rankindex]] — identical one-pass pair
+    * census, per-metric avg2 rank grids, exact-decimal gradient
+    * ranks, and q62's six-sum ρ expression. */
+  def q70OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (
+        SELECT n_name, sum(qty) AS s,
+          sum(CAST(qty AS DECIMAL(18,2)) * CAST(qty AS DECIMAL(18,2)))
+            AS q2,
+          count(*) AS rich
+        FROM ab GROUP BY 1),
+      crossm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS cmin,
+          sum(CAST(a.qty AS DECIMAL(18,2)) * CAST(b.qty AS DECIMAL(18,2)))
+            AS cxy,
+          count(*) AS cshared
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      pairs AS MATERIALIZED (
+        SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+          ta.s AS sa, tb.s AS sb, ta.q2 AS q2a, tb.q2 AS q2b,
+          ta.rich AS ra, tb.rich AS rb,
+          coalesce(cmin, CAST(0 AS DECIMAL(18,2))) AS cmin,
+          coalesce(cxy, CAST(0 AS DECIMAL(18,2))) AS cxy,
+          coalesce(cshared, 0) AS cshared
+        FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+        LEFT JOIN crossm ON crossm.sample_a = ta.n_name
+          AND crossm.sample_b = tb.n_name),
+      metrics AS (
+        SELECT sample_a, sample_b,
+          round(1.0 - 2.0 * CAST(cmin AS DOUBLE)
+            / (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)), 6) AS m_bray,
+          q2a + q2b - cxy - cxy AS m_eucl2,
+          round(1.0 - CAST(cshared AS DOUBLE)
+            / CAST(ra + rb - cshared AS DOUBLE), 6) AS m_jacc,
+          round(1.0 - 0.5 * (CAST(cmin AS DOUBLE) / CAST(sa AS DOUBLE)
+            + CAST(cmin AS DOUBLE) / CAST(sb AS DOUBLE)), 6) AS m_kulc,
+          sa + sb - cmin - cmin AS m_manh
+        FROM pairs),
+      ranked AS MATERIALIZED (
+        SELECT sample_a, sample_b,
+          2 * rank() OVER (ORDER BY m_bray)
+            + count(*) OVER (PARTITION BY m_bray) - 1 AS u_bray,
+          2 * rank() OVER (ORDER BY m_eucl2)
+            + count(*) OVER (PARTITION BY m_eucl2) - 1 AS u_eucl2,
+          2 * rank() OVER (ORDER BY m_jacc)
+            + count(*) OVER (PARTITION BY m_jacc) - 1 AS u_jacc,
+          2 * rank() OVER (ORDER BY m_kulc)
+            + count(*) OVER (PARTITION BY m_kulc) - 1 AS u_kulc,
+          2 * rank() OVER (ORDER BY m_manh)
+            + count(*) OVER (PARTITION BY m_manh) - 1 AS u_manh
+        FROM metrics),
+      stacked AS (
+        SELECT sample_a, sample_b, 'bray' AS metric, u_bray AS u
+        FROM ranked
+        UNION ALL SELECT sample_a, sample_b, 'euclidean', u_eucl2
+        FROM ranked
+        UNION ALL SELECT sample_a, sample_b, 'jaccard', u_jacc
+        FROM ranked
+        UNION ALL SELECT sample_a, sample_b, 'kulczynski', u_kulc
+        FROM ranked
+        UNION ALL SELECT sample_a, sample_b, 'manhattan', u_manh
+        FROM ranked),
+      cn AS MATERIALIZED (
+        SELECT c_custkey, n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey),
+      env AS MATERIALIZED (
+        SELECT 'acctbal_mean' AS variable, n_name,
+          round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS v
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'totalprice_mean', n_name,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12)
+        FROM orders JOIN cn ON o_custkey = c_custkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'orders_per_cust', o.n_name,
+          round(CAST(o.no AS DOUBLE) / CAST(c.nc AS DOUBLE), 12)
+        FROM (SELECT n_name, count(*) AS no FROM orders
+              JOIN cn ON o_custkey = c_custkey GROUP BY 1) o
+        JOIN (SELECT n_name, count(*) AS nc FROM cn GROUP BY 1) c
+          ON o.n_name = c.n_name),
+      vm AS (
+        SELECT variable,
+          CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS mv,
+          count(*) AS nv
+        FROM env GROUP BY 1),
+      vsd AS (
+        SELECT env.variable,
+          round(sqrt(CAST(sum(CAST(round((v - mv) * (v - mv), 12)
+              AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(any_value(nv) - 1 AS DOUBLE)), 12) AS sd,
+          any_value(mv) AS mv
+        FROM env JOIN vm ON env.variable = vm.variable
+        GROUP BY env.variable),
+      z AS MATERIALIZED (
+        SELECT env.variable, n_name,
+          CASE WHEN sd > 0 THEN round((v - mv) / sd, 12) END AS z
+        FROM env JOIN vsd ON env.variable = vsd.variable),
+      gdt AS (
+        SELECT sample_a, sample_b,
+          sum(CAST(round((za.z - zb.z) * (za.z - zb.z), 12)
+            AS DECIMAL(38,12))) AS gd
+        FROM pairs
+        JOIN z za ON za.n_name = sample_a
+        JOIN z zb ON zb.n_name = sample_b AND zb.variable = za.variable
+        GROUP BY 1, 2),
+      wrt AS (
+        SELECT sample_a, sample_b,
+          CAST(2 * rank() OVER (ORDER BY gd)
+            + count(*) OVER (PARTITION BY gd) - 1 AS BIGINT) AS w
+        FROM gdt),
+      stats AS (
+        SELECT metric, count(*) AS n,
+          sum(u) AS su, sum(w) AS sw, sum(u * u) AS suu,
+          sum(w * w) AS sww, sum(u * w) AS suw
+        FROM stacked JOIN wrt USING (sample_a, sample_b)
+        GROUP BY 1),
+      rho AS (
+        SELECT metric,
+          CASE WHEN n * suu - su * su > 0 AND n * sww - sw * sw > 0
+            THEN (round(CAST(n * suw - su * sw AS DOUBLE)
+              / sqrt(CAST(n * suu - su * su AS DOUBLE))
+              / sqrt(CAST(n * sww - sw * sw AS DOUBLE)), 6) + 0.0)
+            END AS rho
+        FROM stats)
+      SELECT CAST(row_number() OVER (
+          ORDER BY rho DESC NULLS LAST, metric) AS INT) AS rnk,
+        metric, rho
+      FROM rho ORDER BY rnk"""
+
   /** The q62 environment-variable vocabulary and its non-empty subset
     * lattice — ONE source of truth rendered into both the Spark
     * literal membership frame and the oracle's VALUES list. */

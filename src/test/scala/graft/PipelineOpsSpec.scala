@@ -406,6 +406,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(6) > 0.0 && sf.getDouble(6) <= 1.0, s"sf p: $sf")
   }
 
+  test("Rankindex: metrics whose ranks equal the gradient's score " +
+       "rho = 1 exactly, a constant metric is NULL-last, corpus sane") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // one taxon X with abundance i on a 1-D gradient z = i: Manhattan
+    // distance is |i−j| and squared Euclidean (i−j)² — both rank
+    // EXACTLY like the gradient (ρ = 1); Bray (|i−j|/(i+j)) and
+    // Kulczynski re-order pairs (ρ < 1); Jaccard is the constant 0
+    // (every pair shares the single taxon) → NULL ρ, sorted last
+    val ab = (1 to 6).map(i => (s"s$i", "X", BigDecimal(i).setScale(2)))
+      .toDF("n_name", "p_type", "qty")
+    val z = (1 to 6).map(i => ("v1", s"s$i", i.toDouble))
+      .toDF("variable", "n_name", "z")
+    val got = Relational.rankindexFromInputs(ab, z).collect()
+    val rho = got.map(r => r.getString(1) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rho("euclidean").contains(1.0), s"euclidean: $rho")
+    assert(rho("manhattan").contains(1.0), s"manhattan: $rho")
+    assert(rho("jaccard").isEmpty, s"jaccard not NULL: $rho")
+    assert(rho("bray").exists(v => v > 0.0 && v < 1.0), s"bray: $rho")
+    assert(rho("kulczynski").exists(_ < 1.0), s"kulczynski: $rho")
+    val byRnk = got.map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byRnk(1) == "euclidean" && byRnk(2) == "manhattan" &&
+      byRnk(5) == "jaccard", s"ranking: $byRnk")
+    // corpus: five metrics, each NULL or in [−1, 1]
+    val sf = Relational.q70Rankindex(spark, sfDir).collect()
+    assert(sf.length == 5, s"rows: ${sf.length}")
+    assert(sf.map(_.getString(1)).toSet == Set("bray", "euclidean",
+      "jaccard", "kulczynski", "manhattan"))
+    assert(sf.forall(r => r.isNullAt(2) ||
+      (r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)), "rho range")
+  }
+
   test("Adipart: identical communities put all diversity in alpha, " +
        "complete turnover puts it all in beta_group, corpus adds up") {
     import spark.implicits._
