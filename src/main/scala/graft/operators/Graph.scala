@@ -2601,6 +2601,234 @@ object Graph {
       FROM scored
       ORDER BY jq DESC, x, y LIMIT $G27TopK"""
 
+  /** Outer Borůvka round budget of [[g28Msf]] — components at least
+    * halve per round (the merge is a FULL collapse, see
+    * [[MsfDoubling]]), so 12 covers 4096 initial components; the
+    * entry's graphs converge in 3–5. LOUD require on overrun. */
+  final val MsfRounds = 12
+
+  /** Pointer-doubling steps per Borůvka merge: parent chains have
+    * strictly decreasing selection keys (a component's partner chose a
+    * key ≤ the one pointing at it), so chains are acyclic with depth
+    * < #nodes, and 2^16 doubling fully collapses any graph up to
+    * 65536 nodes — enforced by a require, so the merge is always a
+    * TRUE connected-component collapse and the cut property holds for
+    * every selected edge. */
+  final val MsfDoubling = 16
+
+  /** g28: MAXIMUM-WEIGHT SPANNING FOREST via Borůvka over the part
+    * CO-PURCHASE graph (g24's relation; weight = number of orders
+    * containing both parts) — the single-linkage backbone a
+    * recommender or category-layout job extracts from a co-occurrence
+    * graph: the strongest-connection tree per component. Maximum
+    * forest = minimum under the TOTAL edge order (−cnt, a, b), packed
+    * into ONE integer key ((maxCnt − cnt)·(P+1)² + a·(P+1) + b), so
+    * ties are impossible and the MSF is unique — Borůvka's cut
+    * property then guarantees every selected edge belongs to it.
+    *
+    * Per round: (1) each component's minimum outgoing key via one
+    * edge-scale exchange (two-sided union + min — map-side partials);
+    * (2) selected keys accumulate as a set; (3) merge: each component
+    * points at its chosen partner, mutual pairs break to
+    * least(c, partner) (the self-rooted anchor), then [[MsfDoubling]]
+    * pointer-doubling steps collapse every label-scale chain to its
+    * root — a FULL component collapse, so no non-forest edge can ever
+    * look "outgoing" in a later round. Convergence = the exact
+    * outgoing-edge count probe hitting 0 (rounds recorded in
+    * FixpointSteps), budget [[MsfRounds]] LOUD.
+    *
+    * Determinism: everything is exact integer arithmetic — keys,
+    * labels, counts; no float enters at any point (the output is the
+    * edge list itself). The oracle replays the identical rounds as a
+    * fixed unroll with g11-style list state.
+    *
+    * Scale shape: pair generation is fact-scale with per-order
+    * fan-out ≤ C(7,2); each round is one edge-scale exchange plus
+    * label-scale parent joins; the doubling ladder is label-scale ×
+    * 16. The packed key needs (maxCnt+1)·(P+1)² < 2⁶³ and the
+    * doubling cover needs P ≤ 65536 — both LOUD requires (at larger
+    * id spaces, widen the key to DECIMAL(38,0) and raise the
+    * doubling; the algorithm itself is unchanged). */
+  def g28Msf(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = l.as("x")
+      .join(l.select(col("l_orderkey"), col("l_partkey").as("pb")).as("y"),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("pb"))
+      .groupBy(col("l_partkey").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    msfFromEdges(pairs, tag = "g28_msf")
+  }
+
+  /** Checkpoint that also RESETS Catalyst statistics: the LogicalRDD
+    * a checkpoint leaves behind PRESERVES the pre-checkpoint plan's
+    * sizeInBytes, so an ITERATED SELF-JOIN (pointer doubling) squares
+    * it every step — the bit-length of the stats doubles per step and
+    * the planner ends up multiplying multi-million-bit BigIntegers
+    * (minutes of Toom-Cook inside JoinSelection, before any job
+    * runs). Rebuilding the frame from the checkpointed RDD restores
+    * the default leaf stats; the data is already materialized, so
+    * this adds only a row-conversion on the label-scale frame. */
+  private def statsCkpt(df: DataFrame): DataFrame = {
+    val ck = graft.Ckpt(df)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** [[g28Msf]]'s core over an (a, b, cnt) weighted undirected edge
+    * frame (a < b, ids in 0..65535) — split out for planted specs. */
+  def msfFromEdges(edges0: DataFrame, tag: String = "g28_msf"): DataFrame = {
+    val spark = edges0.sparkSession
+    val bounds = edges0.agg(max(col("b")).as("p"), max(col("cnt")).as("mx"))
+      .head()
+    if (bounds.isNullAt(0))
+      return edges0.select(col("a"), col("b"), col("cnt")).limit(0)
+    val p = bounds.getLong(0)
+    val mx = bounds.getLong(1)
+    require(p >= 1 && p <= 65535L,
+      s"$tag: node ids must sit in 0..65535 for the doubling cover, got max $p")
+    require(mx >= 1 && (mx + 1) <= Long.MaxValue / ((p + 1) * (p + 1)),
+      s"$tag: packed key overflow (maxCnt=$mx, maxId=$p)")
+    val e = graft.Ckpt(edges0.select(col("a"), col("b"), col("cnt"),
+      (((lit(mx) - col("cnt")) * lit(p + 1) + col("a")) * lit(p + 1)
+        + col("b")).as("key")))
+    val nodes = e.select(col("a").as("v"))
+      .union(e.select(col("b"))).distinct()
+    var comp = graft.Ckpt(nodes.select(col("v"), col("v").as("c")))
+    var selected = graft.Ckpt(e.select(col("key")).limit(0))
+    var round = 0L
+    var converged = false
+    while (!converged) {
+      val ec = graft.Ckpt(e
+        .join(comp.select(col("v").as("a"), col("c").as("ca")), "a")
+        .join(comp.select(col("v").as("b"), col("c").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+        .select(col("key"), col("ca"), col("cb")))
+      if (ec.count() == 0L) converged = true
+      else {
+        require(round < MsfRounds,
+          s"$tag: Boruvka not converged within $MsfRounds rounds")
+        val w = ec.select(col("ca").as("c"), col("key"))
+          .union(ec.select(col("cb"), col("key")))
+          .groupBy("c").agg(min(col("key")).as("key"))
+        selected = statsCkpt(
+          selected.union(w.select(col("key"))).distinct())
+        val we = w.join(ec, "key")
+          .select(col("c"), col("key"),
+            when(col("c") === col("ca"), col("cb")).otherwise(col("ca"))
+              .as("partner"))
+        val par0 = we
+          .join(w.select(col("c").as("partner"), col("key").as("pkey")),
+            "partner")
+          .select(col("c"),
+            when(col("pkey") === col("key"),
+              least(col("c"), col("partner")))
+              .otherwise(col("partner")).as("par"))
+        var par = statsCkpt(comp.select(col("c")).distinct()
+          .join(par0, Seq("c"), "left_outer")
+          .select(col("c").as("id"), coalesce(col("par"), col("c"))
+            .as("par")))
+        // eager checkpoint EVERY doubling step: an un-checkpointed
+        // self-join ladder doubles the plan per step and Catalyst's
+        // sizeInBytes statistics explode as N^(2^k) BigIntegers — the
+        // optimizer, not the data, becomes the bottleneck. The probe
+        // exits at the fixpoint (typically 2–4 steps); the oracle's
+        // fixed MsfDoubling-step unroll is a no-op past it.
+        var stable = false
+        var k = 0
+        while (!stable) {
+          require(k < MsfDoubling,
+            s"$tag: pointer doubling not converged within $MsfDoubling steps")
+          val nxt = statsCkpt(par.as("p")
+            .join(par.select(col("id").as("j"), col("par").as("par2"))
+              .as("q"), col("p.par") === col("q.j"))
+            .select(col("p.id").as("id"), col("par2").as("par"),
+              col("p.par").as("prev")))
+          stable = nxt.filter(col("par") =!= col("prev")).isEmpty
+          par = nxt.select(col("id"), col("par"))
+          k += 1
+        }
+        comp = statsCkpt(comp.join(par, col("c") === col("id"))
+          .select(col("v"), col("par").as("c")))
+        round += 1
+      }
+    }
+    FixpointSteps.put(tag, round)
+    e.join(selected, Seq("key"), "left_semi")
+      .select(col("a"), col("b"), col("cnt"))
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB oracle for [[g28Msf]] — a FIXED [[MsfRounds]]-round unroll
+    * of the identical Borůvka rounds (post-fixpoint rounds are
+    * provable no-ops: no outgoing edge ⇒ empty winners ⇒ identity
+    * parent list ⇒ unchanged labels — g24's unroll argument), with
+    * the label state as a g11-style in-row list and each merge as
+    * [[MsfDoubling]] one-row list_transform doubling steps. */
+  def g28OracleSql(rounds: Int = MsfRounds,
+      doubling: Int = MsfDoubling): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH ec0 AS MATERIALIZED (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS cnt
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2),
+      mm AS (SELECT max(cnt) AS mx FROM ec0),
+      pp AS (SELECT max(b) AS p, CAST(max(b) AS INT) AS pi FROM ec0),
+      ids AS MATERIALIZED (
+        SELECT unnest(generate_series(1, pi + 1)) AS i FROM pp),
+      e AS MATERIALIZED (
+        SELECT a, b, cnt,
+          ((mx - cnt) * (p + 1) + a) * (p + 1) + b AS key
+        FROM ec0, mm, pp),
+      sel0 AS (SELECT key FROM e WHERE false),
+      c0 AS (SELECT list(CAST(i - 1 AS BIGINT) ORDER BY i) AS cl FROM ids)""")
+    for (r <- 1 to rounds) {
+      val q = r - 1
+      sb.append(s""",
+      er$r AS MATERIALIZED (
+        SELECT cl[CAST(a + 1 AS INT)] AS ca, cl[CAST(b + 1 AS INT)] AS cb,
+          key
+        FROM e, c$q
+        WHERE cl[CAST(a + 1 AS INT)] <> cl[CAST(b + 1 AS INT)]),
+      wr$r AS MATERIALIZED (
+        SELECT c, min(key) AS key FROM (
+          SELECT ca AS c, key FROM er$r
+          UNION ALL SELECT cb, key FROM er$r) t
+        GROUP BY 1),
+      sel$r AS (
+        SELECT key FROM sel$q UNION SELECT key FROM wr$r),
+      we$r AS (
+        SELECT w.c, w.key,
+          CASE WHEN w.c = er.ca THEN er.cb ELSE er.ca END AS partner
+        FROM wr$r w JOIN er$r er ON er.key = w.key),
+      pr$r AS (
+        SELECT we.c,
+          CASE WHEN w2.key = we.key THEN least(we.c, we.partner)
+            ELSE we.partner END AS par
+        FROM we$r we JOIN wr$r w2 ON w2.c = we.partner),
+      pl${r}_0 AS (
+        SELECT list(coalesce(par, i - 1) ORDER BY i) AS pl
+        FROM ids LEFT JOIN pr$r ON pr$r.c = ids.i - 1)""")
+      for (k <- 1 to doubling) {
+        sb.append(s""",
+      pl${r}_$k AS (
+        SELECT list_transform(pl, x -> pl[CAST(x + 1 AS INT)]) AS pl
+        FROM pl${r}_${k - 1})""")
+      }
+      sb.append(s""",
+      c$r AS (
+        SELECT list_transform(cl, x -> pl[CAST(x + 1 AS INT)]) AS cl
+        FROM c$q, pl${r}_$doubling)""")
+    }
+    sb.append(s"""
+      SELECT e.a, e.b, e.cnt
+      FROM e JOIN sel$rounds s ON s.key = e.key
+      ORDER BY a, b""")
+    sb.toString
+  }
+
   /** g18: MODULARITY of the g10 LPA partition (Newman & Girvan 2004)
     * — the number that says whether the detected communities are real
     * structure or noise: Q = Σ_c (e_c/m − (d_c/2m)²) over the simple

@@ -991,6 +991,49 @@ class GraphSpec extends SparkSpec {
       (5L, 7L, 1L, 2L, 1L, 0.5, 1L)), s"capped: ${capped.toSeq}")
   }
 
+  test("g28 Boruvka forest keeps the strongest edges, breaks weight " +
+       "ties on the (a, b) order, spans each component, corpus sane") {
+    import spark.implicits._
+    // triangle: the maximum forest drops the weakest edge (2,3)
+    val tri = Seq((1L, 2L, 5L), (2L, 3L, 3L), (1L, 3L, 4L))
+      .toDF("a", "b", "cnt")
+    val gotTri = Graph.msfFromEdges(tri, tag = "g28_spec_tri").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotTri == Set((1L, 2L, 5L), (1L, 3L, 4L)), s"triangle: $gotTri")
+    // all-tied square: the packed key falls back to (a, b) order, so
+    // the unique MSF under that total order drops exactly (3,4) —
+    // the LAST edge in the tie-broken order
+    val sq = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 1L))
+      .toDF("a", "b", "cnt")
+    val gotSq = Graph.msfFromEdges(sq, tag = "g28_spec_sq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSq == Set((1L, 2L), (2L, 3L), (1L, 4L)), s"square: $gotSq")
+    // two components: a tree component survives whole; the cyclic one
+    // drops its weakest edge — the forest never bridges components
+    val two = Seq((1L, 2L, 2L), (2L, 3L, 1L),
+      (10L, 11L, 7L), (11L, 12L, 5L), (10L, 12L, 6L))
+      .toDF("a", "b", "cnt")
+    val gotTwo = Graph.msfFromEdges(two, tag = "g28_spec_two").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotTwo == Set((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L)),
+      s"two components: $gotTwo")
+    // corpus: acyclic (< nodes), spanning (the sf0.001 co-purchase
+    // graph is connected: exactly nodes − 1 edges), rounds recorded
+    val sf = Graph.g28Msf(spark, sfDir).collect()
+    val l = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val nodes = l.as("x")
+      .join(l.select(col("l_orderkey"), col("l_partkey").as("pb")).as("y"),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("pb"))
+      .select(explode(array(col("l_partkey"), col("pb"))).as("v"))
+      .distinct().count()
+    assert(sf.length.toLong == nodes - 1,
+      s"forest size ${sf.length} vs nodes $nodes")
+    assert(Option(Graph.FixpointSteps.get("g28_msf")).exists(_ >= 1L),
+      "rounds not recorded")
+  }
+
   test("g18 modularity matches a JVM LPA+Newman replica, scores planted " +
        "communities high, and a single community exactly 0") {
     import spark.implicits._
