@@ -947,4 +947,49 @@ class PlanSpec extends SparkSpec {
     // DedupSpec shifted-pair fixture exercises the boundary logic
     // end to end and the shuffle budget above catches a degeneration.
   }
+
+  test("r18 operators: shuffle budgets hold and no plan degenerates " +
+       "to a cartesian") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val events = Tables.load(spark, sfDir, "events")
+    // allowCross marks the ops whose FINAL plan legitimately carries
+    // the sample-dim-bounded totals-cross pair GENERATOR (q30/q47's
+    // 25×25 non-equi self-join — q67 hides it behind its BC
+    // checkpoint; q68/q70 read the raw matrices so it stays visible)
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Int, Boolean)] =
+      Seq(
+        // q67: label lattice + within-pair join + group/perm rollups
+        // past the checkpointed BC frame (q46's shape)
+        ("q67", Relational.q67Mrpp(spark, sfDir), 19, false),
+        // q68: three-matrix pair align + bijection lattice + permuted
+        // y re-read + ten-sum rollup over the FULL q44 derivation
+        // (five level rollups) + the env z lattice — every exchange
+        // dimension-bounded past the one checkpointed leaf aggregate
+        ("q68", Relational.q68PartialMantel(spark, sfDir), 94, true),
+        // q69: fact aggregate + three level rollups + entropy folds +
+        // one-row stacks
+        ("q69", Relational.q69Adipart(spark, sfDir), 12, false),
+        // q70: pair census + 6 bounded rank windows + metric stack +
+        // six-sum rollup
+        ("q70", Relational.q70Rankindex(spark, sfDir), 15, true),
+        // e30: daily aggregate + span + calendar join + mean join +
+        // lead window + stack rollup + den join + sort
+        ("e30", graft.operators.Events.acf(events), 6, false),
+        // g27: wedge join + census + degree joins + TakeOrdered past
+        // the checkpointed adjacency
+        ("g27", graft.operators.Graph.g27JaccardLink(docs), 8, false),
+        // g28: final semi-join over checkpointed forest state only
+        ("g28", graft.operators.Graph.g28Msf(spark, sfDir), 4, false),
+        // t40: phrase/word explodes + word stats + occurrence/phrase
+        // rollups + TakeOrdered
+        ("t40", graft.operators.TextOps.rakeKeywords(docs), 5, false))
+    cases.foreach { case (name, df, maxSh, allowCross) =>
+      val n = executedShuffles(df)
+      info(s"$name shuffles $n (budget $maxSh)")
+      assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
+      val p = df.queryExecution.executedPlan.toString()
+      assert(allowCross || !p.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+  }
 }
