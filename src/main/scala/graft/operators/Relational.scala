@@ -1318,9 +1318,13 @@ object Relational {
   /** [[q47Mantel]]'s core over two aligned (sample_a, sample_b, x|y)
     * pair frames and a (n_name, k) sample-key frame — split out so
     * specs can plant exact correlation geometries. */
-  def mantelFromDistances(xs: DataFrame, ys: DataFrame,
+  def mantelFromDistances(xs: DataFrame, ys0: DataFrame,
       keys: DataFrame): DataFrame = {
     val P = PermanovaPerms
+    // checkpointed: the permuted-endpoint lookup re-reads ys for every
+    // permutation row — without this the FULL y derivation (q44's five
+    // level rollups in the q47 entry) rides inside the lattice plan
+    val ys = graft.Ckpt(ys0)
     val pairs = graft.Ckpt(xs.join(ys, Seq("sample_a", "sample_b")))
     val samples = graft.Ckpt(pairs.select(col("sample_a").as("n_name"))
       .union(pairs.select(col("sample_b"))).distinct()
@@ -1513,9 +1517,12 @@ object Relational {
     * (x | y | zv) and a (n_name, k) sample-key frame — split out so
     * specs can plant exact conditioning geometries. The y matrix is
     * the permuted one. */
-  def partialMantelFromDistances(xs: DataFrame, ys: DataFrame,
+  def partialMantelFromDistances(xs: DataFrame, ys0: DataFrame,
       zs: DataFrame, keys: DataFrame): DataFrame = {
     val P = PermanovaPerms
+    // q47's discipline: checkpoint the permuted matrix once — the
+    // lattice re-reads it per permutation row
+    val ys = graft.Ckpt(ys0)
     val pairs = graft.Ckpt(xs.join(ys, Seq("sample_a", "sample_b"))
       .join(zs, Seq("sample_a", "sample_b")))
     val samples = graft.Ckpt(pairs.select(col("sample_a").as("n_name"))

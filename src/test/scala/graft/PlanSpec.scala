@@ -962,10 +962,9 @@ class PlanSpec extends SparkSpec {
         // past the checkpointed BC frame (q46's shape)
         ("q67", Relational.q67Mrpp(spark, sfDir), 19, false),
         // q68: three-matrix pair align + bijection lattice + permuted
-        // y re-read + ten-sum rollup over the FULL q44 derivation
-        // (five level rollups) + the env z lattice — every exchange
-        // dimension-bounded past the one checkpointed leaf aggregate
-        ("q68", Relational.q68PartialMantel(spark, sfDir), 94, true),
+        // y re-read (checkpointed, so q44's level rollups stay OUT of
+        // the lattice plan) + the env z lattice + ten-sum rollup
+        ("q68", Relational.q68PartialMantel(spark, sfDir), 32, true),
         // q69: fact aggregate + three level rollups + entropy folds +
         // one-row stacks
         ("q69", Relational.q69Adipart(spark, sfDir), 12, false),
