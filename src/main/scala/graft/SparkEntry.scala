@@ -115,6 +115,7 @@ object SparkEntry {
     "e30_acf" -> (Events.acf _),
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
     "t40_rake" -> ((s: SparkSession, d: String) => TextOps.rakeKeywords(s, d)),
+    "t41_mtld" -> ((s: SparkSession, d: String) => TextOps.mtld(s, d)),
     "s22_hnsw" -> ((s: SparkSession, d: String) =>
       Similarity.hnswSearchOn(annEmb(s, d), annEdges(s, d),
         Similarity.KnnK, Similarity.KnnRounds,
@@ -1196,6 +1197,7 @@ object SparkEntry {
     "e30_acf" -> graft.operators.Events.e30OracleSql,
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
     "t40_rake" -> graft.operators.TextOps.t40OracleSql,
+    "t41_mtld" -> graft.operators.TextOps.t41OracleSql,
     "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),

@@ -2818,6 +2818,121 @@ object TextOps {
           - CAST(15.59 AS DOUBLE), 6) + 0.0) AS fk_grade
       FROM documents ORDER BY doc_id"""
 
+  /** TTR factor threshold of [[mtld]] (McCarthy & Jarvis 2010's
+    * published 0.72). */
+  final val MtldThreshold = 0.72
+
+  /** t41: MTLD — Measure of Textual Lexical Diversity (McCarthy &
+    * Jarvis 2010), the length-robust lexical-diversity score t29's
+    * Zipf fit and t34's Heaps fit do not give per document: walk the
+    * token stream keeping a running type-token ratio; every time TTR
+    * drops below [[MtldThreshold]] one "factor" completes and the
+    * type set resets; MTLD = n_tokens / (factors + partial) with the
+    * standard partial credit (1 − TTR_remaining)/(1 − threshold) for
+    * the unfinished tail. Unlike raw TTR it does not collapse with
+    * document length — the reason corpus-quality suites report it.
+    * Forward-pass form (the bidirectional mean is the average of this
+    * operator run on the reversed stream — compose, don't duplicate).
+    *
+    * Determinism: the fold is exact integer state (factor count,
+    * token count, type set) with ONE double compare per step —
+    * size/count division against the identical 0.72 literal in both
+    * engines (IEEE-identical inputs ⇒ identical branch); the output
+    * is one round-6 double expression. A document whose TTR never
+    * drops below the threshold (short or fully distinct) has zero
+    * factors and zero partial → NULL mtld in both engines ("too
+    * short to estimate" — the published convention).
+    *
+    * Scale shape: a PURE per-row projection — the sequential
+    * recurrence is ONE in-row `aggregate` fold over the word array
+    * (t27/t32's packed-DP discipline, O(factor-span) set membership
+    * per step), zero shuffles except the output sort; the oracle
+    * replays the identical expression tree via a token-stepping
+    * recursive CTE (e28's pattern, NOT the list_reduce
+    * struct-accumulator bug path). */
+  def mtld(spark: SparkSession, dir: String): DataFrame =
+    mtld(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def mtld(docs: DataFrame): DataFrame = {
+    val th = MtldThreshold
+    val nty = "CASE WHEN array_contains(acc.ty, w) THEN acc.ty " +
+      "ELSE array_append(acc.ty, w) END"
+    val fold = s"""aggregate(
+      split(text, ' '),
+      named_struct('f', CAST(0 AS INT), 't', CAST(0 AS INT),
+        'ty', CAST(array() AS array<string>)),
+      (acc, w) -> CASE
+        WHEN CAST(size($nty) AS DOUBLE) / CAST(acc.t + 1 AS DOUBLE) < $th
+          THEN named_struct('f', acc.f + 1, 't', CAST(0 AS INT),
+            'ty', CAST(array() AS array<string>))
+        ELSE named_struct('f', acc.f, 't', acc.t + 1, 'ty', $nty)
+        END)"""
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr(fold).as("st"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("st.f").cast("long").as("factors"),
+        col("st.t").as("tt"), col("st.ty").as("tyv"))
+      .select(col("doc_id"), col("n_tokens"), col("factors"),
+        when(col("tt") > 0,
+          (lit(1.0) - size(col("tyv")).cast("double")
+            / col("tt").cast("double")) / lit(1.0 - th))
+          .otherwise(lit(0.0)).as("partial"))
+      .select(col("doc_id"), col("n_tokens"), col("factors"),
+        when(col("factors").cast("double") + col("partial") > 0.0,
+          round(col("n_tokens").cast("double")
+            / (col("factors").cast("double") + col("partial")), 6))
+          .as("mtld"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[mtld]] — the identical factor fold replayed
+    * token-by-token in a recursive CTE, same 0.72 compare, same
+    * partial-credit and round-6 output expressions. */
+  def t41OracleSql: String = {
+    val th = MtldThreshold
+    s"""
+      WITH RECURSIVE docsw AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+          len(string_split(text, ' ')) AS n
+        FROM documents),
+      r AS (
+        SELECT doc_id, ws, n, 0 AS i, 0 AS f, 0 AS t,
+          CAST([] AS VARCHAR[]) AS ty
+        FROM docsw
+        UNION ALL
+        SELECT doc_id, ws, n, i + 1,
+          CASE WHEN CAST(len(nty) AS DOUBLE)
+              / CAST(t + 1 AS DOUBLE) < $th
+            THEN f + 1 ELSE f END,
+          CASE WHEN CAST(len(nty) AS DOUBLE)
+              / CAST(t + 1 AS DOUBLE) < $th
+            THEN 0 ELSE t + 1 END,
+          CASE WHEN CAST(len(nty) AS DOUBLE)
+              / CAST(t + 1 AS DOUBLE) < $th
+            THEN CAST([] AS VARCHAR[]) ELSE nty END
+        FROM (
+          SELECT doc_id, ws, n, i, f, t, ty,
+            CASE WHEN list_contains(ty, ws[i + 1]) THEN ty
+              ELSE list_append(ty, ws[i + 1]) END AS nty
+          FROM r WHERE i < n) s),
+      fin AS (
+        SELECT doc_id, n, f, t, ty FROM r WHERE i = n)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        CAST(f AS BIGINT) AS factors,
+        CASE WHEN CAST(f AS DOUBLE) + partial > 0.0
+          THEN round(CAST(n AS DOUBLE) / (CAST(f AS DOUBLE) + partial), 6)
+          END AS mtld
+      FROM (
+        SELECT doc_id, n, f,
+          CASE WHEN t > 0
+            THEN (1.0 - CAST(len(ty) AS DOUBLE) / CAST(t AS DOUBLE))
+              / ${1.0 - th}
+            ELSE 0.0 END AS partial
+        FROM fin) p
+      ORDER BY doc_id"""
+  }
+
   /** Phrases reported by [[rakeKeywords]]. */
   final val RakeTopK = 20
 

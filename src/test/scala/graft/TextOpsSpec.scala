@@ -988,4 +988,34 @@ class TextOpsSpec extends SparkSpec {
     assert(sf.forall(r => r.getDouble(5) > 0.0 && r.getLong(3) >= 1L
       && r.getLong(4) >= 1L), "degenerate corpus row")
   }
+
+  test("t41 MTLD: factor resets land exactly, the partial tail earns " +
+       "fractional credit, diverse-short docs are NULL, corpus sane") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      // walk: a b c d keep TTR = 1; 5th a → 4/5 = 0.8; 6th a → 4/6 <
+      // 0.72 → factor 1, reset; a (1/1), a (1/2 < 0.72) → factor 2,
+      // reset; end flush → mtld = 8/2 = 4
+      (0L, "a b c d a a a a"),
+      // all distinct: TTR never drops, no factors, zero partial → NULL
+      (1L, "x y z"),
+      // w w: 1/2 < 0.72 every second token → 2 factors in 4 tokens
+      (2L, "w w w w"),
+      // ends mid-factor at TTR = 3/4: partial = (1−0.75)/0.28 and
+      // mtld = 4/partial = 4.48 exactly on the round-6 grid
+      (3L, "p q r r")).toDF("doc_id", "text")
+    val got = TextOps.mtld(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(0L) == ((8L, 2L, Some(4.0))), s"doc 0: ${got(0L)}")
+    assert(got(1L) == ((3L, 0L, None)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((4L, 2L, Some(2.0))), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((4L, 0L, Some(4.48))), s"doc 3: ${got(3L)}")
+    // corpus: total census, mtld positive where present
+    val sf = TextOps.mtld(spark, sfDir).collect()
+    assert(sf.length == 500, s"rows: ${sf.length}")
+    assert(sf.forall(r => r.isNullAt(3) || r.getDouble(3) > 0.0),
+      "non-positive MTLD")
+  }
 }
