@@ -981,7 +981,9 @@ class PlanSpec extends SparkSpec {
         ("g28", graft.operators.Graph.g28Msf(spark, sfDir), 4, false),
         // t40: phrase/word explodes + word stats + occurrence/phrase
         // rollups + TakeOrdered
-        ("t40", graft.operators.TextOps.rakeKeywords(docs), 5, false))
+        ("t40", graft.operators.TextOps.rakeKeywords(docs), 5, false),
+        // t41: pure per-row fold — the output sort is the only exchange
+        ("t41", graft.operators.TextOps.mtld(docs), 1, false))
     cases.foreach { case (name, df, maxSh, allowCross) =>
       val n = executedShuffles(df)
       info(s"$name shuffles $n (budget $maxSh)")
