@@ -113,6 +113,7 @@ object SparkEntry {
     "e28_holt_winters" -> (Events.holtWinters _),
     "e29_markov_mix" -> (Events.markovMix _),
     "e30_acf" -> (Events.acf _),
+    "e31_decompose" -> (Events.decompose _),
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
     "t40_rake" -> ((s: SparkSession, d: String) => TextOps.rakeKeywords(s, d)),
     "t41_mtld" -> ((s: SparkSession, d: String) => TextOps.mtld(s, d)),
@@ -1195,6 +1196,7 @@ object SparkEntry {
     "e28_holt_winters" -> graft.operators.Events.e28OracleSql,
     "e29_markov_mix" -> graft.operators.Events.e29OracleSql,
     "e30_acf" -> graft.operators.Events.e30OracleSql,
+    "e31_decompose" -> graft.operators.Events.e31OracleSql,
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
     "t40_rake" -> graft.operators.TextOps.t40OracleSql,
     "t41_mtld" -> graft.operators.TextOps.t41OracleSql,

@@ -2146,6 +2146,153 @@ object Events {
       .orderBy("event_type", "lag")
   }
 
+  /** e31: CLASSICAL SEASONAL DECOMPOSITION (additive; the moving-
+    * average decomposition STL descends from) — the explainer the
+    * monitors assume: cnt_d = trend + seasonal + residual, with
+    * trend = the centered 7-day moving average (NULL on the 3 edge
+    * days each side — no partial-window bias), seasonal = the
+    * mean-centered day-of-week mean of the detrended series, and the
+    * residual alarmed at 3 population sigmas. e10 z-scores the RAW
+    * counts (weekly rhythm inflates its sigma), e28 forecasts — this
+    * EXPLAINS, which is what a practitioner reads before trusting
+    * either.
+    *
+    * Determinism: day-of-week is the epoch-anchored mod
+    * (days since Monday 1970-01-05, mod 7) — NEVER an engine
+    * dayofweek(), whose week-start conventions differ; trend,
+    * detrended values, seasonal means and the centering all ride the
+    * round-12 grid with DECIMAL(38,12) order-free sums; the residual
+    * and outputs are roundz-6; the alarm compares |resid| against
+    * 3·sd of the ROUND-6 residuals (population), so both engines
+    * branch on identical doubles.
+    *
+    * Scale shape: one fact-scale count aggregate; the spine, the
+    * 7-row window, the dow/seasonal frames and the variance pass are
+    * all (types × days)-bounded. */
+  def decompose(spark: SparkSession, dir: String): DataFrame =
+    decompose(Tables.load(spark, dir, "events"))
+
+  def decompose(events: DataFrame): DataFrame = {
+    val d3812 = "decimal(38,12)"
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val cal = span.select(col("event_type"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = graft.Ckpt(cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-05"))),
+          lit(7))))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val tr = filled
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("trend", when(col("n7") === 7,
+        round(sum(col("cnt")).over(w7).cast("double") / lit(7.0), 12)))
+      .withColumn("detr", round(col("cnt").cast("double") - col("trend"),
+        12))
+    val sdow = tr.filter(col("detr").isNotNull)
+      .groupBy("event_type", "dow")
+      .agg(round(sum(col("detr").cast(d3812)).cast("double")
+        / count(lit(1)).cast("double"), 12).as("sraw"))
+    val smean = sdow.groupBy("event_type")
+      .agg(round(sum(col("sraw").cast(d3812)).cast("double")
+        / count(lit(1)).cast("double"), 12).as("sm"))
+    val seas = sdow.join(broadcast(smean), "event_type")
+      .select(col("event_type"), col("dow"),
+        round(col("sraw") - col("sm"), 12).as("seasonal12"))
+    val joined = graft.Ckpt(tr
+      .join(broadcast(seas), Seq("event_type", "dow"), "left")
+      .withColumn("resid", when(col("trend").isNotNull,
+        graft.GraftFunctions.roundz(col("cnt").cast("double")
+          - col("trend") - col("seasonal12"), 6))))
+    val sd = joined.filter(col("resid").isNotNull)
+      .groupBy("event_type")
+      .agg(round(sqrt(sum(round(col("resid") * col("resid"), 12)
+          .cast(d3812)).cast("double")
+        / count(lit(1)).cast("double")), 12).as("sd"))
+    joined.join(broadcast(sd), "event_type", "left")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"),
+        graft.GraftFunctions.roundz(col("trend"), 6).as("trend"),
+        graft.GraftFunctions.roundz(col("seasonal12"), 6).as("seasonal"),
+        col("resid"),
+        coalesce(abs(col("resid")) > lit(3.0) * col("sd"), lit(false))
+          .as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB oracle for [[decompose]] — identical zero-filled
+    * calendar, epoch-anchored day-of-week, 7-row centered window,
+    * round-12 seasonal grids, roundz-6 outputs, 3-sigma alarm. */
+  def e31OracleSql: String = s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+      cal AS (
+        SELECT event_type,
+          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM span),
+      filled AS (
+        SELECT cal.event_type, cal.day, coalesce(daily.cnt, 0) AS cnt,
+          ((CAST(cal.day - DATE '1970-01-05' AS INT) % 7) + 7) % 7 AS dow
+        FROM cal LEFT JOIN daily
+          ON cal.event_type = daily.event_type AND cal.day = daily.day),
+      tr AS (
+        SELECT event_type, day, cnt, dow,
+          CASE WHEN count(*) OVER w7 = 7
+            THEN round(CAST(sum(cnt) OVER w7 AS DOUBLE) / 7.0, 12)
+            END AS trend
+        FROM filled
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      trd AS (
+        SELECT *, round(CAST(cnt AS DOUBLE) - trend, 12) AS detr
+        FROM tr),
+      sdow AS (
+        SELECT event_type, dow,
+          round(CAST(sum(CAST(detr AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS sraw
+        FROM trd WHERE detr IS NOT NULL GROUP BY 1, 2),
+      smean AS (
+        SELECT event_type,
+          round(CAST(sum(CAST(sraw AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS sm
+        FROM sdow GROUP BY 1),
+      seas AS (
+        SELECT sdow.event_type, dow, round(sraw - sm, 12) AS seasonal12
+        FROM sdow JOIN smean ON sdow.event_type = smean.event_type),
+      joined AS (
+        SELECT trd.event_type, day, cnt, trd.dow, trend, seasonal12,
+          CASE WHEN trend IS NOT NULL
+            THEN (round(CAST(cnt AS DOUBLE) - trend - seasonal12, 6)
+              + 0.0) END AS resid
+        FROM trd LEFT JOIN seas
+          ON trd.event_type = seas.event_type AND trd.dow = seas.dow),
+      sdt AS (
+        SELECT event_type,
+          round(sqrt(CAST(sum(CAST(round(resid * resid, 12)
+              AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)), 12) AS sd
+        FROM joined WHERE resid IS NOT NULL GROUP BY 1)
+      SELECT joined.event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+        CASE WHEN trend IS NOT NULL THEN (round(trend, 6) + 0.0) END
+          AS trend,
+        CASE WHEN seasonal12 IS NOT NULL
+          THEN (round(seasonal12, 6) + 0.0) END AS seasonal,
+        resid,
+        coalesce(abs(resid) > 3.0 * sd, false) AS alarm
+      FROM joined LEFT JOIN sdt ON joined.event_type = sdt.event_type
+      ORDER BY joined.event_type, day"""
+
   /** DuckDB oracle for [[acf]] — identical zero-filled calendar,
     * round-12 centering grid, exact-decimal product sums, one
     * roundz-6 division per (type, lag). */

@@ -257,6 +257,9 @@ class ContractSpec extends SparkSpec {
         "packed.crossJoin(broadcast(kf)) // one-row type count (e29)" -> "one-row (e29 type count)",
         "val cc = filled.join(broadcast(mean), \"event_type\")" -> "dim (per-type mean/day-count — e30)",
         "num.join(broadcast(den), \"event_type\")" -> "dim (per-type variance sum — e30)",
+        "val seas = sdow.join(broadcast(smean), \"event_type\")" -> "dim (per-type seasonal mean — e31)",
+        ".join(broadcast(seas), Seq(\"event_type\", \"dow\"), \"left\")" -> "dim (type×dow seasonal — e31)",
+        "joined.join(broadcast(sd), \"event_type\", \"left\")" -> "dim (per-type sigma — e31)",
         "val edges = broadcast(u2.agg(" -> "one-row (quartile edges)",
         "val u2 = users.crossJoin(broadcast(anchor))" -> "one-row (anchor date)"),
       "Graph.scala" -> Map(

@@ -2027,6 +2027,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lags.toSeq == Events.AcfLags.sorted, s"lag grid: ${lags.toSeq}")
   }
 
+  test("Decompose: a pure weekly rhythm leaves zero residual with the " +
+       "exact seasonal pattern, a spike alarms only its own day") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dayUs = 86400L * 1000000L
+    def mkEvents(series: Seq[(String, Int, Int)]) = {
+      val rows = for {
+        ((tp, d, cnt), gi) <- series.zipWithIndex
+        i <- 0 until cnt
+      } yield {
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        ((gi * 1000 + i).toLong, t, 1L, tp, 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    // clean: 10 on day%7==0, 3 otherwise over 28 days → interior trend
+    // = 28/7 = 4 exactly, seasonal = {+6, −1}, residual = 0 everywhere
+    val clean = (0 until 28).map(d => ("clean", d, if (d % 7 == 0) 10 else 3))
+    // spiky: same rhythm, day 14 erupts to 100
+    val spiky = (0 until 28).map(d =>
+      ("spiky", d, if (d == 14) 100 else if (d % 7 == 0) 10 else 3))
+    val got = Events.decompose(mkEvents(clean ++ spiky)).collect()
+    val cl = got.filter(_.getString(0) == "clean")
+    assert(cl.length == 28, s"clean rows: ${cl.length}")
+    assert(cl.count(_.isNullAt(3)) == 6, "edge days lack trend")
+    val interior = cl.filter(!_.isNullAt(3))
+    assert(interior.forall(_.getDouble(3) == 4.0), "clean trend != 4")
+    assert(interior.forall(r => r.getDouble(4) == (if (r.getLong(2) == 10L)
+      6.0 else -1.0)), "clean seasonal pattern")
+    assert(interior.forall(r => r.getDouble(5) == 0.0 && !r.getBoolean(6)),
+      "clean residual not zero / alarmed")
+    val sp = got.filter(_.getString(0) == "spiky")
+    val spikeDay = sp.find(_.getString(1) == "1970-01-15").get
+    assert(spikeDay.getBoolean(6), s"spike day not alarmed: $spikeDay")
+    assert(sp.filter(!_.isNullAt(5)).forall(r =>
+      r.getString(1) == "1970-01-15" || !r.getBoolean(6)),
+      s"non-spike day alarmed: ${sp.mkString(",")}")
+    // corpus: every type carries exactly 6 trendless edge days and the
+    // additive identity holds on the round-6 grid where defined
+    val sf = Events.decompose(spark, sfDir).collect()
+    val byType = sf.groupBy(_.getString(0))
+    assert(byType.values.forall(_.count(_.isNullAt(3)) == 6),
+      "corpus edge-day census")
+    assert(sf.filter(!_.isNullAt(5)).forall(r =>
+      math.abs(r.getLong(2).toDouble - r.getDouble(3) - r.getDouble(4)
+        - r.getDouble(5)) < 2e-6), "additive identity broken")
+  }
+
   test("Holt-Winters: a pure weekly rhythm forecasts itself exactly, " +
        "a linear trend is tracked, a break day alarms, short series " +
        "are excluded") {
