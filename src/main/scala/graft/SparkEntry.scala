@@ -131,6 +131,7 @@ object SparkEntry {
     "q68_partial_mantel" -> (Relational.q68PartialMantel _),
     "q69_adipart" -> (Relational.q69Adipart _),
     "q70_rankindex" -> (Relational.q70Rankindex _),
+    "q71_multipatt" -> (Relational.q71Multipatt _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
@@ -1211,6 +1212,7 @@ object SparkEntry {
     "q68_partial_mantel" -> graft.operators.Relational.q68OracleSql,
     "q69_adipart" -> graft.operators.Relational.q69OracleSql,
     "q70_rankindex" -> graft.operators.Relational.q70OracleSql,
+    "q71_multipatt" -> graft.operators.Relational.q71OracleSql,
     "g14_local_clustering" -> graft.operators.Graph.g14OracleSql,
     "g15_diameter" -> graft.operators.Graph.g15OracleSql(),
     "g16_betweenness" -> graft.operators.Graph.g16OracleSql(),

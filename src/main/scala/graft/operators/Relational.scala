@@ -2738,6 +2738,203 @@ object Relational {
       WHERE ivmax.p >= 1
       GROUP BY obs.p_type ORDER BY obs.p_type"""
 
+  /** The group vocabulary for [[q71Multipatt]]'s combination lattice —
+    * ONE source of truth rendered into both engines (bioenvSubsets'
+    * pattern; the TPC-H region dimension is fixed). */
+  val MultipattGroups: Seq[String] =
+    Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+  /** All non-empty PROPER group subsets (indicspecies' default combo
+    * space — the full set is excluded because "everywhere" indicates
+    * nothing), named by their sorted members. */
+  def multipattCombos(groups: Seq[String] = MultipattGroups)
+      : Seq[(String, Seq[String])] =
+    (1 until (1 << groups.size) - 1).map { m =>
+      val gs = groups.zipWithIndex
+        .filter(t => (m & (1 << t._2)) != 0).map(_._1)
+      (gs.mkString("+"), gs)
+    }.sortBy(_._1)
+
+  /** q71: MULTIPATT — indicator analysis over group COMBINATIONS
+    * (De Cáceres, Legendre & Moretti 2010; R `indicspecies::multipatt`
+    * with IndVal.g): q52 asks "which ONE group does this taxon
+    * indicate?", but a taxon shared by two regions indicates their
+    * UNION, not either alone — so the statistic is evaluated for
+    * every non-empty proper subset S: A_S = (Σ of S's size-corrected
+    * group means)/(total over all groups), B_S = (presence count in
+    * S)/(samples in S), IndVal_S = √(A·B) (the .g convention), and
+    * the taxon reports its best combination. Significance = the
+    * shared [[PermanovaPerms]] deterministic deal, counting permuted
+    * MAX-over-combos ≥ the observed best (q52's tail, one dimension
+    * up).
+    *
+    * Determinism: q52's round-12 DECIMAL group means feed order-free
+    * decimal combo sums; IndVal is ONE round-9 double expression
+    * (√ is IEEE correctly-rounded); the observed argmax breaks ties
+    * on the combo name; p = (n_ge + 1)/(P + 1).
+    *
+    * Scale shape: one checkpointed fact-scale aggregate (q52's);
+    * the combo lattice is (P+1) × taxa × (2^groups − 2) rows with a
+    * FIXED group vocabulary — dimension-bounded throughout. */
+  def q71Multipatt(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(dec(col("l_quantity"))).as("qty")))
+    val nat = Tables.dim(spark, dir, "nation")
+      .join(Tables.dim(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("n_nationkey").as("k"), col("r_name"))
+    val samples = graft.Ckpt(
+      ab.select(col("n_name")).distinct().join(nat, "n_name"))
+    multipattFromAbundance(ab, samples, MultipattGroups)
+  }
+
+  /** [[q71Multipatt]]'s core — q52's inputs plus the group vocabulary
+    * that generates the combination lattice (the SAMPLES' groups must
+    * be a subset of it; a mismatch surfaces as missing combos in both
+    * engines). Split out for planted specs. */
+  def multipattFromAbundance(ab: DataFrame, samples: DataFrame,
+      groups: Seq[String]): DataFrame = {
+    val spark = ab.sparkSession
+    import spark.implicits._
+    val P = PermanovaPerms
+    val labels = graft.Ckpt(permutationLabels(samples, P))
+    val sizes = samples.groupBy(col("r_name").as("g"))
+      .agg(count(lit(1)).as("ng"))
+    val gstats = ab.join(labels, "n_name")
+      .groupBy("p", "p_type", "g")
+      .agg(sum(col("qty")).as("sq"), count(lit(1)).as("npres"))
+      .join(broadcast(sizes), "g")
+      .select(col("p"), col("p_type"), col("g"),
+        round(col("sq").cast("double") / col("ng").cast("double"), 12)
+          .cast("decimal(25,12)").as("mg"),
+        col("npres"))
+    val tmean = gstats.groupBy("p", "p_type").agg(sum(col("mg")).as("tm"))
+    val member = broadcast(multipattCombos(groups)
+      .flatMap { case (c, gs) => gs.map(g => (c, g)) }
+      .toDF("combo", "g"))
+    val cs = member.join(sizes, "g")
+      .groupBy("combo").agg(sum(col("ng")).as("ns"))
+    val cstats = gstats.join(member, "g")
+      .groupBy("p", "p_type", "combo")
+      .agg(sum(col("mg")).as("sm"), sum(col("npres")).as("nps"))
+      .join(broadcast(cs), "combo")
+      .join(tmean, Seq("p", "p_type"))
+      .select(col("p"), col("p_type"), col("combo"),
+        round(sqrt((col("sm").cast("double") / col("tm").cast("double"))
+          * (col("nps").cast("double") / col("ns").cast("double"))), 9)
+          .as("iv"))
+    val ivmax = cstats.groupBy("p", "p_type").agg(max(col("iv")).as("ivm"))
+    val obs = cstats.filter(col("p") === 0L)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_type").orderBy(col("iv").desc, col("combo"))))
+      .filter(col("rn") === 1)
+      .select(col("p_type"), col("combo").as("combo_best"),
+        col("iv").as("iv0"))
+    ivmax.filter(col("p") >= 1L)
+      .join(obs, "p_type")
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("ivm") >= col("iv0"), 1L).otherwise(0L)).as("n_ge"),
+        first(col("combo_best")).as("combo_best"),
+        first(col("iv0")).as("ivo"))
+      .select(col("p_type"), col("combo_best"),
+        round(col("ivo"), 6).as("indval"),
+        col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+      .orderBy("p_type")
+  }
+
+  /** DuckDB oracle for [[q71Multipatt]] — q52's derivation plus the
+    * identical combination lattice, √(A·B) round-9 grid, combo-name
+    * argmax tie-break, and max-over-combos permutation tail. */
+  def q71OracleSql: String = {
+    val values = multipattCombos()
+      .flatMap { case (c, gs) => gs.map(g => s"('$c', '$g')") }
+      .mkString(", ")
+    s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      samples AS MATERIALIZED (
+        SELECT s.n_name, n_nationkey AS k, r_name
+        FROM (SELECT DISTINCT n_name FROM ab) s
+        JOIN nation ON nation.n_name = s.n_name
+        JOIN region ON n_regionkey = r_regionkey),
+      sizes AS (SELECT r_name AS g, count(*) AS ng FROM samples GROUP BY 1),
+      bounds AS (
+        SELECT g,
+          sum(ng) OVER (ORDER BY g) - ng AS lo,
+          sum(ng) OVER (ORDER BY g) AS hi
+        FROM sizes),
+      permuted AS (
+        SELECT r.p, r.n_name, b.g
+        FROM (
+          SELECT p, n_name,
+            row_number() OVER (PARTITION BY p ORDER BY
+              ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+              k) AS rnk
+          FROM samples, generate_series(1, $PermanovaPerms) t(p)) r
+        JOIN bounds b ON r.rnk > b.lo AND r.rnk <= b.hi),
+      labels AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, r_name AS g FROM samples
+        UNION ALL SELECT CAST(p AS BIGINT), n_name, g FROM permuted),
+      gstats AS MATERIALIZED (
+        SELECT la.p, ab.p_type, la.g,
+          CAST(round(CAST(sum(ab.qty) AS DOUBLE) / CAST(any_value(ng)
+            AS DOUBLE), 12) AS DECIMAL(25,12)) AS mg,
+          count(*) AS npres
+        FROM ab
+        JOIN labels la ON la.n_name = ab.n_name
+        JOIN sizes ON sizes.g = la.g
+        GROUP BY 1, 2, 3),
+      tmean AS (
+        SELECT p, p_type, sum(mg) AS tm FROM gstats GROUP BY 1, 2),
+      member(combo, g) AS (VALUES $values),
+      cs AS (
+        SELECT combo, sum(ng) AS ns
+        FROM member JOIN sizes USING (g) GROUP BY 1),
+      cstats AS MATERIALIZED (
+        SELECT gs.p, gs.p_type, m.combo,
+          round(SQRT((CAST(sum(mg) AS DOUBLE) / CAST(any_value(tm)
+              AS DOUBLE))
+            * (CAST(sum(npres) AS DOUBLE) / CAST(any_value(ns)
+              AS DOUBLE))), 9) AS iv
+        FROM gstats gs
+        JOIN member m ON m.g = gs.g
+        JOIN cs ON cs.combo = m.combo
+        JOIN tmean ON tmean.p = gs.p AND tmean.p_type = gs.p_type
+        GROUP BY 1, 2, 3),
+      ivmax AS (SELECT p, p_type, max(iv) AS ivm FROM cstats GROUP BY 1, 2),
+      obs AS (
+        SELECT p_type, combo AS combo_best, iv AS iv0
+        FROM (SELECT p_type, combo, iv, row_number() OVER
+                (PARTITION BY p_type ORDER BY iv DESC, combo) AS rn
+              FROM cstats WHERE p = 0)
+        WHERE rn = 1)
+      SELECT obs.p_type, any_value(combo_best) AS combo_best,
+        round(any_value(iv0), 6) AS indval,
+        count(*) AS n_perms,
+        CAST(sum(CASE WHEN ivm >= iv0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ge,
+        round(CAST(sum(CASE WHEN ivm >= iv0 THEN 1 ELSE 0 END) + 1
+            AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+      FROM ivmax JOIN obs ON ivmax.p_type = obs.p_type
+      WHERE ivmax.p >= 1
+      GROUP BY obs.p_type ORDER BY obs.p_type"""
+  }
+
   /** Abundance ceiling below which a taxon counts as "rare" for ACE
     * (Chao & Lee 1992's standard cut, vegan's default). */
   final val AceRareMax = 10

@@ -309,6 +309,8 @@ class ContractSpec extends SparkSpec {
         "val vsd = env0.join(broadcast(vm), \"variable\")" -> "k (per-variable moments — q62)",
         "val z = graft.Ckpt(env0.join(broadcast(vsd), \"variable\")" -> "k (per-variable z params — q62)",
         "val member = broadcast(bioenvSubsets" -> "k (fixed subset lattice — q62)",
+        "val member = broadcast(multipattCombos(groups)" -> "k (fixed combination lattice — q71)",
+        ".join(broadcast(cs), \"combo\")" -> "k (combo sizes — q71)",
         ".join(broadcast(vm), \"variable\")" -> "k (per-variable means — q61)",
         ".crossJoin(broadcast(ax)) // one-row axis moments (q61)" -> "one-row (q61 axis moments)",
         ".join(broadcast(svv), \"variable\")" -> "k (per-variable total SS — q61)",

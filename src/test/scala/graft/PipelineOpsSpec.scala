@@ -406,6 +406,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(6) > 0.0 && sf.getDouble(6) <= 1.0, s"sf p: $sf")
   }
 
+  test("Multipatt: a two-group taxon indicates the UNION exactly 1, " +
+       "a half-present single-group taxon scores sqrt(1/2), corpus sane") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val names = Seq("a1", "a2", "b1", "b2", "c1", "c2")
+    val samples = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong, nm.substring(0, 1)) }
+      .toDF("n_name", "k", "r_name")
+    // X fills groups a AND b uniformly, absent from c: the single-group
+    // IndVal (q52) splits its specificity, but the combination lattice
+    // scores "a+b" at A = 1, B = 1 → √(A·B) = 1 exactly. Y sits in one
+    // of c's two samples: best combo "c" at √(1 · 1/2)
+    val ab = Seq(
+      ("a1", "X", "2.00"), ("a2", "X", "2.00"),
+      ("b1", "X", "2.00"), ("b2", "X", "2.00"),
+      ("c1", "Y", "3.00"))
+      .map { case (n, t, q) => (n, t, BigDecimal(q)) }
+      .toDF("n_name", "p_type", "qty")
+    val got = Relational
+      .multipattFromAbundance(ab, samples, Seq("a", "b", "c")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2),
+        r.getDouble(5)))).toMap
+    assert(got("X")._1 == "a+b" && got("X")._2 == 1.0,
+      s"X combo: ${got("X")}")
+    assert(got("X")._3 < 0.2, s"X p not small: ${got("X")}")
+    assert(got("Y")._1 == "c" && got("Y")._2 == 0.707107,
+      s"Y combo: ${got("Y")}")
+    // corpus: per-taxon census, indval in (0, 1], p in (0, 1]
+    val sf = Relational.q71Multipatt(spark, sfDir).collect()
+    assert(sf.nonEmpty, "empty multipatt")
+    assert(sf.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0
+      && r.getString(1).nonEmpty
+      && r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0),
+      s"corpus ranges: ${sf.mkString(",")}")
+  }
+
   test("Rankindex: metrics whose ranks equal the gradient's score " +
        "rho = 1 exactly, a constant metric is NULL-last, corpus sane") {
     import spark.implicits._
