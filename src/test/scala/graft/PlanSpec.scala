@@ -983,7 +983,12 @@ class PlanSpec extends SparkSpec {
         // rollups + TakeOrdered
         ("t40", graft.operators.TextOps.rakeKeywords(docs), 5, false),
         // t41: pure per-row fold — the output sort is the only exchange
-        ("t41", graft.operators.TextOps.mtld(docs), 1, false))
+        ("t41", graft.operators.TextOps.mtld(docs), 1, false),
+        // q71: q52's lattice + the combo rollup dimension
+        ("q71", Relational.q71Multipatt(spark, sfDir), 29, false),
+        // e31: the eager spine/seasonal checkpoints hide the build
+        // stages — the final plan re-joins and sorts only
+        ("e31", graft.operators.Events.decompose(events), 2, false))
     cases.foreach { case (name, df, maxSh, allowCross) =>
       val n = executedShuffles(df)
       info(s"$name shuffles $n (budget $maxSh)")
