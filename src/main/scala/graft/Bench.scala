@@ -84,13 +84,19 @@ object Bench {
   } + "\""
 
   /** Run every query `reps` times against `sfDir` and render the
-    * one-line JSON artifact. Factored out of main so the failure path
-    * is spec-gated (ContractSpec) instead of trusted — r9/r10 both
-    * shipped artifact bugs in exactly this code. */
+    * one-line JSON artifact, plus a COMPACT headline line (value, key
+    * counts, failed/suspect — no per-key maps). The driver's capture
+    * is a bounded TAIL of stdout and the full line overflowed it at
+    * 246 keys (BENCH_r16 `parsed: null`), so main prints the full
+    * line first and the short headline line LAST — the headline
+    * always survives a fixed-size tail capture intact. Factored out
+    * of main so the failure path is spec-gated (ContractSpec) instead
+    * of trusted — r9/r10 both shipped artifact bugs in exactly this
+    * code. */
   private[graft] def benchLine(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame],
       reps: Int, countMode: Boolean,
-      prior: Map[String, Double] = Map.empty): String = {
+      prior: Map[String, Double] = Map.empty): (String, String) = {
     // FixpointSteps is a process-global map: without this clear, a
     // bench artifact in a JVM that ran other queries first (specs, a
     // previous benchLine) would carry stale step tags attributed to
@@ -236,12 +242,24 @@ object Bench {
     val shuffleJson = shuffleBytes.sortBy(_._1)
       .map { case (k, (r, w)) => jq(k) + s":[$r,$w]" }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
-      s""""materialized":true,"runs":$reps,"protocol":"drop-first-min-rest",""" +
-      s""""raw":${jraw(rawTimes)},$legacy"fixpoint_steps":$stepsJson,""" +
-      s""""shuffle_bytes":$shuffleJson,""" +
-      s""""failed":$failedJson,"suspect":$suspectJson,""" +
-      s""""value":${r3(total)},"queries":${jmap(matTimes)}}"""
+    // headline fields FIRST in the full line (r16 verdict), per-key
+    // maps after; the compact line repeats the headline alone so the
+    // driver's bounded tail capture always holds one complete line
+    def head(fj: String, sj: String) =
+      s""""metric":"total","unit":"sec","sf":"$sfDir",""" +
+        s""""materialized":true,"runs":$reps,"protocol":"drop-first-min-rest",""" +
+        s""""value":${r3(total)},"n_keys":${matTimes.size},""" +
+        s""""n_failed":${failed.size},"n_suspect":${suspect.size},""" +
+        s""""failed":$fj,"suspect":$sj"""
+    val full = s"{${head(failedJson, suspectJson)},$legacy" +
+      s""""fixpoint_steps":$stepsJson,"shuffle_bytes":$shuffleJson,""" +
+      s""""raw":${jraw(rawTimes)},"queries":${jmap(matTimes)}}"""
+    // mass failure must not balloon the headline past the capture
+    // window; n_failed/n_suspect keep the count either way
+    val compact =
+      if (failedJson.length + suspectJson.length > 1200) s"{${head("{}", "{}")}}"
+      else s"{${head(failedJson, suspectJson)}}"
+    (full, compact)
   }
 
   /** Per-query seconds from the newest committed BENCH_LOCAL_r*.json
@@ -309,10 +327,14 @@ object Bench {
     // the driver sets no env and always benches the full registry)
     val only = sys.env.get("GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val line = benchLine(spark, sfDir,
+    val (line, headline) = benchLine(spark, sfDir,
       SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) },
       reps, countMode, prior = loadPriorQueries())
     println(line)
+    // compact headline LAST: the driver keeps a bounded tail of
+    // stdout, so the final short line is the one guaranteed to land
+    // complete in its capture (the full line above overflows it)
+    println(headline)
     // The driver's artifact is a BOUNDED TAIL of stdout: the r6
     // BENCH_r6.json lost its "raw" arrays and the first 11 per-query
     // entries to front-truncation. Persist the FULL line to a repo

@@ -66,7 +66,7 @@ class ContractSpec extends SparkSpec {
     // so diagnosing the failure cost a 7-minute re-run. Gate the
     // failure path: "failed" is a name→message map in the JSON line.
     import org.apache.spark.sql.SparkSession
-    val line = Bench.benchLine(spark, tinySf, Map(
+    val (line, _) = Bench.benchLine(spark, tinySf, Map(
       "ok_probe" -> ((s: SparkSession, d: String) =>
         Tables.load(s, d, "region")),
       "boom_probe" -> ((_: SparkSession, _: String) =>
@@ -80,6 +80,33 @@ class ContractSpec extends SparkSpec {
     assert(line.contains(""""ok_probe":["""), s"healthy raw missing: $line")
   }
 
+  test("bench emits a tail-capture-safe compact headline line") {
+    // r16 verdict #2/#4: the driver keeps a bounded TAIL of stdout
+    // and the 246-key full line overflowed it (BENCH_r16 parsed:
+    // null). The compact line must carry the headline alone (value,
+    // key/failure counts), parse as the full line's prefix fields,
+    // and stay far below a 2000-char capture window; the full line
+    // must lead with the headline before any per-key map.
+    import org.apache.spark.sql.SparkSession
+    val (full, compact) = Bench.benchLine(spark, tinySf, Map(
+      "ok_probe" -> ((s: SparkSession, d: String) =>
+        Tables.load(s, d, "region")),
+      "boom_probe" -> ((_: SparkSession, _: String) =>
+        throw new IllegalStateException("kaboom"))),
+      reps = 1, countMode = false)
+    assert(compact.length < 1800, s"headline too long: ${compact.length}")
+    assert(compact.startsWith("""{"metric":"total""""), compact)
+    assert(compact.contains(""""n_keys":2""") &&
+      compact.contains(""""n_failed":1""") &&
+      compact.contains(""""value":"""), s"headline fields: $compact")
+    assert(!compact.contains(""""raw"""") && !compact.contains(""""queries""""),
+      s"headline must not carry per-key maps: $compact")
+    val headEnd = full.indexOf("\"failed\"")
+    assert(headEnd >= 0 && full.indexOf("\"value\"") < full.indexOf("\"raw\"")
+      && full.indexOf("\"n_keys\"") < full.indexOf("\"queries\""),
+      s"full line must lead with the headline: $full")
+  }
+
   test("fixpoint step counts reach the bench artifact") {
     // r11 verdict #2: the cost of the iterative graph family is
     // step count × edge scale, and the step count is DERIVED FROM THE
@@ -88,7 +115,7 @@ class ContractSpec extends SparkSpec {
     // artifact, not just as an unattributed wall-time jump.
     import org.apache.spark.sql.SparkSession
     graft.operators.Graph.FixpointSteps.clear()
-    val line = Bench.benchLine(spark, tinySf, Map(
+    val (line, _) = Bench.benchLine(spark, tinySf, Map(
       "cc_probe" -> ((s: SparkSession, _: String) => {
         import s.implicits._
         graft.operators.Graph.g2ComponentsEdges(
@@ -107,7 +134,7 @@ class ContractSpec extends SparkSpec {
     // clear the map itself, not trust callers to.
     import org.apache.spark.sql.SparkSession
     graft.operators.Graph.FixpointSteps.put("stale_tag_from_last_run", 99L)
-    val line = Bench.benchLine(spark, tinySf, Map(
+    val (line, _) = Bench.benchLine(spark, tinySf, Map(
       "plain_probe" -> ((s: SparkSession, d: String) =>
         Tables.load(s, d, "region"))), reps = 1, countMode = false)
     assert(!line.contains("stale_tag_from_last_run"),
@@ -125,7 +152,7 @@ class ContractSpec extends SparkSpec {
     // a query consistent with its prior must do neither.
     import org.apache.spark.sql.SparkSession
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
-    val line = Bench.benchLine(spark, tinySf, Map(
+    val (line, _) = Bench.benchLine(spark, tinySf, Map(
       "slow_probe" -> ((s: SparkSession, d: String) => {
         calls.incrementAndGet(); Thread.sleep(900)
         Tables.load(s, d, "region")
@@ -165,7 +192,7 @@ class ContractSpec extends SparkSpec {
     // bleed into its neighbour.
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions.{col, count => cnt, lit}
-    val line = Bench.benchLine(spark, tinySf, Map(
+    val (line, _) = Bench.benchLine(spark, tinySf, Map(
       "scan_probe" -> ((s: SparkSession, d: String) =>
         Tables.load(s, d, "region")),
       "shuffle_probe" -> ((s: SparkSession, d: String) =>
@@ -194,7 +221,7 @@ class ContractSpec extends SparkSpec {
     // the clean number.
     import org.apache.spark.sql.SparkSession
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
-    val line = Bench.benchLine(spark, tinySf, Map(
+    val (line, _) = Bench.benchLine(spark, tinySf, Map(
       "jitter_probe" -> ((s: SparkSession, d: String) => {
         if (calls.incrementAndGet() == 2) Thread.sleep(1500) // first warm rep
         Tables.load(s, d, "region")
