@@ -208,6 +208,8 @@ object SparkEntry {
     "g27_jaccard_link" ->
       ((s: SparkSession, d: String) => Graph.g27JaccardLink(s, d)),
     "g28_msf" -> ((s: SparkSession, d: String) => Graph.g28Msf(s, d)),
+    "g29_single_linkage" ->
+      ((s: SparkSession, d: String) => Graph.g29SingleLinkage(s, d)),
     "g18_modularity" ->
       ((s: SparkSession, d: String) => Graph.g18Modularity(s, d)),
     "g19_scc" -> ((s: SparkSession, d: String) => Graph.g19Scc(s, d)),
@@ -1219,6 +1221,7 @@ object SparkEntry {
     "g17_link_predict" -> graft.operators.Graph.g17OracleSql,
     "g27_jaccard_link" -> graft.operators.Graph.g27OracleSql,
     "g28_msf" -> graft.operators.Graph.g28OracleSql(),
+    "g29_single_linkage" -> graft.operators.Graph.g29OracleSql(),
     "g18_modularity" -> graft.operators.Graph.g18OracleSql(),
     "g19_scc" -> graft.operators.Graph.g19OracleSql,
     "g20_condensation" -> graft.operators.Graph.g20OracleSql,

@@ -2665,6 +2665,75 @@ object Graph {
     msfFromEdges(pairs, tag = "g28_msf")
   }
 
+  /** Number of weakest forest edges [[g29SingleLinkage]] cuts — the
+    * dendrogram level a category-browse endpoint asks for. */
+  final val G29Cuts = 24
+
+  /** g29: SINGLE-LINKAGE DENDROGRAM CUTS over [[g28Msf]]'s maximum
+    * spanning forest — the clustering the MSF exists for: cutting the
+    * k weakest forest edges yields exactly the single-linkage
+    * clustering at level k+initial components (Gower & Ross 1969: the
+    * MSF IS the single-linkage dendrogram). Output is one row per
+    * cluster: `cluster` (min member id — partition-determined, so
+    * independent of merge-anchor internals), member count, kept-edge
+    * count (always n_nodes − 1 per tree cluster — the acyclicity
+    * invariant rides along as a column), and total linkage weight.
+    *
+    * "Weakest" is exact and total: ascending cnt, ties broken by
+    * DESCENDING (a, b) — precisely the reverse of the MSF selection
+    * key's (−cnt, a, b) order, so the cut set is the unique bottom-k
+    * of the same total order the forest was built under.
+    *
+    * Scale shape: the forest is label-scale (≤ nodes − 1 rows), the
+    * cut is one TakeOrdered(k) over it, the re-labeling is Borůvka on
+    * a forest (O(log n) rounds of label-scale exchanges — NOT
+    * diameter-bound min-label propagation, which a path-shaped tree
+    * would stretch to n rounds), and the summaries are two
+    * label-scale aggregates. Nothing touches the fact table past
+    * g28's pair aggregate. */
+  def g29SingleLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = l.as("x")
+      .join(l.select(col("l_orderkey"), col("l_partkey").as("pb")).as("y"),
+        Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("pb"))
+      .groupBy(col("l_partkey").as("a"), col("pb").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    g29SingleLinkageEdges(pairs, G29Cuts, tag = "g29_single_linkage")
+  }
+
+  /** [[g29SingleLinkage]]'s core over an (a, b, cnt) weighted edge
+    * frame — split out for planted specs. Cut-off singletons label as
+    * themselves; Borůvka anchors are always member ids (see
+    * [[msfCore]]), so a singleton's id can never collide with another
+    * cluster's label. */
+  def g29SingleLinkageEdges(edges0: DataFrame, cuts: Int,
+      tag: String = "g29_single_linkage"): DataFrame = {
+    require(cuts >= 0, s"$tag: cuts must be non-negative, got $cuts")
+    val (forest0, _) = msfCore(edges0, tag + "_msf")
+    val forest = graft.Ckpt(forest0)
+    val cut = forest.orderBy(col("cnt").asc, col("a").desc, col("b").desc)
+      .limit(cuts).select(col("a"), col("b"))
+    val kept = forest.join(broadcast(cut), Seq("a", "b"), "left_anti")
+    val (_, labels) = msfCore(kept, tag + "_cc")
+    val nodes = forest.select(col("a").as("v"))
+      .union(forest.select(col("b"))).distinct()
+    val lab = graft.Ckpt(nodes
+      .join(labels, Seq("v"), "left_outer")
+      .select(col("v"), coalesce(col("c"), col("v")).as("c")))
+    val nn = lab.groupBy("c")
+      .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("cluster"))
+    val ecl = kept.join(lab.select(col("v").as("a"), col("c")), "a")
+      .groupBy("c")
+      .agg(count(lit(1)).as("n_edges"), sum(col("cnt")).as("sum_cnt"))
+    nn.join(ecl, Seq("c"), "left_outer")
+      .select(col("cluster"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("sum_cnt"), lit(0L)).as("sum_cnt"))
+      .orderBy("cluster")
+  }
+
   /** Checkpoint that also RESETS Catalyst statistics: the LogicalRDD
     * a checkpoint leaves behind PRESERVES the pre-checkpoint plan's
     * sizeInBytes, so an ITERATED SELF-JOIN (pointer doubling) squares
@@ -2687,12 +2756,26 @@ object Graph {
     * pointer-doubling budget is ⌈log₂(P+2)⌉ + 2 (chains are acyclic
     * with depth < #nodes ≤ P+1, so 2^budget always covers; the inner
     * probe exits at the fixpoint long before the cap). */
-  def msfFromEdges(edges0: DataFrame, tag: String = "g28_msf"): DataFrame = {
+  def msfFromEdges(edges0: DataFrame, tag: String = "g28_msf"): DataFrame =
+    msfCore(edges0, tag)._1.orderBy("a", "b")
+
+  /** The Borůvka loop behind [[msfFromEdges]] and
+    * [[g29SingleLinkageEdges]]: returns the UNSORTED forest edge
+    * frame (a, b, cnt) and the converged component labels (v, c) —
+    * every c is the id of some member node of its component (the
+    * merge anchor is always `least` of two member labels), which
+    * [[g29SingleLinkageEdges]] relies on for collision-free singleton
+    * labeling. */
+  private[operators] def msfCore(edges0: DataFrame,
+      tag: String): (DataFrame, DataFrame) = {
     val spark = edges0.sparkSession
     val bounds = edges0.agg(max(col("b")).as("p"), max(col("cnt")).as("mx"))
       .head()
-    if (bounds.isNullAt(0))
-      return edges0.select(col("a"), col("b"), col("cnt")).limit(0)
+    if (bounds.isNullAt(0)) {
+      val emptyE = edges0.select(col("a"), col("b"), col("cnt")).limit(0)
+      return (emptyE,
+        emptyE.select(col("a").as("v"), col("a").as("c")).limit(0))
+    }
     val p = bounds.getLong(0)
     val mx = bounds.getLong(1)
     require(p >= 1 && mx >= 1, s"$tag: degenerate edge frame (p=$p, mx=$mx)")
@@ -2768,9 +2851,8 @@ object Graph {
       }
     }
     FixpointSteps.put(tag, round)
-    e.join(selected, Seq("key"), "left_semi")
-      .select(col("a"), col("b"), col("cnt"))
-      .orderBy("a", "b")
+    (e.join(selected, Seq("key"), "left_semi")
+      .select(col("a"), col("b"), col("cnt")), comp)
   }
 
   /** DuckDB oracle for [[g28Msf]] — a FIXED [[MsfRounds]]-round unroll
@@ -2801,48 +2883,118 @@ object Graph {
         FROM ec0, mm, pp),
       sel0 AS (SELECT key FROM e WHERE false),
       c0 AS (SELECT list(CAST(i - 1 AS BIGINT) ORDER BY i) AS cl FROM ids)""")
-    for (r <- 1 to rounds) {
-      val q = r - 1
-      sb.append(s""",
-      er$r AS MATERIALIZED (
-        SELECT cl[CAST(a + 1 AS INT)] AS ca, cl[CAST(b + 1 AS INT)] AS cb,
-          key
-        FROM e, c$q
-        WHERE cl[CAST(a + 1 AS INT)] <> cl[CAST(b + 1 AS INT)]),
-      wr$r AS MATERIALIZED (
-        SELECT c, min(key) AS key FROM (
-          SELECT ca AS c, key FROM er$r
-          UNION ALL SELECT cb, key FROM er$r) t
-        GROUP BY 1),
-      sel$r AS (
-        SELECT key FROM sel$q UNION SELECT key FROM wr$r),
-      we$r AS (
-        SELECT w.c, w.key,
-          CASE WHEN w.c = er.ca THEN er.cb ELSE er.ca END AS partner
-        FROM wr$r w JOIN er$r er ON er.key = w.key),
-      pr$r AS (
-        SELECT we.c,
-          CASE WHEN w2.key = we.key THEN least(we.c, we.partner)
-            ELSE we.partner END AS par
-        FROM we$r we JOIN wr$r w2 ON w2.c = we.partner),
-      pl${r}_0 AS (
-        SELECT list(coalesce(par, i - 1) ORDER BY i) AS pl
-        FROM ids LEFT JOIN pr$r ON pr$r.c = ids.i - 1)""")
-      for (k <- 1 to doubling) {
-        sb.append(s""",
-      pl${r}_$k AS (
-        SELECT list_transform(pl, x -> pl[CAST(x + 1 AS INT)]) AS pl
-        FROM pl${r}_${k - 1})""")
-      }
-      sb.append(s""",
-      c$r AS (
-        SELECT list_transform(cl, x -> pl[CAST(x + 1 AS INT)]) AS cl
-        FROM c$q, pl${r}_$doubling)""")
-    }
+    boruvkaRoundsSql(sb, "e", "", rounds, doubling)
     sb.append(s"""
       SELECT e.a, e.b, e.cnt
       FROM e JOIN sel$rounds s ON s.key = e.key
       ORDER BY a, b""")
+    sb.toString
+  }
+
+  /** Appends `rounds` unrolled Borůvka rounds over edge CTE `$e`
+    * (columns a, b, cnt, key) with label-list state `${pfx}c0`
+    * (caller-provided identity list) and selected-key accumulator
+    * `${pfx}sel0` — the shared generator behind [[g28OracleSql]]
+    * (pfx = "") and [[g29OracleSql]]'s kept-forest re-labeling
+    * (pfx = "k"). Final CTEs: labels `${pfx}c$rounds`, keys
+    * `${pfx}sel$rounds`. */
+  private def boruvkaRoundsSql(sb: StringBuilder, e: String, pfx: String,
+      rounds: Int, doubling: Int): Unit = {
+    for (r <- 1 to rounds) {
+      val q = r - 1
+      sb.append(s""",
+      ${pfx}er$r AS MATERIALIZED (
+        SELECT cl[CAST(a + 1 AS INT)] AS ca, cl[CAST(b + 1 AS INT)] AS cb,
+          key
+        FROM $e, ${pfx}c$q
+        WHERE cl[CAST(a + 1 AS INT)] <> cl[CAST(b + 1 AS INT)]),
+      ${pfx}wr$r AS MATERIALIZED (
+        SELECT c, min(key) AS key FROM (
+          SELECT ca AS c, key FROM ${pfx}er$r
+          UNION ALL SELECT cb, key FROM ${pfx}er$r) t
+        GROUP BY 1),
+      ${pfx}sel$r AS (
+        SELECT key FROM ${pfx}sel$q UNION SELECT key FROM ${pfx}wr$r),
+      ${pfx}we$r AS (
+        SELECT w.c, w.key,
+          CASE WHEN w.c = er.ca THEN er.cb ELSE er.ca END AS partner
+        FROM ${pfx}wr$r w JOIN ${pfx}er$r er ON er.key = w.key),
+      ${pfx}pr$r AS (
+        SELECT we.c,
+          CASE WHEN w2.key = we.key THEN least(we.c, we.partner)
+            ELSE we.partner END AS par
+        FROM ${pfx}we$r we JOIN ${pfx}wr$r w2 ON w2.c = we.partner),
+      ${pfx}pl${r}_0 AS (
+        SELECT list(coalesce(par, i - 1) ORDER BY i) AS pl
+        FROM ids LEFT JOIN ${pfx}pr$r ON ${pfx}pr$r.c = ids.i - 1)""")
+      for (k <- 1 to doubling) {
+        sb.append(s""",
+      ${pfx}pl${r}_$k AS (
+        SELECT list_transform(pl, x -> pl[CAST(x + 1 AS INT)]) AS pl
+        FROM ${pfx}pl${r}_${k - 1})""")
+      }
+      sb.append(s""",
+      ${pfx}c$r AS (
+        SELECT list_transform(cl, x -> pl[CAST(x + 1 AS INT)]) AS cl
+        FROM ${pfx}c$q, ${pfx}pl${r}_$doubling)""")
+    }
+  }
+
+  /** DuckDB oracle for [[g29SingleLinkage]] — replays the g28 forest
+    * unroll, cuts the bottom-k of the same total order, re-labels the
+    * kept forest with a SECOND unrolled Borůvka pass (prefix `k`;
+    * keys carried forward from the first pass — the component
+    * PARTITION, which is all the output depends on, is key-order
+    * independent), and aggregates the partition. Cut-off singletons
+    * keep their identity label from the `ids` lattice. */
+  def g29OracleSql(cuts: Int = G29Cuts, rounds: Int = MsfRounds,
+      doubling: Int = MsfDoubling): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH ec0 AS MATERIALIZED (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS cnt
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2),
+      mm AS (SELECT max(cnt) AS mx FROM ec0),
+      pp AS (SELECT max(b) AS p, CAST(max(b) AS INT) AS pi FROM ec0),
+      ids AS MATERIALIZED (
+        SELECT unnest(generate_series(1, pi + 1)) AS i FROM pp),
+      e AS MATERIALIZED (
+        SELECT a, b, cnt,
+          (CAST(mx - cnt AS HUGEINT) * (p + 1) + a) * (p + 1) + b AS key
+        FROM ec0, mm, pp),
+      sel0 AS (SELECT key FROM e WHERE false),
+      c0 AS (SELECT list(CAST(i - 1 AS BIGINT) ORDER BY i) AS cl FROM ids)""")
+    boruvkaRoundsSql(sb, "e", "", rounds, doubling)
+    sb.append(s""",
+      forest AS MATERIALIZED (
+        SELECT e.a, e.b, e.cnt, e.key
+        FROM e JOIN sel$rounds s ON s.key = e.key),
+      cutk AS MATERIALIZED (
+        SELECT a, b FROM forest
+        ORDER BY cnt ASC, a DESC, b DESC LIMIT $cuts),
+      kept AS MATERIALIZED (
+        SELECT a, b, cnt, key FROM forest f
+        WHERE NOT EXISTS (SELECT 1 FROM cutk c
+                          WHERE c.a = f.a AND c.b = f.b)),
+      ksel0 AS (SELECT key FROM kept WHERE false),
+      kc0 AS (SELECT list(CAST(i - 1 AS BIGINT) ORDER BY i) AS cl FROM ids)""")
+    boruvkaRoundsSql(sb, "kept", "k", rounds, doubling)
+    sb.append(s""",
+      nodes AS (SELECT a AS v FROM forest UNION SELECT b FROM forest),
+      lab AS MATERIALIZED (
+        SELECT v, cl[CAST(v + 1 AS INT)] AS c FROM nodes, kc$rounds),
+      nn AS (SELECT c, count(*) AS n_nodes, min(v) AS cluster
+             FROM lab GROUP BY 1),
+      ecl AS (SELECT l.c, count(*) AS n_edges,
+                CAST(sum(k.cnt) AS BIGINT) AS sum_cnt
+              FROM kept k JOIN lab l ON l.v = k.a GROUP BY 1)
+      SELECT nn.cluster AS cluster, nn.n_nodes AS n_nodes,
+        CAST(coalesce(ecl.n_edges, 0) AS BIGINT) AS n_edges,
+        CAST(coalesce(ecl.sum_cnt, 0) AS BIGINT) AS sum_cnt
+      FROM nn LEFT JOIN ecl ON ecl.c = nn.c
+      ORDER BY cluster""")
     sb.toString
   }
 

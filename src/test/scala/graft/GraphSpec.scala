@@ -1046,6 +1046,43 @@ class GraphSpec extends SparkSpec {
       "rounds not recorded")
   }
 
+  test("g29 single-linkage cuts split the forest at the weakest edges, " +
+       "tie-break matches the MSF order, singletons survive") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long, Long)], cuts: Int) =
+      Graph.g29SingleLinkageEdges(edges.toDF("a", "b", "cnt"), cuts,
+        tag = s"g29_spec_$cuts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val path = Seq((1L, 2L, 9L), (2L, 3L, 1L), (3L, 4L, 8L), (4L, 5L, 7L))
+    // cuts=0: the whole tree is one cluster (n−1 edges, full weight)
+    assert(run(path, 0) == Seq((1L, 5L, 4L, 25L)), s"cuts=0: ${run(path, 0)}")
+    // cuts=1: the weakest edge (2,3,cnt=1) goes — two clusters
+    assert(run(path, 1) == Seq((1L, 2L, 1L, 9L), (3L, 3L, 2L, 15L)),
+      s"cuts=1: ${run(path, 1)}")
+    // cuts=2: (4,5,cnt=7) goes next — node 5 becomes a SINGLETON
+    // cluster (labels as itself; zero edges, zero weight)
+    assert(run(path, 2) == Seq((1L, 2L, 1L, 9L), (3L, 2L, 1L, 8L),
+      (5L, 1L, 0L, 0L)), s"cuts=2: ${run(path, 2)}")
+    // weight tie: under (cnt asc, a DESC, b DESC) — the exact reverse
+    // of the MSF key order — (2,3) is weaker than (1,2), so the cut
+    // isolates node 3, not node 1
+    val tied = Seq((1L, 2L, 3L), (2L, 3L, 3L))
+    assert(run(tied, 1) == Seq((1L, 2L, 1L, 3L), (3L, 1L, 0L, 0L)),
+      s"tie-break: ${run(tied, 1)}")
+    // corpus sanity at sf0.001: G29Cuts cuts on a connected forest →
+    // exactly G29Cuts+1 clusters; node/edge/weight totals conserved
+    val sf = Graph.g29SingleLinkage(spark, sfDir).collect()
+    val forest = Graph.g28Msf(spark, sfDir).collect()
+    assert(sf.length == Graph.G29Cuts + 1, s"clusters: ${sf.length}")
+    assert(sf.map(_.getLong(1)).sum == forest.length + 1,
+      "cluster sizes must cover every forest node")
+    assert(sf.map(_.getLong(2)).sum == forest.length - Graph.G29Cuts,
+      "kept-edge total must be forest minus cuts")
+    assert(sf.forall(r => r.getLong(2) == r.getLong(1) - 1),
+      "every cluster must be a tree (n_edges = n_nodes - 1)")
+  }
+
   test("g18 modularity matches a JVM LPA+Newman replica, scores planted " +
        "communities high, and a single community exactly 0") {
     import spark.implicits._

@@ -988,7 +988,11 @@ class PlanSpec extends SparkSpec {
         ("q71", Relational.q71Multipatt(spark, sfDir), 29, false),
         // e31: the eager spine/seasonal checkpoints hide the build
         // stages — the final plan re-joins and sorts only
-        ("e31", graft.operators.Events.decompose(events), 2, false))
+        ("e31", graft.operators.Events.decompose(events), 2, false),
+        // g29: past the checkpointed forest/label frames — node
+        // distinct + two label-scale aggregates + summary join + sort
+        ("g29", graft.operators.Graph.g29SingleLinkage(spark, sfDir), 5,
+          false))
     cases.foreach { case (name, df, maxSh, allowCross) =>
       val n = executedShuffles(df)
       info(s"$name shuffles $n (budget $maxSh)")
