@@ -2172,7 +2172,12 @@ object Events {
   def decompose(spark: SparkSession, dir: String): DataFrame =
     decompose(Tables.load(spark, dir, "events"))
 
-  def decompose(events: DataFrame): DataFrame = {
+  /** The classical-decomposition front half shared by [[decompose]]
+    * and [[stlDecompose]]: zero-filled calendar, epoch-anchored
+    * day-of-week, centered 7-day MA trend, mean-centered round-12
+    * day-of-week seasonal. Returns (tr, seas): the per-day frame with
+    * `trend`/`detr` and the (event_type, dow, seasonal12) frame. */
+  private def seasonalCore(events: DataFrame): (DataFrame, DataFrame) = {
     val d3812 = "decimal(38,12)"
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -2204,6 +2209,12 @@ object Events {
     val seas = sdow.join(broadcast(smean), "event_type")
       .select(col("event_type"), col("dow"),
         round(col("sraw") - col("sm"), 12).as("seasonal12"))
+    (tr, seas)
+  }
+
+  def decompose(events: DataFrame): DataFrame = {
+    val d3812 = "decimal(38,12)"
+    val (tr, seas) = seasonalCore(events)
     val joined = graft.Ckpt(tr
       .join(broadcast(seas), Seq("event_type", "dow"), "left")
       .withColumn("resid", when(col("trend").isNotNull,
@@ -2224,6 +2235,227 @@ object Events {
         coalesce(abs(col("resid")) > lit(3.0) * col("sd"), lit(false))
           .as("alarm"))
       .orderBy("event_type", "day")
+  }
+
+  /** Loess half-width of [[stlDecompose]]'s trend smoother: the
+    * tricube window spans ±StlQ days, scaled by StlQ+1 so every
+    * weight is a nonzero exact dyadic rational. */
+  final val StlQ = 3
+
+  /** Tricube weights w(o) = (1 − (|o|/(StlQ+1))³)³ at offsets
+    * 0..StlQ. |o|/4 is a power-of-two division, so every weight (and
+    * every w·o, w·o² constant folded from it) is EXACTLY
+    * representable as a double — both engines hold the identical bit
+    * patterns from literals rendered out of this one source. */
+  private val stlW: IndexedSeq[Double] = (0 to StlQ).map { o =>
+    val u = o.toDouble / (StlQ + 1).toDouble
+    val t = 1.0 - u * u * u
+    t * t * t
+  }
+
+  /** Exact decimal rendering of a dyadic-rational double — the one
+    * source of truth both the engine literals and the oracle SQL
+    * read. */
+  private def dlit(v: Double): String =
+    new java.math.BigDecimal(v).toPlainString
+
+  /** e32: STL-STYLE DECOMPOSITION WITH A LOESS TREND (Cleveland et
+    * al. 1990's structure, one pass) — e31's centered-MA trend is
+    * undefined on the 3 edge days each side and follows outliers
+    * linearly; STL proper replaces it with locally-weighted
+    * regression. Steps: e31's provisional MA trend → mean-centered
+    * day-of-week seasonal (SHARED code, bit-identical seasonal), then
+    * the final trend = degree-1 tricube loess over the
+    * DESEASONALIZED series (cnt − seasonal), evaluated at each day
+    * via the closed-form 2×2 weighted normal equations (q61's
+    * no-iterative-solver discipline): b = (Σw·Σwxy − Σwx·Σwy)/det,
+    * trend = (Σwy − b·Σwx)/Σw with x = day offset ∈ [−3, 3]. Edge
+    * days use the truncated window (loess's defining advantage: the
+    * trend exists on EVERY day). Residual = cnt − trend − seasonal,
+    * alarmed at 3 population sigmas (e31's gate).
+    *
+    * Determinism: the window sums are FIXED-ORDER in-row chains over
+    * 7 lag/lead taps (offset −3 → +3), so the IEEE sequence is
+    * identical in both engines; all tricube constants (and their
+    * folded w·o, w·o² products) are exact dyadic rationals rendered
+    * from [[stlW]]; the fit lands on the round-12 grid, outputs
+    * roundz-6. On a rhythm-only series the deseasonalized input is
+    * constant and the loess fit returns it EXACTLY (b = 0, a = the
+    * constant) — the spec gates this parity against e31.
+    *
+    * Scale shape: e31's (types × days)-bounded frames plus ONE
+    * window sort for all seven taps; the fit is a per-row projection
+    * (no extra exchange, no iteration). */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame =
+    stlDecompose(Tables.load(spark, dir, "events"))
+
+  def stlDecompose(events: DataFrame): DataFrame = {
+    val d3812 = "decimal(38,12)"
+    val (tr, seas) = seasonalCore(events)
+    val dj = graft.Ckpt(tr
+      .join(broadcast(seas), Seq("event_type", "dow"), "left")
+      .withColumn("deseas", when(col("seasonal12").isNotNull,
+        round(col("cnt").cast("double") - col("seasonal12"), 12))))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    def nm(o: Int) = if (o < 0) s"ym${-o}" else s"y$o"
+    var t = dj.withColumn(nm(0), col("deseas"))
+    for (o <- -StlQ to StlQ if o != 0)
+      t = t.withColumn(nm(o),
+        if (o < 0) lag(col("deseas"), -o).over(w)
+        else lead(col("deseas"), o).over(w))
+    // fixed-order (−3 → +3) masked chains — the identical IEEE
+    // sequence the oracle writes out longhand
+    def chain(term: Int => Column): Column =
+      (-StlQ to StlQ).map(o =>
+        when(col(nm(o)).isNotNull, term(o)).otherwise(lit(0.0)))
+        .reduce(_ + _)
+    val fit = t
+      .withColumn("sw", chain(o => lit(stlW(math.abs(o)))))
+      .withColumn("swx", chain(o => lit(stlW(math.abs(o)) * o)))
+      .withColumn("swy", chain(o => lit(stlW(math.abs(o))) * col(nm(o))))
+      .withColumn("swxx", chain(o => lit(stlW(math.abs(o)) * o * o)))
+      .withColumn("swxy",
+        chain(o => lit(stlW(math.abs(o)) * o) * col(nm(o))))
+      .withColumn("den",
+        col("sw") * col("swxx") - col("swx") * col("swx"))
+      .withColumn("bb", when(col("den") =!= lit(0.0),
+        (col("sw") * col("swxy") - col("swx") * col("swy")) / col("den"))
+        .otherwise(lit(0.0)))
+      .withColumn("trend12", when(col("sw") > lit(0.0),
+        round((col("swy") - col("bb") * col("swx")) / col("sw"), 12)))
+    val joined = graft.Ckpt(fit
+      .withColumn("resid",
+        when(col("trend12").isNotNull && col("seasonal12").isNotNull,
+          graft.GraftFunctions.roundz(col("cnt").cast("double")
+            - col("trend12") - col("seasonal12"), 6))))
+    val sd = joined.filter(col("resid").isNotNull)
+      .groupBy("event_type")
+      .agg(round(sqrt(sum(round(col("resid") * col("resid"), 12)
+          .cast(d3812)).cast("double")
+        / count(lit(1)).cast("double")), 12).as("sd"))
+    joined.join(broadcast(sd), "event_type", "left")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cnt"),
+        graft.GraftFunctions.roundz(col("trend12"), 6).as("trend"),
+        graft.GraftFunctions.roundz(col("seasonal12"), 6).as("seasonal"),
+        col("resid"),
+        coalesce(abs(col("resid")) > lit(3.0) * col("sd"), lit(false))
+          .as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB oracle for [[stlDecompose]] — identical seasonal prefix
+    * (e31's oracle through `seas`), the same seven positional
+    * lag/lead taps over the deseasonalized series, the identical
+    * fixed-order masked sum chains with literals rendered from
+    * [[stlW]], the same closed-form fit, roundz-6 outputs, 3-sigma
+    * alarm. */
+  def e32OracleSql: String = {
+    def nm(o: Int) = if (o < 0) s"ym${-o}" else s"y$o"
+    def caseChain(term: Int => String): String =
+      (-StlQ to StlQ).map(o =>
+        s"(CASE WHEN ${nm(o)} IS NOT NULL THEN ${term(o)} ELSE 0.0 END)")
+        .mkString(" + ")
+    val tapCols = (-StlQ to StlQ).map { o =>
+      if (o == 0) "deseas AS y0"
+      else if (o < 0) s"lag(deseas, ${-o}) OVER w AS ${nm(o)}"
+      else s"lead(deseas, $o) OVER w AS ${nm(o)}"
+    }.mkString(",\n          ")
+    s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+      cal AS (
+        SELECT event_type,
+          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM span),
+      filled AS (
+        SELECT cal.event_type, cal.day, coalesce(daily.cnt, 0) AS cnt,
+          ((CAST(cal.day - DATE '1970-01-05' AS INT) % 7) + 7) % 7 AS dow
+        FROM cal LEFT JOIN daily
+          ON cal.event_type = daily.event_type AND cal.day = daily.day),
+      tr AS (
+        SELECT event_type, day, cnt, dow,
+          CASE WHEN count(*) OVER w7 = 7
+            THEN round(CAST(sum(cnt) OVER w7 AS DOUBLE) / 7.0, 12)
+            END AS trend
+        FROM filled
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      trd AS (
+        SELECT *, round(CAST(cnt AS DOUBLE) - trend, 12) AS detr
+        FROM tr),
+      sdow AS (
+        SELECT event_type, dow,
+          round(CAST(sum(CAST(detr AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS sraw
+        FROM trd WHERE detr IS NOT NULL GROUP BY 1, 2),
+      smean AS (
+        SELECT event_type,
+          round(CAST(sum(CAST(sraw AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS sm
+        FROM sdow GROUP BY 1),
+      seas AS (
+        SELECT sdow.event_type, dow, round(sraw - sm, 12) AS seasonal12
+        FROM sdow JOIN smean ON sdow.event_type = smean.event_type),
+      dj AS (
+        SELECT trd.event_type, day, cnt, trd.dow, seasonal12,
+          CASE WHEN seasonal12 IS NOT NULL
+            THEN round(CAST(cnt AS DOUBLE) - seasonal12, 12)
+            END AS deseas
+        FROM trd LEFT JOIN seas
+          ON trd.event_type = seas.event_type AND trd.dow = seas.dow),
+      taps AS (
+        SELECT *,
+          $tapCols
+        FROM dj
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      sums AS (
+        SELECT *,
+          ${caseChain(o => dlit(stlW(math.abs(o))))} AS sw,
+          ${caseChain(o => dlit(stlW(math.abs(o)) * o))} AS swx,
+          ${caseChain(o => s"${dlit(stlW(math.abs(o)))} * ${nm(o)}")}
+            AS swy,
+          ${caseChain(o => dlit(stlW(math.abs(o)) * o * o))} AS swxx,
+          ${caseChain(o => s"${dlit(stlW(math.abs(o)) * o)} * ${nm(o)}")}
+            AS swxy
+        FROM taps),
+      fit AS (
+        SELECT *, sw * swxx - swx * swx AS den FROM sums),
+      fit2 AS (
+        SELECT *, CASE WHEN den <> 0.0
+          THEN (sw * swxy - swx * swy) / den ELSE 0.0 END AS bb
+        FROM fit),
+      fit3 AS (
+        SELECT *, CASE WHEN sw > 0.0
+          THEN round((swy - bb * swx) / sw, 12) END AS trend12
+        FROM fit2),
+      joined AS (
+        SELECT event_type, day, cnt, trend12, seasonal12,
+          CASE WHEN trend12 IS NOT NULL AND seasonal12 IS NOT NULL
+            THEN (round(CAST(cnt AS DOUBLE) - trend12 - seasonal12, 6)
+              + 0.0) END AS resid
+        FROM fit3),
+      sdt AS (
+        SELECT event_type,
+          round(sqrt(CAST(sum(CAST(round(resid * resid, 12)
+              AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)), 12) AS sd
+        FROM joined WHERE resid IS NOT NULL GROUP BY 1)
+      SELECT joined.event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+        CASE WHEN trend12 IS NOT NULL THEN (round(trend12, 6) + 0.0) END
+          AS trend,
+        CASE WHEN seasonal12 IS NOT NULL
+          THEN (round(seasonal12, 6) + 0.0) END AS seasonal,
+        resid,
+        coalesce(abs(resid) > 3.0 * sd, false) AS alarm
+      FROM joined LEFT JOIN sdt ON joined.event_type = sdt.event_type
+      ORDER BY joined.event_type, day"""
   }
 
   /** DuckDB oracle for [[decompose]] — identical zero-filled

@@ -2112,6 +2112,75 @@ class PipelineOpsSpec extends SparkSpec {
         - r.getDouble(5)) < 2e-6), "additive identity broken")
   }
 
+  test("e32 STL: rhythm-only decomposition matches e31 exactly where " +
+       "both define trend, loess covers EVERY day, a spike alarms " +
+       "only itself") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dayUs = 86400L * 1000000L
+    def mkEvents(series: Seq[(String, Int, Int)]) = {
+      val rows = for {
+        ((tp, d, cnt), gi) <- series.zipWithIndex
+        i <- 0 until cnt
+      } yield {
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        ((gi * 1000 + i).toLong, t, 1L, tp, 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    // rhythm-only: deseasonalized series is the CONSTANT 4, and a
+    // degree-1 loess of a constant returns it exactly (the numerator
+    // sw·swxy − swx·swy cancels bitwise because every product is the
+    // same real value rounded once) — so e32's trend is 4.0 on ALL 28
+    // days where e31's MA left 6 edge days NULL
+    val clean = (0 until 28).map(d => ("clean", d, if (d % 7 == 0) 10 else 3))
+    val spiky = (0 until 28).map(d =>
+      ("spiky", d, if (d == 14) 100 else if (d % 7 == 0) 10 else 3))
+    val ev = mkEvents(clean ++ spiky)
+    val got = Events.stlDecompose(ev).collect()
+    val cl = got.filter(_.getString(0) == "clean")
+    assert(cl.length == 28 && cl.forall(!_.isNullAt(3)),
+      "loess trend must exist on every day")
+    assert(cl.forall(_.getDouble(3) == 4.0), "clean trend != 4")
+    assert(cl.forall(r => r.getDouble(4) == (if (r.getLong(2) == 10L)
+      6.0 else -1.0)), "clean seasonal pattern")
+    assert(cl.forall(r => r.getDouble(5) == 0.0 && !r.getBoolean(6)),
+      "clean residual not zero / alarmed")
+    // PARITY GATE vs e31 (the r16 verdict's done-criterion): on the
+    // rhythm-only fixture the two decompositions agree BITWISE on
+    // seasonal everywhere and on trend/residual wherever e31 defines
+    // them
+    val e31 = Events.decompose(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    got.foreach { r =>
+      val o = e31((r.getString(0), r.getString(1)))
+      assert(r.getDouble(4) == o.getDouble(4),
+        s"seasonal parity broken at $r vs $o")
+      if (r.getString(0) == "clean" && !o.isNullAt(3)) {
+        assert(r.getDouble(3) == o.getDouble(3) &&
+          r.getDouble(5) == o.getDouble(5),
+          s"rhythm-only trend/residual parity broken at $r vs $o")
+      }
+    }
+    // the spike alarms itself and nothing else (the loess trend
+    // spreads some of the spike onto neighbours, but well under the
+    // 3-sigma gate the spike itself inflates)
+    val sp = got.filter(_.getString(0) == "spiky")
+    assert(sp.find(_.getString(1) == "1970-01-15").get.getBoolean(6),
+      "spike day not alarmed")
+    assert(sp.count(_.getBoolean(6)) == 1,
+      s"non-spike day alarmed: ${sp.filter(_.getBoolean(6)).mkString(",")}")
+    // corpus: trend on every day, additive identity on the round-6
+    // grid wherever the residual is defined
+    val sf = Events.stlDecompose(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall(!_.isNullAt(3)),
+      "corpus loess trend must cover every day")
+    assert(sf.filter(!_.isNullAt(5)).forall(r =>
+      math.abs(r.getLong(2).toDouble - r.getDouble(3) - r.getDouble(4)
+        - r.getDouble(5)) < 2e-6), "additive identity broken")
+  }
+
   test("Holt-Winters: a pure weekly rhythm forecasts itself exactly, " +
        "a linear trend is tracked, a break day alarms, short series " +
        "are excluded") {

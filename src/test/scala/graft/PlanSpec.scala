@@ -992,7 +992,10 @@ class PlanSpec extends SparkSpec {
         // g29: past the checkpointed forest/label frames — node
         // distinct + two label-scale aggregates + summary join + sort
         ("g29", graft.operators.Graph.g29SingleLinkage(spark, sfDir), 5,
-          false))
+          false),
+        // e32: e31's checkpointed seasonal frames + ONE window sort
+        // for the seven loess taps; the fit is a pure projection
+        ("e32", graft.operators.Events.stlDecompose(events), 2, false))
     cases.foreach { case (name, df, maxSh, allowCross) =>
       val n = executedShuffles(df)
       info(s"$name shuffles $n (budget $maxSh)")
