@@ -63,4 +63,24 @@ object Ckpt {
         finally persisted.unpersist()
       case None => df.localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
+
+  /** Checkpoint that also RESETS Catalyst statistics. The LogicalRDD
+    * a checkpoint leaves behind PRESERVES the pre-checkpoint plan's
+    * `sizeInBytes`, so ITERATED SELF-REFERENTIAL state (pointer
+    * doubling in g28's Borůvka merge, q72's Guttman configuration —
+    * any frame joined with a frame derived from itself) squares the
+    * statistic every step: its bit-length doubles per iteration and
+    * JoinSelection ends up multiplying multi-million-bit BigIntegers
+    * — minutes of driver CPU inside the PLANNER, invisible in
+    * executor metrics (diagnosis signature: driver RUNNABLE in
+    * BigInteger.multiplyToomCook3 under SizeInBytesOnlyStatsPlanVisitor).
+    * Rebuilding the frame from the checkpointed RDD restores default
+    * leaf stats; the data is already materialized, so this adds only
+    * a row conversion on the (dimension-bounded) frame. Ordinary
+    * fixpoints joining a FIXED frame grow stats linearly and do not
+    * need this. */
+  def stats(df: DataFrame): DataFrame = {
+    val ck = apply(df)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
 }

@@ -134,6 +134,12 @@ object SparkEntry {
     "q70_rankindex" -> (Relational.q70Rankindex _),
     "q71_multipatt" -> (Relational.q71Multipatt _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
+    // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
+    // class): stress majorization has no closed-form unique fixpoint
+    // for a DuckDB replica; correctness is the bitwise JVM-replica
+    // trajectory spec + planted fixed-point/monotone-invariance
+    // fixtures in OrdinationSpec.
+    "q72_nmds" -> ((s: SparkSession, d: String) => Ordination.q72Nmds(s, d)),
     "q31b_pcoa_blocked" ->
       ((s: SparkSession, d: String) => Ordination.q31PcoaBlocked(s, d)),
     "q31c_pcoa_eigen" ->

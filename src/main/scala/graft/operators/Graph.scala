@@ -2734,19 +2734,10 @@ object Graph {
       .orderBy("cluster")
   }
 
-  /** Checkpoint that also RESETS Catalyst statistics: the LogicalRDD
-    * a checkpoint leaves behind PRESERVES the pre-checkpoint plan's
-    * sizeInBytes, so an ITERATED SELF-JOIN (pointer doubling) squares
-    * it every step — the bit-length of the stats doubles per step and
-    * the planner ends up multiplying multi-million-bit BigIntegers
-    * (minutes of Toom-Cook inside JoinSelection, before any job
-    * runs). Rebuilding the frame from the checkpointed RDD restores
-    * the default leaf stats; the data is already materialized, so
-    * this adds only a row-conversion on the label-scale frame. */
-  private def statsCkpt(df: DataFrame): DataFrame = {
-    val ck = graft.Ckpt(df)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+  /** Stats-resetting checkpoint for iterated self-join state (the
+    * pointer-doubling ladder) — see [[graft.Ckpt.stats]], where the
+    * helper now lives so q72's Guttman loop shares it. */
+  private def statsCkpt(df: DataFrame): DataFrame = graft.Ckpt.stats(df)
 
   /** [[g28Msf]]'s core over an (a, b, cnt) weighted undirected edge
     * frame (a < b, non-negative long ids) — split out for planted

@@ -636,4 +636,148 @@ object Ordination {
         s"SELECT $a AS axis, lam_num / lam_den AS lam FROM ray$a")
         .mkString("\n        UNION ALL ")}) lams, trc
       ORDER BY axis"""
+
+  /** Fixed Guttman-step count of [[q72Nmds]] — a determinism CONTRACT
+    * (g1/s17's fixed-rounds discipline): engine and the spec's JVM
+    * replica run exactly this many majorization steps from the
+    * identical PCoA init, so the configuration is bit-reproducible
+    * with no convergence test to disagree on. Convergence-motivated
+    * too: from the metric init the stress trajectory on the test
+    * corpora is flat well before step 12 (spec-gated:
+    * stress(12) ≤ stress(0)). */
+  final val NmdsIters = 12
+
+  /** q72: NON-METRIC MULTIDIMENSIONAL SCALING (Kruskal 1964; the core
+    * of vegan's metaMDS) — the single most-used ordination on a real
+    * comparison page: find 2-D coordinates whose distances preserve
+    * only the RANK ORDER of the Bray–Curtis dissimilarities. Each
+    * fixed-contract iteration: (1) configuration distances d_ij;
+    * (2) EXACT least-squares isotonic regression of d onto the fixed
+    * dissimilarity rank order (ties broken (i, j)) via the minimax
+    * characterization d̂_k = max_{a≤k} min_{b≥k} avg(d_a..d_b) —
+    * expressed RELATIONALLY: one running-sum window gives prefix
+    * sums, the (a, b) average lattice is a rank-bounded self-join, a
+    * per-`a` descending-`b` cumulative min gives the inner min, and a
+    * max-by-`b` aggregate the outer max (min/max on doubles are
+    * order-free — no PAVA loop, no driver-side pass); (3) Kruskal
+    * stress-1 = √(Σ(d−d̂)²/Σd²); (4) the Guttman transform
+    * x'_u = n⁻¹ Σ_v (d̂_uv/d_uv)(x_u − x_v) with round-12 terms
+    * summed in DECIMAL(38,12) (order-free), landing the new
+    * configuration on the round-12 grid. Init = the q31 PCoA
+    * configuration (vegan's recommended metric start), which also
+    * pins the solution's rotation/reflection deterministically.
+    *
+    * WHY NO DuckDB ORACLE (the sanctioned spec-gated-only class,
+    * authorized for NMDS by the r16 verdict): stress majorization has
+    * no closed-form unique fixpoint — correctness is gated by a
+    * bitwise JVM replica of the full 12-step trajectory plus planted
+    * fixtures (a centered exact-metric configuration is a bitwise
+    * FIXED POINT with stress 0, and stays one under any monotone
+    * transform of the dissimilarities — the defining nonmetric
+    * property; a rank violator pools and moves).
+    *
+    * Scale shape: the only fact-scale work is q30's checkpointed
+    * abundance aggregate. The pair frame is sample-dim-bounded
+    * (m = n(n−1)/2), the isotonic lattice m² — bounded by the SAMPLE
+    * dimension, never the corpus (q68's lattice class). At 10⁴⁺
+    * samples the lattice form dies like q31's single-row matrix does;
+    * the blocked path is q31b's: distribute the (a, b) lattice as
+    * triples and keep the same window/aggregate algebra. */
+  def q72Nmds(spark: SparkSession, dir: String,
+      iters: Int = NmdsIters): DataFrame = {
+    val bc = graft.Ckpt(Relational.q30BrayCurtis(spark, dir))
+    nmds(bc, pcoa(bc), iters)
+  }
+
+  /** [[q72Nmds]]'s core over a (sample_a, sample_b, bray_curtis) pair
+    * frame and a (sample, axis1, axis2) init — split out so planted
+    * specs can feed exact geometries and arbitrary monotone
+    * dissimilarity transforms directly. */
+  def nmds(bc0: DataFrame, init0: DataFrame, iters: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d3812 = "decimal(38,12)"
+    val ids = graft.Ckpt(init0.select(col("sample"))
+      .withColumn("i", row_number().over(W.orderBy("sample"))))
+    val n = ids.count()
+    require(n >= 2, s"nmds needs at least 2 samples, got $n")
+    val pairs = graft.Ckpt(bc0
+      .join(ids.select(col("sample").as("sample_a"), col("i")), "sample_a")
+      .join(ids.select(col("sample").as("sample_b"), col("i").as("j")),
+        "sample_b")
+      .select(col("i"), col("j"),
+        col("bray_curtis").cast("double").as("dd"))
+      .withColumn("r", row_number().over(W.orderBy("dd", "i", "j"))))
+    var cfg = graft.Ckpt.stats(init0.join(ids, "sample")
+      .select(col("i"), col("axis1").cast("double").as("x"),
+        col("axis2").cast("double").as("y")))
+    // configuration distances on the fixed rank spine
+    def distances(c: DataFrame): DataFrame = pairs
+      .join(c.select(col("i"), col("x").as("xi"), col("y").as("yi")), "i")
+      .join(c.select(col("i").as("j"), col("x").as("xj"),
+        col("y").as("yj")), "j")
+      .withColumn("d",
+        sqrt((col("xi") - col("xj")) * (col("xi") - col("xj"))
+          + (col("yi") - col("yj")) * (col("yi") - col("yj"))))
+    // exact isotonic fit of d onto the rank order: the minimax
+    // formula over the prefix-sum average lattice (rank-bounded)
+    def disparities(dist: DataFrame): DataFrame = {
+      val ps = dist.select(col("r"), col("d"))
+        .withColumn("ps", sum(col("d")).over(W.orderBy("r")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val ab = ps
+        .select(col("r").as("a"), col("ps").as("psa"), col("d").as("da"))
+        .join(ps.select(col("r").as("b"), col("ps").as("psb")),
+          col("a") <= col("b"))
+        .withColumn("avg", (col("psb") - col("psa") + col("da"))
+          / (col("b") - col("a") + lit(1)).cast("double"))
+      ab.withColumn("smin", min(col("avg")).over(W.partitionBy("a")
+          .orderBy(col("b").desc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy(col("b").as("r"))
+        .agg(max(col("smin")).as("dhat"))
+    }
+    for (_ <- 1 to iters) {
+      val dist = graft.Ckpt.stats(distances(cfg))
+      val dj = graft.Ckpt.stats(dist.join(disparities(dist), "r")
+        .withColumn("w", when(col("d") > lit(0.0),
+          col("dhat") / col("d")).otherwise(lit(0.0))))
+      val contrib = dj.select(col("i").as("s"),
+          round(col("w") * (col("xi") - col("xj")), 12).as("tx"),
+          round(col("w") * (col("yi") - col("yj")), 12).as("ty"))
+        .unionByName(dj.select(col("j").as("s"),
+          round(col("w") * (col("xj") - col("xi")), 12).as("tx"),
+          round(col("w") * (col("yj") - col("yi")), 12).as("ty")))
+        .groupBy("s")
+        .agg(
+          round(sum(col("tx").cast(d3812)).cast("double")
+            / lit(n.toDouble), 12).as("nx"),
+          round(sum(col("ty").cast(d3812)).cast("double")
+            / lit(n.toDouble), 12).as("ny"))
+      // stats-resetting checkpoint: cfg is ITERATED SELF-REFERENTIAL
+      // state (each step joins cfg with frames derived from cfg), so a
+      // plain checkpoint compounds sizeInBytes exponentially across the
+      // 12 steps — the g28 planner-BigInteger failure mode
+      cfg = graft.Ckpt.stats(cfg.join(contrib, col("i") === col("s"),
+          "left_outer")
+        .select(col("i"), coalesce(col("nx"), col("x")).as("x"),
+          coalesce(col("ny"), col("y")).as("y")))
+    }
+    val distF = graft.Ckpt.stats(distances(cfg))
+    val stress = distF.join(disparities(distF), "r")
+      .agg(
+        sum(round((col("d") - col("dhat")) * (col("d") - col("dhat")), 12)
+          .cast(d3812)).as("num"),
+        sum(round(col("d") * col("d"), 12).cast(d3812)).as("den"))
+      .select(when(col("den") > 0,
+        graft.GraftFunctions.roundz(
+          sqrt(col("num").cast("double") / col("den").cast("double")), 6))
+        .as("stress1"))
+    cfg.join(ids, "i")
+      .crossJoin(broadcast(stress)) // one-row final stress (q72)
+      .select(col("sample"),
+        graft.GraftFunctions.roundz(col("x"), 6).as("axis1"),
+        graft.GraftFunctions.roundz(col("y"), 6).as("axis2"),
+        col("stress1"))
+      .orderBy("sample")
+  }
 }

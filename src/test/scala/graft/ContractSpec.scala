@@ -310,7 +310,8 @@ class ContractSpec extends SparkSpec {
         ".join(broadcast(rm.select(col(\"i\").as(\"j\"), col(\"rm\").as(\"rmj\"))), \"j\")" -> "dim (per-sample row means)",
         "toRow(m.crossJoin(broadcast(vrow))" -> "one-row (iteration vector)",
         "val nf = broadcast(ids.agg(max(col(\"i\")).as(\"n\")).filter(col(\"n\") >= 2))" -> "one-row",
-        "val trace = broadcast(b.filter(col(\"i\") === col(\"j\"))" -> "one-row (trace scalar)"),
+        "val trace = broadcast(b.filter(col(\"i\") === col(\"j\"))" -> "one-row (trace scalar)",
+        ".crossJoin(broadcast(stress)) // one-row final stress (q72)" -> "one-row (q72 stress-1)"),
       "Relational.scala" -> Map(
         ".join(broadcast(bounds), col(\"rnk\") > col(\"lo\") && col(\"rnk\") <= col(\"hi\"))" -> "dim (group slot ranges)",
         ".join(broadcast(sizes.select(col(\"r_name\").as(\"ga\"), col(\"ng\"))), \"ga\")" -> "dim (group sizes)",

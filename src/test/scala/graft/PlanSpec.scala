@@ -995,7 +995,11 @@ class PlanSpec extends SparkSpec {
           false),
         // e32: e31's checkpointed seasonal frames + ONE window sort
         // for the seven loess taps; the fit is a pure projection
-        ("e32", graft.operators.Events.stlDecompose(events), 2, false))
+        ("e32", graft.operators.Events.stlDecompose(events), 2, false),
+        // q72: past the stats-reset config/rank checkpoints — final
+        // stress lattice + ids join + one-row stress cross + sort
+        ("q72", graft.operators.Ordination.q72Nmds(spark, sfDir), 7,
+          true))
     cases.foreach { case (name, df, maxSh, allowCross) =>
       val n = executedShuffles(df)
       info(s"$name shuffles $n (budget $maxSh)")

@@ -386,6 +386,141 @@ class ScaleSpec extends SparkSpec {
     assert(eigErr < 1e-5, f"eigenvalues off the reference solve by $eigErr%.2e")
   }
 
+  test("q72 NMDS matches a bitwise JVM replica of the full trajectory, " +
+       "holds an exact-metric fixed point, is invariant to monotone " +
+       "dissimilarity transforms, and improves on the PCoA init") {
+    // The r16-verdict-authorized spec-gated-only class: stress
+    // majorization has no closed-form unique fixpoint for a DuckDB
+    // oracle, so correctness = this replica (the identical 12-step
+    // arithmetic in plain Scala, double-for-double) + planted
+    // geometry fixtures.
+    import spark.implicits._
+    val ord = graft.operators.Ordination
+    def r12(x: Double) = BigDecimal.valueOf(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6z(x: Double) = BigDecimal.valueOf(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    // plain-Scala replica of nmds(): identical rank spine, prefix-sum
+    // minimax isotonic fit, Guttman transform with r12 decimal sums
+    def replica(pairs0: Seq[(String, String, Double)],
+        init: Seq[(String, Double, Double)], iters: Int)
+        : (Seq[(String, Double, Double)], Option[Double]) = {
+      val samples = init.map(_._1).sorted
+      val n = samples.length
+      val idx = samples.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+      val prs = pairs0.map { case (a, b, dd) => (idx(a), idx(b), dd) }
+        .sortBy { case (i, j, dd) => (dd, i, j) }
+      val m = prs.length
+      val x = Array.ofDim[Double](n + 1); val y = Array.ofDim[Double](n + 1)
+      init.foreach { case (s, a1, a2) => x(idx(s)) = a1; y(idx(s)) = a2 }
+      def dists(): Array[Double] = Array.tabulate(m) { k =>
+        val (i, j, _) = prs(k)
+        math.sqrt((x(i) - x(j)) * (x(i) - x(j))
+          + (y(i) - y(j)) * (y(i) - y(j)))
+      }
+      def disparity(d: Array[Double]): Array[Double] = {
+        val ps = new Array[Double](m)
+        var run = 0.0
+        for (k <- 0 until m) { run += d(k); ps(k) = run }
+        def avg(a: Int, b: Int) =
+          (ps(b) - ps(a) + d(a)) / (b - a + 1).toDouble
+        val smin = Array.ofDim[Double](m, m)
+        for (a <- 0 until m) {
+          var mn = Double.PositiveInfinity
+          for (b <- m - 1 to a by -1) {
+            mn = math.min(mn, avg(a, b)); smin(a)(b) = mn
+          }
+        }
+        Array.tabulate(m) { k =>
+          var best = Double.NegativeInfinity
+          for (a <- 0 to k) best = math.max(best, smin(a)(k))
+          best
+        }
+      }
+      for (_ <- 1 to iters) {
+        val d = dists(); val dh = disparity(d)
+        val sx = Array.fill(n + 1)(BigDecimal(0))
+        val sy = Array.fill(n + 1)(BigDecimal(0))
+        for (k <- 0 until m) {
+          val (i, j, _) = prs(k)
+          val w = if (d(k) > 0.0) dh(k) / d(k) else 0.0
+          sx(i) += r12(w * (x(i) - x(j))); sy(i) += r12(w * (y(i) - y(j)))
+          sx(j) += r12(w * (x(j) - x(i))); sy(j) += r12(w * (y(j) - y(i)))
+        }
+        for (u <- 1 to n) {
+          x(u) = r12(sx(u).toDouble / n.toDouble).toDouble
+          y(u) = r12(sy(u).toDouble / n.toDouble).toDouble
+        }
+      }
+      val d = dists(); val dh = disparity(d)
+      var num = BigDecimal(0); var den = BigDecimal(0)
+      for (k <- 0 until m) {
+        num += r12((d(k) - dh(k)) * (d(k) - dh(k)))
+        den += r12(d(k) * d(k))
+      }
+      val stress =
+        if (den > 0) Some(r6z(math.sqrt(num.toDouble / den.toDouble)))
+        else None
+      (samples.map(s => (s, r6z(x(idx(s))), r6z(y(idx(s))))), stress)
+    }
+    def collectEngine(bc: Seq[(String, String, Double)],
+        init: Seq[(String, Double, Double)], iters: Int) =
+      ord.nmds(bc.toDF("sample_a", "sample_b", "bray_curtis"),
+        init.toDF("sample", "axis1", "axis2"), iters).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3)))
+    // FIXED POINT: a centered square whose dissimilarity ranks agree
+    // with its exact metric distances — isotonic fit is the identity,
+    // every weight is 1, the Guttman transform subtracts the (zero)
+    // centroid: coords bitwise unchanged, stress exactly 0
+    val sqInit = Seq(("A", 1.0, 1.0), ("B", -1.0, 1.0),
+      ("C", -1.0, -1.0), ("D", 1.0, -1.0))
+    val sqBc = Seq(("A", "B", 0.2), ("B", "C", 0.2), ("C", "D", 0.2),
+      ("A", "D", 0.2), ("A", "C", 0.5), ("B", "D", 0.5))
+    val fp = collectEngine(sqBc, sqInit, ord.NmdsIters)
+    assert(fp.toSeq == Seq(("A", 1.0, 1.0, 0.0), ("B", -1.0, 1.0, 0.0),
+      ("C", -1.0, -1.0, 0.0), ("D", 1.0, -1.0, 0.0)),
+      s"fixed point broken: ${fp.toSeq}")
+    // NONMETRIC INVARIANCE: cubing the dissimilarities preserves
+    // ranks (and ties), so the entire trajectory — coords AND stress
+    // — is bitwise identical (the property that makes NMDS NMDS)
+    val cubed = collectEngine(sqBc.map { case (a, b, v) =>
+      (a, b, v * v * v) }, sqInit, ord.NmdsIters)
+    assert(cubed.toSeq == fp.toSeq,
+      s"monotone invariance broken: ${cubed.toSeq}")
+    // RANK VIOLATOR: collinear points whose farthest pair claims the
+    // SMALLEST dissimilarity — the isotonic fit pools, stress is
+    // positive, and the engine still matches the replica bitwise
+    val vInit = Seq(("A", -1.0, 0.0), ("B", 0.0, 0.0), ("C", 1.0, 0.0))
+    val vBc = Seq(("A", "C", 0.1), ("A", "B", 0.5), ("B", "C", 0.6))
+    val vGot = collectEngine(vBc, vInit, ord.NmdsIters)
+    val (vRep, vStress) = replica(vBc, vInit, ord.NmdsIters)
+    assert(vGot.map(t => (t._1, t._2, t._3)).toSeq == vRep &&
+      vGot.forall(_._4 == vStress.get) && vStress.get > 0.0,
+      s"violator: got ${vGot.toSeq}\nrep $vRep stress $vStress")
+    // CORPUS: the engine's published 12-step trajectory equals the
+    // replica double-for-double, and the final stress does not exceed
+    // the metric init's stress (the majorization actually helps)
+    val bc = graft.operators.Relational.q30BrayCurtis(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    val init = ord.q31Pcoa(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val eng = ord.q72Nmds(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val (rep, repStress) = replica(bc, init, ord.NmdsIters)
+    assert(eng.map(t => (t._1, t._2, t._3)).toSeq == rep,
+      s"corpus replica drift:\n eng ${eng.toSeq}\n rep $rep")
+    assert(eng.forall(_._4 == repStress.get),
+      s"corpus stress drift: ${eng.head._4} vs $repStress")
+    val (_, initStress) = replica(bc, init, 0)
+    assert(repStress.get <= initStress.get,
+      s"stress worsened: init $initStress final $repStress")
+    assert(repStress.get > 0.0 && repStress.get < 0.3,
+      s"corpus stress implausible: $repStress")
+  }
+
   test("as-of join stays linear on a single hot user") {
     // one user emitting every event: the union-window form processes
     // the timeline in ONE sorted pass — output must still be exact
