@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Auto-adjudicate bench deltas: noise vs regression (r16 verdict #3).
+
+Wall-clock on a shared box is noisy; the deterministic plan
+invariants the artifact already carries are not. For every key in
+both artifacts this classifies a wall-time jump:
+
+  - REGRESSION: wall jumped AND a plan invariant moved
+    (shuffle_bytes [fetch, write] or fixpoint_steps differ) — the
+    plan itself changed, the number is real. Exit 1.
+  - NOISE: wall jumped but shuffle bytes AND step counts are
+    byte-identical — the same plan ran slower on a loaded box.
+    Reported, exit 0 (this is the manual cross-check the r16 judge
+    performed on t32/t33/t30/..., automated).
+  - UNSTABLE: the new run's own warm reps spread by more than
+    SPREAD_GATE (max/min over the raw array, -1 failures excluded) —
+    the number shouldn't be trusted in either direction.
+
+Usage: check_bench.py NEW.json [OLD.json]
+  With no OLD, only the variance report runs. Keys only in one
+  artifact are listed as added/removed, never adjudicated.
+
+Writes a JSON summary next to NEW as <NEW stem>_delta.json with
+per-key {old, new, ratio, verdict} plus min/median/max variance rows,
+so the round notes can cite machine-checked numbers instead of a
+hand-run shuffle-byte diff.
+"""
+import json
+import statistics
+import sys
+
+WALL_GATE = 1.5     # new_min / old_min above this is "a jump"
+WALL_FLOOR = 0.3    # seconds — ignore jumps on sub-noise-floor keys
+SPREAD_GATE = 3.0   # warm-rep max/min above this is "unstable"
+
+
+def load(path):
+    with open(path) as f:
+        txt = f.read()
+    # artifact files hold the one-line JSON (possibly with a trailing
+    # compact headline line — take the first line that parses with raw)
+    for line in txt.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        d = json.loads(line)
+        if "raw" in d:
+            return d
+    raise SystemExit(f"{path}: no full artifact line (with 'raw') found")
+
+
+def variance_rows(art):
+    rows = {}
+    for k, reps in sorted(art.get("raw", {}).items()):
+        ok = [r for r in reps if r >= 0]
+        if not ok:
+            rows[k] = {"min": -1.0, "median": -1.0, "max": -1.0,
+                       "spread": -1.0, "unstable": True}
+            continue
+        mn, md, mx = min(ok), statistics.median(ok), max(ok)
+        spread = (mx / mn) if mn > 0 else float("inf")
+        rows[k] = {"min": round(mn, 3), "median": round(md, 3),
+                   "max": round(mx, 3), "spread": round(spread, 2),
+                   "unstable": len(ok) > 1 and spread > SPREAD_GATE}
+    return rows
+
+
+def main():
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
+    new = load(sys.argv[1])
+    var = variance_rows(new)
+    out = {"variance": var, "deltas": {}, "added": [], "removed": [],
+           "regressions": [], "noise": []}
+    if len(sys.argv) > 2:
+        old = load(sys.argv[2])
+        nq, oq = new.get("queries", {}), old.get("queries", {})
+        out["added"] = sorted(set(nq) - set(oq))
+        out["removed"] = sorted(set(oq) - set(nq))
+        nsb, osb = new.get("shuffle_bytes", {}), old.get("shuffle_bytes", {})
+        nfp, ofp = new.get("fixpoint_steps", {}), old.get("fixpoint_steps", {})
+        def same_bytes(a, b):
+            # byte-identical proves the same plan ran; sub-1% deltas
+            # are shuffle-block metadata jitter (e4 moved 255 bytes of
+            # 7.2 MB between identical plans), not a plan change
+            if a == b:
+                return True
+            if not a or not b or len(a) != len(b):
+                return False
+            return all(abs(x - y) <= 0.01 * max(abs(x), abs(y), 1)
+                       for x, y in zip(a, b))
+        for k in sorted(set(nq) & set(oq)):
+            o, n = oq[k], nq[k]
+            if o <= 0 or n <= 0:
+                continue
+            ratio = n / o
+            entry = {"old": o, "new": n, "ratio": round(ratio, 2)}
+            if n >= WALL_FLOOR and ratio > WALL_GATE:
+                same_shuffle = same_bytes(nsb.get(k), osb.get(k))
+                same_steps = nfp.get(k) == ofp.get(k)
+                if var.get(k, {}).get("unstable"):
+                    entry["verdict"] = "UNSTABLE"
+                elif same_shuffle and same_steps:
+                    entry["verdict"] = "NOISE"
+                    out["noise"].append(k)
+                else:
+                    entry["verdict"] = "REGRESSION"
+                    entry["shuffle_old"] = osb.get(k)
+                    entry["shuffle_new"] = nsb.get(k)
+                    entry["steps_old"] = ofp.get(k)
+                    entry["steps_new"] = nfp.get(k)
+                    out["regressions"].append(k)
+            out["deltas"][k] = entry
+    dest = sys.argv[1].rsplit(".json", 1)[0] + "_delta.json"
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    unstable = sorted(k for k, v in var.items() if v["unstable"])
+    print(f"[bench-check] {len(var)} keys; "
+          f"unstable {len(unstable)}: {', '.join(unstable) or '-'}")
+    if len(sys.argv) > 2:
+        print(f"[bench-check] added {len(out['added'])}, "
+              f"removed {len(out['removed'])}, "
+              f"noise {len(out['noise'])}: {', '.join(out['noise']) or '-'}")
+        for k in out["regressions"]:
+            d = out["deltas"][k]
+            print(f"[bench-check] REGRESSION {k}: {d['old']} -> {d['new']} "
+                  f"({d['ratio']}x) shuffle {d['shuffle_old']} -> "
+                  f"{d['shuffle_new']} steps {d['steps_old']} -> "
+                  f"{d['steps_new']}")
+        if out["regressions"]:
+            sys.exit(1)
+    print(f"[bench-check] summary written to {dest}")
+
+
+if __name__ == "__main__":
+    main()
