@@ -253,6 +253,8 @@ object SparkEntry {
     "m10_decode_robust" ->
       ((s: SparkSession, d: String) => Multimodal.imageDecodeRobust(s, d)),
     "m11_audio_segments" -> (Multimodal.audioSegments _),
+    "m12_audio_fingerprint" ->
+      ((s: SparkSession, d: String) => Multimodal.m12AudioFingerprint(s, d)),
     "x1_export_csv" -> ((s: SparkSession, d: String) => graft.sources.Export.contextualCsv(s, d)),
     "x2_export_biom" -> ((s: SparkSession, d: String) => graft.sources.Export.biomMatrix(s, d)),
     "x3_export_biom_json" -> ((s: SparkSession, d: String) => graft.sources.Export.biomJson(s, d)),
@@ -1160,6 +1162,7 @@ object SparkEntry {
     "m9_image_dedup" -> graft.operators.Multimodal.m9OracleSql,
     "m10_decode_robust" -> graft.operators.Multimodal.m10OracleSql,
     "m11_audio_segments" -> graft.operators.Multimodal.m11OracleSql(),
+    "m12_audio_fingerprint" -> graft.operators.Multimodal.m12OracleSql,
     "s9_hybrid_search" -> graft.operators.Similarity.s9OracleSql(),
     "s7_range_search" -> graft.operators.Similarity.s7OracleSql(),
     "s8_maxsim" -> graft.operators.Similarity.s8OracleSql(),

@@ -132,6 +132,43 @@ class MultimodalSpec extends SparkSpec {
     assert(ch == (1 % Multimodal.AudChMod + 1))
   }
 
+  test("m12 audio fingerprint clusters same-tune different-loudness " +
+       "docs that byte dedup separates, one cluster per tone group") {
+    import spark.implicits._
+    // amplitude invariance: docs 0 and 40 share group 0 (same band
+    // sequence) at amplitudes 2000 vs 2000+40·300 — raw payload bytes
+    // differ, the decoded fingerprint is identical
+    val fp = Multimodal.AudioDecoder.decodeFingerprint(Iterator(
+      Multimodal.AudioRow(0L, Multimodal.tonePayload(0L)),
+      Multimodal.AudioRow(40L, Multimodal.tonePayload(40L)),
+      Multimodal.AudioRow(1L, Multimodal.tonePayload(1L)))).toSeq
+    assert(!java.util.Arrays.equals(Multimodal.tonePayload(0L),
+      Multimodal.tonePayload(40L)), "amplitudes must change the bytes")
+    assert(fp(0).fingerprint == fp(1).fingerprint,
+      s"same group, different loudness must share a fingerprint: $fp")
+    assert(fp(0).fingerprint != fp(2).fingerprint,
+      s"different groups must differ: $fp")
+    assert(fp.forall(_.n_windows == Multimodal.ToneSegs.toLong))
+    // the fingerprint digits are exactly the planted band sequence:
+    // the dominant Goertzel bin of a pure period-p integer wave is
+    // the bin whose fundamental matches — decoded end to end through
+    // the real WAV round-trip
+    val want0 = (0 until Multimodal.ToneSegs)
+      .map(s => ('0' + Multimodal.toneBand(0L, s)).toChar).mkString
+    assert(fp(0).fingerprint == want0,
+      s"fingerprint ${fp(0).fingerprint} != planted band sequence $want0")
+    // corpus: exactly one cluster per tone group (the iterated-knuth
+    // band sequences are collision-free at 40 groups — checked, not
+    // hoped), sizes cover every doc, min_doc recovers each group id
+    val got = Multimodal.m12AudioFingerprint(spark, sfDir).collect()
+    val n = Tables.load(spark, sfDir, "documents").count()
+    assert(got.length == Multimodal.ToneGroups, s"clusters: ${got.length}")
+    assert(got.map(_.getLong(1)).sum == n, "cluster sizes must cover corpus")
+    assert(got.map(_.getLong(2)).sorted.toSeq ==
+      (0L until Multimodal.ToneGroups.toLong),
+      "min_doc per cluster must be exactly the group ids")
+  }
+
   test("GIF demux recovers frame count, order, and exact pixels") {
     // hand-built 2-frame 3×5 animated GIF (≥ 5 rows — below that the
     // JDK writer's default interlace path corrupts rows, see the
