@@ -134,6 +134,7 @@ object SparkEntry {
     "q70_rankindex" -> (Relational.q70Rankindex _),
     "q71_multipatt" -> (Relational.q71Multipatt _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
+    "q73_ca" -> ((s: SparkSession, d: String) => Ordination.q73Ca(s, d)),
     // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
     // class): stress majorization has no closed-form unique fixpoint
     // for a DuckDB replica; correctness is the bitwise JVM-replica
@@ -433,7 +434,7 @@ object SparkEntry {
     * error bound against its exact twin instead; ContractSpec
     * enforces EXACT set equality, so a key can neither silently lose
     * its oracle nor idle in this allowlist while carrying one. */
-  val rowsOnly: Set[String] = Set("e18_dau_approx")
+  val rowsOnly: Set[String] = Set("e18_dau_approx", "q72_nmds")
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
@@ -743,6 +744,7 @@ object SparkEntry {
       LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name
       ORDER BY sample_a, sample_b""",
     "q31_pcoa" -> Ordination.q31OracleSql(),
+    "q73_ca" -> Ordination.q73OracleSql(),
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle
     "q31b_pcoa_blocked" -> Ordination.q31OracleSql(),

@@ -637,6 +637,189 @@ object Ordination {
         .mkString("\n        UNION ALL ")}) lams, trc
       ORDER BY axis"""
 
+  /** Power-iteration count per CA axis — CA's spectrum (6-taxon
+    * chi-square residual Gram) is not PCoA's, so it gets its own
+    * convergence-gated constant (ScaleSpec runs the independent local
+    * eigensolve at exactly this count, PCoA-gate style; 60 left the
+    * axis-2 residual at 3.2e-5 on the sf0.001 spectrum). */
+  final val CaIters = 120
+
+  /** q73: CORRESPONDENCE ANALYSIS (Hirschfeld 1935 / Benzécri; the
+    * unconstrained core of vegan's cca) — the contingency-table
+    * ordination the comparison page offers beside PCoA (q31) and NMDS
+    * (q72): chi-square-standardized residuals
+    * S_ij = (p_ij − r_i·c_j)/√(r_i·c_j) over the (sample, taxon)
+    * abundance table. The trivial CA axis is annihilated by
+    * construction (Σ_j S_ij·√c_j = 0), so no explicit centering is
+    * needed; the row-side Gram A = S·Sᵀ (samples × samples, q31's
+    * single-row form) feeds the SAME fixed-count power machinery
+    * ([[powerAxes]]) and the SAME per-axis oracle generator
+    * ([[axisSql]] — reused verbatim, only the matrix-prep CTE
+    * differs). Output = PRINCIPAL row coordinates
+    * F_ia = u_i·σ_a/√r_i (u the unit eigenvector, σ = √λ — the
+    * weighted-chi-square plot scaling vegan draws), roundz-6 with the
+    * q31 sign convention.
+    *
+    * Scale shape: one fact-scale abundance aggregate (q30/q52's
+    * shared leaf shape); the dense cell frame is samples × taxa
+    * (dimension-bounded), the Gram assembly and iteration are q31's
+    * single-row jobs; q31b's triples path is the 10⁴⁺-sample form. */
+  def q73Ca(spark: SparkSession, dir: String,
+      iters: Int = CaIters): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty")))
+    caFromAbundance(ab, iters)
+  }
+
+  /** [[q73Ca]]'s core over a sparse (n_name, p_type, qty DECIMAL)
+    * abundance matrix — split out for planted specs. Margins stay
+    * exact DECIMAL until each SCALAR division (one double op per
+    * cell, mirrored literally in the oracle); row/matrix assembly
+    * follows q31's sort_array(struct) fold-order discipline. */
+  def caFromAbundance(ab0: DataFrame, iters: Int = CaIters): DataFrame = {
+    val ab = graft.Ckpt(ab0)
+    val rs = ab.groupBy(col("n_name").as("si")).agg(sum(col("qty")).as("rs"))
+    val cs = ab.groupBy(col("p_type").as("tj")).agg(sum(col("qty")).as("cs"))
+    val gt = ab.agg(sum(col("qty")).as("g"))
+    val cells = rs.crossJoin(cs).crossJoin(broadcast(gt))
+      .join(ab.select(col("n_name").as("si"), col("p_type").as("tj"),
+        col("qty")), Seq("si", "tj"), "left_outer")
+      .select(col("si"), col("tj"),
+        ((coalesce(col("qty"), lit(0).cast(graft.Dec.D2)).cast("double")
+          / col("g").cast("double")
+          - (col("rs").cast("double") / col("g").cast("double"))
+            * (col("cs").cast("double") / col("g").cast("double")))
+          / sqrt((col("rs").cast("double") / col("g").cast("double"))
+            * (col("cs").cast("double") / col("g").cast("double"))))
+          .as("s"))
+    val rows = cells.groupBy("si")
+      .agg(transform(sort_array(collect_list(struct(col("tj"), col("s")))),
+        x => x("s")).as("srow"))
+    val rowsR = rows.join(rs, "si").crossJoin(broadcast(gt))
+      .select(col("si"), col("srow"),
+        (col("rs").cast("double") / col("g").cast("double")).as("ri"))
+    val mat = rowsR
+      .agg(transform(sort_array(collect_list(struct(col("si"), col("srow")))),
+          x => x("srow")).as("sm"),
+        transform(sort_array(collect_list(struct(col("si"), col("ri")))),
+          x => x("ri")).as("rvec"),
+        sort_array(collect_list(col("si"))).as("samples"))
+      .select(col("sm"), col("rvec"), col("samples"),
+        size(col("samples")).as("n"))
+      .filter(col("n") >= 2)
+    val withGm = mat
+      .withColumn("gm", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), col("n")), k =>
+          foldSum(zip_with(element_at(col("sm"), i),
+            element_at(col("sm"), k), (x, y) => x * y)))))
+      .select(col("samples"), col("n"), col("gm"), col("rvec"))
+    val st = powerAxes(withGm, 2, iters)
+    st
+      .withColumn("sgn1",
+        when(element_at(col("v_1"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
+      .withColumn("sgn2",
+        when(element_at(col("v_2"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
+      .select(posexplode(transform(sequence(lit(1), col("n")), i =>
+        struct(element_at(col("samples"), i).as("sample"),
+          graft.GraftFunctions.roundz(
+            element_at(col("v_1"), i) * col("sgn1")
+              / sqrt(col("lam_den_1")) * sqrt(col("lam_1"))
+              / sqrt(element_at(col("rvec"), i)), 6).as("ca1"),
+          graft.GraftFunctions.roundz(
+            element_at(col("v_2"), i) * col("sgn2")
+              / sqrt(col("lam_den_2")) * sqrt(col("lam_2"))
+              / sqrt(element_at(col("rvec"), i)), 6).as("ca2")))))
+      .select(col("col.sample").as("sample"),
+        col("col.ca1").as("ca1"), col("col.ca2").as("ca2"))
+      .orderBy("sample")
+  }
+
+  /** Matrix-prep CTEs for [[q73Ca]]'s oracle: the identical dense
+    * chi-square residual cells, q31's list-sort fold-order assembly,
+    * the row-weight vector, and the Gram `g1` the shared [[axisSql]]
+    * recursion consumes. */
+  private val CaCte: String = """
+      WITH RECURSIVE ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      gt AS (SELECT sum(qty) AS g FROM ab),
+      rs AS (SELECT n_name AS si, sum(qty) AS rs FROM ab GROUP BY 1),
+      cs AS (SELECT p_type AS tj, sum(qty) AS cs FROM ab GROUP BY 1),
+      cells AS (
+        SELECT rs.si, cs.tj,
+          (CAST(coalesce(ab.qty, 0) AS DOUBLE) / CAST(gt.g AS DOUBLE)
+            - (CAST(rs.rs AS DOUBLE) / CAST(gt.g AS DOUBLE))
+              * (CAST(cs.cs AS DOUBLE) / CAST(gt.g AS DOUBLE)))
+            / sqrt((CAST(rs.rs AS DOUBLE) / CAST(gt.g AS DOUBLE))
+              * (CAST(cs.cs AS DOUBLE) / CAST(gt.g AS DOUBLE))) AS s
+        FROM rs CROSS JOIN cs CROSS JOIN gt
+        LEFT JOIN ab ON ab.n_name = rs.si AND ab.p_type = cs.tj),
+      rowsr AS (
+        SELECT si, list_transform(
+          list_sort(list(struct_pack(tj := tj, s := s))), x -> x['s']) AS srow
+        FROM cells GROUP BY si),
+      matr AS (
+        SELECT list_transform(
+            list_sort(list(struct_pack(si := si, srow := srow))),
+            x -> x['srow']) AS sm,
+          list_sort(list(si)) AS samples, count(*) AS n
+        FROM rowsr),
+      rv AS (
+        SELECT list_transform(
+          list_sort(list(struct_pack(si := rs.si,
+            ri := CAST(rs.rs AS DOUBLE) / CAST(gt.g AS DOUBLE)))),
+          x -> x['ri']) AS rvec
+        FROM rs, gt),
+      cent AS MATERIALIZED (
+        SELECT samples, n,
+          list_transform(generate_series(1, CAST(n AS INT)), i ->
+            list_transform(generate_series(1, CAST(n AS INT)), k ->
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, CAST(t AS INT)),
+                  j -> sm[i][j] * sm[k][j])),
+                (acc, x) -> acc + x))) AS gm,
+          rvec
+        FROM (SELECT samples, n, sm, len(sm[1]) AS t, rvec
+              FROM matr, rv) q
+        WHERE n >= 2),
+      g1 AS MATERIALIZED (SELECT n, gm FROM cent)"""
+
+  /** DuckDB oracle for [[q73Ca]] — [[CaCte]]'s matrix prep, then the
+    * SAME per-axis recursion [[q31OracleSql]] uses, then the
+    * principal-coordinate scaling mirrored op-for-op. */
+  def q73OracleSql(iters: Int = CaIters): String =
+    CaCte + "," +
+      axisSql(1, iters, deflate = true) + "," +
+      axisSql(2, iters, deflate = true) + s""",
+      idx AS (
+        SELECT unnest(generate_series(1, CAST(n AS INT))) AS i,
+          samples, rvec
+        FROM cent)
+      SELECT idx.samples[idx.i] AS sample,
+        (round(fin1.v[idx.i] * fin1.sgn / sqrt(ray1.lam_den)
+          * sqrt(ray1.lam_num / ray1.lam_den)
+          / sqrt(idx.rvec[idx.i]), 6) + 0.0) AS ca1,
+        (round(fin2.v[idx.i] * fin2.sgn / sqrt(ray2.lam_den)
+          * sqrt(ray2.lam_num / ray2.lam_den)
+          / sqrt(idx.rvec[idx.i]), 6) + 0.0) AS ca2
+      FROM idx, fin1, fin2, ray1, ray2
+      ORDER BY sample"""
+
   /** Fixed Guttman-step count of [[q72Nmds]] — a determinism CONTRACT
     * (g1/s17's fixed-rounds discipline): engine and the spec's JVM
     * replica run exactly this many majorization steps from the

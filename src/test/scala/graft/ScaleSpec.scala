@@ -386,6 +386,93 @@ class ScaleSpec extends SparkSpec {
     assert(eigErr < 1e-5, f"eigenvalues off the reference solve by $eigErr%.2e")
   }
 
+  test("q73 CA convergence is gated by an independent local eigensolve " +
+       "and a planted block contingency separates on axis 1") {
+    import spark.implicits._
+    val ord = graft.operators.Ordination
+    // local replica of the chi-square residual Gram from the same
+    // contingency (PCoA-gate style: the gate is an independent solve,
+    // not the engine recursion agreeing with itself)
+    val ab = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.dim(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDecimal(2).doubleValue()))
+    val samples = ab.map(_._1).distinct.sorted
+    val taxa = ab.map(_._2).distinct.sorted
+    val (n, t) = (samples.length, taxa.length)
+    val cell = ab.map { case (a, b, q) => (a, b) -> q }.toMap
+    val g = ab.map(_._3).sum
+    val rs = samples.map(a => taxa.map(b => cell.getOrElse((a, b), 0.0)).sum / g)
+    val cs = taxa.map(b => samples.map(a => cell.getOrElse((a, b), 0.0)).sum / g)
+    val sMat = Array.tabulate(n, t)((i, j) =>
+      (cell.getOrElse((samples(i), taxa(j)), 0.0) / g - rs(i) * cs(j))
+        / math.sqrt(rs(i) * cs(j)))
+    val a0 = Array.tabulate(n, n)((i, k) =>
+      (0 until t).map(j => sMat(i)(j) * sMat(k)(j)).sum)
+    def solve(iters: Int): (Seq[Array[Double]], Seq[Double], Double) = {
+      val bm = a0.map(_.clone()); var worst = 0.0; var lam1 = 0.0
+      val axes = Seq.newBuilder[Array[Double]]
+      val lams = Seq.newBuilder[Double]
+      for (a <- 1 to 2) {
+        var v = Array.tabulate(n)(i => if (i == 0) 1.0 else 0.0)
+        for (_ <- 1 to iters) {
+          val bv = bm.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+          val m = bv.map(math.abs).max
+          v = bv.map(_ / m)
+        }
+        val bv = bm.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+        val den = v.map(x => x * x).sum
+        val lam = v.zip(bv).map { case (x, y) => x * y }.sum / den
+        if (a == 1) lam1 = lam
+        worst = math.max(worst,
+          v.indices.map(i => math.abs(bv(i) - lam * v(i))).max / lam1)
+        axes += v; lams += lam
+        for (i <- 0 until n; j <- 0 until n)
+          bm(i)(j) -= lam * v(i) * v(j) / den
+      }
+      (axes.result(), lams.result(), worst)
+    }
+    val (_, _, res) = solve(ord.CaIters)
+    assert(res < 1e-5, f"CaIters=${ord.CaIters} not converged: $res%.2e")
+    val (refAxes, refLams, _) = solve(400)
+    def principal(v: Array[Double], lam: Double): Array[Double] = {
+      val u = { val s = if (v(0) >= 0) v else v.map(-_)
+        val nn = math.sqrt(s.map(x => x * x).sum); s.map(_ / nn) }
+      u.indices.map(i => u(i) * math.sqrt(lam) / math.sqrt(rs(i))).toArray
+    }
+    val ref1 = principal(refAxes(0), refLams(0))
+    val ref2 = principal(refAxes(1), refLams(1))
+    val eng = ord.q73Ca(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(eng.map(_._1).toSeq == samples.toSeq, "sample order mismatch")
+    val err = eng.zipWithIndex.map { case ((_, c1, c2), i) =>
+      math.max(math.abs(c1 - ref1(i)), math.abs(c2 - ref2(i))) }.max
+    assert(err < 1e-4, f"published CA axes off the reference solve by $err%.2e")
+    // planted block structure: two sample groups on disjoint taxa —
+    // ONE nontrivial CA dimension whose sign separates the groups
+    // exactly; the rank-deflated second axis collapses to ±0 on the
+    // round-6 grid
+    val block = Seq(("A", "t1", java.math.BigDecimal.valueOf(5)),
+      ("B", "t1", java.math.BigDecimal.valueOf(7)),
+      ("C", "t2", java.math.BigDecimal.valueOf(4)),
+      ("D", "t2", java.math.BigDecimal.valueOf(6)))
+      .toDF("n_name", "p_type", "qty")
+      .select(col("n_name"), col("p_type"), graft.Dec.dec(col("qty")).as("qty"))
+    val got = ord.caFromAbundance(block).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val byS = got.map(r => r._1 -> r._2).toMap
+    assert(byS("A") * byS("B") > 0 && byS("C") * byS("D") > 0 &&
+      byS("A") * byS("C") < 0,
+      s"block structure not separated on ca1: ${got.toSeq}")
+    assert(got.forall(r => math.abs(r._3) <= 1e-3),
+      s"rank-1 table must leave axis 2 at noise level: ${got.toSeq}")
+  }
+
   test("q72 NMDS matches a bitwise JVM replica of the full trajectory, " +
        "holds an exact-metric fixed point, is invariant to monotone " +
        "dissimilarity transforms, and improves on the PCoA init") {
