@@ -135,6 +135,7 @@ object SparkEntry {
     "q71_multipatt" -> (Relational.q71Multipatt _),
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q73_ca" -> ((s: SparkSession, d: String) => Ordination.q73Ca(s, d)),
+    "q74_cca" -> ((s: SparkSession, d: String) => Ordination.q74Cca(s, d)),
     // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
     // class): stress majorization has no closed-form unique fixpoint
     // for a DuckDB replica; correctness is the bitwise JVM-replica
@@ -745,6 +746,7 @@ object SparkEntry {
       ORDER BY sample_a, sample_b""",
     "q31_pcoa" -> Ordination.q31OracleSql(),
     "q73_ca" -> Ordination.q73OracleSql(),
+    "q74_cca" -> Ordination.q74OracleSql(),
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle
     "q31b_pcoa_blocked" -> Ordination.q31OracleSql(),

@@ -687,6 +687,21 @@ object Ordination {
     * cell, mirrored literally in the oracle); row/matrix assembly
     * follows q31's sort_array(struct) fold-order discipline. */
   def caFromAbundance(ab0: DataFrame, iters: Int = CaIters): DataFrame = {
+    val mat = caMatrix(ab0)
+    val withGm = mat
+      .withColumn("gm", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), col("n")), k =>
+          foldSum(zip_with(element_at(col("sm"), i),
+            element_at(col("sm"), k), (x, y) => x * y)))))
+      .select(col("samples"), col("n"), col("gm"), col("rvec"))
+    val st = powerAxes(withGm, 2, iters)
+    caScores(st)
+  }
+
+  /** The single-row chi-square residual matrix shared by [[q73Ca]]
+    * and [[q74Cca]]: (sm n×t, rvec, samples, n) with q31's list-sort
+    * fold-order assembly. */
+  private def caMatrix(ab0: DataFrame): DataFrame = {
     val ab = graft.Ckpt(ab0)
     val rs = ab.groupBy(col("n_name").as("si")).agg(sum(col("qty")).as("rs"))
     val cs = ab.groupBy(col("p_type").as("tj")).agg(sum(col("qty")).as("cs"))
@@ -708,7 +723,7 @@ object Ordination {
     val rowsR = rows.join(rs, "si").crossJoin(broadcast(gt))
       .select(col("si"), col("srow"),
         (col("rs").cast("double") / col("g").cast("double")).as("ri"))
-    val mat = rowsR
+    rowsR
       .agg(transform(sort_array(collect_list(struct(col("si"), col("srow")))),
           x => x("srow")).as("sm"),
         transform(sort_array(collect_list(struct(col("si"), col("ri")))),
@@ -717,14 +732,13 @@ object Ordination {
       .select(col("sm"), col("rvec"), col("samples"),
         size(col("samples")).as("n"))
       .filter(col("n") >= 2)
-    val withGm = mat
-      .withColumn("gm", transform(sequence(lit(1), col("n")), i =>
-        transform(sequence(lit(1), col("n")), k =>
-          foldSum(zip_with(element_at(col("sm"), i),
-            element_at(col("sm"), k), (x, y) => x * y)))))
-      .select(col("samples"), col("n"), col("gm"), col("rvec"))
-    val st = powerAxes(withGm, 2, iters)
-    st
+  }
+
+  /** Principal row coordinates off a [[powerAxes]] state carrying
+    * `rvec` — shared output stage of [[q73Ca]]/[[q74Cca]] (the CCA
+    * caller aliases ca1/ca2 to cca1/cca2 and adds the det guard). */
+  private def caScores(st0: DataFrame): DataFrame = {
+    val st = st0
       .withColumn("sgn1",
         when(element_at(col("v_1"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
       .withColumn("sgn2",
@@ -742,13 +756,137 @@ object Ordination {
       .select(col("col.sample").as("sample"),
         col("col.ca1").as("ca1"), col("col.ca2").as("ca2"))
       .orderBy("sample")
+    st
+  }
+
+  /** q74: CANONICAL CORRESPONDENCE ANALYSIS (ter Braak 1986; vegan
+    * cca WITH constraints) — q73's ordination CONSTRAINED to the
+    * environment: sample scores are restricted to linear combinations
+    * of the three bioenv variables, so the axes show the community
+    * variation the measured environment can explain (the direct-
+    * gradient companion to q61's posthoc arrows). Algorithm (vegan's
+    * cca.default, one pass): chi-square residuals S (q73's shared
+    * matrix) → env columns weighted-centered by the row masses and
+    * √r-scaled (X_r) → the projection of S's columns onto col(X_r)
+    * via the CLOSED-FORM 3×3 weighted normal equations (q61's
+    * no-iterative-solver discipline one dimension up: determinant +
+    * adjugate, no matrix library) → power iteration on Ŝ·Ŝᵀ
+    * ([[powerAxes]] + [[axisSql]] reused verbatim) → principal LC
+    * row coordinates u_i·σ/√r_i. A singular constraint basis
+    * (det = 0 exactly) NULL-propagates in both engines.
+    *
+    * Scale shape: q73's fact-scale aggregate + q61's env aggregates;
+    * everything after is dimension-bounded single-row jobs. */
+  def q74Cca(spark: SparkSession, dir: String,
+      iters: Int = CaIters): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty")))
+    ccaFromInputs(ab, Relational.bioenvEnv(spark, dir), iters)
+  }
+
+  /** [[q74Cca]]'s core over the abundance matrix and a
+    * (variable, n_name, v) environment frame with EXACTLY THREE
+    * variables (the closed-form inverse is written for 3×3; a
+    * different arity fails loudly on the array bounds). Split out for
+    * planted specs. */
+  def ccaFromInputs(ab0: DataFrame, env0: DataFrame,
+      iters: Int = CaIters): DataFrame = {
+    val envRows = env0.groupBy(col("n_name").as("si"))
+      .agg(transform(sort_array(collect_list(struct(col("variable"),
+        col("v")))), x => x("v")).as("xrow"))
+    val mat = caMatrix(ab0)
+      .crossJoin(broadcast(envRows
+        .agg(transform(sort_array(collect_list(struct(col("si"),
+          col("xrow")))), x => x("xrow")).as("xm0"),
+          sort_array(collect_list(col("si"))).as("xsamples"))))
+    // env rows re-indexed into SAMPLE order with an explicit key
+    // guard: a sample/env name drift NULL-propagates through the
+    // whole chain (all-null output) instead of silently misaligning
+    val withXm = mat.withColumn("xm",
+      transform(sequence(lit(1), col("n")), i =>
+        when(element_at(col("xsamples"), i)
+          === element_at(col("samples"), i), element_at(col("xm0"), i))))
+    def mm(a: Int, b: Int) =
+      element_at(element_at(col("mm"), a), b)
+    val chain = withXm
+      .withColumn("wm", transform(sequence(lit(1), lit(3)), a =>
+        foldSum(transform(sequence(lit(1), col("n")), i =>
+          element_at(col("rvec"), i)
+            * element_at(element_at(col("xm"), i), a)))))
+      .withColumn("xr", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), lit(3)), a =>
+          sqrt(element_at(col("rvec"), i))
+            * (element_at(element_at(col("xm"), i), a)
+              - element_at(col("wm"), a)))))
+      .withColumn("mm", transform(sequence(lit(1), lit(3)), a =>
+        transform(sequence(lit(1), lit(3)), b =>
+          foldSum(transform(sequence(lit(1), col("n")), i =>
+            element_at(element_at(col("xr"), i), a)
+              * element_at(element_at(col("xr"), i), b))))))
+      .withColumn("det",
+        mm(1, 1) * (mm(2, 2) * mm(3, 3) - mm(2, 3) * mm(3, 2))
+          - mm(1, 2) * (mm(2, 1) * mm(3, 3) - mm(2, 3) * mm(3, 1))
+          + mm(1, 3) * (mm(2, 1) * mm(3, 2) - mm(2, 2) * mm(3, 1)))
+      .withColumn("minv", array(
+        array((mm(2, 2) * mm(3, 3) - mm(2, 3) * mm(3, 2)) / col("det"),
+          (mm(1, 3) * mm(3, 2) - mm(1, 2) * mm(3, 3)) / col("det"),
+          (mm(1, 2) * mm(2, 3) - mm(1, 3) * mm(2, 2)) / col("det")),
+        array((mm(1, 3) * mm(3, 2) - mm(1, 2) * mm(3, 3)) / col("det"),
+          (mm(1, 1) * mm(3, 3) - mm(1, 3) * mm(3, 1)) / col("det"),
+          (mm(1, 3) * mm(2, 1) - mm(1, 1) * mm(2, 3)) / col("det")),
+        array((mm(1, 2) * mm(2, 3) - mm(1, 3) * mm(2, 2)) / col("det"),
+          (mm(1, 3) * mm(2, 1) - mm(1, 1) * mm(2, 3)) / col("det"),
+          (mm(1, 1) * mm(2, 2) - mm(1, 2) * mm(2, 1)) / col("det"))))
+      .withColumn("t", size(element_at(col("sm"), 1)))
+      .withColumn("bb", transform(sequence(lit(1), lit(3)), a =>
+        transform(sequence(lit(1), col("t")), j =>
+          foldSum(transform(sequence(lit(1), col("n")), i =>
+            element_at(element_at(col("xr"), i), a)
+              * element_at(element_at(col("sm"), i), j))))))
+      .withColumn("ccm", transform(sequence(lit(1), lit(3)), a =>
+        transform(sequence(lit(1), col("t")), j =>
+          element_at(element_at(col("minv"), a), 1)
+            * element_at(element_at(col("bb"), 1), j)
+          + element_at(element_at(col("minv"), a), 2)
+            * element_at(element_at(col("bb"), 2), j)
+          + element_at(element_at(col("minv"), a), 3)
+            * element_at(element_at(col("bb"), 3), j))))
+      .withColumn("sh", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), col("t")), j =>
+          element_at(element_at(col("xr"), i), 1)
+            * element_at(element_at(col("ccm"), 1), j)
+          + element_at(element_at(col("xr"), i), 2)
+            * element_at(element_at(col("ccm"), 2), j)
+          + element_at(element_at(col("xr"), i), 3)
+            * element_at(element_at(col("ccm"), 3), j))))
+      .withColumn("gm", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), col("n")), k =>
+          foldSum(zip_with(element_at(col("sh"), i),
+            element_at(col("sh"), k), (x, y) => x * y)))))
+      .select(col("samples"), col("n"), col("gm"), col("rvec"), col("det"))
+    val st = powerAxes(chain, 2, iters)
+    caScores(st
+        .withColumn("v_1", when(col("det") =!= lit(0.0), col("v_1")))
+        .withColumn("v_2", when(col("det") =!= lit(0.0), col("v_2"))))
+      .select(col("sample"), col("ca1").as("cca1"), col("ca2").as("cca2"))
   }
 
   /** Matrix-prep CTEs for [[q73Ca]]'s oracle: the identical dense
     * chi-square residual cells, q31's list-sort fold-order assembly,
     * the row-weight vector, and the Gram `g1` the shared [[axisSql]]
-    * recursion consumes. */
-  private val CaCte: String = """
+    * recursion consumes. The prefix through `rv` ([[CaSPrep]]) is
+    * shared with [[q74OracleSql]]. */
+  private val CaSPrep: String = """
       WITH RECURSIVE ab AS (
         SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
         FROM lineitem
@@ -784,7 +922,9 @@ object Ordination {
           list_sort(list(struct_pack(si := rs.si,
             ri := CAST(rs.rs AS DOUBLE) / CAST(gt.g AS DOUBLE)))),
           x -> x['ri']) AS rvec
-        FROM rs, gt),
+        FROM rs, gt)"""
+
+  private val CaCte: String = CaSPrep + """,
       cent AS MATERIALIZED (
         SELECT samples, n,
           list_transform(generate_series(1, CAST(n AS INT)), i ->
@@ -819,6 +959,140 @@ object Ordination {
           / sqrt(idx.rvec[idx.i]), 6) + 0.0) AS ca2
       FROM idx, fin1, fin2, ray1, ray2
       ORDER BY sample"""
+
+  /** DuckDB oracle for [[q74Cca]] — [[CaSPrep]]'s shared residual
+    * matrix, q62's env CTE, the identical weighted-projection chain
+    * (each stage a CTE layer mirroring one withColumn), the shared
+    * [[axisSql]] recursion on the CONSTRAINED Gram, and the det-
+    * guarded principal scaling. */
+  def q74OracleSql(iters: Int = CaIters): String = {
+    def m(a: Int, b: Int) = s"mmx[$a][$b]"
+    def inv(num: String) = s"($num) / det"
+    val minv = Seq(
+      Seq(inv(s"${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)}"),
+        inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
+        inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}")),
+      Seq(inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
+        inv(s"${m(1, 1)} * ${m(3, 3)} - ${m(1, 3)} * ${m(3, 1)}"),
+        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}")),
+      Seq(inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}"),
+        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}"),
+        inv(s"${m(1, 1)} * ${m(2, 2)} - ${m(1, 2)} * ${m(2, 1)}")))
+      .map(r => s"[${r.mkString(", ")}]").mkString("[", ", ", "]")
+    CaSPrep + s""",
+      cn AS MATERIALIZED (
+        SELECT c_custkey, n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey),
+      env AS MATERIALIZED (
+        SELECT 'acctbal_mean' AS variable, n_name,
+          round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS v
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'totalprice_mean', n_name,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12)
+        FROM orders JOIN cn ON o_custkey = c_custkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'orders_per_cust', o.n_name,
+          round(CAST(o.no AS DOUBLE) / CAST(c.nc AS DOUBLE), 12)
+        FROM (SELECT n_name, count(*) AS no FROM orders
+              JOIN cn ON o_custkey = c_custkey GROUP BY 1) o
+        JOIN (SELECT n_name, count(*) AS nc FROM cn GROUP BY 1) c
+          ON o.n_name = c.n_name),
+      envrows AS (
+        SELECT n_name AS si, list_transform(
+          list_sort(list(struct_pack(variable := variable, v := v))),
+          x -> x['v']) AS xrow
+        FROM env GROUP BY n_name),
+      xmat AS (
+        SELECT list_transform(
+            list_sort(list(struct_pack(si := si, xrow := xrow))),
+            x -> x['xrow']) AS xm0,
+          list_sort(list(si)) AS xsamples
+        FROM envrows),
+      base AS (
+        SELECT samples, n, sm, rvec,
+          list_transform(generate_series(1, CAST(n AS INT)), i ->
+            CASE WHEN xsamples[i] = samples[i] THEN xm0[i] END) AS xm
+        FROM matr, rv, xmat
+        WHERE n >= 2),
+      st1 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, CAST(n AS INT)), i ->
+              rvec[i] * xm[i][a])), (acc, x) -> acc + x)) AS wm
+        FROM base),
+      st2 AS (
+        SELECT *, list_transform(generate_series(1, CAST(n AS INT)), i ->
+          list_transform(generate_series(1, 3), a ->
+            sqrt(rvec[i]) * (xm[i][a] - wm[a]))) AS xr
+        FROM st1),
+      st3 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_transform(generate_series(1, 3), b ->
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(n AS INT)), i ->
+                xr[i][a] * xr[i][b])), (acc, x) -> acc + x))) AS mmx
+        FROM st2),
+      st4 AS (
+        SELECT *,
+          ${m(1, 1)} * (${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)})
+            - ${m(1, 2)} * (${m(2, 1)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 1)})
+            + ${m(1, 3)} * (${m(2, 1)} * ${m(3, 2)} - ${m(2, 2)} * ${m(3, 1)})
+            AS det
+        FROM st3),
+      st5 AS (
+        SELECT *, $minv AS minv, len(sm[1]) AS t FROM st4),
+      st6 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_transform(generate_series(1, CAST(t AS INT)), j ->
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(n AS INT)), i ->
+                xr[i][a] * sm[i][j])), (acc, x) -> acc + x))) AS bb
+        FROM st5),
+      st7 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_transform(generate_series(1, CAST(t AS INT)), j ->
+            minv[a][1] * bb[1][j] + minv[a][2] * bb[2][j]
+              + minv[a][3] * bb[3][j])) AS ccm
+        FROM st6),
+      st8 AS (
+        SELECT *, list_transform(generate_series(1, CAST(n AS INT)), i ->
+          list_transform(generate_series(1, CAST(t AS INT)), j ->
+            xr[i][1] * ccm[1][j] + xr[i][2] * ccm[2][j]
+              + xr[i][3] * ccm[3][j])) AS sh
+        FROM st7),
+      cent AS MATERIALIZED (
+        SELECT samples, n, rvec, det,
+          list_transform(generate_series(1, CAST(n AS INT)), i ->
+            list_transform(generate_series(1, CAST(n AS INT)), k ->
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, CAST(t AS INT)),
+                  j -> sh[i][j] * sh[k][j])),
+                (acc, x) -> acc + x))) AS gm
+        FROM st8),
+      g1 AS MATERIALIZED (SELECT n, gm FROM cent),""" +
+      axisSql(1, iters, deflate = true) + "," +
+      axisSql(2, iters, deflate = true) + s""",
+      idx AS (
+        SELECT unnest(generate_series(1, CAST(n AS INT))) AS i,
+          samples, rvec, det
+        FROM cent)
+      SELECT idx.samples[idx.i] AS sample,
+        CASE WHEN idx.det <> 0.0 THEN
+          (round(fin1.v[idx.i] * fin1.sgn / sqrt(ray1.lam_den)
+            * sqrt(ray1.lam_num / ray1.lam_den)
+            / sqrt(idx.rvec[idx.i]), 6) + 0.0) END AS cca1,
+        CASE WHEN idx.det <> 0.0 THEN
+          (round(fin2.v[idx.i] * fin2.sgn / sqrt(ray2.lam_den)
+            * sqrt(ray2.lam_num / ray2.lam_den)
+            / sqrt(idx.rvec[idx.i]), 6) + 0.0) END AS cca2
+      FROM idx, fin1, fin2, ray1, ray2
+      ORDER BY sample"""
+  }
 
   /** Fixed Guttman-step count of [[q72Nmds]] — a determinism CONTRACT
     * (g1/s17's fixed-rounds discipline): engine and the spec's JVM

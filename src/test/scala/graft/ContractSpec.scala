@@ -313,7 +313,8 @@ class ContractSpec extends SparkSpec {
         "val trace = broadcast(b.filter(col(\"i\") === col(\"j\"))" -> "one-row (trace scalar)",
         ".crossJoin(broadcast(stress)) // one-row final stress (q72)" -> "one-row (q72 stress-1)",
         "val cells = rs.crossJoin(cs).crossJoin(broadcast(gt))" -> "one-row (q73 grand total)",
-        "val rowsR = rows.join(rs, \"si\").crossJoin(broadcast(gt))" -> "one-row (q73 grand total)"),
+        "val rowsR = rows.join(rs, \"si\").crossJoin(broadcast(gt))" -> "one-row (q73 grand total)",
+        ".crossJoin(broadcast(envRows" -> "one-row (q74 env matrix — 25×3)"),
       "Relational.scala" -> Map(
         ".join(broadcast(bounds), col(\"rnk\") > col(\"lo\") && col(\"rnk\") <= col(\"hi\"))" -> "dim (group slot ranges)",
         ".join(broadcast(sizes.select(col(\"r_name\").as(\"ga\"), col(\"ng\"))), \"ga\")" -> "dim (group sizes)",
