@@ -136,6 +136,7 @@ object SparkEntry {
     "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
     "q73_ca" -> ((s: SparkSession, d: String) => Ordination.q73Ca(s, d)),
     "q74_cca" -> ((s: SparkSession, d: String) => Ordination.q74Cca(s, d)),
+    "q75_rda" -> ((s: SparkSession, d: String) => Ordination.q75Rda(s, d)),
     // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
     // class): stress majorization has no closed-form unique fixpoint
     // for a DuckDB replica; correctness is the bitwise JVM-replica
@@ -747,6 +748,7 @@ object SparkEntry {
     "q31_pcoa" -> Ordination.q31OracleSql(),
     "q73_ca" -> Ordination.q73OracleSql(),
     "q74_cca" -> Ordination.q74OracleSql(),
+    "q75_rda" -> Ordination.q75OracleSql(),
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle
     "q31b_pcoa_blocked" -> Ordination.q31OracleSql(),

@@ -800,11 +800,92 @@ object Ordination {
     * different arity fails loudly on the array bounds). Split out for
     * planted specs. */
   def ccaFromInputs(ab0: DataFrame, env0: DataFrame,
+      iters: Int = CaIters): DataFrame =
+    constrainedScores(caMatrix(ab0), env0, iters)
+      .select(col("sample"), col("ca1").as("cca1"), col("ca2").as("cca2"))
+
+  /** q75: REDUNDANCY ANALYSIS (Rao 1964; vegan rda) — the LINEAR
+    * constrained ordination beside q74's chi-square one: the species
+    * matrix is the column-centered RAW abundance (Euclidean geometry,
+    * the choice when abundances are comparable across taxa), weights
+    * are uniform, and the constraint projection/eigensolve is the
+    * SAME shared chain ([[constrainedScores]] with r_i = 1/n — the
+    * weighted machinery collapses to the unweighted one exactly:
+    * weighted means become plain means and the √r column scale
+    * cancels inside the hat matrix). Coordinates carry a uniform √n
+    * factor relative to vegan's site-score convention (the shared
+    * u_i·σ/√r_i scaling at r_i = 1/n) — documented, deterministic,
+    * and irrelevant to the plot's geometry. */
+  def q75Rda(spark: SparkSession, dir: String,
       iters: Int = CaIters): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty")))
+    rdaFromInputs(ab, Relational.bioenvEnv(spark, dir), iters)
+  }
+
+  /** [[q75Rda]]'s core — split out for planted specs. */
+  def rdaFromInputs(ab0: DataFrame, env0: DataFrame,
+      iters: Int = CaIters): DataFrame =
+    constrainedScores(rdaMatrix(ab0), env0, iters)
+      .select(col("sample"), col("ca1").as("rda1"), col("ca2").as("rda2"))
+
+  /** Column-centered dense abundance matrix with uniform row weights
+    * — [[q75Rda]]'s input to the shared constrained chain. */
+  private def rdaMatrix(ab0: DataFrame): DataFrame = {
+    val ab = graft.Ckpt(ab0)
+    val sJ = ab.select(col("n_name").as("si")).distinct()
+    val tJ = ab.select(col("p_type").as("tj")).distinct()
+    val cells = sJ.crossJoin(tJ)
+      .join(ab.select(col("n_name").as("si"), col("p_type").as("tj"),
+        col("qty")), Seq("si", "tj"), "left_outer")
+      .select(col("si"), col("tj"),
+        coalesce(col("qty"), lit(0).cast(graft.Dec.D2)).cast("double")
+          .as("s"))
+    val rows = cells.groupBy("si")
+      .agg(transform(sort_array(collect_list(struct(col("tj"), col("s")))),
+        x => x("s")).as("srow"))
+    rows
+      .agg(transform(sort_array(collect_list(struct(col("si"), col("srow")))),
+          x => x("srow")).as("sm"),
+        sort_array(collect_list(col("si"))).as("samples"))
+      .select(col("sm"), col("samples"), size(col("samples")).as("n"))
+      .filter(col("n") >= 2)
+      .withColumn("tt", size(element_at(col("sm"), 1)))
+      .withColumn("cm", transform(sequence(lit(1), col("tt")), j =>
+        foldSum(transform(sequence(lit(1), col("n")), i =>
+          element_at(element_at(col("sm"), i), j)))
+          / col("n").cast("double")))
+      .withColumn("sm", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), col("tt")), j =>
+          element_at(element_at(col("sm"), i), j)
+            - element_at(col("cm"), j))))
+      .withColumn("rvec", transform(sequence(lit(1), col("n")), _ =>
+        lit(1.0) / col("n").cast("double")))
+      .select(col("sm"), col("rvec"), col("samples"), col("n"))
+  }
+
+  /** The shared constrained-ordination chain behind [[q74Cca]] and
+    * [[q75Rda]]: weighted-center/√r-scale the env columns, project
+    * the matrix columns onto the constraint space via the closed-form
+    * 3×3 weighted normal equations, eigensolve the constrained Gram,
+    * emit det-guarded principal coordinates (columns ca1/ca2 for the
+    * caller to alias). */
+  private def constrainedScores(mat0: DataFrame, env0: DataFrame,
+      iters: Int): DataFrame = {
     val envRows = env0.groupBy(col("n_name").as("si"))
       .agg(transform(sort_array(collect_list(struct(col("variable"),
         col("v")))), x => x("v")).as("xrow"))
-    val mat = caMatrix(ab0)
+    val mat = mat0
       .crossJoin(broadcast(envRows
         .agg(transform(sort_array(collect_list(struct(col("si"),
           col("xrow")))), x => x("xrow")).as("xm0"),
@@ -876,9 +957,8 @@ object Ordination {
       .select(col("samples"), col("n"), col("gm"), col("rvec"), col("det"))
     val st = powerAxes(chain, 2, iters)
     caScores(st
-        .withColumn("v_1", when(col("det") =!= lit(0.0), col("v_1")))
-        .withColumn("v_2", when(col("det") =!= lit(0.0), col("v_2"))))
-      .select(col("sample"), col("ca1").as("cca1"), col("ca2").as("cca2"))
+      .withColumn("v_1", when(col("det") =!= lit(0.0), col("v_1")))
+      .withColumn("v_2", when(col("det") =!= lit(0.0), col("v_2"))))
   }
 
   /** Matrix-prep CTEs for [[q73Ca]]'s oracle: the identical dense
@@ -965,21 +1045,63 @@ object Ordination {
     * (each stage a CTE layer mirroring one withColumn), the shared
     * [[axisSql]] recursion on the CONSTRAINED Gram, and the det-
     * guarded principal scaling. */
-  def q74OracleSql(iters: Int = CaIters): String = {
-    def m(a: Int, b: Int) = s"mmx[$a][$b]"
-    def inv(num: String) = s"($num) / det"
-    val minv = Seq(
-      Seq(inv(s"${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)}"),
-        inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
-        inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}")),
-      Seq(inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
-        inv(s"${m(1, 1)} * ${m(3, 3)} - ${m(1, 3)} * ${m(3, 1)}"),
-        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}")),
-      Seq(inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}"),
-        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}"),
-        inv(s"${m(1, 1)} * ${m(2, 2)} - ${m(1, 2)} * ${m(2, 1)}")))
-      .map(r => s"[${r.mkString(", ")}]").mkString("[", ", ", "]")
-    CaSPrep + s""",
+  def q74OracleSql(iters: Int = CaIters): String =
+    CaSPrep + EnvXmatCtes + constrainedTailSql(iters, "cca1", "cca2")
+
+  /** DuckDB oracle for [[q75Rda]] — the dense column-centered linear
+    * matrix with uniform row weights, then the shared env/projection
+    * tail. */
+  def q75OracleSql(iters: Int = CaIters): String = RdaPrep +
+    EnvXmatCtes + constrainedTailSql(iters, "rda1", "rda2")
+
+  /** Matrix-prep CTEs for [[q75Rda]]'s oracle: dense raw abundance,
+    * column-centered in index-order folds, uniform rvec — emitting
+    * the same `matr`/`rv` names the shared tail consumes. */
+  private val RdaPrep: String = """
+      WITH RECURSIVE ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      cells AS (
+        SELECT s.si, t.tj, CAST(coalesce(ab.qty, 0) AS DOUBLE) AS s
+        FROM (SELECT DISTINCT n_name AS si FROM ab) s
+        CROSS JOIN (SELECT DISTINCT p_type AS tj FROM ab) t
+        LEFT JOIN ab ON ab.n_name = s.si AND ab.p_type = t.tj),
+      rowsr AS (
+        SELECT si, list_transform(
+          list_sort(list(struct_pack(tj := tj, s := s))), x -> x['s']) AS srow
+        FROM cells GROUP BY si),
+      matr0 AS (
+        SELECT list_transform(
+            list_sort(list(struct_pack(si := si, srow := srow))),
+            x -> x['srow']) AS sm,
+          list_sort(list(si)) AS samples, count(*) AS n
+        FROM rowsr),
+      matr AS (
+        SELECT list_transform(generate_series(1, CAST(n AS INT)), i ->
+            list_transform(generate_series(1, CAST(tt AS INT)), j ->
+              sm[i][j] - cm[j])) AS sm,
+          samples, n
+        FROM (
+          SELECT sm, samples, n, len(sm[1]) AS tt,
+            list_transform(generate_series(1, CAST(len(sm[1]) AS INT)), j ->
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, CAST(n AS INT)),
+                  i -> sm[i][j])), (acc, x) -> acc + x)
+                / CAST(n AS DOUBLE)) AS cm
+          FROM matr0) q0),
+      rv AS (
+        SELECT list_transform(generate_series(1, CAST(n AS INT)),
+          i -> 1.0 / CAST(n AS DOUBLE)) AS rvec
+        FROM matr)"""
+
+  /** q62's env CTE + the variable-ordered env matrix — shared by the
+    * q74/q75 oracles. */
+  private val EnvXmatCtes: String = s""",
       cn AS MATERIALIZED (
         SELECT c_custkey, n_name FROM customer
         JOIN nation ON c_nationkey = n_nationkey),
@@ -1012,7 +1134,29 @@ object Ordination {
             list_sort(list(struct_pack(si := si, xrow := xrow))),
             x -> x['xrow']) AS xm0,
           list_sort(list(si)) AS xsamples
-        FROM envrows),
+        FROM envrows)"""
+
+  /** The constraint-projection + eigensolve + det-guarded principal
+    * scaling — the oracle tail shared by [[q74OracleSql]] (chi-square
+    * matrix, cca1/cca2) and [[q75OracleSql]] (centered linear matrix,
+    * rda1/rda2). Consumes `matr`(sm, samples, n), `rv`(rvec) and
+    * `xmat`; every stage CTE mirrors one engine withColumn. */
+  private def constrainedTailSql(iters: Int, o1: String,
+      o2: String): String = {
+    def m(a: Int, b: Int) = s"mmx[$a][$b]"
+    def inv(num: String) = s"($num) / det"
+    val minv = Seq(
+      Seq(inv(s"${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)}"),
+        inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
+        inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}")),
+      Seq(inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
+        inv(s"${m(1, 1)} * ${m(3, 3)} - ${m(1, 3)} * ${m(3, 1)}"),
+        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}")),
+      Seq(inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}"),
+        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}"),
+        inv(s"${m(1, 1)} * ${m(2, 2)} - ${m(1, 2)} * ${m(2, 1)}")))
+      .map(r => s"[${r.mkString(", ")}]").mkString("[", ", ", "]")
+    s""",
       base AS (
         SELECT samples, n, sm, rvec,
           list_transform(generate_series(1, CAST(n AS INT)), i ->
@@ -1085,11 +1229,11 @@ object Ordination {
         CASE WHEN idx.det <> 0.0 THEN
           (round(fin1.v[idx.i] * fin1.sgn / sqrt(ray1.lam_den)
             * sqrt(ray1.lam_num / ray1.lam_den)
-            / sqrt(idx.rvec[idx.i]), 6) + 0.0) END AS cca1,
+            / sqrt(idx.rvec[idx.i]), 6) + 0.0) END AS $o1,
         CASE WHEN idx.det <> 0.0 THEN
           (round(fin2.v[idx.i] * fin2.sgn / sqrt(ray2.lam_den)
             * sqrt(ray2.lam_num / ray2.lam_den)
-            / sqrt(idx.rvec[idx.i]), 6) + 0.0) END AS cca2
+            / sqrt(idx.rvec[idx.i]), 6) + 0.0) END AS $o2
       FROM idx, fin1, fin2, ray1, ray2
       ORDER BY sample"""
   }

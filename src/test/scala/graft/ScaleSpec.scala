@@ -611,6 +611,128 @@ class ScaleSpec extends SparkSpec {
       s"indicator constraint did not separate the blocks: ${got.toSeq}")
   }
 
+  test("q75 RDA convergence is gated by an independent local eigensolve " +
+       "of the linear constrained Gram, and the indicator constraint " +
+       "separates the planted blocks") {
+    import spark.implicits._
+    val ord = graft.operators.Ordination
+    val ab = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.dim(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDecimal(2).doubleValue()))
+    val samples = ab.map(_._1).distinct.sorted
+    val taxa = ab.map(_._2).distinct.sorted
+    val (n, t) = (samples.length, taxa.length)
+    val cell = ab.map { case (a, b, q) => (a, b) -> q }.toMap
+    // column-centered linear matrix, uniform weights r = 1/n
+    val y0 = Array.tabulate(n, t)((i, j) =>
+      cell.getOrElse((samples(i), taxa(j)), 0.0))
+    val cm = (0 until t).map(j => (0 until n).map(i => y0(i)(j)).sum / n)
+    val yc = Array.tabulate(n, t)((i, j) => y0(i)(j) - cm(j))
+    val rs = Array.fill(n)(1.0 / n)
+    val env = graft.operators.Relational.bioenvEnv(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val vars = env.map(_._1).distinct.sorted
+    val ev = env.map { case (v, s, x) => (s, v) -> x }.toMap
+    val xr = {
+      val x0 = Array.tabulate(n, 3)((i, a) => ev((samples(i), vars(a))))
+      val wm = (0 until 3).map(a => (0 until n).map(i => rs(i) * x0(i)(a)).sum)
+      Array.tabulate(n, 3)((i, a) => math.sqrt(rs(i)) * (x0(i)(a) - wm(a)))
+    }
+    val mM = Array.tabulate(3, 3)((a, b) =>
+      (0 until n).map(i => xr(i)(a) * xr(i)(b)).sum)
+    val aug = Array.tabulate(3, 6)((a, b) =>
+      if (b < 3) mM(a)(b) else if (b - 3 == a) 1.0 else 0.0)
+    for (c <- 0 until 3) {
+      val p = (c until 3).maxBy(r => math.abs(aug(r)(c)))
+      val tmp = aug(c); aug(c) = aug(p); aug(p) = tmp
+      val d = aug(c)(c)
+      for (b <- 0 until 6) aug(c)(b) /= d
+      for (r <- 0 until 3 if r != c) {
+        val f = aug(r)(c)
+        for (b <- 0 until 6) aug(r)(b) -= f * aug(c)(b)
+      }
+    }
+    val mInv = Array.tabulate(3, 3)((a, b) => aug(a)(b + 3))
+    val bbM = Array.tabulate(3, t)((a, j) =>
+      (0 until n).map(i => xr(i)(a) * yc(i)(j)).sum)
+    val ccM = Array.tabulate(3, t)((a, j) =>
+      (0 until 3).map(b => mInv(a)(b) * bbM(b)(j)).sum)
+    val sh = Array.tabulate(n, t)((i, j) =>
+      (0 until 3).map(a => xr(i)(a) * ccM(a)(j)).sum)
+    val a0 = Array.tabulate(n, n)((i, k) =>
+      (0 until t).map(j => sh(i)(j) * sh(k)(j)).sum)
+    def solve(iters: Int): (Seq[Array[Double]], Seq[Double], Double) = {
+      val bm = a0.map(_.clone()); var worst = 0.0; var lam1 = 0.0
+      val axes = Seq.newBuilder[Array[Double]]
+      val lams = Seq.newBuilder[Double]
+      for (a <- 1 to 2) {
+        var v = Array.tabulate(n)(i => if (i == 0) 1.0 else 0.0)
+        for (_ <- 1 to iters) {
+          val bv = bm.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+          val m = bv.map(math.abs).max
+          v = bv.map(_ / m)
+        }
+        val bv = bm.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+        val den = v.map(x => x * x).sum
+        val lam = v.zip(bv).map { case (x, y) => x * y }.sum / den
+        if (a == 1) lam1 = lam
+        worst = math.max(worst,
+          v.indices.map(i => math.abs(bv(i) - lam * v(i))).max / lam1)
+        axes += v; lams += lam
+        for (i <- 0 until n; j <- 0 until n)
+          bm(i)(j) -= lam * v(i) * v(j) / den
+      }
+      (axes.result(), lams.result(), worst)
+    }
+    val (_, _, res) = solve(ord.CaIters)
+    assert(res < 1e-5, f"CaIters=${ord.CaIters} not converged on RDA: $res%.2e")
+    val (refAxes, refLams, _) = solve(400)
+    def principal(v: Array[Double], lam: Double): Array[Double] = {
+      val u = { val s = if (v(0) >= 0) v else v.map(-_)
+        val nn = math.sqrt(s.map(x => x * x).sum); s.map(_ / nn) }
+      u.indices.map(i => u(i) * math.sqrt(lam) / math.sqrt(rs(i))).toArray
+    }
+    val ref1 = principal(refAxes(0), refLams(0))
+    val ref2 = principal(refAxes(1), refLams(1))
+    val eng = ord.q75Rda(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(eng.map(_._1).toSeq == samples.toSeq, "sample order mismatch")
+    // relative tolerance: RDA coordinates ride raw abundance
+    // magnitudes (thousands), so the gate scales by the axis norm
+    val scale1 = math.max(ref1.map(math.abs).max, 1.0)
+    val err = eng.zipWithIndex.map { case ((_, c1, c2), i) =>
+      math.max(math.abs(c1 - ref1(i)), math.abs(c2 - ref2(i))) }.max / scale1
+    assert(err < 1e-4, f"published RDA axes off the reference solve by $err%.2e")
+    // planted blocks with the indicator constraint (q74's fixture,
+    // linear geometry)
+    val block = Seq(("A", "t1", 5), ("B", "t1", 7), ("C", "t2", 4),
+      ("D", "t2", 6))
+      .map { case (a, b, q) => (a, b, java.math.BigDecimal.valueOf(q.toLong)) }
+      .toDF("n_name", "p_type", "qty")
+      .select(col("n_name"), col("p_type"), graft.Dec.dec(col("qty")).as("qty"))
+    val benv = Seq.tabulate(4, 3) { (i, a) =>
+      val s = Seq("A", "B", "C", "D")(i)
+      val v = a match {
+        case 0 => if (i < 2) 1.0 else 0.0
+        case 1 => i.toDouble
+        case _ => (i * i).toDouble
+      }
+      (s"var$a", s, v)
+    }.flatten.toDF("variable", "n_name", "v")
+    val got = ord.rdaFromInputs(block, benv).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byS = got.toMap
+    assert(byS("A") * byS("B") > 0 && byS("C") * byS("D") > 0 &&
+      byS("A") * byS("C") < 0,
+      s"indicator constraint did not separate the blocks: ${got.toSeq}")
+  }
+
   test("q72 NMDS matches a bitwise JVM replica of the full trajectory, " +
        "holds an exact-metric fixed point, is invariant to monotone " +
        "dissimilarity transforms, and improves on the PCoA init") {
