@@ -118,6 +118,8 @@ object SparkEntry {
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
     "t40_rake" -> ((s: SparkSession, d: String) => TextOps.rakeKeywords(s, d)),
     "t41_mtld" -> ((s: SparkSession, d: String) => TextOps.mtld(s, d)),
+    "t42_js_divergence" ->
+      ((s: SparkSession, d: String) => TextOps.t42JsDivergence(s, d)),
     "s22_hnsw" -> ((s: SparkSession, d: String) =>
       Similarity.hnswSearchOn(annEmb(s, d), annEdges(s, d),
         Similarity.KnnK, Similarity.KnnRounds,
@@ -1220,6 +1222,7 @@ object SparkEntry {
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
     "t40_rake" -> graft.operators.TextOps.t40OracleSql,
     "t41_mtld" -> graft.operators.TextOps.t41OracleSql,
+    "t42_js_divergence" -> graft.operators.TextOps.t42OracleSql,
     "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),

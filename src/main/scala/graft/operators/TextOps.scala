@@ -3047,4 +3047,122 @@ object TextOps {
         round(CAST(ps AS DOUBLE), 6) AS score
       FROM agg ORDER BY rnk LIMIT $RakeTopK"""
   }
+
+  /** t42: JENSEN–SHANNON DIVERGENCE between source unigram
+    * distributions (Lin 1991) — the corpus-mixing diagnostic beside
+    * t28's entropy and d10's shingle overlap: "how far apart are two
+    * sources' vocabularies as DISTRIBUTIONS" (symmetric, bounded by
+    * ln 2, defined even with disjoint support — the three properties
+    * per-direction KL lacks), the number a mixture designer reads
+    * before t23 reweights sources. One identity keeps absent terms
+    * out of the plan entirely: a term present in only one source
+    * contributes ½·p·ln 2, so the one-sided tail is
+    * ½·ln 2·((1 − Σp_shared) + (1 − Σq_shared)) — an ANALYTIC
+    * function of the shared-term mass, never an outer join.
+    *
+    * Determinism: shared-term contributions fold in term order
+    * (t17's sort_array discipline — ln agreement is the adjudicated
+    * t14/t17 class); the tail is one mirrored double expression;
+    * outputs roundz-6 (jsd and the ln 2-normalized [0, 1] form).
+    *
+    * Scale shape: one fact-scale token aggregate; the (source, term)
+    * frame is vocab × sources; the shared-term pair join fans out
+    * ≤ sources² per term; pair universe = dim² cross. */
+  def t42JsDivergence(spark: SparkSession, dir: String): DataFrame =
+    jsDivergence(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    val ts = graft.Ckpt(docs
+      .select(col("source"), explode(words(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt")))
+    val tot = ts.groupBy("source").agg(sum(col("cnt")).as("tot"))
+    val p = ts.join(tot, "source")
+      .select(col("source"), col("term"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+    val shared = p.as("a")
+      .join(p.select(col("source").as("sb"), col("term"),
+        col("p").as("q")).as("b"), "term")
+      .filter(col("source") < col("sb"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("c", lit(0.5) * (col("p") * log(col("p") / col("m"))
+        + col("q") * log(col("q") / col("m"))))
+    val agg = shared
+      .groupBy(col("source").as("source_a"), col("sb").as("source_b"))
+      .agg(sort_array(collect_list(struct(col("term"), col("c"),
+          col("p"), col("q")))).as("cs"),
+        count(lit(1)).as("n_shared"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("c")).as("csum"),
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("p")).as("psum"),
+        aggregate(col("cs"), lit(0.0),
+          (acc, x) => acc + x.getField("q")).as("qsum"))
+    val pairs = tot.select(col("source").as("source_a"))
+      .crossJoin(tot.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val raw = coalesce(col("csum"), lit(0.0)) +
+      lit(0.5) * log(lit(2.0)) *
+        ((lit(1.0) - coalesce(col("psum"), lit(0.0))) +
+          (lit(1.0) - coalesce(col("qsum"), lit(0.0))))
+    pairs.join(agg, Seq("source_a", "source_b"), "left_outer")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        graft.GraftFunctions.roundz(raw, 6).as("jsd"),
+        graft.GraftFunctions.roundz(raw / log(lit(2.0)), 6).as("jsd_norm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB oracle for [[jsDivergence]] — identical term-ordered
+    * shared fold, identical analytic one-sided tail. */
+  def t42OracleSql: String = """
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      ts AS MATERIALIZED (
+        SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      tot AS (SELECT source, sum(cnt) AS tot FROM ts GROUP BY 1),
+      p AS (
+        SELECT ts.source, term,
+          CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+        FROM ts JOIN tot ON ts.source = tot.source),
+      shared AS (
+        SELECT a.source AS source_a, b.source AS source_b, a.term,
+          a.p AS p, b.p AS q,
+          0.5 * (a.p * ln(a.p / ((a.p + b.p) / 2.0))
+            + b.p * ln(b.p / ((a.p + b.p) / 2.0))) AS c
+        FROM p a JOIN p b ON a.term = b.term AND a.source < b.source),
+      agg AS (
+        SELECT source_a, source_b, count(*) AS n_shared,
+          list_transform(list_sort(list(struct_pack(term := term, c := c,
+            p := p, q := q))), x -> x['c']) AS cl,
+          list_transform(list_sort(list(struct_pack(term := term, c := c,
+            p := p, q := q))), x -> x['p']) AS pl,
+          list_transform(list_sort(list(struct_pack(term := term, c := c,
+            p := p, q := q))), x -> x['q']) AS ql
+        FROM shared GROUP BY 1, 2),
+      folded AS (
+        SELECT source_a, source_b, n_shared,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cl),
+            (acc, x) -> acc + x) AS csum,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pl),
+            (acc, x) -> acc + x) AS psum,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ql),
+            (acc, x) -> acc + x) AS qsum
+        FROM agg),
+      prs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM tot a, tot b WHERE a.source < b.source)
+      SELECT prs.source_a, prs.source_b,
+        coalesce(n_shared, 0) AS n_shared,
+        (round(coalesce(csum, 0.0) + 0.5 * ln(2.0)
+          * ((1.0 - coalesce(psum, 0.0)) + (1.0 - coalesce(qsum, 0.0))),
+          6) + 0.0) AS jsd,
+        (round((coalesce(csum, 0.0) + 0.5 * ln(2.0)
+          * ((1.0 - coalesce(psum, 0.0)) + (1.0 - coalesce(qsum, 0.0))))
+          / ln(2.0), 6) + 0.0) AS jsd_norm
+      FROM prs LEFT JOIN folded
+        ON folded.source_a = prs.source_a
+        AND folded.source_b = prs.source_b
+      ORDER BY prs.source_a, prs.source_b"""
 }

@@ -1018,4 +1018,48 @@ class TextOpsSpec extends SparkSpec {
     assert(sf.forall(r => r.isNullAt(3) || r.getDouble(3) > 0.0),
       "non-positive MTLD")
   }
+
+  test("t42 JSD: identical sources score 0, disjoint vocabularies " +
+       "score exactly ln 2 (norm 1), corpus stays inside the bound") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, src, txt) => (id, txt, "en", src, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // same: identical token distributions → every shared contribution
+    // is p·ln 1 = 0 and the one-sided tails vanish on the round-6
+    // grid (roundz keeps −0.0 out); disjoint: NO shared terms → the
+    // analytic tail alone = ½·ln2·(1+1) = ln 2, norm exactly 1
+    val docs = mk(Seq(
+      (1L, "sameA", "alpha beta beta gamma"),
+      (2L, "sameB", "beta alpha gamma beta"),
+      (3L, "onlyX", "delta delta epsilon"),
+      (4L, "onlyY", "zeta eta eta theta"),
+      (5L, "mixed", "alpha delta delta")))
+    val got = TextOps.jsDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byPair = got.map(t => (t._1, t._2) -> t).toMap
+    val same = byPair(("sameA", "sameB"))
+    assert(same._3 == 3L && same._4 == 0.0 && same._5 == 0.0,
+      s"identical sources: $same")
+    val disj = byPair(("onlyX", "onlyY"))
+    assert(disj._3 == 0L && disj._5 == 1.0 &&
+      math.abs(disj._4 - math.log(2.0)) < 1e-6,
+      s"disjoint sources: $disj")
+    assert(got.length == 10, s"pair universe: ${got.length}")
+    // a partial overlap (one shared term) sits strictly between the
+    // extremes
+    val mid = byPair(("mixed", "sameA"))
+    assert(mid._3 == 1L && mid._4 > 0.0 && mid._5 < 1.0,
+      s"partial overlap: $mid")
+    // corpus: symmetric-bounded in [0, ln 2], every pair emitted
+    val sf = TextOps.t42JsDivergence(spark, sfDir).collect()
+    val ns = Tables.load(spark, sfDir, "documents")
+      .select(col("source")).distinct().count()
+    assert(sf.length == (ns * (ns - 1) / 2).toInt, s"pairs: ${sf.length}")
+    assert(sf.forall(r => r.getDouble(3) >= 0.0 &&
+      r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9),
+      "JSD out of [0, ln 2]")
+  }
 }

@@ -103,6 +103,15 @@ for name in sorted(oracle):
         fails.append((name, mismatch))
     else:
         print(f"  OK {name} ({len(a)} rows)")
+if only is not None:
+    # a key filter naming keys absent from oracle_sql.json (stale
+    # classes, a typo) must fail LOUDLY, not report a vacuous pass —
+    # a stale-build run once printed ALL MATCH having checked nothing
+    missing = only - set(oracle)
+    if missing:
+        print(f"\nFILTERED KEYS NOT IN oracle_sql.json "
+              f"(stale build?): {sorted(missing)}")
+        sys.exit(1)
 if fails:
     print(f"\n{len(fails)} FAILURES:")
     for n, m in fails: print(f"  FAIL {n}: {m}")
