@@ -115,6 +115,7 @@ object SparkEntry {
     "e30_acf" -> (Events.acf _),
     "e31_decompose" -> (Events.decompose _),
     "e32_stl" -> ((s: SparkSession, d: String) => Events.stlDecompose(s, d)),
+    "e33_mase" -> ((s: SparkSession, d: String) => Events.e33Mase(s, d)),
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
     "t40_rake" -> ((s: SparkSession, d: String) => TextOps.rakeKeywords(s, d)),
     "t41_mtld" -> ((s: SparkSession, d: String) => TextOps.mtld(s, d)),
@@ -1219,6 +1220,7 @@ object SparkEntry {
     "e30_acf" -> graft.operators.Events.e30OracleSql,
     "e31_decompose" -> graft.operators.Events.e31OracleSql,
     "e32_stl" -> graft.operators.Events.e32OracleSql,
+    "e33_mase" -> graft.operators.Events.e33OracleSql,
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
     "t40_rake" -> graft.operators.TextOps.t40OracleSql,
     "t41_mtld" -> graft.operators.TextOps.t41OracleSql,

@@ -1547,6 +1547,72 @@ object Events {
       FROM j JOIN w ON j.event_type = w.event_type AND w.rn = 1
       GROUP BY j.event_type ORDER BY j.event_type"""
 
+  /** e33: MASE FORECAST SCORING (Hyndman & Koehler 2006) — the
+    * scale-free companion to e25's MAPE: MAPE is undefined at zero
+    * counts and explodes near them, while MASE divides the seasonal-
+    * naive forecast's MAE by the in-sample lag-1 naive MAE — the
+    * standard "is the model beating the dumbest baseline" dial
+    * (MASE < 1 = yes), comparable ACROSS types of any volume.
+    *
+    * Determinism: counts are integers, so both absolute-error sums
+    * are EXACT integer aggregates (order-free); the only doubles are
+    * the two final divisions (round-6) and the ratio (roundz-6 —
+    * MASE itself is s7/s1 since the day sets coincide). A flat
+    * series (naive MAE 0) NULLs in both engines. Evaluable days =
+    * observed days whose lag-7 AND lag-1 days are both observed
+    * (e25's no-zero-fill convention).
+    *
+    * Scale shape: one fact-scale count aggregate, two (types × days)-
+    * bounded calendar self-joins, one group-by. */
+  def e33Mase(spark: SparkSession, dir: String): DataFrame =
+    mase(Tables.load(spark, dir, "events"))
+
+  def mase(events: DataFrame): DataFrame = {
+    val daily = graft.Ckpt(events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")))
+    def lagged(k: Int, nm: String) = daily.select(col("event_type"),
+      date_add(col("day"), k).as("day"), col("cnt").as(nm))
+    daily
+      .join(lagged(SeasonalLag, "f7"), Seq("event_type", "day"))
+      .join(lagged(1, "f1"), Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cnt") - col("f7"))).as("s7"),
+        sum(abs(col("cnt") - col("f1"))).as("s1"))
+      .select(col("event_type"), col("n_days"),
+        round(col("s7").cast("double") / col("n_days").cast("double"), 6)
+          .as("mae_seasonal"),
+        round(col("s1").cast("double") / col("n_days").cast("double"), 6)
+          .as("mae_naive"),
+        when(col("s1") > 0, graft.GraftFunctions.roundz(
+          col("s7").cast("double") / col("s1").cast("double"), 6))
+          .as("mase"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[mase]] — identical calendar lag joins,
+    * exact integer error sums, the same two divisions. */
+  def e33OracleSql: String = s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT cur.event_type, count(*) AS n_days,
+        round(CAST(sum(abs(cur.cnt - p7.cnt)) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS mae_seasonal,
+        round(CAST(sum(abs(cur.cnt - p1.cnt)) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE), 6) AS mae_naive,
+        CASE WHEN sum(abs(cur.cnt - p1.cnt)) > 0 THEN
+          (round(CAST(sum(abs(cur.cnt - p7.cnt)) AS DOUBLE)
+            / CAST(sum(abs(cur.cnt - p1.cnt)) AS DOUBLE), 6) + 0.0) END
+          AS mase
+      FROM daily cur
+      JOIN daily p7 ON cur.event_type = p7.event_type
+        AND cur.day = p7.day + INTERVAL $SeasonalLag DAY
+      JOIN daily p1 ON cur.event_type = p1.event_type
+        AND cur.day = p1.day + INTERVAL 1 DAY
+      GROUP BY cur.event_type ORDER BY cur.event_type"""
+
   /** Attribution lookback in days — touches older than this before a
     * conversion get no credit (the marketing-analytics convention). */
   final val AttributionLookbackDays = 3

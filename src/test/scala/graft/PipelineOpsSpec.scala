@@ -2181,6 +2181,47 @@ class PipelineOpsSpec extends SparkSpec {
         - r.getDouble(5)) < 2e-6), "additive identity broken")
   }
 
+  test("e33 MASE: a weekly rhythm scores 0, a flat series NULLs, a " +
+       "linear trend lands exactly at 7") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dayUs = 86400L * 1000000L
+    def mkEvents(series: Seq[(String, Int, Int)]) = {
+      val rows = for {
+        ((tp, d, cnt), gi) <- series.zipWithIndex
+        i <- 0 until cnt
+      } yield {
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        ((gi * 1000 + i).toLong, t, 1L, tp, 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    // rhythm: the lag-7 forecast is exact (MASE 0); the lag-1 naive
+    // pays the rhythm. flat: both MAEs are 0 → MASE NULL (not 0/0).
+    // trend +1/day: |e7| = 7 and |e1| = 1 on every day → MASE = 7.
+    val rows = mkEvents(
+      (0 until 28).map(d => ("rhythm", d, if (d % 7 == 0) 10 else 3)) ++
+      (0 until 28).map(d => ("flat", d, 5)) ++
+      (0 until 28).map(d => ("trend", d, 3 + d)))
+    val got = Events.mase(rows).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rh = got("rhythm")
+    assert(rh.getLong(1) == 21L && rh.getDouble(2) == 0.0 &&
+      rh.getDouble(3) > 0.0 && rh.getDouble(4) == 0.0, s"rhythm: $rh")
+    val fl = got("flat")
+    assert(fl.getDouble(2) == 0.0 && fl.getDouble(3) == 0.0 &&
+      fl.isNullAt(4), s"flat: $fl")
+    val tr = got("trend")
+    assert(tr.getDouble(2) == 7.0 && tr.getDouble(3) == 1.0 &&
+      tr.getDouble(4) == 7.0, s"trend: $tr")
+    // corpus: MASE defined and positive for every type (no flat
+    // series in the synthetic events), n_days consistent
+    val sf = Events.e33Mase(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall(r => !r.isNullAt(4) &&
+      r.getDouble(4) > 0.0 && r.getLong(1) > 0L), "corpus MASE sanity")
+  }
+
   test("Holt-Winters: a pure weekly rhythm forecasts itself exactly, " +
        "a linear trend is tracked, a break day alarms, short series " +
        "are excluded") {
