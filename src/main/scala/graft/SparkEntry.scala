@@ -140,6 +140,8 @@ object SparkEntry {
     "q73_ca" -> ((s: SparkSession, d: String) => Ordination.q73Ca(s, d)),
     "q74_cca" -> ((s: SparkSession, d: String) => Ordination.q74Cca(s, d)),
     "q75_rda" -> ((s: SparkSession, d: String) => Ordination.q75Rda(s, d)),
+    "q76_ca_species" ->
+      ((s: SparkSession, d: String) => Ordination.q76CaSpecies(s, d)),
     // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
     // class): stress majorization has no closed-form unique fixpoint
     // for a DuckDB replica; correctness is the bitwise JVM-replica
@@ -752,6 +754,7 @@ object SparkEntry {
     "q73_ca" -> Ordination.q73OracleSql(),
     "q74_cca" -> Ordination.q74OracleSql(),
     "q75_rda" -> Ordination.q75OracleSql(),
+    "q76_ca_species" -> Ordination.q76OracleSql(),
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle
     "q31b_pcoa_blocked" -> Ordination.q31OracleSql(),

@@ -693,9 +693,66 @@ object Ordination {
         transform(sequence(lit(1), col("n")), k =>
           foldSum(zip_with(element_at(col("sm"), i),
             element_at(col("sm"), k), (x, y) => x * y)))))
-      .select(col("samples"), col("n"), col("gm"), col("rvec"))
+      .select(col("samples"), col("n"), col("gm"), col("rvec"),
+        col("sm"), col("taxa"), col("cvec"))
     val st = powerAxes(withGm, 2, iters)
     caScores(st)
+  }
+
+  /** q76: CA SPECIES (column) SCORES — the taxon half of q73's
+    * biplot: principal column coordinates via the transition formula
+    * G_ja = (Σ_i S_ij·u_ia)/√c_j with u the UNIT left vector (this
+    * already carries σ_a: Sᵀu_a = σ_a·v_a, so no explicit eigenvalue
+    * factor), sign convention tied to the ROW side (sgn of v_1[1]) so
+    * sample and species points land in the SAME orientation — the
+    * biplot invariant. Folds over i in sample order, roundz-6. */
+  def q76CaSpecies(spark: SparkSession, dir: String,
+      iters: Int = CaIters): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty")))
+    caSpeciesFromAbundance(ab, iters)
+  }
+
+  /** [[q76CaSpecies]]'s core — split out for planted specs. */
+  def caSpeciesFromAbundance(ab0: DataFrame,
+      iters: Int = CaIters): DataFrame = {
+    val mat = caMatrix(ab0)
+    val withGm = mat
+      .withColumn("gm", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), col("n")), k =>
+          foldSum(zip_with(element_at(col("sm"), i),
+            element_at(col("sm"), k), (x, y) => x * y)))))
+      .select(col("samples"), col("n"), col("gm"), col("rvec"),
+        col("sm"), col("taxa"), col("cvec"))
+    val st = powerAxes(withGm, 2, iters)
+    def colScore(a: Int, j: Column): Column =
+      graft.GraftFunctions.roundz(
+        foldSum(transform(sequence(lit(1), col("n")), i =>
+          element_at(element_at(col("sm"), i), j)
+            * element_at(col(s"v_$a"), i)))
+          * col(s"sgn$a") / sqrt(col(s"lam_den_$a"))
+          / sqrt(element_at(col("cvec"), j)), 6)
+    st
+      .withColumn("sgn1",
+        when(element_at(col("v_1"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
+      .withColumn("sgn2",
+        when(element_at(col("v_2"), 1) >= 0, lit(1.0)).otherwise(lit(-1.0)))
+      .select(posexplode(transform(sequence(lit(1), size(col("taxa"))),
+        j => struct(element_at(col("taxa"), j).as("taxon"),
+          colScore(1, j).as("ca1"), colScore(2, j).as("ca2")))))
+      .select(col("col.taxon").as("taxon"),
+        col("col.ca1").as("ca1"), col("col.ca2").as("ca2"))
+      .orderBy("taxon")
   }
 
   /** The single-row chi-square residual matrix shared by [[q73Ca]]
@@ -723,14 +780,20 @@ object Ordination {
     val rowsR = rows.join(rs, "si").crossJoin(broadcast(gt))
       .select(col("si"), col("srow"),
         (col("rs").cast("double") / col("g").cast("double")).as("ri"))
+    val colMargins = cs.crossJoin(broadcast(gt))
+      .agg(transform(sort_array(collect_list(struct(col("tj"),
+          (col("cs").cast("double") / col("g").cast("double")).as("cj")))),
+          x => x("cj")).as("cvec"),
+        sort_array(collect_list(col("tj"))).as("taxa"))
     rowsR
       .agg(transform(sort_array(collect_list(struct(col("si"), col("srow")))),
           x => x("srow")).as("sm"),
         transform(sort_array(collect_list(struct(col("si"), col("ri")))),
           x => x("ri")).as("rvec"),
         sort_array(collect_list(col("si"))).as("samples"))
+      .crossJoin(broadcast(colMargins))
       .select(col("sm"), col("rvec"), col("samples"),
-        size(col("samples")).as("n"))
+        size(col("samples")).as("n"), col("taxa"), col("cvec"))
       .filter(col("n") >= 2)
   }
 
@@ -1005,8 +1068,15 @@ object Ordination {
         FROM rs, gt)"""
 
   private val CaCte: String = CaSPrep + """,
+      cv AS (
+        SELECT list_transform(
+            list_sort(list(struct_pack(tj := cs.tj,
+              cj := CAST(cs.cs AS DOUBLE) / CAST(gt.g AS DOUBLE)))),
+            x -> x['cj']) AS cvec,
+          list_sort(list(tj)) AS taxa
+        FROM cs, gt),
       cent AS MATERIALIZED (
-        SELECT samples, n,
+        SELECT samples, n, sm, taxa, cvec,
           list_transform(generate_series(1, CAST(n AS INT)), i ->
             list_transform(generate_series(1, CAST(n AS INT)), k ->
               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1014,8 +1084,8 @@ object Ordination {
                   j -> sm[i][j] * sm[k][j])),
                 (acc, x) -> acc + x))) AS gm,
           rvec
-        FROM (SELECT samples, n, sm, len(sm[1]) AS t, rvec
-              FROM matr, rv) q
+        FROM (SELECT samples, n, sm, len(sm[1]) AS t, rvec, taxa, cvec
+              FROM matr, rv, cv) q
         WHERE n >= 2),
       g1 AS MATERIALIZED (SELECT n, gm FROM cent)"""
 
@@ -1039,6 +1109,28 @@ object Ordination {
           / sqrt(idx.rvec[idx.i]), 6) + 0.0) AS ca2
       FROM idx, fin1, fin2, ray1, ray2
       ORDER BY sample"""
+
+  /** DuckDB oracle for [[q76CaSpecies]] — the same recursion, then
+    * the transition-formula column scores mirrored fold-for-fold. */
+  def q76OracleSql(iters: Int = CaIters): String = {
+    def score(a: Int) =
+      s"""(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, CAST(cent.n AS INT)), i ->
+              cent.sm[i][jdx.j] * fin$a.v[i])), (acc, x) -> acc + x)
+          * fin$a.sgn / sqrt(ray$a.lam_den)
+          / sqrt(cent.cvec[jdx.j]), 6) + 0.0)"""
+    CaCte + "," +
+      axisSql(1, iters, deflate = true) + "," +
+      axisSql(2, iters, deflate = true) + s""",
+      jdx AS (
+        SELECT unnest(generate_series(1, CAST(len(taxa) AS INT))) AS j
+        FROM cent)
+      SELECT cent.taxa[jdx.j] AS taxon,
+        ${score(1)} AS ca1,
+        ${score(2)} AS ca2
+      FROM jdx, cent, fin1, fin2, ray1, ray2
+      ORDER BY taxon"""
+  }
 
   /** DuckDB oracle for [[q74Cca]] — [[CaSPrep]]'s shared residual
     * matrix, q62's env CTE, the identical weighted-projection chain

@@ -314,7 +314,9 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(stress)) // one-row final stress (q72)" -> "one-row (q72 stress-1)",
         "val cells = rs.crossJoin(cs).crossJoin(broadcast(gt))" -> "one-row (q73 grand total)",
         "val rowsR = rows.join(rs, \"si\").crossJoin(broadcast(gt))" -> "one-row (q73 grand total)",
-        ".crossJoin(broadcast(envRows" -> "one-row (q74 env matrix — 25×3)"),
+        ".crossJoin(broadcast(envRows" -> "one-row (q74 env matrix — 25×3)",
+        "val colMargins = cs.crossJoin(broadcast(gt))" -> "one-row (q73 grand total)",
+        ".crossJoin(broadcast(colMargins))" -> "one-row (q76 taxa margins — dim-bounded)"),
       "Relational.scala" -> Map(
         ".join(broadcast(bounds), col(\"rnk\") > col(\"lo\") && col(\"rnk\") <= col(\"hi\"))" -> "dim (group slot ranges)",
         ".join(broadcast(sizes.select(col(\"r_name\").as(\"ga\"), col(\"ng\"))), \"ga\")" -> "dim (group sizes)",

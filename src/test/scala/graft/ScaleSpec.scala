@@ -471,6 +471,15 @@ class ScaleSpec extends SparkSpec {
       s"block structure not separated on ca1: ${got.toSeq}")
     assert(got.forall(r => math.abs(r._3) <= 1e-3),
       s"rank-1 table must leave axis 2 at noise level: ${got.toSeq}")
+    // q76 species scores on the same block: the two taxa sit on
+    // OPPOSITE sides of axis 1, each on the SAME side as the sample
+    // group that uses it (the biplot orientation invariant — sign
+    // convention shared with the row side)
+    val sp = ord.caSpeciesFromAbundance(block).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(sp("t1") * sp("t2") < 0, s"taxa not separated: $sp")
+    assert(sp("t1") * byS("A") > 0 && sp("t2") * byS("C") > 0,
+      s"biplot orientation broken: species $sp vs samples $byS")
   }
 
   test("q74 CCA convergence is gated by an independent local eigensolve " +
