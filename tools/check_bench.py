@@ -65,9 +65,48 @@ def variance_rows(art):
     return rows
 
 
+def selftest():
+    """Prove the adjudicator can produce each verdict (check_oracle's
+    --selftest discipline: a gate that can't reject proves nothing)."""
+    import tempfile
+    old = {"queries": {"noise": 1.0, "reg": 1.0, "uns": 1.0, "ok": 1.0},
+           "raw": {"noise": [1.0], "reg": [1.0], "uns": [1.0], "ok": [1.0]},
+           "shuffle_bytes": {"noise": [1000, 1000], "reg": [1000, 1000],
+                             "uns": [1000, 1000], "ok": [1000, 1000]},
+           "fixpoint_steps": {}}
+    new = {"queries": {"noise": 2.0, "reg": 2.0, "uns": 2.0, "ok": 1.01},
+           # uns: warm spread 2.0..8.0 > 3x -> UNSTABLE even though
+           # its telemetry moved; noise: +0.5% bytes (within 1%);
+           # reg: +50% bytes -> REGRESSION
+           "raw": {"noise": [2.0, 2.0], "reg": [2.0, 2.0],
+                   "uns": [2.0, 8.0], "ok": [1.01]},
+           "shuffle_bytes": {"noise": [1005, 1005], "reg": [1500, 1500],
+                             "uns": [1500, 1500], "ok": [1000, 1000]},
+           "fixpoint_steps": {}}
+    d = tempfile.mkdtemp()
+    for nm, art in [("old", old), ("new", new)]:
+        with open(f"{d}/{nm}.json", "w") as f:
+            json.dump(art, f)
+    sys.argv = ["check_bench.py", f"{d}/new.json", f"{d}/old.json"]
+    try:
+        main()
+    except SystemExit as e:
+        assert e.code == 1, f"regression must exit 1, got {e.code}"
+    out = json.load(open(f"{d}/new_delta.json"))
+    v = {k: out["deltas"][k].get("verdict") for k in
+         ("noise", "reg", "uns", "ok")}
+    assert v == {"noise": "NOISE", "reg": "REGRESSION",
+                 "uns": "UNSTABLE", "ok": None}, f"verdicts wrong: {v}"
+    print("[bench-check] selftest OK (noise/regression/unstable/quiet "
+          "all classified)")
+
+
 def main():
     if len(sys.argv) < 2:
         raise SystemExit(__doc__)
+    if sys.argv[1] == "--selftest":
+        selftest()
+        return
     new = load(sys.argv[1])
     var = variance_rows(new)
     out = {"variance": var, "deltas": {}, "added": [], "removed": [],
