@@ -860,8 +860,12 @@ object Ordination {
   /** [[q74Cca]]'s core over the abundance matrix and a
     * (variable, n_name, v) environment frame with EXACTLY THREE
     * variables (the closed-form inverse is written for 3×3; a
-    * different arity fails loudly on the array bounds). Split out for
-    * planted specs. */
+    * different arity fails loudly via an explicit `raise_error` size
+    * guard on every env row — `element_at` past an array's length is
+    * NULL under the default non-ANSI mode, so without the guard a
+    * 2-variable frame would NULL-propagate to all-null scores,
+    * indistinguishable from the intended det = 0 singular-basis
+    * output; r17 ADVICE). Split out for planted specs. */
   def ccaFromInputs(ab0: DataFrame, env0: DataFrame,
       iters: Int = CaIters): DataFrame =
     constrainedScores(caMatrix(ab0), env0, iters)
@@ -945,9 +949,22 @@ object Ordination {
     * caller to alias). */
   private def constrainedScores(mat0: DataFrame, env0: DataFrame,
       iters: Int): DataFrame = {
+    // arity guard (r17 ADVICE): the closed-form normal equations below
+    // index env rows at 1..3; element_at past the length is NULL under
+    // non-ANSI evaluation, so a wrong-arity env frame would otherwise
+    // NULL-propagate to all-null scores — the det = 0 shape — instead
+    // of failing. raise_error makes the wrong arity loud and names the
+    // first offending sample.
     val envRows = env0.groupBy(col("n_name").as("si"))
       .agg(transform(sort_array(collect_list(struct(col("variable"),
-        col("v")))), x => x("v")).as("xrow"))
+        col("v")))), x => x("v")).as("xrow0"))
+      .select(col("si"),
+        when(size(col("xrow0")) === 3, col("xrow0"))
+          .otherwise(raise_error(concat(
+            lit("constrainedScores: the closed-form inverse is written "
+              + "for EXACTLY 3 env variables per sample; sample "),
+            col("si"), lit(" carries "),
+            size(col("xrow0")).cast("string")))).as("xrow"))
     val mat = mat0
       .crossJoin(broadcast(envRows
         .agg(transform(sort_array(collect_list(struct(col("si"),

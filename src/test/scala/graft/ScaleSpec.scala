@@ -620,6 +620,37 @@ class ScaleSpec extends SparkSpec {
       s"indicator constraint did not separate the blocks: ${got.toSeq}")
   }
 
+  test("q74/q75 constrained chain fails LOUDLY on a non-3 env arity " +
+       "instead of NULL-propagating to the det=0 shape (r17 ADVICE)") {
+    import spark.implicits._
+    val ord = graft.operators.Ordination
+    val block = Seq(("A", "t1", 5), ("B", "t1", 7), ("C", "t2", 4),
+      ("D", "t2", 6))
+      .map { case (a, b, q) => (a, b, java.math.BigDecimal.valueOf(q.toLong)) }
+      .toDF("n_name", "p_type", "qty")
+      .select(col("n_name"), col("p_type"), graft.Dec.dec(col("qty")).as("qty"))
+    // only TWO variables per sample: element_at(xrow, 3) would be a
+    // silent NULL without the guard, and the output would be all-null
+    // rows — exactly the singular-basis (det = 0) output
+    val twoVar = Seq.tabulate(4, 2) { (i, a) =>
+      (s"var$a", Seq("A", "B", "C", "D")(i), (i + a).toDouble)
+    }.flatten.toDF("variable", "n_name", "v")
+    val ex = intercept[Exception] {
+      ord.ccaFromInputs(block, twoVar).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("EXACTLY 3 env variables")),
+      s"wrong-arity env did not raise the guard: $ex")
+    // and the rda path shares the guard
+    val ex2 = intercept[Exception] {
+      ord.rdaFromInputs(block, twoVar).collect()
+    }
+    assert(messages(ex2).exists(_.contains("EXACTLY 3 env variables")),
+      s"rda wrong-arity env did not raise the guard: $ex2")
+  }
+
   test("q75 RDA convergence is gated by an independent local eigensolve " +
        "of the linear constrained Gram, and the indicator constraint " +
        "separates the planted blocks") {
