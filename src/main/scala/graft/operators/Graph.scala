@@ -2653,17 +2653,34 @@ object Graph {
     * counts to ~10¹²; a LOUD require guards the boundary), and the
     * doubling budget is derived from the bit-length of the observed
     * max id, so a 1000× id-space scale-up changes nothing. */
-  def g28Msf(spark: SparkSession, dir: String): DataFrame = {
+  def g28Msf(spark: SparkSession, dir: String): DataFrame =
+    msfFromEdges(coPurchasePairs(spark, dir), tag = "g28_msf")
+
+  /** The part co-purchase pair aggregate behind [[g28Msf]] and
+    * [[g29SingleLinkage]] — the families' one fact-scale stage. */
+  private def coPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = l.as("x")
+    l.as("x")
       .join(l.select(col("l_orderkey"), col("l_partkey").as("pb")).as("y"),
         Seq("l_orderkey"))
       .filter(col("l_partkey") < col("pb"))
       .groupBy(col("l_partkey").as("a"), col("pb").as("b"))
       .agg(count(lit(1)).as("cnt"))
-    msfFromEdges(pairs, tag = "g28_msf")
   }
+
+  /** [[g28Msf]]'s forest as a CHECKPOINTED frame — the memoizable
+    * build product for SparkEntry's msfMemo (the d7/ann "one expensive
+    * build, many consumers" pattern, r17 verdict #1): the MSF is the
+    * single-linkage dendrogram (Gower & Ross 1969), so every
+    * dendrogram consumer ([[g29SingleLinkage]]'s cuts today, any
+    * future cut level) needs exactly this frame, and rebuilding it
+    * per consumer re-runs the fact-scale pair aggregate + Borůvka the
+    * builder just ran. At 100 TB this is the materialized forest
+    * TABLE all cut levels read. Deterministic, so reuse is
+    * observationally identical to a rebuild. */
+  def g28ForestFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.Ckpt(msfCore(coPurchasePairs(spark, dir), "g28_msf")._1)
 
   /** Number of weakest forest edges [[g29SingleLinkage]] cuts — the
     * dendrogram level a category-browse endpoint asks for. */
@@ -2691,17 +2708,9 @@ object Graph {
     * would stretch to n rounds), and the summaries are two
     * label-scale aggregates. Nothing touches the fact table past
     * g28's pair aggregate. */
-  def g29SingleLinkage(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = l.as("x")
-      .join(l.select(col("l_orderkey"), col("l_partkey").as("pb")).as("y"),
-        Seq("l_orderkey"))
-      .filter(col("l_partkey") < col("pb"))
-      .groupBy(col("l_partkey").as("a"), col("pb").as("b"))
-      .agg(count(lit(1)).as("cnt"))
-    g29SingleLinkageEdges(pairs, G29Cuts, tag = "g29_single_linkage")
-  }
+  def g29SingleLinkage(spark: SparkSession, dir: String): DataFrame =
+    g29SingleLinkageEdges(coPurchasePairs(spark, dir), G29Cuts,
+      tag = "g29_single_linkage")
 
   /** [[g29SingleLinkage]]'s core over an (a, b, cnt) weighted edge
     * frame — split out for planted specs. Cut-off singletons label as
@@ -2710,9 +2719,22 @@ object Graph {
     * cluster's label. */
   def g29SingleLinkageEdges(edges0: DataFrame, cuts: Int,
       tag: String = "g29_single_linkage"): DataFrame = {
-    require(cuts >= 0, s"$tag: cuts must be non-negative, got $cuts")
     val (forest0, _) = msfCore(edges0, tag + "_msf")
-    val forest = graft.Ckpt(forest0)
+    g29CutsOverForest(graft.Ckpt(forest0), cuts, tag)
+  }
+
+  /** [[g29SingleLinkage]]'s label-scale tail over an already
+    * MATERIALIZED forest frame (a, b, cnt) — the memo-reuse entry
+    * point (r17 verdict #1): the forest IS the dendrogram, so a
+    * consumer holding [[g28ForestFrame]]'s checkpoint pays only the
+    * bottom-k cut, the forest-scale Borůvka re-label, and two
+    * label-scale aggregates — nothing fact-scale. The caller owns the
+    * forest's materialization (pass a [[graft.Ckpt]]'d frame, as both
+    * call sites do: a lazy forest would re-run the Borůvka once per
+    * downstream action). */
+  def g29CutsOverForest(forest: DataFrame, cuts: Int,
+      tag: String = "g29_single_linkage"): DataFrame = {
+    require(cuts >= 0, s"$tag: cuts must be non-negative, got $cuts")
     val cut = forest.orderBy(col("cnt").asc, col("a").desc, col("b").desc)
       .limit(cuts).select(col("a"), col("b"))
     val kept = forest.join(broadcast(cut), Seq("a", "b"), "left_anti")

@@ -1083,6 +1083,25 @@ class GraphSpec extends SparkSpec {
       "every cluster must be a tree (n_edges = n_nodes - 1)")
   }
 
+  test("g29's memoized-forest entry is frame-identical to a full " +
+       "rebuild, and g28's entry always refreshes the memo (r17 " +
+       "verdict #1)") {
+    // the registry path: g28's entry builds + memoizes the forest,
+    // g29's entry reuses it (the d7/ann memo pattern) — both must be
+    // row-identical to the memo-free rebuild through g29SingleLinkage
+    val g28Rows = SparkEntry.queries("g28_msf")(spark, sfDir).collect()
+    val viaMemo = SparkEntry.queries("g29_single_linkage")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val rebuilt = Graph.g29SingleLinkage(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaMemo == rebuilt,
+      s"memoized g29 diverged from the rebuild:\n$viaMemo\nvs\n$rebuilt")
+    // g28's registry output is the same forest the direct API builds
+    assert(g28Rows.map(_.toSeq).toSeq ==
+      Graph.g28Msf(spark, sfDir).collect().map(_.toSeq).toSeq,
+      "g28's memo-refreshing entry diverged from g28Msf")
+  }
+
   test("g18 modularity matches a JVM LPA+Newman replica, scores planted " +
        "communities high, and a single community exactly 0") {
     import spark.implicits._
