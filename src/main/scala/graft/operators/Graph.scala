@@ -2798,14 +2798,21 @@ object Graph {
       s"$tag: packed DECIMAL(38,0) key overflow (maxCnt=$mx, maxId=$p)")
     val doublingBudget = 64 - java.lang.Long.numberOfLeadingZeros(p + 1) + 2
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val e = graft.Ckpt(edges0.select(col("a"), col("b"), col("cnt"),
+    // the packed DECIMAL(38,0) key is COMPUTED PER USE in a projection
+    // (the per-round exchange and the final semi-join), never carried
+    // in the checkpointed edge frame: materializing the 16-byte key on
+    // every edge row cost g28 +55 MB of shuffle/checkpoint volume for
+    // a value that is a pure function of (cnt, a, b) already on the
+    // row (r17 verdict #2)
+    def packKey: Column =
       (((lit(mx).cast(d38) - col("cnt").cast(d38))
         * lit(p + 1).cast(d38) + col("a").cast(d38))
-        * lit(p + 1).cast(d38) + col("b").cast(d38)).as("key")))
+        * lit(p + 1).cast(d38) + col("b").cast(d38))
+    val e = graft.Ckpt(edges0.select(col("a"), col("b"), col("cnt")))
     val nodes = e.select(col("a").as("v"))
       .union(e.select(col("b"))).distinct()
     var comp = graft.Ckpt(nodes.select(col("v"), col("v").as("c")))
-    var selected = graft.Ckpt(e.select(col("key")).limit(0))
+    var selected = graft.Ckpt(e.select(packKey.as("key")).limit(0))
     var round = 0L
     var converged = false
     while (!converged) {
@@ -2813,7 +2820,7 @@ object Graph {
         .join(comp.select(col("v").as("a"), col("c").as("ca")), "a")
         .join(comp.select(col("v").as("b"), col("c").as("cb")), "b")
         .filter(col("ca") =!= col("cb"))
-        .select(col("key"), col("ca"), col("cb")))
+        .select(packKey.as("key"), col("ca"), col("cb")))
       if (ec.count() == 0L) converged = true
       else {
         require(round < MsfRounds,
@@ -2864,7 +2871,8 @@ object Graph {
       }
     }
     FixpointSteps.put(tag, round)
-    (e.join(selected, Seq("key"), "left_semi")
+    (e.withColumn("key", packKey)
+      .join(selected, Seq("key"), "left_semi")
       .select(col("a"), col("b"), col("cnt")), comp)
   }
 
