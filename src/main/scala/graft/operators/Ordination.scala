@@ -112,22 +112,35 @@ object Ordination {
     transform(sequence(lit(1), n),
       i => when(i === 1, lit(1.0)).otherwise(lit(0.0)))
 
-  /** Fixed-count power iteration, max-abs normalized each step; every
-    * step a tiny 1-row job, checkpointed every `ckptEvery` steps so
-    * the plan stays shallow without a job per step. */
+  /** Fixed-count power iteration, max-abs normalized each step —
+    * BATCHED: all `iters` steps run inside ONE `aggregate` fold
+    * expression over `sequence(1, iters)`, so an axis costs one job
+    * instead of ~iters/3 single-row jobs (r17 verdict #3: the
+    * ordination family paid ~50 s of per-step scheduling latency at
+    * sf0.1 — the cost was the job count, never the data). Each fold
+    * step is the exact former per-step projection — matvec, then a
+    * let-bound max-abs normalize (the nested transform-over-
+    * one-element-array binds `vv` and `m` once each, so nothing is
+    * re-evaluated) — identical arithmetic in identical order, so the
+    * output is BITWISE unchanged and the oracle recursion
+    * ([[axisSql]]) still mirrors it step for step.
+    *
+    * `init` is checkpointed first: the fold references the Gram
+    * column once per matvec row, and an unmaterialized deflation
+    * expression behind it would otherwise be inlined (CollapseProject)
+    * into every reference. */
   private def iterate(init: DataFrame, gmCol: String, vCol: String,
-      iters: Int, ckptEvery: Int = 3): DataFrame = {
-    var st = graft.Ckpt(init)
-    for (it <- 1 to iters) {
-      val stepped = st.withColumn("vv",
-          transform(sequence(lit(1), col("n")), i =>
-            foldSum(zip_with(element_at(col(gmCol), i), col(vCol), (a, b) => a * b))))
-        .withColumn("m", foldMaxAbs(col("vv")))
-        .withColumn(vCol, transform(col("vv"), x => x / col("m")))
-        .drop("vv", "m")
-      st = if (it % ckptEvery == 0 || it == iters) graft.Ckpt(stepped) else stepped
-    }
-    st
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"power iteration needs iters >= 1, got $iters")
+    val st = graft.Ckpt(init)
+    graft.Ckpt(st.withColumn(vCol,
+      aggregate(sequence(lit(1), lit(iters)), col(vCol), (acc, _) =>
+        element_at(transform(array(
+            transform(sequence(lit(1), col("n")), i =>
+              foldSum(zip_with(element_at(col(gmCol), i), acc,
+                (a, b) => a * b)))), vv =>
+          element_at(transform(array(foldMaxAbs(vv)), m =>
+            transform(vv, x => x / m)), 1)), 1))))
   }
 
   /** Axes 1..k by repeated (iterate → Rayleigh quotient → deflate):
