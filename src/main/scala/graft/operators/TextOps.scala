@@ -3165,4 +3165,110 @@ object TextOps {
         ON folded.source_a = prs.source_a
         AND folded.source_b = prs.source_b
       ORDER BY prs.source_a, prs.source_b"""
+
+  // ── t43: compression-ratio quality signal (spec-gated by nature) ──
+
+  /** Deflate level of [[t43CompressionSignal]], fixed explicitly (the
+    * zlib default) so the ratio is a pure deterministic function of
+    * the text bytes — the level is part of the operator's contract,
+    * never the JVM default's. */
+  final val T43Level = 6
+
+  /** Bucket ceiling: deflate's container overhead can push a tiny or
+    * incompressible doc's ratio past 1.0, so the decile bucket is
+    * capped — everything at or past ratio 1.0 is equally "keep" from
+    * a compression-quality standpoint. */
+  final val T43BucketCap = 10L
+
+  case class CompressionRow(doc_id: Long, source: String, text_len: Long,
+    deflate_len: Long, ratio: Double, bucket: Long)
+
+  /** Deflated byte length at the fixed [[T43Level]] — the ONE
+    * function both the Spark operator and the spec's JVM replica
+    * call (zlib RFC 1950/1951 via `java.util.zip.Deflater`, default
+    * strategy, zlib wrapper). Deterministic: the output depends only
+    * on the input bytes and these fixed settings. */
+  def deflateLen(bytes: Array[Byte],
+      d: java.util.zip.Deflater = null): Long = {
+    val defl = if (d != null) d else new java.util.zip.Deflater(T43Level)
+    try {
+      defl.reset()
+      defl.setInput(bytes)
+      defl.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!defl.finished()) n += defl.deflate(buf)
+      n
+    } finally if (d == null) defl.end()
+  }
+
+  /** t43: per-document COMPRESSION-RATIO quality signal — the
+    * Gopher-class repetitiveness filter (Rae et al. 2021 use exactly
+    * this family of redundancy signals) that t6's window repetition
+    * and d16's duplicate-n-gram rate approximate lexically: deflate
+    * the UTF-8 text at the fixed [[T43Level]] and report
+    * deflate_len / text_len. Near 0 = pathologically repetitive
+    * (template spam, keyword stuffing); near 1 = incompressible
+    * (hash soup, minified blobs, base64); natural prose sits in a
+    * recognizable middle band — both tails are what a training-data
+    * quality gate drops. `bucket` = the exact integer decile
+    * min(deflate_len·10 div text_len, [[T43BucketCap]]) — no float
+    * enters the bucketing. Empty/null texts are excluded (no bytes,
+    * no ratio).
+    *
+    * Spec-gated by nature (r17 verdict authorization): DuckDB has no
+    * deflate, so there is no SQL oracle; the gate is an exact JVM
+    * replica (same [[deflateLen]], same arithmetic, bitwise equality
+    * on the corpus) plus planted compressible/incompressible
+    * fixtures in TextOpsSpec.
+    *
+    * Determinism: Deflater output is a pure function of (bytes,
+    * level, strategy) — all fixed; ratio/bucket are per-row scalars.
+    * Scale shape: ONE mapPartitions pass over the documents scan (the
+    * sanctioned per-row-binary class — deflate, like WAV decode, has
+    * no Catalyst expression), one Deflater reused per partition,
+    * embarrassingly parallel, zero shuffles beyond the output sort;
+    * the signal row is 5 scalars per doc regardless of text size. */
+  def t43CompressionSignal(docs0: DataFrame): DataFrame = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    docs0
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(T43Level)
+        // materialize the partition's (small, 5-scalar) rows so the
+        // shared Deflater can be released eagerly — the lazy-iterator
+        // alternative leaks native zlib memory until GC
+        val rows = it.map { case (id, src, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val dl = deflateLen(bytes, d)
+          val len = bytes.length.toLong
+          CompressionRow(id, src, len, dl, dl.toDouble / len,
+            math.min(dl * 10L / len, T43BucketCap))
+        }.toVector
+        d.end()
+        rows.iterator
+      }
+      .toDF()
+      .withColumn("ratio", GraftFunctions.roundz(col("ratio"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** t43's per-source report: decile-bucket census + the bucket's
+    * aggregate ratio as EXACT integer byte sums (Σ deflate_len /
+    * Σ text_len — order-free longs, one division at the end; a
+    * float `avg` over per-doc ratios would be shuffle-order-
+    * sensitive AND weight a 10-byte doc like a 10 KB one). */
+  def t43CompressionBuckets(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("text_len")).as("sum_text"),
+        sum(col("deflate_len")).as("sum_deflate"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        GraftFunctions.roundz(
+          col("sum_deflate").cast("double") / col("sum_text").cast("double"),
+          6).as("bucket_ratio"))
+      .orderBy("source", "bucket")
 }

@@ -1062,4 +1062,59 @@ class TextOpsSpec extends SparkSpec {
       r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9),
       "JSD out of [0, ln 2]")
   }
+
+  test("t43 compression signal matches an exact JVM replica on the " +
+       "corpus and separates planted repetitive vs incompressible docs") {
+    import spark.implicits._
+    // exact replica gate (the operator's oracle — DuckDB has no
+    // deflate): same deflateLen, same arithmetic, bitwise equality
+    val docs = Tables.load(spark, sfDir, "documents")
+    val got = TextOps.t43CompressionSignal(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val expect = docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+      .filter { case (_, _, t) => t != null && t.nonEmpty }
+      .map { case (id, src, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val dl = TextOps.deflateLen(bytes)
+        val len = bytes.length.toLong
+        val ratio = BigDecimal(dl.toDouble / len)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        (id, src, len, dl, ratio,
+          math.min(dl * 10L / len, TextOps.T43BucketCap))
+      }.sortBy(_._1)
+    assert(got.length == expect.length && got.length > 0,
+      s"row count: ${got.length} vs ${expect.length}")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g == e, s"replica mismatch: $g vs $e") }
+    // planted tails: template spam deflates to a sliver; hex soup
+    // stays near (or past) its raw size band
+    val spam = "the cat sat on the mat and " * 200
+    val soup = (0 until 400).map(i =>
+      Integer.toHexString((i * 2654435761L % 2147483647L).toInt))
+      .mkString("")
+    val planted = Seq((0L, spam, "en", "spam", spam.length.toLong),
+      (1L, soup, "xx", "soup", soup.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = TextOps.t43CompressionSignal(planted).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(4), r.getLong(5))).toMap
+    assert(p(0L)._1 < 0.05 && p(0L)._2 == 0L,
+      s"repetitive doc not detected: ${p(0L)}")
+    assert(p(1L)._1 > 0.5 && p(1L)._2 >= 5L,
+      s"incompressible doc not detected: ${p(1L)}")
+    assert(p(0L)._1 > 0.0, "deflate_len can never be zero")
+    // the per-source buckets are the exact integer-sum rollup of the
+    // per-doc frame (order-free longs, one division)
+    val perDoc = TextOps.t43CompressionSignal(docs)
+    val buckets = TextOps.t43CompressionBuckets(perDoc).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val local = got.groupBy(g => (g._2, g._6)).map { case (k, rows) =>
+      k -> (rows.length.toLong,
+        BigDecimal(rows.map(_._4).sum.toDouble / rows.map(_._3).sum.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    }
+    assert(buckets == local, s"bucket rollup diverged:\n$buckets\nvs\n$local")
+  }
 }
