@@ -250,6 +250,10 @@ object SparkEntry {
       Graph.g29CutsOverForest(
         Option(msfMemoFor(s).get(d)).getOrElse(msfForest(s, d)),
         Graph.G29Cuts)),
+    "g30_cluster_stability" -> ((s: SparkSession, d: String) =>
+      Graph.g30StabilityOverForest(
+        Option(msfMemoFor(s).get(d)).getOrElse(msfForest(s, d)),
+        Graph.G29Cuts)),
     "g18_modularity" ->
       ((s: SparkSession, d: String) => Graph.g18Modularity(s, d)),
     "g19_scc" -> ((s: SparkSession, d: String) => Graph.g19Scc(s, d)),
@@ -1272,6 +1276,7 @@ object SparkEntry {
     "g27_jaccard_link" -> graft.operators.Graph.g27OracleSql,
     "g28_msf" -> graft.operators.Graph.g28OracleSql(),
     "g29_single_linkage" -> graft.operators.Graph.g29OracleSql(),
+    "g30_cluster_stability" -> graft.operators.Graph.g30OracleSql(),
     "g18_modularity" -> graft.operators.Graph.g18OracleSql(),
     "g19_scc" -> graft.operators.Graph.g19OracleSql,
     "g20_condensation" -> graft.operators.Graph.g20OracleSql,

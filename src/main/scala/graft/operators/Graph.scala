@@ -2756,6 +2756,84 @@ object Graph {
       .orderBy("cluster")
   }
 
+  /** g30: CLUSTER STABILITY ACROSS DENDROGRAM CUTS — the robustness
+    * read a clustering consumer wants before trusting a cut level
+    * (Hennig 2007's stability-by-comparison idea at the adjacent-cut
+    * granularity): compare [[g29SingleLinkage]]'s clustering at
+    * [[G29Cuts]] with the one at [[G29Cuts]] + 1 and report, per
+    * coarse cluster, the Jaccard overlap with its best-matching fine
+    * cluster. Single-linkage cuts are NESTED — removing one more edge
+    * splits exactly one cluster — so the best match B of a coarse A
+    * satisfies B ⊆ A and J(A, B) = |B|/|A|: every untouched cluster
+    * scores exactly 1.0 and the split cluster scores its larger
+    * fragment's share (low = the cut level sits on a fragile merge).
+    *
+    * The nesting also buys the plan: ONE Borůvka re-label (the FINE
+    * clustering) serves both levels — the coarse labels are the fine
+    * labels with the two clusters containing the split edge e* (the
+    * strongest of the cuts+1 removed edges) merged, a one-row
+    * broadcast fix-up instead of a second Borůvka. When the forest
+    * has ≤ cuts edges there is no e* and the levels coincide (every
+    * cluster 1.0).
+    *
+    * Determinism: labels/sizes are exact integers off the unique MSF
+    * total order; the only float is the final |B|/|A| division,
+    * roundz-6. Scale shape: label-scale throughout given the forest —
+    * the registry entry reuses g28's memoized forest, so NOTHING
+    * fact-scale runs; one bottom-(k+1) TakeOrdered, one forest
+    * Borůvka, two label-scale aggregates. */
+  def g30ClusterStability(spark: SparkSession, dir: String): DataFrame =
+    g30StabilityOverForest(g28ForestFrame(spark, dir), G29Cuts)
+
+  /** [[g30ClusterStability]]'s core over a MATERIALIZED forest frame
+    * (a, b, cnt) — split out for planted specs and the memo path. */
+  def g30StabilityOverForest(forest: DataFrame, cuts: Int,
+      tag: String = "g30_cluster_stability"): DataFrame = {
+    require(cuts >= 0, s"$tag: cuts must be non-negative, got $cuts")
+    val cut = graft.Ckpt(forest
+      .orderBy(col("cnt").asc, col("a").desc, col("b").desc)
+      .limit(cuts + 1))
+    val kept = forest.join(broadcast(cut), Seq("a", "b"), "left_anti")
+    val (_, labels) = msfCore(kept, tag + "_cc")
+    val nodes = forest.select(col("a").as("v"))
+      .union(forest.select(col("b"))).distinct()
+    val fine = graft.Ckpt(nodes
+      .join(labels, Seq("v"), "left_outer")
+      .select(col("v"), coalesce(col("c"), col("v")).as("cb")))
+    // e* = the (cuts+1)-th weakest edge, present only when the forest
+    // is deep enough; the rank window is (cuts+1)-bounded (constant
+    // non-foldable key per the repo's WindowExec discipline)
+    val eStar = cut
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a") * 0)
+          .orderBy(col("cnt").asc, col("a").desc, col("b").desc)))
+      .filter(col("rk") === cuts + 1)
+    // fine labels of e*'s endpoints as a ONE-ROW frame (nulls when no
+    // e* exists, so the merge fix-up below is the identity)
+    val ends = eStar
+      .join(fine.select(col("v").as("a"), col("cb").as("cs1")), "a")
+      .join(fine.select(col("v").as("b"), col("cb").as("cs2")), "b")
+      .agg(min(col("cs1")).as("cs1"), min(col("cs2")).as("cs2"))
+    val coarse = fine
+      .crossJoin(broadcast(ends)) // one-row split-edge labels (g30)
+      .select(col("v"), col("cb"),
+        when(col("cb") === col("cs1") || col("cb") === col("cs2"),
+          least(col("cs1"), col("cs2"))).otherwise(col("cb")).as("ca"))
+    val nnA = coarse.groupBy("ca")
+      .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("cluster"))
+    val ch = coarse.groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("nb"))
+      .groupBy("ca")
+      .agg(count(lit(1)).as("n_children"), max(col("nb")).as("largest_child"))
+    nnA.join(ch, Seq("ca"))
+      .select(col("cluster"), col("n_nodes"), col("n_children"),
+        col("largest_child"),
+        graft.GraftFunctions.roundz(
+          col("largest_child").cast("double") / col("n_nodes").cast("double"),
+          6).as("jaccard"))
+      .orderBy("cluster")
+  }
+
   /** Stats-resetting checkpoint for iterated self-join state (the
     * pointer-doubling ladder) — see [[graft.Ckpt.stats]], where the
     * helper now lives so q72's Guttman loop shares it. */
@@ -3015,6 +3093,80 @@ object Graph {
         CAST(coalesce(ecl.n_edges, 0) AS BIGINT) AS n_edges,
         CAST(coalesce(ecl.sum_cnt, 0) AS BIGINT) AS sum_cnt
       FROM nn LEFT JOIN ecl ON ecl.c = nn.c
+      ORDER BY cluster""")
+    sb.toString
+  }
+
+  /** DuckDB oracle for [[g30ClusterStability]] — the g29 double
+    * unroll ([[boruvkaRoundsSql]] for the forest, then for the kept
+    * forest at cuts+1) plus the identical split-edge fix-up: the
+    * coarse labels are the fine labels with e*'s two clusters merged
+    * via a one-row CROSS JOIN (null cs1/cs2 when no e* exists), then
+    * the same census/Jaccard arithmetic on the shared round grid. */
+  def g30OracleSql(cuts: Int = G29Cuts, rounds: Int = MsfRounds,
+      doubling: Int = MsfDoubling): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH ec0 AS MATERIALIZED (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS cnt
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2),
+      mm AS (SELECT max(cnt) AS mx FROM ec0),
+      pp AS (SELECT max(b) AS p, CAST(max(b) AS INT) AS pi FROM ec0),
+      ids AS MATERIALIZED (
+        SELECT unnest(generate_series(1, pi + 1)) AS i FROM pp),
+      e AS MATERIALIZED (
+        SELECT a, b, cnt,
+          (CAST(mx - cnt AS HUGEINT) * (p + 1) + a) * (p + 1) + b AS key
+        FROM ec0, mm, pp),
+      sel0 AS (SELECT key FROM e WHERE false),
+      c0 AS (SELECT list(CAST(i - 1 AS BIGINT) ORDER BY i) AS cl FROM ids)""")
+    boruvkaRoundsSql(sb, "e", "", rounds, doubling)
+    sb.append(s""",
+      forest AS MATERIALIZED (
+        SELECT e.a, e.b, e.cnt, e.key
+        FROM e JOIN sel$rounds s ON s.key = e.key),
+      cutk AS MATERIALIZED (
+        SELECT a, b, cnt FROM forest
+        ORDER BY cnt ASC, a DESC, b DESC LIMIT ${cuts + 1}),
+      kept AS MATERIALIZED (
+        SELECT a, b, cnt, key FROM forest f
+        WHERE NOT EXISTS (SELECT 1 FROM cutk c
+                          WHERE c.a = f.a AND c.b = f.b)),
+      ksel0 AS (SELECT key FROM kept WHERE false),
+      kc0 AS (SELECT list(CAST(i - 1 AS BIGINT) ORDER BY i) AS cl FROM ids)""")
+    boruvkaRoundsSql(sb, "kept", "k", rounds, doubling)
+    sb.append(s""",
+      nodes AS (SELECT a AS v FROM forest UNION SELECT b FROM forest),
+      fine AS MATERIALIZED (
+        SELECT v, cl[CAST(v + 1 AS INT)] AS cb FROM nodes, kc$rounds),
+      est AS (
+        SELECT a, b FROM (
+          SELECT a, b, row_number()
+            OVER (ORDER BY cnt ASC, a DESC, b DESC) AS rk
+          FROM cutk) r WHERE rk = ${cuts + 1}),
+      ends AS (
+        SELECT min(la.cb) AS cs1, min(lb.cb) AS cs2
+        FROM est
+        JOIN fine la ON la.v = est.a
+        JOIN fine lb ON lb.v = est.b),
+      coarse AS (
+        SELECT v, cb,
+          CASE WHEN cb = cs1 OR cb = cs2 THEN least(cs1, cs2)
+               ELSE cb END AS ca
+        FROM fine, ends),
+      nna AS (SELECT ca, count(*) AS n_nodes, min(v) AS cluster
+              FROM coarse GROUP BY 1),
+      nnb AS (SELECT ca, cb, count(*) AS nb FROM coarse GROUP BY 1, 2),
+      ch AS (SELECT ca, count(*) AS n_children, max(nb) AS largest_child
+             FROM nnb GROUP BY 1)
+      SELECT nna.cluster AS cluster, nna.n_nodes AS n_nodes,
+        CAST(ch.n_children AS BIGINT) AS n_children,
+        CAST(ch.largest_child AS BIGINT) AS largest_child,
+        (round(CAST(ch.largest_child AS DOUBLE)
+          / CAST(nna.n_nodes AS DOUBLE), 6) + 0.0) AS jaccard
+      FROM nna JOIN ch ON ch.ca = nna.ca
       ORDER BY cluster""")
     sb.toString
   }

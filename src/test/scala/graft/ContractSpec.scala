@@ -299,7 +299,8 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(raw.agg(max(col(\"s\")).as(\"mx\")))) // one row" -> "one-row (g23 half-step max)",
         "m.crossJoin(broadcast(within)) // one-row within census (g26)" -> "one-row (g26 within census)",
         ".crossJoin(broadcast(sp)) // one-row sum-of-products (g26)" -> "one-row (g26 sum of products)",
-        "val kept = forest.join(broadcast(cut), Seq(\"a\", \"b\"), \"left_anti\")" -> "k (bottom-k cut set — g29)"),
+        "val kept = forest.join(broadcast(cut), Seq(\"a\", \"b\"), \"left_anti\")" -> "k (bottom-k cut set — g29/g30)",
+        ".crossJoin(broadcast(ends)) // one-row split-edge labels (g30)" -> "one-row (g30 split-edge fine labels)"),
       "Ordination.scala" -> Map(
         ".crossJoin(broadcast(gmean))" -> "one-row",
         ".crossJoin(broadcast(ids.agg(" -> "one-row",

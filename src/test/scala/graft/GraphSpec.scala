@@ -1102,6 +1102,35 @@ class GraphSpec extends SparkSpec {
       "g28's memo-refreshing entry diverged from g28Msf")
   }
 
+  test("g30 stability scores untouched clusters 1.0, the split cluster " +
+       "its larger fragment's share, ties on the cut order, and " +
+       "degenerates to all-1.0 past the forest depth") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long, Long)], cuts: Int) =
+      Graph.g30StabilityOverForest(
+        graft.Ckpt(edges.toDF("a", "b", "cnt")), cuts,
+        tag = s"g30_spec_$cuts").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+    val path = Seq((1L, 2L, 9L), (2L, 3L, 1L), (3L, 4L, 8L), (4L, 5L, 7L))
+    // cuts=1: coarse {1,2},{3,4,5}; one more cut (4,5) splits the
+    // second into {3,4}+{5} — J = 2/3; the untouched cluster scores 1
+    assert(run(path, 1) == Seq((1L, 2L, 1L, 2L, 1.0),
+      (3L, 3L, 2L, 2L, 0.666667)), s"cuts=1: ${run(path, 1)}")
+    // cuts=0: the whole tree vs its first split {1,2}+{3,4,5} — J=3/5
+    assert(run(path, 0) == Seq((1L, 5L, 2L, 3L, 0.6)),
+      s"cuts=0: ${run(path, 0)}")
+    // cuts past the forest depth: both levels are all singletons —
+    // no e*, every cluster stable at 1.0
+    assert(run(path, 4) == (1L to 5L).map(v => (v, 1L, 1L, 1L, 1.0)),
+      s"cuts=4: ${run(path, 4)}")
+    // weight tie: (2,3) is cut before (1,2) under (cnt asc, a DESC,
+    // b DESC) — the g29 cut-order contract
+    val tied = Seq((1L, 2L, 3L), (2L, 3L, 3L))
+    assert(run(tied, 0) == Seq((1L, 3L, 2L, 2L, 0.666667)),
+      s"tie: ${run(tied, 0)}")
+  }
+
   test("g18 modularity matches a JVM LPA+Newman replica, scores planted " +
        "communities high, and a single community exactly 0") {
     import spark.implicits._
