@@ -521,7 +521,7 @@ object Ordination {
 
   /** Shared prefix: Bray–Curtis pairs → symmetric D² → single-row
     * matrix (`cent` with samples/n/gm) — mirrors [[centeredGram]]. */
-  private val CentCte: String = """
+  private val CentPrefix: String = """
       WITH RECURSIVE ab AS (
         SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
         FROM lineitem
@@ -569,7 +569,10 @@ object Ordination {
               list_transform(d2m, r ->
                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE), r), (acc, x) -> acc + x) / n) AS rm
             FROM mat) t1) t2
-        WHERE n >= 2),
+        WHERE n >= 2)"""
+
+  private val CentCteG1: String =
+    CentPrefix + """,
       g1 AS MATERIALIZED (SELECT n, gm FROM cent)"""
 
   /** CTEs for one axis: power recursion over g$a, the finalized vector
@@ -621,7 +624,7 @@ object Ordination {
 
   /** DuckDB oracle for q31/q31b: two axes of sample coordinates. */
   def q31OracleSql(iters: Int = Iters): String =
-    CentCte + "," +
+    CentCteG1 + "," +
       axisSql(1, iters, deflate = true) + "," +
       axisSql(2, iters, deflate = false) + s""",
       idx AS (
@@ -636,7 +639,7 @@ object Ordination {
   /** DuckDB oracle for q31c/q31d: k axes of (eigenvalue, pct_var).
     * Every axis needs its Rayleigh CTE, so all k deflate. */
   def q31cOracleSql(k: Int = 3, iters: Int = Iters): String =
-    CentCte + "," +
+    CentCteG1 + "," +
       (1 to k).map(a => axisSql(a, iters, deflate = true)).mkString(",") + s""",
       trc AS (
         SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -919,6 +922,88 @@ object Ordination {
     constrainedScores(rdaMatrix(ab0), env0, iters)
       .select(col("sample"), col("ca1").as("rda1"), col("ca2").as("rda2"))
 
+  /** q77: DISTANCE-BASED REDUNDANCY ANALYSIS (McArdle & Anderson
+    * 2001; vegan dbrda) — the constrained companion of q31's PCoA and
+    * the third leg of the vegan constrained-ordination triple beside
+    * q74 (chi-square) and q75 (linear): "how much of the BRAY–CURTIS
+    * structure does the measured environment explain?", asked
+    * directly on the dissimilarity matrix with no species-matrix
+    * detour. McArdle & Anderson's formulation: Gower-centered Gram
+    * G from −½D² (q31's [[centeredGram]], negative eigenvalues kept —
+    * their key point vs capscale's truncation) → hat-matrix
+    * projection on BOTH sides, G' = H·G·H with H from the centered
+    * env basis. H has rank ≤ 3, so G' is NEVER formed via two n×n
+    * matrix products: H = X_r·M⁻¹·X_rᵀ factors the triple product to
+    * G' = P·W·Pᵀ with P = X_r·M⁻¹ (n×3) and W = X_rᵀ·G·X_r (3×3) —
+    * O(n²·3) instead of O(n³), the same dimension-bounded budget as
+    * q74/q75. Then the SHARED eigensolve/scaling: [[powerAxes]] +
+    * principal coordinates u_i·σ/√r_i at uniform r = 1/n, det = 0
+    * NULL-propagating in both engines, roundz-6.
+    *
+    * Scale shape: q30's checkpointed fact aggregate is the only
+    * corpus-scale work (shared with q31); everything after is
+    * sample-dim-bounded single-row jobs (one batched fold per axis).
+    * At 10⁴⁺ samples the Gram goes to q31b's distributed triples and
+    * the rank-3 projection stays a broadcast of P/W. */
+  def q77Dbrda(spark: SparkSession, dir: String,
+      iters: Int = CaIters): DataFrame =
+    dbrdaFromInputs(Relational.q30BrayCurtis(spark, dir),
+      Relational.bioenvEnv(spark, dir), iters)
+
+  /** [[q77Dbrda]]'s core over a (sample_a, sample_b, bray_curtis)
+    * upper-triangle dissimilarity frame and the 3-variable env frame
+    * (same [[constraintBasis]] arity guard) — split out for planted
+    * specs. */
+  def dbrdaFromInputs(bc0: DataFrame, env0: DataFrame,
+      iters: Int = CaIters): DataFrame = {
+    val g0 = centeredGram(bc0)
+      .withColumn("rvec", transform(sequence(lit(1), col("n")), _ =>
+        lit(1.0) / col("n").cast("double")))
+    val chain = constraintBasis(g0, env0)
+      // gx_ib = Σ_j G_ij · xr_jb — G's one appearance (n×3)
+      .withColumn("gx", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), lit(3)), b =>
+          foldSum(transform(sequence(lit(1), col("n")), j =>
+            element_at(element_at(col("gm"), i), j)
+              * element_at(element_at(col("xr"), j), b))))))
+      // w_ab = Σ_i xr_ia · gx_ib = (X_rᵀ G X_r)_ab (3×3)
+      .withColumn("w3", transform(sequence(lit(1), lit(3)), a =>
+        transform(sequence(lit(1), lit(3)), b =>
+          foldSum(transform(sequence(lit(1), col("n")), i =>
+            element_at(element_at(col("xr"), i), a)
+              * element_at(element_at(col("gx"), i), b))))))
+      // p_ia = Σ_b xr_ib · minv_ba = (X_r M⁻¹)_ia (n×3)
+      .withColumn("p3", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), lit(3)), a =>
+          element_at(element_at(col("xr"), i), 1)
+            * element_at(element_at(col("minv"), 1), a)
+          + element_at(element_at(col("xr"), i), 2)
+            * element_at(element_at(col("minv"), 2), a)
+          + element_at(element_at(col("xr"), i), 3)
+            * element_at(element_at(col("minv"), 3), a))))
+      // pw_ib = Σ_a p_ia · w_ab (n×3)
+      .withColumn("pw", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), lit(3)), b =>
+          element_at(element_at(col("p3"), i), 1)
+            * element_at(element_at(col("w3"), 1), b)
+          + element_at(element_at(col("p3"), i), 2)
+            * element_at(element_at(col("w3"), 2), b)
+          + element_at(element_at(col("p3"), i), 3)
+            * element_at(element_at(col("w3"), 3), b))))
+      // G'_ik = Σ_b pw_ib · p_kb — REPLACES gm for the eigensolve
+      .withColumn("gm", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), col("n")), k =>
+          foldSum(zip_with(element_at(col("pw"), i),
+            element_at(col("p3"), k), (x, y) => x * y)))))
+      .select(col("samples"), col("n"), col("gm"), col("rvec"), col("det"))
+    val st = powerAxes(chain, 2, iters)
+    caScores(st
+      .withColumn("v_1", when(col("det") =!= lit(0.0), col("v_1")))
+      .withColumn("v_2", when(col("det") =!= lit(0.0), col("v_2"))))
+      .select(col("sample"), col("ca1").as("dbrda1"),
+        col("ca2").as("dbrda2"))
+  }
+
   /** Column-centered dense abundance matrix with uniform row weights
     * — [[q75Rda]]'s input to the shared constrained chain. */
   private def rdaMatrix(ab0: DataFrame): DataFrame = {
@@ -960,8 +1045,15 @@ object Ordination {
     * 3×3 weighted normal equations, eigensolve the constrained Gram,
     * emit det-guarded principal coordinates (columns ca1/ca2 for the
     * caller to alias). */
-  private def constrainedScores(mat0: DataFrame, env0: DataFrame,
-      iters: Int): DataFrame = {
+  /** The shared constraint BASIS: env rows guarded/aligned into
+    * sample order, weighted-centered and √r-scaled (X_r), then the
+    * closed-form 3×3 normal-equation pieces (mm, det, adjugate
+    * inverse) appended as columns. Consumed by [[constrainedScores]]
+    * (species-matrix projection — CCA/RDA) and [[dbrdaScores]]
+    * (Gram-side projection — dbRDA); expression-for-expression the
+    * oracle tails' st1–st5 CTEs. */
+  private def constraintBasis(mat0: DataFrame,
+      env0: DataFrame): DataFrame = {
     // arity guard (r17 ADVICE): the closed-form normal equations below
     // index env rows at 1..3; element_at past the length is NULL under
     // non-ANSI evaluation, so a wrong-arity env frame would otherwise
@@ -992,7 +1084,7 @@ object Ordination {
           === element_at(col("samples"), i), element_at(col("xm0"), i))))
     def mm(a: Int, b: Int) =
       element_at(element_at(col("mm"), a), b)
-    val chain = withXm
+    withXm
       .withColumn("wm", transform(sequence(lit(1), lit(3)), a =>
         foldSum(transform(sequence(lit(1), col("n")), i =>
           element_at(col("rvec"), i)
@@ -1021,6 +1113,11 @@ object Ordination {
         array((mm(1, 2) * mm(2, 3) - mm(1, 3) * mm(2, 2)) / col("det"),
           (mm(1, 3) * mm(2, 1) - mm(1, 1) * mm(2, 3)) / col("det"),
           (mm(1, 1) * mm(2, 2) - mm(1, 2) * mm(2, 1)) / col("det"))))
+  }
+
+  private def constrainedScores(mat0: DataFrame, env0: DataFrame,
+      iters: Int): DataFrame = {
+    val chain = constraintBasis(mat0, env0)
       .withColumn("t", size(element_at(col("sm"), 1)))
       .withColumn("bb", transform(sequence(lit(1), lit(3)), a =>
         transform(sequence(lit(1), col("t")), j =>
@@ -1175,6 +1272,118 @@ object Ordination {
     * tail. */
   def q75OracleSql(iters: Int = CaIters): String = RdaPrep +
     EnvXmatCtes + constrainedTailSql(iters, "rda1", "rda2")
+
+  /** DuckDB oracle for [[q77Dbrda]] — q31's Gower-centered Gram prep
+    * ([[CentPrefix]], the same `cent` the PCoA oracle eigensolves),
+    * the shared env CTEs, the identical rank-3 projection chain
+    * (each dbx CTE mirroring one engine withColumn: gx → w3 → p3 →
+    * pw → G' = P·W·Pᵀ), then the shared [[axisSql]] recursion and
+    * the det-guarded principal scaling at uniform weights. */
+  def q77OracleSql(iters: Int = CaIters): String = {
+    def m(a: Int, b: Int) = s"mmx[$a][$b]"
+    def inv(num: String) = s"($num) / det"
+    val minv = Seq(
+      Seq(inv(s"${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)}"),
+        inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
+        inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}")),
+      Seq(inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
+        inv(s"${m(1, 1)} * ${m(3, 3)} - ${m(1, 3)} * ${m(3, 1)}"),
+        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}")),
+      Seq(inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}"),
+        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}"),
+        inv(s"${m(1, 1)} * ${m(2, 2)} - ${m(1, 2)} * ${m(2, 1)}")))
+      .map(r => s"[${r.mkString(", ")}]").mkString("[", ", ", "]")
+    CentPrefix + s""",
+      rv AS (
+        SELECT list_transform(generate_series(1, CAST(n AS INT)),
+          i -> 1.0 / CAST(n AS DOUBLE)) AS rvec
+        FROM cent)""" + EnvXmatCtes + s""",
+      base AS (
+        SELECT samples, n, gm, rvec,
+          list_transform(generate_series(1, CAST(n AS INT)), i ->
+            CASE WHEN xsamples[i] = samples[i] THEN xm0[i] END) AS xm
+        FROM cent, rv, xmat),
+      st1 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, CAST(n AS INT)), i ->
+              rvec[i] * xm[i][a])), (acc, x) -> acc + x)) AS wm
+        FROM base),
+      st2 AS (
+        SELECT *, list_transform(generate_series(1, CAST(n AS INT)), i ->
+          list_transform(generate_series(1, 3), a ->
+            sqrt(rvec[i]) * (xm[i][a] - wm[a]))) AS xr
+        FROM st1),
+      st3 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_transform(generate_series(1, 3), b ->
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(n AS INT)), i ->
+                xr[i][a] * xr[i][b])), (acc, x) -> acc + x))) AS mmx
+        FROM st2),
+      st4 AS (
+        SELECT *,
+          ${m(1, 1)} * (${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)})
+            - ${m(1, 2)} * (${m(2, 1)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 1)})
+            + ${m(1, 3)} * (${m(2, 1)} * ${m(3, 2)} - ${m(2, 2)} * ${m(3, 1)})
+            AS det
+        FROM st3),
+      st5 AS (
+        SELECT *, $minv AS minv FROM st4),
+      dbx1 AS (
+        SELECT *, list_transform(generate_series(1, CAST(n AS INT)), i ->
+          list_transform(generate_series(1, 3), b ->
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(n AS INT)), j ->
+                gm[i][j] * xr[j][b])), (acc, x) -> acc + x))) AS gx
+        FROM st5),
+      dbx2 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_transform(generate_series(1, 3), b ->
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(n AS INT)), i ->
+                xr[i][a] * gx[i][b])), (acc, x) -> acc + x))) AS w3
+        FROM dbx1),
+      dbx3 AS (
+        SELECT *, list_transform(generate_series(1, CAST(n AS INT)), i ->
+          list_transform(generate_series(1, 3), a ->
+            xr[i][1] * minv[1][a] + xr[i][2] * minv[2][a]
+              + xr[i][3] * minv[3][a])) AS p3
+        FROM dbx2),
+      dbx4 AS (
+        SELECT *, list_transform(generate_series(1, CAST(n AS INT)), i ->
+          list_transform(generate_series(1, 3), b ->
+            p3[i][1] * w3[1][b] + p3[i][2] * w3[2][b]
+              + p3[i][3] * w3[3][b])) AS pw
+        FROM dbx3),
+      cent2 AS MATERIALIZED (
+        SELECT samples, n, rvec, det,
+          list_transform(generate_series(1, CAST(n AS INT)), i ->
+            list_transform(generate_series(1, CAST(n AS INT)), k ->
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, 3),
+                  b -> pw[i][b] * p3[k][b])),
+                (acc, x) -> acc + x))) AS gm
+        FROM dbx4),
+      g1 AS MATERIALIZED (SELECT n, gm FROM cent2),""" +
+      axisSql(1, iters, deflate = true) + "," +
+      axisSql(2, iters, deflate = true) + s""",
+      idx AS (
+        SELECT unnest(generate_series(1, CAST(n AS INT))) AS i,
+          samples, rvec, det
+        FROM cent2)
+      SELECT idx.samples[idx.i] AS sample,
+        CASE WHEN idx.det <> 0.0 THEN
+          (round(fin1.v[idx.i] * fin1.sgn / sqrt(ray1.lam_den)
+            * sqrt(ray1.lam_num / ray1.lam_den)
+            / sqrt(idx.rvec[idx.i]), 6) + 0.0) END AS dbrda1,
+        CASE WHEN idx.det <> 0.0 THEN
+          (round(fin2.v[idx.i] * fin2.sgn / sqrt(ray2.lam_den)
+            * sqrt(ray2.lam_num / ray2.lam_den)
+            / sqrt(idx.rvec[idx.i]), 6) + 0.0) END AS dbrda2
+      FROM idx, fin1, fin2, ray1, ray2
+      ORDER BY sample"""
+  }
 
   /** Matrix-prep CTEs for [[q75Rda]]'s oracle: dense raw abundance,
     * column-centered in index-order folds, uniform rvec — emitting

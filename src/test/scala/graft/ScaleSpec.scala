@@ -620,6 +620,138 @@ class ScaleSpec extends SparkSpec {
       s"indicator constraint did not separate the blocks: ${got.toSeq}")
   }
 
+  test("q77 dbRDA convergence is gated by an independent local " +
+       "eigensolve of H*G*H, and the indicator constraint separates " +
+       "planted distance blocks") {
+    import spark.implicits._
+    val ord = graft.operators.Ordination
+    // local Gower-centered Gram off the corpus Bray-Curtis frame
+    val bc = graft.operators.Relational.q30BrayCurtis(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val samples = bc.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = samples.length
+    val dm = {
+      val d = Array.fill(n, n)(0.0)
+      bc.foreach { case (a, b, v) =>
+        val (i, j) = (samples.indexOf(a), samples.indexOf(b))
+        d(i)(j) = v * v; d(j)(i) = v * v
+      }
+      d
+    }
+    val rm = dm.map(_.sum / n)
+    val gmean = rm.sum / n
+    val gB = Array.tabulate(n, n)((i, j) =>
+      -0.5 * (dm(i)(j) - rm(i) - rm(j) + gmean))
+    // env basis at uniform weights
+    val env = graft.operators.Relational.bioenvEnv(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val vars = env.map(_._1).distinct.sorted
+    val ev = env.map { case (v, s, x) => (s, v) -> x }.toMap
+    val rs = Array.fill(n)(1.0 / n)
+    val xr = {
+      val x0 = Array.tabulate(n, 3)((i, a) => ev((samples(i), vars(a))))
+      val wm = (0 until 3).map(a => (0 until n).map(i => rs(i) * x0(i)(a)).sum)
+      Array.tabulate(n, 3)((i, a) => math.sqrt(rs(i)) * (x0(i)(a) - wm(a)))
+    }
+    val mM = Array.tabulate(3, 3)((a, b) =>
+      (0 until n).map(i => xr(i)(a) * xr(i)(b)).sum)
+    val aug = Array.tabulate(3, 6)((a, b) =>
+      if (b < 3) mM(a)(b) else if (b - 3 == a) 1.0 else 0.0)
+    for (c <- 0 until 3) {
+      val p = (c until 3).maxBy(r => math.abs(aug(r)(c)))
+      val tmp = aug(c); aug(c) = aug(p); aug(p) = tmp
+      val d = aug(c)(c)
+      for (b <- 0 until 6) aug(c)(b) /= d
+      for (r <- 0 until 3 if r != c) {
+        val f = aug(r)(c)
+        for (b <- 0 until 6) aug(r)(b) -= f * aug(c)(b)
+      }
+    }
+    val mInv = Array.tabulate(3, 3)((a, b) => aug(a)(b + 3))
+    // G' = P W P' with P = Xr Minv, W = Xr' G Xr — the rank-3 factoring
+    val pM = Array.tabulate(n, 3)((i, a) =>
+      (0 until 3).map(b => xr(i)(b) * mInv(b)(a)).sum)
+    val gx = Array.tabulate(n, 3)((i, b) =>
+      (0 until n).map(j => gB(i)(j) * xr(j)(b)).sum)
+    val wM = Array.tabulate(3, 3)((a, b) =>
+      (0 until n).map(i => xr(i)(a) * gx(i)(b)).sum)
+    val a0 = Array.tabulate(n, n)((i, k) =>
+      (0 until 3).map(b => (0 until 3).map(a => pM(i)(a) * wM(a)(b)).sum
+        * pM(k)(b)).sum)
+    def solve(iters: Int): (Seq[Array[Double]], Seq[Double], Double) = {
+      val bm = a0.map(_.clone()); var worst = 0.0; var lam1 = 0.0
+      val axes = Seq.newBuilder[Array[Double]]
+      val lams = Seq.newBuilder[Double]
+      for (a <- 1 to 2) {
+        var v = Array.tabulate(n)(i => if (i == 0) 1.0 else 0.0)
+        for (_ <- 1 to iters) {
+          val bv = bm.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+          val m = bv.map(math.abs).max
+          v = bv.map(_ / m)
+        }
+        val bv = bm.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+        val den = v.map(x => x * x).sum
+        val lam = v.zip(bv).map { case (x, y) => x * y }.sum / den
+        if (a == 1) lam1 = lam
+        worst = math.max(worst,
+          v.indices.map(i => math.abs(bv(i) - lam * v(i))).max / lam1)
+        axes += v; lams += lam
+        for (i <- 0 until n; j <- 0 until n)
+          bm(i)(j) -= lam * v(i) * v(j) / den
+      }
+      (axes.result(), lams.result(), worst)
+    }
+    val (_, _, res) = solve(ord.CaIters)
+    assert(res < 1e-5, f"CaIters=${ord.CaIters} not converged on dbRDA: $res%.2e")
+    val (refAxes, refLams, _) = solve(400)
+    def principal(v: Array[Double], lam: Double): Array[Double] = {
+      val u = { val s = if (v(0) >= 0) v else v.map(-_)
+        val nn = math.sqrt(s.map(x => x * x).sum); s.map(_ / nn) }
+      u.indices.map(i => u(i) * math.sqrt(lam) / math.sqrt(rs(i))).toArray
+    }
+    val ref1 = principal(refAxes(0), refLams(0))
+    val ref2 = principal(refAxes(1), refLams(1))
+    val eng = ord.q77Dbrda(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(eng.map(_._1).toSeq == samples.toSeq, "sample order mismatch")
+    val err = eng.zipWithIndex.map { case ((_, c1, c2), i) =>
+      math.max(math.abs(c1 - ref1(i)), math.abs(c2 - ref2(i))) }.max
+    assert(err < 1e-4, f"published dbRDA axes off the reference solve by $err%.2e")
+    // constrained inertia can never exceed the unconstrained leading
+    // eigenvalue of G (the hat projection only removes variation)
+    val gLam = {
+      var v = Array.tabulate(n)(i => if (i == 0) 1.0 else 0.0)
+      for (_ <- 1 to 400) {
+        val bv = gB.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+        val m = bv.map(math.abs).max; v = bv.map(_ / m)
+      }
+      val bv = gB.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+      v.zip(bv).map { case (x, y) => x * y }.sum / v.map(x => x * x).sum
+    }
+    assert(refLams(0) > 0 && refLams(0) <= gLam + 1e-12,
+      "constrained eigenvalue exceeds unconstrained")
+    // planted distance blocks with an indicator constraint: {A,B} vs
+    // {C,D} far apart, env can explain the split → dbrda1 separates
+    val pbc = Seq(("A", "B", 0.1), ("A", "C", 0.9), ("A", "D", 0.9),
+      ("B", "C", 0.9), ("B", "D", 0.9), ("C", "D", 0.1))
+      .toDF("sample_a", "sample_b", "bray_curtis")
+    val benv = Seq.tabulate(4, 3) { (i, a) =>
+      val s = Seq("A", "B", "C", "D")(i)
+      val v = a match {
+        case 0 => if (i < 2) 1.0 else 0.0
+        case 1 => i.toDouble
+        case _ => (i * i).toDouble
+      }
+      (s"var$a", s, v)
+    }.flatten.toDF("variable", "n_name", "v")
+    val got = ord.dbrdaFromInputs(pbc, benv).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byS = got.toMap
+    assert(byS("A") * byS("B") > 0 && byS("C") * byS("D") > 0 &&
+      byS("A") * byS("C") < 0,
+      s"indicator constraint did not separate the distance blocks: ${got.toSeq}")
+  }
+
   test("q74/q75 constrained chain fails LOUDLY on a non-3 env arity " +
        "instead of NULL-propagating to the det=0 shape (r17 ADVICE)") {
     import spark.implicits._
@@ -649,6 +781,14 @@ class ScaleSpec extends SparkSpec {
     }
     assert(messages(ex2).exists(_.contains("EXACTLY 3 env variables")),
       s"rda wrong-arity env did not raise the guard: $ex2")
+    // and the dbrda path (Gram-side projection) shares it too
+    val pbc = Seq(("A", "B", 0.5), ("A", "C", 0.6), ("B", "C", 0.7))
+      .toDF("sample_a", "sample_b", "bray_curtis")
+    val ex3 = intercept[Exception] {
+      ord.dbrdaFromInputs(pbc, twoVar).collect()
+    }
+    assert(messages(ex3).exists(_.contains("EXACTLY 3 env variables")),
+      s"dbrda wrong-arity env did not raise the guard: $ex3")
   }
 
   test("q75 RDA convergence is gated by an independent local eigensolve " +
