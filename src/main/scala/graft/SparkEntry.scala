@@ -163,6 +163,8 @@ object SparkEntry {
     "q74_cca" -> ((s: SparkSession, d: String) => Ordination.q74Cca(s, d)),
     "q75_rda" -> ((s: SparkSession, d: String) => Ordination.q75Rda(s, d)),
     "q77_dbrda" -> ((s: SparkSession, d: String) => Ordination.q77Dbrda(s, d)),
+    "q78_wascores" ->
+      ((s: SparkSession, d: String) => Ordination.q78Wascores(s, d)),
     "q76_ca_species" ->
       ((s: SparkSession, d: String) => Ordination.q76CaSpecies(s, d)),
     // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
@@ -785,6 +787,7 @@ object SparkEntry {
     "q74_cca" -> Ordination.q74OracleSql(),
     "q75_rda" -> Ordination.q75OracleSql(),
     "q77_dbrda" -> Ordination.q77OracleSql(),
+    "q78_wascores" -> Ordination.q78OracleSql(),
     "q76_ca_species" -> Ordination.q76OracleSql(),
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle

@@ -680,6 +680,99 @@ object Ordination {
     * shared leaf shape); the dense cell frame is samples × taxa
     * (dimension-bounded), the Gram assembly and iteration are q31's
     * single-row jobs; q31b's triples path is the 10⁴⁺-sample form. */
+  /** q78: WEIGHTED-AVERAGES SPECIES SCORES onto the PCoA ordination
+    * (vegan wascores — how metaMDS/PCoA plots get their species
+    * points when the ordination itself has no species side, unlike
+    * CA's q76 transition formula): the score of taxon j on axis a is
+    * the abundance-weighted mean of the site scores,
+    * wa_ja = Σ_i w_ij·x_ia / Σ_i w_ij — a taxon sits at the centroid
+    * of the sites it occupies, pulled toward where it is abundant.
+    * Axes are q31's PUBLISHED coordinates (the round-6 outputs, so
+    * the oracle can join its own q31 recursion's output verbatim).
+    *
+    * Determinism: the denominator is the EXACT DECIMAL abundance sum
+    * (order-free); the numerator folds w·x in sample order (t17's
+    * sort_array discipline — doubles never sum shuffle-ordered);
+    * one division per (taxon, axis), roundz-6. A weighted mean lies
+    * in [min x, max x] — corpus-gated in the spec.
+    *
+    * Scale shape: the fact-scale abundance aggregate (shared shape
+    * with q73) + q31's chain; the join/rollup after is (samples ×
+    * taxa)-bounded with per-taxon fold state ≤ the sample dim. */
+  def q78Wascores(spark: SparkSession, dir: String,
+      iters: Int = Iters): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty")))
+    wascoresFromInputs(ab, q31Pcoa(spark, dir, iters))
+  }
+
+  /** [[q78Wascores]]'s core over the sparse (n_name, p_type,
+    * qty DECIMAL) abundance frame and a (sample, axis1, axis2) site-
+    * score frame — split out for planted specs. */
+  def wascoresFromInputs(ab0: DataFrame, scores: DataFrame): DataFrame = {
+    val ab = graft.Ckpt(ab0)
+    ab.join(scores, col("n_name") === col("sample"))
+      .groupBy(col("p_type").as("taxon"))
+      .agg(sum(col("qty")).as("den"),
+        sort_array(collect_list(struct(col("sample"),
+          col("qty").cast("double").as("w"),
+          col("axis1").as("a1"), col("axis2").as("a2")))).as("cells"))
+      .select(col("taxon"),
+        graft.GraftFunctions.roundz(
+          aggregate(col("cells"), lit(0.0),
+            (acc, c) => acc + c("w") * c("a1"))
+            / col("den").cast("double"), 6).as("wa1"),
+        graft.GraftFunctions.roundz(
+          aggregate(col("cells"), lit(0.0),
+            (acc, c) => acc + c("w") * c("a2"))
+            / col("den").cast("double"), 6).as("wa2"))
+      .orderBy("taxon")
+  }
+
+  /** DuckDB oracle for [[q78Wascores]] — q31's full recursion as a
+    * subquery (the q55 embed pattern), the identical sample-ordered
+    * w·x folds, the exact DECIMAL denominator. */
+  def q78OracleSql(iters: Int = Iters): String = {
+    def fold(a: String) = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(cells, c -> c['w'] * c['$a'])),
+            (acc, x) -> acc + x)"""
+    s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      q31 AS (SELECT * FROM (${q31OracleSql(iters)}) q),
+      j AS (
+        SELECT ab.p_type, ab.n_name AS sample, CAST(ab.qty AS DOUBLE) AS w,
+          q31.axis1, q31.axis2
+        FROM ab JOIN q31 ON q31.sample = ab.n_name),
+      den AS (SELECT p_type, sum(qty) AS den FROM ab GROUP BY 1),
+      g AS (
+        SELECT p_type AS taxon,
+          list_sort(list(struct_pack(sample := sample, w := w,
+            a1 := axis1, a2 := axis2))) AS cells
+        FROM j GROUP BY 1)
+      SELECT g.taxon,
+        (round(${fold("a1")} / CAST(den.den AS DOUBLE), 6) + 0.0) AS wa1,
+        (round(${fold("a2")} / CAST(den.den AS DOUBLE), 6) + 0.0) AS wa2
+      FROM g JOIN den ON den.p_type = g.taxon
+      ORDER BY taxon"""
+  }
+
   def q73Ca(spark: SparkSession, dir: String,
       iters: Int = CaIters): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")

@@ -752,6 +752,34 @@ class ScaleSpec extends SparkSpec {
       s"indicator constraint did not separate the distance blocks: ${got.toSeq}")
   }
 
+  test("q78 wascores puts a single-site taxon exactly on its site, a " +
+       "shared taxon at the abundance-weighted mean, and every corpus " +
+       "score inside the site-score hull") {
+    import spark.implicits._
+    val ord = graft.operators.Ordination
+    val scores = Seq(("A", 0.5, -0.2), ("B", -0.3, 0.6))
+      .toDF("sample", "axis1", "axis2")
+    val ab = Seq(("A", "only_a", 7), ("A", "both", 1), ("B", "both", 3))
+      .map { case (s, t, q) => (s, t, java.math.BigDecimal.valueOf(q.toLong)) }
+      .toDF("n_name", "p_type", "qty")
+      .select(col("n_name"), col("p_type"), graft.Dec.dec(col("qty")).as("qty"))
+    val got = ord.wascoresFromInputs(ab, scores).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got("only_a") == (0.5, -0.2), s"single-site taxon: $got")
+    // both: (1*0.5 + 3*(-0.3))/4 = -0.1; (1*(-0.2) + 3*0.6)/4 = 0.4
+    assert(got("both") == (-0.1, 0.4), s"weighted mean: $got")
+    // corpus: a weighted mean can never leave the site-score hull
+    val site = ord.q31Pcoa(spark, sfDir).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val (lo1, hi1) = (site.map(_._1).min, site.map(_._1).max)
+    val (lo2, hi2) = (site.map(_._2).min, site.map(_._2).max)
+    val wa = ord.q78Wascores(spark, sfDir).collect()
+    assert(wa.nonEmpty && wa.forall(r =>
+      r.getDouble(1) >= lo1 - 1e-6 && r.getDouble(1) <= hi1 + 1e-6 &&
+      r.getDouble(2) >= lo2 - 1e-6 && r.getDouble(2) <= hi2 + 1e-6),
+      s"wascores left the site hull: ${wa.toSeq}")
+  }
+
   test("q74/q75 constrained chain fails LOUDLY on a non-3 env arity " +
        "instead of NULL-propagating to the det=0 shape (r17 ADVICE)") {
     import spark.implicits._
