@@ -5354,4 +5354,111 @@ object Relational {
               + n_taxa * (n_taxa - 1) // 2 AS DOUBLE), 6)
           END AS nodf
       FROM counts, rsum, csum"""
+
+  /** q79: BEALS SMOOTHING (Beals 1984; De Cáceres & Legendre 2008;
+    * vegan beals) — the "favorability" transform a sparse community
+    * matrix goes through before gradient analysis: replace each
+    * (site, taxon) cell — INCLUDING absences, that's the point — with
+    * the probability the taxon would occur given the site's observed
+    * companions, b_ij = (1/S_ij)·Σ_{k∈site i, k≠j} M_jk/N_k (M = joint
+    * occurrences, N = occurrences, S_ij = site richness excluding the
+    * target; the include=FALSE prediction form De Cáceres & Legendre
+    * recommend — the target never vouches for itself). NULL when the
+    * site has no other taxa (no evidence either way).
+    *
+    * Determinism: M, N, S are exact integers; each term M_jk/N_k is
+    * one integer-ratio double, summed in taxon order (sort_array
+    * fold — t17's discipline), one division per cell, roundz-6.
+    *
+    * Scale shape: one fact-scale abundance aggregate; the joint-
+    * occurrence self-join fans out taxa²-per-site (q36's cooccurrence
+    * class — vocab-bounded, AQE skew-split on a ubiquitous taxon);
+    * the output grid and all joins after are (sites × taxa)-bounded. */
+  def q79Beals(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = graft.Ckpt(l
+      .join(Tables.dim(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(sum(Dec.dec(col("l_quantity"))).as("qty")))
+    bealsFromAbundance(ab)
+  }
+
+  /** [[q79Beals]]'s core over the sparse (n_name, p_type, qty)
+    * abundance frame — split out for planted specs. */
+  def bealsFromAbundance(ab0: DataFrame): DataFrame = {
+    val ab = graft.Ckpt(ab0)
+    val occ = ab.filter(col("qty") > 0)
+      .select(col("n_name").as("i"), col("p_type").as("k"))
+    val nk = occ.groupBy("k").agg(count(lit(1)).as("nk"))
+    val mjk = occ.as("x")
+      .join(occ.select(col("i"), col("k").as("j")).as("y"), Seq("i"))
+      .filter(col("k") =!= col("j"))
+      .groupBy("j", "k").agg(count(lit(1)).as("mjk"))
+    val grid = ab.select(col("n_name").as("i")).distinct()
+      .crossJoin(ab.select(col("p_type").as("j")).distinct())
+    val terms = grid
+      .join(occ, Seq("i"))
+      .filter(col("k") =!= col("j"))
+      .join(nk, Seq("k"))
+      .join(mjk, Seq("j", "k"), "left_outer")
+      .select(col("i"), col("j"), col("k"),
+        (coalesce(col("mjk"), lit(0L)).cast("double")
+          / col("nk").cast("double")).as("r"))
+    val cell = terms.groupBy("i", "j")
+      .agg(count(lit(1)).as("s"),
+        sort_array(collect_list(struct(col("k"), col("r")))).as("rs"))
+      .select(col("i"), col("j"),
+        graft.GraftFunctions.roundz(
+          aggregate(col("rs"), lit(0.0), (acc, c) => acc + c("r"))
+            / col("s").cast("double"), 6).as("beals"))
+    grid.join(cell, Seq("i", "j"), "left_outer")
+      .select(col("i").as("sample"), col("j").as("taxon"), col("beals"))
+      .orderBy("sample", "taxon")
+  }
+
+  /** DuckDB oracle for [[q79Beals]] — identical integer censuses,
+    * the same dense grid, the same taxon-ordered ratio folds. */
+  def q79OracleSql(): String = """
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      occ AS (SELECT n_name AS i, p_type AS k FROM ab WHERE qty > 0),
+      nk AS (SELECT k, count(*) AS nk FROM occ GROUP BY 1),
+      mjk AS (
+        SELECT y.k AS j, x.k AS k, count(*) AS mjk
+        FROM occ x JOIN occ y ON x.i = y.i AND x.k <> y.k
+        GROUP BY 1, 2),
+      grid AS (
+        SELECT i, j
+        FROM (SELECT DISTINCT n_name AS i FROM ab) s
+        CROSS JOIN (SELECT DISTINCT p_type AS j FROM ab) t),
+      terms AS (
+        SELECT g.i, g.j, o.k,
+          CAST(coalesce(m.mjk, 0) AS DOUBLE) / CAST(n.nk AS DOUBLE) AS r
+        FROM grid g
+        JOIN occ o ON o.i = g.i AND o.k <> g.j
+        JOIN nk n ON n.k = o.k
+        LEFT JOIN mjk m ON m.j = g.j AND m.k = o.k),
+      cell AS (
+        SELECT i, j, count(*) AS s,
+          list_sort(list(struct_pack(k := k, r := r))) AS rs
+        FROM terms GROUP BY 1, 2)
+      SELECT g.i AS sample, g.j AS taxon,
+        (round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cell.rs, c -> c['r'])), (acc, x) -> acc + x)
+          / CAST(cell.s AS DOUBLE), 6) + 0.0) AS beals
+      FROM grid g LEFT JOIN cell ON cell.i = g.i AND cell.j = g.j
+      ORDER BY sample, taxon"""
 }

@@ -780,6 +780,39 @@ class ScaleSpec extends SparkSpec {
       s"wascores left the site hull: ${wa.toSeq}")
   }
 
+  test("q79 Beals smoothing matches the hand-computed grid, predicts " +
+       "absences, NULLs the no-evidence cell, and stays in [0,1] on " +
+       "the corpus") {
+    import spark.implicits._
+    // S1:{a,b} S2:{a,b,c} S3:{c} -> N(a)=N(b)=N(c)=2, M(ab)=2,
+    // M(ac)=M(bc)=1; every cell hand-checked incl. the absent-taxon
+    // predictions and the S3/c cell with no companions (NULL)
+    val ab = Seq(("S1", "a", 5), ("S1", "b", 2), ("S2", "a", 1),
+      ("S2", "b", 4), ("S2", "c", 3), ("S3", "c", 7))
+      .map { case (s, t, q) => (s, t, java.math.BigDecimal.valueOf(q.toLong)) }
+      .toDF("n_name", "p_type", "qty")
+      .select(col("n_name"), col("p_type"), graft.Dec.dec(col("qty")).as("qty"))
+    val got = graft.operators.Relational.bealsFromAbundance(ab).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val expect = Map(
+      ("S1", "a") -> Some(1.0), ("S1", "b") -> Some(1.0),
+      ("S1", "c") -> Some(0.5),
+      ("S2", "a") -> Some(0.75), ("S2", "b") -> Some(0.75),
+      ("S2", "c") -> Some(0.5),
+      ("S3", "a") -> Some(0.5), ("S3", "b") -> Some(0.5),
+      ("S3", "c") -> None)
+    assert(got == expect, s"beals grid:\n$got\nvs\n$expect")
+    // corpus: dense grid, every defined value a probability
+    val sf = graft.operators.Relational.q79Beals(spark, sfDir).collect()
+    val ns = sf.map(_.getString(0)).distinct.length
+    val nt = sf.map(_.getString(1)).distinct.length
+    assert(sf.length == ns * nt, s"grid not dense: ${sf.length} vs $ns*$nt")
+    assert(sf.forall(r => r.isNullAt(2) ||
+      (r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)),
+      "beals outside [0,1]")
+  }
+
   test("q74/q75 constrained chain fails LOUDLY on a non-3 env arity " +
        "instead of NULL-propagating to the det=0 shape (r17 ADVICE)") {
     import spark.implicits._
