@@ -1100,6 +1100,14 @@ class GraphSpec extends SparkSpec {
     assert(g28Rows.map(_.toSeq).toSeq ==
       Graph.g28Msf(spark, sfDir).collect().map(_.toSeq).toSeq,
       "g28's memo-refreshing entry diverged from g28Msf")
+    // g30 rides the same memo: its entry must be frame-identical to
+    // the memo-free rebuild through g30ClusterStability
+    val g30ViaMemo = SparkEntry.queries("g30_cluster_stability")(
+      spark, sfDir).collect().map(_.toSeq).toSeq
+    val g30Rebuilt = Graph.g30ClusterStability(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(g30ViaMemo == g30Rebuilt,
+      s"memoized g30 diverged from the rebuild:\n$g30ViaMemo\nvs\n$g30Rebuilt")
   }
 
   test("g30 stability scores untouched clusters 1.0, the split cluster " +
