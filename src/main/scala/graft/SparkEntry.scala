@@ -166,6 +166,8 @@ object SparkEntry {
     "q78_wascores" ->
       ((s: SparkSession, d: String) => Ordination.q78Wascores(s, d)),
     "q79_beals" -> ((s: SparkSession, d: String) => Relational.q79Beals(s, d)),
+    "q80_specpool" ->
+      ((s: SparkSession, d: String) => Relational.q80SpecPool(s, d)),
     "q76_ca_species" ->
       ((s: SparkSession, d: String) => Ordination.q76CaSpecies(s, d)),
     // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
@@ -790,6 +792,7 @@ object SparkEntry {
     "q77_dbrda" -> Ordination.q77OracleSql(),
     "q78_wascores" -> Ordination.q78OracleSql(),
     "q79_beals" -> graft.operators.Relational.q79OracleSql(),
+    "q80_specpool" -> graft.operators.Relational.q80OracleSql,
     "q76_ca_species" -> Ordination.q76OracleSql(),
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle

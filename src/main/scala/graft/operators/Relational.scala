@@ -5461,4 +5461,130 @@ object Relational {
           / CAST(cell.s AS DOUBLE), 6) + 0.0) AS beals
       FROM grid g LEFT JOIN cell ON cell.i = g.i AND cell.j = g.j
       ORDER BY sample, taxon"""
+
+  /** q80: EXTRAPOLATED SPECIES POOL (vegan specpool) — the
+    * collection-level companion of q53's per-sample Chao1/ACE: how
+    * many taxa does the WHOLE survey region hold, beyond the ones the
+    * N samples happened to catch? Incidence-based (a taxon's signal
+    * is how many SAMPLES it occurred in, not its abundance), the four
+    * classic estimators side by side: Chao2 (Chao 1987, the
+    * bias-corrected form vegan ships: S + (N−1)/N · Q1(Q1−1)/(2(Q2+1))),
+    * first- and second-order jackknife (Burnham & Overton 1978:
+    * S + Q1(N−1)/N and S + Q1(2N−3)/N − Q2(N−2)²/(N(N−1))), and the
+    * bootstrap (Smith & van Belle 1984: S + Σ_t (1−q_t/N)^N). Q1/Q2 =
+    * taxa seen in exactly one/two samples — the pool's "how much is
+    * still rare" dial. Jackknife2 needs N ≥ 2 (its denominator is
+    * N(N−1)); a one-sample survey yields NULL identically in both
+    * engines.
+    *
+    * Determinism: the occupancy census is exact integers; each
+    * estimator is ONE double expression over exact integer inputs,
+    * phrased identically in both engines and rounded once. The
+    * bootstrap power (1−q/N)^N is an IN-ROW index-order product fold
+    * (q57's hypergeometric discipline — no libm pow), each taxon's
+    * miss-probability round-9 quantized into DECIMAL and summed
+    * order-free; q = N pins the product to exact 0.
+    *
+    * Scale shape: one fact-scale distinct to the presence frame
+    * (map-side combine), one taxon-keyed occupancy count, then the
+    * bootstrap lattice is taxa × N in-row work and the output is one
+    * row — everything past the presence distinct is dimension-
+    * bounded. At 100 TB the presence distinct is the only stage that
+    * sees the corpus, and it shuffles the deduplicated (sample,
+    * taxon) pairs only. */
+  def q80SpecPool(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val pres = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_partkey").as("taxon")).distinct()
+    specPoolFromPresence(pres)
+  }
+
+  /** [[q80SpecPool]]'s core over a (n_name, taxon) presence frame —
+    * split out for planted specs. */
+  def specPoolFromPresence(pres: DataFrame): DataFrame = {
+    val occ = graft.Ckpt(pres.groupBy("taxon")
+      .agg(countDistinct(col("n_name")).as("nt")))
+    val nsf = pres.select(col("n_name")).distinct()
+      .agg(count(lit(1)).as("n"))
+    occ.crossJoin(broadcast(nsf))
+      .withColumn("miss", expr("aggregate(sequence(1, cast(n AS INT)), " +
+        "CAST(1.0 AS DOUBLE), (acc, i) -> acc * " +
+        "(CAST(n - nt AS DOUBLE) / CAST(n AS DOUBLE)))"))
+      .withColumn("term", round(col("miss"), 9).cast("decimal(25,9)"))
+      .agg(
+        max(col("n")).as("n_samples"),
+        count(lit(1)).as("s_obs"),
+        sum(when(col("nt") === 1, 1L).otherwise(0L)).as("q1"),
+        sum(when(col("nt") === 2, 1L).otherwise(0L)).as("q2"),
+        sum(col("term")).as("miss_sum"))
+      .select(
+        col("n_samples"), col("s_obs"), col("q1"), col("q2"),
+        round(col("s_obs").cast("double")
+          + (col("n_samples") - 1).cast("double")
+            / col("n_samples").cast("double")
+          * (col("q1") * (col("q1") - 1)).cast("double")
+          / (lit(2.0) * (col("q2") + 1).cast("double")), 6).as("chao2"),
+        round(col("s_obs").cast("double")
+          + (col("q1") * (col("n_samples") - 1)).cast("double")
+            / col("n_samples").cast("double"), 6).as("jack1"),
+        when(col("n_samples") >= 2,
+          round(col("s_obs").cast("double")
+            + (col("q1") * (lit(2) * col("n_samples") - 3)).cast("double")
+              / col("n_samples").cast("double")
+            - (col("q2") * (col("n_samples") - 2)
+                * (col("n_samples") - 2)).cast("double")
+              / (col("n_samples") * (col("n_samples") - 1)).cast("double"),
+            6)).as("jack2"),
+        round(col("s_obs").cast("double")
+          + col("miss_sum").cast("double"), 6).as("boot"))
+  }
+
+  /** DuckDB oracle for [[q80SpecPool]] — identical occupancy census,
+    * index-order bootstrap product fold, and estimator expressions. */
+  def q80OracleSql: String = """
+      WITH pres AS (
+        SELECT DISTINCT n_name, l_partkey AS taxon
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      occ AS (
+        SELECT taxon, count(DISTINCT n_name) AS nt FROM pres GROUP BY 1),
+      nn AS (SELECT count(DISTINCT n_name) AS n FROM pres),
+      terms AS (
+        SELECT nt, n,
+          CAST(round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(generate_series(1, CAST(n AS INT)),
+              i -> CAST(n - nt AS DOUBLE) / CAST(n AS DOUBLE))),
+            (acc, x) -> acc * x), 9) AS DECIMAL(25,9)) AS term
+        FROM occ, nn),
+      agg AS (
+        SELECT max(n) AS n_samples, count(*) AS s_obs,
+          sum(CASE WHEN nt = 1 THEN 1 ELSE 0 END) AS q1,
+          sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS q2,
+          sum(term) AS miss_sum
+        FROM terms)
+      SELECT CAST(n_samples AS BIGINT) AS n_samples,
+        CAST(s_obs AS BIGINT) AS s_obs,
+        CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+        round(CAST(s_obs AS DOUBLE)
+          + CAST(n_samples - 1 AS DOUBLE) / CAST(n_samples AS DOUBLE)
+          * CAST(q1 * (q1 - 1) AS DOUBLE)
+          / (2.0 * CAST(q2 + 1 AS DOUBLE)), 6) AS chao2,
+        round(CAST(s_obs AS DOUBLE)
+          + CAST(q1 * (n_samples - 1) AS DOUBLE)
+            / CAST(n_samples AS DOUBLE), 6) AS jack1,
+        CASE WHEN n_samples >= 2 THEN
+          round(CAST(s_obs AS DOUBLE)
+            + CAST(q1 * (2 * n_samples - 3) AS DOUBLE)
+              / CAST(n_samples AS DOUBLE)
+            - CAST(q2 * (n_samples - 2) * (n_samples - 2) AS DOUBLE)
+              / CAST(n_samples * (n_samples - 1) AS DOUBLE), 6)
+          END AS jack2,
+        round(CAST(s_obs AS DOUBLE)
+          + CAST(miss_sum AS DOUBLE), 6) AS boot
+      FROM agg"""
 }

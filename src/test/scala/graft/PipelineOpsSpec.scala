@@ -1813,6 +1813,42 @@ class PipelineOpsSpec extends SparkSpec {
       s"tail ${sf.last} != total richness $presSf")
   }
 
+  test("species pool: exact planted Chao2/jackknife/bootstrap panel, " +
+       "one-sample degenerate NULL jack2, corpus estimators bound " +
+       "observed richness") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // A={t1,t2}, B={t2,t3}, C={t2}: N=3, S=3, Q1=2 (t1,t3), Q2=0.
+    // chao2 = 3 + (2/3)·2·1/(2·1) = 3.666667; jack1 = 3 + 2·2/3 =
+    // 4.333333; jack2 = 3 + 2·3/3 − 0 = 5; boot = 3 + 2·(2/3)³ =
+    // 3 + 2·0.296296296 = 3.592593 (round-9 terms, round-6 output)
+    val pres = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L), ("C", 2L))
+      .toDF("n_name", "taxon")
+    val got = Relational.specPoolFromPresence(pres).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 3L, 2L, 0L)), r.toString)
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6),
+      r.getDouble(7)) == ((3.666667, 4.333333, 5.0, 3.592593)),
+      r.toString)
+    // one-sample survey: jack2's N(N−1) denominator degenerates →
+    // NULL; the other estimators collapse to S (no between-sample
+    // signal: Q1 carries zero weight at N = 1, boot's (1−1)¹ = 0)
+    val one = Relational.specPoolFromPresence(
+      Seq(("s1", 1L), ("s1", 2L)).toDF("n_name", "taxon")).collect().head
+    assert(one.getLong(0) == 1L && one.getLong(1) == 2L &&
+      one.getDouble(4) == 2.0 && one.getDouble(5) == 2.0 &&
+      one.isNullAt(6) && one.getDouble(7) == 2.0, one.toString)
+    // sf corpus: every estimator extrapolates (≥ S_obs), and the
+    // sample count is the nation dimension's cardinality
+    val sf = Relational.q80SpecPool(spark, sfDir).collect().head
+    val sObs = sf.getLong(1).toDouble
+    assert(sf.getLong(0) == 25L, sf.toString)
+    assert(sf.getDouble(4) >= sObs && sf.getDouble(5) >= sObs &&
+      sf.getDouble(7) >= sObs, sf.toString)
+  }
+
   test("Hill numbers: uniform panel hits S exactly at every order, " +
        "dominance orders the ladder, singleton group degenerates to 1") {
     import spark.implicits._
