@@ -5587,4 +5587,99 @@ object Relational {
         round(CAST(s_obs AS DOUBLE)
           + CAST(miss_sum AS DOUBLE), 6) AS boot
       FROM agg"""
+
+  /** Ranks per group the broken-stick null is evaluated at — the
+    * dominance head of the rank-abundance curve. */
+  final val BstickRanks = 5
+
+  /** q81: BROKEN-STICK RANK-ABUNDANCE NULL (MacArthur 1957; Whittaker
+    * 1965; the `brokenstick` member of vegan radfit's dominance-model
+    * family) — the null hypothesis under q54's rank-abundance plot:
+    * if the group's N individuals split the niche axis at S−1 random
+    * points ("a stick broken at random"), the expected abundance of
+    * the rank-i taxon is E[n_i] = (N/S)·Σ_{j=i}^{S} 1/j. A real
+    * dominance curve steeper than this (rank-1 ratio ≫ 1) means
+    * competitive exclusion; flatter means enforced evenness. Emits
+    * the top-[[BstickRanks]] ranks per group with observed count,
+    * broken-stick expectation, and the observed/expected ratio — the
+    * exact numbers the dominance-model panel plots against q54.
+    *
+    * Determinism: counts are exact integers; ranking is q54's
+    * row_number with taxon tie-break; the tail harmonic sum
+    * Σ_{j=i}^{S} 1/j is an IN-ROW index-order fold (both engines add
+    * the identical IEEE 1/j sequence — q57's discipline); expectation
+    * and ratio are single double expressions off the shared unrounded
+    * e, each rounded once.
+    *
+    * Scale shape: one fact-scale count aggregate (map-side combine),
+    * one per-group rollup, one per-group top-k window on the
+    * group-bounded count frame; the harmonic folds run on
+    * groups × [[BstickRanks]] rows, each O(S) in-row — nothing
+    * quadratic, nothing iterated. */
+  def q81Bstick(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey").as("taxon"))
+      .agg(count(lit(1)).as("cnt"))
+    bstickFromCounts(ab)
+  }
+
+  /** [[q81Bstick]]'s core over a (n_name, taxon, cnt) count frame —
+    * split out for planted specs. */
+  def bstickFromCounts(ab0: DataFrame): DataFrame = {
+    val ab = graft.Ckpt(ab0)
+    val tot = ab.groupBy("n_name")
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("s"))
+    val wRank = Window.partitionBy("n_name")
+      .orderBy(col("cnt").desc, col("taxon"))
+    ab.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= BstickRanks)
+      .join(tot, "n_name")
+      .withColumn("tail", expr("aggregate(sequence(CAST(rank AS BIGINT), s), " +
+        "CAST(0.0 AS DOUBLE), (acc, j) -> acc + " +
+        "CAST(1.0 AS DOUBLE) / CAST(j AS DOUBLE))"))
+      .withColumn("e", col("n").cast("double") / col("s").cast("double")
+        * col("tail"))
+      .select(col("n_name"), col("rank"), col("taxon"), col("cnt"),
+        round(col("e"), 6).as("expected"),
+        round(col("cnt").cast("double") / col("e"), 6)
+          .as("obs_exp_ratio"))
+      .orderBy("n_name", "rank")
+  }
+
+  /** DuckDB oracle for [[q81Bstick]] — identical count census,
+    * ranking tie-break, and index-order harmonic tail folds. */
+  def q81OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, l_partkey AS taxon, count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT n_name, sum(cnt) AS n, count(*) AS s FROM ab GROUP BY 1),
+      ranked AS (
+        SELECT n_name, taxon, cnt,
+          row_number() OVER (PARTITION BY n_name
+            ORDER BY cnt DESC, taxon) AS rank
+        FROM ab),
+      ex AS (
+        SELECT r.n_name, r.rank, r.taxon, r.cnt,
+          CAST(n AS DOUBLE) / CAST(s AS DOUBLE)
+            * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(CAST(r.rank AS BIGINT),
+                    CAST(s AS BIGINT)),
+                  j -> CAST(1.0 AS DOUBLE) / CAST(j AS DOUBLE))),
+                (acc, x) -> acc + x) AS e
+        FROM ranked r JOIN tot USING (n_name)
+        WHERE r.rank <= $BstickRanks)
+      SELECT n_name, CAST(rank AS INT) AS rank, taxon,
+        CAST(cnt AS BIGINT) AS cnt,
+        round(e, 6) AS expected,
+        round(CAST(cnt AS DOUBLE) / e, 6) AS obs_exp_ratio
+      FROM ex ORDER BY n_name, rank"""
 }

@@ -1849,6 +1849,37 @@ class PipelineOpsSpec extends SparkSpec {
       sf.getDouble(7) >= sObs, sf.toString)
   }
 
+  test("broken stick: exact planted expectations with tie-break, " +
+       "expectations decrease with rank on the corpus") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // g: t1=4, t2=1, t3=1 → N=6, S=3, N/S=2. Tail harmonic sums:
+    // r1: 1+1/2+1/3, r2: 1/2+1/3, r3: 1/3 → expected 3.666667 /
+    // 1.666667 / 0.666667; the t2/t3 count tie breaks by taxon id
+    val ab = Seq(("g", 1L, 4L), ("g", 2L, 1L), ("g", 3L, 1L))
+      .toDF("n_name", "taxon", "cnt")
+    val got = Relational.bstickFromCounts(ab).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 4L, 3.666667, 1.090909),
+      (2, 2L, 1L, 1.666667, 0.6),
+      (3, 3L, 1L, 0.666667, 1.5)), got.mkString(";"))
+    // sf corpus: every group's expectation strictly decreases with
+    // rank (the tail harmonic sum loses a positive term per step) and
+    // observed counts are weakly decreasing by construction
+    val sf = Relational.q81Bstick(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    assert(sf.nonEmpty)
+    sf.foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1))
+      byRank.zip(byRank.tail).foreach { case (a, b) =>
+        assert(a.getDouble(4) > b.getDouble(4), s"$a !> $b")
+        assert(a.getLong(3) >= b.getLong(3), s"$a cnt < $b")
+      }
+    }
+  }
+
   test("Hill numbers: uniform panel hits S exactly at every order, " +
        "dominance orders the ladder, singleton group degenerates to 1") {
     import spark.implicits._
