@@ -170,6 +170,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational.q80SpecPool(s, d)),
     "q81_bstick" ->
       ((s: SparkSession, d: String) => Relational.q81Bstick(s, d)),
+    "q82_taxondive" ->
+      ((s: SparkSession, d: String) => Relational.q82Taxondive(s, d)),
     "q76_ca_species" ->
       ((s: SparkSession, d: String) => Ordination.q76CaSpecies(s, d)),
     // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
@@ -796,6 +798,7 @@ object SparkEntry {
     "q79_beals" -> graft.operators.Relational.q79OracleSql(),
     "q80_specpool" -> graft.operators.Relational.q80OracleSql,
     "q81_bstick" -> graft.operators.Relational.q81OracleSql,
+    "q82_taxondive" -> graft.operators.Relational.q82OracleSql,
     "q76_ca_species" -> Ordination.q76OracleSql(),
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle

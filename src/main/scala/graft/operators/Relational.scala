@@ -5682,4 +5682,132 @@ object Relational {
         round(e, 6) AS expected,
         round(CAST(cnt AS DOUBLE) / e, 6) AS obs_exp_ratio
       FROM ex ORDER BY n_name, rank"""
+
+  /** q82: TAXONOMIC DISTINCTNESS (Clarke & Warwick 1998; vegan
+    * taxondive) — the diversity index that reads the TREE, not just
+    * the counts: a sample of 10 taxa from 10 different manufacturers
+    * is taxonomically broader than 10 siblings from one brand, yet
+    * every flat index (q13, q58) scores them identically. Per sample:
+    * Δ+ = mean tree path weight ω over all present-taxa pairs
+    * (presence form) and Δ* = the abundance-weighted mean
+    * Σ x_i x_j ω_ij / Σ x_i x_j (i<j) — over q44's derived hierarchy
+    * (mfgr → brand → (brand,type) → (brand,type,size) → leaf), with
+    * ω = number of levels at which the pair separates (1 = sibling
+    * leaves under one size node … 5 = different manufacturers).
+    * Single-taxon samples have no pairs → NULL both engines.
+    *
+    * NO pair enumeration (the taxa²-per-sample blowup never
+    * materializes): because the tree NESTS, ω_ij = Σ_ℓ [i, j in
+    * different level-ℓ groups], so Σ_{i<j} ω = Σ_ℓ (S² − H_ℓ)/2 with
+    * H_ℓ = Σ_g S_g² (and the leaf level's H = S analytically), and
+    * the abundance form likewise with G_ℓ = Σ_g X_g², Q = Σ x².
+    * Δ+ = (5S² − S − Σ_{ℓ≤4}H_ℓ)/(S² − S),
+    * Δ* = (5T² − Q − Σ_{ℓ≤4}G_ℓ)/(T² − Q) — every census an exact
+    * integer aggregate, ONE double division each, rounded once.
+    *
+    * Scale shape: one fact-scale count aggregate to the (sample,
+    * leaf-path) matrix (checkpointed — four level rollups and the
+    * sample stats all read it); each level rollup is aggregate-
+    * bounded; the final frame is one row per sample. */
+  def q82Taxondive(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.dim(spark, dir, "part")
+      .withColumn("p_mfgr", concat(lit("MFGR#"),
+        (element_at(split(col("p_brand"), "#"), 2).cast("int") / 10).cast("int").cast("string")))
+    val ab = l
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_mfgr"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    taxondiveFromLeaves(ab)
+  }
+
+  /** [[q82Taxondive]]'s core over a (n_name, p_mfgr, p_brand, p_type,
+    * p_size, p_partkey, cnt BIGINT) leaf count matrix — split out so
+    * specs can plant exact tree geometries. */
+  def taxondiveFromLeaves(ab0: DataFrame): DataFrame = {
+    val ab = graft.Ckpt(ab0)
+    // one rollup per INNER tree level (q44's path-composite node ids
+    // make every level nest exactly); the leaf level enters the
+    // closed forms analytically (H = S, G = Q)
+    def lvl(node: org.apache.spark.sql.Column): DataFrame =
+      ab.groupBy(col("n_name"), node.as("node"))
+        .agg(count(lit(1)).as("sg"), sum(col("cnt")).as("xg"))
+    val nodes = lvl(concat(lit("M|"), col("p_mfgr")))
+      .union(lvl(concat(lit("B|"), col("p_brand"))))
+      .union(lvl(concat(lit("T|"), col("p_brand"), lit("|"), col("p_type"))))
+      .union(lvl(concat(lit("S|"), col("p_brand"), lit("|"), col("p_type"),
+        lit("|"), col("p_size").cast("string"))))
+    val hg = nodes.groupBy("n_name").agg(
+      sum(col("sg") * col("sg")).as("hsum"),
+      sum(col("xg") * col("xg")).as("gsum"))
+    val stats = ab.groupBy("n_name").agg(
+      count(lit(1)).as("s_obs"),
+      sum(col("cnt")).as("t"),
+      sum(col("cnt") * col("cnt")).as("q"))
+    stats.join(hg, "n_name")
+      .select(col("n_name"), col("s_obs"),
+        when(col("s_obs") >= 2, round(
+          (lit(5) * col("s_obs") * col("s_obs") - col("s_obs")
+            - col("hsum")).cast("double")
+          / (col("s_obs") * col("s_obs") - col("s_obs")).cast("double"),
+          6)).as("delta_plus"),
+        when(col("s_obs") >= 2, round(
+          (lit(5) * col("t") * col("t") - col("q") - col("gsum"))
+            .cast("double")
+          / (col("t") * col("t") - col("q")).cast("double"), 6))
+          .as("delta_star"))
+      .orderBy("n_name")
+  }
+
+  /** DuckDB oracle for [[q82Taxondive]] — identical path-node level
+    * censuses and closed-form integer expressions. */
+  def q82OracleSql: String = """
+      WITH pm AS (
+        SELECT p_partkey, p_brand, p_type, p_size,
+          'MFGR#' || CAST(CAST(string_split(p_brand, '#')[2] AS INT) // 10
+            AS VARCHAR) AS p_mfgr
+        FROM part),
+      ab AS (
+        SELECT n_name, p_mfgr, p_brand, p_type, p_size, pm.p_partkey,
+          count(*) AS cnt
+        FROM lineitem JOIN pm ON l_partkey = pm.p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3, 4, 5, 6),
+      nodes AS (
+        SELECT n_name, 'M|' || p_mfgr AS node,
+          count(*) AS sg, sum(cnt) AS xg FROM ab GROUP BY 1, 2
+        UNION ALL
+        SELECT n_name, 'B|' || p_brand, count(*), sum(cnt)
+        FROM ab GROUP BY 1, 2
+        UNION ALL
+        SELECT n_name, 'T|' || p_brand || '|' || p_type,
+          count(*), sum(cnt) FROM ab GROUP BY 1, 2
+        UNION ALL
+        SELECT n_name, 'S|' || p_brand || '|' || p_type || '|'
+            || CAST(p_size AS VARCHAR),
+          count(*), sum(cnt) FROM ab GROUP BY 1, 2),
+      hg AS (
+        SELECT n_name, CAST(sum(sg * sg) AS BIGINT) AS hsum,
+          CAST(sum(xg * xg) AS BIGINT) AS gsum
+        FROM nodes GROUP BY 1),
+      stats AS (
+        SELECT n_name, count(*) AS s_obs,
+          CAST(sum(cnt) AS BIGINT) AS t,
+          CAST(sum(cnt * cnt) AS BIGINT) AS q
+        FROM ab GROUP BY 1)
+      SELECT stats.n_name, CAST(s_obs AS BIGINT) AS s_obs,
+        CASE WHEN s_obs >= 2 THEN
+          round(CAST(5 * s_obs * s_obs - s_obs - hsum AS DOUBLE)
+            / CAST(s_obs * s_obs - s_obs AS DOUBLE), 6) END AS delta_plus,
+        CASE WHEN s_obs >= 2 THEN
+          round(CAST(5 * t * t - q - gsum AS DOUBLE)
+            / CAST(t * t - q AS DOUBLE), 6) END AS delta_star
+      FROM stats JOIN hg ON stats.n_name = hg.n_name
+      ORDER BY stats.n_name"""
 }

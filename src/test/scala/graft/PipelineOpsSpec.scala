@@ -1880,6 +1880,59 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("taxonomic distinctness: hand-computed planted tree, " +
+       "brute-force pair cross-check, single-taxon NULL, corpus in " +
+       "path-unit bounds") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // s: A,B sibling leaves under one size node (ω=1), C in another
+    // brand (ω=4 to each); x = 1,1,2 →
+    // Δ+ = (1+4+4)/3 = 3, Δ* = (1·1·1 + 1·2·4 + 1·2·4)/(1+2+2) = 3.4
+    val ab = Seq(
+      ("s", "m1", "b1", "t1", 1, 101L, 1L),
+      ("s", "m1", "b1", "t1", 1, 102L, 1L),
+      ("s", "m1", "b2", "t1", 1, 103L, 2L),
+      ("solo", "m1", "b1", "t1", 1, 101L, 7L))
+      .toDF("n_name", "p_mfgr", "p_brand", "p_type", "p_size",
+        "p_partkey", "cnt")
+    val got = Relational.taxondiveFromLeaves(ab).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("s").getLong(1) == 3L &&
+      got("s").getDouble(2) == 3.0 && got("s").getDouble(3) == 3.4,
+      got("s").toString)
+    assert(got("solo").getLong(1) == 1L && got("solo").isNullAt(2) &&
+      got("solo").isNullAt(3), got("solo").toString)
+    // brute-force cross-check on a denser planted frame: enumerate
+    // every pair, count separation levels, compare exactly
+    val rows = for (i <- 0 until 12) yield
+      (s"g", s"m${i % 2}", s"m${i % 2}|b${i % 4}", s"t${i % 3}",
+        i % 5, 200L + i, (i % 3 + 1).toLong)
+    val dense = rows.toDF("n_name", "p_mfgr", "p_brand", "p_type",
+      "p_size", "p_partkey", "cnt")
+    val d = Relational.taxondiveFromLeaves(dense).collect().head
+    def omega(a: (String, String, String, Int), b: (String, String, String, Int)): Int =
+      if (a._1 != b._1) 5 else if (a._2 != b._2) 4
+      else if (a._3 != b._3) 3 else if (a._4 != b._4) 2 else 1
+    val keyed = rows.map(r => ((r._2, r._3, r._4, r._5), r._7))
+    val pairs = for {
+      i <- keyed.indices; j <- keyed.indices if i < j
+    } yield (omega(keyed(i)._1, keyed(j)._1), keyed(i)._2 * keyed(j)._2)
+    // exact integer sums, ONE double division, HALF_UP round-6 — the
+    // operator's arithmetic ((2a)/(2b) = a/b exactly in IEEE)
+    def r6(num: Long, den: Long): Double =
+      BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d.getDouble(2) ==
+      r6(pairs.map(_._1.toLong).sum, pairs.length.toLong), d.toString)
+    assert(d.getDouble(3) ==
+      r6(pairs.map(p => p._1 * p._2).sum, pairs.map(_._2).sum), d.toString)
+    // sf corpus: ω lives on path units [1, 5]; so do both means
+    val sf = Relational.q82Taxondive(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall { r =>
+      r.getDouble(2) >= 1.0 && r.getDouble(2) <= 5.0 &&
+      r.getDouble(3) >= 1.0 && r.getDouble(3) <= 5.0 }, sf.mkString(";"))
+  }
+
   test("Hill numbers: uniform panel hits S exactly at every order, " +
        "dominance orders the ladder, singleton group degenerates to 1") {
     import spark.implicits._
