@@ -138,6 +138,8 @@ object SparkEntry {
     "e31_decompose" -> (Events.decompose _),
     "e32_stl" -> ((s: SparkSession, d: String) => Events.stlDecompose(s, d)),
     "e33_mase" -> ((s: SparkSession, d: String) => Events.e33Mase(s, d)),
+    "e34_changepoint" ->
+      ((s: SparkSession, d: String) => Events.changepoint(s, d)),
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
     "t40_rake" -> ((s: SparkSession, d: String) => TextOps.rakeKeywords(s, d)),
     "t41_mtld" -> ((s: SparkSession, d: String) => TextOps.mtld(s, d)),
@@ -1269,6 +1271,7 @@ object SparkEntry {
     "e31_decompose" -> graft.operators.Events.e31OracleSql,
     "e32_stl" -> graft.operators.Events.e32OracleSql,
     "e33_mase" -> graft.operators.Events.e33OracleSql,
+    "e34_changepoint" -> graft.operators.Events.e34OracleSql,
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
     "t40_rake" -> graft.operators.TextOps.t40OracleSql,
     "t41_mtld" -> graft.operators.TextOps.t41OracleSql,

@@ -2647,4 +2647,130 @@ object Events {
       FROM num JOIN den USING (event_type)
       ORDER BY event_type, lag"""
   }
+
+  /** e34: RETROSPECTIVE MEAN-SHIFT CHANGEPOINT — the first split of
+    * binary segmentation (Scott & Knott 1974; Sen & Srivastava 1975;
+    * the seed step of Killick et al. 2012's PELT family): e24's CUSUM
+    * answers "is the rate drifting NOW?" online; this answers the
+    * post-hoc question "WHERE did the level shift?". Per event type,
+    * over the zero-filled daily calendar (e27's skeleton — a silent
+    * day is a real zero, not a missing row), the split day τ
+    * maximizing the between-segment sum-of-squares reduction
+    * gain(τ) = (S_L·n_R − S_R·n_L)² / (n_L·n_R·n), ties broken by the
+    * EARLIEST day. Ships both segment means, the gain, and the gain's
+    * share of the type's total SSE (the "how much of the variance is
+    * this one break" dial; NULL for a constant series whose SSE is 0).
+    *
+    * Determinism: daily counts, prefix sums, and the gain's
+    * numerator/denominator are exact integers (the squared difference
+    * rides DECIMAL(38,0)/HUGEINT — |diff| ≤ S·n overflows int64
+    * squared); gain is ONE double division phrased identically in
+    * both engines, so the argmax comparator sees identical doubles;
+    * the day tie-break makes the winner unique even under exact
+    * gain ties (the all-constant series lands on day 1 in both
+    * engines). Means/gain/share are single rounded expressions.
+    *
+    * Scale shape: one fact-scale count aggregate (map-side combine);
+    * the calendar frame, prefix window, per-type totals, and the
+    * argmax window are all (types × days)-bounded; output is one row
+    * per type. Nothing iterated, nothing quadratic. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame =
+    changepoint(Tables.load(spark, dir, "events"))
+
+  /** [[changepoint]]'s core over a raw events frame — split out for
+    * planted specs. */
+  def changepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val cal = span.select(col("event_type"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val filled = cal.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val idx = filled
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("sl", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = filled.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+      sum(col("cnt") * col("cnt")).as("q"))
+    val cand = idx.join(tot, "event_type")
+      .filter(col("n") >= 2 && col("i") <= col("n") - 1)
+      .withColumn("diff", (col("sl") * (col("n") - col("i"))
+        - (col("s") - col("sl")) * col("i")).cast("decimal(19,0)"))
+      .withColumn("gain", (col("diff") * col("diff")).cast("double")
+        / (col("i") * (col("n") - col("i")) * col("n")).cast("double"))
+    val sst = col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double")
+    cand
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("gain").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("tau_day"),
+        col("n").as("n_days"),
+        round(col("sl").cast("double") / col("i").cast("double"), 6)
+          .as("mean_left"),
+        round((col("s") - col("sl")).cast("double")
+          / (col("n") - col("i")).cast("double"), 6).as("mean_right"),
+        round(col("gain"), 6).as("gain"),
+        when(sst > 0.0, round(col("gain") / sst, 6)).as("sse_share"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[changepoint]] — identical calendar skeleton,
+    * exact integer prefix arithmetic, and argmax tie-break. */
+  def e34OracleSql: String = s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1),
+      cal AS (
+        SELECT event_type,
+          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS day
+        FROM span),
+      filled AS (
+        SELECT cal.event_type, cal.day, coalesce(daily.cnt, 0) AS cnt
+        FROM cal LEFT JOIN daily
+          ON cal.event_type = daily.event_type AND cal.day = daily.day),
+      idx AS (
+        SELECT event_type, day, cnt,
+          CAST(row_number() OVER w AS BIGINT) AS i,
+          sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+        FROM filled
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      tot AS (
+        SELECT event_type, count(*) AS n, sum(cnt) AS s,
+          sum(cnt * cnt) AS q
+        FROM filled GROUP BY 1),
+      cand AS (
+        SELECT idx.event_type, day, i, sl, n, s, q,
+          CAST(CAST(sl * (n - i) - (s - sl) * i AS HUGEINT)
+              * CAST(sl * (n - i) - (s - sl) * i AS HUGEINT) AS DOUBLE)
+            / CAST(i * (n - i) * n AS DOUBLE) AS gain
+        FROM idx JOIN tot USING (event_type)
+        WHERE n >= 2 AND i <= n - 1),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY gain DESC, day) AS rn
+        FROM cand)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS tau_day,
+        CAST(n AS BIGINT) AS n_days,
+        round(CAST(sl AS DOUBLE) / CAST(i AS DOUBLE), 6) AS mean_left,
+        round(CAST(s - sl AS DOUBLE) / CAST(n - i AS DOUBLE), 6)
+          AS mean_right,
+        round(gain, 6) AS gain,
+        CASE WHEN CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+            * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0.0 THEN
+          round(gain / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+            * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS sse_share
+      FROM best WHERE rn = 1 ORDER BY event_type"""
 }

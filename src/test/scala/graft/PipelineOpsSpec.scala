@@ -1849,6 +1849,54 @@ class PipelineOpsSpec extends SparkSpec {
       sf.getDouble(7) >= sObs, sf.toString)
   }
 
+  test("changepoint: clean step found exactly with share 1, constant " +
+       "series ties to day 1 with NULL share, calendar gap is a real " +
+       "zero, corpus shares in [0,1]") {
+    import spark.implicits._
+    import graft.operators.Events
+    val dayUs = 86400L * 1000000L
+    def mkEvents(series: Seq[(String, Int, Int)]) = {
+      val rows = for {
+        ((tp, d, cnt), gi) <- series.zipWithIndex
+        i <- 0 until cnt
+      } yield {
+        val t = new java.sql.Timestamp(0L)
+        t.setTime((d.toLong * dayUs + i.toLong * 1000000L) / 1000L)
+        ((gi * 1000 + i).toLong, t, 1L, tp, 0.0, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    // step: 10/day for 10 days then 30/day for 10 — the split after
+    // day 10 explains ALL the variance (gain = SST = 2000, share 1)
+    val step = (0 until 10).map(d => ("step", d, 10)) ++
+      (10 until 20).map(d => ("step", d, 30))
+    // const: no shift — every gain is exactly 0, tie → earliest day,
+    // share NULL on the zero-SSE series
+    val const = (0 until 5).map(d => ("const", d, 10))
+    // gapz: day 3 has NO events; the calendar fill makes it a real
+    // zero and the best split isolates the dip: 10,10,10 | 0,10
+    val gapz = Seq(0, 1, 2, 4).map(d => ("gapz", d, 10))
+    val got = Events.changepoint(mkEvents(step ++ const ++ gapz))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = got("step")
+    assert(s.getString(1) == "1970-01-10" && s.getLong(2) == 20L &&
+      s.getDouble(3) == 10.0 && s.getDouble(4) == 30.0 &&
+      s.getDouble(5) == 2000.0 && s.getDouble(6) == 1.0, s.toString)
+    val c = got("const")
+    assert(c.getString(1) == "1970-01-01" && c.getDouble(5) == 0.0 &&
+      c.isNullAt(6), c.toString)
+    val g = got("gapz")
+    assert(g.getString(1) == "1970-01-03" && g.getLong(2) == 5L &&
+      g.getDouble(3) == 10.0 && g.getDouble(4) == 5.0, g.toString)
+    // sf corpus: one row per type, gain ≥ 0, the explained share is a
+    // fraction of total SSE
+    val sf = Events.changepoint(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall { r =>
+      r.getDouble(5) >= 0.0 && (r.isNullAt(6) ||
+        (r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)) },
+      sf.mkString(";"))
+  }
+
   test("broken stick: exact planted expectations with tie-break, " +
        "expectations decrease with rank on the corpus") {
     import spark.implicits._
