@@ -145,6 +145,7 @@ object SparkEntry {
     "t41_mtld" -> ((s: SparkSession, d: String) => TextOps.mtld(s, d)),
     "t42_js_divergence" ->
       ((s: SparkSession, d: String) => TextOps.t42JsDivergence(s, d)),
+    "t44_yule_k" -> ((s: SparkSession, d: String) => TextOps.yuleK(s, d)),
     "s22_hnsw" -> ((s: SparkSession, d: String) =>
       Similarity.hnswSearchOn(annEmb(s, d), annEdges(s, d),
         Similarity.KnnK, Similarity.KnnRounds,
@@ -1276,6 +1277,7 @@ object SparkEntry {
     "t40_rake" -> graft.operators.TextOps.t40OracleSql,
     "t41_mtld" -> graft.operators.TextOps.t41OracleSql,
     "t42_js_divergence" -> graft.operators.TextOps.t42OracleSql,
+    "t44_yule_k" -> graft.operators.TextOps.t44OracleSql,
     "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),

@@ -3271,4 +3271,64 @@ object TextOps {
           col("sum_deflate").cast("double") / col("sum_text").cast("double"),
           6).as("bucket_ratio"))
       .orderBy("source", "bucket")
+
+  /** t44: YULE'S CHARACTERISTIC K per source (Yule 1944; Tweedie &
+    * Baayen 1998) — the classic SIZE-INVARIANT lexical-repetitiveness
+    * constant: K = 10⁴·(Σ_m m²V_m − N)/N² over the frequency-of-
+    * frequency spectrum (V_m = types seen m times, N = tokens). Raw
+    * type/token ratios (t3) shrink mechanically as a source grows —
+    * K does not (it estimates 10⁴× the probability two random tokens
+    * are the same type, bias-corrected), so it is the repetitiveness
+    * dial that stays comparable across sources of wildly different
+    * volume: boilerplate-heavy crawl slices score high, diverse prose
+    * low, beside t6's within-doc repetition and t41's MTLD. All-
+    * singleton text lands at exactly 0; a one-type source approaches
+    * the 10⁴ ceiling.
+    *
+    * Determinism: Σ_m m²V_m = Σ_types c² and N are exact integer
+    * aggregates off t35's (source, type, count) frame; K is ONE
+    * double expression phrased identically in both engines, rounded
+    * once.
+    *
+    * Scale shape: one corpus-scale explode + map-side-combined count
+    * (t10's class), one source-keyed integer rollup; output is one
+    * row per source. */
+  def yuleK(spark: SparkSession, dir: String): DataFrame =
+    yuleK(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  /** [[yuleK]]'s core over a (source, text) documents frame — split
+    * out for planted specs. */
+  def yuleK(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    tf.groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("m2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(lit(10000.0) * (col("m2") - col("n_tokens")).cast("double")
+          / (col("n_tokens").cast("double")
+            * col("n_tokens").cast("double")), 6).as("yule_k"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[yuleK]] — identical token multiset, square
+    * census, and single rounded expression. */
+  def t44OracleSql: String = """
+      WITH tf AS (
+        SELECT source, w, count(*) AS c
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+          sum(c * c) AS m2
+        FROM tf GROUP BY 1)
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_types AS BIGINT) AS n_types,
+        round(10000.0 * CAST(m2 - n_tokens AS DOUBLE)
+          / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+          AS yule_k
+      FROM agg ORDER BY source"""
 }

@@ -1117,4 +1117,24 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(buckets == local, s"bucket rollup diverged:\n$buckets\nvs\n$local")
   }
+
+  test("Yule's K: exact planted spectra, all-singleton zero, corpus " +
+       "under the 10^4 ceiling") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // rep: "a a a b" → c = {3, 1}, N = 4, Σc² = 10 →
+    // K = 10⁴(10−4)/16 = 3750; div: three singletons → K = 0
+    val docs = Seq(("rep", 1L, "a a a b"), ("div", 2L, "x y z"))
+      .toDF("source", "doc_id", "text")
+    val got = TextOps.yuleK(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got("rep") == ((4L, 2L, 3750.0)), got("rep").toString)
+    assert(got("div") == ((3L, 3L, 0.0)), got("div").toString)
+    // sf corpus: K lives in [0, 10⁴) — the one-type ceiling is open
+    val sf = TextOps.yuleK(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall { r =>
+      r.getDouble(3) >= 0.0 && r.getDouble(3) < 10000.0 },
+      sf.mkString(";"))
+  }
 }
