@@ -175,6 +175,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational.q81Bstick(s, d)),
     "q82_taxondive" ->
       ((s: SparkSession, d: String) => Relational.q82Taxondive(s, d)),
+    "q83_dispersion" ->
+      ((s: SparkSession, d: String) => Relational.q83Dispersion(s, d)),
     "q76_ca_species" ->
       ((s: SparkSession, d: String) => Ordination.q76CaSpecies(s, d)),
     // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
@@ -802,6 +804,7 @@ object SparkEntry {
     "q80_specpool" -> graft.operators.Relational.q80OracleSql,
     "q81_bstick" -> graft.operators.Relational.q81OracleSql,
     "q82_taxondive" -> graft.operators.Relational.q82OracleSql,
+    "q83_dispersion" -> graft.operators.Relational.q83OracleSql,
     "q76_ca_species" -> Ordination.q76OracleSql(),
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle

@@ -5810,4 +5810,75 @@ object Relational {
             / CAST(t * t - q AS DOUBLE), 6) END AS delta_star
       FROM stats JOIN hg ON stats.n_name = hg.n_name
       ORDER BY stats.n_name"""
+
+  /** q83: MORISITA'S INDEX OF DISPERSION per taxon (Morisita 1959;
+    * Hurlbert 1990; vegan dispindmorisita) — the spatial-pattern dial
+    * the community matrix's COLUMNS carry: is a taxon's abundance
+    * CLUMPED into few samples (I_δ > 1 — patchy habitat, the usual
+    * ecological signal), random (I_δ = 1, the Poisson expectation),
+    * or evenly spread (I_δ < 1 — territoriality/regular placement)?
+    * I_δ = N·Σx(x−1)/(X(X−1)) — the ratio of observed same-sample
+    * token pairs to their random-placement expectation — with N the
+    * survey's sample count (absent samples count: absence IS the
+    * clumping signal) and X the taxon's total. X < 2 has no pairs →
+    * NULL identically in both engines. (vegan's chi-square-quantile
+    * STANDARDIZED variant needs an inverse-gamma special function
+    * neither engine evaluates identically — the raw Morisita 1959
+    * statistic is the index itself.)
+    *
+    * Determinism: Σx(x−1), X, N are exact integer aggregates; I_δ is
+    * ONE double expression phrased identically in both engines,
+    * rounded once.
+    *
+    * Scale shape: one fact-scale count aggregate (map-side combine),
+    * one taxon-keyed integer rollup, a one-row broadcast for N;
+    * output is one row per taxon. */
+  def q83Dispersion(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey").as("taxon"))
+      .agg(count(lit(1)).as("cnt"))
+    dispersionFromCounts(ab)
+  }
+
+  /** [[q83Dispersion]]'s core over a (n_name, taxon, cnt) count frame
+    * — split out for planted specs. */
+  def dispersionFromCounts(ab: DataFrame): DataFrame = {
+    val occ = ab.groupBy("taxon").agg(
+      sum(col("cnt")).as("x"),
+      sum(col("cnt") * (col("cnt") - 1)).as("xx1"))
+    val nsf = ab.select(col("n_name")).distinct()
+      .agg(count(lit(1)).as("n"))
+    occ.crossJoin(broadcast(nsf))
+      .select(col("taxon"), col("n").as("n_samples"), col("x"),
+        when(col("x") >= 2, round(
+          (col("n") * col("xx1")).cast("double")
+          / (col("x") * (col("x") - 1)).cast("double"), 6))
+          .as("morisita"))
+      .orderBy("taxon")
+  }
+
+  /** DuckDB oracle for [[q83Dispersion]] — identical integer censuses
+    * and single rounded expression. */
+  def q83OracleSql: String = """
+      WITH ab AS (
+        SELECT n_name, l_partkey AS taxon, count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      occ AS (
+        SELECT taxon, CAST(sum(cnt) AS BIGINT) AS x,
+          CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS xx1
+        FROM ab GROUP BY 1),
+      nn AS (SELECT count(DISTINCT n_name) AS n FROM ab)
+      SELECT taxon, CAST(n AS BIGINT) AS n_samples, x,
+        CASE WHEN x >= 2 THEN
+          round(CAST(n * xx1 AS DOUBLE)
+            / CAST(x * (x - 1) AS DOUBLE), 6) END AS morisita
+      FROM occ, nn ORDER BY taxon"""
 }

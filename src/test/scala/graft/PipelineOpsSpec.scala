@@ -1897,6 +1897,35 @@ class PipelineOpsSpec extends SparkSpec {
       sf.mkString(";"))
   }
 
+  test("Morisita dispersion: clumped/uniform planted panel, " +
+       "absent samples count, singleton NULL, corpus nonnegative") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // 3 samples in the survey. clump: all 4 tokens in s1 →
+    // I = 3·12/(4·3) = 3; spread: (2,1,1) → I = 3·2/12 = 0.5;
+    // solo: X = 1 → no pairs → NULL. s3 holds only 'spread'/'solo'
+    // mass, but N = 3 counts it for 'clump' too — absence is signal.
+    val ab = Seq(
+      ("s1", 1L, 4L),
+      ("s1", 2L, 2L), ("s2", 2L, 1L), ("s3", 2L, 1L),
+      ("s3", 3L, 1L))
+      .toDF("n_name", "taxon", "cnt")
+    val got = Relational.dispersionFromCounts(ab).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 3L && got(1L).getLong(2) == 4L &&
+      got(1L).getDouble(3) == 3.0, got(1L).toString)
+    assert(got(2L).getDouble(3) == 0.5, got(2L).toString)
+    assert(got(3L).getLong(2) == 1L && got(3L).isNullAt(3),
+      got(3L).toString)
+    // sf corpus: N = 25 nations everywhere; defined indices ≥ 0 and
+    // capped by N (all mass in one sample)
+    val sf = Relational.q83Dispersion(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall { r =>
+      r.getLong(1) == 25L && (r.isNullAt(3) ||
+        (r.getDouble(3) >= 0.0 && r.getDouble(3) <= 25.0)) },
+      sf.length.toString)
+  }
+
   test("broken stick: exact planted expectations with tie-break, " +
        "expectations decrease with rank on the corpus") {
     import spark.implicits._
