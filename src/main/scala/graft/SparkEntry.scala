@@ -269,6 +269,8 @@ object SparkEntry {
       Graph.g30StabilityOverForest(
         Option(msfMemoFor(s).get(d)).getOrElse(msfForest(s, d)),
         Graph.G29Cuts)),
+    "g31_rich_club" ->
+      ((s: SparkSession, d: String) => Graph.g31RichClub(s, d)),
     "g18_modularity" ->
       ((s: SparkSession, d: String) => Graph.g18Modularity(s, d)),
     "g19_scc" -> ((s: SparkSession, d: String) => Graph.g19Scc(s, d)),
@@ -1301,6 +1303,7 @@ object SparkEntry {
     "g28_msf" -> graft.operators.Graph.g28OracleSql(),
     "g29_single_linkage" -> graft.operators.Graph.g29OracleSql(),
     "g30_cluster_stability" -> graft.operators.Graph.g30OracleSql(),
+    "g31_rich_club" -> graft.operators.Graph.g31OracleSql,
     "g18_modularity" -> graft.operators.Graph.g18OracleSql(),
     "g19_scc" -> graft.operators.Graph.g19OracleSql,
     "g20_condensation" -> graft.operators.Graph.g20OracleSql,

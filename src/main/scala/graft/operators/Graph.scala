@@ -4253,4 +4253,113 @@ object Graph {
       FROM e$rounds e LEFT JOIN sf USING (a, b)
       GROUP BY 1 ORDER BY 1"""
   }
+
+  /** Degree thresholds the rich-club coefficient is evaluated at —
+    * g13's power-of-two ladder, rendered identically into both
+    * engines. */
+  val RichClubThresholds: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)
+
+  /** g31: RICH-CLUB COEFFICIENT ladder (Zhou & Mondragón 2004) — do
+    * the hubs form a club? φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)):
+    * among the N_{>k} nodes of degree > k, the fraction of possible
+    * edges actually present, per threshold k in
+    * [[RichClubThresholds]]. φ rising toward 1 at high k = an
+    * oligarchic core (the Internet-AS signature); flat φ = hubs
+    * ignore each other. The degree-side companion of g4's
+    * assortativity scalar (g4 averages over ALL edges; the ladder
+    * shows WHERE the mixing lives). Fewer than two qualifying nodes →
+    * NULL φ identically in both engines (no possible edges to be a
+    * fraction of). (Colizza et al. 2006's rewiring-normalized
+    * variant needs a randomized null — out of scope by the repo's
+    * determinism contract, documented here.)
+    *
+    * Determinism: degree, node, and edge censuses are exact integers;
+    * φ is ONE double expression phrased identically in both engines,
+    * rounded once.
+    *
+    * Scale shape: the edge-scale work is one degree aggregate + the
+    * two degree-annotation joins (g4's class); both histograms
+    * (node-degree, edge-min-degree) are aggregate-bounded, and the
+    * threshold ladder join is (thresholds × histogram)-bounded.
+    * Nothing iterated; output is one row per threshold. */
+  def g31RichClub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(n > 0, "g31 needs a non-empty documents frame")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g31 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g31Core(simpleUndirected(syntheticFwd(docs, n)))
+  }
+
+  /** General entry — explicit (src, dst) edge list, arbitrary sparse
+    * 64-bit ids (the Edges-variant convention). */
+  def g31RichClubEdges(edges0: DataFrame): DataFrame =
+    g31Core(simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))))
+
+  private def g31Core(simple: DataFrame): DataFrame = {
+    val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val dh = deg.groupBy("d").agg(count(lit(1)).as("nd"))
+    val em = simple
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(least(col("da"), col("db")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("ne"))
+    val sess = simple.sparkSession
+    import sess.implicits._
+    val ladder = RichClubThresholds.toDF("k")
+    val nk = ladder.join(dh, col("d") > col("k"), "left_outer")
+      .groupBy("k").agg(coalesce(sum(col("nd")), lit(0L)).as("n_rich"))
+    val ek = ladder.join(em, col("m") > col("k"), "left_outer")
+      .groupBy("k").agg(coalesce(sum(col("ne")), lit(0L)).as("e_rich"))
+    nk.join(ek, "k")
+      .select(col("k"), col("n_rich"), col("e_rich"),
+        when(col("n_rich") >= 2, round(
+          lit(2.0) * col("e_rich").cast("double")
+          / (col("n_rich").cast("double")
+            * (col("n_rich") - 1).cast("double")), 6)).as("phi"))
+      .orderBy("k")
+  }
+
+  /** DuckDB oracle for [[g31RichClub]] — g13's derived-graph CTEs,
+    * identical histograms, ladder, and φ expression. */
+  def g31OracleSql: String = s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      fwd AS (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      simple AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM fwd),
+      deg AS (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) t
+        GROUP BY v),
+      dh AS (SELECT d, count(*) AS nd FROM deg GROUP BY 1),
+      em AS (
+        SELECT least(da.d, db.d) AS m, count(*) AS ne
+        FROM simple
+        JOIN deg da ON da.v = simple.a
+        JOIN deg db ON db.v = simple.b
+        GROUP BY 1),
+      ladder(k) AS (VALUES ${RichClubThresholds.map(k => s"($k)").mkString(", ")}),
+      nk AS (
+        SELECT k, coalesce(sum(nd), 0) AS n_rich
+        FROM ladder LEFT JOIN dh ON d > k GROUP BY 1),
+      ek AS (
+        SELECT k, coalesce(sum(ne), 0) AS e_rich
+        FROM ladder LEFT JOIN em ON m > k GROUP BY 1)
+      SELECT CAST(k AS INT) AS k, CAST(n_rich AS BIGINT) AS n_rich,
+        CAST(e_rich AS BIGINT) AS e_rich,
+        CASE WHEN n_rich >= 2 THEN
+          round(2.0 * CAST(e_rich AS DOUBLE)
+            / (CAST(n_rich AS DOUBLE) * CAST(n_rich - 1 AS DOUBLE)), 6)
+          END AS phi
+      FROM nk JOIN ek USING (k) ORDER BY k"""
 }

@@ -1420,4 +1420,37 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(sf.getDouble(3)) < 0.1, sf.toString)
     assert(sf.getDouble(2) > 0.0 && sf.getDouble(2) < 1.0, sf.toString)
   }
+
+  test("g31 rich club: K4-with-pendant hits phi=1 on the hub club, " +
+       "sub-club thresholds NULL, one-node club NULL, corpus ladder " +
+       "monotone in censuses with phi in [0,1]") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]) =
+      Graph.g31RichClubEdges(edges.toDF("src", "dst")).collect()
+        .map(r => r.getInt(0) -> r).toMap
+    // K4 on {1..4} (degrees 3,3,3 and 4 for node 1) + pendant 5:
+    // k=1,2 keep exactly the K4 nodes and edges — a perfect club
+    val k4 = run(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)))
+    Seq(1, 2).foreach { k =>
+      val r = k4(k)
+      assert(r.getLong(1) == 4L && r.getLong(2) == 6L &&
+        r.getDouble(3) == 1.0, r.toString)
+    }
+    // no node exceeds degree 4 → empty club, NULL phi
+    assert(k4(4).getLong(1) == 0L && k4(4).isNullAt(3), k4(4).toString)
+    // path 1-2-3: only the middle node exceeds degree 1 — a one-node
+    // club has no possible edges → NULL, not 0
+    val path = run(Seq((1L, 2L), (2L, 3L)))
+    assert(path(1).getLong(1) == 1L && path(1).getLong(2) == 0L &&
+      path(1).isNullAt(3), path(1).toString)
+    // corpus: censuses weakly decrease along the ladder; phi ∈ [0, 1]
+    val sf = Graph.g31RichClub(spark, sfDir).collect().sortBy(_.getInt(0))
+    assert(sf.length == Graph.RichClubThresholds.length)
+    sf.zip(sf.tail).foreach { case (a, b) =>
+      assert(a.getLong(1) >= b.getLong(1) && a.getLong(2) >= b.getLong(2),
+        s"$a !>= $b") }
+    sf.foreach { r => assert(r.isNullAt(3) ||
+      (r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0), r.toString) }
+  }
 }
