@@ -177,6 +177,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational.q82Taxondive(s, d)),
     "q83_dispersion" ->
       ((s: SparkSession, d: String) => Relational.q83Dispersion(s, d)),
+    "q84_decostand" ->
+      ((s: SparkSession, d: String) => Relational.q84Decostand(s, d)),
     "q76_ca_species" ->
       ((s: SparkSession, d: String) => Ordination.q76CaSpecies(s, d)),
     // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
@@ -807,6 +809,7 @@ object SparkEntry {
     "q81_bstick" -> graft.operators.Relational.q81OracleSql,
     "q82_taxondive" -> graft.operators.Relational.q82OracleSql,
     "q83_dispersion" -> graft.operators.Relational.q83OracleSql,
+    "q84_decostand" -> graft.operators.Relational.q84OracleSql,
     "q76_ca_species" -> Ordination.q76OracleSql(),
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle

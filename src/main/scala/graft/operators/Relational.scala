@@ -5881,4 +5881,99 @@ object Relational {
           round(CAST(n * xx1 AS DOUBLE)
             / CAST(x * (x - 1) AS DOUBLE), 6) END AS morisita
       FROM occ, nn ORDER BY taxon"""
+
+  /** q84: COMMUNITY-MATRIX STANDARDIZATION panel (Legendre &
+    * Gallagher 2001; Bray & Curtis 1957's Wisconsin double standard;
+    * vegan decostand) — the pre-ordination transforms that make
+    * Euclidean machinery ecologically meaningful, side by side per
+    * cell: HELLINGER √(x/row) (the L&G recommendation — makes PCA/RDA
+    * respect composition), CHI-SQUARE x·√N/(row·√col) (the implicit
+    * CA metric, exposed — q73 without the eigensolve), MAX x/colmax
+    * (species-profile equalizer), and WISCONSIN (x/colmax)/Σ_k(x/colmax)
+    * (the double standardization classically paired with Bray–Curtis).
+    * Computed on the (sample × p_type) count matrix — the same coarse
+    * grid q79's smoothing reads.
+    *
+    * Determinism: every census (cell, row, column, max, grand) is an
+    * exact integer; √ is correctly-rounded IEEE (the repo's no-libm-
+    * pow rule does not bar it), so each cell is a short identical
+    * chain of exact-input IEEE ops; Wisconsin's row normalizer sums
+    * round-12 quantized DECIMAL terms (order-free — a raw double row
+    * sum would be shuffle-order-sensitive), numerator kept unrounded;
+    * outputs round-6.
+    *
+    * Scale shape: one fact-scale count aggregate (map-side combine);
+    * row/column/grand censuses and every join after are
+    * (samples × vocabulary)-bounded. */
+  def q84Decostand(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    val ab = l
+      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_type"))
+      .agg(count(lit(1)).as("cnt"))
+    decostandFromCounts(ab)
+  }
+
+  /** [[q84Decostand]]'s core over a (n_name, p_type, cnt) count
+    * matrix — split out for planted specs. */
+  def decostandFromCounts(ab0: DataFrame): DataFrame = {
+    val ab = graft.Ckpt(ab0)
+    val rows = ab.groupBy("n_name").agg(sum(col("cnt")).as("rs"))
+    val cols = ab.groupBy("p_type")
+      .agg(sum(col("cnt")).as("cs"), max(col("cnt")).as("cm"))
+    val nsf = ab.agg(sum(col("cnt")).as("g"))
+    val cells = ab.join(rows, "n_name").join(cols, "p_type")
+      .crossJoin(broadcast(nsf))
+      .withColumn("mx", col("cnt").cast("double") / col("cm").cast("double"))
+      .withColumn("mxq", round(col("mx"), 12).cast("decimal(25,12)"))
+    val wden = cells.groupBy(col("n_name").as("wn"))
+      .agg(sum(col("mxq")).as("wd"))
+    cells.join(wden, col("n_name") === col("wn"))
+      .select(col("n_name").as("sample"), col("p_type").as("taxon"),
+        col("cnt"),
+        round(sqrt(col("cnt").cast("double") / col("rs").cast("double")),
+          6).as("hellinger"),
+        round(col("cnt").cast("double") * sqrt(col("g").cast("double"))
+          / (col("rs").cast("double") * sqrt(col("cs").cast("double"))),
+          6).as("chisq"),
+        round(col("mx"), 6).as("maxstd"),
+        round(col("mx") / col("wd").cast("double"), 6).as("wisconsin"))
+      .orderBy("sample", "taxon")
+  }
+
+  /** DuckDB oracle for [[q84Decostand]] — identical integer censuses,
+    * IEEE chains, and round-12 Wisconsin normalizer grid. */
+  def q84OracleSql: String = """
+      WITH ab AS (
+        SELECT n_name, p_type, count(*) AS cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      rows_ AS (SELECT n_name, sum(cnt) AS rs FROM ab GROUP BY 1),
+      cols_ AS (
+        SELECT p_type, sum(cnt) AS cs, max(cnt) AS cm FROM ab GROUP BY 1),
+      gg AS (SELECT sum(cnt) AS g FROM ab),
+      cells AS (
+        SELECT n_name, p_type, cnt, rs, cs, cm, g,
+          CAST(cnt AS DOUBLE) / CAST(cm AS DOUBLE) AS mx,
+          CAST(round(CAST(cnt AS DOUBLE) / CAST(cm AS DOUBLE), 12)
+            AS DECIMAL(25,12)) AS mxq
+        FROM ab JOIN rows_ USING (n_name) JOIN cols_ USING (p_type), gg),
+      wden AS (SELECT n_name, sum(mxq) AS wd FROM cells GROUP BY 1)
+      SELECT cells.n_name AS sample, p_type AS taxon,
+        CAST(cnt AS BIGINT) AS cnt,
+        round(sqrt(CAST(cnt AS DOUBLE) / CAST(rs AS DOUBLE)), 6)
+          AS hellinger,
+        round(CAST(cnt AS DOUBLE) * sqrt(CAST(g AS DOUBLE))
+          / (CAST(rs AS DOUBLE) * sqrt(CAST(cs AS DOUBLE))), 6) AS chisq,
+        round(mx, 6) AS maxstd,
+        round(mx / CAST(wd AS DOUBLE), 6) AS wisconsin
+      FROM cells JOIN wden ON cells.n_name = wden.n_name
+      ORDER BY sample, taxon"""
 }

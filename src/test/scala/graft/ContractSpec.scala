@@ -336,6 +336,7 @@ class ContractSpec extends SparkSpec {
         "val m2 = ms.crossJoin(broadcast(txf)).crossJoin(broadcast(tyf))" -> "one-row (normalized traces — q55)",
         ".crossJoin(broadcast(pobs))" -> "one-row (observed m² — q55)",
         "occ.crossJoin(broadcast(nsf))" -> "one-row (sample count — q57)",
+        ".crossJoin(broadcast(nsf))" -> "one-row (grand total — q84)",
         ".crossJoin(broadcast(pool)) // one-row taxon-pool size" -> "one-row (q60 pool size)",
         ".crossJoin(broadcast(poolRich)) // one-row pooled richness" -> "one-row (q63 pooled richness)",
         ".crossJoin(broadcast(pairSums)) // one-row pair-census sums" -> "one-row (q63 pair sums)",

@@ -1897,6 +1897,41 @@ class PipelineOpsSpec extends SparkSpec {
       sf.mkString(";"))
   }
 
+  test("decostand: hand-computed 2x2 standardization panel, Hellinger " +
+       "rows unit-norm on the corpus, Wisconsin rows sum to 1") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // s1: A=1, B=4; s2: A=9. rows 5/9; col A sum 10 max 9, col B 4/4;
+    // grand 14. hellinger s1B = √(4/5); chisq s1B = 4√14/(5·√4);
+    // maxstd s1A = 1/9; wisconsin s1 = (1/9, 1)/Σ → (0.1, 0.9)
+    val ab = Seq(("s1", "A", 1L), ("s1", "B", 4L), ("s2", "A", 9L))
+      .toDF("n_name", "p_type", "cnt")
+    val got = Relational.decostandFromCounts(ab).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val s1a = got(("s1", "A"))
+    assert(s1a.getDouble(3) == 0.447214 && s1a.getDouble(5) == 0.111111
+      && s1a.getDouble(6) == 0.1, s1a.toString)
+    val s1b = got(("s1", "B"))
+    assert(s1b.getDouble(3) == 0.894427 && s1b.getDouble(4) == 1.496663
+      && s1b.getDouble(5) == 1.0 && s1b.getDouble(6) == 0.9,
+      s1b.toString)
+    val s2a = got(("s2", "A"))
+    assert(s2a.getDouble(3) == 1.0 && s2a.getDouble(4) == 1.183216 &&
+      s2a.getDouble(5) == 1.0 && s2a.getDouble(6) == 1.0, s2a.toString)
+    // sf corpus: Hellinger rows have unit squared norm (Σ x/row = 1),
+    // Wisconsin rows sum to 1, every value positive
+    val sf = Relational.q84Decostand(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall(r => r.getDouble(3) > 0.0 &&
+      r.getDouble(4) > 0.0 && r.getDouble(5) > 0.0 &&
+      r.getDouble(6) > 0.0))
+    sf.groupBy(_.getString(0)).foreach { case (s, rows) =>
+      val h2 = rows.map(r => r.getDouble(3) * r.getDouble(3)).sum
+      val ws = rows.map(_.getDouble(6)).sum
+      assert(math.abs(h2 - 1.0) < 1e-4, s"$s hellinger norm $h2")
+      assert(math.abs(ws - 1.0) < 1e-4, s"$s wisconsin sum $ws")
+    }
+  }
+
   test("Morisita dispersion: clumped/uniform planted panel, " +
        "absent samples count, singleton NULL, corpus nonnegative") {
     import spark.implicits._
