@@ -146,6 +146,8 @@ object SparkEntry {
     "t42_js_divergence" ->
       ((s: SparkSession, d: String) => TextOps.t42JsDivergence(s, d)),
     "t44_yule_k" -> ((s: SparkSession, d: String) => TextOps.yuleK(s, d)),
+    "t45_burstiness" ->
+      ((s: SparkSession, d: String) => TextOps.burstiness(s, d)),
     "s22_hnsw" -> ((s: SparkSession, d: String) =>
       Similarity.hnswSearchOn(annEmb(s, d), annEdges(s, d),
         Similarity.KnnK, Similarity.KnnRounds,
@@ -1286,6 +1288,7 @@ object SparkEntry {
     "t41_mtld" -> graft.operators.TextOps.t41OracleSql,
     "t42_js_divergence" -> graft.operators.TextOps.t42OracleSql,
     "t44_yule_k" -> graft.operators.TextOps.t44OracleSql,
+    "t45_burstiness" -> graft.operators.TextOps.t45OracleSql,
     "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),

@@ -3331,4 +3331,77 @@ object TextOps {
           / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
           AS yule_k
       FROM agg ORDER BY source"""
+
+  /** Terms the burstiness panel reports — t10's top-k discipline. */
+  final val BurstTopK = 50
+
+  /** t45: TERM BURSTINESS / ADAPTATION (Church & Gale 1995 Poisson
+    * mixtures; Church 2000 "Empirical estimates of adaptation") — the
+    * anti-IDF insight: content words do not arrive Poisson — seeing a
+    * term once makes a SECOND occurrence in the same document far
+    * likelier than its corpus rate predicts. Per top-[[BurstTopK]]
+    * term (by collection frequency, term tie-break): Katz's
+    * burstiness B = cf/df (mean occurrences per containing doc),
+    * adaptation = P(≥2 | ≥1) = df2/df, and the prior P(≥1) = df/D it
+    * must beat — adaptation ≫ prior is the content-word signature,
+    * adaptation ≈ prior the function-word one. The dial that
+    * separates "frequent because it is everywhere" (stopwords, t1's
+    * profiles) from "frequent because it CLUMPS" (topical terms) —
+    * what a keyword extractor (t40) or quality filter reads beside
+    * raw tf-idf (t14).
+    *
+    * Determinism: cf/df/df2/D are exact integer censuses; each output
+    * is ONE rounded double division phrased identically in both
+    * engines; the top-k cut is a total order (cf desc, term asc).
+    *
+    * Scale shape: one corpus-scale explode to (term, doc) counts
+    * (map-side combine — t10's class), one term-keyed rollup, a
+    * one-row doc-count broadcast, and a TakeOrdered top-k. Nothing
+    * quadratic. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    burstiness(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  /** [[burstiness]]'s core over a (doc_id, text) documents frame —
+    * split out for planted specs. */
+  def burstiness(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+    val terms = tf.groupBy("w").agg(
+      sum(col("c")).as("cf"),
+      count(lit(1)).as("df"),
+      sum(when(col("c") >= 2, 1L).otherwise(0L)).as("df2"))
+    val nd = docs.agg(count(lit(1)).as("d"))
+    terms.crossJoin(broadcast(nd))
+      .select(col("w"), col("cf"), col("df"), col("df2"),
+        round(col("cf").cast("double") / col("df").cast("double"), 6)
+          .as("burstiness"),
+        round(col("df2").cast("double") / col("df").cast("double"), 6)
+          .as("adaptation"),
+        round(col("df").cast("double") / col("d").cast("double"), 6)
+          .as("prior"))
+      .orderBy(col("cf").desc, col("w"))
+      .limit(BurstTopK)
+  }
+
+  /** DuckDB oracle for [[burstiness]] — identical censuses, rounded
+    * divisions, and top-k total order. */
+  def t45OracleSql: String = s"""
+      WITH tf AS (
+        SELECT w, doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2),
+      terms AS (
+        SELECT w, sum(c) AS cf, count(*) AS df,
+          sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS df2
+        FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS d FROM documents)
+      SELECT w, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+        CAST(df2 AS BIGINT) AS df2,
+        round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness,
+        round(CAST(df2 AS DOUBLE) / CAST(df AS DOUBLE), 6) AS adaptation,
+        round(CAST(df AS DOUBLE) / CAST(d AS DOUBLE), 6) AS prior
+      FROM terms, nd
+      ORDER BY cf DESC, w LIMIT $BurstTopK"""
 }

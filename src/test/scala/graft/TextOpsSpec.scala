@@ -1118,6 +1118,37 @@ class TextOpsSpec extends SparkSpec {
     assert(buckets == local, s"bucket rollup diverged:\n$buckets\nvs\n$local")
   }
 
+  test("burstiness: exact planted censuses, content-word adaptation " +
+       "beats prior, tied top-k boundary cuts by term order, corpus " +
+       "bounds") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // a: cf=4 df=2 df2=1 (clumps in d1); b: cf=2 df=2 df2=0 (spread);
+    // c: cf=3 df=2 df2=1. D=3
+    val docs = Seq((1L, "a a a b"), (2L, "a c"), (3L, "b c c"))
+      .toDF("doc_id", "text")
+    val got = TextOps.burstiness(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got("a") == ((4L, 2L, 1L, 2.0, 0.5, 0.666667)), got("a").toString)
+    assert(got("b") == ((2L, 2L, 0L, 1.0, 0.0, 0.666667)), got("b").toString)
+    assert(got("c") == ((3L, 2L, 1L, 1.5, 0.5, 0.666667)), got("c").toString)
+    // 60 singleton terms tie on cf — the cut keeps the 50 smallest by
+    // term order (the total-order contract at the boundary)
+    val wide = Seq((1L, (0 until 60).map(i => f"w$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cut = TextOps.burstiness(wide).collect().map(_.getString(0))
+    assert(cut.length == TextOps.BurstTopK &&
+      cut.toSeq == (0 until 50).map(i => f"w$i%02d"), cut.take(5).mkString(","))
+    // sf corpus: ratios live on their probability/mean scales
+    val sf = TextOps.burstiness(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall { r =>
+      r.getDouble(4) >= 1.0 && r.getDouble(5) >= 0.0 &&
+      r.getDouble(5) <= 1.0 && r.getDouble(6) > 0.0 &&
+      r.getDouble(6) <= 1.0 }, sf.length.toString)
+  }
+
   test("Yule's K: exact planted spectra, all-singleton zero, corpus " +
        "under the 10^4 ceiling") {
     import spark.implicits._
