@@ -181,6 +181,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Relational.q83Dispersion(s, d)),
     "q84_decostand" ->
       ((s: SparkSession, d: String) => Relational.q84Decostand(s, d)),
+    "q85_envfit_factor" ->
+      ((s: SparkSession, d: String) => Relational.q85EnvfitFactor(s, d)),
     "q76_ca_species" ->
       ((s: SparkSession, d: String) => Ordination.q76CaSpecies(s, d)),
     // rows-only BY DESIGN (r16-verdict-authorized spec-gated-only
@@ -812,6 +814,7 @@ object SparkEntry {
     "q82_taxondive" -> graft.operators.Relational.q82OracleSql,
     "q83_dispersion" -> graft.operators.Relational.q83OracleSql,
     "q84_decostand" -> graft.operators.Relational.q84OracleSql,
+    "q85_envfit_factor" -> graft.operators.Relational.q85OracleSql,
     "q76_ca_species" -> Ordination.q76OracleSql(),
     // the blocked form is bit-identical to the single-row form by
     // construction (index-order folds), so it shares the same oracle

@@ -5976,4 +5976,185 @@ object Relational {
         round(mx / CAST(wd AS DOUBLE), 6) AS wisconsin
       FROM cells JOIN wden ON cells.n_name = wden.n_name
       ORDER BY sample, taxon"""
+
+  /** q85: ENVFIT, FACTOR HALF (vegan `envfit` on a categorical
+    * variable) — q61 fits numeric ARROWS; published ordinations also
+    * overlay CATEGORY CENTROIDS (here: the sample's region), and the
+    * factor's fit is the share of ordination variance the grouping
+    * explains: r² = 1 − SS_within/SS_total over BOTH axes =
+    * Σ_g (S1_g² + S2_g²)/n_g / (Sxx + Syy) on the centered
+    * configuration, with significance from the SHARED deterministic
+    * permutation deal (labels shuffled across samples, axes fixed —
+    * q61's exact null, one variable up from vectors to partitions).
+    * Emits one row per level: its centroid in ordination coordinates
+    * (the plotted overlay), member count, and the factor-wide
+    * r²/n_ge/p (constant across rows — the factor has ONE test).
+    *
+    * Determinism: the centered axes are q61's shared round-12 grid,
+    * so group sums are exact DECIMAL(38,12) order-free adds; each
+    * group's between-SS term is round-12 re-quantized before the
+    * order-free cross-group sum; r² is one round-9 double expression;
+    * a degenerate configuration (SS_total = 0) yields NULL r²
+    * identically in both engines. Centroids are roundz-6.
+    *
+    * Scale shape: axes are q31's gated shared machinery; everything
+    * here is samples × (P+1) bounded with group-level rollups. */
+  def q85EnvfitFactor(spark: SparkSession, dir: String): DataFrame = {
+    val x = graft.Ckpt(Ordination.pcoa(q30BrayCurtis(spark, dir))
+      .select(col("sample").as("n_name"),
+        col("axis1").as("x1"), col("axis2").as("x2")))
+    val nat = Tables.dim(spark, dir, "nation")
+      .join(Tables.dim(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+    factorFitFromConfig(x,
+      nat.select(col("n_name"), col("r_name").as("g")),
+      nat.select(col("n_name"), col("n_nationkey").as("k")))
+  }
+
+  /** [[q85EnvfitFactor]]'s core over an (n_name, x1, x2) ordination,
+    * an (n_name, g) label frame, and an (n_name, k) key frame —
+    * split out for planted specs. */
+  def factorFitFromConfig(x0: DataFrame, grp0: DataFrame,
+      keys: DataFrame): DataFrame = {
+    val P = PermanovaPerms
+    val d3812 = "decimal(38,12)"
+    val samples = graft.Ckpt(x0.select("n_name").join(keys, "n_name"))
+    val xm = x0.agg(
+      (sum(col("x1").cast(d3812)).cast("double")
+        / count(lit(1)).cast("double")).as("m1"),
+      (sum(col("x2").cast(d3812)).cast("double")
+        / count(lit(1)).cast("double")).as("m2"))
+    val xc = graft.Ckpt(x0.crossJoin(broadcast(xm))
+      .select(col("n_name"),
+        round(col("x1") - col("m1"), 12).as("c1"),
+        round(col("x2") - col("m2"), 12).as("c2")))
+    val ax = xc.agg(
+      sum(round(col("c1") * col("c1"), 12).cast(d3812))
+        .cast("double").as("sxx"),
+      sum(round(col("c2") * col("c2"), 12).cast(d3812))
+        .cast("double").as("syy"))
+    val pi = permutationBijection(samples, P)
+    val gsum = xc.join(pi, "n_name")
+      .join(grp0.select(col("n_name").as("mapped"), col("g")), "mapped")
+      .groupBy("p", "g").agg(
+        sum(col("c1").cast(d3812)).as("s1"),
+        sum(col("c2").cast(d3812)).as("s2"),
+        count(lit(1)).as("ng"))
+    val terms = gsum.select(col("p"),
+      round((col("s1").cast("double") * col("s1").cast("double")
+        + col("s2").cast("double") * col("s2").cast("double"))
+        / col("ng").cast("double"), 12).cast("decimal(25,12)").as("t"))
+    val r2all = terms.groupBy("p").agg(sum(col("t")).as("ssb"))
+      .crossJoin(broadcast(ax))
+      .select(col("p"),
+        when(col("sxx") + col("syy") > 0, round(
+          col("ssb").cast("double") / (col("sxx") + col("syy")), 9))
+          .as("r2"))
+    val obsr = r2all.filter(col("p") === 0L)
+      .select(col("r2").as("r2_obs"))
+    val tail = r2all.filter(col("p") >= 1L)
+      .crossJoin(broadcast(obsr))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("r2") >= col("r2_obs"), 1L).otherwise(0L))
+          .as("n_ge"),
+        first(col("r2_obs")).as("r20"))
+    val cent = gsum.filter(col("p") === 0L)
+      .crossJoin(broadcast(xm))
+      .select(col("g").as("level"), col("ng").as("n_members"),
+        graft.GraftFunctions.roundz(col("m1")
+          + col("s1").cast("double") / col("ng").cast("double"), 6)
+          .as("cx"),
+        graft.GraftFunctions.roundz(col("m2")
+          + col("s2").cast("double") / col("ng").cast("double"), 6)
+          .as("cy"))
+    cent.crossJoin(broadcast(tail))
+      .select(col("level"), col("n_members"), col("cx"), col("cy"),
+        graft.GraftFunctions.roundz(col("r20"), 6).as("r2"),
+        col("n_perms"), col("n_ge"),
+        round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+      .orderBy("level")
+  }
+
+  /** DuckDB oracle for [[q85EnvfitFactor]] — the q31 PCoA oracle, the
+    * shared bijection deal, identical decimal group sums and round-12
+    * between-SS grid. */
+  def q85OracleSql: String = s"""
+      WITH xcfg AS MATERIALIZED (
+        SELECT sample AS n_name, axis1 AS x1, axis2 AS x2
+        FROM (${Ordination.q31OracleSql()}) q31),
+      grp AS MATERIALIZED (
+        SELECT n_name, r_name AS g
+        FROM nation JOIN region ON n_regionkey = r_regionkey),
+      samples AS MATERIALIZED (
+        SELECT xcfg.n_name, n_nationkey AS k
+        FROM xcfg JOIN nation ON nation.n_name = xcfg.n_name),
+      xm AS (
+        SELECT CAST(sum(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS m1,
+          CAST(sum(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS m2
+        FROM xcfg),
+      xc AS MATERIALIZED (
+        SELECT n_name, round(x1 - m1, 12) AS c1, round(x2 - m2, 12) AS c2
+        FROM xcfg, xm),
+      ax AS (
+        SELECT CAST(sum(CAST(round(c1 * c1, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS sxx,
+          CAST(sum(CAST(round(c2 * c2, 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS syy
+        FROM xc),
+      byid AS (
+        SELECT p, n_name, row_number() OVER (
+          PARTITION BY p ORDER BY n_name) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      byhash AS (
+        SELECT p, n_name AS mapped, row_number() OVER (
+          PARTITION BY p ORDER BY
+            ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+            k) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      pi AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, n_name AS mapped
+        FROM samples
+        UNION ALL
+        SELECT CAST(byid.p AS BIGINT), byid.n_name, mapped
+        FROM byid JOIN byhash ON byid.p = byhash.p AND byid.j = byhash.j),
+      gsum AS MATERIALIZED (
+        SELECT pi.p, grp.g,
+          sum(CAST(c1 AS DECIMAL(38,12))) AS s1,
+          sum(CAST(c2 AS DECIMAL(38,12))) AS s2,
+          count(*) AS ng
+        FROM xc JOIN pi ON pi.n_name = xc.n_name
+        JOIN grp ON grp.n_name = pi.mapped
+        GROUP BY 1, 2),
+      terms AS (
+        SELECT p, CAST(round((CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+          + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+          / CAST(ng AS DOUBLE), 12) AS DECIMAL(25,12)) AS t
+        FROM gsum),
+      r2all AS (
+        SELECT p, CASE WHEN sxx + syy > 0 THEN
+          round(CAST(ssb AS DOUBLE) / (sxx + syy), 9) END AS r2
+        FROM (SELECT p, sum(t) AS ssb FROM terms GROUP BY 1), ax),
+      obsr AS (SELECT r2 AS r2_obs FROM r2all WHERE p = 0),
+      tail AS (
+        SELECT count(*) AS n_perms,
+          CAST(sum(CASE WHEN r2 >= r2_obs THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ge,
+          any_value(r2_obs) AS r20
+        FROM r2all, obsr WHERE p >= 1),
+      cent AS (
+        SELECT g AS level, ng AS n_members,
+          (round(m1 + CAST(s1 AS DOUBLE) / CAST(ng AS DOUBLE), 6) + 0.0)
+            AS cx,
+          (round(m2 + CAST(s2 AS DOUBLE) / CAST(ng AS DOUBLE), 6) + 0.0)
+            AS cy
+        FROM gsum, xm WHERE p = 0)
+      SELECT level, CAST(n_members AS BIGINT) AS n_members, cx, cy,
+        (round(r20, 6) + 0.0) AS r2,
+        n_perms, n_ge,
+        round(CAST(n_ge + 1 AS DOUBLE) / CAST(n_perms + 1 AS DOUBLE), 6)
+          AS p_value
+      FROM cent, tail ORDER BY level"""
 }

@@ -337,6 +337,10 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(pobs))" -> "one-row (observed m² — q55)",
         "occ.crossJoin(broadcast(nsf))" -> "one-row (sample count — q57)",
         ".crossJoin(broadcast(nsf))" -> "one-row (grand total — q84)",
+        ".crossJoin(broadcast(ax))" -> "one-row (axis moments — q85)",
+        ".crossJoin(broadcast(obsr))" -> "one-row (observed r² — q85)",
+        "cent.crossJoin(broadcast(tail))" -> "one-row (permutation tail — q85)",
+        ".crossJoin(broadcast(xm))" -> "one-row (axis means — q85)",
         ".crossJoin(broadcast(pool)) // one-row taxon-pool size" -> "one-row (q60 pool size)",
         ".crossJoin(broadcast(poolRich)) // one-row pooled richness" -> "one-row (q63 pooled richness)",
         ".crossJoin(broadcast(pairSums)) // one-row pair-census sums" -> "one-row (q63 pair sums)",

@@ -1897,6 +1897,39 @@ class PipelineOpsSpec extends SparkSpec {
       sf.mkString(";"))
   }
 
+  test("envfit factor: perfectly separated groups hit r2=1 with exact " +
+       "centroids, degenerate configuration NULLs, corpus r2 in [0,1]") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val x = Seq(("s1", -1.0, 0.0), ("s2", -1.0, 0.0),
+      ("s3", 1.0, 0.0), ("s4", 1.0, 0.0)).toDF("n_name", "x1", "x2")
+    val grp = Seq(("s1", "A"), ("s2", "A"), ("s3", "B"), ("s4", "B"))
+      .toDF("n_name", "g")
+    val keys = Seq(("s1", 1L), ("s2", 2L), ("s3", 3L), ("s4", 4L))
+      .toDF("n_name", "k")
+    val got = Relational.factorFitFromConfig(x, grp, keys).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("A").getLong(1) == 2L && got("A").getDouble(2) == -1.0 &&
+      got("A").getDouble(3) == 0.0 && got("A").getDouble(4) == 1.0,
+      got("A").toString)
+    assert(got("B").getDouble(2) == 1.0 && got("B").getDouble(4) == 1.0,
+      got("B").toString)
+    assert(got("A").getDouble(7) > 0.0 && got("A").getDouble(7) <= 1.0,
+      got("A").toString)
+    // all-identical configuration: SS_total = 0 → NULL r², no test
+    val flat = Relational.factorFitFromConfig(
+      Seq(("s1", 0.0, 0.0), ("s2", 0.0, 0.0), ("s3", 0.0, 0.0),
+        ("s4", 0.0, 0.0)).toDF("n_name", "x1", "x2"), grp, keys)
+      .collect()
+    assert(flat.forall(_.isNullAt(4)), flat.mkString(";"))
+    // sf corpus: 5 region levels covering all 25 samples, r² a share
+    val sf = Relational.q85EnvfitFactor(spark, sfDir).collect()
+    assert(sf.length == 5 && sf.map(_.getLong(1)).sum == 25L)
+    assert(sf.forall { r => r.getDouble(4) >= 0.0 &&
+      r.getDouble(4) <= 1.0 && r.getDouble(7) > 0.0 &&
+      r.getDouble(7) <= 1.0 }, sf.mkString(";"))
+  }
+
   test("decostand: hand-computed 2x2 standardization panel, Hellinger " +
        "rows unit-norm on the corpus, Wisconsin rows sum to 1") {
     import spark.implicits._
