@@ -140,6 +140,8 @@ object SparkEntry {
     "e33_mase" -> ((s: SparkSession, d: String) => Events.e33Mase(s, d)),
     "e34_changepoint" ->
       ((s: SparkSession, d: String) => Events.changepoint(s, d)),
+    "e35_seasonal_strength" ->
+      ((s: SparkSession, d: String) => Events.seasonalStrength(s, d)),
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
     "t40_rake" -> ((s: SparkSession, d: String) => TextOps.rakeKeywords(s, d)),
     "t41_mtld" -> ((s: SparkSession, d: String) => TextOps.mtld(s, d)),
@@ -1286,6 +1288,7 @@ object SparkEntry {
     "e32_stl" -> graft.operators.Events.e32OracleSql,
     "e33_mase" -> graft.operators.Events.e33OracleSql,
     "e34_changepoint" -> graft.operators.Events.e34OracleSql,
+    "e35_seasonal_strength" -> graft.operators.Events.e35OracleSql,
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
     "t40_rake" -> graft.operators.TextOps.t40OracleSql,
     "t41_mtld" -> graft.operators.TextOps.t41OracleSql,

@@ -2773,4 +2773,101 @@ object Events {
           round(gain / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
             * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) END AS sse_share
       FROM best WHERE rn = 1 ORDER BY event_type"""
+
+  /** e35: TREND / SEASONALITY STRENGTH (Wang, Smith & Hyndman 2006 —
+    * the F_T/F_S features the tsfeatures/forecasting literature
+    * standardized on): ONE comparable number per series for "how much
+    * structure does the decomposition actually explain":
+    * F_T = max(0, 1 − Var(R)/Var(T+R)) on the deseasonalized series
+    * and F_S = max(0, 1 − Var(R)/Var(S+R)) on the detrended one, both
+    * off e32's STL components. ≈1 = the component dominates, ≈0 = the
+    * series is noise at that timescale — the triage dial that decides
+    * WHICH types deserve a seasonal model (e25/e28) at all. A
+    * constant comparison series (zero variance) has no strength to
+    * measure → NULL identically in both engines.
+    *
+    * Determinism: e32's components are round-6 doubles on a shared
+    * grid; the T+R / S+R sums are round-12 re-quantized per day;
+    * every Σ and Σ² rides DECIMAL(38,12) order-free; each variance is
+    * the identical Σx²/n − (Σx/n)² double expression and each
+    * strength ONE rounded expression.
+    *
+    * Scale shape: e32's (types × days)-bounded frame, one group-by;
+    * one row per type. */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    strengthFromStl(stlDecompose(spark, dir))
+
+  /** [[seasonalStrength]]'s core over [[stlDecompose]]'s output frame
+    * — split out for planted specs. */
+  def strengthFromStl(stl: DataFrame): DataFrame = {
+    val d3812 = "decimal(38,12)"
+    val q = stl.filter(col("resid").isNotNull)
+      .select(col("event_type"), col("resid"),
+        round(col("trend") + col("resid"), 12).as("dt"),
+        round(col("seasonal") + col("resid"), 12).as("ds"))
+    val agg = q.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("resid").cast(d3812)).as("sr"),
+      sum(round(col("resid") * col("resid"), 12).cast(d3812)).as("qr"),
+      sum(col("dt").cast(d3812)).as("st"),
+      sum(round(col("dt") * col("dt"), 12).cast(d3812)).as("qt"),
+      sum(col("ds").cast(d3812)).as("ss"),
+      sum(round(col("ds") * col("ds"), 12).cast(d3812)).as("qs"))
+    val n = col("n_days").cast("double")
+    def vr(s: Column, q2: Column): Column =
+      q2.cast("double") / n -
+        (s.cast("double") / n) * (s.cast("double") / n)
+    agg.select(col("event_type"), col("n_days"),
+      when(vr(col("st"), col("qt")) > 0, round(greatest(lit(0.0),
+        lit(1.0) - vr(col("sr"), col("qr")) / vr(col("st"), col("qt"))),
+        6)).as("f_trend"),
+      when(vr(col("ss"), col("qs")) > 0, round(greatest(lit(0.0),
+        lit(1.0) - vr(col("sr"), col("qr")) / vr(col("ss"), col("qs"))),
+        6)).as("f_season"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[seasonalStrength]] — e32's full STL oracle
+    * as the component source, identical round-12 grids and variance
+    * expressions. */
+  def e35OracleSql: String = s"""
+      WITH stl AS MATERIALIZED (${e32OracleSql}),
+      q AS (
+        SELECT event_type, resid,
+          round(trend + resid, 12) AS dt,
+          round(seasonal + resid, 12) AS ds
+        FROM stl WHERE resid IS NOT NULL),
+      agg AS (
+        SELECT event_type, count(*) AS n_days,
+          sum(CAST(resid AS DECIMAL(38,12))) AS sr,
+          sum(CAST(round(resid * resid, 12) AS DECIMAL(38,12))) AS qr,
+          sum(CAST(dt AS DECIMAL(38,12))) AS st,
+          sum(CAST(round(dt * dt, 12) AS DECIMAL(38,12))) AS qt,
+          sum(CAST(ds AS DECIMAL(38,12))) AS ss,
+          sum(CAST(round(ds * ds, 12) AS DECIMAL(38,12))) AS qs
+        FROM q GROUP BY 1)
+      SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        CASE WHEN CAST(qt AS DOUBLE) / CAST(n_days AS DOUBLE)
+            - (CAST(st AS DOUBLE) / CAST(n_days AS DOUBLE))
+            * (CAST(st AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0 THEN
+          round(greatest(0.0, 1.0
+            - (CAST(qr AS DOUBLE) / CAST(n_days AS DOUBLE)
+              - (CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
+              * (CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE)))
+            / (CAST(qt AS DOUBLE) / CAST(n_days AS DOUBLE)
+              - (CAST(st AS DOUBLE) / CAST(n_days AS DOUBLE))
+              * (CAST(st AS DOUBLE) / CAST(n_days AS DOUBLE)))), 6)
+          END AS f_trend,
+        CASE WHEN CAST(qs AS DOUBLE) / CAST(n_days AS DOUBLE)
+            - (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE))
+            * (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)) > 0 THEN
+          round(greatest(0.0, 1.0
+            - (CAST(qr AS DOUBLE) / CAST(n_days AS DOUBLE)
+              - (CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
+              * (CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE)))
+            / (CAST(qs AS DOUBLE) / CAST(n_days AS DOUBLE)
+              - (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE))
+              * (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)))), 6)
+          END AS f_season
+      FROM agg ORDER BY event_type"""
 }

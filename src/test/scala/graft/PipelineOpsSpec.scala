@@ -1849,6 +1849,42 @@ class PipelineOpsSpec extends SparkSpec {
       sf.getDouble(7) >= sObs, sf.toString)
   }
 
+  test("seasonal strength: pure-trend/pure-season/pure-noise planted " +
+       "panels, undecomposable rows drop, corpus strengths in [0,1]") {
+    import spark.implicits._
+    import graft.operators.Events
+    def mk(rows: Seq[(String, Option[Double], Double, Double)]) =
+      rows.zipWithIndex.map { case ((t, r, tr, se), i) =>
+        (t, f"1970-01-${i % 28 + 1}%02d", 0L, tr, se, r) }
+        .toDF("event_type", "day", "cnt", "trend", "seasonal", "resid")
+    // tr: rising trend, zero resid → F_T = 1; flat seasonal → F_S NULL
+    val tr = (1 to 6).map(i => ("tr", Some(0.0), i.toDouble, 0.0))
+    // se: alternating season, zero resid → F_S = 1; flat trend → NULL
+    val se = (1 to 6).map(i =>
+      ("se", Some(0.0), 5.0, if (i % 2 == 0) 1.0 else -1.0))
+    // nz: all the variance is residual → both strengths exactly 0;
+    // one undecomposable (NULL-resid) day must not enter the censuses
+    val nz = (1 to 6).map(i =>
+      ("nz", Some(if (i % 2 == 0) 1.0 else -1.0), 2.0, 0.0)) :+
+      (("nz", Option.empty[Double], 99.0, 99.0))
+    val got = Events.strengthFromStl(mk(tr ++ se ++ nz)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val t = got("tr")
+    assert(t.getLong(1) == 6L && t.getDouble(2) == 1.0 && t.isNullAt(3),
+      t.toString)
+    val s = got("se")
+    assert(s.isNullAt(2) && s.getDouble(3) == 1.0, s.toString)
+    val z = got("nz")
+    assert(z.getLong(1) == 6L && z.getDouble(2) == 0.0 &&
+      z.getDouble(3) == 0.0, z.toString)
+    // sf corpus: strengths are clamped shares
+    val sf = Events.seasonalStrength(spark, sfDir).collect()
+    assert(sf.nonEmpty && sf.forall { r =>
+      (r.isNullAt(2) || (r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)) &&
+      (r.isNullAt(3) || (r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)) },
+      sf.mkString(";"))
+  }
+
   test("changepoint: clean step found exactly with share 1, constant " +
        "series ties to day 1 with NULL share, calendar gap is a real " +
        "zero, corpus shares in [0,1]") {
