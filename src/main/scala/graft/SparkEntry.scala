@@ -170,6 +170,8 @@ object SparkEntry {
     "q74_cca" -> ((s: SparkSession, d: String) => Ordination.q74Cca(s, d)),
     "q75_rda" -> ((s: SparkSession, d: String) => Ordination.q75Rda(s, d)),
     "q77_dbrda" -> ((s: SparkSession, d: String) => Ordination.q77Dbrda(s, d)),
+    "q86_anova_dbrda" ->
+      ((s: SparkSession, d: String) => Ordination.q86AnovaDbrda(s, d)),
     "q78_wascores" ->
       ((s: SparkSession, d: String) => Ordination.q78Wascores(s, d)),
     "q79_beals" -> ((s: SparkSession, d: String) => Relational.q79Beals(s, d)),
@@ -809,6 +811,7 @@ object SparkEntry {
     "q74_cca" -> Ordination.q74OracleSql(),
     "q75_rda" -> Ordination.q75OracleSql(),
     "q77_dbrda" -> Ordination.q77OracleSql(),
+    "q86_anova_dbrda" -> Ordination.q86OracleSql(),
     "q78_wascores" -> Ordination.q78OracleSql(),
     "q79_beals" -> graft.operators.Relational.q79OracleSql(),
     "q80_specpool" -> graft.operators.Relational.q80OracleSql,

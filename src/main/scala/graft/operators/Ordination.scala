@@ -1097,6 +1097,241 @@ object Ordination {
         col("ca2").as("dbrda2"))
   }
 
+  /** q86: PERMUTATION TEST FOR THE CONSTRAINED ORDINATION (vegan
+    * `anova.cca`; McArdle & Anderson 2001; Legendre & Anderson 1999)
+    * — the significance line under every published dbRDA/CCA: does
+    * the environment explain MORE of the Bray–Curtis structure than
+    * a random relabeling would? Pseudo-F = (tr(HGH)/m) /
+    * (tr((I−H)G(I−H))/(n−m−1)) with m = 3 constraints, permuting the
+    * sample↔environment pairing under the SHARED deterministic hash
+    * deal (q46/q61's null, lifted into the single-row matrix world);
+    * r² = tr(HGH)/tr(G) rides along (the "constrained inertia share"
+    * vegan prints as the ordination header).
+    *
+    * NO eigensolve and NO n×n projection: H = X_r·M⁻¹·X_rᵀ is
+    * idempotent, so tr(HGH) = tr(M⁻¹·W) with W = X_rᵀGX_r — a 3×3
+    * trace; each permutation costs ONE n×3 product G·X_r[π] (the
+    * q77 factoring, one more collapse: the test needs only the
+    * trace, never the axes). tr((I−H)G(I−H)) = tr(G) − tr(HGH) by
+    * the same idempotency, so the WHOLE test reads G once.
+    *
+    * Determinism: every product/trace is the index-order fold chain
+    * q74–q77 already gate (identical IEEE sequences both engines);
+    * the permutations are in-row array_sort deals over the exact
+    * integer (hash, key) pairs — the SAME formula as
+    * permutationBijection, rendered in-row; r² on the round-9 grid
+    * drives the count. Degenerates are loud: singular env basis
+    * (det = 0), zero total inertia, or n ≤ m+1 NULL every test
+    * column identically in both engines; a perfect fit (zero
+    * residual inertia) NULLs F only.
+    *
+    * Scale shape: q30's checkpointed fact aggregate is the only
+    * corpus-scale work (shared with q31/q77); the test itself is
+    * (P+1) × n² × 3 in-row arithmetic on the sample-dim-bounded
+    * single row. At 10⁴⁺ samples the same trace identity runs over
+    * q31b's distributed triples with X_r broadcast. */
+  def q86AnovaDbrda(spark: SparkSession, dir: String): DataFrame =
+    anovaDbrdaFromInputs(Relational.q30BrayCurtis(spark, dir),
+      Relational.bioenvEnv(spark, dir),
+      graft.Tables.dim(spark, dir, "nation")
+        .select(col("n_name"), col("n_nationkey").as("k")))
+
+  /** [[q86AnovaDbrda]]'s core over a (sample_a, sample_b,
+    * bray_curtis) upper-triangle frame, the 3-variable env frame, and
+    * an (n_name, k) integer-key frame (the deal's hash input; must
+    * cover the samples — misalignment NULL-propagates loudly like the
+    * env guard) — split out for planted specs. */
+  def anovaDbrdaFromInputs(bc0: DataFrame, env0: DataFrame,
+      keys: DataFrame): DataFrame = {
+    val P = Relational.PermanovaPerms
+    val g0 = centeredGram(bc0)
+      .withColumn("rvec", transform(sequence(lit(1), col("n")), _ =>
+        lit(1.0) / col("n").cast("double")))
+    val karr = keys.agg(
+      transform(sort_array(collect_list(struct(col("n_name"), col("k")))),
+        x => x("k")).as("karr0"),
+      sort_array(collect_list(col("n_name"))).as("ksamples"))
+    val st = constraintBasis(g0, env0)
+      .crossJoin(broadcast(karr))
+      .withColumn("kk", transform(sequence(lit(1), col("n")), i =>
+        when(element_at(col("ksamples"), i)
+          === element_at(col("samples"), i),
+          element_at(col("karr0"), i))))
+      .withColumn("tg", foldSum(transform(sequence(lit(1), col("n")),
+        i => element_at(element_at(col("gm"), i), i))))
+      .withColumn("pis", transform(sequence(lit(0), lit(P)), p =>
+        when(p === lit(0), sequence(lit(1), col("n")))
+          .otherwise(transform(array_sort(
+            transform(sequence(lit(1), col("n")), i => struct(
+              pmod(pmod(element_at(col("kk"), i) * lit(1000003L)
+                + p.cast("long"), lit(1000000000L)) * lit(2654435761L),
+                lit(2147483647L)).as("h"),
+              element_at(col("kk"), i).as("t"),
+              i.as("idx")))), s => s("idx")))))
+      .withColumn("cs", transform(col("pis"), pi =>
+        element_at(transform(array(
+          transform(sequence(lit(1), col("n")), i =>
+            transform(sequence(lit(1), lit(3)), b =>
+              foldSum(transform(sequence(lit(1), col("n")), j =>
+                element_at(element_at(col("gm"), i), j)
+                  * element_at(element_at(col("xr"),
+                      element_at(pi, j)), b)))))),
+          gxp => element_at(transform(array(
+            transform(sequence(lit(1), lit(3)), a =>
+              transform(sequence(lit(1), lit(3)), b =>
+                foldSum(transform(sequence(lit(1), col("n")), i =>
+                  element_at(element_at(col("xr"),
+                      element_at(pi, i)), a)
+                    * element_at(element_at(gxp, i), b)))))),
+            w3p => foldSum(transform(sequence(lit(1), lit(3)), a =>
+              foldSum(transform(sequence(lit(1), lit(3)), b =>
+                element_at(element_at(col("minv"), a), b)
+                  * element_at(element_at(w3p, b), a)))))), 1)), 1)))
+      .withColumn("r2s", transform(col("cs"), c =>
+        round(c / col("tg"), 9)))
+      .withColumn("c0", element_at(col("cs"), 1))
+      .withColumn("r20", element_at(col("r2s"), 1))
+      .withColumn("nge", size(filter(slice(col("r2s"), 2, P),
+        r => r >= col("r20"))))
+    val ok = col("det") =!= lit(0.0) && col("tg") > lit(0.0)
+    st.select(
+      col("n").cast("long").as("n_samples"),
+      round(col("tg"), 6).as("inertia_total"),
+      when(ok, graft.GraftFunctions.roundz(col("c0"), 6))
+        .as("inertia_constrained"),
+      when(ok, graft.GraftFunctions.roundz(col("r20"), 6)).as("r2"),
+      when(ok && col("n") > lit(4) && col("tg") - col("c0") > 0,
+        graft.GraftFunctions.roundz(
+        (col("c0") / lit(3.0))
+          / ((col("tg") - col("c0"))
+            / (col("n").cast("double") - lit(4.0))), 6)).as("f_stat"),
+      lit(P.toLong).as("n_perms"),
+      when(ok, col("nge").cast("long")).as("n_ge"),
+      when(ok, round((col("nge") + 1).cast("double")
+        / lit((P + 1).toDouble), 6)).as("p_value"))
+  }
+
+  /** DuckDB oracle for [[q86AnovaDbrda]] — q77's basis CTEs, the
+    * identical in-row hash deal, fold chains, and trace identity. */
+  def q86OracleSql(): String = {
+    val P = Relational.PermanovaPerms
+    def m(a: Int, b: Int) = s"mmx[$a][$b]"
+    def inv(num: String) = s"($num) / det"
+    val minv = Seq(
+      Seq(inv(s"${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)}"),
+        inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
+        inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}")),
+      Seq(inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
+        inv(s"${m(1, 1)} * ${m(3, 3)} - ${m(1, 3)} * ${m(3, 1)}"),
+        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}")),
+      Seq(inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}"),
+        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}"),
+        inv(s"${m(1, 1)} * ${m(2, 2)} - ${m(1, 2)} * ${m(2, 1)}")))
+      .map(r => s"[${r.mkString(", ")}]").mkString("[", ", ", "]")
+    CentPrefix + s""",
+      rv AS (
+        SELECT list_transform(generate_series(1, CAST(n AS INT)),
+          i -> 1.0 / CAST(n AS DOUBLE)) AS rvec
+        FROM cent)""" + EnvXmatCtes + s""",
+      base AS (
+        SELECT samples, n, gm, rvec,
+          list_transform(generate_series(1, CAST(n AS INT)), i ->
+            CASE WHEN xsamples[i] = samples[i] THEN xm0[i] END) AS xm
+        FROM cent, rv, xmat),
+      st1 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, CAST(n AS INT)), i ->
+              rvec[i] * xm[i][a])), (acc, x) -> acc + x)) AS wm
+        FROM base),
+      st2 AS (
+        SELECT *, list_transform(generate_series(1, CAST(n AS INT)), i ->
+          list_transform(generate_series(1, 3), a ->
+            sqrt(rvec[i]) * (xm[i][a] - wm[a]))) AS xr
+        FROM st1),
+      st3 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_transform(generate_series(1, 3), b ->
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(n AS INT)), i ->
+                xr[i][a] * xr[i][b])), (acc, x) -> acc + x))) AS mmx
+        FROM st2),
+      st4 AS (
+        SELECT *,
+          ${m(1, 1)} * (${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)})
+            - ${m(1, 2)} * (${m(2, 1)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 1)})
+            + ${m(1, 3)} * (${m(2, 1)} * ${m(3, 2)} - ${m(2, 2)} * ${m(3, 1)})
+            AS det
+        FROM st3),
+      st5 AS (
+        SELECT *, $minv AS minv FROM st4),
+      karr AS (
+        SELECT list_transform(list_sort(list(struct_pack(
+            n_name := n_name, k := n_nationkey))), x -> x['k']) AS karr0,
+          list_sort(list(n_name)) AS ksamples
+        FROM nation),
+      st6 AS (
+        SELECT *, list_transform(generate_series(1, CAST(n AS INT)), i ->
+            CASE WHEN ksamples[i] = samples[i] THEN karr0[i] END) AS kk,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, CAST(n AS INT)), i ->
+              gm[i][i])), (acc, x) -> acc + x) AS tg
+        FROM st5, karr),
+      st7 AS (
+        SELECT *, list_transform(generate_series(0, $P), p ->
+          CASE WHEN p = 0 THEN generate_series(1, CAST(n AS INT))
+          ELSE list_transform(list_sort(
+            list_transform(generate_series(1, CAST(n AS INT)), i ->
+              struct_pack(
+                h := ((kk[i] * 1000003 + p) % 1000000000)
+                  * 2654435761 % 2147483647,
+                t := kk[i], idx := i))), s -> s['idx']) END) AS pis
+        FROM st6),
+      st8 AS (
+        SELECT *, list_transform(pis, pi ->
+          list_transform([list_transform(generate_series(1, CAST(n AS INT)),
+              i -> list_transform(generate_series(1, 3), b ->
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, CAST(n AS INT)), j ->
+                    gm[i][j] * xr[pi[j]][b])), (acc, x) -> acc + x)))],
+            gxp -> list_transform([list_transform(generate_series(1, 3),
+                a -> list_transform(generate_series(1, 3), b ->
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(generate_series(1, CAST(n AS INT)), i ->
+                      xr[pi[i]][a] * gxp[i][b])), (acc, x) -> acc + x)))],
+              w3p -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, 3), a ->
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(generate_series(1, 3), b ->
+                      minv[a][b] * w3p[b][a])), (acc, x) -> acc + x))),
+                (acc, x) -> acc + x))[1])[1]) AS cs
+        FROM st7),
+      st9 AS (
+        SELECT *, list_transform(cs, c -> round(c / tg, 9)) AS r2s
+        FROM st8),
+      fin AS (
+        SELECT n, det, tg, cs[1] AS c0, r2s[1] AS r20,
+          len(list_filter(r2s[2:], r -> r >= r2s[1])) AS nge
+        FROM st9)
+      SELECT CAST(n AS BIGINT) AS n_samples,
+        round(tg, 6) AS inertia_total,
+        CASE WHEN det <> 0.0 AND tg > 0.0 THEN
+          (round(c0, 6) + 0.0) END AS inertia_constrained,
+        CASE WHEN det <> 0.0 AND tg > 0.0 THEN
+          (round(r20, 6) + 0.0) END AS r2,
+        CASE WHEN det <> 0.0 AND tg > 0.0 AND n > 4
+            AND tg - c0 > 0 THEN
+          (round((c0 / 3.0) / ((tg - c0) / (CAST(n AS DOUBLE) - 4.0)), 6)
+            + 0.0) END AS f_stat,
+        CAST($P AS BIGINT) AS n_perms,
+        CASE WHEN det <> 0.0 AND tg > 0.0 THEN
+          CAST(nge AS BIGINT) END AS n_ge,
+        CASE WHEN det <> 0.0 AND tg > 0.0 THEN
+          round(CAST(nge + 1 AS DOUBLE) / ${(P + 1).toDouble}, 6)
+          END AS p_value
+      FROM fin"""
+  }
+
   /** Column-centered dense abundance matrix with uniform row weights
     * — [[q75Rda]]'s input to the shared constrained chain. */
   private def rdaMatrix(ab0: DataFrame): DataFrame = {
@@ -1196,6 +1431,11 @@ object Ordination {
         mm(1, 1) * (mm(2, 2) * mm(3, 3) - mm(2, 3) * mm(3, 2))
           - mm(1, 2) * (mm(2, 1) * mm(3, 3) - mm(2, 3) * mm(3, 1))
           + mm(1, 3) * (mm(2, 1) * mm(3, 2) - mm(2, 2) * mm(3, 1)))
+      // singular basis: under ANSI mode the adjugate division below
+      // would THROW on det = 0 instead of NULL-propagating as this
+      // chain's contract states — divide by the NULL-guarded det so a
+      // collinear env frame stays the documented all-NULL shape
+      .withColumn("det", when(col("det") =!= lit(0.0), col("det")))
       .withColumn("minv", array(
         array((mm(2, 2) * mm(3, 3) - mm(2, 3) * mm(3, 2)) / col("det"),
           (mm(1, 3) * mm(3, 2) - mm(1, 2) * mm(3, 3)) / col("det"),

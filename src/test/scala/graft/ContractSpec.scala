@@ -303,6 +303,7 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(ends)) // one-row split-edge labels (g30)" -> "one-row (g30 split-edge fine labels)"),
       "Ordination.scala" -> Map(
         ".crossJoin(broadcast(gmean))" -> "one-row",
+        ".crossJoin(broadcast(karr))" -> "one-row (sorted key array — q86)",
         ".crossJoin(broadcast(ids.agg(" -> "one-row",
         ".crossJoin(broadcast(nf))" -> "one-row",
         ".join(broadcast(ids.select(col(\"sample\").as(\"sample_a\"), col(\"i\").as(\"ti\"))), \"sample_a\")" -> "dim (sample index)",

@@ -752,6 +752,48 @@ class ScaleSpec extends SparkSpec {
       s"indicator constraint did not separate the distance blocks: ${got.toSeq}")
   }
 
+  test("q86 anova: a spanning constraint captures the whole inertia, " +
+       "a singular basis NULLs the test loudly, corpus test is a " +
+       "calibrated share") {
+    import spark.implicits._
+    val ord = graft.operators.Ordination
+    // 1-D Euclidean geometry: G = c·cᵀ with c the centered coordinate,
+    // and the env columns {z, z², z³} SPAN c — the hat projection
+    // keeps everything, so constrained inertia = total (r² → 1)
+    val z = Map("A" -> 0.0, "B" -> 1.0 / 3, "C" -> 2.0 / 3, "D" -> 1.0)
+    val names = Seq("A", "B", "C", "D")
+    val bc = (for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j), math.abs(z(names(i)) - z(names(j)))))
+      .toDF("sample_a", "sample_b", "bray_curtis")
+    val env = (for {
+      s <- names; a <- 0 until 3
+    } yield (s"var$a", s, math.pow(z(s), a + 1)))
+      .toDF("variable", "n_name", "v")
+    val keys = names.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toDF("n_name", "k")
+    val got = ord.anovaDbrdaFromInputs(bc, env, keys).collect().head
+    assert(got.getLong(0) == 4L && got.getDouble(1) > 0.0, got.toString)
+    assert(got.getDouble(3) >= 0.999, s"spanning constraint r2: $got")
+    assert(got.getDouble(2) / got.getDouble(1) >= 0.999, got.toString)
+    assert(got.getLong(5) == 60L, got.toString)
+    // a constant env column zeroes a row of M → det exactly 0 → the
+    // whole test NULLs (the loud degenerate), total inertia stays
+    val flatEnv = (for { s <- names; a <- 0 until 3 }
+      yield (s"var$a", s, if (a == 0) 7.0 else math.pow(z(s), a)))
+      .toDF("variable", "n_name", "v")
+    val sing = ord.anovaDbrdaFromInputs(bc, flatEnv, keys).collect().head
+    assert(sing.getDouble(1) > 0.0 && sing.isNullAt(2) &&
+      sing.isNullAt(3) && sing.isNullAt(4) && sing.isNullAt(7),
+      sing.toString)
+    // corpus: a share in (0,1), a positive F, a proper p in (0,1]
+    val sf = ord.q86AnovaDbrda(spark, sfDir).collect().head
+    assert(sf.getDouble(3) > 0.0 && sf.getDouble(3) < 1.0, sf.toString)
+    assert(sf.getDouble(2) <= sf.getDouble(1), sf.toString)
+    assert(sf.getDouble(4) > 0.0, sf.toString)
+    assert(sf.getDouble(7) > 0.0 && sf.getDouble(7) <= 1.0, sf.toString)
+  }
+
   test("q78 wascores puts a single-site taxon exactly on its site, a " +
        "shared taxon at the abundance-weighted mean, and every corpus " +
        "score inside the site-score hull") {
