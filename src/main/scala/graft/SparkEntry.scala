@@ -345,6 +345,7 @@ object SparkEntry {
     "t34_heaps_fit" -> (TextOps.heapsFit _),
     "t21_bpe_encode" -> (TextOps.bpeEncode _),
     "s10_recall_eval" -> (Similarity.recallEval _),
+    "s23_rank_eval" -> (Similarity.rankEval _),
     "s11_ann_sq" -> (Similarity.annSq _),
     "s12_cluster_profile" -> (Similarity.clusterProfile _),
     "s13_mips_topk" -> (Similarity.mipsTopk _),
@@ -1207,6 +1208,7 @@ object SparkEntry {
     "s5_ann_filtered" -> Similarity.s5OracleSql(),
     "s1_ann_bruteforce" -> Similarity.s1OracleSql,
     "s10_recall_eval" -> Similarity.s10OracleSql,
+    "s23_rank_eval" -> Similarity.s23OracleSql,
     "s11_ann_sq" -> Similarity.s11OracleSql(),
     "s12_cluster_profile" -> Similarity.s12OracleSql(),
     "s13_mips_topk" -> Similarity.s13OracleSql(),

@@ -2928,4 +2928,83 @@ object Similarity {
       JOIN embeddings e ON e.vec_id = c.vec_id,
         fin1 f1, fin2 f2, ray1 r1, ray2 r2
       ORDER BY c.vec_id"""
+
+  /** Position discounts 1/log₂(i+1) for i = 1..10 and the ideal DCG
+    * of the 10-grade gain ladder — rendered from THIS one Scala
+    * source into both engines (stlW's literal discipline: shortest
+    * round-trip double literals parse back to the identical bits). */
+  private[graft] val NdcgW: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private[graft] val NdcgIdeal: Double =
+    (1 to 10).map(i => (11 - i) * NdcgW(i - 1)).sum
+
+  /** s23: RANKING QUALITY of the ANN index — NDCG@10 (Järvelin &
+    * Kekäläinen 2002) and the top-1 reciprocal rank (the MRR
+    * numerator, Voorhees 1999) of s3's IVF retrieval against s1's
+    * exact cosine ranking: s10's recall counts WHICH true neighbours
+    * come back; this scores WHERE they land — an index that returns
+    * all ten but inverts the order passes recall and fails ranking,
+    * and NDCG is the number a retrieval/RAG evaluation actually
+    * reports. Graded relevance = the exact ranking's 10-step gain
+    * ladder (11 − exact rank; non-neighbours 0); DCG discounts by
+    * [[NdcgW]]; NDCG = DCG/[[NdcgIdeal]] ∈ [0, 1] (the ideal is a
+    * CONSTANT here — the exact list always carries all ten grades).
+    * reciprocal_rank = 1/position of the TRUE nearest neighbour in
+    * the approximate list, 0 when missed.
+    *
+    * Determinism: both rankings are the gated deterministic s1/s3
+    * frames; gains/positions are exact integers; each DCG term is
+    * gain × a shared literal discount, round-12 quantized and summed
+    * order-free as DECIMAL; NDCG/RR are single rounded expressions
+    * against literal constants.
+    *
+    * Scale shape: rides s1/s3's own shapes (broadcast query batch ×
+    * one corpus scan each); the eval join and rollup are
+    * (queries × 10)-bounded. */
+  def rankEval(spark: SparkSession, dir: String): DataFrame =
+    rankEval(Tables.parallel(Tables.load(spark, dir, "embeddings")))
+
+  /** [[rankEval]]'s core over an (vec_id, embedding) frame — split
+    * out for planted/replica specs. */
+  def rankEval(e: DataFrame): DataFrame = {
+    val exact = annBruteforce(e)
+      .select(col("q_id"), col("c_id"), (lit(11) - col("rnk")).as("gain"))
+    val approx = annIvfDet(e, 16, 4)
+      .select(col("q_id"), col("c_id"), col("rnk").as("pos"))
+    val wlit = array(NdcgW.map(lit(_)): _*)
+    val terms = approx.join(exact, Seq("q_id", "c_id"), "left_outer")
+      .select(col("q_id"), col("pos"), col("gain"),
+        round(coalesce(col("gain"), lit(0)).cast("double")
+          * element_at(wlit, col("pos")), 12).cast("decimal(25,12)")
+          .as("term"),
+        when(col("gain") === 10,
+          round(lit(1.0) / col("pos").cast("double"), 6)).as("rr"))
+    terms.groupBy("q_id").agg(
+      sum(when(col("term") > 0, 1L).otherwise(0L)).as("n_hit"),
+      round(sum(col("term")).cast("double") / lit(NdcgIdeal), 6)
+        .as("ndcg10"),
+      coalesce(max(col("rr")), lit(0.0)).as("reciprocal_rank"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB oracle for [[rankEval]] — the s1/s3 oracles composed
+    * verbatim, identical literal discounts and decimal term grid. */
+  def s23OracleSql: String = s"""
+      WITH ex AS MATERIALIZED ( $s1OracleSql ),
+      ap AS MATERIALIZED ( $s3OracleSql ),
+      terms AS (
+        SELECT ap.q_id, ap.rnk AS pos, 11 - ex.rnk AS gain,
+          CAST(round(CAST(coalesce(11 - ex.rnk, 0) AS DOUBLE)
+            * ([${NdcgW.mkString(", ")}])[ap.rnk], 12)
+            AS DECIMAL(25,12)) AS term,
+          CASE WHEN ex.rnk = 1 THEN
+            round(1.0 / CAST(ap.rnk AS DOUBLE), 6) END AS rr
+        FROM ap LEFT JOIN ex
+          ON ex.q_id = ap.q_id AND ex.c_id = ap.c_id)
+      SELECT q_id,
+        CAST(sum(CASE WHEN term > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit,
+        round(CAST(sum(term) AS DOUBLE) / $NdcgIdeal, 6) AS ndcg10,
+        coalesce(max(rr), 0.0) AS reciprocal_rank
+      FROM terms GROUP BY q_id ORDER BY q_id"""
 }

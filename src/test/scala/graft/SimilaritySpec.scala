@@ -1177,4 +1177,42 @@ class SimilaritySpec extends SparkSpec {
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("s23 rank eval: bitwise JVM replica from the two gated " +
+       "rankings, n_hit agrees with s10, NDCG and RR live on their " +
+       "scales") {
+    val sim = graft.operators.Similarity
+    val e = graft.Tables.parallel(
+      graft.Tables.load(spark, sfDir, "embeddings"))
+    val exact = sim.annBruteforce(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (11 - r.getInt(2))).toMap
+    val approx = sim.annIvfDet(e, 16, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // replica: the identical round-12 decimal term grid and single
+    // rounded divisions, in plain Scala
+    def r(d: Double, s: Int) = BigDecimal(d)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val rep = approx.groupBy(_._1).map { case (q, rows) =>
+      val terms = rows.map { case (_, c, pos) =>
+        r(exact.getOrElse((q, c), 0).toDouble * sim.NdcgW(pos - 1), 12) }
+      val nHit = terms.count(_ > 0).toLong
+      val ndcg = r((terms.sum.toDouble / sim.NdcgIdeal), 6).toDouble
+      val rr = rows.collectFirst {
+        case (_, c, pos) if exact.get((q, c)).contains(10) =>
+          r(1.0 / pos, 6).toDouble }.getOrElse(0.0)
+      q -> ((nHit, ndcg, rr))
+    }
+    val got = sim.rankEval(e).collect()
+      .map(r0 => r0.getLong(0) -> ((r0.getLong(1), r0.getDouble(2),
+        r0.getDouble(3)))).toMap
+    assert(got == rep, s"replica diverged:\n$got\nvs\n$rep")
+    // n_hit is s10's overlap census (same index, same queries)
+    val s10 = sim.recallEval(e).collect()
+      .map(r0 => r0.getLong(0) -> r0.getLong(2)).toMap
+    assert(got.view.mapValues(_._1).toMap == s10,
+      s"n_hit disagrees with s10: $got vs $s10")
+    // scales: NDCG a share, RR in {0} ∪ {1/1..1/10}
+    assert(got.values.forall { case (_, n, rr) =>
+      n >= 0.0 && n <= 1.0 && rr >= 0.0 && rr <= 1.0 })
+  }
 }
