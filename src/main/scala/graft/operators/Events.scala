@@ -2870,4 +2870,80 @@ object Events {
               * (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)))), 6)
           END AS f_season
       FROM agg ORDER BY event_type"""
+
+  /** e36: USER-ACTIVITY CONCENTRATION — the Gini coefficient (Gini
+    * 1912; the Lorenz-curve summary, Lorenz 1905) plus the top-decile
+    * share of per-user event counts: the "do 10% of the users
+    * generate 90% of the traffic" number every engagement/abuse
+    * dashboard leads with, the whole-population companion of e16's
+    * per-segment RFM and e17's top-k lists. Gini from the sorted-rank
+    * identity G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) (xᵢ ascending by
+    * (count, user_id) — a total order, so ties cannot wobble the
+    * sum); top_decile_share = the busiest ⌊n/10⌋ users' share of all
+    * events (NULL below 10 users — no decile to take). Perfect
+    * equality lands exactly 0; a single dominant user approaches
+    * 1 − 1/n.
+    *
+    * Determinism: counts, ranks, and both numerators are exact
+    * integer aggregates off the total (count, user_id) order; each
+    * output is ONE double division rounded once, phrased identically
+    * in both engines.
+    *
+    * Scale shape: one fact-scale count aggregate with map-side
+    * combine; the rank window runs on the user-dimension frame (the
+    * col*0 partition key keeps EliminateWindowPartitions happy — a
+    * deliberate single-partition sort of an aggregate-bounded frame;
+    * at a 10⁹-user scale the same rank comes from a distributed sort
+    * + per-partition offset cumsum, e21's block-prefix pattern); the
+    * final rollup is one row. */
+  def e36Gini(spark: SparkSession, dir: String): DataFrame =
+    giniFromCounts(Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt")))
+
+  /** [[e36Gini]]'s core over a (user_id, cnt) count frame — split out
+    * for planted specs. */
+  def giniFromCounts(per: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id") * 0)
+      .orderBy("cnt", "user_id")
+    val ranked = per.withColumn("i", row_number().over(w).cast("long"))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).as("n_users"),
+        max(col("s")).as("n_events"),
+        sum((lit(2) * col("i") - col("n") - 1) * col("cnt")).as("gnum"),
+        sum(when(col("i") > col("n") - expr("n div 10"), col("cnt"))
+          .otherwise(0L)).as("topsum"))
+      .select(col("n_users"), col("n_events"),
+        round(col("gnum").cast("double")
+          / (col("n_users") * col("n_events")).cast("double"), 6)
+          .as("gini"),
+        when(col("n_users") >= 10,
+          round(col("topsum").cast("double")
+            / col("n_events").cast("double"), 6)).as("top_decile_share"))
+  }
+
+  /** DuckDB oracle for [[e36Gini]] — identical total order, integer
+    * rank identity, and rounded divisions. */
+  def e36OracleSql: String = """
+      WITH per AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      ranked AS (
+        SELECT cnt,
+          CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS i
+        FROM per),
+      tot AS (SELECT count(*) AS n, sum(cnt) AS s FROM ranked),
+      agg AS (
+        SELECT max(n) AS n_users, max(s) AS n_events,
+          sum((2 * i - n - 1) * cnt) AS gnum,
+          sum(CASE WHEN i > n - n // 10 THEN cnt ELSE 0 END) AS topsum
+        FROM ranked, tot)
+      SELECT CAST(n_users AS BIGINT) AS n_users,
+        CAST(n_events AS BIGINT) AS n_events,
+        round(CAST(gnum AS DOUBLE)
+          / CAST(n_users * n_events AS DOUBLE), 6) AS gini,
+        CASE WHEN n_users >= 10 THEN
+          round(CAST(topsum AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+          END AS top_decile_share
+      FROM agg"""
 }

@@ -278,6 +278,7 @@ class ContractSpec extends SparkSpec {
       "Events.scala" -> Map(
         ".join(broadcast(counters), Seq(\"r\", \"bucket\"))" -> "k (depth×width sketch counters — constant)",
         ".join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
+        "ranked.crossJoin(broadcast(tot))" -> "one-row (user census — e36)",
         "cum.join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
         "daily.join(broadcast(stats), \"event_type\")" -> "dim (per-type moments)",
         ".join(broadcast(stats), \"event_type\")" -> "dim (per-type CUSUM baseline)",

@@ -1849,6 +1849,32 @@ class PipelineOpsSpec extends SparkSpec {
       sf.getDouble(7) >= sObs, sf.toString)
   }
 
+  test("gini concentration: equality zero, planted 0.81 with 0.91 " +
+       "top-decile share, sub-decile NULL, corpus in [0,1)") {
+    import spark.implicits._
+    import graft.operators.Events
+    def run(counts: Seq[Long]) = Events.giniFromCounts(
+      counts.zipWithIndex.map { case (c, u) => (u.toLong, c) }
+        .toDF("user_id", "cnt")).collect().head
+    // perfect equality → exactly 0; fewer than 10 users → NULL share
+    val eq = run(Seq(1L, 1L, 1L, 1L))
+    assert(eq.getLong(0) == 4L && eq.getLong(1) == 4L &&
+      eq.getDouble(2) == 0.0 && eq.isNullAt(3), eq.toString)
+    // nine users at 1, one at 91: Σ(2i−11)xᵢ = 810 → G = 0.81; the
+    // top ⌊10/10⌋ = 1 user holds 91/100 of the events
+    val conc = run(Seq.fill(9)(1L) :+ 91L)
+    assert(conc.getDouble(2) == 0.81 && conc.getDouble(3) == 0.91,
+      conc.toString)
+    // a single user is a degenerate Lorenz curve: G = 0
+    val solo = run(Seq(42L))
+    assert(solo.getDouble(2) == 0.0 && solo.isNullAt(3), solo.toString)
+    // sf corpus: G ∈ [0, 1), share a fraction when defined
+    val sf = Events.e36Gini(spark, sfDir).collect().head
+    assert(sf.getDouble(2) >= 0.0 && sf.getDouble(2) < 1.0, sf.toString)
+    assert(sf.isNullAt(3) ||
+      (sf.getDouble(3) > 0.0 && sf.getDouble(3) <= 1.0), sf.toString)
+  }
+
   test("seasonal strength: pure-trend/pure-season/pure-noise planted " +
        "panels, undecomposable rows drop, corpus strengths in [0,1]") {
     import spark.implicits._
