@@ -282,6 +282,8 @@ object SparkEntry {
         Graph.G29Cuts)),
     "g31_rich_club" ->
       ((s: SparkSession, d: String) => Graph.g31RichClub(s, d)),
+    "g32_knn_degree" ->
+      ((s: SparkSession, d: String) => Graph.g32KnnDegree(s, d)),
     "g18_modularity" ->
       ((s: SparkSession, d: String) => Graph.g18Modularity(s, d)),
     "g19_scc" -> ((s: SparkSession, d: String) => Graph.g19Scc(s, d)),
@@ -1323,6 +1325,7 @@ object SparkEntry {
     "g29_single_linkage" -> graft.operators.Graph.g29OracleSql(),
     "g30_cluster_stability" -> graft.operators.Graph.g30OracleSql(),
     "g31_rich_club" -> graft.operators.Graph.g31OracleSql,
+    "g32_knn_degree" -> graft.operators.Graph.g32OracleSql,
     "g18_modularity" -> graft.operators.Graph.g18OracleSql(),
     "g19_scc" -> graft.operators.Graph.g19OracleSql,
     "g20_condensation" -> graft.operators.Graph.g20OracleSql,

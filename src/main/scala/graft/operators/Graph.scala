@@ -4362,4 +4362,93 @@ object Graph {
             / (CAST(n_rich AS DOUBLE) * CAST(n_rich - 1 AS DOUBLE)), 6)
           END AS phi
       FROM nk JOIN ek USING (k) ORDER BY k"""
+
+  /** g32: AVERAGE-NEAREST-NEIGHBOUR-DEGREE CURVE knn(k)
+    * (Pastor-Satorras, Vázquez & Vespignani 2001) over the derived
+    * document graph — the FULL degree-correlation profile that g4's
+    * assortativity collapses to one Pearson number and g31's rich-club
+    * reads only at the top: for each degree k, the mean degree of the
+    * neighbours of degree-k nodes. A rising curve means hubs attach to
+    * hubs (assortative), a falling one means hubs fan out to leaves
+    * (disassortative, the router/crawl-graph shape) — the first plot a
+    * graph analyst draws after g13's degree histogram.
+    *
+    * knn(k) = Σ_{v: d(v)=k} Σ_{u∈N(v)} d(u) / (k·n_k): the mean over
+    * degree-k nodes of their mean neighbour degree, which the
+    * both-orientations edge list computes with NO per-node division —
+    * each degree-k node contributes exactly k annotated rows, so the
+    * per-degree row count IS k·n_k and the whole curve is exact
+    * integer sums with ONE rounded division per degree bucket.
+    *
+    * Scale shape: g4's exactly — one degree aggregate (map-side
+    * combined), two degree-annotation joins over the edge list
+    * (deliberately NOT broadcast-pinned: the degree table is
+    * node-cardinality; AQE may elect broadcast when small), then a
+    * degree-bounded rollup (≤ max-degree rows). Nothing quadratic,
+    * nothing iterated. */
+  def g32KnnDegree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val h = docs.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id"))).head()
+    val n = h.getLong(0)
+    require(n > 0, "g32 needs a non-empty documents frame")
+    require(h.getLong(1) == 0L && h.getLong(2) == n - 1,
+      s"g32 needs dense doc_ids 0..N-1, got [${h.get(1)}, ${h.get(2)}] of $n")
+    g32Core(simpleUndirected(syntheticFwd(docs, n)))
+  }
+
+  /** General entry — explicit (src, dst) edge list, arbitrary sparse
+    * 64-bit ids (the Edges-variant convention). */
+  def g32KnnDegreeEdges(edges0: DataFrame): DataFrame =
+    g32Core(simpleUndirected(
+      edges0.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))))
+
+  private def g32Core(simple: DataFrame): DataFrame = {
+    val deg = simple.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val nk = deg.groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val both = simple.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(simple.select(col("b").as("x"), col("a").as("y")))
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+    both.groupBy(col("dx").as("degree"))
+      .agg(count(lit(1)).as("n_ends"), sum(col("dy")).as("s_nbr"))
+      .join(nk, "degree")
+      .select(col("degree"), col("n_nodes"), col("s_nbr"),
+        round(col("s_nbr").cast("double") / col("n_ends").cast("double"), 6)
+          .as("knn"))
+      .orderBy("degree")
+  }
+
+  /** DuckDB oracle for [[g32KnnDegree]] — g4's derived-graph and
+    * annotation CTEs, identical integer sums and rounded division. */
+  def g32OracleSql: String = s"""
+      WITH nn AS (SELECT count(*) AS n FROM documents),
+      fwd AS (
+        SELECT src, CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+        FROM (
+          SELECT doc_id AS src, j,
+            (((doc_id * 7 + j) % 1000000000) * 2654435761)
+              % 2147483647 % n AS dst0, n
+          FROM documents, nn, generate_series(1, $OutDeg) t(j)) e),
+      simple AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM fwd),
+      deg AS MATERIALIZED (
+        SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM simple UNION ALL SELECT b FROM simple) t
+        GROUP BY v),
+      nk AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+      both_ AS (
+        SELECT dx.d AS dx, dy.d AS dy FROM (
+          SELECT a AS x, b AS y FROM simple
+          UNION ALL SELECT b, a FROM simple) u
+        JOIN deg dx ON dx.v = u.x
+        JOIN deg dy ON dy.v = u.y),
+      pk AS (
+        SELECT dx AS degree, count(*) AS n_ends, sum(dy) AS s_nbr
+        FROM both_ GROUP BY 1)
+      SELECT degree, n_nodes, CAST(s_nbr AS BIGINT) AS s_nbr,
+        round(CAST(s_nbr AS DOUBLE) / CAST(n_ends AS DOUBLE), 6) AS knn
+      FROM pk JOIN nk USING (degree) ORDER BY degree"""
 }

