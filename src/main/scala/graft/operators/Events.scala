@@ -2946,4 +2946,134 @@ object Events {
           round(CAST(topsum AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
           END AS top_decile_share
       FROM agg"""
+
+  /** e37: ACTIVITY TAIL-INDEX PANEL — the Hill estimator (Hill 1975)
+    * over the top decile of per-user event counts plus the log-log
+    * CCDF slope (the Pareto-plot regression), the "is this traffic
+    * heavy-tailed, and how heavy" dial read next to e36's Gini before
+    * sizing skew salting, rate limits, or per-user state budgets: a
+    * Pareto tail with α ≤ 2 has infinite variance and a mean dominated
+    * by whales, and every capacity rule of thumb changes.
+    *
+    * Hill α̂ = k / Σᵢ ln(x₍ₙ₋ᵢ₊₁₎/x₍ₙ₋ₖ₎) over the k = max(1, ⌊n/10⌋)
+    * largest counts with threshold x₍ₙ₋ₖ₎ (the largest count NOT in
+    * the tail); a perfectly flat tail (all top-k equal the threshold)
+    * has no defined index and reports NULL, as does a corpus with no
+    * below-tail threshold rank (n = 1). The CCDF slope is the OLS
+    * slope of ln(#{cnt ≥ v}/n) on ln v over the DISTINCT observed
+    * counts — on a true power law it estimates −α directly.
+    *
+    * Determinism: ranks and censuses are exact integers off the
+    * (cnt, user_id) total order (e36's); each ln term is round-12
+    * quantized and summed as DECIMAL (order-free); α and the slope are
+    * single double expressions, the possibly-negative slope through
+    * roundz. Divide guards are NULL-guards (when-absent ⇒ NULL), never
+    * a bare /0 — ANSI Divide throws on DOUBLE zero too.
+    *
+    * Scale shape: one fact-scale count aggregate (map-side combine);
+    * the rank window and the distinct-count CCDF window run on
+    * aggregate-bounded frames with the col*0 single-partition key
+    * (e36's contract — at 10⁹ users the same ranks come from a
+    * distributed sort + block-prefix offsets); two one-row broadcast
+    * folds; one-row output. */
+  def e37TailIndex(spark: SparkSession, dir: String): DataFrame =
+    tailIndexFromCounts(Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt")))
+
+  /** [[e37TailIndex]]'s core over a (user_id, cnt) count frame —
+    * split out for planted heavy-tail/flat-tail specs. */
+  def tailIndexFromCounts(per: DataFrame): DataFrame = {
+    val d2512 = "decimal(25,12)"
+    val d3812 = "decimal(38,12)"
+    val w = Window.partitionBy(col("user_id") * 0)
+      .orderBy("cnt", "user_id")
+    val ranked = per.withColumn("i", row_number().over(w).cast("long"))
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    val rk = ranked.crossJoin(broadcast(tot))
+      .withColumn("k", greatest(lit(1L), expr("n div 10")))
+    val xmin = rk.agg(max(when(col("i") === col("n") - col("k"),
+      col("cnt"))).as("xmin"))
+    val hill = rk.filter(col("i") > col("n") - col("k"))
+      .crossJoin(broadcast(xmin))
+      .agg(max(col("n")).as("n_users"), max(col("k")).as("k_tail"),
+        max(col("xmin")).as("xmin_tail"),
+        sum(round(log(col("cnt").cast("double")
+          / col("xmin").cast("double")), 12).cast(d2512)).as("slog"))
+    val dist = per.groupBy("cnt").agg(count(lit(1)).as("nv"))
+    val wD = Window.partitionBy(col("cnt") * 0).orderBy(col("cnt").desc)
+    val pts = dist.withColumn("cge", sum(col("nv")).over(wD))
+      .crossJoin(broadcast(tot))
+      .select(round(log(col("cnt").cast("double")), 12).as("x"),
+        round(log(col("cge").cast("double") / col("n").cast("double")), 12)
+          .as("y"))
+    val ols = pts.agg(count(lit(1)).as("m"),
+      sum(col("x").cast(d3812)).cast("double").as("sx"),
+      sum(col("y").cast(d3812)).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 12).cast(d3812))
+        .cast("double").as("sxy"),
+      sum(round(col("x") * col("x"), 12).cast(d3812))
+        .cast("double").as("sxx"))
+    hill.crossJoin(broadcast(ols))
+      .select(col("n_users"), col("k_tail"), col("xmin_tail"),
+        when(col("slog").cast("double") > 0.0,
+          round(col("k_tail").cast("double")
+            / col("slog").cast("double"), 6)).as("hill_alpha"),
+        col("m").as("n_points"),
+        when(col("m") >= 2,
+          graft.GraftFunctions.roundz(
+            (col("m").cast("double") * col("sxy") - col("sx") * col("sy"))
+            / when(col("m").cast("double") * col("sxx")
+                - col("sx") * col("sx") =!= 0.0,
+              col("m").cast("double") * col("sxx")
+                - col("sx") * col("sx")), 6)).as("ccdf_slope"))
+  }
+
+  /** DuckDB oracle for [[e37TailIndex]] — identical total order,
+    * round-12 ln grids, and guarded divisions. */
+  def e37OracleSql: String = """
+      WITH per AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      ranked AS (
+        SELECT cnt,
+          CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS i
+        FROM per),
+      tot AS (SELECT count(*) AS n FROM per),
+      rk AS (
+        SELECT cnt, i, n, greatest(1, n // 10) AS k FROM ranked, tot),
+      xmin AS (
+        SELECT max(CASE WHEN i = n - k THEN cnt END) AS xmin FROM rk),
+      hill AS (
+        SELECT max(n) AS n_users, max(k) AS k_tail,
+          max(xmin) AS xmin_tail,
+          sum(CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(xmin AS DOUBLE)),
+            12) AS DECIMAL(25,12))) AS slog
+        FROM rk, xmin WHERE i > n - k),
+      dist AS (SELECT cnt, count(*) AS nv FROM per GROUP BY 1),
+      pts AS (
+        SELECT round(ln(CAST(cnt AS DOUBLE)), 12) AS x,
+          round(ln(CAST(sum(nv) OVER (ORDER BY cnt DESC) AS DOUBLE)
+            / CAST(n AS DOUBLE)), 12) AS y
+        FROM dist, tot),
+      ols AS (
+        SELECT count(*) AS m,
+          CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(round(x * y, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxy,
+          CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxx
+        FROM pts)
+      SELECT CAST(n_users AS BIGINT) AS n_users,
+        CAST(k_tail AS BIGINT) AS k_tail,
+        CAST(xmin_tail AS BIGINT) AS xmin_tail,
+        CASE WHEN CAST(slog AS DOUBLE) > 0.0 THEN
+          round(CAST(k_tail AS DOUBLE) / CAST(slog AS DOUBLE), 6)
+          END AS hill_alpha,
+        CAST(m AS BIGINT) AS n_points,
+        CASE WHEN m >= 2 THEN
+          (round((CAST(m AS DOUBLE) * sxy - sx * sy)
+            / (CASE WHEN CAST(m AS DOUBLE) * sxx - sx * sx <> 0.0
+                 THEN CAST(m AS DOUBLE) * sxx - sx * sx END), 6) + 0.0)
+          END AS ccdf_slope
+      FROM hill, ols"""
 }

@@ -279,6 +279,10 @@ class ContractSpec extends SparkSpec {
         ".join(broadcast(counters), Seq(\"r\", \"bucket\"))" -> "k (depth×width sketch counters — constant)",
         ".join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
         "ranked.crossJoin(broadcast(tot))" -> "one-row (user census — e36)",
+        "val rk = ranked.crossJoin(broadcast(tot))" -> "one-row (user census — e37)",
+        ".crossJoin(broadcast(xmin))" -> "one-row (tail threshold — e37)",
+        ".crossJoin(broadcast(tot))" -> "one-row (user census — e37 CCDF)",
+        "hill.crossJoin(broadcast(ols))" -> "one-row (CCDF OLS moments — e37)",
         "cum.join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
         "daily.join(broadcast(stats), \"event_type\")" -> "dim (per-type moments)",
         ".join(broadcast(stats), \"event_type\")" -> "dim (per-type CUSUM baseline)",

@@ -1875,6 +1875,81 @@ class PipelineOpsSpec extends SparkSpec {
       (sf.getDouble(3) > 0.0 && sf.getDouble(3) <= 1.0), sf.toString)
   }
 
+  test("tail index: bitwise JVM replica on planted power-law and " +
+       "random count multisets, flat tail NULL, corpus not heavy") {
+    import spark.implicits._
+    import graft.operators.Events
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the operator's arithmetic replayed exactly: round-12 ln grid,
+    // order-free BigDecimal sums, one round-6 division per output
+    def replica(counts: Seq[Long])
+        : (Long, Long, Option[Long], Option[Double], Long, Option[Double]) = {
+      val sorted = counts.sorted
+      val n = counts.size
+      val k = math.max(1, n / 10)
+      val xmin = if (n - k >= 1) Some(sorted(n - k - 1)) else None
+      val slog = xmin.map { xm =>
+        sorted.drop(n - k)
+          .map(c => BigDecimal(r(math.log(c.toDouble / xm), 12))).sum
+      }
+      val alpha = slog.filter(_ > 0).map(s => r(k / s.toDouble, 6))
+      val dist = counts.groupBy(identity).keys.toSeq.sorted
+      val pts = dist.map { v =>
+        (BigDecimal(r(math.log(v.toDouble), 12)),
+          BigDecimal(r(math.log(
+            counts.count(_ >= v).toDouble / n), 12)))
+      }
+      val m = pts.size
+      val sx = pts.map(_._1).sum.toDouble
+      val sy = pts.map(_._2).sum.toDouble
+      val sxy = pts.map { case (x, y) =>
+        BigDecimal(r(x.toDouble * y.toDouble, 12)) }.sum.toDouble
+      val sxx = pts.map { case (x, _) =>
+        BigDecimal(r(x.toDouble * x.toDouble, 12)) }.sum.toDouble
+      val den = m * sxx - sx * sx
+      val slope = if (m >= 2 && den != 0.0)
+        Some(r((m * sxy - sx * sy) / den, 6) + 0.0) else None
+      (n.toLong, k.toLong, xmin, alpha, m.toLong, slope)
+    }
+    def run(counts: Seq[Long]) = {
+      val row = Events.tailIndexFromCounts(
+        counts.zipWithIndex.map { case (c, u) => (u.toLong, c) }
+          .toDF("user_id", "cnt")).collect().head
+      (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) None else Some(row.getLong(2)),
+        if (row.isNullAt(3)) None else Some(row.getDouble(3)),
+        row.getLong(4),
+        if (row.isNullAt(5)) None else Some(row.getDouble(5)))
+    }
+    // exact power-law plant: ccdf(1,2,4) = 1, 1/4, 1/16 → the ln-ln
+    // points are exactly collinear with slope −2 on the round-12 grid;
+    // Hill at k=1 over threshold 2: α = 1/ln 2 = 1.442695
+    val pow = Seq.fill(12)(1L) ++ Seq.fill(3)(2L) :+ 4L
+    val gotPow = run(pow)
+    assert(gotPow == replica(pow), s"$gotPow vs ${replica(pow)}")
+    assert(gotPow._4 == Some(1.442695) && gotPow._6 == Some(-2.0), gotPow)
+    // flat tail: every user identical → no defined index (slog = 0)
+    // and a single CCDF point → no slope
+    val flat = run(Seq.fill(20)(7L))
+    assert(flat._4 == None && flat._5 == 1L && flat._6 == None, flat)
+    // one user: no below-tail rank → NULL threshold, NULL α
+    val solo = run(Seq(42L))
+    assert(solo._3 == None && solo._4 == None, solo)
+    // random multisets: bitwise replica equality
+    for (seed <- Seq(7L, 8L)) {
+      val rng = new scala.util.Random(seed)
+      val counts = Seq.fill(30 + rng.nextInt(40))(
+        (1L + rng.nextInt(60)).toLong)
+      assert(run(counts) == replica(counts), s"seed $seed")
+    }
+    // sf corpus: near-uniform per-user activity → a LARGE Hill α (not
+    // heavy-tailed; heavy is α ≤ 2) and a negative CCDF slope
+    val sf = Events.e37TailIndex(spark, sfDir).collect().head
+    assert(sf.getDouble(3) > 2.0, sf.toString)
+    assert(sf.getDouble(5) < 0.0, sf.toString)
+  }
+
   test("seasonal strength: pure-trend/pure-season/pure-noise planted " +
        "panels, undecomposable rows drop, corpus strengths in [0,1]") {
     import spark.implicits._
