@@ -145,6 +145,8 @@ object SparkEntry {
     "e36_gini" -> ((s: SparkSession, d: String) => Events.e36Gini(s, d)),
     "e37_tail_index" ->
       ((s: SparkSession, d: String) => Events.e37TailIndex(s, d)),
+    "e38_transition_entropy" ->
+      ((s: SparkSession, d: String) => Events.e38TransitionEntropy(s, d)),
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
     "t40_rake" -> ((s: SparkSession, d: String) => TextOps.rakeKeywords(s, d)),
     "t41_mtld" -> ((s: SparkSession, d: String) => TextOps.mtld(s, d)),
@@ -1301,6 +1303,7 @@ object SparkEntry {
     "e35_seasonal_strength" -> graft.operators.Events.e35OracleSql,
     "e36_gini" -> graft.operators.Events.e36OracleSql,
     "e37_tail_index" -> graft.operators.Events.e37OracleSql,
+    "e38_transition_entropy" -> graft.operators.Events.e38OracleSql,
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
     "t40_rake" -> graft.operators.TextOps.t40OracleSql,
     "t41_mtld" -> graft.operators.TextOps.t41OracleSql,

@@ -3076,4 +3076,101 @@ object Events {
                  THEN CAST(m AS DOUBLE) * sxx - sx * sx END), 6) + 0.0)
           END AS ccdf_slope
       FROM hill, ols"""
+
+  /** e38: TRANSITION-ENTROPY PANEL — the Shannon conditional entropy
+    * of the next event type given the current one (Shannon 1948;
+    * Cover & Thomas ch. 4: the entropy RATE of the empirical
+    * first-order Markov chain under its empirical state distribution),
+    * per state and corpus-wide: the predictability dial over e9's
+    * transition matrix that e29's mixing analysis assumes someone
+    * read first. H ≈ 0 means the journey is a script (every state has
+    * one successor — prefetchable, cacheable, botlike); H near
+    * ln(fan-out) means the next click is a coin toss. Per from-state:
+    * H(next | s) = −Σ_t p(t|s)·ln p(t|s); the '*' row is
+    * H(next | cur) = Σ_s p̂(s)·H(next | s), computed from the SAME
+    * per-bigram rows (term = (n_st/N)·ln(n_st/tot_s)) so the weighting
+    * is exact, not a rounded-row rollup.
+    *
+    * Determinism: bigram censuses are exact integers off the
+    * (ts, event_id) per-user total order (e9's); each p·ln p term is
+    * round-12 quantized and summed as DECIMAL (order-free); one roundz
+    * per output row (a deterministic chain sums to exactly 0, where
+    * the negation would otherwise mint −0.0).
+    *
+    * Scale shape: ONE fact-scale lead window partitioned by user (the
+    * e2/e9 sessionization exchange) into a type²-bounded bigram
+    * frame; everything after — the per-state window, both rollups,
+    * the one-row total broadcast — is dimension-bounded. */
+  def e38TransitionEntropy(spark: SparkSession, dir: String): DataFrame =
+    transitionEntropyFromEvents(Tables.load(spark, dir, "events"))
+
+  def transitionEntropyFromEvents(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    transitionEntropyFromBigrams(events
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** [[e38TransitionEntropy]]'s core over a (from_type, to_type, n)
+    * bigram-count frame — split out for planted chain/coin specs. */
+  def transitionEntropyFromBigrams(pairs: DataFrame): DataFrame = {
+    val d2512 = "decimal(25,12)"
+    val wf = Window.partitionBy("from_type")
+    val withTot = pairs.withColumn("tot", sum(col("n")).over(wf))
+    def plogp(num: Column, den: Column): Column =
+      round((col("n").cast("double") / den.cast("double"))
+        * log(num.cast("double") / col("tot").cast("double")), 12)
+        .cast(d2512)
+    val per = withTot.groupBy("from_type")
+      .agg(max(col("tot")).as("n_pairs"), count(lit(1)).as("n_next"),
+        sum(plogp(col("n"), col("tot"))).as("s"))
+    val nTot = pairs.agg(sum(col("n")).as("nn"))
+    val corpus = withTot.crossJoin(broadcast(nTot))
+      .agg(max(col("nn")).as("n_pairs"), count(lit(1)).as("n_next"),
+        sum(plogp(col("n"), col("nn"))).as("s"))
+      .select(lit("*").as("from_type"), col("n_pairs"), col("n_next"),
+        col("s"))
+    per.select(col("from_type"), col("n_pairs"), col("n_next"), col("s"))
+      .unionByName(corpus)
+      .select(col("from_type"), col("n_pairs"), col("n_next"),
+        graft.GraftFunctions.roundz(-col("s").cast("double"), 6)
+          .as("entropy"))
+      .orderBy("from_type")
+  }
+
+  /** DuckDB oracle for [[e38TransitionEntropy]] — e9's bigram CTEs,
+    * identical round-12 term grid and roundz negation. */
+  def e38OracleSql: String = """
+      WITH e AS (
+        SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS to_type
+        FROM events),
+      pairs AS (
+        SELECT event_type AS from_type, to_type, count(*) AS n
+        FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      wt AS (
+        SELECT from_type, n,
+          sum(n) OVER (PARTITION BY from_type) AS tot
+        FROM pairs),
+      nn AS (SELECT sum(n) AS nn FROM pairs),
+      per AS (
+        SELECT from_type, max(tot) AS n_pairs, count(*) AS n_next,
+          sum(CAST(round((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+            * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+            AS DECIMAL(25,12))) AS s
+        FROM wt GROUP BY 1),
+      corpus AS (
+        SELECT '*' AS from_type, max(nn) AS n_pairs, count(*) AS n_next,
+          sum(CAST(round((CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+            * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+            AS DECIMAL(25,12))) AS s
+        FROM wt, nn)
+      SELECT from_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        CAST(n_next AS BIGINT) AS n_next,
+        (round(-CAST(s AS DOUBLE), 6) + 0.0) AS entropy
+      FROM (SELECT * FROM per UNION ALL SELECT * FROM corpus) u
+      ORDER BY from_type"""
 }

@@ -283,6 +283,7 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(xmin))" -> "one-row (tail threshold — e37)",
         ".crossJoin(broadcast(tot))" -> "one-row (user census — e37 CCDF)",
         "hill.crossJoin(broadcast(ols))" -> "one-row (CCDF OLS moments — e37)",
+        "val corpus = withTot.crossJoin(broadcast(nTot))" -> "one-row (bigram total — e38)",
         "cum.join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
         "daily.join(broadcast(stats), \"event_type\")" -> "dim (per-type moments)",
         ".join(broadcast(stats), \"event_type\")" -> "dim (per-type CUSUM baseline)",

@@ -1950,6 +1950,72 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(5) < 0.0, sf.toString)
   }
 
+  test("transition entropy: scripted chain is +0.0, fair coin is ln 2, " +
+       "random bigram frames match a JVM replica, corpus bounded") {
+    import spark.implicits._
+    import graft.operators.Events
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def replica(bi: Seq[(String, String, Long)])
+        : Seq[(String, Long, Long, Double)] = {
+      val nn = bi.map(_._3).sum
+      val per = bi.groupBy(_._1).toSeq.map { case (s, rows) =>
+        val tot = rows.map(_._3).sum
+        val h = -rows.map(t => BigDecimal(r(
+          (t._3.toDouble / tot) * math.log(t._3.toDouble / tot), 12))).sum
+        (s, tot, rows.size.toLong, r(h.toDouble, 6) + 0.0)
+      }
+      val hAll = -bi.map { case (s, _, n) =>
+        val tot = bi.filter(_._1 == s).map(_._3).sum
+        BigDecimal(r((n.toDouble / nn) * math.log(n.toDouble / tot), 12))
+      }.sum
+      (per :+ (("*", nn, bi.size.toLong, r(hAll.toDouble, 6) + 0.0)))
+        .sortBy(_._1)
+    }
+    def run(bi: Seq[(String, String, Long)]) =
+      Events.transitionEntropyFromBigrams(
+        bi.toDF("from_type", "to_type", "n")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    // a scripted 2-cycle: every state fully determined → H = +0.0
+    // (POSITIVE zero — roundz; the decimal-sum negation mints −0.0)
+    val chain = run(Seq(("a", "b", 5L), ("b", "a", 3L)))
+    chain.foreach { row =>
+      assert(java.lang.Double.doubleToLongBits(row._4) == 0L,
+        s"signed zero leaked: $row") }
+    // a fair coin at 'a': H(a) = ln 2; the '*' row weights a's coin
+    // by its 2/3 share of all bigrams
+    val coin = run(Seq(("a", "x", 2L), ("a", "y", 2L), ("b", "z", 2L)))
+      .map(t => t._1 -> t).toMap
+    assert(coin("a")._4 == 0.693147 && coin("b")._4 == 0.0, coin.toString)
+    assert(coin("*")._2 == 6L && coin("*")._3 == 3L, coin.toString)
+    assert(coin("*")._4 == replica(
+      Seq(("a", "x", 2L), ("a", "y", 2L), ("b", "z", 2L)))
+      .find(_._1 == "*").get._4, coin.toString)
+    // random bigram frames: bitwise replica equality
+    for (seed <- Seq(11L, 12L)) {
+      val rng = new scala.util.Random(seed)
+      val states = Seq("s1", "s2", "s3", "s4")
+      val bi = (for {
+        a <- states; b <- states
+        if rng.nextDouble() < 0.7
+      } yield (a, b, (1L + rng.nextInt(50)).toLong))
+      assert(run(bi) == replica(bi), s"seed $seed")
+    }
+    // sf corpus: every row obeys 0 ≤ H ≤ ln(n_next); the '*' row is a
+    // convex mixture of the per-state entropies (≤ their max)
+    val sf = Events.e38TransitionEntropy(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val star = sf.find(_._1 == "*").get
+    val states = sf.filter(_._1 != "*")
+    assert(states.nonEmpty && star._2 == states.map(_._2).sum)
+    sf.foreach { row =>
+      assert(row._4 >= 0.0 && row._4 <= math.log(row._3.toDouble) + 1e-9,
+        row.toString) }
+    assert(star._4 <= states.map(_._4).max + 1e-9, star.toString)
+  }
+
   test("seasonal strength: pure-trend/pure-season/pure-noise planted " +
        "panels, undecomposable rows drop, corpus strengths in [0,1]") {
     import spark.implicits._
