@@ -155,6 +155,8 @@ object SparkEntry {
     "t44_yule_k" -> ((s: SparkSession, d: String) => TextOps.yuleK(s, d)),
     "t45_burstiness" ->
       ((s: SparkSession, d: String) => TextOps.burstiness(s, d)),
+    "t46_ks_drift" ->
+      ((s: SparkSession, d: String) => TextOps.t46KsDrift(s, d)),
     "s22_hnsw" -> ((s: SparkSession, d: String) =>
       Similarity.hnswSearchOn(annEmb(s, d), annEdges(s, d),
         Similarity.KnnK, Similarity.KnnRounds,
@@ -1310,6 +1312,7 @@ object SparkEntry {
     "t42_js_divergence" -> graft.operators.TextOps.t42OracleSql,
     "t44_yule_k" -> graft.operators.TextOps.t44OracleSql,
     "t45_burstiness" -> graft.operators.TextOps.t45OracleSql,
+    "t46_ks_drift" -> graft.operators.TextOps.t46OracleSql,
     "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),

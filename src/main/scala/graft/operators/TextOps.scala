@@ -3404,4 +3404,104 @@ object TextOps {
         round(CAST(df AS DOUBLE) / CAST(d AS DOUBLE), 6) AS prior
       FROM terms, nd
       ORDER BY cf DESC, w LIMIT $BurstTopK"""
+
+  /** t46: PER-SOURCE DISTRIBUTION DRIFT — the two-sample
+    * Kolmogorov–Smirnov distance (Kolmogorov 1933; Smirnov 1939)
+    * between each source's document-length distribution and the REST
+    * of the corpus, with the length at which the ECDFs diverge most:
+    * the outlier-source detector a mixture pipeline runs per ingest
+    * snapshot BEFORE the expensive signals (a crawler that started
+    * truncating, a source that switched extractors, a feed gone
+    * boilerplate shifts its length ECDF long before t2/t22 quality
+    * scores move). Leave-one-out (source vs rest), so one bad source
+    * cannot hide inside the corpus ECDF it dominates.
+    *
+    * Exactness: D = max_v |c_s(v)/n_s − c_r(v)/n_r| is evaluated as
+    * the EXACT integer |c_s·n_r − c_r·n_s| (DECIMAL(38,0) — the cross
+    * product overflows BIGINT at ~10¹⁰-doc corpus scale), the argmax
+    * taken on the (num DESC, v ASC) total order, and the single
+    * division to ks_stat happens once, NULL-guarded for the
+    * single-source corpus where no "rest" exists (ANSI Divide throws
+    * on /0 even for DOUBLE).
+    *
+    * Scale shape: one fact-scale (source, length) count aggregate
+    * (map-side combine); the evaluation grid is sources × distinct
+    * lengths (both aggregate-bounded; a 100 TB corpus quantizes raw
+    * byte lengths to a fixed grid first — the operator reads any
+    * integer length column); cumsums ride per-source windows, the
+    * corpus cumsum a single-partition window over distinct lengths
+    * (e36's col*0 contract — block-prefix offsets at scale); one-row
+    * total broadcast; dim-bounded output. */
+  def t46KsDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftFromLengths(Tables.parallel(Tables.load(spark, dir, "documents"))
+      .select(col("source"), col("n_chars")))
+
+  /** [[t46KsDrift]]'s core over a (source, n_chars) frame — split out
+    * for planted shifted/identical-distribution specs. */
+  def ksDriftFromLengths(lens: DataFrame): DataFrame = {
+    val d380 = "decimal(38,0)"
+    val sv = lens.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val sources = sv.groupBy("source").agg(sum(col("c")).as("n_s"))
+    val values = sv.select(col("v")).distinct()
+    val grid = sources.crossJoin(values)
+      .join(sv, Seq("source", "v"), "left_outer")
+      .na.fill(0L, Seq("c"))
+    val wS = Window.partitionBy("source").orderBy("v")
+    val cum = grid.withColumn("cs", sum(col("c")).over(wS))
+    val wAll = Window.partitionBy(col("v") * 0).orderBy("v")
+    val cumT = sv.groupBy("v").agg(sum(col("c")).as("ct"))
+      .withColumn("cT", sum(col("ct")).over(wAll))
+      .select(col("v"), col("cT"))
+    val nn = lens.agg(count(lit(1)).as("nn"))
+    val scored = cum.join(cumT, "v").crossJoin(broadcast(nn))
+      .withColumn("n_r", col("nn") - col("n_s"))
+      .withColumn("num", abs(col("cs").cast(d380) * col("n_r").cast(d380)
+        - (col("cT") - col("cs")).cast(d380) * col("n_s").cast(d380)))
+    val wPick = Window.partitionBy("source")
+      .orderBy(col("num").desc, col("v"))
+    scored.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_s").as("n_docs"),
+        col("v").as("at_value"),
+        when(col("n_r") > 0, round(col("num").cast("double")
+          / (col("n_s").cast("double") * col("n_r").cast("double")), 6))
+          .as("ks_stat"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[t46KsDrift]] — identical grid, exact integer
+    * cross products (HUGEINT), identical argmax order and guard. */
+  def t46OracleSql: String = """
+      WITH lens AS (SELECT source, n_chars AS v FROM documents),
+      sv AS (SELECT source, v, count(*) AS c FROM lens GROUP BY 1, 2),
+      sources AS (SELECT source, sum(c) AS n_s FROM sv GROUP BY 1),
+      vals AS (SELECT DISTINCT v FROM sv),
+      grid AS (
+        SELECT s.source, s.n_s, vals.v, coalesce(sv.c, 0) AS c
+        FROM sources s CROSS JOIN vals
+        LEFT JOIN sv ON sv.source = s.source AND sv.v = vals.v),
+      cum AS (
+        SELECT source, n_s, v,
+          sum(c) OVER (PARTITION BY source ORDER BY v) AS cs
+        FROM grid),
+      ct AS (
+        SELECT v, sum(cv) OVER (ORDER BY v) AS cT
+        FROM (SELECT v, sum(c) AS cv FROM sv GROUP BY 1) t),
+      nn AS (SELECT count(*) AS nn FROM lens),
+      scored AS (
+        SELECT source, n_s, v, nn - n_s AS n_r,
+          abs(CAST(cs AS HUGEINT) * CAST(nn - n_s AS HUGEINT)
+            - CAST(cT - cs AS HUGEINT) * CAST(n_s AS HUGEINT)) AS num
+        FROM cum JOIN ct USING (v), nn),
+      picked AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY num DESC, v) AS rn
+        FROM scored)
+      SELECT source, CAST(n_s AS BIGINT) AS n_docs, v AS at_value,
+        CASE WHEN n_r > 0 THEN
+          round(CAST(num AS DOUBLE)
+            / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE)), 6)
+          END AS ks_stat
+      FROM picked WHERE rn = 1 ORDER BY source"""
 }

@@ -1168,4 +1168,67 @@ class TextOpsSpec extends SparkSpec {
       r.getDouble(3) >= 0.0 && r.getDouble(3) < 10000.0 },
       sf.mkString(";"))
   }
+
+  test("t46 KS drift: disjoint supports hit 1.0, identical halves 0.0, " +
+       "single source NULL, random frames match a JVM replica") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def run(rows: Seq[(String, Long)]) =
+      TextOps.ksDriftFromLengths(rows.toDF("source", "n_chars"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    def replica(rows: Seq[(String, Long)])
+        : Seq[(String, Long, Long, Option[Double])] = {
+      val nn = rows.size.toLong
+      val vals = rows.map(_._2).distinct.sorted
+      rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, mine) =>
+        val ns = mine.size.toLong
+        val nr = nn - ns
+        val scored = vals.map { v =>
+          val cs = mine.count(_._2 <= v).toLong
+          val cr = rows.count(t => t._1 != src && t._2 <= v).toLong
+          ((cs * nr - cr * ns).abs, v)
+        }
+        val best = scored.maxBy(t => (t._1, -t._2))
+        val at = scored.filter(_._1 == best._1).map(_._2).min
+        val ks = if (nr > 0) Some(BigDecimal(
+          best._1.toDouble / (ns.toDouble * nr.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) else None
+        (src, ns, at, ks)
+      }
+    }
+    // disjoint supports: both ECDFs saturate before the other starts →
+    // KS exactly 1.0, argmax at the low block's last value
+    val far = Seq.tabulate(4)(i => ("lo", (i + 1).toLong)) ++
+      Seq.tabulate(4)(i => ("hi", (i + 11).toLong))
+    assert(run(far) == Seq(("hi", 4L, 4L, Some(1.0)),
+      ("lo", 4L, 4L, Some(1.0))), run(far).toString)
+    // identical length multisets: zero everywhere, argmax tie-breaks
+    // to the smallest value, ks is POSITIVE zero
+    val same = Seq(("a", 5L), ("a", 5L), ("a", 7L),
+      ("b", 5L), ("b", 5L), ("b", 7L))
+    run(same).foreach { r =>
+      assert(r._3 == 5L &&
+        java.lang.Double.doubleToLongBits(r._4.get) == 0L, r.toString) }
+    // hand geometry: A={1,1,1,2}, B={1,2,2,2} → KS = |3−1|/4 = 0.5 at 1
+    val half = Seq(("A", 1L), ("A", 1L), ("A", 1L), ("A", 2L),
+      ("B", 1L), ("B", 2L), ("B", 2L), ("B", 2L))
+    assert(run(half) == Seq(("A", 4L, 1L, Some(0.5)),
+      ("B", 4L, 1L, Some(0.5))), run(half).toString)
+    // a single-source corpus has no "rest": NULL, not a throw
+    assert(run(Seq(("only", 3L), ("only", 9L)))
+      == Seq(("only", 2L, 3L, None)))
+    // random frames: exact replica equality
+    for (seed <- Seq(21L, 22L)) {
+      val rng = new scala.util.Random(seed)
+      val rows = Seq.fill(120)(
+        (s"s${rng.nextInt(5)}", (1L + rng.nextInt(12)).toLong))
+      assert(run(rows) == replica(rows), s"seed $seed")
+    }
+    // sf corpus: one row per source, every KS in [0, 1]
+    val sf = TextOps.t46KsDrift(spark, sfDir).collect()
+    assert(sf.length == 20, sf.length.toString)
+    sf.foreach { r => assert(r.getDouble(3) >= 0.0 &&
+      r.getDouble(3) <= 1.0, r.toString) }
+  }
 }
