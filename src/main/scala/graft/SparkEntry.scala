@@ -355,6 +355,8 @@ object SparkEntry {
     "t21_bpe_encode" -> (TextOps.bpeEncode _),
     "s10_recall_eval" -> (Similarity.recallEval _),
     "s23_rank_eval" -> (Similarity.rankEval _),
+    "s24_probe_sweep" ->
+      ((s: SparkSession, d: String) => Similarity.s24ProbeSweep(s, d)),
     "s11_ann_sq" -> (Similarity.annSq _),
     "s12_cluster_profile" -> (Similarity.clusterProfile _),
     "s13_mips_topk" -> (Similarity.mipsTopk _),
@@ -1218,6 +1220,7 @@ object SparkEntry {
     "s1_ann_bruteforce" -> Similarity.s1OracleSql,
     "s10_recall_eval" -> Similarity.s10OracleSql,
     "s23_rank_eval" -> Similarity.s23OracleSql,
+    "s24_probe_sweep" -> Similarity.s24OracleSql,
     "s11_ann_sq" -> Similarity.s11OracleSql(),
     "s12_cluster_profile" -> Similarity.s12OracleSql(),
     "s13_mips_topk" -> Similarity.s13OracleSql(),

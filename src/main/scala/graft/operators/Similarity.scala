@@ -1278,6 +1278,187 @@ object Similarity {
         ON ap.q_id = ex.q_id AND ap.c_id = ex.c_id
       GROUP BY ex.q_id ORDER BY ex.q_id"""
 
+  /** The nProbe ladder s24 sweeps — strictly increasing, so the spec
+    * can gate recall monotonicity; max entry bounds the probe window
+    * computed once and filtered per rung. */
+  final val SweepProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** s24: IVF TUNING CURVE — recall@k and scan cost of the s3 index
+    * swept across the nProbe ladder against the s1 exact baseline:
+    * the recall-vs-fraction-scanned trade-off table (the faiss/SCaNN
+    * "operating point" plot) an index operator reads to PICK nProbe,
+    * where s10 measures only the one shipped configuration. Per rung:
+    * candidates scanned (the cost axis — at nProbe = p the index
+    * touches ~p/k of the corpus), micro recall (pooled hits/truth)
+    * and macro recall (mean per-query, round-12 term grid — the two
+    * differ exactly when hard queries are also small-truth queries).
+    *
+    * One index pass, not |ladder| passes: centroids, assignment, and
+    * the probe ranking are computed ONCE for the max rung; every
+    * smaller rung is a crnk filter inside the (candidates × ladder)
+    * lattice — the sweep costs one extra dimension-bounded join, so
+    * benchmarking the ladder is not |ladder|× the price of one run.
+    *
+    * Determinism: cell/probe/candidate ranks ride the s3 total
+    * orders; hit/truth censuses are exact integers; macro terms
+    * round-12 quantized, DECIMAL-summed, one rounded division per
+    * output column. Scale shape: s3's — k-bounded centroid broadcast,
+    * one corpus-scale assignment aggregate, query×probe broadcast
+    * join (candidates ≈ queries × maxProbe/k of the corpus); the s1
+    * truth is the declared brute-force baseline every recall
+    * evaluation needs (sampled query logs at 100 TB, s10's contract). */
+  def s24ProbeSweep(spark: SparkSession, dir: String): DataFrame =
+    probeSweep(Tables.parallel(Tables.load(spark, dir, "embeddings")), 16)
+
+  def probeSweep(e: DataFrame, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val maxP = SweepProbes.max
+    val centroids = ivfCentroids(e, k)
+    val assigned = ivfAssign(e, centroids)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("csim").desc, col("cell"))
+    val probes = queries.crossJoin(centroids)
+      .withColumn("csim",
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("centv")))
+      .withColumn("crnk", row_number().over(wProbe))
+      .filter(col("crnk") <= maxP)
+      .select(col("q_id"), col("qv"), col("cell"), col("crnk"))
+    val cand = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("crnk"),
+        graft.GraftFunctions.cosineSim(spark, col("qv"), col("cv"))
+          .as("cos"))
+    val ladder = SweepProbes.map(_.toLong).toDF("n_probe")
+    val lat = graft.Ckpt(cand.join(broadcast(ladder),
+      col("crnk") <= col("n_probe")))
+    val scanned = lat.groupBy("n_probe").agg(count(lit(1)).as("n_cand"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_probe", "q_id").orderBy(col("cos").desc, col("c_id"))
+    val topk = lat.withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= AnnK)
+    val exact = graft.Ckpt(annBruteforce(e).select(col("q_id"), col("c_id")))
+    val hits = topk.join(exact, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("n_probe", "q_id").agg(count(lit(1)).as("h"))
+    val exacts = exact.groupBy("q_id").agg(count(lit(1)).as("ne"))
+    val perq = broadcast(ladder).crossJoin(exacts)
+      .join(hits, Seq("n_probe", "q_id"), "left_outer")
+      .select(col("n_probe"), col("q_id"), col("ne"),
+        coalesce(col("h"), lit(0L)).as("h"))
+    perq.groupBy("n_probe")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("h")).as("n_hit"), sum(col("ne")).as("n_exact"),
+        sum(round(col("h").cast("double") / col("ne").cast("double"), 12)
+          .cast("decimal(25,12)")).as("rsum"))
+      .join(scanned, Seq("n_probe"), "left_outer")
+      .select(col("n_probe"), col("n_queries"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_hit"), col("n_exact"),
+        round(col("n_hit").cast("double")
+          / col("n_exact").cast("double"), 6).as("recall_micro"),
+        round(col("rsum").cast("double")
+          / col("n_queries").cast("double"), 6).as("recall_macro"))
+      .orderBy("n_probe")
+  }
+
+  /** DuckDB oracle for [[probeSweep]] — s3's centroid/assign/probe
+    * CTEs widened to the max rung, the identical ladder lattice,
+    * re-rank, and two-level rollup against the s1 truth. */
+  def s24OracleSql: String = s"""
+      WITH sel AS (
+        SELECT vec_id, embedding,
+          ((vec_id % 1000000000) * 2654435761) % 2147483647 AS hsh
+        FROM embeddings),
+      cent AS (
+        SELECT cell, centv FROM (
+          SELECT row_number() OVER (ORDER BY hsh, vec_id) AS cell,
+                 embedding AS centv
+          FROM sel) t
+        WHERE cell <= 16),
+      norms AS (
+        SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+      cnorm AS (
+        SELECT cell, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+        FROM (SELECT cell, unnest(centv) AS x FROM cent) GROUP BY cell),
+      adots AS (
+        SELECT c_id, cell, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT e.vec_id AS c_id, c.cell, unnest(e.embedding) AS x, unnest(c.centv) AS y
+              FROM embeddings e, cent c) GROUP BY c_id, cell),
+      assign AS (
+        SELECT c_id, cell FROM (
+          SELECT a.c_id, a.cell,
+            row_number() OVER (PARTITION BY a.c_id
+              ORDER BY a.dt / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+          FROM adots a
+          JOIN norms n ON n.vec_id = a.c_id
+          JOIN cnorm cn ON cn.cell = a.cell) t
+        WHERE rn = 1),
+      probes AS (
+        SELECT q_id, cell, rn AS crnk FROM (
+          SELECT a.c_id AS q_id, a.cell,
+            row_number() OVER (PARTITION BY a.c_id
+              ORDER BY a.dt / (n.nrm * cn.nrm) DESC, a.cell) AS rn
+          FROM adots a
+          JOIN norms n ON n.vec_id = a.c_id
+          JOIN cnorm cn ON cn.cell = a.cell
+          WHERE a.c_id < 5) t
+        WHERE rn <= ${SweepProbes.max}),
+      cand0 AS (
+        SELECT p.q_id, s.c_id, p.crnk
+        FROM probes p JOIN assign s ON s.cell = p.cell
+        WHERE s.c_id <> p.q_id),
+      dots AS (
+        SELECT q_id, c_id, sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dt
+        FROM (SELECT c.q_id, c.c_id, unnest(eq.embedding) AS x,
+                unnest(ec.embedding) AS y
+              FROM cand0 c JOIN embeddings eq ON eq.vec_id = c.q_id
+                           JOIN embeddings ec ON ec.vec_id = c.c_id)
+        GROUP BY q_id, c_id),
+      cand AS (
+        SELECT c0.q_id, c0.c_id, c0.crnk,
+          d.dt / (nq.nrm * nc.nrm) AS cos
+        FROM cand0 c0
+        JOIN dots d ON d.q_id = c0.q_id AND d.c_id = c0.c_id
+        JOIN norms nq ON nq.vec_id = c0.q_id
+        JOIN norms nc ON nc.vec_id = c0.c_id),
+      ladder(n_probe) AS (VALUES ${SweepProbes.map(p => s"($p)").mkString(", ")}),
+      lat AS (
+        SELECT CAST(n_probe AS BIGINT) AS n_probe, q_id, c_id, cos
+        FROM cand JOIN ladder ON crnk <= n_probe),
+      scanned AS (
+        SELECT n_probe, count(*) AS n_cand FROM lat GROUP BY 1),
+      topk AS (
+        SELECT n_probe, q_id, c_id FROM (
+          SELECT n_probe, q_id, c_id,
+            row_number() OVER (PARTITION BY n_probe, q_id
+              ORDER BY cos DESC, c_id) AS rnk
+          FROM lat) t
+        WHERE rnk <= $AnnK),
+      exact AS (SELECT q_id, c_id FROM ( $s1OracleSql ) x),
+      exacts AS (SELECT q_id, count(*) AS ne FROM exact GROUP BY 1),
+      hits AS (
+        SELECT t.n_probe, t.q_id, count(*) AS h
+        FROM topk t JOIN exact e ON e.q_id = t.q_id AND e.c_id = t.c_id
+        GROUP BY 1, 2),
+      perq AS (
+        SELECT CAST(l.n_probe AS BIGINT) AS n_probe, ex.q_id, ex.ne,
+          coalesce(h.h, 0) AS h
+        FROM ladder l CROSS JOIN exacts ex
+        LEFT JOIN hits h ON h.n_probe = l.n_probe AND h.q_id = ex.q_id)
+      SELECT p.n_probe, count(*) AS n_queries,
+        CAST(coalesce(max(s.n_cand), 0) AS BIGINT) AS n_cand,
+        CAST(sum(h) AS BIGINT) AS n_hit, CAST(sum(ne) AS BIGINT) AS n_exact,
+        round(CAST(sum(h) AS DOUBLE) / CAST(sum(ne) AS DOUBLE), 6)
+          AS recall_micro,
+        round(CAST(sum(CAST(round(CAST(h AS DOUBLE) / CAST(ne AS DOUBLE),
+            12) AS DECIMAL(25,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS recall_macro
+      FROM perq p LEFT JOIN scanned s ON s.n_probe = p.n_probe
+      GROUP BY p.n_probe ORDER BY p.n_probe"""
+
   /** s12: cluster profile — corpus CARTOGRAPHY over the embedding
     * space (the "what is in my corpus" readout run before choosing
     * mixing weights or dedup thresholds): every vector assigned to

@@ -398,6 +398,9 @@ class ContractSpec extends SparkSpec {
         "val queries = broadcast(e.filter(col(\"vec_id\") < 5)" -> "k (query set)",
         "val queries = broadcast(withBuckets(e.filter(col(\"vec_id\") < 5))" -> "k (query set)",
         "val scored = broadcast(probes).join(assigned, Seq(\"cell\"))" -> "k (query×probe rows)",
+        "val cand = broadcast(probes).join(assigned, Seq(\"cell\"))" -> "k (query×probe rows — s24)",
+        "val lat = graft.Ckpt(cand.join(broadcast(ladder)," -> "k (4-rung nProbe ladder — s24)",
+        "val perq = broadcast(ladder).crossJoin(exacts)" -> "k (ladder × query dim — s24)",
         "val scored = broadcast(probes).join(corpus, Seq(\"cell\"))" -> "k (query×probe rows)",
         "val seedVec = vecs.join(broadcast(seed), col(\"vec_id\") === col(\"c_id\"))" -> "one-row (k-center seed)",
         ".join(broadcast(seed), col(\"vec_id\") === col(\"c_id\"), \"left_anti\")" -> "one-row (k-center seed)",

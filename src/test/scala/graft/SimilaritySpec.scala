@@ -1215,4 +1215,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.forall { case (_, n, rr) =>
       n >= 0.0 && n <= 1.0 && rr >= 0.0 && rr <= 1.0 })
   }
+
+  test("s24 probe sweep: ladder complete, cost and recall monotone, " +
+       "nProbe=4 rung pools exactly s10's hit census, micro = macro " +
+       "under equal truth sizes") {
+    val sim = graft.operators.Similarity
+    val e = graft.Tables.parallel(
+      graft.Tables.load(spark, sfDir, "embeddings"))
+    val rows = sim.probeSweep(e, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // one row per rung, in ladder order
+    assert(rows.map(_._1).toSeq == sim.SweepProbes.map(_.toLong),
+      rows.mkString(";"))
+    // widening the probe set can only add candidates AND hits (every
+    // rung's candidate set is a superset of the previous rung's)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 && b._4 >= a._4 && b._6 >= a._6 - 1e-12,
+        s"non-monotone: $a -> $b")
+      case _ => }
+    // the nProbe=4 rung IS s10's configuration: pooled hits must match
+    val s10hits = sim.recallEval(e).collect().map(_.getLong(2)).sum
+    val rung4 = rows.find(_._1 == 4L).get
+    assert(rung4._4 == s10hits, s"rung4 $rung4 vs s10 $s10hits")
+    // every query has the same truth size (s1 always fills k = 10
+    // on this corpus), so micro and macro recall coincide exactly
+    rows.foreach { r =>
+      assert(r._5 == r._2 * 10 && r._6 == r._7, r.toString) }
+  }
 }
