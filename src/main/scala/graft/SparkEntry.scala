@@ -179,6 +179,8 @@ object SparkEntry {
     "q77_dbrda" -> ((s: SparkSession, d: String) => Ordination.q77Dbrda(s, d)),
     "q86_anova_dbrda" ->
       ((s: SparkSession, d: String) => Ordination.q86AnovaDbrda(s, d)),
+    "q87_mantel_correlog" ->
+      ((s: SparkSession, d: String) => Relational.q87MantelCorrelog(s, d)),
     "q78_wascores" ->
       ((s: SparkSession, d: String) => Ordination.q78Wascores(s, d)),
     "q79_beals" -> ((s: SparkSession, d: String) => Relational.q79Beals(s, d)),
@@ -824,6 +826,7 @@ object SparkEntry {
     "q75_rda" -> Ordination.q75OracleSql(),
     "q77_dbrda" -> Ordination.q77OracleSql(),
     "q86_anova_dbrda" -> Ordination.q86OracleSql(),
+    "q87_mantel_correlog" -> Relational.q87OracleSql,
     "q78_wascores" -> Ordination.q78OracleSql(),
     "q79_beals" -> graft.operators.Relational.q79OracleSql(),
     "q80_specpool" -> graft.operators.Relational.q80OracleSql,

@@ -1749,6 +1749,303 @@ object Relational {
             AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
       FROM rqn, r0, ns WHERE rqn.p >= 1"""
 
+  /** Equal-width distance classes swept by [[q87MantelCorrelog]]. */
+  final val CorrelogClasses = 4
+
+  /** q87: MANTEL CORRELOGRAM (Oden & Sokal 1986; Legendre & Legendre
+    * §13.1; vegan's `mantel.correlog`) — q47 asks "does community
+    * dissimilarity track the environment AT ALL?"; this asks AT WHAT
+    * RANGE: the env-distance axis is cut into [[CorrelogClasses]]
+    * equal-width classes and each class's membership indicator is
+    * Mantel-correlated with the Bray–Curtis matrix under the SHARED
+    * permutation deal, with vegan's progressive Bonferroni correction
+    * up the class ladder. The indicator follows Legendre & Legendre's
+    * sign convention (0 inside the class, 1 outside — equivalently,
+    * the in-class statistic negated) so the curve reads like Moran's
+    * I: POSITIVE short-range r = communities closer in environment
+    * are more similar; the range where r dies is the patch size. The
+    * permutation tail tests that positive-autocorrelation side.
+    *
+    * The indicator algebra makes the sweep cheap: with y ∈ {0,1},
+    * r_k = (m·S_k − m_k·Σx) / (√(m·Σx²−(Σx)²)·√(m·m_k−m_k²)) needs
+    * only the PER-CLASS SUM S_k of community distances — and under
+    * the null the global moments (m, Σx, Σx²) are PERMUTATION-
+    * INVARIANT (permuting sample identities bijects the pair set), so
+    * the whole (P+1)-deal lattice reduces to one per-(p, class) sum
+    * of x at permuted endpoints. No per-permutation re-rank, no
+    * indicator matrix ever materialized.
+    *
+    * Determinism: the env distance is q68's round-6 √ of the exact
+    * decimal sum of round-12 squared z-diffs; class assignment is a
+    * pure double comparison ladder on (zv−lo)·C vs k·(hi−lo)
+    * (identically phrased both engines — no libm); x sums ride the
+    * round-12 DECIMAL grid; r round-9 for the cross-permutation
+    * compare (q47's convention), roundz-6 on output; p and the
+    * progressive-Bonferroni p_adj are exact integer ratios divided
+    * once. Classes with no pairs (or a degenerate all-pairs class,
+    * m_k = m) report NULL r and NULL p, never a /0 (ANSI throws).
+    *
+    * Scale shape: q47's exactly — one checkpointed fact-scale BC
+    * derivation; env frame dimension-bounded; pairs, the class frame,
+    * and the (P+1) lattice all sample-dim-bounded; the class ladder a
+    * C-row broadcast. */
+  def q87MantelCorrelog(spark: SparkSession, dir: String): DataFrame = {
+    val bcp = q30BrayCurtis(spark, dir)
+      .select(col("sample_a"), col("sample_b"),
+        col("bray_curtis").as("x"))
+    val nat = Tables.dim(spark, dir, "nation")
+      .select(col("n_name"), col("n_nationkey").as("k"))
+    mantelCorrelogFromInputs(bcp, bioenvEnv(spark, dir), nat)
+  }
+
+  /** [[q87MantelCorrelog]]'s core over a (sample_a, sample_b, x) pair
+    * frame, a (variable, n_name, v) environment frame, and a
+    * (n_name, k) key frame — split out for planted gradient specs. */
+  def mantelCorrelogFromInputs(xs0: DataFrame, env0: DataFrame,
+      keys: DataFrame): DataFrame = {
+    val spark = xs0.sparkSession
+    import spark.implicits._
+    val P = PermanovaPerms
+    val C = CorrelogClasses
+    val d3812 = "decimal(38,12)"
+    val xs = graft.Ckpt(xs0)
+    val z = envZScores(env0)
+    val zd = xs.select(col("sample_a"), col("sample_b"))
+      .join(z.select(col("variable"), col("n_name").as("sample_a"),
+        col("z").as("za")), "sample_a")
+      .join(z.select(col("variable"), col("n_name").as("sample_b"),
+        col("z").as("zb")), Seq("sample_b", "variable"))
+      .groupBy("sample_a", "sample_b")
+      .agg(round(sqrt(sum(round((col("za") - col("zb"))
+          * (col("za") - col("zb")), 12).cast(d3812)).cast("double")), 6)
+        .as("zv"))
+    val bounds = zd.agg(min(col("zv")).as("lo"), max(col("zv")).as("hi"))
+    val cls = graft.Ckpt(zd.crossJoin(broadcast(bounds))
+      .withColumn("t", (col("zv") - col("lo")) * C)
+      .withColumn("r", col("hi") - col("lo"))
+      .withColumn("cls",
+        when(col("r") === 0.0, lit(0L))
+          .when(col("t") < col("r"), lit(0L))
+          .when(col("t") < col("r") * 2, lit(1L))
+          .when(col("t") < col("r") * 3, lit(2L))
+          .otherwise(lit(3L)))
+      .select(col("sample_a"), col("sample_b"), col("cls")))
+    val gm = xs.agg(count(lit(1)).as("m"),
+      sum(col("x").cast(d3812)).cast("double").as("sx"),
+      sum(round(col("x") * col("x"), 12).cast(d3812))
+        .cast("double").as("sxx"))
+    val mk = cls.groupBy("cls").agg(count(lit(1)).as("mk"))
+    val samples = graft.Ckpt(xs.select(col("sample_a").as("n_name"))
+      .union(xs.select(col("sample_b"))).distinct()
+      .join(keys, "n_name"))
+    val pi = permutationBijection(samples, P)
+    val xa = pi.select(col("p"), col("n_name").as("sample_a"),
+      col("mapped").as("ma"))
+    val xb = pi.select(col("p"), col("n_name").as("sample_b"),
+      col("mapped").as("mb"))
+    val xLook = xs.select(
+      col("sample_a").as("pa"), col("sample_b").as("pb"), col("x"))
+    val lattice = cls
+      .join(xa, "sample_a").join(xb, Seq("p", "sample_b"))
+      .withColumn("pa", least(col("ma"), col("mb")))
+      .withColumn("pb", greatest(col("ma"), col("mb")))
+      .join(xLook, Seq("pa", "pb"))
+    val sk = lattice.groupBy("p", "cls")
+      .agg(sum(col("x").cast(d3812)).cast("double").as("sk"))
+    val md = col("m").cast("double")
+    val mkd = col("mk").cast("double")
+    val rk = sk.join(broadcast(mk), "cls").crossJoin(broadcast(gm))
+      .select(col("p"), col("cls"), col("mk"),
+        when(col("mk") < col("m") &&
+            md * col("sxx") - col("sx") * col("sx") > 0.0,
+          round((mkd * col("sx") - md * col("sk"))
+            / (sqrt(md * col("sxx") - col("sx") * col("sx"))
+              * sqrt(md * mkd - mkd * mkd)), 9)).as("rq"))
+    val robs = rk.filter(col("p") === 0L)
+      .select(col("cls"), col("rq").as("r_obs"), col("mk").as("n_pairs"))
+    val tails = rk.filter(col("p") >= 1L)
+      .join(robs.select(col("cls"), col("r_obs")), "cls")
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("rq") >= col("r_obs"), 1L).otherwise(0L)).as("n_ge"))
+    val ladder = (0 until C).map(_.toLong).toDF("cls")
+    broadcast(ladder).join(robs, Seq("cls"), "left_outer")
+      .join(tails, Seq("cls"), "left_outer")
+      .crossJoin(broadcast(bounds))
+      .select(col("cls").as("dist_class"),
+        round(col("lo") + (col("hi") - col("lo"))
+          * col("cls").cast("double") / C, 6).as("d_lo"),
+        round(col("lo") + (col("hi") - col("lo"))
+          * (col("cls") + 1).cast("double") / C, 6).as("d_hi"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        graft.GraftFunctions.roundz(col("r_obs"), 6).as("mantel_r"),
+        when(col("r_obs").isNotNull, round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6)).as("p_value"),
+        when(col("r_obs").isNotNull, round(least(lit(1.0),
+          ((col("n_ge") + 1) * (col("cls") + 1)).cast("double")
+            / (col("n_perms") + 1).cast("double")), 6)).as("p_adj"))
+      .orderBy("dist_class")
+  }
+
+  /** DuckDB oracle for [[q87MantelCorrelog]] — q30's BC CTEs, q68's
+    * env z/distance CTEs, the identical class ladder, the shared
+    * permutation deal, and the indicator-algebra rollup. */
+  def q87OracleSql: String = s"""
+      WITH ab AS (
+        SELECT n_name, p_type, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, p_type),
+      tot AS (SELECT n_name, sum(qty) AS s FROM ab GROUP BY n_name),
+      cm AS (
+        SELECT a.n_name AS sample_a, b.n_name AS sample_b,
+          sum(least(a.qty, b.qty)) AS c
+        FROM ab a JOIN ab b ON a.p_type = b.p_type AND a.n_name < b.n_name
+        GROUP BY 1, 2),
+      bc AS MATERIALIZED (
+        SELECT ta.n_name AS sample_a, tb.n_name AS sample_b,
+          round(1.0 - 2.0 * CAST(coalesce(cm.c, 0) AS DOUBLE)
+            / (CAST(ta.s AS DOUBLE) + CAST(tb.s AS DOUBLE)), 6) AS x
+        FROM tot ta JOIN tot tb ON ta.n_name < tb.n_name
+        LEFT JOIN cm ON cm.sample_a = ta.n_name AND cm.sample_b = tb.n_name),
+      cn AS MATERIALIZED (
+        SELECT c_custkey, n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey),
+      env AS MATERIALIZED (
+        SELECT 'acctbal_mean' AS variable, n_name,
+          round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12) AS v
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'totalprice_mean', n_name,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 12)
+        FROM orders JOIN cn ON o_custkey = c_custkey
+        GROUP BY n_name
+        UNION ALL
+        SELECT 'orders_per_cust', o.n_name,
+          round(CAST(o.no AS DOUBLE) / CAST(c.nc AS DOUBLE), 12)
+        FROM (SELECT n_name, count(*) AS no FROM orders
+              JOIN cn ON o_custkey = c_custkey GROUP BY 1) o
+        JOIN (SELECT n_name, count(*) AS nc FROM cn GROUP BY 1) c
+          ON o.n_name = c.n_name),
+      vm AS (
+        SELECT variable,
+          CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS mv,
+          count(*) AS nv
+        FROM env GROUP BY 1),
+      vsd AS (
+        SELECT env.variable,
+          round(sqrt(CAST(sum(CAST(round((v - mv) * (v - mv), 12)
+              AS DECIMAL(38,12))) AS DOUBLE)
+            / CAST(any_value(nv) - 1 AS DOUBLE)), 12) AS sd,
+          any_value(mv) AS mv
+        FROM env JOIN vm ON env.variable = vm.variable
+        GROUP BY env.variable),
+      z AS MATERIALIZED (
+        SELECT env.variable, n_name,
+          CASE WHEN sd > 0 THEN round((v - mv) / sd, 12) END AS z
+        FROM env JOIN vsd ON env.variable = vsd.variable),
+      zd AS MATERIALIZED (
+        SELECT sample_a, sample_b,
+          round(sqrt(CAST(sum(CAST(round((za.z - zb.z) * (za.z - zb.z),
+            12) AS DECIMAL(38,12))) AS DOUBLE)), 6) AS zv
+        FROM bc
+        JOIN z za ON za.n_name = sample_a
+        JOIN z zb ON zb.n_name = sample_b AND zb.variable = za.variable
+        GROUP BY 1, 2),
+      bounds AS (SELECT min(zv) AS lo, max(zv) AS hi FROM zd),
+      cls AS MATERIALIZED (
+        SELECT sample_a, sample_b,
+          CASE WHEN hi - lo = 0 THEN 0
+               WHEN (zv - lo) * $CorrelogClasses < hi - lo THEN 0
+               WHEN (zv - lo) * $CorrelogClasses < (hi - lo) * 2 THEN 1
+               WHEN (zv - lo) * $CorrelogClasses < (hi - lo) * 3 THEN 2
+               ELSE 3 END AS cls
+        FROM zd, bounds),
+      gm AS (
+        SELECT count(*) AS m,
+          CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+            AS sxx
+        FROM bc),
+      mk AS (SELECT cls, count(*) AS mk FROM cls GROUP BY 1),
+      samples AS MATERIALIZED (
+        SELECT s.n_name, n_nationkey AS k
+        FROM (SELECT DISTINCT n_name FROM (
+          SELECT sample_a AS n_name FROM bc
+          UNION ALL SELECT sample_b FROM bc)) s
+        JOIN nation ON nation.n_name = s.n_name),
+      byid AS (
+        SELECT p, n_name, row_number() OVER (
+          PARTITION BY p ORDER BY n_name) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      byhash AS (
+        SELECT p, n_name AS mapped, row_number() OVER (
+          PARTITION BY p ORDER BY
+            ((k * 1000003 + p) % 1000000000) * 2654435761 % 2147483647,
+            k) AS j
+        FROM samples, generate_series(1, $PermanovaPerms) t(p)),
+      pi AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS p, n_name, n_name AS mapped
+        FROM samples
+        UNION ALL
+        SELECT CAST(byid.p AS BIGINT), byid.n_name, mapped
+        FROM byid JOIN byhash ON byid.p = byhash.p AND byid.j = byhash.j),
+      lattice AS (
+        SELECT pa.p, cls.cls, xl.x
+        FROM cls
+        JOIN pi pa ON pa.n_name = cls.sample_a
+        JOIN pi pb ON pb.n_name = cls.sample_b AND pb.p = pa.p
+        JOIN bc xl ON xl.sample_a = least(pa.mapped, pb.mapped)
+          AND xl.sample_b = greatest(pa.mapped, pb.mapped)),
+      sk AS (
+        SELECT p, cls,
+          CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sk
+        FROM lattice GROUP BY 1, 2),
+      rk AS (
+        SELECT p, sk.cls, mk.mk,
+          CASE WHEN mk.mk < gm.m
+                 AND CAST(gm.m AS DOUBLE) * sxx - sx * sx > 0.0 THEN
+            round((CAST(mk.mk AS DOUBLE) * sx
+                - CAST(gm.m AS DOUBLE) * sk.sk)
+              / (sqrt(CAST(gm.m AS DOUBLE) * sxx - sx * sx)
+                * sqrt(CAST(gm.m AS DOUBLE) * CAST(mk.mk AS DOUBLE)
+                  - CAST(mk.mk AS DOUBLE) * CAST(mk.mk AS DOUBLE))), 9)
+            END AS rq
+        FROM sk JOIN mk ON mk.cls = sk.cls, gm),
+      robs AS (
+        SELECT cls, rq AS r_obs, mk AS n_pairs FROM rk WHERE p = 0),
+      tails AS (
+        SELECT rk.cls, count(*) AS n_perms,
+          CAST(sum(CASE WHEN rk.rq >= r_obs THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ge
+        FROM rk JOIN robs ON robs.cls = rk.cls
+        WHERE rk.p >= 1 GROUP BY 1)
+      SELECT CAST(l.cls AS BIGINT) AS dist_class,
+        round(lo + (hi - lo) * CAST(l.cls AS DOUBLE)
+          / $CorrelogClasses, 6) AS d_lo,
+        round(lo + (hi - lo) * CAST(l.cls + 1 AS DOUBLE)
+          / $CorrelogClasses, 6) AS d_hi,
+        CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        (round(r_obs, 6) + 0.0) AS mantel_r,
+        CASE WHEN r_obs IS NOT NULL THEN
+          round(CAST(n_ge + 1 AS DOUBLE) / CAST(n_perms + 1 AS DOUBLE), 6)
+          END AS p_value,
+        CASE WHEN r_obs IS NOT NULL THEN
+          round(least(1.0, CAST((n_ge + 1) * (l.cls + 1) AS DOUBLE)
+            / CAST(n_perms + 1 AS DOUBLE)), 6)
+          END AS p_adj
+      FROM generate_series(0, ${CorrelogClasses - 1}) l(cls)
+      LEFT JOIN robs ON robs.cls = l.cls
+      LEFT JOIN tails ON tails.cls = l.cls, bounds
+      ORDER BY dist_class"""
+
   /** Taxa reported per group pair by [[q48Simper]]. */
   final val SimperTopK = 5
 

@@ -348,6 +348,10 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(obsr))" -> "one-row (observed r² — q85)",
         "cent.crossJoin(broadcast(tail))" -> "one-row (permutation tail — q85)",
         ".crossJoin(broadcast(xm))" -> "one-row (axis means — q85)",
+        "val cls = graft.Ckpt(zd.crossJoin(broadcast(bounds))" -> "one-row (distance bounds — q87)",
+        ".crossJoin(broadcast(bounds))" -> "one-row (distance bounds — q87)",
+        "val rk = sk.join(broadcast(mk), \"cls\").crossJoin(broadcast(gm))" -> "k (class censuses + one-row moments — q87)",
+        "broadcast(ladder).join(robs, Seq(\"cls\"), \"left_outer\")" -> "k (4-row class ladder — q87)",
         ".crossJoin(broadcast(pool)) // one-row taxon-pool size" -> "one-row (q60 pool size)",
         ".crossJoin(broadcast(poolRich)) // one-row pooled richness" -> "one-row (q63 pooled richness)",
         ".crossJoin(broadcast(pairSums)) // one-row pair-census sums" -> "one-row (q63 pair sums)",

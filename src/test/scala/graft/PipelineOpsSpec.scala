@@ -260,6 +260,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(5) > 0.0 && sf.getDouble(5) <= 1.0, s"p range: $sf")
   }
 
+  test("Mantel correlogram: a planted linear gradient reads positive " +
+       "at short range and negative at long range, a constant " +
+       "community NULLs out, censuses complete") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val names = (1 to 8).map(i => f"s$i%02d")
+    val keys = names.zipWithIndex
+      .map { case (nm, i) => (nm, i.toLong) }.toDF("n_name", "k")
+    val env = names.zipWithIndex
+      .map { case (nm, i) => ("pos", nm, i.toDouble) }
+      .toDF("variable", "n_name", "v")
+    def pairsOf(f: (Int, Int) => Double) = (for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j), f(i, j)))
+    // community dissimilarity IS the env gap: near pairs similar, far
+    // pairs different — the textbook gradient correlogram
+    val grad = pairsOf((i, j) => (j - i) / 10.0)
+    val rows = Relational.mantelCorrelogFromInputs(
+      grad.toDF("sample_a", "sample_b", "x"), env, keys).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // the |i−j| ∈ {1,2}/{3}/{4,5}/{6,7} class censuses: 13/5/7/3
+    assert(rows.map(_._4).toSeq == Seq(13L, 5L, 7L, 3L),
+      rows.mkString(";"))
+    // d ladder contiguous: each class's hi is the next class's lo
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 == b._2, s"ladder gap: $a -> $b")
+      case _ => }
+    // Moran-style signs: positive (and significant) at short range,
+    // negative (positive-side p near 1) at the longest range
+    assert(rows(0)._5.get > 0.0 && rows(0)._6.get < 0.1,
+      rows(0).toString)
+    assert(rows(3)._5.get < 0.0 && rows(3)._6.get > 0.5,
+      rows(3).toString)
+    // progressive Bonferroni: p_adj = min(1, p·(class+1)), never
+    // below the raw p
+    rows.foreach { r0 => r0._6.foreach { p =>
+      assert(r0._7.get >= p - 1e-12 && r0._7.get <= 1.0, r0.toString) } }
+    // a constant community matrix has zero variance: every class NULL
+    val const = Relational.mantelCorrelogFromInputs(
+      pairsOf((_, _) => 0.3).toDF("sample_a", "sample_b", "x"),
+      env, keys).collect()
+    assert(const.length == 4 && const.forall(_.isNullAt(4)),
+      const.mkString(";"))
+    // corpus: full pair census across classes, r bounded, p in (0,1]
+    val sf = Relational.q87MantelCorrelog(spark, sfDir).collect()
+    assert(sf.map(_.getLong(3)).sum == 300L, sf.mkString(";"))
+    sf.foreach { r0 =>
+      if (!r0.isNullAt(4)) {
+        assert(math.abs(r0.getDouble(4)) <= 1.0, r0.toString)
+        assert(r0.getDouble(5) > 0.0 && r0.getDouble(5) <= 1.0,
+          r0.toString)
+      }
+    }
+  }
+
   test("Partial Mantel keeps r = 1 exactly when x and y agree beyond " +
        "the covariate, and strips a shared-gradient confound") {
     import spark.implicits._
