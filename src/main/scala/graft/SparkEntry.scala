@@ -181,6 +181,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Ordination.q86AnovaDbrda(s, d)),
     "q87_mantel_correlog" ->
       ((s: SparkSession, d: String) => Relational.q87MantelCorrelog(s, d)),
+    "q88_varpart" ->
+      ((s: SparkSession, d: String) => Ordination.q88Varpart(s, d)),
     "q78_wascores" ->
       ((s: SparkSession, d: String) => Ordination.q78Wascores(s, d)),
     "q79_beals" -> ((s: SparkSession, d: String) => Relational.q79Beals(s, d)),
@@ -827,6 +829,7 @@ object SparkEntry {
     "q77_dbrda" -> Ordination.q77OracleSql(),
     "q86_anova_dbrda" -> Ordination.q86OracleSql(),
     "q87_mantel_correlog" -> Relational.q87OracleSql,
+    "q88_varpart" -> Ordination.q88OracleSql(),
     "q78_wascores" -> Ordination.q78OracleSql(),
     "q79_beals" -> graft.operators.Relational.q79OracleSql(),
     "q80_specpool" -> graft.operators.Relational.q80OracleSql,

@@ -1332,6 +1332,223 @@ object Ordination {
       FROM fin"""
   }
 
+  /** q88: VARIATION PARTITIONING for the dbRDA (Borcard, Legendre &
+    * Drapeau 1992; Peres-Neto et al. 2006; vegan `varpart`) — the
+    * question AFTER q86 says "the environment matters": HOW MUCH of
+    * the explained Bray–Curtis structure belongs to the wealth axis
+    * alone (X1 = acctbal_mean), to the commerce axes alone
+    * (X2 = {orders_per_cust, totalprice_mean}), and to their overlap?
+    * Fractions from the three constrained fits via the standard
+    * inclusion–exclusion on ADJUSTED R² (Ezekiel 1930 adjustment —
+    * raw R² only grows with predictors, so unadjusted fractions are
+    * biased): a = adj(X1∪X2) − adj(X2) (pure X1), c = adj(X1∪X2) −
+    * adj(X1) (pure X2), b = adj(X1) + adj(X2) − adj(X1∪X2) (shared —
+    * CAN be negative, the classic suppression signature), d =
+    * 1 − adj(X1∪X2) (residual).
+    *
+    * No eigensolve, q86's trace identity three times over ONE basis:
+    * tr(H_S·G·H_S) = tr(M_S⁻¹·W_S) where M_S/W_S are PRINCIPAL
+    * SUBMATRICES of the full M = X_rᵀX_r and W = X_rᵀGX_r (the
+    * centered/√r-scaled columns are subset-independent) — so X1 costs
+    * one scalar division (w₁₁/m₁₁), X2 a closed-form 2×2, X1∪X2 the
+    * existing 3×3 adjugate, and G is read ONCE for all three.
+    *
+    * Determinism: q77's exact fold chains end-to-end; every division
+    * NULL-guarded (ANSI throws on /0); all ratio/fraction outputs
+    * roundz (b is negative on suppressors). Degenerate inputs
+    * (singular full basis, zero inertia, n ≤ 4) NULL every fraction
+    * identically in both engines — det ≠ 0 makes M positive-definite,
+    * so the subset minors are then automatically nonsingular.
+    *
+    * Scale shape: q86's — one checkpointed fact-scale BC aggregate,
+    * then (n² × 3)-bounded in-row arithmetic on the single matrix
+    * row; at 10⁴⁺ samples the identity runs over q31b's distributed
+    * triples with X_r broadcast. */
+  def q88Varpart(spark: SparkSession, dir: String): DataFrame =
+    varpartFromInputs(Relational.q30BrayCurtis(spark, dir),
+      Relational.bioenvEnv(spark, dir))
+
+  /** [[q88Varpart]]'s core over a (sample_a, sample_b, bray_curtis)
+    * upper-triangle frame and the 3-variable env frame (X1 = the
+    * alphabetically first variable, X2 = the other two) — split out
+    * for planted orthogonal/collinear specs. */
+  def varpartFromInputs(bc0: DataFrame, env0: DataFrame): DataFrame = {
+    val g0 = centeredGram(bc0)
+      .withColumn("rvec", transform(sequence(lit(1), col("n")), _ =>
+        lit(1.0) / col("n").cast("double")))
+    def mmE(a: Int, b: Int) = element_at(element_at(col("mm"), a), b)
+    def wE(a: Int, b: Int) = element_at(element_at(col("w3"), a), b)
+    def miE(a: Int, b: Int) = element_at(element_at(col("minv"), a), b)
+    val st = constraintBasis(g0, env0)
+      .withColumn("tg", foldSum(transform(sequence(lit(1), col("n")),
+        i => element_at(element_at(col("gm"), i), i))))
+      .withColumn("gx", transform(sequence(lit(1), col("n")), i =>
+        transform(sequence(lit(1), lit(3)), b =>
+          foldSum(transform(sequence(lit(1), col("n")), j =>
+            element_at(element_at(col("gm"), i), j)
+              * element_at(element_at(col("xr"), j), b))))))
+      .withColumn("w3", transform(sequence(lit(1), lit(3)), a =>
+        transform(sequence(lit(1), lit(3)), b =>
+          foldSum(transform(sequence(lit(1), col("n")), i =>
+            element_at(element_at(col("xr"), i), a)
+              * element_at(element_at(col("gx"), i), b))))))
+      .withColumn("c12",
+        miE(1, 1) * wE(1, 1) + miE(1, 2) * wE(2, 1) + miE(1, 3) * wE(3, 1)
+          + miE(2, 1) * wE(1, 2) + miE(2, 2) * wE(2, 2)
+          + miE(2, 3) * wE(3, 2)
+          + miE(3, 1) * wE(1, 3) + miE(3, 2) * wE(2, 3)
+          + miE(3, 3) * wE(3, 3))
+      .withColumn("c1",
+        wE(1, 1) / when(mmE(1, 1) =!= 0.0, mmE(1, 1)))
+      .withColumn("det2",
+        mmE(2, 2) * mmE(3, 3) - mmE(2, 3) * mmE(3, 2))
+      .withColumn("c2",
+        (mmE(3, 3) * wE(2, 2) - mmE(2, 3) * wE(3, 2)
+          - mmE(3, 2) * wE(2, 3) + mmE(2, 2) * wE(3, 3))
+          / when(col("det2") =!= 0.0, col("det2")))
+    val nD = col("n").cast("double")
+    def adj(c: Column, p: Int): Column =
+      lit(1.0) - (lit(1.0) - c / col("tg")) * (nD - 1.0) /
+        (nD - lit(1.0 + p))
+    val ok = col("det").isNotNull && col("tg") > lit(0.0) &&
+      col("n") > lit(4)
+    val rz = graft.GraftFunctions.roundz _
+    st.select(
+      col("n").cast("long").as("n_samples"),
+      round(col("tg"), 6).as("inertia_total"),
+      when(ok, rz(col("c1") / col("tg"), 6)).as("r2_x1"),
+      when(ok, rz(col("c2") / col("tg"), 6)).as("r2_x2"),
+      when(ok, rz(col("c12") / col("tg"), 6)).as("r2_both"),
+      when(ok, rz(adj(col("c1"), 1), 6)).as("adj_x1"),
+      when(ok, rz(adj(col("c2"), 2), 6)).as("adj_x2"),
+      when(ok, rz(adj(col("c12"), 3), 6)).as("adj_both"),
+      when(ok, rz(adj(col("c12"), 3) - adj(col("c2"), 2), 6))
+        .as("frac_x1_pure"),
+      when(ok, rz(adj(col("c1"), 1) + adj(col("c2"), 2)
+        - adj(col("c12"), 3), 6)).as("frac_shared"),
+      when(ok, rz(adj(col("c12"), 3) - adj(col("c1"), 1), 6))
+        .as("frac_x2_pure"),
+      when(ok, rz(lit(1.0) - adj(col("c12"), 3), 6)).as("frac_resid"))
+  }
+
+  /** DuckDB oracle for [[q88Varpart]] — q86's basis CTEs, the subset
+    * trace identities, and the identical adjusted-R² fractions. */
+  def q88OracleSql(): String = {
+    def m(a: Int, b: Int) = s"mmx[$a][$b]"
+    def inv(num: String) = s"($num) / det"
+    val minv = Seq(
+      Seq(inv(s"${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)}"),
+        inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
+        inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}")),
+      Seq(inv(s"${m(1, 3)} * ${m(3, 2)} - ${m(1, 2)} * ${m(3, 3)}"),
+        inv(s"${m(1, 1)} * ${m(3, 3)} - ${m(1, 3)} * ${m(3, 1)}"),
+        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}")),
+      Seq(inv(s"${m(1, 2)} * ${m(2, 3)} - ${m(1, 3)} * ${m(2, 2)}"),
+        inv(s"${m(1, 3)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 3)}"),
+        inv(s"${m(1, 1)} * ${m(2, 2)} - ${m(1, 2)} * ${m(2, 1)}")))
+      .map(r => s"[${r.mkString(", ")}]").mkString("[", ", ", "]")
+    def adj(c: String, p: Int) =
+      s"1.0 - (1.0 - $c / tg) * (CAST(n AS DOUBLE) - 1.0)" +
+        s" / (CAST(n AS DOUBLE) - ${(1.0 + p)})"
+    val okSql = "det <> 0.0 AND tg > 0.0 AND n > 4"
+    CentPrefix + s""",
+      rv AS (
+        SELECT list_transform(generate_series(1, CAST(n AS INT)),
+          i -> 1.0 / CAST(n AS DOUBLE)) AS rvec
+        FROM cent)""" + EnvXmatCtes + s""",
+      base AS (
+        SELECT samples, n, gm, rvec,
+          list_transform(generate_series(1, CAST(n AS INT)), i ->
+            CASE WHEN xsamples[i] = samples[i] THEN xm0[i] END) AS xm
+        FROM cent, rv, xmat),
+      st1 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, CAST(n AS INT)), i ->
+              rvec[i] * xm[i][a])), (acc, x) -> acc + x)) AS wm
+        FROM base),
+      st2 AS (
+        SELECT *, list_transform(generate_series(1, CAST(n AS INT)), i ->
+          list_transform(generate_series(1, 3), a ->
+            sqrt(rvec[i]) * (xm[i][a] - wm[a]))) AS xr
+        FROM st1),
+      st3 AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_transform(generate_series(1, 3), b ->
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(n AS INT)), i ->
+                xr[i][a] * xr[i][b])), (acc, x) -> acc + x))) AS mmx
+        FROM st2),
+      st4 AS (
+        SELECT *,
+          ${m(1, 1)} * (${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)})
+            - ${m(1, 2)} * (${m(2, 1)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 1)})
+            + ${m(1, 3)} * (${m(2, 1)} * ${m(3, 2)} - ${m(2, 2)} * ${m(3, 1)})
+            AS det
+        FROM st3),
+      st5 AS (
+        SELECT *, $minv AS minv FROM st4),
+      gxw AS (
+        SELECT *,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, CAST(n AS INT)), i ->
+              gm[i][i])), (acc, x) -> acc + x) AS tg,
+          list_transform(generate_series(1, CAST(n AS INT)), i ->
+            list_transform(generate_series(1, 3), b ->
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, CAST(n AS INT)), j ->
+                  gm[i][j] * xr[j][b])), (acc, x) -> acc + x))) AS gx
+        FROM st5),
+      w3c AS (
+        SELECT *, list_transform(generate_series(1, 3), a ->
+          list_transform(generate_series(1, 3), b ->
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(generate_series(1, CAST(n AS INT)), i ->
+                xr[i][a] * gx[i][b])), (acc, x) -> acc + x))) AS w3
+        FROM gxw),
+      tr1 AS (
+        SELECT *,
+          minv[1][1] * w3[1][1] + minv[1][2] * w3[2][1]
+            + minv[1][3] * w3[3][1]
+            + minv[2][1] * w3[1][2] + minv[2][2] * w3[2][2]
+            + minv[2][3] * w3[3][2]
+            + minv[3][1] * w3[1][3] + minv[3][2] * w3[2][3]
+            + minv[3][3] * w3[3][3] AS c12,
+          w3[1][1] / (CASE WHEN ${m(1, 1)} <> 0.0
+            THEN ${m(1, 1)} END) AS c1,
+          ${m(2, 2)} * ${m(3, 3)} - ${m(2, 3)} * ${m(3, 2)} AS det2
+        FROM w3c),
+      tr2 AS (
+        SELECT *,
+          (${m(3, 3)} * w3[2][2] - ${m(2, 3)} * w3[3][2]
+            - ${m(3, 2)} * w3[2][3] + ${m(2, 2)} * w3[3][3])
+            / (CASE WHEN det2 <> 0.0 THEN det2 END) AS c2
+        FROM tr1)
+      SELECT CAST(n AS BIGINT) AS n_samples,
+        round(tg, 6) AS inertia_total,
+        CASE WHEN $okSql THEN (round(c1 / tg, 6) + 0.0) END AS r2_x1,
+        CASE WHEN $okSql THEN (round(c2 / tg, 6) + 0.0) END AS r2_x2,
+        CASE WHEN $okSql THEN (round(c12 / tg, 6) + 0.0) END AS r2_both,
+        CASE WHEN $okSql THEN
+          (round(${adj("c1", 1)}, 6) + 0.0) END AS adj_x1,
+        CASE WHEN $okSql THEN
+          (round(${adj("c2", 2)}, 6) + 0.0) END AS adj_x2,
+        CASE WHEN $okSql THEN
+          (round(${adj("c12", 3)}, 6) + 0.0) END AS adj_both,
+        CASE WHEN $okSql THEN
+          (round((${adj("c12", 3)}) - (${adj("c2", 2)}), 6) + 0.0)
+          END AS frac_x1_pure,
+        CASE WHEN $okSql THEN
+          (round((${adj("c1", 1)}) + (${adj("c2", 2)})
+            - (${adj("c12", 3)}), 6) + 0.0) END AS frac_shared,
+        CASE WHEN $okSql THEN
+          (round((${adj("c12", 3)}) - (${adj("c1", 1)}), 6) + 0.0)
+          END AS frac_x2_pure,
+        CASE WHEN $okSql THEN
+          (round(1.0 - (${adj("c12", 3)}), 6) + 0.0) END AS frac_resid
+      FROM tr2"""
+  }
+
   /** Column-centered dense abundance matrix with uniform row weights
     * — [[q75Rda]]'s input to the shared constrained chain. */
   private def rdaMatrix(ab0: DataFrame): DataFrame = {

@@ -794,6 +794,75 @@ class ScaleSpec extends SparkSpec {
     assert(sf.getDouble(7) > 0.0 && sf.getDouble(7) <= 1.0, sf.toString)
   }
 
+  test("q88 varpart: orthogonal constraint blocks make raw R2 " +
+       "additive, a collinear basis NULLs out, fractions sum to one, " +
+       "r2_both is q86's r2") {
+    import spark.implicits._
+    val ord = graft.operators.Ordination
+    val names = Seq("A", "B", "C", "D", "E", "F")
+    // any planted distance geometry works — additivity is a property
+    // of the CONSTRAINT blocks, not of G
+    val bc = (for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j), 0.1 * ((i * 3 + j * 5) % 7 + 1)))
+      .toDF("sample_a", "sample_b", "bray_curtis")
+    // v1 ⟂ {v2, v3} after centering (all means already 0; the ±1/6
+    // cross terms cancel pairwise EXACTLY in the fold order), so M is
+    // block-diagonal and tr(M⁻¹W) splits: r²(both) = r²(X1) + r²(X2)
+    // up to the two independent round-6 output quantizations
+    val v1 = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    val v2 = Seq(1.0, 1.0, -1.0, -1.0, 0.0, 0.0)
+    val v3 = Seq(0.0, 0.0, 1.0, 1.0, -1.0, -1.0)
+    def envOf(c1: Seq[Double], c2: Seq[Double], c3: Seq[Double]) =
+      names.indices.flatMap(i => Seq(
+        ("a_v1", names(i), c1(i)), ("b_v2", names(i), c2(i)),
+        ("c_v3", names(i), c3(i))))
+        .toDF("variable", "n_name", "v")
+    val got = ord.varpartFromInputs(bc, envOf(v1, v2, v3))
+      .collect().head
+    assert(got.getLong(0) == 6L && got.getDouble(1) > 0.0, got.toString)
+    assert(math.abs(got.getDouble(4)
+      - (got.getDouble(2) + got.getDouble(3))) <= 2e-6,
+      s"orthogonal additivity: $got")
+    // fractions are an exact partition of 1 (inclusion–exclusion),
+    // up to the four output roundings
+    assert(math.abs(got.getDouble(8) + got.getDouble(9)
+      + got.getDouble(10) + got.getDouble(11) - 1.0) <= 3e-6,
+      got.toString)
+    // frac identities vs the adjusted R² columns
+    assert(math.abs(got.getDouble(8)
+      - (got.getDouble(7) - got.getDouble(6))) <= 2e-6, got.toString)
+    assert(math.abs(got.getDouble(11) - (1.0 - got.getDouble(7)))
+      <= 2e-6, got.toString)
+    // singular basis (constant v3 → exactly-zero centered column →
+    // det exactly 0): everything NULL but the census and total
+    // inertia. n = 4 so the 1/n weight folds are exact powers of two
+    // — at n = 6 the centering residue is ~1e-16 and det ~1e-32 ≠ 0,
+    // which is a float-collinear basis, NOT the guarded shape
+    val names4 = Seq("A", "B", "C", "D")
+    val bc4 = (for {
+      i <- names4.indices; j <- names4.indices if i < j
+    } yield (names4(i), names4(j), 0.1 * ((i + 2 * j) % 5 + 1)))
+      .toDF("sample_a", "sample_b", "bray_curtis")
+    val env4 = names4.indices.flatMap(i => Seq(
+      ("a_v1", names4(i), Seq(1.0, -1.0, 1.0, -1.0)(i)),
+      ("b_v2", names4(i), Seq(1.0, 1.0, -1.0, -1.0)(i)),
+      ("c_v3", names4(i), 7.0)))
+      .toDF("variable", "n_name", "v")
+    val sing = ord.varpartFromInputs(bc4, env4).collect().head
+    assert(sing.getLong(0) == 4L && sing.getDouble(1) > 0.0,
+      sing.toString)
+    (2 to 11).foreach(i => assert(sing.isNullAt(i), s"col $i: $sing"))
+    // corpus: r2_both is BITWISE q86's r² (same trace identity, same
+    // basis), fractions partition 1 within rounding
+    val vp = ord.q88Varpart(spark, sfDir).collect().head
+    val anova = ord.q86AnovaDbrda(spark, sfDir).collect().head
+    assert(vp.getDouble(4) == anova.getDouble(3),
+      s"varpart r2_both ${vp.getDouble(4)} != q86 r2 ${anova.getDouble(3)}")
+    assert(math.abs(vp.getDouble(8) + vp.getDouble(9)
+      + vp.getDouble(10) + vp.getDouble(11) - 1.0) <= 3e-6, vp.toString)
+  }
+
   test("q78 wascores puts a single-site taxon exactly on its site, a " +
        "shared taxon at the abundance-weighted mean, and every corpus " +
        "score inside the site-score hull") {
