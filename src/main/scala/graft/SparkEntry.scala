@@ -157,6 +157,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.burstiness(s, d)),
     "t46_ks_drift" ->
       ((s: SparkSession, d: String) => TextOps.t46KsDrift(s, d)),
+    "t47_pmi" ->
+      ((s: SparkSession, d: String) => TextOps.t47Pmi(s, d)),
     "s22_hnsw" -> ((s: SparkSession, d: String) =>
       Similarity.hnswSearchOn(annEmb(s, d), annEdges(s, d),
         Similarity.KnnK, Similarity.KnnRounds,
@@ -1322,6 +1324,7 @@ object SparkEntry {
     "t44_yule_k" -> graft.operators.TextOps.t44OracleSql,
     "t45_burstiness" -> graft.operators.TextOps.t45OracleSql,
     "t46_ks_drift" -> graft.operators.TextOps.t46OracleSql,
+    "t47_pmi" -> graft.operators.TextOps.t47OracleSql,
     "s22_hnsw" -> graft.operators.Similarity.s22OracleSql(),
     "q63_multi_beta" -> graft.operators.Relational.q63OracleSql,
     "g24_ktruss" -> graft.operators.Graph.g24OracleSql(),

@@ -3504,4 +3504,105 @@ object TextOps {
             / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE)), 6)
           END AS ks_stat
       FROM picked WHERE rn = 1 ORDER BY source"""
+
+  /** Collocations reported by [[t47Pmi]] and its count floor —
+    * Church & Hanks' caveat made structural: PMI explodes on
+    * singletons (a typo pair seen once has maximal PMI), so
+    * candidates under [[PmiMinCount]] never rank. */
+  final val PmiTopK = 20
+  final val PmiMinCount = 5L
+
+  /** t47: PMI COLLOCATIONS (Church & Hanks 1989; Bouma 2009 for the
+    * NPMI normalization) — the top adjacent-bigram collocations by
+    * pointwise mutual information: PMI(a,b) = ln(p(ab)/(p(a)·p(b))),
+    * the "these two tokens are a UNIT" detector behind tokenizer
+    * merge inspection (t18's BPE picks by raw frequency; PMI is the
+    * statistical counterweight — frequent-but-independent pairs score
+    * ~0), multi-word-expression mining, and boilerplate phrase
+    * discovery. NPMI = PMI/(−ln p(ab)) rescales to [−1, 1] so
+    * thresholds transfer across corpus sizes.
+    *
+    * Determinism: all censuses exact integers; PMI is ONE ln of a
+    * ratio of exact-integer ratios, round-9 for the ranking grid
+    * (rank order = (pmi DESC, bigram) total order), roundz-6 on
+    * output (independent pairs land near 0 from both sides); NPMI's
+    * denominator NULL-guarded for the one-distinct-bigram corpus
+    * (−ln 1 = 0; ANSI throws on /0).
+    *
+    * Scale shape: one fact-scale bigram explode + count (map-side
+    * combine) and one token count (t20's shapes); the candidate frame
+    * is bigram-vocabulary-bounded with the count floor applied BEFORE
+    * the joins; global top-k via orderBy+limit (TakeOrderedAndProject
+    * — no global sort materialized); two one-row broadcasts. */
+  def t47Pmi(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocations(Tables.parallel(Tables.load(spark, dir, "documents")))
+
+  def pmiCollocations(docs: DataFrame): DataFrame = {
+    val bg = docs.select(explode(expr(
+      """transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+         (s, idx) -> concat(s, ' ', element_at(split(text, ' '), idx + 2)))"""))
+      .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+    val uni = docs.select(explode(words(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("nt"))
+    val btot = bg.agg(sum(col("cnt")).as("nb"))
+    val scored = bg.filter(col("cnt") >= PmiMinCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .withColumn("pmi", round(log(
+        (col("cnt").cast("double") / col("nb").cast("double"))
+          / ((col("c1").cast("double") / col("nt").cast("double"))
+            * (col("c2").cast("double") / col("nt").cast("double")))), 9))
+    val wR = Window.partitionBy(col("cnt") * 0)
+      .orderBy(col("pmi").desc, col("bg"))
+    scored.orderBy(col("pmi").desc, col("bg")).limit(PmiTopK)
+      .withColumn("rnk", row_number().over(wR).cast("long"))
+      .select(col("rnk"), col("bg").as("bigram"), col("cnt"),
+        col("c1"), col("c2"),
+        graft.GraftFunctions.roundz(col("pmi"), 6).as("pmi"),
+        when(col("cnt") < col("nb"), graft.GraftFunctions.roundz(
+          col("pmi") / -log(col("cnt").cast("double")
+            / col("nb").cast("double")), 6)).as("npmi"))
+      .orderBy("rnk")
+  }
+
+  /** DuckDB oracle for [[pmiCollocations]] — t20's bigram CTEs, the
+    * identical round-9 ranking grid and guarded NPMI. */
+  def t47OracleSql: String = s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bgx AS (
+        SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+          i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        FROM w),
+      bg AS (SELECT bg, count(*) AS cnt FROM bgx GROUP BY 1),
+      uni AS (SELECT t, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY 1),
+      tot AS (SELECT sum(c) AS nt FROM uni),
+      btot AS (SELECT sum(cnt) AS nb FROM bg),
+      scored AS (
+        SELECT bg.bg, cnt, u1.c AS c1, u2.c AS c2, nt, nb,
+          round(ln((CAST(cnt AS DOUBLE) / CAST(nb AS DOUBLE))
+            / ((CAST(u1.c AS DOUBLE) / CAST(nt AS DOUBLE))
+              * (CAST(u2.c AS DOUBLE) / CAST(nt AS DOUBLE)))), 9) AS pmi
+        FROM bg
+        JOIN uni u1 ON u1.t = string_split(bg.bg, ' ')[1]
+        JOIN uni u2 ON u2.t = string_split(bg.bg, ' ')[-1],
+        tot, btot
+        WHERE cnt >= $PmiMinCount),
+      ranked AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, bg)
+          AS BIGINT) AS rnk
+        FROM scored)
+      SELECT rnk, bg AS bigram, cnt, c1, c2,
+        (round(pmi, 6) + 0.0) AS pmi,
+        CASE WHEN cnt < nb THEN
+          (round(pmi / -ln(CAST(cnt AS DOUBLE) / CAST(nb AS DOUBLE)), 6)
+            + 0.0) END AS npmi
+      FROM ranked WHERE rnk <= $PmiTopK ORDER BY rnk"""
 }

@@ -426,6 +426,7 @@ class ContractSpec extends SparkSpec {
         "ce.crossJoin(broadcast(thr))" -> "dim (tercile thresholds)",
         "s.join(broadcast(tot), \"source\")" -> "dim (per-source totals)",
         "terms.crossJoin(broadcast(nd))" -> "one-row (doc count — t45)",
+        ".crossJoin(broadcast(tot)).crossJoin(broadcast(btot))" -> "one-row (token + bigram totals — t47)",
         "val scored = cum.join(cumT, \"v\").crossJoin(broadcast(nn))" -> "one-row (doc census — t46)",
         "s.crossJoin(broadcast(cum.agg(max(col(\"t\")).as(\"n_tokens\")," -> "one-row (corpus totals)",
         "val binned = ce.crossJoin(broadcast(bounds))" -> "one-row (histogram bounds)",

@@ -1231,4 +1231,38 @@ class TextOpsSpec extends SparkSpec {
     sf.foreach { r => assert(r.getDouble(3) >= 0.0 &&
       r.getDouble(3) <= 1.0, r.toString) }
   }
+
+  test("t47 PMI: planted perfect collocations score ln 8 with NPMI 3, " +
+       "one-bigram corpus NULLs NPMI, count floor filters, corpus sane") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def run(texts: Seq[String]) = TextOps.pmiCollocations(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    // two disjoint perfect collocations: p(ab) = 1/2, p(a) = p(b) =
+    // 1/4 → PMI = ln 8 = 2.079442; NPMI = ln 8 / −ln(1/2) = exactly 3
+    // (the >1 value is the known adjacent-bigram artifact: token
+    // probabilities are over N = 2B positions, not B); tie-break by
+    // bigram text
+    val two = run(Seq.fill(5)("aa bb") ++ Seq.fill(5)("cc dd"))
+    assert(two.toSeq == Seq(
+      (1L, "aa bb", 5L, 2.079442, Some(3.0)),
+      (2L, "cc dd", 5L, 2.079442, Some(3.0))), two.mkString(";"))
+    // a single distinct bigram: p(ab) = 1 → −ln p(ab) = 0 → NPMI NULL
+    val one = run(Seq.fill(6)("aa bb"))
+    assert(one.length == 1 && one.head._4 == 1.386294 &&
+      one.head._5 == None, one.mkString(";"))
+    // the count floor: 4 < PmiMinCount occurrences never rank
+    assert(run(Seq.fill(4)("ee ff")).isEmpty)
+    // corpus: full top-k, contiguous ranks, NPMI defined and ≤ 3
+    val sf = TextOps.t47Pmi(spark, sfDir).collect()
+    assert(sf.length == TextOps.PmiTopK, sf.length.toString)
+    assert(sf.map(_.getLong(0)).toSeq ==
+      (1 to TextOps.PmiTopK).map(_.toLong))
+    sf.foreach { r => assert(!r.isNullAt(6) &&
+      r.getDouble(6) <= 3.0 && r.getDouble(6) >= -1.0, r.toString) }
+  }
 }
