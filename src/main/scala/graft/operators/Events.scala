@@ -3173,4 +3173,121 @@ object Events {
         (round(-CAST(s AS DOUBLE), 6) + 0.0) AS entropy
       FROM (SELECT * FROM per UNION ALL SELECT * FROM corpus) u
       ORDER BY from_type"""
+
+  /** Croston's smoothing constant — the standard slow-update default
+    * for intermittent series; part of the operator contract (not a
+    * JVM default), rendered identically into both engines. */
+  final val CrostonAlpha = 0.1
+
+  /** e39: CROSTON INTERMITTENT-DEMAND SMOOTHING (Croston 1972; the
+    * Syntetos–Boylan 2005 bias-corrected twin rides along) — per-user
+    * activity forecasting where e27/e28's dense-calendar smoothers are
+    * WRONG by construction: a user active 2 days in 3 has a zero-
+    * inflated series whose SES forecast collapses toward 0 between
+    * visits. Croston separates the signal into TWO independent SES
+    * recursions — demand SIZE over active days only, and the
+    * INTER-DEMAND INTERVAL — and forecasts size/interval events/day;
+    * SBA multiplies by (1 − α/2) to kill Croston's known positive
+    * bias. The inventory-control classic, and exactly the per-user
+    * "expected activity next day" a capacity/abuse model wants.
+    *
+    * NO zero-fill: the recursions only update on demand days, so the
+    * series is GAP-ENCODED (intervals from day-number differences) —
+    * a (users × calendar) zero-fill frame at 10⁹ users × years would
+    * be the scale bug, and Croston's own structure makes it
+    * unnecessary. Interval init = the first demand's 1-based offset
+    * from the corpus calendar start; size init = the first demand.
+    *
+    * Determinism: the two recursions are IN-ROW index-order folds
+    * over per-user day-sorted lists (q57's discipline — the IEEE
+    * sequence is identical in both engines, no quantization needed);
+    * they are deliberately SEPARATE single-accumulator folds because
+    * DuckDB 1.0's list_reduce mis-evaluates double-field struct
+    * accumulators (the q60 finding, documented at its call site).
+    * Intervals ≥ 1 and init ≥ 1 keep every SES iterate ≥ 1, so the
+    * final division needs no guard. Per-user fold length ≤ the
+    * calendar span (bounded).
+    *
+    * Scale shape: one fact-scale (user, day) count aggregate
+    * (map-side combine), one per-user collect of its own demand days
+    * (lateness-bounded), two one-row calendar broadcasts; output =
+    * user-dimension rows. */
+  def e39Croston(spark: SparkSession, dir: String): DataFrame =
+    crostonFromDaily(Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("q")))
+
+  /** [[e39Croston]]'s core over a (user_id, day, q) demand frame —
+    * split out for planted steady/intermittent/lumpy specs. */
+  def crostonFromDaily(daily: DataFrame): DataFrame = {
+    val a = CrostonAlpha
+    val m0 = daily.agg(min(col("day")).as("day0"), max(col("day")).as("day1"))
+    val seqd = daily.crossJoin(broadcast(m0))
+      .select(col("user_id"),
+        datediff(col("day"), col("day0")).cast("long").as("dn"), col("q"),
+        (datediff(col("day1"), col("day0")) + 1).cast("long").as("span"))
+    val per = seqd.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("dn"), col("q")))).as("ds"),
+        max(col("span")).as("span"))
+      .withColumn("nd", size(col("ds")))
+      .withColumn("qs", transform(col("ds"),
+        x => x.getField("q").cast("double")))
+      .withColumn("dns", transform(col("ds"), x => x.getField("dn")))
+      .withColumn("z", aggregate(
+        slice(col("qs"), lit(2), col("nd") - 1),
+        element_at(col("qs"), 1),
+        (acc, q) => acc + lit(a) * (q - acc)))
+      .withColumn("ivs", zip_with(
+        slice(col("dns"), lit(2), col("nd") - 1),
+        slice(col("dns"), lit(1), col("nd") - 1),
+        (x, y) => (x - y).cast("double")))
+      .withColumn("p", aggregate(col("ivs"),
+        (element_at(col("dns"), 1) + 1).cast("double"),
+        (acc, i) => acc + lit(a) * (i - acc)))
+    per.select(col("user_id"),
+      col("nd").cast("long").as("n_demand_days"),
+      round(col("z"), 6).as("size_smooth"),
+      round(col("p"), 6).as("interval_smooth"),
+      round(col("z") / col("p"), 6).as("croston"),
+      round(lit(1.0 - a / 2) * col("z") / col("p"), 6).as("croston_sba"),
+      round(col("nd").cast("double") / col("span").cast("double"), 6)
+        .as("demand_rate"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB oracle for [[e39Croston]] — identical day-sorted lists,
+    * the two separate single-accumulator folds, identical constants. */
+  def e39OracleSql: String = s"""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS q
+        FROM events GROUP BY 1, 2),
+      m0 AS (SELECT min(day) AS day0, max(day) AS day1 FROM daily),
+      seqd AS (
+        SELECT user_id, datediff('day', day0, day) AS dn, q,
+          datediff('day', day0, day1) + 1 AS span
+        FROM daily, m0),
+      per AS (
+        SELECT user_id, max(span) AS span, count(*) AS nd,
+          list_transform(list_sort(list(struct_pack(dn := dn, q := q))),
+            x -> x['dn']) AS dns,
+          list_transform(list_sort(list(struct_pack(dn := dn, q := q))),
+            x -> CAST(x['q'] AS DOUBLE)) AS qs
+        FROM seqd GROUP BY 1),
+      folds AS (
+        SELECT user_id, nd, span,
+          list_reduce(list_prepend(qs[1], qs[2:]),
+            (acc, q) -> acc + $CrostonAlpha * (q - acc)) AS z,
+          list_reduce(list_prepend(CAST(dns[1] + 1 AS DOUBLE),
+            list_transform(generate_series(2, CAST(nd AS INT)),
+              t -> CAST(dns[t] - dns[t - 1] AS DOUBLE))),
+            (acc, i) -> acc + $CrostonAlpha * (i - acc)) AS p
+        FROM per)
+      SELECT user_id, CAST(nd AS BIGINT) AS n_demand_days,
+        round(z, 6) AS size_smooth,
+        round(p, 6) AS interval_smooth,
+        round(z / p, 6) AS croston,
+        round(${1.0 - CrostonAlpha / 2} * z / p, 6) AS croston_sba,
+        round(CAST(nd AS DOUBLE) / CAST(span AS DOUBLE), 6)
+          AS demand_rate
+      FROM folds ORDER BY user_id"""
 }

@@ -284,6 +284,7 @@ class ContractSpec extends SparkSpec {
         ".crossJoin(broadcast(tot))" -> "one-row (user census — e37 CCDF)",
         "hill.crossJoin(broadcast(ols))" -> "one-row (CCDF OLS moments — e37)",
         "val corpus = withTot.crossJoin(broadcast(nTot))" -> "one-row (bigram total — e38)",
+        "val seqd = daily.crossJoin(broadcast(m0))" -> "one-row (calendar bounds — e39)",
         "cum.join(broadcast(bounds), \"event_type\")" -> "dim (per-type bounds)",
         "daily.join(broadcast(stats), \"event_type\")" -> "dim (per-type moments)",
         ".join(broadcast(stats), \"event_type\")" -> "dim (per-type CUSUM baseline)",

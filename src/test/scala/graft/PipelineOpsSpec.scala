@@ -2010,6 +2010,69 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(5) < 0.0, sf.toString)
   }
 
+  test("croston: steady demand degenerates to SES size over interval 1, " +
+       "planted every-3rd-day and random patterns match a JVM replica, " +
+       "corpus rates bounded") {
+    import spark.implicits._
+    import graft.operators.Events
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val A = Events.CrostonAlpha
+    // the operator's two folds replayed exactly (same IEEE sequence)
+    def replica(rows: Seq[(Long, String, Long)])
+        : Seq[(Long, Long, Double, Double, Double, Double, Double)] = {
+      val d0 = rows.map(_._2).min
+      def dn(d: String) = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(d0), java.time.LocalDate.parse(d))
+      val span = rows.map(t => dn(t._2)).max + 1
+      rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, rs) =>
+        val ds = rs.map(t => (dn(t._2), t._3)).sortBy(_._1)
+        val z = ds.tail.map(_._2.toDouble)
+          .foldLeft(ds.head._2.toDouble)((acc, q) => acc + A * (q - acc))
+        val p = ds.sliding(2).collect { case Seq(x, y) =>
+          (y._1 - x._1).toDouble }.toSeq
+          .foldLeft((ds.head._1 + 1).toDouble)((acc, i) => acc + A * (i - acc))
+        (u, ds.size.toLong, r6(z), r6(p), r6(z / p),
+          r6((1.0 - A / 2) * z / p), r6(ds.size.toDouble / span))
+      }
+    }
+    def run(rows: Seq[(Long, String, Long)]) =
+      Events.crostonFromDaily(rows.toDF("user_id", "day", "q")
+        .withColumn("day", to_date(col("day"))))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toSeq
+    // steady: q = 5 every day → z = 5 exactly, all intervals 1 from
+    // init 1 → p = 1 exactly, forecast 5, SBA 4.75, rate 1
+    val steady = (0 until 10).map(i =>
+      (1L, f"2024-01-${i + 1}%02d", 5L))
+    assert(run(steady) ==
+      Seq((1L, 10L, 5.0, 1.0, 5.0, 4.75, 1.0)), run(steady).toString)
+    // every 3rd day + a later-starting second user (larger p init):
+    // bitwise replica equality
+    val lumpy = (0 until 5).map(i => (1L, f"2024-01-${3 * i + 1}%02d", 2L)) ++
+      Seq((2L, "2024-01-05", 7L), (2L, "2024-01-11", 1L))
+    assert(run(lumpy) == replica(lumpy), s"${run(lumpy)} vs ${replica(lumpy)}")
+    // a single demand day: z = q, p = 1-based first offset, no folds
+    val solo = Seq((9L, "2024-02-03", 4L))
+    assert(run(solo) == Seq((9L, 1L, 4.0, 1.0, 4.0, 3.8, 1.0)),
+      run(solo).toString)
+    for (seed <- Seq(31L, 32L)) {
+      val rng = new scala.util.Random(seed)
+      val rows = for {
+        u <- 1L to 5L
+        d <- 1 to 28 if rng.nextDouble() < 0.4
+      } yield (u, f"2024-03-$d%02d", (1L + rng.nextInt(9)).toLong)
+      assert(run(rows) == replica(rows), s"seed $seed")
+    }
+    // corpus: one row per user, interval ≥ 1, rate ∈ (0, 1]
+    val sf = Events.e39Croston(spark, sfDir).collect()
+    assert(sf.length == 150 || sf.length == 15, sf.length.toString)
+    sf.foreach { r =>
+      assert(r.getDouble(3) >= 1.0 && r.getDouble(6) > 0.0 &&
+        r.getDouble(6) <= 1.0 && r.getDouble(4) > 0.0, r.toString) }
+  }
+
   test("transition entropy: scripted chain is +0.0, fair coin is ln 2, " +
        "random bigram frames match a JVM replica, corpus bounded") {
     import spark.implicits._
