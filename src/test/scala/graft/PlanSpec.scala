@@ -1009,4 +1009,54 @@ class PlanSpec extends SparkSpec {
         s"$name degenerated to a cartesian product")
     }
   }
+
+  test("r22 operators: shuffle budgets hold and no plan degenerates " +
+       "to a cartesian") {
+    val docs = graft.Tables.parallel(
+      graft.Tables.load(spark, sfDir, "documents"))
+    val events = graft.Tables.load(spark, sfDir, "events")
+    val emb = graft.Tables.parallel(
+      graft.Tables.load(spark, sfDir, "embeddings"))
+    import graft.operators.Relational
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Int, Boolean)] =
+      Seq(
+        // g32: degree agg + two annotation joins + per-degree rollup +
+        // node histogram join + sort (g4's class)
+        ("g32", graft.operators.Graph.g32KnnDegree(spark, sfDir), 11, false),
+        // e37: count agg + rank window + CCDF window + two one-row folds
+        ("e37", graft.operators.Events.e37TailIndex(spark, sfDir), 15, false),
+        // e38: per-user lead window + bigram agg + per-state window +
+        // two rollups + sort
+        ("e38", graft.operators.Events.e38TransitionEntropy(spark, sfDir),
+          11, false),
+        // e39: (user, day) agg + per-user collect + sort
+        ("e39", graft.operators.Events.e39Croston(spark, sfDir), 4, false),
+        // t46: (source, length) agg + grid join + cumsum windows +
+        // pick window + sort
+        ("t46", graft.operators.TextOps.t46KsDrift(spark, sfDir), 14, true),
+        // t47: bigram agg + unigram agg + two annotation joins + top-k
+        ("t47", graft.operators.TextOps.t47Pmi(spark, sfDir), 12, false),
+        // s24: s3's assignment/probe shapes + ladder lattice +
+        // per-rung windows + s1 truth + rollups
+        ("s24", graft.operators.Similarity.s24ProbeSweep(spark, sfDir),
+          9, false),
+        // q87: past the checkpointed BC/class frames — the env z-score
+        // chain, moments, the (P+1) bijection windows and lattice
+        // joins, per-class rollups, ladder join, sort; EVERY exchange
+        // is sample-dim- or class-bounded (the one fact-scale stage is
+        // the checkpointed BC aggregate)
+        ("q87", Relational.q87MantelCorrelog(spark, sfDir), 62, false),
+        // q88: q86's single-row matrix chain — the fact-scale BC
+        // aggregate plus in-row arithmetic only
+        ("q88", graft.operators.Ordination.q88Varpart(spark, sfDir),
+          5, false))
+    cases.foreach { case (name, df, maxSh, allowCross) =>
+      val n = executedShuffles(df)
+      info(s"$name shuffles $n (budget $maxSh)")
+      assert(n <= maxSh, s"$name shuffles $n× (budget $maxSh)")
+      val p = df.queryExecution.executedPlan.toString()
+      assert(allowCross || !p.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+  }
 }
