@@ -149,6 +149,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Events.e38TransitionEntropy(s, d)),
     "e39_croston" ->
       ((s: SparkSession, d: String) => Events.e39Croston(s, d)),
+    "e40_dow_profile" ->
+      ((s: SparkSession, d: String) => Events.e40DowProfile(s, d)),
     "t39_readability" -> ((s: SparkSession, d: String) => TextOps.readability(s, d)),
     "t40_rake" -> ((s: SparkSession, d: String) => TextOps.rakeKeywords(s, d)),
     "t41_mtld" -> ((s: SparkSession, d: String) => TextOps.mtld(s, d)),
@@ -1320,6 +1322,7 @@ object SparkEntry {
     "e37_tail_index" -> graft.operators.Events.e37OracleSql,
     "e38_transition_entropy" -> graft.operators.Events.e38OracleSql,
     "e39_croston" -> graft.operators.Events.e39OracleSql,
+    "e40_dow_profile" -> graft.operators.Events.e40OracleSql,
     "t39_readability" -> graft.operators.TextOps.t39OracleSql,
     "t40_rake" -> graft.operators.TextOps.t40OracleSql,
     "t41_mtld" -> graft.operators.TextOps.t41OracleSql,

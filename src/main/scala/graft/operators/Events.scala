@@ -3290,4 +3290,97 @@ object Events {
         round(CAST(nd AS DOUBLE) / CAST(span AS DOUBLE), 6)
           AS demand_rate
       FROM folds ORDER BY user_id"""
+
+  /** e40: WEEKLY TRAFFIC PROFILE — the day-of-week × hour heatmap
+    * summary per event type that every ops/analytics dashboard leads
+    * with, reduced to its decision numbers: the peak cell (when do we
+    * provision for?), its traffic share, and the Shannon entropy of
+    * the 168-cell distribution with its ln(cells)-normalized form
+    * (≈1 = flat machine-like traffic, low = a spiky human/batch
+    * pattern — the dial that separates organic usage from cron jobs
+    * and instrumentation bugs). e31/e32 model the dow seasonality of
+    * VOLUME over time; this profiles the steady-state weekly SHAPE.
+    *
+    * Determinism: dow = days-since-Monday-1970-01-05 mod 7 (e31's
+    * engine-neutral convention — NEVER an engine dayofweek builtin,
+    * whose 0/1-base and week start differ); cell censuses exact
+    * integers; the peak is the (cnt DESC, dow, hour) total order;
+    * entropy terms round-12 quantized and DECIMAL-summed (e38's
+    * grid), roundz against the single-cell −0.0, the normalizer
+    * NULL-guarded below 2 cells.
+    *
+    * Scale shape: ONE fact-scale (type, dow, hour) count aggregate
+    * with map-side combine — the frame after it is ≤ types × 168
+    * rows; everything else (per-type window, peak pick, rollup,
+    * join, sort) is dimension-bounded. */
+  def e40DowProfile(spark: SparkSession, dir: String): DataFrame =
+    dowProfile(Tables.load(spark, dir, "events"))
+
+  def dowProfile(events: DataFrame): DataFrame = {
+    val d2512 = "decimal(25,12)"
+    val cells = events.select(col("event_type"),
+        pmod(datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-05"))), lit(7))
+          .cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy("event_type", "dow", "hr").agg(count(lit(1)).as("cnt"))
+    val wT = Window.partitionBy("event_type")
+    val withTot = cells.withColumn("tot", sum(col("cnt")).over(wT))
+    val wPick = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("dow"), col("hr"))
+    val peak = withTot.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("dow").as("peak_dow"),
+        col("hr").as("peak_hour"),
+        round(col("cnt").cast("double") / col("tot").cast("double"), 6)
+          .as("peak_share"))
+    val ent = withTot.groupBy("event_type")
+      .agg(max(col("tot")).as("n_events"), count(lit(1)).as("n_cells"),
+        sum(round((col("cnt").cast("double") / col("tot").cast("double"))
+          * log(col("cnt").cast("double") / col("tot").cast("double")),
+          12).cast(d2512)).as("s"))
+      .select(col("event_type"), col("n_events"), col("n_cells"),
+        graft.GraftFunctions.roundz(-col("s").cast("double"), 6)
+          .as("entropy"),
+        when(col("n_cells") >= 2, graft.GraftFunctions.roundz(
+          -col("s").cast("double") / log(col("n_cells").cast("double")),
+          6)).as("entropy_norm"))
+    ent.join(peak, "event_type").orderBy("event_type")
+  }
+
+  /** DuckDB oracle for [[dowProfile]] — e31's dow convention, e38's
+    * entropy grid, the identical peak total order. */
+  def e40OracleSql: String = """
+      WITH cells AS (
+        SELECT event_type,
+          ((CAST(CAST(ts AS DATE) - DATE '1970-01-05' AS INT) % 7) + 7)
+            % 7 AS dow,
+          hour(CAST(ts AS TIMESTAMP)) AS hr, count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3),
+      wt AS (
+        SELECT *, sum(cnt) OVER (PARTITION BY event_type) AS tot
+        FROM cells),
+      peak AS (
+        SELECT event_type, dow AS peak_dow, hr AS peak_hour,
+          round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+            AS peak_share
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY cnt DESC, dow, hr) AS rn FROM wt)
+        WHERE rn = 1),
+      ent AS (
+        SELECT event_type, max(tot) AS n_events, count(*) AS n_cells,
+          sum(CAST(round((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+            * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+            AS DECIMAL(25,12))) AS s
+        FROM wt GROUP BY 1)
+      SELECT e.event_type, CAST(n_events AS BIGINT) AS n_events,
+        CAST(n_cells AS BIGINT) AS n_cells,
+        (round(-CAST(s AS DOUBLE), 6) + 0.0) AS entropy,
+        CASE WHEN n_cells >= 2 THEN
+          (round(-CAST(s AS DOUBLE) / ln(CAST(n_cells AS DOUBLE)), 6)
+            + 0.0) END AS entropy_norm,
+        CAST(peak_dow AS BIGINT) AS peak_dow,
+        CAST(peak_hour AS BIGINT) AS peak_hour, peak_share
+      FROM ent e JOIN peak p ON p.event_type = e.event_type
+      ORDER BY e.event_type"""
 }

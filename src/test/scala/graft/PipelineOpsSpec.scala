@@ -2010,6 +2010,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sf.getDouble(5) < 0.0, sf.toString)
   }
 
+  test("dow profile: uniform cells normalize to exactly 1, a single " +
+       "spike is +0.0 entropy with NULL norm, Monday anchors dow 0, " +
+       "corpus near-flat") {
+    import spark.implicits._
+    import graft.operators.Events
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def run(rows: Seq[(String, String)]) = Events.dowProfile(
+      rows.toDF("event_type", "ts0")
+        .withColumn("ts", to_timestamp(col("ts0"))).drop("ts0"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3),
+        if (x.isNullAt(4)) None else Some(x.getDouble(4)),
+        x.getLong(5), x.getLong(6), x.getDouble(7)))
+    // four equal cells → entropy ln 4, normalized EXACTLY 1; and
+    // 2024-01-01 is a Monday → dow 0 under the 1970-01-05 anchor
+    val flat = run(Seq(
+      ("a", "2024-01-01 05:00:00"), ("a", "2024-01-01 09:00:00"),
+      ("a", "2024-01-02 05:00:00"), ("a", "2024-01-02 09:00:00")))
+    assert(flat.toSeq == Seq(("a", 4L, 4L, 1.386294, Some(1.0),
+      0L, 5L, 0.25)), flat.mkString(";"))
+    // one hot cell of 3 + one of 1: peak share 0.75, the exact
+    // round-12 term grid for H(3/4, 1/4)
+    val skew = run(Seq(
+      ("b", "2024-01-03 12:10:00"), ("b", "2024-01-03 12:20:00"),
+      ("b", "2024-01-03 12:30:00"), ("b", "2024-01-03 13:00:00")))
+    val s34 = BigDecimal(r(0.75 * math.log(0.75), 12)) +
+      BigDecimal(r(0.25 * math.log(0.25), 12))
+    assert(skew.head._4 == r(-s34.toDouble, 6) &&
+      skew.head._5 == Some(r(-s34.toDouble / math.log(2.0), 6)) &&
+      skew.head._6 == 2L && skew.head._7 == 12L &&
+      skew.head._8 == 0.75, skew.mkString(";"))
+    // a single cell: entropy POSITIVE zero, no normalizer
+    val spike = run(Seq.fill(5)(("c", "2024-01-07 23:59:59")))
+    assert(java.lang.Double.doubleToLongBits(spike.head._4) == 0L &&
+      spike.head._5 == None && spike.head._8 == 1.0,
+      spike.mkString(";"))
+    // corpus: 168 cells per type on hash-uniform traffic, norm near 1
+    val sf = Events.e40DowProfile(spark, sfDir).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { x =>
+      assert(x.getLong(2) <= 168L, x.toString)
+      assert(x.getDouble(4) > 0.9 && x.getDouble(4) <= 1.0, x.toString)
+      assert(x.getLong(5) >= 0L && x.getLong(5) <= 6L &&
+        x.getLong(6) >= 0L && x.getLong(6) <= 23L, x.toString) }
+  }
+
   test("croston: steady demand degenerates to SES size over interval 1, " +
        "planted every-3rd-day and random patterns match a JVM replica, " +
        "corpus rates bounded") {
