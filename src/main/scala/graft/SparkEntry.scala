@@ -111,7 +111,8 @@ object SparkEntry {
     "q27_deep_rollup" -> (Relational.q27DeepRollup _),
     "q28_keyset" -> ((s: SparkSession, d: String) => Relational.q28Keyset(s, d)),
     "q29_scalar_subquery" -> (Relational.q29ScalarSubquery _),
-    "q30_bray_curtis" -> (Relational.q30BrayCurtis _),
+    "q30_bray_curtis" ->
+      ((s: SparkSession, d: String) => SharedBuilds.bcRebuild(s, d)),
     "q44_taxonomy_unifrac" -> (Relational.q44TaxonomyUnifrac _),
     "q45_core_taxa" -> (Relational.q45CoreTaxa _),
     "q46_permanova" -> (Relational.q46Permanova _),
@@ -178,7 +179,8 @@ object SparkEntry {
     "q69_adipart" -> (Relational.q69Adipart _),
     "q70_rankindex" -> (Relational.q70Rankindex _),
     "q71_multipatt" -> (Relational.q71Multipatt _),
-    "q31_pcoa" -> ((s: SparkSession, d: String) => Ordination.q31Pcoa(s, d)),
+    "q31_pcoa" ->
+      ((s: SparkSession, d: String) => SharedBuilds.pcoaAxesRebuild(s, d)),
     "q73_ca" -> ((s: SparkSession, d: String) => Ordination.q73Ca(s, d)),
     "q74_cca" -> ((s: SparkSession, d: String) => Ordination.q74Cca(s, d)),
     "q75_rda" -> ((s: SparkSession, d: String) => Ordination.q75Rda(s, d)),

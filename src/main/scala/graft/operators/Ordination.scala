@@ -53,7 +53,7 @@ object Ordination {
     aggregate(arr, lit(0.0), (acc, x) => greatest(acc, abs(x)))
 
   def q31Pcoa(spark: SparkSession, dir: String, iters: Int = Iters): DataFrame =
-    pcoa(Relational.q30BrayCurtis(spark, dir), iters)
+    pcoa(SharedBuilds.bc(spark, dir), iters)
 
   /** Eigenvalue summary of the same ordination: one row per axis with
     * the Rayleigh-quotient eigenvalue and its share of total inertia
@@ -62,7 +62,7 @@ object Ordination {
     * axes. k = 3 shows the axis count is free, not a hard-coded 2. */
   def q31cPcoaEigen(spark: SparkSession, dir: String, k: Int = 3,
       iters: Int = Iters): DataFrame =
-    pcoaEigen(Relational.q30BrayCurtis(spark, dir), k, iters)
+    pcoaEigen(SharedBuilds.bc(spark, dir), k, iters)
 
   /** The single-row centered Gram pipeline shared by [[pcoa]] and
     * [[pcoaEigen]]: symmetric D² assembly → one array<array<double>>
@@ -247,13 +247,13 @@ object Ordination {
     * `ckptEvery` steps (plan depth stays bounded, jobs stay tiny). */
   def q31PcoaBlocked(spark: SparkSession, dir: String, iters: Int = Iters,
       ckptEvery: Int = 3): DataFrame =
-    pcoaBlocked(Relational.q30BrayCurtis(spark, dir), iters, ckptEvery)
+    pcoaBlocked(SharedBuilds.bc(spark, dir), iters, ckptEvery)
 
   /** Blocked eigenvalue summary — bit-identical to [[pcoaEigen]]
     * (spec-gated), distributed like [[pcoaBlocked]]. */
   def q31dPcoaBlockedEigen(spark: SparkSession, dir: String, k: Int = 3,
       iters: Int = Iters, ckptEvery: Int = 3): DataFrame =
-    pcoaBlockedEigen(Relational.q30BrayCurtis(spark, dir), k, iters, ckptEvery)
+    pcoaBlockedEigen(SharedBuilds.bc(spark, dir), k, iters, ckptEvery)
 
   /** Sample-count bound for the single-row form: n² doubles in ONE
     * task row — ~32 MB at n = 2 000, the documented comfort edge.
@@ -344,37 +344,51 @@ object Ordination {
     val gmean = rm
       .agg(idxFold(collect_list(struct(col("i"), col("rm").as("x")))).as("gs"))
       .crossJoin(nf).select((col("gs") / col("n")).as("gmean"))
-    // Partitioning note (r10, measured): pre-partitioning this frame
-    // by i does NOT help the per-iteration groupBy(i) — a DISK_ONLY
-    // localCheckpoint comes back as a bare `Scan ExistingRDD` with no
-    // outputPartitioning, so Catalyst re-inserts the exchange anyway
-    // (probe: ENSURE_REQUIREMENTS shuffle present either way). The
-    // mat-vec therefore pays one pairs-scale shuffle per iteration by
-    // construction; at cluster scale the alternative is writing the
-    // matrix BUCKETED by i to a table (the ScaleSpec bucketed
-    // co-located join shows the pattern), which a long-lived
-    // deployment should do.
+    // Row-grouped matrix (r18 optimization round, guide §2.4 "remove
+    // shuffles outright"): the per-iteration groupBy(i) exchange the
+    // r10 note below describes is ELIMINATED by materializing the
+    // matrix as n rows of j-SORTED (j, b) arrays ONCE — each mat-vec
+    // is then a map-side in-row fold (identical add order: ascending
+    // j, acc from 0.0 — the exact idxFold sequence) plus the single
+    // global collect, i.e. ONE exchange per step instead of two.
+    // Row width is the sample dimension (10⁵ doubles ≈ 1.6 MB/row at
+    // the blocked form's design point — the same width as the
+    // broadcast vector the form already requires), so the n²-in-one-
+    // task cliff this form exists to avoid stays avoided: the n²
+    // payload is distributed across n rows.
+    //
+    // Partitioning note (r10, measured, PRE-rows-form): pre-
+    // partitioning the triples by i did NOT help the per-iteration
+    // groupBy(i) — a DISK_ONLY localCheckpoint comes back as a bare
+    // `Scan ExistingRDD` with no outputPartitioning, so Catalyst
+    // re-inserted the exchange anyway. The rows form removes that
+    // exchange structurally instead of via partitioning metadata.
     val b = graft.Ckpt(trip
       .join(broadcast(rm.select(col("i"), col("rm").as("rmi"))), "i")
       .join(broadcast(rm.select(col("i").as("j"), col("rm").as("rmj"))), "j")
       .crossJoin(broadcast(gmean))
       .select(col("i"), col("j"), (lit(-0.5) *
-        (col("d2") - col("rmi") - col("rmj") + col("gmean"))).as("b")))
+        (col("d2") - col("rmi") - col("rmj") + col("gmean"))).as("b"))
+      .groupBy("i")
+      .agg(sort_array(collect_list(struct(col("j"), col("b")))).as("arr")))
     (ids, nf, b)
   }
 
-  /** One mat-vec: the dimension-bounded VECTOR rides as a single-row
-    * array broadcast into the distributed triples (10⁵ doubles ≈
-    * 800 KB — always broadcastable); products group by row index with
-    * the index-order fold, then collect back to a single-row array.
-    * Only the matrix is ever corpus-of-pairs-scale. */
+  /** One mat-vec over the row-grouped matrix: the dimension-bounded
+    * VECTOR rides as a single-row array broadcast into the n matrix
+    * rows (10⁵ doubles ≈ 800 KB — always broadcastable); each row's
+    * product-sum is an IN-ROW fold over its j-sorted (j, b) array —
+    * the identical operand order as the former per-(i, j) triple
+    * groupBy + idxFold (ascending j, acc from 0.0), with the groupBy
+    * exchange gone — then the per-row sums collect back to a
+    * single-row array (the one exchange per step). Only the matrix is
+    * ever corpus-of-pairs-scale. */
   private def matVec(m: DataFrame, vrow: DataFrame, vExpr: Column => Column,
       out: String): DataFrame =
     toRow(m.crossJoin(broadcast(vrow))
-      .select(col("i"), col("j"),
-        (col("b") * vExpr(col("j"))).as("x"))
-      .groupBy("i")
-      .agg(idxFold(collect_list(struct(col("j"), col("x")))).as("x")), out)
+      .select(col("i"),
+        aggregate(transform(col("arr"), e => e("b") * vExpr(e("j"))),
+          lit(0.0), (acc, x) => acc + x).as("x")), out)
 
   /** Blocked power iteration carrying (varr = unnormalized B·v, mdiv =
     * its max-abs); the division is applied at each USE (x/m per
@@ -435,10 +449,15 @@ object Ordination {
           val varr = r.getSeq[Double](0)
           val ln = r.getDouble(1)
           val ld = r.getDouble(2)
-          m = m.select(col("i"), col("j"), (col("b") -
-            (lit(ln) / lit(ld))
-              * element_at(typedLit(varr), col("i"))
-              * element_at(typedLit(varr), col("j")) / lit(ld)).as("b"))
+          // rows-form deflation: the same fused multiply-add per
+          // element (identical operand order — b − (λnum/λden)·v_i·
+          // v_j/λden), composed lazily over the row arrays
+          m = m.select(col("i"), transform(col("arr"), e =>
+            struct(e("j").as("j"), (e("b") -
+              (lit(ln) / lit(ld))
+                * element_at(typedLit(varr), col("i"))
+                * element_at(typedLit(varr), e("j")) / lit(ld)).as("b")))
+            .as("arr"))
         }
         (v, Some(scal))
       } else (v, None)
@@ -488,8 +507,13 @@ object Ordination {
       i => when(i === 1, lit(1.0)).otherwise(lit(0.0))).as("varr"),
       lit(1.0).as("mdiv"))
     val axes = blockedAxes(b, v0, k, iters, ckptEvery, needLams = true)
-    val trace = broadcast(b.filter(col("i") === col("j"))
-      .agg(idxFold(collect_list(struct(col("i"), col("b").as("x"))))
+    // diagonal via PURE element selection from each row's j-sorted
+    // array (no arithmetic — a 0.0 + b re-fold could flip a −0.0
+    // diagonal), then the same index-order fold as before
+    val trace = broadcast(b
+      .select(col("i"), element_at(
+        filter(col("arr"), e => e("j") === col("i")), 1)("b").as("x"))
+      .agg(idxFold(collect_list(struct(col("i"), col("x"))))
         .as("trace")))
     val lamRow = axes.zipWithIndex.map {
       case ((_, Some(scal)), idx) =>
@@ -1040,7 +1064,7 @@ object Ordination {
     * the rank-3 projection stays a broadcast of P/W. */
   def q77Dbrda(spark: SparkSession, dir: String,
       iters: Int = CaIters): DataFrame =
-    dbrdaFromInputs(Relational.q30BrayCurtis(spark, dir),
+    dbrdaFromInputs(SharedBuilds.bc(spark, dir),
       Relational.bioenvEnv(spark, dir), iters)
 
   /** [[q77Dbrda]]'s core over a (sample_a, sample_b, bray_curtis)
@@ -1131,7 +1155,7 @@ object Ordination {
     * single row. At 10⁴⁺ samples the same trace identity runs over
     * q31b's distributed triples with X_r broadcast. */
   def q86AnovaDbrda(spark: SparkSession, dir: String): DataFrame =
-    anovaDbrdaFromInputs(Relational.q30BrayCurtis(spark, dir),
+    anovaDbrdaFromInputs(SharedBuilds.bc(spark, dir),
       Relational.bioenvEnv(spark, dir),
       graft.Tables.dim(spark, dir, "nation")
         .select(col("n_name"), col("n_nationkey").as("k")))
@@ -1365,7 +1389,7 @@ object Ordination {
     * row; at 10⁴⁺ samples the identity runs over q31b's distributed
     * triples with X_r broadcast. */
   def q88Varpart(spark: SparkSession, dir: String): DataFrame =
-    varpartFromInputs(Relational.q30BrayCurtis(spark, dir),
+    varpartFromInputs(SharedBuilds.bc(spark, dir),
       Relational.bioenvEnv(spark, dir))
 
   /** [[q88Varpart]]'s core over a (sample_a, sample_b, bray_curtis)
@@ -2167,8 +2191,8 @@ object Ordination {
     * triples and keep the same window/aggregate algebra. */
   def q72Nmds(spark: SparkSession, dir: String,
       iters: Int = NmdsIters): DataFrame = {
-    val bc = graft.Ckpt(Relational.q30BrayCurtis(spark, dir))
-    nmds(bc, pcoa(bc), iters)
+    val bc = SharedBuilds.bc(spark, dir)
+    nmds(bc, SharedBuilds.pcoaAxes(spark, dir), iters)
   }
 
   /** [[q72Nmds]]'s core over a (sample_a, sample_b, bray_curtis) pair

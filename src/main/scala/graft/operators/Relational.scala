@@ -580,14 +580,14 @@ object Relational {
     * a DECIMAL sum (order-free, partitioning-independent); the single
     * double division happens once at the end. */
   def q44TaxonomyUnifrac(spark: SparkSession, dir: String): DataFrame =
-    unifracFromLeaves(unifracLeafAbundance(spark, dir))
+    unifracFromLeaves(SharedBuilds.ufLeavesRebuild(spark, dir))
 
   /** The checkpointed (sample × tree-leaf) abundance matrix under
     * q44's derived hierarchy — the ONE fact-scale pass q44 and q47
     * share (q47 additionally rolls it up to q30's (sample, taxon)
     * matrix; exact DECIMAL sums make that rollup bit-identical to
     * q30's direct aggregate). */
-  private def unifracLeafAbundance(spark: SparkSession,
+  private[operators] def unifracLeafAbundance(spark: SparkSession,
       dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
     val p = Tables.dim(spark, dir, "part")
@@ -1078,7 +1078,7 @@ object Relational {
     * partitions by permutation (n rows each). Nothing here ever
     * touches the fact table again. */
   def q46Permanova(spark: SparkSession, dir: String): DataFrame = {
-    val bc = graft.Ckpt(q30BrayCurtis(spark, dir))
+    val bc = SharedBuilds.bc(spark, dir)
     val nat = Tables.dim(spark, dir, "nation")
       .join(Tables.dim(spark, dir, "region"),
         col("n_regionkey") === col("r_regionkey"))
@@ -1277,12 +1277,9 @@ object Relational {
     // ONE fact-scale pass: q30's (sample, taxon) matrix is an exact
     // DECIMAL rollup of q44's leaf matrix, so both input matrices
     // derive from the same checkpointed leaf aggregate bit-for-bit
-    val leaves = unifracLeafAbundance(spark, dir)
-    val bc = brayCurtisFromAbundance(leaves
-        .groupBy(col("n_name"), col("p_type"))
-        .agg(sum(col("qty")).as("qty")))
+    val bc = SharedBuilds.bc(spark, dir)
       .select(col("sample_a"), col("sample_b"), col("bray_curtis").as("x"))
-    val uf = unifracFromLeaves(leaves)
+    val uf = SharedBuilds.uf(spark, dir)
       .select(col("sample_a"), col("sample_b"), col("unifrac").as("y"))
     val nat = Tables.dim(spark, dir, "nation")
       .select(col("n_name"), col("n_nationkey").as("k"))
@@ -1489,12 +1486,9 @@ object Relational {
     * dimension-bounded; pairs and the (P+1) lattice are
     * sample-dim-bounded. */
   def q68PartialMantel(spark: SparkSession, dir: String): DataFrame = {
-    val leaves = unifracLeafAbundance(spark, dir)
-    val bc = brayCurtisFromAbundance(leaves
-        .groupBy(col("n_name"), col("p_type"))
-        .agg(sum(col("qty")).as("qty")))
+    val bc = SharedBuilds.bc(spark, dir)
       .select(col("sample_a"), col("sample_b"), col("bray_curtis").as("x"))
-    val uf = unifracFromLeaves(leaves)
+    val uf = SharedBuilds.uf(spark, dir)
       .select(col("sample_a"), col("sample_b"), col("unifrac").as("y"))
     val z = envZScores(bioenvEnv(spark, dir))
     val d3812 = "decimal(38,12)"
@@ -1790,7 +1784,7 @@ object Relational {
     * and the (P+1) lattice all sample-dim-bounded; the class ladder a
     * C-row broadcast. */
   def q87MantelCorrelog(spark: SparkSession, dir: String): DataFrame = {
-    val bcp = q30BrayCurtis(spark, dir)
+    val bcp = SharedBuilds.bc(spark, dir)
       .select(col("sample_a"), col("sample_b"),
         col("bray_curtis").as("x"))
     val nat = Tables.dim(spark, dir, "nation")
@@ -2326,7 +2320,7 @@ object Relational {
     * label lattice is sample-dim-bounded², and every window/rollup
     * after is group- or permutation-bounded. */
   def q49Betadisper(spark: SparkSession, dir: String): DataFrame = {
-    val bc = graft.Ckpt(q30BrayCurtis(spark, dir))
+    val bc = SharedBuilds.bc(spark, dir)
     val nat = Tables.dim(spark, dir, "nation")
       .join(Tables.dim(spark, dir, "region"),
         col("n_regionkey") === col("r_regionkey"))
@@ -2577,7 +2571,7 @@ object Relational {
     * frame — the constant-key bounded-window idiom), and the
     * (P+1)-label lattice are all dimension-bounded. */
   def q51Anosim(spark: SparkSession, dir: String): DataFrame = {
-    val bc = graft.Ckpt(q30BrayCurtis(spark, dir))
+    val bc = SharedBuilds.bc(spark, dir)
     val nat = Tables.dim(spark, dir, "nation")
       .join(Tables.dim(spark, dir, "region"),
         col("n_regionkey") === col("r_regionkey"))
@@ -2743,7 +2737,7 @@ object Relational {
     * checkpointed abundance aggregate; the pair frame and the
     * (P+1)-label lattice are sample-dimension-bounded throughout. */
   def q67Mrpp(spark: SparkSession, dir: String): DataFrame = {
-    val bc = graft.Ckpt(q30BrayCurtis(spark, dir))
+    val bc = SharedBuilds.bc(spark, dir)
     val nat = Tables.dim(spark, dir, "nation")
       .join(Tables.dim(spark, dir, "region"),
         col("n_regionkey") === col("r_regionkey"))
@@ -3449,7 +3443,7 @@ object Relational {
     * one customer-dim aggregate; everything here is samples × (P+1)
     * bounded. */
   def q55Protest(spark: SparkSession, dir: String): DataFrame = {
-    val x = Ordination.pcoa(q30BrayCurtis(spark, dir))
+    val x = SharedBuilds.pcoaAxes(spark, dir)
       .select(col("sample").as("n_name"),
         col("axis1").as("x1"), col("axis2").as("x2"))
     // per-nation geographic centroid on the EXACT integer centi-degree
@@ -4361,9 +4355,9 @@ object Relational {
     // the ordination is referenced by samples/means/centering below —
     // checkpoint it so the PCoA power iteration runs ONCE, not per
     // reference (this was a measured 52 s → ~6 s cut at sf0.1)
-    val x = graft.Ckpt(Ordination.pcoa(q30BrayCurtis(spark, dir))
+    val x = SharedBuilds.pcoaAxes(spark, dir)
       .select(col("sample").as("n_name"),
-        col("axis1").as("x1"), col("axis2").as("x2")))
+        col("axis1").as("x1"), col("axis2").as("x2"))
     val nat = Tables.dim(spark, dir, "nation")
       .select(col("n_name"), col("n_nationkey"))
     val cn = Tables.dim(spark, dir, "customer")
@@ -5262,7 +5256,7 @@ object Relational {
     * corpus; everything here is pairs × subsets bounded (the subset
     * lattice is 2^vars − 1 with a FIXED variable vocabulary). */
   def q62Bioenv(spark: SparkSession, dir: String): DataFrame = {
-    val bcp = q30BrayCurtis(spark, dir)
+    val bcp = SharedBuilds.bc(spark, dir)
       .select(col("sample_a"), col("sample_b"),
         col("bray_curtis").as("bc"))
     bioenvFromInputs(bcp, bioenvEnv(spark, dir))
@@ -6297,9 +6291,9 @@ object Relational {
     * Scale shape: axes are q31's gated shared machinery; everything
     * here is samples × (P+1) bounded with group-level rollups. */
   def q85EnvfitFactor(spark: SparkSession, dir: String): DataFrame = {
-    val x = graft.Ckpt(Ordination.pcoa(q30BrayCurtis(spark, dir))
+    val x = SharedBuilds.pcoaAxes(spark, dir)
       .select(col("sample").as("n_name"),
-        col("axis1").as("x1"), col("axis2").as("x2")))
+        col("axis1").as("x1"), col("axis2").as("x2"))
     val nat = Tables.dim(spark, dir, "nation")
       .join(Tables.dim(spark, dir, "region"),
         col("n_regionkey") === col("r_regionkey"))
