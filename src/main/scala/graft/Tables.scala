@@ -77,6 +77,28 @@ object Tables {
     if (splits < target) df.repartition(target) else df
   }
 
+  /** Fan a CPU-dense, dimension-bounded frame out across the session's
+    * shuffle parallelism before an expensive per-row expression stage
+    * (r18 optimization round). AQE coalesces post-shuffle partitions
+    * by BYTES (advisoryPartitionSizeInBytes), which is right for
+    * I/O-bound stages but wrong for per-row CPU-heavy folds over tiny
+    * frames: a few-hundred-KB aggregate lands in ONE post-shuffle
+    * partition no matter how expensive its downstream expressions are
+    * (measured: q60's log-binomial folds, q65/q58's per-taxon round-12
+    * entropy terms and q57's hypergeometric products all ran
+    * single-task at sf0.1 — 1.2–2.6 s of serial work on a 32-core
+    * box). An explicit-count hash repartition is never coalesced by
+    * AQE, so the fold stage keeps its parallelism; the exchange itself
+    * moves only the tiny frame. The count is the session's
+    * spark.sql.shuffle.partitions — the driver contract's
+    * scale-parameterised knob — so cluster sessions fan wider, and
+    * values are unchanged because the fanned stages are per-row
+    * expressions feeding order-free (exact DECIMAL/integer)
+    * aggregates. */
+  def fanout(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(df.sparkSession.conf.get(
+      "spark.sql.shuffle.partitions", "200").toInt, cols: _*)
+
   /** Register only the named tables as temp views (a full registerAll
     * re-reads every table's parquet footer on each call). */
   def register(spark: SparkSession, dir: String, names: String*): Unit =

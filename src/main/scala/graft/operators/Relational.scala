@@ -3797,7 +3797,7 @@ object Relational {
       .agg(countDistinct(col("n_name")).as("nt")))
     val nsf = pres.select(col("n_name")).distinct()
       .agg(count(lit(1)).as("n"))
-    occ.crossJoin(broadcast(nsf))
+    Tables.fanout(occ, col("taxon")).crossJoin(broadcast(nsf))
       .select(col("taxon"), col("nt"), col("n"),
         explode(expr("sequence(1, cast(n AS INT))")).as("k"))
       .withColumn("h", expr("aggregate(sequence(0, k - 1), " +
@@ -3876,7 +3876,11 @@ object Relational {
   def hillFromCounts(ab: DataFrame): DataFrame = {
     val tot = ab.groupBy("n_name")
       .agg(sum(col("cnt")).as("n"), count(lit(1)).as("s_obs"))
-    val terms = ab.join(tot, "n_name")
+    // fanout + broadcast (r18): q65's fix — the round-12 term
+    // projection ran single-task behind a sort-merge join against the
+    // 25-row totals (2×1.2 s at sf0.1)
+    val terms = Tables.fanout(ab, ab.columns.map(col): _*)
+      .join(broadcast(tot), "n_name")
       .withColumn("p", col("cnt").cast("double") / col("n").cast("double"))
       .select(col("n_name"), col("s_obs"),
         round(col("p") * log(col("p")), 12).cast("decimal(25,12)").as("th"),
@@ -4127,13 +4131,19 @@ object Relational {
                + (CAST((n_a - k) * (n_b - k) AS DOUBLE)
                   / CAST((k + 1) * (stot - n_a - n_b + k + 1) AS DOUBLE))
                  * acc) END""")
-    pairs
+    // fanout + checkpoint (r18): the per-pair folds above are
+    // CPU-dense over a dimension-bounded frame — AQE's byte-based
+    // coalescing ran them on ONE task (2.6 s serial at sf0.1), and the
+    // final orderBy's range-sampling pass evaluated the whole fold
+    // pipeline TWICE. Fan the folds across the session parallelism and
+    // materialize once; per-row expressions, values unchanged.
+    graft.Ckpt(Tables.fanout(pairs, col("sample_a"), col("sample_b"))
       .withColumn("t0", exp(lnpmf))
       .withColumn("p_ge", round(least(col("t0") * horner, lit(1.0)), 6))
       .select(col("sample_a"), col("sample_b"), col("n_a"), col("n_b"),
         col("shr").as("shared"), col("p_ge"),
         graft.GraftFunctions.roundz(lit(1.0) - col("p_ge"), 6)
-          .as("rc_dissim"))
+          .as("rc_dissim")))
       .orderBy("sample_a", "sample_b")
   }
 
@@ -4625,7 +4635,12 @@ object Relational {
     val tot = ab.groupBy("n_name")
       .agg(sum(col("cnt")).as("n"), count(lit(1)).as("s_obs"))
     val p = col("cnt").cast("double") / col("n").cast("double")
-    val sums = ab.join(tot, "n_name")
+    // fanout + broadcast (r18): the round-12 term projection below is
+    // CPU-dense per abundance row; AQE's byte-based coalescing ran it
+    // single-task behind a sort-merge join against the 25-row totals
+    // (2×2.3 s at sf0.1). Broadcast the totals, fan the terms.
+    val sums = Tables.fanout(ab, ab.columns.map(col): _*)
+      .join(broadcast(tot), "n_name")
       .select(col("n_name"), col("s_obs"),
         round(sqrt(p), 12).cast(d2512).as("t05"),
         round(p * log(p), 12).cast(d2512).as("t1"),
