@@ -2520,29 +2520,56 @@ object Similarity {
       hops: Int): DataFrame =
     hnswSearchOn(e, knnGraphEdges(e, k, rounds), k, rounds, beam, hops)
 
-  /** [[hnswSearch]] over an already-built BASE-layer (v, u, s) edge
-    * frame (the coarse layer is rebuilt here — it is 1/CoarseMod of
-    * the corpus and not shared with any other entry). */
-  def hnswSearchOn(e: DataFrame, baseEdges: DataFrame, k: Int,
-      rounds: Int, beam: Int, hops: Int): DataFrame = {
-    require(beam >= 1 && hops >= 0, "s22 needs beam >= 1, hops >= 0")
-    val vecs = graft.Ckpt(e.select(col("vec_id"), col("embedding")))
-    val queries = broadcast(vecs.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
-    // coarse layer: hash-selected subset, densely re-indexed by id
-    // rank (s17's init contract), graph mapped back to original ids
+  /** The coarse-layer map: hash-selected subset, densely re-indexed
+    * by id rank (s17's init contract). */
+  private def coarseMap(vecs: DataFrame): DataFrame = {
     val wIdx = org.apache.spark.sql.expressions.Window.orderBy("orig")
-    val cmap = graft.Ckpt(vecs
+    graft.Ckpt(vecs
       .filter(pmod(pmod(col("vec_id") * 1000003L + 1L, lit(1000000000L))
         * lit(2654435761L), lit(2147483647L)) % CoarseMod === 0)
       .select(col("vec_id").as("orig"), col("embedding"))
       .withColumn("cid", (row_number().over(wIdx) - 1).cast("long")))
+  }
+
+  /** The s22 coarse-layer INDEX: NN-Descent over the hash-selected
+    * subset, edges mapped back to original ids, checkpointed — the
+    * index artifact a production deployment builds once beside the
+    * base graph (r18: memoized in SparkEntry per (session, sf) like
+    * the base s17 edges, so warm searches pay only the search). */
+  def hnswCoarseEdges(e: DataFrame, k: Int = KnnK,
+      rounds: Int = KnnRounds): DataFrame = {
+    val cmap = coarseMap(e.select(col("vec_id"), col("embedding")))
     val cGraphDense = knnGraphEdges(
       cmap.select(col("cid").as("vec_id"), col("embedding")), k, rounds)
-    val cGraph = cGraphDense
+    graft.Ckpt(cGraphDense
       .join(cmap.select(col("cid").as("v"), col("orig").as("gv")), "v")
       .join(cmap.select(col("cid").as("u"), col("orig").as("gu")), "u")
-      .select("gv", "gu")
+      .select("gv", "gu"))
+  }
+
+  /** [[hnswSearch]] over an already-built BASE-layer (v, u, s) edge
+    * frame; `coarseEdges0` optionally supplies a prebuilt coarse
+    * index ([[hnswCoarseEdges]]) — null rebuilds it inline. */
+  def hnswSearchOn(e: DataFrame, baseEdges: DataFrame, k: Int,
+      rounds: Int, beam: Int, hops: Int,
+      coarseEdges0: DataFrame = null): DataFrame = {
+    require(beam >= 1 && hops >= 0, "s22 needs beam >= 1, hops >= 0")
+    val vecs = graft.Ckpt(e.select(col("vec_id"), col("embedding")))
+    val queries = broadcast(vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")))
+    // coarse layer: the prebuilt index, or the inline rebuild (the
+    // cmap rides along either way — the entry point needs cid 0/1)
+    val cmap = coarseMap(vecs)
+    val cGraph =
+      if (coarseEdges0 != null) coarseEdges0
+      else {
+        val cGraphDense = knnGraphEdges(
+          cmap.select(col("cid").as("vec_id"), col("embedding")), k, rounds)
+        cGraphDense
+          .join(cmap.select(col("cid").as("v"), col("orig").as("gv")), "v")
+          .join(cmap.select(col("cid").as("u"), col("orig").as("gu")), "u")
+          .select("gv", "gu")
+      }
     // coarse entry: the smallest-id coarse node (next one if it IS
     // the query — scoring excludes self, so the beam must not start
     // there)
