@@ -725,19 +725,10 @@ object Ordination {
     * taxa)-bounded with per-taxon fold state ≤ the sample dim. */
   def q78Wascores(spark: SparkSession, dir: String,
       iters: Int = Iters): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = graft.Ckpt(l
-      .join(Tables.dim(spark, dir, "part"),
-        col("l_partkey") === col("p_partkey"))
-      .join(Tables.load(spark, dir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"),
-        col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("p_type"))
-      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty")))
-    wascoresFromInputs(ab, q31Pcoa(spark, dir, iters))
+    val ab = SharedBuilds.abq(spark, dir)
+    wascoresFromInputs(ab,
+      if (iters == Iters) SharedBuilds.pcoaAxes(spark, dir)
+      else q31Pcoa(spark, dir, iters))
   }
 
   /** [[q78Wascores]]'s core over the sparse (n_name, p_type,
@@ -799,18 +790,7 @@ object Ordination {
 
   def q73Ca(spark: SparkSession, dir: String,
       iters: Int = CaIters): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = graft.Ckpt(l
-      .join(Tables.dim(spark, dir, "part"),
-        col("l_partkey") === col("p_partkey"))
-      .join(Tables.load(spark, dir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"),
-        col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("p_type"))
-      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty")))
+    val ab = SharedBuilds.abq(spark, dir)
     caFromAbundance(ab, iters)
   }
 
@@ -841,18 +821,7 @@ object Ordination {
     * biplot invariant. Folds over i in sample order, roundz-6. */
   def q76CaSpecies(spark: SparkSession, dir: String,
       iters: Int = CaIters): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = graft.Ckpt(l
-      .join(Tables.dim(spark, dir, "part"),
-        col("l_partkey") === col("p_partkey"))
-      .join(Tables.load(spark, dir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"),
-        col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("p_type"))
-      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty")))
+    val ab = SharedBuilds.abq(spark, dir)
     caSpeciesFromAbundance(ab, iters)
   }
 
@@ -975,18 +944,7 @@ object Ordination {
     * everything after is dimension-bounded single-row jobs. */
   def q74Cca(spark: SparkSession, dir: String,
       iters: Int = CaIters): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = graft.Ckpt(l
-      .join(Tables.dim(spark, dir, "part"),
-        col("l_partkey") === col("p_partkey"))
-      .join(Tables.load(spark, dir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"),
-        col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("p_type"))
-      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty")))
+    val ab = SharedBuilds.abq(spark, dir)
     ccaFromInputs(ab, Relational.bioenvEnv(spark, dir), iters)
   }
 
@@ -1018,18 +976,7 @@ object Ordination {
     * and irrelevant to the plot's geometry. */
   def q75Rda(spark: SparkSession, dir: String,
       iters: Int = CaIters): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = graft.Ckpt(l
-      .join(Tables.dim(spark, dir, "part"),
-        col("l_partkey") === col("p_partkey"))
-      .join(Tables.load(spark, dir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"),
-        col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("p_type"))
-      .agg(sum(graft.Dec.dec(col("l_quantity"))).as("qty")))
+    val ab = SharedBuilds.abq(spark, dir)
     rdaFromInputs(ab, Relational.bioenvEnv(spark, dir), iters)
   }
 

@@ -505,23 +505,58 @@ object Relational {
     * join runs on the aggregate-bounded matrix (samples × taxa) and
     * the pair universe is a bounded dim×dim cross, so the quadratic
     * piece never touches the fact table. */
-  def q30BrayCurtis(spark: SparkSession, dir: String): DataFrame = {
+  /** The checkpointed (n_name, p_type, qty DECIMAL) COMMUNITY
+    * ABUNDANCE MATRIX — the one fact-scale aggregate behind q30's
+    * Bray–Curtis and, identically, q52/q70/q71/q73–q76/q78/q79
+    * (r18: each of those keys re-ran this 5-table join + aggregate;
+    * they now share it through SharedBuilds.abq, builder = q30).
+    * Checkpointed: referenced by totals, both sides of the pair
+    * join, and the ordination — without materialization each
+    * reference re-runs the fact-scale join+aggregation and only
+    * runtime ReuseExchange MIGHT dedupe the scans. The frame is
+    * aggregate-bounded (samples × taxa), so this pins "fact touched
+    * once" structurally instead of hoping. */
+  private[operators] def abundanceQty(spark: SparkSession,
+      dir: String): DataFrame = {
     val l = Tables.load(spark, dir, "lineitem")
-    // checkpointed: referenced by totals, both sides of the pair join,
-    // and (via q31) the ordination — without materialization each
-    // reference re-runs the fact-scale join+aggregation and only
-    // runtime ReuseExchange MIGHT dedupe the scans. The frame is
-    // aggregate-bounded (samples × taxa), so this pins "fact touched
-    // once" structurally instead of hoping.
-    val abundance = graft.Ckpt(l
+    graft.Ckpt(l
       .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("p_type"))
       .agg(sum(dec(col("l_quantity"))).as("qty")))
-    brayCurtisFromAbundance(abundance)
   }
+
+  /** The checkpointed (n_name, taxon) PRESENCE frame shared by
+    * q56/q57/q60/q63/q64/q80 (r18; builder = q56 via
+    * SharedBuilds.presRebuild). */
+  private[operators] def presenceFrame(spark: SparkSession,
+      dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    graft.Ckpt(l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_partkey").as("taxon")).distinct())
+  }
+
+  /** The checkpointed (n_name, l_partkey, cnt) COUNT abundance frame
+    * shared by q53/q58/q65/q66 (r18; builder = q53 via
+    * SharedBuilds.abCntRebuild). */
+  private[operators] def abundanceCnt(spark: SparkSession,
+      dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+    graft.Ckpt(l
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("l_partkey"))
+      .agg(count(lit(1)).as("cnt")))
+  }
+
+  def q30BrayCurtis(spark: SparkSession, dir: String): DataFrame =
+    brayCurtisFromAbundance(SharedBuilds.abqRebuild(spark, dir))
 
   /** [[q30BrayCurtis]]'s core over a pre-aggregated (n_name, p_type,
     * qty DECIMAL) matrix — split out so q47 can derive BOTH of its
@@ -2900,14 +2935,7 @@ object Relational {
     * (P+1) × taxa × groups. Absent (taxon, sample) cells never
     * materialize — presence counts fall out of the sparse join. */
   def q52Indval(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = graft.Ckpt(l
-      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("p_type"))
-      .agg(sum(dec(col("l_quantity"))).as("qty")))
+    val ab = SharedBuilds.abq(spark, dir)
     val nat = Tables.dim(spark, dir, "nation")
       .join(Tables.dim(spark, dir, "region"),
         col("n_regionkey") === col("r_regionkey"))
@@ -3068,14 +3096,7 @@ object Relational {
     * the combo lattice is (P+1) × taxa × (2^groups − 2) rows with a
     * FIXED group vocabulary — dimension-bounded throughout. */
   def q71Multipatt(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = graft.Ckpt(l
-      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("p_type"))
-      .agg(sum(dec(col("l_quantity"))).as("qty")))
+    val ab = SharedBuilds.abq(spark, dir)
     val nat = Tables.dim(spark, dir, "nation")
       .join(Tables.dim(spark, dir, "region"),
         col("n_regionkey") === col("r_regionkey"))
@@ -3253,16 +3274,8 @@ object Relational {
     * Scale shape: one fact-scale aggregate to (sample, taxon,
     * occurrences) with map-side combine, then one sample-keyed
     * integer rollup — everything after is sample-dim-bounded. */
-  def q53RichnessEstimators(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = l
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("l_partkey"))
-      .agg(count(lit(1)).as("cnt"))
-    richnessFromCounts(ab)
-  }
+  def q53RichnessEstimators(spark: SparkSession, dir: String): DataFrame =
+    richnessFromCounts(SharedBuilds.abCntRebuild(spark, dir))
 
   /** [[q53RichnessEstimators]]'s core over a (n_name, taxon-keyed,
     * cnt BIGINT) occurrence matrix — split out for planted specs. */
@@ -3671,15 +3684,8 @@ object Relational {
     * Σ_taxon presence², the q30/q44 pair class — AQE skew-split
     * applies to a ubiquitous taxon); per-sample richness and the
     * pair frame are sample-dim-bounded. */
-  def q56BetaPartition(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val pres = graft.Ckpt(l
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("l_partkey").as("taxon")).distinct())
-    betaPartitionFromPresence(pres)
-  }
+  def q56BetaPartition(spark: SparkSession, dir: String): DataFrame =
+    betaPartitionFromPresence(SharedBuilds.presRebuild(spark, dir))
 
   /** [[q56BetaPartition]]'s core over a (n_name, taxon) presence
     * frame — split out for planted specs. */
@@ -3780,15 +3786,8 @@ object Relational {
     * Scale shape: one fact-scale distinct to the presence frame, one
     * taxon-keyed occupancy count, then a (taxa × N) in-row lattice —
     * dimension-bounded; the curve is monotone by construction. */
-  def q57SpecAccum(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val pres = l
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("l_partkey").as("taxon")).distinct()
-    specAccumFromPresence(pres)
-  }
+  def q57SpecAccum(spark: SparkSession, dir: String): DataFrame =
+    specAccumFromPresence(SharedBuilds.pres(spark, dir))
 
   /** [[q57SpecAccum]]'s core over a (n_name, taxon) presence frame —
     * split out for planted specs. */
@@ -3860,16 +3859,8 @@ object Relational {
     * (group, taxon) matrix (map-side combine), one group-scale total,
     * one taxon-scale projection + one group-scale aggregate. Nothing
     * quadratic, nothing iterated. */
-  def q58HillNumbers(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = l
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("l_partkey"))
-      .agg(count(lit(1)).as("cnt"))
-    hillFromCounts(ab)
-  }
+  def q58HillNumbers(spark: SparkSession, dir: String): DataFrame =
+    hillFromCounts(SharedBuilds.abCnt(spark, dir))
 
   /** [[q58HillNumbers]]'s core over a (n_name, taxon-keyed, cnt
     * BIGINT) abundance frame — split out for planted specs. */
@@ -4061,15 +4052,8 @@ object Relational {
     * Scale shape: one fact-scale presence distinct, one taxon-keyed
     * self-join bounded by taxon occupancy (the q30 pair class), then
     * the sample-pair-bounded in-row lattice. */
-  def q60RaupCrick(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val pres = l
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("l_partkey").as("taxon")).distinct()
-    raupCrickFromPresence(pres)
-  }
+  def q60RaupCrick(spark: SparkSession, dir: String): DataFrame =
+    raupCrickFromPresence(SharedBuilds.pres(spark, dir))
 
   /** [[q60RaupCrick]]'s core over a (n_name, taxon) presence frame —
     * split out for planted specs. */
@@ -4237,15 +4221,8 @@ object Relational {
     * the per-taxon self-join bounded by taxon occupancy, and a
     * sample-dim-bounded pair frame; the multi-site reduction adds one
     * single-row aggregate on top. */
-  def q63MultiBeta(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val pres = l
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("l_partkey").as("taxon")).distinct()
-    multiBetaFromPresence(pres)
-  }
+  def q63MultiBeta(spark: SparkSession, dir: String): DataFrame =
+    multiBetaFromPresence(SharedBuilds.pres(spark, dir))
 
   /** [[q63MultiBeta]]'s core over a (n_name, taxon) presence frame —
     * split out for planted specs. */
@@ -4617,16 +4594,8 @@ object Relational {
     * Scale shape: q58's exactly — one fact-scale count aggregate to
     * the sparse (group, taxon) matrix, group-bounded everything
     * after. */
-  def q65Renyi(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = l
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("l_partkey"))
-      .agg(count(lit(1)).as("cnt"))
-    renyiFromCounts(ab)
-  }
+  def q65Renyi(spark: SparkSession, dir: String): DataFrame =
+    renyiFromCounts(SharedBuilds.abCnt(spark, dir))
 
   /** [[q65Renyi]]'s core over a (n_name, taxon-keyed, cnt BIGINT)
     * abundance frame — split out for planted specs. */
@@ -4749,16 +4718,8 @@ object Relational {
     * Scale shape: one fact-scale count aggregate, then the
     * (samples × distinct-counts × grid) lattice — dimension-bounded
     * with in-row folds of length n. */
-  def q66Rarefy(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = l
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("l_partkey"))
-      .agg(count(lit(1)).as("cnt"))
-    rarefyFromCounts(ab, RarefyGrid)
-  }
+  def q66Rarefy(spark: SparkSession, dir: String): DataFrame =
+    rarefyFromCounts(SharedBuilds.abCnt(spark, dir), RarefyGrid)
 
   /** [[q66Rarefy]]'s core over a (n_name, taxon-keyed, cnt BIGINT)
     * abundance frame — split out for planted specs. */
@@ -4986,14 +4947,7 @@ object Relational {
     * constant-key idiom), the env lattice, and the 5-row output are
     * all dimension-bounded. */
   def q70Rankindex(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = graft.Ckpt(l
-      .join(Tables.dim(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("p_type"))
-      .agg(sum(dec(col("l_quantity"))).as("qty")))
+    val ab = SharedBuilds.abq(spark, dir)
     rankindexFromInputs(ab, envZScores(bioenvEnv(spark, dir)))
   }
 
@@ -5526,15 +5480,8 @@ object Relational {
     * summed order-free (the q44 grid); the three NODF outputs are
     * single double divisions on a round-6 grid. Outputs are
     * non-negative by construction. */
-  def q64Nodf(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val pres = l
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("l_partkey").as("taxon")).distinct()
-    nodfFromPresence(pres)
-  }
+  def q64Nodf(spark: SparkSession, dir: String): DataFrame =
+    nodfFromPresence(SharedBuilds.pres(spark, dir))
 
   /** [[q64Nodf]]'s core over a (n_name, taxon) presence frame — split
     * out for planted specs. */
@@ -5680,21 +5627,8 @@ object Relational {
     * occurrence self-join fans out taxa²-per-site (q36's cooccurrence
     * class — vocab-bounded, AQE skew-split on a ubiquitous taxon);
     * the output grid and all joins after are (sites × taxa)-bounded. */
-  def q79Beals(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val ab = graft.Ckpt(l
-      .join(Tables.dim(spark, dir, "part"),
-        col("l_partkey") === col("p_partkey"))
-      .join(Tables.load(spark, dir, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"),
-        col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), col("p_type"))
-      .agg(sum(Dec.dec(col("l_quantity"))).as("qty")))
-    bealsFromAbundance(ab)
-  }
+  def q79Beals(spark: SparkSession, dir: String): DataFrame =
+    bealsFromAbundance(SharedBuilds.abq(spark, dir))
 
   /** [[q79Beals]]'s core over the sparse (n_name, p_type, qty)
     * abundance frame — split out for planted specs. */
@@ -5798,15 +5732,8 @@ object Relational {
     * bounded. At 100 TB the presence distinct is the only stage that
     * sees the corpus, and it shuffles the deduplicated (sample,
     * taxon) pairs only. */
-  def q80SpecPool(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(spark, dir, "lineitem")
-    val pres = l
-      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.dim(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(Tables.dim(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("l_partkey").as("taxon")).distinct()
-    specPoolFromPresence(pres)
-  }
+  def q80SpecPool(spark: SparkSession, dir: String): DataFrame =
+    specPoolFromPresence(SharedBuilds.pres(spark, dir))
 
   /** [[q80SpecPool]]'s core over a (n_name, taxon) presence frame —
     * split out for planted specs. */

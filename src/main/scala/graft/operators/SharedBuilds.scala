@@ -59,6 +59,37 @@ object SharedBuilds {
     Option(memoFor(s).get(tag + "|" + dir))
       .getOrElse(rebuild(s, dir, tag)(build))
 
+  /** The checkpointed (n_name, p_type, qty DECIMAL) community
+    * abundance matrix ([[Relational.abundanceQty]]). Builder:
+    * q30_bray_curtis (whose own build consumes it); consumers:
+    * q52/q70/q71/q73–q76/q78/q79. */
+  def abq(s: SparkSession, dir: String): DataFrame =
+    getOrBuild(s, dir, "abq")(Relational.abundanceQty(s, dir))
+
+  /** Always-rebuild twin of [[abq]] (q30's build path). */
+  def abqRebuild(s: SparkSession, dir: String): DataFrame =
+    rebuild(s, dir, "abq")(Relational.abundanceQty(s, dir))
+
+  /** The checkpointed (n_name, taxon) presence frame
+    * ([[Relational.presenceFrame]]). Builder: q56_beta_partition;
+    * consumers: q57/q60/q63/q64/q80. */
+  def pres(s: SparkSession, dir: String): DataFrame =
+    getOrBuild(s, dir, "pres")(Relational.presenceFrame(s, dir))
+
+  /** Always-rebuild twin of [[pres]] for the q56 builder entry. */
+  def presRebuild(s: SparkSession, dir: String): DataFrame =
+    rebuild(s, dir, "pres")(Relational.presenceFrame(s, dir))
+
+  /** The checkpointed (n_name, l_partkey, cnt) count-abundance frame
+    * ([[Relational.abundanceCnt]]). Builder: q53_richness; consumers:
+    * q58/q65/q66. */
+  def abCnt(s: SparkSession, dir: String): DataFrame =
+    getOrBuild(s, dir, "abcnt")(Relational.abundanceCnt(s, dir))
+
+  /** Always-rebuild twin of [[abCnt]] for the q53 builder entry. */
+  def abCntRebuild(s: SparkSession, dir: String): DataFrame =
+    rebuild(s, dir, "abcnt")(Relational.abundanceCnt(s, dir))
+
   /** The checkpointed q30 Bray–Curtis (sample_a, sample_b,
     * bray_curtis) pair frame. Builder key: q30_bray_curtis. */
   def bc(s: SparkSession, dir: String): DataFrame =
