@@ -2190,7 +2190,12 @@ object Ordination {
         .agg(max(col("smin")).as("dhat"))
     }
     for (_ <- 1 to iters) {
-      val dist = graft.Ckpt.stats(distances(cfg))
+      // dist stays LAZY (r18): it reads only checkpointed inputs
+      // (pairs, cfg), so the dj checkpoint below evaluates the same
+      // deterministic join twice within ONE action instead of paying
+      // a third materialization action per step — 12 fewer jobs over
+      // the contract iterations, identical doubles either way
+      val dist = distances(cfg)
       val dj = graft.Ckpt.stats(dist.join(disparities(dist), "r")
         .withColumn("w", when(col("d") > lit(0.0),
           col("dhat") / col("d")).otherwise(lit(0.0))))

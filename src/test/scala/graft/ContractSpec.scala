@@ -319,7 +319,7 @@ class ContractSpec extends SparkSpec {
         ".join(broadcast(rm.select(col(\"i\").as(\"j\"), col(\"rm\").as(\"rmj\"))), \"j\")" -> "dim (per-sample row means)",
         "toRow(m.crossJoin(broadcast(vrow))" -> "one-row (iteration vector)",
         "val nf = broadcast(ids.agg(max(col(\"i\")).as(\"n\")).filter(col(\"n\") >= 2))" -> "one-row",
-        "val trace = broadcast(b.filter(col(\"i\") === col(\"j\"))" -> "one-row (trace scalar)",
+        "val trace = broadcast(b" -> "one-row (trace scalar)",
         ".crossJoin(broadcast(stress)) // one-row final stress (q72)" -> "one-row (q72 stress-1)",
         "val cells = rs.crossJoin(cs).crossJoin(broadcast(gt))" -> "one-row (q73 grand total)",
         "val rowsR = rows.join(rs, \"si\").crossJoin(broadcast(gt))" -> "one-row (q73 grand total)",
@@ -343,7 +343,11 @@ class ContractSpec extends SparkSpec {
         "cen.crossJoin(broadcast(ssf))" -> "one-row (config scale — q55)",
         "val m2 = ms.crossJoin(broadcast(txf)).crossJoin(broadcast(tyf))" -> "one-row (normalized traces — q55)",
         ".crossJoin(broadcast(pobs))" -> "one-row (observed m² — q55)",
-        "occ.crossJoin(broadcast(nsf))" -> "one-row (sample count — q57)",
+        "Tables.fanout(occ, col(\"taxon\")).crossJoin(broadcast(nsf))" ->
+          "one-row (sample count — q57)",
+        "occ.crossJoin(broadcast(nsf))" -> "one-row (sample count — q80)",
+        ".join(broadcast(tot), \"n_name\")" ->
+          "sample-dim totals (25 rows — q58/q65 r18 fanout fix)",
         ".crossJoin(broadcast(nsf))" -> "one-row (grand total — q84)",
         ".crossJoin(broadcast(ax))" -> "one-row (axis moments — q85)",
         ".crossJoin(broadcast(obsr))" -> "one-row (observed r² — q85)",
